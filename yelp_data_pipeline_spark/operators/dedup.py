@@ -1,0 +1,271 @@
+"""Deduplication operators (north-star extension — BASELINE.json; not in
+the reference, which only dedups via ``distinct()`` on tiny dims,
+silver_to_gold_on_minio.py:23,72-75).
+
+Five strategies, cheapest → most recall, all shuffle-conscious:
+
+- exact       : hash groupBy on the raw key. One shuffle, map-side combine.
+- fingerprint : exact dedup on a normalized md5 fingerprint (casing /
+                punctuation / whitespace invariant).
+- n-gram Jaccard : shingle-explode + bucket join on shingle — the join
+                key is the shingle, so only docs *sharing* a shingle
+                ever meet; no O(n²) cross join.
+- MinHash+LSH : k md5 minhashes folded map-side per doc (array_min over
+                transform — no explode shuffle), banded; candidates =
+                self-join on (band, band_key); verified with exact
+                Jaccard. The scale path: candidate count is governed by
+                band collisions, not n².
+- SimHash     : 32-bit signature; near-dup pairs via byte-banding +
+                hamming ≤ radius. Cheapest signature, weakest recall.
+
+Embedding-cosine near-dup lives in similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long
+
+# ---------------------------------------------------------------- exact
+
+
+def dedup_exact(df: DataFrame, keys: list[str], keep_min_of: str) -> DataFrame:
+    """Keep one row per key group — the row with the minimal
+    ``keep_min_of`` value (deterministic winner, unlike dropDuplicates
+    whose survivor is partition-order-dependent)."""
+    return df.groupBy(*keys).agg(F.min(keep_min_of).alias(keep_min_of))
+
+
+def normalize_text(col) -> F.Column:
+    """Casing/punct/whitespace-invariant canonical form."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"[^a-z0-9]+", " ")
+    return F.trim(c)
+
+
+def fingerprint(col) -> F.Column:
+    """Document fingerprint: md5 of the normalized text."""
+    return F.md5(normalize_text(col))
+
+
+# ------------------------------------------------------------- shingles
+
+
+def word_shingles(tokens_col, n: int = 3) -> F.Column:
+    """Distinct word n-grams from a token array — built with
+    transform(sequence(...)) so the whole thing is one map-side
+    expression (no explode until the operator chooses to)."""
+    t = tokens_col
+    # sequence(1, 0) would generate a *descending* [1, 0] — guard short docs.
+    idx = F.when(F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - (n - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, n)))
+    return F.array_distinct(grams)
+
+
+def with_shingles(df: DataFrame, text_col: str, n: int = 3) -> DataFrame:
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    return df.withColumn("shingles", word_shingles(toks, n))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs above ``threshold``.
+
+    Plan: shingle-explode → self-join on the shingle (docs only meet on
+    shared shingles) → per-pair intersection counts → Jaccard from set
+    sizes. The shuffle key is the shingle; hot shingles are the skew
+    risk at scale (AQE skew-join splits them; a stop-shingle filter is
+    the manual escape hatch).
+    """
+    sh = (
+        with_shingles(df, text_col, n)
+        .select(F.col(id_col).alias("doc"), "shingles")
+        .withColumn("n_sh", F.size("shingles"))
+    )
+    exploded = sh.select("doc", "n_sh", F.explode("shingles").alias("s"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jac = F.col("common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("common")
+    ).cast("double")
+    return (
+        common.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# -------------------------------------------------------------- minhash
+
+
+def minhash_signature(df: DataFrame, id_col: str, text_col: str, k: int = 12, n: int = 3) -> DataFrame:
+    """k-permutation MinHash signature, entirely map-side: per seed,
+    ``array_min(transform(shingles, md5_long))``. No shuffle, no UDF;
+    scales linearly in bytes scanned."""
+    sh = with_shingles(df, text_col, n)
+
+    # NB: a plain `lambda s, i=i:` would advertise 2 params and Spark
+    # would bind the 2nd to the array *index* — closure factory instead.
+    def _seeded(i: int):
+        return lambda s: md5_long(s, seed=i)
+
+    sigs = {
+        f"mh{i}": F.array_min(F.transform(F.col("shingles"), _seeded(i)))
+        for i in range(k)
+    }
+    return sh.select(
+        F.col(id_col).alias("doc"), F.size("shingles").alias("n_sh"), "shingles"
+    ).withColumns(sigs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 12,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash + LSH banding + exact-Jaccard verification.
+
+    bands × rows = k. A pair collides in a band iff that band's minhash
+    rows all match; candidates are verified with true Jaccard on the
+    shingle sets (array_intersect on already-distinct arrays), so the
+    output has no false positives — LSH only bounds recall.
+    """
+    rows = k // bands
+    sig = minhash_signature(df, id_col, text_col, k, n)
+    band_cols = [
+        F.md5(
+            F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)])
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("doc", "n_sh", "shingles", *band_cols)
+    bands_long = banded.select(
+        "doc",
+        "n_sh",
+        "shingles",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("key"))
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("doc", "n_sh", "shingles", F.col("bk.band_id"), F.col("bk.key"))
+
+    a, b_ = bands_long.alias("a"), bands_long.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter.cast("double") / (F.col("na") + F.col("nb") - inter).cast("double")
+    return (
+        cand.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# -------------------------------------------------------------- simhash
+
+SIMHASH_BITS = 32
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-doc SimHash over distinct tokens.
+
+    Each token's md5-derived integer votes ±1 on each of ``bits`` bit
+    positions; the signature takes the sign. Entirely map-side
+    (aggregate over the token array) — no shuffle.
+    """
+    toks = F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+    # hash every token once, then fold 32 bit-votes over the hash array
+    hashes = F.transform(toks, lambda t: md5_long(t))
+
+    def _vote(b: int):
+        return lambda acc, h: acc + (
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1
+        )
+
+    bit_votes = [F.aggregate(hashes, F.lit(0), _vote(b)) for b in range(bits)]
+    sig = None
+    for b, v in enumerate(bit_votes):
+        term = F.when(v > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return df.select(F.col(id_col).alias("doc"), sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 6
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, found via byte
+    banding (a pair within hamming ≤ 6 of a 32-bit signature shares at
+    least one identical byte by pigeonhole when distance < 8 is spread
+    over 4 bytes... candidates join on any equal byte, then exact
+    hamming filters)."""
+    sig = simhash(df, id_col, text_col)
+    bytes_ = sig.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("byte_id"),
+                    F.shiftright("simhash", i * 8).bitwiseAND(F.lit(255)).alias("byte"),
+                )
+                for i in range(4)
+            ])
+        ).alias("bb"),
+    ).select("doc", "simhash", F.col("bb.byte_id"), F.col("bb.byte"))
+    a, b = bytes_.alias("a"), bytes_.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.byte_id") == F.col("b.byte_id"))
+            & (F.col("a.byte") == F.col("b.byte"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,131 @@
+"""Text analysis operators (north-star extension): language ID, quality
+scoring, token counting, fingerprinting.
+
+All Catalyst expressions (split / filter / regexp_count / size) — the
+hot path stays inside WholeStageCodegen; at 100 TB these are pure
+map-side scans with column pruning down to (id, text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import fingerprint, normalize_text
+
+# Tiny per-language stopword inventories for the n-gram/stopword
+# heuristic language identifier. Order = deterministic tie-break
+# priority (first wins ties).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "es": ("el", "los", "de", "que", "y", "en", "es", "una"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "dans"),
+    "zh": ("的", "是", "不", "了", "在", "人", "有", "我"),
+}
+
+BPE_ISH_PATTERN = r"[a-z]+|[0-9]|[^a-z0-9\s]"
+
+
+def tokens(col: Column) -> Column:
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+def stopword_score(col: Column, stopwords: tuple[str, ...]) -> Column:
+    """#tokens that are in the language's stopword list."""
+    return F.size(F.filter(tokens(col), lambda t: t.isin(*stopwords)))
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-overlap language identifier.
+
+    Scores each language's stopword hits per document and picks the
+    max, ties broken by LANG_STOPWORDS order. A CASE chain (not
+    greatest-of-structs) so the exact same decision procedure is
+    expressible in the ANSI-SQL oracle.
+    """
+    langs = list(LANG_STOPWORDS)
+    scores = {
+        f"s_{lang}": stopword_score(F.col(text_col), sw)
+        for lang, sw in LANG_STOPWORDS.items()
+    }
+    out = df.withColumns(scores)
+    decision = None
+    for i, lang in enumerate(langs):
+        cond = None
+        for other in langs[i + 1 :]:
+            c = F.col(f"s_{lang}") >= F.col(f"s_{other}")
+            cond = c if cond is None else (cond & c)
+        branch = F.lit(lang)
+        if decision is None:
+            decision = F.when(cond, branch)
+        elif cond is not None:
+            decision = decision.when(cond, branch)
+        else:
+            decision = decision.otherwise(branch)
+    return out.select(
+        F.col(id_col),
+        *[F.col(f"s_{lang}").alias(f"s_{lang}") for lang in langs],
+        decision.alias("lang_pred"),
+    )
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def bpe_ish_count(col: Column) -> Column:
+    """BPE-ish subword proxy: alpha runs + single digits + punctuation
+    marks, counted with one vectorized regexp pass."""
+    return F.regexp_count(F.lower(col), F.lit(BPE_ISH_PATTERN))
+
+
+def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic document-quality features + composite score:
+    length, token count, punctuation density, stopword ratio, mean
+    token length. Deterministic arithmetic → oracle-reproducible."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    n_tok = token_count(c)
+    n_punct = F.regexp_count(c, F.lit(r"[^A-Za-z0-9\s]"))
+    n_stop = stopword_score(c, LANG_STOPWORDS["en"])
+    punct_ratio = F.round(n_punct.cast("double") / n_chars.cast("double"), 6)
+    stop_ratio = F.round(n_stop.cast("double") / n_tok.cast("double"), 6)
+    mean_tok_len = F.round(
+        (n_chars - (n_tok - 1)).cast("double") / n_tok.cast("double"), 6
+    )
+    score = F.round(
+        F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0)) * 0.5
+        + stop_ratio * 0.3
+        + (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0))) * 0.2,
+        6,
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        mean_tok_len.alias("mean_token_len"),
+        score.alias("quality_score"),
+    )
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace + BPE-ish token counts per document."""
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        token_count(c).alias("ws_tokens"),
+        bpe_ish_count(c).alias("bpe_ish_tokens"),
+    )
+
+
+def doc_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Normalized md5 fingerprint per document (dedup key)."""
+    return df.select(
+        F.col(id_col),
+        fingerprint(F.col(text_col)).alias("fingerprint"),
+        F.length(normalize_text(F.col(text_col))).alias("norm_len"),
+    )

@@ -1,0 +1,74 @@
+"""Upsert / MERGE (SURVEY.md §2.1 S9-S10).
+
+The reference upserts Gold tables with Delta ``MERGE``
+(silver_to_gold_on_minio.py:127-144): update-all when matched on key,
+insert-all otherwise. Semantically that is::
+
+    result = new  ∪  (target ⟕anti new on key)
+
+which is exactly expressible in the DataFrame API (one shuffled hash
+anti-join + union), so the engine offers:
+
+- :func:`merge_upsert_df` — the pure-DataFrame semantics (works on any
+  source; used by the oracle-checked query registry);
+- :func:`upsert_delta`   — the transactional Delta path
+  (``DeltaTable.merge``) when delta-spark is importable, mirroring the
+  reference's create-if-absent / merge-else branch (S2G:127-144,
+  ``DeltaTable.isDeltaTable`` probe at S2G:132).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def merge_upsert_df(target: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
+    """whenMatchedUpdateAll + whenNotMatchedInsertAll as a DataFrame op.
+
+    Column sets must match. The anti-join shuffles both sides on the
+    key — same cost profile as Delta MERGE's inner rewrite.
+    """
+    untouched = target.join(updates.select(*keys), keys, "left_anti")
+    return updates.unionByName(untouched)
+
+
+def upsert_delta(
+    spark: SparkSession, updates: DataFrame, target_path: str, keys: list[str]
+) -> None:
+    """Transactional Delta MERGE (reference parity: S2G:127-144).
+
+    Creates the table on first write (``isDeltaTable`` probe, S2G:132),
+    otherwise merges on the composite key. Raises ImportError when
+    delta-spark isn't available — callers fall back to
+    :func:`merge_upsert_df` + overwrite.
+    """
+    from delta.tables import DeltaTable  # gated import (harness has no delta jars)
+
+    if not DeltaTable.isDeltaTable(spark, target_path):
+        updates.write.format("delta").mode("overwrite").save(target_path)
+        return
+    cond = " AND ".join(f"t.{k} = u.{k}" for k in keys)
+    (
+        DeltaTable.forPath(spark, target_path)
+        .alias("t")
+        .merge(updates.alias("u"), cond)
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    fmt: str = "parquet",
+    dynamic: bool = True,
+) -> None:
+    """S6/S7 — partitioned sink with dynamic partition overwrite
+    (B2S:168-185; conf at B2S:132): only partitions present in the
+    batch are replaced, the monthly-incremental idiom."""
+    spark = df.sparkSession
+    if dynamic:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df.write.mode("overwrite").partitionBy(*partition_cols).format(fmt).save(path)

@@ -1,0 +1,1242 @@
+"""Query registry: every operator from SURVEY.md §2 (plus the
+north-star extensions) as a named (spark_fn, duckdb_oracle_sql) pair.
+
+Exported through /root/repo/__spark_entry__.py. Contract:
+- fn(spark, sf_dir) -> DataFrame
+- oracle: ANSI SQL over the pre-registered DuckDB views (same parquet).
+  ``None`` ⇒ not SQL-expressible; the driver records a rows-only check.
+
+Cross-engine determinism rules used throughout (see operators/):
+- aliases identical on both sides (driver sorts columns by name);
+- int-ish scalars CAST to Spark's width in the oracle (Spark ``size``/
+  ``year``/``row_number`` are INT where DuckDB yields BIGINT);
+- float aggregates accumulate in DECIMAL then cast to DOUBLE;
+- every top-k has a unique-key tiebreak so the selected *set* matches.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.hashing import md5_long_sql
+from .functions.vectors import cosine_sql
+from .operators import aggregates as agg
+from .operators import cleaning as cl
+from .operators import dedup as dd
+from .operators import dims, facts, joins
+from .operators import multimodal as mm
+from .operators import similarity as sim
+from .operators import textops as tx
+from .operators import upsert as up
+from .operators import windows as win
+from .streaming import windows as sw
+from .tables import load_table
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]
+    doc: str
+
+
+_REGISTRY: list[QuerySpec] = []
+
+
+def _q(name: str, oracle: Optional[str], doc: str = ""):
+    def wrap(fn):
+        _REGISTRY.append(QuerySpec(name, fn, oracle, doc))
+        return fn
+
+    return wrap
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Shared Spark builders
+# --------------------------------------------------------------------------
+
+
+def _dates_df(spark, sf_dir) -> DataFrame:
+    """U1 — union(+distinct) of order dates and event dates (S2G:20-24)."""
+    o = _t(spark, sf_dir, "orders").select(F.to_date("o_orderdate").alias("date"))
+    e = _t(spark, sf_dir, "events").select(F.to_date("ts").alias("date"))
+    return o.union(e).distinct()
+
+
+def _dim_time(spark, sf_dir) -> DataFrame:
+    return dims.build_dim_time(_dates_df(spark, sf_dir))
+
+
+# Shared oracle CTEs (DuckDB)
+DATES_CTE = """dates AS (
+  SELECT CAST(o_orderdate AS DATE) AS date FROM orders
+  UNION
+  SELECT CAST(ts AS DATE) FROM events
+)"""
+
+DIM_TIME_CTE = (
+    DATES_CTE
+    + """,
+dim_time AS (
+  SELECT CAST(row_number() OVER (ORDER BY date) AS INT) AS date_id,
+         date,
+         CAST(year(date) AS INT) AS year,
+         CAST(month(date) AS INT) AS month,
+         CAST(dayofmonth(date) AS INT) AS day,
+         strftime(date, '%a') AS weekday,
+         CAST(quarter(date) AS INT) AS quarter,
+         strftime(date, '%a') IN ('Sat','Sun') AS is_weekend
+  FROM dates
+)"""
+)
+
+
+# --------------------------------------------------------------------------
+# §2.4 A4 / §2.6 O3 — dashboard analytics (flagship first)
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "top_regions_by_orders",
+    """
+SELECT r_name, count(*) AS order_cnt
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY order_cnt DESC, r_name
+LIMIT 10
+""",
+    doc="Flagship: Top Regions by Check-ins shape (dashboard A4/O3) — "
+    "fact ⋈ broadcast dim chain → groupBy → top-k.",
+)
+def q_top_regions_by_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = _t(spark, sf_dir, "region")
+    star = joins.star_join(
+        o,
+        [
+            (c, o["o_custkey"] == c["c_custkey"]),
+            (n, c["c_nationkey"] == n["n_nationkey"]),
+            (r, n["n_regionkey"] == r["r_regionkey"]),
+        ],
+    )
+    counts = agg.group_count(star, ["r_name"], alias="order_cnt")
+    return agg.top_k(counts, "order_cnt", 10, tiebreak=["r_name"])
+
+
+@_q(
+    "weekday_activity",
+    """
+SELECT strftime(ts, '%a') AS weekday, count(*) AS cnt
+FROM events GROUP BY 1
+""",
+    doc="Reviews-per-weekday dashboard panel (A4) on events.",
+)
+def q_weekday_activity(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return agg.group_count(
+        e.select(F.date_format("ts", "E").alias("weekday")), ["weekday"]
+    )
+
+
+@_q(
+    "top_urgent_customers",
+    """
+SELECT c_custkey, c_name, count(*) AS urgent_cnt
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY c_custkey, c_name
+ORDER BY urgent_cnt DESC, c_custkey
+LIMIT 10
+""",
+    doc="Top-10 Businesses by 5-Star Reviews shape (A4/O3): filter → "
+    "join → groupBy → deterministic top-k.",
+)
+def q_top_urgent_customers(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    j = joins.join_broadcast_dim(o, c, o["o_custkey"] == c["c_custkey"])
+    counts = agg.group_count(j, ["c_custkey", "c_name"], alias="urgent_cnt")
+    return agg.top_k(counts, "urgent_cnt", 10, tiebreak=["c_custkey"])
+
+
+@_q(
+    "total_counts",
+    """
+SELECT (SELECT count(*) FROM orders)   AS total_orders,
+       (SELECT count(*) FROM events)   AS total_events,
+       (SELECT count(*) FROM customer) AS total_customers
+""",
+    doc="Dashboard headline tiles (total reviews / check-ins / businesses).",
+)
+def q_total_counts(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").agg(F.count(F.lit(1)).alias("total_orders"))
+    e = _t(spark, sf_dir, "events").agg(F.count(F.lit(1)).alias("total_events"))
+    c = _t(spark, sf_dir, "customer").agg(F.count(F.lit(1)).alias("total_customers"))
+    return o.crossJoin(e).crossJoin(c)
+
+
+# --------------------------------------------------------------------------
+# §2.5 W1-W2, §1.1 — dimension builders
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "dim_time",
+    f"WITH {DIM_TIME_CTE} SELECT * FROM dim_time",
+    doc="W1/U1 — dim_time with row_number date_id (S2G:18-35) over "
+    "union-distinct calendar.",
+)
+def q_dim_time(spark, sf_dir):
+    return _dim_time(spark, sf_dir)
+
+
+@_q(
+    "dim_customer",
+    """
+SELECT c_custkey AS customer_id, c_name AS name, c_nationkey AS nation_id,
+       c_acctbal AS acctbal, c_mktsegment AS mktsegment
+FROM customer
+""",
+    doc="P1 — dim projection+rename (build_dim_business S2G:37-52 / "
+    "dim_user schema.png gap).",
+)
+def q_dim_customer(spark, sf_dir):
+    return dims.project_dim(
+        _t(spark, sf_dir, "customer"),
+        {
+            "c_custkey": "customer_id",
+            "c_name": "name",
+            "c_nationkey": "nation_id",
+            "c_acctbal": "acctbal",
+            "c_mktsegment": "mktsegment",
+        },
+    )
+
+
+@_q(
+    "dict_encode_part_types",
+    """
+SELECT p_type AS value, CAST(row_number() OVER (ORDER BY p_type) AS INT) AS type_id
+FROM (SELECT DISTINCT p_type FROM part)
+""",
+    doc="W2 — dictionary encoding over distinct values (S2G:72-78).",
+)
+def q_dict_encode_part_types(spark, sf_dir):
+    enc = dims.dictionary_encode(_t(spark, sf_dir, "part"), "p_type", "type_id")
+    return enc.select(F.col("p_type").alias("value"), "type_id")
+
+
+@_q(
+    "bridge_part_words",
+    """
+WITH pairs AS (
+  SELECT DISTINCT p_partkey, w AS word
+  FROM (SELECT p_partkey, trim(unnest(string_split(p_name, ' '))) AS w FROM part)
+  WHERE w <> ''
+),
+dict AS (
+  SELECT word, CAST(row_number() OVER (ORDER BY word) AS INT) AS word_id
+  FROM (SELECT DISTINCT word FROM pairs)
+)
+SELECT p_partkey, word_id, word FROM pairs JOIN dict USING (word)
+""",
+    doc="Bridge build (S2G:54-85): split→explode→trim→filter→distinct "
+    "pairs ⋈ dictionary-encoded names.",
+)
+def q_bridge_part_words(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    exploded = cl.explode_csv(p, "p_name", "word", pattern=" ")
+    pairs = exploded.select("p_partkey", "word").distinct()
+    dic = dims.dictionary_encode(pairs, "word", "word_id")
+    return joins.join_broadcast_dim(pairs, dic, "word").select(
+        "p_partkey", "word_id", "word"
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.3 J2-J3 + §2.4 A1 — fact builders
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "fact_orders",
+    f"""
+WITH {DIM_TIME_CTE}
+SELECT o_orderkey, o_custkey, date_id, year, month, o_totalprice
+FROM orders LEFT JOIN dim_time ON CAST(o_orderdate AS DATE) = dim_time.date
+""",
+    doc="J2 — fact_review shape (S2G:87-105): measures ⟕ broadcast dim_time.",
+)
+def q_fact_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    f = facts.attach_date_dim(
+        o,
+        _dim_time(spark, sf_dir),
+        F.to_date("o_orderdate"),
+        dim_cols=("date_id", "year", "month"),
+    )
+    return f.select("o_orderkey", "o_custkey", "date_id", "year", "month", "o_totalprice")
+
+
+@_q(
+    "fact_daily_events",
+    f"""
+WITH {DIM_TIME_CTE},
+daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS date, count(*) AS event_cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, date_id, year, month, event_cnt
+FROM daily LEFT JOIN dim_time USING (date)
+""",
+    doc="A1+J3 — fact_checkin shape (S2G:106-124): per-key daily counts "
+    "⟕ dim_time.",
+)
+def q_fact_daily_events(spark, sf_dir):
+    daily = facts.daily_counts(
+        _t(spark, sf_dir, "events"), ["user_id"], "ts", count_alias="event_cnt"
+    )
+    f = facts.attach_date_dim(
+        daily,
+        _dim_time(spark, sf_dir),
+        F.col("date"),
+        dim_cols=("date_id", "year", "month"),
+    )
+    return f.select("user_id", "date_id", "year", "month", "event_cnt")
+
+
+# --------------------------------------------------------------------------
+# §2.7 set operations
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "union_distinct_dates",
+    """
+SELECT CAST(o_orderdate AS DATE) AS date FROM orders
+UNION
+SELECT CAST(l_shipdate AS DATE) FROM lineitem
+""",
+    doc="U1 — union + distinct calendar (S2G:20-24).",
+)
+def q_union_distinct_dates(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(F.to_date("o_orderdate").alias("date"))
+    l = _t(spark, sf_dir, "lineitem").select(F.to_date("l_shipdate").alias("date"))
+    return o.union(l).distinct()
+
+
+@_q(
+    "dates_intersect",
+    """
+SELECT CAST(o_orderdate AS DATE) AS date FROM orders
+INTERSECT
+SELECT CAST(l_shipdate AS DATE) FROM lineitem
+""",
+    doc="Set op beyond reference (SURVEY §2.7): INTERSECT.",
+)
+def q_dates_intersect(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(F.to_date("o_orderdate").alias("date"))
+    l = _t(spark, sf_dir, "lineitem").select(F.to_date("l_shipdate").alias("date"))
+    return o.intersect(l)
+
+
+@_q(
+    "dates_except",
+    """
+SELECT CAST(l_shipdate AS DATE) AS date FROM lineitem
+EXCEPT
+SELECT CAST(o_orderdate AS DATE) FROM orders
+""",
+    doc="Set op beyond reference (SURVEY §2.7): EXCEPT.",
+)
+def q_dates_except(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(F.to_date("o_orderdate").alias("date"))
+    l = _t(spark, sf_dir, "lineitem").select(F.to_date("l_shipdate").alias("date"))
+    return l.subtract(o)
+
+
+# --------------------------------------------------------------------------
+# §2.3 — semi / anti joins
+# --------------------------------------------------------------------------
+
+_URGENT_95 = "o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1995"
+
+
+@_q(
+    "customers_with_urgent_orders",
+    f"""
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND {_URGENT_95})
+""",
+    doc="Semi join (EXISTS) — SURVEY §2.3 completeness row.",
+)
+def q_customers_with_urgent_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.year("o_orderdate") == 1995)
+    )
+    return joins.semi_join(c, o, c["c_custkey"] == o["o_custkey"])
+
+
+@_q(
+    "customers_without_urgent_orders",
+    f"""
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND {_URGENT_95})
+""",
+    doc="Anti join (NOT EXISTS) — SURVEY §2.3 completeness row.",
+)
+def q_customers_without_urgent_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.year("o_orderdate") == 1995)
+    )
+    return joins.anti_join(c, o, c["c_custkey"] == o["o_custkey"])
+
+
+# --------------------------------------------------------------------------
+# §2.2 — filters / predicates / casts / conditionals
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "filtered_lineitems",
+    """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_quantity < 25 AND l_returnflag = 'R'
+""",
+    doc="P4/P8 + pushdown demo — filters reach the parquet scan "
+    "(PushedFilters), projection prunes to 5 columns.",
+)
+def q_filtered_lineitems(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    return l.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_quantity") < 25)
+        & (F.col("l_returnflag") == "R")
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+
+
+@_q(
+    "lineitem_date_parts",
+    """
+SELECT l_orderkey, l_linenumber,
+       CAST(year(l_shipdate) AS INT) AS ship_year,
+       CAST(month(l_shipdate) AS INT) AS ship_month,
+       CAST(dayofmonth(l_shipdate) AS INT) AS ship_day,
+       CAST(quarter(l_shipdate) AS INT) AS ship_quarter
+FROM lineitem
+WHERE year(l_shipdate) = 1998 AND month(l_shipdate) = 3
+""",
+    doc="P8/§2.8 date parts — filter on date components (reference "
+    "missed partition pruning here, S2G:170-174; on partitioned layouts "
+    "filter the partition columns instead).",
+)
+def q_lineitem_date_parts(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    d = F.col("l_shipdate")
+    return l.filter((F.year(d) == 1998) & (F.month(d) == 3)).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.year(d).alias("ship_year"),
+        F.month(d).alias("ship_month"),
+        F.dayofmonth(d).alias("ship_day"),
+        F.quarter(d).alias("ship_quarter"),
+    )
+
+
+@_q(
+    "quantity_buckets",
+    """
+SELECT CASE WHEN l_quantity < 10 THEN 'low'
+            WHEN l_quantity < 25 THEN 'mid'
+            ELSE 'high' END AS bucket,
+       count(*) AS cnt,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY 1
+""",
+    doc="P9 — when/otherwise conditional buckets (B2S:30-33) + exact sum.",
+)
+def q_quantity_buckets(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    bucket = (
+        F.when(F.col("l_quantity") < 10, "low")
+        .when(F.col("l_quantity") < 25, "mid")
+        .otherwise("high")
+    )
+    return (
+        l.select(bucket.alias("bucket"), "l_quantity")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"), agg.exact_sum("l_quantity", "sum_qty"))
+    )
+
+
+@_q(
+    "clean_pyrepr_attributes",
+    """
+WITH dirty AS (
+  SELECT p_partkey,
+         CASE WHEN p_size % 3 = 0 THEN 'None'
+              WHEN p_size % 3 = 1 THEN concat('u''', p_brand, '''')
+              ELSE p_brand END AS raw
+  FROM part
+),
+stripped AS (
+  SELECT p_partkey,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      raw, '^u''|^''|''$', '', 'g'),
+      '\\bTrue\\b', 'true', 'g'),
+      '\\bFalse\\b', 'false', 'g'),
+      '\\bNone\\b', 'null', 'g') AS c
+  FROM dirty
+)
+SELECT p_partkey,
+       CASE WHEN lower(c) = 'none' THEN NULL
+            WHEN c = '' THEN NULL ELSE c END AS cleaned
+FROM stripped
+""",
+    doc="M2 — stringified-Python-repr cleaning chain (B2S:17-34) applied "
+    "to synthesized dirty values.",
+)
+def q_clean_pyrepr_attributes(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    raw = (
+        F.when(F.col("p_size") % 3 == 0, F.lit("None"))
+        .when(F.col("p_size") % 3 == 1, F.concat(F.lit("u'"), F.col("p_brand"), F.lit("'")))
+        .otherwise(F.col("p_brand"))
+    )
+    dirty = p.select("p_partkey", raw.alias("raw"))
+    return dirty.select(
+        "p_partkey", cl.clean_pyrepr_value(F.col("raw")).alias("cleaned")
+    )
+
+
+@_q(
+    "split_hours_range",
+    """
+SELECT p_partkey,
+       string_split(concat(CAST(p_size AS VARCHAR), ':0-', CAST(p_size + 8 AS VARCHAR), ':0'), '-')[1] AS opening_time,
+       string_split(concat(CAST(p_size AS VARCHAR), ':0-', CAST(p_size + 8 AS VARCHAR), ':0'), '-')[2] AS closing_time
+FROM part
+""",
+    doc="M5 — hours splitter (B2S:56-62): '9:0-17:0' → opening/closing.",
+)
+def q_split_hours_range(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    rng = F.concat(
+        F.col("p_size").cast("string"),
+        F.lit(":0-"),
+        (F.col("p_size") + 8).cast("string"),
+        F.lit(":0"),
+    )
+    df = p.select("p_partkey", rng.alias("rng"))
+    return cl.split_range_column(df, "rng", "opening_time", "closing_time").select(
+        "p_partkey", "opening_time", "closing_time"
+    )
+
+
+@_q(
+    "json_extract_props",
+    """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+FROM events
+""",
+    doc="M4-adjacent — JSON string column → typed value (B2S:45-54; "
+    "get_json_object, schema known).",
+)
+def q_json_extract_props(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id", F.get_json_object("props", "$.k").cast("int").alias("k")
+    )
+
+
+@_q(
+    "split_array_counts",
+    """
+SELECT doc_id,
+       CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+            ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) END AS token_cnt
+FROM documents
+""",
+    doc="M8+A3 — CSV/whitespace split → array size with empty→0 "
+    "(B2S:87-106 elite/friends counts).",
+)
+def q_split_array_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").withColumn("text", F.trim("text"))
+    d = cl.split_csv_to_array(d, "text", "toks", pattern=r"\s+")
+    return cl.array_count(d, "toks", "token_cnt").select("doc_id", "token_cnt")
+
+
+# --------------------------------------------------------------------------
+# §2.5 windows (beyond-reference rows)
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "top_order_per_customer",
+    """
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey) = 1
+""",
+    doc="Partitioned row_number top-1-per-key — the scale-safe variant "
+    "of the reference's global-window W1/W2.",
+)
+def q_top_order_per_customer(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    top = win.top_n_per_group(
+        o, ["o_custkey"], [F.col("o_totalprice").desc(), F.col("o_orderkey")], n=1
+    )
+    return top.select("o_custkey", "o_orderkey", "o_totalprice")
+
+
+@_q(
+    "event_lag_gaps",
+    """
+SELECT user_id, event_id, ts,
+       epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+FROM events
+""",
+    doc="lag window (SURVEY §2.5 completeness): inter-event gap in µs.",
+)
+def q_event_lag_gaps(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").withColumn("us", F.unix_micros("ts"))
+    e = win.with_lag(e, ["user_id"], [F.col("ts"), F.col("event_id")], "us", "prev_us")
+    return e.select(
+        "user_id", "event_id", "ts", (F.col("us") - F.col("prev_us")).alias("gap_us")
+    )
+
+
+@_q(
+    "running_spend_per_customer",
+    """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
+FROM orders
+""",
+    doc="Cumulative frame (rowsBetween) — running per-customer spend, "
+    "decimal-exact.",
+)
+def q_running_spend_per_customer(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(agg.DECIMAL)).over(w).cast("double").alias(
+            "running_spend"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.4 — aggregation suite
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,4))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+""",
+    doc="TPC-H Q1 shape — bench headline. Partial (map-side) aggregation "
+    "+ one shuffle on the 2-column group key; decimal-exact sums.",
+)
+def q_pricing_summary(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-01")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        agg.exact_sum("l_quantity", "sum_qty"),
+        agg.exact_sum("l_extendedprice", "sum_base_price"),
+        agg.exact_sum(disc_price, "sum_disc_price"),
+        agg.exact_avg("l_quantity", "avg_qty"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@_q(
+    "avg_balance_by_segment",
+    """
+SELECT c_mktsegment,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(27,4))) AS DOUBLE) / count(c_acctbal) AS avg_bal,
+       count(*) AS cnt
+FROM customer GROUP BY c_mktsegment
+""",
+    doc="A4 — groupBy average (decimal-exact) + count.",
+)
+def q_avg_balance_by_segment(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        agg.exact_avg("c_acctbal", "avg_bal"), F.count(F.lit(1)).alias("cnt")
+    )
+
+
+@_q(
+    "priority_status_rollup",
+    """
+SELECT o_orderpriority, o_orderstatus, count(*) AS cnt,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE) AS sum_price
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+""",
+    doc="Rollup (SURVEY §2.4 'built-in if needed'): hierarchical "
+    "subtotals in one pass.",
+)
+def q_priority_status_rollup(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt"), agg.exact_sum("o_totalprice", "sum_price")
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.1 S9 — MERGE upsert semantics
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "merge_upsert_orders",
+    """
+WITH old AS (
+  SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice FROM orders
+  WHERE month(o_orderdate) <= 6
+),
+upd AS (
+  SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice * 2 AS o_totalprice
+  FROM orders WHERE month(o_orderdate) IN (6, 7)
+)
+SELECT * FROM upd
+UNION ALL
+SELECT o.* FROM old o
+WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = o.o_orderkey)
+""",
+    doc="S9 — Delta MERGE semantics (S2G:127-144) as updates ∪ "
+    "anti-joined target: month-6 rows updated, month-7 inserted.",
+)
+def q_merge_upsert_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    old = o.filter(F.month("o_orderdate") <= 6)
+    upd = o.filter(F.month("o_orderdate").isin(6, 7)).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    return up.merge_upsert_df(old, upd, ["o_orderkey"])
+
+
+# --------------------------------------------------------------------------
+# North-star: deduplication (BASELINE.json)
+# --------------------------------------------------------------------------
+
+# DuckDB twins of the shingling pipeline (dedup.py). Both engines build
+# distinct lowercase word 3-grams, hash with the portable md5-60bit mix.
+_SHINGLES_CTE = """
+toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN
+           list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                        i -> array_to_string(t[i:i+2], ' ')))
+         ELSE [] END AS shingles
+  FROM toks
+)"""
+
+
+def _minhash_oracle(k: int = 12, bands: int = 4, threshold: float = 0.8) -> str:
+    rows = k // bands
+    mh_cols = ",\n         ".join(
+        f"list_min(list_transform(shingles, s -> {md5_long_sql('s', seed=i)})) AS mh{i}"
+        for i in range(k)
+    )
+    band_cols = ",\n         ".join(
+        "md5(concat_ws('|', "
+        + ", ".join(f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows))
+        + f")) AS band{b}"
+        for b in range(bands)
+    )
+    band_union = "\nUNION ALL\n".join(
+        f"SELECT doc_id, n_sh, shingles, {b} AS band_id, band{b} AS key FROM banded"
+        for b in range(bands)
+    )
+    return f"""
+WITH {_SHINGLES_CTE},
+sig AS (
+  SELECT doc_id, CAST(len(shingles) AS INT) AS n_sh, shingles,
+         {mh_cols}
+  FROM sh
+),
+banded AS (
+  SELECT doc_id, n_sh, shingles,
+         {band_cols}
+  FROM sig
+),
+bl AS ({band_union}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.shingles AS sh_a, b.shingles AS sh_b,
+                  a.n_sh AS na, b.n_sh AS nb
+  FROM bl a JOIN bl b
+    ON a.band_id = b.band_id AND a.key = b.key AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT doc_a, doc_b,
+         round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+               / CAST(na + nb - len(list_intersect(sh_a, sh_b)) AS DOUBLE), 6) AS jaccard
+  FROM cand
+)
+SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {threshold}
+"""
+
+
+def _simhash_sig_sql(bits: int = 32) -> str:
+    """CTEs doc_id → simhash, mirroring dedup.simhash exactly."""
+    votes = ",\n         ".join(
+        f"list_sum(list_transform(hs, h -> ((h >> {b}) & 1) * 2 - 1)) AS v{b}"
+        for b in range(bits)
+    )
+    sig = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN CAST({2**b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for b in range(bits)
+    )
+    return f"""
+toks AS (
+  SELECT doc_id,
+         list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS t
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, list_transform(t, s -> {md5_long_sql('s')}) AS hs FROM toks
+),
+votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM hashed
+),
+sig AS (
+  SELECT doc_id, {sig} AS simhash FROM votes
+)"""
+
+
+@_q(
+    "dedup_exact_docs",
+    """
+SELECT text, min(doc_id) AS doc_id FROM documents GROUP BY text
+""",
+    doc="Exact dedup — hash groupBy keeping the minimal id "
+    "(deterministic survivor).",
+)
+def q_dedup_exact_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dd.dedup_exact(d, ["text"], "doc_id")
+
+
+@_q(
+    "doc_fingerprints",
+    """
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint,
+       CAST(length(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS INT) AS norm_len
+FROM documents
+""",
+    doc="Fingerprint dedup key: md5 over normalized (case/punct/ws-"
+    "invariant) text.",
+)
+def q_doc_fingerprints(spark, sf_dir):
+    return tx.doc_fingerprints(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@_q(
+    "dedup_ngram_pairs",
+    f"""
+WITH {_SHINGLES_CTE},
+ex AS (
+  SELECT doc_id, CAST(len(shingles) AS INT) AS n_sh, unnest(shingles) AS s FROM sh
+),
+c AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+         count(*) AS common
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b,
+       round(CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE), 6) AS jaccard
+FROM c
+WHERE round(CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE), 6) >= 0.8
+""",
+    doc="Exact n-gram Jaccard near-dup pairs: shingle-explode + bucket "
+    "join (docs only meet on shared shingles — no cross join).",
+)
+def q_dedup_ngram_pairs(spark, sf_dir):
+    return dd.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.8
+    )
+
+
+@_q(
+    "dedup_minhash_pairs",
+    _minhash_oracle(k=12, bands=4, threshold=0.8),
+    doc="MinHash(12) + LSH(4 bands × 3 rows) + exact-Jaccard verify — "
+    "the scale path for near-dedup: candidates bounded by band "
+    "collisions, not n².",
+)
+def q_dedup_minhash_pairs(spark, sf_dir):
+    return dd.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=12, bands=4, threshold=0.8
+    )
+
+
+@_q(
+    "simhash_signatures",
+    f"WITH {_simhash_sig_sql(32)} SELECT doc_id, simhash FROM sig",
+    doc="SimHash-32 signatures: per-token md5 votes, map-side only.",
+)
+def q_simhash_signatures(spark, sf_dir):
+    return dd.simhash(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@_q(
+    "simhash_near_pairs",
+    f"""
+WITH {_simhash_sig_sql(32)},
+bytes_ AS (
+  SELECT doc_id, simhash, b.band_id, (simhash >> (b.band_id * 8)) & 255 AS byte
+  FROM sig, (SELECT unnest([0,1,2,3]) AS band_id) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.simhash AS sig_a, b.simhash AS sig_b
+  FROM bytes_ a JOIN bytes_ b
+    ON a.band_id = b.band_id AND a.byte = b.byte AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 6
+""",
+    doc="SimHash near-dup pairs via byte banding + hamming ≤ 6 verify.",
+)
+def q_simhash_near_pairs(spark, sf_dir):
+    return dd.simhash_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text", 6)
+
+
+# --------------------------------------------------------------------------
+# North-star: similarity search
+# --------------------------------------------------------------------------
+
+_EMB_DIM = 64
+
+
+def _query_vec(spark, sf_dir) -> list[float]:
+    row = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row[0]]
+
+
+@_q(
+    "ann_topk_cosine",
+    f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, round({cosine_sql('embedding', 'qv', _EMB_DIM)}, 6) AS score
+FROM embeddings, q
+ORDER BY score DESC, vec_id
+LIMIT 10
+""",
+    doc="Brute-force exact ANN baseline: map-side cosine vs a constant "
+    "query vector + TakeOrderedAndProject (k-heap per partition, no "
+    "global sort, no shuffle).",
+)
+def q_ann_topk_cosine(spark, sf_dir):
+    return sim.cosine_topk(
+        _t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=10
+    )
+
+
+@_q(
+    "embedding_neardup_pairs",
+    f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({cosine_sql('a.embedding', 'b.embedding', _EMB_DIM)}, 6) AS score
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round({cosine_sql('a.embedding', 'b.embedding', _EMB_DIM)}, 6) >= 0.42
+""",
+    doc="Embedding-cosine near-dup pairs above threshold (blocked "
+    "self-join; sign-LSH bucketing is the >10⁵-rows path).",
+)
+def q_embedding_neardup_pairs(spark, sf_dir):
+    return sim.cosine_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.42)
+
+
+@_q(
+    "ann_ivf_topk",
+    None,  # float centroid means are not bit-reproducible cross-engine
+    doc="IVF-style ANN: label-coarse centroids, probe 2 cells, exact "
+    "rerank inside. Rows-only check (centroid float means).",
+)
+def q_ann_ivf_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").withColumnRenamed("label", "cell")
+    cents = sim.train_centroids_by_label(
+        _t(spark, sf_dir, "embeddings"), "label", "embedding"
+    )
+    return sim.ivf_topk(emb, cents, _query_vec(spark, sf_dir), k=10, nprobe=2)
+
+
+# --------------------------------------------------------------------------
+# North-star: text analysis
+# --------------------------------------------------------------------------
+
+
+def _langid_oracle() -> str:
+    langs = list(tx.LANG_STOPWORDS)
+    score_cols = []
+    for lang, sw in tx.LANG_STOPWORDS.items():
+        inlist = ", ".join(f"'{w}'" for w in sw)
+        score_cols.append(
+            f"CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),"
+            f" t -> t IN ({inlist}))) AS INT) AS s_{lang}"
+        )
+    cases = []
+    for i, lang in enumerate(langs):
+        others = langs[i + 1 :]
+        if others:
+            cond = " AND ".join(f"s_{lang} >= s_{o}" for o in others)
+            cases.append(f"WHEN {cond} THEN '{lang}'")
+        else:
+            cases.append(f"ELSE '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + " END"
+    scores = ",\n       ".join(score_cols)
+    sel = ", ".join(f"s_{lang}" for lang in langs)
+    return f"""
+WITH scored AS (
+  SELECT doc_id,
+       {scores}
+  FROM documents
+)
+SELECT doc_id, {sel}, {case_sql} AS lang_pred FROM scored
+"""
+
+
+@_q(
+    "lang_id_docs",
+    _langid_oracle(),
+    doc="Stopword-overlap language ID (deterministic CASE argmax).",
+)
+def q_lang_id_docs(spark, sf_dir):
+    return tx.lang_id(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@_q(
+    "quality_scores",
+    f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(length(text) AS INT) AS n_chars,
+         CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS INT) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS INT) AS n_punct,
+         CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+              t -> t IN ({", ".join(f"'{w}'" for w in tx.LANG_STOPWORDS['en'])}))) AS INT) AS n_stop
+  FROM documents
+)
+SELECT doc_id, n_chars, n_tokens,
+       round(CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) AS punct_ratio,
+       round(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS stopword_ratio,
+       round(CAST(n_chars - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS mean_token_len,
+       round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+             + round(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) * 0.3
+             + (1.0 - least(round(CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) * 10, 1.0)) * 0.2,
+             6) AS quality_score
+FROM base
+""",
+    doc="Heuristic quality features + composite score (length/punct/"
+    "stopword ratios).",
+)
+def q_quality_scores(spark, sf_dir):
+    return tx.quality_features(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@_q(
+    "token_stats",
+    f"""
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS INT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '{tx.BPE_ISH_PATTERN}')) AS INT) AS bpe_ish_tokens
+FROM documents
+""",
+    doc="Token counting: whitespace + BPE-ish regex proxy, one "
+    "vectorized pass.",
+)
+def q_token_stats(spark, sf_dir):
+    return tx.token_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@_q(
+    "top_words",
+    """
+SELECT w AS word, count(*) AS cnt
+FROM (SELECT trim(unnest(string_split_regex(trim(lower(text)), '\\s+'))) AS w
+      FROM documents)
+WHERE w <> ''
+GROUP BY w
+ORDER BY cnt DESC, word
+LIMIT 20
+""",
+    doc="Category-popularity word cloud shape (A4): explode tokens → "
+    "count → top-k.",
+)
+def q_top_words(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select(
+        F.trim(F.lower(F.col("text"))).alias("text")
+    )
+    ex = cl.explode_csv(d, "text", "word", pattern=r"\s+")
+    counts = agg.group_count(ex.select("word"), ["word"])
+    return agg.top_k(counts, "cnt", 20, tiebreak=["word"])
+
+
+# --------------------------------------------------------------------------
+# North-star: multimodal plumbing (stubbed codec — see multimodal.py)
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "multimodal_decode_meta",
+    """
+SELECT doc_id,
+       CAST(strlen(text) AS INT) AS n_bytes,
+       CAST(1 + strlen(text) % 640 AS INT) AS width,
+       CAST(1 + strlen(text) % 480 AS INT) AS height,
+       CAST(1 + strlen(text) % 16 AS INT) AS n_frames
+FROM documents
+""",
+    doc="Binary payload → typed metadata via Arrow mapInPandas (decode "
+    "stubbed deterministically; Spark-side schema/batching real).",
+)
+def q_multimodal_decode_meta(spark, sf_dir):
+    d = mm.attach_binary_payload(_t(spark, sf_dir, "documents"), "text")
+    return mm.decode_image_meta(d)
+
+
+# --------------------------------------------------------------------------
+# Streaming-equivalent semantics (batch-checkable; true readStream is
+# exercised in tests/test_streaming.py)
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "hourly_event_counts",
+    """
+SELECT date_trunc('hour', ts) AS win_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end,
+       count(*) AS cnt
+FROM events GROUP BY 1, 2
+""",
+    doc="Tumbling event-time window (epoch-aligned) — same operator "
+    "serves readStream with a watermark.",
+)
+def q_hourly_event_counts(spark, sf_dir):
+    return sw.tumbling_counts(_t(spark, sf_dir, "events"), "ts", "1 hour")
+
+
+@_q(
+    "sliding_event_counts",
+    """
+WITH starts AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS s1,
+         time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE AS s2
+  FROM events
+),
+w AS (
+  SELECT unnest([s1, s2]) AS win_start FROM starts
+)
+SELECT win_start, win_start + INTERVAL 1 HOUR AS win_end, count(*) AS cnt
+FROM w GROUP BY 1, 2
+""",
+    doc="Sliding window (1h / 30m): each event lands in 2 windows.",
+)
+def q_sliding_event_counts(spark, sf_dir):
+    return sw.sliding_counts(_t(spark, sf_dir, "events"), "ts", "1 hour", "30 minutes")
+
+
+@_q(
+    "user_sessions",
+    """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess_no
+  FROM flagged
+)
+SELECT user_id, min(ts) AS sess_start, max(ts) + INTERVAL 30 MINUTE AS sess_end,
+       count(*) AS cnt
+FROM numbered GROUP BY user_id, sess_no
+""",
+    doc="Gap-based sessionization (session_window, 30 min gap) — the "
+    "oracle replays it as a lag+cumsum islands query.",
+)
+def q_user_sessions(spark, sf_dir):
+    return sw.session_counts(_t(spark, sf_dir, "events"), "ts", "30 minutes", ["user_id"])
+
+
+# --------------------------------------------------------------------------
+# Registry exports (driver contract)
+# --------------------------------------------------------------------------
+
+
+def registry() -> list[QuerySpec]:
+    return list(_REGISTRY)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {spec.name: spec.fn for spec in _REGISTRY}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {spec.name: spec.oracle for spec in _REGISTRY if spec.oracle is not None}

@@ -1,0 +1,65 @@
+"""SparkSession factory.
+
+The reference runs Spark 3.3 standalone with zero query-level tuning
+(`/root/reference/mnt/spark-conf/spark-defaults.conf` is S3A/Delta wiring
+only). Here we own the session and turn on everything Catalyst gives us
+for free at scale: AQE (runtime coalescing, skew-join splitting,
+broadcast demotion), Arrow for the few pandas-UDF paths, and a shuffle
+partition count sized for the local harness but overridable for a real
+cluster via environment.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "yelp_data_pipeline_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a tuned SparkSession.
+
+    Defaults target the test harness (``local[$SPARK_GRAFT_CPUS]``); on a
+    real cluster pass ``master=None`` with an external spark-submit and
+    only the SQL confs below apply.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", cpus))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Deterministic wall-clock semantics across engines (DuckDB oracle
+        # reads the same parquet without TZ shifts).
+        .config("spark.sql.session.timeZone", "UTC")
+        # Adaptive execution: runtime partition coalescing, skew-join
+        # splitting, dynamic broadcast — the scale-path workhorse.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow for pandas_udf / mapInPandas paths (vectorized transfer).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Broadcast dims aggressively; AQE demotes if estimates were wrong.
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # Parquet vectorized reader + pushdown are default-on; keep split
+        # size aligned with executor memory at the target SF.
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.ansi.enabled", "false")
+        # The fixtures store TIMESTAMP(NANOS) which the vectorized reader
+        # rejects; read as long and convert in the source layer (tables.py).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

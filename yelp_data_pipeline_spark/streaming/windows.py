@@ -1,0 +1,80 @@
+"""Event-time windowed aggregation + sessionization.
+
+Batch/stream-agnostic: each function takes any DataFrame (static or
+streaming) with an event-time column. On a stream, add
+``with_watermark`` first so state for closed windows is evicted —
+unbounded state is the way streaming jobs die at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def with_watermark(df: DataFrame, ts_col: str, delay: str = "10 minutes") -> DataFrame:
+    return df.withWatermark(ts_col, delay)
+
+
+def tumbling_counts(
+    df: DataFrame, ts_col: str, duration: str, keys: list[str] | None = None
+) -> DataFrame:
+    """Non-overlapping event-time windows; epoch-aligned starts (same
+    alignment as SQL date_trunc for whole-unit durations)."""
+    w = F.window(F.col(ts_col), duration)
+    return (
+        df.groupBy(*(keys or []), w.alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            *(keys or []),
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "cnt",
+        )
+    )
+
+
+def sliding_counts(
+    df: DataFrame, ts_col: str, duration: str, slide: str, keys: list[str] | None = None
+) -> DataFrame:
+    """Overlapping windows: each event lands in duration/slide windows."""
+    w = F.window(F.col(ts_col), duration, slide)
+    return (
+        df.groupBy(*(keys or []), w.alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            *(keys or []),
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "cnt",
+        )
+    )
+
+
+def session_counts(
+    df: DataFrame, ts_col: str, gap: str, keys: list[str]
+) -> DataFrame:
+    """Gap-based sessions via ``session_window`` — state-store-backed on
+    a stream, plain aggregation in batch. Emits one row per session
+    with its span and event count."""
+    w = F.session_window(F.col(ts_col), gap)
+    return (
+        df.groupBy(*keys, w.alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            *keys,
+            F.col("w.start").alias("sess_start"),
+            F.col("w.end").alias("sess_end"),
+            "cnt",
+        )
+    )
+
+
+def stream_events_from_parquet(
+    spark: SparkSession, sf_dir: str, table: str = "events"
+) -> DataFrame:
+    """readStream over the fixture parquet (schema must be provided for
+    file streams). With ``trigger(availableNow=True)`` this replays the
+    table as a bounded stream — the harness's stand-in for Kafka."""
+    schema = spark.read.parquet(f"{sf_dir}/{table}.parquet").schema
+    return spark.readStream.schema(schema).parquet(f"{sf_dir}/{table}.parquet")

@@ -1,0 +1,51 @@
+"""Source layer: parquet scans of the synthetic star schema.
+
+Mirrors the reference's scan operators (SURVEY.md §2.1 S1-S4) on the
+driver fixtures: explicit-schema columnar scans with Catalyst pushdown.
+The reference's Hive-style partition-path reads
+(bronze_to_silver_on_minio.py:143-151) become partition-column
+predicates here so pruning happens in the optimizer, not in path math.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Fixture columns written as parquet TIMESTAMP(NANOS): Spark's reader has
+# no nanos type, so (with spark.sql.legacy.parquet.nanosAsLong) they
+# arrive as long and are converted to microsecond timestamps here —
+# truncation matches DuckDB's own nanos→micros read.
+TS_NANOS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar scan of one table; column pruning / predicate pushdown
+    are preserved because nothing is materialized here."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in TS_NANOS_COLS.get(name, ()):
+        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+            # integer div keeps exactness (float div loses sub-µs bits at 2^60)
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register each table as a temp view so the SQL entry point
+    (SURVEY.md §3 entry point 3 — Trino/Superset serving path) is
+    answered by spark.sql over the same engine."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
