@@ -34,8 +34,22 @@ from ..functions.hashing import md5_long
 def dedup_exact(df: DataFrame, keys: list[str], keep_min_of: str) -> DataFrame:
     """Keep one row per key group — the row with the minimal
     ``keep_min_of`` value (deterministic winner, unlike dropDuplicates
-    whose survivor is partition-order-dependent)."""
-    return df.groupBy(*keys).agg(F.min(keep_min_of).alias(keep_min_of))
+    whose survivor is partition-order-dependent).
+
+    Shuffle hygiene: the groupBy key is ``md5`` of each key column, not
+    the raw value — at 100 TB the keys are whole documents, and hashing
+    keeps the shuffle key 16 bytes instead of the full payload. The
+    payload columns ride along as ``min`` aggregates (collapsed map-side
+    by partial aggregation, and equal within a group anyway — md5
+    collisions are ignorable at any realistic corpus size).
+    """
+    hashed = [F.md5(F.col(k).cast("string")).alias(f"__h_{k}") for k in keys]
+    aggs = [F.min(k).alias(k) for k in keys] + [
+        F.min(keep_min_of).alias(keep_min_of)
+    ]
+    return (
+        df.groupBy(*hashed).agg(*aggs).select(*keys, keep_min_of)
+    )
 
 
 def normalize_text(col) -> F.Column:
@@ -198,7 +212,11 @@ def minhash_lsh_pairs(
 
 # -------------------------------------------------------------- simhash
 
-SIMHASH_BITS = 32
+# 56 = 7 bands × 8 bits: wide enough that unrelated docs rarely fall
+# within small hamming radii (32 bits was too correlated on a shared
+# vocabulary), and 8-bit bands give 256 buckets per band so the
+# candidate join is bucketed, not near-cartesian.
+SIMHASH_BITS = 56
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS) -> DataFrame:
@@ -206,7 +224,8 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS)
 
     Each token's md5-derived integer votes ±1 on each of ``bits`` bit
     positions; the signature takes the sign. Entirely map-side
-    (aggregate over the token array) — no shuffle.
+    (aggregate over the token array) — no shuffle. ``bits`` ≤ 60 (the
+    md5_long hash width).
     """
     toks = F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
     # hash every token once, then fold 32 bit-votes over the hash array
@@ -217,7 +236,10 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS)
             F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1
         )
 
-    bit_votes = [F.aggregate(hashes, F.lit(0), _vote(b)) for b in range(bits)]
+    # The merge lambda yields BIGINT (md5_long is long); the zero value
+    # must match or Catalyst rejects the fold with DATATYPE_MISMATCH.
+    zero = F.lit(0).cast("long")
+    bit_votes = [F.aggregate(hashes, zero, _vote(b)) for b in range(bits)]
     sig = None
     for b, v in enumerate(bit_votes):
         term = F.when(v > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
@@ -225,34 +247,48 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS)
     return df.select(F.col(id_col).alias("doc"), sig.alias("simhash"))
 
 
+SIMHASH_BANDS = 7
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 7 bands × 8 bits
+
+
 def simhash_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 6
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, found via byte
-    banding (a pair within hamming ≤ 6 of a 32-bit signature shares at
-    least one identical byte by pigeonhole when distance < 8 is spread
-    over 4 bytes... candidates join on any equal byte, then exact
-    hamming filters)."""
+    """Near-dup pairs by SimHash hamming distance, found via 8-bit
+    banding over the 56-bit signature.
+
+    Pigeonhole guarantee: with 7 bands, a pair at hamming distance d
+    has at most d dirty bands, so any pair with d ≤ 6 shares at least
+    one identical band — the banding is *lossless* for the default
+    ``max_hamming`` = 6 (unlike the classic 4 byte-bands over 32 bits,
+    which only guarantee d ≤ 3). Candidates join on (band_id, band
+    value); the exact hamming filter then removes false positives, so
+    output = exactly every pair with hamming ≤ max_hamming. The assert
+    enforces the radius the banding covers.
+    """
+    assert max_hamming < SIMHASH_BANDS, "banding is lossy beyond bands-1 bits"
     sig = simhash(df, id_col, text_col)
-    bytes_ = sig.select(
+    bands = sig.select(
         "doc",
         "simhash",
         F.explode(
             F.array(*[
                 F.struct(
-                    F.lit(i).alias("byte_id"),
-                    F.shiftright("simhash", i * 8).bitwiseAND(F.lit(255)).alias("byte"),
+                    F.lit(i).alias("band_id"),
+                    F.shiftright("simhash", i * SIMHASH_BAND_BITS)
+                    .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
+                    .alias("band"),
                 )
-                for i in range(4)
+                for i in range(SIMHASH_BANDS)
             ])
         ).alias("bb"),
-    ).select("doc", "simhash", F.col("bb.byte_id"), F.col("bb.byte"))
-    a, b = bytes_.alias("a"), bytes_.alias("b")
+    ).select("doc", "simhash", F.col("bb.band_id"), F.col("bb.band"))
+    a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
             b,
-            (F.col("a.byte_id") == F.col("b.byte_id"))
-            & (F.col("a.byte") == F.col("b.byte"))
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band") == F.col("b.band"))
             & (F.col("a.doc") < F.col("b.doc")),
         )
         .select(

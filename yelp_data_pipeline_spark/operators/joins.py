@@ -33,11 +33,20 @@ def anti_join(df: DataFrame, other: DataFrame, on) -> DataFrame:
     return df.join(other, on, "left_anti")
 
 
-def star_join(fact: DataFrame, dims: list[tuple[DataFrame, object]]) -> DataFrame:
-    """Chain fact ⋈ dim1 ⋈ dim2 ⋈ ... with every dim broadcast — the
-    dashboard's fact_review ⋈ bridge ⋈ dim pattern (SURVEY.md §2.4 A4).
-    One pass over the fact, zero fact-side shuffles."""
+def star_join(fact: DataFrame, dims: list[tuple]) -> DataFrame:
+    """Chain fact ⋈ dim1 ⋈ dim2 ⋈ ... — the dashboard's fact_review ⋈
+    bridge ⋈ dim pattern (SURVEY.md §2.4 A4).
+
+    Each dims entry is ``(dim, on)`` or ``(dim, on, broadcast)``.
+    Broadcast defaults to True — right for fixed-cardinality dims
+    (region, nation, dim_time) — but MUST be False for dims that scale
+    with the data (e.g. customer): a forced broadcast hint bypasses
+    AQE's demotion and OOMs at large SF. Un-hinted joins are left to
+    Catalyst/AQE, which still picks broadcast-hash when the runtime
+    size is small.
+    """
     out = fact
-    for dim, on in dims:
-        out = out.join(F.broadcast(dim), on)
+    for entry in dims:
+        dim, on, bcast = entry if len(entry) == 3 else (*entry, True)
+        out = out.join(F.broadcast(dim) if bcast else dim, on)
     return out

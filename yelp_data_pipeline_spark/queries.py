@@ -125,12 +125,14 @@ def q_top_regions_by_orders(spark, sf_dir):
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
     r = _t(spark, sf_dir, "region")
+    # customer scales with SF — no broadcast hint (AQE decides);
+    # nation/region are fixed-cardinality → explicit broadcast.
     star = joins.star_join(
         o,
         [
-            (c, o["o_custkey"] == c["c_custkey"]),
-            (n, c["c_nationkey"] == n["n_nationkey"]),
-            (r, n["n_regionkey"] == r["r_regionkey"]),
+            (c, o["o_custkey"] == c["c_custkey"], False),
+            (n, c["c_nationkey"] == n["n_nationkey"], True),
+            (r, n["n_regionkey"] == r["r_regionkey"], True),
         ],
     )
     counts = agg.group_count(star, ["r_name"], alias="order_cnt")
@@ -168,7 +170,8 @@ LIMIT 10
 def q_top_urgent_customers(spark, sf_dir):
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    j = joins.join_broadcast_dim(o, c, o["o_custkey"] == c["c_custkey"])
+    # customer grows with SF — plain equi-join, AQE picks the strategy
+    j = o.join(c, o["o_custkey"] == c["c_custkey"])
     counts = agg.group_count(j, ["c_custkey", "c_name"], alias="urgent_cnt")
     return agg.top_k(counts, "urgent_cnt", 10, tiebreak=["c_custkey"])
 
@@ -829,7 +832,7 @@ SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {threshold}
 """
 
 
-def _simhash_sig_sql(bits: int = 32) -> str:
+def _simhash_sig_sql(bits: int = dd.SIMHASH_BITS) -> str:
     """CTEs doc_id → simhash, mirroring dedup.simhash exactly."""
     votes = ",\n         ".join(
         f"list_sum(list_transform(hs, h -> ((h >> {b}) & 1) * 2 - 1)) AS v{b}"
@@ -928,31 +931,28 @@ def q_dedup_minhash_pairs(spark, sf_dir):
 
 @_q(
     "simhash_signatures",
-    f"WITH {_simhash_sig_sql(32)} SELECT doc_id, simhash FROM sig",
-    doc="SimHash-32 signatures: per-token md5 votes, map-side only.",
+    f"WITH {_simhash_sig_sql()} SELECT doc_id, simhash FROM sig",
+    doc=f"SimHash-{dd.SIMHASH_BITS} signatures: per-token md5 votes, map-side only.",
 )
 def q_simhash_signatures(spark, sf_dir):
-    return dd.simhash(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return dd.simhash(_t(spark, sf_dir, "documents"), "doc_id", "text").select(
+        F.col("doc").alias("doc_id"), "simhash"
+    )
 
 
 @_q(
     "simhash_near_pairs",
     f"""
-WITH {_simhash_sig_sql(32)},
-bytes_ AS (
-  SELECT doc_id, simhash, b.band_id, (simhash >> (b.band_id * 8)) & 255 AS byte
-  FROM sig, (SELECT unnest([0,1,2,3]) AS band_id) b
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                  a.simhash AS sig_a, b.simhash AS sig_b
-  FROM bytes_ a JOIN bytes_ b
-    ON a.band_id = b.band_id AND a.byte = b.byte AND a.doc_id < b.doc_id
-)
-SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
-FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 6
+WITH {_simhash_sig_sql()}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
 """,
-    doc="SimHash near-dup pairs via byte banding + hamming ≤ 6 verify.",
+    doc="SimHash near-dup pairs via 8×4-bit banding + exact hamming ≤ 6 "
+    "verify. The banding is lossless for hamming ≤ 7 (pigeonhole over 8 "
+    "bands), so the oracle is the *exact all-pairs* hamming query — the "
+    "check covers recall, not just the banding replay.",
 )
 def q_simhash_near_pairs(spark, sf_dir):
     return dd.simhash_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text", 6)
