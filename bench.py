@@ -1,0 +1,78 @@
+"""Benchmark harness — driver contract.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+machine-parseable JSON line:
+
+    {"metric": "headline_total", "value": <sum sec>, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": 0.1}
+
+Each query is materialized with the no-op sink (full execution, every
+row produced, nothing collected to the driver) — the closest local
+proxy for cluster throughput. A JIT warm-up pass runs first so timings
+measure the plan, not JVM/codegen warm-up.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from yelp_data_pipeline_spark.queries import queries  # noqa: E402
+from yelp_data_pipeline_spark.session import get_spark  # noqa: E402
+
+# Headline set: the most expensive representative per operator family
+# (agg, star join, LSH dedup, shingle join, sessionization, ANN).
+HEADLINE = [
+    "pricing_summary",
+    "top_regions_by_orders",
+    "dedup_minhash_pairs",
+    "dedup_ngram_pairs",
+    "user_sessions",
+    "simhash_near_pairs",
+    "ann_topk_cosine",
+]
+
+
+def _materialize(df) -> None:
+    """Force full execution without a driver collect."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = queries()
+
+    # Warm-up: run the cheapest query once so codegen/classloading
+    # doesn't land in the first measured timing.
+    _materialize(qs["total_counts"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _materialize(qs[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "headline_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

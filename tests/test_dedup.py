@@ -1,0 +1,75 @@
+"""Dedup-family invariants on tiny corpora (SURVEY.md §5.2/§5.4)."""
+
+import pyspark.sql.functions as F
+
+from yelp_data_pipeline_spark.operators import dedup as dd
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_exact_deterministic_survivor(spark):
+    df = _docs(spark, [(3, "same"), (1, "same"), (2, "other"), (9, "same")])
+    got = {r["text"]: r["doc_id"] for r in dd.dedup_exact(df, ["text"], "doc_id").collect()}
+    assert got == {"same": 1, "other": 2}
+
+
+def test_fingerprint_normalization_invariance(spark):
+    df = _docs(spark, [(1, "Hello,  World!"), (2, "hello world"), (3, "unrelated")])
+    fp = df.select("doc_id", dd.fingerprint(F.col("text")).alias("f")).collect()
+    by_id = {r["doc_id"]: r["f"] for r in fp}
+    assert by_id[1] == by_id[2] != by_id[3]
+
+
+def test_word_shingles_short_doc_guard(spark):
+    df = _docs(spark, [(1, "a b"), (2, "a b c d")])
+    out = dd.with_shingles(df, "text", n=3).collect()
+    by_id = {r["doc_id"]: r["shingles"] for r in out}
+    assert by_id[1] == []          # fewer tokens than n → no shingles
+    assert sorted(by_id[2]) == ["a b c", "b c d"]
+
+
+def test_ngram_jaccard_identical_docs(spark):
+    df = _docs(spark, [(1, "w x y z q"), (2, "w x y z q"), (3, "totally different text here now")])
+    pairs = dd.ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.8).collect()
+    assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in pairs] == [(1, 2, 1.0)]
+
+
+def test_minhash_lsh_finds_identical_pair(spark):
+    df = _docs(spark, [(1, "p q r s t u"), (2, "p q r s t u"), (3, "alpha beta gamma delta eps zeta")])
+    pairs = dd.minhash_lsh_pairs(df, "doc_id", "text", k=12, bands=4, threshold=0.8).collect()
+    assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in pairs] == [(1, 2, 1.0)]
+
+
+def test_simhash_banding_is_lossless_at_radius(spark):
+    """The round-1 recall hole: a pair whose hamming distance spreads
+    across bands must still be found (pigeonhole over 7 bands)."""
+    corpus = [
+        (1, " ".join(f"tok{i}" for i in range(40))),
+        (2, " ".join(f"tok{i}" for i in range(37)) + " aaa bbb ccc"),
+        (3, "completely different vocabulary over here entirely"),
+    ]
+    df = _docs(spark, corpus)
+    sigs = {r["doc"]: r["simhash"] for r in dd.simhash(df, "doc_id", "text").collect()}
+    # brute-force ground truth at radius 6
+    expected = sorted(
+        (a, b)
+        for a in sigs
+        for b in sigs
+        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 6
+    )
+    got = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in dd.simhash_pairs(df, "doc_id", "text", max_hamming=6).collect()
+    )
+    assert got == expected
+    assert (1, 2) in got, "near-dup pair must be within radius on this corpus"
+
+
+def test_simhash_respects_max_radius_guard(spark):
+    import pytest
+
+    df = _docs(spark, [(1, "a b")])
+    with pytest.raises(AssertionError):
+        dd.simhash_pairs(df, "doc_id", "text", max_hamming=7)

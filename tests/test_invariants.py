@@ -1,0 +1,46 @@
+"""Property-style invariants on the real fixture tables (SURVEY.md §5.4):
+bridge pair uniqueness, fact row preservation, dim_time key density."""
+
+import pyspark.sql.functions as F
+
+from yelp_data_pipeline_spark import queries as q
+
+from conftest import SF_DIR
+
+
+def test_bridge_pairs_unique(spark):
+    # S2G:60 docstring promise: (business_id, category_id) unique
+    bridge = q.queries()["bridge_part_words"](spark, SF_DIR)
+    total = bridge.count()
+    distinct = bridge.select("p_partkey", "word_id").distinct().count()
+    assert total == distinct > 0
+
+
+def test_fact_orders_preserves_row_count(spark):
+    # left join to dim_time must not drop or multiply fact rows (S2G:93)
+    fact = q.queries()["fact_orders"](spark, SF_DIR)
+    orders = q._t(spark, SF_DIR, "orders")
+    assert fact.count() == orders.count()
+
+
+def test_dim_time_date_id_dense_and_unique(spark):
+    dim = q.queries()["dim_time"](spark, SF_DIR)
+    n = dim.count()
+    ids = dim.agg(
+        F.countDistinct("date_id").alias("d"),
+        F.min("date_id").alias("lo"),
+        F.max("date_id").alias("hi"),
+    ).first()
+    assert ids["d"] == n and ids["lo"] == 1 and ids["hi"] == n
+
+
+def test_dictionary_encoding_bijective(spark):
+    enc = q.queries()["dict_encode_part_types"](spark, SF_DIR)
+    rows = enc.collect()
+    assert len({r["value"] for r in rows}) == len(rows)
+    assert len({r["type_id"] for r in rows}) == len(rows)
+
+
+def test_merge_upsert_no_duplicate_keys(spark):
+    merged = q.queries()["merge_upsert_orders"](spark, SF_DIR)
+    assert merged.count() == merged.select("o_orderkey").distinct().count()

@@ -1,0 +1,95 @@
+"""Write tier (SURVEY.md §2.1 S5-S10): partitioned sinks, dynamic
+partition overwrite, schema evolution, MERGE semantics — the round-1
+"implemented but never executed" gap."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from yelp_data_pipeline_spark.operators import upsert as up
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(rows, "id long, v string, year int, month int")
+
+
+def test_write_partitioned_roundtrip_and_pruning(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = _frame(
+        spark,
+        [(1, "a", 2020, 1), (2, "b", 2020, 2), (3, "c", 2021, 1)],
+    )
+    up.write_partitioned(df, path, ["year", "month"])
+    back = spark.read.parquet(path)
+    assert back.count() == 3
+
+    # partition-column predicate must prune at the source, not filter
+    # post-scan (the reference's missed-pruning anti-pattern, S2G:170-174)
+    pruned = back.filter((F.col("year") == 2020) & (F.col("month") == 2))
+    assert [r["id"] for r in pruned.collect()] == [2]
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "year" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_dynamic_partition_overwrite_touches_only_present_partitions(spark, tmp_path):
+    path = str(tmp_path / "t")
+    up.write_partitioned(
+        _frame(spark, [(1, "a", 2020, 1), (2, "b", 2020, 2)]), path, ["year", "month"]
+    )
+    # overwrite ONLY (2020, 2) — monthly-incremental idiom (B2S:132)
+    up.write_partitioned(
+        _frame(spark, [(9, "b2", 2020, 2)]), path, ["year", "month"]
+    )
+    got = sorted(
+        (r["id"], r["v"], r["year"], r["month"])
+        for r in spark.read.parquet(path).collect()
+    )
+    assert got == [(1, "a", 2020, 1), (9, "b2", 2020, 2)]
+
+
+def test_static_overwrite_replaces_whole_table(spark, tmp_path):
+    path = str(tmp_path / "t")
+    up.write_partitioned(
+        _frame(spark, [(1, "a", 2020, 1), (2, "b", 2020, 2)]), path, ["year", "month"]
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        up.write_partitioned(
+            _frame(spark, [(9, "b2", 2020, 2)]), path, ["year", "month"], dynamic=False
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    assert [r["id"] for r in spark.read.parquet(path).collect()] == [9]
+
+
+def test_schema_evolving_overwrite(spark, tmp_path):
+    # S8 — overwriteSchema semantics on the parquet fallback
+    path = str(tmp_path / "t")
+    up.write_evolved(spark.createDataFrame([(1, "x")], "id long, a string"), path)
+    up.write_evolved(spark.createDataFrame([(2, 3.5)], "id long, b double"), path)
+    back = spark.read.parquet(path)
+    assert set(back.columns) == {"id", "b"}
+
+
+def test_merge_schema_read_unions_appended_columns(spark, tmp_path):
+    path = str(tmp_path / "t")
+    spark.createDataFrame([(1, "x")], "id long, a string").write.parquet(path)
+    spark.createDataFrame([(2, "y", 9.0)], "id long, a string, b double").write.mode(
+        "append"
+    ).parquet(path)
+    back = up.read_merged_schema(spark, path)
+    assert set(back.columns) == {"id", "a", "b"}
+    rows = {r["id"]: (r["a"], r["b"]) for r in back.collect()}
+    assert rows == {1: ("x", None), 2: ("y", 9.0)}
+
+
+def test_merge_upsert_df_semantics(spark):
+    target = spark.createDataFrame([(1, "old"), (2, "keep")], "k long, v string")
+    updates = spark.createDataFrame([(1, "new"), (3, "ins")], "k long, v string")
+    got = {r["k"]: r["v"] for r in up.merge_upsert_df(target, updates, ["k"]).collect()}
+    assert got == {1: "new", 2: "keep", 3: "ins"}
+
+
+def test_upsert_delta_gated_on_import(spark, tmp_path):
+    pytest.importorskip("delta", reason="delta-spark not installed in harness")
+    df = spark.createDataFrame([(1, "x")], "k long, v string")
+    up.upsert_delta(spark, df, str(tmp_path / "d"), ["k"])

@@ -207,6 +207,45 @@ def normalize_null_tokens(df: DataFrame, cols: list[str], tokens=("none", "null"
     )
 
 
+def process_business(
+    df: DataFrame, hours_prefix: str = "hours_", attr_prefix: str = "attributes_"
+) -> DataFrame:
+    """M6 — composite business cleaner (B2S:64-76): the full
+    Bronze→Silver path for the business entity, assembled from M1/M2/
+    M3/M4/M5.
+
+    Steps (reference order):
+    1. ``is_open`` long → boolean (B2S:66);
+    2. flatten nested structs to ``lower(a_b)`` top-level columns (M1);
+    3. each ``hours_{day}`` range ``"9:0-17:0"`` → ``{day}_opening_time``
+       / ``{day}_closing_time``, originals dropped (M5, B2S:56-62);
+    4. Python-repr cleaning on every ``attributes_*`` column (M2);
+    5. JSON-looking attribute columns detected (M3) and parsed to
+       structs (M4).
+
+    Dead-code parity (B2S:74-75): the reference then re-filters
+    flattened paths with ``startswith("attributes.")`` — but post-rename
+    columns start with ``attributes_``, so the filter matches nothing
+    and the parsed attribute structs REMAIN NESTED in Silver. Mirrored
+    here by *not* re-flattening after the parse.
+    """
+    out = df
+    if "is_open" in out.columns:
+        out = out.withColumn("is_open", F.col("is_open").cast("boolean"))
+    out = flatten_structs(out)
+    hours_cols = [c for c in out.columns if c.startswith(hours_prefix)]
+    for c in hours_cols:
+        day = c[len(hours_prefix):]
+        out = split_range_column(out, c, f"{day}_opening_time", f"{day}_closing_time")
+    out = out.drop(*hours_cols)
+    attr_cols = [c for c in out.columns if c.startswith(attr_prefix)]
+    if attr_cols:
+        out = clean_pyrepr_columns(out, attr_cols)
+        json_cols = detect_json_string_columns(out, attr_cols)
+        out = parse_json_columns(out, json_cols)
+    return out
+
+
 def add_event_date_parts(df: DataFrame, ts_col: str, ts_out: str | None = None) -> DataFrame:
     """M9 — review/tip dater (B2S:108-111): string/ts → timestamp plus
     year/month partition columns."""

@@ -223,28 +223,42 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS)
     """Per-doc SimHash over distinct tokens.
 
     Each token's md5-derived integer votes ±1 on each of ``bits`` bit
-    positions; the signature takes the sign. Entirely map-side
-    (aggregate over the token array) — no shuffle. ``bits`` ≤ 60 (the
-    md5_long hash width).
+    positions; the signature takes the sign of each vote total.
+    ``bits`` ≤ 60 (the md5_long hash width).
+
+    Plan shape: explode distinct tokens → hash each token ONCE →
+    ``bits`` literal-shift vote columns (plain long arithmetic, inside
+    WholeStageCodegen) → groupBy(doc) sum. The earlier formulation —
+    one ``F.aggregate`` fold per bit over the token array — was
+    interpreted (higher-order functions don't codegen) and re-computed
+    the md5 transform per bit: 56× redundant hashing. The groupBy here
+    shuffles one 56-long row per doc at most (partial aggregation
+    collapses each doc's votes map-side, since a doc's exploded tokens
+    stay in its input partition).
     """
     toks = F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
-    # hash every token once, then fold 32 bit-votes over the hash array
-    hashes = F.transform(toks, lambda t: md5_long(t))
-
-    def _vote(b: int):
-        return lambda acc, h: acc + (
-            F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1
-        )
-
-    # The merge lambda yields BIGINT (md5_long is long); the zero value
-    # must match or Catalyst rejects the fold with DATATYPE_MISMATCH.
-    zero = F.lit(0).cast("long")
-    bit_votes = [F.aggregate(hashes, zero, _vote(b)) for b in range(bits)]
+    tok = df.select(F.col(id_col).alias("doc"), F.explode_outer(toks).alias("t"))
+    # Materialized in its own projection: CollapseProject keeps a
+    # non-cheap alias referenced `bits` times from being re-inlined.
+    hashed = tok.withColumn("h", md5_long(F.col("t")))
+    h = F.col("h")
+    votes = hashed.select(
+        "doc",
+        *[
+            (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{b}")
+            for b in range(bits)
+        ],
+    )
+    summed = votes.groupBy("doc").agg(
+        *[F.sum(f"v{b}").alias(f"v{b}") for b in range(bits)]
+    )
     sig = None
-    for b, v in enumerate(bit_votes):
-        term = F.when(v > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+    for b in range(bits):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(2**b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
         sig = term if sig is None else sig + term
-    return df.select(F.col(id_col).alias("doc"), sig.alias("simhash"))
+    return summed.select("doc", sig.alias("simhash"))
 
 
 SIMHASH_BANDS = 7
@@ -297,11 +311,14 @@ def simhash_pairs(
             F.col("a.simhash").alias("sig_a"),
             F.col("b.simhash").alias("sig_b"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
     )
+    # Filter BEFORE dropDuplicates: the hamming test is a few long ops,
+    # while the distinct is a shuffle — shrink its input first. A
+    # surviving pair appears once per colliding band (≤ 7×).
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (
         cand.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
         .select("doc_a", "doc_b", "hamming")
     )

@@ -17,14 +17,33 @@ Two tiers:
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine
+from ..functions.vectors import cosine, dot
 
 
 def _query_vector_lit(vec: list[float]) -> F.Column:
     return F.array(*[F.lit(float(x)).cast("double") for x in vec])
+
+
+# ------------------------------------------------------- sign-LSH planes
+
+LSH_PLANES = 16
+LSH_BANDS = 8  # 8 bands × 2 bits → 4 buckets per band
+
+
+def _plane_sign(p: int, i: int) -> float:
+    """±1 Rademacher hyperplane component, derived from md5 so any
+    engine (and the DuckDB oracle) can re-derive the identical plane."""
+    h = int(hashlib.md5(f"hp:{p}:{i}".encode()).hexdigest()[:15], 16)
+    return 1.0 if h % 2 == 0 else -1.0
+
+
+def hyperplanes(n_planes: int = LSH_PLANES, dim: int = 64) -> list[list[float]]:
+    return [[_plane_sign(p, i) for i in range(dim)] for p in range(n_planes)]
 
 
 def cosine_topk(
@@ -51,17 +70,85 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    dim: int = 64,
+    n_planes: int = LSH_PLANES,
+    bands: int = LSH_BANDS,
 ) -> DataFrame:
-    """All pairs with cosine ≥ threshold.
+    """Near-dup pairs with cosine ≥ threshold, via random-hyperplane
+    sign-LSH bucketing (no cartesian / nested-loop join anywhere).
 
-    Cosine is computed as dot/(|a||b|) with a fixed left-to-right fold —
-    NOT on pre-normalized vectors — so the result is bit-identical to a
-    sequential oracle evaluating the same formula. (Pre-normalizing is
-    the faster layout at scale but changes float rounding; swap it in
-    when exact cross-engine reproducibility isn't required.) For n
-    beyond ~10⁵ per executor switch the pair generator to sign-LSH
-    bucketing so only same-bucket pairs join.
+    Candidate generation: project each vector on ``n_planes``
+    deterministic ±1 hyperplanes, take sign bits, pack ``n_planes //
+    bands`` bits per band into a bucket id, and equi-join on
+    (band_id, bucket) — only same-bucket vectors ever meet, so the
+    join is a plain shuffled hash join keyed by the bucket. Candidates
+    are then verified with the exact cosine, so there are no false
+    positives; like any LSH, recall is probabilistic — a pair whose
+    sign bits disagree in every band is missed. P[one band matches] =
+    1-(1-p^r)^b with p = 1-θ/π; defaults (8 bands × 2 bits) give
+    ≈0.99 recall at cosine 0.42 and tighten toward 1 as similarity
+    rises. The DuckDB oracle replays the identical planes/banding, so
+    the correctness gate compares like for like.
+
+    At n beyond ~10⁷ per bucket, swap the per-row fold for a
+    pandas_udf matrix projection; the banding logic is unchanged.
     """
+    rows = n_planes // bands
+    planes = hyperplanes(n_planes, dim)
+    pre = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("u"))
+    bits = [
+        (dot(F.col("u"), F.array(*[F.lit(x) for x in planes[p]])) > 0)
+        .cast("int")
+        .alias(f"bit{p}")
+        for p in range(n_planes)
+    ]
+    sig = pre.select("id", "u", *bits)
+    bucket_of = lambda b: sum(
+        F.col(f"bit{b * rows + r}") * (1 << r) for r in range(rows)
+    )
+    banded = sig.select(
+        "id",
+        "u",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_id"), bucket_of(b).alias("bucket"))
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("id", "u", F.col("bb.band_id"), F.col("bb.bucket"))
+    a, b_ = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.u").alias("ua"),
+            F.col("b.u").alias("ub"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    score = F.round(cosine(F.col("ua"), F.col("ub")), round_to)
+    return (
+        cand.withColumn("score", score)
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b", "score")
+    )
+
+
+def cosine_neardup_pairs_exact(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact all-pairs baseline (O(n²) nested-loop join) — the recall
+    yardstick for the LSH path in tests. Never use at scale."""
     pre = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("u"))
     a, b = pre.alias("a"), pre.alias("b")
     score = F.round(cosine(F.col("a.u"), F.col("b.u")), round_to)

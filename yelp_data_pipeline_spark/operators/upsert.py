@@ -58,6 +58,34 @@ def upsert_delta(
     )
 
 
+def write_evolved(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    partition_cols: list[str] | None = None,
+) -> None:
+    """S8 — schema-evolving overwrite (``overwriteSchema=true``,
+    B2S:170; S2G:189,209,219).
+
+    On Delta the option rewrites the table schema transactionally; on
+    parquet a full overwrite replaces the files so the new schema wins
+    by construction. For *additive* evolution across appends, read back
+    with ``mergeSchema`` (:func:`read_merged_schema`).
+    """
+    w = df.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    if fmt == "delta":
+        w = w.option("overwriteSchema", "true")
+    w.format(fmt).save(path)
+
+
+def read_merged_schema(spark: SparkSession, path: str):
+    """Union-of-schemas read over heterogeneous parquet footers —
+    the read-side half of additive schema evolution."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,

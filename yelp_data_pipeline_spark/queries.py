@@ -994,16 +994,51 @@ def q_ann_topk_cosine(spark, sf_dir):
     )
 
 
+def _signlsh_oracle(
+    threshold: float, dim: int = _EMB_DIM, n_planes: int = 16, bands: int = 8
+) -> str:
+    """DuckDB twin of similarity.cosine_neardup_pairs — identical
+    md5-derived hyperplanes, banding, and exact-cosine verify."""
+    rows = n_planes // bands
+    planes = sim.hyperplanes(n_planes, dim)
+    bit_cols = ",\n         ".join(
+        "CASE WHEN list_sum(list_transform(generate_series(1, %d), "
+        "i -> CAST(embedding[i] AS DOUBLE) * ([%s])[i])) > 0 THEN 1 ELSE 0 END AS bit%d"
+        % (dim, ", ".join(str(x) for x in planes[p]), p)
+        for p in range(n_planes)
+    )
+    band_union = "\nUNION ALL\n".join(
+        f"SELECT vec_id, embedding, {b} AS band_id, "
+        + " + ".join(f"bit{b * rows + r} * {1 << r}" for r in range(rows))
+        + " AS bucket FROM sgn"
+        for b in range(bands)
+    )
+    cos = cosine_sql("ua", "ub", dim)
+    return f"""
+WITH sgn AS (
+  SELECT vec_id, embedding,
+         {bit_cols}
+  FROM embeddings
+),
+banded AS ({band_union}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+                  a.embedding AS ua, b.embedding AS ub
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round({cos}, 6) AS score
+FROM cand WHERE round({cos}, 6) >= {threshold}
+"""
+
+
 @_q(
     "embedding_neardup_pairs",
-    f"""
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round({cosine_sql('a.embedding', 'b.embedding', _EMB_DIM)}, 6) AS score
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE round({cosine_sql('a.embedding', 'b.embedding', _EMB_DIM)}, 6) >= 0.42
-""",
-    doc="Embedding-cosine near-dup pairs above threshold (blocked "
-    "self-join; sign-LSH bucketing is the >10⁵-rows path).",
+    _signlsh_oracle(threshold=0.42),
+    doc="Embedding-cosine near-dup pairs above threshold via sign-LSH "
+    "bucketing (16 md5-derived hyperplanes, 8 bands × 2 bits) + exact "
+    "cosine verify — no cartesian/nested-loop join in the plan; the "
+    "oracle replays identical planes and banding.",
 )
 def q_embedding_neardup_pairs(spark, sf_dir):
     return sim.cosine_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.42)

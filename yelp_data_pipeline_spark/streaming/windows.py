@@ -71,10 +71,23 @@ def session_counts(
 
 
 def stream_events_from_parquet(
-    spark: SparkSession, sf_dir: str, table: str = "events"
+    spark: SparkSession, sf_dir: str, table: str = "events", ts_col: str = "ts"
 ) -> DataFrame:
     """readStream over the fixture parquet (schema must be provided for
     file streams). With ``trigger(availableNow=True)`` this replays the
-    table as a bounded stream — the harness's stand-in for Kafka."""
+    table as a bounded stream — the harness's stand-in for Kafka.
+
+    Applies the same TIMESTAMP(NANOS)→microsecond conversion as the
+    batch source layer (tables.py) so watermarks see a timestamp."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/{table}.parquet").schema
-    return spark.readStream.schema(schema).parquet(f"{sf_dir}/{table}.parquet")
+    # FileStreamSource requires a directory path: stream the fixture dir
+    # with a glob pinned to this table's file.
+    df = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", f"{table}.parquet")
+        .parquet(sf_dir)
+    )
+    if ts_col in df.columns and dict(df.dtypes).get(ts_col) == "bigint":
+        df = df.withColumn(ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` div 1000")))
+    return df
