@@ -183,7 +183,7 @@ def ivf_topk(
     q = _query_vector_lit(query_vec)
     probe = (
         centroids.select(cell_col, cosine(F.col("centroid"), q).alias("cscore"))
-        .orderBy(F.col("cscore").desc())
+        .orderBy(F.col("cscore").desc(), F.col(cell_col).asc())
         .limit(nprobe)
         .select(cell_col)
     )
@@ -197,16 +197,27 @@ def ivf_topk(
 
 
 def train_centroids_by_label(
-    df: DataFrame, label_col: str = "label", vec_col: str = "embedding", dim: int = 64
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    round_to: int = 6,
 ) -> DataFrame:
     """Per-cell mean vectors via posexplode + groupBy(cell, pos) — one
     shuffle of n·dim scalar rows, then re-assembled with array_agg
     ordered by position. (Stands in for a k-means trainer; the IVF
-    plumbing is identical.)"""
+    plumbing is identical.)
+
+    Means are rounded to ``round_to`` decimals: a parallel float mean
+    is order-dependent in the last ULP, and rounding makes the trained
+    centroids reproducible across engines/partitionings (so the DuckDB
+    oracle can replay the probe exactly)."""
     pos = df.select(
         F.col(label_col).alias("cell"), F.posexplode(F.col(vec_col)).alias("pos", "x")
     )
-    means = pos.groupBy("cell", "pos").agg(F.avg(F.col("x").cast("double")).alias("m"))
+    means = pos.groupBy("cell", "pos").agg(
+        F.round(F.avg(F.col("x").cast("double")), round_to).alias("m")
+    )
     return (
         means.groupBy("cell")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))

@@ -593,6 +593,110 @@ def q_split_array_counts(spark, sf_dir):
     return cl.array_count(d, "toks", "token_cnt").select("doc_id", "token_cnt")
 
 
+@_q(
+    "flatten_nested_structs",
+    """
+SELECT p_partkey,
+       p_brand AS attrs_meta_brand,
+       p_type  AS attrs_meta_type,
+       p_size  AS attrs_size
+FROM part
+""",
+    doc="M1 — recursive schema flattener (B2S:6-15): nested struct "
+    "synthesized from part, flattened to lowercase a_b columns in one "
+    "projection.",
+)
+def q_flatten_nested_structs(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    nested = p.select(
+        "p_partkey",
+        F.struct(
+            F.struct(
+                F.col("p_brand").alias("Brand"), F.col("p_type").alias("Type")
+            ).alias("Meta"),
+            F.col("p_size").alias("Size"),
+        ).alias("Attrs"),
+    )
+    return cl.flatten_structs(nested)
+
+
+@_q(
+    "detect_parse_json_props",
+    """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
+""",
+    doc="M3+M4 — JSON-column detector (single aggregated pass, not one "
+    "collect per column) + sampled-set schema inference feeding "
+    "from_json (B2S:36-54).",
+)
+def q_detect_parse_json_props(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    detected = cl.detect_json_string_columns(e, ["event_type", "props"])
+    assert detected == ["props"], f"detector should find props only: {detected}"
+    parsed = cl.parse_json_columns(e, detected)
+    return parsed.select("event_id", F.col("props.k").alias("k"))
+
+
+@_q(
+    "events_date_parts",
+    """
+SELECT event_id, ts,
+       CAST(year(ts) AS INT) AS year,
+       CAST(month(ts) AS INT) AS month
+FROM events
+""",
+    doc="M9 — review/tip dater (B2S:108-111): timestamp + year/month "
+    "partition columns.",
+)
+def q_events_date_parts(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select("event_id", "ts")
+    return cl.add_event_date_parts(e, "ts")
+
+
+@_q(
+    "prefix_filtered_parts",
+    """
+SELECT p_partkey, p_name FROM part
+WHERE p_name LIKE 's%' AND p_name LIKE '%r' AND p_brand IS NOT NULL
+""",
+    doc="P5+P6 — startswith/endswith conjunction with a null guard "
+    "(B2S:40,48): pushed to the parquet scan as StringStartsWith/"
+    "StringEndsWith filters.",
+)
+def q_prefix_filtered_parts(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_name").startswith("s")
+        & F.col("p_name").endswith("r")
+        & F.col("p_brand").isNotNull()
+    ).select("p_partkey", "p_name")
+
+
+# S11 — the SQL serving path: the same SQL text runs on spark.sql over
+# registered views AND on the DuckDB oracle (SURVEY §3 entry point 3).
+_SQL_SERVING = """
+SELECT n_name, count(*) AS supplier_cnt,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(27,4))) AS DOUBLE) AS sum_bal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+@_q(
+    "sql_suppliers_by_nation",
+    _SQL_SERVING,
+    doc="S11 — SQL serving over registered temp views: spark.sql runs "
+    "the IDENTICAL ANSI string the oracle runs (one engine replaces "
+    "the reference's Trino/Superset hop).",
+)
+def q_sql_suppliers_by_nation(spark, sf_dir):
+    from .tables import register_views
+
+    register_views(spark, sf_dir, ("supplier", "nation"))
+    return spark.sql(_SQL_SERVING)
+
+
 # --------------------------------------------------------------------------
 # §2.5 windows (beyond-reference rows)
 # --------------------------------------------------------------------------
@@ -1046,9 +1150,31 @@ def q_embedding_neardup_pairs(spark, sf_dir):
 
 @_q(
     "ann_ivf_topk",
-    None,  # float centroid means are not bit-reproducible cross-engine
-    doc="IVF-style ANN: label-coarse centroids, probe 2 cells, exact "
-    "rerank inside. Rows-only check (centroid float means).",
+    f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cent AS (
+  SELECT label AS cell, i AS pos,
+         round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m
+  FROM embeddings, (SELECT unnest(generate_series(1, {_EMB_DIM})) AS i) g
+  GROUP BY 1, 2
+),
+cvec AS (
+  SELECT cell, list(m ORDER BY pos) AS centroid FROM cent GROUP BY cell
+),
+probe AS (
+  SELECT cell FROM cvec, q
+  ORDER BY {cosine_sql('centroid', 'qv', _EMB_DIM)} DESC, cell
+  LIMIT 2
+)
+SELECT vec_id, round({cosine_sql('embedding', 'qv', _EMB_DIM)}, 6) AS score
+FROM embeddings, probe, q
+WHERE label = probe.cell
+ORDER BY score DESC, vec_id
+LIMIT 10
+""",
+    doc="IVF-style ANN: label-coarse centroids (means rounded to 6dp "
+    "so both engines train identical centroids), probe the 2 nearest "
+    "cells, exact cosine rerank inside — the pruned-scan scale path.",
 )
 def q_ann_ivf_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").withColumnRenamed("label", "cell")
