@@ -35,3 +35,27 @@ def md5_long_sql(expr: str, seed: int | str | None = None) -> str:
     """The DuckDB-SQL twin of :func:`md5_long` (used by query oracles)."""
     e = f"concat('{seed}:', {expr})" if seed is not None else expr
     return f"CAST('0x' || substr(md5({e}), 1, {HEX_DIGITS}) AS BIGINT)"
+
+
+# Double-hashing family (Kirsch-Mitzenmacher): one md5 yields two
+# independent components — h1 from hex digits 1-15 (60 bits), h2 from
+# digits 16-28 (52 bits) — and member i is h1 + i*h2. For i ≤ 15,
+# h1 + i*h2 < 2^60 + 2^56 < 2^63: no overflow in either engine, so the
+# DuckDB oracle replays it with plain BIGINT arithmetic. One md5 per
+# input replaces one md5 per (input, seed).
+H2_OFFSET = HEX_DIGITS + 1
+H2_DIGITS = 13  # 52 bits
+
+
+def md5_pair(hex_col: Column) -> tuple[Column, Column]:
+    """(h1, h2) double-hashing components from an md5 hex column."""
+    h1 = F.conv(F.substring(hex_col, 1, HEX_DIGITS), 16, 10).cast("long")
+    h2 = F.conv(F.substring(hex_col, H2_OFFSET, H2_DIGITS), 16, 10).cast("long")
+    return h1, h2
+
+
+def md5_family_sql(expr: str, i: int) -> str:
+    """DuckDB twin of ``h1 + i*h2`` over ``md5(expr)``."""
+    h1 = f"CAST('0x' || substr(md5({expr}), 1, {HEX_DIGITS}) AS BIGINT)"
+    h2 = f"CAST('0x' || substr(md5({expr}), {H2_OFFSET}, {H2_DIGITS}) AS BIGINT)"
+    return f"({h1} + {i} * {h2})"

@@ -26,7 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import md5_long
+from ..functions.hashing import md5_long, md5_pair
+from ..session import ensure_min_parallelism
 
 # ---------------------------------------------------------------- exact
 
@@ -82,7 +83,7 @@ def word_shingles(tokens_col, n: int = 3) -> F.Column:
 
 def with_shingles(df: DataFrame, text_col: str, n: int = 3) -> DataFrame:
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    return df.withColumn("shingles", word_shingles(toks, n))
+    return ensure_min_parallelism(df).withColumn("shingles", word_shingles(toks, n))
 
 
 def ngram_jaccard_pairs(
@@ -127,23 +128,42 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signature(df: DataFrame, id_col: str, text_col: str, k: int = 12, n: int = 3) -> DataFrame:
-    """k-permutation MinHash signature, entirely map-side: per seed,
-    ``array_min(transform(shingles, md5_long))``. No shuffle, no UDF;
-    scales linearly in bytes scanned."""
-    sh = with_shingles(df, text_col, n)
+    """k-permutation MinHash signature: per seed i, min over shingles
+    of ``md5_long(shingle, seed=i)``.
 
-    # NB: a plain `lambda s, i=i:` would advertise 2 params and Spark
-    # would bind the 2nd to the array *index* — closure factory instead.
-    def _seeded(i: int):
-        return lambda s: md5_long(s, seed=i)
+    Plan shape: explode shingles → k seeded md5 columns (whole-stage
+    codegen) → groupBy(doc) min per seed → join the k-wide signature
+    back to the (doc, shingles) row. The earlier formulation — k
+    ``array_min(transform(...))`` folds — kept everything map-side but
+    ran interpreted (higher-order functions don't codegen), which at
+    bench scale cost more than the groupBy shuffle it avoided. Partial
+    aggregation collapses each doc's mins map-side, so the shuffle
+    moves k longs per doc; the join back is doc-keyed and AQE-sized.
 
-    sigs = {
-        f"mh{i}": F.array_min(F.transform(F.col("shingles"), _seeded(i)))
-        for i in range(k)
-    }
-    return sh.select(
+    Left join preserves docs with zero shingles (NULL signature), the
+    same observable as ``array_min`` over an empty array.
+    """
+    sh = with_shingles(df, text_col, n).select(
         F.col(id_col).alias("doc"), F.size("shingles").alias("n_sh"), "shingles"
-    ).withColumns(sigs)
+    )
+    ex = sh.select("doc", F.explode("shingles").alias("s"))
+    # ONE md5 per shingle; the k family members are h1 + i*h2
+    # (Kirsch-Mitzenmacher double hashing — see functions/hashing.py).
+    # hx sits in its own projection so CollapseProject doesn't re-inline
+    # the md5 into both component extractions.
+    h1, h2 = md5_pair(F.col("hx"))
+    hashed = (
+        ex.withColumn("hx", F.md5(F.col("s")))
+        .select("doc", h1.alias("h1"), h2.alias("h2"))
+        .select(
+            "doc",
+            *[(F.col("h1") + i * F.col("h2")).alias(f"f{i}") for i in range(k)],
+        )
+    )
+    mins = hashed.groupBy("doc").agg(
+        *[F.min(f"f{i}").alias(f"mh{i}") for i in range(k)]
+    )
+    return sh.join(mins, "doc", "left")
 
 
 def minhash_lsh_pairs(
@@ -170,18 +190,19 @@ def minhash_lsh_pairs(
         ).alias(f"band{b}")
         for b in range(bands)
     ]
-    banded = sig.select("doc", "n_sh", "shingles", *band_cols)
+    # Candidate generation over SLIM rows (doc, band_id, key) — the
+    # shingle arrays stay out of the banded explode and its self-join
+    # shuffle (they'd otherwise ship 2×bands copies of every array).
+    banded = sig.select("doc", *band_cols)
     bands_long = banded.select(
         "doc",
-        "n_sh",
-        "shingles",
         F.explode(
             F.array(*[
                 F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("key"))
                 for b in range(bands)
             ])
         ).alias("bk"),
-    ).select("doc", "n_sh", "shingles", F.col("bk.band_id"), F.col("bk.key"))
+    ).select("doc", F.col("bk.band_id"), F.col("bk.key"))
 
     a, b_ = bands_long.alias("a"), bands_long.alias("b")
     cand = (
@@ -191,20 +212,34 @@ def minhash_lsh_pairs(
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.doc") < F.col("b.doc")),
         )
-        .select(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-            F.col("a.n_sh").alias("na"),
-            F.col("b.n_sh").alias("nb"),
-        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    # Exact-Jaccard verify: arrays fetched per candidate via two
+    # doc-keyed joins against the signature relation (candidates ≪ n).
+    sh = sig.select("doc", "n_sh", "shingles")
+    pairs = (
+        cand.join(
+            sh.select(
+                F.col("doc").alias("doc_a"),
+                F.col("n_sh").alias("na"),
+                F.col("shingles").alias("sh_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sh.select(
+                F.col("doc").alias("doc_b"),
+                F.col("n_sh").alias("nb"),
+                F.col("shingles").alias("sh_b"),
+            ),
+            "doc_b",
+        )
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter.cast("double") / (F.col("na") + F.col("nb") - inter).cast("double")
     return (
-        cand.withColumn("jaccard", F.round(jac, 6))
+        pairs.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -237,7 +272,9 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS)
     stay in its input partition).
     """
     toks = F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
-    tok = df.select(F.col(id_col).alias("doc"), F.explode_outer(toks).alias("t"))
+    tok = ensure_min_parallelism(df).select(
+        F.col(id_col).alias("doc"), F.explode_outer(toks).alias("t")
+    )
     # Materialized in its own projection: CollapseProject keeps a
     # non-cheap alias referenced `bits` times from being re-inlined.
     hashed = tok.withColumn("h", md5_long(F.col("t")))

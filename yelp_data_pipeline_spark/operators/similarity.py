@@ -22,7 +22,8 @@ import hashlib
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, dot
+from ..functions.vectors import cosine, dot, norm
+from ..session import ensure_min_parallelism
 
 
 def _query_vector_lit(vec: list[float]) -> F.Column:
@@ -95,27 +96,35 @@ def cosine_neardup_pairs(
     """
     rows = n_planes // bands
     planes = hyperplanes(n_planes, dim)
-    pre = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("u"))
+    # Norms computed ONCE per vector here — the per-candidate verify
+    # below then costs a single dot fold instead of dot + two norms
+    # (bit-identical value: same expressions, evaluated earlier).
+    pre = ensure_min_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("u"),
+        norm(F.col(vec_col)).alias("nrm"),
+    )
     bits = [
         (dot(F.col("u"), F.array(*[F.lit(x) for x in planes[p]])) > 0)
         .cast("int")
         .alias(f"bit{p}")
         for p in range(n_planes)
     ]
-    sig = pre.select("id", "u", *bits)
+    sig = pre.select("id", *bits)
     bucket_of = lambda b: sum(
         F.col(f"bit{b * rows + r}") * (1 << r) for r in range(rows)
     )
+    # Slim banded rows (id, band_id, bucket): vectors stay out of the
+    # band explode and its self-join shuffle.
     banded = sig.select(
         "id",
-        "u",
         F.explode(
             F.array(*[
                 F.struct(F.lit(b).alias("band_id"), bucket_of(b).alias("bucket"))
                 for b in range(bands)
             ])
         ).alias("bb"),
-    ).select("id", "u", F.col("bb.band_id"), F.col("bb.bucket"))
+    ).select("id", F.col("bb.band_id"), F.col("bb.bucket"))
     a, b_ = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -124,17 +133,25 @@ def cosine_neardup_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.u").alias("ua"),
-            F.col("b.u").alias("ub"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    score = F.round(cosine(F.col("ua"), F.col("ub")), round_to)
+    pairs = cand.join(
+        pre.select(
+            F.col("id").alias("id_a"), F.col("u").alias("ua"), F.col("nrm").alias("na")
+        ),
+        "id_a",
+    ).join(
+        pre.select(
+            F.col("id").alias("id_b"), F.col("u").alias("ub"), F.col("nrm").alias("nb")
+        ),
+        "id_b",
+    )
+    score = F.round(
+        dot(F.col("ua"), F.col("ub")) / (F.col("na") * F.col("nb")), round_to
+    )
     return (
-        cand.withColumn("score", score)
+        pairs.withColumn("score", score)
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
     )

@@ -22,7 +22,7 @@ from typing import Callable, Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .functions.hashing import md5_long_sql
+from .functions.hashing import md5_family_sql, md5_long_sql
 from .functions.vectors import cosine_sql
 from .operators import aggregates as agg
 from .operators import cleaning as cl
@@ -893,7 +893,7 @@ sh AS (
 def _minhash_oracle(k: int = 12, bands: int = 4, threshold: float = 0.8) -> str:
     rows = k // bands
     mh_cols = ",\n         ".join(
-        f"list_min(list_transform(shingles, s -> {md5_long_sql('s', seed=i)})) AS mh{i}"
+        f"list_min(list_transform(shingles, s -> {md5_family_sql('s', i)})) AS mh{i}"
         for i in range(k)
     )
     band_cols = ",\n         ".join(

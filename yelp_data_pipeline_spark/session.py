@@ -13,7 +13,23 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+
+
+def ensure_min_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Guard for CPU-heavy per-row operators (hashing, shingling,
+    vector math): a small single-file parquet scan yields ONE input
+    split, serializing the whole pipeline on one core no matter how
+    many the session has. If the plan has fewer partitions than the
+    session's parallelism, add a round-robin repartition — cheap at
+    the sizes where it triggers, and a no-op branch on a real cluster
+    where scans already split into many partitions. Downstream results
+    are partitioning-insensitive (min/sum aggregates, equi-joins)."""
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def get_spark(
