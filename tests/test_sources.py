@@ -1,0 +1,81 @@
+"""S1/S2 source tier: Bronze JSON ingestion with inference, explicit
+schema, and Hive-partitioned layout pruning (B2S:141-151)."""
+
+import json
+import os
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+
+from yelp_data_pipeline_spark.tables import read_json_source
+
+
+def _write_json(path, rows):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_json_inference_nested_structs(spark, tmp_path):
+    p = str(tmp_path / "b" / "data.json")
+    _write_json(
+        p,
+        [
+            {"business_id": "b1", "attributes": {"WiFi": "u'free'"}, "stars": 4.5},
+            {"business_id": "b2", "attributes": {"WiFi": "no", "HasTV": "True"}},
+        ],
+    )
+    df = read_json_source(spark, str(tmp_path / "b"))
+    assert isinstance(df.schema["attributes"].dataType, T.StructType)
+    # inference unions fields across rows
+    assert set(df.schema["attributes"].dataType.names) == {"WiFi", "HasTV"}
+    rows = {r["business_id"]: r for r in df.collect()}
+    assert rows["b1"]["stars"] == 4.5 and rows["b2"]["stars"] is None
+
+
+def test_json_explicit_schema_no_inference(spark, tmp_path):
+    p = str(tmp_path / "b" / "data.json")
+    _write_json(p, [{"id": 1, "v": "x"}, {"id": 2}])
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    df = read_json_source(spark, str(tmp_path / "b"), schema=schema)
+    assert df.schema == schema
+    assert df.count() == 2
+
+
+def test_json_partitioned_layout_prunes(spark, tmp_path):
+    root = tmp_path / "bronze"
+    _write_json(str(root / "year=2020" / "month=1" / "a.json"), [{"id": 1}])
+    _write_json(str(root / "year=2020" / "month=2" / "b.json"), [{"id": 2}])
+    _write_json(str(root / "year=2021" / "month=1" / "c.json"), [{"id": 3}])
+    df = read_json_source(
+        spark,
+        str(root),
+        partition_filter=(F.col("year") == 2020) & (F.col("month") == 2),
+    )
+    assert [r["id"] for r in df.collect()] == [2]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
+def test_asof_join_semantics(spark):
+    from yelp_data_pipeline_spark.operators.joins import asof_join
+
+    ev = spark.createDataFrame(
+        [(1, 10, "2020-01-05"), (2, 10, "2020-01-01"), (3, 20, "2020-03-01"), (4, 30, "2020-01-01")],
+        "event_id long, k long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    orders = spark.createDataFrame(
+        [(10, "2020-01-03", 100.0), (10, "2020-01-05", 200.0), (20, "2020-02-01", 300.0)],
+        "ck long, od string, amt double",
+    ).withColumn("od", F.to_timestamp("od"))
+    got = {
+        r["event_id"]: r["amt"]
+        for r in asof_join(ev, orders, "k", "ck", "ts", "od", ["amt"]).collect()
+    }
+    assert got[1] == 200.0   # equality is inclusive (most recent at ts)
+    assert got[2] is None    # no order at or before
+    assert got[3] == 300.0
+    assert got[4] is None    # key never on right side

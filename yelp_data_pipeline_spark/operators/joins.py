@@ -33,6 +33,55 @@ def anti_join(df: DataFrame, other: DataFrame, on) -> DataFrame:
     return df.join(other, on, "left_anti")
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """As-of join: for every left row, attach ``value_cols`` from the
+    most recent right row with ``right_ts`` ≤ ``left_ts`` on the same
+    key (inclusive at equality — DuckDB ``ASOF JOIN`` semantics).
+    Left rows with no earlier right row keep NULLs (left-join flavor).
+
+    Plan: tag both sides, unionByName, then one per-key window pass
+    taking ``last(value, ignorenulls=true)`` over rows sorted by
+    (timestamp, tag) — right rows sort before left rows at equal
+    timestamps, so equality matches. ONE shuffle + per-key sort total;
+    never the key-equi-join-then-filter shape, whose row blowup is the
+    product of per-key cardinalities.
+
+    Ties among right rows on (key, ts) are resolved by sort order —
+    keep (key, ts) unique on the right, or pick value_cols for which
+    ties are harmless (e.g. the timestamp itself).
+    """
+    from pyspark.sql import Window
+
+    l = left.withColumn("__t", F.col(left_ts)).withColumn("__tag", F.lit(1))
+    for c in value_cols:
+        l = l.withColumn(c, F.lit(None).cast(dict(right.dtypes)[c]))
+    r = right.select(
+        F.col(right_on).alias(left_on),
+        F.col(right_ts).alias("__t"),
+        *[F.col(c) for c in value_cols],
+    ).withColumn("__tag", F.lit(0))
+    for c in l.columns:
+        if c not in r.columns:
+            r = r.withColumn(c, F.lit(None).cast(dict(l.dtypes)[c]))
+    merged = l.unionByName(r.select(*l.columns))
+    w = (
+        Window.partitionBy(left_on)
+        .orderBy("__t", "__tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in value_cols:
+        merged = merged.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return merged.filter(F.col("__tag") == 1).drop("__t", "__tag")
+
+
 def star_join(fact: DataFrame, dims: list[tuple]) -> DataFrame:
     """Chain fact ⋈ dim1 ⋈ dim2 ⋈ ... — the dashboard's fact_review ⋈
     bridge ⋈ dim pattern (SURVEY.md §2.4 A4).

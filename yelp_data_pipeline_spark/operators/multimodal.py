@@ -66,3 +66,66 @@ def decode_image_meta(
             )
 
     return df.select(id_col, payload_col).mapInPandas(_decode_batch, DECODED_SCHEMA)
+
+
+FRAMES_SCHEMA = "doc_id bigint, frame_idx int, frame_offset int"
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    stride: int = 2,
+    real_decode: bool = False,
+) -> DataFrame:
+    """Frame sampling for video-ish payloads — a ROW-EXPANDING
+    mapInPandas: each input row yields one output row per sampled
+    frame (every ``stride``-th of the container's frames).
+
+    The container probe is stubbed deterministically (n_frames =
+    1 + n_bytes % 16, frame_offset = frame_idx · (n_bytes // n_frames));
+    a real implementation replaces the inner loop with an ffmpeg
+    keyframe index read — batch shape, schema, and expansion semantics
+    are identical. Output rows ≈ input rows × frames/stride, so size
+    ``arrow.maxRecordsPerBatch`` for the *output* multiplicity.
+    """
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if real_decode:
+                raise NotImplementedError(
+                    "real frame sampling requires ffmpeg (not in this container)"
+                )
+            out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_offset": []}
+            for did, nb in zip(pdf[id_col], pdf[payload_col].map(len)):
+                n_frames = 1 + nb % 16
+                step = nb // n_frames
+                for i in range(0, n_frames, stride):
+                    out["doc_id"].append(did)
+                    out["frame_idx"].append(i)
+                    out["frame_offset"].append(i * step)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
+                    "frame_offset": pd.Series(out["frame_offset"], dtype="int32"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_sample, FRAMES_SCHEMA)
+
+
+def resize_meta(
+    df: DataFrame, max_w: int = 224, max_h: int = 224
+) -> DataFrame:
+    """Resize planning over decoded metadata — pure Catalyst (the
+    arithmetic needs no codec): clamp to (max_w, max_h). The actual
+    pixel resample would slot into the same mapInPandas stage as
+    :func:`decode_image_meta`."""
+    return df.select(
+        "doc_id",
+        "width",
+        "height",
+        F.least(F.col("width"), F.lit(max_w)).alias("out_width"),
+        F.least(F.col("height"), F.lit(max_h)).alias("out_height"),
+    )

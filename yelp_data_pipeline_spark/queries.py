@@ -819,6 +819,65 @@ def q_avg_balance_by_segment(spark, sf_dir):
 
 
 @_q(
+    "count_distinct_users",
+    """
+SELECT count(DISTINCT user_id) AS distinct_users,
+       count(*) AS total_events
+FROM events
+""",
+    doc="Distinct aggregate (SURVEY §2.4): exact COUNT(DISTINCT) — "
+    "two-phase partial dedup then merge under AQE.",
+)
+def q_count_distinct_users(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.agg(
+        F.countDistinct("user_id").alias("distinct_users"),
+        F.count(F.lit(1)).alias("total_events"),
+    )
+
+
+@_q(
+    "priority_status_cube",
+    """
+SELECT o_orderpriority, o_orderstatus, count(*) AS cnt,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE) AS sum_price
+FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+""",
+    doc="Cube (SURVEY §2.4 'built-in if needed'): all 2^k grouping "
+    "sets in one pass.",
+)
+def q_priority_status_cube(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt"), agg.exact_sum("o_totalprice", "sum_price")
+    )
+
+
+@_q(
+    "asof_latest_order",
+    """
+SELECT e.event_id, e.user_id, e.ts, o.o_orderdate AS last_order_date
+FROM events e
+ASOF LEFT JOIN orders o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+""",
+    doc="As-of join (custom operator — Spark lacks one): most recent "
+    "order at or before each event, via tag+union+per-key window "
+    "last(ignorenulls) — one shuffle, no key-equi-then-filter blowup. "
+    "Oracle is DuckDB's native ASOF JOIN.",
+)
+def q_asof_latest_order(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").alias("last_order_date")
+    )
+    joined = joins.asof_join(
+        e, o, "user_id", "o_custkey", "ts", "last_order_date", ["last_order_date"]
+    )
+    return joined.select("event_id", "user_id", "ts", "last_order_date")
+
+
+@_q(
     "priority_status_rollup",
     """
 SELECT o_orderpriority, o_orderstatus, count(*) AS cnt,
@@ -1316,6 +1375,43 @@ FROM documents
 def q_multimodal_decode_meta(spark, sf_dir):
     d = mm.attach_binary_payload(_t(spark, sf_dir, "documents"), "text")
     return mm.decode_image_meta(d)
+
+
+@_q(
+    "multimodal_frame_sample",
+    """
+SELECT doc_id,
+       CAST(i AS INT) AS frame_idx,
+       CAST(i * (strlen(text) // (1 + strlen(text) % 16)) AS INT) AS frame_offset
+FROM (SELECT doc_id, text,
+             unnest(generate_series(0, strlen(text) % 16, 2)) AS i
+      FROM documents)
+""",
+    doc="Row-expanding frame sampler over binary payloads (every 2nd "
+    "frame) via Arrow mapInPandas; container probe stubbed "
+    "deterministically — expansion semantics and batch shape real.",
+)
+def q_multimodal_frame_sample(spark, sf_dir):
+    d = mm.attach_binary_payload(_t(spark, sf_dir, "documents"), "text")
+    return mm.sample_frames(d, stride=2)
+
+
+@_q(
+    "multimodal_resize_meta",
+    """
+SELECT doc_id,
+       CAST(1 + strlen(text) % 640 AS INT) AS width,
+       CAST(1 + strlen(text) % 480 AS INT) AS height,
+       CAST(least(1 + strlen(text) % 640, 224) AS INT) AS out_width,
+       CAST(least(1 + strlen(text) % 480, 224) AS INT) AS out_height
+FROM documents
+""",
+    doc="Resize planning over decoded metadata (clamp to 224×224) — "
+    "pure Catalyst over the mapInPandas decode stage.",
+)
+def q_multimodal_resize_meta(spark, sf_dir):
+    d = mm.attach_binary_payload(_t(spark, sf_dir, "documents"), "text")
+    return mm.resize_meta(mm.decode_image_meta(d))
 
 
 # --------------------------------------------------------------------------

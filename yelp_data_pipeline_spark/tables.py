@@ -37,6 +37,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def read_json_source(spark: SparkSession, path: str, schema=None, partition_filter=None):
+    """S1/S2 — Bronze JSON ingestion (bronze_to_silver_on_minio.py:
+    141-151): line-delimited JSON, nested structs supported.
+
+    Prefer an explicit ``schema``: inference costs a full extra pass
+    over the data (the reference pays it on every monthly run). When
+    ``path`` is a Hive-partitioned layout (``year=Y/month=M/…``) the
+    partition dirs surface as typed columns; pass ``partition_filter``
+    (a Column predicate on those) so pruning happens in the optimizer
+    rather than via glob path arithmetic — the scan then lists only
+    matching directories (the reference's S2/S4 path-math idiom breaks
+    partition pruning and, on Delta 2.x, partial-path reads outright).
+    """
+    reader = spark.read if schema is None else spark.read.schema(schema)
+    df = reader.json(path)
+    if partition_filter is not None:
+        df = df.filter(partition_filter)
+    return df
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:
