@@ -11,7 +11,15 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 @pytest.fixture(scope="session")
-def spark():
-    s = get_spark("tests", master="local[4]", shuffle_partitions=4)
+def spark(tmp_path_factory):
+    s = get_spark(
+        "tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={
+            # saveAsTable target for the bucketing tests
+            "spark.sql.warehouse.dir": str(tmp_path_factory.mktemp("warehouse")),
+        },
+    )
     s.sparkContext.setLogLevel("ERROR")
     yield s

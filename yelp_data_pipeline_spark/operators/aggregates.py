@@ -37,6 +37,29 @@ def group_count(df: DataFrame, keys: list[str], alias: str = "cnt") -> DataFrame
     return df.groupBy(*keys).agg(F.count(F.lit(1)).alias(alias))
 
 
+def salted_group_count(
+    df: DataFrame, keys: list[str], alias: str = "cnt", salt_buckets: int = 16
+) -> DataFrame:
+    """Two-stage aggregation for SKEWED keys: stage 1 groups by
+    (keys + salt) so a hot key's rows spread over ``salt_buckets``
+    reducers; stage 2 sums the partials per key. The salt derives from
+    ``monotonically_increasing_id`` — value-irrelevant, it only has to
+    spread rows; the final counts are salt-invariant.
+
+    Use when one key holds a scale-breaking share of rows and AQE's
+    skew-join splitting doesn't apply (it handles joins, not
+    aggregations). For mild skew, plain groupBy + map-side partial
+    aggregation is already enough.
+    """
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets)).alias("__salt")
+    partial = (
+        df.select(*keys, salt)
+        .groupBy(*keys, "__salt")
+        .agg(F.count(F.lit(1)).alias("__pc"))
+    )
+    return partial.groupBy(*keys).agg(F.sum("__pc").alias(alias))
+
+
 def top_k(
     df: DataFrame, order_col: str, k: int, tiebreak: list[str] | None = None
 ) -> DataFrame:

@@ -82,6 +82,47 @@ def asof_join(
     return merged.filter(F.col("__tag") == 1).drop("__t", "__tag")
 
 
+def range_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    tolerance_sec: int,
+    left_cols: list[str],
+    right_cols: list[str],
+) -> DataFrame:
+    """Range join — all (left, right) pairs with |left_ts − right_ts| ≤
+    tolerance — WITHOUT a nested-loop plan.
+
+    Spark has no native range-join strategy (a bare inequality
+    condition plans as BroadcastNestedLoopJoin/cartesian). The binned
+    rewrite makes it an equi-join: bucket both sides by
+    floor(epoch / tolerance), explode the LEFT side to its bucket and
+    both neighbors, equi-join on the bucket, then apply the exact
+    range filter. A qualifying pair lands in exactly one (left-copy,
+    right) bucket match, so no dedup pass is needed. Shuffle key is
+    the bucket: candidates are bounded by per-bucket density, not n².
+    """
+    tol_us = tolerance_sec * 1_000_000
+    lb = F.floor(F.unix_micros(F.col(left_ts)) / tol_us)
+    l = left.select(
+        *left_cols,
+        F.col(left_ts).alias("__lt"),
+        F.explode(F.array(lb - 1, lb, lb + 1)).alias("__bucket"),
+    )
+    r = right.select(
+        *right_cols,
+        F.col(right_ts).alias("__rt"),
+        F.floor(F.unix_micros(F.col(right_ts)) / tol_us).alias("__bucket"),
+    )
+    joined = l.join(r, "__bucket")
+    dt = F.unix_micros(F.col("__rt")) - F.unix_micros(F.col("__lt"))
+    return (
+        joined.filter(F.abs(dt) <= tol_us)
+        .select(*left_cols, *right_cols, dt.alias("dt_us"))
+    )
+
+
 def star_join(fact: DataFrame, dims: list[tuple]) -> DataFrame:
     """Chain fact ⋈ dim1 ⋈ dim2 ⋈ ... — the dashboard's fact_review ⋈
     bridge ⋈ dim pattern (SURVEY.md §2.4 A4).

@@ -878,6 +878,65 @@ def q_asof_latest_order(spark, sf_dir):
 
 
 @_q(
+    "salted_event_type_counts",
+    """
+SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type
+""",
+    doc="Skew-safe two-stage aggregation: (key, salt) partial counts → "
+    "per-key sum. Salt-invariant result; the pattern that keeps one "
+    "hot key from pinning a single reducer (AQE splits skewed JOINS, "
+    "not aggregations).",
+)
+def q_salted_event_type_counts(spark, sf_dir):
+    return agg.salted_group_count(
+        _t(spark, sf_dir, "events"), ["event_type"], salt_buckets=16
+    )
+
+
+@_q(
+    "event_pairs_within_5s",
+    """
+SELECT a.event_id AS id_a, b.event_id AS id_b,
+       epoch_us(b.ts) - epoch_us(a.ts) AS dt_us
+FROM events a JOIN events b
+  ON b.ts >= a.ts - INTERVAL 5 SECOND
+ AND b.ts <= a.ts + INTERVAL 5 SECOND
+ AND a.event_id < b.event_id
+""",
+    doc="Range join (custom operator — Spark plans bare inequality "
+    "joins as nested loops): event pairs within ±5s via bucket-binned "
+    "equi-join + exact filter; each pair matches exactly once, no "
+    "dedup pass.",
+)
+def q_event_pairs_within_5s(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    a = e.select(F.col("event_id").alias("id_a"), F.col("ts").alias("ts_a"))
+    b = e.select(F.col("event_id").alias("id_b"), F.col("ts").alias("ts_b"))
+    return joins.range_join_binned(a, b, "ts_a", "ts_b", 5, ["id_a"], ["id_b"]).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+
+
+@_q(
+    "median_price_by_priority",
+    """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
+       count(*) AS cnt
+FROM orders GROUP BY o_orderpriority
+""",
+    doc="Exact median (linear-interpolated) per group — Spark "
+    "percentile vs DuckDB quantile_cont, rounded to 6dp.",
+)
+def q_median_price_by_priority(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("median_price"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@_q(
     "priority_status_rollup",
     """
 SELECT o_orderpriority, o_orderstatus, count(*) AS cnt,
