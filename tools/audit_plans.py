@@ -1,0 +1,109 @@
+"""Plan auditor: prints scale-relevant physical-plan properties for
+registry queries so plan regressions are visible at a glance.
+
+For each query: exchange (shuffle) count, broadcast count, whether
+filters/projections reached the parquet scan (PushedFilters/ReadSchema),
+whole-stage-codegen span count, and any nested-loop/cartesian nodes
+(always a red flag at scale). Usage:
+
+    python tools/audit_plans.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from yelp_data_pipeline_spark.queries import registry
+from yelp_data_pipeline_spark.session import get_spark
+
+DEFAULT_AUDIT = [
+    "pricing_summary",
+    "top_regions_by_orders",
+    "filtered_lineitems",
+    "dedup_minhash_pairs",
+    "dedup_ngram_pairs",
+    "simhash_near_pairs",
+    "embedding_neardup_pairs",
+    "ann_topk_cosine",
+    "asof_latest_order",
+    "event_pairs_within_5s",
+    "user_sessions",
+    "fact_orders",
+]
+
+
+def _elide_cached(plan: str) -> str:
+    """Drop the build-plan subtree repeated under every
+    InMemoryRelation node: it prints once per cached-scan consumer but
+    executes at most once, so string-counting it inflates exchange
+    totals."""
+    out, skip_depth = [], None
+    for line in plan.splitlines():
+        label = re.search(r"[A-Za-z*]", line)
+        depth = label.start() if label else 0
+        if skip_depth is not None:
+            if depth > skip_depth:
+                continue
+            skip_depth = None
+        if "InMemoryRelation" in line:
+            out.append(line[: line.index("InMemoryRelation")] + "InMemoryRelation <elided>")
+            skip_depth = line.index("InMemoryRelation")
+            continue
+        out.append(line)
+    return "\n".join(out)
+
+
+def audit(name: str, df) -> dict:
+    # Execute first: under AQE the plan string is pre-final
+    # (isFinalPlan=false) until the query actually runs, hiding codegen
+    # spans and runtime join choices.
+    jqe = df._jdf.queryExecution()
+    jqe.executedPlan().executeCollect()
+    plan = _elide_cached(jqe.executedPlan().toString())
+    # codegen spans print as `*(N)` prefixes; long PushedFilters lists
+    # are truncated by toString without a closing bracket, so count
+    # non-empty opens rather than matching to `]`.
+    return {
+        "query": name,
+        "exchanges": len(re.findall(r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition|RoundRobin)", plan)),
+        "broadcasts": plan.count("BroadcastExchange"),
+        "codegen_spans": len(set(re.findall(r"\*\((\d+)\)", plan))),
+        "pushed_filters": len(re.findall(r"PushedFilters: \[(?!\])", plan)),
+        "nested_loop": ("BroadcastNestedLoopJoin" in plan) or ("CartesianProduct" in plan),
+        "takeordered": "TakeOrderedAndProject" in plan,
+    }
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = sys.argv[2:] or DEFAULT_AUDIT
+    spark = get_spark("audit_plans")
+    spark.sparkContext.setLogLevel("ERROR")
+    bad = 0
+    specs = {s.name: s for s in registry()}
+    header = f"{'query':32} {'xchg':>4} {'bcast':>5} {'wscg':>4} {'pushF':>5} {'topk':>4}  flags"
+    print(header)
+    print("-" * len(header))
+    for name in only:
+        if name not in specs:
+            print(f"unknown query {name!r}; valid: {', '.join(sorted(specs))}")
+            return 2
+        df = specs[name].fn(spark, sf_dir)
+        a = audit(name, df)
+        flags = "NESTED-LOOP!" if a["nested_loop"] else ""
+        print(
+            f"{a['query']:32} {a['exchanges']:>4} {a['broadcasts']:>5} "
+            f"{a['codegen_spans']:>4} {a['pushed_filters']:>5} "
+            f"{str(a['takeordered'])[0]:>4}  {flags}"
+        )
+        if a["nested_loop"]:
+            bad += 1
+    print(f"\n{'OK' if bad == 0 else f'{bad} queries with nested-loop plans'}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.hashing import md5_long, md5_pair
 from ..session import ensure_min_parallelism
@@ -183,7 +184,15 @@ def minhash_lsh_pairs(
     output has no false positives — LSH only bounds recall.
     """
     rows = k // bands
-    sig = minhash_signature(df, id_col, text_col, k, n)
+    # The signature relation feeds THREE consumers (band keys + both
+    # verify joins); without materialization each consumer re-runs the
+    # whole shingle+hash pipeline. MEMORY_AND_DISK persist is the
+    # classic materialize-vs-recompute call: at any scale, hashing the
+    # corpus once beats hashing it three times, and the persisted rows
+    # spill rather than OOM.
+    sig = minhash_signature(df, id_col, text_col, k, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     band_cols = [
         F.md5(
             F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)])

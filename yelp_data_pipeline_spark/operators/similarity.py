@@ -21,6 +21,7 @@ import hashlib
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.vectors import cosine, dot, norm
 from ..session import ensure_min_parallelism
@@ -99,10 +100,16 @@ def cosine_neardup_pairs(
     # Norms computed ONCE per vector here — the per-candidate verify
     # below then costs a single dot fold instead of dot + two norms
     # (bit-identical value: same expressions, evaluated earlier).
-    pre = ensure_min_parallelism(df).select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("u"),
-        norm(F.col(vec_col)).alias("nrm"),
+    # Three consumers (sign bits + both verify joins) — persist so the
+    # scan + norm fold run once, not per consumer.
+    pre = (
+        ensure_min_parallelism(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("u"),
+            norm(F.col(vec_col)).alias("nrm"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     bits = [
         (dot(F.col("u"), F.array(*[F.lit(x) for x in planes[p]])) > 0)
