@@ -36,6 +36,9 @@ HEADLINE = [
     "user_sessions",
     "simhash_near_pairs",
     "ann_topk_cosine",
+    "embedding_neardup_pairs",
+    "asof_latest_order",
+    "event_pairs_within_5s",
 ]
 
 

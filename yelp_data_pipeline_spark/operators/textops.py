@@ -129,3 +129,46 @@ def doc_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         fingerprint(F.col(text_col)).alias("fingerprint"),
         F.length(normalize_text(F.col(text_col))).alias("norm_len"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD'03): hash every word ``k``-gram IN ORDER (a rolling window
+    of hashes), then keep the minimum hash of every length-``w``
+    window. Guarantees: any shared substring of ≥ w+k-1 tokens yields
+    at least one shared fingerprint, and fingerprint density is
+    ~2/(w+1) regardless of document length — the standard
+    plagiarism/near-dup fingerprint with a bounded size.
+
+    Entirely map-side Catalyst higher-order expressions over the token
+    array; output is the sorted distinct fingerprint set per doc.
+    """
+    from ..functions.hashing import md5_long
+
+    toks = tokens(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hashes = F.transform(grams, lambda g: md5_long(g))
+    n = F.size(hashes)
+    wins = (
+        F.when(
+            n >= w,
+            F.transform(
+                F.sequence(F.lit(1), n - (w - 1)),
+                lambda i: F.array_min(F.slice(hashes, i, w)),
+            ),
+        )
+        .when(n > 0, F.array(F.array_min(hashes)))
+        .otherwise(F.array().cast("array<long>"))
+    )
+    return df.select(
+        F.col(id_col),
+        F.array_sort(F.array_distinct(wins)).alias("fingerprints"),
+    )

@@ -1391,6 +1391,40 @@ def q_token_stats(spark, sf_dir):
 
 
 @_q(
+    "winnowing_fingerprints",
+    f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3 THEN
+           list_transform(generate_series(1, len(toks) - 2),
+                          i -> array_to_string(toks[i:i+2], ' '))
+         ELSE [] END AS grams
+  FROM t
+),
+h AS (
+  SELECT doc_id, list_transform(grams, s -> {md5_long_sql('s')}) AS hs FROM g
+)
+SELECT doc_id,
+       CASE WHEN len(hs) >= 4 THEN
+              list_sort(list_distinct(list_transform(
+                generate_series(1, len(hs) - 3), i -> list_min(hs[i:i+3]))))
+            WHEN len(hs) > 0 THEN [list_min(hs)]
+            ELSE [] END AS fingerprints
+FROM h
+""",
+    doc="Winnowing (rolling-hash) document fingerprints — SIGMOD'03 "
+    "scheme: ordered k-gram hashes, per-window minima; shared "
+    "substrings ≥ w+k-1 tokens always share a fingerprint.",
+)
+def q_winnowing_fingerprints(spark, sf_dir):
+    return tx.winnow_fingerprints(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@_q(
     "top_words",
     """
 SELECT w AS word, count(*) AS cnt
