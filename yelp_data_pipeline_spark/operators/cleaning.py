@@ -246,6 +246,37 @@ def process_business(
     return out
 
 
+def process_checkins(df: DataFrame, date_col: str = "date") -> DataFrame:
+    """M7 — checkin exploder (B2S:78-86): comma-joined timestamp list →
+    one row per check-in with timestamp + (year, month) partition
+    columns; the raw list column is dropped."""
+    out = df.withColumn("__arr", F.split(F.col(date_col), ","))
+    out = out.drop(date_col).select("*", F.explode("__arr").alias(date_col)).drop("__arr")
+    ts = F.to_timestamp(F.trim(F.col(date_col)))
+    return (
+        out.withColumn(date_col, ts)
+        .withColumn("year", F.year(date_col))
+        .withColumn("month", F.month(date_col))
+    )
+
+
+def process_users(
+    df: DataFrame,
+    elite_col: str = "elite",
+    friends_col: str = "friends",
+    since_col: str = "yelping_since",
+) -> DataFrame:
+    """M8 — user cleaner (B2S:87-106): comma-joined elite years and
+    friend ids → arrays (empty string → NULL), counts via size with
+    NULL→0, yelping_since → timestamp."""
+    out = split_csv_to_array(df, elite_col, "elite_years", pattern=",")
+    out = array_count(out, "elite_years", "elite_years_count")
+    out = split_csv_to_array(out, friends_col, "friends_list", pattern=r",\s*")
+    out = array_count(out, "friends_list", "friends_count")
+    out = out.drop(elite_col, friends_col)
+    return out.withColumn(since_col, F.to_timestamp(F.col(since_col)))
+
+
 def add_event_date_parts(df: DataFrame, ts_col: str, ts_out: str | None = None) -> DataFrame:
     """M9 — review/tip dater (B2S:108-111): string/ts → timestamp plus
     year/month partition columns."""
