@@ -722,6 +722,26 @@ def q_top_order_per_customer(spark, sf_dir):
 
 
 @_q(
+    "order_price_quartiles",
+    """
+SELECT o_orderkey, o_totalprice,
+       CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INT) AS quartile
+FROM orders
+""",
+    doc="ntile ranking window (SURVEY §2.5 completeness): global "
+    "quartile assignment with a unique-key tiebreak.",
+)
+def q_order_price_quartiles(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey", "o_totalprice", F.ntile(4).over(w).alias("quartile")
+    )
+
+
+@_q(
     "event_lag_gaps",
     """
 SELECT user_id, event_id, ts,
