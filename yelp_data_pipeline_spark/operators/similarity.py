@@ -164,6 +164,42 @@ def cosine_neardup_pairs(
     )
 
 
+def cosine_topk_batch(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qv",
+    round_to: int = 6,
+) -> DataFrame:
+    """Batch ANN serving: exact top-k neighbors for EVERY query vector
+    in ``queries`` at once.
+
+    Plan: broadcast the (small) query set against the corpus scan —
+    one pass over the data regardless of query count — then per-query
+    top-k via a partitioned row_number window (per-key heap, shuffled
+    only by qid). This is the serving-path shape: queries ≪ corpus,
+    corpus scanned once, never once per query.
+    """
+    from pyspark.sql import Window
+
+    scored = df.crossJoin(F.broadcast(queries)).select(
+        F.col(qid_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col(qvec_col)), round_to).alias("score"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(qid_col, id_col, "score")
+    )
+
+
 def cosine_neardup_pairs_exact(
     df: DataFrame,
     threshold: float,

@@ -1287,6 +1287,35 @@ def q_embedding_neardup_pairs(spark, sf_dir):
 
 
 @_q(
+    "ann_topk_batch",
+    f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id IN (0, 1, 2)
+),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         round({cosine_sql('e.embedding', 'q.qv', _EMB_DIM)}, 6) AS score
+  FROM embeddings e, q
+)
+SELECT qid, vec_id, score FROM (
+  SELECT qid, vec_id, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+  FROM scored
+) WHERE rn <= 5
+""",
+    doc="Batch ANN serving: top-5 neighbors for every query vector in "
+    "one corpus pass — broadcast query set + per-query row_number "
+    "window (the queries ≪ corpus serving shape).",
+)
+def q_ann_topk_batch(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qset = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    return sim.cosine_topk_batch(emb, qset, k=5)
+
+
+@_q(
     "ann_ivf_topk",
     f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
