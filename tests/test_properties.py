@@ -1,0 +1,95 @@
+"""Property-based invariants (hypothesis) — randomized inputs, one
+Spark job per example, few examples (Spark round-trips are the cost).
+"""
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from yelp_data_pipeline_spark.operators import dedup as dd
+from yelp_data_pipeline_spark.operators.joins import asof_join
+from yelp_data_pipeline_spark.operators.upsert import merge_upsert_df
+from yelp_data_pipeline_spark.operators.textops import winnow_fingerprints
+
+SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+keys = st.lists(st.integers(0, 20), min_size=1, max_size=12, unique=True)
+
+
+@given(target=keys, updates=keys)
+@settings(**SETTINGS)
+def test_merge_upsert_key_algebra(spark, target, updates):
+    t = spark.createDataFrame([(k, "old") for k in target], "k long, v string")
+    u = spark.createDataFrame([(k, "new") for k in updates], "k long, v string")
+    got = {r["k"]: r["v"] for r in merge_upsert_df(t, u, ["k"]).collect()}
+    assert set(got) == set(target) | set(updates)          # keys = union
+    for k in updates:
+        assert got[k] == "new"                             # updates win
+    for k in set(target) - set(updates):
+        assert got[k] == "old"                             # untouched survive
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 1_000_000), st.sampled_from(["a", "b", "c"])),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_dedup_exact_min_survivor(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["text"]: r["doc_id"] for r in dd.dedup_exact(df, ["text"], "doc_id").collect()}
+    want = {}
+    for i, t in rows:
+        want[t] = min(want.get(t, i), i)
+    assert got == want
+
+
+@given(
+    left=st.lists(st.integers(0, 100), min_size=1, max_size=15),
+    right=st.lists(st.tuples(st.integers(0, 100), st.integers(0, 99)), max_size=15),
+)
+@settings(**SETTINGS)
+def test_asof_join_matches_bruteforce(spark, left, right):
+    # single key; times are integers mapped to timestamps
+    l = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(left)], "event_id long, t long"
+    ).withColumn("ts", F.timestamp_seconds("t")).withColumn("k", F.lit(1))
+    r = spark.createDataFrame(
+        [(t, float(v)) for t, v in right] or [(None, None)],
+        "rt long, val double",
+    ).dropna().withColumn("rts", F.timestamp_seconds("rt")).withColumn("k", F.lit(1))
+    got = {
+        row["event_id"]: row["val"]
+        for row in asof_join(l, r, "k", "k", "ts", "rts", ["val"]).collect()
+    }
+    cleaned = [(t, float(v)) for t, v in right]
+    for i, t in enumerate(left):
+        eligible = [(rt, v) for rt, v in cleaned if rt <= t]
+        if eligible:
+            best_rt = max(rt for rt, _ in eligible)
+            candidates = {v for rt, v in eligible if rt == best_rt}
+            assert got[i] in candidates     # tie among equal rt is free
+        else:
+            assert got[i] is None
+
+
+@given(
+    prefix=st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=8),
+    shared=st.lists(st.sampled_from("stuvwxyz"), min_size=6, max_size=10),
+    suffix=st.lists(st.sampled_from("ijklmnop"), min_size=0, max_size=8),
+)
+@settings(**SETTINGS)
+def test_winnowing_shared_substring_guarantee(spark, prefix, shared, suffix):
+    # two docs sharing a run of >= w+k-1 = 6 tokens must share a fingerprint
+    d1 = " ".join(prefix + shared)
+    d2 = " ".join(shared + suffix)
+    df = spark.createDataFrame([(1, d1), (2, d2)], "doc_id long, text string")
+    fps = {r["doc_id"]: set(r["fingerprints"]) for r in
+           winnow_fingerprints(df, "doc_id", "text", k=3, w=4).collect()}
+    assert fps[1] & fps[2], f"no shared fingerprint for shared run {shared}"
