@@ -1,0 +1,69 @@
+"""Streaming output tier: stream-static joins and foreachBatch sinks —
+the pieces that turn windowed aggregates into a served/landed table."""
+
+import pyspark.sql.functions as F
+
+from yelp_data_pipeline_spark.streaming import windows as sw
+
+from conftest import SF_DIR
+
+
+def test_stream_static_join(spark, tmp_path):
+    """Enrich a stream with a static dimension (broadcast on the
+    static side) — the canonical serving-join; state-free."""
+    stream = sw.stream_events_from_parquet(spark, SF_DIR)
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("view", "engagement"), ("purchase", "revenue")],
+        "event_type string, category string",
+    )
+    enriched = stream.join(F.broadcast(dim), "event_type", "left")
+    q = (
+        enriched.groupBy("category")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .writeStream.format("memory")
+        .queryName("t_enriched")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["category"]: r["cnt"] for r in spark.sql("SELECT * FROM t_enriched").collect()}
+    batch = spark.read.parquet(f"{SF_DIR}/events.parquet").join(
+        F.broadcast(dim), "event_type", "left"
+    )
+    want = {
+        r["category"]: r["cnt"]
+        for r in batch.groupBy("category").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert got == want and len(got) > 1
+
+
+def test_foreach_batch_partitioned_sink(spark, tmp_path):
+    """foreachBatch: land each micro-batch as a (year, month)-
+    partitioned parquet table via the batch write tier — streaming
+    ingestion writing the same Silver layout as the monthly job."""
+    from yelp_data_pipeline_spark.operators.upsert import write_partitioned
+
+    out_dir = str(tmp_path / "landed")
+    stream = sw.stream_events_from_parquet(spark, SF_DIR).select(
+        "event_id", "ts", F.year("ts").alias("year"), F.month("ts").alias("month")
+    )
+
+    def _land(batch_df, batch_id):
+        write_partitioned(batch_df, out_dir, ["year", "month"])
+
+    q = (
+        stream.writeStream.foreachBatch(_land)
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    landed = spark.read.parquet(out_dir)
+    src_cnt = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert landed.count() == src_cnt
+    # partition pruning works on the landed layout
+    pruned = landed.filter((F.col("year") == landed.agg(F.min("year")).first()[0]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
