@@ -1,0 +1,116 @@
+"""Connected components, deterministic sampling, and the new text ops
+(TF-IDF / PII scrub / inverted index / curation composite)."""
+
+from pyspark.sql import functions as F
+
+from yelp_data_pipeline_spark.operators import graph, sampling as smp
+from yelp_data_pipeline_spark.operators import textops as tx
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    out = graph.connected_components(df, "doc_a", "doc_b")
+    return {r["node"]: r["cluster"] for r in out.collect()}
+
+
+def test_cc_chain_star_disjoint(spark):
+    # chain 1-2-3-4 (diameter > 1 round), star 10-{11,12,13}, pair 20-21
+    labels = _cc(
+        spark,
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (10, 13), (20, 21)],
+    )
+    assert labels == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10, 12: 10, 13: 10,
+        20: 20, 21: 20,
+    }
+
+
+def test_cc_long_chain_converges(spark):
+    # 12-node chain: worst-case diameter for hash-min propagation.
+    labels = _cc(spark, [(i, i + 1) for i in range(100, 112)])
+    assert set(labels.values()) == {100}
+    assert len(labels) == 13
+
+
+def test_dedup_clusters_labels_all_docs_and_survivors(spark):
+    docs = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    pairs = spark.createDataFrame([(2, 5), (5, 7)], "doc_a long, doc_b long")
+    clusters = graph.dedup_clusters(docs, pairs)
+    got = {r["doc_id"]: r["cluster_id"] for r in clusters.collect()}
+    assert got == {1: 1, 2: 2, 3: 3, 4: 4, 5: 2, 6: 6, 7: 2}
+    surv = {r["doc_id"]: r["n_members"] for r in graph.dedup_survivors(clusters).collect()}
+    assert surv == {1: 1, 2: 3, 3: 1, 4: 1, 6: 1}
+
+
+def test_hash_sample_deterministic_and_disjoint_salts(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    a = {r["k"] for r in smp.hash_sample(df, "k", 0.2, salt="s1").collect()}
+    b = {r["k"] for r in smp.hash_sample(df, "k", 0.2, salt="s1").collect()}
+    c = {r["k"] for r in smp.hash_sample(df, "k", 0.2, salt="s2").collect()}
+    assert a == b  # rerun-stable
+    assert a != c  # independent draw per salt
+    assert 0.15 < len(a) / 2000 < 0.25  # rate in the right ballpark
+    # nested property: a 10% sample with the same salt is a subset
+    sub = {r["k"] for r in smp.hash_sample(df, "k", 0.1, salt="s1").collect()}
+    assert sub <= a
+
+
+def test_stratified_rates(spark):
+    rows = [(i, "en" if i % 2 == 0 else "zh") for i in range(2000)]
+    df = spark.createDataFrame(rows, "k long, lang string")
+    out = smp.stratified_hash_sample(
+        df, "k", "lang", {"en": 0.05, "zh": 0.8}, default_fraction=0.0
+    )
+    by_lang = {
+        r["lang"]: r["cnt"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert 20 <= by_lang["en"] <= 90  # ~50 of 1000
+    assert 720 <= by_lang["zh"] <= 880  # ~800 of 1000
+
+
+def test_scrub_pii_replaces_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at bob.smith+x@corp.example.com or call +1 (555) 123-4567"),
+            (2, "see https://example.com/a?b=1 and http://foo.bar twice"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in tx.scrub_pii(df, "doc_id", "text").collect()}
+    assert "<EMAIL>" in out[1]["scrubbed_text"]
+    assert "<PHONE>" in out[1]["scrubbed_text"]
+    assert out[1]["n_emails"] == 1 and out[1]["n_phones"] == 1
+    assert out[2]["n_urls"] == 2
+    assert "@" not in out[1]["scrubbed_text"]
+    assert out[3]["scrubbed_text"] == "nothing sensitive here"
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta common common"),
+            (2, "gamma beta common"),
+            (3, "delta common common beta"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tx.tfidf_top_terms(df, "doc_id", "text", top_n=1).collect()
+    top = {r["doc_id"]: r["term"] for r in out}
+    # the doc-unique term beats terms shared across all docs
+    assert top == {1: "alpha", 2: "gamma", 3: "delta"}
+    # idf of an everywhere-term is ln(1) = 0
+    all_rows = tx.tfidf_top_terms(df, "doc_id", "text", top_n=10).collect()
+    assert all(r["tfidf"] == 0.0 for r in all_rows if r["term"] in ("common", "beta"))
+
+
+def test_inverted_index_postings_sorted_capped(spark):
+    df = spark.createDataFrame(
+        [(i, "shared unique%d" % i) for i in range(30)], "doc_id long, text string"
+    )
+    out = {r["term"]: r for r in tx.inverted_index(df, "doc_id", "text", min_df=2, max_postings=5).collect()}
+    assert list(out) == ["shared"]  # hapaxes dropped
+    assert out["shared"]["df"] == 30
+    assert out["shared"]["postings"] == [0, 1, 2, 3, 4]  # sorted, capped

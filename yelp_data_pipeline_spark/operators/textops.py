@@ -131,6 +131,102 @@ def doc_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, top_n: int = 3
+) -> DataFrame:
+    """Top-``top_n`` TF-IDF terms per document.
+
+    Plan: explode distinct-cased tokens → tf per (doc, term) via one
+    groupBy → document frequency per term via a second groupBy on the
+    *term-level* relation (slim: term + doc pairs, payload never
+    shuffled) → idf = ln(N/df) with N broadcast as a 1-row literal
+    join (one scalar driver round-trip, same precedent as the ANN
+    query vector) → window top-n with (score, term) tiebreak.
+
+    Determinism: the score is rounded to 6dp BEFORE ranking on both
+    engines, and ties break on the term string — the selected set and
+    order match DuckDB exactly.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.col(id_col)).distinct().count()
+    scored = tf.join(dfreq, "term").withColumn(
+        "tfidf",
+        F.round(
+            F.col("tf").cast("double")
+            * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+            6,
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_n)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rnk")
+    )
+
+
+# PII patterns kept to syntax valid in BOTH Java regex (Spark) and RE2
+# (DuckDB): no backrefs, no lookaround.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_PATTERN = r"https?://[^\s]+"
+PHONE_PATTERN = r"\+?[0-9][0-9()\-. ]{7,}[0-9]"
+
+
+def scrub_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Replace emails / URLs / phone-ish numbers with typed placeholder
+    tokens and report per-kind match counts — the standard pre-training
+    scrub pass. One vectorized regexp chain, entirely map-side."""
+    c = F.col(text_col)
+    scrubbed = F.regexp_replace(c, EMAIL_PATTERN, "<EMAIL>")
+    scrubbed = F.regexp_replace(scrubbed, URL_PATTERN, "<URL>")
+    scrubbed = F.regexp_replace(scrubbed, PHONE_PATTERN, "<PHONE>")
+    return df.select(
+        F.col(id_col),
+        scrubbed.alias("scrubbed_text"),
+        F.regexp_count(c, F.lit(EMAIL_PATTERN)).alias("n_emails"),
+        F.regexp_count(c, F.lit(URL_PATTERN)).alias("n_urls"),
+        F.regexp_count(c, F.lit(PHONE_PATTERN)).alias("n_phones"),
+    )
+
+
+def inverted_index(
+    df: DataFrame, id_col: str, text_col: str, min_df: int = 2, max_postings: int = 20
+) -> DataFrame:
+    """Posting lists: term → document frequency + the first
+    ``max_postings`` doc ids (sorted). Terms below ``min_df`` are
+    dropped (the huge hapax tail — at corpus scale it's most of the
+    vocabulary and serves no retrieval purpose).
+
+    collect_set is bounded per term by ``max_postings`` only after the
+    sort — at true scale the cap moves INTO the aggregation via a
+    window top-n per term; here df is fixture-bounded and the simple
+    shape keeps the oracle exact.
+    """
+    tok = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    return (
+        tok.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.slice(F.array_sort(F.collect_set("doc_id")), 1, max_postings).alias(
+                "postings"
+            ),
+        )
+        .filter(F.col("df") >= min_df)
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, w: int = 4
 ) -> DataFrame:

@@ -27,7 +27,8 @@ from .functions.vectors import cosine_sql
 from .operators import aggregates as agg
 from .operators import cleaning as cl
 from .operators import dedup as dd
-from .operators import dims, facts, joins
+from .operators import dims, facts, graph, joins
+from .operators import sampling as smp
 from .operators import multimodal as mm
 from .operators import similarity as sim
 from .operators import textops as tx
@@ -1494,6 +1495,207 @@ def q_top_words(spark, sf_dir):
     ex = cl.explode_csv(d, "text", "word", pattern=r"\s+")
     counts = agg.group_count(ex.select("word"), ["word"])
     return agg.top_k(counts, "cnt", 20, tiebreak=["word"])
+
+
+# --------------------------------------------------------------------------
+# North-star: dedup clustering, sampling, curation, retrieval stats
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "dedup_clusters",
+    f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({_minhash_oracle(k=12, bands=4, threshold=0.8)}) mp
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+walk(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.node
+)
+SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node
+""",
+    doc="Connected components over MinHash near-dup pairs: pairs alone "
+    "can't pick survivors (A~B, B~C ⇒ {A,B,C} is ONE group) — hash-min "
+    "label propagation labels every doc with its component's min id; "
+    "oracle = exact reachability via recursive CTE, so the check "
+    "covers the transitive closure, not a banding replay.",
+)
+def q_dedup_clusters(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs, "doc_id", "text", k=12, bands=4, threshold=0.8)
+    return graph.dedup_clusters(docs, pairs)
+
+
+_SAMPLE_KEY_SQL = md5_long_sql("concat_ws('|', 'r2', CAST(doc_id AS VARCHAR))")
+
+
+@_q(
+    "sampled_documents",
+    f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE {_SAMPLE_KEY_SQL} % 10000 < 1000
+""",
+    doc="Deterministic 10% hash sample: rand() resamples per partition "
+    "layout, a content-hash bucket selects the same rows on every "
+    "engine/rerun/repartition — zero shuffle, pure map-side.",
+)
+def q_sampled_documents(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return smp.hash_sample(d, "doc_id", 0.10, salt="r2")
+
+
+@_q(
+    "stratified_sample_by_lang",
+    f"""
+SELECT doc_id, lang
+FROM documents
+WHERE {_SAMPLE_KEY_SQL} % 10000 <
+      CASE WHEN lang = 'en' THEN 500
+           WHEN lang = 'zh' THEN 5000
+           ELSE 2000 END
+""",
+    doc="Stratified hash sampling — per-language rates (downsample "
+    "dominant en 5%, keep half of rare zh, 20% default): the corpus "
+    "rebalancing move, still deterministic and map-side.",
+)
+def q_stratified_sample_by_lang(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return smp.stratified_hash_sample(
+        d, "doc_id", "lang", {"en": 0.05, "zh": 0.5}, default_fraction=0.2, salt="r2"
+    )
+
+
+@_q(
+    "tfidf_top_terms",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, df,
+         round(CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term), n
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf, rnk FROM ranked WHERE rnk <= 3
+""",
+    doc="Top-3 TF-IDF terms per doc: two slim groupBys (term-level "
+    "relation never carries payloads) + window top-n; score rounded to "
+    "6dp BEFORE ranking with a term tiebreak so both engines select "
+    "the identical set.",
+)
+def q_tfidf_top_terms(spark, sf_dir):
+    return tx.tfidf_top_terms(_t(spark, sf_dir, "documents"), "doc_id", "text", 3)
+
+
+@_q(
+    "scrub_pii_docs",
+    f"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+         '{tx.EMAIL_PATTERN}', '<EMAIL>', 'g'),
+         '{tx.URL_PATTERN}', '<URL>', 'g'),
+         '{tx.PHONE_PATTERN}', '<PHONE>', 'g') AS scrubbed_text,
+       CAST(len(regexp_extract_all(text, '{tx.EMAIL_PATTERN}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{tx.URL_PATTERN}')) AS INT) AS n_urls,
+       CAST(len(regexp_extract_all(text, '{tx.PHONE_PATTERN}')) AS INT) AS n_phones
+FROM documents
+""",
+    doc="PII scrub pass: emails/URLs/phone-ish spans → typed "
+    "placeholders + per-kind counts; patterns restricted to the "
+    "Java-regex ∩ RE2 dialect so the oracle replays them exactly.",
+)
+def q_scrub_pii_docs(spark, sf_dir):
+    return tx.scrub_pii(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@_q(
+    "inverted_postings",
+    """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS term
+  FROM documents
+),
+agg AS (
+  SELECT term, count(*) AS df,
+         (list_sort(list(doc_id)))[1:20] AS postings
+  FROM tok WHERE term <> '' GROUP BY term
+)
+SELECT term, df, postings FROM agg WHERE df >= 2
+""",
+    doc="Inverted-index posting lists: term → df + first 20 sorted doc "
+    "ids; hapax tail dropped (min_df=2). Shuffle key is the term; "
+    "payloads never move.",
+)
+def q_inverted_postings(spark, sf_dir):
+    return tx.inverted_index(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", min_df=2, max_postings=20
+    )
+
+
+@_q(
+    "curated_documents",
+    f"""
+WITH q AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS INT) AS n_tokens,
+         round(least(CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS DOUBLE) / 100.0, 1.0) * 0.5
+               + round(CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                    t -> t IN ({", ".join(f"'{w}'" for w in tx.LANG_STOPWORDS['en'])}))) AS DOUBLE)
+                 / CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS DOUBLE), 6) * 0.3
+               + (1.0 - least(round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+                 / CAST(length(text) AS DOUBLE), 6) * 10, 1.0)) * 0.2,
+               6) AS quality_score
+  FROM documents
+),
+keep AS (
+  SELECT min(doc_id) AS doc_id
+  FROM documents
+  GROUP BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d
+JOIN keep USING (doc_id)
+JOIN q USING (doc_id)
+WHERE q.quality_score >= 0.45 AND q.n_tokens BETWEEN 5 AND 5000
+""",
+    doc="End-to-end curation composite: fingerprint-dedup survivors ∩ "
+    "quality threshold ∩ token-length bounds — the assembled "
+    "training-data filter chain (dedup → quality → bounds) as one "
+    "declarative plan.",
+)
+def q_curated_documents(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    q = tx.quality_features(docs, "doc_id", "text").filter(
+        (F.col("quality_score") >= 0.45) & F.col("n_tokens").between(5, 5000)
+    )
+    keep = (
+        tx.doc_fingerprints(docs, "doc_id", "text")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    return (
+        docs.join(keep.select("doc_id"), "doc_id", "left_semi")
+        .join(q.select("doc_id"), "doc_id", "left_semi")
+        .select("doc_id", "lang", "source", "n_chars")
+    )
 
 
 # --------------------------------------------------------------------------
