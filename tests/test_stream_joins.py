@@ -1,0 +1,80 @@
+"""Stream-stream interval join and streaming dedup — true readStream
+runs compared against their batch twins."""
+
+import pyspark.sql.functions as F
+
+from yelp_data_pipeline_spark.streaming import joins as sj
+from yelp_data_pipeline_spark.streaming import windows as sw
+
+from conftest import SF_DIR
+
+
+def _batch_events(spark):
+    return spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+def _run(agg, tmp_path, name, mode="append"):
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    def split(df):
+        ev = df.select("user_id", "ts", "event_type", "event_id")
+        return (
+            ev.filter(F.col("event_type") == "view"),
+            ev.filter(F.col("event_type") == "purchase"),
+        )
+
+    ls, rs = split(sw.stream_events_from_parquet(spark, SF_DIR))
+    joined = sj.interval_join(
+        ls.withWatermark("ts", "1 hour"),
+        rs.withWatermark("ts", "1 hour"),
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        upper="10 minutes",
+    )
+    _run(joined, tmp_path, "t_ssj")
+    got = {
+        (r["l_key"], str(r["l_ts"]), str(r["r_ts"]))
+        for r in spark.sql("SELECT * FROM t_ssj").collect()
+    }
+
+    lb, rb = split(_batch_events(spark))
+    want = {
+        (r["l_key"], str(r["l_ts"]), str(r["r_ts"]))
+        for r in sj.interval_join(
+            lb, rb, key="user_id", left_ts="ts", right_ts="ts", upper="10 minutes"
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_stream_dedup_drops_redelivered_file(spark, tmp_path):
+    # Simulate at-least-once redelivery: the same events parquet
+    # appears twice in the stream source directory.
+    src = tmp_path / "redelivered"
+    src.mkdir()
+    batch = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    batch.write.mode("overwrite").parquet(str(src / "d1.parquet"))
+    batch.write.mode("append").parquet(str(src / "d1.parquet"))  # the dup
+
+    schema = spark.read.parquet(str(src / "d1.parquet")).schema
+    stream = spark.readStream.schema(schema).parquet(str(src / "d1.parquet"))
+    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    deduped = sj.dedup_stream(stream, ["event_id"], "ts", "2 hours")
+    _run(deduped, tmp_path, "t_dedup")
+    n = spark.sql("SELECT count(*) AS c FROM t_dedup").collect()[0]["c"]
+    n_distinct = batch.select("event_id").distinct().count()
+    assert n == n_distinct  # every redelivered row dropped, one survivor per id

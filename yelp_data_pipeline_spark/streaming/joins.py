@@ -1,0 +1,66 @@
+"""Stream-stream joins and streaming deduplication.
+
+The two stateful streaming shapes the windowed aggregates don't
+cover. Both are batch/stream-agnostic DataFrame transforms; on a
+stream they require watermarks so the state store can evict.
+
+Scale posture: state size is the failure mode. The interval join
+bounds state to (watermark delay + interval) per key on each side;
+streaming dedup bounds it to the watermark horizon — without the
+watermark both grow forever and the job dies at scale, so the
+helpers take the delays as required arguments rather than optional
+niceties.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lower: str = "0 seconds",
+    upper: str = "5 minutes",
+) -> DataFrame:
+    """Join two event streams on ``key`` where the right event lands in
+    ``[left_ts + lower, left_ts + upper]`` — the enrich-clicks-with-
+    impressions shape. Columns come back prefixed l_/r_.
+
+    On streams, apply ``withWatermark`` to BOTH inputs first; Spark
+    derives the state-eviction horizon from the watermarks plus this
+    interval condition.
+    """
+    l = left.select(
+        F.col(key).alias("l_key"),
+        F.col(left_ts).alias("l_ts"),
+        *[F.col(c).alias(f"l_{c}") for c in left.columns if c not in (key, left_ts)],
+    )
+    r = right.select(
+        F.col(key).alias("r_key"),
+        F.col(right_ts).alias("r_ts"),
+        *[F.col(c).alias(f"r_{c}") for c in right.columns if c not in (key, right_ts)],
+    )
+    cond = (
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts") + F.expr(f"INTERVAL {lower}"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {upper}"))
+    )
+    return l.join(r, cond)
+
+
+def dedup_stream(
+    df: DataFrame, keys: list[str], ts_col: str, delay: str = "1 hour"
+) -> DataFrame:
+    """Exactly-once-per-key event delivery within the watermark
+    horizon: watermarked ``dropDuplicates`` keeps one row per key and
+    evicts seen-key state once the watermark passes. The streaming
+    twin of ``dedup.dedup_exact`` — at-least-once sources (Kafka,
+    file redelivery) become effectively-once downstream."""
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, delay)
+    return df.dropDuplicates(keys)
