@@ -114,3 +114,18 @@ def test_inverted_index_postings_sorted_capped(spark):
     assert list(out) == ["shared"]  # hapaxes dropped
     assert out["shared"]["df"] == 30
     assert out["shared"]["postings"] == [0, 1, 2, 3, 4]  # sorted, capped
+
+
+def test_pivot_missing_combo_is_zero_and_unpivot_roundtrip(spark):
+    from yelp_data_pipeline_spark.operators import aggregates as agg
+
+    df = spark.createDataFrame(
+        [("hi", "F"), ("hi", "F"), ("lo", "O")], "prio string, status string"
+    )
+    wide = agg.pivot_counts(df, "prio", "status", ["F", "O", "P"])
+    rows = {r["prio"]: r for r in wide.collect()}
+    assert rows["hi"]["cnt_f"] == 2 and rows["hi"]["cnt_o"] == 0  # NULL→0
+    assert rows["lo"]["cnt_p"] == 0
+    long = agg.unpivot_counts(wide, "prio", ["F", "O", "P"])
+    got = {(r["prio"], r["status"]): r["cnt"] for r in long.collect()}
+    assert got[("hi", "F")] == 2 and got[("hi", "P")] == 0 and len(got) == 6

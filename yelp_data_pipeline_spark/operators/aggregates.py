@@ -60,6 +60,39 @@ def salted_group_count(
     return partial.groupBy(*keys).agg(F.sum("__pc").alias(alias))
 
 
+def pivot_counts(
+    df: DataFrame, row_key: str, pivot_col: str, values: list[str]
+) -> DataFrame:
+    """Wide count matrix: one row per ``row_key``, one count column per
+    ``pivot_col`` value. ``values`` is REQUIRED: without an explicit
+    list Spark runs an extra distinct-collect job to discover the
+    domain — a full scan and a driver round-trip before the real plan
+    even starts. Absent combinations come back 0 (Spark's pivot yields
+    NULL; the coalesce matches SQL's FILTER-count semantics)."""
+    wide = df.groupBy(row_key).pivot(pivot_col, values).count()
+    return wide.select(
+        row_key,
+        *[
+            F.coalesce(F.col(f"`{v}`"), F.lit(0)).alias(f"cnt_{v.lower()}")
+            for v in values
+        ],
+    )
+
+
+def unpivot_counts(
+    wide: DataFrame, row_key: str, values: list[str]
+) -> DataFrame:
+    """Melt a :func:`pivot_counts` matrix back to long form
+    (row_key, status, cnt) — the narrow shape BI tools and UNION-ALL
+    SQL oracles speak."""
+    long = wide.unpivot(
+        [row_key], [f"cnt_{v.lower()}" for v in values], "status", "cnt"
+    )
+    return long.withColumn(
+        "status", F.upper(F.regexp_replace("status", "^cnt_", ""))
+    )
+
+
 def top_k(
     df: DataFrame, order_col: str, k: int, tiebreak: list[str] | None = None
 ) -> DataFrame:

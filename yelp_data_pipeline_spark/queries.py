@@ -1497,6 +1497,71 @@ def q_top_words(spark, sf_dir):
     return agg.top_k(counts, "cnt", 20, tiebreak=["word"])
 
 
+_STATUSES = ["F", "O", "P"]
+
+_PIVOT_WIDE_CTE = """wide AS (
+  SELECT o_orderpriority,
+         count(*) FILTER (WHERE o_orderstatus = 'F') AS cnt_f,
+         count(*) FILTER (WHERE o_orderstatus = 'O') AS cnt_o,
+         count(*) FILTER (WHERE o_orderstatus = 'P') AS cnt_p
+  FROM orders GROUP BY 1
+)"""
+
+
+@_q(
+    "orders_status_pivot",
+    f"""
+WITH {_PIVOT_WIDE_CTE}
+SELECT o_orderpriority, cnt_f, cnt_o, cnt_p FROM wide
+""",
+    doc="Pivot: priority × status count matrix. Values list passed "
+    "explicitly — implicit pivot runs a distinct-collect discovery "
+    "scan before the real plan (a full extra pass at 100 TB).",
+)
+def q_orders_status_pivot(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select("o_orderpriority", "o_orderstatus")
+    return agg.pivot_counts(o, "o_orderpriority", "o_orderstatus", _STATUSES)
+
+
+@_q(
+    "orders_status_unpivot",
+    f"""
+WITH {_PIVOT_WIDE_CTE}
+SELECT o_orderpriority, 'F' AS status, cnt_f AS cnt FROM wide
+UNION ALL SELECT o_orderpriority, 'O', cnt_o FROM wide
+UNION ALL SELECT o_orderpriority, 'P', cnt_p FROM wide
+""",
+    doc="Unpivot/melt: the wide matrix back to long (priority, status, "
+    "cnt) — round-trips pivot_counts through DataFrame.unpivot.",
+)
+def q_orders_status_unpivot(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select("o_orderpriority", "o_orderstatus")
+    wide = agg.pivot_counts(o, "o_orderpriority", "o_orderstatus", _STATUSES)
+    return agg.unpivot_counts(wide, "o_orderpriority", _STATUSES)
+
+
+@_q(
+    "embedding_centroids",
+    f"""
+SELECT label AS cell, CAST(i - 1 AS INT) AS pos,
+       round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m
+FROM embeddings, (SELECT unnest(generate_series(1, {_EMB_DIM})) AS i) g
+GROUP BY 1, 2
+""",
+    doc="Per-label mean vectors (the IVF/k-means trainer output, "
+    "flattened to (cell, pos, component)): posexplode → one shuffle of "
+    "n·dim scalars → 6dp-rounded means reproducible across engines.",
+)
+def q_embedding_centroids(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        F.col("label").alias("cell"), F.posexplode("embedding").alias("pos", "x")
+    )
+    return pos.groupBy("cell", "pos").agg(
+        F.round(F.avg(F.col("x").cast("double")), 6).alias("m")
+    )
+
+
 # --------------------------------------------------------------------------
 # North-star: dedup clustering, sampling, curation, retrieval stats
 # --------------------------------------------------------------------------
