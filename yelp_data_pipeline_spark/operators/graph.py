@@ -46,9 +46,20 @@ def connected_components(
     changes (checked with a distributed count — the only driver
     round-trip, one scalar per round).
     """
+    # Symmetrize with ONE scan of the (often expensive — e.g. a whole
+    # MinHash-LSH pipeline) edge relation: explode each edge into both
+    # directions. A union of two selects would execute that subtree
+    # twice before the persist ever materializes.
     sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
