@@ -60,6 +60,24 @@ def salted_group_count(
     return partial.groupBy(*keys).agg(F.sum("__pc").alias(alias))
 
 
+def exact_quantiles(
+    col, probs: list[float], round_to: int = 6
+) -> list[Column]:
+    """Exact interpolated quantiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``), one aliased column per probability,
+    rounded so the interpolation's float arithmetic can't diverge
+    across engines. Exact percentile sorts per group — at true scale
+    swap in ``percentile_approx`` (t-digest, mergeable, no sort) and
+    drop the oracle to rows-only."""
+    c = F.col(col) if isinstance(col, str) else col
+    return [
+        F.round(F.percentile(c, F.lit(p)), round_to).alias(
+            f"p{str(p).replace('0.', '')}"
+        )
+        for p in probs
+    ]
+
+
 def pivot_counts(
     df: DataFrame, row_key: str, pivot_col: str, values: list[str]
 ) -> DataFrame:

@@ -28,7 +28,9 @@ from .operators import aggregates as agg
 from .operators import cleaning as cl
 from .operators import dedup as dd
 from .operators import dims, facts, graph, joins
+from .operators import quality as dq
 from .operators import sampling as smp
+from .operators import timeseries as ts_ops
 from .operators import multimodal as mm
 from .operators import similarity as sim
 from .operators import textops as tx
@@ -1495,6 +1497,124 @@ def q_top_words(spark, sf_dir):
     ex = cl.explode_csv(d, "text", "word", pattern=r"\s+")
     counts = agg.group_count(ex.select("word"), ["word"])
     return agg.top_k(counts, "cnt", 20, tiebreak=["word"])
+
+
+@_q(
+    "daily_events_gapfilled",
+    """
+WITH c AS (
+  SELECT CAST(ts AS DATE) AS date, count(*) AS cnt FROM events GROUP BY 1
+),
+span AS (SELECT min(date) AS lo, max(date) AS hi FROM c),
+spine AS (
+  SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS date
+  FROM span
+)
+SELECT spine.date, coalesce(c.cnt, 0) AS cnt
+FROM spine LEFT JOIN c ON spine.date = c.date
+""",
+    doc="Date-spine gap fill: days with zero events appear as 0 rows "
+    "(a bare groupBy silently drops them) — spine generated "
+    "distributedly from a 1-row span aggregate, no driver collect.",
+)
+def q_daily_events_gapfilled(spark, sf_dir):
+    return ts_ops.daily_counts_gapfilled(_t(spark, sf_dir, "events"), "ts")
+
+
+@_q(
+    "event_value_histogram",
+    """
+SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin,
+       round(floor(value / 10.0) * 10.0, 6) AS bin_lo,
+       round((floor(value / 10.0) + 1) * 10.0, 6) AS bin_hi,
+       count(*) AS cnt
+FROM events GROUP BY 1, 2, 3
+""",
+    doc="Fixed-width histogram over event values: floor-keyed single "
+    "shuffle, occupied bins only.",
+)
+def q_event_value_histogram(spark, sf_dir):
+    return ts_ops.value_histogram(_t(spark, sf_dir, "events"), "value", 10.0)
+
+
+@_q(
+    "price_quantiles_by_priority",
+    """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+       round(quantile_cont(o_totalprice, 0.5), 6) AS p5,
+       round(quantile_cont(o_totalprice, 0.75), 6) AS p75,
+       round(quantile_cont(o_totalprice, 0.95), 6) AS p95
+FROM orders GROUP BY 1
+""",
+    doc="Exact interpolated quantiles per group (percentile == "
+    "quantile_cont, rounded 6dp); at true scale swap to "
+    "percentile_approx (mergeable t-digest, no per-group sort).",
+)
+def q_price_quantiles_by_priority(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        *agg.exact_quantiles("o_totalprice", [0.25, 0.5, 0.75, 0.95])
+    )
+
+
+@_q(
+    "order_price_percent_rank",
+    """
+SELECT o_orderkey,
+       round(percent_rank() OVER (ORDER BY o_totalprice), 6) AS pr,
+       round(cume_dist() OVER (ORDER BY o_totalprice), 6) AS cd
+FROM orders
+""",
+    doc="Global percent_rank / cume_dist — rank values are "
+    "tie-invariant (equal prices share a value), so the output is "
+    "deterministic without a unique-key tiebreak. An unpartitioned "
+    "window funnels through ONE reducer: at 100 TB compute ranks from "
+    "a two-pass count-below join or percentile_approx buckets instead "
+    "— this query is the exactness baseline those approximate.",
+)
+def q_order_price_percent_rank(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = Window.orderBy("o_totalprice")
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@_q(
+    "dq_orders_summary",
+    """
+SELECT count(*) AS n_rows,
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey,
+       CAST(sum(CASE WHEN o_orderstatus NOT IN ('F','O','P') OR o_orderstatus IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS bad_status,
+       CAST(sum(CASE WHEN o_totalprice <= 0 OR o_totalprice IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS nonpositive_price,
+       CAST(sum(CASE WHEN o_orderdate < DATE '1990-01-01'
+                       OR o_orderdate > DATE '2000-01-01'
+                       OR o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS date_out_of_range
+FROM orders
+""",
+    doc="Declarative data-quality audit: every expectation a "
+    "conditional count in ONE scan/one 1-row aggregate; scan pruned "
+    "to the checked columns. NULL check results count as violations.",
+)
+def q_dq_orders_summary(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return dq.dq_summary(
+        o,
+        {
+            "null_custkey": F.col("o_custkey").isNull(),
+            "bad_status": ~F.col("o_orderstatus").isin("F", "O", "P"),
+            "nonpositive_price": F.col("o_totalprice") <= 0,
+            "date_out_of_range": (F.col("o_orderdate") < F.lit("1990-01-01").cast("date"))
+            | (F.col("o_orderdate") > F.lit("2000-01-01").cast("date")),
+        },
+    )
 
 
 _STATUSES = ["F", "O", "P"]
