@@ -30,6 +30,11 @@ def main(argv: list[str] | None = None) -> int:
     b2s.add_argument("--year", type=int, required=True)
     b2s.add_argument("--month", type=int, required=True)
 
+    cur = sub.add_parser("curate", help="document curation job (scrub→quality→dedup→write)")
+    cur.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    cur.add_argument("--out", required=True)
+    cur.add_argument("--min-quality", type=float, default=0.45)
+
     s2g = sub.add_parser("s2g", help="silver→gold monthly job")
     s2g.add_argument("--silver", required=True)
     s2g.add_argument("--gold", required=True)
@@ -64,6 +69,13 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     from . import pipelines
+
+    if args.cmd == "curate":
+        curated = pipelines.curate_documents_job(
+            spark, args.sf_dir, args.out, min_quality=args.min_quality
+        )
+        print(f"curated: {curated.count()} rows -> {args.out}")
+        return 0
 
     if args.cmd == "b2s":
         out = pipelines.bronze_to_silver(

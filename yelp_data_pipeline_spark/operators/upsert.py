@@ -97,6 +97,12 @@ def write_partitioned(
     (B2S:168-185; conf at B2S:132): only partitions present in the
     batch are replaced, the monthly-incremental idiom."""
     spark = df.sparkSession
-    if dynamic:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # Set the mode EXPLICITLY both ways: the conf is session-sticky, so
+    # a static-overwrite caller after a dynamic one would otherwise
+    # silently inherit dynamic semantics (an empty batch would then
+    # overwrite nothing and leave stale partitions on disk).
+    spark.conf.set(
+        "spark.sql.sources.partitionOverwriteMode",
+        "dynamic" if dynamic else "static",
+    )
     df.write.mode("overwrite").partitionBy(*partition_cols).format(fmt).save(path)

@@ -199,3 +199,63 @@ def _upsert(spark: SparkSession, updates: DataFrame, path: str, keys: list[str])
     else:
         _write_overwrite(updates, path)
     return spark.read.parquet(path)
+
+
+def curate_documents_job(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    min_quality: float = 0.45,
+    min_tokens: int = 5,
+    max_tokens: int = 5000,
+    jaccard: float = 0.8,
+) -> DataFrame:
+    """LLM-training-data curation, end to end: PII scrub → quality
+    gate → MinHash near-dup clustering → one survivor per cluster →
+    Hive-partitioned parquet by language.
+
+    The whole chain is one declarative plan per stage; the only
+    driver round-trips are the connected-components convergence
+    scalars. Survivors are the cluster-min doc ids, so reruns are
+    deterministic. Output partitioning by ``lang`` makes the
+    downstream per-language sampling reads partition-pruned.
+    """
+    from .operators import dedup as dd
+    from .operators import graph
+    from .operators import textops as tx
+    from .tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    quality_ok = (
+        tx.quality_features(docs, "doc_id", "text")
+        .filter(
+            (F.col("quality_score") >= min_quality)
+            & F.col("n_tokens").between(min_tokens, max_tokens)
+        )
+        .select("doc_id")
+    )
+    pairs = dd.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=12, bands=4, threshold=jaccard
+    )
+    clusters = graph.dedup_clusters(docs, pairs)
+    survivors = clusters.filter(F.col("doc_id") == F.col("cluster_id")).select(
+        "doc_id"
+    )
+
+    scrubbed = tx.scrub_pii(docs, "doc_id", "text")
+    curated = (
+        docs.join(quality_ok, "doc_id", "left_semi")
+        .join(survivors, "doc_id", "left_semi")
+        .join(scrubbed.select("doc_id", "scrubbed_text"), "doc_id")
+        .select("doc_id", "scrubbed_text", "source", "n_chars", "lang")
+    )
+    # Static overwrite: this job rewrites the WHOLE corpus every run
+    # (it is not month-incremental), so stale partitions from a prior,
+    # less strict run must not survive — dynamic overwrite would leave
+    # them in place whenever the new run emits fewer languages.
+    write_partitioned(curated, out_dir, ["lang"], dynamic=False)
+    # Return the written plan, not a read-back: a legitimately empty
+    # result leaves no parquet footer to infer a schema from, and the
+    # job must not throw on it.
+    return curated
