@@ -93,3 +93,47 @@ def test_winnowing_shared_substring_guarantee(spark, prefix, shared, suffix):
     fps = {r["doc_id"]: set(r["fingerprints"]) for r in
            winnow_fingerprints(df, "doc_id", "text", k=3, w=4).collect()}
     assert fps[1] & fps[2], f"no shared fingerprint for shared run {shared}"
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**SETTINGS)
+def test_connected_components_match_union_find(spark, edges):
+    from yelp_data_pipeline_spark.operators.graph import connected_components
+
+    norm = [(min(a, b), max(a, b)) for a, b in edges]
+    df = spark.createDataFrame(norm, "doc_a long, doc_b long")
+    got = {
+        r["node"]: r["cluster"]
+        for r in connected_components(df, "doc_a", "doc_b").collect()
+    }
+
+    # reference: plain union-find with path compression
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in norm:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    # union-find roots are not guaranteed minimal after unions; resolve
+    # each component to its true min member
+    comp_min: dict = {}
+    for n, r in want.items():
+        comp_min[r] = min(comp_min.get(r, n), n)
+    want = {n: comp_min[find(n)] for n in parent}
+    assert got == want
