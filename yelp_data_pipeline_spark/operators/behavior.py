@@ -1,0 +1,156 @@
+"""User-behavior analytics: funnels, cohort retention, transition
+matrices, and recency-decayed scoring over the events stream.
+
+These are the product-analytics counterparts of the reference's
+dashboard tier (weekday activity, region top-k — see
+silver_to_gold_on_minio.py:118-161): the same events table, but
+sequenced per user instead of rolled up per day. All four operators
+are pure Catalyst — no UDFs, no collects — and every shuffle is keyed
+on ``user_id`` (or a tiny derived key), so they scale to the events
+volume the groupBy dashboards already handle.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-funnel conversion: how many users reached step k having
+    gone through steps 1..k-1 *in timestamp order*.
+
+    Step k's entry time for a user is min(ts of step-k events at or
+    after their step-(k-1) entry time). One pass per step, but each
+    pass filters to a single event type *before* the per-user
+    aggregate, so the type predicate reaches the scan (partition /
+    row-group pruning on a type-partitioned layout) and each shuffle
+    carries only the users still alive in the funnel — the classic
+    narrowing-funnel shape. Output: (step_idx, step, users).
+    """
+    reached = None
+    counts = []
+    for i, step in enumerate(steps):
+        ev = events.filter(F.col(type_col) == step).select(
+            F.col(user_col).alias("u"), F.col(ts_col).alias("t")
+        )
+        if reached is None:
+            cur = ev.groupBy("u").agg(F.min("t").alias("entry"))
+        else:
+            cur = (
+                ev.join(reached, "u")
+                .filter(F.col("t") >= F.col("entry"))
+                .groupBy("u")
+                .agg(F.min("t").alias("entry"))
+            )
+        reached = cur
+        counts.append(
+            cur.agg(F.count(F.lit(1)).alias("users")).select(
+                F.lit(i + 1).alias("step_idx"), F.lit(step).alias("step"), "users"
+            )
+        )
+    return reduce(DataFrame.unionByName, counts)
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention triangle: users bucketed by first-seen
+    week, counted distinct in each later week they return.
+
+    Two shuffles — per-user min (map-side combinable) and the final
+    (cohort, offset) distinct-count — joined on ``user_id`` so AQE can
+    pick the strategy. Output: (cohort_week, week_offset, users).
+    """
+    wk = lambda c: F.date_trunc("week", c).cast("date")  # noqa: E731
+    firsts = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.min(ts_col).alias("first_ts")
+    )
+    active = events.select(
+        F.col(user_col).alias("u"), wk(F.col(ts_col)).alias("week")
+    ).distinct()
+    return (
+        active.join(firsts, "u")
+        .select(
+            "u",
+            wk(F.col("first_ts")).alias("cohort_week"),
+            (F.datediff("week", wk(F.col("first_ts"))) / 7).cast("int").alias(
+                "week_offset"
+            ),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("u").alias("users"))
+    )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition counts: (previous event type →
+    event type) per user in timestamp order, ties broken by a unique
+    id so the sequence — and thus the counts — are deterministic.
+
+    lag() needs one shuffle on user_id (window partition); the
+    transition groupBy then reduces on a tiny (from, to) key with full
+    map-side combine. Output: (from_type, to_type, cnt).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    return (
+        events.select(
+            F.lag(type_col).over(w).alias("from_type"),
+            F.col(type_col).alias("to_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def decayed_user_score(
+    events: DataFrame,
+    halflife_days: float = 7.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Recency-weighted engagement score: sum(value · 0.5^(age/halflife))
+    per user, aged against the corpus max timestamp.
+
+    The "now" anchor is a 1-row aggregate CROSS JOINed back (broadcast
+    of one row — same spine idiom as timeseries.daily_counts_gapfilled),
+    never a driver collect. Ages are exact integer microseconds
+    (unix_micros — unix_timestamp would floor to seconds and diverge
+    from the oracle's epoch_us); each term is rounded to 6dp and
+    accumulated in DECIMAL so the sum is order-independent under AQE
+    partitioning and the ≤1-ulp pow() spread between libm
+    implementations vanishes under the rounding. Output: (user_id,
+    score rounded to 6dp).
+    """
+    now = events.agg(F.max(ts_col).alias("now_ts"))
+    age_days = (
+        F.unix_micros(F.col("now_ts")) - F.unix_micros(F.col(ts_col))
+    ) / F.lit(86400e6)
+    term = F.round(
+        F.col(value_col) * F.pow(F.lit(0.5), age_days / F.lit(halflife_days)), 6
+    ).cast("decimal(38,10)")
+    return (
+        events.crossJoin(F.broadcast(now))
+        .select(F.col(user_col), term.alias("term"))
+        .groupBy(user_col)
+        .agg(F.round(F.sum("term"), 6).cast("double").alias("score"))
+    )

@@ -2012,6 +2012,135 @@ def q_user_sessions(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Behavior analytics: funnel / cohort / transitions / decayed scoring
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "funnel_steps",
+    """
+WITH s1 AS (
+  SELECT user_id AS u, min(ts) AS entry FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id AS u, min(e.ts) AS entry
+  FROM events e JOIN s1 ON e.user_id = s1.u
+  WHERE e.event_type = 'click' AND e.ts >= s1.entry GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id AS u, min(e.ts) AS entry
+  FROM events e JOIN s2 ON e.user_id = s2.u
+  WHERE e.event_type = 'purchase' AND e.ts >= s2.entry GROUP BY 1
+)
+SELECT 1 AS step_idx, 'view' AS step, count(*) AS users FROM s1
+UNION ALL SELECT 2, 'click', count(*) FROM s2
+UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+""",
+    doc="Ordered funnel view→click→purchase: per-step min-entry chained "
+    "on ts >= previous entry; each pass filters its event type before "
+    "the per-user shuffle.",
+)
+def q_funnel_steps(spark, sf_dir):
+    from .operators import behavior as bh
+
+    return bh.funnel_counts(
+        _t(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+
+
+@_q(
+    "cohort_retention",
+    """
+WITH firsts AS (SELECT user_id AS u, min(ts) AS first_ts FROM events GROUP BY 1),
+active AS (
+  SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS week FROM events
+)
+SELECT date_trunc('week', first_ts) AS cohort_week,
+       CAST(date_diff('day', date_trunc('week', first_ts), week) / 7 AS INT)
+         AS week_offset,
+       count(DISTINCT u) AS users
+FROM active JOIN firsts USING (u)
+GROUP BY 1, 2
+""",
+    doc="Weekly cohort retention triangle: first-seen week × week "
+    "offset × distinct returning users (Monday-truncated weeks agree "
+    "between Spark and the oracle).",
+)
+def q_cohort_retention(spark, sf_dir):
+    from .operators import behavior as bh
+
+    return bh.cohort_retention(_t(spark, sf_dir, "events"))
+
+
+@_q(
+    "event_transitions",
+    """
+SELECT from_type, to_type, count(*) AS cnt FROM (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS from_type,
+         event_type AS to_type
+  FROM events)
+WHERE from_type IS NOT NULL
+GROUP BY 1, 2
+""",
+    doc="First-order Markov transition counts per user in (ts, "
+    "event_id) order — one user-keyed window shuffle, then a tiny "
+    "(from, to) reduce.",
+)
+def q_event_transitions(spark, sf_dir):
+    from .operators import behavior as bh
+
+    return bh.event_transitions(_t(spark, sf_dir, "events"))
+
+
+@_q(
+    "decayed_user_scores",
+    """
+WITH now_t AS (SELECT max(ts) AS now_ts FROM events)
+SELECT user_id,
+       CAST(round(sum(CAST(round(
+         value * pow(0.5,
+           ((epoch_us(now_ts) - epoch_us(ts)) / 86400000000.0) / 7.0), 6)
+         AS DECIMAL(38,10))), 6) AS DOUBLE) AS score
+FROM events, now_t
+GROUP BY 1
+""",
+    doc="Recency-decayed engagement score (7-day half-life) anchored "
+    "at the corpus max ts; exact-microsecond ages, 6dp-rounded terms "
+    "accumulated in DECIMAL for order-independence.",
+)
+def q_decayed_user_scores(spark, sf_dir):
+    from .operators import behavior as bh
+
+    return bh.decayed_user_score(_t(spark, sf_dir, "events"), halflife_days=7.0)
+
+
+@_q(
+    "quantized_embeddings",
+    """
+SELECT vec_id,
+       CASE WHEN m > 0 THEN round(m / 127.0, 6) END AS scale,
+       CASE WHEN m > 0 THEN
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / m) AS INT))
+       END AS qvec
+FROM (
+  SELECT vec_id, embedding,
+         list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+                        'max') AS m
+  FROM embeddings
+)
+""",
+    doc="Per-vector symmetric int8 quantization (q = round(x·127/max|x|)"
+    ") — zero-shuffle map-side scan; pure IEEE arithmetic so both "
+    "engines round the identical double.",
+)
+def q_quantized_embeddings(spark, sf_dir):
+    return sim.quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+
+
+# --------------------------------------------------------------------------
 # Registry exports (driver contract)
 # --------------------------------------------------------------------------
 
