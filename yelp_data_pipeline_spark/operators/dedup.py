@@ -368,3 +368,38 @@ def simhash_pairs(
         .dropDuplicates(["doc_a", "doc_b"])
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+) -> DataFrame:
+    """Benchmark decontamination: drop every corpus document sharing a
+    word n-gram with the (held-out) eval set — the standard guard
+    against test-set leakage into pretraining data.
+
+    The eval side is bounded (benchmark suites are MBs, not TBs), so
+    its distinct shingles broadcast; the corpus side is one explode →
+    broadcast-hash semi probe → distinct of hit ids → left_anti. No
+    shuffle touches the full corpus payload — only hit doc-ids. For a
+    blocklist too big to broadcast, drop the hint and let AQE pick a
+    shuffle join on the shingle key.
+
+    Returns the surviving corpus rows (all columns).
+    """
+    ev = (
+        with_shingles(eval_docs, text_col, n)
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+    )
+    hits = (
+        with_shingles(corpus, text_col, n)
+        .select(F.col(id_col), F.explode("shingles").alias("s"))
+        .join(F.broadcast(ev), "s", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return corpus.join(hits, id_col, "left_anti")

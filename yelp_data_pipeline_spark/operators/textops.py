@@ -268,3 +268,63 @@ def winnow_fingerprints(
         F.col(id_col),
         F.array_sort(F.array_distinct(wins)).alias("fingerprints"),
     )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style within-document repetition signals: duplicate-word
+    fraction, most-frequent-word fraction, most-frequent-bigram
+    fraction (high values = boilerplate / degenerate generations, the
+    classic pretraining quality gates).
+
+    Bigrams are built map-side with transform(sequence(...)) — no
+    per-document window, so there is no single-doc ordering shuffle;
+    both reduce paths shuffle on (doc, gram), a high-cardinality
+    well-spread key, then collapse per doc with map-side combine.
+    Docs with < 2 tokens get NULL bigram fraction rather than a
+    divide-by-zero. Output: (doc_id, n_words, dup_word_frac,
+    top_word_frac, top_bigram_frac), fractions rounded to 6dp.
+    """
+    t = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = df.select(F.col(id_col).alias("doc"), t.alias("t"))
+
+    words = base.select("doc", F.explode("t").alias("w"))
+    wd = (
+        words.groupBy("doc", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("top_w"),
+        )
+    )
+
+    bigrams = F.when(
+        F.size("t") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - 1),
+            lambda i: F.concat_ws(" ", F.slice("t", i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bd = (
+        base.select("doc", F.explode(bigrams).alias("g"))
+        .groupBy("doc", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc")
+        .agg(F.sum("c").alias("n_bi"), F.max("c").alias("top_bi"))
+    )
+
+    return (
+        wd.join(bd, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            "n_words",
+            F.round(F.lit(1) - F.col("n_distinct") / F.col("n_words"), 6).alias(
+                "dup_word_frac"
+            ),
+            F.round(F.col("top_w") / F.col("n_words"), 6).alias("top_word_frac"),
+            F.round(F.col("top_bi") / F.col("n_bi"), 6).alias("top_bigram_frac"),
+        )
+    )

@@ -2140,6 +2140,70 @@ def q_quantized_embeddings(spark, sf_dir):
     return sim.quantize_embeddings(_t(spark, sf_dir, "embeddings"))
 
 
+@_q(
+    "doc_repetition_stats",
+    """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+),
+w AS (SELECT doc_id, unnest(t) AS w FROM toks),
+wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+wd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+              CAST(count(*) AS BIGINT) AS n_distinct, max(c) AS top_w
+       FROM wc GROUP BY 1),
+bg AS (SELECT doc_id,
+              unnest(CASE WHEN len(t) >= 2 THEN
+                list_transform(generate_series(1, len(t) - 1),
+                               i -> array_to_string(t[i:i+1], ' '))
+              ELSE [] END) AS g
+       FROM toks),
+bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+bd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bi, max(c) AS top_bi
+       FROM bc GROUP BY 1)
+SELECT wd.doc_id, n_words,
+       round(1 - CAST(n_distinct AS DOUBLE) / n_words, 6) AS dup_word_frac,
+       round(CAST(top_w AS DOUBLE) / n_words, 6) AS top_word_frac,
+       round(CAST(top_bi AS DOUBLE) / n_bi, 6) AS top_bigram_frac
+FROM wd LEFT JOIN bd ON wd.doc_id = bd.doc_id
+""",
+    doc="Gopher-style repetition quality gates: duplicate-word / "
+    "top-word / top-bigram fractions per doc; bigrams built map-side, "
+    "reduces keyed on well-spread (doc, gram).",
+)
+def q_doc_repetition_stats(spark, sf_dir):
+    return tx.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "decontaminated_docs",
+    """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+),
+sh AS (SELECT doc_id, CASE WHEN len(t) >= 4 THEN
+         list_distinct(list_transform(generate_series(1, len(t) - 3),
+                                      i -> array_to_string(t[i:i+3], ' ')))
+       ELSE [] END AS shingles FROM toks),
+ev AS (SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 97 = 0),
+hits AS (SELECT DISTINCT c.doc_id
+         FROM (SELECT doc_id, unnest(shingles) AS s FROM sh
+               WHERE doc_id % 97 <> 0) c
+         JOIN ev USING (s))
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d
+WHERE d.doc_id % 97 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM hits)
+""",
+    doc="Benchmark decontamination: corpus docs sharing any word 4-gram "
+    "with the held-out eval split (doc_id % 97 = 0) are dropped; eval "
+    "shingles broadcast, anti-join carries only hit ids.",
+)
+def q_decontaminated_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    return dd.decontaminate(corpus, ev, n=4).select("doc_id", "lang", "n_chars")
+
+
 # --------------------------------------------------------------------------
 # Registry exports (driver contract)
 # --------------------------------------------------------------------------
