@@ -403,3 +403,31 @@ def decontaminate(
         .distinct()
     )
     return corpus.join(hits, id_col, "left_anti")
+
+
+def dedup_incremental(
+    incoming: DataFrame,
+    seen: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental (batch-over-corpus) dedup: from an incoming batch,
+    keep one survivor (min id) per fingerprint that has never been
+    seen in the existing corpus — the daily-ingest counterpart of the
+    one-shot dedup_exact.
+
+    Both sides reduce to md5 fingerprints before any join, so the
+    anti-join shuffles 16-byte keys, never document payloads; at scale
+    the ``seen`` side is the pre-aggregated fingerprint ledger the
+    pipeline maintains between runs (not a rescan of the corpus).
+    Output: (fingerprint, surviving id).
+    """
+    seen_fp = seen.select(fingerprint(F.col(text_col)).alias("fp")).distinct()
+    return (
+        incoming.select(
+            fingerprint(F.col(text_col)).alias("fp"), F.col(id_col)
+        )
+        .join(seen_fp, "fp", "left_anti")
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+    )

@@ -2204,6 +2204,84 @@ def q_decontaminated_docs(spark, sf_dir):
     return dd.decontaminate(corpus, ev, n=4).select("doc_id", "lang", "n_chars")
 
 
+_PACK_SHARD_SQL = md5_long_sql("concat_ws('|', 'pack', CAST(doc_id AS VARCHAR))")
+_SPLIT_KEY_SQL = md5_long_sql("concat_ws('|', 'split', CAST(doc_id AS VARCHAR))")
+
+
+@_q(
+    "packed_sequences",
+    f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST({_PACK_SHARD_SQL} % 8 AS INT) AS shard,
+         CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS INT) AS n_tokens
+  FROM documents
+),
+r AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens
+              AS BIGINT) AS start_offset
+  FROM t
+)
+SELECT doc_id, shard, n_tokens, start_offset,
+       start_offset // 512 AS pack_id
+FROM r
+""",
+    doc="GPT-style concat-and-chop sequence packing: hash-sharded "
+    "deterministic order, per-shard running token offset, 512-token "
+    "cut points — one balanced window shuffle.",
+)
+def q_packed_sequences(spark, sf_dir):
+    from .operators import packing as pk
+
+    return pk.pack_sequences(_t(spark, sf_dir, "documents"), seq_len=512, n_shards=8)
+
+
+@_q(
+    "split_assignments",
+    f"""
+SELECT doc_id,
+       CASE WHEN {_SPLIT_KEY_SQL} % 10000 < 9000 THEN 'train'
+            WHEN {_SPLIT_KEY_SQL} % 10000 < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+    doc="Deterministic 90/5/5 train/val/test split by content-hash "
+    "bucket — stable across reruns, engines, and partitionings; pure "
+    "map-side.",
+)
+def q_split_assignments(spark, sf_dir):
+    from .operators import packing as pk
+
+    return pk.split_assign(_t(spark, sf_dir, "documents")).select("doc_id", "split")
+
+
+@_q(
+    "dedup_incremental_batch",
+    """
+WITH fp AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+  FROM documents
+),
+seen AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 2 = 0)
+SELECT fp, min(doc_id) AS doc_id
+FROM fp
+WHERE doc_id % 2 = 1 AND fp NOT IN (SELECT fp FROM seen)
+GROUP BY fp
+""",
+    doc="Incremental dedup: odd-id batch against the even-id corpus "
+    "ledger — fingerprint anti-join (16-byte shuffle keys), min-id "
+    "survivor per new fingerprint.",
+)
+def q_dedup_incremental_batch(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dd.dedup_incremental(
+        docs.filter(F.col("doc_id") % 2 == 1), docs.filter(F.col("doc_id") % 2 == 0)
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry exports (driver contract)
 # --------------------------------------------------------------------------
