@@ -121,3 +121,27 @@ def top_k(
     """
     order = [F.col(order_col).desc()] + [F.col(c).asc() for c in (tiebreak or [])]
     return df.orderBy(*order).limit(k)
+
+
+def winsorize(
+    df, col: str, lo: float = 0.01, hi: float = 0.99, round_to: int = 6
+):
+    """Clip a column to its [lo, hi] exact quantiles — standard outlier
+    taming before scaling/normalization. Two-pass: a 1-row quantile
+    aggregate broadcast back over the scan (same spine idiom as the
+    date gap-fill), then a pure map-side clamp; the clipped value is
+    rounded so the interpolated bounds replay across engines. Adds
+    ``<col>_w``; at true scale swap the exact percentile for
+    percentile_approx."""
+    bounds = df.agg(
+        F.round(F.percentile(F.col(col), F.lit(lo)), round_to).alias("_qlo"),
+        F.round(F.percentile(F.col(col), F.lit(hi)), round_to).alias("_qhi"),
+    )
+    clipped = F.round(
+        F.least(F.greatest(F.col(col), F.col("_qlo")), F.col("_qhi")), round_to
+    )
+    return (
+        df.join(F.broadcast(bounds))
+        .withColumn(f"{col}_w", clipped)
+        .drop("_qlo", "_qhi")
+    )

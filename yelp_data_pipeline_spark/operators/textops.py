@@ -328,3 +328,47 @@ def repetition_stats(
             F.round(F.col("top_bi") / F.col("n_bi"), 6).alias("top_bigram_frac"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """RAG-style chunking: overlapping fixed-width token windows per
+    document (stride = chunk_tokens - overlap), the standard prep for
+    embedding / retrieval indexing.
+
+    Chunk starts are a map-side transform(sequence(...)) over each
+    row — the explode multiplies rows ~n_tokens/stride× but never
+    shuffles; at 100 TB this is scan → explode → write, embarrassingly
+    parallel. The final window is kept whenever it starts in-range, so
+    every token is covered and short docs yield exactly one chunk.
+    Output: (id, chunk_idx, start_tok, n_toks, chunk_text).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    # starts: 0, stride, 2*stride, ... while start < n (and at least one)
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int")
+    )
+    base = df.select(F.col(id_col), t.alias("t"), n_chunks.alias("k"))
+    ex = base.select(
+        id_col,
+        "t",
+        F.posexplode(F.sequence(F.lit(0), F.col("k") - 1)).alias("chunk_idx", "_i"),
+    )
+    start = F.col("chunk_idx") * stride
+    piece = F.slice("t", start + 1, chunk_tokens)
+    return ex.select(
+        id_col,
+        "chunk_idx",
+        start.cast("int").alias("start_tok"),
+        F.size(piece).cast("int").alias("n_toks"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )

@@ -52,3 +52,34 @@ def value_histogram(
             "cnt",
         )
     )
+
+
+def daily_count_zscores(
+    df: DataFrame, ts_col: str, group_col: str, round_to: int = 6
+) -> DataFrame:
+    """Per-group z-scores of daily counts — the basic volume-anomaly
+    monitor (a day whose event count sits far from its type's mean).
+
+    Mean and variance come from exact integer sums (Σx, Σx², n) rather
+    than float accumulators, so they are order-independent and replay
+    bit-identically in any engine; population variance keeps the
+    formula closed-form. Two shuffles: (group, day) count, then the
+    tiny per-group moment reduce joined back. Output: (group, date,
+    cnt, z rounded).
+    """
+    daily = (
+        df.select(F.col(group_col).alias("grp"), F.to_date(ts_col).alias("date"))
+        .groupBy("grp", "date")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    mom = daily.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cnt").alias("s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = F.col("s2") / F.col("n") - mean * mean
+    z = F.when(var > 0, F.round((F.col("cnt") - mean) / F.sqrt(var), round_to))
+    return daily.join(mom, "grp").select(
+        F.col("grp").alias(group_col), "date", "cnt", z.alias("z")
+    )

@@ -2282,6 +2282,91 @@ def q_dedup_incremental_batch(spark, sf_dir):
     )
 
 
+@_q(
+    "chunked_documents",
+    """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+),
+k AS (
+  SELECT doc_id, t,
+         greatest(1, CAST(ceil((len(t) - 8) / 24.0) AS INT)) AS k
+  FROM toks
+),
+ex AS (
+  SELECT doc_id, t, CAST(i - 1 AS INT) AS chunk_idx
+  FROM k, unnest(generate_series(1, k)) AS u(i)
+)
+SELECT doc_id, chunk_idx,
+       CAST(chunk_idx * 24 AS INT) AS start_tok,
+       CAST(len(t[chunk_idx*24+1 : chunk_idx*24+32]) AS INT) AS n_toks,
+       array_to_string(t[chunk_idx*24+1 : chunk_idx*24+32], ' ') AS chunk_text
+FROM ex
+""",
+    doc="RAG chunking: 32-token windows, 8-token overlap (stride 24) — "
+    "map-side transform + explode, zero shuffles; short docs yield "
+    "exactly one chunk.",
+)
+def q_chunked_documents(spark, sf_dir):
+    return tx.chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8
+    )
+
+
+@_q(
+    "event_type_daily_zscores",
+    """
+WITH daily AS (
+  SELECT event_type AS grp, CAST(ts AS DATE) AS date, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+mom AS (
+  SELECT grp, count(*) AS n, CAST(sum(cnt) AS BIGINT) AS s1,
+         CAST(sum(cnt*cnt) AS BIGINT) AS s2
+  FROM daily GROUP BY 1
+)
+SELECT grp AS event_type, date, cnt,
+       CASE WHEN (CAST(s2 AS DOUBLE)/n
+                  - (CAST(s1 AS DOUBLE)/n) * (CAST(s1 AS DOUBLE)/n)) > 0
+            THEN round((cnt - CAST(s1 AS DOUBLE)/n)
+                       / sqrt(CAST(s2 AS DOUBLE)/n
+                              - (CAST(s1 AS DOUBLE)/n) * (CAST(s1 AS DOUBLE)/n)),
+                       6)
+       END AS z
+FROM daily JOIN mom USING (grp)
+""",
+    doc="Daily-volume anomaly z-scores per event type: moments from "
+    "exact integer sums (Σx, Σx², n) so mean/variance are "
+    "order-independent and replay identically cross-engine.",
+)
+def q_event_type_daily_zscores(spark, sf_dir):
+    return ts_ops.daily_count_zscores(
+        _t(spark, sf_dir, "events"), "ts", "event_type"
+    )
+
+
+@_q(
+    "winsorized_prices",
+    """
+WITH b AS (
+  SELECT round(quantile_cont(o_totalprice, 0.01), 6) AS _qlo,
+         round(quantile_cont(o_totalprice, 0.99), 6) AS _qhi
+  FROM orders
+)
+SELECT o_orderkey, o_totalprice,
+       round(least(greatest(o_totalprice, _qlo), _qhi), 6) AS o_totalprice_w
+FROM orders, b
+""",
+    doc="Winsorization: clip to exact [p01, p99] — 1-row quantile "
+    "aggregate broadcast over the scan, then a map-side clamp.",
+)
+def q_winsorized_prices(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return agg.winsorize(o, "o_totalprice", 0.01, 0.99).select(
+        "o_orderkey", "o_totalprice", "o_totalprice_w"
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry exports (driver contract)
 # --------------------------------------------------------------------------
