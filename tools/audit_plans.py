@@ -72,9 +72,44 @@ def audit(name: str, df) -> dict:
         "broadcasts": plan.count("BroadcastExchange"),
         "codegen_spans": len(set(re.findall(r"\*\((\d+)\)", plan))),
         "pushed_filters": len(re.findall(r"PushedFilters: \[(?!\])", plan)),
-        "nested_loop": ("BroadcastNestedLoopJoin" in plan) or ("CartesianProduct" in plan),
+        "nested_loop": _dangerous_nested_loop(plan),
+        "onerow_cross": _benign_onerow_cross(plan),
         "takeordered": "TakeOrderedAndProject" in plan,
     }
+
+
+def _nested_loop_subtrees(plan: str) -> list[str]:
+    lines = plan.splitlines()
+    subs = []
+    for i, line in enumerate(lines):
+        if "BroadcastNestedLoopJoin" not in line and "CartesianProduct" not in line:
+            continue
+        label = re.search(r"[A-Za-z*]", line)
+        d = label.start() if label else 0
+        sub = [line]
+        for nxt in lines[i + 1 :]:
+            lbl = re.search(r"[A-Za-z*]", nxt)
+            if lbl and lbl.start() <= d and nxt.strip():
+                break
+            sub.append(nxt)
+        subs.append("\n".join(sub))
+    return subs
+
+
+def _is_onerow_cross(sub: str) -> bool:
+    """A nested-loop whose broadcast side is a global (keys=[])
+    aggregate carries at most ONE row — the scan-and-attach-scalar
+    idiom (date spans, quantile bounds, corpus max ts). O(n), benign.
+    """
+    return "CartesianProduct" not in sub and "HashAggregate(keys=[]" in sub
+
+
+def _dangerous_nested_loop(plan: str) -> bool:
+    return any(not _is_onerow_cross(s) for s in _nested_loop_subtrees(plan))
+
+
+def _benign_onerow_cross(plan: str) -> bool:
+    return any(_is_onerow_cross(s) for s in _nested_loop_subtrees(plan))
 
 
 def main() -> int:
@@ -93,7 +128,9 @@ def main() -> int:
             return 2
         df = specs[name].fn(spark, sf_dir)
         a = audit(name, df)
-        flags = "NESTED-LOOP!" if a["nested_loop"] else ""
+        flags = "NESTED-LOOP!" if a["nested_loop"] else (
+            "1row-cross" if a["onerow_cross"] else ""
+        )
         print(
             f"{a['query']:32} {a['exchanges']:>4} {a['broadcasts']:>5} "
             f"{a['codegen_spans']:>4} {a['pushed_filters']:>5} "
