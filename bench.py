@@ -41,6 +41,16 @@ HEADLINE = [
     "event_pairs_within_5s",
 ]
 
+# Timed and reported alongside, but EXCLUDED from headline_total so the
+# 2×-gate series stays comparable with the round-2 standing numbers.
+EXTRAS = [
+    "doc_repetition_stats",
+    "chunked_documents",
+    "packed_sequences",
+    "decontaminated_docs",
+    "curated_documents",
+]
+
 
 def _materialize(df) -> None:
     """Force full execution without a driver collect."""
@@ -61,14 +71,14 @@ def main() -> int:
     _materialize(qs["total_counts"](spark, sf_dir))
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in HEADLINE + EXTRAS:
         t0 = time.perf_counter()
         _materialize(qs[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
     out = {
         "metric": "headline_total",
-        "value": round(sum(timings.values()), 3),
+        "value": round(sum(timings[n] for n in HEADLINE), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
