@@ -55,3 +55,35 @@ def running_agg(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return df.withColumn(alias, F.sum(F.col(agg_col)).over(w))
+
+
+def rolling_range_avg(
+    df: DataFrame,
+    partition_by: list[str],
+    day_col: str,
+    value_col: str,
+    days: int = 7,
+    alias: str = "rolling_avg",
+    round_to: int = 6,
+) -> DataFrame:
+    """Trailing N-day moving average with a RANGE frame over day
+    numbers — unlike a ROWS frame, missing days genuinely shrink the
+    window (the frame is value-based, so a gap contributes nothing
+    rather than pulling older rows in).
+
+    One shuffle on the partition keys; the average is an exact integer
+    (or decimal) sum / count per frame, rounded so it replays
+    identically in a sequential oracle.
+    """
+    day_num = F.datediff(F.col(day_col), F.lit("1970-01-01"))
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(day_num)
+        .rangeBetween(-(days - 1), 0)
+    )
+    return df.withColumn(
+        alias,
+        F.round(
+            F.sum(value_col).over(w) / F.count(F.lit(1)).over(w), round_to
+        ),
+    )

@@ -2367,6 +2367,36 @@ def q_winsorized_prices(spark, sf_dir):
     )
 
 
+@_q(
+    "rolling_7d_event_avg",
+    """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS date, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, date, cnt,
+       round(CAST(sum(cnt) OVER w AS DOUBLE) / (count(*) OVER w), 6)
+         AS rolling_avg
+FROM daily
+WINDOW w AS (PARTITION BY event_type
+             ORDER BY date_diff('day', DATE '1970-01-01', date)
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+""",
+    doc="Trailing 7-day moving average per event type with a RANGE "
+    "frame over day numbers — gaps shrink the window instead of "
+    "pulling older rows in (a ROWS frame would silently lie on sparse "
+    "series).",
+)
+def q_rolling_7d_event_avg(spark, sf_dir):
+    daily = (
+        _t(spark, sf_dir, "events")
+        .select("event_type", F.to_date("ts").alias("date"))
+        .groupBy("event_type", "date")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return win.rolling_range_avg(daily, ["event_type"], "date", "cnt", days=7)
+
+
 # --------------------------------------------------------------------------
 # Registry exports (driver contract)
 # --------------------------------------------------------------------------
