@@ -137,3 +137,88 @@ def test_connected_components_match_union_find(spark, edges):
         comp_min[r] = min(comp_min.get(r, n), n)
     want = {n: comp_min[find(n)] for n in parent}
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.integers(1, 30),  # token counts per doc
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**SETTINGS)
+def test_pack_offsets_partition_the_stream(spark, docs):
+    from yelp_data_pipeline_spark.operators.packing import pack_sequences
+
+    rows = [(i, " ".join(f"t{i}_{j}" for j in range(n))) for i, n in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        pack_sequences(df, seq_len=16, n_shards=1).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    # offsets are the exclusive prefix sums: the doc stream tiles
+    # [0, total) with no holes and no overlaps
+    expect = 0
+    for r in out:
+        assert r["start_offset"] == expect
+        assert r["pack_id"] == expect // 16
+        expect += r["n_tokens"]
+    assert expect == sum(docs)
+
+
+@given(
+    n_tokens=st.integers(1, 60),
+    chunk=st.integers(2, 12),
+    data=st.data(),
+)
+@settings(**SETTINGS)
+def test_chunks_cover_every_token(spark, n_tokens, chunk, data):
+    from yelp_data_pipeline_spark.operators.textops import chunk_documents
+
+    overlap = data.draw(st.integers(0, chunk - 1))
+    words = " ".join(f"w{i}" for i in range(n_tokens))
+    df = spark.createDataFrame([(1, words)], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    stride = chunk - overlap
+    covered = set()
+    for r in rows:
+        assert r["start_tok"] == r["chunk_idx"] * stride
+        toks = r["chunk_text"].split()
+        assert len(toks) == r["n_toks"] <= chunk
+        covered |= set(range(r["start_tok"], r["start_tok"] + r["n_toks"]))
+    assert covered == set(range(n_tokens))  # no token missed
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 5),                 # user
+            st.integers(0, 50),                # minute offset
+            st.sampled_from(["view", "click", "purchase"]),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_funnel_counts_monotone_nonincreasing(spark, events):
+    import datetime as dt
+
+    from yelp_data_pipeline_spark.operators.behavior import funnel_counts
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=m), u, t, 0.0)
+        for i, (u, m, t) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = {
+        r["step_idx"]: r["users"]
+        for r in funnel_counts(df, ["view", "click", "purchase"]).collect()
+    }
+    assert got[1] >= got[2] >= got[3]  # a funnel can only narrow
