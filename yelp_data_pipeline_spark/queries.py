@@ -2397,6 +2397,32 @@ def q_rolling_7d_event_avg(spark, sf_dir):
     return win.rolling_range_avg(daily, ["event_type"], "date", "cnt", days=7)
 
 
+@_q(
+    "event_type_distincts",
+    """
+SELECT event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       count(DISTINCT CAST(ts AS DATE)) AS n_days
+FROM events
+GROUP BY 1
+""",
+    doc="Multiple DISTINCT aggregates in one statement — Spark plans "
+    "this with Expand (one row replica per distinct column), a single "
+    "pass instead of per-distinct self-joins.",
+)
+def q_event_type_distincts(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.count_distinct(F.to_date("ts")).alias("n_days"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry exports (driver contract)
 # --------------------------------------------------------------------------
