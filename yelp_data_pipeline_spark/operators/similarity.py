@@ -312,3 +312,38 @@ def quantize_embeddings(
         F.round(scale, round_scale_to).alias("scale"),
         F.when(absmax > 0, q).alias("qvec"),
     )
+
+
+def classify_to_centroids(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    centroid_col: str = "centroid",
+    round_to: int = 6,
+) -> DataFrame:
+    """Nearest-centroid classification: each vector gets the label of
+    its highest-cosine centroid — k-means assignment, weak-label
+    propagation, IVF cell routing are all this one operator.
+
+    The centroid set is tiny by construction (ncells ≪ n), so the
+    fan-out is a broadcast cross join (n·ncells map-side scores, zero
+    shuffle on the big side) followed by one groupBy argmax. The
+    argmax compares (rounded score, cell) structs — rounding first
+    makes the winner identical across engines even when two raw
+    doubles differ in the last ulp; cell breaks exact ties
+    deterministically. Output: (id, label, score).
+    """
+    score = F.round(
+        cosine(F.col(vec_col), F.col(centroid_col)), round_to
+    ).alias("score")
+    scored = vectors.select(id_col, vec_col).crossJoin(
+        F.broadcast(centroids.select(cell_col, centroid_col))
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max(F.struct(score, F.col(cell_col).alias("label"))).alias("b")
+    )
+    return best.select(
+        id_col, F.col("b.label").alias("label"), F.col("b.score").alias("score")
+    )

@@ -2423,6 +2423,41 @@ def q_event_type_distincts(spark, sf_dir):
     )
 
 
+@_q(
+    "centroid_assignments",
+    f"""
+WITH cent AS (
+  SELECT label AS cell, i AS pos,
+         round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m
+  FROM embeddings, (SELECT unnest(generate_series(1, {_EMB_DIM})) AS i) g
+  GROUP BY 1, 2
+),
+cvec AS (
+  SELECT cell, list(m ORDER BY pos) AS centroid FROM cent GROUP BY cell
+),
+scored AS (
+  SELECT e.vec_id, c.cell,
+         round({cosine_sql('c.centroid', 'e.embedding', _EMB_DIM)}, 6) AS s
+  FROM embeddings e, cvec c
+)
+SELECT vec_id, cell AS label, s AS score FROM (
+  SELECT vec_id, cell, s,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY s DESC, cell DESC) AS rn
+  FROM scored
+) WHERE rn = 1
+""",
+    doc="Nearest-centroid classification (k-means assignment / cell "
+    "routing): broadcast cross join against the tiny centroid set, "
+    "map-side cosine, per-vector struct argmax with rounded-score + "
+    "label tiebreak.",
+)
+def q_centroid_assignments(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = sim.train_centroids_by_label(emb)
+    return sim.classify_to_centroids(emb, cents)
+
+
 # --------------------------------------------------------------------------
 # Registry exports (driver contract)
 # --------------------------------------------------------------------------
