@@ -17,6 +17,7 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
 
 
 def funnel_counts(
@@ -35,7 +36,10 @@ def funnel_counts(
     aggregate, so the type predicate reaches the scan (partition /
     row-group pruning on a type-partitioned layout) and each shuffle
     carries only the users still alive in the funnel — the classic
-    narrowing-funnel shape. Output: (step_idx, step, users).
+    narrowing-funnel shape. Each level is persisted: it has two
+    consumers (the next level's join and its own count), and Spark
+    re-executes multi-consumer subtrees — without the persist, level k
+    would recompute levels 1..k-1. Output: (step_idx, step, users).
     """
     reached = None
     counts = []
@@ -52,7 +56,7 @@ def funnel_counts(
                 .groupBy("u")
                 .agg(F.min("t").alias("entry"))
             )
-        reached = cur
+        reached = cur.persist(StorageLevel.MEMORY_AND_DISK)
         counts.append(
             cur.agg(F.count(F.lit(1)).alias("users")).select(
                 F.lit(i + 1).alias("step_idx"), F.lit(step).alias("step"), "users"
