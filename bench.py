@@ -24,7 +24,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from yelp_data_pipeline_spark.queries import queries  # noqa: E402
-from yelp_data_pipeline_spark.session import get_spark  # noqa: E402
+from yelp_data_pipeline_spark.session import get_spark, release_tracked  # noqa: E402
 
 # Headline set: the most expensive representative per operator family
 # (agg, star join, LSH dedup, shingle join, sessionization, ANN).
@@ -49,6 +49,7 @@ EXTRAS = [
     "packed_sequences",
     "decontaminated_docs",
     "curated_documents",
+    "winnowing_fingerprints",
 ]
 
 
@@ -75,6 +76,9 @@ def main() -> int:
         t0 = time.perf_counter()
         _materialize(qs[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+        # Operators persist multi-consumer relations; release between
+        # queries so cached blocks don't accumulate across the run.
+        release_tracked()
 
     out = {
         "metric": "headline_total",

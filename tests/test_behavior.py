@@ -117,3 +117,12 @@ def test_quantize_roundtrip_and_zero_vector(spark):
     for orig, q in zip([0.5, -1.0, 0.25], q1):
         assert abs(q * s1 - orig) <= s1 / 2 + 1e-9
     assert rows[2]["qvec"] is None and rows[2]["scale"] is None
+
+
+def test_funnel_releases_every_level_cache(events):
+    sc = events.sparkSession.sparkContext
+    before = sc._jsc.sc().getPersistentRDDs().size()
+    bh.funnel_counts(events, ["view", "click", "purchase"]).collect()
+    # Eager per-level counting unpersists each level as its successor
+    # materializes — nothing may outlive the call.
+    assert sc._jsc.sc().getPersistentRDDs().size() <= before

@@ -129,3 +129,13 @@ def test_pivot_missing_combo_is_zero_and_unpivot_roundtrip(spark):
     long = agg.unpivot_counts(wide, "prio", ["F", "O", "P"])
     got = {(r["prio"], r["status"]): r["cnt"] for r in long.collect()}
     assert got[("hi", "F")] == 2 and got[("hi", "P")] == 0 and len(got) == 6
+
+
+def test_cc_raises_when_max_iter_exhausted(spark):
+    import pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 9)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        graph.connected_components(chain, "doc_a", "doc_b", max_iter=1)

@@ -105,3 +105,79 @@ def test_stateful_running_counts_stream(spark, tmp_path):
         .collect()
     }
     assert got == batch and len(got) > 0
+
+
+def test_scalable_ranks_matches_global_window(spark):
+    import re
+
+    from pyspark.sql import Window
+
+    from yelp_data_pipeline_spark.operators import windows as win
+    from yelp_data_pipeline_spark.session import release_tracked
+
+    # 200 rows, heavy ties (7 distinct values) — exercises tie groups
+    # spanning range-partition sampling.
+    df = spark.createDataFrame(
+        [(i, float(i % 7)) for i in range(1, 201)], "k long, v double"
+    )
+    got = win.scalable_ranks(df, "v", "k", n_tiles=4)
+
+    # Every WindowExec must be partitioned: a windowspecdefinition
+    # whose FIRST argument is already an ordering expression has an
+    # empty partition spec (the single-reducer shape this operator
+    # exists to avoid).
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    unpartitioned = re.findall(
+        r"windowspecdefinition\([^,()]* (?:ASC|DESC) NULLS", plan
+    )
+    assert unpartitioned == [], plan
+
+    w = Window.orderBy("v")
+    wt = Window.orderBy("v", "k")
+    expected = df.select(
+        "k",
+        "v",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.ntile(4).over(wt).alias("quartile"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, expected.collect())
+    )
+    release_tracked()
+
+
+def test_asof_attaches_null_value_from_latest_right_row(spark):
+    import datetime as dt
+
+    from yelp_data_pipeline_spark.operators.joins import asof_join
+
+    ts = dt.datetime.fromisoformat
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00:00"))], "k long, t timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 09:00:00"), 5.0),
+            (1, ts("2024-01-01 09:30:00"), None),
+        ],
+        "k long, rt timestamp, val double",
+    )
+    [row] = asof_join(left, right, "k", "k", "t", "rt", ["val"]).collect()
+    # The 09:30 right row is the most recent — its genuinely-NULL value
+    # must win over the older 5.0 (DuckDB ASOF JOIN semantics).
+    assert row["val"] is None
+
+
+def test_release_tracked_frees_minhash_cache(spark):
+    from yelp_data_pipeline_spark.operators import dedup as dd
+    from yelp_data_pipeline_spark.session import release_tracked
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog %d" % (i % 3,))
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    dd.minhash_lsh_pairs(docs, "doc_id", "text", k=8, bands=4).collect()
+    assert release_tracked() >= 1
+    assert not release_tracked()

@@ -21,7 +21,7 @@ import duckdb
 
 from yelp_data_pipeline_spark import TABLES
 from yelp_data_pipeline_spark.queries import registry
-from yelp_data_pipeline_spark.session import get_spark
+from yelp_data_pipeline_spark.session import get_spark, release_tracked
 
 
 def _canon(v):
@@ -63,6 +63,7 @@ def main() -> int:
             sdf = spec.fn(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            release_tracked()
         except Exception:
             print(f"FAIL {spec.name}: spark error")
             traceback.print_exc()

@@ -12,8 +12,6 @@ volume the groupBy dashboards already handle.
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -36,13 +34,18 @@ def funnel_counts(
     aggregate, so the type predicate reaches the scan (partition /
     row-group pruning on a type-partitioned layout) and each shuffle
     carries only the users still alive in the funnel — the classic
-    narrowing-funnel shape. Each level is persisted: it has two
-    consumers (the next level's join and its own count), and Spark
-    re-executes multi-consumer subtrees — without the persist, level k
-    would recompute levels 1..k-1. Output: (step_idx, step, users).
+    narrowing-funnel shape. Each level is persisted (two consumers:
+    the next level's join and its own count) and counted EAGERLY, so
+    level k-1's cache is released the moment level k has materialized
+    — peak executor storage is two levels, not len(steps), and no
+    cached relation outlives the call. The per-level count is the one
+    action the operator exists to produce (a single scalar), so eager
+    evaluation costs nothing extra. Output: (step_idx, step, users) as
+    a len(steps)-row local relation.
     """
+    rows = []
     reached = None
-    counts = []
+    prev = None
     for i, step in enumerate(steps):
         ev = events.filter(F.col(type_col) == step).select(
             F.col(user_col).alias("u"), F.col(ts_col).alias("t")
@@ -57,12 +60,15 @@ def funnel_counts(
                 .agg(F.min("t").alias("entry"))
             )
         reached = cur.persist(StorageLevel.MEMORY_AND_DISK)
-        counts.append(
-            cur.agg(F.count(F.lit(1)).alias("users")).select(
-                F.lit(i + 1).alias("step_idx"), F.lit(step).alias("step"), "users"
-            )
-        )
-    return reduce(DataFrame.unionByName, counts)
+        rows.append((i + 1, step, reached.count()))
+        if prev is not None:
+            prev.unpersist()
+        prev = reached
+    if prev is not None:
+        prev.unpersist()
+    return events.sparkSession.createDataFrame(
+        rows, schema="step_idx int, step string, users bigint"
+    )
 
 
 def cohort_retention(

@@ -189,10 +189,12 @@ def minhash_lsh_pairs(
     # whole shingle+hash pipeline. MEMORY_AND_DISK persist is the
     # classic materialize-vs-recompute call: at any scale, hashing the
     # corpus once beats hashing it three times, and the persisted rows
-    # spill rather than OOM.
-    sig = minhash_signature(df, id_col, text_col, k, n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # spill rather than OOM. Registered with session.track_persist so
+    # the session driver releases it after the consuming action
+    # (release_tracked) instead of leaking cached blocks.
+    from ..session import track_persist
+
+    sig = track_persist(minhash_signature(df, id_col, text_col, k, n))
     band_cols = [
         F.md5(
             F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)])

@@ -45,6 +45,12 @@ def connected_components(
     own label and its neighbors' labels; fixpoint when no label
     changes (checked with a distributed count — the only driver
     round-trip, one scalar per round).
+
+    Raises ``RuntimeError`` if ``max_iter`` rounds pass without
+    reaching the fixpoint (graph diameter > max_iter) — silently
+    returning half-propagated labels would mislabel components. Raise
+    ``max_iter`` (or switch to large-star/small-star, which halves the
+    diameter per round) for adversarial long-chain graphs.
     """
     # Symmetrize with ONE scan of the (often expensive — e.g. a whole
     # MinHash-LSH pipeline) edge relation: explode each edge into both
@@ -98,6 +104,18 @@ def connected_components(
         if changed == 0:
             break
     sym.unpersist()
+    if changed != 0:
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing): graph diameter exceeds "
+            "max_iter; raise it or use large-star/small-star."
+        )
+    # The returned relation is still persisted (callers typically fan it
+    # into several joins); registered for deferred release.
+    from ..session import _TRACKED_PERSISTS
+
+    _TRACKED_PERSISTS.append(labels)
     return labels
 
 

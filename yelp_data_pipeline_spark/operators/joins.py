@@ -48,9 +48,13 @@ def asof_join(
     Left rows with no earlier right row keep NULLs (left-join flavor).
 
     Plan: tag both sides, unionByName, then one per-key window pass
-    taking ``last(value, ignorenulls=true)`` over rows sorted by
-    (timestamp, tag) — right rows sort before left rows at equal
-    timestamps, so equality matches. ONE shuffle + per-key sort total;
+    taking the last *right-row marker struct* (ignorenulls on the
+    struct, not the values) over rows sorted by (timestamp, tag) —
+    right rows sort before left rows at equal timestamps, so equality
+    matches. The struct wrapper means a right row whose value column
+    is genuinely NULL still wins as "most recent" and attaches its
+    NULL (DuckDB ASOF JOIN semantics), instead of silently falling
+    back to an older non-null value. ONE shuffle + per-key sort total;
     never the key-equi-join-then-filter shape, whose row blowup is the
     product of per-key cardinalities.
 
@@ -60,13 +64,21 @@ def asof_join(
     """
     from pyspark.sql import Window
 
-    l = left.withColumn("__t", F.col(left_ts)).withColumn("__tag", F.lit(1))
-    for c in value_cols:
-        l = l.withColumn(c, F.lit(None).cast(dict(right.dtypes)[c]))
+    # Right rows carry a NEVER-NULL struct of the value columns; left
+    # rows carry NULL. last(ignorenulls) then means "most recent right
+    # row", regardless of the values inside the struct.
+    l = left.withColumn("__t", F.col(left_ts)).withColumn(
+        "__vals",
+        F.lit(None).cast(
+            "struct<"
+            + ",".join(f"{c}:{dict(right.dtypes)[c]}" for c in value_cols)
+            + ">"
+        ),
+    ).withColumn("__tag", F.lit(1))
     r = right.select(
         F.col(right_on).alias(left_on),
         F.col(right_ts).alias("__t"),
-        *[F.col(c) for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("__vals"),
     ).withColumn("__tag", F.lit(0))
     for c in l.columns:
         if c not in r.columns:
@@ -77,9 +89,13 @@ def asof_join(
         .orderBy("__t", "__tag")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    merged = merged.withColumn(
+        "__last", F.last("__vals", ignorenulls=True).over(w)
+    )
+    out = merged.filter(F.col("__tag") == 1)
     for c in value_cols:
-        merged = merged.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return merged.filter(F.col("__tag") == 1).drop("__t", "__tag")
+        out = out.withColumn(c, F.col("__last").getField(c))
+    return out.drop("__t", "__tag", "__vals", "__last")
 
 
 def range_join_binned(

@@ -101,15 +101,16 @@ def cosine_neardup_pairs(
     # below then costs a single dot fold instead of dot + two norms
     # (bit-identical value: same expressions, evaluated earlier).
     # Three consumers (sign bits + both verify joins) — persist so the
-    # scan + norm fold run once, not per consumer.
-    pre = (
-        ensure_min_parallelism(df)
-        .select(
+    # scan + norm fold run once, not per consumer; tracked so the
+    # session driver can release it after materialization.
+    from ..session import track_persist
+
+    pre = track_persist(
+        ensure_min_parallelism(df).select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("u"),
             norm(F.col(vec_col)).alias("nrm"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     bits = [
         (dot(F.col("u"), F.array(*[F.lit(x) for x in planes[p]])) > 0)

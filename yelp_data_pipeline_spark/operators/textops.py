@@ -238,9 +238,17 @@ def winnow_fingerprints(
     ~2/(w+1) regardless of document length — the standard
     plagiarism/near-dup fingerprint with a bounded size.
 
-    Entirely map-side Catalyst higher-order expressions over the token
-    array; output is the sorted distinct fingerprint set per doc.
+    Scale shape: higher-order transforms are INTERPRETED in Spark, so
+    computing the gram-hash array inline and slicing it per window
+    position re-evaluates every md5 O(n) times (O(n²) hashing per doc
+    — measured 30.5s for 500 fixture docs). Instead: posexplode the
+    gram array, hash each gram ONCE in WholeStageCodegen, then take a
+    per-doc window min over a w-row frame ordered by gram position —
+    one doc-keyed shuffle, linear md5 work, the same rewrite that took
+    simhash from 122s to 7s.
     """
+    from pyspark.sql import Window
+
     from ..functions.hashing import md5_long
 
     toks = tokens(F.col(text_col))
@@ -251,22 +259,42 @@ def winnow_fingerprints(
             lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    hashes = F.transform(grams, lambda g: md5_long(g))
-    n = F.size(hashes)
-    wins = (
-        F.when(
-            n >= w,
-            F.transform(
-                F.sequence(F.lit(1), n - (w - 1)),
-                lambda i: F.array_min(F.slice(hashes, i, w)),
-            ),
-        )
-        .when(n > 0, F.array(F.array_min(hashes)))
-        .otherwise(F.array().cast("array<long>"))
+
+    # posexplode_outer keeps zero-gram docs as a single NULL row so they
+    # survive to the output with an empty fingerprint set.
+    #
+    # The gram count is NOT carried as size(grams) from before the
+    # explode: CollapseProject would inline that whole interpreted
+    # transform into the post-Generate projection and rebuild the gram
+    # array once per exploded row (the O(n²) trap again, via the count).
+    # Derive it post-explode as max(__pos)+1 over the doc partition —
+    # same shuffle the frame window already pays for.
+    ex = df.select(
+        F.col(id_col).alias("__doc"),
+        F.posexplode_outer(grams).alias("__pos", "__gram"),
     )
-    return df.select(
-        F.col(id_col),
-        F.array_sort(F.array_distinct(wins)).alias("fingerprints"),
+    hashed = ex.select("__doc", "__pos", md5_long(F.col("__gram")).alias("__h"))
+    part = Window.partitionBy("__doc")
+    frame = Window.partitionBy("__doc").orderBy("__pos").rowsBetween(0, w - 1)
+    n = F.max("__pos").over(part) + F.lit(1)
+    # Valid window starts: 0..n-w when n >= w; the single position 0
+    # (min over the whole short doc) when 0 < n < w. NULL __pos (empty
+    # doc) makes `keep` NULL → dropped by collect_list → empty array.
+    keep = (F.col("__pos") <= n - F.lit(w)) | (
+        (n < F.lit(w)) & (F.col("__pos") == F.lit(0))
+    )
+    return (
+        hashed.withColumn("__wm", F.min("__h").over(frame))
+        .withColumn("__keep", keep)
+        .groupBy("__doc")
+        .agg(
+            F.array_sort(
+                F.array_distinct(
+                    F.collect_list(F.when(F.col("__keep"), F.col("__wm")))
+                )
+            ).alias("fingerprints")
+        )
+        .withColumnRenamed("__doc", id_col)
     )
 
 

@@ -57,6 +57,114 @@ def running_agg(
     return df.withColumn(alias, F.sum(F.col(agg_col)).over(w))
 
 
+def scalable_ranks(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_col: str,
+    n_tiles: int = 4,
+    num_range_parts: int | None = None,
+) -> DataFrame:
+    """Exact global percent_rank / cume_dist / ntile WITHOUT a global
+    window — the scale path the unpartitioned-window queries
+    (`order_price_percent_rank`, `order_price_quartiles`) baseline.
+
+    A global ``Window.orderBy(...)`` funnels every row through one
+    reducer. This operator instead uses the classic distributed rank
+    algorithm:
+
+    1. hash-agg per distinct value (map-side combine shrinks ties);
+    2. ``repartitionByRange`` the distinct values — Spark's range
+       partitioner samples boundaries, equal keys co-locate, ascending
+       partition ids hold ascending value ranges;
+    3. local cumulative count inside each range partition (a window
+       PARTITIONED by partition id — never global);
+    4. one bounded driver collect of per-partition subtotals (one row
+       per range partition — cluster-config bounded, the same
+       legitimacy class as dims.py's deterministic-key path) to turn
+       them into prefix offsets, broadcast back;
+    5. join counts-below to the fact rows on the value (AQE picks
+       broadcast when the distinct-value relation is small);
+    6. unique rank for ntile = counts-below + row_number inside the
+       tie group (window partitioned by the value — tie groups are
+       small), then the exact SQL ntile bucket formula.
+
+    Output: (tiebreak_col, value_col, pr, cd, quartile) with pr/cd
+    rounded to 6dp — bit-identical to the global-window version since
+    percent_rank = cb/(N-1) and cume_dist = (cb+cnt)/N divide the same
+    integers.
+    """
+    spark = df.sparkSession
+    p = int(
+        num_range_parts
+        or spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+
+    vals = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    rv = (
+        vals.repartitionByRange(p, F.col(value_col).asc())
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    wloc = (
+        Window.partitionBy("__pid")
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rv = rv.withColumn("__cum_le", F.sum("__cnt").over(wloc))
+    # Two consumers: subtotal agg + the rank join. Tracked so the
+    # session driver releases it after the returned plan materializes.
+    from ..session import track_persist
+
+    rv = track_persist(rv)
+
+    # Bounded collect: ≤ one row per range partition.
+    subtotals = {
+        r["__pid"]: r["t"]
+        for r in rv.groupBy("__pid").agg(F.sum("__cnt").alias("t")).collect()
+    }
+    n_total = sum(subtotals.values())
+    offsets, acc = [], 0
+    for pid in sorted(subtotals):
+        offsets.append((pid, acc))
+        acc += subtotals[pid]
+    off_df = spark.createDataFrame(offsets, ["__pid", "__off"])
+
+    ranked_vals = rv.join(F.broadcast(off_df), "__pid").select(
+        value_col,
+        "__cnt",
+        (F.col("__off") + F.col("__cum_le") - F.col("__cnt")).alias("__cb"),
+    )
+
+    wtie = Window.partitionBy(value_col).orderBy(tiebreak_col)
+    out = (
+        df.select(tiebreak_col, value_col)
+        .join(ranked_vals, value_col)
+        .withColumn("__r", F.col("__cb") + F.row_number().over(wtie))
+    )
+
+    # SQL ntile(n): the first N mod n buckets take floor(N/n)+1 rows.
+    q, rem = divmod(n_total, n_tiles)
+    if q == 0:
+        tile = F.col("__r")
+    else:
+        cut = rem * (q + 1)
+        tile = F.when(
+            F.col("__r") <= F.lit(cut),
+            F.ceil(F.col("__r") / F.lit(q + 1)),
+        ).otherwise(
+            F.lit(rem) + F.ceil((F.col("__r") - F.lit(cut)) / F.lit(q))
+        )
+    denom = F.lit(max(n_total - 1, 1))
+    return out.select(
+        tiebreak_col,
+        value_col,
+        F.round(F.col("__cb") / denom, 6).alias("pr"),
+        F.round((F.col("__cb") + F.col("__cnt")) / F.lit(n_total), 6).alias(
+            "cd"
+        ),
+        tile.cast("int").alias("quartile"),
+    )
+
+
 def rolling_range_avg(
     df: DataFrame,
     partition_by: list[str],

@@ -14,6 +14,43 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.storagelevel import StorageLevel
+
+# Multi-consumer relations persisted inside operators (MinHash
+# signatures, LSH pre-projections, rank value-counts). The operator
+# cannot unpersist them itself — the returned plan still references the
+# cached relation — so they register here and the *driver* of the
+# session (bench loop, oracle sweep, pipeline entry point, test
+# teardown) releases them once the consuming action has materialized.
+_TRACKED_PERSISTS: list[DataFrame] = []
+
+
+def track_persist(
+    df: DataFrame, level: StorageLevel = StorageLevel.MEMORY_AND_DISK
+) -> DataFrame:
+    """persist() + register for deferred release via release_tracked().
+
+    Contract: callers of operators that use this must call
+    ``release_tracked()`` after materializing the returned plan;
+    long-lived sessions otherwise accumulate cached blocks (executor
+    storage pressure at scale).
+    """
+    out = df.persist(level)
+    _TRACKED_PERSISTS.append(out)
+    return out
+
+
+def release_tracked(blocking: bool = False) -> int:
+    """Unpersist every tracked relation; returns how many were released."""
+    n = 0
+    while _TRACKED_PERSISTS:
+        df = _TRACKED_PERSISTS.pop()
+        try:
+            df.unpersist(blocking)
+            n += 1
+        except Exception:  # session already stopped — nothing to free
+            pass
+    return n
 
 
 def ensure_min_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
