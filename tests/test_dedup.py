@@ -73,3 +73,35 @@ def test_simhash_respects_max_radius_guard(spark):
     df = _docs(spark, [(1, "a b")])
     with pytest.raises(AssertionError):
         dd.simhash_pairs(df, "doc_id", "text", max_hamming=7)
+
+
+def test_ngram_stop_shingle_cap_reduces_candidates(spark):
+    # Skewed fixture: every doc shares one boilerplate sentence (its
+    # shingles are in ALL docs), while real near-dups share unique text.
+    boiler = "all rights reserved copyright two thousand twenty four"
+    rows = [(i, f"unique text number {i} about topic {i} " + boiler)
+            for i in range(20)]
+    rows += [(100, "the quick brown fox jumps over the lazy sleeping dog"),
+             (101, "the quick brown fox jumps over the lazy sleeping dog")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # threshold=0 emits every candidate pair that shares >=1 surviving
+    # shingle — a direct view of join fan-out.
+    uncapped = dd.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.0
+    ).count()
+    capped = dd.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.0, max_doc_freq=5
+    ).count()
+    # Boilerplate shingles (df=20) pair all 20 docs: C(20,2)=190
+    # candidates the cap must eliminate.
+    assert uncapped >= 190
+    assert capped < uncapped - 150
+
+    # The genuine near-dup pair shares only low-df shingles — it must
+    # survive the cap with full Jaccard.
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in dd.ngram_jaccard_pairs(
+                 docs, "doc_id", "text", n=3, threshold=0.8, max_doc_freq=5
+             ).collect()}
+    assert pairs.get((100, 101)) == 1.0

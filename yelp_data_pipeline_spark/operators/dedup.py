@@ -88,15 +88,31 @@ def with_shingles(df: DataFrame, text_col: str, n: int = 3) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.8
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs above ``threshold``.
 
     Plan: shingle-explode → self-join on the shingle (docs only meet on
     shared shingles) → per-pair intersection counts → Jaccard from set
     sizes. The shuffle key is the shingle; hot shingles are the skew
-    risk at scale (AQE skew-join splits them; a stop-shingle filter is
-    the manual escape hatch).
+    risk at scale (AQE skew-join splits them).
+
+    ``max_doc_freq`` is the stop-shingle cap, the manual escape hatch
+    for that skew: shingles appearing in more than ``max_doc_freq``
+    documents are dropped BEFORE the self-join (one count-distinct agg;
+    the hot set is tiny, so the exclusion is a broadcast anti-join). A
+    shingle in d docs contributes d·(d-1)/2 candidate rows, so capping
+    df bounds per-key join fan-out quadratically. Semantics with the
+    cap on: ``common`` counts only non-stop shingles while ``na``/
+    ``nb`` stay full set sizes — surviving pairs get a conservative
+    (under-estimated) Jaccard, and pairs sharing ONLY stop-shingles are
+    missed; boilerplate-heavy corpora want exactly that. Default
+    ``None`` = off, bit-identical to the exact query.
     """
     sh = (
         with_shingles(df, text_col, n)
@@ -104,6 +120,14 @@ def ngram_jaccard_pairs(
         .withColumn("n_sh", F.size("shingles"))
     )
     exploded = sh.select("doc", "n_sh", F.explode("shingles").alias("s"))
+    if max_doc_freq is not None:
+        hot = (
+            exploded.groupBy("s")
+            .agg(F.count_distinct("doc").alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("s")
+        )
+        exploded = exploded.join(F.broadcast(hot), "s", "left_anti")
     a, b = exploded.alias("a"), exploded.alias("b")
     common = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))

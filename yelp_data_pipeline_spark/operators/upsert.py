@@ -41,6 +41,15 @@ def upsert_delta(
     otherwise merges on the composite key. Raises ImportError when
     delta-spark isn't available — callers fall back to
     :func:`merge_upsert_df` + overwrite.
+
+    Environment probe (2026-08-13, round 3): jar resolution was
+    attempted with ``spark.jars.packages=io.delta:delta-spark_2.13:
+    4.0.0`` — Ivy fails with ``unresolved dependency … not found``
+    (the harness has no network and no local ivy/m2 cache, no delta
+    jar anywhere on disk, and no ``delta`` Python package). The
+    parquet-semantics twin (:func:`merge_upsert_df`, oracle-verified
+    as ``merge_upsert_orders``) therefore remains the executed path;
+    this function is the cluster-deployment surface.
     """
     from delta.tables import DeltaTable  # gated import (harness has no delta jars)
 

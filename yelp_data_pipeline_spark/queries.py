@@ -642,6 +642,103 @@ def q_detect_parse_json_props(spark, sf_dir):
 
 
 @_q(
+    "process_business_oracle",
+    """
+WITH b(business_id, name, is_open, city, state, hours_monday, hours_tuesday,
+       wifi, parking, kids) AS (
+  VALUES
+    ('b1','Cafe One',1,'Springfield','IL','9:0-17:0','10:0-16:0',
+     'u''free''', '{''garage'': True, ''street'': False}', 'True'),
+    ('b2','Bar Two',0,'Shelbyville','MO',NULL,'11:0-23:0',
+     '''no''', '{''garage'': False, ''street'': True}', 'None'),
+    ('b3','Shop Three',1,'Capital City','CA','8:30-18:0',NULL,
+     NULL, NULL, 'False')
+),
+pyrepr AS (
+  SELECT business_id, name, is_open, city, state, hours_monday, hours_tuesday,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           wifi, '^u''|^''|''$', '', 'g'),
+           '\\bTrue\\b', 'true', 'g'), '\\bFalse\\b', 'false', 'g'),
+           '\\bNone\\b', 'null', 'g') AS wifi,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           parking, '^u''|^''|''$', '', 'g'),
+           '\\bTrue\\b', 'true', 'g'), '\\bFalse\\b', 'false', 'g'),
+           '\\bNone\\b', 'null', 'g') AS parking,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           kids, '^u''|^''|''$', '', 'g'),
+           '\\bTrue\\b', 'true', 'g'), '\\bFalse\\b', 'false', 'g'),
+           '\\bNone\\b', 'null', 'g') AS kids
+  FROM b
+)
+SELECT business_id, name, CAST(is_open AS BOOLEAN) AS is_open,
+       city AS location_city, state AS location_state,
+       string_split(hours_monday, '-')[1] AS monday_opening_time,
+       string_split(hours_monday, '-')[2] AS monday_closing_time,
+       string_split(hours_tuesday, '-')[1] AS tuesday_opening_time,
+       string_split(hours_tuesday, '-')[2] AS tuesday_closing_time,
+       CASE WHEN lower(wifi) = 'none' OR wifi = '' THEN NULL
+            ELSE wifi END AS attributes_wifi,
+       CAST(json_extract_string(replace(parking, '''', '"'),
+                                '$.garage') AS BOOLEAN) AS parking_garage,
+       CAST(json_extract_string(replace(parking, '''', '"'),
+                                '$.street') AS BOOLEAN) AS parking_street,
+       CASE WHEN lower(kids) = 'none' OR kids = '' THEN NULL
+            ELSE kids END AS attributes_goodforkids
+FROM pyrepr
+""",
+    doc="M6 — the full composite business cleaner (B2S:64-76) on a "
+    "synthesized Yelp-shaped fixture: is_open long→boolean, nested "
+    "location/hours/attributes structs flattened (M1), hours ranges "
+    "split (M5), py-repr attribute strings cleaned (M2), JSON-looking "
+    "attribute columns detected (M3) and parsed to structs (M4). The "
+    "final projection reads garage/street via getField on the parsed "
+    "struct — which exists ONLY because the operator preserves the "
+    "reference's dead-code parity (B2S:74-75: the re-flatten filter "
+    "matches nothing, so parsed attributes stay nested).",
+)
+def q_process_business_oracle(spark, sf_dir):
+    rows = [
+        ("b1", "Cafe One", 1, ("Springfield", "IL"),
+         ("9:0-17:0", "10:0-16:0"),
+         ("u'free'", "{'garage': True, 'street': False}", "True")),
+        ("b2", "Bar Two", 0, ("Shelbyville", "MO"),
+         (None, "11:0-23:0"),
+         ("'no'", "{'garage': False, 'street': True}", "None")),
+        ("b3", "Shop Three", 1, ("Capital City", "CA"),
+         ("8:30-18:0", None),
+         (None, None, "False")),
+    ]
+    schema = (
+        "business_id string, name string, is_open bigint, "
+        "location struct<city:string,state:string>, "
+        "hours struct<Monday:string,Tuesday:string>, "
+        "attributes struct<WiFi:string,BusinessParking:string,"
+        "GoodForKids:string>"
+    )
+    biz = spark.createDataFrame(rows, schema)
+    out = cl.process_business(biz)
+    return out.select(
+        "business_id",
+        "name",
+        "is_open",
+        "location_city",
+        "location_state",
+        "monday_opening_time",
+        "monday_closing_time",
+        "tuesday_opening_time",
+        "tuesday_closing_time",
+        "attributes_wifi",
+        F.col("attributes_businessparking").getField("garage").alias(
+            "parking_garage"
+        ),
+        F.col("attributes_businessparking").getField("street").alias(
+            "parking_street"
+        ),
+        "attributes_goodforkids",
+    )
+
+
+@_q(
     "events_date_parts",
     """
 SELECT event_id, ts,
@@ -1158,6 +1255,44 @@ WHERE round(CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE), 6) >= 0.8
 def q_dedup_ngram_pairs(spark, sf_dir):
     return dd.ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.8
+    )
+
+
+@_q(
+    "ngram_jaccard_capped",
+    f"""
+WITH {_SHINGLES_CTE},
+ex0 AS (
+  SELECT doc_id, CAST(len(shingles) AS INT) AS n_sh, unnest(shingles) AS s FROM sh
+),
+hot AS (
+  SELECT s FROM (
+    SELECT s, count(DISTINCT doc_id) AS df FROM ex0 GROUP BY s
+  ) t WHERE df > 5
+),
+ex AS (SELECT * FROM ex0 WHERE s NOT IN (SELECT s FROM hot)),
+c AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+         count(*) AS common
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b,
+       round(CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE), 6) AS jaccard
+FROM c
+WHERE round(CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE), 6) >= 0.8
+""",
+    doc="N-gram Jaccard with the stop-shingle cap ON (max_doc_freq=5): "
+    "shingles in >5 docs are excluded before the self-join via a "
+    "broadcast anti-join, bounding per-shingle join fan-out (d·(d-1)/2 "
+    "candidate rows per shingle in d docs) — the skew escape hatch for "
+    "boilerplate-heavy corpora. Jaccard is conservative: common counts "
+    "only surviving shingles against full set sizes.",
+)
+def q_ngram_jaccard_capped(spark, sf_dir):
+    return dd.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, threshold=0.8, max_doc_freq=5,
     )
 
 
