@@ -32,6 +32,11 @@ DEFAULT_AUDIT = [
     "event_pairs_within_5s",
     "user_sessions",
     "fact_orders",
+    "shipping_priority_top10",
+    "order_price_rank_scalable",
+    "ngram_jaccard_capped",
+    "semantic_dedup_survivors",
+    "winnowing_fingerprints",
 ]
 
 

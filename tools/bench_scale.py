@@ -1,0 +1,148 @@
+"""Second-scale benchmark for the dedup/ANN family.
+
+The sf0.1 bench point cannot show skew or candidate-blowup
+inflections, so this tool derives a 5× corpus ("sf0.5-equivalent")
+FROM the sf0.1 fixtures and times the heavy dedup/ANN queries at both
+scales, printing one JSON line per scale plus per-query ratios.
+
+Derivation (deterministic, no RNG):
+- documents: 5 replicas; replica r rotates the vowels of every token
+  by r positions (``translate``). Within a replica the original
+  near-dup structure is preserved exactly; across replicas most
+  shingles differ, so no new cross-replica near-dups appear — the
+  workload scales linearly in corpus size, which is the property a
+  scaling trend should isolate.
+- embeddings: 5 replicas; replica r rotates the embedding DIMENSIONS
+  by 13·r positions. Norms and within-replica cosines are preserved
+  bit-exactly; cross-replica cosines decorrelate.
+- ids offset by r·10⁹ so replicas never collide.
+
+Usage: python tools/bench_scale.py [replicas] (default 5; the derived
+parquet is cached under .scale_bench/ and rebuilt only if absent).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from yelp_data_pipeline_spark.queries import queries  # noqa: E402
+from yelp_data_pipeline_spark.session import get_spark, release_tracked  # noqa: E402
+
+VOWELS = "aeiou"
+EMB_DIM = 64
+
+FAMILY = [
+    "dedup_minhash_pairs",
+    "dedup_ngram_pairs",
+    "simhash_near_pairs",
+    "embedding_neardup_pairs",
+    "embedding_neardup_fine",
+    "ann_topk_cosine",
+    "winnowing_fingerprints",
+]
+
+BASE_SF = "/root/testdata/sf0.1"
+OUT_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        ".scale_bench")
+
+
+def build_scaled(spark, replicas: int) -> str:
+    out_dir = os.path.join(OUT_ROOT, f"x{replicas}")
+    if os.path.exists(os.path.join(out_dir, "_DONE")):
+        return out_dir
+
+    docs = spark.read.parquet(f"{BASE_SF}/documents.parquet")
+    parts = []
+    for r in range(replicas):
+        rot = VOWELS[r % 5:] + VOWELS[: r % 5]
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(r * 1_000_000_000)).alias("doc_id"),
+                F.translate("text", VOWELS, rot).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    scaled_docs = parts[0]
+    for p in parts[1:]:
+        scaled_docs = scaled_docs.unionByName(p)
+    scaled_docs.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+
+    emb = spark.read.parquet(f"{BASE_SF}/embeddings.parquet")
+    parts = []
+    for r in range(replicas):
+        k = (13 * r) % EMB_DIM
+        rotated = F.concat(
+            F.slice("embedding", k + 1, EMB_DIM - k),
+            F.slice("embedding", 1, k),
+        ) if k else F.col("embedding")
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(r * 1_000_000_000)).alias("vec_id"),
+                rotated.cast("array<float>").alias("embedding"),
+                "label",
+            )
+        )
+    scaled_emb = parts[0]
+    for p in parts[1:]:
+        scaled_emb = scaled_emb.unionByName(p)
+    scaled_emb.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+
+    with open(os.path.join(out_dir, "_DONE"), "w") as fh:
+        fh.write("ok\n")
+    return out_dir
+
+
+def run_family(spark, qs, sf_dir: str) -> dict[str, float]:
+    timings = {}
+    for name in FAMILY:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        release_tracked()
+    return timings
+
+
+def main() -> int:
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    spark = get_spark("bench_scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = queries()
+
+    scaled_dir = build_scaled(spark, replicas)
+
+    # Warm-up so JVM/codegen cost lands outside both measured passes.
+    qs["ann_topk_cosine"](spark, BASE_SF).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    release_tracked()
+
+    base = run_family(spark, qs, BASE_SF)
+    scaled = run_family(spark, qs, scaled_dir)
+    ratios = {
+        k: (round(scaled[k] / base[k], 2) if base[k] > 0 else None) for k in base
+    }
+    print(json.dumps({
+        "metric": "dedup_ann_family_total",
+        "unit": "sec",
+        "sf_base": 0.1,
+        "scale_multiplier": replicas,
+        "base": base,
+        "scaled": scaled,
+        "ratio": ratios,
+        "base_total": round(sum(base.values()), 3),
+        "scaled_total": round(sum(scaled.values()), 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

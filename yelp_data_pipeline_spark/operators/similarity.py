@@ -92,6 +92,15 @@ def cosine_neardup_pairs(
     rises. The DuckDB oracle replays the identical planes/banding, so
     the correctness gate compares like for like.
 
+    SCALE RULE — bucket cardinality is 2^(n_planes/bands) and does NOT
+    grow with the corpus, so candidate pairs grow O(n² / 2^bits): the
+    5× scale bench measured the 2-bit default at 12.5× cost for 5×
+    vectors. Size bits_per_band ≈ log2(n / target_bucket_size) and add
+    bands to buy recall back (each extra bit multiplies buckets by 2
+    and costs p× per-band recall). 32 planes / 8 bands (4 bits) is the
+    registered fine variant; ≥0.8-cosine dedup keeps ≈0.98 recall
+    there.
+
     At n beyond ~10⁷ per bucket, swap the per-row fold for a
     pandas_udf matrix projection; the banding logic is unchanged.
     """

@@ -1427,6 +1427,24 @@ def q_embedding_neardup_pairs(spark, sf_dir):
 
 
 @_q(
+    "embedding_neardup_fine",
+    _signlsh_oracle(threshold=0.42, n_planes=32, bands=8),
+    doc="Sign-LSH near-dup pairs with FINE banding (32 planes, 8 bands "
+    "× 4 bits → 16 buckets/band vs the default's 4): bucket count per "
+    "band is 2^bits and FIXED, so candidate pairs grow O(n²/2^bits) — "
+    "the 5× scale bench measured the 2-bit default at 12.5× cost for "
+    "5× vectors. Four bits cut per-bucket occupancy 4× (16× fewer "
+    "candidate pairs) at the price of banding recall at low cosine "
+    "(0.77 at 0.42; 0.98 at the ≥0.8 regime real dedup targets). "
+    "Size bits ≈ log2(n/target_bucket_size) as the corpus grows.",
+)
+def q_embedding_neardup_fine(spark, sf_dir):
+    return sim.cosine_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.42, n_planes=32, bands=8
+    )
+
+
+@_q(
     "ann_topk_batch",
     f"""
 WITH q AS (
@@ -1876,6 +1894,126 @@ def q_dedup_clusters(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     pairs = dd.minhash_lsh_pairs(docs, "doc_id", "text", k=12, bands=4, threshold=0.8)
     return graph.dedup_clusters(docs, pairs)
+
+
+@_q(
+    "semantic_dedup_survivors",
+    f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({_signlsh_oracle(threshold=0.42)}) sp
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+walk(node, label) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.node
+),
+clusters AS (
+  SELECT node AS vec_id, min(label) AS cluster_id FROM walk GROUP BY node
+)
+SELECT cluster_id AS vec_id, count(*) AS n_members
+FROM clusters GROUP BY cluster_id
+""",
+    doc="Semantic (embedding-space) dedup end to end: sign-LSH cosine "
+    "near-dup pairs → connected components → min-id survivor per "
+    "cluster with member count — the embedding twin of the MinHash "
+    "dedup_clusters path, so a curation pipeline can dedup on meaning "
+    "rather than surface text. Oracle = recursive-CTE reachability "
+    "over the replayed LSH pairs (checks the transitive closure).",
+)
+def q_semantic_dedup_survivors(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = sim.cosine_neardup_pairs(emb, threshold=0.42)
+    comp = graph.connected_components(pairs, "id_a", "id_b")
+    clusters = (
+        emb.select(F.col("vec_id"))
+        .join(comp.withColumnRenamed("node", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id", F.coalesce("cluster", F.col("vec_id")).alias("cluster_id")
+        )
+    )
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .select(F.col("cluster_id").alias("vec_id"), "n_members")
+    )
+
+
+@_q(
+    "shipping_priority_top10",
+    """
+SELECT l_orderkey,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4)))
+            AS DOUBLE) AS revenue,
+       o_orderdate
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < DATE '1995-03-15'
+  AND l_shipdate  > DATE '1995-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+    doc="TPC-H Q3 shape (shipping priority): selective dim filter "
+    "broadcast into a fact-fact join, decimal-exact revenue per order, "
+    "global top-10 via TakeOrderedAndProject (no full sort). Both date "
+    "predicates push to the scans.",
+)
+def q_shipping_priority_top10(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1995-03-15"
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1995-03-15"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")),
+               F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(agg.exact_sum(disc_price, "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@_q(
+    "top_orders_with_ties",
+    """
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         rank() OVER (PARTITION BY o_custkey
+                      ORDER BY floor(o_totalprice / 10000) DESC) AS rk
+  FROM orders
+) WHERE rk <= 2
+""",
+    doc="rank()-based top-k per group KEEPING ties (vs row_number's "
+    "arbitrary cut in top_n_per_group): orders bucketed to a coarse "
+    "price band so genuine ties exist; every order in a tied band "
+    "survives. One partitioned window — same single-shuffle shape.",
+)
+def q_top_orders_with_ties(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    band = F.floor(F.col("o_totalprice") / 10000)
+    w = Window.partitionBy("o_custkey").orderBy(band.desc())
+    return (
+        o.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
 
 
 _SAMPLE_KEY_SQL = md5_long_sql("concat_ws('|', 'r2', CAST(doc_id AS VARCHAR))")
@@ -2679,6 +2817,10 @@ _EXPORT_PRIORITY: list[str] = [
     "order_price_rank_scalable",
     "process_business_oracle",
     "ngram_jaccard_capped",
+    "semantic_dedup_survivors",
+    "shipping_priority_top10",
+    "top_orders_with_ties",
+    "embedding_neardup_fine",
 ]
 
 
