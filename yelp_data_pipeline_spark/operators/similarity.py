@@ -295,6 +295,52 @@ def train_centroids_by_label(
     )
 
 
+def kmeans_spherical(
+    df: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Spherical k-means (Lloyd iterations under cosine similarity),
+    composed entirely from the two oracle-proven centroid primitives:
+    assignment = :func:`classify_to_centroids` (broadcast cross join +
+    rounded-score argmax), update = :func:`train_centroids_by_label`
+    (posexplode + per-dimension rounded mean).
+
+    Determinism across engines: init centroids are the vectors with
+    ``id < k`` (no RNG), every score is rounded before the argmax with
+    a label tiebreak, every mean is rounded before the next iteration
+    — so a sequential SQL engine replays the identical trajectory.
+
+    Scale shape: each iteration is one broadcast cross join over the
+    corpus (k ≪ n rows broadcast) plus one (cell, pos)-keyed mean —
+    both linear in n. The loop is lazy; on a real cluster persist the
+    assignment relation per iteration to stop lineage growth (the
+    bounded ``iters`` here keeps the plan shallow). Empty clusters
+    drop out of the centroid set, exactly as in textbook Lloyd.
+    Output: (id, label, score) after ``iters`` updates.
+    """
+    cents = df.filter(F.col(id_col) < k).select(
+        F.col(id_col).alias("cell"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+            "centroid"
+        ),
+    )
+    for _ in range(iters):
+        assign = classify_to_centroids(df, cents, id_col, vec_col)
+        # Scoped alias: the input may carry its own `label` column
+        # (the fixture does), which must not collide with ours.
+        labeled = df.select(id_col, vec_col).join(
+            assign.select(id_col, F.col("label").alias("__km_label")), id_col
+        )
+        cents = train_centroids_by_label(
+            labeled, "__km_label", vec_col, round_to=round_to
+        )
+    return classify_to_centroids(df, cents, id_col, vec_col)
+
+
 def quantize_embeddings(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -974,6 +974,37 @@ def q_priority_status_cube(spark, sf_dir):
 
 
 @_q(
+    "priority_status_grouping_sets",
+    """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       count(*) AS cnt,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                        (o_orderpriority), (o_orderstatus))
+""",
+    doc="Arbitrary GROUPING SETS (beyond cube/rollup's fixed lattices): "
+    "the three user-chosen sets in ONE pass via Expand, with GROUPING() "
+    "flags disambiguating a rolled-up NULL from a genuine NULL key.",
+)
+def q_priority_status_grouping_sets(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderpriority", "o_orderstatus"], ["o_orderpriority"],
+         ["o_orderstatus"]],
+        "o_orderpriority",
+        "o_orderstatus",
+    ).agg(
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.count(F.lit(1)).alias("cnt"),
+        agg.exact_sum("o_totalprice", "sum_price"),
+    )
+
+
+@_q(
     "asof_latest_order",
     """
 SELECT e.event_id, e.user_id, e.ts, o.o_orderdate AS last_order_date
@@ -2016,6 +2047,60 @@ def q_top_orders_with_ties(spark, sf_dir):
     )
 
 
+def _kmeans_oracle(k: int = 4, iters: int = 2) -> str:
+    """Replay of kmeans_spherical: fixed init (vec_id < k), then per
+    iteration argmax assignment (rounded score, label-DESC tiebreak)
+    and rounded per-dimension means — the same deterministic
+    trajectory the Spark loop takes."""
+    cos = cosine_sql("c.centroid", "e.embedding", _EMB_DIM)
+    ctes = [f"""c0 AS (
+  SELECT vec_id AS cell,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+  FROM embeddings WHERE vec_id < {k}
+)"""]
+    for it in range(1, iters + 1):
+        ctes.append(f"""a{it} AS (
+  SELECT vec_id, cell AS label FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round({cos}, 6) DESC, c.cell DESC) AS rn
+    FROM embeddings e, c{it - 1} c
+  ) WHERE rn = 1
+)""")
+        ctes.append(f"""c{it} AS (
+  SELECT cell, list(m ORDER BY pos) AS centroid FROM (
+    SELECT a.label AS cell, i AS pos,
+           round(avg(CAST(e.embedding[i] AS DOUBLE)), 6) AS m
+    FROM embeddings e JOIN a{it} a ON e.vec_id = a.vec_id,
+         (SELECT unnest(generate_series(1, {_EMB_DIM})) AS i) g
+    GROUP BY 1, 2
+  ) t GROUP BY cell
+)""")
+    return f"""WITH {','.join(ctes)}
+SELECT vec_id, cell AS label, s AS score FROM (
+  SELECT e.vec_id, c.cell, round({cos}, 6) AS s,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY round({cos}, 6) DESC, c.cell DESC) AS rn
+  FROM embeddings e, c{iters} c
+) t WHERE rn = 1
+"""
+
+
+@_q(
+    "kmeans_assignments",
+    _kmeans_oracle(k=4, iters=2),
+    doc="Spherical k-means, 2 Lloyd iterations (iterative ML in pure "
+    "Catalyst): deterministic init (vec_id < k), broadcast-cross-join "
+    "assignment with rounded-score/label-tiebreak argmax, rounded "
+    "per-dimension means — every iteration replayable by a sequential "
+    "engine, so the oracle follows the identical trajectory.",
+)
+def q_kmeans_assignments(spark, sf_dir):
+    return sim.kmeans_spherical(
+        _t(spark, sf_dir, "embeddings"), k=4, iters=2
+    )
+
+
 _SAMPLE_KEY_SQL = md5_long_sql("concat_ws('|', 'r2', CAST(doc_id AS VARCHAR))")
 
 
@@ -2821,6 +2906,8 @@ _EXPORT_PRIORITY: list[str] = [
     "shipping_priority_top10",
     "top_orders_with_ties",
     "embedding_neardup_fine",
+    "priority_status_grouping_sets",
+    "kmeans_assignments",
 ]
 
 
