@@ -181,3 +181,26 @@ def test_release_tracked_frees_minhash_cache(spark):
     dd.minhash_lsh_pairs(docs, "doc_id", "text", k=8, bands=4).collect()
     assert release_tracked() >= 1
     assert not release_tracked()
+
+
+def test_salted_join_matches_plain_join(spark):
+    from yelp_data_pipeline_spark.operators.joins import salted_join
+
+    # One celebrity key (90% of left rows) + a long tail.
+    left = spark.createDataFrame(
+        [(1 if i % 10 else i, i) for i in range(200)], "k long, payload long"
+    )
+    right = spark.createDataFrame(
+        [(i, f"dim{i}") for i in range(0, 200, 7)] + [(1, "dim1")],
+        "rk long, name string",
+    )
+    plain = left.join(right, left["k"] == right["rk"], "left").drop("rk")
+    salted = salted_join(left, right, "k", "rk", salts=4, how="left").drop("rk")
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        salted_join(left, right, "k", "rk", how="full")

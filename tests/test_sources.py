@@ -79,3 +79,32 @@ def test_asof_join_semantics(spark):
     assert got[2] is None    # no order at or before
     assert got[3] == 300.0
     assert got[4] is None    # key never on right side
+
+
+def test_csv_source_schema_partition_pruning(spark, tmp_path):
+    from yelp_data_pipeline_spark.tables import read_csv_source
+
+    base = tmp_path / "csv_src"
+    for y, rows in ((2020, "1,a\n2,b\n"), (2021, "3,c\n")):
+        d = base / f"year={y}"
+        d.mkdir(parents=True)
+        (d / "part.csv").write_text("id,name\n" + rows)
+
+    df = read_csv_source(
+        spark,
+        str(base),
+        schema="id long, name string",
+        partition_filter=F.col("year") == 2021,
+    )
+    assert [(r["id"], r["name"], r["year"]) for r in df.collect()] == [
+        (3, "c", 2021)
+    ]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+    # Column pruning reaches the CSV parser: only `id` in ReadSchema.
+    pruned = read_csv_source(
+        spark, str(base), schema="id long, name string"
+    ).select("id")
+    pplan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<id:bigint>" in pplan

@@ -98,6 +98,51 @@ def asof_join(
     return out.drop("__t", "__tag", "__vals", "__last")
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Explicit salt-replication equi-join for extreme key skew.
+
+    AQE's skew-join split handles most skew at runtime, but it only
+    splits partitions it can measure post-shuffle; a single pathological
+    key that dwarfs every split threshold (the classic null-user /
+    celebrity-entity key) still lands on one reducer. Salting bounds it
+    by construction: the big side gets a row-local salt in [0, salts),
+    the small side is replicated once per salt (explode(sequence)), and
+    the join key becomes (key, salt) — the hot key's rows spread over
+    ``salts`` reducers. The salt values come from
+    ``monotonically_increasing_id`` so they are partition-local and
+    cheap; the join RESULT is salt-invariant, so the choice affects
+    distribution only.
+
+    Cost: the small side is materialized ``salts`` times — size it like
+    a broadcast decision. Supports ``inner`` and ``left`` (each left
+    row carries exactly one salt, so multiplicities are preserved);
+    right/full would duplicate unmatched right rows per salt and are
+    rejected.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    sl = left.withColumn(
+        "__salt_l",
+        F.pmod(F.monotonically_increasing_id(), F.lit(salts)).cast("int"),
+    )
+    sr = right.withColumn(
+        "__salt_r", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
+    )
+    joined = sl.join(
+        sr,
+        (sl[left_on] == sr[right_on]) & (sl["__salt_l"] == sr["__salt_r"]),
+        how,
+    )
+    return joined.drop("__salt_l", "__salt_r")
+
+
 def range_join_binned(
     left: DataFrame,
     right: DataFrame,

@@ -974,6 +974,27 @@ def q_priority_status_cube(spark, sf_dir):
 
 
 @_q(
+    "salted_segment_event_counts",
+    """
+SELECT c_mktsegment, count(*) AS n_events
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+""",
+    doc="Skew-proof JOIN via explicit salting (the join twin of "
+    "salted_event_type_counts' agg salting): big side salted per row, "
+    "small side replicated per salt, equi-join on (key, salt) — a "
+    "pathological hot key spreads over `salts` reducers even when it "
+    "defeats AQE's post-shuffle split thresholds. Result is "
+    "salt-invariant, so the oracle is the plain join.",
+)
+def q_salted_segment_event_counts(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select("user_id")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = joins.salted_join(e, c, "user_id", "c_custkey", salts=8)
+    return j.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+@_q(
     "priority_status_grouping_sets",
     """
 SELECT o_orderpriority, o_orderstatus,
@@ -2908,6 +2929,7 @@ _EXPORT_PRIORITY: list[str] = [
     "embedding_neardup_fine",
     "priority_status_grouping_sets",
     "kmeans_assignments",
+    "salted_segment_event_counts",
 ]
 
 

@@ -57,6 +57,33 @@ def read_json_source(spark: SparkSession, path: str, schema=None, partition_filt
     return df
 
 
+def read_csv_source(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    header: bool = True,
+    partition_filter=None,
+):
+    """CSV ingestion (source-format breadth beyond the reference's
+    JSON/Delta): explicit ``schema`` strongly preferred — inference
+    costs a full extra pass AND types everything it can't prove, and a
+    malformed row under inference silently nulls columns. With a
+    schema, Spark's CSV reader still pushes partition-column predicates
+    (Hive layout) and prunes unread columns at parse time
+    (``ReadSchema`` shrinks even though CSV is row-oriented — fields
+    outside it are skipped, not converted).
+    """
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    df = reader.csv(path)
+    if partition_filter is not None:
+        df = df.filter(partition_filter)
+    return df
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:
