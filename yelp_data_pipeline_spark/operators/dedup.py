@@ -149,6 +149,56 @@ def ngram_jaccard_pairs(
     )
 
 
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_distance: int = 8,
+    n: int = 3,
+    band_shingles: int = 2,
+) -> DataFrame:
+    """Fuzzy-duplicate pairs by EXACT Levenshtein distance, with LSH-ish
+    blocking so no all-pairs comparison ever happens.
+
+    Blocking: docs sharing any of their first ``band_shingles``
+    lexicographically-smallest word shingles become candidates (shared
+    rare shingles ⇒ likely near-identical text; using the smallest k
+    mirrors minhash's min-wise sampling with zero extra hashing). The
+    expensive ``levenshtein`` — O(len²) per pair, JVM codegen — runs
+    only on candidates. Near-identical docs share almost all shingles,
+    so their min-shingles coincide; recall decays gracefully with edit
+    distance, and the exact verify guarantees no false positives.
+
+    Output: (doc_a, doc_b, distance) with distance ≤ max_distance.
+    """
+    sh = (
+        with_shingles(df, text_col, n)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.col(text_col).alias("txt"),
+            F.explode(
+                F.slice(F.array_sort("shingles"), 1, band_shingles)
+            ).alias("s"),
+        )
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    cand = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.txt").alias("ta"),
+            F.col("b.txt").alias("tb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        cand.withColumn("distance", F.levenshtein("ta", "tb"))
+        .filter(F.col("distance") <= max_distance)
+        .select("doc_a", "doc_b", "distance")
+    )
+
+
 # -------------------------------------------------------------- minhash
 
 

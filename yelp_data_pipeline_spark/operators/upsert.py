@@ -20,6 +20,62 @@ anti-join + union), so the engine offers:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def scd2_versions(
+    df,
+    key_cols: list[str],
+    ts_col: str,
+    attr_cols: list[str],
+    tiebreak_cols: list[str] | None = None,
+):
+    """Slowly-changing-dimension type 2: turn a change log into
+    versioned rows with validity intervals — the warehouse pattern
+    behind MERGE-based dims (the reference's MERGE keeps only the
+    latest row; SCD2 keeps history).
+
+    Consecutive rows per key with IDENTICAL attributes collapse into
+    one version: a NULL-safe lag compare (``eqNullSafe`` = SQL IS
+    DISTINCT FROM, so genuine NULL attributes don't break runs) flags
+    changes, a running sum turns flags into a 1-based ``version_seq``,
+    and each version gets valid_from = its first ts, valid_to = the
+    next version's valid_from (NULL while current) plus an is_current
+    flag. ``version_seq`` — not valid_from — orders the lead() so two
+    versions born on the same timestamp (status flip within one day)
+    stay deterministic; pass ``tiebreak_cols`` to pin the within-ts
+    row order. Two partitioned windows over the same key shuffle — no
+    global ordering anywhere.
+    """
+    from functools import reduce as _reduce
+    from operator import or_ as _or
+
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    changed = F.when(
+        _reduce(
+            _or,
+            [~F.col(c).eqNullSafe(F.lag(c).over(w)) for c in attr_cols],
+        ),
+        1,
+    ).otherwise(0)
+    runs = df.withColumn(
+        "version_seq",
+        F.sum(changed)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("int"),
+    )
+    versions = runs.groupBy(*key_cols, "version_seq").agg(
+        F.min(ts_col).alias("valid_from"),
+        # Attributes are constant within a run by construction.
+        *[F.min(c).alias(c) for c in attr_cols],
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy("version_seq")
+    return versions.withColumn(
+        "valid_to", F.lead("valid_from").over(w2)
+    ).withColumn("is_current", F.col("valid_to").isNull())
 
 
 def merge_upsert_df(target: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:

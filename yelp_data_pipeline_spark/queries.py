@@ -974,6 +974,100 @@ def q_priority_status_cube(spark, sf_dir):
 
 
 @_q(
+    "scd2_order_status_history",
+    """
+WITH flags AS (
+  SELECT o_custkey, o_orderdate, o_orderstatus, o_orderkey,
+         CASE WHEN o_orderstatus IS DISTINCT FROM
+                   lag(o_orderstatus) OVER (PARTITION BY o_custkey
+                                            ORDER BY o_orderdate, o_orderkey)
+              THEN 1 ELSE 0 END AS chg
+  FROM orders
+),
+runs AS (
+  SELECT o_custkey, o_orderdate, o_orderstatus,
+         CAST(SUM(chg) OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey
+                             ROWS UNBOUNDED PRECEDING) AS INT) AS version_seq
+  FROM flags
+),
+versions AS (
+  SELECT o_custkey, version_seq,
+         min(o_orderdate) AS valid_from,
+         min(o_orderstatus) AS o_orderstatus
+  FROM runs GROUP BY 1, 2
+)
+SELECT o_custkey, version_seq, valid_from, o_orderstatus,
+       lead(valid_from) OVER (PARTITION BY o_custkey
+                              ORDER BY version_seq) AS valid_to,
+       lead(valid_from) OVER (PARTITION BY o_custkey
+                              ORDER BY version_seq) IS NULL AS is_current
+FROM versions
+""",
+    doc="SCD type-2 version history (the warehouse pattern the "
+    "reference's latest-row MERGE discards): NULL-safe lag-compare "
+    "flags → running-sum version ids → per-version validity intervals "
+    "via lead(). version_seq (not valid_from) orders the intervals so "
+    "same-day status flips stay deterministic.",
+)
+def q_scd2_order_status_history(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderstatus", "o_orderkey"
+    )
+    return up.scd2_versions(
+        o,
+        ["o_custkey"],
+        "o_orderdate",
+        ["o_orderstatus"],
+        tiebreak_cols=["o_orderkey"],
+    ).select(
+        "o_custkey", "version_seq", "valid_from", "o_orderstatus",
+        "valid_to", "is_current",
+    )
+
+
+@_q(
+    "fuzzy_dup_pairs",
+    """
+WITH t AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, text,
+         CASE WHEN len(toks) >= 3 THEN
+           list_sort(list_distinct(list_transform(
+             generate_series(1, len(toks) - 2),
+             i -> array_to_string(toks[i:i+2], ' '))))
+         ELSE [] END AS sorted_shingles
+  FROM t
+),
+ex AS (
+  SELECT doc_id, text, unnest(sorted_shingles[1:2]) AS s FROM sh
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.text AS ta, b.text AS tb
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(levenshtein(ta, tb) AS INT) AS distance
+FROM cand WHERE levenshtein(ta, tb) <= 8
+""",
+    doc="Fuzzy-duplicate pairs by EXACT edit distance with min-shingle "
+    "blocking: docs sharing either of their two lexicographically "
+    "smallest word shingles become candidates (min-wise sampling, no "
+    "extra hashing), then JVM-codegen levenshtein verifies ≤ 8 — the "
+    "O(len²) compare never runs all-pairs.",
+)
+def q_fuzzy_dup_pairs(spark, sf_dir):
+    return dd.edit_distance_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        max_distance=8, n=3, band_shingles=2,
+    )
+
+
+@_q(
     "salted_segment_event_counts",
     """
 SELECT c_mktsegment, count(*) AS n_events
@@ -2930,6 +3024,8 @@ _EXPORT_PRIORITY: list[str] = [
     "priority_status_grouping_sets",
     "kmeans_assignments",
     "salted_segment_event_counts",
+    "scd2_order_status_history",
+    "fuzzy_dup_pairs",
 ]
 
 
