@@ -121,9 +121,16 @@ def ngram_jaccard_pairs(
     )
     exploded = sh.select("doc", "n_sh", F.explode("shingles").alias("s"))
     if max_doc_freq is not None:
+        # Two consumers of the exploded subtree (df agg + anti-join) —
+        # persist so shingling runs once. Shingle arrays are
+        # array_distinct per doc, so a plain count IS the document
+        # frequency (no count_distinct expand needed).
+        from ..session import track_persist
+
+        exploded = track_persist(exploded)
         hot = (
             exploded.groupBy("s")
-            .agg(F.count_distinct("doc").alias("df"))
+            .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") > max_doc_freq)
             .select("s")
         )
