@@ -222,3 +222,93 @@ def test_funnel_counts_monotone_nonincreasing(spark, events):
         for r in funnel_counts(df, ["view", "click", "purchase"]).collect()
     }
     assert got[1] >= got[2] >= got[3]  # a funnel can only narrow
+
+
+@given(
+    vals=st.lists(st.integers(0, 6), min_size=2, max_size=40),
+)
+@settings(**SETTINGS)
+def test_scalable_ranks_equals_global_window(spark, vals):
+    from pyspark.sql import Window
+
+    from yelp_data_pipeline_spark.operators.windows import scalable_ranks
+    from yelp_data_pipeline_spark.session import release_tracked
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "k long, v double"
+    )
+    got = sorted(map(tuple, scalable_ranks(df, "v", "k", n_tiles=3).collect()))
+    w = Window.orderBy("v")
+    wt = Window.orderBy("v", "k")
+    want = sorted(
+        map(
+            tuple,
+            df.select(
+                "k",
+                "v",
+                F.round(F.percent_rank().over(w), 6).alias("pr"),
+                F.round(F.cume_dist().over(w), 6).alias("cd"),
+                F.ntile(3).over(wt).alias("quartile"),
+            ).collect(),
+        )
+    )
+    release_tracked()
+    assert got == want
+
+
+@given(
+    log=st.lists(
+        st.tuples(
+            st.integers(1, 3),          # key
+            st.integers(0, 20),         # day offset (ties allowed)
+            st.sampled_from(["A", "B", None]),  # attribute incl. NULL
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+)
+@settings(**SETTINGS)
+def test_scd2_intervals_partition_history(spark, log):
+    import datetime as dt
+
+    from yelp_data_pipeline_spark.operators.upsert import scd2_versions
+
+    rows = [
+        (k, dt.date(2020, 1, 1) + dt.timedelta(days=d), a, i)
+        for i, (k, d, a) in enumerate(log)
+    ]
+    df = spark.createDataFrame(rows, "k long, ts date, attr string, seq long")
+    out = scd2_versions(
+        df, ["k"], "ts", ["attr"], tiebreak_cols=["seq"]
+    ).collect()
+
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["k"], []).append(r)
+    for k, versions in by_key.items():
+        versions.sort(key=lambda r: r["version_seq"])
+        # version ids are 1..n dense
+        assert [r["version_seq"] for r in versions] == list(
+            range(1, len(versions) + 1)
+        )
+        # exactly one current version, and it is the last
+        assert [r["is_current"] for r in versions].count(True) == 1
+        assert versions[-1]["is_current"]
+        # intervals chain: valid_to == next valid_from; non-decreasing
+        for a, b in zip(versions, versions[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert a["valid_from"] <= b["valid_from"]
+        # adjacent versions genuinely differ in the attribute
+        for a, b in zip(versions, versions[1:]):
+            assert a["attr"] != b["attr"]
+
+        # replay: run-length encoding of the ordered change log
+        mine = sorted(
+            ((r[0], r[1], r[2], r[3]) for r in rows if r[0] == k),
+            key=lambda t: (t[1], t[3]),
+        )
+        runs = []
+        for _, ts, attr, _seq in mine:
+            if not runs or runs[-1][0] != attr:
+                runs.append((attr, ts))
+        assert [(r["attr"], r["valid_from"]) for r in versions] == runs

@@ -204,3 +204,22 @@ def test_salted_join_matches_plain_join(spark):
 
     with pytest.raises(ValueError):
         salted_join(left, right, "k", "rk", how="full")
+
+
+def test_approx_stats_within_error_bounds(spark):
+    from yelp_data_pipeline_spark.queries import queries
+
+    sf = "/root/testdata/sf0.001"
+    [row] = queries()["approx_event_stats"](spark, sf).collect()
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    exact_users = e.select("user_id").distinct().count()
+    # HLL++ with rsd=1%: allow 5 sigma.
+    assert abs(row["approx_users"] - exact_users) <= max(
+        5, 0.05 * exact_users
+    )
+    # t-digest medians land within a loose rank tolerance of exact.
+    exact_q = e.selectExpr(
+        "percentile(value, array(0.5, 0.95, 0.99)) AS q"
+    ).first()["q"]
+    for approx, true in zip(row["value_quantiles"], exact_q):
+        assert abs(approx - true) <= 0.05 * (abs(true) + 1)

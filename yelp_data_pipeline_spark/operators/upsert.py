@@ -54,8 +54,13 @@ def scd2_versions(
 
     order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak_cols or [])]
     w = Window.partitionBy(*key_cols).orderBy(*order)
+    # First row per key is always a new version — without the explicit
+    # marker, a first row whose attributes are ALL NULL would compare
+    # null-safe-equal to the lag NULLs and start at version 0.
+    first_row = F.lag(F.lit(1)).over(w).isNull()
     changed = F.when(
-        _reduce(
+        first_row
+        | _reduce(
             _or,
             [~F.col(c).eqNullSafe(F.lag(c).over(w)) for c in attr_cols],
         ),

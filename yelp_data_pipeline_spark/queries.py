@@ -978,7 +978,9 @@ def q_priority_status_cube(spark, sf_dir):
     """
 WITH flags AS (
   SELECT o_custkey, o_orderdate, o_orderstatus, o_orderkey,
-         CASE WHEN o_orderstatus IS DISTINCT FROM
+         CASE WHEN lag(1) OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) IS NULL
+                OR o_orderstatus IS DISTINCT FROM
                    lag(o_orderstatus) OVER (PARTITION BY o_custkey
                                             ORDER BY o_orderdate, o_orderkey)
               THEN 1 ELSE 0 END AS chg
@@ -1064,6 +1066,28 @@ def q_fuzzy_dup_pairs(spark, sf_dir):
     return dd.edit_distance_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text",
         max_distance=8, n=3, band_shingles=2,
+    )
+
+
+@_q(
+    "approx_event_stats",
+    None,  # sketch internals differ per engine — no cross-engine oracle
+    doc="The approximate tier a 100 TB deployment actually uses: "
+    "HyperLogLog++ distinct users (approx_count_distinct, rsd=1%) and "
+    "t-digest quantiles (percentile_approx, accuracy 10000) in ONE "
+    "single-pass, mergeable aggregate — no sort, no exact-distinct "
+    "shuffle, error bounds fixed as data grows. Sketch internals are "
+    "engine-specific, so the driver records a rows-only check; "
+    "tests/test_scale_patterns.py bounds the error against the exact "
+    "answers instead.",
+)
+def q_approx_event_stats(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.percentile_approx(
+            "value", [0.5, 0.95, 0.99], 10000
+        ).alias("value_quantiles"),
     )
 
 
