@@ -93,3 +93,35 @@ def test_upsert_delta_gated_on_import(spark, tmp_path):
     pytest.importorskip("delta", reason="delta-spark not installed in harness")
     df = spark.createDataFrame([(1, "x")], "k long, v string")
     up.upsert_delta(spark, df, str(tmp_path / "d"), ["k"])
+
+
+def test_clustered_write_yields_prunable_ranges(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from yelp_data_pipeline_spark.operators.upsert import write_clustered
+
+    df = spark.range(0, 10_000).selectExpr(
+        "id", "CAST(id % 97 AS DOUBLE) AS noise"
+    )
+    out = str(tmp_path / "clustered")
+    write_clustered(df, out, ["id"], num_files=8)
+
+    ranges = []
+    for f in glob.glob(f"{out}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)  # id
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+
+    ranges.sort()
+    assert len(ranges) >= 4
+    # Disjoint file ranges: a point predicate touches exactly one file.
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2
+    # Coverage: together the files span the whole domain.
+    assert ranges[0][0] == 0 and ranges[-1][1] == 9_999

@@ -128,6 +128,35 @@ def upsert_delta(
     )
 
 
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    num_files: int | None = None,
+) -> None:
+    """Clustered parquet layout: ``repartitionByRange`` on the cluster
+    keys (each output file owns a disjoint key range) + ``sortWithin
+    Partitions`` (rows inside each file are ordered, so every row
+    group's min/max stats span a narrow slice).
+
+    Why it matters at 100 TB: parquet readers prune at two levels from
+    footer statistics — whole files (via min/max in the scan's file
+    listing) and row groups inside a file. On an unclustered write,
+    every file's min/max spans the whole domain and NOTHING prunes; on
+    this layout a selective predicate on the cluster key touches only
+    the files whose range overlaps — the poor man's Z-order, and the
+    right default for append-only fact tables keyed by time. Verified
+    in tests by reading the written footers with pyarrow.
+    """
+    parts = num_files or df.sparkSession.sparkContext.defaultParallelism
+    (
+        df.repartitionByRange(parts, *[F.col(c) for c in cluster_cols])
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def write_evolved(
     df: DataFrame,
     path: str,
