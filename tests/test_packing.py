@@ -56,3 +56,21 @@ def test_dedup_incremental_filters_seen_and_batch_dups(spark):
     )
     out = dedup_incremental(incoming, seen).collect()
     assert [(r["doc_id"],) for r in out] == [(11,)]
+
+
+def test_cluster_keyed_split_never_separates_near_dups(spark):
+    from pyspark.sql import functions as F
+
+    from yelp_data_pipeline_spark.operators import packing as pk
+
+    # Clusters with multiple members (near-dup groups) + singletons.
+    clusters = spark.createDataFrame(
+        [(i, i % 5) for i in range(50)], "doc_id long, cluster_id long"
+    )
+    out = pk.split_assign(clusters, key_col="cluster_id")
+    per_cluster = (
+        out.groupBy("cluster_id")
+        .agg(F.count_distinct("split").alias("n_splits"))
+        .collect()
+    )
+    assert all(r["n_splits"] == 1 for r in per_cluster)

@@ -2780,6 +2780,56 @@ def q_split_assignments(spark, sf_dir):
     return pk.split_assign(_t(spark, sf_dir, "documents")).select("doc_id", "split")
 
 
+_CLUSTER_SPLIT_KEY_SQL = md5_long_sql(
+    "concat_ws('|', 'split', CAST(cluster_id AS VARCHAR))"
+)
+
+
+@_q(
+    "leakage_safe_splits",
+    f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({_minhash_oracle(k=12, bands=4, threshold=0.8)}) mp
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+walk(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.node
+),
+clusters AS (
+  SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN {_CLUSTER_SPLIT_KEY_SQL} % 10000 < 9000 THEN 'train'
+            WHEN {_CLUSTER_SPLIT_KEY_SQL} % 10000 < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM clusters
+""",
+    doc="Leakage-safe train/val/test splits: the split is keyed on the "
+    "near-dup CLUSTER id, not the doc id, so two near-duplicate "
+    "documents can never land in different splits (per-doc hashing "
+    "leaks ~dup-rate × test-fraction of eval docs into training). "
+    "Composition: MinHash pairs → connected components → hash-bucket "
+    "split of the cluster id, joined back to every member.",
+)
+def q_leakage_safe_splits(spark, sf_dir):
+    from .operators import packing as pk
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=12, bands=4, threshold=0.8
+    )
+    clusters = graph.dedup_clusters(docs, pairs)
+    return pk.split_assign(clusters, key_col="cluster_id").select(
+        "doc_id", "cluster_id", "split"
+    )
+
+
 @_q(
     "dedup_incremental_batch",
     """
