@@ -3100,6 +3100,11 @@ _EXPORT_PRIORITY: list[str] = [
     "salted_segment_event_counts",
     "scd2_order_status_history",
     "fuzzy_dup_pairs",
+    # Entries beyond the external harness's 50-entry window roll into
+    # the next round's front — keep them listed so the rotation is a
+    # one-line edit (drop the newly-verdicted names above).
+    "leakage_safe_splits",
+    "approx_event_stats",
 ]
 
 
