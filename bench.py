@@ -50,6 +50,10 @@ EXTRAS = [
     "decontaminated_docs",
     "curated_documents",
     "winnowing_fingerprints",
+    "order_price_rank_scalable",
+    "scd2_order_status_history",
+    "kmeans_assignments",
+    "fuzzy_dup_pairs",
 ]
 
 

@@ -41,6 +41,7 @@ EMB_DIM = 64
 FAMILY = [
     "dedup_minhash_pairs",
     "dedup_ngram_pairs",
+    "ngram_jaccard_capped",
     "simhash_near_pairs",
     "embedding_neardup_pairs",
     "embedding_neardup_fine",
