@@ -37,6 +37,11 @@ DEFAULT_AUDIT = [
     "ngram_jaccard_capped",
     "semantic_dedup_survivors",
     "winnowing_fingerprints",
+    "scd2_order_status_history",
+    "fuzzy_dup_pairs",
+    "salted_segment_event_counts",
+    "kmeans_assignments",
+    "leakage_safe_splits",
 ]
 
 
@@ -101,20 +106,45 @@ def _nested_loop_subtrees(plan: str) -> list[str]:
     return subs
 
 
-def _is_onerow_cross(sub: str) -> bool:
-    """A nested-loop whose broadcast side is a global (keys=[])
-    aggregate carries at most ONE row — the scan-and-attach-scalar
-    idiom (date spans, quantile bounds, corpus max ts). O(n), benign.
+def _is_bounded_cross(sub: str) -> bool:
+    """A BroadcastNestedLoopJoin whose broadcast side is an AGGREGATE
+    output is bounded by that aggregate's group-key cardinality, not by
+    the input size: keys=[] carries at most one row (scan-and-attach-
+    scalar idiom — date spans, quantile bounds), and keyed aggregates
+    cover the tiny-relation broadcast cross joins operators build on
+    purpose (centroid sets, per-partition offsets). A nested loop whose
+    broadcast side is a raw scan, and every CartesianProduct, stays a
+    red flag.
     """
-    return "CartesianProduct" not in sub and "HashAggregate(keys=[]" in sub
+    if "CartesianProduct" in sub:
+        return False
+    # Only the BUILD side bounds the fan-out: look for an aggregate
+    # strictly below the BroadcastExchange node, not on the probe side.
+    lines = sub.splitlines()
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" not in line and "BroadcastQueryStage" not in line:
+            continue
+        label = re.search(r"[A-Za-z*]", line)
+        d = label.start() if label else 0
+        for nxt in lines[i + 1 :]:
+            lbl = re.search(r"[A-Za-z*]", nxt)
+            if lbl and lbl.start() <= d and nxt.strip():
+                break
+            if re.search(
+                r"HashAggregate\(keys=\[|ObjectHashAggregate\(keys=\[|"
+                r"SortAggregate\(key=\[|InMemoryTableScan|LocalTableScan",
+                nxt,
+            ):
+                return True
+    return False
 
 
 def _dangerous_nested_loop(plan: str) -> bool:
-    return any(not _is_onerow_cross(s) for s in _nested_loop_subtrees(plan))
+    return any(not _is_bounded_cross(s) for s in _nested_loop_subtrees(plan))
 
 
 def _benign_onerow_cross(plan: str) -> bool:
-    return any(_is_onerow_cross(s) for s in _nested_loop_subtrees(plan))
+    return any(_is_bounded_cross(s) for s in _nested_loop_subtrees(plan))
 
 
 def main() -> int:
@@ -134,7 +164,7 @@ def main() -> int:
         df = specs[name].fn(spark, sf_dir)
         a = audit(name, df)
         flags = "NESTED-LOOP!" if a["nested_loop"] else (
-            "1row-cross" if a["onerow_cross"] else ""
+            "bounded-cross" if a["onerow_cross"] else ""
         )
         print(
             f"{a['query']:32} {a['exchanges']:>4} {a['broadcasts']:>5} "

@@ -25,10 +25,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-# Lineage is truncated every CHECKPOINT_EVERY rounds: iterative joins
-# otherwise stack a full join+agg plan per round and analysis cost
-# grows quadratically.
-CHECKPOINT_EVERY = 3
+# Lineage is truncated EVERY round: each round's plan references the
+# cached previous round, whose printed/analyzed plan nests the round
+# before it — without truncation the plan STRING grows geometrically
+# (measured 9.5 MB / 798 nested cache references after ~6 rounds) and
+# Catalyst re-analyzes all of it each round. An eager localCheckpoint
+# caps the depth at one round; the per-round convergence count
+# materializes the same rows regardless, so the checkpoint adds a
+# block write, not a recompute.
+CHECKPOINT_EVERY = 1
 
 
 def connected_components(
@@ -75,6 +80,10 @@ def connected_components(
         .withColumn("cluster", F.col("node"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Unpersist must target the frame persist() was CALLED on — calling
+    # it on a projection built on top is a silent no-op, which leaked
+    # one cached round per iteration until tracked explicitly.
+    last_persisted = labels
     for it in range(max_iter):
         # min label among each node's neighborhood (neighbors only;
         # the node's own label joins back below).
@@ -96,26 +105,34 @@ def connected_components(
             )
         )
         if it % CHECKPOINT_EVERY == CHECKPOINT_EVERY - 1:
-            new_labels = new_labels.localCheckpoint(eager=False)
-        new_labels = new_labels.persist(StorageLevel.MEMORY_AND_DISK)
-        changed = new_labels.filter(F.col("__changed")).count()
-        labels.unpersist()
-        labels = new_labels.select("node", "cluster")
+            # EAGER: a lazy localCheckpoint never replaces the logical
+            # plan, so the printed/analyzed lineage keeps growing per
+            # round (measured 9.5 MB plan strings before this); the
+            # round's count below materializes the same rows anyway,
+            # so eager truncation costs one cache write, not a
+            # recompute.
+            new_labels = new_labels.localCheckpoint(eager=True)
+        persisted = new_labels.persist(StorageLevel.MEMORY_AND_DISK)
+        changed = persisted.filter(F.col("__changed")).count()
+        last_persisted.unpersist()
+        labels = persisted.select("node", "cluster")
+        last_persisted = persisted
         if changed == 0:
             break
     sym.unpersist()
     if changed != 0:
-        labels.unpersist()
+        last_persisted.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             f"({changed} labels still changing): graph diameter exceeds "
             "max_iter; raise it or use large-star/small-star."
         )
-    # The returned relation is still persisted (callers typically fan it
-    # into several joins); registered for deferred release.
+    # The returned relation reads from the still-persisted final round
+    # (callers typically fan it into several joins); register the
+    # PERSISTED frame — unpersisting the projection on top would no-op.
     from ..session import _TRACKED_PERSISTS
 
-    _TRACKED_PERSISTS.append(labels)
+    _TRACKED_PERSISTS.append(last_persisted)
     return labels
 
 

@@ -322,11 +322,18 @@ def kmeans_spherical(
     drop out of the centroid set, exactly as in textbook Lloyd.
     Output: (id, label, score) after ``iters`` updates.
     """
-    cents = df.filter(F.col(id_col) < k).select(
-        F.col(id_col).alias("cell"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
-            "centroid"
-        ),
+    # Init through a groupBy even though ids are unique: the aggregate
+    # makes the broadcast side's boundedness (≤ k groups) structural in
+    # the plan, so plan audits can tell this deliberate tiny-side cross
+    # join from an unbounded nested loop.
+    cents = (
+        df.filter(F.col(id_col) < k)
+        .groupBy(F.col(id_col).alias("cell"))
+        .agg(
+            F.first(
+                F.transform(F.col(vec_col), lambda x: x.cast("double"))
+            ).alias("centroid")
+        )
     )
     for _ in range(iters):
         assign = classify_to_centroids(df, cents, id_col, vec_col)
