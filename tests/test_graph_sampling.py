@@ -139,3 +139,32 @@ def test_cc_raises_when_max_iter_exhausted(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         graph.connected_components(chain, "doc_a", "doc_b", max_iter=1)
+
+
+def _cc_star(spark, edges):
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    out = graph.connected_components_star(df, "doc_a", "doc_b")
+    got = {r["node"]: r["cluster"] for r in out.collect()}
+    from yelp_data_pipeline_spark.session import release_tracked
+
+    release_tracked()
+    return got
+
+
+def test_star_cc_matches_hashmin_on_mixed_graph(spark):
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (10, 13), (20, 21)]
+    assert _cc_star(spark, edges) == _cc(spark, edges)
+
+
+def test_star_cc_handles_chain_beyond_hashmin_budget(spark):
+    import pytest
+
+    # 60-node chain: diameter 59. Hash-min needs 59 rounds (default
+    # max_iter=25 raises); alternating star needs ~log2(60).
+    chain = [(i, i + 1) for i in range(100, 160)]
+    df = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        graph.connected_components(df, "doc_a", "doc_b")
+    labels = _cc_star(spark, chain)
+    assert set(labels.values()) == {100}
+    assert len(labels) == 61

@@ -312,3 +312,48 @@ def test_scd2_intervals_partition_history(spark, log):
             if not runs or runs[-1][0] != attr:
                 runs.append((attr, ts))
         assert [(r["attr"], r["valid_from"]) for r in versions] == runs
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**SETTINGS)
+def test_star_components_match_union_find(spark, edges):
+    from yelp_data_pipeline_spark.operators.graph import (
+        connected_components_star,
+    )
+    from yelp_data_pipeline_spark.session import release_tracked
+
+    norm = [(min(a, b), max(a, b)) for a, b in edges]
+    df = spark.createDataFrame(norm, "doc_a long, doc_b long")
+    got = {
+        r["node"]: r["cluster"]
+        for r in connected_components_star(df, "doc_a", "doc_b").collect()
+    }
+    release_tracked()
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in norm:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp_min: dict = {}
+    for n in parent:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    want = {n: comp_min[find(n)] for n in parent}
+    assert got == want

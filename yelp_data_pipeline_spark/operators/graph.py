@@ -125,7 +125,8 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             f"({changed} labels still changing): graph diameter exceeds "
-            "max_iter; raise it or use large-star/small-star."
+            "max_iter; raise it or use connected_components_star "
+            "(O(log d) rounds)."
         )
     # The returned relation reads from the still-persisted final round
     # (callers typically fan it into several joins); register the
@@ -133,6 +134,104 @@ def connected_components(
     from ..session import _TRACKED_PERSISTS
 
     _TRACKED_PERSISTS.append(last_persisted)
+    return labels
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components via the alternating large-star/small-star
+    algorithm (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — O(log d) rounds where hash-min needs d, so the
+    right tool when ``connected_components`` raises on an adversarial
+    long-chain graph. Same output contract: (node, cluster) with
+    cluster = the component's min node id, for every node in an edge.
+
+    Per round (all plain joins/aggregates, edge-keyed shuffles):
+    - large-star: every node u links its LARGER neighbors to
+      m = min(neighborhood ∪ {u});
+    - small-star: every node u links its smaller-or-equal neighbors
+      (and itself) to their min.
+    Fixpoint when the edge set stops changing; the result is a forest
+    of depth-1 stars centered at component minima. Lineage is cut
+    every round (eager localCheckpoint) exactly like hash-min.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    all_nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select("v"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    all_nodes.count()
+    converged = False
+    for _ in range(max_iter):
+        # ---- large-star ----
+        sym = e.select("u", "v").union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        # ---- small-star (on the large-star output) ----
+        oriented = large.select(
+            F.greatest("u", "v").alias("a"), F.least("u", "v").alias("b")
+        ).where(F.col("a") != F.col("b"))
+        smins = oriented.groupBy("a").agg(F.min("b").alias("m"))
+        small = (
+            oriented.join(smins, "a")
+            .select(F.col("b").alias("u"), F.col("m").alias("v"))
+            .union(
+                smins.select(F.col("a").alias("u"), F.col("m").alias("v"))
+            )
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        new_e = small.localCheckpoint(eager=True).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        # Fixpoint: identical edge sets (both directions of exceptAll
+        # would need two passes; counts + anti-join count is one each).
+        same_size = new_e.count() == e.count()
+        changed = 0 if same_size else 1
+        if same_size:
+            changed = new_e.join(e, ["u", "v"], "left_anti").count()
+        e.unpersist()
+        e = new_e
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        e.unpersist()
+        all_nodes.unpersist()
+        raise RuntimeError(
+            f"alternating star did not converge in {max_iter} rounds"
+        )
+    # Stars: (u → center). Centers and isolated-after-dedup nodes
+    # label themselves.
+    labels = (
+        all_nodes.join(e, all_nodes["node"] == e["u"], "left")
+        .select(
+            "node", F.coalesce("v", F.col("node")).alias("cluster")
+        )
+    )
+    from ..session import _TRACKED_PERSISTS
+
+    _TRACKED_PERSISTS.append(e)
+    _TRACKED_PERSISTS.append(all_nodes)
     return labels
 
 
