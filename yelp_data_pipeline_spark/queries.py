@@ -2240,6 +2240,45 @@ def q_kmeans_assignments(spark, sf_dir):
     )
 
 
+@_q(
+    "dedup_clusters_star",
+    f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({_minhash_oracle(k=12, bands=4, threshold=0.8)}) mp
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+walk(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.node
+)
+SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node
+""",
+    doc="Same clustering contract as dedup_clusters but via the "
+    "alternating large-star/small-star algorithm (O(log d) rounds vs "
+    "hash-min's d) — identical labels, so the identical recursive-CTE "
+    "oracle verifies both implementations agree on the transitive "
+    "closure.",
+)
+def q_dedup_clusters_star(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=12, bands=4, threshold=0.8
+    )
+    comp = graph.connected_components_star(pairs, "doc_a", "doc_b")
+    return (
+        docs.select(F.col("doc_id"))
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("cluster", F.col("doc_id")).alias("cluster_id")
+        )
+    )
+
+
 _SAMPLE_KEY_SQL = md5_long_sql("concat_ws('|', 'r2', CAST(doc_id AS VARCHAR))")
 
 
