@@ -128,8 +128,31 @@ def main() -> int:
 
     base = run_family(spark, qs, BASE_SF)
     scaled = run_family(spark, qs, scaled_dir)
+
+    # IVF blocking's thesis is that bucket count GROWS with the corpus:
+    # measure it with k_cells scaled by the multiplier (vs the registry
+    # query's fixed k=8, which would look quadratic like any fixed
+    # bucketing).
+    from yelp_data_pipeline_spark.operators.similarity import neardup_pairs_ivf
+    from yelp_data_pipeline_spark.tables import load_table
+
+    for tag, sf_dir, cells in (
+        ("ivf_neardup_k8", BASE_SF, 8),
+        (f"ivf_neardup_k{8 * replicas}", scaled_dir, 8 * replicas),
+    ):
+        t0 = time.perf_counter()
+        neardup_pairs_ivf(
+            load_table(spark, sf_dir, "embeddings"),
+            threshold=0.42, k_cells=cells, probes=2, iters=1,
+        ).write.format("noop").mode("overwrite").save()
+        (base if sf_dir == BASE_SF else scaled)[tag] = round(
+            time.perf_counter() - t0, 3
+        )
+        release_tracked()
     ratios = {
-        k: (round(scaled[k] / base[k], 2) if base[k] > 0 else None) for k in base
+        k: (round(scaled[k] / base[k], 2) if base[k] > 0 else None)
+        for k in base
+        if k in scaled
     }
     print(json.dumps({
         "metric": "dedup_ann_family_total",

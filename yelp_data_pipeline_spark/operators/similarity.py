@@ -295,6 +295,40 @@ def train_centroids_by_label(
     )
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """The Lloyd-iteration trainer behind :func:`kmeans_spherical`:
+    deterministic init (ids < k, through a groupBy so the ≤ k bound is
+    structural in the plan), then ``iters`` rounds of rounded-argmax
+    assignment + rounded per-dimension means. Returns (cell, centroid
+    array<double>) — the cell table IVF routing and cell-blocked
+    dedup consume."""
+    cents = (
+        df.filter(F.col(id_col) < k)
+        .groupBy(F.col(id_col).alias("cell"))
+        .agg(
+            F.first(
+                F.transform(F.col(vec_col), lambda x: x.cast("double"))
+            ).alias("centroid")
+        )
+    )
+    for _ in range(iters):
+        assign = classify_to_centroids(df, cents, id_col, vec_col)
+        labeled = df.select(id_col, vec_col).join(
+            assign.select(id_col, F.col("label").alias("__km_label")), id_col
+        )
+        cents = train_centroids_by_label(
+            labeled, "__km_label", vec_col, round_to=round_to
+        )
+    return cents
+
+
 def kmeans_spherical(
     df: DataFrame,
     k: int = 4,
@@ -322,30 +356,94 @@ def kmeans_spherical(
     drop out of the centroid set, exactly as in textbook Lloyd.
     Output: (id, label, score) after ``iters`` updates.
     """
-    # Init through a groupBy even though ids are unique: the aggregate
-    # makes the broadcast side's boundedness (≤ k groups) structural in
-    # the plan, so plan audits can tell this deliberate tiny-side cross
-    # join from an unbounded nested loop.
-    cents = (
-        df.filter(F.col(id_col) < k)
-        .groupBy(F.col(id_col).alias("cell"))
-        .agg(
-            F.first(
-                F.transform(F.col(vec_col), lambda x: x.cast("double"))
-            ).alias("centroid")
+    cents = kmeans_centroids(df, k, iters, id_col, vec_col, round_to)
+    return classify_to_centroids(df, cents, id_col, vec_col)
+
+
+def neardup_pairs_ivf(
+    df: DataFrame,
+    threshold: float,
+    k_cells: int = 8,
+    probes: int = 2,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding near-dup pairs blocked by IVF cells — the bucketing
+    whose cardinality GROWS with the corpus, unlike sign-LSH's fixed
+    2^bits buckets (the 5× bench measured that inflection): train
+    ``k_cells`` spherical-k-means centroids, route every vector to its
+    top ``probes`` cells, take same-cell pairs as candidates, verify
+    with the exact cosine. Candidates are O(n²·probes²/k_cells); pick
+    k_cells ≈ n/target_bucket_size at scale and the per-cell work stays
+    constant.
+
+    Multi-probe (``probes`` > 1) is the recall lever: a pair split by a
+    cell boundary still meets in a shared second-choice cell. Like all
+    LSH-family blockers, recall is probabilistic and the oracle replays
+    the identical deterministic routing, so the gate compares like for
+    like. Output: (id_a, id_b, score ≥ threshold).
+
+    Measured at 5×/5×-cells: 2.9× cost — the best-scaling embedding
+    blocker here. Residual: ROUTING is O(n·k_cells) (one broadcast
+    cross-join score per vector per cell), so past ~10⁴ cells route
+    hierarchically — coarse-quantize the centroid table and assign in
+    two hops (coarse cell → fine cells within it), which drops routing
+    to O(n·√k). The banding/verify stages are unchanged by that swap.
+    """
+    from pyspark.sql import Window
+
+    from ..session import track_persist
+
+    cents = kmeans_centroids(df, k_cells, iters, id_col, vec_col, round_to)
+    pre = track_persist(
+        ensure_min_parallelism(df).select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("u"),
+            norm(F.col(vec_col)).alias("nrm"),
         )
     )
-    for _ in range(iters):
-        assign = classify_to_centroids(df, cents, id_col, vec_col)
-        # Scoped alias: the input may carry its own `label` column
-        # (the fixture does), which must not collide with ours.
-        labeled = df.select(id_col, vec_col).join(
-            assign.select(id_col, F.col("label").alias("__km_label")), id_col
+    score = F.round(cosine(F.col("u"), F.col("centroid")), round_to)
+    scored = pre.select("id", "u").crossJoin(F.broadcast(cents)).select(
+        "id", F.col("cell"), score.alias("s")
+    )
+    w = Window.partitionBy("id").orderBy(F.col("s").desc(), F.col("cell").desc())
+    probed = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= probes)
+        .select("id", "cell")
+    )
+    a, b = probed.alias("a"), probed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.id") < F.col("b.id")),
         )
-        cents = train_centroids_by_label(
-            labeled, "__km_label", vec_col, round_to=round_to
-        )
-    return classify_to_centroids(df, cents, id_col, vec_col)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = cand.join(
+        pre.select(
+            F.col("id").alias("id_a"), F.col("u").alias("ua"),
+            F.col("nrm").alias("na"),
+        ),
+        "id_a",
+    ).join(
+        pre.select(
+            F.col("id").alias("id_b"), F.col("u").alias("ub"),
+            F.col("nrm").alias("nb"),
+        ),
+        "id_b",
+    )
+    pscore = F.round(
+        dot(F.col("ua"), F.col("ub")) / (F.col("na") * F.col("nb")), round_to
+    )
+    return (
+        pairs.select("id_a", "id_b", pscore.alias("score"))
+        .filter(F.col("score") >= threshold)
+    )
 
 
 def quantize_embeddings(

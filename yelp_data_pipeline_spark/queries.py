@@ -2186,11 +2186,12 @@ def q_top_orders_with_ties(spark, sf_dir):
     )
 
 
-def _kmeans_oracle(k: int = 4, iters: int = 2) -> str:
-    """Replay of kmeans_spherical: fixed init (vec_id < k), then per
-    iteration argmax assignment (rounded score, label-DESC tiebreak)
-    and rounded per-dimension means — the same deterministic
-    trajectory the Spark loop takes."""
+def _kmeans_cte_chain(k: int, iters: int) -> str:
+    """CTE chain c0 → a1 → c1 → … → c{iters} replaying
+    kmeans_centroids: fixed init (vec_id < k), per-iteration argmax
+    assignment (rounded score, label-DESC tiebreak), rounded
+    per-dimension means — the identical deterministic trajectory the
+    Spark loop takes."""
     cos = cosine_sql("c.centroid", "e.embedding", _EMB_DIM)
     ctes = [f"""c0 AS (
   SELECT vec_id AS cell,
@@ -2215,7 +2216,12 @@ def _kmeans_oracle(k: int = 4, iters: int = 2) -> str:
     GROUP BY 1, 2
   ) t GROUP BY cell
 )""")
-    return f"""WITH {','.join(ctes)}
+    return ",".join(ctes)
+
+
+def _kmeans_oracle(k: int = 4, iters: int = 2) -> str:
+    cos = cosine_sql("c.centroid", "e.embedding", _EMB_DIM)
+    return f"""WITH {_kmeans_cte_chain(k, iters)}
 SELECT vec_id, cell AS label, s AS score FROM (
   SELECT e.vec_id, c.cell, round({cos}, 6) AS s,
          row_number() OVER (PARTITION BY e.vec_id
@@ -2223,6 +2229,49 @@ SELECT vec_id, cell AS label, s AS score FROM (
   FROM embeddings e, c{iters} c
 ) t WHERE rn = 1
 """
+
+
+def _ivf_neardup_oracle(
+    threshold: float, k_cells: int = 8, probes: int = 2, iters: int = 1
+) -> str:
+    cos = cosine_sql("c.centroid", "e.embedding", _EMB_DIM)
+    vcos = cosine_sql("ea.embedding", "eb.embedding", _EMB_DIM)
+    return f"""WITH {_kmeans_cte_chain(k_cells, iters)},
+scored AS (
+  SELECT e.vec_id, c.cell,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY round({cos}, 6) DESC, c.cell DESC) AS rn
+  FROM embeddings e, c{iters} c
+),
+probed AS (SELECT vec_id, cell FROM scored WHERE rn <= {probes}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM probed a JOIN probed b ON a.cell = b.cell AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round({vcos}, 6) AS score
+FROM cand
+JOIN embeddings ea ON ea.vec_id = id_a
+JOIN embeddings eb ON eb.vec_id = id_b
+WHERE round({vcos}, 6) >= {threshold}
+"""
+
+
+@_q(
+    "embedding_neardup_ivf",
+    _ivf_neardup_oracle(threshold=0.42, k_cells=8, probes=2, iters=1),
+    doc="Embedding near-dup pairs blocked by IVF cells — the bucketing "
+    "whose cardinality grows with the corpus (k_cells ≈ n/target at "
+    "scale), unlike sign-LSH's fixed 2^bits buckets whose candidate "
+    "blowup the 5× bench measured. Spherical-k-means cells, top-2 "
+    "multi-probe routing for boundary recall, exact-cosine verify; "
+    "the oracle replays the identical deterministic training and "
+    "routing.",
+)
+def q_embedding_neardup_ivf(spark, sf_dir):
+    return sim.neardup_pairs_ivf(
+        _t(spark, sf_dir, "embeddings"), threshold=0.42,
+        k_cells=8, probes=2, iters=1,
+    )
 
 
 @_q(
@@ -3144,6 +3193,8 @@ _EXPORT_PRIORITY: list[str] = [
     # one-line edit (drop the newly-verdicted names above).
     "leakage_safe_splits",
     "approx_event_stats",
+    "dedup_clusters_star",
+    "embedding_neardup_ivf",
 ]
 
 
