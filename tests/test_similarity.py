@@ -56,3 +56,44 @@ def test_hyperplanes_deterministic():
     b = sim.hyperplanes(4, 8)
     assert a == b
     assert all(x in (1.0, -1.0) for row in a for x in row)
+
+
+def test_hierarchical_routing_agrees_with_flat(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from yelp_data_pipeline_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = sim.kmeans_centroids(emb, k=9, iters=1)
+
+    hier = sim.route_hierarchical(emb, cents, probes=1, coarse_probes=2)
+    top1_hier = {r["vec_id"]: r["cell"] for r in hier.collect()}
+
+    score = F.round(sim.cosine(F.col("embedding"), F.col("centroid")), 6)
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("s").desc(), F.col("cell").desc()
+    )
+    flat = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cents))
+        .select("vec_id", "cell", score.alias("s"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+    )
+    top1_flat = {r["vec_id"]: r["cell"] for r in flat.collect()}
+
+    assert set(top1_hier) == set(top1_flat)
+    agree = sum(
+        1 for v, c in top1_flat.items() if top1_hier[v] == c
+    ) / len(top1_flat)
+    # Random fixture embeddings are hierarchical routing's worst case
+    # (near-orthogonal, no cluster structure), so 2-of-3 coarse probes
+    # land ~0.83; real clustered corpora route far better.
+    assert agree >= 0.8, f"top-1 agreement {agree:.2f}"
+
+    # Full coarse coverage must reproduce flat routing exactly — that
+    # pins the two-hop plumbing, independent of recall.
+    full = sim.route_hierarchical(emb, cents, probes=1, coarse_probes=3)
+    top1_full = {r["vec_id"]: r["cell"] for r in full.collect()}
+    assert top1_full == top1_flat

@@ -386,11 +386,10 @@ def neardup_pairs_ivf(
     like. Output: (id_a, id_b, score ≥ threshold).
 
     Measured at 5×/5×-cells: 2.9× cost — the best-scaling embedding
-    blocker here. Residual: ROUTING is O(n·k_cells) (one broadcast
-    cross-join score per vector per cell), so past ~10⁴ cells route
-    hierarchically — coarse-quantize the centroid table and assign in
-    two hops (coarse cell → fine cells within it), which drops routing
-    to O(n·√k). The banding/verify stages are unchanged by that swap.
+    blocker here. Residual: flat ROUTING is O(n·k_cells) (one
+    broadcast cross-join score per vector per cell); past ~10⁴ cells
+    swap in :func:`route_hierarchical` (two-hop coarse→fine, O(n·√k))
+    for the ``probed`` stage — candidate join and verify are unchanged.
     """
     from pyspark.sql import Window
 
@@ -443,6 +442,86 @@ def neardup_pairs_ivf(
     return (
         pairs.select("id_a", "id_b", pscore.alias("score"))
         .filter(F.col("score") >= threshold)
+    )
+
+
+def route_hierarchical(
+    df: DataFrame,
+    cents: DataFrame,
+    probes: int = 2,
+    coarse_probes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-hop IVF routing — the O(n·√k) replacement for flat
+    O(n·k_cells) cell assignment once the centroid table itself is
+    large (~10⁴+ cells): coarse-quantize the CENTROID table to ≈√k
+    coarse cells, score each vector against the coarse set only, then
+    against the fine centroids belonging to its top ``coarse_probes``
+    coarse cells.
+
+    The coarse quantizer is the first √k fine centroids by cell id
+    (deterministic, no extra training — routing only needs a roughly
+    even partition of centroid space). Approximate by construction: a
+    vector whose best fine cell hides under an unprobed coarse cell
+    routes to its best PROBED fine cell; raise ``coarse_probes`` to
+    trade cost for recall (tests pin top-1 agreement ≥ 0.9 vs flat
+    routing on the fixture). Output: (id, cell, rn) with rn ≤ probes,
+    same shape flat routing feeds the candidate join.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    k = cents.count()  # the centroid table is bounded by construction
+    kc = max(1, int(math.ceil(math.sqrt(k))))
+    coarse = (
+        cents.orderBy("cell")
+        .limit(kc)
+        .select(
+            F.col("cell").alias("ccell"), F.col("centroid").alias("ccentroid")
+        )
+    )
+    # fine cell → owning coarse cell (k rows; broadcastable map).
+    fine2coarse = classify_to_centroids(
+        cents.select(F.col("cell").alias("fcell"), F.col("centroid")),
+        coarse,
+        id_col="fcell",
+        vec_col="centroid",
+        cell_col="ccell",
+        centroid_col="ccentroid",
+    ).select("fcell", F.col("label").alias("ccell"))
+
+    # hop 1: vector → top coarse cells (n·√k scores).
+    cscore = F.round(cosine(F.col(vec_col), F.col("ccentroid")), 6)
+    wc = Window.partitionBy(id_col).orderBy(
+        F.col("cs").desc(), F.col("ccell").desc()
+    )
+    coarse_pick = (
+        df.select(id_col, vec_col)
+        .crossJoin(F.broadcast(coarse))
+        .select(id_col, vec_col, "ccell", cscore.alias("cs"))
+        .withColumn("crn", F.row_number().over(wc))
+        .filter(F.col("crn") <= coarse_probes)
+        .select(id_col, vec_col, "ccell")
+    )
+
+    # hop 2: score only the member fine cells of the picked coarse
+    # cells (n·coarse_probes·(k/√k) ≈ n·√k scores).
+    member = coarse_pick.join(F.broadcast(fine2coarse), "ccell").join(
+        F.broadcast(cents.select(F.col("cell"), F.col("centroid"))),
+        F.col("fcell") == F.col("cell"),
+    )
+    fscore = F.round(cosine(F.col(vec_col), F.col("centroid")), 6)
+    wf = Window.partitionBy(id_col).orderBy(
+        F.col("fs").desc(), F.col("cell").desc()
+    )
+    return (
+        member.select(id_col, "cell", fscore.alias("fs"))
+        .dropDuplicates([id_col, "cell"])
+        .withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") <= probes)
+        .select(id_col, "cell", "rn")
     )
 
 
