@@ -1070,6 +1070,93 @@ def q_fuzzy_dup_pairs(spark, sf_dir):
 
 
 @_q(
+    "price_quantity_corr",
+    """
+WITH m AS (
+  SELECT count(*) AS n,
+         SUM(CAST(l_quantity AS DECIMAL(27,4))) AS sx,
+         SUM(CAST(l_extendedprice AS DECIMAL(27,4))) AS sy,
+         SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,8))) AS sxy,
+         SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,8))) AS sxx,
+         SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,8))) AS syy
+  FROM lineitem
+)
+SELECT round(
+  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr
+FROM m
+""",
+    doc="Pearson correlation from EXACT decimal moments (n, Σx, Σy, "
+    "Σxy, Σx², Σy²) — never F.corr/corr(), whose float accumulation "
+    "is partition-order-dependent; the moment sums are orderless "
+    "decimals, so one map-side-combined pass replays identically on "
+    "any engine or partitioning.",
+)
+def q_price_quantity_corr(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice")
+    m = l.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast("decimal(27,4)")).alias("sx"),
+        F.sum(y.cast("decimal(27,4)")).alias("sy"),
+        F.sum((x * y).cast("decimal(38,8)")).alias("sxy"),
+        F.sum((x * x).cast("decimal(38,8)")).alias("sxx"),
+        F.sum((y * y).cast("decimal(38,8)")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    return m.select(
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        ).alias("corr")
+    )
+
+
+@_q(
+    "scaled_prices_by_priority",
+    """
+WITH b AS (
+  SELECT o_orderpriority,
+         min(o_totalprice) AS lo, max(o_totalprice) AS hi
+  FROM orders GROUP BY 1
+)
+SELECT o_orderkey, o_orderpriority,
+       round(CASE WHEN hi = lo THEN 0.0
+                  ELSE (o_totalprice - lo) / (hi - lo) END, 6) AS scaled
+FROM orders JOIN b USING (o_orderpriority)
+""",
+    doc="Group-wise min-max feature scaling: per-group bounds from one "
+    "hash aggregate broadcast back onto the fact rows (never a global "
+    "window). Constant groups scale to 0 instead of dividing by zero. "
+    "The min/max + subtract/divide are exact IEEE ops, so no decimal "
+    "detour is needed for cross-engine equality.",
+)
+def q_scaled_prices_by_priority(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    b = o.groupBy("o_orderpriority").agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    j = o.join(F.broadcast(b), "o_orderpriority")
+    scaled = F.when(F.col("hi") == F.col("lo"), F.lit(0.0)).otherwise(
+        (F.col("o_totalprice") - F.col("lo")) / (F.col("hi") - F.col("lo"))
+    )
+    return j.select(
+        "o_orderkey", "o_orderpriority", F.round(scaled, 6).alias("scaled")
+    )
+
+
+@_q(
     "approx_event_stats",
     None,  # sketch internals differ per engine — no cross-engine oracle
     doc="The approximate tier a 100 TB deployment actually uses: "
@@ -3195,6 +3282,8 @@ _EXPORT_PRIORITY: list[str] = [
     "approx_event_stats",
     "dedup_clusters_star",
     "embedding_neardup_ivf",
+    "price_quantity_corr",
+    "scaled_prices_by_priority",
 ]
 
 
