@@ -168,3 +168,34 @@ def test_star_cc_handles_chain_beyond_hashmin_budget(spark):
     labels = _cc_star(spark, chain)
     assert set(labels.values()) == {100}
     assert len(labels) == 61
+
+
+def test_mixture_resampling_hits_target_proportions(spark):
+    # 1000 web, 300 code, 50 books; targets 50/30/20. books is the
+    # binding source: T = 50/0.2 = 250 -> keep 125 web, 75 code, all 50.
+    rows = (
+        [(i, "web") for i in range(1000)]
+        + [(1000 + i, "code") for i in range(300)]
+        + [(1300 + i, "books") for i in range(50)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = smp.resample_to_mixture(
+        df, "doc_id", "source", {"web": 0.5, "code": 0.3, "books": 0.2}
+    )
+    got = {r["source"]: r["cnt"] for r in
+           out.groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    # Binding source kept whole; others within hash-sampling tolerance.
+    assert got["books"] == 50
+    assert abs(got["web"] - 125) <= 30
+    assert abs(got["code"] - 75) <= 25
+
+
+def test_weighted_sample_extremes(spark):
+    df = spark.createDataFrame(
+        [(i, 1.0) for i in range(50)] + [(100 + i, 0.0) for i in range(50)],
+        "doc_id long, wgt double",
+    )
+    kept = smp.weighted_hash_sample(df, "doc_id", "wgt").collect()
+    ids = {r["doc_id"] for r in kept}
+    assert all(i < 100 for i in ids)      # weight-0 rows never survive
+    assert len(ids) == 50                 # weight-1 rows always survive

@@ -35,6 +35,72 @@ def hash_sample(
     return df.filter(hash_bucket(F.col(key_col), salt) < int(fraction * BUCKETS))
 
 
+def weighted_hash_sample(
+    df: DataFrame, key_col: str, weight_col: str, salt: str = ""
+) -> DataFrame:
+    """Per-row keep probability = ``weight_col`` (clamped to [0, 1]) —
+    quality-score-proportional sampling, the standard soft filter for
+    pretraining mixes (keep great docs always, mediocre ones
+    sometimes). Same content-hash determinism as :func:`hash_sample`,
+    with the threshold a column instead of a constant; still pure
+    map-side."""
+    w = F.least(F.greatest(F.col(weight_col), F.lit(0.0)), F.lit(1.0))
+    return df.filter(
+        hash_bucket(F.col(key_col), salt) < F.floor(w * F.lit(BUCKETS))
+    )
+
+
+def resample_to_mixture(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    targets: dict[str, float],
+    salt: str = "mix",
+) -> DataFrame:
+    """Downsample sources so the surviving corpus matches ``targets``
+    (weights summing to 1) — the data-mixing step of a pretraining
+    pipeline ("20% code, 30% web, ...").
+
+    The largest achievable corpus keeps T = min_s(count_s / w_s) total
+    rows, i.e. the scarcest source relative to its target share is
+    kept whole and every other source is hash-downsampled to rate_s =
+    w_s·T / count_s. Everything is computed IN the plan: one hash
+    aggregate for per-source counts (a handful of rows, broadcast
+    back), a 1-row min for T, no driver round-trip. Rates use IEEE
+    double division + floor to a bucket threshold, so a sequential
+    engine replays the identical keep set. Sources absent from
+    ``targets`` are dropped.
+    """
+    w_expr = None
+    for value, w in sorted(targets.items()):
+        lit = F.lit(float(w))
+        w_expr = (
+            F.when(F.col(source_col) == value, lit)
+            if w_expr is None
+            else w_expr.when(F.col(source_col) == value, lit)
+        )
+    counts = (
+        df.filter(w_expr.isNotNull())
+        .groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .withColumn("__w", w_expr)
+    )
+    t = counts.agg(
+        F.min(F.col("__cnt") / F.col("__w")).alias("__t")
+    )
+    rates = counts.crossJoin(F.broadcast(t)).select(
+        source_col,
+        F.floor(
+            (F.col("__w") * F.col("__t") / F.col("__cnt")) * F.lit(BUCKETS)
+        ).alias("__thresh"),
+    )
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(hash_bucket(F.col(key_col), salt) < F.col("__thresh"))
+        .drop("__thresh")
+    )
+
+
 def stratified_hash_sample(
     df: DataFrame,
     key_col: str,

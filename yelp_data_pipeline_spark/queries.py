@@ -1069,6 +1069,80 @@ def q_fuzzy_dup_pairs(spark, sf_dir):
     )
 
 
+_WQ_KEY_SQL = md5_long_sql("concat_ws('|', 'wq', CAST(doc_id AS VARCHAR))")
+_MIX_KEY_SQL = md5_long_sql("concat_ws('|', 'mix', CAST(d.doc_id AS VARCHAR))")
+
+
+@_q(
+    "weighted_quality_sample",
+    f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(length(text) AS INT) AS n_chars,
+         CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS INT) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS INT) AS n_punct,
+         CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+              t -> t IN ({", ".join(f"'{w}'" for w in tx.LANG_STOPWORDS['en'])}))) AS INT) AS n_stop
+  FROM documents
+),
+q AS (
+  SELECT doc_id,
+         round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+               + round(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) * 0.3
+               + (1.0 - least(round(CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) * 10, 1.0)) * 0.2,
+               6) AS quality_score
+  FROM base
+)
+SELECT doc_id, quality_score FROM q
+WHERE {_WQ_KEY_SQL} % 10000 < floor(quality_score * 10000)
+""",
+    doc="Quality-weighted sampling: per-row keep probability = the "
+    "composite quality score (soft filter — great docs always survive, "
+    "mediocre ones proportionally), decided by content hash so the "
+    "kept set is identical on every rerun, engine, and partitioning.",
+)
+def q_weighted_quality_sample(spark, sf_dir):
+    q = tx.quality_features(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    ).select("doc_id", "quality_score")
+    return smp.weighted_hash_sample(q, "doc_id", "quality_score", salt="wq")
+
+
+@_q(
+    "mixture_resampled_docs",
+    f"""
+WITH cnt AS (
+  SELECT source, count(*) AS c,
+         CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
+                     WHEN 'src2' THEN 0.2 END AS w
+  FROM documents WHERE source IN ('src0', 'src1', 'src2')
+  GROUP BY source
+),
+t AS (SELECT min(c / w) AS t FROM cnt),
+rates AS (
+  SELECT source, CAST(floor(w * t.t / c * 10000) AS BIGINT) AS thresh
+  FROM cnt, t
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN rates r ON d.source = r.source
+WHERE {_MIX_KEY_SQL} % 10000 < r.thresh
+""",
+    doc="Data mixing: downsample sources so the surviving corpus "
+    "matches target proportions (50/30/20 here). The scarcest source "
+    "relative to its share is kept whole (T = min count/weight), the "
+    "rest hash-downsample to weight·T/count — all computed in-plan "
+    "(per-source counts broadcast back, 1-row min for T, no driver "
+    "round-trip), deterministic via IEEE division + floor bucketing.",
+)
+def q_mixture_resampled_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    out = smp.resample_to_mixture(
+        d, "doc_id", "source",
+        {"src0": 0.5, "src1": 0.3, "src2": 0.2}, salt="mix",
+    )
+    return out.select("doc_id", "source")
+
+
 @_q(
     "price_quantity_corr",
     """
@@ -3284,6 +3358,8 @@ _EXPORT_PRIORITY: list[str] = [
     "embedding_neardup_ivf",
     "price_quantity_corr",
     "scaled_prices_by_priority",
+    "weighted_quality_sample",
+    "mixture_resampled_docs",
 ]
 
 
