@@ -298,6 +298,67 @@ def winnow_fingerprints(
     )
 
 
+def bigram_logprob_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Perplexity-style fluency score: each document's mean bigram
+    log-probability under the corpus's OWN bigram model — the CCNet/
+    Wikipedia-LM move (docs whose word transitions are improbable
+    relative to the corpus are boilerplate, spam, or wrong-language;
+    filter or down-weight them).
+
+    Model: P(w2 | w1) = c(w1 w2) / c(w1 ·) over corpus bigrams, no
+    smoothing (every doc bigram exists in the corpus by construction —
+    the corpus includes the doc). Two hash aggregates build the model
+    (bigram counts, left-context totals); scoring joins each doc
+    bigram to its probability and averages.
+
+    Cross-engine determinism: ln() is libm, whose last ulp differs
+    between engines, so each log term is rounded to 6dp FIRST, then
+    accumulated in DECIMAL (orderless), then the mean is rounded —
+    the same recipe the decay/z-score operators use. Output:
+    (id, n_bigrams, mean_logprob), docs with < 2 tokens dropped.
+    """
+    t = tokens(F.col(text_col))
+    base = df.select(F.col(id_col).alias("doc"), t.alias("t")).filter(
+        F.size("t") >= 2
+    )
+    big = base.select(
+        "doc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.concat_ws(" ", F.slice("t", i, 2)),
+            )
+        ).alias("bg"),
+    ).withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
+
+    c12 = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+
+    term = F.round(
+        F.log(F.col("c12").cast("double") / F.col("c1").cast("double")), 6
+    )
+    scored = (
+        big.join(c12, "bg")
+        .join(c1, "w1")
+        .select("doc", term.cast("decimal(27,6)").alias("lp"))
+    )
+    return (
+        scored.groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            # Divide in DOUBLE (cast the decimal sum first): a
+            # decimal/long division truncates at decimal scale and
+            # drifts from a sequential engine's double division.
+            F.round(
+                F.sum("lp").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_logprob"),
+        )
+        .select(F.col("doc").alias(id_col), "n_bigrams", "mean_logprob")
+    )
+
+
 def repetition_stats(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -1069,6 +1069,39 @@ def q_fuzzy_dup_pairs(spark, sf_dir):
     )
 
 
+@_q(
+    "bigram_logprob_scores",
+    """
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+),
+big AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> array_to_string(t[i:i+1], ' '))) AS bg
+  FROM base WHERE len(t) >= 2
+),
+bw AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM big),
+c12 AS (SELECT bg, count(*) AS c12 FROM bw GROUP BY bg),
+c1 AS (SELECT w1, count(*) AS c1 FROM bw GROUP BY w1)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(CAST(SUM(CAST(round(ln(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)), 6)
+                           AS DECIMAL(27,6))) AS DOUBLE) / count(*), 6) AS mean_logprob
+FROM bw JOIN c12 USING (bg) JOIN c1 USING (w1)
+GROUP BY doc_id
+""",
+    doc="Perplexity-style fluency scoring: mean bigram log-probability "
+    "under the corpus's own bigram model (CCNet-style quality signal). "
+    "Each libm log term is rounded to 6dp then DECIMAL-summed so the "
+    "mean replays identically on a sequential engine.",
+)
+def q_bigram_logprob_scores(spark, sf_dir):
+    return tx.bigram_logprob_scores(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
 _WQ_KEY_SQL = md5_long_sql("concat_ws('|', 'wq', CAST(doc_id AS VARCHAR))")
 _MIX_KEY_SQL = md5_long_sql("concat_ws('|', 'mix', CAST(d.doc_id AS VARCHAR))")
 
@@ -3360,6 +3393,7 @@ _EXPORT_PRIORITY: list[str] = [
     "scaled_prices_by_priority",
     "weighted_quality_sample",
     "mixture_resampled_docs",
+    "bigram_logprob_scores",
 ]
 
 
