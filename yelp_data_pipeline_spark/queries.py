@@ -1980,19 +1980,25 @@ h AS (
   SELECT doc_id, list_transform(grams, s -> {md5_long_sql('s')}) AS hs FROM g
 )
 SELECT doc_id,
-       CASE WHEN len(hs) >= 4 THEN
-              list_sort(list_distinct(list_transform(
-                generate_series(1, len(hs) - 3), i -> list_min(hs[i:i+3]))))
-            WHEN len(hs) > 0 THEN [list_min(hs)]
-            ELSE [] END AS fingerprints
+       array_to_string(
+         CASE WHEN len(hs) >= 4 THEN
+                list_sort(list_distinct(list_transform(
+                  generate_series(1, len(hs) - 3), i -> list_min(hs[i:i+3]))))
+              WHEN len(hs) > 0 THEN [list_min(hs)]
+              ELSE [] END, ',') AS fingerprints
 FROM h
 """,
     doc="Winnowing (rolling-hash) document fingerprints — SIGMOD'03 "
     "scheme: ordered k-gram hashes, per-window minima; shared "
-    "substrings ≥ w+k-1 tokens always share a fingerprint.",
+    "substrings ≥ w+k-1 tokens always share a fingerprint. The "
+    "already-sorted list is serialized to a CSV string so the "
+    "harness canonicalizer can hash the row (arrays are unhashable "
+    "in its pandas sort); `tx.winnow_fingerprints` itself keeps the "
+    "typed array<long> for API users.",
 )
 def q_winnowing_fingerprints(spark, sf_dir):
-    return tx.winnow_fingerprints(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    out = tx.winnow_fingerprints(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return out.select("doc_id", F.array_join("fingerprints", ",").alias("fingerprints"))
 
 
 @_q(
@@ -2628,16 +2634,19 @@ agg AS (
          (list_sort(list(doc_id)))[1:20] AS postings
   FROM tok WHERE term <> '' GROUP BY term
 )
-SELECT term, df, postings FROM agg WHERE df >= 2
+SELECT term, df, array_to_string(postings, ',') AS postings
+FROM agg WHERE df >= 2
 """,
     doc="Inverted-index posting lists: term → df + first 20 sorted doc "
     "ids; hapax tail dropped (min_df=2). Shuffle key is the term; "
-    "payloads never move.",
+    "payloads never move. Postings serialized to CSV for the harness "
+    "canonicalizer; `tx.inverted_index` keeps the typed array.",
 )
 def q_inverted_postings(spark, sf_dir):
-    return tx.inverted_index(
+    out = tx.inverted_index(
         _t(spark, sf_dir, "documents"), "doc_id", "text", min_df=2, max_postings=20
     )
+    return out.select("term", "df", F.array_join("postings", ",").alias("postings"))
 
 
 @_q(
@@ -2927,8 +2936,10 @@ def q_decayed_user_scores(spark, sf_dir):
 SELECT vec_id,
        CASE WHEN m > 0 THEN round(m / 127.0, 6) END AS scale,
        CASE WHEN m > 0 THEN
-         list_transform(embedding,
-                        x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / m) AS INT))
+         array_to_string(
+           list_transform(embedding,
+                          x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / m) AS INT)),
+           ',')
        END AS qvec
 FROM (
   SELECT vec_id, embedding,
@@ -2939,10 +2950,15 @@ FROM (
 """,
     doc="Per-vector symmetric int8 quantization (q = round(x·127/max|x|)"
     ") — zero-shuffle map-side scan; pure IEEE arithmetic so both "
-    "engines round the identical double.",
+    "engines round the identical double. qvec serialized to CSV for "
+    "the harness canonicalizer; `sim.quantize_embeddings` keeps the "
+    "typed array<int>.",
 )
 def q_quantized_embeddings(spark, sf_dir):
-    return sim.quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    out = sim.quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    return out.select(
+        "vec_id", "scale", F.array_join("qvec", ",").alias("qvec")
+    )
 
 
 @_q(
@@ -3325,66 +3341,17 @@ def q_centroid_assignments(spark, sf_dir):
 # repeatedly-verified queries can wait at the back.  `tools/check_oracle.py`
 # always sweeps all entries regardless of order.
 _EXPORT_PRIORITY: list[str] = [
-    # Extension tier, never externally verdicted through round 2:
-    "ann_ivf_topk",
-    "lang_id_docs",
-    "quality_scores",
-    "token_stats",
+    # Erred in round 3 (array-output canonicalizer issue, now serialized) —
+    # re-verdict first:
     "winnowing_fingerprints",
-    "top_words",
-    "daily_events_gapfilled",
-    "event_value_histogram",
-    "price_quantiles_by_priority",
-    "order_price_percent_rank",
-    "dq_orders_summary",
-    "orders_status_pivot",
-    "orders_status_unpivot",
-    "embedding_centroids",
-    "dedup_clusters",
-    "sampled_documents",
-    "stratified_sample_by_lang",
-    "tfidf_top_terms",
-    "scrub_pii_docs",
     "inverted_postings",
-    "curated_documents",
-    "multimodal_decode_meta",
-    "multimodal_frame_sample",
-    "multimodal_resize_meta",
-    "hourly_event_counts",
-    "sliding_event_counts",
-    "user_sessions",
-    "funnel_steps",
-    "cohort_retention",
-    "event_transitions",
-    "decayed_user_scores",
     "quantized_embeddings",
-    "doc_repetition_stats",
-    "decontaminated_docs",
-    "packed_sequences",
-    "split_assignments",
-    "dedup_incremental_batch",
-    "chunked_documents",
-    "event_type_daily_zscores",
-    "winsorized_prices",
-    "rolling_7d_event_avg",
-    "event_type_distincts",
-    "centroid_assignments",
-    # New this round (no verdict yet by construction):
-    "order_price_rank_scalable",
-    "process_business_oracle",
-    "ngram_jaccard_capped",
-    "semantic_dedup_survivors",
-    "shipping_priority_top10",
-    "top_orders_with_ties",
-    "embedding_neardup_fine",
+    # Rolled past the round-3 window — never externally verdicted:
     "priority_status_grouping_sets",
     "kmeans_assignments",
     "salted_segment_event_counts",
     "scd2_order_status_history",
     "fuzzy_dup_pairs",
-    # Entries beyond the external harness's 50-entry window roll into
-    # the next round's front — keep them listed so the rotation is a
-    # one-line edit (drop the newly-verdicted names above).
     "leakage_safe_splits",
     "approx_event_stats",
     "dedup_clusters_star",
@@ -3394,6 +3361,9 @@ _EXPORT_PRIORITY: list[str] = [
     "weighted_quality_sample",
     "mixture_resampled_docs",
     "bigram_logprob_scores",
+    # New this round (no verdict yet by construction) — names are appended
+    # here as the round adds them; keep the total ahead of any verdicted
+    # name under the external harness's 50-entry window.
 ]
 
 
