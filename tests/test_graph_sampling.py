@@ -199,3 +199,23 @@ def test_weighted_sample_extremes(spark):
     ids = {r["doc_id"] for r in kept}
     assert all(i < 100 for i in ids)      # weight-0 rows never survive
     assert len(ids) == 50                 # weight-1 rows always survive
+
+
+def test_cc_rejects_nonpositive_max_iter(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    with pytest.raises(ValueError, match="max_iter"):
+        graph.connected_components(df, "doc_a", "doc_b", max_iter=0)
+
+
+def test_mixture_resampling_absent_source_yields_empty(spark):
+    # A targeted source with zero corpus rows binds T to 0: the only
+    # corpus honoring the requested mixture is the empty one — the
+    # proportions must NOT silently renormalize over present sources.
+    rows = [(i, "web") for i in range(100)] + [(100 + i, "code") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = smp.resample_to_mixture(
+        df, "doc_id", "source", {"web": 0.5, "code": 0.3, "books": 0.2}
+    )
+    assert out.count() == 0

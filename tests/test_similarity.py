@@ -97,3 +97,101 @@ def test_hierarchical_routing_agrees_with_flat(spark):
     full = sim.route_hierarchical(emb, cents, probes=1, coarse_probes=3)
     top1_full = {r["vec_id"]: r["cell"] for r in full.collect()}
     assert top1_full == top1_flat
+
+
+def test_adaptive_lsh_bits_integer_rule():
+    # smallest b in [2,12] with 128·2^b >= n — pure integer arithmetic.
+    assert sim.adaptive_lsh_bits(0) == 2
+    assert sim.adaptive_lsh_bits(500) == 2
+    assert sim.adaptive_lsh_bits(512) == 2
+    assert sim.adaptive_lsh_bits(513) == 3
+    assert sim.adaptive_lsh_bits(2000) == 4
+    assert sim.adaptive_lsh_bits(128 << 12) == 12
+    assert sim.adaptive_lsh_bits(10**9) == 12  # clamped: hand off to IVF
+
+
+def test_adaptive_banding_is_default_and_matches_fixed_at_small_n(spark):
+    # 61 vectors -> bits=2 -> 16 planes: the adaptive default must
+    # reproduce the legacy 16-plane banding exactly at this size.
+    df = _vecs(spark)
+    adaptive = {
+        (r["id_a"], r["id_b"])
+        for r in sim.cosine_neardup_pairs(df, threshold=0.8, dim=16).collect()
+    }
+    fixed = {
+        (r["id_a"], r["id_b"])
+        for r in sim.cosine_neardup_pairs(
+            df, threshold=0.8, dim=16, n_planes=16
+        ).collect()
+    }
+    assert adaptive == fixed
+
+
+def test_pandas_projection_bits_match_expression_path(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from yelp_data_pipeline_spark.functions.vectors import dot
+
+    df = _vecs(spark)
+    n_planes, dim = 16, 16
+    planes = sim.hyperplanes(n_planes, dim)
+    expr_bits = df.select(
+        "vec_id",
+        *[
+            (dot(F.col("embedding"), F.array(*[F.lit(x) for x in planes[p]])) > 0)
+            .cast("int")
+            .alias(f"bit{p}")
+            for p in range(n_planes)
+        ],
+    ).collect()
+    expected = {
+        r["vec_id"]: [r[f"bit{p}"] for p in range(n_planes)] for r in expr_bits
+    }
+    arrow = sim.signlsh_bits_pandas(df, n_planes, dim)
+    got = {r["vec_id"]: list(r["sbits"]) for r in arrow.collect()}
+    assert got == expected
+
+
+def test_pandas_projection_pairs_match_jvm_pairs(spark):
+    df = _vecs(spark)
+    jvm = {
+        (r["id_a"], r["id_b"], r["score"])
+        for r in sim.cosine_neardup_pairs(df, threshold=0.8, dim=16).collect()
+    }
+    arrow = {
+        (r["id_a"], r["id_b"], r["score"])
+        for r in sim.cosine_neardup_pairs(
+            df, threshold=0.8, dim=16, use_pandas_projection=True
+        ).collect()
+    }
+    assert arrow == jvm
+
+
+def test_ivf_hierarchical_branch_engages_and_agrees(spark):
+    # k_cells=4 -> coarse grid ceil(sqrt(4))=2 cells; the default
+    # coarse_probes=2 covers BOTH, so two-hop routing must reproduce
+    # flat routing exactly and the pair sets must be identical.
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    flat = {
+        (r["id_a"], r["id_b"])
+        for r in sim.neardup_pairs_ivf(
+            emb, threshold=0.42, k_cells=4, hierarchical_from=10**9
+        ).collect()
+    }
+    hier = {
+        (r["id_a"], r["id_b"])
+        for r in sim.neardup_pairs_ivf(
+            emb, threshold=0.42, k_cells=4, hierarchical_from=1
+        ).collect()
+    }
+    assert hier == flat and len(flat) > 0
+
+
+def test_kmeans_guard_rejects_sparse_ids(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    df = _vecs(spark).withColumn("vec_id", F.col("vec_id") + 100)
+    with pytest.raises(ValueError, match="dense integers"):
+        sim.kmeans_centroids(df, k=4, iters=1)

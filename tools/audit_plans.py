@@ -106,15 +106,29 @@ def _nested_loop_subtrees(plan: str) -> list[str]:
     return subs
 
 
+# Group keys / cached-relation outputs a deliberate tiny-side broadcast
+# cross join is keyed by in this repo: centroid/cell tables, band
+# buckets, per-range-partition offsets. A keyed aggregate on anything
+# else (a raw high-cardinality group key) stays a red flag — a keyed
+# aggregate is NOT bounded in general.
+_BOUNDED_KEY_RE = re.compile(
+    r"\b(cell|ccell|fcell|centroid|band(_id)?|bucket|__km_label|"
+    r"cluster|__pid|__range_id|__offset\w*)\b",
+    re.IGNORECASE,
+)
+
+
 def _is_bounded_cross(sub: str) -> bool:
-    """A BroadcastNestedLoopJoin whose broadcast side is an AGGREGATE
-    output is bounded by that aggregate's group-key cardinality, not by
-    the input size: keys=[] carries at most one row (scan-and-attach-
-    scalar idiom — date spans, quantile bounds), and keyed aggregates
-    cover the tiny-relation broadcast cross joins operators build on
-    purpose (centroid sets, per-partition offsets). A nested loop whose
-    broadcast side is a raw scan, and every CartesianProduct, stays a
-    red flag.
+    """A BroadcastNestedLoopJoin is exempt only when its BUILD side is
+    a known bounded producer: keys=[] aggregates carry at most one row
+    (scan-and-attach-scalar idiom — date spans, quantile bounds);
+    keyed aggregates and cached scans qualify ONLY when the key /
+    output names a deliberately tiny relation (centroid cells, band
+    buckets, partition offsets — _BOUNDED_KEY_RE), since an arbitrary
+    keyed aggregate can be as large as its input; LocalTableScan is
+    literal driver-side data. A nested loop whose broadcast side is a
+    raw scan, a high-cardinality aggregate, or an unrecognized cached
+    relation, and every CartesianProduct, stays a red flag.
     """
     if "CartesianProduct" in sub:
         return False
@@ -131,11 +145,29 @@ def _is_bounded_cross(sub: str) -> bool:
             if lbl and lbl.start() <= d and nxt.strip():
                 break
             if re.search(
-                r"HashAggregate\(keys=\[|ObjectHashAggregate\(keys=\[|"
-                r"SortAggregate\(key=\[|InMemoryTableScan|LocalTableScan",
+                r"HashAggregate\(keys=\[\]|ObjectHashAggregate\(keys=\[\]|"
+                r"SortAggregate\(key=\[\]|LocalTableScan",
                 nxt,
             ):
                 return True
+            m = re.search(
+                r"(?:HashAggregate\(keys=\[|ObjectHashAggregate\(keys=\[|"
+                r"SortAggregate\(key=\[|InMemoryTableScan \[)([^\]]*)",
+                nxt,
+            )
+            if m:
+                if _BOUNDED_KEY_RE.search(m.group(1)):
+                    return True
+                # Aggregate keyed by an arbitrary column is still
+                # bounded when the key is filtered to < a literal
+                # BELOW the aggregate (k-means seed init: groupBy(id)
+                # under Filter(id < k) carries at most k rows).
+                key = re.match(r"\s*(\w+)#", m.group(1))
+                if key and re.search(
+                    rf"Filter .*\b{re.escape(key.group(1))}#\d+L? < \d+",
+                    sub,
+                ):
+                    return True
     return False
 
 

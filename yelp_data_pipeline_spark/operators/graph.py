@@ -57,6 +57,8 @@ def connected_components(
     ``max_iter`` (or switch to large-star/small-star, which halves the
     diameter per round) for adversarial long-chain graphs.
     """
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     # Symmetrize with ONE scan of the (often expensive — e.g. a whole
     # MinHash-LSH pipeline) edge relation: explode each edge into both
     # directions. A union of two selects would execute that subtree

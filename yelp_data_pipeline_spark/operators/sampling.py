@@ -70,20 +70,26 @@ def resample_to_mixture(
     double division + floor to a bucket threshold, so a sequential
     engine replays the identical keep set. Sources absent from
     ``targets`` are dropped.
+
+    A targeted source with ZERO corpus rows contributes count 0 to the
+    min (the targets relation is a literal left-joined against the
+    observed counts), so T = 0 and the result is EMPTY — the only
+    corpus that honors the requested mixture — rather than silently
+    renormalizing over the sources that happen to be present. Callers
+    that prefer best-effort proportions should drop missing keys from
+    ``targets`` first.
     """
-    w_expr = None
-    for value, w in sorted(targets.items()):
-        lit = F.lit(float(w))
-        w_expr = (
-            F.when(F.col(source_col) == value, lit)
-            if w_expr is None
-            else w_expr.when(F.col(source_col) == value, lit)
-        )
-    counts = (
-        df.filter(w_expr.isNotNull())
+    tgt = df.sparkSession.createDataFrame(
+        [(k, float(w)) for k, w in sorted(targets.items())],
+        [source_col, "__w"],
+    )
+    observed = (
+        df.filter(F.col(source_col).isin(*targets.keys()))
         .groupBy(source_col)
         .agg(F.count(F.lit(1)).alias("__cnt"))
-        .withColumn("__w", w_expr)
+    )
+    counts = tgt.join(observed, source_col, "left").select(
+        source_col, "__w", F.coalesce("__cnt", F.lit(0)).alias("__cnt")
     )
     t = counts.agg(
         F.min(F.col("__cnt") / F.col("__w")).alias("__t")

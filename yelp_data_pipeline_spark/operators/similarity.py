@@ -35,6 +35,11 @@ def _query_vector_lit(vec: list[float]) -> F.Column:
 
 LSH_PLANES = 16
 LSH_BANDS = 8  # 8 bands × 2 bits → 4 buckets per band
+# Adaptive banding rule (see adaptive_lsh_bits): buckets per band must
+# GROW with the corpus or candidate pairs grow O(n²/2^bits) — the 5×
+# scale bench measured fixed 2-bit bands at 12.5× cost for 5× vectors.
+LSH_TARGET_BUCKET = 128
+LSH_MAX_BITS = 12
 
 
 def _plane_sign(p: int, i: int) -> float:
@@ -45,7 +50,75 @@ def _plane_sign(p: int, i: int) -> float:
 
 
 def hyperplanes(n_planes: int = LSH_PLANES, dim: int = 64) -> list[list[float]]:
+    """Planes are prefix-stable: plane ``p`` depends only on ``p``, so
+    hyperplanes(16) == hyperplanes(96)[:16] — an adaptive caller and a
+    fixed-width oracle can share the same plane family."""
     return [[_plane_sign(p, i) for i in range(dim)] for p in range(n_planes)]
+
+
+def adaptive_lsh_bits(
+    n_rows: int,
+    target_bucket_size: int = LSH_TARGET_BUCKET,
+    min_bits: int = 2,
+    max_bits: int = LSH_MAX_BITS,
+) -> int:
+    """Corpus-adaptive bits-per-band: the smallest ``b`` in
+    [min_bits, max_bits] with ``target_bucket_size · 2^b ≥ n_rows``
+    (integer arithmetic only, so any engine replays the identical
+    value — no float log2 edge cases). Expected bucket occupancy stays
+    ≤ target_bucket_size, so candidate pairs grow ~O(n·target) instead
+    of O(n²/2^bits_fixed). Past max_bits (n ≳ 0.5M at the default
+    target) per-band recall at moderate cosine decays below usefulness
+    — hand off to :func:`neardup_pairs_ivf`, whose cell count grows
+    with n without a recall cliff."""
+    bits = min_bits
+    while bits < max_bits and (target_bucket_size << bits) < n_rows:
+        bits += 1
+    return bits
+
+
+def signlsh_bits_pandas(
+    df: DataFrame,
+    n_planes: int,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-batched sign-bit projection: one numpy matmul per batch
+    ((B×dim) @ (dim×p) → sign) instead of ``n_planes`` per-row JVM
+    dot folds. Returns (id, sbits array<int>), the same bit family the
+    expression path produces — wire it into
+    :func:`cosine_neardup_pairs` with ``use_pandas_projection=True``
+    when per-bucket row counts pass ~10⁷ and the p-fold expression
+    dominates the stage profile.
+
+    Caveat: BLAS accumulates the dot in a different order than the
+    JVM's left-to-right fold, so a dot within numerical noise of 0 can
+    flip sign between the two paths. Fine for LSH candidate
+    generation (a boundary plane contributes ~no discrimination), but
+    the expression path stays the default so the DuckDB correctness
+    oracle compares a bit-identical banding.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    planes_t = np.asarray(hyperplanes(n_planes, dim), dtype=np.float64).T
+    schema = StructType(
+        [df.schema[id_col], StructField("sbits", ArrayType(IntegerType()), False)]
+    )
+
+    def project(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(
+                pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64))
+            )
+            bits = (x @ planes_t > 0).astype(np.int32)
+            yield pd.DataFrame({id_col: pdf[id_col], "sbits": list(bits)})
+
+    return df.select(id_col, vec_col).mapInPandas(project, schema)
 
 
 def cosine_topk(
@@ -73,8 +146,9 @@ def cosine_neardup_pairs(
     vec_col: str = "embedding",
     round_to: int = 6,
     dim: int = 64,
-    n_planes: int = LSH_PLANES,
+    n_planes: int | None = None,
     bands: int = LSH_BANDS,
+    use_pandas_projection: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with cosine ≥ threshold, via random-hyperplane
     sign-LSH bucketing (no cartesian / nested-loop join anywhere).
@@ -87,23 +161,31 @@ def cosine_neardup_pairs(
     are then verified with the exact cosine, so there are no false
     positives; like any LSH, recall is probabilistic — a pair whose
     sign bits disagree in every band is missed. P[one band matches] =
-    1-(1-p^r)^b with p = 1-θ/π; defaults (8 bands × 2 bits) give
-    ≈0.99 recall at cosine 0.42 and tighten toward 1 as similarity
-    rises. The DuckDB oracle replays the identical planes/banding, so
-    the correctness gate compares like for like.
+    1-(1-p^r)^b with p = 1-θ/π. The DuckDB oracle replays the
+    identical planes/banding, so the correctness gate compares like
+    for like.
 
-    SCALE RULE — bucket cardinality is 2^(n_planes/bands) and does NOT
-    grow with the corpus, so candidate pairs grow O(n² / 2^bits): the
-    5× scale bench measured the 2-bit default at 12.5× cost for 5×
-    vectors. Size bits_per_band ≈ log2(n / target_bucket_size) and add
-    bands to buy recall back (each extra bit multiplies buckets by 2
-    and costs p× per-band recall). 32 planes / 8 bands (4 bits) is the
-    registered fine variant; ≥0.8-cosine dedup keeps ≈0.98 recall
-    there.
+    BANDING IS CORPUS-ADAPTIVE BY DEFAULT: with ``n_planes=None`` the
+    operator counts the corpus (a column-less parquet scan — row-group
+    metadata, not data) and sizes bits-per-band via
+    :func:`adaptive_lsh_bits`, so buckets per band grow with n and
+    expected candidate pairs stay ~O(n · target_bucket_size). A fixed
+    ``n_planes`` (e.g. the 16-plane / 2-bit legacy banding) is the
+    explicitly-opt-in recall baseline: 2^bits buckets FOREVER, so
+    candidates grow O(n²/2^bits) — the 5× scale bench measured that
+    configuration at 12.5× cost for 5× vectors. Each extra bit halves
+    per-bucket occupancy and costs p× per-band recall; at the ≥0.8
+    cosine regime real dedup targets, 8 bands hold recall ≈0.9 even
+    at 6 bits. Past ``LSH_MAX_BITS`` use :func:`neardup_pairs_ivf`.
 
-    At n beyond ~10⁷ per bucket, swap the per-row fold for a
-    pandas_udf matrix projection; the banding logic is unchanged.
+    At n beyond ~10⁷ rows in a bucket, swap the per-row fold for the
+    Arrow-batched matrix projection (:func:`signlsh_bits_pandas`); the
+    banding logic is unchanged.
     """
+    if n_planes is None:
+        # Deterministic, engine-replayable sizing: both Spark and the
+        # DuckDB oracle derive the identical bits from count(*).
+        n_planes = bands * adaptive_lsh_bits(df.count())
     rows = n_planes // bands
     planes = hyperplanes(n_planes, dim)
     # Norms computed ONCE per vector here — the per-candidate verify
@@ -121,16 +203,25 @@ def cosine_neardup_pairs(
             norm(F.col(vec_col)).alias("nrm"),
         )
     )
-    bits = [
-        (dot(F.col("u"), F.array(*[F.lit(x) for x in planes[p]])) > 0)
-        .cast("int")
-        .alias(f"bit{p}")
-        for p in range(n_planes)
-    ]
-    sig = pre.select("id", *bits)
-    bucket_of = lambda b: sum(
-        F.col(f"bit{b * rows + r}") * (1 << r) for r in range(rows)
-    )
+    if use_pandas_projection:
+        # Arrow path: one matmul per batch; bits land as an array
+        # column, buckets unpacked with element_at.
+        sig = signlsh_bits_pandas(pre, n_planes, dim, id_col="id", vec_col="u")
+        bucket_of = lambda b: sum(
+            F.element_at("sbits", b * rows + r + 1) * (1 << r)
+            for r in range(rows)
+        )
+    else:
+        bit_cols = [
+            (dot(F.col("u"), F.array(*[F.lit(x) for x in planes[p]])) > 0)
+            .cast("int")
+            .alias(f"bit{p}")
+            for p in range(n_planes)
+        ]
+        sig = pre.select("id", *bit_cols)
+        bucket_of = lambda b: sum(
+            F.col(f"bit{b * rows + r}") * (1 << r) for r in range(rows)
+        )
     # Slim banded rows (id, band_id, bucket): vectors stay out of the
     # band explode and its self-join shuffle.
     banded = sig.select(
@@ -308,7 +399,14 @@ def kmeans_centroids(
     structural in the plan), then ``iters`` rounds of rounded-argmax
     assignment + rounded per-dimension means. Returns (cell, centroid
     array<double>) — the cell table IVF routing and cell-blocked
-    dedup consume."""
+    dedup consume.
+
+    PRECONDITION: the deterministic init assumes ``id_col`` holds
+    dense integers starting at 0 (``id < k`` selects exactly k seed
+    vectors). Sparse or non-integer ids would silently seed fewer
+    than k cells, so the trainer counts the seed set (a pruned
+    min/max-pushdown filter scan, one tiny job) and raises instead of
+    returning a degenerate clustering."""
     cents = (
         df.filter(F.col(id_col) < k)
         .groupBy(F.col(id_col).alias("cell"))
@@ -318,6 +416,13 @@ def kmeans_centroids(
             ).alias("centroid")
         )
     )
+    n_init = cents.count()
+    if n_init < k:
+        raise ValueError(
+            f"kmeans_centroids init selected {n_init} of {k} seed vectors: "
+            f"'{id_col}' must hold dense integers starting at 0 (ids 0..k-1 "
+            "present). Re-key the input (e.g. surrogate_key) or lower k."
+        )
     for _ in range(iters):
         assign = classify_to_centroids(df, cents, id_col, vec_col)
         labeled = df.select(id_col, vec_col).join(
@@ -360,6 +465,14 @@ def kmeans_spherical(
     return classify_to_centroids(df, cents, id_col, vec_col)
 
 
+#: Cell count at which neardup_pairs_ivf switches from flat O(n·k)
+#: routing to two-hop O(n·√k) hierarchical routing. Flat scores every
+#: vector against every centroid (one broadcast cross join); at ~10⁴
+#: cells that inner loop dominates the stage, while the two-hop
+#: detour's extra shuffle stops mattering.
+HIERARCHICAL_ROUTING_CELLS = 4096
+
+
 def neardup_pairs_ivf(
     df: DataFrame,
     threshold: float,
@@ -369,6 +482,7 @@ def neardup_pairs_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    hierarchical_from: int = HIERARCHICAL_ROUTING_CELLS,
 ) -> DataFrame:
     """Embedding near-dup pairs blocked by IVF cells — the bucketing
     whose cardinality GROWS with the corpus, unlike sign-LSH's fixed
@@ -386,10 +500,12 @@ def neardup_pairs_ivf(
     like. Output: (id_a, id_b, score ≥ threshold).
 
     Measured at 5×/5×-cells: 2.9× cost — the best-scaling embedding
-    blocker here. Residual: flat ROUTING is O(n·k_cells) (one
-    broadcast cross-join score per vector per cell); past ~10⁴ cells
-    swap in :func:`route_hierarchical` (two-hop coarse→fine, O(n·√k))
-    for the ``probed`` stage — candidate join and verify are unchanged.
+    blocker here. ROUTING is flat O(n·k_cells) (one broadcast
+    cross-join score per vector per cell) below ``hierarchical_from``
+    cells; at or above it the probed stage switches to
+    :func:`route_hierarchical` (two-hop coarse→fine, O(n·√k)) —
+    candidate join and verify are unchanged. Tests pin that the
+    branch engages and agrees with flat routing at full coverage.
     """
     from pyspark.sql import Window
 
@@ -403,16 +519,23 @@ def neardup_pairs_ivf(
             norm(F.col(vec_col)).alias("nrm"),
         )
     )
-    score = F.round(cosine(F.col("u"), F.col("centroid")), round_to)
-    scored = pre.select("id", "u").crossJoin(F.broadcast(cents)).select(
-        "id", F.col("cell"), score.alias("s")
-    )
-    w = Window.partitionBy("id").orderBy(F.col("s").desc(), F.col("cell").desc())
-    probed = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= probes)
-        .select("id", "cell")
-    )
+    if k_cells >= hierarchical_from:
+        probed = route_hierarchical(
+            df, cents, probes=probes, id_col=id_col, vec_col=vec_col
+        ).select(F.col(id_col).alias("id"), "cell")
+    else:
+        score = F.round(cosine(F.col("u"), F.col("centroid")), round_to)
+        scored = pre.select("id", "u").crossJoin(F.broadcast(cents)).select(
+            "id", F.col("cell"), score.alias("s")
+        )
+        w = Window.partitionBy("id").orderBy(
+            F.col("s").desc(), F.col("cell").desc()
+        )
+        probed = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= probes)
+            .select("id", "cell")
+        )
     a, b = probed.alias("a"), probed.alias("b")
     cand = (
         a.join(

@@ -1740,6 +1740,71 @@ def q_ann_topk_cosine(spark, sf_dir):
     )
 
 
+def _signlsh_adaptive_oracle(
+    threshold: float, dim: int = _EMB_DIM, bands: int = 8
+) -> str:
+    """DuckDB twin of similarity.cosine_neardup_pairs with the DEFAULT
+    corpus-adaptive banding: bits-per-band is derived from count(*)
+    with the same integer rule as similarity.adaptive_lsh_bits
+    (smallest b in [2,12] with 128·2^b ≥ n), so both engines size the
+    identical banding at any SF. Planes are emitted for the max width
+    (bands·12) and sliced to the active prefix — hyperplanes() is
+    prefix-stable, so the slice matches Spark's plane family exactly."""
+    from .operators.similarity import LSH_MAX_BITS, LSH_TARGET_BUCKET
+
+    max_planes = bands * LSH_MAX_BITS
+    planes = sim.hyperplanes(max_planes, dim)
+    planes_lit = ",\n    ".join(
+        "[" + ", ".join(str(x) for x in pl) + "]" for pl in planes
+    )
+    bits_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN n <= {LSH_TARGET_BUCKET << b} THEN {b}"
+            for b in range(2, LSH_MAX_BITS)
+        )
+        + f" ELSE {LSH_MAX_BITS} END"
+    )
+    cos = cosine_sql("ua", "ub", dim)
+    return f"""
+WITH params AS (
+  SELECT {bits_case} AS bits
+  FROM (SELECT count(*) AS n FROM embeddings)
+),
+planes AS (SELECT [
+    {planes_lit}
+  ] AS P),
+sgn AS (
+  SELECT vec_id,
+         list_transform(P[1 : {bands} * bits],
+           pl -> CASE WHEN list_sum(list_transform(generate_series(1, {dim}),
+                        i -> CAST(embedding[i] AS DOUBLE) * pl[i])) > 0
+                 THEN 1 ELSE 0 END) AS sbits
+  FROM embeddings, planes, params
+),
+banded AS (
+  SELECT vec_id, band_id,
+         list_sum(list_transform(generate_series(1, bits),
+           r -> sbits[band_id * bits + r] * (1 << (r - 1)))) AS bucket
+  FROM sgn, params,
+       (SELECT unnest(generate_series(0, {bands - 1})) AS band_id) bnd
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+pairs AS (
+  SELECT id_a, id_b, ea.embedding AS ua, eb.embedding AS ub
+  FROM cand
+  JOIN embeddings ea ON ea.vec_id = cand.id_a
+  JOIN embeddings eb ON eb.vec_id = cand.id_b
+)
+SELECT id_a, id_b, round({cos}, 6) AS score
+FROM pairs WHERE round({cos}, 6) >= {threshold}
+"""
+
+
 def _signlsh_oracle(
     threshold: float, dim: int = _EMB_DIM, n_planes: int = 16, bands: int = 8
 ) -> str:
@@ -1780,11 +1845,14 @@ FROM cand WHERE round({cos}, 6) >= {threshold}
 
 @_q(
     "embedding_neardup_pairs",
-    _signlsh_oracle(threshold=0.42),
+    _signlsh_adaptive_oracle(threshold=0.42),
     doc="Embedding-cosine near-dup pairs above threshold via sign-LSH "
-    "bucketing (16 md5-derived hyperplanes, 8 bands × 2 bits) + exact "
-    "cosine verify — no cartesian/nested-loop join in the plan; the "
-    "oracle replays identical planes and banding.",
+    "bucketing + exact cosine verify — no cartesian/nested-loop join "
+    "in the plan. Banding is CORPUS-ADAPTIVE (bits = smallest b with "
+    "128·2^b ≥ n, 8 bands), so buckets per band grow with the corpus "
+    "and candidate pairs stay ~O(n·128) instead of the fixed-width "
+    "O(n²/2^bits); the oracle derives the identical bits from "
+    "count(*) and replays identical md5 planes and banding.",
 )
 def q_embedding_neardup_pairs(spark, sf_dir):
     return sim.cosine_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.42)
@@ -2270,7 +2338,7 @@ def q_dedup_clusters(spark, sf_dir):
     "semantic_dedup_survivors",
     f"""
 WITH RECURSIVE pairs AS (
-  SELECT id_a, id_b FROM ({_signlsh_oracle(threshold=0.42)}) sp
+  SELECT id_a, id_b FROM ({_signlsh_adaptive_oracle(threshold=0.42)}) sp
 ),
 edges AS (
   SELECT id_a AS u, id_b AS v FROM pairs

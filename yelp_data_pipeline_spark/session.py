@@ -41,7 +41,20 @@ def track_persist(
 
 
 def release_tracked(blocking: bool = False) -> int:
-    """Unpersist every tracked relation; returns how many were released."""
+    """Unpersist every tracked relation; returns how many were released.
+
+    SINGLE-DRIVER CONTRACT: the registry is process-global and this
+    releases EVERYTHING tracked, so exactly one driver loop per
+    process may own the build→materialize→release cycle. Calling it
+    between building and materializing two plans (or from a second
+    thread) unpersists relations a still-pending plan depends on —
+    correct results, but a silent full recompute of e.g. a MinHash
+    signature relation. All in-repo drivers (bench, check_oracle,
+    pipelines, test teardown) follow the pattern: materialize every
+    consuming action first, release once at the end of the unit of
+    work. For concurrent-session deployments, scope tracking per
+    driver (snapshot ``_TRACKED_PERSISTS[:]`` before building, release
+    only that slice) rather than sharing this global."""
     n = 0
     while _TRACKED_PERSISTS:
         df = _TRACKED_PERSISTS.pop()
