@@ -19,6 +19,14 @@ Derivation (deterministic, no RNG):
 
 Usage: python tools/bench_scale.py [replicas] (default 5; the derived
 parquet is cached under .scale_bench/ and rebuilt only if absent).
+
+``python tools/bench_scale.py N --emb`` runs the EMBEDDING family only
+at N× (documents are not replicated — doc queries dominate wall clock
+and their scaling is already pinned by the default run) plus a routing
+microbenchmark: flat O(n·k) vs two-hop O(n·√k) cell assignment at
+k_cells = 1024 over the N× corpus, isolating the stage
+route_hierarchical replaces — the win only shows at k_cells far above
+what the small IVF bench trains.
 """
 
 from __future__ import annotations
@@ -54,9 +62,22 @@ OUT_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__
                         ".scale_bench")
 
 
-def build_scaled(spark, replicas: int) -> str:
-    out_dir = os.path.join(OUT_ROOT, f"x{replicas}")
+EMB_FAMILY = [
+    "embedding_neardup_pairs",
+    "embedding_neardup_fine",
+    "ann_topk_cosine",
+]
+
+
+def build_scaled(spark, replicas: int, emb_only: bool = False) -> str:
+    out_dir = os.path.join(OUT_ROOT, f"x{replicas}" + ("e" if emb_only else ""))
     if os.path.exists(os.path.join(out_dir, "_DONE")):
+        return out_dir
+
+    if emb_only:
+        _write_scaled_embeddings(spark, replicas, out_dir)
+        with open(os.path.join(out_dir, "_DONE"), "w") as fh:
+            fh.write("ok\n")
         return out_dir
 
     docs = spark.read.parquet(f"{BASE_SF}/documents.parquet")
@@ -76,7 +97,14 @@ def build_scaled(spark, replicas: int) -> str:
     for p in parts[1:]:
         scaled_docs = scaled_docs.unionByName(p)
     scaled_docs.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+    _write_scaled_embeddings(spark, replicas, out_dir)
 
+    with open(os.path.join(out_dir, "_DONE"), "w") as fh:
+        fh.write("ok\n")
+    return out_dir
+
+
+def _write_scaled_embeddings(spark, replicas: int, out_dir: str) -> None:
     emb = spark.read.parquet(f"{BASE_SF}/embeddings.parquet")
     parts = []
     for r in range(replicas):
@@ -87,6 +115,8 @@ def build_scaled(spark, replicas: int) -> str:
         ) if k else F.col("embedding")
         parts.append(
             emb.select(
+                # Replica 0 keeps ids 0..n-1 (dense from 0 — the kmeans
+                # seed-init precondition); later replicas offset.
                 (F.col("vec_id") + F.lit(r * 1_000_000_000)).alias("vec_id"),
                 rotated.cast("array<float>").alias("embedding"),
                 "label",
@@ -97,14 +127,10 @@ def build_scaled(spark, replicas: int) -> str:
         scaled_emb = scaled_emb.unionByName(p)
     scaled_emb.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
 
-    with open(os.path.join(out_dir, "_DONE"), "w") as fh:
-        fh.write("ok\n")
-    return out_dir
 
-
-def run_family(spark, qs, sf_dir: str) -> dict[str, float]:
+def run_family(spark, qs, sf_dir: str, family=FAMILY) -> dict[str, float]:
     timings = {}
-    for name in FAMILY:
+    for name in family:
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
@@ -112,8 +138,108 @@ def run_family(spark, qs, sf_dir: str) -> dict[str, float]:
     return timings
 
 
+def routing_microbench(
+    spark, sf_dir: str, k_cells: int = 1024, probes: int = 2
+) -> dict[str, float]:
+    """Flat O(n·k) vs two-hop O(n·√k) cell assignment over the same
+    seed-centroid table (iters=0: no training — this isolates the
+    ROUTING stage that route_hierarchical replaces past
+    HIERARCHICAL_ROUTING_CELLS)."""
+    from pyspark.sql import Window
+
+    from yelp_data_pipeline_spark.functions.vectors import cosine
+    from yelp_data_pipeline_spark.operators.similarity import (
+        kmeans_centroids,
+        route_hierarchical,
+    )
+    from yelp_data_pipeline_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, k=k_cells, iters=0).localCheckpoint(eager=True)
+
+    t0 = time.perf_counter()
+    score = F.round(cosine(F.col("embedding"), F.col("centroid")), 6)
+    w = Window.partitionBy("vec_id").orderBy(F.col("s").desc(), F.col("cell").desc())
+    (
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cents))
+        .select("vec_id", "cell", score.alias("s"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= probes)
+        .select("vec_id", "cell")
+        .write.format("noop").mode("overwrite").save()
+    )
+    t_flat = round(time.perf_counter() - t0, 3)
+    release_tracked()
+
+    t0 = time.perf_counter()
+    route_hierarchical(emb, cents, probes=probes).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    t_hier = round(time.perf_counter() - t0, 3)
+    release_tracked()
+    return {
+        f"route_flat_k{k_cells}": t_flat,
+        f"route_hier_k{k_cells}": t_hier,
+        "route_speedup": round(t_flat / t_hier, 2) if t_hier > 0 else None,
+    }
+
+
+def main_emb(replicas: int) -> int:
+    spark = get_spark("bench_scale_emb")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = queries()
+    scaled_dir = build_scaled(spark, replicas, emb_only=True)
+
+    qs["ann_topk_cosine"](spark, BASE_SF).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    release_tracked()
+
+    base = run_family(spark, qs, BASE_SF, EMB_FAMILY)
+    scaled = run_family(spark, qs, scaled_dir, EMB_FAMILY)
+
+    from yelp_data_pipeline_spark.operators.similarity import neardup_pairs_ivf
+    from yelp_data_pipeline_spark.tables import load_table
+
+    for tag, sf_dir, cells in (
+        ("ivf_neardup_k8", BASE_SF, 8),
+        (f"ivf_neardup_k{8 * replicas}", scaled_dir, 8 * replicas),
+    ):
+        t0 = time.perf_counter()
+        neardup_pairs_ivf(
+            load_table(spark, sf_dir, "embeddings"),
+            threshold=0.42, k_cells=cells, probes=2, iters=1,
+        ).write.format("noop").mode("overwrite").save()
+        (base if sf_dir == BASE_SF else scaled)[tag] = round(
+            time.perf_counter() - t0, 3
+        )
+        release_tracked()
+
+    routing = routing_microbench(spark, scaled_dir)
+    ratios = {
+        k: (round(scaled[k] / base[k], 2) if base[k] > 0 else None)
+        for k in base
+        if k in scaled
+    }
+    print(json.dumps({
+        "metric": "embedding_family_scale",
+        "unit": "sec",
+        "sf_base": 0.1,
+        "scale_multiplier": replicas,
+        "base": base,
+        "scaled": scaled,
+        "ratio": ratios,
+        "routing_microbench": routing,
+    }))
+    return 0
+
+
 def main() -> int:
-    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    replicas = int(args[0]) if args else 5
+    if "--emb" in sys.argv:
+        return main_emb(replicas)
     spark = get_spark("bench_scale")
     spark.sparkContext.setLogLevel("ERROR")
     qs = queries()
