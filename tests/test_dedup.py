@@ -105,3 +105,18 @@ def test_ngram_stop_shingle_cap_reduces_candidates(spark):
                  docs, "doc_id", "text", n=3, threshold=0.8, max_doc_freq=5
              ).collect()}
     assert pairs.get((100, 101)) == 1.0
+
+
+def test_dedup_keep_best_picks_max_score_min_id(spark):
+    rows = [
+        (1, "g1", 0.5),
+        (2, "g1", 0.9),   # winner: highest score
+        (3, "g1", 0.9),   # same score, higher id → loses the tiebreak
+        (7, "g2", 0.1),   # singleton group
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, score double")
+    got = {
+        r["grp"]: (r["doc_id"], r["score"], r["group_size"])
+        for r in dd.dedup_keep_best(df, "grp", "score", "doc_id").collect()
+    }
+    assert got == {"g1": (2, 0.9, 3), "g2": (7, 0.1, 1)}

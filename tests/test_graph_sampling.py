@@ -219,3 +219,22 @@ def test_mixture_resampling_absent_source_yields_empty(spark):
         df, "doc_id", "source", {"web": 0.5, "code": 0.3, "books": 0.2}
     )
     assert out.count() == 0
+
+
+def test_temperature_weights_upsamples_rare_source(spark):
+    from yelp_data_pipeline_spark.operators.sampling import temperature_weights
+
+    rows = [("big", 10_000), ("big", 6_000), ("small", 100)]
+    df = spark.createDataFrame(rows, "source string, n_units long")
+    got = {r["source"]: r for r in
+           temperature_weights(df, "source", F.col("n_units")).collect()}
+    assert got["big"]["n_units"] == 16_000 and got["small"]["n_units"] == 100
+    # shares each sum to ~1
+    assert abs(got["big"]["raw_share"] + got["small"]["raw_share"] - 1.0) < 1e-5
+    assert abs(got["big"]["temp_share"] + got["small"]["temp_share"] - 1.0) < 1e-5
+    # sqrt scaling damps the dominant source, raises the rare one
+    assert got["big"]["rate_mult"] < 1.0 < got["small"]["rate_mult"]
+    # T=2 exact ratio: temp_share(small) = sqrt(100)/(sqrt(16000)+sqrt(100))
+    import math
+    expect = math.sqrt(100) / (round(math.sqrt(16000), 6) + 10.0)
+    assert abs(got["small"]["temp_share"] - expect) < 1e-5

@@ -55,3 +55,24 @@ def test_decontaminate_keeps_all_when_no_overlap(spark):
     )
     ev = spark.createDataFrame([(9, "v w x y z")], "doc_id long, text string")
     assert decontaminate(corpus, ev, n=4).count() == 2
+
+
+def test_bm25_ranks_rare_term_doc_higher(spark):
+    from yelp_data_pipeline_spark.operators.textops import bm25_scores
+
+    rows = [
+        (1, "rare common common common"),
+        (2, "common common common common"),
+        (3, "common filler filler filler"),
+        (4, "nothing matches here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           bm25_scores(df, "doc_id", "text", ("rare", "common")).collect()}
+    assert 4 not in got                      # no term hit → no row
+    assert got[1]["n_terms_hit"] == 2
+    assert got[2]["n_terms_hit"] == got[3]["n_terms_hit"] == 1
+    # doc 1 hits the rare high-idf term → outscores the common-only docs
+    assert got[1]["bm25"] > got[2]["bm25"] > 0
+    # more occurrences of the same term → higher score (tf saturation)
+    assert got[2]["bm25"] > got[3]["bm25"]

@@ -54,6 +54,42 @@ def dedup_exact(df: DataFrame, keys: list[str], keep_min_of: str) -> DataFrame:
     )
 
 
+def dedup_keep_best(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Exact-dup survivor selection by QUALITY: one row per
+    ``group_col`` group — the row with the maximal ``score_col``
+    (ties → minimal ``id_col``) — plus the group size. The curation
+    variant of :func:`dedup_exact`: instead of an arbitrary minimal
+    id, near-identical crawls keep the best-scoring copy.
+
+    Single hash groupBy with a struct-argmax aggregate — map-side
+    combinable (unlike a row_number window, which must shuffle every
+    row THEN discard), so at 100 TB the shuffle carries one candidate
+    row per (partition, group), not the whole corpus. max(struct(s,
+    -id)) realizes "max score, then min id" as one total order.
+    """
+    pick = F.max(
+        F.struct(
+            F.col(score_col).alias("s"),
+            (-F.col(id_col)).alias("negid"),
+        )
+    ).alias("pick")
+    return (
+        df.groupBy(group_col)
+        .agg(pick, F.count(F.lit(1)).alias("group_size"))
+        .select(
+            group_col,
+            (-F.col("pick.negid")).alias(id_col),
+            F.col("pick.s").alias(score_col),
+            "group_size",
+        )
+    )
+
+
 def normalize_text(col) -> F.Column:
     """Casing/punct/whitespace-invariant canonical form."""
     c = F.lower(col)

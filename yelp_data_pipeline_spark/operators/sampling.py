@@ -107,6 +107,57 @@ def resample_to_mixture(
     )
 
 
+def temperature_weights(
+    df: DataFrame,
+    source_col: str,
+    size_col,
+) -> DataFrame:
+    """Temperature-scaled (T = 2, i.e. weight ∝ size^(1/2)) mixture
+    weights per source — the multilingual/multi-source rebalancing rule
+    (raise rare sources, damp dominant ones) from the mT5/XLM-R
+    pretraining recipes, computed over corpus *sizes* (token counts,
+    not row counts).
+
+    One hash aggregate to per-source totals (|sources| rows), then two
+    unpartitioned windows over that tiny frame for the normalizing
+    sums — at 100 TB the wide work is the first groupBy (map-side
+    combinable, keyed on source); the window stage sees only the
+    handful of aggregate rows.
+
+    Determinism: the exponent is fixed at 1/2 so the transform is
+    ``sqrt`` (correctly-rounded IEEE, identical in both engines —
+    libm ``pow`` is NOT), rounded to 6 dp and summed as DECIMAL for an
+    order-independent normalizer. Output: (source, n_units, raw_share,
+    temp_share, rate_mult) — rate_mult > 1 ⇒ upsample.
+    """
+    from pyspark.sql import Window
+
+    per = df.groupBy(source_col).agg(
+        F.sum(size_col).alias("n_units")
+    )
+    w = Window.partitionBy()
+    sq = F.round(F.sqrt(F.col("n_units").cast("double")), 6)
+    shares = per.select(
+        source_col,
+        "n_units",
+        (
+            F.col("n_units").cast("double")
+            / F.sum("n_units").over(w).cast("double")
+        ).alias("__raw"),
+        (
+            sq
+            / F.sum(sq.cast("decimal(27,6)")).over(w).cast("double")
+        ).alias("__temp"),
+    )
+    return shares.select(
+        source_col,
+        "n_units",
+        F.round("__raw", 6).alias("raw_share"),
+        F.round("__temp", 6).alias("temp_share"),
+        F.round(F.col("__temp") / F.col("__raw"), 6).alias("rate_mult"),
+    )
+
+
 def stratified_hash_sample(
     df: DataFrame,
     key_col: str,

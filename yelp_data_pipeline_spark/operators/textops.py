@@ -81,6 +81,28 @@ def bpe_ish_count(col: Column) -> Column:
     return F.regexp_count(F.lower(col), F.lit(BPE_ISH_PATTERN))
 
 
+def quality_score_col(c: Column) -> Column:
+    """Composite heuristic quality score in [0, 1] as a standalone
+    column expression, so gating operators (dedup survivor selection,
+    funnel accounting, token-budget packing) reuse the identical
+    rounded arithmetic the oracle reproduces. Intermediate ratios are
+    rounded to 6 dp *before* the weighted combine — that is the
+    cross-engine determinism contract; keep it in sync with the
+    ``quality_scores`` oracle SQL."""
+    n_chars = F.length(c)
+    n_tok = token_count(c)
+    n_punct = F.regexp_count(c, F.lit(r"[^A-Za-z0-9\s]"))
+    n_stop = stopword_score(c, LANG_STOPWORDS["en"])
+    punct_ratio = F.round(n_punct.cast("double") / n_chars.cast("double"), 6)
+    stop_ratio = F.round(n_stop.cast("double") / n_tok.cast("double"), 6)
+    return F.round(
+        F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0)) * 0.5
+        + stop_ratio * 0.3
+        + (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0))) * 0.2,
+        6,
+    )
+
+
 def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Heuristic document-quality features + composite score:
     length, token count, punctuation density, stopword ratio, mean
@@ -95,12 +117,7 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     mean_tok_len = F.round(
         (n_chars - (n_tok - 1)).cast("double") / n_tok.cast("double"), 6
     )
-    score = F.round(
-        F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0)) * 0.5
-        + stop_ratio * 0.3
-        + (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0))) * 0.2,
-        6,
-    )
+    score = quality_score_col(c)
     return df.select(
         F.col(id_col),
         n_chars.alias("n_chars"),
@@ -168,6 +185,90 @@ def tfidf_top_terms(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= top_n)
         .select("doc_id", "term", "tf", "df", "tfidf", "rnk")
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: tuple[str, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed query
+    term set — the retrieval-scoring primitive for corpus search and
+    RAG-index curation.
+
+    Plan: one token explode filtered to the query terms (the filter
+    lands *before* the shuffle, so only matching tokens move) → tf per
+    (doc, term) via groupBy → per-term document frequency on the slim
+    (doc, term) relation → corpus stats (N, avgdl) as a 1-row
+    broadcast cross join (no driver round-trip) → per-term partial
+    scores combined per doc. At 100 TB: the per-term relation is
+    |terms| rows (broadcast), the (doc, term) relation ≤ |terms|·N
+    slim rows, and the doc-length frame is a map-side projection —
+    the only wide shuffles key on doc_id, which is unique (no skew).
+
+    Determinism: idf uses the Lucene form ln(1 + (N - df + 0.5) /
+    (df + 0.5)) rounded to 6 dp *before* the product (the libm log is
+    the one non-correctly-rounded term — same contract as the
+    bigram-LM scorer), per-term scores are rounded to 6 dp and summed
+    as DECIMAL(20,6) (order-independent), final score rounded to 6 dp.
+    Output: (doc_id, n_terms_hit, bm25) for docs hitting ≥1 term.
+    """
+    terms = tuple(terms)
+    dl = df.select(
+        F.col(id_col).alias("doc_id"),
+        token_count(F.col(text_col)).cast("double").alias("dl"),
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum(F.col("dl").cast("decimal(27,4)")).cast("double")
+         / F.count(F.lit(1)).cast("double")).alias("avgdl"),
+    )
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    ).filter(F.col("term").isin(*terms))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = (
+        dfreq.crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                ),
+                6,
+            ).alias("idf"),
+            "avgdl",
+        )
+    )
+    part = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            F.round(
+                F.col("idf")
+                * (F.col("tf").cast("double") * (k1 + 1.0))
+                / (
+                    F.col("tf").cast("double")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                ),
+                6,
+            ).alias("s"),
+        )
+    )
+    return part.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_terms_hit"),
+        F.round(F.sum(F.col("s").cast("decimal(20,6)")).cast("double"), 6).alias(
+            "bm25"
+        ),
     )
 
 

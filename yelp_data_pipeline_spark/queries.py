@@ -1176,6 +1176,154 @@ def q_mixture_resampled_docs(spark, sf_dir):
     return out.select("doc_id", "source")
 
 
+# Shared quality-score SQL fragment (must stay in sync with
+# textops.quality_score_col — the 6dp-before-combine rounding contract).
+_QSCORE_CTE = f"""qbase AS (
+  SELECT doc_id,
+         CAST(length(text) AS INT) AS n_chars,
+         CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS INT) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS INT) AS n_punct,
+         CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+              t -> t IN ({", ".join(f"'{w}'" for w in tx.LANG_STOPWORDS['en'])}))) AS INT) AS n_stop
+  FROM documents
+),
+qscore AS (
+  SELECT doc_id,
+         round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+               + round(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) * 0.3
+               + (1.0 - least(round(CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) * 10, 1.0)) * 0.2,
+               6) AS quality_score
+  FROM qbase
+)"""
+
+
+@_q(
+    "dedup_keep_best_docs",
+    f"""
+WITH {_QSCORE_CTE},
+g AS (
+  SELECT d.doc_id,
+         md5(trim(regexp_replace(lower(d.text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint,
+         q.quality_score
+  FROM documents d JOIN qscore q ON d.doc_id = q.doc_id
+)
+SELECT fingerprint, doc_id, quality_score, group_size FROM (
+  SELECT fingerprint, doc_id, quality_score,
+         count(*) OVER (PARTITION BY fingerprint) AS group_size,
+         row_number() OVER (PARTITION BY fingerprint
+                            ORDER BY quality_score DESC, doc_id ASC) AS rn
+  FROM g
+) WHERE rn = 1
+""",
+    doc="Quality-keeping exact dedup: one survivor per normalized-text "
+    "fingerprint group — the best-scoring copy, not an arbitrary "
+    "minimal id. Spark side is a single map-side-combinable struct-"
+    "argmax groupBy (no window shuffle of the full corpus); the "
+    "row_number oracle realizes the same (max score, min id) order.",
+)
+def q_dedup_keep_best_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        F.md5(dd.normalize_text(F.col("text"))).alias("fingerprint"),
+        tx.quality_score_col(F.col("text")).alias("quality_score"),
+    )
+    return dd.dedup_keep_best(
+        scored, "fingerprint", "quality_score", "doc_id"
+    )
+
+
+@_q(
+    "temperature_mixture_weights",
+    """
+WITH per AS (
+  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS n_units
+  FROM documents GROUP BY source
+),
+s AS (
+  SELECT source, n_units,
+         CAST(n_units AS DOUBLE) / CAST(SUM(n_units) OVER () AS DOUBLE) AS raw,
+         round(sqrt(CAST(n_units AS DOUBLE)), 6) AS sq
+  FROM per
+),
+s2 AS (
+  SELECT source, n_units, raw,
+         sq / CAST(SUM(CAST(sq AS DECIMAL(27,6))) OVER () AS DOUBLE) AS temp
+  FROM s
+)
+SELECT source, n_units,
+       round(raw, 6) AS raw_share,
+       round(temp, 6) AS temp_share,
+       round(temp / raw, 6) AS rate_mult
+FROM s2
+""",
+    doc="Temperature-scaled (T=2) mixture weights per source over "
+    "corpus sizes — the multilingual rebalancing rule (upsample rare "
+    "sources). sqrt is correctly-rounded IEEE (unlike pow), rounded "
+    "6dp and DECIMAL-summed for an order-independent normalizer.",
+)
+def q_temperature_mixture_weights(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return smp.temperature_weights(d, "source", F.col("n_chars"))
+
+
+_BM25_TERMS = ("spark", "vector", "merge", "window")
+
+
+@_q(
+    "bm25_doc_scores",
+    f"""
+WITH dl AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS DOUBLE) AS dl
+  FROM documents
+),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(SUM(CAST(dl AS DECIMAL(27,4))) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM dl
+),
+tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+idf AS (
+  SELECT term,
+         round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 6) AS idf,
+         avgdl
+  FROM dfreq, stats
+),
+part AS (
+  SELECT doc_id,
+         round(idf * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+               / (CAST(tf AS DOUBLE)
+                  + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)),
+               6) AS s
+  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id)
+)
+SELECT doc_id, CAST(count(*) AS INT) AS n_terms_hit,
+       round(CAST(SUM(CAST(s AS DECIMAL(20,6))) AS DOUBLE), 6) AS bm25
+FROM part GROUP BY doc_id
+""",
+    doc="Okapi BM25 of every document against a fixed query-term set "
+    "(k1=1.2, b=0.75) — retrieval scoring for corpus search / RAG "
+    "curation. Token filter lands before the shuffle; corpus stats "
+    "broadcast; idf rounded 6dp before the product (libm ln is the "
+    "one non-correctly-rounded term); DECIMAL per-doc sum.",
+)
+def q_bm25_doc_scores(spark, sf_dir):
+    return tx.bm25_scores(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", _BM25_TERMS
+    )
+
+
 @_q(
     "price_quantity_corr",
     """
@@ -3432,6 +3580,9 @@ _EXPORT_PRIORITY: list[str] = [
     # New this round (no verdict yet by construction) — names are appended
     # here as the round adds them; keep the total ahead of any verdicted
     # name under the external harness's 50-entry window.
+    "dedup_keep_best_docs",
+    "temperature_mixture_weights",
+    "bm25_doc_scores",
 ]
 
 
