@@ -221,5 +221,6 @@ def test_approx_stats_within_error_bounds(spark):
     exact_q = e.selectExpr(
         "percentile(value, array(0.5, 0.95, 0.99)) AS q"
     ).first()["q"]
-    for approx, true in zip(row["value_quantiles"], exact_q):
+    approx_q = [row["value_p50"], row["value_p95"], row["value_p99"]]
+    for approx, true in zip(approx_q, exact_q):
         assert abs(approx - true) <= 0.05 * (abs(true) + 1)

@@ -76,3 +76,78 @@ def test_bm25_ranks_rare_term_doc_higher(spark):
     assert got[1]["bm25"] > got[2]["bm25"] > 0
     # more occurrences of the same term → higher score (tf saturation)
     assert got[2]["bm25"] > got[3]["bm25"]
+
+
+def test_gopher_flags_thresholds(spark):
+    from yelp_data_pipeline_spark.operators.textops import gopher_quality_flags
+
+    good = " ".join(["the quick brown fox and the lazy dog ran off"] * 6)
+    df = spark.createDataFrame(
+        [
+            (1, good),                                   # passes everything
+            (2, "short text only"),                      # word count < 50
+            (3, "### " + good + " ... ... ... ... ..."), # symbol-heavy
+            (4, "\n".join(["- bullet line"] * 60)),      # all bullets
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in gopher_quality_flags(df).collect()}
+    assert rows[1]["passes_gopher"] is True
+    assert rows[2]["passes_gopher"] is False and rows[2]["n_tokens"] < 50
+    assert rows[3]["passes_gopher"] is False and rows[3]["symbol_ratio"] > 0.1
+    assert rows[4]["passes_gopher"] is False and rows[4]["bullet_ratio"] > 0.9
+
+
+def test_script_char_ratios_sums_to_one(spark):
+    from yelp_data_pipeline_spark.operators.textops import script_char_ratios
+
+    df = spark.createDataFrame(
+        [(1, "abc 123 !? déjà"), (2, "ASCII only text 42")],
+        "doc_id long, text string",
+    )
+    for r in script_char_ratios(df).collect():
+        total = (
+            r["alpha_ratio"] + r["digit_ratio"] + r["space_ratio"] + r["other_ratio"]
+        )
+        assert total == pytest.approx(1.0, abs=1e-5)
+    r1 = {r["doc_id"]: r for r in script_char_ratios(df).collect()}
+    assert r1[1]["non_ascii_ratio"] > 0
+    assert r1[2]["non_ascii_ratio"] == 0.0
+
+
+def test_duplicate_sentence_stats_cross_doc(spark):
+    from yelp_data_pipeline_spark.operators.textops import duplicate_sentence_stats
+
+    boiler = "subscribe to our newsletter for more updates"
+    df = spark.createDataFrame(
+        [
+            (1, f"Unique opening line here. {boiler}. Another unique bit."),
+            (2, f"Different doc entirely! {boiler}. Trailing thought?"),
+            (3, "No shared sentences in this one. Nothing to see here folks."),
+        ],
+        "doc_id long, text string",
+    )
+    out = duplicate_sentence_stats(df).collect()
+    assert len(out) == 1
+    assert out[0]["n_docs"] == 2 and out[0]["n_total"] == 2
+    assert out[0]["sentence"] == boiler
+
+
+def test_duplicate_span_stats_tiling(spark):
+    from yelp_data_pipeline_spark.operators.textops import duplicate_span_stats
+
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    df = spark.createDataFrame(
+        [
+            (1, shared + " extra tail tokens beyond the span"),
+            (2, shared),                        # exactly one full span
+            (3, "totally different words " + shared.upper()),  # lowercased → dup
+            (4, "short doc"),                   # < span_tokens: dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = duplicate_span_stats(df).collect()
+    # doc 3's span is offset by 3 leading tokens, so only docs 1&2 tile-align.
+    assert len(out) == 1
+    assert out[0]["n_docs"] == 2
+    assert out[0]["span"] == shared

@@ -562,3 +562,190 @@ def chunk_documents(
         F.size(piece).cast("int").alias("n_toks"),
         F.concat_ws(" ", piece).alias("chunk_text"),
     )
+
+
+def gopher_quality_flags(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style rule filters (Rae et al. 2021, arXiv:2112.11446
+    §A1.1) as per-document boolean gates, the standard pretraining
+    corpus pre-filter: word count in [50, 100k], mean word length in
+    [3, 10], symbol-to-word ratio (# and ellipses) <= 0.1, <= 90% of
+    lines starting with a bullet, <= 30% of lines ending in an
+    ellipsis, >= 80% of words containing an alphabetic character, and
+    at least 2 English stopword hits.
+
+    Every metric is a single-pass Catalyst expression over (id, text)
+    — no shuffle, no explode; at 100 TB this is a map-only scan with
+    column pruning, the cheapest possible quality gate to run before
+    any dedup/clustering stage. Ratios are rounded to 6dp before the
+    threshold compare (the cross-engine determinism contract).
+    Output: (id, n_tokens, mean_word_len, symbol_ratio, bullet_ratio,
+    ellipsis_ratio, alpha_word_ratio, stop_hits, passes_gopher).
+    """
+    c = F.col(text_col)
+    t = tokens(c)
+    n_tok = F.size(t)
+    mean_word_len = F.round(
+        (F.length(c) - (n_tok - 1)).cast("double") / n_tok.cast("double"), 6
+    )
+    n_symbols = F.regexp_count(c, F.lit("#")) + F.regexp_count(
+        c, F.lit(r"(\.\.\.|…)")
+    )
+    symbol_ratio = F.round(n_symbols.cast("double") / n_tok.cast("double"), 6)
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]"))
+    )
+    n_ellipsis = F.size(
+        F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))
+    )
+    bullet_ratio = F.round(
+        n_bullet.cast("double") / n_lines.cast("double"), 6
+    )
+    ellipsis_ratio = F.round(
+        n_ellipsis.cast("double") / n_lines.cast("double"), 6
+    )
+    n_alpha_words = F.size(F.filter(t, lambda w: w.rlike("[a-z]")))
+    alpha_word_ratio = F.round(
+        n_alpha_words.cast("double") / n_tok.cast("double"), 6
+    )
+    stop_hits = stopword_score(c, LANG_STOPWORDS["en"])
+    out = df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_ratio.alias("bullet_ratio"),
+        ellipsis_ratio.alias("ellipsis_ratio"),
+        alpha_word_ratio.alias("alpha_word_ratio"),
+        stop_hits.alias("stop_hits"),
+    )
+    passes = (
+        (F.col("n_tokens") >= 50)
+        & (F.col("n_tokens") <= 100000)
+        & (F.col("mean_word_len") >= 3.0)
+        & (F.col("mean_word_len") <= 10.0)
+        & (F.col("symbol_ratio") <= 0.1)
+        & (F.col("bullet_ratio") <= 0.9)
+        & (F.col("ellipsis_ratio") <= 0.3)
+        & (F.col("alpha_word_ratio") >= 0.8)
+        & (F.col("stop_hits") >= 2)
+    )
+    return out.withColumn("passes_gopher", passes)
+
+
+def script_char_ratios(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Character-class composition per document: alphabetic / digit /
+    whitespace / other and non-ASCII fractions — the cheap script /
+    language-family signal (and the classic "is this mojibake or a
+    binary blob" gate) run before heavier lang-ID.
+
+    One map-side pass, four vectorized regexp_count calls over a
+    pruned (id, text) scan; zero shuffle at any scale. Ratios rounded
+    to 6dp. Output: (id, n_chars, alpha_ratio, digit_ratio,
+    space_ratio, other_ratio, non_ascii_ratio).
+    """
+    c = F.col(text_col)
+    n = F.length(c)
+    n_alpha = F.regexp_count(c, F.lit("[A-Za-z]"))
+    n_digit = F.regexp_count(c, F.lit("[0-9]"))
+    n_space = F.regexp_count(c, F.lit(r"\s"))
+    n_nonascii = F.regexp_count(c, F.lit(r"[^\x00-\x7F]"))
+    r = lambda x: F.round(x.cast("double") / n.cast("double"), 6)  # noqa: E731
+    return df.select(
+        F.col(id_col),
+        n.alias("n_chars"),
+        r(n_alpha).alias("alpha_ratio"),
+        r(n_digit).alias("digit_ratio"),
+        r(n_space).alias("space_ratio"),
+        r(n - n_alpha - n_digit - n_space).alias("other_ratio"),
+        r(n_nonascii).alias("non_ascii_ratio"),
+    )
+
+
+def duplicate_sentence_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 20,
+    min_docs: int = 2,
+) -> DataFrame:
+    """C4-style corpus-level sentence dedup statistics (Raffel et al.
+    2020 §2.2 "three-sentence span" rule, reduced to single sentences):
+    split documents into sentences, normalize, and report every
+    sentence that appears in >= ``min_docs`` distinct documents — the
+    removal list a boilerplate-stripping pass would anti-join on.
+
+    Plan shape for 100 TB: explode is map-side; the single shuffle is
+    the groupBy on the 32-hex md5 of the normalized sentence — a
+    maximally-spread key, so no salting is ever needed; the aggregate
+    carries (count, count distinct doc) with map-side partial
+    aggregation. Sentences shorter than ``min_chars`` chars are
+    dropped before the shuffle (they are overwhelmingly generic).
+    Output: (sentence_hash, n_docs, n_total, sentence) where
+    ``sentence`` is the lexicographic min of the normalized text (a
+    deterministic representative).
+    """
+    sents = F.split(F.col(text_col), r"[.!?]\s+")
+    ex = df.select(F.col(id_col).alias("doc"), F.explode(sents).alias("s"))
+    norm = F.regexp_replace(F.trim(F.lower(F.col("s"))), r"\s+", " ")
+    kept = ex.select("doc", norm.alias("sent")).where(
+        F.length("sent") >= min_chars
+    )
+    return (
+        kept.groupBy(F.md5(F.col("sent")).alias("sentence_hash"))
+        .agg(
+            F.count_distinct("doc").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.min("sent").alias("sentence"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-level duplicate *span* list — the fixed-window
+    approximation of suffix-array substring dedup (Lee et al. 2021,
+    arXiv:2107.06499): tile each document into non-overlapping
+    ``span_tokens``-token spans and report every span appearing in
+    >= ``min_docs`` distinct documents. Unlike the sentence variant
+    this needs no punctuation, so it catches shared boilerplate in
+    code, logs, and tables.
+
+    The tiling is a map-side transform(sequence)/slice — rows multiply
+    by n_tokens/span_tokens without shuffling; the single shuffle keys
+    on the span md5 (maximally spread). Partial (trailing) spans are
+    dropped: they would hash-mismatch their full twin anyway.
+    Output: (span_hash, n_docs, n_total, span).
+    """
+    t = tokens(F.col(text_col))
+    k = F.floor(F.size(t) / span_tokens).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(
+            " ", F.slice(t, (i - 1) * span_tokens + 1, span_tokens)
+        ),
+    )
+    ex = df.select(F.col(id_col).alias("doc"), spans.alias("sp")).where(
+        k >= 1
+    )
+    kept = ex.select("doc", F.explode("sp").alias("span"))
+    return (
+        kept.groupBy(F.md5(F.col("span")).alias("span_hash"))
+        .agg(
+            F.count_distinct("doc").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.min("span").alias("span"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )
