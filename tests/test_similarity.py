@@ -195,3 +195,50 @@ def test_kmeans_guard_rejects_sparse_ids(spark):
     df = _vecs(spark).withColumn("vec_id", F.col("vec_id") + 100)
     with pytest.raises(ValueError, match="dense integers"):
         sim.kmeans_centroids(df, k=4, iters=1)
+
+
+def test_l2_normalize_quantized_units(spark):
+    from yelp_data_pipeline_spark.operators.similarity import l2_normalize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, [1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in l2_normalize_embeddings(df).collect()}
+    assert rows[1]["norm"] == 5.0
+    assert rows[1]["unit_q5"] == "60000,80000"
+    assert rows[2]["norm"] is None and rows[2]["unit_q5"] is None
+    assert rows[3]["unit_q5"] == "100000,0"
+
+
+def test_ivf_batch_agrees_with_brute_at_full_probe(spark):
+    """nprobe = ncells ⇒ the IVF arm scans everything, so recall@k
+    must be exactly 1 for every query."""
+    from yelp_data_pipeline_spark.operators.similarity import (
+        ann_recall_eval,
+        train_centroids_by_label,
+    )
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)], i % 3) for i in range(60)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    cents = train_centroids_by_label(emb, dim=8)
+    qs = emb.where("vec_id < 5").selectExpr("vec_id AS qid", "embedding AS qv")
+    out = ann_recall_eval(
+        emb.withColumnRenamed("label", "cell"), cents, qs, k=5, nprobe=3
+    ).collect()
+    assert len(out) == 5
+    assert all(r["recall_at_5"] == 1.0 for r in out)
+
+    # nprobe=1 prunes to ~1/3 of the corpus: recall can drop but the
+    # metric must stay in [0, 1] and every query must still appear.
+    part = ann_recall_eval(
+        emb.withColumnRenamed("label", "cell"), cents, qs, k=5, nprobe=1
+    ).collect()
+    assert len(part) == 5
+    assert all(0.0 <= r["recall_at_5"] <= 1.0 for r in part)

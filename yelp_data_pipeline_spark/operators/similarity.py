@@ -710,3 +710,141 @@ def classify_to_centroids(
     return best.select(
         id_col, F.col("b.label").alias("label"), F.col("b.score").alias("score")
     )
+
+
+def l2_normalize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = 100000,
+    round_norm_to: int = 6,
+) -> DataFrame:
+    """Unit-normalize embeddings — the prep step every cosine-metric
+    index (IVF, HNSW, sign-LSH) wants, after which cosine = dot and
+    the per-pair sqrt disappears from the hot loop.
+
+    Entirely map-side (zero shuffle at any scale: scan → transform →
+    write). The unit vector is emitted as fixed-point ints
+    (round(x/‖x‖ · quant)) serialized to CSV: float→string formatting
+    diverges between engines, int CSV doesn't — same convention as
+    quantize_embeddings. Zero vectors yield NULL instead of NaN.
+    Output: (id, norm, unit_q5).
+    """
+    nrm = norm(F.col(vec_col))
+    unit = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") / nrm * quant).cast("int"),
+    )
+    return df.select(
+        F.col(id_col),
+        F.when(nrm > 0, F.round(nrm, round_norm_to)).alias("norm"),
+        F.when(nrm > 0, F.array_join(unit, ",")).alias("unit_q5"),
+    )
+
+
+def ivf_topk_batch(
+    df: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    qid_col: str = "qid",
+    qvec_col: str = "qv",
+    round_to: int = 6,
+) -> DataFrame:
+    """Batch IVF serving: route EVERY query to its ``nprobe`` nearest
+    centroid cells, then score only candidates in those cells — the
+    pruned-scan twin of :func:`cosine_topk_batch`.
+
+    Plan shape at 100 TB: routing is a tiny×tiny broadcast cross join
+    (queries × centroids); the candidate fetch broadcasts the routed
+    (qid, cell, qv) list against the corpus scan, so with the corpus
+    partitioned by cell the scan prunes to ~nprobe/ncells of the data
+    and the only shuffle is the per-qid top-k window on k·|q| rows.
+    Ties break on (rounded score desc, id asc) — deterministic and
+    oracle-replayable. Output: (qid, id, score).
+    """
+    from pyspark.sql import Window
+
+    routed = (
+        queries.crossJoin(F.broadcast(centroids))
+        .select(
+            F.col(qid_col),
+            F.col(qvec_col),
+            F.col(cell_col),
+            F.round(cosine(F.col(qvec_col), F.col("centroid")), round_to).alias(
+                "r_score"
+            ),
+        )
+    )
+    wr = Window.partitionBy(qid_col).orderBy(
+        F.col("r_score").desc(), F.col(cell_col).asc()
+    )
+    probe = (
+        routed.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= nprobe)
+        .select(qid_col, qvec_col, cell_col)
+    )
+    cand = df.join(F.broadcast(probe), on=cell_col).select(
+        F.col(qid_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col(qvec_col)), round_to).alias("score"),
+    )
+    wk = Window.partitionBy(qid_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= k)
+        .select(qid_col, id_col, "score")
+    )
+
+
+def ann_recall_eval(
+    df: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    qid_col: str = "qid",
+    qvec_col: str = "qv",
+) -> DataFrame:
+    """Recall@k of the IVF path against the exact brute-force answer,
+    per query — the eval loop that decides nprobe/ncells before
+    anyone trusts an approximate index in production.
+
+    Both arms reuse the serving operators (one corpus scan each); the
+    comparison is an inner join on (qid, id) plus a per-qid count, and
+    queries whose IVF arm missed everything still appear with recall
+    0. Output: (qid, n_hits, recall_at_k), recall rounded to 6dp.
+    """
+    brute = cosine_topk_batch(
+        df, queries, k=k, id_col=id_col, vec_col=vec_col,
+        qid_col=qid_col, qvec_col=qvec_col,
+    )
+    approx = ivf_topk_batch(
+        df, centroids, queries, k=k, nprobe=nprobe, id_col=id_col,
+        vec_col=vec_col, cell_col=cell_col, qid_col=qid_col, qvec_col=qvec_col,
+    )
+    hits = (
+        brute.join(approx, [qid_col, id_col])
+        .groupBy(qid_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        queries.select(qid_col)
+        .join(hits, qid_col, "left")
+        .select(
+            F.col(qid_col),
+            F.coalesce(F.col("n"), F.lit(0)).cast("int").alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n"), F.lit(0)).cast("double") / k, 6
+            ).alias(f"recall_at_{k}"),
+        )
+    )

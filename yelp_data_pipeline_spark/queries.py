@@ -3696,6 +3696,105 @@ def q_duplicate_span_stats(spark, sf_dir):
     return tx.duplicate_span_stats(_t(spark, sf_dir, "documents"))
 
 
+@_q(
+    "normalized_embeddings",
+    """
+WITH base AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+)
+SELECT vec_id,
+       CASE WHEN nrm > 0 THEN round(nrm, 6) END AS norm,
+       CASE WHEN nrm > 0 THEN
+         array_to_string(
+           list_transform(embedding,
+                          x -> CAST(round(CAST(x AS DOUBLE) / nrm * 100000) AS INT)),
+           ',')
+       END AS unit_q5
+FROM base
+""",
+    doc="L2 unit-normalization (the prep every cosine index wants; "
+    "after it cosine = dot). Map-only, zero shuffle; unit vector "
+    "emitted as fixed-point int CSV per the cross-engine float-"
+    "formatting convention.",
+)
+def q_normalized_embeddings(spark, sf_dir):
+    return sim.l2_normalize_embeddings(_t(spark, sf_dir, "embeddings"))
+
+
+@_q(
+    "ann_recall_eval",
+    f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20
+),
+cent AS (
+  SELECT label AS cell, i AS pos,
+         round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m
+  FROM embeddings, (SELECT unnest(generate_series(1, {_EMB_DIM})) AS i) g
+  GROUP BY 1, 2
+),
+cvec AS (
+  SELECT cell, list(m ORDER BY pos) AS centroid FROM cent GROUP BY cell
+),
+route AS (
+  SELECT qid, qv, cell FROM (
+    SELECT q.qid, q.qv, c.cell,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY round({cosine_sql('c.centroid', 'q.qv', _EMB_DIM)}, 6) DESC,
+                      c.cell ASC) AS rn
+    FROM q, cvec c
+  ) WHERE rn <= 1
+),
+ivf AS (
+  SELECT qid, vec_id FROM (
+    SELECT r.qid, e.vec_id,
+           row_number() OVER (
+             PARTITION BY r.qid
+             ORDER BY round({cosine_sql('e.embedding', 'r.qv', _EMB_DIM)}, 6) DESC,
+                      e.vec_id ASC) AS rn
+    FROM embeddings e JOIN route r ON e.label = r.cell
+  ) WHERE rn <= 10
+),
+brute AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, e.vec_id,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY round({cosine_sql('e.embedding', 'q.qv', _EMB_DIM)}, 6) DESC,
+                      e.vec_id ASC) AS rn
+    FROM embeddings e, q
+  ) WHERE rn <= 10
+),
+h AS (
+  SELECT b.qid, count(*) AS n
+  FROM brute b JOIN ivf i ON b.qid = i.qid AND b.vec_id = i.vec_id
+  GROUP BY 1
+)
+SELECT q.qid,
+       CAST(coalesce(h.n, 0) AS INT) AS n_hits,
+       round(CAST(coalesce(h.n, 0) AS DOUBLE) / 10, 6) AS recall_at_10
+FROM q LEFT JOIN h ON q.qid = h.qid
+""",
+    doc="Recall@10 of IVF (label centroids, nprobe=1) vs exact brute "
+    "force, per query — the eval that sizes nprobe/ncells before an "
+    "approximate index is trusted. Both arms are one corpus scan; "
+    "ties break on (rounded score, id) so the top-k set is "
+    "deterministic cross-engine.",
+)
+def q_ann_recall_eval(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.withColumnRenamed("label", "cell")
+    cents = sim.train_centroids_by_label(emb)
+    qs = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    return sim.ann_recall_eval(corpus, cents, qs, k=10, nprobe=1)
+
+
 # --------------------------------------------------------------------------
 # Registry exports (driver contract)
 # --------------------------------------------------------------------------
@@ -3718,6 +3817,8 @@ _EXPORT_PRIORITY: list[str] = [
     "script_char_ratios",
     "duplicate_sentence_stats",
     "duplicate_span_stats",
+    "normalized_embeddings",
+    "ann_recall_eval",
 ]
 
 
