@@ -238,3 +238,44 @@ def test_temperature_weights_upsamples_rare_source(spark):
     import math
     expect = math.sqrt(100) / (round(math.sqrt(16000), 6) + 10.0)
     assert abs(got["small"]["temp_share"] - expect) < 1e-5
+
+
+def test_curriculum_order_stages_and_positions(spark):
+    from yelp_data_pipeline_spark.operators.sampling import curriculum_order
+
+    df = spark.createDataFrame(
+        [(i, float(100 - i)) for i in range(40)], "doc_id long, score double"
+    )
+    out = curriculum_order(df, "doc_id", "score", stages=4).collect()
+    assert len(out) == 40
+    by_stage = {}
+    for r in out:
+        by_stage.setdefault(r["stage"], []).append(r)
+    # 4 balanced stages; best scores (lowest ids) land in stage 1
+    assert sorted(by_stage) == [1, 2, 3, 4]
+    assert all(len(v) == 10 for v in by_stage.values())
+    assert {r["doc_id"] for r in by_stage[1]} == set(range(10))
+    # positions are a permutation of 1..10 and not the sorted id order
+    for s, rows in by_stage.items():
+        assert sorted(r["stage_pos"] for r in rows) == list(range(1, 11))
+    # determinism across recomputation
+    again = curriculum_order(df, "doc_id", "score", stages=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_global_shuffle_shards_deterministic_partition(spark):
+    from yelp_data_pipeline_spark.operators.sampling import global_shuffle_shards
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    out = global_shuffle_shards(df, "doc_id", n_shards=8).collect()
+    assert len(out) == 200
+    shards = {}
+    for r in out:
+        assert 0 <= r["shard"] < 8
+        shards.setdefault(r["shard"], []).append(r["shard_pos"])
+    # every shard's positions are contiguous from 1
+    for poss in shards.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # repartitioning the input must not change any assignment
+    again = global_shuffle_shards(df.repartition(13), "doc_id", n_shards=8).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))

@@ -44,3 +44,15 @@ def test_dictionary_encoding_bijective(spark):
 def test_merge_upsert_no_duplicate_keys(spark):
     merged = q.queries()["merge_upsert_orders"](spark, SF_DIR)
     assert merged.count() == merged.select("o_orderkey").distinct().count()
+
+
+def test_q5_dim_chain_is_broadcast(spark):
+    """local_supplier_volume: the region→nation→supplier chain must
+    reach the fact joins as a broadcast, never a shuffle."""
+    from yelp_data_pipeline_spark.queries import queries
+
+    df = queries()["local_supplier_volume"](spark, "/root/testdata/sf0.001")
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" in analyzed
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in executed

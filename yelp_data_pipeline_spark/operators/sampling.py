@@ -176,3 +176,75 @@ def stratified_hash_sample(
             .otherwise(threshold)
         )
     return df.filter(hash_bucket(F.col(key_col), salt) < threshold)
+
+
+def curriculum_order(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    stages: int = 4,
+    salt: str = "curr",
+) -> DataFrame:
+    """Curriculum staging for training: rank documents into
+    ``stages`` quality tiers (ntile over score, best first) and give
+    each doc a deterministic *shuffled* position inside its stage —
+    easy-to-hard across stages, decorrelated within a stage (feeding
+    quality-sorted data verbatim teaches the schedule, not the data).
+
+    Two window shuffles: the global ntile (one sort — acceptable
+    because the output IS a total ordering; at 100 TB swap ntile for a
+    quantile-boundary broadcast like order_price_rank_scalable does)
+    and the per-stage row_number keyed on the content hash, which is
+    both deterministic and uniformly spread. Output: (id, stage,
+    stage_pos).
+    """
+    from pyspark.sql import Window
+
+    w_stage = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    h = md5_long(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")))
+    staged = df.select(
+        F.col(id_col),
+        F.ntile(stages).over(w_stage).alias("stage"),
+        h.alias("h"),
+    )
+    w_pos = Window.partitionBy("stage").orderBy(
+        F.col("h").asc(), F.col(id_col).asc()
+    )
+    return staged.select(
+        id_col,
+        "stage",
+        F.row_number().over(w_pos).alias("stage_pos"),
+    )
+
+
+def global_shuffle_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int = 8,
+    salt: str = "shuf",
+) -> DataFrame:
+    """Deterministic global shuffle + sharding — the last step before
+    training serialization: every row gets a content-hash shard in
+    [0, n_shards) and a position within its shard, so any engine (or
+    rerun, or partitioning) materializes byte-identical shards, and
+    downstream loaders stream shard files independently.
+
+    The shard assignment is map-side; the only shuffle is the
+    per-shard row_number window, whose key (the 60-bit content hash)
+    is uniform — no skew, no global sort. At 100 TB the write is
+    ``partitionBy(shard)`` and each shard sorts locally
+    (sortWithinPartitions), never a total order. Output: (id, shard,
+    shard_pos).
+    """
+    h = md5_long(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")))
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col),
+        F.pmod(h, F.lit(n_shards)).cast("int").alias("shard"),
+        h.alias("h"),
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("h").asc(), F.col(id_col).asc())
+    return base.select(
+        id_col, "shard", F.row_number().over(w).alias("shard_pos")
+    )

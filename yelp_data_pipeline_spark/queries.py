@@ -3795,6 +3795,168 @@ def q_ann_recall_eval(spark, sf_dir):
     return sim.ann_recall_eval(corpus, cents, qs, k=10, nprobe=1)
 
 
+@_q(
+    "local_supplier_volume",
+    """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+""",
+    doc="TPC-H Q5 shape: 6-way join with the dim chain (region → "
+    "nation → supplier) collapsed into one broadcast before touching "
+    "the fact tables, date filter pushed to the orders scan, and the "
+    "only real shuffles the lineitem⋈orders and orders⋈customer "
+    "equi-joins (AQE-planned); decimal-exact revenue.",
+)
+def q_local_supplier_volume(spark, sf_dir):
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = (
+        _t(spark, sf_dir, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    j = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.groupBy("n_name").agg(agg.exact_sum(disc_price, "revenue"))
+
+
+@_q(
+    "returned_items_top_customers",
+    """
+SELECT c_custkey, c_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM customer, orders, lineitem
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""",
+    doc="TPC-H Q10 shape: returned-item revenue per customer over one "
+    "quarter, top-20. Filters pushed to both fact scans, group on the "
+    "customer key, TakeOrderedAndProject for the limit (per-partition "
+    "heaps, no global sort); decimal-exact revenue makes the ordering "
+    "and the selected set engine-independent, custkey breaks ties.",
+)
+def q_returned_items_top_customers(spark, sf_dir):
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= "1996-10-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    l = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            agg.exact_sum(disc_price, "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+_CURR_HASH = (
+    "CAST('0x' || substr(md5(concat_ws('|', 'curr', CAST(doc_id AS VARCHAR))), 1, 15) AS BIGINT)"
+)
+_SHUF_HASH = (
+    "CAST('0x' || substr(md5(concat_ws('|', 'shuf', CAST(doc_id AS VARCHAR))), 1, 15) AS BIGINT)"
+)
+
+
+@_q(
+    "curriculum_order_docs",
+    f"""
+WITH staged AS (
+  SELECT doc_id,
+         CAST(ntile(4) OVER (ORDER BY n_chars DESC, doc_id ASC) AS INT) AS stage,
+         {_CURR_HASH} AS h
+  FROM documents
+)
+SELECT doc_id, stage,
+       CAST(row_number() OVER (PARTITION BY stage ORDER BY h ASC, doc_id ASC) AS INT)
+         AS stage_pos
+FROM staged
+""",
+    doc="Curriculum staging: ntile quality tiers (best first) + "
+    "content-hash shuffled position within each stage — easy-to-hard "
+    "across stages, decorrelated inside one. The global ntile is the "
+    "one total sort; at 100 TB swap it for quantile-boundary "
+    "broadcast (order_price_rank_scalable's trick).",
+)
+def q_curriculum_order_docs(spark, sf_dir):
+    return smp.curriculum_order(
+        _t(spark, sf_dir, "documents"), "doc_id", "n_chars", stages=4
+    )
+
+
+@_q(
+    "shuffled_doc_shards",
+    f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST({_SHUF_HASH} % 8 AS INT) AS shard,
+         {_SHUF_HASH} AS h
+  FROM documents
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY h ASC, doc_id ASC) AS INT)
+         AS shard_pos
+FROM base
+""",
+    doc="Deterministic global shuffle + sharding before training "
+    "serialization: content-hash shard + within-shard position, "
+    "byte-identical across engines/reruns/partitionings; the only "
+    "shuffle keys on the uniform 60-bit hash (no skew, no global "
+    "sort) and the write is partitionBy(shard).",
+)
+def q_shuffled_doc_shards(spark, sf_dir):
+    return smp.global_shuffle_shards(
+        _t(spark, sf_dir, "documents"), "doc_id", n_shards=8
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry exports (driver contract)
 # --------------------------------------------------------------------------
@@ -3819,6 +3981,10 @@ _EXPORT_PRIORITY: list[str] = [
     "duplicate_span_stats",
     "normalized_embeddings",
     "ann_recall_eval",
+    "local_supplier_volume",
+    "returned_items_top_customers",
+    "curriculum_order_docs",
+    "shuffled_doc_shards",
 ]
 
 
