@@ -23,3 +23,17 @@ def spark(tmp_path_factory):
     )
     s.sparkContext.setLogLevel("ERROR")
     yield s
+
+
+def normalize_events_ts(df, ts_col="ts"):
+    """Fixture-generation-proof ts normalizer: nanos-as-long (older
+    testdata) and naive-micros TIMESTAMP_NTZ (newer testdata) both
+    become a session-UTC timestamp, matching tables.load_table."""
+    import pyspark.sql.functions as F
+
+    t = dict(df.dtypes).get(ts_col)
+    if t == "bigint":
+        return df.withColumn(ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` div 1000")))
+    if t == "timestamp_ntz":
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df

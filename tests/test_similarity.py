@@ -242,3 +242,13 @@ def test_ivf_batch_agrees_with_brute_at_full_probe(spark):
     ).collect()
     assert len(part) == 5
     assert all(0.0 <= r["recall_at_5"] <= 1.0 for r in part)
+
+
+def test_embedding_norm_outliers_flags_extremes(spark):
+    from yelp_data_pipeline_spark.operators.similarity import embedding_norm_outliers
+
+    rows = [(i, [1.0, 0.0]) for i in range(20)] + [(99, [100.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = embedding_norm_outliers(df, z_threshold=2.0).collect()
+    assert [r["vec_id"] for r in out] == [99]
+    assert out[0]["z"] > 2.0

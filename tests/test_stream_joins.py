@@ -6,13 +6,11 @@ import pyspark.sql.functions as F
 from yelp_data_pipeline_spark.streaming import joins as sj
 from yelp_data_pipeline_spark.streaming import windows as sw
 
-from conftest import SF_DIR
+from conftest import SF_DIR, normalize_events_ts
 
 
 def _batch_events(spark):
-    return spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    return normalize_events_ts(spark.read.parquet(f"{SF_DIR}/events.parquet"))
 
 
 def _run(agg, tmp_path, name, mode="append"):
@@ -71,7 +69,7 @@ def test_stream_dedup_drops_redelivered_file(spark, tmp_path):
 
     schema = spark.read.parquet(str(src / "d1.parquet")).schema
     stream = spark.readStream.schema(schema).parquet(str(src / "d1.parquet"))
-    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_events_ts(stream)
 
     deduped = sj.dedup_stream(stream, ["event_id"], "ts", "2 hours")
     _run(deduped, tmp_path, "t_dedup")

@@ -6,7 +6,7 @@ import pyspark.sql.functions as F
 
 from yelp_data_pipeline_spark.streaming import windows as sw
 
-from conftest import SF_DIR
+from conftest import SF_DIR, normalize_events_ts
 
 
 def test_stream_tumbling_counts_match_batch(spark, tmp_path):
@@ -26,9 +26,7 @@ def test_stream_tumbling_counts_match_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM t_tumbling").collect()
     }
     batch = sw.tumbling_counts(
-        spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        ),
+        normalize_events_ts(spark.read.parquet(f"{SF_DIR}/events.parquet")),
         "ts",
         "1 hour",
     )
@@ -42,9 +40,7 @@ def test_stream_is_actually_streaming(spark):
 
 
 def _batch_events(spark):
-    return spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    return normalize_events_ts(spark.read.parquet(f"{SF_DIR}/events.parquet"))
 
 
 def test_stream_sliding_counts_match_batch(spark, tmp_path):

@@ -151,3 +151,52 @@ def test_duplicate_span_stats_tiling(spark):
     assert len(out) == 1
     assert out[0]["n_docs"] == 2
     assert out[0]["span"] == shared
+
+
+def test_corpus_ngram_topk_counts(spark):
+    from yelp_data_pipeline_spark.operators.textops import corpus_ngram_topk
+
+    df = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "a b c d"), (3, "x y")],
+        "doc_id long, text string",
+    )
+    out = {r["gram"]: r["cnt"] for r in corpus_ngram_topk(df, n=3, top=10).collect()}
+    assert out["a b c"] == 3       # twice in doc1, once in doc2
+    assert out["b c a"] == 1
+    assert "x y" not in out        # doc3 too short for trigrams
+
+
+def test_cross_dup_rate_by_source(spark):
+    from yelp_data_pipeline_spark.operators.dedup import cross_dup_rate_by_source
+
+    df = spark.createDataFrame(
+        [
+            (1, "Shared Text!", "a"),
+            (2, "shared text",  "b"),   # normalized dup of doc 1, other source
+            (3, "only in a",    "a"),
+            (4, "only in b",    "b"),
+            (5, "shared text",  "b"),   # same-source dup still counts as exposed
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in cross_dup_rate_by_source(df).collect()}
+    assert out["a"]["n_docs"] == 2 and out["a"]["n_cross_dup"] == 1
+    assert out["a"]["cross_dup_rate"] == 0.5
+    assert out["b"]["n_docs"] == 3 and out["b"]["n_cross_dup"] == 2
+
+
+def test_pii_summary_rates(spark):
+    from yelp_data_pipeline_spark.operators.textops import pii_summary
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at a@b.com or visit https://x.org", "web"),
+            (2, "clean document", "web"),
+            (3, "call +1 (555) 123-4567 now", "books"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in pii_summary(df).collect()}
+    assert out["web"]["n_emails"] == 1 and out["web"]["n_urls"] == 1
+    assert out["web"]["docs_with_pii"] == 1 and out["web"]["pii_doc_rate"] == 0.5
+    assert out["books"]["n_phones"] == 1 and out["books"]["pii_doc_rate"] == 1.0

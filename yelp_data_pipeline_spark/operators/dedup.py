@@ -550,3 +550,49 @@ def dedup_incremental(
         .groupBy("fp")
         .agg(F.min(id_col).alias(id_col))
     )
+
+
+def cross_dup_rate_by_source(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source exact-duplicate contamination report: for each
+    source, the number and share of its documents whose normalized
+    fingerprint also appears in at least one OTHER source — the
+    first question asked of any multi-source pretraining mix (is the
+    crawl already inside the curated set?).
+
+    Two shuffles, both on the 32-hex fingerprint (uniform, unskewed):
+    one to find fingerprints spanning >= 2 distinct sources, one
+    semi-join back (broadcast when the cross-dup set is small, which
+    it is in healthy corpora). Output: (source, n_docs, n_cross_dup,
+    cross_dup_rate).
+    """
+    fp = df.select(
+        F.col(source_col).alias("src"),
+        fingerprint(F.col(text_col)).alias("fp"),
+    )
+    spanning = (
+        fp.groupBy("fp")
+        .agg(F.count_distinct("src").alias("ns"))
+        .where(F.col("ns") >= 2)
+        .select("fp")
+    )
+    flagged = fp.join(F.broadcast(spanning), "fp", "left_semi")
+    totals = fp.groupBy("src").agg(F.count(F.lit(1)).alias("n_docs"))
+    dups = flagged.groupBy("src").agg(F.count(F.lit(1)).alias("n_cross_dup"))
+    return (
+        totals.join(dups, "src", "left")
+        .select(
+            F.col("src").alias(source_col),
+            "n_docs",
+            F.coalesce(F.col("n_cross_dup"), F.lit(0)).alias("n_cross_dup"),
+            F.round(
+                F.coalesce(F.col("n_cross_dup"), F.lit(0)).cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("cross_dup_rate"),
+        )
+    )

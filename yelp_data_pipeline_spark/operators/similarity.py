@@ -848,3 +848,46 @@ def ann_recall_eval(
             ).alias(f"recall_at_{k}"),
         )
     )
+
+
+def embedding_norm_outliers(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Norm-based embedding outlier screen: flag vectors whose L2 norm
+    sits more than ``z_threshold`` standard deviations from the corpus
+    mean — the cheap first-pass catch for broken encoders, truncated
+    rows, and un-normalized batches before any index build.
+
+    Corpus moments come from ONE decimal-exact aggregate (sum and
+    sum-of-squares of the 6dp-rounded norms — order-independent, so
+    both engines derive the identical mean/std) broadcast back as a
+    1-row literal join; the scan itself is map-side. Output:
+    (id, norm, z), outliers only, z rounded 6dp.
+    """
+    nr = F.round(norm(F.col(vec_col)), 6)
+    base = df.select(F.col(id_col), nr.alias("nr"))
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("nr").cast("decimal(27,6)")).alias("s1"),
+        # (18,6)×(18,6) → (37,12): stays inside both engines' 38-digit
+        # decimal cap ((27,6)² would overflow DuckDB's multiply).
+        F.sum(
+            (F.col("nr").cast("decimal(18,6)") * F.col("nr").cast("decimal(18,6)"))
+        ).alias("s2"),
+    ).select(
+        (F.col("s1").cast("double") / F.col("n")).alias("mu"),
+        F.sqrt(
+            F.col("s2").cast("double") / F.col("n")
+            - (F.col("s1").cast("double") / F.col("n"))
+            * (F.col("s1").cast("double") / F.col("n"))
+        ).alias("sd"),
+    )
+    z = F.round((F.col("nr") - F.col("mu")) / F.col("sd"), 6)
+    return (
+        base.crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), F.col("nr").alias("norm"), z.alias("z"))
+        .where(F.abs(F.col("z")) > z_threshold)
+    )

@@ -749,3 +749,80 @@ def duplicate_span_stats(
         )
         .where(F.col("n_docs") >= min_docs)
     )
+
+
+def corpus_ngram_topk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    top: int = 100,
+) -> DataFrame:
+    """Corpus-level top-k word n-gram frequency table — the LM-data
+    diagnostic behind contamination screens, boilerplate discovery,
+    and tokenizer-vocab sanity checks.
+
+    N-grams are built map-side (transform over a sequence of start
+    offsets — no window, no per-doc shuffle), then one groupBy on the
+    gram itself; partial aggregation collapses repeats before the
+    shuffle and the final top-k is a TakeOrderedAndProject (per-
+    partition heaps, never a global sort). Ties break lexicographically
+    so the selected set is deterministic. Output: (gram, cnt).
+    """
+    t = tokens(F.col(text_col))
+    grams = F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = df.select(F.explode(grams).alias("gram"))
+    counts = ex.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.orderBy(F.col("cnt").desc(), F.col("gram").asc()).limit(top)
+
+
+def pii_summary(
+    df: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-group PII exposure report: document counts, per-kind match
+    totals, and the share of documents containing any PII — the
+    compliance dashboard over :func:`scrub_pii`'s per-doc counts.
+    Map-side regexp counting + one tiny groupBy; ratios rounded 6dp.
+    Output: (group, n_docs, n_emails, n_urls, n_phones, docs_with_pii,
+    pii_doc_rate).
+    """
+    c = F.col(text_col)
+    e = F.regexp_count(c, F.lit(EMAIL_PATTERN))
+    u = F.regexp_count(c, F.lit(URL_PATTERN))
+    p = F.regexp_count(c, F.lit(PHONE_PATTERN))
+    per = df.select(
+        F.col(group_col).alias("grp"),
+        e.alias("e"),
+        u.alias("u"),
+        p.alias("p"),
+        ((e + u + p) > 0).cast("int").alias("any_pii"),
+    )
+    return (
+        per.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("e").alias("n_emails"),
+            F.sum("u").alias("n_urls"),
+            F.sum("p").alias("n_phones"),
+            F.sum("any_pii").alias("docs_with_pii"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_docs",
+            "n_emails",
+            "n_urls",
+            "n_phones",
+            "docs_with_pii",
+            F.round(
+                F.col("docs_with_pii").cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("pii_doc_rate"),
+        )
+    )

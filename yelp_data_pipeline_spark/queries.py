@@ -3957,6 +3957,225 @@ def q_shuffled_doc_shards(spark, sf_dir):
     )
 
 
+@_q(
+    "corpus_trigram_topk",
+    """
+WITH toks AS (
+  SELECT string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+),
+grams AS (
+  SELECT unnest(CASE WHEN len(t) >= 3 THEN
+    list_transform(generate_series(1, len(t) - 2),
+                   i -> array_to_string(t[i:i+2], ' '))
+  ELSE [] END) AS gram
+  FROM toks
+)
+SELECT gram, count(*) AS cnt
+FROM grams
+GROUP BY gram
+ORDER BY cnt DESC, gram ASC
+LIMIT 100
+""",
+    doc="Corpus top-100 trigram table (contamination screens, "
+    "boilerplate discovery): map-side gram build, one groupBy with "
+    "partial agg, TakeOrderedAndProject top-k with lexicographic "
+    "tiebreak.",
+)
+def q_corpus_trigram_topk(spark, sf_dir):
+    return tx.corpus_ngram_topk(_t(spark, sf_dir, "documents"), n=3, top=100)
+
+
+@_q(
+    "cross_dup_rate_by_source",
+    """
+WITH fp AS (
+  SELECT source AS src,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+  FROM documents
+),
+spanning AS (
+  SELECT fp FROM fp GROUP BY fp HAVING count(DISTINCT src) >= 2
+),
+totals AS (SELECT src, count(*) AS n_docs FROM fp GROUP BY 1),
+dups AS (
+  SELECT src, count(*) AS n_cross_dup
+  FROM fp WHERE fp.fp IN (SELECT fp FROM spanning)
+  GROUP BY 1
+)
+SELECT t.src AS source, t.n_docs,
+       coalesce(d.n_cross_dup, 0) AS n_cross_dup,
+       round(CAST(coalesce(d.n_cross_dup, 0) AS DOUBLE) / t.n_docs, 6)
+         AS cross_dup_rate
+FROM totals t LEFT JOIN dups d ON t.src = d.src
+""",
+    doc="Cross-source exact-dup contamination matrix: fingerprints "
+    "spanning >= 2 sources, semi-joined back per source. Both "
+    "shuffles key on the uniform md5 fingerprint; the spanning set "
+    "broadcasts.",
+)
+def q_cross_dup_rate_by_source(spark, sf_dir):
+    return dd.cross_dup_rate_by_source(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "pii_summary_by_source",
+    f"""
+WITH per AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(text, '{tx.EMAIL_PATTERN}')) AS INT) AS e,
+         CAST(len(regexp_extract_all(text, '{tx.URL_PATTERN}')) AS INT) AS u,
+         CAST(len(regexp_extract_all(text, '{tx.PHONE_PATTERN}')) AS INT) AS p
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(e) AS BIGINT) AS n_emails,
+       CAST(sum(u) AS BIGINT) AS n_urls,
+       CAST(sum(p) AS BIGINT) AS n_phones,
+       CAST(sum(CASE WHEN e + u + p > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+       round(CAST(sum(CASE WHEN e + u + p > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS pii_doc_rate
+FROM per
+GROUP BY source
+""",
+    doc="Per-source PII exposure dashboard over the scrub patterns: "
+    "map-side regexp counts, one tiny groupBy on source.",
+)
+def q_pii_summary_by_source(spark, sf_dir):
+    return tx.pii_summary(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "quality_by_source_summary",
+    f"""
+WITH base AS (
+  SELECT doc_id, source,
+         CAST(length(text) AS INT) AS n_chars,
+         CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS INT) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS INT) AS n_punct,
+         CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+              t -> t IN ({", ".join(f"'{w}'" for w in tx.LANG_STOPWORDS['en'])}))) AS INT) AS n_stop
+  FROM documents
+),
+q AS (
+  SELECT source,
+         round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+               + round(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) * 0.3
+               + (1.0 - least(round(CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) * 10, 1.0)) * 0.2,
+               6) AS qs,
+         n_tokens
+  FROM base
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(SUM(CAST(qs AS DECIMAL(27,6))) AS DOUBLE) / count(*) AS avg_quality,
+       min(qs) AS min_quality,
+       max(qs) AS max_quality,
+       CAST(SUM(CAST(n_tokens AS DECIMAL(27,4))) AS DOUBLE) / count(*) AS avg_tokens
+FROM q
+GROUP BY source
+""",
+    doc="Per-source corpus quality report: the composite heuristic "
+    "score aggregated by source (decimal-exact means) — the mix-"
+    "design dashboard that decides per-source sampling weights.",
+)
+def q_quality_by_source_summary(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    qf = tx.quality_features(d, "doc_id", "text").select(
+        "doc_id", "quality_score", "n_tokens"
+    )
+    j = qf.join(d.select("doc_id", "source"), "doc_id")
+    # exact_avg's decimal(27,4) would truncate the 6dp scores — sum at
+    # the scores' own scale so the decimal accumulation is lossless.
+    avg_q = (
+        F.sum(F.col("quality_score").cast("decimal(27,6)")).cast("double")
+        / F.count(F.lit(1))
+    ).alias("avg_quality")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        avg_q,
+        F.min("quality_score").alias("min_quality"),
+        F.max("quality_score").alias("max_quality"),
+        agg.exact_avg("n_tokens", "avg_tokens"),
+    )
+
+
+@_q(
+    "embedding_norm_outliers",
+    """
+WITH base AS (
+  SELECT vec_id,
+         round(sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS nr
+  FROM embeddings
+),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         sum(CAST(nr AS DECIMAL(27,6))) AS s1,
+         sum(CAST(nr AS DECIMAL(18,6)) * CAST(nr AS DECIMAL(18,6))) AS s2
+  FROM base
+),
+m AS (
+  SELECT CAST(s1 AS DOUBLE) / n AS mu,
+         sqrt(CAST(s2 AS DOUBLE) / n
+              - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS sd
+  FROM stats
+)
+SELECT vec_id, nr AS norm, round((nr - mu) / sd, 6) AS z
+FROM base, m
+WHERE abs(round((nr - mu) / sd, 6)) > 2.0
+""",
+    doc="Norm z-score outlier screen (broken encoders / truncated "
+    "rows): ONE decimal-exact moments aggregate broadcast back as a "
+    "1-row join; scan stays map-side, no sort anywhere.",
+)
+def q_embedding_norm_outliers(spark, sf_dir):
+    return sim.embedding_norm_outliers(_t(spark, sf_dir, "embeddings"))
+
+
+@_q(
+    "orders_yoy_growth",
+    """
+WITH y AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS yr,
+         count(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT yr, n_orders, revenue,
+       lag(n_orders) OVER (ORDER BY yr) AS prev_orders,
+       round(CAST(n_orders - lag(n_orders) OVER (ORDER BY yr) AS DOUBLE)
+             / lag(n_orders) OVER (ORDER BY yr), 6) AS orders_growth
+FROM y
+""",
+    doc="Year-over-year growth: tiny post-aggregate lag window over "
+    "per-year rows (the window runs on |years| rows, never the fact "
+    "table); decimal-exact revenue.",
+)
+def q_orders_yoy_growth(spark, sf_dir):
+    from pyspark.sql import Window
+
+    y = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            agg.exact_sum("o_totalprice", "revenue"),
+        )
+    )
+    w = Window.orderBy("yr")
+    prev = F.lag("n_orders").over(w)
+    return y.select(
+        "yr",
+        "n_orders",
+        "revenue",
+        prev.alias("prev_orders"),
+        F.round((F.col("n_orders") - prev).cast("double") / prev, 6).alias(
+            "orders_growth"
+        ),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry exports (driver contract)
 # --------------------------------------------------------------------------
@@ -3985,6 +4204,12 @@ _EXPORT_PRIORITY: list[str] = [
     "returned_items_top_customers",
     "curriculum_order_docs",
     "shuffled_doc_shards",
+    "corpus_trigram_topk",
+    "cross_dup_rate_by_source",
+    "pii_summary_by_source",
+    "quality_by_source_summary",
+    "embedding_norm_outliers",
+    "orders_yoy_growth",
 ]
 
 

@@ -88,6 +88,11 @@ def stream_events_from_parquet(
         .option("pathGlobFilter", f"{table}.parquet")
         .parquet(sf_dir)
     )
-    if ts_col in df.columns and dict(df.dtypes).get(ts_col) == "bigint":
+    dt = dict(df.dtypes).get(ts_col)
+    if ts_col in df.columns and dt == "bigint":
         df = df.withColumn(ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` div 1000")))
+    elif dt == "timestamp_ntz":
+        # Naive TIMESTAMP(MICROS) fixtures (newer generations): cast to
+        # session-zone timestamp (pinned UTC) so watermarks apply.
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return df

@@ -34,6 +34,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
             # integer div keeps exactness (float div loses sub-µs bits at 2^60)
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    # Fixture generations vary: TIMESTAMP(NANOS) (handled above) vs
+    # naive TIMESTAMP(MICROS), which Spark 4 reads as TIMESTAMP_NTZ.
+    # Normalize NTZ → session-zone timestamp (session is pinned UTC, so
+    # wall-clock values are preserved bit-for-bit and match DuckDB's
+    # naive read). Keeps unix_micros()/watermark operators valid.
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
