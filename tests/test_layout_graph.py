@@ -1,0 +1,118 @@
+"""Round-5 operators: Bloom-prefiltered semi-join, integer PageRank,
+BPE pair counting, Z-order interleave — correctness pinned against
+independent Python replays, and for the Bloom filter, exactness under
+forced false positives."""
+
+import hashlib
+
+import pyspark.sql.functions as F
+
+from yelp_data_pipeline_spark.operators.graph import pagerank_integer
+from yelp_data_pipeline_spark.operators.joins import bloom_prefilter_semi_join
+from yelp_data_pipeline_spark.operators.textops import bpe_pair_counts
+
+
+def _md5_pair(s: str):
+    h = hashlib.md5(s.encode()).hexdigest()
+    return int(h[:15], 16), int(h[15:28], 16)
+
+
+def test_bloom_prefilter_equals_plain_semi_join(spark):
+    big = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(500)], ["k", "payload"]
+    )
+    small = spark.createDataFrame([(i * 7,) for i in range(30)], ["sk"])
+    got = sorted(
+        (r["k"], r["payload"])
+        for r in bloom_prefilter_semi_join(big, small, "k", "sk").collect()
+    )
+    want = sorted((i * 7, f"v{i * 7}") for i in range(30) if i * 7 < 500)
+    assert got == want
+
+
+def test_bloom_prefilter_exact_despite_false_positives(spark):
+    # m_bits=64 with 30 keys * 2 hashes saturates the filter — nearly
+    # every probe is a (false) positive; the exact verify join must
+    # still produce the precise semi-join result.
+    big = spark.createDataFrame([(i,) for i in range(300)], ["k"])
+    small = spark.createDataFrame([(i * 9,) for i in range(30)], ["sk"])
+    got = sorted(
+        r["k"]
+        for r in bloom_prefilter_semi_join(
+            big, small, "k", "sk", m_bits=64, k=2
+        ).collect()
+    )
+    want = sorted(i * 9 for i in range(30) if i * 9 < 300)
+    assert got == want
+
+
+def test_bloom_stage_actually_prunes(spark):
+    # With a roomy filter, the candidate count after the Bloom stage
+    # should be far below |big| — assert the pre-filter itself prunes
+    # (not just the final join), by replaying membership in Python.
+    m_bits, k = 1 << 17, 2
+    keys = [i * 7 for i in range(30)]
+    bits = set()
+    for key in keys:
+        h1, h2 = _md5_pair(str(key))
+        for i in range(k):
+            bits.add((h1 + i * h2) % m_bits)
+    survivors = 0
+    for probe in range(500):
+        h1, h2 = _md5_pair(str(probe))
+        if all((h1 + i * h2) % m_bits in bits for i in range(k)):
+            survivors += 1
+    # ~30 true members + a handful of false positives out of 500.
+    assert survivors < 60
+
+
+def test_pagerank_integer_matches_python_replay(spark):
+    edges_py = [("a", "x"), ("a", "y"), ("b", "y"), ("c", "y"), ("y", "a")]
+    edges = spark.createDataFrame(edges_py, ["src", "dst"])
+    scale, damping, iters = 10**12, 85, 3
+
+    nodes = sorted({n for e in edges_py for n in e})
+    n = len(nodes)
+    outdeg = {}
+    for s, _ in edges_py:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    r = {v: scale // n for v in nodes}
+    teleport_mass = (100 - damping) * scale // 100
+    for _ in range(iters):
+        c = {v: 0 for v in nodes}
+        for s, d in edges_py:
+            c[d] += r[s] // outdeg[s]
+        r = {v: teleport_mass // n + (damping * c[v]) // 100 for v in nodes}
+
+    got = {
+        row["node"]: row["rank_scaled"]
+        for row in pagerank_integer(edges, iters=iters, scale=scale).collect()
+    }
+    assert got == r
+    # Ranks are meaningful: the hub 'y' (3 in-edges) outranks sources.
+    assert got["y"] > got["b"]
+
+
+def test_bpe_pair_counts_hand_checked(spark):
+    docs = spark.createDataFrame(
+        [(1, "abab ab"), (2, "Abab  cd")], ["doc_id", "text"]
+    )
+    got = {
+        (r["pair"], r["cnt"]) for r in bpe_pair_counts(docs, top=10).collect()
+    }
+    # words: abab, ab, abab, cd (lowercased, whitespace split)
+    # abab -> ab, ba, ab (×2 words); ab -> ab; cd -> cd
+    assert got == {("ab", 5), ("ba", 2), ("cd", 1)}
+
+
+def test_zorder_interleave_bit_exact(spark):
+    # Morton interleave of (3, 5) = x bits 11, y bits 101
+    # -> z = y2<<5 | x2<<4 | y1<<3 | x1<<2 | y0<<1 | x0
+    #      = 1<<5 | 0<<4 | 0<<3 | 1<<2 | 1<<1 | 1 = 39
+    from yelp_data_pipeline_spark.queries import _morton8
+
+    df = spark.createDataFrame([(3, 5)], ["qx", "qy"])
+    z = df.select(
+        F.expr(_morton8("qx", "qy", "spark")).alias("z")
+    ).collect()[0]["z"]
+    assert z == 39

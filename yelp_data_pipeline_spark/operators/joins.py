@@ -184,6 +184,80 @@ def range_join_binned(
     )
 
 
+def bloom_prefilter_semi_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    m_bits: int = 1 << 17,
+    k: int = 2,
+) -> DataFrame:
+    """Semi-join with an explicit Bloom-filter pre-filter.
+
+    The scale problem: ``big LEFTSEMI small`` shuffles EVERY big row to
+    the join even when only a sliver survives. Spark's own runtime
+    row-level filtering (``spark.sql.optimizer.runtime.bloomFilter.
+    enabled``) injects exactly this structure when statistics allow;
+    this operator is the explicit, always-on form — useful when the
+    small side's key set is too large to broadcast as a hash relation
+    but its ``m_bits``-bit Bloom image fits in a single broadcast row.
+
+    Build: each small key hashes to ``k`` bit positions via the
+    Kirsch-Mitzenmacher double-hash family (one md5 per key —
+    functions/hashing.py); positions fold into 64-bit words with a
+    ``bit_or`` aggregate, and the words ship as ONE broadcast
+    map<word_idx, word> row. Probe: pure-codegen bit tests on the big
+    side BEFORE any shuffle — false positives pass, negatives (the
+    bulk) never enter the exchange. A final exact ``left_semi`` join
+    removes false positives, so the RESULT is identical to the plain
+    semi-join: the Bloom stage affects volume only, never semantics.
+
+    With k=2 and m=131072 bits (16 KiB), ~5k keys give a false-positive
+    rate of ~(2·5k/131072)² ≈ 0.6 %; size ``m_bits`` ≈ 10–20 bits/key.
+    """
+    from ..functions.hashing import md5_pair
+
+    h1, h2 = md5_pair(F.md5(F.col(small_key).cast("string")))
+    positions = small.select(
+        F.explode(
+            F.array(*[F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(k)])
+        ).alias("pos")
+    )
+    words = positions.select(
+        (F.col("pos") / 64).cast("int").alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))").alias("bit"),
+    ).groupBy("word_idx").agg(F.bit_or("bit").alias("word"))
+    bloom = words.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("word_idx", "word"))
+        ).alias("__bloom")
+    )
+
+    bh1, bh2 = md5_pair(F.md5(F.col(big_key).cast("string")))
+    probed = big.crossJoin(F.broadcast(bloom))
+    pos_cols = []
+    for i in range(k):
+        probed = probed.withColumn(
+            f"__pos{i}", F.pmod(bh1 + F.lit(i) * bh2, F.lit(m_bits))
+        )
+        pos_cols.append(f"__pos{i}")
+    cond = F.lit(True)
+    for i in range(k):
+        word = F.element_at(
+            F.col("__bloom"), (F.col(f"__pos{i}") / 64).cast("int")
+        )
+        bit = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(pmod(__pos{i}, 64) AS INT))"
+        )
+        cond = cond & (F.coalesce(word, F.lit(0)).bitwiseAND(bit) != 0)
+    candidates = probed.filter(cond).drop("__bloom", *pos_cols)
+
+    keys = small.select(F.col(small_key).alias("__bk")).distinct()
+    return candidates.join(
+        keys, F.col(big_key) == F.col("__bk"), "left_semi"
+    )
+
+
 def star_join(fact: DataFrame, dims: list[tuple]) -> DataFrame:
     """Chain fact ⋈ dim1 ⋈ dim2 ⋈ ... — the dashboard's fact_review ⋈
     bridge ⋈ dim pattern (SURVEY.md §2.4 A4).

@@ -826,3 +826,39 @@ def pii_summary(
             ).alias("pii_doc_rate"),
         )
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    top: int = 50,
+) -> DataFrame:
+    """Adjacent character-pair frequencies over whitespace words — the
+    counting step of one BPE merge round (Sennrich et al. 2016,
+    "Neural Machine Translation of Rare Words with Subword Units":
+    the highest-count pair becomes the next merge rule).
+
+    A full BPE trainer re-counts after each merge; at corpus scale the
+    expensive part is exactly this pass, and it is embarrassingly
+    parallel: pairs are built map-side (transform over start offsets
+    inside each word — no shuffle until the count), then ONE groupBy
+    with map-side partial aggregation; top-k via TakeOrderedAndProject
+    with a lexicographic tiebreak. Word-frequency weighting is
+    implicit (every occurrence of a word contributes its pairs), which
+    matches BPE's corpus-frequency objective without a separate
+    word-count table.
+
+    Output: (pair: string, cnt: long), ``top`` rows.
+    """
+    w = F.explode(tokens(F.col(text_col))).alias("w")
+    words = df.select(w).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.orderBy(F.col("cnt").desc(), F.col("pair").asc()).limit(top)

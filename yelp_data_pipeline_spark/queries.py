@@ -4177,6 +4177,631 @@ def q_orders_yoy_growth(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Round-5 additions: classic warehouse shapes (TPC-H Q4/Q6/Q7/Q14/Q15/
+# Q18/Q19/Q22 adapted to the fixture schema) + physical-layout operators
+# (Bloom-prefiltered semi-join, storage partition transforms, Z-order
+# file statistics) + exact-integer PageRank + BPE merge-pair counting.
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "forecast_revenue_simple",
+    """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(27,4)))
+            AS DOUBLE) AS promo_revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    doc="TPC-H Q6 shape (forecast revenue change): pure scan-filter-"
+    "aggregate — every predicate pushes to the parquet scan (range "
+    "predicates on shipdate/discount/quantity prune row groups via "
+    "min/max stats), no join, no shuffle beyond the single partial-"
+    "aggregate exchange. The canonical 'is the fast path fast' probe: "
+    "at 100 TB this query is I/O-bound or the layout is wrong.",
+)
+def q_forecast_revenue_simple(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return l.agg(
+        agg.exact_sum(
+            F.col("l_extendedprice") * F.col("l_discount"), "promo_revenue"
+        )
+    )
+
+
+@_q(
+    "late_shipment_priority_counts",
+    """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+  )
+GROUP BY o_orderpriority
+""",
+    doc="TPC-H Q4 shape (order-priority checking): EXISTS with a non-"
+    "equi residual (shipped >30 days after ordering) planned as a "
+    "LEFT SEMI hash join on the order key with the date comparison as "
+    "the join residual — one row per order regardless of how many "
+    "lines are late, no row multiplication, no distinct. The date "
+    "window pushes to the orders scan (partition pruning on a "
+    "date-partitioned layout).",
+)
+def q_late_shipment_priority_counts(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        l,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@_q(
+    "nation_pair_trade_volume",
+    """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS yr,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4)))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN supplier ON l_suppkey  = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY sn.n_name, cn.n_name, CAST(year(l_shipdate) AS INT)
+""",
+    doc="TPC-H Q7 shape (volume shipping between two nations): the "
+    "nation dim joins twice under different roles (supplier vs "
+    "customer side) — both broadcast; the disjunctive nation-pair "
+    "predicate applies after both attach. Only the fact-fact "
+    "lineitem⋈orders and ⋈customer joins shuffle; supplier broadcasts. "
+    "Ship-date window pushes to the lineitem scan.",
+)
+def q_nation_pair_trade_volume(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    ).select(
+        "l_orderkey", "l_suppkey", "l_shipdate",
+        "l_extendedprice", "l_discount",
+    )
+    j = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .where(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.groupBy(
+        "supp_nation", "cust_nation",
+        F.year("l_shipdate").alias("yr"),
+    ).agg(agg.exact_sum(disc_price, "revenue"))
+
+
+@_q(
+    "promo_revenue_share",
+    """
+SELECT CAST(month(l_shipdate) AS INT) AS mo,
+       round(100.0 *
+         CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                       THEN l_extendedprice * (1 - l_discount)
+                       ELSE 0.0 END AS DECIMAL(27,4))) AS DOUBLE)
+         / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(27,4))) AS DOUBLE),
+         6) AS promo_share_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY CAST(month(l_shipdate) AS INT)
+""",
+    doc="TPC-H Q14 shape (promotion effect): conditional aggregate — "
+    "one pass computes promo and total revenue simultaneously (no "
+    "second join or union), part broadcasts into lineitem, both sums "
+    "decimal-exact with ONE final double division per group so the "
+    "ratio is engine-identical.",
+)
+def q_promo_revenue_share(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    l = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    ).select("l_partkey", "l_shipdate", "l_extendedprice", "l_discount")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    g = j.groupBy(F.month("l_shipdate").alias("mo")).agg(
+        agg.exact_sum(
+            F.when(F.col("p_type") == "PROMO", disc_price).otherwise(0.0),
+            "promo_rev",
+        ),
+        agg.exact_sum(disc_price, "total_rev"),
+    )
+    return g.select(
+        "mo",
+        F.round(
+            F.lit(100.0) * F.col("promo_rev") / F.col("total_rev"), 6
+        ).alias("promo_share_pct"),
+    )
+
+
+@_q(
+    "top_supplier_by_revenue",
+    """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(27,4))) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+""",
+    doc="TPC-H Q15 shape (top supplier): the scalar-subquery max is a "
+    "broadcast 1-row cross join against the per-supplier aggregate — "
+    "no global sort, no window over an unpartitioned frame. Revenue "
+    "is decimal-exact, so the double equality that selects the "
+    "argmax set is engine-safe (ties all survive, as in the spec).",
+)
+def q_top_supplier_by_revenue(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1997-04-01")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        agg.exact_sum(disc_price, "total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("__mx"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@_q(
+    "large_volume_customers",
+    """
+SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS qty_sum
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
+HAVING SUM(CAST(l_quantity AS DECIMAL(27,4))) > 250
+""",
+    doc="TPC-H Q18 shape (large-volume customers): group lineitem by "
+    "order with a HAVING threshold, then attach order/customer "
+    "attributes. Planned as one fact aggregate keyed on l_orderkey "
+    "(the natural shuffle key) followed by joins that AQE converts to "
+    "broadcast once the >250 filter collapses the row count — the "
+    "anti-pattern this query guards against is joining BEFORE "
+    "aggregating, which multiplies lineitem by the customer payload.",
+)
+def q_large_volume_customers(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(agg.exact_sum("l_quantity", "qty_sum"))
+        .where(F.col("qty_sum") > 250)
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "qty_sum")
+    )
+
+
+@_q(
+    "disjunctive_part_revenue",
+    """
+SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4)))
+            AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11
+       AND p_size BETWEEN 1 AND 5)
+   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20
+       AND p_size BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30
+       AND p_size BETWEEN 1 AND 15)
+""",
+    doc="TPC-H Q19 shape (discounted revenue, disjunctive predicates): "
+    "an OR-of-ANDs across BOTH join sides. Catalyst factors the "
+    "single-table conjuncts out of the disjunction: l_quantity "
+    "BETWEEN 1 AND 30 pushes to the lineitem scan and the brand/size "
+    "union of ranges to the part scan, so each side prunes before the "
+    "broadcast join and the residual OR evaluates on the survivors "
+    "only — the classic test that an optimizer doesn't give up on "
+    "non-conjunctive filters.",
+)
+def q_disjunctive_part_revenue(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    j = l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    qty = F.col("l_quantity")
+    sz = F.col("p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & qty.between(1, 11) & sz.between(1, 5))
+        | ((F.col("p_brand") == "Brand#23") & qty.between(10, 20) & sz.between(1, 10))
+        | ((F.col("p_brand") == "Brand#34") & qty.between(20, 30) & sz.between(1, 15))
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.where(cond).agg(agg.exact_sum(disc_price, "revenue"))
+
+
+@_q(
+    "dormant_rich_customers",
+    """
+WITH thresh AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(27,4))) AS DOUBLE)
+         / count(c_acctbal) AS avg_bal
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey,
+       count(*) AS n_custs,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(27,4))) AS DOUBLE) AS total_bal
+FROM customer, thresh
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '2000-01-01'
+  )
+GROUP BY c_nationkey
+""",
+    doc="TPC-H Q22 shape (global-customer sales opportunity): a "
+    "decimal-exact scalar average broadcast as a 1-row cross join "
+    "(never a driver collect), an anti-join against recent orders "
+    "(the NOT EXISTS side filters its date predicate BEFORE the "
+    "shuffle), and a per-nation rollup of the dormant high-balance "
+    "accounts.",
+)
+def q_dormant_rich_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    thresh = c.where(F.col("c_acctbal") > 0).agg(
+        agg.exact_avg("c_acctbal", "avg_bal")
+    )
+    recent = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= "2000-01-01"
+    ).select("o_custkey")
+    rich = c.crossJoin(F.broadcast(thresh)).where(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    dormant = rich.join(
+        recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return dormant.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        agg.exact_sum("c_acctbal", "total_bal"),
+    )
+
+
+@_q(
+    "bloom_filtered_segment_events",
+    """
+SELECT event_type, count(*) AS n_events
+FROM events
+WHERE user_id IN (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+)
+GROUP BY event_type
+""",
+    doc="Bloom-prefiltered semi-join (operators/joins.py:"
+    "bloom_prefilter_semi_join): the AUTOMOBILE customer keys fold "
+    "into a 128 Ki-bit Bloom image (one md5 per key, Kirsch-"
+    "Mitzenmacher double hashing, bit_or word aggregate) broadcast as "
+    "ONE row; the events scan drops non-members in pure codegen "
+    "BEFORE any exchange, and an exact left-semi join removes the "
+    "~0.1% false positives — result identical to the plain semi-join "
+    "(the oracle), volume into the shuffle cut to the survivor "
+    "sliver. The explicit form of Spark's runtime bloom-filter "
+    "injection, usable when stats are absent or the build side "
+    "exceeds the broadcast-hash threshold but not its Bloom image.",
+)
+def q_bloom_filtered_segment_events(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    c = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "AUTOMOBILE"
+    ).select("c_custkey")
+    hits = joins.bloom_prefilter_semi_join(
+        e, c, "user_id", "c_custkey", m_bits=1 << 17, k=2
+    )
+    return hits.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+@_q(
+    "storage_partition_layout",
+    f"""
+WITH tagged AS (
+  SELECT ((({md5_long_sql("CAST(o_orderkey AS VARCHAR)")}) % 16) + 16) % 16
+           AS bucket_16,
+         CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+         CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS price_band,
+         o_orderkey
+  FROM orders
+)
+SELECT bucket_16, order_month,
+       count(*) AS n_rows,
+       min(o_orderkey) AS min_orderkey,
+       max(o_orderkey) AS max_orderkey,
+       count(DISTINCT price_band) AS n_price_bands
+FROM tagged
+GROUP BY bucket_16, order_month
+""",
+    doc="Iceberg-style hidden-partition transforms as portable "
+    "expressions: bucket(16, key) via the engine-neutral md5-derived "
+    "hash (functions/hashing.py — NOT Spark's murmur, so any engine "
+    "routes a key to the same bucket), month(ts) truncation, and "
+    "truncate-width price bands; rolled up to per-(bucket, month) "
+    "file statistics (row count, key min/max) — exactly the metadata "
+    "a table format keeps for partition pruning and file skipping. "
+    "Writer-side twin: df.write.partitionBy on these columns.",
+)
+def q_storage_partition_layout(spark, sf_dir):
+    from .functions.hashing import md5_long
+
+    o = _t(spark, sf_dir, "orders")
+    tagged = o.select(
+        F.pmod(md5_long(F.col("o_orderkey").cast("string")), F.lit(16)).alias(
+            "bucket_16"
+        ),
+        F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias("order_month"),
+        F.floor(F.col("o_totalprice") / 25000.0).alias("price_band"),
+        "o_orderkey",
+    )
+    return tagged.groupBy("bucket_16", "order_month").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_orderkey").alias("min_orderkey"),
+        F.max("o_orderkey").alias("max_orderkey"),
+        F.countDistinct("price_band").alias("n_price_bands"),
+    )
+
+
+def _morton8(qx: str, qy: str, engine: str) -> str:
+    """16-bit Morton (Z-order) code from two 8-bit quantized dims —
+    the same interleave emitted for Spark SQL (shiftleft/shiftright
+    functions) and DuckDB (<< >> operators), so the oracle replays the
+    layout bit-for-bit."""
+    terms = []
+    for i in range(8):
+        if engine == "spark":
+            terms.append(f"shiftleft(shiftright({qx}, {i}) & 1, {2 * i})")
+            terms.append(f"shiftleft(shiftright({qy}, {i}) & 1, {2 * i + 1})")
+        else:
+            terms.append(f"((({qx} >> {i}) & 1) << {2 * i})")
+            terms.append(f"((({qy} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+@_q(
+    "zorder_file_stats",
+    f"""
+WITH bounds AS (
+  SELECT min(l_extendedprice) AS plo, max(l_extendedprice) AS phi,
+         min(l_quantity) AS qlo, max(l_quantity) AS qhi
+  FROM lineitem
+),
+quant AS (
+  SELECT CAST(floor(((l_extendedprice - plo) / (phi - plo)) * 255.0) AS BIGINT)
+           AS qx,
+         CAST(floor(((l_quantity - qlo) / (qhi - qlo)) * 255.0) AS BIGINT)
+           AS qy,
+         l_extendedprice, l_quantity
+  FROM lineitem, bounds
+),
+coded AS (
+  SELECT ({_morton8("qx", "qy", "duckdb")} >> 10) AS file_id,
+         l_extendedprice, l_quantity
+  FROM quant
+)
+SELECT file_id, count(*) AS n_rows,
+       min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+       min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+FROM coded
+GROUP BY file_id
+""",
+    doc="Z-order (Morton) clustering statistics: price and quantity "
+    "quantized to 8 bits against broadcast global bounds, bit-"
+    "interleaved into a 16-bit Z-key, rows assigned to 64 'files' by "
+    "Z-range, and per-file min/max column stats emitted — the "
+    "DELTA/Iceberg OPTIMIZE ZORDER layout decision as a query. The "
+    "payoff the stats table demonstrates: after Z-clustering, BOTH "
+    "a price predicate AND a quantity predicate prune most files "
+    "(each file covers a narrow rectangle in the 2-D space), where "
+    "single-column sorting prunes only its own column. The interleave "
+    "is pure integer bit arithmetic, identical in any engine.",
+)
+def q_zorder_file_stats(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem").select("l_extendedprice", "l_quantity")
+    bounds = l.agg(
+        F.min("l_extendedprice").alias("plo"),
+        F.max("l_extendedprice").alias("phi"),
+        F.min("l_quantity").alias("qlo"),
+        F.max("l_quantity").alias("qhi"),
+    )
+    quant = l.crossJoin(F.broadcast(bounds)).select(
+        F.floor(
+            ((F.col("l_extendedprice") - F.col("plo"))
+             / (F.col("phi") - F.col("plo"))) * 255.0
+        ).alias("qx"),
+        F.floor(
+            ((F.col("l_quantity") - F.col("qlo"))
+             / (F.col("qhi") - F.col("qlo"))) * 255.0
+        ).alias("qy"),
+        "l_extendedprice", "l_quantity",
+    )
+    coded = quant.select(
+        F.expr(f"shiftright({_morton8('qx', 'qy', 'spark')}, 10)").alias(
+            "file_id"
+        ),
+        "l_extendedprice", "l_quantity",
+    )
+    return coded.groupBy("file_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+def _pagerank_oracle_sql(iters: int = 3, scale: int = 10**12,
+                         damping_pct: int = 85) -> str:
+    """Unrolled integer-PageRank CTE chain — the DuckDB twin of
+    operators/graph.py:pagerank_integer (// mirrors Spark's div on
+    the all-nonnegative ranks)."""
+    teleport_mass = (100 - damping_pct) * scale // 100
+    parts = [f"""
+WITH edges AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT count(*) AS n FROM nodes),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT node, {scale} // n AS r FROM nodes CROSS JOIN nn)"""]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+c{t} AS (
+  SELECT e.dst, SUM(r.r // d.outdeg) AS c
+  FROM edges e
+  JOIN r{t - 1} r ON e.src = r.node
+  JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+),
+r{t} AS (
+  SELECT n.node,
+         ({teleport_mass} // nn.n)
+           + ({damping_pct} * coalesce(c{t}.c, 0)) // 100 AS r
+  FROM nodes n CROSS JOIN nn LEFT JOIN c{t} ON n.node = c{t}.dst
+)""")
+    parts.append(f"\nSELECT node, r AS rank_scaled FROM r{iters}")
+    return "".join(parts)
+
+
+@_q(
+    "pagerank_supplier_graph",
+    _pagerank_oracle_sql(iters=3),
+    doc="3-iteration PageRank over the customer→supplier trade graph "
+    "(operators/graph.py:pagerank_integer) in EXACT integer "
+    "arithmetic — ranks scaled by 1e12, every step integer div/mul/"
+    "add, so the result is bit-identical across engines and partition "
+    "counts (FP PageRank is neither). Per iteration: ONE shuffle join "
+    "(edges ⋈ ranks on src) + ONE groupBy(dst) with map-side partial "
+    "sums; node count via broadcast 1-row cross join. Edges dedup "
+    "once up front; on a cluster, pre-partition edges by src and "
+    "every iteration reuses the exchange.",
+)
+def q_pagerank_supplier_graph(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return graph.pagerank_integer(edges, iters=3)
+
+
+@_q(
+    "bpe_merge_pairs",
+    r"""
+WITH words AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+  FROM documents
+),
+pairs AS (
+  SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+                               i -> substr(w, CAST(i AS INT), 2))) AS pair
+  FROM words
+  WHERE length(w) >= 2
+)
+SELECT pair, count(*) AS cnt
+FROM pairs
+GROUP BY pair
+ORDER BY cnt DESC, pair ASC
+LIMIT 50
+""",
+    doc="One BPE merge round's counting pass (operators/textops.py:"
+    "bpe_pair_counts): adjacent character-pair frequencies over "
+    "whitespace words, built map-side (transform over in-word "
+    "offsets, no per-doc shuffle), ONE groupBy with partial "
+    "aggregation, top-50 via TakeOrderedAndProject with lexicographic "
+    "tiebreak. The highest-count pair is the next merge rule "
+    "(Sennrich et al. 2016); at corpus scale this pass IS the "
+    "tokenizer-training bottleneck and it is one shuffle here.",
+)
+def q_bpe_merge_pairs(spark, sf_dir):
+    return tx.bpe_pair_counts(_t(spark, sf_dir, "documents"), top=50)
+
+
+# --------------------------------------------------------------------------
 # Registry exports (driver contract)
 # --------------------------------------------------------------------------
 
@@ -4210,6 +4835,20 @@ _EXPORT_PRIORITY: list[str] = [
     "quality_by_source_summary",
     "embedding_norm_outliers",
     "orders_yoy_growth",
+    # New in round 5 (no verdict yet by construction):
+    "forecast_revenue_simple",
+    "late_shipment_priority_counts",
+    "nation_pair_trade_volume",
+    "promo_revenue_share",
+    "top_supplier_by_revenue",
+    "large_volume_customers",
+    "disjunctive_part_revenue",
+    "dormant_rich_customers",
+    "bloom_filtered_segment_events",
+    "storage_partition_layout",
+    "zorder_file_stats",
+    "pagerank_supplier_graph",
+    "bpe_merge_pairs",
 ]
 
 
