@@ -4801,6 +4801,392 @@ def q_bpe_merge_pairs(spark, sf_dir):
     return tx.bpe_pair_counts(_t(spark, sf_dir, "documents"), top=50)
 
 
+@_q(
+    "incremental_daily_event_counts",
+    """
+SELECT CAST(ts AS DATE) AS day,
+       count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS sum_value,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM events
+GROUP BY CAST(ts AS DATE)
+""",
+    doc="Incremental aggregate maintenance: the standing per-day state "
+    "(events before the cutoff) and the new micro-batch (events after) "
+    "are aggregated SEPARATELY, then merged by re-aggregating the "
+    "algebraic partials — count via SUM, sum via SUM, min/max via "
+    "MIN/MAX. The oracle recomputes from scratch; equality holds "
+    "because these aggregates are commutative monoids (the property "
+    "that makes 100 TB incremental pipelines possible: each batch "
+    "touches only its own rows plus the merge, never the history). "
+    "Mirrors the reference's monthly-batch + MERGE cadence "
+    "(silver_to_gold_on_minio.py:127-144) in aggregate space.",
+)
+def q_incremental_daily_event_counts(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "value"
+    )
+    cutoff = "2024-01-20"
+
+    def partial(df):
+        return df.groupBy("day").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,4)")).alias("__dsum"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+
+    state = partial(e.where(F.col("day") < cutoff))
+    batch = partial(e.where(F.col("day") >= cutoff))
+    merged = state.unionByName(batch).groupBy("day").agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("__dsum").cast("double").alias("sum_value"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    )
+    return merged
+
+
+@_q(
+    "orders_events_daily_full_join",
+    """
+WITH od AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders
+  FROM orders GROUP BY 1
+),
+ed AS (
+  SELECT CAST(ts AS DATE) AS day, count(*) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT coalesce(od.day, ed.day) AS day,
+       coalesce(od.n_orders, 0) AS n_orders,
+       coalesce(ed.n_events, 0) AS n_events
+FROM od FULL OUTER JOIN ed ON od.day = ed.day
+""",
+    doc="FULL OUTER join coverage (the one join type the registry "
+    "lacked): daily order counts vs daily event counts, both sides "
+    "pre-aggregated so the outer join runs on |distinct days| rows, "
+    "never fact×fact; unmatched days coalesce to 0. The fixture's "
+    "order and event date ranges are disjoint, so BOTH null sides are "
+    "exercised.",
+)
+def q_orders_events_daily_full_join(spark, sf_dir):
+    od = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    ed = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    j = od.alias("od").join(
+        ed.alias("ed"), F.col("od.day") == F.col("ed.day"), "full_outer"
+    )
+    return j.select(
+        F.coalesce(F.col("od.day"), F.col("ed.day")).alias("day"),
+        F.coalesce("od.n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("ed.n_events", F.lit(0)).alias("n_events"),
+    )
+
+
+@_q(
+    "key_skew_report",
+    """
+WITH per_key AS (
+  SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+),
+tot AS (
+  SELECT count(*) AS n_keys, SUM(n) AS n_rows, max(n) AS max_n
+  FROM per_key
+)
+SELECT per_key.user_id, per_key.n,
+       round(CAST(per_key.n AS DOUBLE) / tot.n_rows, 6) AS share,
+       round(CAST(per_key.n AS DOUBLE) * tot.n_keys / tot.n_rows, 6)
+         AS skew_ratio
+FROM per_key, tot
+WHERE per_key.n * tot.n_keys * 2 > tot.n_rows
+ORDER BY per_key.n DESC, per_key.user_id ASC
+LIMIT 20
+""",
+    doc="Shuffle-skew diagnosis — the report you run BEFORE choosing "
+    "salting (operators/joins.py:salted_join) or AQE skew thresholds: "
+    "per-key row counts, each key's share of the table, and its "
+    "skew_ratio (count ÷ the uniform expectation rows/keys); keys at "
+    "ratio > 0.5× uniform shown, worst first. One groupBy + a 1-row "
+    "broadcast of the totals; the top-k is TakeOrderedAndProject.",
+)
+def q_key_skew_report(spark, sf_dir):
+    per_key = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_n"),
+    )
+    j = per_key.crossJoin(F.broadcast(tot))
+    return (
+        j.where(F.col("n") * F.col("n_keys") * 2 > F.col("n_rows"))
+        .select(
+            "user_id",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("n_rows"), 6).alias(
+                "share"
+            ),
+            F.round(
+                F.col("n").cast("double") * F.col("n_keys") / F.col("n_rows"),
+                6,
+            ).alias("skew_ratio"),
+        )
+        .orderBy(F.col("n").desc(), F.col("user_id").asc())
+        .limit(20)
+    )
+
+
+@_q(
+    "customer_rfm_segments",
+    """
+WITH per_cust AS (
+  SELECT o_custkey,
+         date_diff('day', CAST(max(o_orderdate) AS DATE),
+                   (SELECT CAST(max(o_orderdate) AS DATE) FROM orders))
+           AS recency_days,
+         count(*) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE)
+           AS monetary
+  FROM orders
+  GROUP BY o_custkey
+)
+SELECT CASE WHEN recency_days <= 365 THEN 'active'
+            WHEN recency_days <= 1095 THEN 'lapsing'
+            ELSE 'dormant' END AS recency_band,
+       CASE WHEN frequency >= 15 THEN 'frequent'
+            WHEN frequency >= 8 THEN 'regular'
+            ELSE 'occasional' END AS frequency_band,
+       count(*) AS n_customers,
+       CAST(SUM(CAST(monetary AS DECIMAL(27,4))) AS DOUBLE)
+         AS total_monetary
+FROM per_cust
+GROUP BY 1, 2
+""",
+    doc="RFM (recency/frequency/monetary) segmentation: one pass "
+    "builds per-customer recency against the global max date (a 1-row "
+    "broadcast, never a driver collect), order counts, and decimal-"
+    "exact spend; fixed band edges (not data-dependent quantiles) "
+    "keep segment assignment deterministic and cross-engine; a second "
+    "small aggregate rolls the segments up. Two shuffles total, both "
+    "on o_custkey then on the tiny band pair.",
+)
+def q_customer_rfm_segments(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    gmax = o.agg(F.max(F.to_date("o_orderdate")).alias("__gmax"))
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_day"),
+            F.count(F.lit(1)).alias("frequency"),
+            agg.exact_sum("o_totalprice", "monetary"),
+        )
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            F.datediff(F.col("__gmax"), F.col("last_day")).alias(
+                "recency_days"
+            ),
+            "frequency",
+            "monetary",
+        )
+    )
+    rband = (
+        F.when(F.col("recency_days") <= 365, "active")
+        .when(F.col("recency_days") <= 1095, "lapsing")
+        .otherwise("dormant")
+    )
+    fband = (
+        F.when(F.col("frequency") >= 15, "frequent")
+        .when(F.col("frequency") >= 8, "regular")
+        .otherwise("occasional")
+    )
+    return (
+        per_cust.select(
+            rband.alias("recency_band"),
+            fband.alias("frequency_band"),
+            "monetary",
+        )
+        .groupBy("recency_band", "frequency_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            agg.exact_sum("monetary", "total_monetary"),
+        )
+    )
+
+
+@_q(
+    "part_supplier_diversity",
+    """
+SELECT p_brand, p_type,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_suppkey NOT IN (
+  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+)
+GROUP BY p_brand, p_type
+ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC
+LIMIT 25
+""",
+    doc="TPC-H Q16 shape (parts/supplier relationship): supplier "
+    "diversity per (brand, type) with an exclusion list applied as a "
+    "broadcast LEFT ANTI join BEFORE the expensive distinct aggregate "
+    "(filter early, count late). count(DISTINCT) plans as the "
+    "standard two-phase expand/aggregate; top-25 via "
+    "TakeOrderedAndProject with full lexicographic tiebreak so the "
+    "selected set is engine-independent.",
+)
+def q_part_supplier_diversity(spark, sf_dir):
+    bad = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    l = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_type")
+    kept = l.join(
+        F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+    )
+    return (
+        kept.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand").asc(),
+            F.col("p_type").asc(),
+        )
+        .limit(25)
+    )
+
+
+@_q(
+    "latest_event_per_user",
+    """
+WITH last AS (
+  SELECT user_id,
+         max(struct_pack(ts := ts, event_id := event_id,
+                         event_type := event_type)) AS m
+  FROM events GROUP BY user_id
+)
+SELECT user_id, m.ts AS last_ts,
+       m.event_id AS last_event_id,
+       m.event_type AS last_event_type
+FROM last
+""",
+    doc="Latest-per-key WITHOUT a window: max over a (ts, unique-id, "
+    "payload) struct — lexicographic struct ordering makes one "
+    "hash aggregate with map-side partial max do what row_number-"
+    "over-window does with a full per-key SORT. At 100 TB this is the "
+    "difference between one combine-enabled shuffle of one struct per "
+    "key and sorting every event; the unique event_id tiebreak makes "
+    "the winner deterministic across engines. (Window form kept in "
+    "top_order_per_customer for when the full ordered frame is "
+    "genuinely needed.)",
+)
+def q_latest_event_per_user(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    last = e.groupBy("user_id").agg(
+        F.max(F.struct("ts", "event_id", "event_type")).alias("m")
+    )
+    return last.select(
+        "user_id",
+        F.col("m.ts").alias("last_ts"),
+        F.col("m.event_id").alias("last_event_id"),
+        F.col("m.event_type").alias("last_event_type"),
+    )
+
+
+@_q(
+    "orders_table_checksum",
+    f"""
+SELECT count(*) AS n_rows,
+       bit_xor({md5_long_sql(
+           "concat_ws('|', CAST(o_orderkey AS VARCHAR), "
+           "CAST(o_custkey AS VARCHAR), o_orderstatus, o_orderpriority)"
+       )}) AS checksum
+FROM orders
+""",
+    doc="Order-independent table fingerprint: every row hashes to a "
+    "60-bit md5-derived integer (functions/hashing.py — engine-"
+    "portable by construction) and the XOR aggregate folds them; XOR "
+    "is commutative/associative, so partial aggregation runs map-side "
+    "and the result is identical for ANY row order, partitioning, or "
+    "engine. This is how two 100 TB replicas (or a migration "
+    "source/target pair) are compared without moving data: ship one "
+    "16-byte (count, checksum) row per table — the anti-entropy "
+    "pattern. String-rendered key/status columns only: float and "
+    "timestamp renderings are engine-specific, keys are the identity.",
+)
+def q_orders_table_checksum(spark, sf_dir):
+    from .functions.hashing import md5_long
+
+    o = _t(spark, sf_dir, "orders")
+    row_hash = md5_long(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+    )
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor(row_hash).alias("checksum"),
+    )
+
+
+@_q(
+    "eval_contaminated_docs",
+    f"""
+SELECT CASE WHEN doc_a % 20 = 0 THEN doc_b ELSE doc_a END AS corpus_doc,
+       CASE WHEN doc_a % 20 = 0 THEN doc_a ELSE doc_b END AS eval_doc,
+       jaccard
+FROM ({_minhash_oracle(k=12, bands=4, threshold=0.8)}) mp
+WHERE (doc_a % 20 = 0) <> (doc_b % 20 = 0)
+""",
+    doc="FUZZY decontamination — the near-dup complement of "
+    "decontaminated_docs' exact 4-gram blocklist: a corpus document "
+    "is flagged when MinHash LSH banding collides it with a held-out "
+    "eval document (doc_id % 20 = 0 plays the eval split) AND exact "
+    "Jaccard confirms >= 0.8 — catching paraphrased/lightly-edited "
+    "benchmark leakage that exact n-gram matching misses (Brown et "
+    "al. 2020's decontamination gap). Same banded signature relation "
+    "as dedup_minhash_pairs (computed once, persisted); the eval-"
+    "parity filter is a post-pass, so at scale the eval side instead "
+    "feeds the band join as a small broadcast relation.",
+)
+def q_eval_contaminated_docs(spark, sf_dir):
+    pairs = dd.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        k=12, bands=4, threshold=0.8,
+    )
+    a_eval = F.col("doc_a") % 20 == 0
+    b_eval = F.col("doc_b") % 20 == 0
+    return (
+        pairs.where(a_eval != b_eval)
+        .select(
+            F.when(a_eval, F.col("doc_b")).otherwise(F.col("doc_a")).alias(
+                "corpus_doc"
+            ),
+            F.when(a_eval, F.col("doc_a")).otherwise(F.col("doc_b")).alias(
+                "eval_doc"
+            ),
+            "jaccard",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry exports (driver contract)
 # --------------------------------------------------------------------------
@@ -4849,6 +5235,14 @@ _EXPORT_PRIORITY: list[str] = [
     "zorder_file_stats",
     "pagerank_supplier_graph",
     "bpe_merge_pairs",
+    "incremental_daily_event_counts",
+    "orders_events_daily_full_join",
+    "key_skew_report",
+    "customer_rfm_segments",
+    "part_supplier_diversity",
+    "latest_event_per_user",
+    "orders_table_checksum",
+    "eval_contaminated_docs",
 ]
 
 
