@@ -116,3 +116,30 @@ def test_zorder_interleave_bit_exact(spark):
         F.expr(_morton8("qx", "qy", "spark")).alias("z")
     ).collect()[0]["z"]
     assert z == 39
+
+
+def test_dq_quarantine_routes_failing_rows(spark):
+    from yelp_data_pipeline_spark.operators.quality import dq_quarantine
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "F"), (2, -5.0, "F"), (3, 10.0, "X"), (4, -1.0, None)],
+        ["id", "price", "status"],
+    )
+    out = {
+        (r["id"], r["violations"])
+        for r in dq_quarantine(
+            df,
+            {
+                "bad_status": ~F.col("status").isin("F", "O"),
+                "nonpositive_price": F.col("price") <= 0,
+            },
+            id_cols=["id"],
+        ).collect()
+    }
+    # NULL status counts as a violation (unevaluable check fails);
+    # names join in sorted order.
+    assert out == {
+        (2, "nonpositive_price"),
+        (3, "bad_status"),
+        (4, "bad_status;nonpositive_price"),
+    }

@@ -43,3 +43,32 @@ def duplicate_key_count(df: DataFrame, key_cols: list[str]) -> DataFrame:
         .cast("long")
         .alias("n_dup_rows"),
     )
+
+
+def dq_quarantine(
+    df: DataFrame, checks: dict[str, Column], id_cols: list[str]
+) -> DataFrame:
+    """Row-level routing — the dead-letter-queue half of the
+    expectations mini: every row failing ≥1 check is emitted with the
+    semicolon-joined (sorted) list of violated rule names, ready to
+    land in a quarantine table while the clean rows flow on. One scan,
+    no shuffle: each check evaluates as a codegen'd boolean per row and
+    the name list is a literal-array filter. NULL check results count
+    as violations, mirroring :func:`violation_count`."""
+    flags = F.array(
+        *[
+            F.when(F.coalesce(cond, F.lit(True)), F.lit(name)).otherwise(
+                F.lit(None).cast("string")
+            )
+            for name, cond in sorted(checks.items())
+        ]
+    )
+    failed = F.array_compact(flags)
+    return (
+        df.withColumn("__failed", failed)
+        .where(F.size("__failed") > 0)
+        .select(
+            *id_cols,
+            F.array_join("__failed", ";").alias("violations"),
+        )
+    )

@@ -5187,6 +5187,112 @@ def q_eval_contaminated_docs(spark, sf_dir):
     )
 
 
+@_q(
+    "orders_dq_quarantine",
+    """
+WITH flagged AS (
+  SELECT o_orderkey,
+         concat_ws(';',
+           CASE WHEN o_orderdate < DATE '1990-01-01'
+                  OR o_orderdate > DATE '2000-01-01'
+                  OR o_orderdate IS NULL THEN 'date_out_of_range' END,
+           CASE WHEN o_totalprice <= 0 OR o_totalprice IS NULL
+                THEN 'nonpositive_price' END,
+           CASE WHEN o_orderstatus NOT IN ('F','O','P')
+                  OR o_orderstatus IS NULL THEN 'bad_status' END
+         ) AS violations
+  FROM orders
+)
+SELECT o_orderkey, violations FROM flagged WHERE violations <> ''
+""",
+    doc="Row-level quarantine routing (operators/quality.py:"
+    "dq_quarantine) — the dead-letter half of dq_orders_summary's "
+    "audit: rows failing >=1 expectation emit with the sorted, "
+    "semicolon-joined violated-rule names, ready to land in a "
+    "quarantine table while clean rows flow on. One scan, zero "
+    "shuffles: every check is a codegen'd per-row boolean; rule names "
+    "sort alphabetically in the operator, so the SQL lists them in "
+    "the same order.",
+)
+def q_orders_dq_quarantine(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return dq.dq_quarantine(
+        o,
+        {
+            "bad_status": ~F.col("o_orderstatus").isin("F", "O", "P"),
+            "nonpositive_price": F.col("o_totalprice") <= 0,
+            "date_out_of_range": (
+                F.col("o_orderdate") < F.lit("1990-01-01").cast("date")
+            )
+            | (F.col("o_orderdate") > F.lit("2000-01-01").cast("date")),
+        },
+        id_cols=["o_orderkey"],
+    )
+
+
+@_q(
+    "compaction_plan",
+    f"""
+WITH files AS (
+  SELECT ((({md5_long_sql("CAST(o_orderkey AS VARCHAR)")}) % 16) + 16) % 16
+           AS bucket_16,
+         CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+         count(*) AS n_rows
+  FROM orders
+  GROUP BY 1, 2
+),
+planned AS (
+  SELECT bucket_16, order_month, n_rows,
+         SUM(n_rows) OVER (PARTITION BY bucket_16 ORDER BY order_month
+                           ROWS UNBOUNDED PRECEDING) AS cum_rows
+  FROM files
+)
+SELECT bucket_16, order_month, n_rows,
+       CAST((cum_rows - n_rows) // 2000 AS BIGINT) AS compaction_group
+FROM planned
+""",
+    doc="Small-file compaction planning — the OPTIMIZE scheduling "
+    "decision over the per-(bucket, month) file statistics that "
+    "storage_partition_layout emits: files order by month within "
+    "each bucket, a running row count accumulates, and each file "
+    "lands in compaction group floor(preceding_rows / target) — "
+    "consecutive small files pack toward the ~2000-row target while "
+    "already-large files get groups of their own. The window "
+    "partitions by bucket (never global), so planning parallelizes "
+    "across buckets exactly like the rewrite jobs it schedules.",
+)
+def q_compaction_plan(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from .functions.hashing import md5_long
+
+    o = _t(spark, sf_dir, "orders")
+    files = (
+        o.select(
+            F.pmod(
+                md5_long(F.col("o_orderkey").cast("string")), F.lit(16)
+            ).alias("bucket_16"),
+            F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias(
+                "order_month"
+            ),
+        )
+        .groupBy("bucket_16", "order_month")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    w = (
+        Window.partitionBy("bucket_16")
+        .orderBy("order_month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    planned = files.withColumn("cum_rows", F.sum("n_rows").over(w))
+    return planned.select(
+        "bucket_16",
+        "order_month",
+        "n_rows",
+        F.expr("(cum_rows - n_rows) div 2000").alias("compaction_group"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry exports (driver contract)
 # --------------------------------------------------------------------------
@@ -5243,6 +5349,8 @@ _EXPORT_PRIORITY: list[str] = [
     "latest_event_per_user",
     "orders_table_checksum",
     "eval_contaminated_docs",
+    "orders_dq_quarantine",
+    "compaction_plan",
 ]
 
 
