@@ -155,14 +155,14 @@ def ngram_jaccard_pairs(
         .select(F.col(id_col).alias("doc"), "shingles")
         .withColumn("n_sh", F.size("shingles"))
     )
+    from ..session import track_persist
+
     exploded = sh.select("doc", "n_sh", F.explode("shingles").alias("s"))
     if max_doc_freq is not None:
         # Two consumers of the exploded subtree (df agg + anti-join) —
         # persist so shingling runs once. Shingle arrays are
         # array_distinct per doc, so a plain count IS the document
         # frequency (no count_distinct expand needed).
-        from ..session import track_persist
-
         exploded = track_persist(exploded)
         hot = (
             exploded.groupBy("s")
@@ -171,6 +171,10 @@ def ngram_jaccard_pairs(
             .select("s")
         )
         exploded = exploded.join(F.broadcast(hot), "s", "left_anti")
+    else:
+        # The self-join consumes the exploded subtree twice; persist so
+        # the tokenize/shingle/explode pass runs once, not per side.
+        exploded = track_persist(exploded)
     a, b = exploded.alias("a"), exploded.alias("b")
     common = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
@@ -224,6 +228,11 @@ def edit_distance_pairs(
             ).alias("s"),
         )
     )
+    # Self-join: persist the blocked relation so the shingle+sort+slice
+    # pass runs once, not per join side.
+    from ..session import track_persist
+
+    sh = track_persist(sh)
     a, b = sh.alias("a"), sh.alias("b")
     cand = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
@@ -301,17 +310,38 @@ def minhash_lsh_pairs(
     output has no false positives — LSH only bounds recall.
     """
     rows = k // bands
-    # The signature relation feeds THREE consumers (band keys + both
-    # verify joins); without materialization each consumer re-runs the
-    # whole shingle+hash pipeline. MEMORY_AND_DISK persist is the
-    # classic materialize-vs-recompute call: at any scale, hashing the
-    # corpus once beats hashing it three times, and the persisted rows
-    # spill rather than OOM. Registered with session.track_persist so
-    # the session driver releases it after the consuming action
+    # Two persisted relations instead of one joined signature frame:
+    # - sh (doc, n_sh, shingles): the shingling pass feeds the hash
+    #   pipeline AND both verify joins — persisting it runs tokenize/
+    #   shingle/distinct ONCE (the previous sh⋈mins formulation
+    #   re-shingled the corpus for the join-back and paid a doc-keyed
+    #   join nobody consumed: band keys need only the minima, verify
+    #   needs only the shingles).
+    # - mins (doc, k longs): slim; feeds band-key construction once.
+    # MEMORY_AND_DISK persists registered with session.track_persist so
+    # the session driver releases them after the consuming action
     # (release_tracked) instead of leaking cached blocks.
     from ..session import track_persist
 
-    sig = track_persist(minhash_signature(df, id_col, text_col, k, n))
+    sh = track_persist(
+        with_shingles(df, text_col, n).select(
+            F.col(id_col).alias("doc"),
+            F.size("shingles").alias("n_sh"),
+            "shingles",
+        )
+    )
+    ex = sh.select("doc", F.explode("shingles").alias("s"))
+    h1, h2 = md5_pair(F.col("hx"))
+    mins = (
+        ex.withColumn("hx", F.md5(F.col("s")))
+        .select("doc", h1.alias("h1"), h2.alias("h2"))
+        .select(
+            "doc",
+            *[(F.col("h1") + i * F.col("h2")).alias(f"f{i}") for i in range(k)],
+        )
+        .groupBy("doc")
+        .agg(*[F.min(f"f{i}").alias(f"mh{i}") for i in range(k)])
+    )
     band_cols = [
         F.md5(
             F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)])
@@ -321,7 +351,8 @@ def minhash_lsh_pairs(
     # Candidate generation over SLIM rows (doc, band_id, key) — the
     # shingle arrays stay out of the banded explode and its self-join
     # shuffle (they'd otherwise ship 2×bands copies of every array).
-    banded = sig.select("doc", *band_cols)
+    # Persisted because the LSH self-join consumes it twice.
+    banded = track_persist(mins.select("doc", *band_cols))
     bands_long = banded.select(
         "doc",
         F.explode(
@@ -345,7 +376,8 @@ def minhash_lsh_pairs(
     )
     # Exact-Jaccard verify: arrays fetched per candidate via two
     # doc-keyed joins against the signature relation (candidates ≪ n).
-    sh = sig.select("doc", "n_sh", "shingles")
+    # Exact-Jaccard verify fetches arrays from the persisted shingle
+    # relation per candidate (candidates ≪ n).
     pairs = (
         cand.join(
             sh.select(
@@ -446,6 +478,8 @@ def simhash_pairs(
     enforces the radius the banding covers.
     """
     assert max_hamming < SIMHASH_BANDS, "banding is lossy beyond bands-1 bits"
+    from ..session import track_persist
+
     sig = simhash(df, id_col, text_col)
     bands = sig.select(
         "doc",
@@ -462,6 +496,11 @@ def simhash_pairs(
             ])
         ).alias("bb"),
     ).select("doc", "simhash", F.col("bb.band_id"), F.col("bb.band"))
+    # The LSH self-join consumes the banded relation twice; without
+    # materialization BOTH sides re-run the full tokenize→hash→56-bit
+    # vote pipeline. Slim rows (doc, simhash, band_id, band), tracked
+    # for release by the session driver.
+    bands = track_persist(bands)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

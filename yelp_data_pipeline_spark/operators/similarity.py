@@ -233,6 +233,9 @@ def cosine_neardup_pairs(
             ])
         ).alias("bb"),
     ).select("id", F.col("bb.band_id"), F.col("bb.bucket"))
+    # The LSH self-join consumes the banded relation twice; persisting
+    # it runs the n_planes-dot sign projection once, not per side.
+    banded = track_persist(banded)
     a, b_ = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -536,6 +539,10 @@ def neardup_pairs_ivf(
             .filter(F.col("rn") <= probes)
             .select("id", "cell")
         )
+    # The within-cell self-join consumes the routed relation twice;
+    # persisting it runs cell routing (the O(n·k) or two-hop scoring
+    # pass) once, not per side.
+    probed = track_persist(probed)
     a, b = probed.alias("a"), probed.alias("b")
     cand = (
         a.join(
