@@ -143,3 +143,56 @@ def test_dq_quarantine_routes_failing_rows(spark):
         (3, "bad_status"),
         (4, "bad_status;nonpositive_price"),
     }
+
+
+def _count_imts(df):
+    """InMemoryTableScan count in the executed plan — how many
+    consumers read a persisted relation instead of recomputing it."""
+    jqe = df._jdf.queryExecution()
+    jqe.executedPlan().executeCollect()
+    return jqe.executedPlan().toString().count("InMemoryTableScan")
+
+
+def test_minhash_self_join_reads_persisted_relations(spark):
+    """The LSH self-join + verify must consume cached relations (the
+    round-5 fix: shingling ran once per JOIN SIDE before). Five cached
+    reads: banded ×2 (self-join) + shingles ×2 (verify) + the hash
+    pipeline's own read of the shingle cache."""
+    from yelp_data_pipeline_spark.operators import dedup as dd
+    from yelp_data_pipeline_spark.session import release_tracked
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta %d" % (i % 4,))
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    pairs = dd.minhash_lsh_pairs(docs, "doc_id", "text", k=8, bands=4)
+    assert _count_imts(pairs) >= 5
+    release_tracked()
+
+
+def test_simhash_self_join_reads_persisted_relation(spark):
+    from yelp_data_pipeline_spark.operators import dedup as dd
+    from yelp_data_pipeline_spark.session import release_tracked
+
+    docs = spark.createDataFrame(
+        [(i, "one two three four five six %d" % (i % 3,)) for i in range(30)],
+        "doc_id long, text string",
+    )
+    pairs = dd.simhash_pairs(docs, "doc_id", "text")
+    # banded signature cached: both self-join sides read it.
+    assert _count_imts(pairs) >= 2
+    release_tracked()
+
+
+def test_ngram_self_join_reads_persisted_relation(spark):
+    from yelp_data_pipeline_spark.operators import dedup as dd
+    from yelp_data_pipeline_spark.session import release_tracked
+
+    docs = spark.createDataFrame(
+        [(i, "red green blue yellow purple %d" % (i % 3,)) for i in range(30)],
+        "doc_id long, text string",
+    )
+    pairs = dd.ngram_jaccard_pairs(docs, "doc_id", "text")
+    assert _count_imts(pairs) >= 2
+    release_tracked()
