@@ -5293,6 +5293,93 @@ def q_compaction_plan(spark, sf_dir):
     )
 
 
+@_q(
+    "cluster_size_histogram",
+    f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({_minhash_oracle(k=12, bands=4, threshold=0.8)}) mp
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+walk(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.node
+),
+clusters AS (
+  SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node
+),
+sizes AS (
+  SELECT cluster_id, count(*) AS cluster_size FROM clusters GROUP BY cluster_id
+)
+SELECT cluster_size, count(*) AS n_clusters
+FROM sizes
+GROUP BY cluster_size
+""",
+    doc="Dedup-run report card: the distribution of near-dup cluster "
+    "sizes (how much of the corpus is singletons vs deep duplicate "
+    "stacks) — the number a curation team checks before committing a "
+    "dedup pass, since a fat tail means boilerplate or crawl loops, "
+    "not organic duplication. Two tiny aggregates over the connected-"
+    "components output; all heavy lifting is the shared MinHash + CC "
+    "path.",
+)
+def q_cluster_size_histogram(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=12, bands=4, threshold=0.8
+    )
+    clusters = graph.dedup_clusters(docs, pairs)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
+
+
+@_q(
+    "token_count_histogram",
+    r"""
+WITH tc AS (
+  SELECT lang,
+         CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS INT)
+           AS n_tokens
+  FROM documents
+)
+SELECT lang,
+       CAST(floor(n_tokens / 32) * 32 AS INT) AS bucket_lo,
+       count(*) AS n_docs,
+       min(n_tokens) AS min_tokens,
+       max(n_tokens) AS max_tokens
+FROM tc
+GROUP BY lang, CAST(floor(n_tokens / 32) * 32 AS INT)
+""",
+    doc="Per-language token-length histogram (fixed 32-token buckets): "
+    "the curation dashboard behind truncation-loss and packing-"
+    "efficiency decisions — sequence length budgeting needs the "
+    "distribution, not the mean. Map-side token count, one groupBy on "
+    "(lang, bucket); fixed bucket edges keep the histogram mergeable "
+    "across corpus shards (monoid, same reason as "
+    "incremental_daily_event_counts).",
+)
+def q_token_count_histogram(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    n_tok = F.size(tx.tokens(F.col("text")))
+    tc = d.select(
+        "lang", n_tok.alias("n_tokens")
+    )
+    bucket = (F.floor(F.col("n_tokens") / 32) * 32).cast("int")
+    return tc.groupBy("lang", bucket.alias("bucket_lo")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry exports (driver contract)
 # --------------------------------------------------------------------------
@@ -5351,6 +5438,8 @@ _EXPORT_PRIORITY: list[str] = [
     "eval_contaminated_docs",
     "orders_dq_quarantine",
     "compaction_plan",
+    "cluster_size_histogram",
+    "token_count_histogram",
 ]
 
 
