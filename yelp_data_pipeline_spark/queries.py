@@ -5380,6 +5380,152 @@ def q_token_count_histogram(spark, sf_dir):
     )
 
 
+@_q(
+    "value_band_rate_lookup",
+    """
+WITH bands AS (
+  SELECT CAST(i AS INT) AS band_id,
+         i * 10.0 AS lo, (i + 1) * 10.0 AS hi,
+         round(0.01 * (i + 1), 4) AS fee_rate
+  FROM (SELECT unnest(generate_series(0, 9)) AS i)
+)
+SELECT band_id,
+       count(*) AS n_events,
+       CAST(SUM(CAST(value * fee_rate AS DECIMAL(27,6))) AS DOUBLE)
+         AS total_fees
+FROM events JOIN bands
+  ON value >= lo AND value < hi
+GROUP BY band_id
+""",
+    doc="Interval-table lookup (rate/tariff/IP-range pattern): each "
+    "event's value lands in one [lo, hi) band of a small rate table. "
+    "A bare BETWEEN join would plan as BroadcastNestedLoopJoin — fine "
+    "for 10 bands, quadratic pain for 10⁶ IP ranges — so the operator "
+    "computes the band key ARITHMETICALLY (floor(value/width)) and "
+    "equi-joins it broadcast, the same bin-then-equi rewrite as "
+    "range_join_binned; the residual range check keeps semantics "
+    "exact even for bands narrower than the bin. Decimal-exact fee "
+    "accumulation.",
+)
+def q_value_band_rate_lookup(spark, sf_dir):
+    bands = spark.range(0, 10).select(
+        F.col("id").cast("int").alias("band_id"),
+        (F.col("id") * 10.0).alias("lo"),
+        ((F.col("id") + 1) * 10.0).alias("hi"),
+        F.round(0.01 * (F.col("id") + 1), 4).alias("fee_rate"),
+    )
+    e = _t(spark, sf_dir, "events").select("value")
+    keyed = e.withColumn("band_id", F.floor(F.col("value") / 10.0).cast("int"))
+    j = keyed.join(F.broadcast(bands), "band_id").where(
+        (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi"))
+    )
+    return j.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            (F.col("value") * F.col("fee_rate")).cast("decimal(27,6)")
+        ).cast("double").alias("total_fees"),
+    )
+
+
+@_q(
+    "orders_reconciliation_diff",
+    f"""
+WITH replica AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 97 = 0 THEN 'P' ELSE o_orderstatus END
+           AS o_orderstatus,
+         o_totalprice
+  FROM orders
+  WHERE o_orderkey % 113 <> 0
+),
+replica2 AS (
+  SELECT * FROM replica
+  UNION ALL
+  SELECT -1, 'O', 42.0
+),
+src AS (
+  SELECT o_orderkey,
+         {md5_long_sql("concat_ws('|', o_orderstatus, CAST(o_totalprice AS VARCHAR))")}
+           AS row_hash
+  FROM orders
+),
+dst AS (
+  SELECT o_orderkey,
+         {md5_long_sql("concat_ws('|', o_orderstatus, CAST(o_totalprice AS VARCHAR))")}
+           AS row_hash
+  FROM replica2
+)
+SELECT
+  CASE WHEN dst.o_orderkey IS NULL THEN 'missing_in_replica'
+       WHEN src.o_orderkey IS NULL THEN 'extra_in_replica'
+       ELSE 'payload_mismatch' END AS diff_kind,
+  count(*) AS n_rows
+FROM src FULL OUTER JOIN dst ON src.o_orderkey = dst.o_orderkey
+WHERE src.o_orderkey IS NULL OR dst.o_orderkey IS NULL
+   OR src.row_hash <> dst.row_hash
+GROUP BY 1
+""",
+    doc="Table reconciliation — the row-level drill-down behind "
+    "orders_table_checksum's one-row fingerprint: source vs a "
+    "synthetically-drifted replica (every 113th key dropped, every "
+    "97th status mutated — deterministic, so the oracle builds the "
+    "same replica) compared by key + payload hash. Both sides reduce "
+    "to slim (key, 60-bit md5) rows BEFORE the full-outer join, so "
+    "the shuffle carries 16 bytes/row regardless of payload width — "
+    "how a 100 TB migration diff actually ships. Output: counts by "
+    "missing/extra/mismatch.",
+)
+def q_orders_reconciliation_diff(spark, sf_dir):
+    from .functions.hashing import md5_long
+
+    o = _t(spark, sf_dir, "orders")
+    replica = o.where(F.col("o_orderkey") % 113 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit("P"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        "o_totalprice",
+    ).unionByName(
+        spark.createDataFrame(
+            [(-1, "O", 42.0)],
+            "o_orderkey long, o_orderstatus string, o_totalprice double",
+        )
+    )
+
+    def slim(df):
+        return df.select(
+            "o_orderkey",
+            md5_long(
+                F.concat_ws(
+                    "|",
+                    F.col("o_orderstatus"),
+                    F.col("o_totalprice").cast("string"),
+                )
+            ).alias("row_hash"),
+        )
+
+    src = slim(o).alias("src")
+    dst = slim(replica).alias("dst")
+    j = src.join(
+        dst, F.col("src.o_orderkey") == F.col("dst.o_orderkey"), "full_outer"
+    )
+    kind = (
+        F.when(F.col("dst.o_orderkey").isNull(), "missing_in_replica")
+        .when(F.col("src.o_orderkey").isNull(), "extra_in_replica")
+        .otherwise("payload_mismatch")
+    )
+    return (
+        j.where(
+            F.col("src.o_orderkey").isNull()
+            | F.col("dst.o_orderkey").isNull()
+            | (F.col("src.row_hash") != F.col("dst.row_hash"))
+        )
+        .select(kind.alias("diff_kind"))
+        .groupBy("diff_kind")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry exports (driver contract)
 # --------------------------------------------------------------------------
@@ -5440,6 +5586,8 @@ _EXPORT_PRIORITY: list[str] = [
     "compaction_plan",
     "cluster_size_histogram",
     "token_count_histogram",
+    "value_band_rate_lookup",
+    "orders_reconciliation_diff",
 ]
 
 
