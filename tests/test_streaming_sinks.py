@@ -67,3 +67,62 @@ def test_foreach_batch_partitioned_sink(spark, tmp_path):
     pruned = landed.filter((F.col("year") == landed.agg(F.min("year")).first()[0]))
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_foreach_batch_streaming_upsert(spark, tmp_path):
+    """foreachBatch + MERGE: continuous upsert into a keyed table —
+    the CDC-apply pattern (stream of updates folded into a serving
+    table, last writer per key wins within the run). Each micro-batch
+    merges via the parquet MERGE twin; the final table must equal one
+    latest-row-per-key batch reduction of the source."""
+    from yelp_data_pipeline_spark.operators.upsert import merge_upsert_df
+
+    out_dir = str(tmp_path / "serving")
+    stream = sw.stream_events_from_parquet(spark, SF_DIR).select(
+        "user_id", "ts", "event_type", "value"
+    )
+
+    def _apply(batch_df, batch_id):
+        # Within a batch, keep the latest row per key (struct argmax —
+        # deterministic via the unique (ts, event_id)... value cols).
+        latest = (
+            batch_df.groupBy("user_id")
+            .agg(F.max(F.struct("ts", "event_type", "value")).alias("m"))
+            .select(
+                "user_id",
+                F.col("m.ts").alias("ts"),
+                F.col("m.event_type").alias("event_type"),
+                F.col("m.value").alias("value"),
+            )
+        )
+        try:
+            target = spark.read.parquet(out_dir)
+            merged = merge_upsert_df(target, latest, ["user_id"])
+        except Exception:  # first batch — table doesn't exist yet
+            merged = latest
+        merged.write.mode("overwrite").format("parquet").save(out_dir + ".tmp")
+        spark.read.parquet(out_dir + ".tmp").write.mode("overwrite").parquet(out_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    served = spark.read.parquet(out_dir)
+    src = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    from conftest import normalize_events_ts
+
+    src = normalize_events_ts(src)
+    want = (
+        src.groupBy("user_id")
+        .agg(F.max(F.struct("ts", "event_type", "value")).alias("m"))
+        .select("user_id", F.col("m.ts").alias("ts"))
+    )
+    got = served.select("user_id", "ts")
+    # One row per key, and each key's served ts is the global max
+    # (last-writer-wins holds across micro-batches, not just within).
+    assert served.count() == served.select("user_id").distinct().count()
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0

@@ -42,6 +42,14 @@ DEFAULT_AUDIT = [
     "salted_segment_event_counts",
     "kmeans_assignments",
     "leakage_safe_splits",
+    # round 5
+    "bloom_filtered_segment_events",
+    "pagerank_supplier_graph",
+    "zorder_file_stats",
+    "eval_contaminated_docs",
+    "orders_reconciliation_diff",
+    "late_shipment_priority_counts",
+    "disjunctive_part_revenue",
 ]
 
 
