@@ -5526,6 +5526,166 @@ def q_orders_reconciliation_diff(spark, sf_dir):
     )
 
 
+@_q(
+    "customer_order_count_distribution",
+    """
+SELECT c_count, count(*) AS n_custs
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) GROUP BY c_count
+""",
+    doc="TPC-H Q13 shape (customer order distribution): the LEFT join "
+    "keeps zero-order customers — count(o_orderkey) counts non-NULL "
+    "join matches, so the 0 bucket exists (an inner join silently "
+    "drops it: the classic histogram-with-zeros bug). Two aggregates: "
+    "per-customer on the join key, then the tiny distribution rollup.",
+)
+def q_customer_order_count_distribution(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    per = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per.groupBy("c_count").agg(F.count(F.lit(1)).alias("n_custs"))
+
+
+@_q(
+    "small_quantity_order_revenue",
+    """
+WITH avgs AS (
+  SELECT l_partkey AS ap,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE)
+           / count(l_quantity) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,4))) AS DOUBLE) / 7.0
+         AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN avgs ON ap = l_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < 0.2 * avg_qty
+""",
+    doc="TPC-H Q17 shape (small-quantity-order revenue): the "
+    "correlated scalar subquery (per-part average quantity) decorrelates "
+    "into one groupBy + a join back — Spark plans the per-part "
+    "aggregate once, AQE broadcasts it after the brand filter "
+    "collapses the probe side. The average is decimal-exact-sum / "
+    "count, so the 0.2× threshold comparison is engine-identical.",
+)
+def q_small_quantity_order_revenue(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    avgs = l.groupBy(F.col("l_partkey").alias("ap")).agg(
+        agg.exact_avg("l_quantity", "avg_qty")
+    )
+    p = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23").select(
+        "p_partkey"
+    )
+    j = (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(avgs, F.col("ap") == F.col("l_partkey"))
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+    )
+    return j.agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(27,4)")).cast("double")
+            / 7.0
+        ).alias("avg_yearly")
+    )
+
+
+@_q(
+    "sole_late_supplier_waits",
+    """
+WITH lates AS (
+  SELECT l_orderkey, l_suppkey,
+         CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+              THEN 1 ELSE 0 END AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+)
+SELECT s_name, count(*) AS numwait
+FROM lates l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE l1.is_late = 1
+  AND EXISTS (
+    SELECT 1 FROM lates l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lates l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.is_late = 1
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 10
+""",
+    doc="TPC-H Q21 shape (suppliers who kept orders waiting): the "
+    "hardest standard-suite shape — one semi-join (another supplier "
+    "participated) AND one anti-join (no OTHER supplier was late) "
+    "against the same derived relation, both correlated on the order "
+    "key with a supplier inequality residual. The late flag computes "
+    "ONCE in a shared (orderkey, suppkey, is_late) relation that is "
+    "persisted and consumed three times; 'late' adapts to the fixture "
+    "schema as shipped >60 days after ordering (no receipt/commit "
+    "dates exist). Top-10 with name tiebreak.",
+)
+def q_sole_late_supplier_waits(spark, sf_dir):
+    from .session import track_persist
+
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    lates = track_persist(
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            )
+            .cast("int")
+            .alias("is_late"),
+        )
+    )
+    l1 = lates.where(F.col("is_late") == 1).select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
+    )
+    others = lates.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    )
+    late_others = lates.where(F.col("is_late") == 1).select(
+        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    )
+    with_peer = l1.join(
+        others,
+        (F.col("ok") == F.col("ok2")) & (F.col("sk") != F.col("sk2")),
+        "left_semi",
+    )
+    sole_late = with_peer.join(
+        late_others,
+        (F.col("ok") == F.col("ok3")) & (F.col("sk") != F.col("sk3")),
+        "left_anti",
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole_late.join(F.broadcast(s), F.col("sk") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(10)
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry exports (driver contract)
 # --------------------------------------------------------------------------
@@ -5588,6 +5748,9 @@ _EXPORT_PRIORITY: list[str] = [
     "token_count_histogram",
     "value_band_rate_lookup",
     "orders_reconciliation_diff",
+    "customer_order_count_distribution",
+    "small_quantity_order_revenue",
+    "sole_late_supplier_waits",
 ]
 
 
