@@ -862,6 +862,7 @@ def embedding_norm_outliers(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     z_threshold: float = 2.0,
+    weight: F.Column | None = None,
 ) -> DataFrame:
     """Norm-based embedding outlier screen: flag vectors whose L2 norm
     sits more than ``z_threshold`` standard deviations from the corpus
@@ -873,8 +874,17 @@ def embedding_norm_outliers(
     both engines derive the identical mean/std) broadcast back as a
     1-row literal join; the scan itself is map-side. Output:
     (id, norm, z), outliers only, z rounded 6dp.
+
+    ``weight`` optionally scales each norm (e.g. to reconstruct raw,
+    pre-normalization magnitudes on a unit-normalized corpus). When the
+    corpus is perfectly uniform (``sd == 0``) no row is an outlier by
+    definition — z is NULL-guarded rather than divided by zero, so the
+    screen degrades to an empty result instead of an ANSI crash.
     """
-    nr = F.round(norm(F.col(vec_col)), 6)
+    nr = norm(F.col(vec_col))
+    if weight is not None:
+        nr = nr * weight
+    nr = F.round(nr, 6)
     base = df.select(F.col(id_col), nr.alias("nr"))
     stats = base.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
@@ -892,7 +902,11 @@ def embedding_norm_outliers(
             * (F.col("s1").cast("double") / F.col("n"))
         ).alias("sd"),
     )
-    z = F.round((F.col("nr") - F.col("mu")) / F.col("sd"), 6)
+    # CASE WHEN is lazily evaluated, so the division never runs when
+    # sd == 0 — safe under ANSI sessions (the driver runs ANSI on).
+    z = F.when(
+        F.col("sd") > 0, F.round((F.col("nr") - F.col("mu")) / F.col("sd"), 6)
+    )
     return (
         base.crossJoin(F.broadcast(stats))
         .select(F.col(id_col), F.col("nr").alias("norm"), z.alias("z"))

