@@ -83,8 +83,11 @@ def main() -> int:
     # amortizes to zero on any long-running job — steady-state
     # execution is what a 100 TB throughput comparison should measure.
     # Persisted relations are released after BOTH passes, so the
-    # measured pass recomputes all data work (only JVM code caches
-    # carry over, never rows).
+    # measured pass recomputes all data work. Caveat: beyond JVM code
+    # caches, the warm-up pass also leaves parquet pages in the OS page
+    # cache, so the measured pass is I/O-warm — cross-protocol ratios
+    # against single-shot (v1) numbers must be labeled as such (see
+    # BASELINE.md).
     timings: dict[str, float] = {}
     for name in HEADLINE + EXTRAS:
         _materialize(qs[name](spark, sf_dir))

@@ -196,3 +196,59 @@ def test_ngram_self_join_reads_persisted_relation(spark):
     pairs = dd.ngram_jaccard_pairs(docs, "doc_id", "text")
     assert _count_imts(pairs) >= 2
     release_tracked()
+
+
+def test_dq_quarantine_oracle_pins_multi_violation_order(spark):
+    """The fixture has no row violating >=2 rules, so the registered
+    oracle's concat_ws arm order was unexercised — pin it here: the
+    operator joins rule names in sorted() order, and the oracle must
+    list its CASE arms identically (ADVICE r5)."""
+    import duckdb
+
+    from yelp_data_pipeline_spark.operators.quality import dq_quarantine
+    from yelp_data_pipeline_spark.queries import oracle_sql
+
+    rows = [
+        # violates all three: bad status, out-of-range date, negative price
+        (1, "X", -5.0, "2025-01-01"),
+        # violates date + price only
+        (2, "F", 0.0, "1980-06-01"),
+        # clean
+        (3, "O", 10.0, "1995-06-01"),
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({k}, '{s}', {p}, DATE '{d}')" for k, s, p, d in rows
+        )
+        + ") t(o_orderkey, o_orderstatus, o_totalprice, o_orderdate)"
+    )
+    oracle = {
+        tuple(r)
+        for r in con.execute(oracle_sql()["orders_dq_quarantine"]).fetchall()
+    }
+    df = spark.createDataFrame(
+        [(k, s, p, d) for k, s, p, d in rows],
+        "o_orderkey long, o_orderstatus string, o_totalprice double, "
+        "o_orderdate string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("date"))
+    got = {
+        (r["o_orderkey"], r["violations"])
+        for r in dq_quarantine(
+            df,
+            {
+                "bad_status": ~F.col("o_orderstatus").isin("F", "O", "P"),
+                "nonpositive_price": F.col("o_totalprice") <= 0,
+                "date_out_of_range": (
+                    F.col("o_orderdate") < F.lit("1990-01-01").cast("date")
+                )
+                | (F.col("o_orderdate") > F.lit("2000-01-01").cast("date")),
+            },
+            id_cols=["o_orderkey"],
+        ).collect()
+    }
+    assert got == oracle == {
+        (1, "bad_status;date_out_of_range;nonpositive_price"),
+        (2, "date_out_of_range;nonpositive_price"),
+    }

@@ -217,6 +217,11 @@ def bloom_prefilter_semi_join(
     """
     from ..functions.hashing import md5_pair
 
+    # NULL build keys can never match an equi-join, but md5(NULL) would
+    # propagate a NULL word_idx that map_from_entries rejects — drop
+    # them up front (the plain left-semi this mirrors drops them too).
+    small = small.where(F.col(small_key).isNotNull())
+
     h1, h2 = md5_pair(F.md5(F.col(small_key).cast("string")))
     positions = small.select(
         F.explode(

@@ -5212,14 +5212,16 @@ def q_eval_contaminated_docs(spark, sf_dir):
     """
 WITH flagged AS (
   SELECT o_orderkey,
+         -- arms listed in sorted rule-name order, matching the
+         -- operator's sorted(checks.items()) join order exactly
          concat_ws(';',
+           CASE WHEN o_orderstatus NOT IN ('F','O','P')
+                  OR o_orderstatus IS NULL THEN 'bad_status' END,
            CASE WHEN o_orderdate < DATE '1990-01-01'
                   OR o_orderdate > DATE '2000-01-01'
                   OR o_orderdate IS NULL THEN 'date_out_of_range' END,
            CASE WHEN o_totalprice <= 0 OR o_totalprice IS NULL
-                THEN 'nonpositive_price' END,
-           CASE WHEN o_orderstatus NOT IN ('F','O','P')
-                  OR o_orderstatus IS NULL THEN 'bad_status' END
+                THEN 'nonpositive_price' END
          ) AS violations
   FROM orders
 )
@@ -5465,13 +5467,13 @@ replica2 AS (
 ),
 src AS (
   SELECT o_orderkey,
-         {md5_long_sql("concat_ws('|', o_orderstatus, CAST(o_totalprice AS VARCHAR))")}
+         {md5_long_sql("concat_ws('|', o_orderstatus, CAST(CAST(o_totalprice AS DECIMAL(27,4)) AS VARCHAR))")}
            AS row_hash
   FROM orders
 ),
 dst AS (
   SELECT o_orderkey,
-         {md5_long_sql("concat_ws('|', o_orderstatus, CAST(o_totalprice AS VARCHAR))")}
+         {md5_long_sql("concat_ws('|', o_orderstatus, CAST(CAST(o_totalprice AS DECIMAL(27,4)) AS VARCHAR))")}
            AS row_hash
   FROM replica2
 )
@@ -5513,13 +5515,16 @@ def q_orders_reconciliation_diff(spark, sf_dir):
     )
 
     def slim(df):
+        # Hash a canonical DECIMAL(27,4) rendering, never the raw float
+        # string: float-to-string is engine-specific on exponent/
+        # precision edges (see orders_table_checksum's docstring).
         return df.select(
             "o_orderkey",
             md5_long(
                 F.concat_ws(
                     "|",
                     F.col("o_orderstatus"),
-                    F.col("o_totalprice").cast("string"),
+                    F.col("o_totalprice").cast("decimal(27,4)").cast("string"),
                 )
             ).alias("row_hash"),
         )
