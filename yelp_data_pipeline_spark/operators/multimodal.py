@@ -1,74 +1,244 @@
-"""Multimodal column plumbing (north-star extension).
+"""Multimodal column plumbing (north-star extension) — REAL codecs.
 
 Image/audio/video payloads are opaque ``binary`` columns with typed
-metadata structs. The Spark-side machinery — schema, Arrow batching,
-``mapInPandas`` signatures, partition sizing — is real and tested; the
-actual codec step is STUBBED (this environment has no image/audio
-libraries): ``decode_image_meta(real_decode=True)`` raises
-NotImplementedError, and the default path derives deterministic fake
-metadata from the payload bytes so the pipeline shape is verifiable
-end-to-end.
+metadata structs. Earlier rounds stubbed the codec step; this version
+ships two genuinely decodable pure-Python containers so the decode
+stage exercises real byte-parsing end-to-end with zero external
+libraries:
+
+- **WAV (RIFF)** — :func:`build_wav` emits a spec-valid RIFF/WAVE file
+  (fmt + optional LIST/INFO chunk + data); :func:`parse_wav` walks the
+  chunk list with ``struct.unpack`` exactly as a real reader must (it
+  cannot assume the canonical 44-byte header — some rows carry an INFO
+  chunk before ``data``).
+- **NPY (numpy format v1.0)** — :func:`build_npy` emits the magic +
+  aligned header-dict + raw little-endian data; :func:`parse_npy`
+  validates the magic, reads the header length, and parses
+  descr/fortran_order/shape without importing numpy's own loader.
+
+The correctness loop: payload synthesis derives its parameters
+(sample rate, channels, shape) from table columns, the decoder
+recovers them from BYTES ALONE, and the DuckDB oracle recomputes the
+same metadata arithmetically — any header-layout or parsing bug breaks
+the three-way agreement.
 
 At scale: binary payloads dominate row size, so
 ``spark.sql.files.maxPartitionBytes`` (not row counts) governs task
 sizing, and ``arrow.maxRecordsPerBatch`` keeps per-batch memory bounded
-inside the Python workers.
+inside the Python workers. True image/video codecs (PIL/ffmpeg) slot
+into the same ``mapInPandas`` stage with identical batch shape.
 """
 
 from __future__ import annotations
 
+import ast
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-DECODED_SCHEMA = (
-    "doc_id bigint, n_bytes int, width int, height int, n_frames int"
+# ------------------------------------------------------------------ WAV
+
+_WAV_RATES = (8000, 16000, 44100)
+
+
+def build_wav(
+    pcm: bytes,
+    sample_rate: int,
+    n_channels: int,
+    with_info_chunk: bool = False,
+) -> bytes:
+    """Serialize a spec-valid 16-bit PCM RIFF/WAVE file.
+
+    ``pcm`` is zero-padded to a whole number of sample frames
+    (``block_align = n_channels * 2`` bytes). When ``with_info_chunk``
+    is set, a 30-byte LIST/INFO chunk precedes ``data`` — forcing any
+    reader to walk chunks instead of assuming the 44-byte layout.
+    """
+    bits = 16
+    block_align = n_channels * bits // 8
+    pad = (-len(pcm)) % block_align
+    data = pcm + b"\x00" * pad
+    fmt = struct.pack(
+        "<4sIHHIIHH",
+        b"fmt ", 16, 1, n_channels, sample_rate,
+        sample_rate * block_align, block_align, bits,
+    )
+    info = b""
+    if with_info_chunk:
+        # LIST content = 'INFO' (4) + ISFT subchunk header (8) + payload
+        # (10) = 22 bytes -> a 30-byte chunk total, data at offset 74
+        info = struct.pack("<4sI4s4sI", b"LIST", 22, b"INFO", b"ISFT", 10)
+        info += b"sparkgen\x00\x00"
+    body = b"WAVE" + fmt + info + struct.pack("<4sI", b"data", len(data)) + data
+    return struct.pack("<4sI", b"RIFF", len(body)) + body
+
+
+def parse_wav(payload: bytes) -> dict:
+    """Parse a RIFF/WAVE container from bytes alone: validate magic,
+    walk the chunk list for ``fmt `` and ``data``, and derive sample
+    counts from byte sizes. Raises ``ValueError`` on malformed input
+    (a quarantine-not-crash policy belongs in the caller)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    riff_size = struct.unpack_from("<I", payload, 4)[0]
+    if riff_size + 8 != len(payload):
+        raise ValueError("RIFF size does not match payload length")
+    pos, fmt_info, data_offset, data_len = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid, csize = struct.unpack_from("<4sI", payload, pos)
+        if cid == b"fmt ":
+            (audio_fmt, n_channels, sample_rate, _byte_rate,
+             block_align, bits) = struct.unpack_from("<HHIIHH", payload, pos + 8)
+            if audio_fmt != 1:
+                raise ValueError(f"unsupported WAV encoding {audio_fmt}")
+            fmt_info = (n_channels, sample_rate, block_align, bits)
+        elif cid == b"data":
+            data_offset, data_len = pos + 8, csize
+        pos += 8 + csize + (csize % 2)  # chunks are word-aligned
+    if fmt_info is None or data_offset is None:
+        raise ValueError("missing fmt or data chunk")
+    n_channels, sample_rate, block_align, bits = fmt_info
+    n_samples = data_len // block_align
+    return {
+        "n_bytes": len(payload),
+        "sample_rate": sample_rate,
+        "n_channels": n_channels,
+        "bits": bits,
+        "data_offset": data_offset,
+        "n_samples": n_samples,
+        "duration_ms": n_samples * 1000 // sample_rate,
+    }
+
+
+# ------------------------------------------------------------------ NPY
+
+def build_npy(data: bytes, descr: str, shape: tuple[int, ...]) -> bytes:
+    """Serialize numpy format v1.0: magic, little-endian header length,
+    header dict padded with spaces to 64-byte alignment, raw data."""
+    header = (
+        "{'descr': '%s', 'fortran_order': False, 'shape': %s, }"
+        % (descr, repr(shape if len(shape) != 1 else (shape[0],)))
+    )
+    base = 6 + 2 + 2  # magic + version + header-len field
+    pad = (-(base + len(header) + 1)) % 64
+    header = header + " " * pad + "\n"
+    return (
+        b"\x93NUMPY" + bytes([1, 0])
+        + struct.pack("<H", len(header))
+        + header.encode("latin1")
+        + data
+    )
+
+
+_DTYPE_SIZES = {"<f4": 4, "<f8": 8, "<i4": 4, "<i8": 8, "<i2": 2, "|u1": 1}
+
+
+def parse_npy(payload: bytes) -> dict:
+    """Parse a .npy v1.x header from bytes alone: magic, header length,
+    literal-eval'd dict, element count from shape, and the first value
+    (when float32) unpacked straight from the data section."""
+    if payload[:6] != b"\x93NUMPY":
+        raise ValueError("not an NPY payload")
+    major = payload[6]
+    hlen = struct.unpack_from("<H", payload, 8)[0] if major == 1 else (
+        struct.unpack_from("<I", payload, 8)[0]
+    )
+    hstart = 10 if major == 1 else 12
+    header = ast.literal_eval(payload[hstart:hstart + hlen].decode("latin1"))
+    shape = tuple(header["shape"])
+    descr = header["descr"]
+    n_elems = 1
+    for s in shape:
+        n_elems *= s
+    itemsize = _DTYPE_SIZES.get(descr)
+    if itemsize is None:
+        raise ValueError(f"unsupported dtype {descr}")
+    data_offset = hstart + hlen
+    if data_offset + n_elems * itemsize != len(payload):
+        raise ValueError("data section does not match header shape")
+    first_val = None
+    if descr == "<f4" and n_elems:
+        first_val = float(struct.unpack_from("<f", payload, data_offset)[0])
+    return {
+        "dtype": descr,
+        "ndim": len(shape),
+        "n_elems": n_elems,
+        "n_bytes": len(payload),
+        "data_offset": data_offset,
+        "first_val": first_val,
+    }
+
+
+# ----------------------------------------------------- Spark operators
+
+WAV_META_SCHEMA = (
+    "doc_id bigint, n_bytes int, sample_rate int, n_channels int, "
+    "n_samples int, duration_ms int"
 )
 
 
-def attach_binary_payload(df: DataFrame, text_col: str, out: str = "payload") -> DataFrame:
-    """Materialize an opaque binary column (here: utf-8 bytes of a text
-    column — the fixtures carry no real media)."""
-    return df.withColumn(out, F.encode(F.col(text_col), "utf-8"))
-
-
-def decode_image_meta(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    payload_col: str = "payload",
-    real_decode: bool = False,
+def attach_wav_payload(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    out: str = "payload",
 ) -> DataFrame:
-    """"Decode" binary payloads to typed metadata via mapInPandas.
+    """Materialize a REAL audio container column: each row's utf-8 text
+    bytes become the PCM body of a spec-valid WAV file whose parameters
+    derive deterministically from the id (sample rate by ``id % 3``,
+    channels by ``id % 2``, an extra INFO chunk every 5th row). The
+    fixtures carry no media, so this is the payload source — but the
+    bytes are genuine containers, not tagged fakes."""
 
-    Arrow ships (id, payload) batches to Python; the stub derives
-    deterministic pseudo-dimensions from the byte length. Swap
-    ``_decode_batch`` for a real PIL/ffmpeg call where available —
-    signature and batch shape stay identical.
-    """
-
-    def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if real_decode:
-                raise NotImplementedError(
-                    "real image decode requires PIL/ffmpeg (not in this container)"
+            payloads = [
+                build_wav(
+                    t.encode("utf-8"),
+                    sample_rate=_WAV_RATES[i % 3],
+                    n_channels=1 + i % 2,
+                    with_info_chunk=(i % 5 == 0),
                 )
-            n = pdf[payload_col].map(len)
+                for i, t in zip(pdf[id_col], pdf[text_col])
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], out: payloads})
+
+    return df.select(id_col, text_col).mapInPandas(
+        _synth, f"{id_col} bigint, {out} binary"
+    )
+
+
+def decode_wav_meta(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Binary → typed metadata via Arrow ``mapInPandas``, parsing the
+    RIFF container for real (chunk walk, no fixed-offset shortcuts)."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [parse_wav(bytes(b)) for b in pdf[payload_col]]
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col],
-                    "n_bytes": n.astype("int32"),
-                    "width": (1 + n % 640).astype("int32"),
-                    "height": (1 + n % 480).astype("int32"),
-                    "n_frames": (1 + n % 16).astype("int32"),
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": pd.Series(
+                        [m["n_bytes"] for m in metas], dtype="int32"),
+                    "sample_rate": pd.Series(
+                        [m["sample_rate"] for m in metas], dtype="int32"),
+                    "n_channels": pd.Series(
+                        [m["n_channels"] for m in metas], dtype="int32"),
+                    "n_samples": pd.Series(
+                        [m["n_samples"] for m in metas], dtype="int32"),
+                    "duration_ms": pd.Series(
+                        [m["duration_ms"] for m in metas], dtype="int32"),
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(_decode_batch, DECODED_SCHEMA)
+    return df.select(id_col, payload_col).mapInPandas(_decode, WAV_META_SCHEMA)
 
 
 FRAMES_SCHEMA = "doc_id bigint, frame_idx int, frame_offset int"
+FRAME_SAMPLES = 160  # samples per analysis frame (20 ms @ 8 kHz)
 
 
 def sample_frames(
@@ -76,34 +246,31 @@ def sample_frames(
     id_col: str = "doc_id",
     payload_col: str = "payload",
     stride: int = 2,
-    real_decode: bool = False,
 ) -> DataFrame:
-    """Frame sampling for video-ish payloads — a ROW-EXPANDING
-    mapInPandas: each input row yields one output row per sampled
-    frame (every ``stride``-th of the container's frames).
+    """Row-expanding ``mapInPandas``: every ``stride``-th analysis
+    frame of each REAL container, with byte-accurate offsets.
 
-    The container probe is stubbed deterministically (n_frames =
-    1 + n_bytes % 16, frame_offset = frame_idx · (n_bytes // n_frames));
-    a real implementation replaces the inner loop with an ffmpeg
-    keyframe index read — batch shape, schema, and expansion semantics
-    are identical. Output rows ≈ input rows × frames/stride, so size
-    ``arrow.maxRecordsPerBatch`` for the *output* multiplicity.
-    """
+    The frame table comes from an actual parse — ``frame_offset`` is
+    ``data_offset + idx · FRAME_SAMPLES · block_align``, and
+    ``data_offset`` varies per row (the INFO-chunk rows prove the
+    reader walks chunks). Output rows ≈ input rows × frames/stride, so
+    size ``arrow.maxRecordsPerBatch`` for the output multiplicity.
+    A video cut would replace ``parse_wav`` with an ffmpeg keyframe
+    index read — batch shape, schema, expansion semantics identical."""
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if real_decode:
-                raise NotImplementedError(
-                    "real frame sampling requires ffmpeg (not in this container)"
-                )
             out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_offset": []}
-            for did, nb in zip(pdf[id_col], pdf[payload_col].map(len)):
-                n_frames = 1 + nb % 16
-                step = nb // n_frames
+            for did, b in zip(pdf[id_col], pdf[payload_col]):
+                m = parse_wav(bytes(b))
+                block_align = m["n_channels"] * m["bits"] // 8
+                n_frames = max(1, m["n_samples"] // FRAME_SAMPLES)
                 for i in range(0, n_frames, stride):
                     out["doc_id"].append(did)
                     out["frame_idx"].append(i)
-                    out["frame_offset"].append(i * step)
+                    out["frame_offset"].append(
+                        m["data_offset"] + i * FRAME_SAMPLES * block_align
+                    )
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(out["doc_id"], dtype="int64"),
@@ -115,17 +282,78 @@ def sample_frames(
     return df.select(id_col, payload_col).mapInPandas(_sample, FRAMES_SCHEMA)
 
 
-def resize_meta(
-    df: DataFrame, max_w: int = 224, max_h: int = 224
+def resample_plan(
+    df: DataFrame, target_rate: int = 16000
 ) -> DataFrame:
-    """Resize planning over decoded metadata — pure Catalyst (the
-    arithmetic needs no codec): clamp to (max_w, max_h). The actual
-    pixel resample would slot into the same mapInPandas stage as
-    :func:`decode_image_meta`."""
+    """Resample planning over decoded audio metadata — pure Catalyst
+    (the arithmetic needs no codec): clamp the rate to ``target_rate``
+    and scale the sample count with integer math. The actual resample
+    kernel would slot into the same mapInPandas stage as
+    :func:`decode_wav_meta`."""
+    out_rate = F.least(F.col("sample_rate"), F.lit(target_rate))
     return df.select(
         "doc_id",
-        "width",
-        "height",
-        F.least(F.col("width"), F.lit(max_w)).alias("out_width"),
-        F.least(F.col("height"), F.lit(max_h)).alias("out_height"),
+        "sample_rate",
+        "n_samples",
+        out_rate.alias("out_rate"),
+        F.expr(
+            f"CAST((CAST(n_samples AS BIGINT) * least(sample_rate, {target_rate})) "
+            "div sample_rate AS INT)"
+        ).alias("out_samples"),
     )
+
+
+NPY_META_SCHEMA = (
+    "vec_id bigint, dtype string, ndim int, n_elems int, n_bytes int, "
+    "first_val double"
+)
+
+
+def attach_npy_payload(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    out: str = "payload",
+) -> DataFrame:
+    """Materialize each embedding as a REAL ``.npy`` v1.0 payload — the
+    actual float32 vector bytes behind a spec-valid header."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                build_npy(
+                    struct.pack(f"<{len(v)}f", *v), "<f4", (len(v),)
+                )
+                for v in pdf[vec_col]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], out: payloads})
+
+    return df.select(id_col, vec_col).mapInPandas(
+        _synth, f"{id_col} bigint, {out} binary"
+    )
+
+
+def decode_npy_meta(
+    df: DataFrame, id_col: str = "vec_id", payload_col: str = "payload"
+) -> DataFrame:
+    """NPY payload → typed metadata via Arrow ``mapInPandas``: magic,
+    header-dict, shape, and the first float32 value unpacked straight
+    from the data section (proof the parser found the right offset)."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [parse_npy(bytes(b)) for b in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].astype("int64"),
+                    "dtype": [m["dtype"] for m in metas],
+                    "ndim": pd.Series(
+                        [m["ndim"] for m in metas], dtype="int32"),
+                    "n_elems": pd.Series(
+                        [m["n_elems"] for m in metas], dtype="int32"),
+                    "n_bytes": pd.Series(
+                        [m["n_bytes"] for m in metas], dtype="int32"),
+                    "first_val": pd.Series(
+                        [m["first_val"] for m in metas], dtype="float64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_decode, NPY_META_SCHEMA)

@@ -2922,63 +2922,141 @@ def q_curated_documents(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# North-star: multimodal plumbing (stubbed codec — see multimodal.py)
+# North-star: multimodal plumbing — REAL pure-Python codecs (WAV / NPY)
 # --------------------------------------------------------------------------
+#
+# The oracle side never touches bytes: it recomputes the container
+# arithmetic (header layout, block alignment, chunk offsets) straight
+# from the table columns. The Spark side synthesizes a spec-valid
+# container and recovers the same numbers by PARSING THE BYTES — so a
+# hash match proves the codec round-trips for real.
+#
+# Shared WAV layout math (multimodal.py:build_wav/parse_wav):
+#   block_align = (1 + doc_id % 2) * 2        [16-bit PCM, 1-2 ch]
+#   data_len    = ceil(strlen/ba) * ba        [zero-padded frames]
+#   data_offset = 44, +30 when doc_id % 5 = 0 [LIST/INFO chunk]
+
+_WAV_ORACLE_BASE = """
+WITH m AS (
+  SELECT doc_id,
+         1 + doc_id % 2 AS ch,
+         (1 + doc_id % 2) * 2 AS ba,
+         CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+              ELSE 44100 END AS sr,
+         CASE WHEN doc_id % 5 = 0 THEN 74 ELSE 44 END AS data_offset,
+         strlen(text) AS sl
+  FROM documents
+),
+w AS (
+  SELECT doc_id, ch, ba, sr, data_offset,
+         ((sl + ba - 1) // ba) AS n_samples,
+         ((sl + ba - 1) // ba) * ba AS data_len
+  FROM m
+)
+"""
 
 
 @_q(
     "multimodal_decode_meta",
-    """
+    _WAV_ORACLE_BASE + """
 SELECT doc_id,
-       CAST(strlen(text) AS INT) AS n_bytes,
-       CAST(1 + strlen(text) % 640 AS INT) AS width,
-       CAST(1 + strlen(text) % 480 AS INT) AS height,
-       CAST(1 + strlen(text) % 16 AS INT) AS n_frames
-FROM documents
+       CAST(data_offset + data_len AS INT) AS n_bytes,
+       CAST(sr AS INT) AS sample_rate,
+       CAST(ch AS INT) AS n_channels,
+       CAST(n_samples AS INT) AS n_samples,
+       CAST(n_samples * 1000 // sr AS INT) AS duration_ms
+FROM w
 """,
-    doc="Binary payload → typed metadata via Arrow mapInPandas (decode "
-    "stubbed deterministically; Spark-side schema/batching real).",
+    doc="REAL container decode via Arrow mapInPandas: each row's text "
+    "bytes are serialized into a spec-valid RIFF/WAVE file "
+    "(multimodal.py:build_wav — rate/channels id-derived, every 5th "
+    "row carries an extra LIST/INFO chunk), then parse_wav recovers "
+    "sample rate, channels, sample count and duration from BYTES "
+    "ALONE (struct.unpack chunk walk — no fixed-offset shortcut, the "
+    "INFO rows would break one). The oracle recomputes the layout "
+    "arithmetic independently, so a hash match proves the codec "
+    "round-trips.",
 )
 def q_multimodal_decode_meta(spark, sf_dir):
-    d = mm.attach_binary_payload(_t(spark, sf_dir, "documents"), "text")
-    return mm.decode_image_meta(d)
+    d = mm.attach_wav_payload(_t(spark, sf_dir, "documents"))
+    return mm.decode_wav_meta(d)
 
 
 @_q(
     "multimodal_frame_sample",
-    """
+    _WAV_ORACLE_BASE + """,
+f AS (
+  SELECT doc_id, ba, data_offset,
+         greatest(1, n_samples // 160) AS n_frames
+  FROM w
+)
 SELECT doc_id,
        CAST(i AS INT) AS frame_idx,
-       CAST(i * (strlen(text) // (1 + strlen(text) % 16)) AS INT) AS frame_offset
-FROM (SELECT doc_id, text,
-             unnest(generate_series(0, strlen(text) % 16, 2)) AS i
-      FROM documents)
+       CAST(data_offset + i * 160 * ba AS INT) AS frame_offset
+FROM (SELECT doc_id, ba, data_offset,
+             unnest(generate_series(0, n_frames - 1, 2)) AS i
+      FROM f)
 """,
-    doc="Row-expanding frame sampler over binary payloads (every 2nd "
-    "frame) via Arrow mapInPandas; container probe stubbed "
-    "deterministically — expansion semantics and batch shape real.",
+    doc="Row-expanding frame sampler over REAL WAV containers (every "
+    "2nd 160-sample analysis frame) via Arrow mapInPandas: "
+    "frame_offset is the byte-accurate position data_offset + idx * "
+    "160 * block_align, where data_offset comes from an actual chunk "
+    "walk (it varies 44/74 across rows — the INFO-chunk rows prove "
+    "the reader walks chunks rather than assuming the canonical "
+    "44-byte header).",
 )
 def q_multimodal_frame_sample(spark, sf_dir):
-    d = mm.attach_binary_payload(_t(spark, sf_dir, "documents"), "text")
+    d = mm.attach_wav_payload(_t(spark, sf_dir, "documents"))
     return mm.sample_frames(d, stride=2)
 
 
 @_q(
     "multimodal_resize_meta",
-    """
+    _WAV_ORACLE_BASE + """
 SELECT doc_id,
-       CAST(1 + strlen(text) % 640 AS INT) AS width,
-       CAST(1 + strlen(text) % 480 AS INT) AS height,
-       CAST(least(1 + strlen(text) % 640, 224) AS INT) AS out_width,
-       CAST(least(1 + strlen(text) % 480, 224) AS INT) AS out_height
-FROM documents
+       CAST(sr AS INT) AS sample_rate,
+       CAST(n_samples AS INT) AS n_samples,
+       CAST(least(sr, 16000) AS INT) AS out_rate,
+       CAST((n_samples * least(sr, 16000)) // sr AS INT) AS out_samples
+FROM w
 """,
-    doc="Resize planning over decoded metadata (clamp to 224×224) — "
-    "pure Catalyst over the mapInPandas decode stage.",
+    doc="Resample planning over decoded audio metadata (clamp to 16 "
+    "kHz, integer-exact sample scaling) — pure Catalyst over the "
+    "mapInPandas decode stage; the resample kernel itself would slot "
+    "into the same Arrow stage.",
 )
 def q_multimodal_resize_meta(spark, sf_dir):
-    d = mm.attach_binary_payload(_t(spark, sf_dir, "documents"), "text")
-    return mm.resize_meta(mm.decode_image_meta(d))
+    d = mm.attach_wav_payload(_t(spark, sf_dir, "documents"))
+    return mm.resample_plan(mm.decode_wav_meta(d))
+
+
+@_q(
+    "multimodal_npy_decode",
+    """
+SELECT vec_id,
+       '<f4' AS dtype,
+       1 AS ndim,
+       CAST(len(embedding) AS INT) AS n_elems,
+       CAST(((10 + 56 + strlen(CAST(len(embedding) AS VARCHAR)) + 1 + 63)
+             // 64) * 64 + 4 * len(embedding) AS INT) AS n_bytes,
+       round(CAST(embedding[1] AS DOUBLE), 6) AS first_val
+FROM embeddings
+""",
+    doc="REAL numpy-format round-trip: each embedding's float32 bytes "
+    "are wrapped in a spec-valid .npy v1.0 payload (multimodal.py:"
+    "build_npy — np.load reads them), then parse_npy recovers dtype, "
+    "shape, total size, and the FIRST FLOAT VALUE unpacked straight "
+    "from the data section — matching it against the source array "
+    "proves the parser located the 64-byte-aligned data offset "
+    "correctly. Oracle recomputes the v1.0 header-length arithmetic "
+    "(10-byte preamble + 56-char fixed dict + digits of n, padded to "
+    "64).",
+)
+def q_multimodal_npy_decode(spark, sf_dir):
+    d = mm.attach_npy_payload(_t(spark, sf_dir, "embeddings"))
+    return mm.decode_npy_meta(d).withColumn(
+        "first_val", F.round(F.col("first_val"), 6)
+    )
 
 
 # --------------------------------------------------------------------------
