@@ -200,3 +200,52 @@ def test_pii_summary_rates(spark):
     assert out["web"]["n_emails"] == 1 and out["web"]["n_urls"] == 1
     assert out["web"]["docs_with_pii"] == 1 and out["web"]["pii_doc_rate"] == 0.5
     assert out["books"]["n_phones"] == 1 and out["books"]["pii_doc_rate"] == 1.0
+
+
+def test_bpe_train_matches_reference_implementation(spark):
+    """Iterated BPE vs an independent pure-Python trainer: every
+    (round, rule, count) must agree, including greedy-overlap cases
+    ('aaa' + rule (a,a) -> [aa, a]) and rules built from merged
+    symbols."""
+    from collections import Counter
+
+    from yelp_data_pipeline_spark.operators.textops import bpe_train
+
+    def ref_bpe(texts, merges):
+        words = Counter()
+        for t in texts:
+            for w in t.strip().lower().split():
+                if len(w) >= 2:
+                    words[w] += 1
+        vocab = {tuple(w): c for w, c in words.items()}
+        rules = []
+        for t in range(1, merges + 1):
+            pc = Counter()
+            for syms, c in vocab.items():
+                for i in range(len(syms) - 1):
+                    pc[(syms[i], syms[i + 1])] += c
+            if not pc:
+                break
+            (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            rules.append((t, a + " " + b, cnt))
+            nv = {}
+            for syms, c in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and (syms[i], syms[i + 1]) == (a, b):
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                nv[tuple(out)] = nv.get(tuple(out), 0) + c
+            vocab = nv
+        return rules
+
+    texts = ["low low lower lowest", "new newer newest low", "aaa aaaa ab ab abab"]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = [
+        (r["merge_round"], r["pair"], r["cnt"])
+        for r in bpe_train(df, merges=6).collect()
+    ]
+    assert got == ref_bpe(texts, 6)

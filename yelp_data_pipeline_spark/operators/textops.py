@@ -862,3 +862,95 @@ def bpe_pair_counts(
     )
     counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
     return counts.orderBy(F.col("cnt").desc(), F.col("pair").asc()).limit(top)
+
+
+def _merge_pair_in_syms(syms, a: str, b: str):
+    """Left-to-right non-overlapping merge of adjacent (a, b) symbol
+    occurrences — the standard BPE apply step (on 'aaa' the rule (a,a)
+    yields ['aa','a'], never ['aa','aa']) — as a pure-Catalyst array
+    fold. Greedy-correct because the merged symbol becomes the fold's
+    new tail and is compared as a whole against ``a`` next step. The
+    empty-accumulator case is guarded by a lazily-evaluated outer CASE
+    so element_at(-1) never touches an empty array under ANSI."""
+    merged = F.lit(a + b)
+
+    def step(acc, x):
+        tail_matches = (F.element_at(acc, -1) == F.lit(a)) & (x == F.lit(b))
+        return F.when(F.size(acc) == 0, F.array(x)).otherwise(
+            F.when(
+                tail_matches,
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+            ).otherwise(F.concat(acc, F.array(x)))
+        )
+
+    return F.aggregate(syms, F.array().cast("array<string>"), step)
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    merges: int = 6,
+) -> DataFrame:
+    """Iterated BPE training (Sennrich et al. 2016): ``merges`` rounds
+    of count-pairs → pick-best → merge-everywhere, returning the
+    learned merge table (merge_round, pair, cnt).
+
+    The scale design is the classic vocabulary compression: the corpus
+    is scanned ONCE into a word-frequency table (a 100 TB corpus has
+    maybe 10⁷ distinct words), and every iteration thereafter runs on
+    |vocab| rows only — explode adjacent symbol pairs map-side, ONE
+    cnt-weighted groupBy, top-1 via TakeOrderedAndProject, then a
+    pure-Catalyst array fold applies the winning rule to every word.
+    Per round: one bounded 1-row driver collect (the argmax rule —
+    same anytime-iteration shape as kmeans_centroids) and one persist
+    handoff so round t+1 reads round t's vocab instead of recomputing
+    the whole chain.
+
+    Pair ids use the space-joined form ``'A B'`` (symbols never
+    contain whitespace — words come from a whitespace split), matching
+    the merge-rule notation of the reference implementation.
+    """
+    from ..session import track_persist
+
+    vocab = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.split("w", "").alias("syms"), "cnt")
+    )
+    vocab = track_persist(vocab)
+    rules: list[tuple[int, str, int]] = []
+    for t in range(1, merges + 1):
+        pair = F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("syms") - 1),
+                lambda i: F.concat(
+                    F.element_at("syms", i), F.lit(" "),
+                    F.element_at("syms", i + 1),
+                ),
+            )
+        ).alias("pair")
+        # fully-merged single-symbol words yield no pairs; filtering
+        # them also keeps sequence(1, size-1) ascending (Spark's
+        # sequence(1, 0) is DESCENDING, unlike DuckDB's empty series)
+        counts = (
+            vocab.where(F.size("syms") >= 2)
+            .select(pair, "cnt")
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        best = counts.orderBy(F.col("cnt").desc(), F.col("pair").asc()).limit(
+            1
+        ).collect()
+        if not best:
+            break
+        a, b = best[0]["pair"].split(" ", 1)
+        rules.append((t, best[0]["pair"], best[0]["cnt"]))
+        vocab = track_persist(
+            vocab.select(_merge_pair_in_syms(F.col("syms"), a, b).alias("syms"), "cnt")
+        )
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        rules, "merge_round int, pair string, cnt bigint"
+    )

@@ -4899,6 +4899,84 @@ def q_bpe_merge_pairs(spark, sf_dir):
     return tx.bpe_pair_counts(_t(spark, sf_dir, "documents"), top=50)
 
 
+def _bpe_oracle_sql(merges: int = 6) -> str:
+    """Unrolled iterated-BPE CTE chain — the DuckDB twin of
+    textops.py:bpe_train, but via a DIFFERENT algorithm: words are
+    kept as chr(31)-delimited symbol strings ('\\x1fa\\x1f\\x1fb\\x1f')
+    and each round's winning rule is applied with plain string
+    replace(), whose left-to-right non-overlapping semantics equal the
+    Spark side's greedy array fold (the '@A@@B@' boundary encoding
+    makes adjacent matches share no bytes, so replace() cannot skip a
+    second occurrence). Two independent merge implementations agreeing
+    on every (round, pair, count) is the correctness argument."""
+    sep = "chr(31)"
+    dsep = "chr(31) || chr(31)"
+    parts = [r"""
+WITH words AS (
+  SELECT w, count(*) AS cnt
+  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        FROM documents)
+  WHERE length(w) >= 2
+  GROUP BY w
+),
+v0 AS (
+  SELECT cnt,
+         regexp_replace(w, '(.)', chr(31) || '\1' || chr(31), 'g') AS r
+  FROM words
+)"""]
+    for t in range(1, merges + 1):
+        parts.append(f""",
+p{t} AS (
+  SELECT pair, CAST(SUM(cnt) AS BIGINT) AS cnt FROM (
+    SELECT unnest(list_transform(generate_series(1, len(s) - 1),
+                  i -> s[i] || ' ' || s[i + 1])) AS pair,
+           cnt
+    FROM (SELECT string_split(substr(r, 2, length(r) - 2), {dsep}) AS s,
+                 cnt
+          FROM v{t - 1})
+  ) GROUP BY pair
+),
+b{t} AS (
+  SELECT {t} AS merge_round, pair, cnt
+  FROM p{t} ORDER BY cnt DESC, pair ASC LIMIT 1
+),
+v{t} AS (
+  SELECT v.cnt,
+         replace(v.r,
+                 {sep} || replace(b.pair, ' ', {dsep}) || {sep},
+                 {sep} || replace(b.pair, ' ', '') || {sep}) AS r
+  FROM v{t - 1} v, b{t} b
+)""")
+    parts.append(
+        "\n"
+        + "\nUNION ALL\n".join(
+            f"SELECT merge_round, pair, cnt FROM b{t}"
+            for t in range(1, merges + 1)
+        )
+    )
+    return "".join(parts)
+
+
+@_q(
+    "bpe_merged_vocab",
+    _bpe_oracle_sql(merges=6),
+    doc="FULL iterated BPE training (Sennrich et al. 2016), 6 merge "
+    "rounds — extends bpe_merge_pairs' single counting pass to the "
+    "real count → argmax → merge-everywhere loop (textops.py:"
+    "bpe_train). Scale shape: ONE corpus scan builds the word-"
+    "frequency table, then every round runs on |vocab| rows — "
+    "map-side pair explode, one cnt-weighted groupBy, top-1 "
+    "TakeOrderedAndProject, and a pure-Catalyst array fold applying "
+    "the rule (greedy left-to-right, standard BPE semantics — 'aaa' "
+    "+ rule (a,a) gives [aa, a]). One bounded 1-row collect per "
+    "round (the argmax), same anytime-iteration shape as kmeans. "
+    "Oracle replays the loop via an INDEPENDENT algorithm (delimited-"
+    "string replace in unrolled CTEs).",
+)
+def q_bpe_merged_vocab(spark, sf_dir):
+    return tx.bpe_train(_t(spark, sf_dir, "documents"), merges=6)
+
+
 @_q(
     "incremental_daily_event_counts",
     """
