@@ -68,6 +68,19 @@ EMB_FAMILY = [
     "ann_topk_cosine",
 ]
 
+# ``--docs`` family: the document-side dedup operators only (the
+# verdict's 25× point — embedding queries are excluded because
+# embedding_neardup_fine is the DELIBERATELY fixed-band recall
+# baseline and goes ~n² by design; its scaling is pinned separately
+# by the 10× --emb table).
+DOC_FAMILY = [
+    "dedup_minhash_pairs",
+    "dedup_ngram_pairs",
+    "ngram_jaccard_capped",
+    "simhash_near_pairs",
+    "winnowing_fingerprints",
+]
+
 
 def build_scaled(spark, replicas: int, emb_only: bool = False) -> str:
     out_dir = os.path.join(OUT_ROOT, f"x{replicas}" + ("e" if emb_only else ""))
@@ -235,11 +248,45 @@ def main_emb(replicas: int) -> int:
     return 0
 
 
+def main_docs(replicas: int) -> int:
+    """Doc-dedup family at an aggressive multiplier (default 25×):
+    minhash / raw n-gram / capped n-gram / simhash / winnowing."""
+    spark = get_spark("bench_scale_docs")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = queries()
+    scaled_dir = build_scaled(spark, replicas)
+
+    qs["dedup_minhash_pairs"](spark, BASE_SF).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    release_tracked()
+
+    base = run_family(spark, qs, BASE_SF, DOC_FAMILY)
+    scaled = run_family(spark, qs, scaled_dir, DOC_FAMILY)
+    ratios = {
+        k: (round(scaled[k] / base[k], 2) if base[k] > 0 else None)
+        for k in base
+        if k in scaled
+    }
+    print(json.dumps({
+        "metric": "doc_family_scale",
+        "unit": "sec",
+        "sf_base": 0.1,
+        "scale_multiplier": replicas,
+        "base": base,
+        "scaled": scaled,
+        "ratio": ratios,
+    }))
+    return 0
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     replicas = int(args[0]) if args else 5
     if "--emb" in sys.argv:
         return main_emb(replicas)
+    if "--docs" in sys.argv:
+        return main_docs(replicas)
     spark = get_spark("bench_scale")
     spark.sparkContext.setLogLevel("ERROR")
     qs = queries()

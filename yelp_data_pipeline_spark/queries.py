@@ -5879,59 +5879,19 @@ def q_sole_late_supplier_waits(spark, sf_dir):
 # repeatedly-verified queries can wait at the back.  `tools/check_oracle.py`
 # always sweeps all entries regardless of order.
 _EXPORT_PRIORITY: list[str] = [
-    # Erred in round 4 (array-typed quantile column broke the rows-only
-    # canonicalizer; now unpacked to scalars) — re-verdict first:
-    "approx_event_stats",
-    # New this round (no verdict yet by construction) — names are appended
-    # here as the round adds them; keep the total ahead of any verdicted
-    # name under the external harness's 50-entry window.
-    "gopher_quality_flags",
-    "script_char_ratios",
-    "duplicate_sentence_stats",
-    "duplicate_span_stats",
-    "normalized_embeddings",
-    "ann_recall_eval",
-    "local_supplier_volume",
-    "returned_items_top_customers",
-    "curriculum_order_docs",
-    "shuffled_doc_shards",
-    "corpus_trigram_topk",
-    "cross_dup_rate_by_source",
-    "pii_summary_by_source",
-    "quality_by_source_summary",
-    "embedding_norm_outliers",
-    "orders_yoy_growth",
-    # New in round 5 (no verdict yet by construction):
-    "forecast_revenue_simple",
-    "late_shipment_priority_counts",
-    "nation_pair_trade_volume",
-    "promo_revenue_share",
-    "top_supplier_by_revenue",
-    "large_volume_customers",
-    "disjunctive_part_revenue",
-    "dormant_rich_customers",
-    "bloom_filtered_segment_events",
-    "storage_partition_layout",
-    "zorder_file_stats",
-    "pagerank_supplier_graph",
-    "bpe_merge_pairs",
-    "incremental_daily_event_counts",
-    "orders_events_daily_full_join",
-    "key_skew_report",
-    "customer_rfm_segments",
-    "part_supplier_diversity",
-    "latest_event_per_user",
-    "orders_table_checksum",
-    "eval_contaminated_docs",
-    "orders_dq_quarantine",
-    "compaction_plan",
-    "cluster_size_histogram",
-    "token_count_histogram",
-    "value_band_rate_lookup",
-    "orders_reconciliation_diff",
-    "customer_order_count_distribution",
-    "small_quantity_order_revenue",
-    "sole_late_supplier_waits",
+    # Round-6 fixes of the two round-5 red rows — re-verdict first:
+    "embedding_norm_outliers",   # sd=0 guard + non-degenerate weight
+    "pagerank_supplier_graph",   # oracle HUGEINT -> BIGINT cast
+    # Round-6 semantic/oracle changes (need fresh verdicts):
+    "multimodal_decode_meta",    # real WAV codec replaces stub
+    "multimodal_frame_sample",
+    "multimodal_resize_meta",
+    "orders_dq_quarantine",      # oracle CASE arms re-ordered
+    "orders_reconciliation_diff",  # canonical DECIMAL price hashing
+    "bloom_filtered_segment_events",  # NULL build-key guard
+    # New in round 6 (no verdict yet by construction):
+    "multimodal_npy_decode",
+    "bpe_merged_vocab",
 ]
 
 
