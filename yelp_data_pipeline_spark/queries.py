@@ -5868,6 +5868,380 @@ def q_sole_late_supplier_waits(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Round 6: remaining classic decision-support shapes (TPC-H Q2/Q4/Q8/
+# Q9/Q11/Q20). The fixture has no partsupp table, so part-supplier cost
+# and stock relations derive from lineitem (documented per query).
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "min_cost_part_supplier",
+    """
+WITH ps AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         min(round(CAST(l_extendedprice AS DOUBLE)
+                   / CAST(l_quantity AS DOUBLE), 6)) AS unit_cost
+  FROM lineitem
+  GROUP BY 1, 2
+),
+m AS (SELECT partkey AS mp, min(unit_cost) AS min_cost FROM ps GROUP BY 1)
+SELECT p_partkey, s_name, unit_cost AS min_unit_cost
+FROM ps
+JOIN m ON mp = partkey AND unit_cost = min_cost
+JOIN part ON p_partkey = partkey
+JOIN supplier ON s_suppkey = suppkey
+WHERE p_type = 'STANDARD' AND p_size < 15
+""",
+    doc="TPC-H Q2 shape (min-cost supplier): the correlated "
+    "min-subquery decorrelates into one per-(part, supplier) "
+    "aggregate + a per-part min + an equi-join back on (part, cost) — "
+    "Catalyst plans two groupBys sharing one shuffle key and never "
+    "re-executes a per-row subquery. Part/supplier costs derive from "
+    "lineitem (min observed unit price, 6dp-rounded BEFORE the min so "
+    "the tie set is engine-identical) since the fixture has no "
+    "partsupp. Ties return every minimal supplier, as in Q2.",
+)
+def q_min_cost_part_supplier(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    ps = l.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(
+        F.min(
+            F.round(
+                F.col("l_extendedprice").cast("double")
+                / F.col("l_quantity").cast("double"),
+                6,
+            )
+        ).alias("unit_cost")
+    )
+    from .session import track_persist
+
+    ps = track_persist(ps)  # consumed by the min and the join-back
+    m = ps.groupBy(F.col("partkey").alias("mp")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .where((F.col("p_type") == "STANDARD") & (F.col("p_size") < 15))
+        .select("p_partkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        ps.join(
+            m,
+            (F.col("mp") == F.col("partkey"))
+            & (F.col("unit_cost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("suppkey"))
+        .select(
+            "p_partkey", "s_name", F.col("unit_cost").alias("min_unit_cost")
+        )
+    )
+
+
+@_q(
+    "order_priority_fulfillment",
+    """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= DATE '1996-01-01'
+  AND o_orderdate < DATE '1997-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+  )
+GROUP BY o_orderpriority
+""",
+    doc="TPC-H Q4 shape (order priority checking): EXISTS with a "
+    "cross-relation predicate (lineitem shipped >30 days after its "
+    "order's date — the fixture has no commit/receipt dates) becomes "
+    "ONE left-semi join whose condition carries both the key equality "
+    "and the date residual; the date-window filter prunes the probe "
+    "side before the shuffle. No de-dup pass needed: semi-join "
+    "emits each order at most once by construction.",
+)
+def q_order_priority_fulfillment(spark, sf_dir):
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    sem = o.join(
+        l,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+        ),
+        "left_semi",
+    )
+    return sem.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@_q(
+    "nation_market_share",
+    """
+WITH rev AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS yr,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4)) AS vol,
+         sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation cn ON cn.n_nationkey = c_nationkey
+  JOIN region   ON r_regionkey = cn.n_regionkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s_nationkey
+  WHERE r_name = 'ASIA'
+)
+SELECT yr,
+       round(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol
+                           ELSE CAST(0 AS DECIMAL(27,4)) END) AS DOUBLE)
+             / CAST(SUM(vol) AS DOUBLE), 6) AS mkt_share
+FROM rev
+GROUP BY yr
+""",
+    doc="TPC-H Q8 shape (national market share): the share of ASIA-"
+    "destined revenue supplied by NATION_3, per year. Five dimension "
+    "joins (orders->customer->nation->region, supplier->nation) all "
+    "broadcast — the only shuffle is the final per-year aggregate; "
+    "the share is a conditional-sum / total-sum over the SAME "
+    "relation (one pass, no self-join), both sums decimal-exact "
+    "before the 6dp ratio.",
+)
+def q_nation_market_share(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cn = n.select(
+        F.col("n_nationkey").alias("cnk"), F.col("n_regionkey").alias("crk")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+    )
+    rev = (
+        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(cn), F.col("cnk") == F.col("c_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("crk"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(sn), F.col("snk") == F.col("s_nationkey"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(27,4)")
+            .alias("vol"),
+            "supp_nation",
+        )
+    )
+    zero = F.lit(0).cast("decimal(27,4)")
+    return rev.groupBy("yr").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", F.col("vol"))
+                .otherwise(zero)
+            ).cast("double")
+            / F.sum("vol").cast("double"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@_q(
+    "product_profit_by_nation_year",
+    """
+SELECT sn.n_name AS nation,
+       CAST(year(o_orderdate) AS INT) AS yr,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     - p_retailprice * l_quantity * 0.6
+                AS DECIMAL(27,4))) AS DOUBLE) AS profit
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation sn ON sn.n_nationkey = s_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+""",
+    doc="TPC-H Q9 shape (product-type profit): profit per supplier "
+    "nation per year over a part-name filter. Cost is the synthetic "
+    "0.6 x retail (the fixture has no ps_supplycost); the per-row "
+    "profit expression casts to DECIMAL(27,4) BEFORE the sum so "
+    "accumulation order cannot shift the result. The part filter "
+    "broadcasts; lineitem->orders is the one big join.",
+)
+def q_product_profit_by_nation_year(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    sn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("nation")
+    )
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * 0.6
+    ).cast("decimal(27,4)")
+    j = (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(sn), F.col("snk") == F.col("s_nationkey"))
+    )
+    return j.groupBy(
+        F.col("nation"), F.year("o_orderdate").cast("int").alias("yr")
+    ).agg(F.sum(profit).cast("double").alias("profit"))
+
+
+@_q(
+    "important_part_values",
+    """
+WITH pv AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4)))
+           AS value
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name = 'NATION_7'
+  GROUP BY l_partkey
+),
+tot AS (SELECT SUM(value) AS total FROM pv)
+SELECT l_partkey AS p_partkey, CAST(value AS DOUBLE) AS part_value
+FROM pv, tot
+WHERE CAST(value AS DOUBLE) > 0.002 * CAST(total AS DOUBLE)
+""",
+    doc="TPC-H Q11 shape (important stock): per-part traded value for "
+    "one nation's suppliers, kept only when above a FRACTION OF THE "
+    "GLOBAL TOTAL — the scalar subquery decorrelates into a 1-row "
+    "aggregate broadcast back as a cross join (the same broadcast-"
+    "scalar idiom as embedding_norm_outliers). The per-part and "
+    "global sums reuse ONE aggregated relation, so the fact table is "
+    "scanned once.",
+)
+def q_important_part_values(spark, sf_dir):
+    from .session import track_persist
+
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").where(
+        F.col("n_name") == "NATION_7"
+    ).select("n_nationkey")
+    pv = track_persist(
+        l.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(27,4)"
+                )
+            ).alias("value")
+        )
+    )
+    tot = pv.agg(F.sum("value").alias("total"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .where(
+            F.col("value").cast("double")
+            > 0.002 * F.col("total").cast("double")
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("value").cast("double").alias("part_value"),
+        )
+    )
+
+
+@_q(
+    "dominant_share_suppliers",
+    """
+WITH fp AS (
+  SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+),
+pq AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(l_quantity AS DECIMAL(27,4))) AS sq
+  FROM lineitem JOIN fp ON p_partkey = l_partkey
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT l_partkey AS tp, SUM(sq) AS tq FROM pq GROUP BY 1
+)
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM pq JOIN tot ON tp = l_partkey
+  WHERE CAST(sq AS DOUBLE) > 0.15 * CAST(tq AS DOUBLE)
+)
+""",
+    doc="TPC-H Q20 shape (excess-stock suppliers): suppliers holding "
+    "a dominant (>15%) share of any 'red%' part's traded quantity — "
+    "the nested IN-subquery chain decorrelates into per-(part, "
+    "supplier) sums, a per-part total REUSING that aggregate (not a "
+    "second fact scan), a share filter, and one left-semi join into "
+    "supplier. Quantity sums are decimal-exact; the share compare "
+    "casts to double identically on both engines.",
+)
+def q_dominant_share_suppliers(spark, sf_dir):
+    from .session import track_persist
+
+    fp = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    pq = track_persist(
+        l.join(F.broadcast(fp), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(27,4)")).alias("sq"))
+    )
+    tot = pq.groupBy(F.col("l_partkey").alias("tp")).agg(
+        F.sum("sq").alias("tq")
+    )
+    dominant = (
+        pq.join(tot, F.col("tp") == F.col("l_partkey"))
+        .where(
+            F.col("sq").cast("double") > 0.15 * F.col("tq").cast("double")
+        )
+        .select("l_suppkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return s.join(
+        dominant, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"
+    )
+
+
+# --------------------------------------------------------------------------
 # Registry exports (driver contract)
 # --------------------------------------------------------------------------
 
@@ -5892,6 +6266,12 @@ _EXPORT_PRIORITY: list[str] = [
     # New in round 6 (no verdict yet by construction):
     "multimodal_npy_decode",
     "bpe_merged_vocab",
+    "min_cost_part_supplier",
+    "order_priority_fulfillment",
+    "nation_market_share",
+    "product_profit_by_nation_year",
+    "important_part_values",
+    "dominant_share_suppliers",
 ]
 
 
