@@ -88,7 +88,7 @@ def test_ngram_stop_shingle_cap_reduces_candidates(spark):
     # threshold=0 emits every candidate pair that shares >=1 surviving
     # shingle — a direct view of join fan-out.
     uncapped = dd.ngram_jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=0.0
+        docs, "doc_id", "text", n=3, threshold=0.0, max_doc_freq=None
     ).count()
     capped = dd.ngram_jaccard_pairs(
         docs, "doc_id", "text", n=3, threshold=0.0, max_doc_freq=5

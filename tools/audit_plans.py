@@ -34,7 +34,7 @@ DEFAULT_AUDIT = [
     "fact_orders",
     "shipping_priority_top10",
     "order_price_rank_scalable",
-    "ngram_jaccard_capped",
+    "ngram_jaccard_exact",
     "semantic_dedup_survivors",
     "winnowing_fingerprints",
     "scd2_order_status_history",

@@ -49,7 +49,7 @@ EMB_DIM = 64
 FAMILY = [
     "dedup_minhash_pairs",
     "dedup_ngram_pairs",
-    "ngram_jaccard_capped",
+    "ngram_jaccard_exact",
     "simhash_near_pairs",
     "embedding_neardup_pairs",
     "embedding_neardup_fine",
@@ -76,7 +76,7 @@ EMB_FAMILY = [
 DOC_FAMILY = [
     "dedup_minhash_pairs",
     "dedup_ngram_pairs",
-    "ngram_jaccard_capped",
+    "ngram_jaccard_exact",
     "simhash_near_pairs",
     "winnowing_fingerprints",
 ]

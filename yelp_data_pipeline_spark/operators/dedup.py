@@ -129,7 +129,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = 5,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs above ``threshold``.
 
@@ -147,8 +147,15 @@ def ngram_jaccard_pairs(
     cap on: ``common`` counts only non-stop shingles while ``na``/
     ``nb`` stay full set sizes — surviving pairs get a conservative
     (under-estimated) Jaccard, and pairs sharing ONLY stop-shingles are
-    missed; boilerplate-heavy corpora want exactly that. Default
-    ``None`` = off, bit-identical to the exact query.
+    missed; boilerplate-heavy corpora want exactly that.
+
+    The cap is ON by default (``max_doc_freq=5``) as of round 6: the
+    25× doc scale point (BASELINE.md) measured the exact variant at
+    12.3× time for 25× data vs 2.7× capped — candidate growth with
+    shared-shingle density is the family's worst scaler, and the
+    default must be the variant that survives it. Pass ``None`` for
+    the exact, bit-parity query (``ngram_jaccard_exact`` in the
+    registry).
     """
     sh = (
         with_shingles(df, text_col, n)
