@@ -120,3 +120,71 @@ def test_dedup_keep_best_picks_max_score_min_id(spark):
         for r in dd.dedup_keep_best(df, "grp", "score", "doc_id").collect()
     }
     assert got == {"g1": (2, 0.9, 3), "g2": (7, 0.1, 1)}
+
+
+def test_adaptive_simhash_band_bits_integer_rule():
+    from yelp_data_pipeline_spark.operators.dedup import (
+        adaptive_simhash_band_bits,
+    )
+
+    assert adaptive_simhash_band_bits(500) == 8       # fixture scale
+    assert adaptive_simhash_band_bits(32768) == 8     # 128<<8 boundary
+    assert adaptive_simhash_band_bits(32769) == 9
+    assert adaptive_simhash_band_bits(125_000) == 10  # the 25x corpus
+    assert adaptive_simhash_band_bits(10**7) == 15    # capped at max
+    assert adaptive_simhash_band_bits(10**9) == 15
+
+
+def test_simhash_wide_bands_equal_all_pairs(spark):
+    """Width-independence of the lossless guarantee: at a forced
+    10-bit band width (70-bit two-word signature), the banded join
+    must return EXACTLY the pairs the brute-force hamming query finds
+    over the same wide signature — including pairs whose differing
+    bits straddle the lo/hi word split."""
+    corpus = [(i, " ".join(f"tok{j}" for j in range(40 - (i % 4)))
+               + f" extra{i % 5}") for i in range(20)]
+    corpus.append((100, " ".join(f"tok{j}" for j in range(40))))
+    df = _docs(spark, corpus)
+
+    sigs = {
+        r["doc"]: (r["sig_lo"], r["sig_hi"])
+        for r in dd._simhash_wide(df, "doc_id", "text", 60, 10).collect()
+    }
+    expected = sorted(
+        (a, b)
+        for a in sigs
+        for b in sigs
+        if a < b
+        and bin(sigs[a][0] ^ sigs[b][0]).count("1")
+        + bin(sigs[a][1] ^ sigs[b][1]).count("1")
+        <= 6
+    )
+    got = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in dd.simhash_pairs(
+            df, "doc_id", "text", max_hamming=6, band_bits=10
+        ).collect()
+    )
+    assert got == expected
+    assert expected, "fixture must produce at least one near-dup pair"
+
+
+def test_simhash_adaptive_default_matches_fixed_8bit_at_small_n(spark):
+    """At fixture corpus sizes the adaptive rule instantiates 8-bit
+    bands — the registered query's result (and its 56-bit oracle)
+    must be bit-identical to the pre-adaptive operator."""
+    corpus = [
+        (1, " ".join(f"tok{i}" for i in range(40))),
+        (2, " ".join(f"tok{i}" for i in range(37)) + " aaa bbb ccc"),
+        (3, "completely different vocabulary over here entirely"),
+    ]
+    df = _docs(spark, corpus)
+    adaptive = sorted(
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in dd.simhash_pairs(df, "doc_id", "text", 6).collect()
+    )
+    fixed = sorted(
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in dd.simhash_pairs(df, "doc_id", "text", 6, band_bits=8).collect()
+    )
+    assert adaptive == fixed

@@ -467,46 +467,149 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS)
 
 SIMHASH_BANDS = 7
 SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 7 bands × 8 bits
+SIMHASH_TARGET_BUCKET = 128
+# band width caps at 15: the low word (h1, 60 bits) holds 60 // bb
+# bands and the high word (h2, 52 bits) must hold the remaining
+# (7 - 60 // bb) · bb bits — 15 is the largest width where both fit.
+SIMHASH_MAX_BAND_BITS = 15
+
+
+def adaptive_simhash_band_bits(
+    n_rows: int,
+    target_bucket_size: int = SIMHASH_TARGET_BUCKET,
+    min_bits: int = SIMHASH_BAND_BITS,
+    max_bits: int = SIMHASH_MAX_BAND_BITS,
+) -> int:
+    """Corpus-adaptive SimHash band width: the smallest ``b`` in
+    [min_bits, max_bits] with ``target_bucket_size · 2^b ≥ n_rows`` —
+    the same integer rule as similarity.adaptive_lsh_bits, for the
+    same reason: fixed 256-bucket bands hit an occupancy wall (the 25×
+    doc scale point measured 25.3× time for 25× data — per-bucket
+    pairs grow n² once buckets saturate). The BAND COUNT stays 7, so
+    the pigeonhole guarantee (lossless at hamming ≤ 6) is unaffected;
+    only bucket granularity grows. Past max_bits (n ≳ 4M at the
+    default target) hand off to MinHash-LSH or shard the corpus."""
+    bits = min_bits
+    while bits < max_bits and (target_bucket_size << bits) < n_rows:
+        bits += 1
+    return bits
+
+
+def _simhash_wide(
+    df: DataFrame, id_col: str, text_col: str, lo_bits: int, hi_bits: int
+) -> DataFrame:
+    """Two-word SimHash signature: ``lo_bits`` (≤60) vote bits from
+    md5's h1 component and ``hi_bits`` (≤52) from h2 — same vote
+    scheme as :func:`simhash`, widened past a single long's hash
+    width. Returns (doc, sig_lo, sig_hi); hamming distance is
+    bit_count(xor lo) + bit_count(xor hi). With hi_bits = 0 and
+    lo_bits = 56 this is bit-identical to :func:`simhash`."""
+    from ..functions.hashing import md5_pair
+
+    toks = F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+    tok = ensure_min_parallelism(df).select(
+        F.col(id_col).alias("doc"), F.explode_outer(toks).alias("t")
+    )
+    h1, h2 = md5_pair(F.md5(F.col("t")))
+    hashed = tok.withColumn("h1", h1).withColumn("h2", h2)
+    votes = hashed.select(
+        "doc",
+        *[
+            (F.shiftright(F.col("h1"), b).bitwiseAND(F.lit(1)) * 2 - 1).alias(
+                f"v{b}"
+            )
+            for b in range(lo_bits)
+        ],
+        *[
+            (F.shiftright(F.col("h2"), b).bitwiseAND(F.lit(1)) * 2 - 1).alias(
+                f"w{b}"
+            )
+            for b in range(hi_bits)
+        ],
+    )
+    summed = votes.groupBy("doc").agg(
+        *[F.sum(f"v{b}").alias(f"v{b}") for b in range(lo_bits)],
+        *[F.sum(f"w{b}").alias(f"w{b}") for b in range(hi_bits)],
+    )
+
+    def fold(prefix: str, nbits: int):
+        sig = F.lit(0).cast("long")
+        for b in range(nbits):
+            sig = sig + F.when(
+                F.col(f"{prefix}{b}") > 0, F.lit(2**b).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        return sig
+
+    return summed.select(
+        "doc", fold("v", lo_bits).alias("sig_lo"), fold("w", hi_bits).alias("sig_hi")
+    )
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 6
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 6,
+    band_bits: int | None = None,
+    target_bucket_size: int = SIMHASH_TARGET_BUCKET,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, found via 8-bit
-    banding over the 56-bit signature.
+    """Near-dup pairs by SimHash hamming distance, via 7-band LSH with
+    CORPUS-ADAPTIVE band width (round 6 — the fixed 8-bit bands hit
+    their 256-bucket occupancy wall at ~125k docs, measured 25.3× time
+    for 25× data in BASELINE.md).
 
     Pigeonhole guarantee: with 7 bands, a pair at hamming distance d
     has at most d dirty bands, so any pair with d ≤ 6 shares at least
     one identical band — the banding is *lossless* for the default
-    ``max_hamming`` = 6 (unlike the classic 4 byte-bands over 32 bits,
-    which only guarantee d ≤ 3). Candidates join on (band_id, band
-    value); the exact hamming filter then removes false positives, so
-    output = exactly every pair with hamming ≤ max_hamming. The assert
-    enforces the radius the banding covers.
+    ``max_hamming`` = 6 at ANY band width; widening bands only grows
+    bucket granularity (2^bits buckets/band, occupancy ≤ target) and
+    the signature itself (7·bits vote bits, split across two hash
+    words past 60). Candidates join on (band_id, band value); the
+    exact hamming filter removes false positives, so output = exactly
+    every pair with hamming ≤ max_hamming over the instantiated
+    signature. ``band_bits=None`` derives the width from df.count()
+    via :func:`adaptive_simhash_band_bits` (one cheap count job, the
+    same anytime pattern as the embedding family); at the fixtures'
+    corpus sizes the rule instantiates 8 bits = the original 56-bit
+    signature, which is what the registry oracle unrolls.
     """
     assert max_hamming < SIMHASH_BANDS, "banding is lossy beyond bands-1 bits"
     from ..session import track_persist
 
-    sig = simhash(df, id_col, text_col)
+    if band_bits is None:
+        band_bits = adaptive_simhash_band_bits(
+            df.count(), target_bucket_size
+        )
+    assert SIMHASH_BAND_BITS <= band_bits <= SIMHASH_MAX_BAND_BITS
+    bands_lo = min(60 // band_bits, SIMHASH_BANDS)
+    bands_hi = SIMHASH_BANDS - bands_lo
+    lo_bits, hi_bits = bands_lo * band_bits, bands_hi * band_bits
+
+    sig = _simhash_wide(df, id_col, text_col, lo_bits, hi_bits)
+    mask = F.lit((1 << band_bits) - 1)
+    band_exprs = [
+        F.struct(
+            F.lit(i).alias("band_id"),
+            F.shiftright("sig_lo", i * band_bits).bitwiseAND(mask).alias("band"),
+        )
+        for i in range(bands_lo)
+    ] + [
+        F.struct(
+            F.lit(bands_lo + i).alias("band_id"),
+            F.shiftright("sig_hi", i * band_bits).bitwiseAND(mask).alias("band"),
+        )
+        for i in range(bands_hi)
+    ]
     bands = sig.select(
         "doc",
-        "simhash",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(i).alias("band_id"),
-                    F.shiftright("simhash", i * SIMHASH_BAND_BITS)
-                    .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
-                    .alias("band"),
-                )
-                for i in range(SIMHASH_BANDS)
-            ])
-        ).alias("bb"),
-    ).select("doc", "simhash", F.col("bb.band_id"), F.col("bb.band"))
+        "sig_lo",
+        "sig_hi",
+        F.explode(F.array(*band_exprs)).alias("bb"),
+    ).select("doc", "sig_lo", "sig_hi", F.col("bb.band_id"), F.col("bb.band"))
     # The LSH self-join consumes the banded relation twice; without
-    # materialization BOTH sides re-run the full tokenize→hash→56-bit
-    # vote pipeline. Slim rows (doc, simhash, band_id, band), tracked
-    # for release by the session driver.
+    # materialization BOTH sides re-run the full tokenize→hash→vote
+    # pipeline. Slim rows (doc, sig_lo, sig_hi, band_id, band),
+    # tracked for release by the session driver.
     bands = track_persist(bands)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -519,14 +622,18 @@ def simhash_pairs(
         .select(
             F.col("a.doc").alias("doc_a"),
             F.col("b.doc").alias("doc_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
+            F.col("a.sig_lo").alias("lo_a"),
+            F.col("a.sig_hi").alias("hi_a"),
+            F.col("b.sig_lo").alias("lo_b"),
+            F.col("b.sig_hi").alias("hi_b"),
         )
     )
     # Filter BEFORE dropDuplicates: the hamming test is a few long ops,
     # while the distinct is a shuffle — shrink its input first. A
     # surviving pair appears once per colliding band (≤ 7×).
-    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    ham = F.bit_count(
+        F.col("lo_a").bitwiseXOR(F.col("lo_b"))
+    ) + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
     return (
         cand.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)

@@ -1856,12 +1856,18 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
 """,
-    doc="SimHash near-dup pairs via 7-band × 8-bit banding over the "
-    "56-bit signature + exact hamming ≤ 6 verify. The banding is "
-    "lossless for hamming ≤ 6 (pigeonhole over 7 bands, enforced by "
-    "the assert in simhash_pairs), so the oracle is the *exact "
-    "all-pairs* hamming query — the check covers recall, not just the "
-    "banding replay.",
+    doc="SimHash near-dup pairs via 7-band LSH with CORPUS-ADAPTIVE "
+    "band width (round 6: fixed 256-bucket bands measured 25.3× time "
+    "at 25× docs — adaptive_simhash_band_bits grows buckets/band with "
+    "n, same integer rule as the embedding family's adaptive_lsh_"
+    "bits; band COUNT stays 7 so the pigeonhole losslessness at "
+    "hamming ≤ 6 is width-independent). At the fixtures' corpus sizes "
+    "the rule instantiates 8-bit bands = the original 56-bit "
+    "signature, which is exactly what this oracle unrolls; wider "
+    "instantiations are pinned by tests/test_dedup.py's banded-vs-"
+    "all-pairs equality and the 25× bench. The oracle is the *exact "
+    "all-pairs* hamming query — the check covers recall, not just "
+    "the banding replay.",
 )
 def q_simhash_near_pairs(spark, sf_dir):
     return dd.simhash_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text", 6)
