@@ -249,3 +249,39 @@ def test_bpe_train_matches_reference_implementation(spark):
         for r in bpe_train(df, merges=6).collect()
     ]
     assert got == ref_bpe(texts, 6)
+
+
+def test_bpe_encode_counts_matches_reference(spark):
+    """Apply-step parity: frozen rules applied per word must reproduce
+    an independent Python encoder's token counts, including greedy
+    overlap and rules chaining onto merged symbols."""
+    from yelp_data_pipeline_spark.operators.textops import bpe_encode_counts
+
+    def ref_encode(text, rules):
+        n_words = n_toks = 0
+        for w in text.strip().lower().split():
+            syms = list(w)
+            for a, b in rules:
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and (syms[i], syms[i + 1]) == (a, b):
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            n_words += 1
+            n_toks += len(syms)
+        return n_words, n_toks
+
+    rules = [("l", "o"), ("lo", "w"), ("a", "a")]
+    texts = ["low lower aaa aaaa", "low aab lowlow", "x"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_encode_counts(df, rules).collect()
+    }
+    assert got == {i: ref_encode(t, rules) for i, t in enumerate(texts)}

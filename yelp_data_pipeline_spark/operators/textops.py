@@ -954,3 +954,41 @@ def bpe_train(
     return spark.createDataFrame(
         rules, "merge_round int, pair string, cnt bigint"
     )
+
+
+def bpe_encode_counts(
+    df: DataFrame,
+    rules: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a learned BPE merge list to every document and return
+    (id, n_words, n_bpe_tokens) — the tokenizer-application half of
+    :func:`bpe_train` (the pair every real pipeline ships: train once
+    on the corpus, encode everything with the frozen rules).
+
+    Entirely map-side: per doc, each word's character symbols pass
+    through the rules IN MERGE ORDER as nested pure-Catalyst folds
+    (``len(rules)`` nested ``aggregate`` expressions — the rule list
+    is a frozen literal, so the whole encode is one narrow projection:
+    no shuffle, no UDF, trivially parallel over a 100 TB corpus).
+    Token counts use the same greedy left-to-right merge semantics the
+    trainer counted with.
+    """
+    words = F.filter(
+        tokens(F.col(text_col)), lambda w: F.length(w) >= 1
+    )
+
+    def merged_size(w):
+        syms = F.split(w, "")
+        for a, b in rules:
+            syms = _merge_pair_in_syms(syms, a, b)
+        return F.size(syms)
+
+    return df.select(
+        F.col(id_col),
+        F.size(words).alias("n_words"),
+        F.aggregate(
+            words, F.lit(0), lambda acc, w: acc + merged_size(w)
+        ).alias("n_bpe_tokens"),
+    )

@@ -4970,6 +4970,45 @@ v{t} AS (
     return "".join(parts)
 
 
+def _bpe_encode_oracle_sql(merges: int = 6) -> str:
+    """Oracle for the tokenizer-APPLICATION pass: re-derives the merge
+    rules with the same training CTE chain as _bpe_oracle_sql, then
+    pushes EVERY document's words (not the distinct vocab) through the
+    rules via the delimited-string replace and counts surviving
+    symbols per doc."""
+    sep = "chr(31)"
+    dsep = "chr(31) || chr(31)"
+    base = _bpe_oracle_sql(merges)
+    chain = base[: base.index("\nSELECT merge_round")]
+    parts = [chain]
+    parts.append(f""",
+dw0 AS (
+  SELECT doc_id,
+         regexp_replace(w, '(.)', chr(31) || '\\1' || chr(31), 'g') AS r
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+        FROM documents)
+  WHERE length(w) >= 1
+)""")
+    for t in range(1, merges + 1):
+        parts.append(f""",
+dw{t} AS (
+  SELECT d.doc_id,
+         replace(d.r,
+                 {sep} || replace(b.pair, ' ', {dsep}) || {sep},
+                 {sep} || replace(b.pair, ' ', '') || {sep}) AS r
+  FROM dw{t - 1} d, b{t} b
+)""")
+    parts.append(f"""
+SELECT doc_id,
+       CAST(count(*) AS INT) AS n_words,
+       CAST(SUM(len(string_split(substr(r, 2, length(r) - 2), {dsep})))
+            AS INT) AS n_bpe_tokens
+FROM dw{merges}
+GROUP BY doc_id""")
+    return "".join(parts)
+
+
 @_q(
     "bpe_merged_vocab",
     _bpe_oracle_sql(merges=6),
@@ -4988,6 +5027,26 @@ v{t} AS (
 )
 def q_bpe_merged_vocab(spark, sf_dir):
     return tx.bpe_train(_t(spark, sf_dir, "documents"), merges=6)
+
+
+@_q(
+    "bpe_encoded_token_counts",
+    _bpe_encode_oracle_sql(merges=6),
+    doc="Tokenizer APPLICATION: the 6 merge rules learned by "
+    "bpe_merged_vocab, applied to every document (textops.py:"
+    "bpe_encode_counts) — train once, encode everything, the pair a "
+    "real pipeline ships. The encode itself is one narrow map-side "
+    "projection (rules frozen as literals, nested pure-Catalyst "
+    "folds, greedy left-to-right merge semantics identical to the "
+    "trainer's counting): no shuffle, no UDF, trivially parallel at "
+    "100 TB. Oracle re-derives the rules with the training CTE chain "
+    "and replays the encode via delimited-string replaces.",
+)
+def q_bpe_encoded_token_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    learned = tx.bpe_train(d, merges=6).collect()
+    rules = [tuple(r["pair"].split(" ", 1)) for r in learned]
+    return tx.bpe_encode_counts(d, rules)
 
 
 @_q(
@@ -6287,6 +6346,7 @@ _EXPORT_PRIORITY: list[str] = [
     "dominant_share_suppliers",
     "dedup_ngram_pairs",     # default flipped to capped (scale-safe)
     "ngram_jaccard_exact",   # renamed from ngram_jaccard_capped's twin
+    "bpe_encoded_token_counts",
 ]
 
 
