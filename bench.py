@@ -54,6 +54,11 @@ EXTRAS = [
     "scd2_order_status_history",
     "kmeans_assignments",
     "fuzzy_dup_pairs",
+    # round 6
+    "bpe_merged_vocab",
+    "nation_market_share",
+    "min_cost_part_supplier",
+    "multimodal_decode_meta",
 ]
 
 

@@ -50,6 +50,15 @@ DEFAULT_AUDIT = [
     "orders_reconciliation_diff",
     "late_shipment_priority_counts",
     "disjunctive_part_revenue",
+    # round 6
+    "min_cost_part_supplier",
+    "order_priority_fulfillment",
+    "nation_market_share",
+    "product_profit_by_nation_year",
+    "important_part_values",
+    "dominant_share_suppliers",
+    "multimodal_decode_meta",
+    "bpe_encoded_token_counts",
 ]
 
 
