@@ -56,3 +56,48 @@ def test_q5_dim_chain_is_broadcast(spark):
     assert "ResolvedHint" in analyzed
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in executed
+
+
+def test_kmv_distinct_exact_branch_and_estimate_quality(spark):
+    from yelp_data_pipeline_spark.operators.aggregates import kmv_distinct
+
+    # fewer distincts than k -> exact
+    small = spark.createDataFrame(
+        [(i % 7,) for i in range(100)], "v long"
+    )
+    assert kmv_distinct(small, "v", k=64).collect()[0]["est_distinct"] == 7
+
+    # estimation branch: 5000 distincts, k=256 -> within 15% (the md5
+    # family is fixed, so this bound is deterministic, not flaky)
+    big = spark.createDataFrame([(i,) for i in range(5000)], "v long")
+    row = kmv_distinct(big, "v", k=256, exact_compare=True).collect()[0]
+    assert row["exact_distinct"] == 5000
+    assert row["rel_err"] <= 0.15
+
+
+def test_hot_cold_split_join_equals_plain_join(spark):
+    import pyspark.sql.functions as F
+
+    from yelp_data_pipeline_spark.operators.joins import hot_cold_split_join
+
+    # key 1 is pathologically hot; keys 2/3 cold; key 9 dim-less
+    big = spark.createDataFrame(
+        [(1, i) for i in range(50)] + [(2, 1), (3, 2), (9, 3)],
+        "k long, payload long",
+    )
+    dim = spark.createDataFrame(
+        [(1, "hot"), (2, "a"), (3, "b"), (4, "unused")], "dk long, name string"
+    )
+    got = sorted(
+        (r["k"], r["payload"], r["name"])
+        for r in hot_cold_split_join(big, dim, "k", "dk", n_hot=1)
+        .select("k", "payload", "name")
+        .collect()
+    )
+    exp = sorted(
+        (r["k"], r["payload"], r["name"])
+        for r in big.join(dim, F.col("k") == F.col("dk"))
+        .select("k", "payload", "name")
+        .collect()
+    )
+    assert got == exp and len(got) == 52

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.hashing import md5_long
+
 DECIMAL = "decimal(27,4)"
 
 
@@ -144,4 +146,65 @@ def winsorize(
         df.join(F.broadcast(bounds))
         .withColumn(f"{col}_w", clipped)
         .drop("_qlo", "_qhi")
+    )
+
+
+# ----------------------------------------------------------- KMV sketch
+
+KMV_HASH_SPACE = 1 << 60  # md5_long's range (15 hex digits)
+
+
+def kmv_distinct(
+    df: DataFrame, col: str, k: int = 256, exact_compare: bool = False
+) -> DataFrame:
+    """K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002)
+    — a DETERMINISTIC alternative to HLL's approx_count_distinct: the
+    estimate depends only on the md5 hash family and k, so retries,
+    partitionings, AND the DuckDB oracle reproduce it bit-exactly
+    (HLL sketches are engine-internal and only rows-checkable).
+
+    Estimator: keep the k smallest distinct 60-bit hashes; if fewer
+    than k exist the count is exact, else est = (k-1) · 2^60 / h_(k).
+    Numerics: (k-1)·2^60 holds exactly in a double for k ≤ 2^9+1
+    (8-bit mantissa need), and both engines convert h_(k) with the
+    same IEEE round-to-nearest, so the rounded estimate is
+    engine-identical.
+
+    Scale shape: map-side distinct partials shrink each partition to
+    ≤ its distinct hashes, the k-smallest pass is a TakeOrdered k-heap
+    (the per-partition k-min sets ARE mergeable sketches — union then
+    re-take-k — which is how a 100 TB scan's partials combine), and
+    the final aggregate sees k rows. With ``exact_compare`` the output
+    adds the true distinct count and relative error (a second pass —
+    for validation harnesses, not production).
+    """
+    hashes = df.select(
+        md5_long(F.col(col).cast("string")).alias("h")
+    ).distinct()
+    topk = hashes.orderBy(F.col("h").asc()).limit(k)
+    est = F.when(
+        F.col("m") < k, F.col("m")
+    ).otherwise(
+        F.round(F.lit(float((k - 1) * KMV_HASH_SPACE)) / F.col("hk").cast("double"))
+        .cast("long")
+    )
+    sk = topk.agg(
+        F.count(F.lit(1)).alias("m"), F.max("h").alias("hk")
+    ).select(est.alias("est_distinct"))
+    if not exact_compare:
+        return sk
+    exact = df.agg(F.count_distinct(F.col(col)).alias("exact_distinct"))
+    return (
+        sk.crossJoin(F.broadcast(exact))
+        .select(
+            "est_distinct",
+            "exact_distinct",
+            F.round(
+                F.abs(F.col("est_distinct") - F.col("exact_distinct")).cast(
+                    "double"
+                )
+                / F.col("exact_distinct").cast("double"),
+                4,
+            ).alias("rel_err"),
+        )
     )

@@ -280,3 +280,51 @@ def star_join(fact: DataFrame, dims: list[tuple]) -> DataFrame:
         dim, on, bcast = entry if len(entry) == 3 else (*entry, True)
         out = out.join(F.broadcast(dim) if bcast else dim, on)
     return out
+
+
+def hot_cold_split_join(
+    big: DataFrame,
+    dim: DataFrame,
+    big_key: str,
+    dim_key: str,
+    n_hot: int = 16,
+) -> DataFrame:
+    """Two-path skew join: route the ``n_hot`` most frequent big-side
+    keys through a broadcast join and everything else through the
+    normal shuffle join, then union.
+
+    The alternative to salting when skew is concentrated in a FEW
+    identifiable keys (celebrity users, null-ish defaults, bot
+    traffic): salting rewrites the whole key space and multiplies the
+    dim ``salt`` times, while the two-path split leaves the cold 99.9%
+    untouched and moves only the hot keys' dim rows (≤ n_hot of them)
+    to the map side — no shuffle partition ever receives a hot key.
+    AQE's skew-join split solves overflow-sized partitions reactively;
+    this is the declarative form that also documents WHICH keys are
+    hot (the frequency top-k is computed in-plan via a
+    TakeOrderedAndProject, never a driver collect).
+
+    Result equals ``big ⋈ dim`` exactly: the two paths partition the
+    big side by hot-key membership (semi/anti on the same top-k
+    relation), and each path joins the full dim restricted to its key
+    range.
+    """
+    freq = (
+        big.groupBy(F.col(big_key).alias("__hk"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy(F.col("__c").desc(), F.col("__hk").asc())
+        .limit(n_hot)
+        .select("__hk")
+    )
+    big_hot = big.join(
+        F.broadcast(freq), F.col(big_key) == F.col("__hk"), "left_semi"
+    )
+    big_cold = big.join(
+        F.broadcast(freq), F.col(big_key) == F.col("__hk"), "left_anti"
+    )
+    dim_hot = dim.join(
+        F.broadcast(freq), F.col(dim_key) == F.col("__hk"), "left_semi"
+    )
+    hot = big_hot.join(F.broadcast(dim_hot), F.col(big_key) == F.col(dim_key))
+    cold = big_cold.join(dim, F.col(big_key) == F.col(dim_key))
+    return hot.unionByName(cold)

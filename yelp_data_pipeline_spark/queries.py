@@ -6313,6 +6313,73 @@ def q_dominant_share_suppliers(spark, sf_dir):
     )
 
 
+@_q(
+    "kmv_distinct_events",
+    f"""
+WITH h AS (
+  SELECT DISTINCT {md5_long_sql("CAST(event_id AS VARCHAR)")} AS h
+  FROM events
+),
+k AS (SELECT h FROM h ORDER BY h LIMIT 256),
+a AS (SELECT count(*) AS m, max(h) AS hk FROM k),
+e AS (SELECT count(DISTINCT event_id) AS exact_distinct FROM events)
+SELECT CASE WHEN m < 256 THEN m
+            ELSE CAST(round(255.0 * 1152921504606846976.0
+                            / CAST(hk AS DOUBLE)) AS BIGINT)
+       END AS est_distinct,
+       exact_distinct,
+       round(abs(CASE WHEN m < 256 THEN m
+                      ELSE CAST(round(255.0 * 1152921504606846976.0
+                                      / CAST(hk AS DOUBLE)) AS BIGINT)
+                 END - exact_distinct) / CAST(exact_distinct AS DOUBLE), 4)
+         AS rel_err
+FROM a, e
+""",
+    doc="K-minimum-values distinct sketch (Bar-Yossef et al. 2002, "
+    "operators/aggregates.py:kmv_distinct) — the DETERMINISTIC "
+    "mergeable alternative to approx_count_distinct's HLL: the "
+    "estimate depends only on the md5 family and k, so the DuckDB "
+    "oracle reproduces it BIT-EXACTLY (approx_event_stats is "
+    "rows-only-checkable by contrast, which is why this query "
+    "exists). Scale shape: map-side distinct partials, per-partition "
+    "k-min heaps (TakeOrdered — the partials ARE the mergeable "
+    "sketch), final aggregate over k rows. exact_compare adds the "
+    "true count + relative error for the harness.",
+)
+def q_kmv_distinct_events(spark, sf_dir):
+    return agg.kmv_distinct(
+        _t(spark, sf_dir, "events"), "event_id", k=256, exact_compare=True
+    )
+
+
+@_q(
+    "segment_event_values_hot_cold",
+    """
+SELECT c_mktsegment,
+       count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS total_value
+FROM events JOIN customer ON c_custkey = user_id
+GROUP BY c_mktsegment
+""",
+    doc="Two-path skew join (operators/joins.py:hot_cold_split_join): "
+    "the 8 hottest user keys route through a broadcast join (their "
+    "dim rows move map-side, no shuffle partition ever receives a "
+    "hot key) while the cold tail takes the normal shuffle join; "
+    "semi/anti on the same in-plan top-k relation partition the fact "
+    "exactly, so the union equals the plain join — which is what the "
+    "oracle runs. The declarative complement to AQE's reactive skew "
+    "split and to salting (which multiplies the dim for ALL keys).",
+)
+def q_segment_event_values_hot_cold(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select("user_id", "value")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = joins.hot_cold_split_join(e, c, "user_id", "c_custkey", n_hot=8)
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        agg.exact_sum("value", "total_value"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry exports (driver contract)
 # --------------------------------------------------------------------------
@@ -6347,6 +6414,8 @@ _EXPORT_PRIORITY: list[str] = [
     "dedup_ngram_pairs",     # default flipped to capped (scale-safe)
     "ngram_jaccard_exact",   # renamed from ngram_jaccard_capped's twin
     "bpe_encoded_token_counts",
+    "kmv_distinct_events",
+    "segment_event_values_hot_cold",
 ]
 
 
