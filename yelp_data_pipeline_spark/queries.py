@@ -3727,16 +3727,21 @@ def q_script_char_ratios(spark, sf_dir):
 
 @_q(
     "duplicate_sentence_stats",
-    """
-WITH ex AS (
-  SELECT doc_id AS doc,
-         unnest(string_split_regex(text, '[.!?]\\s+')) AS s
+    r"""
+WITH punct AS (
+  SELECT doc_id,
+         regexp_replace(text, '((?:\S+ ){7}\S+) ', '\1. ', 'g') AS text
   FROM documents
 ),
+ex AS (
+  SELECT doc_id AS doc,
+         unnest(string_split_regex(text, '[.!?]\s+')) AS s
+  FROM punct
+),
 kept AS (
-  SELECT doc, regexp_replace(trim(lower(s)), '\\s+', ' ', 'g') AS sent
+  SELECT doc, regexp_replace(trim(lower(s)), '\s+', ' ', 'g') AS sent
   FROM ex
-  WHERE length(regexp_replace(trim(lower(s)), '\\s+', ' ', 'g')) >= 20
+  WHERE length(regexp_replace(trim(lower(s)), '\s+', ' ', 'g')) >= 20
 )
 SELECT md5(sent) AS sentence_hash,
        count(DISTINCT doc) AS n_docs,
@@ -3750,10 +3755,20 @@ HAVING count(DISTINCT doc) >= 2
     "sentences map-side, one shuffle keyed on the md5 of the "
     "normalized sentence (maximally spread — never needs salting), "
     "map-side partial aggregation; the output is the anti-join "
-    "removal list for boilerplate stripping.",
+    "removal list for boilerplate stripping. The fixture's documents "
+    "carry no sentence punctuation (the query returned 0 rows through "
+    "round 5 — structurally degenerate), so a deterministic "
+    "segmentation inserts a period every 8 words first, mirrored in "
+    "both engines; near-dup docs then share exact sentences (135 at "
+    "sf0.01).",
 )
 def q_duplicate_sentence_stats(spark, sf_dir):
-    return tx.duplicate_sentence_stats(_t(spark, sf_dir, "documents"))
+    d = _t(spark, sf_dir, "documents")
+    punct = d.withColumn(
+        "text",
+        F.regexp_replace("text", r"((?:\S+ ){7}\S+) ", "$1. "),
+    )
+    return tx.duplicate_sentence_stats(punct)
 
 
 @_q(
@@ -6416,6 +6431,7 @@ _EXPORT_PRIORITY: list[str] = [
     "bpe_encoded_token_counts",
     "kmv_distinct_events",
     "segment_event_values_hot_cold",
+    "duplicate_sentence_stats",  # de-degenerated (was structurally 0 rows)
 ]
 
 
