@@ -1,0 +1,159 @@
+"""Round-6 operators: degree-ordered triangle counting, ANALYZE-style
+column profiling, Count-Min-Sketch heavy hitters — correctness pinned
+against independent Python replays (brute-force triangle enumeration,
+dict-based profiling, a literal CMS grid)."""
+
+import hashlib
+from collections import Counter
+from itertools import combinations
+
+import pyspark.sql.functions as F
+
+from yelp_data_pipeline_spark.operators.aggregates import cms_heavy_hitters
+from yelp_data_pipeline_spark.operators.graph import triangle_counts
+from yelp_data_pipeline_spark.operators.quality import column_profile
+
+
+def _brute_triangles(edges):
+    adj = {}
+    und = set()
+    for a, b in edges:
+        if a == b:
+            continue
+        lo, hi = min(a, b), max(a, b)
+        und.add((lo, hi))
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts = Counter()
+    for trio in combinations(sorted(adj), 3):
+        a, b, c = trio
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            counts[a] += 1
+            counts[b] += 1
+            counts[c] += 1
+    return dict(counts)
+
+
+def test_triangle_counts_matches_bruteforce(spark):
+    # K4 plus a pendant and a disconnected edge: K4 has 4 triangles,
+    # each node in 3 of them; pendant/extra-edge nodes in none.
+    edges = [
+        ("a", "b"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d"),
+        ("d", "e"), ("x", "y"),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == _brute_triangles(edges)
+
+
+def test_triangle_counts_dedups_and_ignores_direction(spark):
+    # Same triangle given as duplicates, reversed edges, and a
+    # self-loop — still exactly one triangle.
+    edges = [
+        ("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"),
+        ("a", "b"), ("c", "c"),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == {"a": 1, "b": 1, "c": 1}
+
+
+def test_triangle_counts_hub_graph(spark):
+    # A star (hub h with 20 spokes) plus one spoke-spoke edge: exactly
+    # one triangle; the degree orientation must not blow up or
+    # miscount around the hub.
+    edges = [("h", f"s{i}") for i in range(20)] + [("s0", "s1")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == {"h": 1, "s0": 1, "s1": 1}
+
+
+def test_column_profile_long_format(spark):
+    rows = [
+        (1, "x", 2.5),
+        (2, "y", None),
+        (3, None, 1.0),
+        (4, "x", 4.0),
+    ]
+    df = spark.createDataFrame(rows, ["k", "s", "v"])
+    prof = {
+        r["column"]: r
+        for r in column_profile(df, num_cols=["k", "v"], str_cols=["s"]).collect()
+    }
+    assert set(prof) == {"k", "s", "v"}
+    k = prof["k"]
+    assert (k["n_rows"], k["n_nulls"], k["n_distinct"]) == (4, 0, 4)
+    assert (k["min_num"], k["max_num"]) == (1.0, 4.0)
+    assert k["min_str"] is None and k["max_str"] is None
+    v = prof["v"]
+    assert (v["n_nulls"], v["n_distinct"]) == (1, 3)
+    assert (v["min_num"], v["max_num"]) == (1.0, 4.0)
+    s = prof["s"]
+    assert (s["n_nulls"], s["n_distinct"]) == (1, 2)
+    assert (s["min_str"], s["max_str"]) == ("x", "y")
+    assert s["min_num"] is None and s["max_num"] is None
+
+
+def test_column_profile_approx_path_runs(spark):
+    # The 100 TB path (HLL++ NDV) must produce the same shape; exact
+    # equality of NDV is not guaranteed, so assert bounds only.
+    df = spark.createDataFrame([(i % 5, str(i % 3)) for i in range(100)], ["n", "s"])
+    prof = {
+        r["column"]: r
+        for r in column_profile(
+            df, num_cols=["n"], str_cols=["s"], exact_ndv=False
+        ).collect()
+    }
+    assert prof["n"]["n_rows"] == 100
+    assert 4 <= prof["n"]["n_distinct"] <= 6
+    assert 2 <= prof["s"]["n_distinct"] <= 4
+
+
+def _cms_python(values, depth, width):
+    grid = Counter()
+    for v in values:
+        h = hashlib.md5(str(v).encode()).hexdigest()
+        h1, h2 = int(h[:15], 16), int(h[15:28], 16)
+        for i in range(depth):
+            grid[(i, (h1 + i * h2) % width)] += 1
+    est = {}
+    for v in set(values):
+        h = hashlib.md5(str(v).encode()).hexdigest()
+        h1, h2 = int(h[:15], 16), int(h[15:28], 16)
+        est[v] = min(grid[(i, (h1 + i * h2) % width)] for i in range(depth))
+    return est
+
+
+def test_cms_heavy_hitters_matches_python_grid(spark):
+    # Zipf-ish stream over few keys + roomy grid: estimates must equal
+    # the literal Python CMS (same md5 family), and with no collisions
+    # they equal exact counts.
+    values = [j for j in range(10) for _ in range(j + 1)]
+    df = spark.createDataFrame([(v,) for v in values], ["k"])
+    got = {
+        r["k"]: r["est_cnt"]
+        for r in cms_heavy_hitters(df, "k", depth=4, width=512, k=10).collect()
+    }
+    want = _cms_python(values, 4, 512)
+    assert got == want
+    exact = Counter(values)
+    assert got == dict(exact)
+
+
+def test_cms_never_undercounts_under_collisions(spark):
+    # width=4 forces heavy collisions: estimates may overcount but can
+    # NEVER undercount (the CMS guarantee), and the Python grid must
+    # agree cell-for-cell.
+    values = [j % 23 for j in range(400)]
+    df = spark.createDataFrame([(v,) for v in values], ["k"])
+    got = {
+        r["k"]: r["est_cnt"]
+        for r in cms_heavy_hitters(df, "k", depth=3, width=4, k=23).collect()
+    }
+    want = _cms_python(values, 3, 4)
+    exact = Counter(values)
+    for k, est in got.items():
+        assert est >= exact[k]
+        assert est == want[k]

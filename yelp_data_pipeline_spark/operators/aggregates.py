@@ -208,3 +208,66 @@ def kmv_distinct(
             ).alias("rel_err"),
         )
     )
+
+
+# ------------------------------------------------- Count-Min heavy hitters
+
+
+def cms_heavy_hitters(
+    df: DataFrame, col: str, depth: int = 4, width: int = 512, k: int = 20
+) -> DataFrame:
+    """Heavy hitters via a Count-Min Sketch (Cormode & Muthukrishnan
+    2005) built with the md5 double-hashing family — DETERMINISTIC, so
+    the DuckDB oracle replays every counter and estimate bit-exactly
+    (engine-internal sketches are only rows-checkable).
+
+    The sketch is a depth×width counter grid: row i counts the stream
+    at position ``(h1 + i·h2) mod width`` (Kirsch-Mitzenmacher: one md5
+    yields both components, see functions/hashing.py). Point estimate =
+    min over rows — never an undercount, overcount bounded by
+    2N/width per row with prob 1-(1/2)^depth.
+
+    Why a sketch when groupBy(col).count() is exact: the grid is FIXED
+    memory (depth·width counters) independent of key cardinality, and
+    grids merge by cell-wise addition — so 100 TB of partitions, or a
+    day of streaming micro-batches, combine into one O(kB) summary
+    that answers any later point query without rescanning. That merge
+    is exactly Spark's map-side partial aggregation here: each task
+    builds its local grid, the shuffle moves ≤ depth·width rows per
+    task, never the keys.
+
+    This batch wrapper then answers "top-k keys by estimated count"
+    by probing the finished grid with the observed distinct keys — a
+    broadcast join (the grid is ≤ depth·width rows by construction)
+    followed by min-per-key and a TakeOrdered k-heap with (count DESC,
+    key ASC) tiebreak.
+    """
+    from ..functions.hashing import md5_pair
+
+    hexc = F.md5(F.col(col).cast("string"))
+    h1, h2 = md5_pair(hexc)
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                ((h1 + F.lit(i) * h2) % width).alias("pos"),
+            )
+            for i in range(depth)
+        ]
+    )
+    cells = (
+        df.select(F.explode(probes).alias("c"))
+        .groupBy(F.col("c.i").alias("i"), F.col("c.pos").alias("pos"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    keys = (
+        df.select(F.col(col)).distinct()
+        .select(F.col(col), F.explode(probes).alias("c"))
+        .select(F.col(col), F.col("c.i").alias("i"), F.col("c.pos").alias("pos"))
+    )
+    est = (
+        keys.join(F.broadcast(cells), ["i", "pos"])
+        .groupBy(col)
+        .agg(F.min("cnt").alias("est_cnt"))
+    )
+    return est.orderBy(F.col("est_cnt").desc(), F.col(col).asc()).limit(k)

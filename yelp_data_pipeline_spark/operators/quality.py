@@ -72,3 +72,86 @@ def dq_quarantine(
             F.array_join("__failed", ";").alias("violations"),
         )
     )
+
+
+def column_profile(
+    df: DataFrame,
+    num_cols: list[str] | None = None,
+    str_cols: list[str] | None = None,
+    date_cols: list[str] | None = None,
+    exact_ndv: bool = True,
+) -> DataFrame:
+    """ANALYZE-style per-column statistics profile in ONE pass (the
+    stats a cost-based optimizer, a data-catalog crawler, or a
+    pre-training corpus audit wants): row count, null count, distinct
+    count, min and max — emitted LONG (one row per column) so the
+    schema is stable no matter which columns are profiled.
+
+    Numeric min/max surface as exact doubles (engine-portable — equal
+    doubles canonicalize identically, unlike float→string renderings);
+    string/date min/max as strings; each type family leaves the other
+    family's columns NULL.
+
+    Scale posture: a single aggregate over the table — Catalyst prunes
+    the scan to exactly the profiled columns, and every statistic is
+    map-side partial-aggregable EXCEPT exact NDV, which Spark computes
+    via one expand (rows × profiled-columns) feeding per-key partial
+    distincts: parallel, but the expand multiplies scan output. At
+    100 TB set ``exact_ndv=False`` to swap in HLL++
+    (``approx_count_distinct``, fully map-side combinable, ~2% err) —
+    exact is the default here because the DuckDB oracle must replay the
+    numbers bit-for-bit.
+    """
+    num_cols = num_cols or []
+    str_cols = str_cols or []
+    date_cols = date_cols or []
+    ndv = (
+        (lambda c: F.count_distinct(F.col(c)))
+        if exact_ndv
+        else (lambda c: F.approx_count_distinct(c))
+    )
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    rows = []
+    for c in num_cols + str_cols + date_cols:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"__nn_{c}")
+        )
+        aggs.append(ndv(c).cast("long").alias(f"__nd_{c}"))
+    for c in num_cols:
+        aggs.append(F.min(F.col(c)).cast("double").alias(f"__mn_{c}"))
+        aggs.append(F.max(F.col(c)).cast("double").alias(f"__mx_{c}"))
+    for c in str_cols + date_cols:
+        aggs.append(F.min(F.col(c)).cast("string").alias(f"__mns_{c}"))
+        aggs.append(F.max(F.col(c)).cast("string").alias(f"__mxs_{c}"))
+    wide = df.agg(*aggs)
+    for c in num_cols:
+        rows.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__nn_{c}").alias("n_nulls"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+                F.col(f"__mn_{c}").alias("min_num"),
+                F.col(f"__mx_{c}").alias("max_num"),
+                F.lit(None).cast("string").alias("min_str"),
+                F.lit(None).cast("string").alias("max_str"),
+            )
+        )
+    for c in str_cols + date_cols:
+        rows.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__nn_{c}").alias("n_nulls"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+                F.lit(None).cast("double").alias("min_num"),
+                F.lit(None).cast("double").alias("max_num"),
+                F.col(f"__mns_{c}").alias("min_str"),
+                F.col(f"__mxs_{c}").alias("max_str"),
+            )
+        )
+    return wide.select(
+        F.explode(F.array(*rows)).alias("p")
+    ).select("p.*")

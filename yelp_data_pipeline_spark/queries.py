@@ -4868,6 +4868,213 @@ r{t} AS (
     return "".join(parts)
 
 
+def _cms_oracle_sql(depth: int = 4, width: int = 512, k: int = 20) -> str:
+    """DuckDB twin of operators/aggregates.py:cms_heavy_hitters — the
+    same md5 double-hash probes, cell counts, and min-estimate."""
+    def probe(i: int) -> str:
+        return f"({md5_family_sql('CAST(user_id AS VARCHAR)', i)}) % {width}"
+
+    cell_stream = "\n  UNION ALL ".join(
+        f"SELECT {i} AS i, {probe(i)} AS pos FROM events"
+        for i in range(depth)
+    )
+    key_probes = "\n  UNION ALL ".join(
+        f"SELECT user_id, {i} AS i, {probe(i)} AS pos FROM dk"
+        for i in range(depth)
+    )
+    return f"""
+WITH dk AS (SELECT DISTINCT user_id FROM events),
+cell_stream AS (
+  {cell_stream}
+),
+cells AS (SELECT i, pos, count(*) AS cnt FROM cell_stream GROUP BY i, pos),
+key_probes AS (
+  {key_probes}
+),
+est AS (
+  SELECT user_id, min(cnt) AS est_cnt
+  FROM key_probes JOIN cells USING (i, pos)
+  GROUP BY user_id
+)
+SELECT user_id, est_cnt FROM est
+ORDER BY est_cnt DESC, user_id ASC
+LIMIT {k}
+"""
+
+
+@_q(
+    "cms_heavy_user_hitters",
+    _cms_oracle_sql(),
+    doc="Top-20 users by Count-Min-Sketch estimated event count "
+    "(operators/aggregates.py:cms_heavy_hitters, Cormode & "
+    "Muthukrishnan 2005), md5 double-hash family so the DuckDB oracle "
+    "replays every counter bit-exactly. The sketch grid is FIXED "
+    "memory (4×512 counters) independent of key cardinality and "
+    "merges cell-wise — each task's local grid is a partial "
+    "aggregate, the shuffle carries ≤2048 rows per task, never keys; "
+    "that merge property is what makes it the 100 TB / streaming "
+    "summary structure (vs an exact groupBy whose state is "
+    "O(distinct keys)). Probe phase: broadcast the ≤2048-row grid, "
+    "min-per-key, TakeOrdered top-k with deterministic tiebreak.",
+)
+def q_cms_heavy_user_hitters(spark, sf_dir):
+    return agg.cms_heavy_hitters(
+        _t(spark, sf_dir, "events"), "user_id", depth=4, width=512, k=20
+    )
+
+
+@_q(
+    "orders_column_profile",
+    """
+WITH w AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nn_k,
+         count(DISTINCT o_orderkey) AS nd_k,
+         CAST(min(o_orderkey) AS DOUBLE) AS mn_k,
+         CAST(max(o_orderkey) AS DOUBLE) AS mx_k,
+         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nn_c,
+         count(DISTINCT o_custkey) AS nd_c,
+         CAST(min(o_custkey) AS DOUBLE) AS mn_c,
+         CAST(max(o_custkey) AS DOUBLE) AS mx_c,
+         sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS nn_p,
+         count(DISTINCT o_totalprice) AS nd_p,
+         CAST(min(o_totalprice) AS DOUBLE) AS mn_p,
+         CAST(max(o_totalprice) AS DOUBLE) AS mx_p,
+         sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS nn_s,
+         count(DISTINCT o_orderstatus) AS nd_s,
+         CAST(min(o_orderstatus) AS VARCHAR) AS mn_s,
+         CAST(max(o_orderstatus) AS VARCHAR) AS mx_s,
+         sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS nn_o,
+         count(DISTINCT o_orderpriority) AS nd_o,
+         CAST(min(o_orderpriority) AS VARCHAR) AS mn_o,
+         CAST(max(o_orderpriority) AS VARCHAR) AS mx_o,
+         sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS nn_d,
+         count(DISTINCT CAST(o_orderdate AS DATE)) AS nd_d,
+         CAST(CAST(min(o_orderdate) AS DATE) AS VARCHAR) AS mn_d,
+         CAST(CAST(max(o_orderdate) AS DATE) AS VARCHAR) AS mx_d
+  FROM orders
+)
+SELECT 'o_orderkey' AS "column", n AS n_rows, nn_k AS n_nulls, nd_k AS n_distinct,
+       mn_k AS min_num, mx_k AS max_num,
+       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM w
+UNION ALL
+SELECT 'o_custkey', n, nn_c, nd_c, mn_c, mx_c, NULL, NULL FROM w
+UNION ALL
+SELECT 'o_totalprice', n, nn_p, nd_p, mn_p, mx_p, NULL, NULL FROM w
+UNION ALL
+SELECT 'o_orderstatus', n, nn_s, nd_s, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mn_s, mx_s FROM w
+UNION ALL
+SELECT 'o_orderpriority', n, nn_o, nd_o, NULL, NULL, mn_o, mx_o FROM w
+UNION ALL
+SELECT 'o_date', n, nn_d, nd_d, NULL, NULL, mn_d, mx_d FROM w
+""",
+    doc="ANALYZE-style long-format column profile of orders "
+    "(operators/quality.py:column_profile): one aggregate pass emits "
+    "(column, n_rows, n_nulls, n_distinct, min/max) per profiled "
+    "column — the statistics a cost-based optimizer or catalog "
+    "crawler collects. Scan pruned to exactly the profiled columns; "
+    "every stat map-side combinable except exact NDV (Spark expand), "
+    "for which the operator offers approx_count_distinct (HLL++) as "
+    "the 100 TB path — exact kept here so the oracle replays "
+    "bit-for-bit. Numeric min/max as exact doubles, never "
+    "float→string renderings (engine-specific).",
+)
+def q_orders_column_profile(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "o_date", F.to_date("o_orderdate")
+    )
+    return dq.column_profile(
+        o,
+        num_cols=["o_orderkey", "o_custkey", "o_totalprice"],
+        str_cols=["o_orderstatus", "o_orderpriority"],
+        date_cols=["o_date"],
+    )
+
+
+@_q(
+    "supplier_knn_triangles",
+    """
+WITH co AS (
+  SELECT l1.l_suppkey AS a, l2.l_suppkey AS b,
+         count(DISTINCT l1.l_orderkey) AS cnt
+  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+  WHERE l1.l_suppkey <> l2.l_suppkey
+  GROUP BY 1, 2
+),
+knn AS (
+  SELECT a, b FROM (
+    SELECT a, b,
+           row_number() OVER (PARTITION BY a ORDER BY cnt DESC, b ASC) AS rk
+    FROM co
+  ) WHERE rk <= 3
+),
+und AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM knn),
+deg AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b FROM und
+  ) GROUP BY node
+),
+oriented AS (
+  SELECT CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND u.a < u.b)
+              THEN u.a ELSE u.b END AS u,
+         CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND u.a < u.b)
+              THEN u.b ELSE u.a END AS v,
+         CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND u.a < u.b)
+              THEN db.deg ELSE da.deg END AS dv
+  FROM und u JOIN deg da ON u.a = da.node JOIN deg db ON u.b = db.node
+),
+wedges AS (
+  SELECT e1.u, e1.v AS v1, e2.v AS v2
+  FROM oriented e1 JOIN oriented e2 ON e1.u = e2.u
+  WHERE (e1.dv < e2.dv) OR (e1.dv = e2.dv AND e1.v < e2.v)
+),
+tri AS (
+  SELECT w.u, w.v1, w.v2
+  FROM wedges w JOIN oriented o ON w.v1 = o.u AND w.v2 = o.v
+),
+tri_nodes AS (
+  SELECT u AS node FROM tri
+  UNION ALL SELECT v1 FROM tri
+  UNION ALL SELECT v2 FROM tri
+)
+SELECT node, count(*) AS n_triangles FROM tri_nodes GROUP BY node
+""",
+    doc="Per-node triangle counts over the supplier k-NN co-supply "
+    "graph (operators/graph.py:triangle_counts — compact-forward with "
+    "degree-ordered orientation, Latapy 2008 / Suri & Vassilvitskii "
+    "WWW'11). The graph keeps each supplier's 3 strongest co-supply "
+    "partners (count of shared orders, deterministic (cnt DESC, id) "
+    "tiebreak) — a scale-free construction: density never degenerates "
+    "to complete (small SF) or empty (large SF) as absolute thresholds "
+    "do. Orientation from the lower-(deg,id) endpoint bounds every "
+    "out-degree by O(sqrt(m)), so the wedge self-join is O(m^1.5) "
+    "worst-case instead of hub-quadratic — THE known-safe triangle "
+    "plan at 100 TB. 3 shuffles past the degree agg; no driver "
+    "collect; each triangle enumerated exactly once via the "
+    "(deg,id)-chain u<v<w.",
+)
+def q_supplier_knn_triangles(spark, sf_dir):
+    from pyspark.sql import Window
+
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    r = l.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("b")
+    )
+    co = (
+        l.join(r, (F.col("l_orderkey") == F.col("o2")))
+        .where(F.col("l_suppkey") != F.col("b"))
+        .groupBy(F.col("l_suppkey").alias("a"), "b")
+        .agg(F.count_distinct(F.col("l_orderkey")).alias("cnt"))
+    )
+    w = Window.partitionBy("a").orderBy(F.desc("cnt"), F.asc("b"))
+    knn = (
+        co.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("a", "b")
+    )
+    return graph.triangle_counts(knn, "a", "b")
+
+
 @_q(
     "pagerank_supplier_graph",
     _pagerank_oracle_sql(iters=3),
@@ -6432,6 +6639,9 @@ _EXPORT_PRIORITY: list[str] = [
     "kmv_distinct_events",
     "segment_event_values_hot_cold",
     "duplicate_sentence_stats",  # de-degenerated (was structurally 0 rows)
+    "supplier_knn_triangles",
+    "orders_column_profile",
+    "cms_heavy_user_hitters",
 ]
 
 
