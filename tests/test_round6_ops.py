@@ -157,3 +157,57 @@ def test_cms_never_undercounts_under_collisions(spark):
     for k, est in got.items():
         assert est >= exact[k]
         assert est == want[k]
+
+
+def test_frequent_pairs_counts_and_lift(spark):
+    # Baskets: {A,B,C}, {A,B}, {A,B,D}, {C,D} -> support(A,B)=3,
+    # support(A,C)=support(B,C)=1 (dropped at min_support=2), etc.
+    rows = [
+        (1, "A"), (1, "B"), (1, "C"),
+        (2, "A"), (2, "B"),
+        (3, "A"), (3, "B"), (3, "D"),
+        (4, "C"), (4, "D"),
+        (3, "A"),  # duplicate item in basket: must not double-count
+    ]
+    from yelp_data_pipeline_spark.operators.aggregates import frequent_pairs
+
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    got = {
+        (r["a"], r["b"]): (r["support"], r["lift"])
+        for r in frequent_pairs(df, "basket", "item", min_support=2).collect()
+    }
+    assert set(got) == {("A", "B")}
+    support, lift = got[("A", "B")]
+    assert support == 3
+    # lift = support*nb / (supp_A*supp_B) = 3*4/(3*3)
+    assert lift == round(3 * 4 / 9, 6)
+
+
+def test_frequent_pairs_drops_oversized_baskets(spark):
+    from yelp_data_pipeline_spark.operators.aggregates import frequent_pairs
+
+    rows = [(1, f"i{j}") for j in range(10)] + [(2, "i0"), (2, "i1")]
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    got = frequent_pairs(
+        df, "basket", "item", min_support=1, max_basket=5
+    ).collect()
+    # Basket 1 (10 items) dropped; only basket 2's single pair remains.
+    assert [(r["a"], r["b"], r["support"]) for r in got] == [("i0", "i1", 1)]
+
+
+def test_grouped_ols_trend_exact_line(spark):
+    from yelp_data_pipeline_spark.operators.timeseries import grouped_ols_trend
+
+    # g1: y = 2x + 1 exactly; g2: constant y (slope 0); g3: single
+    # point (den=0 -> NULL slope, never divided).
+    rows = (
+        [("g1", x, 2.0 * x + 1.0) for x in range(5)]
+        + [("g2", x, 7.0) for x in range(4)]
+        + [("g3", 3, 9.0)]
+    )
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    got = {r["g"]: r for r in grouped_ols_trend(df, "g", "x", "y").collect()}
+    assert (got["g1"]["slope"], got["g1"]["intercept"]) == (2.0, 1.0)
+    assert (got["g2"]["slope"], got["g2"]["intercept"]) == (0.0, 7.0)
+    assert got["g3"]["slope"] is None and got["g3"]["intercept"] is None
+    assert got["g3"]["n_points"] == 1

@@ -271,3 +271,74 @@ def cms_heavy_hitters(
         .agg(F.min("cnt").alias("est_cnt"))
     )
     return est.orderBy(F.col("est_cnt").desc(), F.col(col).asc()).limit(k)
+
+
+# --------------------------------------------- Market-basket pair mining
+
+
+def frequent_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    max_basket: int = 64,
+    top: int = 100,
+) -> DataFrame:
+    """Frequent co-occurring item pairs across baskets (the counting
+    core of association-rule mining — the 2-itemset pass of Apriori /
+    the first FP-growth layer), with per-pair lift.
+
+    Shape: distinct (basket, item) → within-basket self-join with
+    ``a < b`` (each unordered pair built once) → groupBy(pair) support
+    count → keep support ≥ min_support, top-k by (support DESC, a, b).
+    Lift = support(a,b)·n_baskets / (support(a)·support(b)), from two
+    broadcast-joined item-support relations, rounded 6dp — exact
+    integer inputs, so engines agree bit-for-bit.
+
+    Scale guard: the within-basket join is quadratic in basket size,
+    and real basket data is heavy-tailed (one crawler session with 10⁵
+    items would dominate the whole job). Baskets larger than
+    ``max_basket`` are dropped BEFORE pairing — the standard mining
+    practice (they contribute noise pairs anyway). That bounds work at
+    |baskets|·max_basket², and the pair aggregate is map-side
+    combinable; the top-k is a TakeOrdered heap, no global sort.
+    """
+    items = df.select(
+        F.col(basket_col).alias("b_"), F.col(item_col).alias("i_")
+    ).distinct()
+    sizes = items.groupBy("b_").agg(F.count(F.lit(1)).alias("sz"))
+    ok = items.join(
+        sizes.where(F.col("sz") <= max_basket).select("b_"), "b_"
+    )
+    lhs = ok.select("b_", F.col("i_").alias("a"))
+    rhs = ok.select("b_", F.col("i_").alias("b"))
+    pairs = (
+        lhs.join(rhs, "b_")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= min_support)
+    )
+    item_supp = ok.groupBy("i_").agg(F.count(F.lit(1)).alias("supp"))
+    n_baskets = ok.select("b_").distinct().agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    sa = item_supp.select(F.col("i_").alias("a"), F.col("supp").alias("sa"))
+    sb = item_supp.select(F.col("i_").alias("b"), F.col("supp").alias("sb"))
+    return (
+        pairs.join(F.broadcast(sa), "a")
+        .join(F.broadcast(sb), "b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "a",
+            "b",
+            "support",
+            F.round(
+                (F.col("support") * F.col("nb")).cast("double")
+                / (F.col("sa") * F.col("sb")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("support").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(top)
+    )

@@ -83,3 +83,57 @@ def daily_count_zscores(
     return daily.join(mom, "grp").select(
         F.col("grp").alias(group_col), "date", "cnt", z.alias("z")
     )
+
+
+def grouped_ols_trend(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group ordinary-least-squares trend line (slope + intercept)
+    via the closed-form sufficient statistics — the distributed way to
+    fit millions of tiny regressions (one per key) in ONE aggregate
+    pass, no per-group iteration, no driver loop.
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+
+    Cross-engine exactness: naive float Σxy differs across partition
+    orders (FP addition is not associative), so x must be integral
+    (e.g. an epoch-day index) and y is accumulated as DECIMAL — all
+    five sufficient statistics are then EXACT, order-independent
+    integers/decimals. The closed-form combination happens ONLY after
+    the aggregate, in doubles of those exact operands (decimal products
+    would hit the 38-digit precision cap): identical IEEE ops on
+    identical inputs are bit-identical in any engine. The integer-only
+    denominator stays in exact int64; a degenerate x range (den = 0)
+    yields NULL slope — guarded, never divided.
+
+    Scale: one groupBy with map-side partials; output is |groups| rows.
+    """
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("decimal(18,2)")
+    stats = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(F.col(x_col).cast("decimal(18,0)") * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    num = nd * F.col("sxy").cast("double") - sxd * syd
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dend = den.cast("double")
+    slope = F.when(den != 0, F.round(num / dend, round_to))
+    intercept = F.when(
+        den != 0, F.round((syd - num / dend * sxd) / nd, round_to)
+    )
+    return stats.select(
+        F.col(group_col),
+        F.col("n").alias("n_points"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+    )

@@ -4903,6 +4903,121 @@ LIMIT {k}
 
 
 @_q(
+    "frequent_part_pairs",
+    """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS b_, l_partkey AS i_ FROM lineitem
+),
+ok AS (
+  SELECT i.b_, i.i_ FROM items i
+  JOIN (SELECT b_ FROM items GROUP BY b_ HAVING count(*) <= 64) s USING (b_)
+),
+pairs AS (
+  SELECT l.i_ AS a, r.i_ AS b, count(*) AS support
+  FROM ok l JOIN ok r ON l.b_ = r.b_ AND l.i_ < r.i_
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+),
+supp AS (SELECT i_, count(*) AS s FROM ok GROUP BY 1),
+nb AS (SELECT count(DISTINCT b_) AS nb FROM ok)
+SELECT p.a, p.b, p.support,
+       round(CAST(p.support * nb.nb AS DOUBLE)
+             / CAST(sa.s * sb.s AS DOUBLE), 6) AS lift
+FROM pairs p
+JOIN supp sa ON p.a = sa.i_
+JOIN supp sb ON p.b = sb.i_
+CROSS JOIN nb
+ORDER BY p.support DESC, p.a ASC, p.b ASC
+LIMIT 100
+""",
+    doc="Market-basket mining: top part pairs co-ordered in the same "
+    "order with support ≥ 2 and lift (operators/aggregates.py:"
+    "frequent_pairs — the 2-itemset counting pass of Apriori). "
+    "Within-basket self-join is quadratic in basket size, so baskets "
+    "over 64 items are dropped BEFORE pairing (heavy-tail guard — one "
+    "degenerate crawler basket would otherwise dominate the job); "
+    "work is bounded at |baskets|·64². Pair aggregate map-side "
+    "combinable; item supports broadcast back; top-100 via TakeOrdered "
+    "heap with (support DESC, a, b) tiebreak. Lift from exact integer "
+    "operands — engines agree bit-for-bit.",
+)
+def q_frequent_part_pairs(spark, sf_dir):
+    return agg.frequent_pairs(
+        _t(spark, sf_dir, "lineitem"),
+        basket_col="l_orderkey",
+        item_col="l_partkey",
+        min_support=2,
+        max_basket=64,
+        top=100,
+    )
+
+
+@_q(
+    "nation_revenue_trend",
+    """
+WITH daily AS (
+  SELECT n_name,
+         date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS x,
+         sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT n_name,
+         count(*) AS n,
+         sum(CAST(x AS BIGINT)) AS sx,
+         sum(CAST(rev AS DECIMAL(18,2))) AS sy,
+         sum(CAST(x AS DECIMAL(18,0)) * CAST(rev AS DECIMAL(18,2))) AS sxy,
+         sum(CAST(x AS BIGINT) * CAST(x AS BIGINT)) AS sxx
+  FROM daily GROUP BY 1
+)
+SELECT n_name,
+       CAST(n AS BIGINT) AS n_points,
+       CASE WHEN (n * sxx - sx * sx) <> 0 THEN
+         round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+       END AS slope,
+       CASE WHEN (n * sxx - sx * sx) <> 0 THEN
+         round((CAST(sy AS DOUBLE)
+                - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / CAST(n * sxx - sx * sx AS DOUBLE)
+                  * CAST(sx AS DOUBLE))
+               / CAST(n AS DOUBLE), 6)
+       END AS intercept
+FROM s
+""",
+    doc="Per-nation OLS trend of daily order revenue vs epoch-day "
+    "index (operators/timeseries.py:grouped_ols_trend): millions of "
+    "tiny regressions as ONE aggregate pass over closed-form "
+    "sufficient statistics — no per-group iteration, no driver loop. "
+    "Cross-engine exactness: the five statistics accumulate as exact "
+    "integers/decimals (order-independent), and only the final "
+    "slope/intercept combination runs in doubles of those exact "
+    "operands with an int64-exact denominator — identical IEEE ops on "
+    "identical inputs, den=0 NULL-guarded (never divided, ANSI-safe).",
+)
+def q_nation_revenue_trend(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01")).alias("x"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("p"),
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    daily = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "x")
+        .agg(F.sum("p").alias("rev"))
+    )
+    return ts_ops.grouped_ols_trend(daily, "n_name", "x", "rev")
+
+
+@_q(
     "cms_heavy_user_hitters",
     _cms_oracle_sql(),
     doc="Top-20 users by Count-Min-Sketch estimated event count "
@@ -6642,6 +6757,8 @@ _EXPORT_PRIORITY: list[str] = [
     "supplier_knn_triangles",
     "orders_column_profile",
     "cms_heavy_user_hitters",
+    "frequent_part_pairs",
+    "nation_revenue_trend",
 ]
 
 
