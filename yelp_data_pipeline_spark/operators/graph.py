@@ -376,9 +376,13 @@ def triangle_counts(
     edges: undirected pair list; duplicates / reversed duplicates /
     self-loops tolerated. Returns (node, n_triangles) for nodes in ≥1
     triangle.
-    """
-    from ..session import track_persist
 
+    ``und`` and ``oriented`` are each referenced 2-3 times downstream;
+    lineage is cut (localCheckpoint, the pagerank/CC lesson) rather
+    than persisted, because nested multi-reference makes the *plan*
+    grow geometrically even when the cache executes once — the
+    checkpoint keeps both the execution AND the plan linear.
+    """
     und = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -388,7 +392,7 @@ def triangle_counts(
         .where(F.col("a").isNotNull() & F.col("b").isNotNull())
         .distinct()
     )
-    und = track_persist(und)
+    und = und.localCheckpoint(eager=False)
     deg = (
         und.select(F.col("a").alias("node"))
         .union(und.select(F.col("b")))
@@ -423,7 +427,7 @@ def triangle_counts(
         )
         .select("e.u", "e.v", "e.dv")
     )
-    oriented = track_persist(oriented)
+    oriented = oriented.localCheckpoint(eager=False)
     e1 = oriented.select(
         F.col("u"), F.col("v").alias("v1"), F.col("dv").alias("dv1")
     )
