@@ -76,3 +76,33 @@ def test_stream_dedup_drops_redelivered_file(spark, tmp_path):
     n = spark.sql("SELECT count(*) AS c FROM t_dedup").collect()[0]["c"]
     n_distinct = batch.select("event_id").distinct().count()
     assert n == n_distinct  # every redelivered row dropped, one survivor per id
+
+
+def test_stream_dedup_within_watermark_restamped_retries(spark, tmp_path):
+    # Redelivered events arrive with RESTAMPED timestamps (ts + skew),
+    # so (event_id, ts) dedup would pass them through; key-only
+    # dropDuplicatesWithinWatermark must collapse them while keeping
+    # state bounded by the watermark horizon.
+    import shutil
+
+    src = tmp_path / "restamped_src"
+    src.mkdir()
+    base = _batch_events(spark).select("event_id", "ts", "user_id").limit(200)
+    base.write.mode("overwrite").parquet(str(src / "batch0.parquet"))
+    restamped = base.withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 37 seconds")
+    )
+    restamped.write.mode("overwrite").parquet(str(src / "batch1.parquet"))
+
+    stream = (
+        spark.readStream.schema(base.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    deduped = sj.dedup_stream_within_watermark(
+        stream, ["event_id"], "ts", "2 hours"
+    )
+    _run(deduped, tmp_path, "t_ddww")
+    got = spark.sql("SELECT event_id FROM t_ddww").collect()
+    ids = [r["event_id"] for r in got]
+    assert len(ids) == len(set(ids)) == base.count()

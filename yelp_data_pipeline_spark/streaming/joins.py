@@ -64,3 +64,29 @@ def dedup_stream(
     if df.isStreaming:
         df = df.withWatermark(ts_col, delay)
     return df.dropDuplicates(keys)
+
+
+def dedup_stream_within_watermark(
+    df: DataFrame, keys: list[str], ts_col: str, delay: str = "1 hour"
+) -> DataFrame:
+    """Streaming dedup for keys whose DUPLICATES carry different event
+    times (retries restamped at send time, clock-skewed redelivery) —
+    ``dropDuplicatesWithinWatermark``: two rows collide when their keys
+    match and their event times fall within the watermark delay of the
+    first-seen row, so the timestamp needn't be part of the identity.
+
+    Contrast with :func:`dedup_stream` (plain watermarked
+    ``dropDuplicates``): there a redelivered event with a *different*
+    timestamp is NOT a duplicate unless ts is excluded from the keys —
+    and excluding ts makes state eviction depend on subtle planner
+    rules. This variant is the intended API for that case (Spark 3.5+):
+    state per key is evicted ``delay`` after the first occurrence,
+    keeping the store bounded by the key-arrival rate × horizon.
+
+    On a batch DataFrame, falls back to plain dropDuplicates on keys —
+    batch has no watermark clock; callers comparing stream vs batch
+    should dedup on keys alone.
+    """
+    if df.isStreaming:
+        return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates(keys)
