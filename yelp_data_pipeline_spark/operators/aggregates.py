@@ -342,3 +342,76 @@ def frequent_pairs(
         .orderBy(F.col("support").desc(), F.col("a").asc(), F.col("b").asc())
         .limit(top)
     )
+
+
+def kmv_set_estimates(
+    df_a: DataFrame, col_a: str, df_b: DataFrame, col_b: str, k: int = 256
+) -> DataFrame:
+    """Distinct-cardinality estimates for A, B, A∪B and A∩B from
+    MERGED k-minimum-values sketches (Beyer et al., SIGMOD'07) — the
+    reason sketches beat exact distincts at scale: the union sketch is
+    just the k smallest of the two sketches' hashes (never a rescan of
+    either table), and the intersection uses the ρ estimator
+    ρ = |{h ∈ K_∪ : h ∈ K_A ∧ h ∈ K_B}| / k, est_∩ = round(ρ · est_∪).
+    Same md5 hash family as :func:`kmv_distinct`, so the DuckDB oracle
+    replays every hash, both sketch paths (m < k exact, else the
+    (k−1)·2^60/h_(k) estimator), and the final products bit-exactly —
+    the product ciÂ·est_∪ stays far inside a double's exact-integer
+    range, so the one rounded division is engine-identical.
+
+    Each input is scanned ONCE (sketches are 256-row localCheckpoints,
+    re-used by the union and membership joins); everything after the
+    two k-min passes operates on ≤k-row relations — broadcast-only,
+    no shuffle of data rows. Returns one row:
+    (est_a, est_b, est_union, est_intersection).
+    """
+    def sketch(df: DataFrame, col: str) -> DataFrame:
+        return (
+            df.select(md5_long(F.col(col).cast("string")).alias("h"))
+            .distinct()
+            .orderBy(F.col("h").asc())
+            .limit(k)
+            .localCheckpoint(eager=False)
+        )
+
+    def estimate(sk: DataFrame, out: str) -> DataFrame:
+        est = F.when(F.col("m") < k, F.col("m")).otherwise(
+            F.round(
+                F.lit(float((k - 1) * KMV_HASH_SPACE))
+                / F.col("hk").cast("double")
+            ).cast("long")
+        )
+        return sk.agg(
+            F.count(F.lit(1)).alias("m"), F.max("h").alias("hk")
+        ).select(est.alias(out))
+
+    ka = sketch(df_a, col_a)
+    kb = sketch(df_b, col_b)
+    ku = (
+        ka.union(kb)
+        .distinct()
+        .orderBy(F.col("h").asc())
+        .limit(k)
+        .localCheckpoint(eager=False)
+    )
+    ci = (
+        ku.join(ka, "h", "left_semi")
+        .join(kb, "h", "left_semi")
+        .agg(F.count(F.lit(1)).alias("ci"))
+    )
+    return (
+        estimate(ka, "est_a")
+        .crossJoin(F.broadcast(estimate(kb, "est_b")))
+        .crossJoin(F.broadcast(estimate(ku, "est_union")))
+        .crossJoin(F.broadcast(ci))
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            F.round(
+                (F.col("ci") * F.col("est_union")).cast("double") / k
+            )
+            .cast("long")
+            .alias("est_intersection"),
+        )
+    )

@@ -749,3 +749,120 @@ def cross_dup_rate_by_source(
             ).alias("cross_dup_rate"),
         )
     )
+
+
+def prefix_filtered_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """EXACT n-gram Jaccard pairs ≥ t via PREFIX FILTERING (the
+    PPJoin family: Chaudhuri et al. ICDE'06, Xiao et al. WWW'08) — the
+    third point in the exact-set-similarity design space alongside the
+    full shingle join (``ngram_jaccard_pairs(max_doc_freq=None)``) and
+    the stop-shingle cap (lossy): LOSSLESS like the former, with
+    candidate generation bounded like the latter.
+
+    Theorem: order every doc's tokens by one global total order; two
+    sets with Jaccard ≥ t must share ≥1 token within each other's
+    first ``p = |x| − ⌈t·|x|⌉ + 1`` tokens. So only prefixes join —
+    at t = 0.8 that's ~20% of each doc's tokens — and ordering
+    rarest-first (by global document frequency) makes those the
+    lowest-fan-out join keys in the corpus: the hot boilerplate
+    shingles that blow up the full join sit at the END of every
+    ordering and never enter it. Candidates then verify with ONE exact
+    intersection per pair (array_intersect on the two shingle arrays —
+    slim prefix rows generate, payload arrays travel per-candidate).
+
+    The threshold is a RATIONAL (num/den) so the prefix length uses
+    exact integer ceil — a float ⌈0.8·n⌉ mis-rounds for some n (e.g.
+    0.8·55 → 44.000…01), silently shortening the prefix and DROPPING
+    qualifying pairs. The length pre-filter (t·max ≤ min, also exact
+    integer form) prunes cross-size candidates before the verify.
+
+    Scale: shuffles are the df-count, the sort-key join, the prefix
+    self-join (bounded by prefix length × token rarity), and the
+    verify join. No all-pairs stage anywhere; skewed prefix tokens are
+    rare by construction (rarest-first), the opposite of the full
+    join's hot-shingle skew.
+
+    Returns (doc_a, doc_b, jaccard) — bit-identical to the exact
+    variant's output.
+    """
+    from ..session import track_persist
+
+    t_float = threshold_num / threshold_den
+    sh = (
+        with_shingles(df, text_col, n)
+        .select(
+            F.col(id_col).alias("doc"),
+            "shingles",
+            F.size("shingles").alias("n_sh"),
+        )
+    )
+    sh = track_persist(sh)
+    ex = sh.select("doc", "n_sh", F.explode("shingles").alias("s"))
+    dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("dfc"))
+    # One global total order: (document frequency ASC, token ASC).
+    ordered = (
+        ex.join(dfreq, "s")
+        .groupBy("doc", "n_sh")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("dfc"), F.col("s")))
+            ).alias("ord")
+        )
+    )
+    # p = n - ceil(num*n/den) + 1, exact integer ceil: (a + b - 1) div b.
+    p = (
+        F.col("n_sh")
+        - F.expr(
+            f"(({threshold_num} * n_sh + {threshold_den} - 1)) div {threshold_den}"
+        ).cast("int")
+        + F.lit(1)
+    )
+    prefixes = ordered.select(
+        "doc",
+        "n_sh",
+        F.explode(
+            F.slice(F.transform(F.col("ord"), lambda x: x["s"]), 1, p)
+        ).alias("s"),
+    )
+    a, b = prefixes.alias("a"), prefixes.alias("b")
+    # Length filter in exact integers: t·na ≤ nb  ⇔  num·na ≤ den·nb.
+    cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc") < F.col("b.doc"))
+            & (threshold_num * F.col("a.n_sh") <= threshold_den * F.col("b.n_sh"))
+            & (threshold_num * F.col("b.n_sh") <= threshold_den * F.col("a.n_sh")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    A = sh.select(
+        F.col("doc").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("n_sh").alias("na"),
+    )
+    B = sh.select(
+        F.col("doc").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("n_sh").alias("nb"),
+    )
+    common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jac = F.round(
+        common.cast("double")
+        / (F.col("na") + F.col("nb") - common).cast("double"),
+        6,
+    )
+    return (
+        cand.join(A, "doc_a")
+        .join(B, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= t_float)
+    )

@@ -1824,6 +1824,45 @@ def q_ngram_jaccard_exact(spark, sf_dir):
 
 
 @_q(
+    "prefix_jaccard_pairs",
+    f"""
+WITH {_SHINGLES_CTE},
+ex AS (
+  SELECT doc_id, CAST(len(shingles) AS INT) AS n_sh, unnest(shingles) AS s FROM sh
+),
+c AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+         count(*) AS common
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b,
+       round(CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE), 6) AS jaccard
+FROM c
+WHERE round(CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE), 6) >= 0.8
+""",
+    doc="EXACT Jaccard ≥ 0.8 via PREFIX FILTERING (PPJoin family, "
+    "operators/dedup.py:prefix_filtered_jaccard_pairs): tokens "
+    "globally ordered rarest-first; only each doc's first "
+    "n−⌈t·n⌉+1 tokens (~20% at t=0.8) enter the self-join, and the "
+    "hot boilerplate shingles that blow up the full shingle join sit "
+    "at the END of every ordering — never join keys. LOSSLESS "
+    "(oracle = the full exact-pairs SQL, identical output to "
+    "ngram_jaccard_exact) with capped-variant-like candidate counts; "
+    "prefix length and the t·max≤min length filter use exact integer "
+    "arithmetic (a float ⌈0.8·n⌉ mis-rounds for some n and silently "
+    "drops qualifying pairs). Exact array_intersect verify per "
+    "candidate; slim prefix rows generate, arrays travel "
+    "per-candidate only.",
+)
+def q_prefix_jaccard_pairs(spark, sf_dir):
+    return dd.prefix_filtered_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, threshold_num=4, threshold_den=5,
+    )
+
+
+@_q(
     "dedup_minhash_pairs",
     _minhash_oracle(k=12, bands=4, threshold=0.8),
     doc="MinHash(12) + LSH(4 bands × 3 rows) + exact-Jaccard verify — "
@@ -4903,6 +4942,68 @@ LIMIT {k}
 
 
 @_q(
+    "kmv_user_customer_overlap",
+    f"""
+WITH ha AS (
+  SELECT DISTINCT {md5_long_sql("CAST(user_id AS VARCHAR)")} AS h FROM events
+),
+hb AS (
+  SELECT DISTINCT {md5_long_sql("CAST(o_custkey AS VARCHAR)")} AS h FROM orders
+),
+ka AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+kb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+ku AS (
+  SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb) u
+  ORDER BY h LIMIT 256
+),
+ea AS (SELECT count(*) AS m, max(h) AS hk FROM ka),
+eb AS (SELECT count(*) AS m, max(h) AS hk FROM kb),
+eu AS (SELECT count(*) AS m, max(h) AS hk FROM ku),
+ci AS (
+  SELECT count(*) AS ci FROM ku
+  WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)
+),
+est AS (
+  SELECT
+    CASE WHEN ea.m < 256 THEN ea.m
+         ELSE CAST(round(255.0 * 1152921504606846976.0
+                         / CAST(ea.hk AS DOUBLE)) AS BIGINT) END AS est_a,
+    CASE WHEN eb.m < 256 THEN eb.m
+         ELSE CAST(round(255.0 * 1152921504606846976.0
+                         / CAST(eb.hk AS DOUBLE)) AS BIGINT) END AS est_b,
+    CASE WHEN eu.m < 256 THEN eu.m
+         ELSE CAST(round(255.0 * 1152921504606846976.0
+                         / CAST(eu.hk AS DOUBLE)) AS BIGINT) END AS est_union,
+    ci.ci AS ci
+  FROM ea, eb, eu, ci
+)
+SELECT est_a, est_b, est_union,
+       CAST(round(CAST(ci * est_union AS DOUBLE) / 256) AS BIGINT)
+         AS est_intersection
+FROM est
+""",
+    doc="Distinct-set-operation estimates — |users|, |customers|, "
+    "union and intersection — from MERGED KMV sketches (Beyer et al. "
+    "SIGMOD'07, operators/aggregates.py:kmv_set_estimates). The union "
+    "estimate needs NO rescan (k smallest of the two sketches' "
+    "hashes) and the intersection uses the ρ estimator over the union "
+    "sketch — the multiset-operation capability that makes sketches "
+    "composable at 100 TB (pre-computed per-partition/per-day "
+    "sketches answer cross-table overlap questions without touching "
+    "data again). Deterministic md5 family: the oracle replays both "
+    "the m<k exact path (users: 150 < 256) and the (k−1)·2^60/h_(k) "
+    "estimator path (customers: >256) bit-exactly; each input "
+    "scanned once, all post-sketch relations ≤256 rows.",
+)
+def q_kmv_user_customer_overlap(spark, sf_dir):
+    return agg.kmv_set_estimates(
+        _t(spark, sf_dir, "events"), "user_id",
+        _t(spark, sf_dir, "orders"), "o_custkey",
+        k=256,
+    )
+
+
+@_q(
     "frequent_part_pairs",
     """
 WITH items AS (
@@ -6759,6 +6860,8 @@ _EXPORT_PRIORITY: list[str] = [
     "cms_heavy_user_hitters",
     "frequent_part_pairs",
     "nation_revenue_trend",
+    "prefix_jaccard_pairs",
+    "kmv_user_customer_overlap",
 ]
 
 
