@@ -269,3 +269,44 @@ def test_kmv_set_estimates_exact_small_and_accurate_large(spark):
     big = spark.createDataFrame([(i,) for i in range(5000)], ["x"])
     r2 = kmv_set_estimates(big, "x", b, "y", k=256).collect()[0]
     assert abs(r2["est_a"] - 5000) / 5000 < 0.15
+
+
+def test_global_row_numbers_exact_and_dense(spark):
+    from yelp_data_pipeline_spark.operators.windows import global_row_numbers
+
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, f"k{rng.randrange(10**6):06d}") for i in range(1000)]
+    df = spark.createDataFrame(rows, ["id", "key"]).repartition(8)
+    got = {
+        r["id"]: r["rn"]
+        for r in global_row_numbers(df, ["key", "id"]).collect()
+    }
+    want = {
+        id_: i + 1
+        for i, (id_, _) in enumerate(sorted(rows, key=lambda t: (t[1], t[0])))
+    }
+    assert got == want
+
+
+def test_sorted_neighborhood_pairs_match_python(spark):
+    from yelp_data_pipeline_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    docs = [(i, f"doc number {i % 7} body {i}") for i in range(40)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    key = F.lower(F.col("text"))
+    got = {
+        (r["doc_a"], r["doc_b"], r["dist"])
+        for r in sorted_neighborhood_pairs(df, "doc_id", key, window=2).collect()
+    }
+    order = sorted(docs, key=lambda t: (t[1].lower(), t[0]))
+    want = set()
+    for i in range(len(order)):
+        for o in (1, 2):
+            if i + o < len(order):
+                a, b = order[i][0], order[i + o][0]
+                want.add((min(a, b), max(a, b), o))
+    assert got == want

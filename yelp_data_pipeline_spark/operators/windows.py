@@ -195,3 +195,55 @@ def rolling_range_avg(
             F.sum(value_col).over(w) / F.count(F.lit(1)).over(w), round_to
         ),
     )
+
+
+def global_row_numbers(
+    df: DataFrame,
+    order_cols: list[str],
+    out: str = "rn",
+    num_range_parts: int | None = None,
+) -> DataFrame:
+    """Exact global row numbers over a UNIQUE sort key WITHOUT a
+    global window — ``Window.orderBy(...)`` with no partitionBy
+    funnels every row through one reducer, the canonical scale
+    anti-pattern. Same algorithm family as :func:`scalable_ranks`:
+
+    1. ``repartitionByRange`` on the sort key (sampled boundaries,
+       ascending partition ids hold ascending key ranges);
+    2. local row_number inside each range partition;
+    3. ONE bounded driver collect of per-partition row counts (≤ one
+       row per range partition) turned into prefix offsets, broadcast
+       back; global rn = offset + local rn.
+
+    The caller guarantees ``order_cols`` is a unique key (append a
+    unique id as the last column) — uniqueness makes the global order,
+    and therefore every rn, deterministic under any partitioning.
+    """
+    from ..session import track_persist
+
+    spark = df.sparkSession
+    p = int(
+        num_range_parts
+        or spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    cols = [F.col(c).asc() for c in order_cols]
+    r = (
+        df.repartitionByRange(p, *cols)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    wloc = Window.partitionBy("__pid").orderBy(*cols)
+    r = track_persist(r.withColumn("__lrn", F.row_number().over(wloc)))
+    counts = {
+        row["__pid"]: row["c"]
+        for row in r.groupBy("__pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    off_df = spark.createDataFrame(offsets, ["__pid", "__off"])
+    return (
+        r.join(F.broadcast(off_df), "__pid")
+        .withColumn(out, (F.col("__off") + F.col("__lrn")).cast("long"))
+        .drop("__pid", "__lrn", "__off")
+    )

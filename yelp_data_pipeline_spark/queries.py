@@ -4942,6 +4942,43 @@ LIMIT {k}
 
 
 @_q(
+    "snm_candidate_pairs",
+    """
+WITH keyed AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS k
+  FROM documents
+),
+rn AS (
+  SELECT doc_id, row_number() OVER (ORDER BY k, doc_id) AS rn FROM keyed
+)
+SELECT least(a.doc_id, b.doc_id) AS doc_a,
+       greatest(a.doc_id, b.doc_id) AS doc_b,
+       CAST(b.rn - a.rn AS INT) AS dist
+FROM rn a JOIN rn b ON b.rn > a.rn AND b.rn <= a.rn + 3
+""",
+    doc="Sorted-Neighborhood blocking over documents (Hernández & "
+    "Stolfo SIGMOD'95, operators/dedup.py:sorted_neighborhood_pairs): "
+    "every doc paired with its 3 successors in normalized-text order "
+    "— the linear-output (n·w pairs) third blocking strategy next to "
+    "LSH banding and shingle buckets, catching sorted-adjacent "
+    "near-dups without collision tuning. The global order uses "
+    "windows.py:global_row_numbers (range-partitioned local "
+    "row_numbers + broadcast prefix offsets, ≤1 collected row per "
+    "range partition) — NEVER the single-reducer global window the "
+    "oracle's ROW_NUMBER() OVER (ORDER BY …) implies; neighbor "
+    "pairing is an equi-join on unique consecutive integers, "
+    "skew-free by construction.",
+)
+def q_snm_candidate_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    key = F.trim(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+    )
+    return dd.sorted_neighborhood_pairs(d, "doc_id", key, window=3)
+
+
+@_q(
     "kmv_user_customer_overlap",
     f"""
 WITH ha AS (
@@ -6862,6 +6899,7 @@ _EXPORT_PRIORITY: list[str] = [
     "nation_revenue_trend",
     "prefix_jaccard_pairs",
     "kmv_user_customer_overlap",
+    "snm_candidate_pairs",
 ]
 
 
