@@ -310,3 +310,36 @@ def test_sorted_neighborhood_pairs_match_python(spark):
                 a, b = order[i][0], order[i + o][0]
                 want.add((min(a, b), max(a, b), o))
     assert got == want
+
+
+def test_kcore_peel_cascades(spark):
+    from yelp_data_pipeline_spark.operators.graph import kcore_peel
+
+    # 4-clique {1,2,3,4} plus a pendant chain 4-5-6: node 6 falls in
+    # round 1, which drops 5 to degree 1 so it falls in round 2 —
+    # the cascade that distinguishes peeling from a one-shot degree
+    # filter. The 2-core is exactly the clique, each with core deg 3.
+    edges = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    edges += [(4, 5), (5, 6)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {(r["node"], r["core_deg"]) for r in kcore_peel(df, k=2).collect()}
+    assert got == {(1, 3), (2, 3), (3, 3), (4, 3)}
+    # One-shot degree filter would have kept node 5 (initial degree 2).
+
+    # k above the max degree empties the graph.
+    assert kcore_peel(df, k=5).count() == 0
+
+
+def test_kcore_peel_round_limit_is_anytime(spark):
+    from yelp_data_pipeline_spark.operators.graph import kcore_peel
+
+    # Long chain into a triangle: with k=2, each round peels one chain
+    # node. rounds=2 must return the partially-peeled (anytime) state:
+    # after round 1 nodes {2..c}, after round 2 nodes {3..c}.
+    c = 10
+    edges = [(i, i + 1) for i in range(1, c)] + [(c, 1 + c), (c, 2 + c), (1 + c, 2 + c)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got2 = {r["node"] for r in kcore_peel(df, k=2, rounds=2).collect()}
+    assert got2 == set(range(3, c + 3))
+    full = {r["node"] for r in kcore_peel(df, k=2, rounds=25).collect()}
+    assert full == {c, c + 1, c + 2}

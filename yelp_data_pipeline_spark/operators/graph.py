@@ -347,6 +347,80 @@ def pagerank_integer(
     return ranks.select("node", F.col("r").alias("rank_scaled"))
 
 
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-core extraction by iterative peeling: repeatedly drop nodes
+    whose degree among *surviving* nodes is < k; what remains is the
+    k-core (Seidman 1983) — the standard density screen for graph-side
+    curation (spam rings, bot cliques, tightly co-occurring entities).
+
+    Anytime contract (the pagerank_integer pattern): BOTH engines run
+    exactly ``rounds`` peel rounds, so results agree even if the peel
+    has not reached its fixpoint — and because peeling is monotone
+    (survivor sets only shrink, and a converged round is a no-op),
+    early convergence before ``rounds`` yields the true k-core on both
+    sides. The Spark loop early-exits on a converged round (one
+    distributed count per round, the only driver scalar); extra
+    oracle rounds past convergence change nothing.
+
+    Scale posture: per round ONE semi-join of the symmetrized edge
+    list against the survivor set (edge-keyed shuffle) + ONE
+    groupBy(node) degree count with map-side partials; survivor
+    lineage is cut every round (eager localCheckpoint — the CC
+    lesson, see module header). Edges symmetrize + dedup once up
+    front and stay persisted across rounds.
+
+    Returns (node, core_deg): surviving nodes with their within-core
+    degree after ``rounds`` rounds.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    from ..session import track_persist
+
+    sym = track_persist(
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    alive = sym.select(F.col("u").alias("node")).distinct()
+    n_alive = None
+    for _ in range(rounds):
+        deg = (
+            sym.join(alive, sym["u"] == alive["node"], "left_semi")
+            .join(
+                alive.select(F.col("node").alias("__vn")),
+                sym["v"] == F.col("__vn"),
+                "left_semi",
+            )
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).alias("core_deg"))
+        )
+        survivors = deg.where(F.col("core_deg") >= k)
+        survivors = survivors.localCheckpoint(eager=True)
+        n_next = survivors.count()
+        alive = survivors.select(F.col("u").alias("node"))
+        if n_alive is not None and n_next == n_alive:
+            break
+        n_alive = n_next
+    # Final degrees come from the last converged/round-limited pass.
+    return survivors.select(F.col("u").alias("node"), "core_deg")
+
+
 def triangle_counts(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:

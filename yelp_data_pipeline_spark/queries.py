@@ -5244,10 +5244,10 @@ def q_orders_column_profile(spark, sf_dir):
     )
 
 
-@_q(
-    "supplier_knn_triangles",
-    """
-WITH co AS (
+# Supplier co-supply k-NN graph: each supplier keeps its 3 strongest
+# co-supply partners (shared-order count, deterministic tiebreak) — a
+# scale-free construction shared by the triangle / k-core queries.
+KNN_EDGES_CTE = """co AS (
   SELECT l1.l_suppkey AS a, l2.l_suppkey AS b,
          count(DISTINCT l1.l_orderkey) AS cnt
   FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
@@ -5261,7 +5261,37 @@ knn AS (
     FROM co
   ) WHERE rk <= 3
 ),
-und AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM knn),
+und AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM knn)"""
+
+
+def _supplier_knn_edges(spark, sf_dir) -> DataFrame:
+    """Spark twin of KNN_EDGES_CTE's ``knn`` relation (directed pairs;
+    consumers symmetrize/dedup as needed)."""
+    from pyspark.sql import Window
+
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    r = l.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("b")
+    )
+    co = (
+        l.join(r, (F.col("l_orderkey") == F.col("o2")))
+        .where(F.col("l_suppkey") != F.col("b"))
+        .groupBy(F.col("l_suppkey").alias("a"), "b")
+        .agg(F.count_distinct(F.col("l_orderkey")).alias("cnt"))
+    )
+    w = Window.partitionBy("a").orderBy(F.desc("cnt"), F.asc("b"))
+    return (
+        co.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("a", "b")
+    )
+
+
+@_q(
+    "supplier_knn_triangles",
+    "WITH "
+    + KNN_EDGES_CTE
+    + """,
 deg AS (
   SELECT node, count(*) AS deg FROM (
     SELECT a AS node FROM und UNION ALL SELECT b FROM und
@@ -5307,25 +5337,63 @@ SELECT node, count(*) AS n_triangles FROM tri_nodes GROUP BY node
     "(deg,id)-chain u<v<w.",
 )
 def q_supplier_knn_triangles(spark, sf_dir):
-    from pyspark.sql import Window
+    return graph.triangle_counts(_supplier_knn_edges(spark, sf_dir), "a", "b")
 
-    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    r = l.select(
-        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("b")
+
+def _kcore_oracle_sql(k: int = 3, rounds: int = 8) -> str:
+    """Unrolled peel rounds — the DuckDB twin of graph.py:kcore_peel.
+    Round t: degrees over the round-(t-1) survivor set, keep >= k.
+    Peeling is monotone, so rounds past the fixpoint are no-ops and
+    the fixed unroll equals Spark's early-exited loop (see operator
+    docstring for the anytime contract).
+
+    MATERIALIZED hints are load-bearing: DuckDB inlines plain CTEs at
+    every reference, and sym / each a{{t}} is referenced twice per
+    round — inlined, the k-NN base query re-evaluates exponentially
+    down the unroll (measured 69s vs 1.3s at sf0.01)."""
+    parts = [
+        "WITH "
+        + KNN_EDGES_CTE.replace("co AS (", "co AS MATERIALIZED (")
+        + """,
+sym AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und
+),
+a0 AS (SELECT DISTINCT u AS node FROM sym)"""
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(f""",
+d{t} AS (
+  SELECT s.u, count(*) AS core_deg
+  FROM sym s JOIN a{t - 1} x ON s.u = x.node JOIN a{t - 1} y ON s.v = y.node
+  GROUP BY s.u
+),
+a{t} AS MATERIALIZED (SELECT u AS node FROM d{t} WHERE core_deg >= {k})""")
+    parts.append(
+        f"\nSELECT u AS node, CAST(core_deg AS BIGINT) AS core_deg"
+        f"\nFROM d{rounds} WHERE core_deg >= {k}"
     )
-    co = (
-        l.join(r, (F.col("l_orderkey") == F.col("o2")))
-        .where(F.col("l_suppkey") != F.col("b"))
-        .groupBy(F.col("l_suppkey").alias("a"), "b")
-        .agg(F.count_distinct(F.col("l_orderkey")).alias("cnt"))
+    return "".join(parts)
+
+
+@_q(
+    "supplier_kcore",
+    _kcore_oracle_sql(k=3, rounds=8),
+    doc="3-core of the supplier k-NN co-supply graph (operators/"
+    "graph.py:kcore_peel — iterative peeling, Seidman 1983): "
+    "repeatedly drop suppliers with < 3 surviving co-supply partners; "
+    "what remains is the densely inter-connected trade core, the "
+    "graph-side density screen (spam rings / bot cliques in a "
+    "curation pipeline). Anytime contract like pagerank: both engines "
+    "run exactly 8 peel rounds; peeling is monotone so early "
+    "convergence equals the full unroll. Per round ONE survivor "
+    "semi-join + ONE map-side-combinable degree count; survivor "
+    "lineage cut every round (eager localCheckpoint); edges "
+    "symmetrize + dedup once, persisted across rounds.",
+)
+def q_supplier_kcore(spark, sf_dir):
+    return graph.kcore_peel(
+        _supplier_knn_edges(spark, sf_dir), k=3, rounds=8, src="a", dst="b"
     )
-    w = Window.partitionBy("a").orderBy(F.desc("cnt"), F.asc("b"))
-    knn = (
-        co.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 3)
-        .select("a", "b")
-    )
-    return graph.triangle_counts(knn, "a", "b")
 
 
 @_q(
@@ -6900,6 +6968,7 @@ _EXPORT_PRIORITY: list[str] = [
     "prefix_jaccard_pairs",
     "kmv_user_customer_overlap",
     "snm_candidate_pairs",
+    "supplier_kcore",
 ]
 
 
