@@ -343,3 +343,88 @@ def test_kcore_peel_round_limit_is_anytime(spark):
     assert got2 == set(range(3, c + 3))
     full = {r["node"] for r in kcore_peel(df, k=2, rounds=25).collect()}
     assert full == {c, c + 1, c + 2}
+
+
+def test_mad_outliers_flags_tail_and_guards_degenerate(spark):
+    from yelp_data_pipeline_spark.operators.quality import mad_outliers
+
+    # med=5.5, MAD=2.5 -> only the 1000 crosses 3.5 robust-z units.
+    vals = [1, 2, 3, 4, 5, 6, 7, 8, 9, 1000]
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], ["id", "v"]
+    )
+    got = mad_outliers(df, "id", "v").collect()
+    assert [(r["id"], r["v"]) for r in got] == [(9, 1000.0)]
+    assert abs(got[0]["robust_z"] - round(0.6745 * (1000 - 5.5) / 2.5, 6)) < 1e-9
+
+    # >50% identical values -> MAD == 0 -> empty, not a crash and not
+    # "everything else is an outlier".
+    degen = spark.createDataFrame(
+        [(i, 10.0) for i in range(7)] + [(99, 100.0)], ["id", "v"]
+    )
+    assert mad_outliers(degen, "id", "v").count() == 0
+
+
+def test_histogram_drift_zero_for_identical_and_positive_for_shift(spark):
+    from yelp_data_pipeline_spark.operators.timeseries import histogram_drift
+    import datetime as dt
+
+    a_ts = dt.datetime(2024, 1, 5)
+    b_ts = dt.datetime(2024, 1, 25)
+    same = [("g", t, float(v)) for t in (a_ts, b_ts) for v in (10, 40, 40, 90)]
+    df = spark.createDataFrame(same, ["grp", "ts", "v"])
+    r = histogram_drift(df, "ts", "v", "grp", "2024-01-16").collect()[0]
+    assert (r["n_a"], r["n_b"], r["tv"], r["max_dev"]) == (4, 4, 0.0, 0.0)
+
+    # Period B shifts every value by one bin: hand-replayed smoothed TV.
+    shifted = [("g", a_ts, float(v)) for v in (10, 40, 40, 90)] + [
+        ("g", b_ts, float(v)) for v in (35, 65, 65, 115)
+    ]
+    df2 = spark.createDataFrame(shifted, ["grp", "ts", "v"])
+    r2 = histogram_drift(df2, "ts", "v", "grp", "2024-01-16").collect()[0]
+    # bins (width 25): A -> {0:1, 1:2, 3:1}; B -> {1:1, 2:2, 4:1}
+    B, na, nb = 20, 4, 4
+    ac = {0: 1, 1: 2, 3: 1}
+    bc = {1: 1, 2: 2, 4: 1}
+    tv = 0.5 * sum(
+        abs((ac.get(i, 0) + 1) / (na + B) - (bc.get(i, 0) + 1) / (nb + B))
+        for i in range(B)
+    )
+    md = max(
+        abs((ac.get(i, 0) + 1) / (na + B) - (bc.get(i, 0) + 1) / (nb + B))
+        for i in range(B)
+    )
+    assert abs(r2["tv"] - round(tv, 6)) < 1e-9
+    assert abs(r2["max_dev"] - round(md, 6)) < 1e-9
+
+
+def test_diversity_by_group_hand_checked(spark):
+    from yelp_data_pipeline_spark.operators.textops import diversity_by_group
+
+    df = spark.createDataFrame(
+        [("s1", "a a b"), ("s2", "x y z")], ["source", "text"]
+    )
+    got = {r["source"]: r for r in diversity_by_group(df, "source", "text").collect()}
+    r1 = got["s1"]  # counts {a:2, b:1}: N=3 V=2 same2=2
+    assert (r1["n_tokens"], r1["n_types"]) == (3, 2)
+    assert r1["ttr"] == round(2 / 3, 6)
+    assert r1["gini_simpson"] == round(1 - 2 / 6, 6)
+    assert r1["hapax_ratio"] == 0.5
+    r2 = got["s2"]  # all hapax: gini = 1
+    assert (r2["gini_simpson"], r2["hapax_ratio"]) == (1.0, 1.0)
+
+
+def test_sequence_motifs_counts_contiguous_trigrams(spark):
+    from yelp_data_pipeline_spark.operators.behavior import sequence_motifs
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for uid, seq in [("u1", "abcab"), ("u2", "abc")]:
+        for i, ch in enumerate(seq):
+            rows.append((uid, t0 + dt.timedelta(minutes=i), f"{uid}-{i}", ch))
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "event_type"])
+    got = {(r["motif"], r["cnt"]) for r in
+           sequence_motifs(df, "user_id", "ts", "event_type", "event_id").collect()}
+    # u1: abc, bca, cab; u2: abc -> abc twice, no cross-user trigrams.
+    assert got == {("a>b>c", 2), ("b>c>a", 1), ("c>a>b", 1)}

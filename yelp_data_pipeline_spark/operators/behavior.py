@@ -164,3 +164,47 @@ def decayed_user_score(
         .groupBy(user_col)
         .agg(F.round(F.sum("term"), 6).cast("double").alias("score"))
     )
+
+
+def sequence_motifs(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    order_tiebreak: str,
+    top: int = 100,
+) -> DataFrame:
+    """Contiguous 3-step behavior motifs: for every user's event
+    stream ordered by (ts, tiebreak), count each consecutive
+    (e₁ → e₂ → e₃) type trigram across the population, top-``top``
+    overall — the exploratory flip side of funnel_counts (which
+    verifies ONE hypothesized path; this surfaces which paths exist,
+    e.g. the browse→add→abandon loops worth a funnel of their own).
+
+    Plan: ONE per-user window pass (two lead()s — the same shuffle a
+    sessionizer already pays, no self-joins), then a map-side-
+    combinable motif count and a TakeOrderedAndProject top-k with
+    lexicographic tiebreak. The window's partition key is the user:
+    maximally spread, never needs salting. The ordering includes a
+    unique tiebreak column so ties at equal timestamps are
+    deterministic across engines.
+
+    Returns (motif, cnt), 'a>b>c'-formatted.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
+    steps = df.select(
+        F.col(type_col).alias("t1"),
+        F.lead(type_col, 1).over(w).alias("t2"),
+        F.lead(type_col, 2).over(w).alias("t3"),
+    ).where(F.col("t3").isNotNull())
+    return (
+        steps.select(
+            F.concat_ws(">", "t1", "t2", "t3").alias("motif")
+        )
+        .groupBy("motif")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("motif"))
+        .limit(top)
+    )

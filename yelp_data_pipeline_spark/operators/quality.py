@@ -155,3 +155,55 @@ def column_profile(
     return wide.select(
         F.explode(F.array(*rows)).alias("p")
     ).select("p.*")
+
+
+def mad_outliers(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    z_threshold: float = 3.5,
+) -> DataFrame:
+    """Robust outlier screen via the median / median-absolute-deviation
+    (Hampel's rule): flag rows whose value sits more than
+    ``z_threshold`` robust z-units from the median, where
+    robust_z = 0.6745 · (x − median) / MAD. Unlike the mean/stddev
+    z-score (timeseries.daily_count_zscores, similarity.
+    embedding_norm_outliers), median and MAD have a 50% breakdown
+    point — the outliers being hunted cannot drag the yardstick, which
+    is exactly what heavy-tailed price/length/count columns do to a
+    stddev screen.
+
+    Plan: two 1-row exact-median aggregates (percentile ==
+    quantile_cont cross-engine), each broadcast back as a literal
+    cross join; the flagging pass is map-side. At true scale swap
+    percentile for percentile_approx (mergeable sketch, no per-group
+    sort) — the screen is a triage, not an exactness contract.
+
+    ``MAD == 0`` (> 50% of values identical) means the screen is
+    degenerate: z is NULL-guarded (no ANSI divide-by-zero) and the
+    result is empty rather than "everything differing is an outlier".
+
+    Returns (id, value, robust_z) for outliers only, z rounded 6dp.
+    """
+    base = df.select(F.col(id_col), F.col(value_col).cast("double").alias("v"))
+    med = base.agg(F.expr("percentile(v, 0.5)").alias("med"))
+    dev = base.crossJoin(F.broadcast(med)).select(
+        F.col(id_col), F.col("v"), F.col("med"),
+        F.abs(F.col("v") - F.col("med")).alias("ad"),
+    )
+    mad = dev.agg(F.expr("percentile(ad, 0.5)").alias("mad"))
+    z = F.when(
+        F.col("mad") > 0,
+        F.round(
+            F.lit(0.6745) * (F.col("v") - F.col("med")) / F.col("mad"), 6
+        ),
+    )
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .select(
+            F.col(id_col),
+            F.col("v").alias(value_col),
+            z.alias("robust_z"),
+        )
+        .where(F.abs(F.col("robust_z")) > z_threshold)
+    )

@@ -992,3 +992,68 @@ def bpe_encode_counts(
             words, F.lit(0), lambda acc, w: acc + merged_size(w)
         ).alias("n_bpe_tokens"),
     )
+
+
+def diversity_by_group(
+    df: DataFrame, group_col: str, text_col: str
+) -> DataFrame:
+    """Lexical-diversity profile per group: token count, vocabulary
+    size, type-token ratio, Gini-Simpson diversity, and hapax ratio —
+    the corpus-mix dashboard a training-data pipeline watches to catch
+    template/boilerplate sources (low diversity) and OCR/noise sources
+    (inflated hapax share) before they enter a mixture.
+
+    Every metric is deliberately RATIONAL — no entropy (ln is not
+    correctly-rounded across libms, so cross-engine hashes drift):
+    - ttr           = V / N              (vocabulary / tokens)
+    - gini_simpson  = 1 − Σ nᵢ(nᵢ−1) / (N(N−1)) — the probability two
+      tokens drawn without replacement are DIFFERENT types; the
+      Σ nᵢ(nᵢ−1) accumulates in DECIMAL(38,0) (nᵢ² passes int64 at
+      ~10^10-token types), division happens once, as doubles, 6dp.
+    - hapax_ratio   = |{i : nᵢ = 1}| / V
+    Integer sums are shuffle-order-free, so results are stable under
+    AQE/partitioning — the same argument as histogram_drift.
+
+    Plan: explode tokens → ONE (group, token) count (map-side
+    combinable) → ONE group rollup. Empty-string tokens (blank docs)
+    are dropped to match the oracle's WHERE w <> ''.
+
+    Returns (group, n_tokens, n_types, ttr, gini_simpson, hapax_ratio).
+    """
+    tok = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.explode(tokens(F.col(text_col))).alias("w"),
+        )
+        .where(F.col("w") != "")
+    )
+    counts = tok.groupBy("grp", "w").agg(F.count(F.lit(1)).alias("n"))
+    dec = "decimal(38,0)"
+    n = F.col("n").cast(dec)
+    g = counts.groupBy("grp").agg(
+        F.sum("n").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(n * (n - 1)).alias("same2"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("hapax"),
+    )
+    nt = F.col("n_tokens").cast(dec)
+    return g.select(
+        F.col("grp").alias(group_col),
+        "n_tokens",
+        "n_types",
+        F.round(
+            F.col("n_types").cast("double") / F.col("n_tokens").cast("double"), 6
+        ).alias("ttr"),
+        F.when(
+            F.col("n_tokens") > 1,
+            F.round(
+                F.lit(1.0)
+                - F.col("same2").cast("double")
+                / (nt * (nt - 1)).cast("double"),
+                6,
+            ),
+        ).alias("gini_simpson"),
+        F.round(
+            F.col("hapax").cast("double") / F.col("n_types").cast("double"), 6
+        ).alias("hapax_ratio"),
+    )

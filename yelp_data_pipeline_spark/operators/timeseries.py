@@ -137,3 +137,119 @@ def grouped_ols_trend(
         slope.alias("slope"),
         intercept.alias("intercept"),
     )
+
+
+def histogram_drift(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_col: str,
+    split: str,
+    bin_width: float = 25.0,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Distribution-drift monitor: per group, compare the value
+    distribution BEFORE ``split`` (reference period A) against AFTER
+    (current period B) over a fixed ``n_bins``-bin histogram, and
+    report total-variation distance plus the worst single bin's
+    deviation — the drift gate a feature-store / training-data
+    pipeline runs before trusting a new batch.
+
+    Laplace-smoothed proportions p_i=(a_i+1)/(n_a+B), q_i=(b_i+1)/
+    (n_b+B) keep empty bins defined. The metrics deliberately avoid
+    transcendental functions (PSI/KL need ln, which is not
+    correctly-rounded-guaranteed across libms): TV and max-dev are
+    rational, and both reduce to EXACT integer arithmetic over a
+    per-group common denominator D=(n_a+B)(n_b+B):
+
+        p_i − q_i = [(a_i+1)(n_b+B) − (b_i+1)(n_a+B)] / D = num_i / D
+        tv        = (Σ|num_i|) / (2D)
+        max_dev   = (max|num_i|) / D
+
+    Integer sums/maxes are shuffle-order-free; the ONE double division
+    per metric happens at the end (6dp-rounded) — deterministic across
+    engines, partition counts, and AQE re-plans. Accumulation is
+    DECIMAL(38,0): at 10^12-row groups num_i reaches ~10^24, past
+    int64 (the DuckDB oracle mirrors with HUGEINT).
+
+    Values clamp into the edge bins ([0, n_bins-1]); empty bins enter
+    via the closed-form correction (B − occupied) · |num_empty| rather
+    than a densifying spine join — same exact result, no extra join.
+    Plan: ONE (group, bin) shuffle with conditional partial counts +
+    ONE group rollup.
+
+    Returns (group, n_a, n_b, tv, max_dev), 6dp.
+    """
+    b = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(n_bins - 1),
+            F.floor(F.col(value_col) / F.lit(bin_width)),
+        ),
+    ).cast("int")
+    in_a = F.col(ts_col) < F.lit(split).cast("timestamp")
+    binned = (
+        df.select(F.col(group_col).alias("grp"), b.alias("bin"), in_a.alias("ia"))
+        .groupBy("grp", "bin")
+        .agg(
+            F.sum(F.when(F.col("ia"), 1).otherwise(0)).alias("a"),
+            F.sum(F.when(~F.col("ia"), 1).otherwise(0)).alias("bb"),
+        )
+    )
+    # Referenced twice (totals + per-bin join): persist, or the whole
+    # scan+shuffle above runs twice (the round-5 LSH lesson).
+    from ..session import track_persist
+
+    binned = track_persist(binned)
+    dec = "decimal(38,0)"
+    # Two-stage: group totals first (tiny — one row per group), then
+    # broadcast back so the per-bin |num_i| terms are computable in a
+    # second exact-integer rollup.
+    totals = binned.groupBy("grp").agg(
+        F.sum("a").alias("n_a"),
+        F.sum("bb").alias("n_b"),
+        F.count(F.lit(1)).alias("occ"),
+    )
+    B = F.lit(n_bins)
+    j = binned.join(F.broadcast(totals), "grp")
+    num = (
+        (F.col("a") + 1).cast(dec) * (F.col("n_b") + B).cast(dec)
+        - (F.col("bb") + 1).cast(dec) * (F.col("n_a") + B).cast(dec)
+    )
+    # A bin empty in BOTH periods has num = (n_b+B) − (n_a+B) = n_b − n_a.
+    empty_num = (F.col("n_b").cast(dec) - F.col("n_a").cast(dec))
+    out = (
+        j.groupBy("grp", "n_a", "n_b", "occ")
+        .agg(
+            F.sum(F.abs(num)).alias("s_num"),
+            F.max(F.abs(num)).alias("m_num"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_a",
+            "n_b",
+            F.round(
+                (
+                    F.col("s_num") + (B - F.col("occ")).cast(dec) * F.abs(empty_num)
+                ).cast("double")
+                / (
+                    (F.col("n_a") + B).cast(dec) * (F.col("n_b") + B).cast(dec)
+                ).cast("double")
+                / 2.0,
+                6,
+            ).alias("tv"),
+            F.round(
+                F.greatest(
+                    F.col("m_num"),
+                    F.when(F.col("occ") < B, F.abs(empty_num)).otherwise(
+                        F.lit(0).cast(dec)
+                    ),
+                ).cast("double")
+                / (
+                    (F.col("n_a") + B).cast(dec) * (F.col("n_b") + B).cast(dec)
+                ).cast("double"),
+                6,
+            ).alias("max_dev"),
+        )
+    )
+    return out

@@ -5397,6 +5397,176 @@ def q_supplier_kcore(spark, sf_dir):
 
 
 @_q(
+    "event_value_mad_outliers",
+    """
+WITH m AS (SELECT quantile_cont(CAST(value AS DOUBLE), 0.5) AS med FROM events),
+d AS (SELECT event_id, CAST(value AS DOUBLE) AS v, m.med,
+             abs(CAST(value AS DOUBLE) - m.med) AS ad
+      FROM events, m),
+s AS (SELECT quantile_cont(ad, 0.5) AS mad FROM d),
+z AS (
+  SELECT event_id, v AS value,
+         CASE WHEN s.mad > 0
+              THEN round(0.6745 * (d.v - d.med) / s.mad, 6) END AS robust_z
+  FROM d, s
+)
+SELECT * FROM z WHERE abs(robust_z) > 3.5
+""",
+    doc="Median/MAD robust outlier screen on event values (operators/"
+    "quality.py:mad_outliers, Hampel's rule): |0.6745·(x−med)/MAD| > "
+    "3.5. The mean/stddev z-score family has breakdown point 0 — the "
+    "heavy tail being hunted drags its own yardstick (this fixture's "
+    "value column: max robust-z 12.8 but max classic-z far lower "
+    "because the tail inflates sigma); median and MAD have breakdown "
+    "50%. Two 1-row exact-median aggregates broadcast back as "
+    "literals, flagging pass map-side; MAD==0 NULL-guarded (no ANSI "
+    "divide-by-zero; degenerate corpus → empty result). At true scale "
+    "swap percentile → percentile_approx (mergeable sketch).",
+)
+def q_event_value_mad_outliers(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select("event_id", "value")
+    return dq.mad_outliers(e, "event_id", "value", z_threshold=3.5)
+
+
+@_q(
+    "event_value_drift",
+    """
+WITH binned AS (
+  SELECT event_type AS grp,
+         CAST(greatest(0, least(19, floor(value / 25.0))) AS INT) AS bin,
+         sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS a,
+         sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END) AS bb
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT grp, CAST(sum(a) AS BIGINT) AS n_a, CAST(sum(bb) AS BIGINT) AS n_b,
+         count(*) AS occ
+  FROM binned GROUP BY 1
+),
+terms AS (
+  SELECT b.grp, t.n_a, t.n_b, t.occ,
+         abs(CAST(b.a + 1 AS HUGEINT) * CAST(t.n_b + 20 AS HUGEINT)
+           - CAST(b.bb + 1 AS HUGEINT) * CAST(t.n_a + 20 AS HUGEINT)) AS anum
+  FROM binned b JOIN tot t ON b.grp = t.grp
+)
+SELECT grp AS event_type, n_a, n_b,
+       round(CAST(sum(anum)
+                  + (20 - occ) * abs(CAST(n_b AS HUGEINT) - CAST(n_a AS HUGEINT))
+             AS DOUBLE)
+             / CAST(CAST(n_a + 20 AS HUGEINT) * CAST(n_b + 20 AS HUGEINT) AS DOUBLE)
+             / 2.0, 6) AS tv,
+       round(CAST(greatest(max(anum),
+                           CASE WHEN occ < 20
+                                THEN abs(CAST(n_b AS HUGEINT) - CAST(n_a AS HUGEINT))
+                                ELSE CAST(0 AS HUGEINT) END)
+             AS DOUBLE)
+             / CAST(CAST(n_a + 20 AS HUGEINT) * CAST(n_b + 20 AS HUGEINT) AS DOUBLE),
+             6) AS max_dev
+FROM terms
+GROUP BY grp, n_a, n_b, occ
+""",
+    doc="Distribution-drift gate per event type (operators/"
+    "timeseries.py:histogram_drift): value histograms before vs after "
+    "2024-01-16 compared by total-variation distance and worst-bin "
+    "deviation over 20 Laplace-smoothed fixed-width bins. Metrics are "
+    "deliberately rational (PSI/KL need ln — not correctly-rounded "
+    "across libms): both reduce to EXACT integer sums/maxes over a "
+    "per-group common denominator, with ONE double division at the "
+    "end — deterministic across engines, partition counts, and AQE "
+    "re-plans. DECIMAL(38,0) accumulation (HUGEINT in the oracle): "
+    "num_i reaches ~1e24 at 1e12-row groups, past int64. Plan: ONE "
+    "(group, bin) shuffle with conditional partial counts + tiny "
+    "broadcast-back of group totals; empty bins enter via a "
+    "closed-form correction, not a densifying spine join.",
+)
+def q_event_value_drift(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select("event_type", "ts", "value")
+    return ts_ops.histogram_drift(
+        e, "ts", "value", "event_type", split="2024-01-16",
+        bin_width=25.0, n_bins=20,
+    )
+
+
+@_q(
+    "corpus_diversity_by_source",
+    r"""
+WITH tok AS (
+  SELECT source AS grp,
+         trim(unnest(string_split_regex(trim(lower(text)), '\s+'))) AS w
+  FROM documents
+),
+counts AS (
+  SELECT grp, w, count(*) AS n FROM tok WHERE w <> '' GROUP BY grp, w
+),
+g AS (
+  SELECT grp,
+         CAST(sum(n) AS BIGINT) AS n_tokens,
+         count(*) AS n_types,
+         sum(CAST(n AS HUGEINT) * CAST(n - 1 AS HUGEINT)) AS same2,
+         CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+  FROM counts GROUP BY grp
+)
+SELECT grp AS source, n_tokens, n_types,
+       round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+       CASE WHEN n_tokens > 1 THEN
+         round(1.0 - CAST(same2 AS DOUBLE)
+               / CAST(CAST(n_tokens AS HUGEINT) * CAST(n_tokens - 1 AS HUGEINT) AS DOUBLE), 6)
+       END AS gini_simpson,
+       round(CAST(hapax AS DOUBLE) / CAST(n_types AS DOUBLE), 6) AS hapax_ratio
+FROM g
+""",
+    doc="Lexical-diversity profile per document source (operators/"
+    "textops.py:diversity_by_group): type-token ratio, Gini-Simpson "
+    "diversity (P[two tokens drawn w/o replacement differ]), hapax "
+    "ratio — the corpus-mix dashboard that catches boilerplate "
+    "sources (low diversity) and OCR-noise sources (inflated hapax "
+    "share) before they enter a training mixture. All metrics "
+    "RATIONAL by design (entropy needs ln — not correctly-rounded "
+    "across libms); Σnᵢ(nᵢ−1) accumulates in DECIMAL(38,0)/HUGEINT "
+    "(past int64 at ~1e10-count types), single double division at "
+    "the end. Plan: explode → ONE map-side-combinable (source, "
+    "token) count → ONE source rollup.",
+)
+def q_corpus_diversity_by_source(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("source", "text")
+    return tx.diversity_by_group(d, "source", "text")
+
+
+@_q(
+    "event_sequence_motifs",
+    """
+WITH steps AS (
+  SELECT event_type AS t1,
+         lead(event_type, 1) OVER w AS t2,
+         lead(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT t1 || '>' || t2 || '>' || t3 AS motif, count(*) AS cnt
+FROM steps WHERE t3 IS NOT NULL
+GROUP BY 1
+ORDER BY cnt DESC, motif ASC
+LIMIT 100
+""",
+    doc="Population-wide contiguous 3-step behavior motifs (operators/"
+    "behavior.py:sequence_motifs): per-user streams ordered by (ts, "
+    "event_id), every consecutive type trigram counted and top-100 "
+    "ranked — the exploratory flip side of funnel_counts (which "
+    "verifies ONE hypothesized path; this surfaces which paths "
+    "exist). ONE per-user window pass (two lead()s, user-keyed "
+    "shuffle — maximally spread, never salted), map-side-combinable "
+    "count, TakeOrderedAndProject top-k with lexicographic tiebreak; "
+    "unique event_id tiebreak makes equal-ts ordering deterministic "
+    "across engines.",
+)
+def q_event_sequence_motifs(spark, sf_dir):
+    from .operators import behavior as bh
+
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    return bh.sequence_motifs(e, "user_id", "ts", "event_type", "event_id", top=100)
+
+
+@_q(
     "pagerank_supplier_graph",
     _pagerank_oracle_sql(iters=3),
     doc="3-iteration PageRank over the customer→supplier trade graph "
@@ -6969,6 +7139,10 @@ _EXPORT_PRIORITY: list[str] = [
     "kmv_user_customer_overlap",
     "snm_candidate_pairs",
     "supplier_kcore",
+    "event_value_mad_outliers",
+    "event_value_drift",
+    "corpus_diversity_by_source",
+    "event_sequence_motifs",
 ]
 
 
