@@ -428,3 +428,30 @@ def test_sequence_motifs_counts_contiguous_trigrams(spark):
            sequence_motifs(df, "user_id", "ts", "event_type", "event_id").collect()}
     # u1: abc, bca, cab; u2: abc -> abc twice, no cross-user trigrams.
     assert got == {("a>b>c", 2), ("b>c>a", 1), ("c>a>b", 1)}
+
+
+def test_linkage_score_pairs_weights_and_null_policy(spark):
+    from yelp_data_pipeline_spark.operators.dedup import linkage_score_pairs
+
+    attrs = spark.createDataFrame(
+        [(1, "US", 100.0), (2, "US", 120.0), (3, "DE", None), (4, "US", 500.0)],
+        ["id", "country", "bal"],
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], ["doc_a", "doc_b"]
+    )
+    rules = {
+        "country": (lambda a, b: a["country"] == b["country"], 10, -4),
+        "bal": (lambda a, b: F.abs(a["bal"] - b["bal"]) <= 50, 6, -2),
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["country_match"], r["bal_match"], r["score"])
+        for r in linkage_score_pairs(pairs, attrs, "id", rules).collect()
+    }
+    assert got[(1, 2)] == (1, 1, 16)
+    # NULL bal -> unevaluable evidence counts as disagreement, not NULL score.
+    assert got[(1, 3)] == (0, 0, -6)
+    assert got[(1, 4)] == (1, 0, 8)
+
+    filtered = linkage_score_pairs(pairs, attrs, "id", rules, min_score=10)
+    assert {(r["doc_a"], r["doc_b"]) for r in filtered.collect()} == {(1, 2)}

@@ -915,3 +915,57 @@ def sorted_neighborhood_pairs(
             F.col("dist").cast("int").alias("dist"),
         )
     )
+
+
+def linkage_score_pairs(
+    pairs: DataFrame,
+    attrs: DataFrame,
+    id_col: str,
+    rules,
+    min_score: int | None = None,
+) -> DataFrame:
+    """Fellegi-Sunter-style record-linkage scoring: given blocked
+    candidate pairs (from ANY blocking stage here — SNM, LSH bands,
+    shingle buckets) and a record-attribute relation, score each pair
+    by summing per-field agreement weights and subtracting
+    disagreement penalties, then keep pairs at or above ``min_score``.
+    This is the *comparison* stage of the classic ER pipeline
+    (Fellegi & Sunter 1969): blocking bounds the candidate set,
+    scoring ranks it, a threshold splits match / possible / non-match.
+
+    ``rules`` maps field name → (predicate, w_agree, w_disagree),
+    where predicate is a fn(a, b) over the two attribute-struct
+    columns returning a boolean Column. Weights are INTEGERS by
+    design — in real deployments they are rounded log-likelihood
+    ratios log(m/u), and integer totals keep the score exact,
+    order-free, and cross-engine identical (the same reason
+    pagerank_integer scales its ranks).
+
+    Plan: the attribute relation joins the pair list twice on the id
+    (equi-joins Catalyst plans as broadcast/shuffled hash; the pair
+    list is the big side and arrives pre-bounded by blocking —
+    linear in n for SNM). A NULL field on either side counts as
+    disagreement (unevaluable evidence is not evidence).
+
+    Returns (doc_a, doc_b, one int flag per rule, score).
+    """
+    a = attrs.select(
+        F.col(id_col).alias("doc_a"), F.struct(*attrs.columns).alias("__a")
+    )
+    b = attrs.select(
+        F.col(id_col).alias("doc_b"), F.struct(*attrs.columns).alias("__b")
+    )
+    out = pairs.join(a, "doc_a").join(b, "doc_b")
+    score = F.lit(0)
+    flag_cols = []
+    for name, (pred, w_agree, w_disagree) in rules.items():
+        agree = F.coalesce(pred(F.col("__a"), F.col("__b")), F.lit(False))
+        out = out.withColumn(f"{name}_match", agree.cast("int"))
+        flag_cols.append(f"{name}_match")
+        score = score + F.when(agree, F.lit(w_agree)).otherwise(
+            F.lit(w_disagree)
+        )
+    out = out.withColumn("score", score.cast("int"))
+    if min_score is not None:
+        out = out.where(F.col("score") >= min_score)
+    return out.select("doc_a", "doc_b", *flag_cols, "score")

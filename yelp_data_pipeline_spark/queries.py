@@ -4979,6 +4979,68 @@ def q_snm_candidate_pairs(spark, sf_dir):
 
 
 @_q(
+    "customer_linkage_scores",
+    """
+WITH rn AS (
+  SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal,
+         row_number() OVER (ORDER BY c_acctbal, c_custkey) AS rn
+  FROM customer
+),
+cand AS (
+  SELECT least(a.c_custkey, b.c_custkey) AS doc_a,
+         greatest(a.c_custkey, b.c_custkey) AS doc_b,
+         a.c_nationkey AS an, b.c_nationkey AS bn,
+         a.c_mktsegment AS asg, b.c_mktsegment AS bsg,
+         a.c_acctbal AS aa, b.c_acctbal AS ba
+  FROM rn a JOIN rn b ON b.rn > a.rn AND b.rn <= a.rn + 3
+),
+sc AS (
+  SELECT doc_a, doc_b,
+         CASE WHEN an = bn THEN 1 ELSE 0 END AS nation_match,
+         CASE WHEN asg = bsg THEN 1 ELSE 0 END AS segment_match,
+         CASE WHEN abs(aa - ba) <= 50 THEN 1 ELSE 0 END AS acctbal_match,
+         (CASE WHEN an = bn THEN 26 ELSE -8 END
+        + CASE WHEN asg = bsg THEN 14 ELSE -5 END
+        + CASE WHEN abs(aa - ba) <= 50 THEN 18 ELSE -6 END) AS score
+  FROM cand
+)
+SELECT * FROM sc WHERE score >= 30
+""",
+    doc="Record-linkage comparison stage (Fellegi & Sunter 1969; "
+    "operators/dedup.py:linkage_score_pairs) over Sorted-Neighborhood "
+    "candidates: acctbal-adjacent customer pairs scored by integer "
+    "agreement weights / disagreement penalties on nation, segment, "
+    "and acctbal band; threshold keeps the match/possible tier. "
+    "Weights are integers by design (rounded log-likelihood ratios) "
+    "so totals are exact and cross-engine identical. Plan: blocking "
+    "is linear (SNM window pairs via distributed global row numbers, "
+    "never a single-reducer window), scoring is two hash joins of "
+    "the slim attribute relation onto the bounded pair list + pure "
+    "codegen CASE arithmetic. NULL fields count as disagreement.",
+)
+def q_customer_linkage_scores(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    attrs = c.select("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+    pairs = dd.sorted_neighborhood_pairs(
+        c, "c_custkey", F.col("c_acctbal"), window=3
+    )
+    rules = {
+        "nation": (
+            lambda a, b: a["c_nationkey"] == b["c_nationkey"], 26, -8,
+        ),
+        "segment": (
+            lambda a, b: a["c_mktsegment"] == b["c_mktsegment"], 14, -5,
+        ),
+        "acctbal": (
+            lambda a, b: F.abs(a["c_acctbal"] - b["c_acctbal"]) <= 50, 18, -6,
+        ),
+    }
+    return dd.linkage_score_pairs(
+        pairs, attrs, "c_custkey", rules, min_score=30
+    )
+
+
+@_q(
     "kmv_user_customer_overlap",
     f"""
 WITH ha AS (
@@ -7143,6 +7205,7 @@ _EXPORT_PRIORITY: list[str] = [
     "event_value_drift",
     "corpus_diversity_by_source",
     "event_sequence_motifs",
+    "customer_linkage_scores",
 ]
 
 
