@@ -455,3 +455,31 @@ def test_linkage_score_pairs_weights_and_null_policy(spark):
 
     filtered = linkage_score_pairs(pairs, attrs, "id", rules, min_score=10)
     assert {(r["doc_a"], r["doc_b"]) for r in filtered.collect()} == {(1, 2)}
+
+
+def test_pq_encode_selfcoding_and_shape(spark):
+    from yelp_data_pipeline_spark.operators.similarity import pq_encode
+    import hashlib
+
+    import random
+
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(12)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["vec_id"]: r for r in
+           pq_encode(df, m=4, k=4, dim=16).collect()}
+    assert len(out) == 12
+    for r in out.values():
+        codes = [int(c) for c in r["codes"].split(",")]
+        assert len(codes) == 4 and all(0 <= c < 4 for c in codes)
+    # The 4 smallest-md5(vec_id) vectors ARE the codebook: they encode
+    # to themselves with zero reconstruction error.
+    hexes = sorted(
+        (int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16), i)
+        for i in range(12)
+    )
+    seeds = [i for _, i in hexes[:4]]
+    for s in seeds:
+        assert out[s]["recon_err"] == 0.0
+    # Non-seed vectors (random in 16-d) almost surely do not coincide.
+    assert any(out[i]["recon_err"] > 0 for i in range(12) if i not in seeds)

@@ -912,3 +912,110 @@ def embedding_norm_outliers(
         .select(F.col(id_col), F.col("nr").alias("norm"), z.alias("z"))
         .where(F.abs(F.col("z")) > z_threshold)
     )
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Product-quantization encode (Jégou et al., PAMI 2011): split
+    each vector into ``m`` subvectors, assign every subvector to its
+    nearest codeword in that subspace's ``k``-entry codebook, and emit
+    the m-byte code plus the reconstruction error — the memory layout
+    behind billion-scale ANN (m·log2(k) bits per vector vs 4·dim
+    bytes; here 8 codes × 4 bits = 4 bytes, a 64× shrink).
+
+    Codebook: the ``k`` corpus vectors with the smallest md5(vec_id)
+    — a deterministic uniform sample, the same init a per-subspace
+    k-means trainer would start from (``kmeans_centroids`` is the
+    refinement path; encode structure is identical either way, and a
+    seeded codebook keeps the oracle replayable without unrolling m
+    independent k-means loops). The k-row rank window is bounded by
+    construction (TakeOrdered of k rows), never a data-scale
+    single-reducer sort.
+
+    Determinism: subspace distances fold left-to-right over fixed
+    component order (zip_with + aggregate — never a shuffle-ordered
+    float sum); per-id totals likewise fold over a j-sorted collected
+    array, so recon_err is bit-stable across partitionings and
+    engines. Argmin ties break to the lowest codeword index via
+    struct-min.
+
+    Plan: codebook is m·k rows broadcast; the n·m exploded subvector
+    relation joins it map-side (n·m·k distance rows is PQ's inherent
+    encode cost), then ONE (id) groupBy folds codes and error.
+    Returns (id, codes 'c0,...,cm-1', recon_err 6dp).
+    """
+    from ..functions.hashing import md5_long
+    from pyspark.sql import Window
+
+    s = dim // m
+    seeds = (
+        df.select(
+            F.col(vec_col).alias("sv"),
+            md5_long(F.col(id_col).cast("string")).alias("h"),
+            F.col(id_col).alias("sid"),
+        )
+        .orderBy("h", "sid")
+        .limit(k)
+    )
+    # k rows total: the unpartitioned window is bounded, not data-scale.
+    cw = Window.orderBy("h", "sid")
+    seeds = seeds.withColumn("c", F.row_number().over(cw) - 1).drop("h", "sid")
+    subs = F.explode(
+        F.array(*[F.lit(j) for j in range(m)])
+    ).alias("j")
+    codebook = seeds.select("c", "sv", subs).select(
+        "c",
+        "j",
+        F.slice(
+            F.transform(F.col("sv"), lambda x: x.cast("double")),
+            F.col("j") * s + 1,
+            s,
+        ).alias("csv"),
+    )
+    vecs = (
+        df.select(F.col(id_col), F.col(vec_col).alias("v"))
+        .select(id_col, "v", subs)
+        .select(
+            id_col,
+            "j",
+            F.slice(
+                F.transform(F.col("v"), lambda x: x.cast("double")),
+                F.col("j") * s + 1,
+                s,
+            ).alias("vsv"),
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("vsv"), F.col("csv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+    scored = vecs.join(F.broadcast(codebook), "j").select(
+        id_col, "j", "c", d2.alias("d2")
+    )
+    best = scored.groupBy(id_col, "j").agg(
+        F.min(F.struct("d2", "c")).alias("b")
+    )
+    per_id = best.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct("j", F.col("b.c").alias("c"), F.col("b.d2").alias("d2")))
+        ).alias("parts")
+    )
+    codes = F.array_join(
+        F.transform(F.col("parts"), lambda p: p["c"].cast("string")), ","
+    )
+    err = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.col("parts"), F.lit(0.0), lambda acc, p: acc + p["d2"]
+            )
+        ),
+        6,
+    )
+    return per_id.select(F.col(id_col), codes.alias("codes"), err.alias("recon_err"))

@@ -2085,6 +2085,64 @@ def q_embedding_neardup_fine(spark, sf_dir):
 
 
 @_q(
+    "pq_encoded_embeddings",
+    f"""
+WITH h AS (
+  SELECT vec_id, embedding,
+         {md5_long_sql("CAST(vec_id AS VARCHAR)")} AS hh
+  FROM embeddings
+),
+seeds AS (
+  SELECT embedding, CAST(row_number() OVER (ORDER BY hh, vec_id) - 1 AS INT) AS c
+  FROM (SELECT * FROM h ORDER BY hh, vec_id LIMIT 16)
+),
+cb AS (
+  SELECT c, j,
+         list_transform(generate_series(j*8+1, j*8+8),
+                        i -> CAST(embedding[CAST(i AS INT)] AS DOUBLE)) AS csv
+  FROM seeds, (SELECT unnest(generate_series(0, 7)) AS j) g
+),
+vs AS (
+  SELECT vec_id, j,
+         list_transform(generate_series(j*8+1, j*8+8),
+                        i -> CAST(embedding[CAST(i AS INT)] AS DOUBLE)) AS vsv
+  FROM embeddings, (SELECT unnest(generate_series(0, 7)) AS j) g
+),
+d AS (
+  SELECT vs.vec_id, vs.j, cb.c,
+         list_sum(list_transform(generate_series(1, 8),
+                  i -> (vsv[CAST(i AS INT)] - csv[CAST(i AS INT)])
+                     * (vsv[CAST(i AS INT)] - csv[CAST(i AS INT)]))) AS d2
+  FROM vs JOIN cb ON vs.j = cb.j
+),
+best AS (
+  SELECT vec_id, j, c, d2,
+         row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS rn
+  FROM d
+)
+SELECT vec_id,
+       string_agg(CAST(c AS VARCHAR), ',' ORDER BY j) AS codes,
+       round(sqrt(list_sum(list(d2 ORDER BY j))), 6) AS recon_err
+FROM best WHERE rn = 1
+GROUP BY vec_id
+""",
+    doc="Product-quantization encode (Jégou et al. PAMI'11; operators/"
+    "similarity.py:pq_encode): 8 subspaces × 16-codeword codebooks → "
+    "4-bit codes, a 64× memory shrink for billion-scale ANN. Codebook "
+    "= the 16 smallest-md5(vec_id) corpus vectors (the deterministic "
+    "uniform sample a per-subspace k-means would start from; "
+    "kmeans_centroids is the refinement path). Distances fold "
+    "left-to-right over fixed component order and per-id errors over "
+    "a j-sorted array — never a shuffle-ordered float sum, so "
+    "recon_err is bit-stable across engines/partitionings. Plan: m·k "
+    "codebook rows broadcast onto the n·m exploded subvectors (n·m·k "
+    "distance rows is PQ's inherent encode cost), ONE groupBy fold.",
+)
+def q_pq_encoded_embeddings(spark, sf_dir):
+    return sim.pq_encode(_t(spark, sf_dir, "embeddings"))
+
+
+@_q(
     "ann_topk_batch",
     f"""
 WITH q AS (
@@ -7206,6 +7264,7 @@ _EXPORT_PRIORITY: list[str] = [
     "corpus_diversity_by_source",
     "event_sequence_motifs",
     "customer_linkage_scores",
+    "pq_encoded_embeddings",
 ]
 
 
