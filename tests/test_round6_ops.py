@@ -483,3 +483,29 @@ def test_pq_encode_selfcoding_and_shape(spark):
         assert out[s]["recon_err"] == 0.0
     # Non-seed vectors (random in 16-d) almost surely do not coincide.
     assert any(out[i]["recon_err"] > 0 for i in range(12) if i not in seeds)
+
+
+def test_pq_adc_query_row_scores_its_own_quantization_error(spark):
+    from yelp_data_pipeline_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+    )
+    import math
+    import random
+
+    rnd = random.Random(11)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(12)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    top = pq_adc_topk(df, query_id=5, m=4, k_codes=4, dim=16, k=12).collect()
+    assert len(top) == 12
+    # Ascending approximate distance.
+    ds = [r["adc_d2"] for r in top]
+    assert ds == sorted(ds)
+    # The query's ADC distance equals its own quantization error
+    # (same codes, same lookup table): adc_d2 = recon_err².
+    err = {
+        r["vec_id"]: r["recon_err"]
+        for r in pq_encode(df, m=4, k=4, dim=16).collect()
+    }
+    adc5 = next(r["adc_d2"] for r in top if r["vec_id"] == 5)
+    assert math.isclose(adc5, err[5] ** 2, rel_tol=1e-4)

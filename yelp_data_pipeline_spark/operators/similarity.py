@@ -914,6 +914,62 @@ def embedding_norm_outliers(
     )
 
 
+def _pq_subvec(vec_col: F.Column, j: F.Column, s: int) -> F.Column:
+    """j-th length-``s`` double subvector (1-based slice)."""
+    return F.slice(
+        F.transform(vec_col, lambda x: x.cast("double")), j * s + 1, s
+    )
+
+
+def _pq_codebook_and_codes(
+    df: DataFrame, id_col: str, vec_col: str, m: int, k: int, dim: int
+):
+    """Shared PQ core: (codebook, best) where codebook = (c, j, csv)
+    — the md5-seeded codeword subvectors, m·k rows — and best =
+    (id, j, struct b(d2, c)) — each vector's nearest codeword per
+    subspace with its squared distance. See pq_encode for the
+    determinism and scale arguments."""
+    from ..functions.hashing import md5_long
+    from pyspark.sql import Window
+
+    s = dim // m
+    seeds = (
+        df.select(
+            F.col(vec_col).alias("sv"),
+            md5_long(F.col(id_col).cast("string")).alias("h"),
+            F.col(id_col).alias("sid"),
+        )
+        .orderBy("h", "sid")
+        .limit(k)
+    )
+    # k rows total: the unpartitioned window is bounded, not data-scale.
+    cw = Window.orderBy("h", "sid")
+    seeds = seeds.withColumn("c", F.row_number().over(cw) - 1).drop("h", "sid")
+    subs = F.explode(F.array(*[F.lit(j) for j in range(m)])).alias("j")
+    codebook = seeds.select("c", "sv", subs).select(
+        "c", "j", _pq_subvec(F.col("sv"), F.col("j"), s).alias("csv")
+    )
+    vecs = (
+        df.select(F.col(id_col), F.col(vec_col).alias("v"))
+        .select(id_col, "v", subs)
+        .select(
+            id_col, "j", _pq_subvec(F.col("v"), F.col("j"), s).alias("vsv")
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("vsv"), F.col("csv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+    scored = vecs.join(F.broadcast(codebook), "j").select(
+        id_col, "j", "c", d2.alias("d2")
+    )
+    best = scored.groupBy(id_col, "j").agg(
+        F.min(F.struct("d2", "c")).alias("b")
+    )
+    return codebook, best
+
+
 def pq_encode(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -950,58 +1006,7 @@ def pq_encode(
     encode cost), then ONE (id) groupBy folds codes and error.
     Returns (id, codes 'c0,...,cm-1', recon_err 6dp).
     """
-    from ..functions.hashing import md5_long
-    from pyspark.sql import Window
-
-    s = dim // m
-    seeds = (
-        df.select(
-            F.col(vec_col).alias("sv"),
-            md5_long(F.col(id_col).cast("string")).alias("h"),
-            F.col(id_col).alias("sid"),
-        )
-        .orderBy("h", "sid")
-        .limit(k)
-    )
-    # k rows total: the unpartitioned window is bounded, not data-scale.
-    cw = Window.orderBy("h", "sid")
-    seeds = seeds.withColumn("c", F.row_number().over(cw) - 1).drop("h", "sid")
-    subs = F.explode(
-        F.array(*[F.lit(j) for j in range(m)])
-    ).alias("j")
-    codebook = seeds.select("c", "sv", subs).select(
-        "c",
-        "j",
-        F.slice(
-            F.transform(F.col("sv"), lambda x: x.cast("double")),
-            F.col("j") * s + 1,
-            s,
-        ).alias("csv"),
-    )
-    vecs = (
-        df.select(F.col(id_col), F.col(vec_col).alias("v"))
-        .select(id_col, "v", subs)
-        .select(
-            id_col,
-            "j",
-            F.slice(
-                F.transform(F.col("v"), lambda x: x.cast("double")),
-                F.col("j") * s + 1,
-                s,
-            ).alias("vsv"),
-        )
-    )
-    d2 = F.aggregate(
-        F.zip_with(F.col("vsv"), F.col("csv"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, z: acc + z,
-    )
-    scored = vecs.join(F.broadcast(codebook), "j").select(
-        id_col, "j", "c", d2.alias("d2")
-    )
-    best = scored.groupBy(id_col, "j").agg(
-        F.min(F.struct("d2", "c")).alias("b")
-    )
+    _, best = _pq_codebook_and_codes(df, id_col, vec_col, m, k, dim)
     per_id = best.groupBy(id_col).agg(
         F.array_sort(
             F.collect_list(F.struct("j", F.col("b.c").alias("c"), F.col("b.d2").alias("d2")))
@@ -1019,3 +1024,62 @@ def pq_encode(
         6,
     )
     return per_id.select(F.col(id_col), codes.alias("codes"), err.alias("recon_err"))
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    query_id,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k_codes: int = 16,
+    dim: int = 64,
+    k: int = 10,
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k search — the serving path
+    product quantization exists for: the query stays full-precision,
+    the corpus is only its m-byte codes, and each candidate's
+    approximate L2² is a sum of m lookup-table entries instead of a
+    dim-component dot product (Jégou et al., PAMI 2011, §IV).
+
+    The LUT is m·k_codes rows (query subvector vs every codeword,
+    computed once, broadcast); scoring the whole corpus is then an
+    (j, c) equi-join of the code relation against the broadcast LUT +
+    a per-id fold — no vector arithmetic per candidate at all, which
+    is the 64×-less-memory-AND-less-compute scan that makes
+    billion-vector serving feasible. Distance sums fold over j-sorted
+    arrays (the pq_encode determinism argument); final top-k is a
+    TakeOrderedAndProject with id tiebreak, query row included (rank
+    1 at distance ≈ recon error).
+
+    Returns (id, adc_d2) — the k smallest approximate distances, 6dp.
+    """
+    codebook, best = _pq_codebook_and_codes(df, id_col, vec_col, m, k_codes, dim)
+    s = dim // m
+    subs = F.explode(F.array(*[F.lit(j) for j in range(m)])).alias("j")
+    qsub = (
+        df.where(F.col(id_col) == query_id)
+        .select(F.col(vec_col).alias("qv"))
+        .select("qv", subs)
+        .select("j", _pq_subvec(F.col("qv"), F.col("j"), s).alias("qsv"))
+    )
+    qd2 = F.aggregate(
+        F.zip_with(F.col("qsv"), F.col("csv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+    lut = qsub.join(codebook, "j").select("j", "c", qd2.alias("qd2"))
+    codes = best.select(id_col, "j", F.col("b.c").alias("c"))
+    scored = codes.join(F.broadcast(lut), ["j", "c"])
+    per_id = scored.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("j", "qd2"))).alias("parts")
+    )
+    adc = F.round(
+        F.aggregate(F.col("parts"), F.lit(0.0), lambda acc, p: acc + p["qd2"]),
+        6,
+    )
+    return (
+        per_id.select(F.col(id_col), adc.alias("adc_d2"))
+        .orderBy(F.asc("adc_d2"), F.asc(id_col))
+        .limit(k)
+    )

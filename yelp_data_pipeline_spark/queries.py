@@ -2084,10 +2084,11 @@ def q_embedding_neardup_fine(spark, sf_dir):
     )
 
 
-@_q(
-    "pq_encoded_embeddings",
-    f"""
-WITH h AS (
+# Shared PQ oracle CTE prefix (DuckDB): md5-seeded 16-entry codebook
+# over 8 subspaces, per-(vector, subspace) nearest codeword. cb is
+# MATERIALIZED — the ADC query references it twice and DuckDB inlines
+# plain CTEs at every reference (the kcore lesson).
+_PQ_CTES = f"""h AS (
   SELECT vec_id, embedding,
          {md5_long_sql("CAST(vec_id AS VARCHAR)")} AS hh
   FROM embeddings
@@ -2096,7 +2097,7 @@ seeds AS (
   SELECT embedding, CAST(row_number() OVER (ORDER BY hh, vec_id) - 1 AS INT) AS c
   FROM (SELECT * FROM h ORDER BY hh, vec_id LIMIT 16)
 ),
-cb AS (
+cb AS MATERIALIZED (
   SELECT c, j,
          list_transform(generate_series(j*8+1, j*8+8),
                         i -> CAST(embedding[CAST(i AS INT)] AS DOUBLE)) AS csv
@@ -2119,7 +2120,13 @@ best AS (
   SELECT vec_id, j, c, d2,
          row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS rn
   FROM d
-)
+)"""
+
+
+@_q(
+    "pq_encoded_embeddings",
+    f"""
+WITH {_PQ_CTES}
 SELECT vec_id,
        string_agg(CAST(c AS VARCHAR), ',' ORDER BY j) AS codes,
        round(sqrt(list_sum(list(d2 ORDER BY j))), 6) AS recon_err
@@ -2140,6 +2147,47 @@ GROUP BY vec_id
 )
 def q_pq_encoded_embeddings(spark, sf_dir):
     return sim.pq_encode(_t(spark, sf_dir, "embeddings"))
+
+
+@_q(
+    "pq_adc_topk",
+    f"""
+WITH {_PQ_CTES},
+qs AS (
+  SELECT j,
+         list_transform(generate_series(j*8+1, j*8+8),
+                        i -> CAST(embedding[CAST(i AS INT)] AS DOUBLE)) AS qsv
+  FROM embeddings, (SELECT unnest(generate_series(0, 7)) AS j) g
+  WHERE vec_id = 0
+),
+lut AS (
+  SELECT cb.j, cb.c,
+         list_sum(list_transform(generate_series(1, 8),
+                  i -> (qsv[CAST(i AS INT)] - csv[CAST(i AS INT)])
+                     * (qsv[CAST(i AS INT)] - csv[CAST(i AS INT)]))) AS qd2
+  FROM qs JOIN cb ON qs.j = cb.j
+),
+codes AS (SELECT vec_id, j, c FROM best WHERE rn = 1)
+SELECT vec_id,
+       round(list_sum(list(qd2 ORDER BY codes.j)), 6) AS adc_d2
+FROM codes JOIN lut ON codes.j = lut.j AND codes.c = lut.c
+GROUP BY vec_id
+ORDER BY adc_d2, vec_id
+LIMIT 10
+""",
+    doc="PQ asymmetric-distance top-k (Jégou et al. PAMI'11 §IV; "
+    "operators/similarity.py:pq_adc_topk) — the serving scan product "
+    "quantization exists for: query at full precision, corpus as "
+    "m-byte codes, each candidate scored by summing m lookup-table "
+    "entries (128-row LUT broadcast; the (j, code) equi-join + fold "
+    "does NO per-candidate vector arithmetic). Distance folds over "
+    "j-sorted arrays, top-k via TakeOrderedAndProject with id "
+    "tiebreak; query row ranks first at ≈ its recon error — the "
+    "compute-side 64× shrink that pairs with pq_encoded_embeddings' "
+    "memory shrink.",
+)
+def q_pq_adc_topk(spark, sf_dir):
+    return sim.pq_adc_topk(_t(spark, sf_dir, "embeddings"), query_id=0)
 
 
 @_q(
@@ -7265,6 +7313,7 @@ _EXPORT_PRIORITY: list[str] = [
     "event_sequence_motifs",
     "customer_linkage_scores",
     "pq_encoded_embeddings",
+    "pq_adc_topk",
 ]
 
 
