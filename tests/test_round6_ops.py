@@ -509,3 +509,39 @@ def test_pq_adc_query_row_scores_its_own_quantization_error(spark):
     }
     adc5 = next(r["adc_d2"] for r in top if r["vec_id"] == 5)
     assert math.isclose(adc5, err[5] ** 2, rel_tol=1e-4)
+
+
+def test_adaptive_quality_filter_cuts_per_source_not_globally(spark):
+    from yelp_data_pipeline_spark.operators.textops import (
+        adaptive_quality_filter,
+        quality_score_col,
+    )
+
+    # Source A: long clean docs (high scores). Source B: short noisy
+    # docs (low scores). A global p25 would drop most of B and none of
+    # A; the per-source gate drops the bottom quartile of EACH.
+    a = [(f"a{i}", "A", "the and is of " * (10 + i)) for i in range(8)]
+    b = [(f"b{i}", "B", "#!? " * (1 + i)) for i in range(8)]
+    df = spark.createDataFrame(a + b, ["doc_id", "source", "text"])
+    out = adaptive_quality_filter(df, "doc_id", "source", "text").collect()
+    by_src = {"A": 0, "B": 0}
+    for r in out:
+        by_src[r["source"]] += 1
+    # Both sources keep their own top ~75% (exact count depends on
+    # score ties, but neither source is wiped out or untouched).
+    assert 4 <= by_src["A"] <= 7
+    assert 4 <= by_src["B"] <= 7
+
+    scores = {
+        r["doc_id"]: r["quality_score"]
+        for r in df.select(
+            "doc_id", quality_score_col(F.col("text")).alias("quality_score")
+        ).collect()
+    }
+    kept = {r["doc_id"] for r in out}
+    # Survivors within each source all score >= every dropped doc there.
+    for src, prefix in (("A", "a"), ("B", "b")):
+        kept_s = [scores[d] for d in kept if d.startswith(prefix)]
+        drop_s = [scores[d] for d in scores if d.startswith(prefix) and d not in kept]
+        if kept_s and drop_s:
+            assert min(kept_s) >= max(drop_s)

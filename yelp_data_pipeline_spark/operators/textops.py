@@ -1057,3 +1057,48 @@ def diversity_by_group(
             F.col("hapax").cast("double") / F.col("n_types").cast("double"), 6
         ).alias("hapax_ratio"),
     )
+
+
+def adaptive_quality_filter(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    text_col: str,
+    p: float = 0.25,
+) -> DataFrame:
+    """Per-source adaptive quality gate: keep documents scoring at or
+    above their OWN source's ``p``-quantile of the composite quality
+    score — the filter a mixed-corpus pipeline needs because one
+    global cutoff either guts clean sources or waves noisy ones
+    through (quality distributions differ per crawl/dump; cutting
+    each source's worst quartile is the defensible default).
+
+    Reuses :func:`quality_score_col` (identical rounded arithmetic to
+    the quality_scores oracle). The scored relation is persisted —
+    it feeds both the threshold aggregate and the final join, and
+    without the persist the regex scoring scan runs twice. Thresholds
+    are one row per source (bounded), broadcast back; the filter
+    itself is map-side. Exact percentile gathers each source's values
+    once (inherent); at true scale swap percentile →
+    percentile_approx (mergeable sketch, map-side combinable) — the
+    gate is a triage, not an exactness contract.
+
+    Returns (id, group, quality_score) for survivors.
+    """
+    from ..session import track_persist
+
+    scored = track_persist(
+        df.select(
+            F.col(id_col),
+            F.col(group_col),
+            quality_score_col(F.col(text_col)).alias("quality_score"),
+        )
+    )
+    thr = scored.groupBy(group_col).agg(
+        F.expr(f"percentile(quality_score, {p})").alias("__thr")
+    )
+    return (
+        scored.join(F.broadcast(thr), group_col)
+        .where(F.col("quality_score") >= F.col("__thr"))
+        .select(id_col, group_col, "quality_score")
+    )

@@ -2329,6 +2329,49 @@ def q_quality_scores(spark, sf_dir):
 
 
 @_q(
+    "adaptive_quality_survivors",
+    f"""
+WITH base AS (
+  SELECT doc_id, source,
+         CAST(length(text) AS INT) AS n_chars,
+         CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS INT) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS INT) AS n_punct,
+         CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+              t -> t IN ({", ".join(f"'{w}'" for w in tx.LANG_STOPWORDS['en'])}))) AS INT) AS n_stop
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, source,
+         round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+               + round(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) * 0.3
+               + (1.0 - least(round(CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) * 10, 1.0)) * 0.2,
+               6) AS quality_score
+  FROM base
+),
+thr AS (
+  SELECT source, quantile_cont(quality_score, 0.25) AS t
+  FROM scored GROUP BY source
+)
+SELECT s.doc_id, s.source, s.quality_score
+FROM scored s JOIN thr ON s.source = thr.source
+WHERE s.quality_score >= thr.t
+""",
+    doc="Per-source adaptive quality gate (operators/textops.py:"
+    "adaptive_quality_filter): keep docs at or above their OWN "
+    "source's p25 composite quality — a global cutoff either guts "
+    "clean sources or waves noisy ones through, since quality "
+    "distributions differ per crawl/dump. Scored relation persisted "
+    "(feeds threshold agg AND final join — one regex scan, not two); "
+    "thresholds are one bounded row per source, broadcast back; "
+    "filter map-side. Exact per-source percentile here for the "
+    "oracle; percentile_approx is the 100 TB path.",
+)
+def q_adaptive_quality_survivors(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return tx.adaptive_quality_filter(d, "doc_id", "source", "text", p=0.25)
+
+
+@_q(
     "token_stats",
     f"""
 SELECT doc_id,
@@ -7314,6 +7357,7 @@ _EXPORT_PRIORITY: list[str] = [
     "customer_linkage_scores",
     "pq_encoded_embeddings",
     "pq_adc_topk",
+    "adaptive_quality_survivors",
 ]
 
 
