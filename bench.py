@@ -63,6 +63,12 @@ EXTRAS = [
     "frequent_part_pairs",
     "cms_heavy_user_hitters",
     "nation_revenue_trend",
+    "supplier_kcore",
+    "pq_encoded_embeddings",
+    "customer_linkage_scores",
+    "event_value_drift",
+    "adaptive_quality_survivors",
+    "corpus_diversity_by_source",
 ]
 
 

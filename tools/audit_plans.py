@@ -59,6 +59,15 @@ DEFAULT_AUDIT = [
     "dominant_share_suppliers",
     "multimodal_decode_meta",
     "bpe_encoded_token_counts",
+    "supplier_kcore",
+    "pq_encoded_embeddings",
+    "pq_adc_topk",
+    "customer_linkage_scores",
+    "event_value_drift",
+    "event_value_mad_outliers",
+    "corpus_diversity_by_source",
+    "event_sequence_motifs",
+    "adaptive_quality_survivors",
 ]
 
 
@@ -135,7 +144,32 @@ _BOUNDED_KEY_RE = re.compile(
 )
 
 
-def _is_bounded_cross(sub: str) -> bool:
+def _resolve_reused(line: str, plan: str) -> str:
+    """A build side may be a ReusedExchange pointer ('ReusedExchange
+    [med#45], BroadcastExchange ..., [plan_id=113]') — the bounded
+    1-row aggregate lives under the ORIGINAL exchange elsewhere in the
+    plan. Return that original subtree so the boundedness check sees
+    the real producer (empty string if unresolvable)."""
+    m = re.search(r"ReusedExchange .*\[plan_id=(\d+)\]", line)
+    if not m or not plan:
+        return ""
+    pid = m.group(1)
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if f"[plan_id={pid}]" in ln and "ReusedExchange" not in ln:
+            label = re.search(r"[A-Za-z*]", ln)
+            d = label.start() if label else 0
+            sub = [ln]
+            for nxt in lines[i + 1 :]:
+                lbl = re.search(r"[A-Za-z*]", nxt)
+                if lbl and lbl.start() <= d and nxt.strip():
+                    break
+                sub.append(nxt)
+            return "\n".join(sub)
+    return ""
+
+
+def _is_bounded_cross(sub: str, plan: str = "") -> bool:
     """A BroadcastNestedLoopJoin is exempt only when its BUILD side is
     a known bounded producer: keys=[] aggregates carry at most one row
     (scan-and-attach-scalar idiom — date spans, quantile bounds);
@@ -167,6 +201,12 @@ def _is_bounded_cross(sub: str) -> bool:
                 nxt,
             ):
                 return True
+            if "ReusedExchange" in nxt:
+                orig = _resolve_reused(nxt, plan)
+                if orig and _is_bounded_cross(
+                    "BroadcastNestedLoopJoin\n" + orig, plan=""
+                ):
+                    return True
             m = re.search(
                 r"(?:HashAggregate\(keys=\[|ObjectHashAggregate\(keys=\[|"
                 r"SortAggregate\(key=\[|InMemoryTableScan \[)([^\]]*)",
@@ -189,11 +229,13 @@ def _is_bounded_cross(sub: str) -> bool:
 
 
 def _dangerous_nested_loop(plan: str) -> bool:
-    return any(not _is_bounded_cross(s) for s in _nested_loop_subtrees(plan))
+    return any(
+        not _is_bounded_cross(s, plan) for s in _nested_loop_subtrees(plan)
+    )
 
 
 def _benign_onerow_cross(plan: str) -> bool:
-    return any(_is_bounded_cross(s) for s in _nested_loop_subtrees(plan))
+    return any(_is_bounded_cross(s, plan) for s in _nested_loop_subtrees(plan))
 
 
 def main() -> int:
