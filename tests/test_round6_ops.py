@@ -545,3 +545,44 @@ def test_adaptive_quality_filter_cuts_per_source_not_globally(spark):
         drop_s = [scores[d] for d in scores if d.startswith(prefix) and d not in kept]
         if kept_s and drop_s:
             assert min(kept_s) >= max(drop_s)
+
+
+def test_doc_novelty_attribution_by_min_doc(spark):
+    from yelp_data_pipeline_spark.operators.dedup import doc_novelty_scores
+
+    docs = [
+        (1, "a b c d"),            # shingles: abc, bcd -> both novel
+        (2, "a b c d e"),          # abc, bcd seen in 1; cde novel
+        (3, "x y z"),              # xyz novel (single shingle)
+        (4, "a b c"),              # abc seen in 1 -> novelty 0
+        (5, "a b"),                # < 3 tokens -> no shingles, excluded
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in doc_novelty_scores(df, "doc_id", "text").collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert (got[1]["n_shingles"], got[1]["n_novel"], got[1]["novelty"]) == (2, 2, 1.0)
+    assert (got[2]["n_shingles"], got[2]["n_novel"]) == (3, 1)
+    assert got[2]["novelty"] == round(1 / 3, 6)
+    assert got[3]["novelty"] == 1.0
+    assert got[4]["novelty"] == 0.0
+
+
+def test_pq_recall_eval_perfect_when_codes_separate_clusters(spark):
+    from yelp_data_pipeline_spark.operators.similarity import pq_recall_eval
+
+    # Two far-apart tight clusters: ADC ranks every same-cluster
+    # vector above every cross-cluster vector, so recall@k within a
+    # cluster of size k is 1.0 regardless of codebook quality.
+    import random
+
+    rnd = random.Random(3)
+    rows = []
+    for i in range(8):
+        base = 0.0 if i < 4 else 50.0
+        rows.append((i, [base + rnd.uniform(-0.1, 0.1) for _ in range(16)]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["qid"]: r for r in
+           pq_recall_eval(df, [0, 5], m=4, k_codes=4, dim=16, k=4).collect()}
+    assert out[0]["recall_at_4"] == 1.0
+    assert out[5]["recall_at_4"] == 1.0
+    assert out[0]["n_hits"] == 4

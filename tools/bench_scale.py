@@ -66,6 +66,11 @@ EMB_FAMILY = [
     "embedding_neardup_pairs",
     "embedding_neardup_fine",
     "ann_topk_cosine",
+    # PQ encode is n·m·k work and ADC is n·m + LUT: both should scale
+    # ~linearly (ratio ≈ multiplier); a super-linear ratio would mean
+    # the codebook TakeOrdered or the per-id fold shuffle regressed.
+    "pq_encoded_embeddings",
+    "pq_adc_topk",
 ]
 
 # ``--docs`` family: the document-side dedup operators only (the

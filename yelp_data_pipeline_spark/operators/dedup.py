@@ -969,3 +969,53 @@ def linkage_score_pairs(
     if min_score is not None:
         out = out.where(F.col("score") >= min_score)
     return out.select("doc_a", "doc_b", *flag_cols, "score")
+
+
+def doc_novelty_scores(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's distinct word
+    n-gram shingles that are FIRST seen in this doc, attributing each
+    shingle to the minimum doc_id containing it — the contribution
+    score a curation pipeline uses to rank near-boilerplate documents
+    (novelty → 0 as a doc's content is already covered by earlier
+    corpus), complementing pairwise dedup: a doc can evade every
+    near-dup pair yet contribute almost nothing new.
+
+    Deterministic by construction (min-attribution, integer counts,
+    one final division). Plan: the SAME shingle-keyed shuffle the
+    n-gram dedup family pays (map-side-combinable min), broadcast of
+    nothing — the attribution joins back on the shingle key; the
+    exploded relation is persisted because it feeds both the
+    first-seen aggregate and the per-doc rollup. Docs shorter than
+    ``n`` tokens have no shingles and are excluded (mirrors the
+    oracle's unnest of an empty list).
+
+    Returns (doc_id, n_shingles, n_novel, novelty 6dp).
+    """
+    from ..session import track_persist
+
+    sh = track_persist(
+        with_shingles(df.select(F.col(id_col), F.col(text_col)), text_col, n)
+        .select(F.col(id_col), F.explode("shingles").alias("s"))
+    )
+    first = sh.groupBy("s").agg(F.min(id_col).alias("fd"))
+    per = (
+        sh.join(first, "s")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("fd") == F.col(id_col), 1).otherwise(0)
+            ).cast("long").alias("n_novel"),
+        )
+    )
+    return per.select(
+        id_col,
+        "n_shingles",
+        "n_novel",
+        F.round(
+            F.col("n_novel").cast("double") / F.col("n_shingles").cast("double"),
+            6,
+        ).alias("novelty"),
+    )

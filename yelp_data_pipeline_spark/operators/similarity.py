@@ -1083,3 +1083,127 @@ def pq_adc_topk(
         .orderBy(F.asc("adc_d2"), F.asc(id_col))
         .limit(k)
     )
+
+
+def pq_adc_topk_batch(
+    df: DataFrame,
+    query_ids: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k_codes: int = 16,
+    dim: int = 64,
+    k: int = 10,
+) -> DataFrame:
+    """Batch ADC serving: top-k per query for a SET of query vectors
+    in one corpus pass — the LUT becomes |Q|·m·k_codes rows (still a
+    broadcast), scoring stays the same (j, c) equi-join + fold, and
+    per-query ranking is a row_number window keyed by qid. One code
+    relation, one LUT join, |Q| results: the queries ≪ corpus serving
+    shape (cosine_topk_batch's PQ twin).
+
+    Returns (qid, id, adc_d2) — k rows per query, ties on distance
+    broken by id.
+    """
+    from pyspark.sql import Window
+
+    codebook, best = _pq_codebook_and_codes(df, id_col, vec_col, m, k_codes, dim)
+    s = dim // m
+    subs = F.explode(F.array(*[F.lit(j) for j in range(m)])).alias("j")
+    qsub = (
+        df.where(F.col(id_col).isin(*query_ids))
+        .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+        .select("qid", "qv", subs)
+        .select(
+            "qid", "j", _pq_subvec(F.col("qv"), F.col("j"), s).alias("qsv")
+        )
+    )
+    qd2 = F.aggregate(
+        F.zip_with(F.col("qsv"), F.col("csv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+    lut = qsub.join(codebook, "j").select("qid", "j", "c", qd2.alias("qd2"))
+    codes = best.select(id_col, "j", F.col("b.c").alias("c"))
+    scored = codes.join(F.broadcast(lut), ["j", "c"])
+    per = scored.groupBy("qid", id_col).agg(
+        F.array_sort(F.collect_list(F.struct("j", "qd2"))).alias("parts")
+    )
+    adc = F.round(
+        F.aggregate(F.col("parts"), F.lit(0.0), lambda acc, p: acc + p["qd2"]),
+        6,
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("adc_d2"), F.asc(id_col))
+    return (
+        per.select("qid", F.col(id_col), adc.alias("adc_d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def pq_recall_eval(
+    df: DataFrame,
+    query_ids: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k_codes: int = 16,
+    dim: int = 64,
+    k: int = 10,
+) -> DataFrame:
+    """Recall@k of PQ/ADC search against the exact L2 ground truth —
+    the number an index owner actually tunes m / k_codes against
+    (ann_recall_eval's PQ twin; on a unit-normalized corpus exact-L2
+    and exact-cosine rankings coincide).
+
+    Ground truth: full-precision L2² per (query, candidate), folded
+    left-to-right over components (same determinism contract as the
+    ADC sums), top-k per query by (distance, id). Both sides are
+    computed in one corpus pass each; the intersection count is a
+    plain (qid, id) equi-join.
+
+    Returns (qid, n_hits, recall_at_k), one row per query id.
+    """
+    approx = pq_adc_topk_batch(
+        df, query_ids, id_col, vec_col, m, k_codes, dim, k
+    )
+    from pyspark.sql import Window
+
+    q = df.where(F.col(id_col).isin(*query_ids)).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")),
+            F.transform(F.col("qv"), lambda x: x.cast("double")),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+    scored = df.crossJoin(F.broadcast(q)).select(
+        "qid", F.col(id_col), F.round(d2, 6).alias("d2")
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("d2"), F.asc(id_col))
+    exact = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("qid", id_col)
+    )
+    hits = (
+        exact.join(approx.select("qid", id_col), ["qid", id_col])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        q.select("qid")
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce(F.col("n"), F.lit(0)).cast("int").alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n"), F.lit(0)).cast("double") / k, 6
+            ).alias(f"recall_at_{k}"),
+        )
+    )

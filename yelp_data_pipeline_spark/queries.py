@@ -1824,6 +1824,38 @@ def q_ngram_jaccard_exact(spark, sf_dir):
 
 
 @_q(
+    "doc_novelty_scores",
+    f"""
+WITH {_SHINGLES_CTE},
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+first AS (SELECT s, min(doc_id) AS fd FROM ex GROUP BY s),
+per AS (
+  SELECT e.doc_id,
+         count(*) AS n_shingles,
+         CAST(sum(CASE WHEN f.fd = e.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+  FROM ex e JOIN first f ON e.s = f.s
+  GROUP BY e.doc_id
+)
+SELECT doc_id, n_shingles, n_novel,
+       round(CAST(n_novel AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6) AS novelty
+FROM per
+""",
+    doc="Per-document novelty / contribution score (operators/"
+    "dedup.py:doc_novelty_scores): fraction of a doc's distinct word "
+    "3-gram shingles FIRST seen in that doc (min-doc_id attribution) "
+    "— ranks near-boilerplate docs that evade every pairwise near-dup "
+    "threshold yet contribute almost nothing new; novelty → 0 as "
+    "content is already covered by earlier corpus. Same shingle-keyed "
+    "shuffle the n-gram dedup family pays, map-side-combinable min "
+    "attribution, exploded relation persisted (feeds the first-seen "
+    "aggregate AND the per-doc rollup). Deterministic: min/integer "
+    "counts, one final division.",
+)
+def q_doc_novelty_scores(spark, sf_dir):
+    return dd.doc_novelty_scores(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@_q(
     "prefix_jaccard_pairs",
     f"""
 WITH {_SHINGLES_CTE},
@@ -2188,6 +2220,81 @@ LIMIT 10
 )
 def q_pq_adc_topk(spark, sf_dir):
     return sim.pq_adc_topk(_t(spark, sf_dir, "embeddings"), query_id=0)
+
+
+@_q(
+    "pq_recall_eval",
+    f"""
+WITH {_PQ_CTES},
+qs AS (
+  SELECT vec_id AS qid, j,
+         list_transform(generate_series(j*8+1, j*8+8),
+                        i -> CAST(embedding[CAST(i AS INT)] AS DOUBLE)) AS qsv
+  FROM embeddings, (SELECT unnest(generate_series(0, 7)) AS j) g
+  WHERE vec_id IN (0, 1, 2)
+),
+lut AS (
+  SELECT qid, cb.j, cb.c,
+         list_sum(list_transform(generate_series(1, 8),
+                  i -> (qsv[CAST(i AS INT)] - csv[CAST(i AS INT)])
+                     * (qsv[CAST(i AS INT)] - csv[CAST(i AS INT)]))) AS qd2
+  FROM qs JOIN cb ON qs.j = cb.j
+),
+codes AS (SELECT vec_id, j, c FROM best WHERE rn = 1),
+adc AS (
+  SELECT qid, vec_id,
+         round(list_sum(list(qd2 ORDER BY codes.j)), 6) AS adc_d2
+  FROM codes JOIN lut ON codes.j = lut.j AND codes.c = lut.c
+  GROUP BY qid, vec_id
+),
+atop AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY adc_d2, vec_id) AS arn
+    FROM adc
+  ) WHERE arn <= 10
+),
+qv AS (
+  SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+  WHERE vec_id IN (0, 1, 2)
+),
+exd AS (
+  SELECT q.qid, e.vec_id,
+         round(list_sum(list_transform(generate_series(1, 64),
+               i -> (CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                     - CAST(q.qvec[CAST(i AS INT)] AS DOUBLE))
+                  * (CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                     - CAST(q.qvec[CAST(i AS INT)] AS DOUBLE)))), 6) AS d2
+  FROM embeddings e, qv q
+),
+ex AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY d2, vec_id) AS ern
+    FROM exd
+  ) WHERE ern <= 10
+),
+hits AS (
+  SELECT a.qid, count(*) AS n
+  FROM atop a JOIN ex ON a.qid = ex.qid AND a.vec_id = ex.vec_id
+  GROUP BY a.qid
+)
+SELECT q.qid, CAST(coalesce(n, 0) AS INT) AS n_hits,
+       round(coalesce(n, 0) / 10.0, 6) AS recall_at_10
+FROM qv q LEFT JOIN hits ON q.qid = hits.qid
+""",
+    doc="Recall@10 of PQ/ADC search vs the exact-L2 ground truth for "
+    "3 query vectors (operators/similarity.py:pq_recall_eval) — the "
+    "number an index owner tunes m/k_codes against; ann_recall_eval's "
+    "PQ twin (on this unit-normalized corpus exact-L2 and "
+    "exact-cosine rankings coincide). Batch ADC: |Q|·128-row LUT "
+    "broadcast, ONE code-relation join, per-query row_number heap; "
+    "ground truth one broadcast corpus pass; intersection a (qid, id) "
+    "equi-join. Distance folds left-to-right over fixed component "
+    "order on both engines.",
+)
+def q_pq_recall_eval(spark, sf_dir):
+    return sim.pq_recall_eval(_t(spark, sf_dir, "embeddings"), [0, 1, 2])
 
 
 @_q(
@@ -7358,6 +7465,8 @@ _EXPORT_PRIORITY: list[str] = [
     "pq_encoded_embeddings",
     "pq_adc_topk",
     "adaptive_quality_survivors",
+    "pq_recall_eval",
+    "doc_novelty_scores",
 ]
 
 
