@@ -586,3 +586,33 @@ def test_pq_recall_eval_perfect_when_codes_separate_clusters(spark):
     assert out[0]["recall_at_4"] == 1.0
     assert out[5]["recall_at_4"] == 1.0
     assert out[0]["n_hits"] == 4
+
+
+def test_loo_target_encoding_excludes_own_row(spark):
+    from yelp_data_pipeline_spark.operators.aggregates import (
+        loo_target_encoding,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "a", 30.0), (4, "b", 7.0)],
+        ["id", "cat", "y"],
+    )
+    got = {r["id"]: r["loo_mean"]
+           for r in loo_target_encoding(df, ["id"], "cat", "y").collect()}
+    assert got[1] == 25.0   # (20+30)/2
+    assert got[2] == 20.0   # (10+30)/2
+    assert got[3] == 15.0   # (10+20)/2
+    assert got[4] is None   # singleton category
+
+
+def test_quantile_bins_put_ties_in_same_bin(spark):
+    from yelp_data_pipeline_spark.operators.aggregates import quantile_bins
+
+    # 8 identical values + 2 outliers: ntile() would smear the ties
+    # across buckets; value-bound binning must give all ties ONE bin.
+    rows = [(i, 5.0) for i in range(8)] + [(8, 1.0), (9, 9.0)]
+    df = spark.createDataFrame(rows, ["id", "v"])
+    got = {r["id"]: r["bin"] for r in quantile_bins(df, ["id"], "v", 4).collect()}
+    tie_bins = {got[i] for i in range(8)}
+    assert len(tie_bins) == 1
+    assert got[8] < min(tie_bins) <= got[9]

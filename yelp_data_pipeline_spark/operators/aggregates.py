@@ -415,3 +415,95 @@ def kmv_set_estimates(
             .alias("est_intersection"),
         )
     )
+
+
+def loo_target_encoding(
+    df: DataFrame,
+    key_cols: list[str],
+    cat_col: str,
+    target_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Leave-one-out target (mean) encoding: replace a categorical
+    column with the mean of a numeric target over all OTHER rows of
+    the same category — the standard high-cardinality encoder for
+    tree/linear models, in its leakage-safe form (including the row's
+    own target leaks the label into the feature; LOO excludes it:
+    (S_g − xᵢ)/(n_g − 1)).
+
+    Determinism: S_g accumulates in DECIMAL (order-free under AQE/
+    repartition), the subtraction stays decimal-exact, and ONE double
+    division happens per row at the end. Singleton categories
+    (n_g = 1) yield NULL — there is no "other rows" mean and a global
+    fallback is a modeling choice, not a default.
+
+    Plan: ONE map-side-combinable groupBy(category) for (S, n) — a
+    tiny relation, broadcast back — then a map-side projection. No
+    per-row window over the category (the naive windowed mean-over-
+    others funnels every hot category through one reducer).
+
+    Returns key_cols + (cat_col, target, loo_mean).
+    """
+    c = F.col(target_col).cast(DECIMAL)
+    stats = df.groupBy(cat_col).agg(
+        F.sum(c).alias("__s"), F.count(F.lit(1)).alias("__n")
+    )
+    loo = F.when(
+        F.col("__n") > 1,
+        F.round(
+            (F.col("__s") - c).cast("double")
+            / (F.col("__n") - 1).cast("double"),
+            round_to,
+        ),
+    )
+    return df.join(F.broadcast(stats), cat_col).select(
+        *key_cols,
+        cat_col,
+        F.col(target_col),
+        loo.alias("loo_mean"),
+    )
+
+
+def quantile_bins(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Equi-depth (quantile) binning: assign each row the bucket of
+    its value among ``n_bins`` quantile bounds — the feature
+    discretizer (MLlib's QuantileDiscretizer) expressed as plain
+    DataFrame ops so the bounds are exact, engine-replayable, and the
+    assignment is a broadcast + map-side fold rather than a fitted
+    model object.
+
+    Unlike ntile() — which ranks ROWS into equal-count buckets and
+    therefore splits ties arbitrarily — value-bound binning puts equal
+    values in the same bin always (determinism, and the property a
+    learned discretizer must have at inference time). Bin =
+    1 + #bounds ≤ value, bounds at k/n_bins quantiles (k=1..n_bins−1),
+    6dp-rounded before comparison on both engines.
+
+    Plan: one exact-percentile aggregate (1 row, broadcast), then a
+    map-side array fold per row. percentile_approx is the 100 TB
+    drop-in.
+
+    Returns key_cols + (value, bin).
+    """
+    ps = [k / n_bins for k in range(1, n_bins)]
+    bounds = df.agg(
+        F.expr(
+            f"percentile({value_col}, array({', '.join(str(p) for p in ps)}))"
+        ).alias("__b")
+    ).select(
+        F.transform(F.col("__b"), lambda b: F.round(b, 6)).alias("__b")
+    )
+    binv = (
+        F.lit(1)
+        + F.size(
+            F.filter(F.col("__b"), lambda b: b <= F.round(F.col(value_col), 6))
+        )
+    ).cast("int")
+    return df.crossJoin(F.broadcast(bounds)).select(
+        *key_cols, F.col(value_col), binv.alias("bin")
+    )

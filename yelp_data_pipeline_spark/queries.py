@@ -1856,6 +1856,68 @@ def q_doc_novelty_scores(spark, sf_dir):
 
 
 @_q(
+    "priority_loo_target_encoding",
+    """
+WITH stats AS (
+  SELECT o_orderpriority,
+         SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS s,
+         count(*) AS n
+  FROM orders GROUP BY 1
+)
+SELECT o_orderkey, o.o_orderpriority, o_totalprice,
+       CASE WHEN n > 1 THEN
+         round(CAST(s - CAST(o_totalprice AS DECIMAL(27,4)) AS DOUBLE)
+               / CAST(n - 1 AS DOUBLE), 6)
+       END AS loo_mean
+FROM orders o JOIN stats USING (o_orderpriority)
+""",
+    doc="Leave-one-out target encoding of order priority by mean "
+    "total price (operators/aggregates.py:loo_target_encoding) — the "
+    "standard high-cardinality categorical encoder in its "
+    "leakage-safe form: each row gets the category mean over all "
+    "OTHER rows, (S−x)/(n−1), so its own label never leaks into the "
+    "feature. DECIMAL-exact sums (order-free under AQE), one double "
+    "division per row; singleton categories NULL. ONE map-side-"
+    "combinable groupBy + broadcast-back — never a per-row window "
+    "over the category (the naive shape funnels every hot category "
+    "through one reducer).",
+)
+def q_priority_loo_target_encoding(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return agg.loo_target_encoding(
+        o, ["o_orderkey"], "o_orderpriority", "o_totalprice"
+    )
+
+
+@_q(
+    "order_price_decile_bins",
+    """
+WITH b AS (
+  SELECT list_transform(
+           quantile_cont(o_totalprice, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+           x -> round(x, 6)) AS bounds
+  FROM orders
+)
+SELECT o_orderkey, o_totalprice,
+       CAST(1 + len(list_filter(bounds, x -> x <= round(o_totalprice, 6))) AS INT) AS bin
+FROM orders, b
+""",
+    doc="Equi-depth decile binning of order prices (operators/"
+    "aggregates.py:quantile_bins — the QuantileDiscretizer shape as "
+    "plain DataFrame ops): bin = 1 + #bounds ≤ value over exact "
+    "10-quantile bounds, 6dp-rounded before comparison. Unlike "
+    "ntile(), which buckets ROW RANKS and splits ties arbitrarily, "
+    "value-bound binning is deterministic and inference-stable (equal "
+    "values always share a bin). One 1-row percentile aggregate "
+    "broadcast back; assignment is a map-side array fold; "
+    "percentile_approx is the 100 TB drop-in.",
+)
+def q_order_price_decile_bins(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return agg.quantile_bins(o, ["o_orderkey"], "o_totalprice", n_bins=10)
+
+
+@_q(
     "prefix_jaccard_pairs",
     f"""
 WITH {_SHINGLES_CTE},
@@ -7467,6 +7529,8 @@ _EXPORT_PRIORITY: list[str] = [
     "adaptive_quality_survivors",
     "pq_recall_eval",
     "doc_novelty_scores",
+    "priority_loo_target_encoding",
+    "order_price_decile_bins",
 ]
 
 
