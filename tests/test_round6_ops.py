@@ -616,3 +616,43 @@ def test_quantile_bins_put_ties_in_same_bin(spark):
     tie_bins = {got[i] for i in range(8)}
     assert len(tie_bins) == 1
     assert got[8] < min(tie_bins) <= got[9]
+
+
+def test_isotonic_minimax_matches_pava_and_hand_case(spark):
+    from yelp_data_pipeline_spark.operators.timeseries import (
+        isotonic_fit_by_group,
+        isotonic_fit_pandas,
+    )
+
+    # Hand case: means by x are [3, 1, 2, 5] (weights 1) -> PAVA pools
+    # {3,1,2} -> 2.0, leaves 5: fit [2, 2, 2, 5].
+    rows = [("g", 0, 3.0), ("g", 1, 1.0), ("g", 2, 2.0), ("g", 3, 5.0)]
+    df = spark.createDataFrame(rows, ["grp", "x", "y"])
+    mm = {r["x"]: r["y_iso"]
+          for r in isotonic_fit_by_group(df, "grp", "x", "y").collect()}
+    assert mm == {0: 2.0, 1: 2.0, 2: 2.0, 3: 5.0}
+
+    # Weighted + multi-group case: minimax and PAVA must agree.
+    import random
+
+    rnd = random.Random(5)
+    rows2 = [
+        (g, x, round(rnd.uniform(0, 10), 2))
+        for g in ("a", "b")
+        for x in range(12)
+        for _ in range(rnd.randint(1, 4))
+    ]
+    df2 = spark.createDataFrame(rows2, ["grp", "x", "y"])
+    mm2 = {(r["grp"], r["x"]): (r["n"], r["y_mean"], r["y_iso"])
+           for r in isotonic_fit_by_group(df2, "grp", "x", "y").collect()}
+    pv2 = {(r["grp"], r["x"]): (r["n"], r["y_mean"], r["y_iso"])
+           for r in isotonic_fit_pandas(df2, "grp", "x", "y").collect()}
+    assert set(mm2) == set(pv2)
+    for key in mm2:
+        assert mm2[key][0] == pv2[key][0]
+        assert abs(mm2[key][1] - pv2[key][1]) < 1e-6
+        assert abs(mm2[key][2] - pv2[key][2]) < 1e-6
+    # Monotone non-decreasing within each group.
+    for g in ("a", "b"):
+        seq = [mm2[(g, x)][2] for x in range(12)]
+        assert all(a <= b + 1e-9 for a, b in zip(seq, seq[1:]))

@@ -253,3 +253,183 @@ def histogram_drift(
         )
     )
     return out
+
+
+def isotonic_fit_by_group(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group isotonic (monotone non-decreasing) L2 regression of
+    mean-y against x — the calibration fit (score → outcome curves,
+    dose-response, hour-of-day load floors) in its closed MINIMAX
+    form: ŷᵢ = max_{j≤i} min_{k≥i} weightedAvg(y over x-positions
+    j..k) (Barlow et al. 1972), which equals pool-adjacent-violators
+    exactly.
+
+    Shape choice: ties collapse first (per (group, x): weight = n,
+    DECIMAL-exact Σy — the pre-aggregation every isotonic fit does),
+    so the minimax join is O(d²) per group in d = DISTINCT x values,
+    not data rows; with d bounded (hours, score deciles, dose levels)
+    this is a few thousand rows per group and every step is plain
+    joins + two running-extreme windows — fully distributed, exactly
+    replayable in SQL, hash-checkable. For large-d fits use
+    :func:`isotonic_fit_pandas` (linear-time PAVA over Arrow, same
+    pre-aggregation) — the two implementations agree exactly on the
+    pooled-average values up to float summation order, and the test
+    suite pins them against each other.
+
+    Determinism: interval averages derive from DECIMAL cumulative
+    sums ((cwy_k − cwy_{j−1})/(cw_k − cw_{j−1}) — one double division
+    per (j,k) of exact decimals), min/max of doubles are order-free.
+
+    Returns (group, x, n, y_mean, y_iso), 6dp.
+    """
+    from pyspark.sql import Window
+
+    dec = "decimal(27,6)"
+    base = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.col(x_col).alias("x"),
+            F.col(y_col).cast(dec).alias("y"),
+        )
+        .groupBy("g", "x")
+        .agg(
+            F.count(F.lit(1)).alias("w"),
+            F.sum("y").alias("wy"),
+        )
+    )
+    wo = Window.partitionBy("g").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = base.select(
+        "g", "x", "w", "wy",
+        F.sum("w").over(wo).alias("cw"),
+        F.sum("wy").over(wo).alias("cwy"),
+    ).select(
+        "g", "x", "w", "wy", "cw", "cwy",
+        (F.col("cw") - F.col("w")).alias("pcw"),
+        (F.col("cwy") - F.col("wy")).alias("pcwy"),
+    )
+    from ..session import track_persist
+
+    cum = track_persist(cum)
+    j = cum.select(
+        F.col("g"), F.col("x").alias("xj"),
+        F.col("pcw"), F.col("pcwy"),
+    )
+    k = cum.select(
+        F.col("g"), F.col("x").alias("xk"),
+        F.col("cw"), F.col("cwy"),
+    )
+    pairs = j.join(k, "g").where(F.col("xj") <= F.col("xk")).select(
+        "g", "xj", "xk",
+        (
+            (F.col("cwy") - F.col("pcwy")).cast("double")
+            / (F.col("cw") - F.col("pcw")).cast("double")
+        ).alias("avg"),
+    )
+    # suffix-min over k (for fixed j): rows sorted by xk DESC, running min.
+    ws = Window.partitionBy("g", "xj").orderBy(F.desc("xk")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    smin = pairs.select(
+        "g", "xj", "xk", F.min("avg").over(ws).alias("smin")
+    )
+    # At row (j, k=i): smin = min_{k≥i} avg(j,k); max over j ≤ i finishes.
+    iso = (
+        smin.select("g", F.col("xk").alias("x"), "smin")
+        .groupBy("g", "x")
+        .agg(F.round(F.max("smin"), round_to).alias("y_iso"))
+    )
+    means = cum.select(
+        "g", "x", F.col("w").alias("n"),
+        F.round(
+            F.col("wy").cast("double") / F.col("w").cast("double"), round_to
+        ).alias("y_mean"),
+    )
+    return (
+        means.join(iso, ["g", "x"])
+        .select(
+            F.col("g").alias(group_col),
+            F.col("x").alias(x_col),
+            "n", "y_mean", "y_iso",
+        )
+    )
+
+
+def isotonic_fit_pandas(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Linear-time pool-adjacent-violators isotonic fit per group via
+    Arrow ``applyInPandas`` — the large-d path for
+    :func:`isotonic_fit_by_group` (whose minimax join is O(d²) per
+    group). Same pre-aggregation contract: per-(group, x) weights and
+    sums reduce distributed first, so each Python group holds d rows,
+    never the raw data; PAVA then merges adjacent violating pools
+    right-to-left-stable in O(d).
+
+    Returns (group, x, n, y_mean, y_iso), 6dp.
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    base = (
+        df.select(
+            F.col(group_col), F.col(x_col),
+            F.col(y_col).cast("double").alias("y"),
+        )
+        .groupBy(group_col, x_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").alias("wy"),
+        )
+    )
+    schema = StructType(
+        [
+            df.schema[group_col],
+            df.schema[x_col],
+            StructField("n", LongType(), False),
+            StructField("y_mean", DoubleType(), True),
+            StructField("y_iso", DoubleType(), True),
+        ]
+    )
+
+    def pava(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(x_col).reset_index(drop=True)
+        # pools: (total_weight, total_wy, count_of_positions)
+        pools = []
+        for w, wy in zip(pdf["n"], pdf["wy"]):
+            pools.append([float(w), float(wy), 1])
+            while len(pools) > 1 and (
+                pools[-2][1] / pools[-2][0] > pools[-1][1] / pools[-1][0]
+            ):
+                b = pools.pop()
+                pools[-1][0] += b[0]
+                pools[-1][1] += b[1]
+                pools[-1][2] += b[2]
+            # merged pool may now violate ITS left neighbor — the
+            # while loop above keeps merging until monotone.
+        fit = []
+        for w, wy, cnt in pools:
+            fit.extend([wy / w] * cnt)
+        return pd.DataFrame(
+            {
+                group_col: pdf[group_col],
+                x_col: pdf[x_col],
+                "n": pdf["n"],
+                "y_mean": (pdf["wy"] / pdf["n"]).round(round_to),
+                "y_iso": pd.Series(fit).round(round_to),
+            }
+        )
+
+    return base.groupBy(group_col).applyInPandas(pava, schema)

@@ -1918,6 +1918,63 @@ def q_order_price_decile_bins(spark, sf_dir):
 
 
 @_q(
+    "hourly_value_isotonic_fit",
+    """
+WITH base AS (
+  SELECT event_type AS g, CAST(hour(ts) AS INT) AS x,
+         count(*) AS w, SUM(CAST(value AS DECIMAL(27,6))) AS wy
+  FROM events GROUP BY 1, 2
+),
+cum AS (
+  SELECT g, x, w, wy,
+         SUM(w)  OVER (PARTITION BY g ORDER BY x ROWS UNBOUNDED PRECEDING) AS cw,
+         SUM(wy) OVER (PARTITION BY g ORDER BY x ROWS UNBOUNDED PRECEDING) AS cwy
+  FROM base
+),
+cum2 AS (
+  SELECT g, x, w, wy, cw, cwy, cw - w AS pcw, cwy - wy AS pcwy FROM cum
+),
+pairs AS (
+  SELECT j.g, j.x AS xj, k.x AS xk,
+         CAST(k.cwy - j.pcwy AS DOUBLE) / CAST(k.cw - j.pcw AS DOUBLE) AS iavg
+  FROM cum2 j JOIN cum2 k ON j.g = k.g AND j.x <= k.x
+),
+smin AS (
+  SELECT g, xj, xk,
+         min(iavg) OVER (PARTITION BY g, xj ORDER BY xk DESC
+                         ROWS UNBOUNDED PRECEDING) AS sm
+  FROM pairs
+),
+iso AS (SELECT g, xk AS x, round(max(sm), 6) AS y_iso FROM smin GROUP BY g, xk),
+means AS (
+  SELECT g, x, w AS n,
+         round(CAST(wy AS DOUBLE) / CAST(w AS DOUBLE), 6) AS y_mean
+  FROM cum2
+)
+SELECT m.g AS event_type, m.x AS hour, n, y_mean, y_iso
+FROM means m JOIN iso ON m.g = iso.g AND m.x = iso.x
+""",
+    doc="Per-type isotonic (monotone non-decreasing) fit of mean event "
+    "value against hour of day (operators/timeseries.py:"
+    "isotonic_fit_by_group) — the calibration-curve fit in its closed "
+    "MINIMAX form ŷᵢ = max_{j≤i} min_{k≥i} avg(j..k) (Barlow et al. "
+    "1972), which equals pool-adjacent-violators exactly but is "
+    "expressible as joins + two running-extreme windows — fully "
+    "distributed AND hash-checkable in SQL. Ties collapse first "
+    "(per-(type, hour) DECIMAL-exact sums), so the O(d²) pair join is "
+    "over d = 24 distinct hours, not data rows; interval averages "
+    "are single double divisions of exact decimal prefix sums. "
+    "isotonic_fit_pandas (applyInPandas PAVA, O(d)) is the large-d "
+    "path, pinned against this one in tests.",
+)
+def q_hourly_value_isotonic_fit(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").alias("hour"), "value"
+    )
+    return ts_ops.isotonic_fit_by_group(e, "event_type", "hour", "value")
+
+
+@_q(
     "prefix_jaccard_pairs",
     f"""
 WITH {_SHINGLES_CTE},
@@ -7531,6 +7588,7 @@ _EXPORT_PRIORITY: list[str] = [
     "doc_novelty_scores",
     "priority_loo_target_encoding",
     "order_price_decile_bins",
+    "hourly_value_isotonic_fit",
 ]
 
 
