@@ -656,3 +656,38 @@ def test_isotonic_minimax_matches_pava_and_hand_case(spark):
     for g in ("a", "b"):
         seq = [mm2[(g, x)][2] for x in range(12)]
         assert all(a <= b + 1e-9 for a, b in zip(seq, seq[1:]))
+
+
+def test_cdc_chunks_resync_after_insertion(spark):
+    from yelp_data_pipeline_spark.operators.textops import cdc_chunk_documents
+    import random
+
+    rnd = random.Random(17)
+    words = [f"w{rnd.randint(0, 5000)}" for _ in range(400)]
+    orig = " ".join(words)
+    edited = " ".join(words[:5] + ["INSERTED"] + words[5:])
+    df = spark.createDataFrame(
+        [(1, orig), (2, edited)], ["doc_id", "text"]
+    )
+    out = cdc_chunk_documents(df, "doc_id", "text").collect()
+    h1 = [r["chunk_hash"] for r in sorted(
+        (r for r in out if r["doc_id"] == 1), key=lambda r: r["chunk_idx"])]
+    h2 = [r["chunk_hash"] for r in sorted(
+        (r for r in out if r["doc_id"] == 2), key=lambda r: r["chunk_idx"])]
+    # The insertion perturbs only the prefix: the SUFFIX chunk streams
+    # re-synchronize (identical trailing hashes) — the property
+    # fixed-width chunking lacks (there, every later chunk shifts).
+    common_tail = 0
+    while (common_tail < min(len(h1), len(h2))
+           and h1[-1 - common_tail] == h2[-1 - common_tail]):
+        common_tail += 1
+    assert common_tail >= max(len(h1) - 3, 1), (common_tail, len(h1), len(h2))
+
+    # Chunks tile the doc exactly: contiguous spans, full coverage.
+    for doc in (1, 2):
+        spans = sorted(
+            ((r["start_tok"], r["end_tok"]) for r in out if r["doc_id"] == doc)
+        )
+        assert spans[0][0] == 1
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert s2 == e1 + 1

@@ -207,3 +207,32 @@ def mad_outliers(
         )
         .where(F.abs(F.col("robust_z")) > z_threshold)
     )
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit over a set of quasi-identifier columns: every
+    equivalence class (unique quasi-identifier combination) with fewer
+    than ``k`` members is a re-identification risk — the check run
+    before releasing or training on tabular data containing
+    person-adjacent attributes (Sweeney 2002). This AUDITS; the
+    mitigation (generalize, suppress, or drop the class) is the
+    caller's policy decision.
+
+    Plan: ONE map-side-combinable groupBy over the quasi-identifier
+    tuple + a count filter — the same cost as any distinct-count
+    audit; no row payloads move, only the quasi columns. Output is
+    ordered by severity (smallest classes first) with a full-column
+    tiebreak so the result set is deterministic.
+
+    Returns quasi_cols + (class_size,) for violating classes only.
+    """
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .where(F.col("class_size") < k)
+        .orderBy(F.asc("class_size"), *[F.asc(c) for c in quasi_cols])
+    )

@@ -1102,3 +1102,138 @@ def adaptive_quality_filter(
         .where(F.col("quality_score") >= F.col("__thr"))
         .select(id_col, group_col, "quality_score")
     )
+
+
+def vocab_coverage_curve(
+    df: DataFrame,
+    text_col: str,
+    checkpoints: tuple[int, ...] = (100, 500, 1000, 5000),
+) -> DataFrame:
+    """Vocabulary coverage curve: for each candidate vocab size N,
+    the fraction of ALL corpus token occurrences covered by the N most
+    frequent words — the first diagnostic a tokenizer owner reads
+    (how fast coverage saturates decides vocab size, and a corpus
+    whose curve is unusually flat is noise/OCR-heavy).
+
+    Rank-by-frequency uses the distributed global row-number
+    (windows.global_row_numbers: range-partitioned local row_numbers
+    + broadcast prefix offsets) over the unique (−count, word) key —
+    NEVER the single-reducer global window, because vocabulary grows
+    with the corpus (100M+ types at web scale). Coverage sums are
+    conditional integer aggregates in one pass over the ranked
+    relation; one row per checkpoint via a literal explode.
+
+    Returns (vocab_size, covered_tokens, total_tokens, coverage 6dp),
+    ascending by vocab_size.
+    """
+    from .windows import global_row_numbers
+
+    counts = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("w", "cnt", (-F.col("cnt")).alias("neg"))
+    )
+    ranked = global_row_numbers(counts, ["neg", "w"], out="rn")
+    cps = F.explode(
+        F.array(*[F.lit(int(n)) for n in checkpoints])
+    ).alias("vocab_size")
+    expanded = ranked.select("cnt", "rn", cps)
+    out = expanded.groupBy("vocab_size").agg(
+        F.sum(F.when(F.col("rn") <= F.col("vocab_size"), F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("covered_tokens"),
+        F.sum("cnt").cast("long").alias("total_tokens"),
+    )
+    return out.select(
+        "vocab_size",
+        "covered_tokens",
+        "total_tokens",
+        F.round(
+            F.col("covered_tokens").cast("double")
+            / F.col("total_tokens").cast("double"),
+            6,
+        ).alias("coverage"),
+    ).orderBy("vocab_size")
+
+
+def cdc_chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 3,
+    divisor: int = 16,
+) -> DataFrame:
+    """Content-defined chunking: chunk boundaries fall after token i
+    whenever the rolling hash of the ``window``-gram ending at i is
+    ≡ 0 (mod ``divisor``) — so boundaries are anchored to CONTENT,
+    not offsets. Fixed-width chunking (chunk_documents) shifts every
+    later chunk when one token is inserted, defeating chunk-level
+    dedup/caching; CDC re-synchronizes within ~one chunk (the FastCDC
+    / LBFS principle applied at token level). Expected chunk length =
+    ``divisor`` tokens; the final boundary is forced at the document
+    end.
+
+    Entirely map-side (zero shuffles — a pure scan→write at 100 TB):
+    boundary positions, chunk spans, and per-chunk hashes are nested
+    array transforms over the token array using the repo's md5 hash
+    family, so the DuckDB oracle replays bit-identically. Blank
+    documents are skipped.
+
+    Returns (id, chunk_idx, start_tok, end_tok, n_tokens, chunk_hash).
+    """
+    from ..functions.hashing import md5_long
+
+    t = tokens(F.col(text_col))
+    base = df.where(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col), t.alias("t")
+    )
+    L = F.size(F.col("t"))
+    bpos = F.filter(
+        F.when(L >= window, F.sequence(F.lit(window), L)).otherwise(
+            F.array().cast("array<int>")
+        ),
+        lambda i: F.pmod(
+            md5_long(
+                F.concat_ws(
+                    " ", F.slice(F.col("t"), i - (window - 1), window)
+                )
+            ),
+            F.lit(divisor),
+        )
+        == 0,
+    )
+    bounds = F.when(
+        (F.size(bpos) > 0) & (F.element_at(bpos, -1) == L), bpos
+    ).otherwise(F.concat(bpos, F.array(L)))
+    withb = base.select(id_col, "t", bounds.alias("bounds"))
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("bounds"))),
+        lambda i: F.struct(
+            (i - 1).cast("int").alias("chunk_idx"),
+            F.when(i == 1, F.lit(1))
+            .otherwise(F.element_at(F.col("bounds"), (i - 1).cast("int")) + 1)
+            .cast("int")
+            .alias("start_tok"),
+            F.element_at(F.col("bounds"), i.cast("int")).cast("int").alias("end_tok"),
+        ),
+    )
+    rows = withb.select(id_col, "t", F.explode(chunks).alias("c")).select(
+        id_col,
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.start_tok").alias("start_tok"),
+        F.col("c.end_tok").alias("end_tok"),
+        (F.col("c.end_tok") - F.col("c.start_tok") + 1).cast("int").alias("n_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("t"),
+                    F.col("c.start_tok"),
+                    F.col("c.end_tok") - F.col("c.start_tok") + 1,
+                ),
+            )
+        ).alias("chunk_hash"),
+    )
+    return rows

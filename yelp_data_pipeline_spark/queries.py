@@ -1975,6 +1975,126 @@ def q_hourly_value_isotonic_fit(spark, sf_dir):
 
 
 @_q(
+    "customer_k_anonymity_audit",
+    """
+SELECT c_nationkey, c_mktsegment,
+       CAST(floor(c_acctbal / 5000) AS INT) AS acctbal_band,
+       count(*) AS class_size
+FROM customer
+GROUP BY 1, 2, 3
+HAVING count(*) < 5
+ORDER BY class_size, c_nationkey, c_mktsegment, acctbal_band
+""",
+    doc="k-anonymity audit (Sweeney 2002; operators/quality.py:"
+    "k_anonymity_audit) over the (nation, segment, balance-band) "
+    "quasi-identifier tuple: every equivalence class with < 5 members "
+    "is a re-identification risk — the release gate run before "
+    "person-adjacent tabular data enters a training corpus. ONE "
+    "map-side-combinable groupBy + count filter; only quasi columns "
+    "move, no payloads; smallest (riskiest) classes first with a "
+    "deterministic full-column tiebreak. Mitigation (generalize / "
+    "suppress / drop) is the caller's policy step.",
+)
+def q_customer_k_anonymity_audit(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 5000).cast("int").alias("acctbal_band"),
+    )
+    return dq.k_anonymity_audit(
+        c, ["c_nationkey", "c_mktsegment", "acctbal_band"], k=5
+    )
+
+
+@_q(
+    "vocab_coverage_curve",
+    r"""
+WITH counts AS (
+  SELECT w, count(*) AS cnt FROM (
+    SELECT trim(unnest(string_split_regex(trim(lower(text)), '\s+'))) AS w
+    FROM documents
+  ) WHERE w <> '' GROUP BY w
+),
+ranked AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rn FROM counts
+),
+cps AS (SELECT unnest([100, 500, 1000, 5000]) AS vocab_size)
+SELECT CAST(vocab_size AS INT) AS vocab_size,
+       CAST(sum(CASE WHEN rn <= vocab_size THEN cnt ELSE 0 END) AS BIGINT)
+         AS covered_tokens,
+       CAST(sum(cnt) AS BIGINT) AS total_tokens,
+       round(CAST(sum(CASE WHEN rn <= vocab_size THEN cnt ELSE 0 END) AS DOUBLE)
+             / CAST(sum(cnt) AS DOUBLE), 6) AS coverage
+FROM ranked, cps
+GROUP BY vocab_size
+""",
+    doc="Vocabulary coverage curve (operators/textops.py:"
+    "vocab_coverage_curve): fraction of all token occurrences covered "
+    "by the N most frequent words at N ∈ {100, 500, 1000, 5000} — the "
+    "diagnostic that decides tokenizer vocab size (coverage "
+    "saturation) and flags noise/OCR-heavy corpora (flat curves). "
+    "Frequency ranks come from the distributed global row-number "
+    "(range-partitioned + broadcast prefix offsets — never the "
+    "single-reducer global window; vocabulary reaches 100M+ types at "
+    "web scale), coverage sums are one conditional-aggregate pass.",
+)
+def q_vocab_coverage_curve(spark, sf_dir):
+    return tx.vocab_coverage_curve(_t(spark, sf_dir, "documents"), "text")
+
+
+@_q(
+    "cdc_chunked_documents",
+    rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE trim(text) <> ''
+),
+b AS (
+  SELECT doc_id, t, len(t) AS L,
+         CASE WHEN len(t) >= 3 THEN
+           list_filter(generate_series(3, len(t)),
+                       i -> ({md5_long_sql("array_to_string(t[i-2:i], ' ')")}) % 16 = 0)
+         ELSE [] END AS bp
+  FROM toks
+),
+b2 AS (
+  SELECT doc_id, t,
+         CASE WHEN len(bp) > 0 AND bp[-1] = L THEN bp
+              ELSE list_append(bp, L) END AS bounds
+  FROM b
+),
+c AS (
+  SELECT doc_id, t,
+         unnest(list_transform(generate_series(1, len(bounds)),
+                i -> struct_pack(ci := i - 1,
+                                 s := CASE WHEN i = 1 THEN 1 ELSE bounds[i-1] + 1 END,
+                                 e := bounds[i]))) AS ch
+  FROM b2
+)
+SELECT doc_id,
+       CAST(ch.ci AS INT) AS chunk_idx,
+       CAST(ch.s AS INT) AS start_tok,
+       CAST(ch.e AS INT) AS end_tok,
+       CAST(ch.e - ch.s + 1 AS INT) AS n_tokens,
+       md5(array_to_string(t[CAST(ch.s AS INT):CAST(ch.e AS INT)], ' ')) AS chunk_hash
+FROM c
+""",
+    doc="Content-defined chunking (FastCDC/LBFS principle at token "
+    "level; operators/textops.py:cdc_chunk_documents): boundaries "
+    "where the rolling md5 of the trailing 3-gram ≡ 0 mod 16 — "
+    "anchored to CONTENT, so one inserted token re-synchronizes "
+    "within ~one chunk instead of shifting every later chunk "
+    "(fixed-width chunking defeats chunk-level dedup/caching on any "
+    "edit; chunked_documents is that baseline). Expected chunk ≈ 16 "
+    "tokens, final boundary forced at doc end. Entirely map-side "
+    "nested array transforms — ZERO shuffles, a pure scan→write at "
+    "100 TB; per-chunk md5 makes the chunk relation directly "
+    "exact-dedupable.",
+)
+def q_cdc_chunked_documents(spark, sf_dir):
+    return tx.cdc_chunk_documents(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@_q(
     "prefix_jaccard_pairs",
     f"""
 WITH {_SHINGLES_CTE},
@@ -7589,6 +7709,9 @@ _EXPORT_PRIORITY: list[str] = [
     "priority_loo_target_encoding",
     "order_price_decile_bins",
     "hourly_value_isotonic_fit",
+    "customer_k_anonymity_audit",
+    "vocab_coverage_curve",
+    "cdc_chunked_documents",
 ]
 
 
