@@ -69,6 +69,9 @@ EXTRAS = [
     "event_value_drift",
     "adaptive_quality_survivors",
     "corpus_diversity_by_source",
+    "doc_novelty_scores",
+    "cdc_chunked_documents",
+    "hourly_value_isotonic_fit",
 ]
 
 

@@ -68,6 +68,14 @@ DEFAULT_AUDIT = [
     "corpus_diversity_by_source",
     "event_sequence_motifs",
     "adaptive_quality_survivors",
+    "pq_recall_eval",
+    "doc_novelty_scores",
+    "priority_loo_target_encoding",
+    "order_price_decile_bins",
+    "hourly_value_isotonic_fit",
+    "customer_k_anonymity_audit",
+    "vocab_coverage_curve",
+    "cdc_chunked_documents",
 ]
 
 
@@ -199,6 +207,15 @@ def _is_bounded_cross(sub: str, plan: str = "") -> bool:
                 r"HashAggregate\(keys=\[\]|ObjectHashAggregate\(keys=\[\]|"
                 r"SortAggregate\(key=\[\]|LocalTableScan",
                 nxt,
+            ):
+                return True
+            # A scan filtered by a LITERAL IN-list / equality carries
+            # at most |list| rows — the broadcast-query-set serving
+            # shape (cosine_topk_batch, pq_recall_eval). Subqueries
+            # print as InSubquery/DynamicPruning, never a bare
+            # literal list, so this cannot exempt a data-scale side.
+            if re.search(r"Filter .*\bIN \(-?\d", nxt) or re.search(
+                r"PushedFilters: \[[^\]]*In\(\w+, \[-?\d", nxt
             ):
                 return True
             if "ReusedExchange" in nxt:
