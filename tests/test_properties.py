@@ -357,3 +357,61 @@ def test_star_components_match_union_find(spark, edges):
         comp_min[r] = min(comp_min.get(r, n), n)
     want = {n: comp_min[find(n)] for n in parent}
     assert got == want
+
+
+@given(
+    ys=st.lists(
+        st.floats(min_value=-50, max_value=50, allow_nan=False), min_size=2, max_size=12
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_isotonic_fit_is_monotone_and_mean_preserving(spark, ys):
+    from yelp_data_pipeline_spark.operators.timeseries import isotonic_fit_by_group
+
+    rows = [("g", i, round(y, 2)) for i, y in enumerate(ys)]
+    df = spark.createDataFrame(rows, ["grp", "x", "y"])
+    out = sorted(
+        isotonic_fit_by_group(df, "grp", "x", "y").collect(),
+        key=lambda r: r["x"],
+    )
+    fit = [r["y_iso"] for r in out]
+    # Monotone non-decreasing.
+    assert all(a <= b + 1e-9 for a, b in zip(fit, fit[1:]))
+    # Mean-preserving: PAVA pools average, so Σŷ·w == Σy·w.
+    assert abs(sum(fit) - sum(r["y_mean"] for r in out)) < 1e-4
+    # Fit within data range.
+    lo, hi = min(r["y_mean"] for r in out), max(r["y_mean"] for r in out)
+    assert all(lo - 1e-9 <= v <= hi + 1e-9 for v in fit)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=30,
+    ),
+    k=st.integers(1, 4),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_kcore_matches_sequential_peel(spark, edges, k):
+    from yelp_data_pipeline_spark.operators.graph import kcore_peel
+
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    if not und:
+        return
+    df = spark.createDataFrame(sorted(und), ["src", "dst"])
+    got = {(r["node"], r["core_deg"]) for r in kcore_peel(df, k=k, rounds=25).collect()}
+
+    # Reference: sequential peel to fixpoint.
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    while True:
+        drop = {n for n in alive if len(adj[n] & alive) < k}
+        if not drop:
+            break
+        alive -= drop
+    want = {(n, len(adj[n] & alive)) for n in alive}
+    assert got == want
