@@ -85,6 +85,12 @@ DOC_FAMILY = [
     "prefix_jaccard_pairs",
     "simhash_near_pairs",
     "winnowing_fingerprints",
+    # Linear additions (round 6): novelty is one shingle-keyed shuffle,
+    # CDC chunking is zero-shuffle map-side — both should track the
+    # multiplier ~linearly; a blowup means the shingle shuffle or the
+    # nested array transforms regressed.
+    "doc_novelty_scores",
+    "cdc_chunked_documents",
 ]
 
 
