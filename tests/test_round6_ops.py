@@ -691,3 +691,41 @@ def test_cdc_chunks_resync_after_insertion(spark):
         assert spans[0][0] == 1
         for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
             assert s2 == e1 + 1
+
+
+def test_global_row_numbers_empty_input(spark):
+    from yelp_data_pipeline_spark.operators.windows import global_row_numbers
+    from yelp_data_pipeline_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert global_row_numbers(
+        empty.select(F.col("doc_id").alias("__id"), F.col("text").alias("__k")),
+        ["__k", "__id"],
+    ).count() == 0
+    assert sorted_neighborhood_pairs(
+        empty, "doc_id", F.lower(F.col("text"))
+    ).count() == 0
+
+
+def test_quantile_bins_and_drift_null_policy(spark):
+    from yelp_data_pipeline_spark.operators.aggregates import quantile_bins
+    from yelp_data_pipeline_spark.operators.timeseries import histogram_drift
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(0, 1.0), (1, 2.0), (2, 3.0), (3, 4.0), (4, None)], ["id", "v"]
+    )
+    got = {r["id"]: r["bin"] for r in quantile_bins(df, ["id"], "v", 4).collect()}
+    assert got[4] is None  # missing stays visible, never "lowest decile"
+    assert all(got[i] is not None for i in range(4))
+
+    # NULL values are excluded from drift histograms, not binned high.
+    a, b = dt.datetime(2024, 1, 5), dt.datetime(2024, 1, 25)
+    rows = [("g", t, v) for t in (a, b) for v in (10.0, 40.0)] + [("g", b, None)]
+    r = histogram_drift(
+        spark.createDataFrame(rows, ["grp", "ts", "v"]), "ts", "v", "grp",
+        "2024-01-16",
+    ).collect()[0]
+    assert (r["n_a"], r["n_b"], r["tv"]) == (2, 2, 0.0)

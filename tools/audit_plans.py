@@ -209,13 +209,18 @@ def _is_bounded_cross(sub: str, plan: str = "") -> bool:
                 nxt,
             ):
                 return True
-            # A scan filtered by a LITERAL IN-list / equality carries
-            # at most |list| rows — the broadcast-query-set serving
-            # shape (cosine_topk_batch, pq_recall_eval). Subqueries
-            # print as InSubquery/DynamicPruning, never a bare
-            # literal list, so this cannot exempt a data-scale side.
-            if re.search(r"Filter .*\bIN \(-?\d", nxt) or re.search(
-                r"PushedFilters: \[[^\]]*In\(\w+, \[-?\d", nxt
+            # A scan filtered by a literal IN-list on an ID/KEY column
+            # carries at most |list| rows — the broadcast-query-set
+            # serving shape (cosine_topk_batch, pq_recall_eval).
+            # BOTH conditions are load-bearing: subqueries print as
+            # InSubquery/DynamicPruning (never a bare literal list),
+            # and a literal IN on a NON-key column (event_type IN
+            # (1,2)) bounds nothing — only unique-key columns cap the
+            # build side at |list| rows.
+            if re.search(
+                r"Filter .*\b\w*(?:id|key)\w*#\d+L? IN \(-?\d", nxt, re.I
+            ) or re.search(
+                r"PushedFilters: \[[^\]]*In\(\w*(?:id|key)\w*, \[-?\d", nxt, re.I
             ):
                 return True
             if "ReusedExchange" in nxt:

@@ -437,10 +437,11 @@ def loo_target_encoding(
     (n_g = 1) yield NULL — there is no "other rows" mean and a global
     fallback is a modeling choice, not a default.
 
-    Plan: ONE map-side-combinable groupBy(category) for (S, n) — a
-    tiny relation, broadcast back — then a map-side projection. No
-    per-row window over the category (the naive windowed mean-over-
-    others funnels every hot category through one reducer).
+    Plan: ONE map-side-combinable groupBy(category) for (S, n) —
+    joined back un-hinted (AQE broadcasts when the stats relation is
+    small; at true high cardinality it correctly shuffles instead).
+    No per-row window over the category (the naive windowed mean-
+    over-others funnels every hot category through one reducer).
 
     Returns key_cols + (cat_col, target, loo_mean).
     """
@@ -456,7 +457,11 @@ def loo_target_encoding(
             round_to,
         ),
     )
-    return df.join(F.broadcast(stats), cat_col).select(
+    # No broadcast hint: this IS the high-cardinality encoder, and a
+    # hard hint would force a 10^8-category stats relation onto the
+    # driver and every executor. AQE broadcasts small stats on its own
+    # and falls back to a shuffled hash join past the threshold.
+    return df.join(stats, cat_col).select(
         *key_cols,
         cat_col,
         F.col(target_col),
@@ -498,12 +503,21 @@ def quantile_bins(
     ).select(
         F.transform(F.col("__b"), lambda b: F.round(b, 6)).alias("__b")
     )
-    binv = (
-        F.lit(1)
-        + F.size(
-            F.filter(F.col("__b"), lambda b: b <= F.round(F.col(value_col), 6))
-        )
-    ).cast("int")
+    # NULL values keep a NULL bin: every bound comparison is NULL, the
+    # filter drops all elements, and size()=0 would silently impute
+    # "lowest decile" for missing data — exactly wrong for a feature
+    # discretizer, where missingness must stay visible downstream.
+    binv = F.when(
+        F.col(value_col).isNotNull(),
+        (
+            F.lit(1)
+            + F.size(
+                F.filter(
+                    F.col("__b"), lambda b: b <= F.round(F.col(value_col), 6)
+                )
+            )
+        ).cast("int"),
+    )
     return df.crossJoin(F.broadcast(bounds)).select(
         *key_cols, F.col(value_col), binv.alias("bin")
     )

@@ -1054,59 +1054,28 @@ def pq_adc_topk(
 
     Returns (id, adc_d2) — the k smallest approximate distances, 6dp.
     """
-    codebook, best = _pq_codebook_and_codes(df, id_col, vec_col, m, k_codes, dim)
-    s = dim // m
-    subs = F.explode(F.array(*[F.lit(j) for j in range(m)])).alias("j")
-    qsub = (
-        df.where(F.col(id_col) == query_id)
-        .select(F.col(vec_col).alias("qv"))
-        .select("qv", subs)
-        .select("j", _pq_subvec(F.col("qv"), F.col("j"), s).alias("qsv"))
-    )
-    qd2 = F.aggregate(
-        F.zip_with(F.col("qsv"), F.col("csv"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, z: acc + z,
-    )
-    lut = qsub.join(codebook, "j").select("j", "c", qd2.alias("qd2"))
-    codes = best.select(id_col, "j", F.col("b.c").alias("c"))
-    scored = codes.join(F.broadcast(lut), ["j", "c"])
-    per_id = scored.groupBy(id_col).agg(
-        F.array_sort(F.collect_list(F.struct("j", "qd2"))).alias("parts")
-    )
-    adc = F.round(
-        F.aggregate(F.col("parts"), F.lit(0.0), lambda acc, p: acc + p["qd2"]),
-        6,
-    )
+    scores = _pq_adc_scores(df, [query_id], id_col, vec_col, m, k_codes, dim)
     return (
-        per_id.select(F.col(id_col), adc.alias("adc_d2"))
+        scores.drop("qid")
         .orderBy(F.asc("adc_d2"), F.asc(id_col))
         .limit(k)
     )
 
 
-def pq_adc_topk_batch(
+def _pq_adc_scores(
     df: DataFrame,
     query_ids: list,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    m: int = 8,
-    k_codes: int = 16,
-    dim: int = 64,
-    k: int = 10,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    k_codes: int,
+    dim: int,
 ) -> DataFrame:
-    """Batch ADC serving: top-k per query for a SET of query vectors
-    in one corpus pass — the LUT becomes |Q|·m·k_codes rows (still a
-    broadcast), scoring stays the same (j, c) equi-join + fold, and
-    per-query ranking is a row_number window keyed by qid. One code
-    relation, one LUT join, |Q| results: the queries ≪ corpus serving
-    shape (cosine_topk_batch's PQ twin).
-
-    Returns (qid, id, adc_d2) — k rows per query, ties on distance
-    broken by id.
-    """
-    from pyspark.sql import Window
-
+    """Shared ADC scoring core: (qid, id, adc_d2) for every (query,
+    corpus vector) pair — LUT build, (j, code) equi-join, and the
+    j-sorted deterministic fold live HERE so the single-query and
+    batch entry points cannot drift apart. The callers only differ in
+    ranking (global TakeOrdered vs per-qid row_number)."""
     codebook, best = _pq_codebook_and_codes(df, id_col, vec_col, m, k_codes, dim)
     s = dim // m
     subs = F.explode(F.array(*[F.lit(j) for j in range(m)])).alias("j")
@@ -1133,10 +1102,35 @@ def pq_adc_topk_batch(
         F.aggregate(F.col("parts"), F.lit(0.0), lambda acc, p: acc + p["qd2"]),
         6,
     )
+    return per.select("qid", F.col(id_col), adc.alias("adc_d2"))
+
+
+def pq_adc_topk_batch(
+    df: DataFrame,
+    query_ids: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k_codes: int = 16,
+    dim: int = 64,
+    k: int = 10,
+) -> DataFrame:
+    """Batch ADC serving: top-k per query for a SET of query vectors
+    in one corpus pass — the LUT becomes |Q|·m·k_codes rows (still a
+    broadcast), scoring stays the same (j, c) equi-join + fold, and
+    per-query ranking is a row_number window keyed by qid. One code
+    relation, one LUT join, |Q| results: the queries ≪ corpus serving
+    shape (cosine_topk_batch's PQ twin).
+
+    Returns (qid, id, adc_d2) — k rows per query, ties on distance
+    broken by id.
+    """
+    from pyspark.sql import Window
+
+    scores = _pq_adc_scores(df, query_ids, id_col, vec_col, m, k_codes, dim)
     w = Window.partitionBy("qid").orderBy(F.asc("adc_d2"), F.asc(id_col))
     return (
-        per.select("qid", F.col(id_col), adc.alias("adc_d2"))
-        .withColumn("rn", F.row_number().over(w))
+        scores.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
         .drop("rn")
     )

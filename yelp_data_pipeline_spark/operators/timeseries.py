@@ -189,7 +189,12 @@ def histogram_drift(
     ).cast("int")
     in_a = F.col(ts_col) < F.lit(split).cast("timestamp")
     binned = (
-        df.select(F.col(group_col).alias("grp"), b.alias("bin"), in_a.alias("ia"))
+        # NULL values are excluded, not binned: Spark's least/greatest
+        # SKIP NULL arguments, so floor(NULL/w) would silently land in
+        # the TOP bin and read as a spurious high-value shift. NULL-
+        # rate monitoring is a dq_summary check, not a histogram bin.
+        df.where(F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("grp"), b.alias("bin"), in_a.alias("ia"))
         .groupBy("grp", "bin")
         .agg(
             F.sum(F.when(F.col("ia"), 1).otherwise(0)).alias("a"),

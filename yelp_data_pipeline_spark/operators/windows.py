@@ -126,7 +126,10 @@ def scalable_ranks(
     for pid in sorted(subtotals):
         offsets.append((pid, acc))
         acc += subtotals[pid]
-    off_df = spark.createDataFrame(offsets, ["__pid", "__off"])
+    # Explicit schema: an EMPTY offsets list (empty input frame) would
+    # otherwise raise "can not infer schema from empty dataset" — an
+    # empty corpus must yield an empty result, not a crash.
+    off_df = spark.createDataFrame(offsets, "__pid int, __off long")
 
     ranked_vals = rv.join(F.broadcast(off_df), "__pid").select(
         value_col,
@@ -241,7 +244,10 @@ def global_row_numbers(
     for pid in sorted(counts):
         offsets.append((pid, acc))
         acc += counts[pid]
-    off_df = spark.createDataFrame(offsets, ["__pid", "__off"])
+    # Explicit schema: an EMPTY offsets list (empty input frame) would
+    # otherwise raise "can not infer schema from empty dataset" — an
+    # empty corpus must yield an empty result, not a crash.
+    off_df = spark.createDataFrame(offsets, "__pid int, __off long")
     return (
         r.join(F.broadcast(off_df), "__pid")
         .withColumn(out, (F.col("__off") + F.col("__lrn")).cast("long"))

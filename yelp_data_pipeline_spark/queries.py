@@ -1899,7 +1899,9 @@ WITH b AS (
   FROM orders
 )
 SELECT o_orderkey, o_totalprice,
-       CAST(1 + len(list_filter(bounds, x -> x <= round(o_totalprice, 6))) AS INT) AS bin
+       CASE WHEN o_totalprice IS NOT NULL THEN
+         CAST(1 + len(list_filter(bounds, x -> x <= round(o_totalprice, 6))) AS INT)
+       END AS bin
 FROM orders, b
 """,
     doc="Equi-depth decile binning of order prices (operators/"
@@ -5993,7 +5995,7 @@ WITH binned AS (
          CAST(greatest(0, least(19, floor(value / 25.0))) AS INT) AS bin,
          sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS a,
          sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END) AS bb
-  FROM events GROUP BY 1, 2
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
 ),
 tot AS (
   SELECT grp, CAST(sum(a) AS BIGINT) AS n_a, CAST(sum(bb) AS BIGINT) AS n_b,
