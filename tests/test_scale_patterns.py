@@ -224,3 +224,60 @@ def test_approx_stats_within_error_bounds(spark):
     approx_q = [row["value_p50"], row["value_p95"], row["value_p99"]]
     for approx, true in zip(approx_q, exact_q):
         assert abs(approx - true) <= 0.05 * (abs(true) + 1)
+
+
+def test_transform_with_state_zscore_flagger(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 typed-state API): per-key
+    running-moment anomaly flags must equal an offline sequential
+    replay over each key's arrival order.
+
+    Environment gate: the typed-state API's Python worker speaks
+    protobuf to the state server; like the Delta-native paths, it is
+    code-complete here but unexercisable without google.protobuf in
+    the container (the older applyInPandasWithState path above covers
+    custom state end-to-end)."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from yelp_data_pipeline_spark.streaming.state import running_zscore_flags
+
+    import math
+
+    rows = []
+    # u1: 20 calm values then one spike; u2: all calm; u3: too few
+    # observations to ever flag (warm-up guard).
+    for i in range(20):
+        rows.append(("u1", 10.0 + (i % 3)))
+    rows.append(("u1", 500.0))
+    for i in range(10):
+        rows.append(("u2", 5.0))
+    rows.append(("u3", 1000.0))
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, ["key", "v"]).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema("key string, v double").parquet(src)
+    flags = running_zscore_flags(stream, "key", "v", z=3.0)
+    q = (
+        flags.writeStream.format("memory")
+        .queryName("t_zflags")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckz"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["key"], r["v"]) for r in spark.sql("SELECT * FROM t_zflags").collect()}
+
+    # Offline replay (single file -> one batch, arrival order = file order).
+    want = set()
+    state = {}
+    for k, x in rows:
+        n, s, s2 = state.get(k, (0, 0.0, 0.0))
+        if n >= 5:
+            mu = s / n
+            var = s2 / n - mu * mu
+            if var > 0 and abs((x - mu) / math.sqrt(var)) > 3.0:
+                want.add((k, x))
+        state[k] = (n + 1, s + x, s2 + x * x)
+    assert got == want
+    assert ("u1", 500.0) in got and not any(k == "u3" for k, _ in got)
