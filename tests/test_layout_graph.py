@@ -252,3 +252,43 @@ def test_dq_quarantine_oracle_pins_multi_violation_order(spark):
         (1, "bad_status;date_out_of_range;nonpositive_price"),
         (2, "date_out_of_range;nonpositive_price"),
     }
+
+
+def test_personalized_pagerank_matches_python_replay(spark):
+    from yelp_data_pipeline_spark.operators.graph import pagerank_personalized
+
+    edges_py = [("a", "x"), ("a", "y"), ("b", "y"), ("c", "y"), ("y", "a")]
+    edges = spark.createDataFrame(edges_py, ["src", "dst"])
+    # Seeds: {a, ghost} — 'ghost' is not in the graph and must be
+    # dropped BEFORE |S| is computed (else the two engines disagree
+    # on the teleport share and mass silently leaks).
+    seeds = spark.createDataFrame([("a",), ("ghost",)], ["node"])
+    scale, damping, iters = 10**12, 85, 3
+
+    nodes = sorted({n for e in edges_py for n in e})
+    seedset = {"a"}
+    ns = len(seedset)
+    outdeg = {}
+    for s, _ in edges_py:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    r = {v: (scale // ns if v in seedset else 0) for v in nodes}
+    teleport_mass = (100 - damping) * scale // 100
+    for _ in range(iters):
+        c = {v: 0 for v in nodes}
+        for s, d in edges_py:
+            c[d] += r[s] // outdeg[s]
+        r = {
+            v: (teleport_mass // ns if v in seedset else 0)
+            + (damping * c[v]) // 100
+            for v in nodes
+        }
+    got = {
+        row["node"]: row["rank_scaled"]
+        for row in pagerank_personalized(
+            edges, seeds, iters=iters, scale=scale
+        ).collect()
+    }
+    assert got == r
+    # Personalization: a's neighborhood (x, y) outranks c, which only
+    # global centrality would reward.
+    assert got["x"] > got["c"] and got["y"] > got["c"]

@@ -523,3 +523,82 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def pagerank_personalized(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 3,
+    scale: int = 10**12,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Personalized PageRank in exact integer arithmetic: the teleport
+    mass returns to a SEED SET instead of all nodes, so ranks measure
+    proximity to the seeds (Page et al. 1999 §6 'personalized'; the
+    random walker restarts at the seeds). The workhorse of
+    seed-expansion retrieval — "entities related to THESE" — where
+    global PageRank only answers "globally central".
+
+        r0(v)      = scale div |S|                   if v ∈ S else 0
+        r_{t+1}(v) = [v ∈ S] · (teleport div |S|)
+                     + damping · C_t(v) div 100
+
+    Seeds are intersected with the graph's node set FIRST (both
+    engines must agree on |S|; teleporting to absent nodes would
+    silently leak mass). Same determinism/scale posture as
+    pagerank_integer: integer-only steps replay bit-identically in
+    the unrolled DuckDB oracle; per iteration ONE edges⋈ranks shuffle
+    + ONE dst aggregate; the seed flag is attached to the node
+    relation once and persists across rounds; lineage cut per round.
+
+    seeds: DataFrame with a ``node`` column. Returns
+    (node, rank_scaled).
+    """
+    from ..session import track_persist
+
+    teleport_mass = (100 - damping_pct) * scale // 100
+    edges = track_persist(edges)
+    deg = track_persist(
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    )
+    nodes = edges.select(F.col("src").alias("node")).union(
+        edges.select(F.col("dst").alias("node"))
+    ).distinct()
+    flagged = track_persist(
+        nodes.join(
+            seeds.select("node").distinct().withColumn("__seed", F.lit(1)),
+            "node",
+            "left",
+        ).select("node", F.coalesce("__seed", F.lit(0)).alias("is_seed"))
+    )
+    sstat = flagged.agg(F.sum("is_seed").alias("__ns"))
+
+    ranks = flagged.crossJoin(F.broadcast(sstat)).select(
+        "node",
+        F.when(
+            F.col("is_seed") == 1, F.expr(f"{scale} div __ns")
+        ).otherwise(F.lit(0)).alias("r"),
+    )
+    for _ in range(iters):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(deg, "src")
+            .select(F.col("dst"), F.expr("r div outdeg").alias("c"))
+        )
+        agg = contrib.groupBy("dst").agg(F.sum("c").alias("c"))
+        ranks = (
+            flagged.crossJoin(F.broadcast(sstat))
+            .join(agg, flagged["node"] == agg["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.when(
+                        F.col("is_seed") == 1,
+                        F.expr(f"{teleport_mass} div __ns"),
+                    ).otherwise(F.lit(0))
+                    + F.expr(f"({damping_pct} * coalesce(c, 0)) div 100")
+                ).alias("r"),
+            )
+        )
+        ranks = ranks.localCheckpoint(eager=False)
+    return ranks.select("node", F.col("r").alias("rank_scaled"))

@@ -5404,6 +5404,92 @@ r{t} AS (
     return "".join(parts)
 
 
+def _ppr_oracle_sql(iters: int = 3, scale: int = 10**12,
+                    damping_pct: int = 85, seed_nation: int = 0) -> str:
+    """Unrolled personalized-PageRank CTE chain — the DuckDB twin of
+    operators/graph.py:pagerank_personalized. Teleport mass returns
+    only to the seed set (nation-``seed_nation`` customers ∩ graph
+    nodes); everything else mirrors _pagerank_oracle_sql. Edges are
+    MATERIALIZED (referenced in every round's c{t})."""
+    teleport_mass = (100 - damping_pct) * scale // 100
+    parts = [f"""
+WITH edges AS MATERIALIZED (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+seeds AS MATERIALIZED (
+  SELECT n.node FROM nodes n
+  JOIN (SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS node
+        FROM customer WHERE c_nationkey = {seed_nation}) s
+    ON n.node = s.node
+),
+sn AS (SELECT count(*) AS ns FROM seeds),
+r0 AS (
+  SELECT n.node,
+         CASE WHEN s.node IS NOT NULL THEN {scale} // sn.ns ELSE 0 END AS r
+  FROM nodes n CROSS JOIN sn LEFT JOIN seeds s ON n.node = s.node
+)"""]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+c{t} AS (
+  SELECT e.dst, SUM(r.r // d.outdeg) AS c
+  FROM edges e
+  JOIN r{t - 1} r ON e.src = r.node
+  JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+),
+r{t} AS (
+  SELECT n.node,
+         CASE WHEN s.node IS NOT NULL THEN {teleport_mass} // sn.ns ELSE 0 END
+           + ({damping_pct} * coalesce(c{t}.c, 0)) // 100 AS r
+  FROM nodes n CROSS JOIN sn
+  LEFT JOIN seeds s ON n.node = s.node
+  LEFT JOIN c{t} ON n.node = c{t}.dst
+)""")
+    parts.append(
+        f"\nSELECT node, CAST(r AS BIGINT) AS rank_scaled FROM r{iters}"
+    )
+    return "".join(parts)
+
+
+@_q(
+    "personalized_pagerank_nation",
+    _ppr_oracle_sql(iters=3, seed_nation=0),
+    doc="Personalized PageRank over the customer→supplier trade graph "
+    "(operators/graph.py:pagerank_personalized): the teleport mass "
+    "returns ONLY to nation-0 customers (∩ graph nodes — both "
+    "engines must agree on |S|), so ranks measure proximity to that "
+    "nation's demand rather than global centrality — the "
+    "seed-expansion retrieval primitive ('suppliers related to "
+    "THESE buyers'). Exact integer arithmetic, bit-identical to the "
+    "unrolled DuckDB replay; per iteration ONE edges⋈ranks shuffle + "
+    "ONE dst aggregate; seed flags attached to the persisted node "
+    "relation once; lineage cut per round.",
+)
+def q_personalized_pagerank_nation(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    seeds = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_nationkey") == 0)
+        .select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node")
+        )
+    )
+    return graph.pagerank_personalized(edges, seeds, iters=3)
+
+
 def _cms_oracle_sql(depth: int = 4, width: int = 512, k: int = 20) -> str:
     """DuckDB twin of operators/aggregates.py:cms_heavy_hitters — the
     same md5 double-hash probes, cell counts, and min-estimate."""
@@ -7714,6 +7800,7 @@ _EXPORT_PRIORITY: list[str] = [
     "customer_k_anonymity_audit",
     "vocab_coverage_curve",
     "cdc_chunked_documents",
+    "personalized_pagerank_nation",
 ]
 
 
