@@ -292,3 +292,14 @@ def test_personalized_pagerank_matches_python_replay(spark):
     # Personalization: a's neighborhood (x, y) outranks c, which only
     # global centrality would reward.
     assert got["x"] > got["c"] and got["y"] > got["c"]
+
+
+def test_personalized_pagerank_raises_on_disjoint_seeds(spark):
+    import pytest
+
+    from yelp_data_pipeline_spark.operators.graph import pagerank_personalized
+
+    edges = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    ghosts = spark.createDataFrame([("zz",)], ["node"])
+    with pytest.raises(ValueError, match="no seed intersects"):
+        pagerank_personalized(edges, ghosts)

@@ -117,6 +117,7 @@ def audit(name: str, df) -> dict:
         "codegen_spans": len(set(re.findall(r"\*\((\d+)\)", plan))),
         "pushed_filters": len(re.findall(r"PushedFilters: \[(?!\])", plan)),
         "nested_loop": _dangerous_nested_loop(plan),
+        "inlist_cross": _inlist_cross(plan),
         "onerow_cross": _benign_onerow_cross(plan),
         "takeordered": "TakeOrderedAndProject" in plan,
     }
@@ -209,20 +210,6 @@ def _is_bounded_cross(sub: str, plan: str = "") -> bool:
                 nxt,
             ):
                 return True
-            # A scan filtered by a literal IN-list on an ID/KEY column
-            # carries at most |list| rows — the broadcast-query-set
-            # serving shape (cosine_topk_batch, pq_recall_eval).
-            # BOTH conditions are load-bearing: subqueries print as
-            # InSubquery/DynamicPruning (never a bare literal list),
-            # and a literal IN on a NON-key column (event_type IN
-            # (1,2)) bounds nothing — only unique-key columns cap the
-            # build side at |list| rows.
-            if re.search(
-                r"Filter .*\b\w*(?:id|key)\w*#\d+L? IN \(-?\d", nxt, re.I
-            ) or re.search(
-                r"PushedFilters: \[[^\]]*In\(\w*(?:id|key)\w*, \[-?\d", nxt, re.I
-            ):
-                return True
             if "ReusedExchange" in nxt:
                 orig = _resolve_reused(nxt, plan)
                 if orig and _is_bounded_cross(
@@ -250,9 +237,32 @@ def _is_bounded_cross(sub: str, plan: str = "") -> bool:
     return False
 
 
+def _is_literal_inlist_cross(sub: str) -> bool:
+    """Build side filtered by a literal IN-list (the broadcast-query-
+    set serving shape: cosine_topk_batch, pq_recall_eval). Plan text
+    cannot prove the filtered column is UNIQUE — `c_nationkey IN
+    (1,2)` bounds nothing while `vec_id IN (0,1,2)` bounds everything
+    — so this is a SEPARATE, visible category ('inlist-cross'), not a
+    silent exemption and not a hard red flag: the auditor's reader
+    decides. Subqueries print as InSubquery/DynamicPruning, never a
+    bare literal list."""
+    return bool(
+        re.search(r"Filter .*\bIN \(-?\d", sub)
+        or re.search(r"PushedFilters: \[[^\]]*In\(\w+, \[-?\d", sub)
+    )
+
+
 def _dangerous_nested_loop(plan: str) -> bool:
     return any(
-        not _is_bounded_cross(s, plan) for s in _nested_loop_subtrees(plan)
+        not _is_bounded_cross(s, plan) and not _is_literal_inlist_cross(s)
+        for s in _nested_loop_subtrees(plan)
+    )
+
+
+def _inlist_cross(plan: str) -> bool:
+    return any(
+        not _is_bounded_cross(s, plan) and _is_literal_inlist_cross(s)
+        for s in _nested_loop_subtrees(plan)
     )
 
 
@@ -277,6 +287,7 @@ def main() -> int:
         df = specs[name].fn(spark, sf_dir)
         a = audit(name, df)
         flags = "NESTED-LOOP!" if a["nested_loop"] else (
+            "inlist-cross" if a["inlist_cross"] else
             "bounded-cross" if a["onerow_cross"] else ""
         )
         print(

@@ -289,8 +289,9 @@ def pagerank_integer(
     Scale posture: per iteration ONE shuffle join (edges ⋈ ranks on
     src — edges can be pre-partitioned by src once and reused every
     round) + ONE groupBy(dst) aggregate with map-side partial sums.
-    The node count arrives via a broadcast 1-row cross join, never a
-    driver collect. iters is fixed (anytime algorithm), not
+    The node count is ONE driver scalar (the same one-count budget CC
+    and k-core spend per round), then a literal in the integer
+    expressions. iters is fixed (anytime algorithm), not
     converge-tested: each iteration contracts the error by the damping
     factor, so ~20 rounds reach 1e-3 of stationary; 3 suffice for a
     deterministic cross-engine fixture.
@@ -318,33 +319,16 @@ def pagerank_integer(
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
-    nstat = nodes.agg(F.count(F.lit(1)).alias("__n"))
-
-    ranks = nodes.crossJoin(F.broadcast(nstat)).select(
-        "node", F.expr(f"{scale} div __n").alias("r")
+    # Global PageRank IS the personalized variant with S = V: delegate
+    # to the shared loop (is_seed ≡ 1, ns = |V|) so the per-round
+    # join/aggregate/lineage discipline exists once. |V| arrives as
+    # ONE driver scalar — the same one-count-per-run budget CC and
+    # k-core spend per ROUND.
+    n = nodes.count()
+    flagged = nodes.withColumn("is_seed", F.lit(1))
+    return _pagerank_loop(
+        edges, deg, flagged, n, iters, scale, damping_pct, teleport_mass
     )
-    for _ in range(iters):
-        contrib = (
-            edges.join(ranks, edges["src"] == ranks["node"])
-            .join(deg, "src")
-            .select(F.col("dst"), F.expr("r div outdeg").alias("c"))
-        )
-        agg = contrib.groupBy("dst").agg(F.sum("c").alias("c"))
-        ranks = (
-            nodes.crossJoin(F.broadcast(nstat))
-            .join(agg, nodes["node"] == agg["dst"], "left")
-            .select(
-                "node",
-                (
-                    F.expr(f"{teleport_mass} div __n")
-                    + F.expr(f"({damping_pct} * coalesce(c, 0)) div 100")
-                ).alias("r"),
-            )
-        )
-        # Cut lineage each round: the next round's plan otherwise nests
-        # this one (geometric plan-string growth — the CC lesson above).
-        ranks = ranks.localCheckpoint(eager=False)
-    return ranks.select("node", F.col("r").alias("rank_scaled"))
 
 
 def kcore_peel(
@@ -571,12 +555,41 @@ def pagerank_personalized(
             "left",
         ).select("node", F.coalesce("__seed", F.lit(0)).alias("is_seed"))
     )
-    sstat = flagged.agg(F.sum("is_seed").alias("__ns"))
+    # ONE driver scalar (same budget as CC's convergence counts): |S∩V|
+    # must be validated — with zero surviving seeds every teleport
+    # branch is dead and the loop would SILENTLY return all-zero ranks
+    # (a typo'd seed prefix reads as "nothing is related"). The scalar
+    # also replaces the broadcast-stat cross join with a literal.
+    ns = flagged.agg(F.sum("is_seed")).first()[0]
+    if not ns:
+        raise ValueError(
+            "pagerank_personalized: no seed intersects the graph's node "
+            "set — ranks would be uniformly zero. Check the seed ids."
+        )
+    return _pagerank_loop(
+        edges, deg, flagged, int(ns), iters, scale, damping_pct, teleport_mass
+    )
 
-    ranks = flagged.crossJoin(F.broadcast(sstat)).select(
+
+def _pagerank_loop(
+    edges: DataFrame,
+    deg: DataFrame,
+    flagged: DataFrame,
+    ns: int,
+    iters: int,
+    scale: int,
+    damping_pct: int,
+    teleport_mass: int,
+) -> DataFrame:
+    """Shared integer-PageRank iteration: ``flagged`` = (node,
+    is_seed) with ``ns`` seed rows; global PageRank is the special
+    case is_seed ≡ 1, ns = |V| (pagerank_integer delegates here), so
+    the join/aggregate/lineage discipline cannot drift between the
+    global and personalized variants."""
+    ranks = flagged.select(
         "node",
         F.when(
-            F.col("is_seed") == 1, F.expr(f"{scale} div __ns")
+            F.col("is_seed") == 1, F.lit(scale // ns)
         ).otherwise(F.lit(0)).alias("r"),
     )
     for _ in range(iters):
@@ -587,14 +600,12 @@ def pagerank_personalized(
         )
         agg = contrib.groupBy("dst").agg(F.sum("c").alias("c"))
         ranks = (
-            flagged.crossJoin(F.broadcast(sstat))
-            .join(agg, flagged["node"] == agg["dst"], "left")
+            flagged.join(agg, flagged["node"] == agg["dst"], "left")
             .select(
                 "node",
                 (
                     F.when(
-                        F.col("is_seed") == 1,
-                        F.expr(f"{teleport_mass} div __ns"),
+                        F.col("is_seed") == 1, F.lit(teleport_mass // ns)
                     ).otherwise(F.lit(0))
                     + F.expr(f"({damping_pct} * coalesce(c, 0)) div 100")
                 ).alias("r"),

@@ -6220,7 +6220,8 @@ def q_event_sequence_motifs(spark, sf_dir):
     "add, so the result is bit-identical across engines and partition "
     "counts (FP PageRank is neither). Per iteration: ONE shuffle join "
     "(edges ⋈ ranks on src) + ONE groupBy(dst) with map-side partial "
-    "sums; node count via broadcast 1-row cross join. Edges dedup "
+    "sums; node count is one driver scalar (the CC per-round count "
+    "budget), folded in as a literal. Edges dedup "
     "once up front; on a cluster, pre-partition edges by src and "
     "every iteration reuses the exchange.",
 )
