@@ -113,3 +113,46 @@ def test_npy_decode_end_to_end(spark):
         assert rows[i]["n_elems"] == 3
         assert rows[i]["first_val"] == float(i)
         assert rows[i]["n_bytes"] == 128 + 12
+
+
+def test_bmp_roundtrip_and_resize_identity():
+    import hashlib
+
+    import numpy as np
+
+    from yelp_data_pipeline_spark.operators.multimodal import (
+        build_bmp,
+        parse_bmp,
+    )
+
+    # Non-multiple-of-4 width (w=9 -> stride 28 with 1 pad byte) so the
+    # padding path actually executes.
+    w, h = 9, 4
+    px = bytes(range(w * h * 3 % 256)) * 0 + bytes(
+        (i * 5) % 256 for i in range(w * h * 3)
+    )
+    payload = build_bmp(px, w, h)
+    m = parse_bmp(payload)
+    assert (m["width"], m["height"], m["bpp"]) == (w, h, 24)
+    assert m["row_stride"] == 28
+    assert m["pixels"] == px  # un-flip + stride strip are exact
+    assert m["n_bytes"] == len(payload) == 54 + 28 * h
+
+    # Identity resize (same dims) must reproduce the original digest.
+    arr = np.frombuffer(m["pixels"], dtype=np.uint8).reshape(h, w, 3)
+    ys = (np.arange(h) * h) // h
+    xs = (np.arange(w) * w) // w
+    assert hashlib.md5(
+        ",".join(map(str, arr[ys][:, xs].flatten().tolist())).encode()
+    ).hexdigest() == hashlib.md5(
+        ",".join(map(str, arr.flatten().tolist())).encode()
+    ).hexdigest()
+
+
+def test_bmp_parse_rejects_garbage():
+    import pytest
+
+    from yelp_data_pipeline_spark.operators.multimodal import parse_bmp
+
+    with pytest.raises(ValueError):
+        parse_bmp(b"PNG not a bmp" * 10)

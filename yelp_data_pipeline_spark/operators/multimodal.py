@@ -357,3 +357,166 @@ def decode_npy_meta(
             )
 
     return df.select(id_col, payload_col).mapInPandas(_decode, NPY_META_SCHEMA)
+
+
+# ------------------------------------------------------------------ BMP
+
+def build_bmp(pixels: bytes, width: int, height: int) -> bytes:
+    """Serialize a spec-valid 24-bit uncompressed BMP (BITMAPFILEHEADER
+    + BITMAPINFOHEADER): pixel rows written BOTTOM-UP, each padded to a
+    4-byte boundary — the two traps any real BMP consumer must handle.
+    ``pixels`` is top-down row-major BGR, len == width*height*3."""
+    if len(pixels) != width * height * 3:
+        raise ValueError("pixel buffer does not match dimensions")
+    stride = ((width * 3 + 3) // 4) * 4
+    pad = b"\x00" * (stride - width * 3)
+    rows = [
+        pixels[y * width * 3:(y + 1) * width * 3] + pad
+        for y in range(height - 1, -1, -1)
+    ]
+    body = b"".join(rows)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40)
+    return header + info + body
+
+
+def parse_bmp(payload: bytes) -> dict:
+    """Parse a BMP from bytes alone: validate magic, read the info
+    header, undo the bottom-up row order and stride padding, and
+    return metadata + the top-down BGR pixel buffer."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP container")
+    px_offset = struct.unpack("<I", payload[10:14])[0]
+    hdr_size, width, height, _planes, bpp = struct.unpack(
+        "<IiiHH", payload[14:30]
+    )
+    if bpp != 24 or hdr_size < 40:
+        raise ValueError(f"unsupported BMP (bpp={bpp})")
+    stride = ((width * 3 + 3) // 4) * 4
+    rows = []
+    for y in range(height):
+        start = px_offset + (height - 1 - y) * stride
+        rows.append(payload[start:start + width * 3])
+    return {
+        "width": width,
+        "height": height,
+        "bpp": bpp,
+        "row_stride": stride,
+        "n_bytes": len(payload),
+        "pixels": b"".join(rows),
+    }
+
+
+BMP_META_SCHEMA = (
+    "doc_id long, width int, height int, bpp int, row_stride int, n_bytes int"
+)
+
+
+def _bmp_dims(doc_id: int) -> tuple[int, int]:
+    return 8 + (doc_id % 5) * 4, 6 + (doc_id % 3) * 6
+
+
+def _bmp_pixels(doc_id: int, w: int, h: int):
+    import numpy as np
+
+    idx = np.arange(w * h * 3, dtype=np.int64)
+    return ((doc_id * 31 + idx * 7) % 256).astype(np.uint8)
+
+
+def attach_bmp_payload(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, payload binary): id-derived dimensions and formula pixels
+    ((doc_id·31 + i·7) mod 256 — arithmetic any engine replays),
+    serialized through build_bmp so payloads are genuine bottom-up,
+    stride-padded containers, not tagged fakes."""
+    import numpy as np  # noqa: F401
+    from pyspark.sql.types import (
+        BinaryType, LongType, StructField, StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf[id_col]:
+                w, h = _bmp_dims(int(did))
+                px = _bmp_pixels(int(did), w, h).tobytes()
+                rows.append((int(did), build_bmp(px, w, h)))
+            yield pd.DataFrame(rows, columns=[id_col, "payload"])
+
+    return df.select(id_col).mapInPandas(_synth, schema)
+
+
+def decode_bmp_meta(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Recover image metadata from BYTES ALONE via parse_bmp."""
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                m = parse_bmp(bytes(payload))
+                out.append(
+                    (int(did), m["width"], m["height"], m["bpp"],
+                     m["row_stride"], m["n_bytes"])
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    id_col, "width", "height", "bpp", "row_stride", "n_bytes"
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_decode, BMP_META_SCHEMA)
+
+
+def resize_bmp_nearest(
+    df: DataFrame,
+    out_w: int = 8,
+    out_h: int = 8,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL image resize: parse the BMP, reshape the decoded buffer to
+    (h, w, 3) in numpy, nearest-neighbor index-sample to (out_h,
+    out_w, 3) (src = (dst·src_dim) // dst_dim — pure integer, engine-
+    replayable), and emit the resized pixels' digest. Any stride /
+    bottom-up / channel bug in the codec breaks the digest, so the
+    oracle hash proves decode → ndarray → resample end to end.
+    px_md5 = md5 of the comma-joined int sequence (byte-order-safe
+    across engines, unlike hashing raw blobs)."""
+    import hashlib
+
+    import numpy as np
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                m = parse_bmp(bytes(payload))
+                arr = np.frombuffer(m["pixels"], dtype=np.uint8).reshape(
+                    m["height"], m["width"], 3
+                )
+                ys = (np.arange(out_h) * m["height"]) // out_h
+                xs = (np.arange(out_w) * m["width"]) // out_w
+                res = arr[ys][:, xs]
+                digest = hashlib.md5(
+                    ",".join(map(str, res.flatten().tolist())).encode()
+                ).hexdigest()
+                out.append((int(did), out_w, out_h, digest))
+            yield pd.DataFrame(
+                out, columns=[id_col, "out_w", "out_h", "px_md5"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _resize, f"{id_col} long, out_w int, out_h int, px_md5 string"
+    )

@@ -3532,6 +3532,72 @@ def q_multimodal_decode_meta(spark, sf_dir):
 
 
 @_q(
+    "multimodal_bmp_decode",
+    """
+WITH dims AS (
+  SELECT doc_id,
+         8 + (doc_id % 5) * 4 AS w,
+         6 + (doc_id % 3) * 6 AS h
+  FROM documents
+)
+SELECT doc_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(24 AS INT) AS bpp,
+       CAST(((w * 3 + 3) // 4) * 4 AS INT) AS row_stride,
+       CAST(54 + ((w * 3 + 3) // 4) * 4 * h AS INT) AS n_bytes
+FROM dims
+""",
+    doc="REAL image-container decode (multimodal.py:build_bmp / "
+    "parse_bmp via Arrow mapInPandas): id-derived dimensions and "
+    "formula pixels serialize into spec-valid 24-bit BMPs — "
+    "BOTTOM-UP rows, 4-byte stride padding, the two traps a real BMP "
+    "consumer must handle — then the parser recovers dimensions/"
+    "stride/size from bytes alone. The oracle recomputes the layout "
+    "arithmetic independently; a hash match proves the container "
+    "round-trips. Completes the image modality next to WAV (audio) "
+    "and NPY (tensor).",
+)
+def q_multimodal_bmp_decode(spark, sf_dir):
+    d = mm.attach_bmp_payload(_t(spark, sf_dir, "documents"))
+    return mm.decode_bmp_meta(d)
+
+
+@_q(
+    "multimodal_bmp_resize",
+    """
+WITH dims AS (
+  SELECT doc_id,
+         8 + (doc_id % 5) * 4 AS w,
+         6 + (doc_id % 3) * 6 AS h
+  FROM documents
+)
+SELECT doc_id, CAST(8 AS INT) AS out_w, CAST(8 AS INT) AS out_h,
+       md5(array_to_string(
+         list_transform(generate_series(0, 191),
+           k -> (doc_id * 31
+                 + ((((k // 24) * h) // 8) * w * 3
+                    + ((((k % 24) // 3) * w) // 8) * 3
+                    + (k % 3)) * 7) % 256),
+         ',')) AS px_md5
+FROM dims
+""",
+    doc="REAL image resize (multimodal.py:resize_bmp_nearest): parse "
+    "the BMP, reshape the decoded buffer to (h, w, 3) in numpy, "
+    "nearest-neighbor index-sample to 8×8 (src = dst·src_dim // "
+    "dst_dim — pure integer), digest the resized pixel sequence. The "
+    "oracle replays the sampling arithmetic on the formula pixels "
+    "WITHOUT touching bytes — so the hash only matches if the whole "
+    "byte path (bottom-up un-flip, stride strip, reshape, resample) "
+    "is exact. Pixels digest as a comma-joined int sequence, never a "
+    "raw blob (byte-order/encoding-safe across engines).",
+)
+def q_multimodal_bmp_resize(spark, sf_dir):
+    d = mm.attach_bmp_payload(_t(spark, sf_dir, "documents"))
+    return mm.resize_bmp_nearest(d, out_w=8, out_h=8)
+
+
+@_q(
     "multimodal_frame_sample",
     _WAV_ORACLE_BASE + """,
 f AS (
@@ -7802,6 +7868,8 @@ _EXPORT_PRIORITY: list[str] = [
     "vocab_coverage_curve",
     "cdc_chunked_documents",
     "personalized_pagerank_nation",
+    "multimodal_bmp_decode",
+    "multimodal_bmp_resize",
 ]
 
 
