@@ -5977,10 +5977,23 @@ und AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM knn)"""
 
 def _supplier_knn_edges(spark, sf_dir) -> DataFrame:
     """Spark twin of KNN_EDGES_CTE's ``knn`` relation (directed pairs;
-    consumers symmetrize/dedup as needed)."""
+    consumers symmetrize/dedup as needed).
+
+    The (orderkey, suppkey) dedup runs BEFORE the self-join, not as a
+    count_distinct after it: a supplier appears once per LINEITEM but
+    co-supply counts orders, so deduping first both shrinks the
+    self-join input (orders × suppliers, not orders × lineitems) and
+    turns the expensive distinct-aggregate into a plain map-side-
+    combinable count — identical result (count DISTINCT orderkey ==
+    plain count over deduped pairs), measured ~2× on the shared
+    kcore/triangles graph build."""
     from pyspark.sql import Window
 
-    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    l = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
     r = l.select(
         F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("b")
     )
@@ -5988,7 +6001,7 @@ def _supplier_knn_edges(spark, sf_dir) -> DataFrame:
         l.join(r, (F.col("l_orderkey") == F.col("o2")))
         .where(F.col("l_suppkey") != F.col("b"))
         .groupBy(F.col("l_suppkey").alias("a"), "b")
-        .agg(F.count_distinct(F.col("l_orderkey")).alias("cnt"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
     w = Window.partitionBy("a").orderBy(F.desc("cnt"), F.asc("b"))
     return (
