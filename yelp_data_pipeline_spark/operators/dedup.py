@@ -983,25 +983,24 @@ def doc_novelty_scores(
     near-dup pair yet contribute almost nothing new.
 
     Deterministic by construction (min-attribution, integer counts,
-    one final division). Plan: the SAME shingle-keyed shuffle the
-    n-gram dedup family pays (map-side-combinable min), broadcast of
-    nothing — the attribution joins back on the shingle key; the
-    exploded relation is persisted because it feeds both the
-    first-seen aggregate and the per-doc rollup. Docs shorter than
-    ``n`` tokens have no shingles and are excluded (mirrors the
-    oracle's unnest of an empty list).
+    one final division). Plan: ONE shingle-keyed shuffle — the
+    first-seen owner is a whole-partition window min over the SAME
+    exchange the rollup needs anyway (a groupBy(s)+join-back shape
+    would shuffle the exploded relation on s twice and need a
+    persist) — then the per-doc rollup. Docs shorter than ``n``
+    tokens have no shingles and are excluded (mirrors the oracle's
+    unnest of an empty list).
 
     Returns (doc_id, n_shingles, n_novel, novelty 6dp).
     """
-    from ..session import track_persist
+    from pyspark.sql import Window
 
-    sh = track_persist(
-        with_shingles(df.select(F.col(id_col), F.col(text_col)), text_col, n)
-        .select(F.col(id_col), F.explode("shingles").alias("s"))
-    )
-    first = sh.groupBy("s").agg(F.min(id_col).alias("fd"))
+    sh = with_shingles(
+        df.select(F.col(id_col), F.col(text_col)), text_col, n
+    ).select(F.col(id_col), F.explode("shingles").alias("s"))
+    w = Window.partitionBy("s")
     per = (
-        sh.join(first, "s")
+        sh.withColumn("fd", F.min(id_col).over(w))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
