@@ -415,3 +415,49 @@ def test_kcore_matches_sequential_peel(spark, edges, k):
         alive -= drop
     want = {(n, len(adj[n] & alive)) for n in alive}
     assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=0, max_value=500, allow_nan=False),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_histogram_drift_identical_periods_have_zero_tv(spark, vals):
+    from yelp_data_pipeline_spark.operators.timeseries import histogram_drift
+    import datetime as dt
+
+    a, b = dt.datetime(2024, 1, 5), dt.datetime(2024, 1, 25)
+    rows = [("g", t, float(v)) for t in (a, b) for v in vals]
+    r = histogram_drift(
+        spark.createDataFrame(rows, ["grp", "ts", "v"]), "ts", "v", "grp",
+        "2024-01-16",
+    ).collect()[0]
+    # Identical distributions with equal counts: every num_i == 0.
+    assert (r["tv"], r["max_dev"]) == (0.0, 0.0)
+    assert r["n_a"] == r["n_b"] == len(vals)
+
+
+@given(
+    va=st.lists(st.floats(min_value=0, max_value=500, allow_nan=False),
+                min_size=1, max_size=15),
+    vb=st.lists(st.floats(min_value=0, max_value=500, allow_nan=False),
+                min_size=1, max_size=15),
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_histogram_drift_metrics_are_bounded(spark, va, vb):
+    from yelp_data_pipeline_spark.operators.timeseries import histogram_drift
+    import datetime as dt
+
+    a, b = dt.datetime(2024, 1, 5), dt.datetime(2024, 1, 25)
+    rows = [("g", a, float(v)) for v in va] + [("g", b, float(v)) for v in vb]
+    r = histogram_drift(
+        spark.createDataFrame(rows, ["grp", "ts", "v"]), "ts", "v", "grp",
+        "2024-01-16",
+    ).collect()[0]
+    assert 0.0 <= r["tv"] <= 1.0
+    assert 0.0 <= r["max_dev"] <= 1.0
+    # max single-bin deviation can never exceed twice the TV distance.
+    assert r["max_dev"] <= 2 * r["tv"] + 1e-9
