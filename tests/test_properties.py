@@ -461,3 +461,60 @@ def test_histogram_drift_metrics_are_bounded(spark, va, vb):
     assert 0.0 <= r["max_dev"] <= 1.0
     # max single-bin deviation can never exceed twice the TV distance.
     assert r["max_dev"] <= 2 * r["tv"] + 1e-9
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=60),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_cdc_chunks_tile_every_document(spark, texts):
+    from yelp_data_pipeline_spark.operators.textops import cdc_chunk_documents
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = cdc_chunk_documents(df, "doc_id", "text").collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for did, text in rows:
+        toks = [t for t in text.strip().lower().split() if t]
+        if not text.strip():
+            assert did not in by_doc  # blank docs skipped
+            continue
+        spans = sorted(
+            ((r["start_tok"], r["end_tok"]) for r in by_doc[did])
+        )
+        # Chunks tile [1, n_tokens] contiguously with no overlap.
+        assert spans[0][0] == 1
+        assert spans[-1][1] == len(toks)
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert s2 == e1 + 1
+        assert all(s <= e for s, e in spans)
+
+
+@given(
+    words=st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_vocab_coverage_is_monotone_and_saturates(spark, words):
+    from yelp_data_pipeline_spark.operators.textops import vocab_coverage_curve
+
+    df = spark.createDataFrame([(0, " ".join(words))], ["doc_id", "text"])
+    out = sorted(
+        vocab_coverage_curve(df, "text", checkpoints=(1, 2, 5, 10)).collect(),
+        key=lambda r: r["vocab_size"],
+    )
+    covs = [r["coverage"] for r in out]
+    assert covs == sorted(covs)           # monotone in vocab size
+    assert all(0 < c <= 1.0 for c in covs)
+    # A checkpoint >= the true vocab size covers everything.
+    assert covs[-1] == 1.0
+    assert all(r["total_tokens"] == len(words) for r in out)
