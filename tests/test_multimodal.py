@@ -115,11 +115,7 @@ def test_npy_decode_end_to_end(spark):
         assert rows[i]["n_bytes"] == 128 + 12
 
 
-def test_bmp_roundtrip_and_resize_identity():
-    import hashlib
-
-    import numpy as np
-
+def test_bmp_roundtrip():
     from yelp_data_pipeline_spark.operators.multimodal import (
         build_bmp,
         parse_bmp,
@@ -128,9 +124,7 @@ def test_bmp_roundtrip_and_resize_identity():
     # Non-multiple-of-4 width (w=9 -> stride 28 with 1 pad byte) so the
     # padding path actually executes.
     w, h = 9, 4
-    px = bytes(range(w * h * 3 % 256)) * 0 + bytes(
-        (i * 5) % 256 for i in range(w * h * 3)
-    )
+    px = bytes((i * 5) % 256 for i in range(w * h * 3))
     payload = build_bmp(px, w, h)
     m = parse_bmp(payload)
     assert (m["width"], m["height"], m["bpp"]) == (w, h, 24)
@@ -138,15 +132,41 @@ def test_bmp_roundtrip_and_resize_identity():
     assert m["pixels"] == px  # un-flip + stride strip are exact
     assert m["n_bytes"] == len(payload) == 54 + 28 * h
 
-    # Identity resize (same dims) must reproduce the original digest.
-    arr = np.frombuffer(m["pixels"], dtype=np.uint8).reshape(h, w, 3)
-    ys = (np.arange(h) * h) // h
-    xs = (np.arange(w) * w) // w
-    assert hashlib.md5(
-        ",".join(map(str, arr[ys][:, xs].flatten().tolist())).encode()
-    ).hexdigest() == hashlib.md5(
-        ",".join(map(str, arr.flatten().tolist())).encode()
-    ).hexdigest()
+
+def test_bmp_resize_operator_matches_numpy_replay(spark):
+    """Drive resize_bmp_nearest itself (non-square downscale) and
+    check its digest against an independent numpy replay over the
+    same synthesized payloads."""
+    import hashlib
+
+    import numpy as np
+
+    from yelp_data_pipeline_spark.operators.multimodal import (
+        _bmp_dims,
+        _bmp_pixels,
+        attach_bmp_payload,
+        resize_bmp_nearest,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(12)], ["doc_id"])
+    out = {
+        r["doc_id"]: r
+        for r in resize_bmp_nearest(
+            attach_bmp_payload(df), out_w=5, out_h=3
+        ).collect()
+    }
+    assert len(out) == 12
+    for did in range(12):
+        w, h = _bmp_dims(did)
+        arr = _bmp_pixels(did, w, h).reshape(h, w, 3)
+        ys = (np.arange(3) * h) // 3
+        xs = (np.arange(5) * w) // 5
+        want = hashlib.md5(
+            ",".join(map(str, arr[ys][:, xs].flatten().tolist())).encode()
+        ).hexdigest()
+        r = out[did]
+        assert (r["out_w"], r["out_h"]) == (5, 3)
+        assert r["px_md5"] == want
 
 
 def test_bmp_parse_rejects_garbage():
@@ -156,3 +176,22 @@ def test_bmp_parse_rejects_garbage():
 
     with pytest.raises(ValueError):
         parse_bmp(b"PNG not a bmp" * 10)
+
+
+def test_bmp_parse_rejects_truncated_and_degenerate():
+    import pytest
+
+    from yelp_data_pipeline_spark.operators.multimodal import (
+        build_bmp,
+        parse_bmp,
+    )
+
+    good = build_bmp(bytes(9 * 4 * 3), 9, 4)
+    with pytest.raises(ValueError, match="truncated"):
+        parse_bmp(good[:-5])
+    # Valid magic/bpp but zero-dimension header.
+    degenerate = struct.pack("<2sIHHI", b"BM", 54, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, 0, 0, 1, 24, 0, 0, 2835, 2835, 0, 0
+    )
+    with pytest.raises(ValueError, match="dimensions"):
+        parse_bmp(degenerate)

@@ -394,7 +394,14 @@ def parse_bmp(payload: bytes) -> dict:
     )
     if bpp != 24 or hdr_size < 40:
         raise ValueError(f"unsupported BMP (bpp={bpp})")
+    if width <= 0 or height <= 0:
+        raise ValueError(f"invalid BMP dimensions {width}x{height}")
     stride = ((width * 3 + 3) // 4) * 4
+    if len(payload) < px_offset + stride * height:
+        # Fail HERE with a per-row diagnosis, not later as an opaque
+        # reshape error inside an executor when the short pixel buffer
+        # meets np.frombuffer.
+        raise ValueError("truncated BMP: payload shorter than declared rows")
     rows = []
     for y in range(height):
         start = px_offset + (height - 1 - y) * stride
@@ -432,7 +439,6 @@ def attach_bmp_payload(
     ((doc_id·31 + i·7) mod 256 — arithmetic any engine replays),
     serialized through build_bmp so payloads are genuine bottom-up,
     stride-padded containers, not tagged fakes."""
-    import numpy as np  # noqa: F401
     from pyspark.sql.types import (
         BinaryType, LongType, StructField, StructType,
     )
