@@ -285,3 +285,38 @@ def test_bpe_encode_counts_matches_reference(spark):
         for r in bpe_encode_counts(df, rules).collect()
     }
     assert got == {i: ref_encode(t, rules) for i, t in enumerate(texts)}
+
+
+def test_quality_score_survives_empty_doc_under_ansi(spark):
+    """Empty documents have n_chars = 0; under the driver's ANSI
+    session even a DOUBLE division by zero crashes (probed), so the
+    punct term is NULL-guarded — both quality entry points must
+    evaluate, and the score must stay defined (least() skips the NULL
+    term identically in both engines)."""
+    from yelp_data_pipeline_spark.operators.textops import (
+        quality_features,
+        quality_score_col,
+    )
+    import pyspark.sql.functions as F
+
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        df = spark.createDataFrame(
+            [(1, ""), (2, "a perfectly ordinary document")],
+            ["doc_id", "text"],
+        )
+        scores = {
+            r["doc_id"]: r["q"]
+            for r in df.select(
+                "doc_id", quality_score_col(F.col("text")).alias("q")
+            ).collect()
+        }
+        assert scores[1] is not None and scores[2] is not None
+        feats = {
+            r["doc_id"]: r for r in quality_features(df, "doc_id", "text").collect()
+        }
+        assert feats[1]["punct_ratio"] is None  # guarded, not crashed
+        assert feats[2]["punct_ratio"] is not None
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)

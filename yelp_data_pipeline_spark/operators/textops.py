@@ -93,7 +93,15 @@ def quality_score_col(c: Column) -> Column:
     n_tok = token_count(c)
     n_punct = F.regexp_count(c, F.lit(r"[^A-Za-z0-9\s]"))
     n_stop = stopword_score(c, LANG_STOPWORDS["en"])
-    punct_ratio = F.round(n_punct.cast("double") / n_chars.cast("double"), 6)
+    # n_chars = 0 (empty doc) is NULL-guarded: under the driver's ANSI
+    # session even a DOUBLE division by zero CRASHES (probed; the
+    # norm-outliers round-5 lesson). least() skips NULL identically in
+    # both engines, so the punct term degrades to 0 symmetrically.
+    # n_tok needs no guard — split('') yields [''], so it is ≥ 1.
+    punct_ratio = F.when(
+        n_chars > 0,
+        F.round(n_punct.cast("double") / n_chars.cast("double"), 6),
+    )
     stop_ratio = F.round(n_stop.cast("double") / n_tok.cast("double"), 6)
     return F.round(
         F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0)) * 0.5
@@ -112,7 +120,11 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     n_tok = token_count(c)
     n_punct = F.regexp_count(c, F.lit(r"[^A-Za-z0-9\s]"))
     n_stop = stopword_score(c, LANG_STOPWORDS["en"])
-    punct_ratio = F.round(n_punct.cast("double") / n_chars.cast("double"), 6)
+    # Same ANSI guard as quality_score_col: empty docs have n_chars=0.
+    punct_ratio = F.when(
+        n_chars > 0,
+        F.round(n_punct.cast("double") / n_chars.cast("double"), 6),
+    )
     stop_ratio = F.round(n_stop.cast("double") / n_tok.cast("double"), 6)
     mean_tok_len = F.round(
         (n_chars - (n_tok - 1)).cast("double") / n_tok.cast("double"), 6

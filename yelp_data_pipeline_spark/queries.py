@@ -1122,7 +1122,7 @@ q AS (
   SELECT doc_id,
          round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
                + round(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) * 0.3
-               + (1.0 - least(round(CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) * 10, 1.0)) * 0.2,
+               + (1.0 - least(CASE WHEN n_chars > 0 THEN round(CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) END * 10, 1.0)) * 0.2,
                6) AS quality_score
   FROM base
 )
@@ -1191,7 +1191,7 @@ qscore AS (
   SELECT doc_id,
          round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
                + round(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) * 0.3
-               + (1.0 - least(round(CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) * 10, 1.0)) * 0.2,
+               + (1.0 - least(CASE WHEN n_chars > 0 THEN round(CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) END * 10, 1.0)) * 0.2,
                6) AS quality_score
   FROM qbase
 )"""
@@ -2660,12 +2660,12 @@ WITH base AS (
   FROM documents
 )
 SELECT doc_id, n_chars, n_tokens,
-       round(CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) AS punct_ratio,
+       CASE WHEN n_chars > 0 THEN round(CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) END AS punct_ratio,
        round(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS stopword_ratio,
        round(CAST(n_chars - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS mean_token_len,
        round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
              + round(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) * 0.3
-             + (1.0 - least(round(CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) * 10, 1.0)) * 0.2,
+             + (1.0 - least(CASE WHEN n_chars > 0 THEN round(CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) END * 10, 1.0)) * 0.2,
              6) AS quality_score
 FROM base
 """,
@@ -2692,7 +2692,7 @@ scored AS (
   SELECT doc_id, source,
          round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
                + round(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) * 0.3
-               + (1.0 - least(round(CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) * 10, 1.0)) * 0.2,
+               + (1.0 - least(CASE WHEN n_chars > 0 THEN round(CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) END * 10, 1.0)) * 0.2,
                6) AS quality_score
   FROM base
 ),
@@ -4769,7 +4769,7 @@ q AS (
   SELECT source,
          round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
                + round(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) * 0.3
-               + (1.0 - least(round(CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) * 10, 1.0)) * 0.2,
+               + (1.0 - least(CASE WHEN n_chars > 0 THEN round(CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) END * 10, 1.0)) * 0.2,
                6) AS qs,
          n_tokens
   FROM base
