@@ -252,3 +252,38 @@ def test_embedding_norm_outliers_flags_extremes(spark):
     out = embedding_norm_outliers(df, z_threshold=2.0).collect()
     assert [r["vec_id"] for r in out] == [99]
     assert out[0]["z"] > 2.0
+
+
+def test_cosine_zero_vector_is_null_not_crash(spark):
+    """A zero vector (failed encoder) must yield NULL cosine under an
+    ANSI session — never a DIVIDE_BY_ZERO task failure that kills the
+    whole index build."""
+    import pyspark.sql.functions as F
+
+    from yelp_data_pipeline_spark.functions.vectors import cosine
+    from yelp_data_pipeline_spark.operators.similarity import cosine_topk
+
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        df = spark.createDataFrame(
+            [(0, [0.0] * 4), (1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+            "vec_id long, embedding array<float>",
+        )
+        c = {
+            r["vec_id"]: r["c"]
+            for r in df.select(
+                "vec_id",
+                cosine(
+                    F.col("embedding"),
+                    F.array(*[F.lit(v) for v in [1.0, 0.0, 0.0, 0.0]]),
+                ).alias("c"),
+            ).collect()
+        }
+        assert c[0] is None and c[1] == 1.0 and c[2] == 0.0
+        # Ranking drops the zero vector instead of erroring.
+        top = cosine_topk(df, [1.0, 0.0, 0.0, 0.0], k=3).collect()
+        assert [r["vec_id"] for r in top][:2] == [1, 2]
+        assert all(r["vec_id"] != 0 or r["score"] is None for r in top)
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)

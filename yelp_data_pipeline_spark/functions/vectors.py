@@ -28,9 +28,14 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity; NULL-safe only insofar as parquet arrays are
-    non-null in the fixtures."""
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity. A ZERO vector (failed encoder, truncated
+    row — exactly what embedding_norm_outliers screens for) has norm
+    0, and under the driver's ANSI session even a double division by
+    zero crashes — so the denominator is NULL-guarded: cosine against
+    a zero vector is NULL (undefined angle), never an error, and
+    ranking/threshold consumers drop it. cosine_sql mirrors the CASE."""
+    d = norm(a) * norm(b)
+    return F.when(d > 0, dot(a, b) / d)
 
 
 def cosine_sql(a: str, b: str, dim: int) -> str:
@@ -48,4 +53,7 @@ def cosine_sql(a: str, b: str, dim: int) -> str:
         f"sqrt(list_sum(list_transform(generate_series(1, {dim}),"
         f" i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))))"
     )
-    return f"({prod}) / (({na}) * ({nb}))"
+    return (
+        f"(CASE WHEN ({na}) * ({nb}) > 0 "
+        f"THEN ({prod}) / (({na}) * ({nb})) END)"
+    )

@@ -258,8 +258,13 @@ def cosine_neardup_pairs(
         ),
         "id_b",
     )
-    score = F.round(
-        dot(F.col("ua"), F.col("ub")) / (F.col("na") * F.col("nb")), round_to
+    # Zero-norm guard mirrors functions/vectors.cosine (ANSI-safe).
+    score = F.when(
+        (F.col("na") * F.col("nb")) > 0,
+        F.round(
+            dot(F.col("ua"), F.col("ub")) / (F.col("na") * F.col("nb")),
+            round_to,
+        ),
     )
     return (
         pairs.withColumn("score", score)
@@ -566,8 +571,13 @@ def neardup_pairs_ivf(
         ),
         "id_b",
     )
-    pscore = F.round(
-        dot(F.col("ua"), F.col("ub")) / (F.col("na") * F.col("nb")), round_to
+    # Zero-norm guard mirrors functions/vectors.cosine (ANSI-safe).
+    pscore = F.when(
+        (F.col("na") * F.col("nb")) > 0,
+        F.round(
+            dot(F.col("ua"), F.col("ub")) / (F.col("na") * F.col("nb")),
+            round_to,
+        ),
     )
     return (
         pairs.select("id_a", "id_b", pscore.alias("score"))
