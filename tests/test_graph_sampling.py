@@ -279,3 +279,33 @@ def test_global_shuffle_shards_deterministic_partition(spark):
     # repartitioning the input must not change any assignment
     again = global_shuffle_shards(df.repartition(13), "doc_id", n_shards=8).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_mixture_zero_count_source_yields_empty_not_crash(spark):
+    """A targeted source with no corpus rows drives T to 0: the result
+    is EMPTY (the only corpus honoring the mixture), and under an ANSI
+    session the zero-count source's own 0/0 rate row must be guarded,
+    not crash the job."""
+    from yelp_data_pipeline_spark.operators.sampling import (
+        resample_to_mixture,
+    )
+
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        df = spark.createDataFrame(
+            [(i, "web") for i in range(20)], ["doc_id", "source"]
+        )
+        out = resample_to_mixture(
+            df, "doc_id", "source", {"web": 0.5, "code": 0.5}
+        )
+        assert out.count() == 0
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="non-empty"):
+        resample_to_mixture(df, "doc_id", "source", {})
+    with pytest.raises(ValueError, match="> 0"):
+        resample_to_mixture(df, "doc_id", "source", {"web": 0.0})

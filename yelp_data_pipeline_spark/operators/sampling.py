@@ -79,6 +79,13 @@ def resample_to_mixture(
     that prefer best-effort proportions should drop missing keys from
     ``targets`` first.
     """
+    if not targets:
+        raise ValueError("resample_to_mixture: targets must be non-empty")
+    if any(w <= 0 for w in targets.values()):
+        raise ValueError(
+            "resample_to_mixture: every target weight must be > 0 "
+            "(drop a source from targets to exclude it)"
+        )
     tgt = df.sparkSession.createDataFrame(
         [(k, float(w)) for k, w in sorted(targets.items())],
         [source_col, "__w"],
@@ -94,11 +101,17 @@ def resample_to_mixture(
     t = counts.agg(
         F.min(F.col("__cnt") / F.col("__w")).alias("__t")
     )
+    # A zero-count targeted source drives T to 0 (documented: the only
+    # corpus honoring the mixture is empty) — but its OWN rate row
+    # would then be 0/0, an ANSI crash; guard it to threshold 0.
     rates = counts.crossJoin(F.broadcast(t)).select(
         source_col,
-        F.floor(
-            (F.col("__w") * F.col("__t") / F.col("__cnt")) * F.lit(BUCKETS)
-        ).alias("__thresh"),
+        F.when(
+            F.col("__cnt") > 0,
+            F.floor(
+                (F.col("__w") * F.col("__t") / F.col("__cnt")) * F.lit(BUCKETS)
+            ),
+        ).otherwise(F.lit(0)).alias("__thresh"),
     )
     return (
         df.join(F.broadcast(rates), source_col)

@@ -667,7 +667,11 @@ def script_char_ratios(
     n_digit = F.regexp_count(c, F.lit("[0-9]"))
     n_space = F.regexp_count(c, F.lit(r"\s"))
     n_nonascii = F.regexp_count(c, F.lit(r"[^\x00-\x7F]"))
-    r = lambda x: F.round(x.cast("double") / n.cast("double"), 6)  # noqa: E731
+    # Empty docs (n = 0): ratios are NULL, not an ANSI DIVIDE_BY_ZERO
+    # (the quality_score_col lesson — doubles crash too).
+    r = lambda x: F.when(  # noqa: E731
+        n > 0, F.round(x.cast("double") / n.cast("double"), 6)
+    )
     return df.select(
         F.col(id_col),
         n.alias("n_chars"),

@@ -4312,11 +4312,11 @@ WITH base AS (
   FROM documents
 )
 SELECT doc_id, n AS n_chars,
-       round(CAST(a AS DOUBLE) / n, 6) AS alpha_ratio,
-       round(CAST(d AS DOUBLE) / n, 6) AS digit_ratio,
-       round(CAST(s AS DOUBLE) / n, 6) AS space_ratio,
-       round(CAST(n - a - d - s AS DOUBLE) / n, 6) AS other_ratio,
-       round(CAST(na AS DOUBLE) / n, 6) AS non_ascii_ratio
+       CASE WHEN n > 0 THEN round(CAST(a AS DOUBLE) / n, 6) END AS alpha_ratio,
+       CASE WHEN n > 0 THEN round(CAST(d AS DOUBLE) / n, 6) END AS digit_ratio,
+       CASE WHEN n > 0 THEN round(CAST(s AS DOUBLE) / n, 6) END AS space_ratio,
+       CASE WHEN n > 0 THEN round(CAST(n - a - d - s AS DOUBLE) / n, 6) END AS other_ratio,
+       CASE WHEN n > 0 THEN round(CAST(na AS DOUBLE) / n, 6) END AS non_ascii_ratio
 FROM base
 """,
     doc="Character-class composition (alpha/digit/space/other + "
