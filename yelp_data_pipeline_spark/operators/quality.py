@@ -87,10 +87,14 @@ def column_profile(
     count, min and max — emitted LONG (one row per column) so the
     schema is stable no matter which columns are profiled.
 
-    Numeric min/max surface as exact doubles (engine-portable — equal
-    doubles canonicalize identically, unlike float→string renderings);
-    string/date min/max as strings; each type family leaves the other
-    family's columns NULL.
+    Numeric min/max surface as canonical DECIMAL(27,6) string
+    renderings, never raw floats: float-typed output columns are a
+    cross-engine canonicalization hazard (engine/driver float→string
+    renderings differ on precision edges), while a fixed-scale DECIMAL
+    rendered to text is bit-identical everywhere — the same rule the
+    reconciliation operator applies before hashing payloads.
+    String/date min/max pass through as strings; each type family
+    leaves the other family's columns NULL.
 
     Scale posture: a single aggregate over the table — Catalyst prunes
     the scan to exactly the profiled columns, and every statistic is
@@ -120,8 +124,12 @@ def column_profile(
         )
         aggs.append(ndv(c).cast("long").alias(f"__nd_{c}"))
     for c in num_cols:
-        aggs.append(F.min(F.col(c)).cast("double").alias(f"__mn_{c}"))
-        aggs.append(F.max(F.col(c)).cast("double").alias(f"__mx_{c}"))
+        aggs.append(
+            F.min(F.col(c)).cast("decimal(27,6)").cast("string").alias(f"__mn_{c}")
+        )
+        aggs.append(
+            F.max(F.col(c)).cast("decimal(27,6)").cast("string").alias(f"__mx_{c}")
+        )
     for c in str_cols + date_cols:
         aggs.append(F.min(F.col(c)).cast("string").alias(f"__mns_{c}"))
         aggs.append(F.max(F.col(c)).cast("string").alias(f"__mxs_{c}"))
@@ -146,8 +154,8 @@ def column_profile(
                 F.col("__n").alias("n_rows"),
                 F.col(f"__nn_{c}").alias("n_nulls"),
                 F.col(f"__nd_{c}").alias("n_distinct"),
-                F.lit(None).cast("double").alias("min_num"),
-                F.lit(None).cast("double").alias("max_num"),
+                F.lit(None).cast("string").alias("min_num"),
+                F.lit(None).cast("string").alias("max_num"),
                 F.col(f"__mns_{c}").alias("min_str"),
                 F.col(f"__mxs_{c}").alias("max_str"),
             )

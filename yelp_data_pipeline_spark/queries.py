@@ -1411,34 +1411,60 @@ def q_scaled_prices_by_priority(spark, sf_dir):
     )
 
 
+def _approx_event_stats_oracle() -> str:
+    from .operators.aggregates import hll_oracle_sql
+
+    sample_pred = (
+        "CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) "
+        "AS BIGINT) % 10 = 0"
+    )
+    return f"""
+WITH sk AS MATERIALIZED ({hll_oracle_sql("events", "user_id", m=64)}),
+q AS (
+  SELECT count(*) AS sample_n,
+         round(quantile_cont(value, 0.5), 6) AS value_p50,
+         round(quantile_cont(value, 0.95), 6) AS value_p95,
+         round(quantile_cont(value, 0.99), 6) AS value_p99
+  FROM events
+  WHERE {sample_pred}
+)
+SELECT sk.*, q.* FROM sk, q
+"""
+
+
 @_q(
     "approx_event_stats",
-    None,  # sketch internals differ per engine — no cross-engine oracle
-    doc="The approximate tier a 100 TB deployment actually uses: "
-    "HyperLogLog++ distinct users (approx_count_distinct, rsd=1%) and "
-    "t-digest quantiles (percentile_approx, accuracy 10000) in ONE "
-    "single-pass, mergeable aggregate — no sort, no exact-distinct "
-    "shuffle, error bounds fixed as data grows. Sketch internals are "
-    "engine-specific, so the driver records a rows-only check; "
-    "tests/test_scale_patterns.py bounds the error against the exact "
-    "answers instead. The three quantiles are unpacked to scalar "
-    "columns (p50/p95/p99) so the rows-only canonicalizer can hash "
-    "the frame — the sketch still computes all three in one pass.",
+    _approx_event_stats_oracle(),
+    doc="The approximate tier a 100 TB deployment actually uses, in "
+    "DETERMINISTIC form so the driver can verify it (the engine-native "
+    "approx_count_distinct/percentile_approx sketches are "
+    "engine-private — rows-only checkable, never driver-green; this "
+    "was the registry's one structurally unverifiable row through r6): "
+    "(1) md5-register HyperLogLog distinct users "
+    "(operators/aggregates.py:hll_distinct, Flajolet 2007) — register "
+    "max-fold is fully map-side combinable, harmonic sum assembled "
+    "from an EXACT DECIMAL integer so the estimate is bit-identical "
+    "across engines/partitionings/retries; registers_hit + rho_sum "
+    "pin the full register state. (2) Exact p50/p95/p99 over a "
+    "DETERMINISTIC 10% md5-hash sample of `value` — the hash-sample "
+    "quantile pattern (sample is reproducible, unlike Bernoulli "
+    "rand()), one sorted-agg over ~10% of rows. Both halves are "
+    "1-row aggregates crossed via broadcast.",
 )
 def q_approx_event_stats(spark, sf_dir):
+    from .functions.hashing import md5_long
+    from .operators import aggregates as agg_ops
+
     e = _t(spark, sf_dir, "events")
-    agg = e.agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-        F.percentile_approx(
-            "value", [0.5, 0.95, 0.99], 10000
-        ).alias("q"),
+    sk = agg_ops.hll_distinct(e, "user_id", m=64)
+    sample = e.where(md5_long(F.col("event_id").cast("string")) % 10 == 0)
+    q = sample.agg(
+        F.count(F.lit(1)).alias("sample_n"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("value_p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("value_p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("value_p99"),
     )
-    return agg.select(
-        "approx_users",
-        F.col("q")[0].alias("value_p50"),
-        F.col("q")[1].alias("value_p95"),
-        F.col("q")[2].alias("value_p99"),
-    )
+    return sk.crossJoin(F.broadcast(q))
 
 
 @_q(
@@ -5894,16 +5920,16 @@ WITH w AS (
   SELECT count(*) AS n,
          sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nn_k,
          count(DISTINCT o_orderkey) AS nd_k,
-         CAST(min(o_orderkey) AS DOUBLE) AS mn_k,
-         CAST(max(o_orderkey) AS DOUBLE) AS mx_k,
+         CAST(CAST(min(o_orderkey) AS DECIMAL(27,6)) AS VARCHAR) AS mn_k,
+         CAST(CAST(max(o_orderkey) AS DECIMAL(27,6)) AS VARCHAR) AS mx_k,
          sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nn_c,
          count(DISTINCT o_custkey) AS nd_c,
-         CAST(min(o_custkey) AS DOUBLE) AS mn_c,
-         CAST(max(o_custkey) AS DOUBLE) AS mx_c,
+         CAST(CAST(min(o_custkey) AS DECIMAL(27,6)) AS VARCHAR) AS mn_c,
+         CAST(CAST(max(o_custkey) AS DECIMAL(27,6)) AS VARCHAR) AS mx_c,
          sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS nn_p,
          count(DISTINCT o_totalprice) AS nd_p,
-         CAST(min(o_totalprice) AS DOUBLE) AS mn_p,
-         CAST(max(o_totalprice) AS DOUBLE) AS mx_p,
+         CAST(CAST(min(o_totalprice) AS DECIMAL(27,6)) AS VARCHAR) AS mn_p,
+         CAST(CAST(max(o_totalprice) AS DECIMAL(27,6)) AS VARCHAR) AS mx_p,
          sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS nn_s,
          count(DISTINCT o_orderstatus) AS nd_s,
          CAST(min(o_orderstatus) AS VARCHAR) AS mn_s,
@@ -5926,7 +5952,7 @@ SELECT 'o_custkey', n, nn_c, nd_c, mn_c, mx_c, NULL, NULL FROM w
 UNION ALL
 SELECT 'o_totalprice', n, nn_p, nd_p, mn_p, mx_p, NULL, NULL FROM w
 UNION ALL
-SELECT 'o_orderstatus', n, nn_s, nd_s, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mn_s, mx_s FROM w
+SELECT 'o_orderstatus', n, nn_s, nd_s, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), mn_s, mx_s FROM w
 UNION ALL
 SELECT 'o_orderpriority', n, nn_o, nd_o, NULL, NULL, mn_o, mx_o FROM w
 UNION ALL
@@ -5940,8 +5966,10 @@ SELECT 'o_date', n, nn_d, nd_d, NULL, NULL, mn_d, mx_d FROM w
     "every stat map-side combinable except exact NDV (Spark expand), "
     "for which the operator offers approx_count_distinct (HLL++) as "
     "the 100 TB path — exact kept here so the oracle replays "
-    "bit-for-bit. Numeric min/max as exact doubles, never "
-    "float→string renderings (engine-specific).",
+    "bit-for-bit. Numeric min/max as canonical DECIMAL(27,6) string "
+    "renderings — never raw floats, whose engine/driver-side "
+    "canonicalization differs on precision edges (the r6 red-row "
+    "lesson; same rule as orders_reconciliation_diff).",
 )
 def q_orders_column_profile(spark, sf_dir):
     o = _t(spark, sf_dir, "orders").withColumn(
@@ -7830,59 +7858,57 @@ def q_segment_event_values_hot_cold(spark, sf_dir):
 # repeatedly-verified queries can wait at the back.  `tools/check_oracle.py`
 # always sweeps all entries regardless of order.
 _EXPORT_PRIORITY: list[str] = [
-    # Round-6 fixes of the two round-5 red rows — re-verdict first:
-    "embedding_norm_outliers",   # sd=0 guard + non-degenerate weight
-    "pagerank_supplier_graph",   # oracle HUGEINT -> BIGINT cast
-    # Round-6 semantic/oracle changes (need fresh verdicts):
-    "multimodal_decode_meta",    # real WAV codec replaces stub
-    "multimodal_frame_sample",
-    "multimodal_resize_meta",
-    "orders_dq_quarantine",      # oracle CASE arms re-ordered
-    "orders_reconciliation_diff",  # canonical DECIMAL price hashing
-    "bloom_filtered_segment_events",  # NULL build-key guard
-    # New in round 6 (no verdict yet by construction):
-    "multimodal_npy_decode",
-    "bpe_merged_vocab",
-    "min_cost_part_supplier",
-    "order_priority_fulfillment",
-    "nation_market_share",
-    "product_profit_by_nation_year",
-    "important_part_values",
-    "dominant_share_suppliers",
-    "dedup_ngram_pairs",     # default flipped to capped (scale-safe)
-    "ngram_jaccard_exact",   # renamed from ngram_jaccard_capped's twin
-    "bpe_encoded_token_counts",
-    "kmv_distinct_events",
-    "segment_event_values_hot_cold",
-    "duplicate_sentence_stats",  # de-degenerated (was structurally 0 rows)
-    "supplier_knn_triangles",
-    "orders_column_profile",
-    "cms_heavy_user_hitters",
-    "frequent_part_pairs",
-    "nation_revenue_trend",
-    "prefix_jaccard_pairs",
-    "kmv_user_customer_overlap",
-    "snm_candidate_pairs",
-    "supplier_kcore",
-    "event_value_mad_outliers",
-    "event_value_drift",
-    "corpus_diversity_by_source",
-    "event_sequence_motifs",
-    "customer_linkage_scores",
-    "pq_encoded_embeddings",
-    "pq_adc_topk",
-    "adaptive_quality_survivors",
-    "pq_recall_eval",
-    "doc_novelty_scores",
-    "priority_loo_target_encoding",
-    "order_price_decile_bins",
-    "hourly_value_isotonic_fit",
-    "customer_k_anonymity_audit",
-    "vocab_coverage_curve",
-    "cdc_chunked_documents",
-    "personalized_pagerank_nation",
-    "multimodal_bmp_decode",
-    "multimodal_bmp_resize",
+    # Round-7 fixes/changes — re-verdict first:
+    "orders_column_profile",   # r6's one red row: DECIMAL-exact min/max
+    "approx_event_stats",      # deterministic md5-HLL + hash-sample quantiles
+    #                            (was the registry's only no-oracle row)
+    # New in round 7 (no verdict yet by construction) — inserted here as
+    # they land; every new @_q THIS ROUND must be added to this block:
+    # (placeholder)
+    # Stalest verdicts (last seen round 2) — refresh:
+    "ann_topk_batch",
+    "ann_topk_cosine",
+    "asof_latest_order",
+    "avg_balance_by_segment",
+    "count_distinct_users",
+    "dedup_exact_docs",
+    "dedup_minhash_pairs",
+    "doc_fingerprints",
+    "embedding_neardup_pairs",
+    "event_lag_gaps",
+    "event_pairs_within_5s",
+    "median_price_by_priority",
+    "merge_upsert_orders",
+    "pricing_summary",
+    "priority_status_cube",
+    "priority_status_rollup",
+    "running_spend_per_customer",
+    "salted_event_type_counts",
+    "simhash_near_pairs",
+    "simhash_signatures",
+    # Next-stalest (last seen round 3) — refresh with remaining slots:
+    "ann_ivf_topk",
+    "centroid_assignments",
+    "chunked_documents",
+    "cohort_retention",
+    "curated_documents",
+    "daily_events_gapfilled",
+    "decayed_user_scores",
+    "decontaminated_docs",
+    "dedup_clusters",
+    "dedup_incremental_batch",
+    "doc_repetition_stats",
+    "dq_orders_summary",
+    "embedding_centroids",
+    "embedding_neardup_fine",
+    "event_transitions",
+    "event_type_daily_zscores",
+    "event_type_distincts",
+    "event_value_histogram",
+    "funnel_steps",
+    "hourly_event_counts",
+    "lang_id_docs",
+    "ngram_jaccard_capped",
 ]
 
 
