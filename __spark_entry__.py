@@ -36,3 +36,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return _registry.oracle_sql()
+
+
+def scale_notes() -> dict[str, str]:
+    """Registry rows that are RECALL/PARITY BASELINES rather than
+    scale-safe defaults (deliberately superlinear; kept for
+    verification next to their production twins). Each note names the
+    scale-safe query to use instead. Rows absent from this dict are
+    scale-safe as registered."""
+    return {
+        spec.name: spec.scale_note
+        for spec in _registry.registry()
+        if spec.scale_note is not None
+    }

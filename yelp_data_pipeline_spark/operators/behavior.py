@@ -193,6 +193,12 @@ def sequence_motifs(
     """
     from pyspark.sql import Window
 
+    # NULL event types are dropped BEFORE the window: concat_ws would
+    # silently skip them ('a>c' from a 3-step with a NULL middle),
+    # while SQL '||' propagates NULL and drops the row — filtering up
+    # front gives both engines the same well-defined stream semantics
+    # (a NULL type is an unusable step, not a joinable one).
+    df = df.where(F.col(type_col).isNotNull())
     w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
     steps = df.select(
         F.col(type_col).alias("t1"),

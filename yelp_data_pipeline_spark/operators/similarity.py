@@ -942,6 +942,11 @@ def _pq_codebook_and_codes(
     from ..functions.hashing import md5_long
     from pyspark.sql import Window
 
+    if m <= 0 or dim % m != 0:
+        raise ValueError(
+            f"PQ requires dim divisible by m: dim={dim}, m={m} "
+            "(trailing vector components would be silently dropped)"
+        )
     s = dim // m
     seeds = (
         df.select(
@@ -1086,6 +1091,24 @@ def _pq_adc_scores(
     j-sorted deterministic fold live HERE so the single-query and
     batch entry points cannot drift apart. The callers only differ in
     ranking (global TakeOrdered vs per-qid row_number)."""
+    # Validate the query set up front (mirrors pagerank_personalized's
+    # seed check): an empty list makes isin() raise opaquely, and an id
+    # absent from the corpus would silently vanish from the output —
+    # "no neighbors found" when the truth is "no such query vector".
+    if not query_ids:
+        raise ValueError("_pq_adc_scores: query_ids must be non-empty")
+    n_found = (
+        df.where(F.col(id_col).isin(*query_ids))
+        .select(id_col)
+        .distinct()
+        .count()
+    )
+    if n_found != len(set(query_ids)):
+        raise ValueError(
+            f"_pq_adc_scores: {len(set(query_ids)) - n_found} of "
+            f"{len(set(query_ids))} query ids not present in the corpus "
+            "— check the query_ids."
+        )
     codebook, best = _pq_codebook_and_codes(df, id_col, vec_col, m, k_codes, dim)
     s = dim // m
     subs = F.explode(F.array(*[F.lit(j) for j in range(m)])).alias("j")

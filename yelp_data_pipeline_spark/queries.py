@@ -46,14 +46,25 @@ class QuerySpec:
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: Optional[str]
     doc: str
+    # Scale posture marker. None (default) = scale-safe as registered.
+    # A non-None note marks a RECALL/PARITY BASELINE kept for
+    # verification next to its scale-safe production twin — the note
+    # names the twin to use at scale. Exported so registry consumers
+    # can filter baselines out of production plans programmatically.
+    scale_note: Optional[str] = None
 
 
 _REGISTRY: list[QuerySpec] = []
 
 
-def _q(name: str, oracle: Optional[str], doc: str = ""):
+def _q(
+    name: str,
+    oracle: Optional[str],
+    doc: str = "",
+    scale_note: Optional[str] = None,
+):
     def wrap(fn):
-        _REGISTRY.append(QuerySpec(name, fn, oracle, doc))
+        _REGISTRY.append(QuerySpec(name, fn, oracle, doc, scale_note))
         return fn
 
     return wrap
@@ -1841,6 +1852,9 @@ WHERE round(CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE), 6) >= 0.8
     "capped; same default-vs-baseline split as embedding_neardup_"
     "pairs vs embedding_neardup_fine). Shingle-explode + bucket join: "
     "docs only meet on shared shingles, never a cross join.",
+    scale_note="recall/parity baseline — superlinear on hot shingles "
+    "(13.5× at 25× docs); at scale use dedup_ngram_pairs (capped "
+    "max_doc_freq) instead",
 )
 def q_ngram_jaccard_exact(spark, sf_dir):
     return dd.ngram_jaccard_pairs(
@@ -2376,6 +2390,9 @@ def q_embedding_neardup_pairs(spark, sf_dir):
     "candidate pairs) at the price of banding recall at low cosine "
     "(0.77 at 0.42; 0.98 at the ≥0.8 regime real dedup targets). "
     "Size bits ≈ log2(n/target_bucket_size) as the corpus grows.",
+    scale_note="recall/parity baseline — fixed band width is "
+    "superlinear (16.3× at 10× vectors); at scale use "
+    "embedding_neardup_pairs (corpus-adaptive LSH bits) instead",
 )
 def q_embedding_neardup_fine(spark, sf_dir):
     return sim.cosine_neardup_pairs(
@@ -6292,6 +6309,7 @@ WITH steps AS (
          lead(event_type, 1) OVER w AS t2,
          lead(event_type, 2) OVER w AS t3
   FROM events
+  WHERE event_type IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
 SELECT t1 || '>' || t2 || '>' || t3 AS motif, count(*) AS cnt
@@ -7864,7 +7882,7 @@ _EXPORT_PRIORITY: list[str] = [
     #                            (was the registry's only no-oracle row)
     # New in round 7 (no verdict yet by construction) — inserted here as
     # they land; every new @_q THIS ROUND must be added to this block:
-    # (placeholder)
+    "event_sequence_motifs",   # NULL-type filter on both engines (ADVICE)
     # Stalest verdicts (last seen round 2) — refresh:
     "ann_topk_batch",
     "ann_topk_cosine",
