@@ -188,3 +188,52 @@ def test_simhash_adaptive_default_matches_fixed_8bit_at_small_n(spark):
         for r in dd.simhash_pairs(df, "doc_id", "text", 6, band_bits=8).collect()
     )
     assert adaptive == fixed
+
+
+def test_duplicate_substring_spans_exact_boundaries(spark):
+    """A 6-token run shared by two docs must surface as one span per
+    doc with exact 1-based inclusive boundaries; unique text must not."""
+    from yelp_data_pipeline_spark.operators.dedup import (
+        duplicate_substring_spans,
+    )
+
+    shared = "the quick brown fox jumps high"
+    docs = [
+        ("a", f"alpha beta {shared} gamma delta epsilon"),
+        ("b", f"{shared} zeta eta theta iota kappa"),
+        ("c", "totally unique words that never repeat anywhere at all"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["start_tok"], r["end_tok"], r["span_tokens"])
+        for r in duplicate_substring_spans(
+            df, "doc_id", "text", min_tokens=6
+        ).collect()
+    }
+    # doc a: shared run at tokens 3-8; doc b: tokens 1-6. Exactly one
+    # duplicated 6-gram each (the run itself), so span == the run.
+    assert got == {"a": (3, 8, 6), "b": (1, 6, 6)}
+
+
+def test_duplicate_substring_spans_island_merge(spark):
+    """Overlapping duplicated windows inside one doc merge into a
+    single maximal span (the gaps-and-islands step), and a repeat
+    WITHIN one document counts as duplication."""
+    from yelp_data_pipeline_spark.operators.dedup import (
+        duplicate_substring_spans,
+    )
+
+    run = "one two three four"  # 4 tokens, repeated twice in one doc
+    df = spark.createDataFrame(
+        [("d", f"{run} x y z {run} tail words here")], ["doc_id", "text"]
+    )
+    got = sorted(
+        (r["start_tok"], r["end_tok"])
+        for r in duplicate_substring_spans(
+            df, "doc_id", "text", min_tokens=4
+        ).collect()
+    )
+    # Token layout: run@1-4, x y z @5-7, run@8-11, tail...@12-14.
+    # The only duplicated 4-grams start at 1 and 8 -> two islands
+    # (gap 7 > L=4), each exactly the 4-token run.
+    assert got == [(1, 4), (8, 11)]

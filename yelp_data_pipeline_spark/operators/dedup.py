@@ -1018,3 +1018,105 @@ def doc_novelty_scores(
             6,
         ).alias("novelty"),
     )
+
+
+def duplicate_substring_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 8,
+) -> DataFrame:
+    """Exact long-duplicate-substring spans — the suffix-array dedup of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"), re-expressed for Spark's shuffle model: for each document,
+    the maximal token ranges covered by a substring of ≥ ``min_tokens``
+    tokens that occurs ≥ 2 times anywhere in the corpus (the spans that
+    pipeline's next stage cuts out of the training text).
+
+    Why no suffix array: a substring of length ≥ L occurs twice IFF
+    some L-token window occurs twice — so for the fixed-threshold
+    question the suffix-sort + adjacent-LCP scan reduces EXACTLY to
+    duplicated-L-gram detection (sorting truncated suffixes to length
+    L groups equal L-grams; adjacent LCP ≥ L means equal L-grams).
+    That reduction swaps an order-dependent global sort for two
+    key-partitioned shuffles — the shape that scales:
+
+    1. Positioned L-grams per doc — one map-side expression
+       (transform(sequence) + posexplode), grams carried as 60-bit
+       md5 hashes (8 bytes shuffled per window, never the text; the
+       oracle replays the same family bit-exactly).
+    2. Duplicated grams via groupBy(g).count() ≥ 2 — fully map-side
+       combinable (each task emits each gram once), then an inner
+       shuffle join of positions against the duplicated-gram keys.
+       A join, not a count-window over partition-by-gram: the join
+       lets AQE split a pathological hot gram (boilerplate headers at
+       100 TB) across reducers, where a window's partition is
+       irreducibly single-reducer.
+    3. Per-doc island merge (gaps-and-islands over window starts:
+       a start within L of its predecessor extends the covered run) —
+       one doc-keyed window pass; the partition key is the document,
+       maximally spread.
+
+    Returns (id, start_tok, end_tok, span_tokens): 1-based inclusive
+    token positions of each maximal duplicated run.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = ensure_min_parallelism(df).select(
+        F.col(id_col), toks.alias("t")
+    )
+    idx = F.when(
+        F.size("t") >= min_tokens,
+        F.sequence(F.lit(1), F.size("t") - (min_tokens - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = base.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    md5_long(
+                        F.concat_ws(" ", F.slice("t", i, min_tokens))
+                    ).alias("g"),
+                ),
+            )
+        ).alias("x"),
+    ).select(id_col, F.col("x.pos").alias("pos"), F.col("x.g").alias("g"))
+    dup_keys = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select("g")
+    )
+    hits = grams.join(dup_keys, "g").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    # lag NULL ⇒ pos − NULL ⇒ NULL ⇒ when() false ⇒ new island (both
+    # engines' CASE treats NULL conditions as false — same first row).
+    flagged = hits.select(
+        F.col(id_col),
+        "pos",
+        F.when(
+            F.col("pos") - F.lag("pos", 1).over(w) <= min_tokens, F.lit(0)
+        )
+        .otherwise(F.lit(1))
+        .alias("new"),
+    )
+    isl = flagged.withColumn(
+        "island",
+        F.sum("new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        isl.groupBy(id_col, "island")
+        .agg(
+            F.min("pos").alias("start_tok"),
+            (F.max("pos") + F.lit(min_tokens - 1)).alias("end_tok"),
+        )
+        .select(
+            id_col,
+            "start_tok",
+            "end_tok",
+            (F.col("end_tok") - F.col("start_tok") + 1).alias("span_tokens"),
+        )
+    )

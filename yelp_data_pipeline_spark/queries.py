@@ -7864,6 +7864,58 @@ def q_segment_event_values_hot_cold(spark, sf_dir):
     )
 
 
+@_q(
+    "duplicate_substring_spans",
+    f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         {md5_long_sql("array_to_string(t[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')")} AS g
+  FROM toks, LATERAL unnest(generate_series(1, len(t) - 7)) AS u(i)
+  WHERE len(t) >= 8
+),
+dupg AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+hits AS (SELECT doc_id, pos FROM grams JOIN dupg USING (g)),
+fl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+              THEN 0 ELSE 1 END AS new
+  FROM hits
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(new) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM fl
+)
+SELECT doc_id,
+       CAST(min(pos) AS INT) AS start_tok,
+       CAST(max(pos) + 7 AS INT) AS end_tok,
+       CAST(max(pos) + 7 - min(pos) + 1 AS INT) AS span_tokens
+FROM isl GROUP BY doc_id, island
+""",
+    doc="Exact long-duplicate-substring spans (operators/dedup.py:"
+    "duplicate_substring_spans; Lee et al. 2022 suffix-array dedup): "
+    "maximal per-doc token ranges covered by a ≥8-token substring "
+    "occurring ≥2× corpus-wide — the spans the next stage cuts from "
+    "training text, complementing the document-level MinHash/SimHash "
+    "families and CDC. The suffix-sort + adjacent-LCP scan reduces "
+    "exactly to duplicated-L-gram detection (equal L-grams ⟺ adjacent "
+    "truncated suffixes with LCP ≥ L), swapping a global sort for two "
+    "key-partitioned shuffles: map-side positioned 60-bit gram hashes, "
+    "map-side-combinable gram counts + an AQE-splittable join back "
+    "(not a count-window — a hot boilerplate gram would pin one "
+    "reducer), then a doc-keyed gaps-and-islands merge.",
+)
+def q_duplicate_substring_spans(spark, sf_dir):
+    return dd.duplicate_substring_spans(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", min_tokens=8
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry exports (driver contract)
 # --------------------------------------------------------------------------
@@ -7883,6 +7935,7 @@ _EXPORT_PRIORITY: list[str] = [
     # New in round 7 (no verdict yet by construction) — inserted here as
     # they land; every new @_q THIS ROUND must be added to this block:
     "event_sequence_motifs",   # NULL-type filter on both engines (ADVICE)
+    "duplicate_substring_spans",
     # Stalest verdicts (last seen round 2) — refresh:
     "ann_topk_batch",
     "ann_topk_cosine",
