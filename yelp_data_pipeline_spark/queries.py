@@ -7864,6 +7864,128 @@ def q_segment_event_values_hot_cold(spark, sf_dir):
     )
 
 
+def _unigram_lm_oracle(
+    L: int = 12, P: int = 4, min_freq: int = 2, k: int = 50
+) -> str:
+    """Unrolled-DP DuckDB twin of textops.unigram_lm_piece_scores:
+    dp/dpu levels are MATERIALIZED (each referenced by later levels
+    AND the walk — the kcore inline-explosion lesson), the Viterbi
+    argmax is the row_number-rn=1 idiom, and every float op (one
+    prob division, per-arc products) mirrors Spark's association
+    order exactly."""
+    parts = [
+        f"""
+wf AS MATERIALIZED (
+  SELECT substr(word, 1, {L}) AS word, count(*) AS wcnt FROM (
+    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+    FROM documents
+  ) WHERE word <> '' GROUP BY 1
+),
+occ AS (
+  SELECT substr(word, CAST(s AS INT), CAST(l AS INT)) AS piece, wcnt
+  FROM wf,
+       LATERAL unnest(generate_series(1, length(word))) AS su(s),
+       LATERAL unnest(generate_series(1, least({P}, length(word) - s + 1))) AS lu(l)
+),
+pieces AS MATERIALIZED (
+  SELECT piece, CAST(sum(wcnt) AS BIGINT) AS freq
+  FROM occ GROUP BY piece
+  HAVING sum(wcnt) >= {min_freq} OR length(piece) = 1
+),
+tot AS (SELECT CAST(sum(freq) AS DOUBLE) AS total FROM pieces),
+pr AS MATERIALIZED (
+  SELECT piece, freq, CAST(freq AS DOUBLE) / total AS prob FROM pieces, tot
+),
+arcs AS MATERIALIZED (
+  SELECT a.word, a.j, a.i, a.piece, p.prob
+  FROM (
+    SELECT word, CAST(i - l AS INT) AS j, CAST(i AS INT) AS i,
+           substr(word, CAST(i - l + 1 AS INT), CAST(l AS INT)) AS piece
+    FROM wf,
+         LATERAL unnest(generate_series(1, length(word))) AS iu(i),
+         LATERAL unnest(generate_series(1, least({P}, i))) AS lu(l)
+  ) a JOIN pr p USING (piece)
+),
+dpu0 AS (
+  SELECT word, CAST(0 AS INT) AS i, CAST(1.0 AS DOUBLE) AS prob,
+         CAST(NULL AS INT) AS bj, CAST(NULL AS VARCHAR) AS bpiece
+  FROM wf
+)"""
+    ]
+    for i in range(1, L + 1):
+        parts.append(
+            f""",
+dp{i} AS MATERIALIZED (
+  SELECT word, i, prob, bj, bpiece FROM (
+    SELECT a.word, a.i AS i, d.prob * a.prob AS prob, a.j AS bj,
+           a.piece AS bpiece,
+           row_number() OVER (PARTITION BY a.word
+             ORDER BY d.prob * a.prob DESC, a.j ASC, a.piece ASC) AS rn
+    FROM arcs a JOIN dpu{i - 1} d ON a.word = d.word AND a.j = d.i
+    WHERE a.i = {i}
+  ) WHERE rn = 1
+),
+dpu{i} AS MATERIALIZED (
+  SELECT * FROM dpu{i - 1} UNION ALL SELECT * FROM dp{i}
+)"""
+        )
+    parts.append(
+        f""",
+dpall AS MATERIALIZED (SELECT * FROM dpu{L} WHERE i >= 1),
+w0 AS (SELECT word, wcnt, CAST(length(word) AS INT) AS pos FROM wf)"""
+    )
+    for t in range(1, L + 1):
+        parts.append(
+            f""",
+e{t} AS MATERIALIZED (
+  SELECT w.word, w.wcnt, d.bpiece, d.bj
+  FROM w{t - 1} w JOIN dpall d ON w.word = d.word AND w.pos = d.i
+),
+w{t} AS (SELECT word, wcnt, bj AS pos FROM e{t} WHERE bj > 0)"""
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT bpiece, wcnt FROM e{t}" for t in range(1, L + 1)
+    )
+    parts.append(
+        f""",
+em AS (
+  SELECT bpiece AS piece, CAST(sum(wcnt) AS BIGINT) AS em_count
+  FROM ({unions}) GROUP BY 1
+)
+SELECT em.piece, em.em_count, pr.freq AS seed_freq
+FROM em JOIN pr USING (piece)
+ORDER BY em_count DESC, piece ASC
+LIMIT {k}"""
+    )
+    return "WITH " + "".join(parts)
+
+
+@_q(
+    "unigram_lm_piece_scores",
+    _unigram_lm_oracle(),
+    doc="One hard-EM round of SentencePiece-style unigram-LM tokenizer "
+    "training (operators/textops.py:unigram_lm_piece_scores, Kudo "
+    "2018): char-n-gram seed pieces re-counted under each word's "
+    "VITERBI segmentation — bpe_train's probabilistic sibling, same "
+    "anytime-iteration frame. Everything after the one corpus scan "
+    "runs on the DISTINCT-WORD relation; the lattice is max_word_len "
+    "bounded, UNROLLED DP levels (word-keyed join per level, eager "
+    "localCheckpoint so the ~4^L logical-plan fan-in never builds), "
+    "then a bounded backpointer walk. No ln(): Viterbi compares raw "
+    "probability products (identical association order both engines), "
+    "and the OUTPUT is integer-only (piece, em_count, seed_freq).",
+)
+def q_unigram_lm_piece_scores(spark, sf_dir):
+    return tx.unigram_lm_piece_scores(
+        _t(spark, sf_dir, "documents"),
+        "text",
+        max_word_len=12,
+        max_piece_len=4,
+        min_freq=2,
+        k=50,
+    )
+
+
 @_q(
     "duplicate_substring_spans",
     f"""
@@ -7936,6 +8058,7 @@ _EXPORT_PRIORITY: list[str] = [
     # they land; every new @_q THIS ROUND must be added to this block:
     "event_sequence_motifs",   # NULL-type filter on both engines (ADVICE)
     "duplicate_substring_spans",
+    "unigram_lm_piece_scores",
     # Stalest verdicts (last seen round 2) — refresh:
     "ann_topk_batch",
     "ann_topk_cosine",
