@@ -52,3 +52,30 @@ def test_duplicate_key_count(spark):
     )
     row = dq.duplicate_key_count(df, ["k"]).collect()[0]
     assert row["n_keys"] == 3 and row["n_dup_keys"] == 2 and row["n_dup_rows"] == 5
+
+
+def test_grouped_theil_sen_robust_to_outlier(spark):
+    """A single wild outlier day must not drag the Theil-Sen slope
+    (where OLS moves substantially), and a clean linear group must
+    recover its exact slope."""
+    from yelp_data_pipeline_spark.operators.timeseries import (
+        grouped_ols_trend,
+        grouped_theil_sen,
+    )
+
+    clean = [("g", x, 10.0 + 2.0 * x) for x in range(20)]
+    dirty = [("h", x, 10.0 + 2.0 * x) for x in range(20)]
+    dirty[10] = ("h", 10, 100000.0)  # one corrupted day
+    df = spark.createDataFrame(clean + dirty, ["g", "x", "y"])
+
+    ts = {
+        r["g"]: r["ts_slope"]
+        for r in grouped_theil_sen(df, "g", "x", "y", rounds=8).collect()
+    }
+    ols = {
+        r["g"]: r["slope"]
+        for r in grouped_ols_trend(df, "g", "x", "y").collect()
+    }
+    assert abs(ts["g"] - 2.0) < 1e-6          # clean group: exact
+    assert abs(ts["h"] - 2.0) < 1.0           # robust: barely moves
+    assert abs(ols["h"] - 2.0) > 50           # OLS: dragged far off

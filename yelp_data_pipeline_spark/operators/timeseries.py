@@ -438,3 +438,90 @@ def isotonic_fit_pandas(
         )
 
     return base.groupBy(group_col).applyInPandas(pava, schema)
+
+
+def grouped_theil_sen(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    rounds: int = 8,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group Theil-Sen robust trend slope via deterministic pair
+    sampling — the median-based sibling of :func:`grouped_ols_trend`
+    exactly as MAD (quality.mad_outliers) pairs with mean/stddev: a
+    29% breakdown point, so outlier days cannot drag the fitted
+    slope, where OLS has breakdown 0.
+
+    Full Theil-Sen is the median of ALL O(n²) pairwise slopes — a
+    per-group quadratic blowup at scale. This uses the standard
+    repeated-random-pairing estimator: ``rounds`` independent perfect
+    matchings (each point used once per round → n/2 slopes per round,
+    O(n·rounds) total), with the matching made DETERMINISTIC by
+    ranking points on md5(round:x) — reproducible across engines,
+    partitionings, and retries, unlike rand() pairing. Consistency:
+    each round's matching samples pair slopes uniformly; the median
+    over rounds·n/2 sampled slopes converges to the Theil-Sen
+    estimate (Sen 1968 §3 randomized variants).
+
+    Cross-engine float rules: y deltas subtract in DECIMAL (exact),
+    x deltas in int64, ONE double division per slope; equal-x pairs
+    are filtered (never divided — ANSI-safe); the per-group median is
+    exact percentile (== DuckDB quantile_cont; at 100 TB swap in
+    percentile_approx — the estimate is already sampled).
+
+    Plan: explode ×rounds (map-side), one (group, round)-keyed
+    window rank, one combinable pair aggregate, one per-group median.
+    Returns (group, n_slopes, ts_slope).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.hashing import md5_long
+
+    pts = df.select(
+        F.col(group_col),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("decimal(18,2)").alias("y"),
+    )
+    rep = pts.select(
+        group_col,
+        "x",
+        "y",
+        F.explode(F.sequence(F.lit(1), F.lit(rounds))).alias("r"),
+    )
+    h = md5_long(
+        F.concat_ws(
+            ":", F.col("r").cast("string"), F.col("x").cast("string")
+        )
+    )
+    w = Window.partitionBy(group_col, "r").orderBy(h.asc(), F.col("x").asc())
+    ranked = rep.select(
+        group_col, "r", "x", "y", F.row_number().over(w).alias("rn")
+    )
+    odd = F.col("rn") % 2 == 1
+    pairs = ranked.groupBy(
+        group_col,
+        "r",
+        F.floor((F.col("rn") - 1) / 2).alias("pid"),
+    ).agg(
+        F.max(F.when(odd, F.col("x"))).alias("x1"),
+        F.max(F.when(odd, F.col("y"))).alias("y1"),
+        F.max(F.when(~odd, F.col("x"))).alias("x2"),
+        F.max(F.when(~odd, F.col("y"))).alias("y2"),
+    )
+    slopes = pairs.where(
+        F.col("x2").isNotNull() & (F.col("x1") != F.col("x2"))
+    ).select(
+        group_col,
+        (
+            (F.col("y2") - F.col("y1")).cast("double")
+            / (F.col("x2") - F.col("x1")).cast("double")
+        ).alias("slope"),
+    )
+    return slopes.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_slopes"),
+        F.round(F.expr("percentile(slope, 0.5)"), round_to).alias(
+            "ts_slope"
+        ),
+    )

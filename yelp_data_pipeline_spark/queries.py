@@ -7864,6 +7864,76 @@ def q_segment_event_values_hot_cold(spark, sf_dir):
     )
 
 
+@_q(
+    "nation_theil_sen_trend",
+    f"""
+WITH daily AS (
+  SELECT n_name,
+         date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS x,
+         sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+),
+rep AS (
+  SELECT n_name, CAST(x AS BIGINT) AS x, CAST(rev AS DECIMAL(18,2)) AS y, r
+  FROM daily, LATERAL unnest(generate_series(1, 8)) AS ru(r)
+),
+rk AS (
+  SELECT n_name, r, x, y,
+         row_number() OVER (
+           PARTITION BY n_name, r
+           ORDER BY {md5_long_sql("concat(CAST(r AS VARCHAR), ':', CAST(x AS VARCHAR))")} ASC,
+                    x ASC) AS rn
+  FROM rep
+),
+pairs AS (
+  SELECT n_name, r, (rn - 1) // 2 AS pid,
+         max(CASE WHEN rn % 2 = 1 THEN x END) AS x1,
+         max(CASE WHEN rn % 2 = 1 THEN y END) AS y1,
+         max(CASE WHEN rn % 2 = 0 THEN x END) AS x2,
+         max(CASE WHEN rn % 2 = 0 THEN y END) AS y2
+  FROM rk GROUP BY 1, 2, 3
+),
+sl AS (
+  SELECT n_name, CAST(y2 - y1 AS DOUBLE) / CAST(x2 - x1 AS DOUBLE) AS slope
+  FROM pairs WHERE x2 IS NOT NULL AND x1 <> x2
+)
+SELECT n_name, CAST(count(*) AS BIGINT) AS n_slopes,
+       round(quantile_cont(slope, 0.5), 6) AS ts_slope
+FROM sl GROUP BY 1
+""",
+    doc="Per-nation Theil-Sen robust trend of daily revenue "
+    "(operators/timeseries.py:grouped_theil_sen) — the median-slope "
+    "robust sibling of nation_revenue_trend's OLS, as MAD pairs with "
+    "mean/stddev: outlier days cannot drag the slope (29% breakdown "
+    "vs OLS's 0). All-pairs Theil-Sen is O(n²) per group; this is the "
+    "repeated-random-pairing estimator made DETERMINISTIC (points "
+    "ranked by md5(round:x) per round, consecutive ranks paired — "
+    "8 rounds → O(8n) sampled slopes, reproducible across engines/"
+    "partitionings/retries, unlike rand()). y deltas subtract in "
+    "DECIMAL, x deltas in int64, ONE double division per slope with "
+    "equal-x pairs filtered (ANSI-safe); exact per-group median "
+    "(percentile == quantile_cont; percentile_approx at 100 TB).",
+)
+def q_nation_theil_sen_trend(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01")).alias("x"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("p"),
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    daily = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "x")
+        .agg(F.sum("p").alias("rev"))
+    )
+    return ts_ops.grouped_theil_sen(daily, "n_name", "x", "rev", rounds=8)
+
+
 def _unigram_lm_oracle(
     L: int = 12, P: int = 4, min_freq: int = 2, k: int = 50
 ) -> str:
@@ -8059,6 +8129,7 @@ _EXPORT_PRIORITY: list[str] = [
     "event_sequence_motifs",   # NULL-type filter on both engines (ADVICE)
     "duplicate_substring_spans",
     "unigram_lm_piece_scores",
+    "nation_theil_sen_trend",
     # Stalest verdicts (last seen round 2) — refresh:
     "ann_topk_batch",
     "ann_topk_cosine",
