@@ -94,6 +94,48 @@ DOC_FAMILY = [
 ]
 
 
+# ``--er`` family: entity-resolution / record-linkage (the round-6
+# additions whose scale point BASELINE.md lacked through r6). SNM's
+# global sort-window blocking and the Fellegi-Sunter scorer should
+# both track the multiplier ~linearly: SNM is one global sort (range
+# partitioner) + a size-3 window — no candidate blowup by
+# construction; the scorer is |pairs| CASE arithmetic + two
+# custkey-keyed joins.
+ER_FAMILY = [
+    "snm_candidate_pairs",
+    "customer_linkage_scores",
+]
+
+
+def _write_scaled_customer(spark, replicas: int, out_dir: str) -> None:
+    """replicas× customer: ids offset by r·10⁹; c_acctbal shifted by
+    r·10⁷ so replicas occupy DISJOINT regions of the SNM sort order —
+    within a replica the original linkage structure is preserved
+    exactly, across replicas no new candidate pairs appear (the same
+    linear-isolation property as the vowel-rotated documents)."""
+    cust = spark.read.parquet(f"{BASE_SF}/customer.parquet")
+    passthrough = [
+        c for c in cust.columns if c not in ("c_custkey", "c_acctbal")
+    ]
+    parts = []
+    for r in range(replicas):
+        parts.append(
+            cust.select(
+                (F.col("c_custkey") + F.lit(r * 1_000_000_000)).alias(
+                    "c_custkey"
+                ),
+                (F.col("c_acctbal") + F.lit(float(r * 10_000_000))).alias(
+                    "c_acctbal"
+                ),
+                *passthrough,
+            )
+        )
+    scaled = parts[0]
+    for p in parts[1:]:
+        scaled = scaled.unionByName(p)
+    scaled.write.mode("overwrite").parquet(f"{out_dir}/customer.parquet")
+
+
 def build_scaled(spark, replicas: int, emb_only: bool = False) -> str:
     out_dir = os.path.join(OUT_ROOT, f"x{replicas}" + ("e" if emb_only else ""))
     if os.path.exists(os.path.join(out_dir, "_DONE")):
@@ -292,6 +334,42 @@ def main_docs(replicas: int) -> int:
     return 0
 
 
+def main_er(replicas: int) -> int:
+    """ER/record-linkage family at an aggressive multiplier (the
+    round-7 scale point): SNM blocking over documents + Fellegi-Sunter
+    scoring over customers, both derived linearly (vowel-rotated docs,
+    acctbal-shifted customer replicas)."""
+    spark = get_spark("bench_scale_er")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = queries()
+    scaled_dir = build_scaled(spark, replicas)
+    if not os.path.exists(f"{scaled_dir}/customer.parquet/_SUCCESS"):
+        _write_scaled_customer(spark, replicas, scaled_dir)
+
+    qs["snm_candidate_pairs"](spark, BASE_SF).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    release_tracked()
+
+    base = run_family(spark, qs, BASE_SF, ER_FAMILY)
+    scaled = run_family(spark, qs, scaled_dir, ER_FAMILY)
+    ratios = {
+        k: (round(scaled[k] / base[k], 2) if base[k] > 0 else None)
+        for k in base
+        if k in scaled
+    }
+    print(json.dumps({
+        "metric": "er_family_scale",
+        "unit": "sec",
+        "sf_base": 0.1,
+        "scale_multiplier": replicas,
+        "base": base,
+        "scaled": scaled,
+        "ratio": ratios,
+    }))
+    return 0
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     replicas = int(args[0]) if args else 5
@@ -299,6 +377,8 @@ def main() -> int:
         return main_emb(replicas)
     if "--docs" in sys.argv:
         return main_docs(replicas)
+    if "--er" in sys.argv:
+        return main_er(replicas)
     spark = get_spark("bench_scale")
     spark.sparkContext.setLogLevel("ERROR")
     qs = queries()
