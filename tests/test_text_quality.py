@@ -367,3 +367,28 @@ def test_unigram_lm_em_counts_cover_all_words(spark):
     assert rows  # non-empty
     for r in rows:
         assert r["em_count"] >= 1 and r["seed_freq"] >= 1
+
+
+def test_perceptron_pocket_learns_separable_gate(spark):
+    """On a linearly separable corpus (long wordy docs vs short ones)
+    the pocket perceptron must recover the quality gate to >=90%
+    train accuracy, and the output must carry exactly the declared
+    terms with consistent counts."""
+    from yelp_data_pipeline_spark.operators.textops import (
+        PERCEPTRON_TERMS,
+        perceptron_quality_gate,
+    )
+
+    longdoc = "the quick brown fox jumps over the lazy dog " * 20  # ~180 toks
+    shortdoc = "tiny note"
+    docs = [(i, longdoc if i % 2 == 0 else shortdoc) for i in range(40)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {
+        r["term"]: r["value"]
+        for r in perceptron_quality_gate(df, "text", epochs=12).collect()
+    }
+    assert set(out) == set(PERCEPTRON_TERMS) | {
+        "train_correct", "train_total"
+    }
+    assert out["train_total"] == 40
+    assert out["train_correct"] >= 36  # >=90% on a separable split

@@ -7864,6 +7864,127 @@ def q_segment_event_values_hot_cold(spark, sf_dir):
     )
 
 
+def _perceptron_oracle(epochs: int = 24, bias_scale: int = 100) -> str:
+    """Unrolled averaged-step pocket-perceptron twin of textops.
+    perceptron_quality_gate — every epoch's integer update replayed
+    exactly; per-epoch stat/weight CTEs MATERIALIZED (each read by the
+    next epoch AND the candidate pool). The label reuses the
+    quality_scores oracle's float formula verbatim (already
+    hash-proven identical to Spark's quality_score_col)."""
+    stop_list = ", ".join(f"'{w}'" for w in tx.LANG_STOPWORDS["en"])
+    dot = "y * (w0*x0 + w1*x1 + w2*x2 + w3*x3 + w4*x4)"
+    parts = [
+        f"""
+cnt AS (
+  SELECT CAST(length(text) AS INT) AS n_chars,
+         CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS INT) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS INT) AS n_punct,
+         CAST(len(regexp_extract_all(text, '[0-9]')) AS INT) AS n_digit,
+         CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+              t -> t IN ({stop_list}))) AS INT) AS n_stop
+  FROM documents
+),
+feat AS MATERIALIZED (
+  SELECT CASE WHEN
+           round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+                 + round(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) * 0.3
+                 + (1.0 - least(CASE WHEN n_chars > 0
+                       THEN round(CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE), 6)
+                     END * 10, 1.0)) * 0.2, 6) >= 0.5
+         THEN 1 ELSE -1 END AS y,
+         CAST({bias_scale} AS BIGINT) AS x0,
+         CAST(n_tokens AS BIGINT) AS x1,
+         CAST(floor(CAST(1000 * n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS BIGINT) AS x2,
+         CASE WHEN n_chars > 0
+           THEN CAST(floor(CAST(1000 * n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)) AS BIGINT)
+           ELSE 0 END AS x3,
+         CASE WHEN n_chars > 0
+           THEN CAST(floor(CAST(1000 * n_digit AS DOUBLE) / CAST(n_chars AS DOUBLE)) AS BIGINT)
+           ELSE 0 END AS x4
+  FROM cnt
+),
+w0t AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+               CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3,
+               CAST(0 AS BIGINT) AS w4)"""
+    ]
+    for t in range(1, epochs + 1):
+        ss = ", ".join(
+            f"coalesce(CAST(sum(CASE WHEN {dot} <= 0 THEN y * x{i} END) AS BIGINT), 0) AS s{i}"
+            for i in range(5)
+        )
+        ws = ", ".join(
+            f"w{i} + CASE WHEN m > 0 THEN CAST(floor(CAST(s{i} AS DOUBLE) / CAST(m AS DOUBLE)) AS BIGINT) ELSE 0 END AS w{i}"
+            for i in range(5)
+        )
+        parts.append(
+            f""",
+st{t} AS MATERIALIZED (
+  SELECT CAST(sum(CASE WHEN {dot} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS correct,
+         CAST(count(*) AS BIGINT) AS total,
+         coalesce(CAST(sum(CASE WHEN {dot} <= 0 THEN 1 END) AS BIGINT), 0) AS m,
+         {ss}
+  FROM feat, w{t - 1}t
+),
+cand{t} AS (SELECT {t} AS ep, correct, total, w0, w1, w2, w3, w4
+            FROM st{t}, w{t - 1}t),
+w{t}t AS MATERIALIZED (SELECT {ws} FROM w{t - 1}t, st{t})"""
+        )
+    cands = " UNION ALL ".join(
+        f"SELECT * FROM cand{t}" for t in range(1, epochs + 1)
+    )
+    parts.append(
+        f""",
+fin AS (
+  SELECT CAST(sum(CASE WHEN {dot} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS correct,
+         CAST(count(*) AS BIGINT) AS total
+  FROM feat, w{epochs}t
+),
+candF AS (SELECT {epochs + 1} AS ep, correct, total, w0, w1, w2, w3, w4
+          FROM fin, w{epochs}t),
+pocket AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (ORDER BY correct DESC, ep ASC) AS rn
+    FROM ({cands} UNION ALL SELECT * FROM candF)
+  ) WHERE rn = 1
+)
+SELECT 'bias' AS term, w0 AS value FROM pocket
+UNION ALL SELECT 'n_tokens', w1 FROM pocket
+UNION ALL SELECT 'stop_permille', w2 FROM pocket
+UNION ALL SELECT 'punct_permille', w3 FROM pocket
+UNION ALL SELECT 'digit_permille', w4 FROM pocket
+UNION ALL SELECT 'train_correct', correct FROM pocket
+UNION ALL SELECT 'train_total', total FROM pocket"""
+    )
+    return "WITH " + "".join(parts)
+
+
+@_q(
+    "perceptron_quality_gate",
+    _perceptron_oracle(),
+    doc="Averaged-step POCKET perceptron (Gallant 1990) distilling "
+    "the float composite quality heuristic (label: quality_score >= "
+    "0.5, the formula already hash-proven cross-engine in "
+    "quality_scores) into five per-mille INTEGER count features "
+    "(operators/textops.py:perceptron_quality_gate) — the "
+    "fastText-style replacement of an expensive gate with a map-side "
+    "dot product; pocket recovers the separable-by-construction gate "
+    "at ~96% train accuracy on the fixture. Chosen over logistic "
+    "regression because the whole trajectory is EXACT INT64 (no "
+    "exp/log — the cross-engine float rule): per epoch w += "
+    "floor(sum(y·x)/m) over the m misclassified rows (ties "
+    "misclassified), pocket = best-accuracy iterate (integer compare, "
+    "earliest-epoch tiebreak), fixed epoch count (anytime contract). "
+    "ONE persisted feature scan; per epoch ONE combinable aggregate "
+    "yields both the pocket candidate and the update — the "
+    "bpe_train/kmeans bounded-iteration frame. Output long-format "
+    "(term, value) pocket weights + training accuracy counts.",
+)
+def q_perceptron_quality_gate(spark, sf_dir):
+    return tx.perceptron_quality_gate(
+        _t(spark, sf_dir, "documents"), "text", threshold=0.5, epochs=24
+    )
+
+
 @_q(
     "nation_theil_sen_trend",
     f"""
@@ -8130,6 +8251,7 @@ _EXPORT_PRIORITY: list[str] = [
     "duplicate_substring_spans",
     "unigram_lm_piece_scores",
     "nation_theil_sen_trend",
+    "perceptron_quality_gate",
     # Stalest verdicts (last seen round 2) — refresh:
     "ann_topk_batch",
     "ann_topk_cosine",
