@@ -287,3 +287,39 @@ def test_cosine_zero_vector_is_null_not_crash(spark):
         assert all(r["vec_id"] != 0 or r["score"] is None for r in top)
     finally:
         spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_embedding_top_pc_recovers_planted_direction(spark):
+    """With a strongly dominant planted direction e1 the power
+    iteration must converge to it (the regime the diagnostic hunts);
+    lambda must approximate the planted variance and dominate the
+    per-dim residue, and trace must equal the exact total variance."""
+    import math
+    import random
+
+    from yelp_data_pipeline_spark.operators.similarity import (
+        embedding_top_pc,
+    )
+
+    rng = random.Random(7)
+    dim, n = 16, 300
+    rows = []
+    for _ in range(n):
+        a = rng.gauss(0, 3.0)  # dominant: var 9 along e1
+        vec = [a] + [rng.gauss(0, 0.1) for _ in range(dim - 1)]
+        rows.append((vec,))
+    df = spark.createDataFrame(rows, "embedding array<double>")
+    got = {
+        r["dim"]: r["loading"]
+        for r in embedding_top_pc(df, "embedding", dim=dim, iters=8).collect()
+    }
+    lam, tr = got[0], got[-1]
+    # e1 loading ~1 (sign-fixed positive), others ~0.
+    assert got[1] > 0.99
+    assert all(abs(got[j]) < 0.1 for j in range(2, dim + 1))
+    # lambda ~ planted variance, and most of the total variance.
+    assert 6.0 < lam < 12.0
+    assert lam / tr > 0.8
+    # unit norm
+    assert abs(sum(got[j] ** 2 for j in range(1, dim + 1)) - 1) < 1e-3
+    assert math.isfinite(tr) and tr > lam

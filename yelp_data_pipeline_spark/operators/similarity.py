@@ -1234,3 +1234,228 @@ def pq_recall_eval(
             ).alias(f"recall_at_{k}"),
         )
     )
+
+
+def embedding_top_pc(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    iters: int = 8,
+) -> DataFrame:
+    """Top principal component of an embedding corpus by POWER
+    ITERATION over the exactly-aggregated covariance matrix — the
+    embedding-diagnostics operator (anisotropy / dominant-direction /
+    drift checks; Mu & Viswanath 2018's "all-but-the-top" starts
+    exactly here) at 100 TB scale.
+
+    Two-stage split that makes this distributed-friendly:
+
+    1. COVARIANCE (the only data-scale pass): each row map-side
+       explodes its d² component products; one (i, j)-keyed groupBy
+       with map-side combine reduces n·d² product rows to d² cells.
+       Sums accumulate in DECIMAL(38,18) of correctly-rounded double
+       products — order-independent, so the matrix is bit-identical
+       across engines/partitionings/retries (the exact_sum rule).
+       C = E[x_i x_j] − μ_i μ_j assembled in doubles of those exact
+       operands.
+
+    2. ITERATION (data-free): ``iters`` fixed power-iteration rounds
+       (anytime contract) on the d²-cell relation — matvec as a join
+       + per-i fold over a j-SORTED array (never a shuffle-ordered
+       float sum), normalization via sqrt (IEEE correctly rounded,
+       allowed by the float rules — unlike ln/exp) of an i-sorted
+       fold. 1-row/64-row eager localCheckpoints keep lineage linear.
+
+    Sign convention (eigenvectors are sign-ambiguous): the component
+    with the largest |loading| (smallest index on ties) is made
+    positive — deterministic on both engines.
+
+    Convergence is (λ₂/λ₁)^iters: fast exactly when a dominant
+    direction EXISTS (the case the diagnostic hunts); on a
+    near-isotropic corpus the direction estimate stays diffuse while
+    the Rayleigh quotient still approaches λ₁ from below — read it
+    against the trace row: anisotropy ≈ λ·d / trace (≈1 ⇒ isotropic,
+    ≫1 ⇒ dominant direction). Either way the OUTPUT is deterministic
+    (fixed iterations, deterministic folds), so the driver hash gate
+    applies regardless of spectrum shape.
+
+    Returns (dim, loading): dim 1..d carry the unit eigenvector
+    rounded 6dp; dim 0 carries the Rayleigh quotient λ = vᵀCv (the
+    top-eigenvalue estimate — variance along the component); dim -1
+    carries trace(C) = Σᵢ var(xᵢ) (total variance, exact-decimal
+    assembled).
+    """
+    from pyspark.sql import Window
+
+    from ..session import ensure_min_parallelism, track_persist
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = ensure_min_parallelism(df).select(v.alias("v"))
+
+    idx = F.sequence(F.lit(1), F.lit(dim))
+    pair_arr = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                idx,
+                lambda j: F.struct(
+                    i.cast("int").alias("i"),
+                    j.cast("int").alias("j"),
+                    (
+                        F.element_at(F.col("v"), i)
+                        * F.element_at(F.col("v"), j)
+                    ).alias("p"),
+                ),
+            ),
+        )
+    )
+    m2 = (
+        base.select(F.explode(pair_arr).alias("e"))
+        .select("e.*")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("p").cast("decimal(38,18)")).alias("s"))
+    )
+    sing = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.cast("int").alias("i"),
+            F.element_at(F.col("v"), i).alias("x"),
+        ),
+    )
+    mu = (
+        base.select(F.explode(sing).alias("e"))
+        .select("e.*")
+        .groupBy("i")
+        .agg(
+            F.sum(F.col("x").cast("decimal(38,18)")).alias("sx"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "i",
+            (F.col("sx").cast("double") / F.col("n").cast("double")).alias(
+                "mu"
+            ),
+            "n",
+        )
+    )
+    cov = track_persist(
+        m2.join(mu.select("i", F.col("mu").alias("mi"), "n"), "i")
+        .join(
+            mu.select(F.col("i").alias("j"), F.col("mu").alias("mj")), "j"
+        )
+        .select(
+            "i",
+            "j",
+            (
+                F.col("s").cast("double") / F.col("n").cast("double")
+                - F.col("mi") * F.col("mj")
+            ).alias("c"),
+        )
+    )
+
+    spark = df.sparkSession
+    vdf = spark.range(1).select(
+        F.explode(F.sequence(F.lit(1), F.lit(dim))).alias("j")
+    ).select(
+        F.col("j").cast("int").alias("j"),
+        (F.lit(1.0) / F.sqrt(F.lit(float(dim)))).alias("vj"),
+    )
+
+    def matvec(vframe):
+        return (
+            cov.join(vframe, "j")
+            .groupBy("i")
+            .agg(
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("j"),
+                                (F.col("c") * F.col("vj")).alias("t"),
+                            )
+                        )
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x["t"],
+                ).alias("u")
+            )
+        )
+
+    for _ in range(iters):
+        u = matvec(vdf)
+        nm = u.agg(
+            F.sqrt(
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("i"),
+                                (F.col("u") * F.col("u")).alias("t"),
+                            )
+                        )
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x["t"],
+                )
+            ).alias("nm")
+        )
+        vdf = (
+            u.crossJoin(F.broadcast(nm))
+            .select(
+                F.col("i").alias("j"),
+                (F.col("u") / F.col("nm")).alias("vj"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    rw = Window.orderBy(F.abs(F.col("vj")).desc(), F.col("j").asc())
+    sg = (
+        vdf.withColumn("rn", F.row_number().over(rw))
+        .where(F.col("rn") == 1)
+        .select(
+            F.when(F.col("vj") >= 0, F.lit(1.0))
+            .otherwise(F.lit(-1.0))
+            .alias("sg")
+        )
+    )
+    ufin = matvec(vdf)
+    lam = (
+        vdf.select(F.col("j").alias("i"), "vj")
+        .join(ufin, "i")
+        .agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("i"), (F.col("vj") * F.col("u")).alias("t")
+                        )
+                    )
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x["t"],
+            ).alias("lam")
+        )
+    )
+    loadings = vdf.crossJoin(F.broadcast(sg)).select(
+        F.col("j").alias("dim"),
+        F.round(F.col("sg") * F.col("vj"), 6).alias("loading"),
+    )
+    lam_row = lam.select(
+        F.lit(0).cast("int").alias("dim"),
+        F.round(F.col("lam"), 6).alias("loading"),
+    )
+    trace_row = (
+        cov.where(F.col("i") == F.col("j"))
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("i", F.col("c").alias("t")))),
+                F.lit(0.0),
+                lambda a, x: a + x["t"],
+            ).alias("tr")
+        )
+        .select(
+            F.lit(-1).cast("int").alias("dim"),
+            F.round(F.col("tr"), 6).alias("loading"),
+        )
+    )
+    return loadings.unionByName(lam_row).unionByName(trace_row)

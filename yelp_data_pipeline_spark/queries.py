@@ -7864,6 +7864,100 @@ def q_segment_event_values_hot_cold(spark, sf_dir):
     )
 
 
+def _top_pc_oracle(dim: int = 64, iters: int = 8) -> str:
+    """Unrolled power-iteration twin of similarity.embedding_top_pc:
+    exact-DECIMAL covariance assembly, j-/i-ORDERED list_sum folds
+    for every float reduction (the pq-oracle pattern — left-to-right
+    on both engines), sqrt allowed (IEEE correctly rounded), per-level
+    CTEs MATERIALIZED."""
+    parts = [
+        f"""
+mom AS MATERIALIZED (
+  SELECT i, j,
+         sum(CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                  * CAST(embedding[CAST(j AS INT)] AS DOUBLE)
+                  AS DECIMAL(38,18))) AS s
+  FROM embeddings,
+       LATERAL unnest(generate_series(1, {dim})) AS iu(i),
+       LATERAL unnest(generate_series(1, {dim})) AS ju(j)
+  GROUP BY 1, 2
+),
+mu AS MATERIALIZED (
+  SELECT i,
+         CAST(sum(CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                       AS DECIMAL(38,18))) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS mu,
+         count(*) AS n
+  FROM embeddings, LATERAL unnest(generate_series(1, {dim})) AS iu(i)
+  GROUP BY 1
+),
+cov AS MATERIALIZED (
+  SELECT CAST(m.i AS INT) AS i, CAST(m.j AS INT) AS j,
+         CAST(m.s AS DOUBLE) / CAST(a.n AS DOUBLE) - a.mu * b.mu AS c
+  FROM mom m JOIN mu a ON m.i = a.i JOIN mu b ON m.j = b.i
+),
+v0 AS (
+  SELECT CAST(i AS INT) AS j, 1.0 / sqrt(CAST({dim} AS DOUBLE)) AS vj
+  FROM (SELECT unnest(generate_series(1, {dim})) AS i)
+)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""",
+u{t} AS MATERIALIZED (
+  SELECT i, list_sum(list(c * vj ORDER BY j)) AS u
+  FROM cov JOIN v{t - 1} USING (j) GROUP BY i
+),
+n{t} AS (SELECT sqrt(list_sum(list(u * u ORDER BY i))) AS nm FROM u{t}),
+v{t} AS MATERIALIZED (SELECT CAST(i AS INT) AS j, u / nm AS vj FROM u{t}, n{t})"""
+        )
+    parts.append(
+        f""",
+sg AS (
+  SELECT CASE WHEN vj >= 0 THEN 1.0 ELSE -1.0 END AS s FROM (
+    SELECT vj, row_number() OVER (ORDER BY abs(vj) DESC, j ASC) AS rn
+    FROM v{iters}
+  ) WHERE rn = 1
+),
+ufin AS MATERIALIZED (
+  SELECT i, list_sum(list(c * vj ORDER BY j)) AS u
+  FROM cov JOIN v{iters} USING (j) GROUP BY i
+),
+lamr AS (
+  SELECT list_sum(list(v.vj * f.u ORDER BY f.i)) AS lam
+  FROM v{iters} v JOIN ufin f ON v.j = f.i
+),
+trr AS (SELECT list_sum(list(c ORDER BY i)) AS tr FROM cov WHERE i = j)
+SELECT CAST(j AS INT) AS dim, round(s * vj, 6) AS loading FROM v{iters}, sg
+UNION ALL SELECT 0, round(lam, 6) FROM lamr
+UNION ALL SELECT -1, round(tr, 6) FROM trr"""
+    )
+    return "WITH " + "".join(parts)
+
+
+@_q(
+    "embedding_principal_component",
+    _top_pc_oracle(),
+    doc="Top principal component of the embedding corpus by power "
+    "iteration over the exactly-aggregated covariance "
+    "(operators/similarity.py:embedding_top_pc) — the embedding "
+    "anisotropy / dominant-direction / drift diagnostic (Mu & "
+    "Viswanath 2018's 'all-but-the-top' preprocessing starts here). "
+    "ONE data-scale pass: map-side d² component products into an "
+    "(i,j)-keyed combinable groupBy with DECIMAL(38,18) accumulation "
+    "(order-independent, bit-stable); then 8 data-free power-iteration "
+    "rounds on the d²-cell relation (anytime contract) — matvec joins "
+    "+ j-SORTED array folds, sqrt normalization (IEEE correctly "
+    "rounded, unlike ln/exp). Output: unit loadings (sign-fixed at "
+    "the largest component), dim 0 = Rayleigh λ₁ estimate, dim -1 = "
+    "exact trace — anisotropy ≈ λ·d/trace.",
+)
+def q_embedding_principal_component(spark, sf_dir):
+    return sim.embedding_top_pc(
+        _t(spark, sf_dir, "embeddings"), "embedding", dim=64, iters=8
+    )
+
+
 def _perceptron_oracle(epochs: int = 24, bias_scale: int = 100) -> str:
     """Unrolled averaged-step pocket-perceptron twin of textops.
     perceptron_quality_gate — every epoch's integer update replayed
@@ -8252,6 +8346,7 @@ _EXPORT_PRIORITY: list[str] = [
     "unigram_lm_piece_scores",
     "nation_theil_sen_trend",
     "perceptron_quality_gate",
+    "embedding_principal_component",
     # Stalest verdicts (last seen round 2) — refresh:
     "ann_topk_batch",
     "ann_topk_cosine",
