@@ -8390,7 +8390,7 @@ _EXPORT_PRIORITY: list[str] = [
     "funnel_steps",
     "hourly_event_counts",
     "lang_id_docs",
-    "ngram_jaccard_capped",
+    "order_price_percent_rank",
 ]
 
 
