@@ -518,3 +518,133 @@ def test_vocab_coverage_is_monotone_and_saturates(spark, words):
     # A checkpoint >= the true vocab size covers everything.
     assert covs[-1] == 1.0
     assert all(r["total_tokens"] == len(words) for r in out)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("ab"), min_size=1, max_size=12).map(
+            lambda cs: " ".join(cs)
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    L=st.integers(2, 4),
+)
+@settings(**SETTINGS)
+def test_duplicate_substring_spans_match_bruteforce(spark, docs, L):
+    """Spans must equal the brute-force reference: maximal runs of
+    token positions covered by an L-gram occurring >=2 times in the
+    corpus (tiny two-letter alphabet forces plenty of collisions)."""
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["start_tok"], r["end_tok"])
+        for r in dd.duplicate_substring_spans(
+            df, "doc_id", "text", min_tokens=L
+        ).collect()
+    }
+
+    # brute force
+    from collections import Counter
+
+    toks = {i: t.split() for i, t in rows}
+    grams = Counter()
+    for i, ts in toks.items():
+        for s in range(len(ts) - L + 1):
+            grams[tuple(ts[s : s + L])] += 1
+    want = set()
+    for i, ts in toks.items():
+        starts = [
+            s + 1  # 1-based
+            for s in range(len(ts) - L + 1)
+            if grams[tuple(ts[s : s + L])] >= 2
+        ]
+        run = []
+        for s in starts:
+            if run and s - run[-1] <= L:
+                run.append(s)
+            else:
+                if run:
+                    want.add((i, run[0], run[-1] + L - 1))
+                run = [s]
+        if run:
+            want.add((i, run[0], run[-1] + L - 1))
+    assert got == want
+
+
+@given(
+    words=st.lists(
+        st.lists(st.sampled_from("ab"), min_size=1, max_size=5).map("".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**SETTINGS)
+def test_unigram_viterbi_matches_bruteforce_enumeration(spark, words):
+    """The DP's per-piece EM counts must equal a brute-force Viterbi
+    that enumerates EVERY segmentation of every word and applies the
+    identical (prob desc, earliest-boundary, piece-lex) tiebreak."""
+    from fractions import Fraction
+    from itertools import combinations
+
+    from yelp_data_pipeline_spark.operators.textops import (
+        unigram_lm_piece_scores,
+    )
+
+    P, MINF = 3, 2
+    text = " ".join(words)
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    got = {
+        r["piece"]: r["em_count"]
+        for r in unigram_lm_piece_scores(
+            df, "text", max_word_len=6, max_piece_len=P, min_freq=MINF, k=1000
+        ).collect()
+    }
+
+    # brute force: seed freqs
+    from collections import Counter
+
+    wcnt = Counter(w[:6] for w in words)
+    freq = Counter()
+    for w, c in wcnt.items():
+        for s in range(len(w)):
+            for l in range(1, min(P, len(w) - s) + 1):
+                freq[w[s : s + l]] += c
+    pieces = {p: f for p, f in freq.items() if f >= MINF or len(p) == 1}
+    total = Fraction(sum(pieces.values()))
+    prob = {p: Fraction(f) / total for p, f in pieces.items()}
+
+    def segmentations(w):
+        n = len(w)
+        for r in range(n):  # r = number of cuts
+            for cuts in combinations(range(1, n), r):
+                bounds = [0, *cuts, n]
+                segs = [w[bounds[i] : bounds[i + 1]] for i in range(len(bounds) - 1)]
+                if all(len(s) <= P and s in prob for s in segs):
+                    yield segs
+
+    em = Counter()
+    for w, c in wcnt.items():
+        # replicate the DP's tiebreak: compare (prob, then the DP's
+        # backward path order). The DP breaks ties per cell on
+        # (smaller predecessor j, then piece asc); enumerate and sort
+        # by (-prob, path-from-the-END with (j asc, piece asc)).
+        best = None
+        for segs in segmentations(w):
+            pr = Fraction(1)
+            for s in segs:
+                pr *= prob[s]
+            # backward-walk signature: from the end, each step's
+            # (start_j asc, piece asc)
+            sig = []
+            pos = len(w)
+            for s in reversed(segs):
+                sig.append((pos - len(s), s))
+                pos -= len(s)
+            key = (-pr, sig)
+            if best is None or key < best[0]:
+                best = (key, segs)
+        for s in best[1]:
+            em[s] += c
+    want = dict(em)
+    assert got == want
