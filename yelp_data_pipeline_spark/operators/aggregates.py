@@ -215,7 +215,9 @@ def kmv_distinct(
 HLL_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
 
 
-def hll_distinct(df: DataFrame, col: str, m: int = 64) -> DataFrame:
+def hll_distinct(
+    df: DataFrame, col: str, m: int = 64, by: list[str] | None = None
+) -> DataFrame:
     """HyperLogLog distinct-count sketch (Flajolet et al. 2007) built
     on the md5 hash family — DETERMINISTIC, unlike Spark's
     ``approx_count_distinct`` whose HLL++ internals are engine-private
@@ -245,9 +247,18 @@ def hll_distinct(df: DataFrame, col: str, m: int = 64) -> DataFrame:
     directly. ``registers_hit``/``rho_sum`` pin the full register
     state: two sketches agree on the estimate iff they agree on
     these.
+
+    With ``by``, one sketch PER GROUP in the same pass — the actual
+    100 TB deployment shape ("distinct users per segment/day"): the
+    register fold is keyed by (group, register), so the shuffle
+    carries ≤ m rows per group per task instead of the keys, and no
+    expand (Spark's exact count_distinct multiplies scan output by
+    the aggregate count; this never does). Output gains the group
+    columns.
     """
     if m not in HLL_ALPHA:
         raise ValueError(f"m must be one of {sorted(HLL_ALPHA)}, got {m}")
+    by = by or []
     pow261 = float(1 << 61)  # exact in double
     hexc = F.md5(F.col(col).cast("string"))
     reg = F.conv(F.substring(hexc, 1, 2), 16, 10).cast("long") % m
@@ -257,11 +268,11 @@ def hll_distinct(df: DataFrame, col: str, m: int = 64) -> DataFrame:
     )
     regs = (
         df.where(F.col(col).isNotNull())
-        .select(reg.alias("reg"), rho.alias("rho"))
-        .groupBy("reg")
+        .select(*by, reg.alias("reg"), rho.alias("rho"))
+        .groupBy(*by, "reg")
         .agg(F.max("rho").alias("m_r"))
     )
-    sk = regs.agg(
+    sk = regs.groupBy(*by).agg(
         F.count(F.lit(1)).alias("v"),
         F.sum("m_r").cast("long").alias("rho_sum"),
         F.sum(
@@ -275,39 +286,48 @@ def hll_distinct(df: DataFrame, col: str, m: int = 64) -> DataFrame:
     ).cast("double")
     est = F.lit(HLL_ALPHA[m] * (m * m)) * F.lit(pow261) / t
     return sk.select(
+        *by,
         F.round(est, 4).alias("approx_users"),
         F.col("v").alias("registers_hit"),
         F.col("rho_sum"),
     )
 
 
-def hll_oracle_sql(table: str, col: str, m: int = 64) -> str:
+def hll_oracle_sql(
+    table: str, col: str, m: int = 64, by: list[str] | None = None
+) -> str:
     """DuckDB twin of :func:`hll_distinct` (same registers, same exact
-    integer sum, same double assembly — bit-identical)."""
+    integer sum, same double assembly — bit-identical; ``by`` adds
+    group keys to both folds, mirroring the Spark plan)."""
+    by = by or []
+    bysel = "".join(f"{c}, " for c in by)
+    bykeys = ", ".join(by)
+    by_grp1 = f"GROUP BY {bykeys}, reg" if by else "GROUP BY reg"
+    by_grp2 = f"GROUP BY {bykeys}" if by else ""
     alpha_m2 = repr(HLL_ALPHA[m] * (m * m))  # repr round-trips exactly
     pow261 = repr(float(1 << 61))
     return f"""
 WITH hx AS (
-  SELECT md5(CAST({col} AS VARCHAR)) AS hex
+  SELECT {bysel}md5(CAST({col} AS VARCHAR)) AS hex
   FROM {table} WHERE {col} IS NOT NULL
 ),
 wv AS (
-  SELECT CAST('0x' || substr(hex, 1, 2) AS BIGINT) % {m} AS reg,
+  SELECT {bysel}CAST('0x' || substr(hex, 1, 2) AS BIGINT) % {m} AS reg,
          CAST('0x' || substr(hex, 3, 15) AS BIGINT) AS w
   FROM hx
 ),
 r AS (
-  SELECT reg,
+  SELECT {bysel}reg,
          max(CASE WHEN w = 0 THEN 61 ELSE 61 - length(bin(w)) END) AS m_r
-  FROM wv GROUP BY reg
+  FROM wv {by_grp1}
 ),
 sk AS (
-  SELECT count(*) AS v,
+  SELECT {bysel}count(*) AS v,
          CAST(sum(m_r) AS BIGINT) AS rho_sum,
          sum(CAST(1::BIGINT << (61 - m_r) AS DECIMAL(38,0))) AS s
-  FROM r
+  FROM r {by_grp2}
 )
-SELECT round({alpha_m2} * {pow261} /
+SELECT {bysel}round({alpha_m2} * {pow261} /
              ((CAST({m} AS DOUBLE) - CAST(v AS DOUBLE)) * {pow261}
               + CAST(s AS DOUBLE)), 4) AS approx_users,
        CAST(v AS BIGINT) AS registers_hit,

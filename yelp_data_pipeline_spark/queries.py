@@ -7864,6 +7864,30 @@ def q_segment_event_values_hot_cold(spark, sf_dir):
     )
 
 
+def _hll_by_type_oracle() -> str:
+    from .operators.aggregates import hll_oracle_sql
+
+    return hll_oracle_sql("events", "user_id", m=64, by=["event_type"])
+
+
+@_q(
+    "hll_users_by_event_type",
+    _hll_by_type_oracle(),
+    doc="Per-event-type distinct-user sketch — the deterministic "
+    "md5-register HLL (operators/aggregates.py:hll_distinct) in its "
+    "actual 100 TB deployment shape: ONE pass, one (group, register)-"
+    "keyed fold, ≤64 shuffle rows per group per task, NO expand "
+    "(Spark's multi-aggregate exact count_distinct multiplies scan "
+    "output per aggregate; the sketch never does) and no key "
+    "shuffling. registers_hit/rho_sum pin each group's full register "
+    "state; the oracle replays every register bit-exactly.",
+)
+def q_hll_users_by_event_type(spark, sf_dir):
+    return agg.hll_distinct(
+        _t(spark, sf_dir, "events"), "user_id", m=64, by=["event_type"]
+    )
+
+
 def _top_pc_oracle(dim: int = 64, iters: int = 8) -> str:
     """Unrolled power-iteration twin of similarity.embedding_top_pc:
     exact-DECIMAL covariance assembly, j-/i-ORDERED list_sum folds
@@ -8347,6 +8371,7 @@ _EXPORT_PRIORITY: list[str] = [
     "nation_theil_sen_trend",
     "perceptron_quality_gate",
     "embedding_principal_component",
+    "hll_users_by_event_type",
     # Stalest verdicts (last seen round 2) — refresh:
     "ann_topk_batch",
     "ann_topk_cosine",
@@ -8390,7 +8415,6 @@ _EXPORT_PRIORITY: list[str] = [
     "funnel_steps",
     "hourly_event_counts",
     "lang_id_docs",
-    "order_price_percent_rank",
 ]
 
 
