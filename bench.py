@@ -72,6 +72,13 @@ EXTRAS = [
     "doc_novelty_scores",
     "cdc_chunked_documents",
     "hourly_value_isotonic_fit",
+    # round 7
+    "duplicate_substring_spans",
+    "unigram_lm_piece_scores",
+    "nation_theil_sen_trend",
+    "perceptron_quality_gate",
+    "embedding_principal_component",
+    "hll_users_by_event_type",
 ]
 
 
