@@ -125,3 +125,46 @@ def test_clustered_write_yields_prunable_ranges(spark, tmp_path):
         assert hi1 < lo2
     # Coverage: together the files span the whole domain.
     assert ranges[0][0] == 0 and ranges[-1][1] == 9_999
+
+
+def test_compact_small_files_reduces_count_preserves_rows(spark, tmp_path):
+    from yelp_data_pipeline_spark.operators.upsert import (
+        compact_small_files,
+        table_file_stats,
+    )
+
+    path = str(tmp_path / "smallfiles")
+    df = spark.range(10_000).selectExpr("id", "id % 7 AS k")
+    df.repartition(64).write.parquet(path)  # 64 tiny files
+    before_rows = spark.read.parquet(path).count()
+    n_before, total = table_file_stats(spark, path)
+    assert n_before == 64 and total > 0
+
+    # Target size >> total bytes -> everything compacts to ONE file.
+    nb, na = compact_small_files(spark, path, target_file_bytes=1 << 30)
+    assert (nb, na) == (64, 1)
+    after = spark.read.parquet(path)
+    assert after.count() == before_rows
+    assert set(after.columns) == {"id", "k"}
+
+    # Re-compacting an already-compact table is a no-op file-count-wise.
+    nb2, na2 = compact_small_files(spark, path, target_file_bytes=1 << 30)
+    assert (nb2, na2) == (1, 1)
+
+
+def test_compact_small_files_respects_target_size(spark, tmp_path):
+    from yelp_data_pipeline_spark.operators.upsert import (
+        compact_small_files,
+        table_file_stats,
+    )
+
+    path = str(tmp_path / "sized")
+    spark.range(50_000).selectExpr(
+        "id", "CAST(id AS STRING) AS s"
+    ).repartition(32).write.parquet(path)
+    _, total = table_file_stats(spark, path)
+    target = max(1, total // 4)
+    nb, na = compact_small_files(spark, path, target_file_bytes=target)
+    assert nb == 32
+    assert 3 <= na <= 6  # ceil(total/target) ~ 4-5 (size drifts on rewrite)
+    assert spark.read.parquet(path).count() == 50_000

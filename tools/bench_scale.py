@@ -370,6 +370,66 @@ def main_er(replicas: int) -> int:
     return 0
 
 
+# ``--r7`` family: the round-7 additions over documents (exact
+# substring dedup, unigram-LM pass, perceptron gate). Expected shapes:
+# substring spans ~linear (gram-count groupBy + join, like novelty);
+# unigram/perceptron dominated by their FIXED iteration counts (the
+# corpus pass is one scan; the DP/epoch loops run on the distinct-word
+# relation / 1-row weights), so ratios ≪ multiplier.
+R7_DOC_FAMILY = [
+    "duplicate_substring_spans",
+    "unigram_lm_piece_scores",
+    "perceptron_quality_gate",
+]
+
+
+def main_r7(replicas: int) -> int:
+    spark = get_spark("bench_scale_r7")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = queries()
+    scaled_dir = build_scaled(spark, replicas)
+
+    qs["duplicate_substring_spans"](spark, BASE_SF).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    release_tracked()
+
+    base = run_family(spark, qs, BASE_SF, R7_DOC_FAMILY)
+    scaled = run_family(spark, qs, scaled_dir, R7_DOC_FAMILY)
+
+    # PCA over the 10×-equivalent embedding corpus (dimension-rotated
+    # replicas): the covariance pass is the only data-scale stage.
+    emb_dir = build_scaled(spark, 10, emb_only=True)
+    from yelp_data_pipeline_spark.operators.similarity import embedding_top_pc
+    from yelp_data_pipeline_spark.tables import load_table
+
+    for tag, sf_dir in (("pca_base", BASE_SF), ("pca_10x", emb_dir)):
+        t0 = time.perf_counter()
+        embedding_top_pc(
+            load_table(spark, sf_dir, "embeddings"), "embedding", 64, 8
+        ).write.format("noop").mode("overwrite").save()
+        (base if sf_dir == BASE_SF else scaled)[tag] = round(
+            time.perf_counter() - t0, 3
+        )
+        release_tracked()
+    ratios = {}
+    for k in base:
+        sk = {"pca_base": "pca_10x"}.get(k, k)
+        if sk in scaled and base[k] > 0:
+            ratios[k] = round(scaled[sk] / base[k], 2)
+    print(json.dumps({
+        "metric": "r7_family_scale",
+        "unit": "sec",
+        "sf_base": 0.1,
+        "scale_multiplier": replicas,
+        "pca_multiplier": 10,
+        "base": base,
+        "scaled": scaled,
+        "ratio": ratios,
+    }))
+    return 0
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     replicas = int(args[0]) if args else 5
@@ -379,6 +439,8 @@ def main() -> int:
         return main_docs(replicas)
     if "--er" in sys.argv:
         return main_er(replicas)
+    if "--r7" in sys.argv:
+        return main_r7(replicas)
     spark = get_spark("bench_scale")
     spark.sparkContext.setLogLevel("ERROR")
     qs = queries()

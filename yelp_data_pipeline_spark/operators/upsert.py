@@ -205,3 +205,66 @@ def write_partitioned(
         "dynamic" if dynamic else "static",
     )
     df.write.mode("overwrite").partitionBy(*partition_cols).format(fmt).save(path)
+
+
+def table_file_stats(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(n_data_files, total_bytes) for a parquet table directory —
+    driver-side Hadoop FS listing (metadata only, no data read),
+    recursing into partition subdirectories."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    n, total = 0, 0
+    it = fs.listFiles(p, True)  # recursive
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        n += 1
+        total += st.getLen()
+    return n, total
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_within_by: list[str] | None = None,
+) -> tuple[int, int]:
+    """Small-file compaction — Delta/Iceberg ``OPTIMIZE`` semantics on
+    a plain parquet table: rewrite the table into
+    ``ceil(total_bytes / target_file_bytes)`` files, optionally
+    re-sorting rows within files (sortWithinPartitions — keeps min/max
+    footer ranges tight for pruning, the write_clustered property).
+
+    Why this is a first-class 100 TB operator: streaming/incremental
+    sinks accrete thousands of tiny files per partition; every
+    downstream scan then pays one task + one footer read PER FILE, and
+    the NameNode/listing cost grows unboundedly. Compaction is the
+    standing maintenance job that restores scan efficiency.
+
+    Mechanics: ONE metadata listing sizes the table (no data read),
+    one read→repartition(n)→overwrite pass rewrites it. The rewrite
+    stages through a temp directory + atomic-ish swap is NOT attempted
+    here — plain parquet has no transaction log, so the overwrite is
+    the same non-atomic contract every other overwrite in this layer
+    has (the Delta-native path is the declared environment boundary).
+
+    Returns (files_before, files_after).
+    """
+    import math
+
+    n_before, total = table_file_stats(spark, path)
+    n_target = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    out = df.repartition(n_target)
+    if sort_within_by:
+        out = out.sortWithinPartitions(*sort_within_by)
+    # Materialize BEFORE overwriting the source directory: the plan
+    # reads the very files the overwrite deletes.
+    rows = out.localCheckpoint(eager=True)
+    rows.write.mode("overwrite").parquet(path)
+    n_after, _ = table_file_stats(spark, path)
+    return n_before, n_after
