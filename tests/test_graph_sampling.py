@@ -309,3 +309,31 @@ def test_mixture_zero_count_source_yields_empty_not_crash(spark):
         resample_to_mixture(df, "doc_id", "source", {})
     with pytest.raises(ValueError, match="> 0"):
         resample_to_mixture(df, "doc_id", "source", {"web": 0.0})
+
+
+def test_priority_sample_unbiased_total_and_small_table(spark):
+    """Priority sampling invariants: (1) a table with <= k positive
+    rows is returned whole with est_weight == weight (tau absent);
+    (2) for k < n the HT total sum(est_weight) approximates the true
+    weight total; (3) zero/negative weights never sampled."""
+    from yelp_data_pipeline_spark.operators.sampling import priority_sample
+
+    small = spark.createDataFrame(
+        [(1, 5.0), (2, 3.0), (3, 0.0), (4, -2.0)], ["id", "w"]
+    )
+    got = {
+        r["id"]: (r["weight"], r["est_weight"])
+        for r in priority_sample(small, "id", "w", k=10).collect()
+    }
+    assert got == {1: (5.0, 5.0), 2: (3.0, 3.0)}
+
+    big = spark.createDataFrame(
+        [(i, float(1 + i % 13)) for i in range(400)], ["id", "w"]
+    )
+    rows = priority_sample(big, "id", "w", k=64).collect()
+    assert len(rows) == 64
+    true_total = sum(1 + i % 13 for i in range(400))
+    est_total = sum(r["est_weight"] for r in rows)
+    # HT estimator: unbiased; for this size the realized estimate
+    # lands within ~25% of truth (deterministic given the hash).
+    assert abs(est_total - true_total) / true_total < 0.25

@@ -261,3 +261,73 @@ def global_shuffle_shards(
     return base.select(
         id_col, "shard", F.row_number().over(w).alias("shard_pos")
     )
+
+
+HASH_SPACE_D = float(1 << 60)  # md5_long's range, exact in double
+
+
+def priority_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col,
+    k: int = 64,
+) -> DataFrame:
+    """Fixed-size weighted sample WITHOUT replacement via PRIORITY
+    SAMPLING (Duffield, Lund & Thorup 2007) — the deterministic
+    replacement for `rand()`-keyed weighted reservoirs: priority
+    q = w / u with u = (md5(id)+1)/2^60 ∈ (0,1], keep the k largest
+    priorities, and estimate each kept row's weight as
+    ŵ = max(w, τ) where τ is the (k+1)-th priority. Subset-sum
+    estimates over ŵ are UNBIASED for any fixed subset — the property
+    that makes a tiny weighted sample answer "how many training
+    tokens does slice X contribute" questions at 100 TB.
+
+    Determinism: u is a content hash (reruns, retries, partitionings,
+    and the DuckDB oracle agree row-for-row); q is ONE double division
+    of deterministic operands; ranking ties break on id. Rows with
+    weight ≤ 0 or NULL are excluded (they cannot be sampled and would
+    poison τ).
+
+    Plan: map-side priority, ONE TakeOrdered-style global top-(k+1)
+    (limit k+1 after an orderBy — a k-heap per partition, driver
+    merges), τ peeled from row k+1, broadcast back over the k kept
+    rows. No shuffle of the table, no rand().
+
+    Returns (id, weight, est_weight) for the k sampled rows (fewer if
+    the table has < k positive-weight rows), est_weight = ŵ rounded
+    6dp.
+    """
+    from pyspark.sql import Window
+
+    w = (weight_col if not isinstance(weight_col, str) else F.col(weight_col)).cast(
+        "double"
+    )
+    u = (md5_long(F.col(id_col).cast("string")) + F.lit(1)).cast("double") / F.lit(
+        HASH_SPACE_D
+    )
+    scored = (
+        df.select(F.col(id_col), w.alias("w"))
+        .where(F.col("w") > 0)
+        .select(id_col, "w", (F.col("w") / u).alias("q"))
+        .orderBy(F.desc("q"), F.asc(id_col))
+        .limit(k + 1)
+    )
+    rw = Window.orderBy(F.desc("q"), F.asc(id_col))
+    ranked = scored.withColumn("rn", F.row_number().over(rw))
+    # τ is absent when the table has ≤ k positive-weight rows (every
+    # row sampled ⇒ ŵ = w): LEFT join on a literal key so an empty τ
+    # frame degrades to NULL instead of emptying the result.
+    tau = ranked.where(F.col("rn") == k + 1).select(
+        F.lit(1).alias("__one"), F.col("q").alias("tau")
+    )
+    kept = ranked.where(F.col("rn") <= k).withColumn("__one", F.lit(1))
+    return (
+        kept.join(F.broadcast(tau), "__one", "left")
+        .select(
+            id_col,
+            F.round("w", 6).alias("weight"),
+            F.round(
+                F.greatest(F.col("w"), F.coalesce(F.col("tau"), F.col("w"))), 6
+            ).alias("est_weight"),
+        )
+    )

@@ -7864,6 +7864,45 @@ def q_segment_event_values_hot_cold(spark, sf_dir):
     )
 
 
+@_q(
+    "priority_sampled_docs",
+    f"""
+WITH scored AS (
+  SELECT doc_id, CAST(length(text) AS DOUBLE) AS w,
+         CAST(length(text) AS DOUBLE)
+           / (CAST(({md5_long_sql("CAST(doc_id AS VARCHAR)")} + 1) AS DOUBLE)
+              / 1152921504606846976.0) AS q
+  FROM documents
+  WHERE CAST(length(text) AS DOUBLE) > 0
+),
+top AS (
+  SELECT doc_id, w, q,
+         row_number() OVER (ORDER BY q DESC, doc_id ASC) AS rn
+  FROM scored
+),
+tau AS (SELECT q AS tau FROM top WHERE rn = 65),
+kept AS (SELECT doc_id, w FROM top WHERE rn <= 64)
+SELECT doc_id, round(w, 6) AS weight,
+       round(greatest(w, coalesce((SELECT tau FROM tau), w)), 6)
+         AS est_weight
+FROM kept
+""",
+    doc="Fixed-size length-weighted document sample via PRIORITY "
+    "SAMPLING (operators/sampling.py:priority_sample; Duffield, Lund "
+    "& Thorup 2007) — the deterministic weighted reservoir: priority "
+    "q = w/u with u = (md5(id)+1)/2^60, global top-64 kept, ŵ = "
+    "max(w, τ) from the 65th priority makes subset-sum estimates "
+    "UNBIASED ('how many training tokens does slice X contribute' "
+    "from a tiny sample). Content-hash u ⇒ reruns/retries/engines "
+    "agree row-for-row, unlike rand(); ONE map-side priority + one "
+    "TakeOrdered top-(k+1), no table shuffle. Length weights = "
+    "token-budget-proportional sampling.",
+)
+def q_priority_sampled_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return smp.priority_sample(d, "doc_id", F.length("text"), k=64)
+
+
 def _hll_by_type_oracle() -> str:
     from .operators.aggregates import hll_oracle_sql
 
@@ -8372,6 +8411,7 @@ _EXPORT_PRIORITY: list[str] = [
     "perceptron_quality_gate",
     "embedding_principal_component",
     "hll_users_by_event_type",
+    "priority_sampled_docs",
     # Stalest verdicts (last seen round 2) — refresh:
     "ann_topk_batch",
     "ann_topk_cosine",
@@ -8414,7 +8454,6 @@ _EXPORT_PRIORITY: list[str] = [
     "event_value_histogram",
     "funnel_steps",
     "hourly_event_counts",
-    "lang_id_docs",
 ]
 
 
