@@ -246,11 +246,17 @@ def compact_small_files(
     standing maintenance job that restores scan efficiency.
 
     Mechanics: ONE metadata listing sizes the table (no data read),
-    one read→repartition(n)→overwrite pass rewrites it. The rewrite
-    stages through a temp directory + atomic-ish swap is NOT attempted
-    here — plain parquet has no transaction log, so the overwrite is
-    the same non-atomic contract every other overwrite in this layer
-    has (the Delta-native path is the declared environment boundary).
+    one read→repartition(n)→overwrite pass rewrites it. Because the
+    plan reads the very files the overwrite deletes, the data stages
+    through an eager localCheckpoint (executor memory+local disk)
+    before the write — fine for per-partition / per-table maintenance
+    batches, but a 100 TB whole-table compaction should loop this
+    operator over partitions (each batch bounded by executor local
+    storage) or stage via a temp directory + rename. A temp-dir
+    atomic-ish swap is NOT attempted here — plain parquet has no
+    transaction log, so the overwrite is the same non-atomic contract
+    every other overwrite in this layer has (the Delta-native path is
+    the declared environment boundary).
 
     Returns (files_before, files_after).
     """
