@@ -108,3 +108,28 @@ def test_csv_source_schema_partition_pruning(spark, tmp_path):
     ).select("id")
     pplan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "ReadSchema: struct<id:bigint>" in pplan
+
+
+def test_dynamic_partition_pruning_on_star_join(spark, tmp_path):
+    """Star-join scans must prune fact PARTITIONS from the dim filter
+    at RUNTIME (dynamic partition pruning): the fact is partitioned by
+    the join key, the dim filter selects a subset, and the executed
+    plan's fact scan must carry a dynamicpruning partition filter —
+    at 100 TB this is the difference between scanning 2 regions and
+    scanning 25."""
+    fact_path = str(tmp_path / "fact_part")
+    spark.range(10_000).selectExpr(
+        "id", "CAST(id % 25 AS LONG) AS region_k", "id * 2.0 AS amount"
+    ).write.partitionBy("region_k").parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.createDataFrame(
+        [(i, f"r{i}", "KEEP" if i < 2 else "DROP") for i in range(25)],
+        "region_k long, name string, flag string",
+    )
+    joined = fact.join(dim, "region_k").where(F.col("flag") == "KEEP")
+    jqe = joined._jdf.queryExecution()
+    jqe.executedPlan().executeCollect()
+    plan = jqe.executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    # And the join result only touched the two KEEP regions.
+    assert joined.select("region_k").distinct().count() == 2

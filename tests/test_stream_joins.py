@@ -106,3 +106,44 @@ def test_stream_dedup_within_watermark_restamped_retries(spark, tmp_path):
     got = spark.sql("SELECT event_id FROM t_ddww").collect()
     ids = [r["event_id"] for r in got]
     assert len(ids) == len(set(ids)) == base.count()
+
+
+def test_stream_static_enrichment_matches_batch(spark, tmp_path):
+    """enrich_stream on a bounded replay must equal the batch join,
+    and unmatched stream rows survive a left enrich with NULL attrs
+    (the static side carries no state store — nothing to evict)."""
+    from yelp_data_pipeline_spark.streaming import joins as sjx
+    from yelp_data_pipeline_spark.streaming import windows as sw
+
+    stream = sw.stream_events_from_parquet(spark, SF_DIR).select(
+        "event_id", "user_id"
+    )
+    dim = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    enriched = sjx.enrich_stream(stream, dim, "user_id", "c_custkey")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("t_enrich")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_enrich"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["event_id"], r["c_mktsegment"])
+        for r in spark.sql("SELECT event_id, c_mktsegment FROM t_enrich").collect()
+    }
+    batch = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("event_id", "user_id")
+        .join(dim, F.col("user_id") == F.col("c_custkey"), "left")
+    )
+    want = {(r["event_id"], r["c_mktsegment"]) for r in batch.collect()}
+    assert got == want and len(got) > 0
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        sjx.enrich_stream(stream, dim, "user_id", "c_custkey", how="full")

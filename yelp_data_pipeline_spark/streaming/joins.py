@@ -90,3 +90,37 @@ def dedup_stream_within_watermark(
     if df.isStreaming:
         return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
     return df.dropDuplicates(keys)
+
+
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    stream_key: str,
+    dim_key: str,
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-STATIC enrichment join — the most common production
+    streaming shape (attach dimension attributes to an event stream),
+    and deliberately simpler than the stream-stream interval join: a
+    static side carries NO state store and needs NO watermark; Spark
+    re-evaluates the static relation per micro-batch, so a dim table
+    updated between batches is picked up automatically (slowly
+    changing dims without restart).
+
+    Scale posture: broadcast the dim (default) so each micro-batch is
+    a map-side hash join — no shuffle of the stream, no state. For
+    dims too large to broadcast, pass ``broadcast_dim=False`` and
+    pre-bucket both sides on the key. Inner and left joins only:
+    right/full against a static side would need to emit
+    "dim rows never matched", which is unanswerable on an unbounded
+    stream.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"stream-static join supports inner/left, got {how!r}"
+        )
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(
+        d, stream[stream_key] == d[dim_key], how
+    )
