@@ -1,0 +1,61 @@
+"""Physical-plan regression guards: the properties that make queries
+scale (pushdown, broadcast, top-k heaps, no unbounded nested loops)
+are ASSERTED here, not just eyeballed in tools/audit_plans.py. A
+regression that silently turns a bucketed join into a cartesian, or
+drops a parquet filter pushdown, fails the suite.
+"""
+
+import importlib.util
+import sys
+
+sys.path.insert(0, "/root/repo/tools")
+
+from yelp_data_pipeline_spark.queries import queries
+
+from conftest import SF_DIR
+
+
+def _auditor():
+    spec = importlib.util.spec_from_file_location(
+        "audit_plans", "/root/repo/tools/audit_plans.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_no_dangerous_nested_loops_in_representative_plans(spark):
+    ap = _auditor()
+    qs = queries()
+    for name in [
+        "top_regions_by_orders",      # star join chain
+        "dedup_minhash_pairs",        # LSH band join
+        "shipping_priority_top10",    # TPC-H Q3 shape
+        "duplicate_substring_spans",  # round-7 gram join
+        "nation_theil_sen_trend",     # pair-sampled slopes
+        "hll_users_by_event_type",    # grouped sketch
+    ]:
+        a = ap.audit(name, qs[name](spark, SF_DIR))
+        assert not a["nested_loop"], f"{name}: unbounded nested loop"
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    ap = _auditor()
+    qs = queries()
+    a = ap.audit("filtered_lineitems", qs["filtered_lineitems"](spark, SF_DIR))
+    assert a["pushed_filters"] >= 1, "predicate did not reach the scan"
+
+
+def test_topk_uses_heap_not_global_sort(spark):
+    ap = _auditor()
+    qs = queries()
+    for name in ["top_regions_by_orders", "shipping_priority_top10"]:
+        a = ap.audit(name, qs[name](spark, SF_DIR))
+        assert a["takeordered"], f"{name}: top-k fell back to a global sort"
+
+
+def test_star_join_broadcasts_dims(spark):
+    ap = _auditor()
+    qs = queries()
+    a = ap.audit("top_regions_by_orders", qs["top_regions_by_orders"](spark, SF_DIR))
+    assert a["broadcasts"] >= 1, "dim chain not broadcast"
