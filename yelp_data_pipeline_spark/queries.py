@@ -7865,6 +7865,98 @@ def q_segment_event_values_hot_cold(spark, sf_dir):
 
 
 @_q(
+    "minhash_recall_eval",
+    f"""
+WITH lsh AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({_minhash_oracle(k=12, bands=4, threshold=0.8)}) mp
+),
+ex AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM (
+    WITH {_SHINGLES_CTE},
+    exx AS (
+      SELECT doc_id, CAST(len(shingles) AS INT) AS n_sh, unnest(shingles) AS s FROM sh
+    ),
+    c AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+             count(*) AS common
+      FROM exx a JOIN exx b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b
+    FROM c
+    WHERE round(CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE), 6) >= 0.8
+  ) q
+),
+j AS (
+  SELECT coalesce(ex.doc_a, lsh.doc_a) AS doc_a,
+         CASE WHEN ex.doc_a IS NOT NULL THEN 1 ELSE 0 END AS e,
+         CASE WHEN lsh.doc_a IS NOT NULL THEN 1 ELSE 0 END AS l
+  FROM ex FULL OUTER JOIN lsh
+    ON ex.doc_a = lsh.doc_a AND ex.doc_b = lsh.doc_b
+),
+agg AS (
+  SELECT CAST(sum(e) AS BIGINT) AS n_exact,
+         CAST(sum(l) AS BIGINT) AS n_lsh,
+         CAST(sum(e * l) AS BIGINT) AS n_common
+  FROM j
+)
+SELECT n_exact, n_lsh, n_common,
+       CASE WHEN n_exact > 0
+         THEN round(CAST(n_common AS DOUBLE) / CAST(n_exact AS DOUBLE), 6) END
+         AS recall,
+       CASE WHEN n_lsh > 0
+         THEN round(CAST(n_common AS DOUBLE) / CAST(n_lsh AS DOUBLE), 6) END
+         AS precision
+FROM agg
+""",
+    doc="Banding quality measured, not assumed: the MinHash-LSH pair "
+    "set (12 hashes × 4 bands, exact-Jaccard verified) scored against "
+    "the EXACT n-gram-Jaccard ≥ 0.8 ground truth — recall is the "
+    "banding miss rate (P[no band collides] for a qualifying pair), "
+    "precision is 1.0 by construction (the verify step readmits no "
+    "false positives) and the query PROVES it rather than asserting "
+    "it. The dedup-family twin of pq_recall_eval: approximation "
+    "quality is itself a first-class, oracle-checked output. Both "
+    "pair sets are bucketed joins (never n²); the comparison is one "
+    "full-outer join on the bounded pair relations.",
+)
+def q_minhash_recall_eval(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    lsh = dd.minhash_lsh_pairs(
+        d, "doc_id", "text", k=12, bands=4, threshold=0.8
+    ).select("doc_a", "doc_b", F.lit(1).alias("l"))
+    ex = dd.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.8, max_doc_freq=None
+    ).select("doc_a", "doc_b", F.lit(1).alias("e"))
+    j = ex.join(lsh, ["doc_a", "doc_b"], "full_outer").select(
+        F.coalesce("e", F.lit(0)).alias("e"),
+        F.coalesce("l", F.lit(0)).alias("l"),
+    )
+    a = j.agg(
+        F.sum("e").cast("long").alias("n_exact"),
+        F.sum("l").cast("long").alias("n_lsh"),
+        F.sum(F.col("e") * F.col("l")).cast("long").alias("n_common"),
+    )
+    rec = F.when(
+        F.col("n_exact") > 0,
+        F.round(
+            F.col("n_common").cast("double") / F.col("n_exact").cast("double"),
+            6,
+        ),
+    )
+    prec = F.when(
+        F.col("n_lsh") > 0,
+        F.round(
+            F.col("n_common").cast("double") / F.col("n_lsh").cast("double"), 6
+        ),
+    )
+    return a.select(
+        "n_exact", "n_lsh", "n_common",
+        rec.alias("recall"), prec.alias("precision"),
+    )
+
+
+@_q(
     "priority_sampled_docs",
     f"""
 WITH scored AS (
@@ -8412,6 +8504,7 @@ _EXPORT_PRIORITY: list[str] = [
     "embedding_principal_component",
     "hll_users_by_event_type",
     "priority_sampled_docs",
+    "minhash_recall_eval",
     # Stalest verdicts (last seen round 2) — refresh:
     "ann_topk_batch",
     "ann_topk_cosine",
@@ -8453,7 +8546,6 @@ _EXPORT_PRIORITY: list[str] = [
     "event_type_distincts",
     "event_value_histogram",
     "funnel_steps",
-    "hourly_event_counts",
 ]
 
 
