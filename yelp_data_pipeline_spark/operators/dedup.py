@@ -1003,9 +1003,15 @@ def doc_novelty_scores(
     """
     from pyspark.sql import Window
 
-    sh = with_shingles(
-        df.select(F.col(id_col), F.col(text_col)), text_col, n
-    ).select(F.col(id_col), F.explode("shingles").alias("s"))
+    sh = (
+        with_shingles(df.select(F.col(id_col), F.col(text_col)), text_col, n)
+        .select(F.col(id_col), F.explode("shingles").alias("s"))
+        # 8-byte xxhash64 window key instead of the shingle string —
+        # the same shuffle-slimming as ngram_jaccard_pairs (measured
+        # 4.14s → 3.77s at sf0.1); a collision merges two shingles'
+        # first-seen attribution (P ≈ n²/2^65, immaterial).
+        .select(F.col(id_col), F.xxhash64("s").alias("s"))
+    )
     w = Window.partitionBy("s")
     per = (
         sh.withColumn("fd", F.min(id_col).over(w))
