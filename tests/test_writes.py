@@ -168,3 +168,46 @@ def test_compact_small_files_respects_target_size(spark, tmp_path):
     assert nb == 32
     assert 3 <= na <= 6  # ceil(total/target) ~ 4-5 (size drifts on rewrite)
     assert spark.read.parquet(path).count() == 50_000
+
+
+def test_compact_sort_within_tightens_footer_ranges(spark, tmp_path):
+    """sort_within_by during compaction must produce disjoint-ish
+    min/max id ranges per output file (the pruning property), and the
+    recursive file-stats listing must see through partition dirs."""
+    from yelp_data_pipeline_spark.operators.upsert import (
+        compact_small_files,
+        table_file_stats,
+    )
+
+    path = str(tmp_path / "sorted_compact")
+    spark.range(40_000).selectExpr(
+        "id", "id % 4 AS p"
+    ).write.partitionBy("p").parquet(path)
+    n0, total = table_file_stats(spark, path)
+    assert n0 >= 4 and total > 0  # listing recursed into p=*/
+
+    nb, na = compact_small_files(
+        spark, path, target_file_bytes=max(1, total // 4),
+        sort_within_by=["id"],
+    )
+    assert nb == n0 and 2 <= na <= 8
+    # Footer check: per-file id ranges must not all overlap — read
+    # each file and verify the min/max intervals are mostly disjoint.
+    import glob
+
+    files = [
+        f for f in glob.glob(f"{path}/*.parquet")
+        if not f.rsplit("/", 1)[-1].startswith("_")
+    ]
+    spans = []
+    for f in files:
+        r = spark.read.parquet(f).agg(
+            F.min("id").alias("lo"), F.max("id").alias("hi")
+        ).collect()[0]
+        spans.append((r["lo"], r["hi"]))
+    spans.sort()
+    overlaps = sum(
+        1 for (l1, h1), (l2, h2) in zip(spans, spans[1:]) if l2 <= h1
+    )
+    assert overlaps == 0  # sorted-within + range partition = disjoint
+    assert spark.read.parquet(path).count() == 40_000

@@ -265,9 +265,16 @@ def compact_small_files(
     n_before, total = table_file_stats(spark, path)
     n_target = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(path)
-    out = df.repartition(n_target)
     if sort_within_by:
+        # Range-partition + sort-within (the write_clustered shape):
+        # output files carry DISJOINT min/max ranges on the sort key,
+        # so later scans prune files, not just row groups. A plain
+        # repartition(n) would round-robin rows and leave every
+        # file's range spanning the whole table.
+        out = df.repartitionByRange(n_target, *sort_within_by)
         out = out.sortWithinPartitions(*sort_within_by)
+    else:
+        out = df.repartition(n_target)
     # Materialize BEFORE overwriting the source directory: the plan
     # reads the very files the overwrite deletes.
     rows = out.localCheckpoint(eager=True)
