@@ -1034,57 +1034,20 @@ def doc_novelty_scores(
     )
 
 
-def duplicate_substring_spans(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    min_tokens: int = 8,
+def _positioned_grams(
+    df: DataFrame, id_col: str, text_col: str, min_tokens: int
 ) -> DataFrame:
-    """Exact long-duplicate-substring spans — the suffix-array dedup of
-    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
-    Better"), re-expressed for Spark's shuffle model: for each document,
-    the maximal token ranges covered by a substring of ≥ ``min_tokens``
-    tokens that occurs ≥ 2 times anywhere in the corpus (the spans that
-    pipeline's next stage cuts out of the training text).
-
-    Why no suffix array: a substring of length ≥ L occurs twice IFF
-    some L-token window occurs twice — so for the fixed-threshold
-    question the suffix-sort + adjacent-LCP scan reduces EXACTLY to
-    duplicated-L-gram detection (sorting truncated suffixes to length
-    L groups equal L-grams; adjacent LCP ≥ L means equal L-grams).
-    That reduction swaps an order-dependent global sort for two
-    key-partitioned shuffles — the shape that scales:
-
-    1. Positioned L-grams per doc — one map-side expression
-       (transform(sequence) + posexplode), grams carried as 60-bit
-       md5 hashes (8 bytes shuffled per window, never the text; the
-       oracle replays the same family bit-exactly).
-    2. Duplicated grams via groupBy(g).count() ≥ 2 — fully map-side
-       combinable (each task emits each gram once), then an inner
-       shuffle join of positions against the duplicated-gram keys.
-       A join, not a count-window over partition-by-gram: the join
-       lets AQE split a pathological hot gram (boilerplate headers at
-       100 TB) across reducers, where a window's partition is
-       irreducibly single-reducer.
-    3. Per-doc island merge (gaps-and-islands over window starts:
-       a start within L of its predecessor extends the covered run) —
-       one doc-keyed window pass; the partition key is the document,
-       maximally spread.
-
-    Returns (id, start_tok, end_tok, span_tokens): 1-based inclusive
-    token positions of each maximal duplicated run.
-    """
-    from pyspark.sql import Window
-
+    """(id, pos, g): every L-token window as a positioned 60-bit md5
+    gram — one map-side expression (transform(sequence) + posexplode);
+    8 bytes shuffle per window, never the text. Shared by
+    duplicate_substring_spans and contamination_spans."""
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    base = ensure_min_parallelism(df).select(
-        F.col(id_col), toks.alias("t")
-    )
+    base = ensure_min_parallelism(df).select(F.col(id_col), toks.alias("t"))
     idx = F.when(
         F.size("t") >= min_tokens,
         F.sequence(F.lit(1), F.size("t") - (min_tokens - 1)),
     ).otherwise(F.array().cast("array<int>"))
-    grams = base.select(
+    return base.select(
         F.col(id_col),
         F.explode(
             F.transform(
@@ -1098,13 +1061,13 @@ def duplicate_substring_spans(
             )
         ).alias("x"),
     ).select(id_col, F.col("x.pos").alias("pos"), F.col("x.g").alias("g"))
-    dup_keys = (
-        grams.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .where(F.col("c") >= 2)
-        .select("g")
-    )
-    hits = grams.join(dup_keys, "g").select(id_col, "pos")
+
+
+def _merge_spans(hits: DataFrame, id_col: str, min_tokens: int) -> DataFrame:
+    """Gaps-and-islands merge of flagged window starts into maximal
+    covered token runs — one doc-keyed window pass."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy(id_col).orderBy("pos")
     # lag NULL ⇒ pos − NULL ⇒ NULL ⇒ when() false ⇒ new island (both
     # engines' CASE treats NULL conditions as false — same first row).
@@ -1134,3 +1097,87 @@ def duplicate_substring_spans(
             (F.col("end_tok") - F.col("start_tok") + 1).alias("span_tokens"),
         )
     )
+
+
+def duplicate_substring_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 8,
+) -> DataFrame:
+    """Exact long-duplicate-substring spans — the suffix-array dedup of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"), re-expressed for Spark's shuffle model: for each document,
+    the maximal token ranges covered by a substring of ≥ ``min_tokens``
+    tokens that occurs ≥ 2 times anywhere in the corpus (the spans that
+    pipeline's next stage cuts out of the training text).
+
+    Why no suffix array: a substring of length ≥ L occurs twice IFF
+    some L-token window occurs twice — so for the fixed-threshold
+    question the suffix-sort + adjacent-LCP scan reduces EXACTLY to
+    duplicated-L-gram detection (sorting truncated suffixes to length
+    L groups equal L-grams; adjacent LCP ≥ L means equal L-grams).
+    That reduction swaps an order-dependent global sort for two
+    key-partitioned shuffles — the shape that scales:
+
+    1. Positioned L-grams per doc (:func:`_positioned_grams`) — grams
+       carried as 60-bit md5 hashes; the oracle replays the family
+       bit-exactly.
+    2. Duplicated grams via groupBy(g).count() ≥ 2 — fully map-side
+       combinable (each task emits each gram once), then an inner
+       shuffle join of positions against the duplicated-gram keys.
+       A join, not a count-window over partition-by-gram: the join
+       lets AQE split a pathological hot gram (boilerplate headers at
+       100 TB) across reducers, where a window's partition is
+       irreducibly single-reducer.
+    3. Per-doc island merge (:func:`_merge_spans`) — one doc-keyed
+       window pass; the partition key is the document, maximally
+       spread.
+
+    Returns (id, start_tok, end_tok, span_tokens): 1-based inclusive
+    token positions of each maximal duplicated run.
+    """
+    grams = _positioned_grams(df, id_col, text_col, min_tokens)
+    dup_keys = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select("g")
+    )
+    hits = grams.join(dup_keys, "g").select(id_col, "pos")
+    return _merge_spans(hits, id_col, min_tokens)
+
+
+def contamination_spans(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 8,
+) -> DataFrame:
+    """SPAN-LEVEL eval decontamination: for each training document,
+    the maximal token ranges covered by a ≥ ``min_tokens``-token
+    substring that also appears ANYWHERE in the eval set — the ranges
+    a pipeline CUTS, keeping the rest of the document, where the
+    doc-level tier (:func:`decontaminate`) would drop the whole doc.
+    Span surgery preserves the ~99% of a long document that is not
+    contaminated — the difference between losing a book and losing a
+    quoted benchmark question.
+
+    Same reduction as :func:`duplicate_substring_spans` (shared
+    substring ⟺ shared L-gram), but the duplicated-gram set is the
+    DISTINCT eval gram relation: typically small enough to broadcast
+    (eval suites are ≪ training corpora), making the marking pass a
+    map-side semi-join — zero shuffle of the training grams beyond
+    the island merge.
+
+    Returns (id, start_tok, end_tok, span_tokens) on TRAIN docs.
+    """
+    tg = _positioned_grams(train, id_col, text_col, min_tokens)
+    eg = (
+        _positioned_grams(eval_df, id_col, text_col, min_tokens)
+        .select("g")
+        .distinct()
+    )
+    hits = tg.join(F.broadcast(eg), "g", "left_semi").select(id_col, "pos")
+    return _merge_spans(hits, id_col, min_tokens)
