@@ -237,3 +237,32 @@ def test_duplicate_substring_spans_island_merge(spark):
     # The only duplicated 4-grams start at 1 and 8 -> two islands
     # (gap 7 > L=4), each exactly the 4-token run.
     assert got == [(1, 4), (8, 11)]
+
+
+def test_contamination_spans_planted_overlap(spark):
+    """A train doc quoting a 5-token eval passage must surface exactly
+    that token range; train-train duplication alone must NOT flag
+    (contamination is train-vs-EVAL, not corpus-wide dedup)."""
+    from yelp_data_pipeline_spark.operators.dedup import contamination_spans
+
+    quote = "what is the capital of"
+    train = spark.createDataFrame(
+        [
+            ("t1", f"intro words {quote} france asked twice"),
+            ("t2", "common boilerplate run here common boilerplate run here"),
+            ("t3", "common boilerplate run here common boilerplate run here"),
+        ],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame(
+        [("e1", f"{quote} spain answer madrid")], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (r["start_tok"], r["end_tok"], r["span_tokens"])
+        for r in contamination_spans(
+            train, ev, "doc_id", "text", min_tokens=5
+        ).collect()
+    }
+    # t1 tokens: intro@1 words@2 what@3 is@4 the@5 capital@6 of@7
+    # france@8 ... — the only 5-gram shared with eval starts at 3.
+    assert got == {"t1": (3, 7, 5)}

@@ -85,11 +85,11 @@ def test_column_profile_long_format(spark):
     assert set(prof) == {"k", "s", "v"}
     k = prof["k"]
     assert (k["n_rows"], k["n_nulls"], k["n_distinct"]) == (4, 0, 4)
-    assert (k["min_num"], k["max_num"]) == ("1.000000", "4.000000")
+    assert (k["min_num"], k["max_num"]) == ("1000000", "4000000")
     assert k["min_str"] is None and k["max_str"] is None
     v = prof["v"]
     assert (v["n_nulls"], v["n_distinct"]) == (1, 3)
-    assert (v["min_num"], v["max_num"]) == ("1.000000", "4.000000")
+    assert (v["min_num"], v["max_num"]) == ("1000000", "4000000")
     s = prof["s"]
     assert (s["n_nulls"], s["n_distinct"]) == (1, 2)
     assert (s["min_str"], s["max_str"]) == ("x", "y")

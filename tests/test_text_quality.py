@@ -392,3 +392,31 @@ def test_perceptron_pocket_learns_separable_gate(spark):
     }
     assert out["train_total"] == 40
     assert out["train_correct"] >= 36  # >=90% on a separable split
+
+
+def test_pure_long_floor_div_exact_past_2_53(spark):
+    """The averaged perceptron step uses (s - pmod(s, m)) div m as an
+    exact int64 floor division. A double round-trip (floor(s/m) via
+    DOUBLE) is only exact while |s| < 2^53; this property pins the
+    pure-long form at adversarial magnitudes, negatives included."""
+    cases = [
+        (2**53 + 1, 3),
+        (-(2**53) - 1, 3),
+        (2**62 + 12345, 7),
+        (-(2**62) - 12345, 7),
+        (2**53 + 1, 1),
+        (-7, 2),
+        (7, 2),
+        (0, 5),
+    ]
+    df = spark.createDataFrame(cases, ["s", "m"])
+    rows = df.selectExpr(
+        "s", "m", "(s - pmod(s, m)) div m AS q"
+    ).collect()
+    for r in rows:
+        assert r["q"] == r["s"] // r["m"], (r["s"], r["m"], r["q"])
+    # and confirm at least one case where the double path would be wrong
+    import math
+
+    s, m = 2**62 + 12345, 7
+    assert math.floor(float(s) / float(m)) != s // m

@@ -87,14 +87,18 @@ def column_profile(
     count, min and max — emitted LONG (one row per column) so the
     schema is stable no matter which columns are profiled.
 
-    Numeric min/max surface as canonical DECIMAL(27,6) string
-    renderings, never raw floats: float-typed output columns are a
-    cross-engine canonicalization hazard (engine/driver float→string
-    renderings differ on precision edges), while a fixed-scale DECIMAL
-    rendered to text is bit-identical everywhere — the same rule the
-    reconciliation operator applies before hashing payloads.
-    String/date min/max pass through as strings; each type family
-    leaves the other family's columns NULL.
+    Numeric min/max surface as micro-unit integers rendered to text
+    (``floor(v·10⁶ + 0.5)`` as BIGINT → string), never raw floats or
+    decimal casts: float→string renderings differ across
+    engines/drivers on precision edges, and even double→DECIMAL cast
+    semantics (shortest-repr HALF_UP vs binary-value nearest) diverge
+    between engine versions on values not exactly k-decimal-
+    representable. The micro rendering uses only IEEE single-op
+    arithmetic — one multiply, one add, one floor, each correctly
+    rounded and bit-identical on every engine — applied AFTER the
+    min/max over the raw double (so both engines select the same
+    value first). String/date min/max pass through as strings; each
+    type family leaves the other family's columns NULL.
 
     Scale posture: a single aggregate over the table — Catalyst prunes
     the scan to exactly the profiled columns, and every statistic is
@@ -123,17 +127,26 @@ def column_profile(
             .alias(f"__nn_{c}")
         )
         aggs.append(ndv(c).cast("long").alias(f"__nd_{c}"))
+    # Min/max over the RAW double (same selected value on every
+    # engine); the lossless micro-unit rendering happens post-agg.
     for c in num_cols:
-        aggs.append(
-            F.min(F.col(c)).cast("decimal(27,6)").cast("string").alias(f"__mn_{c}")
-        )
-        aggs.append(
-            F.max(F.col(c)).cast("decimal(27,6)").cast("string").alias(f"__mx_{c}")
-        )
+        aggs.append(F.min(F.col(c).cast("double")).alias(f"__mn_{c}"))
+        aggs.append(F.max(F.col(c).cast("double")).alias(f"__mx_{c}"))
     for c in str_cols + date_cols:
         aggs.append(F.min(F.col(c)).cast("string").alias(f"__mns_{c}"))
         aggs.append(F.max(F.col(c)).cast("string").alias(f"__mxs_{c}"))
     wide = df.agg(*aggs)
+
+    def micro(col: Column) -> Column:
+        # IEEE-pure: multiply, add, floor — each a single correctly-
+        # rounded op; floor yields an integral double exact in int64
+        # range, so the long cast is value-preserving.
+        return (
+            F.floor(col * F.lit(1000000.0) + F.lit(0.5))
+            .cast("long")
+            .cast("string")
+        )
+
     for c in num_cols:
         rows.append(
             F.struct(
@@ -141,8 +154,8 @@ def column_profile(
                 F.col("__n").alias("n_rows"),
                 F.col(f"__nn_{c}").alias("n_nulls"),
                 F.col(f"__nd_{c}").alias("n_distinct"),
-                F.col(f"__mn_{c}").alias("min_num"),
-                F.col(f"__mx_{c}").alias("max_num"),
+                micro(F.col(f"__mn_{c}")).alias("min_num"),
+                micro(F.col(f"__mx_{c}")).alias("max_num"),
                 F.lit(None).cast("string").alias("min_str"),
                 F.lit(None).cast("string").alias("max_str"),
             )

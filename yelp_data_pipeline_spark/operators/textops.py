@@ -1494,8 +1494,11 @@ def perceptron_quality_gate(
     needs exp/log (not correctly rounded across libms — the repo's
     cross-engine float rule), while this trajectory is EXACT INT64
     ARITHMETIC end to end: per epoch the update is
-    ``w += floor(Σ_{misclassified} y·x / m)`` (the averaged batch
-    step — the raw sum over m misclassified rows overshoots by ~m×),
+    ``w += floor(Σ_{misclassified} y·x / m)`` computed as pure-long
+    ``(s - pmod(s, m)) div m`` — no double round-trip, so exactness
+    holds past 2^53 (i.e. at any corpus size, not just while the
+    misclassified-sum fits a double's mantissa). (The averaged batch
+    step — the raw sum over m misclassified rows overshoots by ~m×.)
     ties (margin 0) count as misclassified, and the POCKET keeps the
     best-accuracy weights over all epochs (integer accuracy compare,
     earliest-epoch tiebreak) — batch perceptrons oscillate on
@@ -1567,10 +1570,14 @@ def perceptron_quality_gate(
                 *[F.col(f"w{i}") for i in range(n)],
             )
         )
+        # Pure-long floor division: (s - pmod(s, m)) is exactly
+        # divisible by m, so `div` returns floor(s/m) with NO double
+        # round-trip — exact at ANY magnitude (a double division is
+        # only exact while |s| < 2^53, which per-mille features break
+        # around ~9e9 misclassified rows, i.e. the 100 TB regime).
         davg = lambda i: F.when(  # noqa: E731
             F.col("m") > 0,
-            F.floor(F.col(f"s{i}").cast("double") / F.col("m").cast("double"))
-            .cast("long"),
+            F.expr(f"(s{i} - pmod(s{i}, m)) div m"),
         ).otherwise(F.lit(0))
         # BOTH frames checkpoint eagerly: the stats cut the
         # feature-scan dependency; the weights must too — a lazy

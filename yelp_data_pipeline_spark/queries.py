@@ -5937,16 +5937,16 @@ WITH w AS (
   SELECT count(*) AS n,
          sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nn_k,
          count(DISTINCT o_orderkey) AS nd_k,
-         CAST(CAST(min(o_orderkey) AS DECIMAL(27,6)) AS VARCHAR) AS mn_k,
-         CAST(CAST(max(o_orderkey) AS DECIMAL(27,6)) AS VARCHAR) AS mx_k,
+         CAST(CAST(FLOOR(min(CAST(o_orderkey AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS VARCHAR) AS mn_k,
+         CAST(CAST(FLOOR(max(CAST(o_orderkey AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS VARCHAR) AS mx_k,
          sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nn_c,
          count(DISTINCT o_custkey) AS nd_c,
-         CAST(CAST(min(o_custkey) AS DECIMAL(27,6)) AS VARCHAR) AS mn_c,
-         CAST(CAST(max(o_custkey) AS DECIMAL(27,6)) AS VARCHAR) AS mx_c,
+         CAST(CAST(FLOOR(min(CAST(o_custkey AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS VARCHAR) AS mn_c,
+         CAST(CAST(FLOOR(max(CAST(o_custkey AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS VARCHAR) AS mx_c,
          sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS nn_p,
          count(DISTINCT o_totalprice) AS nd_p,
-         CAST(CAST(min(o_totalprice) AS DECIMAL(27,6)) AS VARCHAR) AS mn_p,
-         CAST(CAST(max(o_totalprice) AS DECIMAL(27,6)) AS VARCHAR) AS mx_p,
+         CAST(CAST(FLOOR(min(CAST(o_totalprice AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS VARCHAR) AS mn_p,
+         CAST(CAST(FLOOR(max(CAST(o_totalprice AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS VARCHAR) AS mx_p,
          sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS nn_s,
          count(DISTINCT o_orderstatus) AS nd_s,
          CAST(min(o_orderstatus) AS VARCHAR) AS mn_s,
@@ -5983,10 +5983,13 @@ SELECT 'o_date', n, nn_d, nd_d, NULL, NULL, mn_d, mx_d FROM w
     "every stat map-side combinable except exact NDV (Spark expand), "
     "for which the operator offers approx_count_distinct (HLL++) as "
     "the 100 TB path — exact kept here so the oracle replays "
-    "bit-for-bit. Numeric min/max as canonical DECIMAL(27,6) string "
-    "renderings — never raw floats, whose engine/driver-side "
-    "canonicalization differs on precision edges (the r6 red-row "
-    "lesson; same rule as orders_reconciliation_diff).",
+    "bit-for-bit. Numeric min/max as micro-unit integers "
+    "(floor(v*1e6+0.5) AS BIGINT, rendered to text): min/max taken "
+    "over the RAW double first (same selected value everywhere), "
+    "then only IEEE single-op arithmetic — no decimal-cast "
+    "semantics, which proved engine-version-dependent on "
+    "non-2-decimal-representable doubles (the r6/r7 red-row "
+    "lesson).",
 )
 def q_orders_column_profile(spark, sf_dir):
     o = _t(spark, sf_dir, "orders").withColumn(
@@ -5998,6 +6001,77 @@ def q_orders_column_profile(spark, sf_dir):
         str_cols=["o_orderstatus", "o_orderpriority"],
         date_cols=["o_date"],
     )
+
+
+# TEMPORARY round-8 bisect probes (drop in round 9): one single-row
+# profile per orders_column_profile cell group, identical expressions,
+# exported at the FRONT of the window so the external oracle — the only
+# engine that sees the 2-round-old hash failure — localizes (or
+# confirms fixed) the diverging column.
+_PROBE_NUM_SQL = """
+SELECT '{c}' AS "column", count(*) AS n_rows,
+       sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       count(DISTINCT {c}) AS n_distinct,
+       CAST(CAST(FLOOR(min(CAST({c} AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS VARCHAR) AS min_num,
+       CAST(CAST(FLOOR(max(CAST({c} AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS VARCHAR) AS max_num,
+       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+FROM orders
+"""
+
+_PROBE_STR_SQL = """
+SELECT '{c}' AS "column", count(*) AS n_rows,
+       sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       count(DISTINCT {c}) AS n_distinct,
+       CAST(NULL AS VARCHAR) AS min_num, CAST(NULL AS VARCHAR) AS max_num,
+       CAST(min({c}) AS VARCHAR) AS min_str,
+       CAST(max({c}) AS VARCHAR) AS max_str
+FROM orders
+"""
+
+_PROBE_DOC = (
+    "TEMPORARY r8 bisect probe for the orders_column_profile driver "
+    "hash failure: the same column_profile expressions restricted to "
+    "ONE column, so the external oracle localizes the diverging cell."
+)
+
+
+def _mk_profile_probe(kind: str, col: str):
+    def fn(spark, sf_dir):
+        o = _t(spark, sf_dir, "orders").withColumn(
+            "o_date", F.to_date("o_orderdate")
+        )
+        kw = {f"{kind}_cols": [col]}
+        return dq.column_profile(o, **kw)
+
+    return fn
+
+
+for _pk, _pc in [
+    ("num", "o_orderkey"),
+    ("num", "o_custkey"),
+    ("num", "o_totalprice"),
+    ("str", "o_orderstatus"),
+    ("str", "o_orderpriority"),
+]:
+    _q(
+        f"profile_probe_{_pc[2:]}",
+        (_PROBE_NUM_SQL if _pk == "num" else _PROBE_STR_SQL).format(c=_pc),
+        doc=_PROBE_DOC,
+    )(_mk_profile_probe(_pk, _pc))
+
+_q(
+    "profile_probe_orderdate",
+    """
+SELECT 'o_date' AS "column", count(*) AS n_rows,
+       sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       count(DISTINCT CAST(o_orderdate AS DATE)) AS n_distinct,
+       CAST(NULL AS VARCHAR) AS min_num, CAST(NULL AS VARCHAR) AS max_num,
+       CAST(CAST(min(o_orderdate) AS DATE) AS VARCHAR) AS min_str,
+       CAST(CAST(max(o_orderdate) AS DATE) AS VARCHAR) AS max_str
+FROM orders
+""",
+    doc=_PROBE_DOC,
+)(_mk_profile_probe("date", "o_date"))
 
 
 # Supplier co-supply k-NN graph: each supplier keeps its 3 strongest
@@ -8161,8 +8235,10 @@ w0t AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
             f"coalesce(CAST(sum(CASE WHEN {dot} <= 0 THEN y * x{i} END) AS BIGINT), 0) AS s{i}"
             for i in range(5)
         )
+        # Pure-long floor division (mirrors textops: (s - pmod) is
+        # exactly divisible, `//` exact at any magnitude, no 2^53 cap).
         ws = ", ".join(
-            f"w{i} + CASE WHEN m > 0 THEN CAST(floor(CAST(s{i} AS DOUBLE) / CAST(m AS DOUBLE)) AS BIGINT) ELSE 0 END AS w{i}"
+            f"w{i} + CASE WHEN m > 0 THEN CAST((s{i} - ((s{i} % m) + m) % m) // m AS BIGINT) ELSE 0 END AS w{i}"
             for i in range(5)
         )
         parts.append(
@@ -8478,6 +8554,61 @@ def q_duplicate_substring_spans(spark, sf_dir):
     )
 
 
+@_q(
+    "contamination_spans",
+    f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         {md5_long_sql("array_to_string(t[CAST(i AS INT):CAST(i + 3 AS INT)], ' ')")} AS g
+  FROM toks, LATERAL unnest(generate_series(1, len(t) - 3)) AS u(i)
+  WHERE len(t) >= 4
+),
+evg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+hits AS (SELECT doc_id, pos FROM grams
+         WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM evg)),
+fl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 4
+              THEN 0 ELSE 1 END AS new
+  FROM hits
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(new) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM fl
+)
+SELECT doc_id,
+       CAST(min(pos) AS INT) AS start_tok,
+       CAST(max(pos) + 3 AS INT) AS end_tok,
+       CAST(max(pos) + 3 - min(pos) + 1 AS INT) AS span_tokens
+FROM isl GROUP BY doc_id, island
+""",
+    doc="SPAN-LEVEL eval decontamination (operators/dedup.py:"
+    "contamination_spans): per TRAIN document (doc_id % 97 <> 0, the "
+    "decontaminated_docs split), the maximal token ranges covered by a "
+    "≥4-token substring appearing anywhere in the eval split — the "
+    "ranges the pipeline CUTS, keeping the rest of the doc, where the "
+    "doc-level 4-gram tier (decontaminated_docs) drops it whole. "
+    "Completes the decontamination tier: exact 4-gram blocklist + "
+    "MinHash fuzzy + exact substring spans. Same suffix-array⇒dup-"
+    "L-gram reduction as duplicate_substring_spans, but the dup-gram "
+    "set is the DISTINCT eval gram relation — eval suites are ≪ the "
+    "training corpus, so it broadcasts and the marking pass is a "
+    "map-side semi-join: zero shuffle of train grams before the "
+    "doc-keyed island merge.",
+)
+def q_contamination_spans(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    return dd.contamination_spans(train, ev, "doc_id", "text", min_tokens=4)
+
+
 # --------------------------------------------------------------------------
 # Registry exports (driver contract)
 # --------------------------------------------------------------------------
@@ -8490,62 +8621,44 @@ def q_duplicate_substring_spans(spark, sf_dir):
 # repeatedly-verified queries can wait at the back.  `tools/check_oracle.py`
 # always sweeps all entries regardless of order.
 _EXPORT_PRIORITY: list[str] = [
-    # Round-7 fixes/changes — re-verdict first:
-    "orders_column_profile",   # r6's one red row: DECIMAL-exact min/max
-    "approx_event_stats",      # deterministic md5-HLL + hash-sample quantiles
-    #                            (was the registry's only no-oracle row)
-    # New in round 7 (no verdict yet by construction) — inserted here as
-    # they land; every new @_q THIS ROUND must be added to this block:
-    "event_sequence_motifs",   # NULL-type filter on both engines (ADVICE)
-    "duplicate_substring_spans",
-    "unigram_lm_piece_scores",
-    "nation_theil_sen_trend",
-    "perceptron_quality_gate",
-    "embedding_principal_component",
-    "hll_users_by_event_type",
-    "priority_sampled_docs",
-    "minhash_recall_eval",
-    # Stalest verdicts (last seen round 2) — refresh:
-    "ann_topk_batch",
-    "ann_topk_cosine",
-    "asof_latest_order",
-    "avg_balance_by_segment",
-    "count_distinct_users",
-    "dedup_exact_docs",
-    "dedup_minhash_pairs",
-    "doc_fingerprints",
-    "embedding_neardup_pairs",
-    "event_lag_gaps",
-    "event_pairs_within_5s",
-    "median_price_by_priority",
-    "merge_upsert_orders",
-    "pricing_summary",
-    "priority_status_cube",
-    "priority_status_rollup",
-    "running_spend_per_customer",
-    "salted_event_type_counts",
-    "simhash_near_pairs",
-    "simhash_signatures",
-    # Next-stalest (last seen round 3) — refresh with remaining slots:
-    "ann_ivf_topk",
-    "centroid_assignments",
-    "chunked_documents",
-    "cohort_retention",
-    "curated_documents",
-    "daily_events_gapfilled",
-    "decayed_user_scores",
-    "decontaminated_docs",
-    "dedup_clusters",
-    "dedup_incremental_batch",
-    "doc_repetition_stats",
-    "dq_orders_summary",
-    "embedding_centroids",
-    "embedding_neardup_fine",
-    "event_transitions",
-    "event_type_daily_zscores",
-    "event_type_distincts",
-    "event_value_histogram",
-    "funnel_steps",
+    # Round-8 red-row bisect: the fixed profile + its six single-column
+    # probes FIRST — the external oracle is the only engine that sees
+    # the 2-round-old hash failure, so these localize (or confirm
+    # fixed) the diverging cell. Drop the probes in round 9.
+    "orders_column_profile",
+    "profile_probe_orderkey",
+    "profile_probe_custkey",
+    "profile_probe_totalprice",
+    "profile_probe_orderstatus",
+    "profile_probe_orderpriority",
+    "profile_probe_orderdate",
+    # New in round 8 (no verdict yet by construction) — every new @_q
+    # THIS ROUND must be added to this block as it lands:
+    "contamination_spans",
+    # Stalest verdicts (last seen round 3) — refresh:
+    "user_sessions",
+    "packed_sequences",
+    "tfidf_top_terms",
+    "top_words",
+    "scrub_pii_docs",
+    "order_price_rank_scalable",
+    "orders_status_pivot",
+    "orders_status_unpivot",
+    "rolling_7d_event_avg",
+    "semantic_dedup_survivors",
+    "split_assignments",
+    "stratified_sample_by_lang",
+    "winsorized_prices",
+    "sliding_event_counts",
+    "hourly_event_counts",
+    "lang_id_docs",
+    "quality_scores",
+    "token_stats",
+    "sampled_documents",
+    "price_quantiles_by_priority",
+    "shipping_priority_top10",
+    "top_orders_with_ties",
+    "order_price_percent_rank",
 ]
 
 
