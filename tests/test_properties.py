@@ -584,7 +584,6 @@ def test_unigram_viterbi_matches_bruteforce_enumeration(spark, words):
     """The DP's per-piece EM counts must equal a brute-force Viterbi
     that enumerates EVERY segmentation of every word and applies the
     identical (prob desc, earliest-boundary, piece-lex) tiebreak."""
-    from fractions import Fraction
     from itertools import combinations
 
     from yelp_data_pipeline_spark.operators.textops import (
@@ -611,8 +610,14 @@ def test_unigram_viterbi_matches_bruteforce_enumeration(spark, words):
             for l in range(1, min(P, len(w) - s) + 1):
                 freq[w[s : s + l]] += c
     pieces = {p: f for p, f in freq.items() if f >= MINF or len(p) == 1}
-    total = Fraction(sum(pieces.values()))
-    prob = {p: Fraction(f) / total for p, f in pieces.items()}
+    # DOUBLE probabilities, not Fractions: the DP scores candidates as
+    # IEEE double products (identically associated on both engines),
+    # and exact-probability ties can be SPLIT by double rounding —
+    # e.g. p(a)² vs p(aa) equal as fractions but 1 ulp apart as
+    # doubles. The oracle must model the engine's arithmetic, not
+    # idealized arithmetic.
+    total = float(sum(pieces.values()))
+    prob = {p: f / total for p, f in pieces.items()}
 
     def segmentations(w):
         n = len(w)
@@ -631,7 +636,7 @@ def test_unigram_viterbi_matches_bruteforce_enumeration(spark, words):
         # by (-prob, path-from-the-END with (j asc, piece asc)).
         best = None
         for segs in segmentations(w):
-            pr = Fraction(1)
+            pr = 1.0  # dp[0]=1.0, then left-to-right — the DP's order
             for s in segs:
                 pr *= prob[s]
             # backward-walk signature: from the end, each step's

@@ -35,6 +35,7 @@ from .operators import multimodal as mm
 from .operators import similarity as sim
 from .operators import textops as tx
 from .operators import upsert as up
+from .operators import urls as ur
 from .operators import windows as win
 from .streaming import windows as sw
 from .tables import load_table
@@ -8610,6 +8611,234 @@ def q_contamination_spans(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# URL / domain curation tier (operators/urls.py)
+# --------------------------------------------------------------------------
+# The documents fixture has no URL column, so (like the % 97
+# decontamination split) a deterministic messy URL is synthesized
+# in-query IDENTICALLY on both engines: scheme/host case, tracking
+# params, param order, default ports, fragments, and trailing slashes
+# vary by residue class; hosts come from the source column across five
+# public-suffix classes (incl. multi-label co.uk / github.io).
+
+_DOC_URLS_CTE = """urls AS (
+  SELECT doc_id, lang, source,
+         concat(
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https' ELSE 'http' END,
+           '://',
+           CASE WHEN doc_id % 11 = 0 THEN 'blog.' WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END,
+           source, '.',
+           (['com','co.uk','org','github.io','net'])[CAST(doc_id % 5 AS INT) + 1],
+           CASE WHEN doc_id % 4 = 0 THEN (CASE WHEN doc_id % 3 = 1 THEN ':443' ELSE ':80' END)
+                WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END,
+           '/D', CAST(doc_id % 10 AS VARCHAR),
+           CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END,
+           CASE WHEN doc_id % 2 = 0 THEN concat('?utm_source=feed&q=', CAST(doc_id % 5 AS VARCHAR), '&a=1')
+                ELSE concat('?a=1&q=', CAST(doc_id % 5 AS VARCHAR), '&utm_campaign=x') END,
+           CASE WHEN doc_id % 7 = 0 THEN '#top' ELSE '' END
+         ) AS url
+  FROM documents
+)"""
+
+_CANON_CTE = _DOC_URLS_CTE + """,
+cu1 AS (SELECT doc_id, lang, url, regexp_replace(url, '#.*$', '') AS uf FROM urls),
+cu2 AS (SELECT *, lower(regexp_extract(uf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+               regexp_replace(uf, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest FROM cu1),
+cu3 AS (SELECT *, regexp_extract(rest, '^([^/?]+)', 1) AS hostport,
+               regexp_replace(rest, '^[^/?]+', '') AS pathq FROM cu2),
+cu4 AS (SELECT *, lower(regexp_extract(hostport, '^([^:]+)', 1)) AS host0,
+               regexp_extract(hostport, ':([0-9]+)$', 1) AS port FROM cu3),
+cu5 AS (SELECT *, CASE WHEN starts_with(host0, 'www.') THEN substr(host0, 5) ELSE host0 END AS host,
+               regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$', '') AS path,
+               regexp_extract(pathq, '\\?(.*)$', 1) AS qs FROM cu4),
+canon AS (
+  SELECT doc_id, lang, url, host,
+         concat(scheme, '://', host,
+           CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+                                         OR (scheme = 'https' AND port = '443'))
+                THEN concat(':', port) ELSE '' END,
+           path,
+           CASE WHEN qc <> '' THEN concat('?', qc) ELSE '' END) AS canonical_url
+  FROM (SELECT *, array_to_string(list_sort(list_filter(string_split(qs, '&'),
+             p -> p <> '' AND NOT starts_with(p, 'utm_')
+                  AND NOT (string_split(p, '=')[1] IN ('fbclid','gclid','mc_cid','mc_eid','ref')))), '&') AS qc
+        FROM cu5)
+)"""
+
+_SFX_VALUES = ", ".join(
+    f"('{s}', {s.count('.') + 1})" for s in ur.DEFAULT_PUBLIC_SUFFIXES
+)
+
+_REGDOM_CTE = _CANON_CTE + f""",
+sfx(suffix, sfx_labels) AS (VALUES {_SFX_VALUES}),
+lbl AS (SELECT doc_id, lang, host, string_split(host, '.') AS L FROM canon),
+cnd AS (
+  SELECT doc_id, CAST(k AS INT) AS k,
+         array_to_string(L[len(L) - CAST(k AS INT) + 1:len(L)], '.') AS cand
+  FROM lbl, LATERAL unnest(generate_series(1, least(len(L) - 1, 3))) AS u(k)
+  WHERE len(L) >= 2),
+hit AS (SELECT doc_id, max(k) AS bk, arg_max(cand, k) AS s
+        FROM cnd JOIN sfx ON cnd.cand = sfx.suffix GROUP BY doc_id),
+reg AS (SELECT l.doc_id, l.lang, l.host,
+               CASE WHEN bk IS NOT NULL THEN concat(L[len(L) - bk], '.', s)
+                    ELSE host END AS registrable_domain
+        FROM lbl l LEFT JOIN hit ON l.doc_id = hit.doc_id)"""
+
+
+def _doc_urls(spark, sf_dir) -> DataFrame:
+    """Spark twin of _DOC_URLS_CTE — the synthesized messy URL column."""
+    d = _t(spark, sf_dir, "documents")
+
+    def m(k):
+        return F.col("doc_id") % k
+
+    scheme = (
+        F.when(m(3) == 0, F.lit("HTTP"))
+        .when(m(3) == 1, F.lit("https"))
+        .otherwise(F.lit("http"))
+    )
+    sub = (
+        F.when(m(11) == 0, F.lit("blog."))
+        .when(m(2) == 0, F.lit("WWW."))
+        .otherwise(F.lit(""))
+    )
+    tld = F.element_at(
+        F.array(*[F.lit(x) for x in ["com", "co.uk", "org", "github.io", "net"]]),
+        (m(5) + 1).cast("int"),
+    )
+    port = (
+        F.when(m(4) == 0, F.when(m(3) == 1, F.lit(":443")).otherwise(F.lit(":80")))
+        .when(m(4) == 1, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    q = F.when(
+        m(2) == 0,
+        F.concat(F.lit("?utm_source=feed&q="), m(5).cast("string"), F.lit("&a=1")),
+    ).otherwise(
+        F.concat(F.lit("?a=1&q="), m(5).cast("string"), F.lit("&utm_campaign=x"))
+    )
+    url = F.concat(
+        scheme, F.lit("://"), sub, F.col("source"), F.lit("."), tld, port,
+        F.lit("/D"), m(10).cast("string"),
+        F.when(m(6) == 0, F.lit("/")).otherwise(F.lit("")),
+        q,
+        F.when(m(7) == 0, F.lit("#top")).otherwise(F.lit("")),
+    )
+    return d.select("doc_id", "lang", "source", url.alias("url"))
+
+
+def _doc_domains(spark, sf_dir) -> DataFrame:
+    """(doc_id, lang, host, registrable_domain) via the broadcast
+    public-suffix table."""
+    u = _doc_urls(spark, sf_dir)
+    hosts = u.select(
+        "doc_id", "lang", ur.url_host(F.col("url")).alias("host")
+    )
+    return ur.registrable_domain(
+        hosts, "host", ["doc_id", "lang"], ur.suffix_table(spark)
+    )
+
+
+@_q(
+    "canonical_url_dedup",
+    "WITH " + _CANON_CTE + """
+SELECT canonical_url,
+       CAST(count(*) AS BIGINT) AS n_variants,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_raw_forms,
+       CAST(min(doc_id) AS BIGINT) AS keep_doc
+FROM canon GROUP BY canonical_url HAVING count(*) >= 2
+""",
+    doc="URL-key dedup groups (operators/urls.py:canonicalize_url): "
+    "documents whose URLs differ only by scheme/host case, www., "
+    "tracking params (utm_* + fbclid/gclid/...), param ORDER, default "
+    "ports, fragments, or trailing slashes collapse to one canonical "
+    "key; groups of ≥2 surface with a deterministic min-id survivor — "
+    "the C4/RefinedWeb fetch-dedup stage that runs BEFORE any text "
+    "op. Canonicalization is one map-side Catalyst expression (regexp "
+    "extracts + array filter/sort, zero UDF); the groupBy shuffles "
+    "only the canonical string — at 100 TB swap in its xxhash64 for "
+    "the shuffle key (the r7 shingle-key move).",
+)
+def q_canonical_url_dedup(spark, sf_dir):
+    c = _doc_urls(spark, sf_dir).select(
+        "doc_id", "url", ur.canonicalize_url(F.col("url")).alias("canonical_url")
+    )
+    return (
+        c.groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.count_distinct(F.col("url")).alias("n_raw_forms"),
+            F.min("doc_id").alias("keep_doc"),
+        )
+        .where(F.col("n_variants") >= 2)
+    )
+
+
+@_q(
+    "domain_mixture_stats",
+    "WITH " + _REGDOM_CTE + """,
+st AS (SELECT registrable_domain, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+       FROM reg GROUP BY 1),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM st)
+SELECT registrable_domain, n_docs, n_langs,
+       round(CAST(n_docs AS DOUBLE) / total, 6) AS share
+FROM st, tot
+""",
+    doc="Per-registrable-domain corpus mixture audit (operators/urls."
+    "py:registrable_domain): public-suffix extraction — each host "
+    "explodes into ≤3 trailing-label candidates, ONE broadcast hash "
+    "join against the (tiny, ~9k-row in production) suffix table, "
+    "longest match via a combinable max-struct agg; subdomains "
+    "(blog.x.com, www.x.com) collapse into x.com, multi-label "
+    "suffixes (co.uk, github.io) handled by construction. Shares via "
+    "a broadcast 1-row total (bounded-cross). The audit that catches "
+    "a boilerplate domain dominating the corpus before training.",
+)
+def q_domain_mixture_stats(spark, sf_dir):
+    dom = _doc_domains(spark, sf_dir)
+    st = dom.groupBy("registrable_domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.col("lang")).alias("n_langs"),
+    )
+    tot = st.agg(F.sum("n_docs").alias("total"))
+    return st.crossJoin(F.broadcast(tot)).select(
+        "registrable_domain",
+        "n_docs",
+        "n_langs",
+        F.round(F.col("n_docs").cast("double") / F.col("total"), 6).alias("share"),
+    )
+
+
+@_q(
+    "domain_capped_docs",
+    "WITH " + _REGDOM_CTE + f"""
+SELECT doc_id, registrable_domain FROM (
+  SELECT doc_id, registrable_domain,
+         row_number() OVER (
+           PARTITION BY registrable_domain
+           ORDER BY {md5_long_sql("concat_ws('|', 'domaincap', CAST(doc_id AS VARCHAR))")} ASC,
+                    doc_id ASC) AS rk
+  FROM reg) t
+WHERE rk <= 20
+""",
+    doc="Per-domain document cap (operators/urls.py:cap_per_domain): "
+    "at most 20 docs per registrable domain, selected by a "
+    "deterministic md5 priority over doc_id — rand()-free, so the "
+    "survivor set is identical across engines/partitionings/retries "
+    "(the repo's sampling rule). ONE domain-keyed window; at extreme "
+    "skew (one domain = half the corpus) the documented two-pass "
+    "variant windows only the over-cap domains (broadcast list). The "
+    "RefinedWeb per-domain cap that stops boilerplate farms from "
+    "dominating the training mixture.",
+)
+def q_domain_capped_docs(spark, sf_dir):
+    dom = _doc_domains(spark, sf_dir).select("doc_id", "registrable_domain")
+    return ur.cap_per_domain(
+        dom, "registrable_domain", "doc_id", cap=20, seed="domaincap"
+    )
+
+
+# --------------------------------------------------------------------------
 # Registry exports (driver contract)
 # --------------------------------------------------------------------------
 
@@ -8635,6 +8864,9 @@ _EXPORT_PRIORITY: list[str] = [
     # New in round 8 (no verdict yet by construction) — every new @_q
     # THIS ROUND must be added to this block as it lands:
     "contamination_spans",
+    "canonical_url_dedup",
+    "domain_mixture_stats",
+    "domain_capped_docs",
     # Stalest verdicts (last seen round 3) — refresh:
     "user_sessions",
     "packed_sequences",
