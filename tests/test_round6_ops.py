@@ -729,3 +729,48 @@ def test_quantile_bins_and_drift_null_policy(spark):
         "2024-01-16",
     ).collect()[0]
     assert (r["n_a"], r["n_b"], r["tv"]) == (2, 2, 0.0)
+
+
+def test_histogram_quantiles_error_bound_and_merge(spark):
+    """The fixed-boundary histogram quantile must sit within one
+    bucket width of the exact quantile, and per-shard histograms must
+    merge (sum of bucket counts) to the same estimates as one pass —
+    the mergeability that makes it the sketch-tier quantile."""
+    import pyspark.sql.functions as F
+
+    from yelp_data_pipeline_spark.operators.aggregates import (
+        histogram_quantiles,
+    )
+
+    rows = [("g", float(v)) for v in range(1, 1001)]  # 1..1000
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = {
+        (r["g"], r["q"]): (r["quantile_est"], r["n_rows"])
+        for r in histogram_quantiles(
+            df, ["g"], "v", width=10.0, quantiles=[0.25, 0.5, 0.99]
+        ).collect()
+    }
+    assert got[("g", 0.5)][1] == 1000
+    # exact quantiles of 1..1000 at rank ceil(q*n)
+    for q, exact in [(0.25, 250.0), (0.5, 500.0), (0.99, 990.0)]:
+        est = got[("g", q)][0]
+        assert abs(est - exact) <= 10.0, (q, est)
+
+    # merge property: two shards' histograms == one pass (the
+    # operator's groupBy IS the merge; re-partitioning must not
+    # change a single output value)
+    re = df.repartition(7, "v")
+    got2 = {
+        (r["g"], r["q"]): (r["quantile_est"], r["n_rows"])
+        for r in histogram_quantiles(
+            re, ["g"], "v", width=10.0, quantiles=[0.25, 0.5, 0.99]
+        ).collect()
+    }
+    assert got == got2
+
+    # NULLs are excluded, not imputed
+    dfn = spark.createDataFrame(
+        [("g", 1.0), ("g", None), ("g", 3.0)], ["g", "v"]
+    )
+    out = histogram_quantiles(dfn, ["g"], "v", 1.0, [0.5]).collect()
+    assert out[0]["n_rows"] == 2

@@ -430,6 +430,97 @@ def main_r7(replicas: int) -> int:
     return 0
 
 
+def main_curate(replicas: int) -> int:
+    """End-to-end curate pipeline scale point (round-8 verdict #8):
+    the COMPOSITE curate_documents_job (scrub → quality → MinHash LSH
+    → CC survivors → partitioned write) measured whole plus a
+    per-stage breakdown at base and N× — composition can double-scan
+    what single ops persist, which no single-operator row would show.
+    ``clusters_incl_pairs`` deliberately re-runs the pairs stage (CC
+    consumes it); subtract ``minhash_pairs`` for the CC-only cost."""
+    import shutil
+
+    from yelp_data_pipeline_spark import pipelines
+    from yelp_data_pipeline_spark.operators import dedup as dd
+    from yelp_data_pipeline_spark.operators import graph
+    from yelp_data_pipeline_spark.operators import textops as tx
+    from yelp_data_pipeline_spark.tables import load_table
+
+    spark = get_spark("bench_scale_curate")
+    spark.sparkContext.setLogLevel("ERROR")
+    scaled_dir = build_scaled(spark, replicas)
+
+    # Warm-up (JIT/codegen outside the measured passes).
+    tx.quality_features(
+        load_table(spark, BASE_SF, "documents"), "doc_id", "text"
+    ).write.format("noop").mode("overwrite").save()
+    release_tracked()
+
+    results: dict[str, dict[str, float]] = {}
+    for tag, sf_dir in (("base", BASE_SF), ("scaled", scaled_dir)):
+        docs = load_table(spark, sf_dir, "documents")
+        stages: dict[str, float] = {}
+
+        def timed(name, thunk):
+            # thunk, not DataFrame: CC/checkpoint-style operators do
+            # eager work at CONSTRUCTION time, which must land inside
+            # the timer.
+            t0 = time.perf_counter()
+            thunk().write.format("noop").mode("overwrite").save()
+            stages[name] = round(time.perf_counter() - t0, 3)
+            release_tracked()
+
+        timed(
+            "quality_gate",
+            lambda: tx.quality_features(docs, "doc_id", "text")
+            .filter(
+                (F.col("quality_score") >= 0.45)
+                & F.col("n_tokens").between(5, 5000)
+            )
+            .select("doc_id"),
+        )
+        timed(
+            "minhash_pairs",
+            lambda: dd.minhash_lsh_pairs(
+                docs, "doc_id", "text", k=12, bands=4, threshold=0.8
+            ),
+        )
+        timed(
+            "clusters_incl_pairs",
+            lambda: graph.dedup_clusters(
+                docs,
+                dd.minhash_lsh_pairs(
+                    docs, "doc_id", "text", k=12, bands=4, threshold=0.8
+                ),
+            ),
+        )
+        timed("scrub_pii", lambda: tx.scrub_pii(docs, "doc_id", "text"))
+
+        out = os.path.join(OUT_ROOT, f"curate_out_{tag}")
+        shutil.rmtree(out, ignore_errors=True)
+        t0 = time.perf_counter()
+        pipelines.curate_documents_job(spark, sf_dir, out)
+        stages["end_to_end_write"] = round(time.perf_counter() - t0, 3)
+        shutil.rmtree(out, ignore_errors=True)
+        results[tag] = stages
+
+    ratios = {
+        k: round(results["scaled"][k] / results["base"][k], 2)
+        for k in results["base"]
+        if results["base"][k] > 0
+    }
+    print(json.dumps({
+        "metric": "curate_pipeline_scale",
+        "unit": "sec",
+        "sf_base": 0.1,
+        "scale_multiplier": replicas,
+        "base": results["base"],
+        "scaled": results["scaled"],
+        "ratio": ratios,
+    }))
+    return 0
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     replicas = int(args[0]) if args else 5
@@ -441,6 +532,8 @@ def main() -> int:
         return main_er(replicas)
     if "--r7" in sys.argv:
         return main_r7(replicas)
+    if "--curate" in sys.argv:
+        return main_curate(replicas)
     spark = get_spark("bench_scale")
     spark.sparkContext.setLogLevel("ERROR")
     qs = queries()

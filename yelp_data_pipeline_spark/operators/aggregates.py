@@ -647,3 +647,79 @@ def quantile_bins(
     return df.crossJoin(F.broadcast(bounds)).select(
         *key_cols, F.col(value_col), binv.alias("bin")
     )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    width: float,
+    quantiles: list[float],
+) -> DataFrame:
+    """Grouped quantile estimates from a FIXED-BOUNDARY mergeable
+    histogram — the deterministic quantile member of the sketch tier
+    (KMV/HLL/CMS all estimate counts; none estimates order
+    statistics). Buckets are ``floor(v / width)``: data-independent
+    boundaries, so per-partition (or per-day) histograms MERGE by
+    summing bucket counts — the property t-digest/DDSketch buy with
+    log boundaries, here with linear ones so the oracle replays every
+    arithmetic step exactly (no ln/exp, which are not correctly
+    rounded across libms; ``v/width`` + ``floor`` are single IEEE
+    ops).
+
+    Estimate: the target rank ``ceil(q·n)`` lands in exactly one
+    bucket per group; linear interpolation inside it gives
+    ``width · (bucket + (rank − cum_before) / cnt)``, max error
+    ``width`` (choose width ≈ wanted absolute resolution). The exact
+    twin (``exact_quantiles``/percentile) needs a per-group sort of
+    VALUES; this needs a per-group sort of ≤(domain/width) BUCKETS —
+    bounded state, map-side combinable, streaming-mergeable.
+
+    Scale posture: one combinable groupBy to ≤(groups × buckets)
+    rows; the window + quantile probe run on the bucket relation,
+    never on data rows. NULL values are excluded (no rank).
+
+    Returns group_cols + (q, quantile_est, n_rows), one row per
+    (group, q).
+    """
+    from pyspark.sql import Window
+
+    b = F.floor(F.col(value_col).cast("double") / F.lit(float(width))).cast(
+        "long"
+    )
+    hist = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, b.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy(*group_cols).orderBy("bucket")
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    ).withColumn("n", F.sum("cnt").over(Window.partitionBy(*group_cols)))
+    rows = cum.select(
+        *group_cols,
+        "bucket",
+        "cnt",
+        "cum",
+        "n",
+        F.explode(F.array(*[F.lit(float(q)) for q in quantiles])).alias("q"),
+    )
+    target = F.ceil(F.col("q") * F.col("n"))
+    est = F.round(
+        F.lit(float(width))
+        * (
+            F.col("bucket").cast("double")
+            + (target - (F.col("cum") - F.col("cnt"))).cast("double")
+            / F.col("cnt").cast("double")
+        ),
+        6,
+    )
+    return rows.where(
+        (F.col("cum") >= target) & ((F.col("cum") - F.col("cnt")) < target)
+    ).select(
+        *group_cols,
+        F.col("q"),
+        est.alias("quantile_est"),
+        F.col("n").alias("n_rows"),
+    )

@@ -8838,6 +8838,57 @@ def q_domain_capped_docs(spark, sf_dir):
     )
 
 
+@_q(
+    "price_histogram_quantiles",
+    """
+WITH h AS (
+  SELECT o_orderpriority AS prio,
+         CAST(floor(CAST(o_totalprice AS DOUBLE) / 5000.0) AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY 1, 2
+),
+c AS (
+  SELECT prio, bucket, cnt,
+         CAST(sum(cnt) OVER (PARTITION BY prio ORDER BY bucket
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(sum(cnt) OVER (PARTITION BY prio) AS BIGINT) AS n
+  FROM h
+),
+x AS (SELECT c.*, CAST(q AS DOUBLE) AS q
+      FROM c, (VALUES (0.25), (0.5), (0.9), (0.99)) AS qs(q))
+SELECT prio, q,
+       round(5000.0 * (CAST(bucket AS DOUBLE)
+             + CAST(CAST(ceil(q * n) AS BIGINT) - (cum - cnt) AS DOUBLE)
+               / CAST(cnt AS DOUBLE)), 6) AS quantile_est,
+       n AS n_rows
+FROM x
+WHERE cum >= CAST(ceil(q * n) AS BIGINT)
+  AND (cum - cnt) < CAST(ceil(q * n) AS BIGINT)
+""",
+    doc="Grouped quantile estimates from a fixed-boundary mergeable "
+    "histogram (operators/aggregates.py:histogram_quantiles) — the "
+    "deterministic quantile member the sketch tier (KMV/HLL/CMS) "
+    "lacked: width-5000 linear buckets over o_totalprice per order "
+    "priority; the target rank ceil(q·n) lands in exactly one bucket, "
+    "linear interpolation inside it bounds error by the bucket width. "
+    "Data-independent boundaries ⇒ per-partition/per-day histograms "
+    "merge by SUMMING bucket counts (the t-digest/DDSketch property "
+    "without ln/exp, so the oracle replays bit-for-bit); one "
+    "combinable groupBy to ≤groups×buckets rows, window + probe on "
+    "the bucket relation only. The exact twin is "
+    "price_quantiles_by_priority (per-group sort of values vs "
+    "bounded bucket state here).",
+)
+def q_price_histogram_quantiles(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"), "o_totalprice"
+    )
+    return agg.histogram_quantiles(
+        o, ["prio"], "o_totalprice", width=5000.0,
+        quantiles=[0.25, 0.5, 0.9, 0.99],
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry exports (driver contract)
 # --------------------------------------------------------------------------
@@ -8867,6 +8918,7 @@ _EXPORT_PRIORITY: list[str] = [
     "canonical_url_dedup",
     "domain_mixture_stats",
     "domain_capped_docs",
+    "price_histogram_quantiles",
     # Stalest verdicts (last seen round 3) — refresh:
     "user_sessions",
     "packed_sequences",
