@@ -79,6 +79,12 @@ EXTRAS = [
     "perceptron_quality_gate",
     "embedding_principal_component",
     "hll_users_by_event_type",
+    # round 8
+    "contamination_spans",
+    "canonical_url_dedup",
+    "domain_mixture_stats",
+    "domain_capped_docs",
+    "price_histogram_quantiles",
 ]
 
 

@@ -723,3 +723,72 @@ def histogram_quantiles(
         est.alias("quantile_est"),
         F.col("n").alias("n_rows"),
     )
+
+
+def kmv_daily_merge(
+    df: DataFrame, day_col: str, col: str, k: int = 64
+) -> DataFrame:
+    """Sketch-associativity demo over KMV: per-day k-minimum-values
+    sketches of ``col``, plus the MERGED estimate (union the per-day
+    k-min sets, re-take k) and the DIRECT global estimate — which are
+    EQUAL by construction: every member of the global k-min set is in
+    its own day's k-min set, so merging loses nothing. This is the
+    property that lets a 100 TB pipeline maintain daily sketch
+    partitions and answer any date-range distinct query by merging
+    O(days·k) rows instead of rescanning the raw data — and the pair
+    of output rows (``__merged__`` vs ``__direct__``) PROVES the
+    associativity on real data rather than asserting it.
+
+    Scale shape: one (day, hash)-distinct pass (map-side combinable),
+    a per-day k-min window on the distinct relation, then estimates
+    over ≤ days·k rows. Same md5 hash family and estimator as
+    :func:`kmv_distinct` — deterministic, oracle-replayable.
+
+    Returns (day, est_distinct): one row per day plus ``__merged__``
+    and ``__direct__`` rows.
+    """
+    from pyspark.sql import Window
+
+    from ..session import track_persist
+
+    hx = track_persist(
+        df.select(
+            F.col(day_col).cast("date").cast("string").alias("day"),
+            md5_long(F.col(col).cast("string")).alias("h"),
+        ).distinct()
+    )
+    w = Window.partitionBy("day").orderBy(F.asc("h"))
+    pk = track_persist(
+        hx.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+    def est(m, hk):
+        return F.when(m < k, m).otherwise(
+            F.round(
+                F.lit(float((k - 1) * KMV_HASH_SPACE)) / hk.cast("double")
+            ).cast("long")
+        )
+
+    per_day = pk.groupBy("day").agg(
+        F.count(F.lit(1)).alias("m"), F.max("h").alias("hk")
+    ).select("day", est(F.col("m"), F.col("hk")).alias("est_distinct"))
+
+    def global_row(rel, label):
+        return (
+            rel.select("h")
+            .distinct()
+            .orderBy(F.asc("h"))
+            .limit(k)
+            .agg(F.count(F.lit(1)).alias("m"), F.max("h").alias("hk"))
+            .select(
+                F.lit(label).alias("day"),
+                est(F.col("m"), F.col("hk")).alias("est_distinct"),
+            )
+        )
+
+    return (
+        per_day.unionByName(global_row(pk, "__merged__"))
+        .unionByName(global_row(hx, "__direct__"))
+    )

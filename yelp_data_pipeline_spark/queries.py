@@ -8889,6 +8889,67 @@ def q_price_histogram_quantiles(spark, sf_dir):
     )
 
 
+@_q(
+    "kmv_daily_user_merge",
+    f"""
+WITH hx AS (
+  SELECT DISTINCT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         {md5_long_sql("CAST(user_id AS VARCHAR)")} AS h
+  FROM events
+),
+pk AS (
+  SELECT day, h FROM (
+    SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+    FROM hx) t
+  WHERE rn <= 64
+),
+pd AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS m, max(h) AS hk
+  FROM pk GROUP BY day
+),
+mg AS (
+  SELECT CAST(count(*) AS BIGINT) AS m, max(h) AS hk FROM (
+    SELECT DISTINCT h FROM pk ORDER BY h LIMIT 64) t
+),
+dr AS (
+  SELECT CAST(count(*) AS BIGINT) AS m, max(h) AS hk FROM (
+    SELECT DISTINCT h FROM hx ORDER BY h LIMIT 64) t
+)
+SELECT day,
+       CASE WHEN m < 64 THEN m
+            ELSE CAST(round(63.0 * 1152921504606846976.0
+                            / CAST(hk AS DOUBLE)) AS BIGINT) END AS est_distinct
+FROM pd
+UNION ALL
+SELECT '__merged__',
+       CASE WHEN m < 64 THEN m
+            ELSE CAST(round(63.0 * 1152921504606846976.0
+                            / CAST(hk AS DOUBLE)) AS BIGINT) END
+FROM mg
+UNION ALL
+SELECT '__direct__',
+       CASE WHEN m < 64 THEN m
+            ELSE CAST(round(63.0 * 1152921504606846976.0
+                            / CAST(hk AS DOUBLE)) AS BIGINT) END
+FROM dr
+""",
+    doc="KMV sketch-associativity demo (operators/aggregates.py:"
+    "kmv_daily_merge): per-day k=64 KMV distinct-user sketches, plus "
+    "the MERGED estimate (union per-day k-min sets, re-take k) and "
+    "the DIRECT global estimate — equal by construction (every global "
+    "k-min member is in its own day's k-min set), proven on real data "
+    "by the __merged__/__direct__ row pair. The property that lets a "
+    "100 TB pipeline answer date-range distinct queries by merging "
+    "O(days·k) sketch rows instead of rescanning raw events. One "
+    "(day,hash)-distinct combinable pass; estimates over ≤days·k "
+    "rows; md5 family ⇒ bit-exact oracle replay.",
+)
+def q_kmv_daily_user_merge(spark, sf_dir):
+    return agg.kmv_daily_merge(
+        _t(spark, sf_dir, "events"), "ts", "user_id", k=64
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry exports (driver contract)
 # --------------------------------------------------------------------------
@@ -8919,6 +8980,7 @@ _EXPORT_PRIORITY: list[str] = [
     "domain_mixture_stats",
     "domain_capped_docs",
     "price_histogram_quantiles",
+    "kmv_daily_user_merge",
     # Stalest verdicts (last seen round 3) — refresh:
     "user_sessions",
     "packed_sequences",
