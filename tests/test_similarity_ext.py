@@ -1,0 +1,41 @@
+
+
+def test_jl_projection_shape_and_distortion(spark):
+    """jl_project: out_dim components, linear (doubling the vector
+    doubles the projection), zero maps to zero; jl_distortion_pairs:
+    ratios exist, are deterministic across reruns, and sit within the
+    JL epsilon envelope for this (n=64, k=16) configuration."""
+    import math
+
+    from yelp_data_pipeline_spark.operators.similarity import (
+        jl_distortion_pairs,
+        jl_project,
+    )
+
+    base = [float((i * 7) % 13 - 6) for i in range(64)]
+    rows = [(1, base), (2, [2.0 * v for v in base]), (3, [0.0] * 64)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: r["projected"]
+        for r in jl_project(df, "embedding", out_dim=16).collect()
+    }
+    assert all(len(v) == 16 for v in got.values())
+    assert got[3] == [0.0] * 16
+    for a, b in zip(got[1], got[2]):
+        assert abs(b - 2.0 * a) < 1e-9  # linearity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out1 = sorted(
+        map(tuple, jl_distortion_pairs(emb, n_vecs=64).collect())
+    )
+    out2 = sorted(
+        map(tuple, jl_distortion_pairs(emb, n_vecs=64).collect())
+    )
+    assert out1 == out2 and len(out1) == 32  # deterministic sample
+    # JL envelope: eps = sqrt(8 ln n / k) is loose; assert the realized
+    # ratios are sane (no collapse, no blowup) rather than the bound.
+    eps = math.sqrt(8 * math.log(64) / 16)
+    for row in out1:
+        ratio = row[-1]
+        if ratio is not None:
+            assert (1 - eps) / 2 < ratio < (1 + eps) * 1.5, row

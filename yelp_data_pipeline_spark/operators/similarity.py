@@ -18,6 +18,7 @@ Two tiers:
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -1459,3 +1460,139 @@ def embedding_top_pc(
         )
     )
     return loadings.unionByName(lam_row).unionByName(trace_row)
+
+
+# ------------------------------------------------- JL random projection
+
+def _jl_sign(j: int, i: int) -> float:
+    """±1 Rademacher JL component — own md5 family (seed prefix "jl"),
+    independent of the sign-LSH hyperplanes."""
+    h = int(hashlib.md5(f"jl:{j}:{i}".encode()).hexdigest()[:15], 16)
+    return 1.0 if h % 2 == 0 else -1.0
+
+
+def jl_matrix(out_dim: int, in_dim: int = 64) -> list[list[float]]:
+    """Deterministic Rademacher JL matrix (Achlioptas 2001: ±1 entries
+    satisfy the JL lemma with the same distortion guarantees as
+    Gaussian ones, database-friendly). Any engine re-derives it from
+    md5, so the DuckDB oracle replays the projection bit-exactly."""
+    return [[_jl_sign(j, i) for i in range(in_dim)] for j in range(out_dim)]
+
+
+def jl_project(
+    df: DataFrame,
+    vec_col: str,
+    out_dim: int = 16,
+    in_dim: int = 64,
+    out_col: str = "projected",
+) -> DataFrame:
+    """Johnson-Lindenstrauss projection to ``out_dim`` dims: each
+    output component is one zip_with/aggregate fold against a LITERAL
+    ±1 row of :func:`jl_matrix`, scaled by 1/√out_dim — pure map-side
+    Catalyst, vectors never leave the JVM, fold order = array order so
+    both engines produce identical doubles.
+
+    Why it exists at 100 TB: every distance-based stage downstream
+    (LSH banding, IVF routing, brute-force rerank) costs Θ(dim); JL
+    cuts dim 4-48× while distorting pairwise distances by at most
+    ε ≈ √(8·ln n / out_dim) w.h.p. — project once, run every ANN
+    stage on the short vectors, rerank survivors on the originals.
+    The companion :func:`jl_distortion_pairs` MEASURES the realized
+    distortion instead of trusting the bound.
+    """
+    m = jl_matrix(out_dim, in_dim)
+    scale = 1.0 / math.sqrt(out_dim)
+    comps = []
+    for j in range(out_dim):
+        signs = F.array(*[F.lit(s) for s in m[j]])
+        prods = F.zip_with(
+            F.col(vec_col), signs, lambda x, s: x.cast("double") * s
+        )
+        comps.append(
+            F.aggregate(prods, F.lit(0.0), lambda a, x: a + x) * F.lit(scale)
+        )
+    return df.withColumn(out_col, F.array(*comps))
+
+
+def _euclid(a: F.Column, b: F.Column) -> F.Column:
+    d2 = F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.sqrt(d2)
+
+
+def jl_distortion_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dim: int = 16,
+    in_dim: int = 64,
+    n_vecs: int = 64,
+) -> DataFrame:
+    """Realized JL distortion on a deterministic vector sample: take
+    the ``n_vecs`` ids with the smallest md5 priority (rand()-free),
+    pair them up by rank (2r−1, 2r), and emit original vs projected
+    Euclidean distance plus their ratio — the empirical check of the
+    JL ε-bound a production pipeline runs before committing every ANN
+    stage to the projected space.
+
+    Plan: projection is map-side; the sample is one TakeOrdered
+    ``n_vecs``-heap; ranking/pairing run on the ≤``n_vecs``-row
+    relation (bounded single-partition window — the auditor's ≤64-row
+    exemption class); distances are per-pair folds. Nothing here
+    scales with the corpus except the TakeOrdered scan.
+
+    Returns (vec_a, vec_b, d_orig, d_proj, dist_ratio), rounded 6dp.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.hashing import md5_long
+
+    key = md5_long(
+        F.concat(F.lit("jlpair:"), F.col(id_col).cast("string"))
+    )
+    # Sample FIRST, project the ≤n_vecs survivors: the projection is
+    # Θ(in_dim·out_dim) per row and only the sampled pairs need it.
+    picked = (
+        df.select(F.col(id_col), F.col(vec_col), key.alias("k"))
+        .orderBy(F.asc("k"), F.asc(id_col))
+        .limit(n_vecs)
+    )
+    sel = jl_project(picked, vec_col, out_dim, in_dim)
+    r = sel.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.asc("k"), F.asc(id_col)))
+    )
+    a = r.where(F.col("rn") % 2 == 1).select(
+        F.expr("(rn + 1) div 2").alias("pid"),
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("ea"),
+        F.col("projected").alias("pa"),
+    )
+    b = r.where(F.col("rn") % 2 == 0).select(
+        F.expr("rn div 2").alias("pid"),
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("eb"),
+        F.col("projected").alias("pb"),
+    )
+    paired = a.join(b, "pid").select(
+        "vec_a",
+        "vec_b",
+        _euclid(F.col("ea"), F.col("eb")).alias("do_"),
+        _euclid(F.col("pa"), F.col("pb")).alias("dp_"),
+    )
+    return paired.select(
+        "vec_a",
+        "vec_b",
+        F.round(F.col("do_"), 6).alias("d_orig"),
+        F.round(F.col("dp_"), 6).alias("d_proj"),
+        F.when(
+            F.col("do_") > 0, F.round(F.col("dp_") / F.col("do_"), 6)
+        ).alias("dist_ratio"),
+    )

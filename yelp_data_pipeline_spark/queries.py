@@ -8950,6 +8950,81 @@ def q_kmv_daily_user_merge(spark, sf_dir):
     )
 
 
+def _jl_oracle(out_dim: int = 16, in_dim: int = 64, n_vecs: int = 64) -> str:
+    import math as _math
+
+    m = sim.jl_matrix(out_dim, in_dim)
+    mat = "[" + ", ".join(
+        "[" + ", ".join(("1.0" if v > 0 else "-1.0") for v in row) + "]"
+        for row in m
+    ) + "]"
+    scale = repr(1.0 / _math.sqrt(out_dim))
+    key = md5_long_sql("concat('jlpair:', CAST(vec_id AS VARCHAR))")
+
+    def dsq(a, b, n):
+        return (
+            f"list_sum(list_transform(generate_series(1, {n}), i -> "
+            f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) * "
+            f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"
+        )
+
+    return f"""
+WITH picked AS MATERIALIZED (
+  SELECT vec_id, embedding, {key} AS k FROM embeddings
+  ORDER BY k ASC, vec_id ASC LIMIT {n_vecs}
+),
+mt AS MATERIALIZED (
+  SELECT CAST(j AS INT) AS j, ({mat})[CAST(j AS INT)] AS mrow
+  FROM (SELECT unnest(generate_series(1, {out_dim})) AS j) t
+),
+pj AS MATERIALIZED (
+  SELECT p.vec_id, m.j,
+         list_sum(list_transform(generate_series(1, {in_dim}), i ->
+           CAST(p.embedding[i] AS DOUBLE) * m.mrow[i])) * {scale} AS c
+  FROM picked p, mt m
+),
+pvec AS (SELECT vec_id, list(c ORDER BY j ASC) AS p FROM pj GROUP BY vec_id),
+sel AS (SELECT pk.vec_id, pk.embedding, pk.k, pv.p
+        FROM picked pk JOIN pvec pv USING (vec_id)),
+r AS (SELECT vec_id, embedding, p,
+             row_number() OVER (ORDER BY k ASC, vec_id ASC) AS rn
+      FROM sel),
+a AS (SELECT (rn + 1) // 2 AS pid, vec_id AS vec_a, embedding AS ea, p AS pa
+      FROM r WHERE rn % 2 = 1),
+b AS (SELECT rn // 2 AS pid, vec_id AS vec_b, embedding AS eb, p AS pb
+      FROM r WHERE rn % 2 = 0),
+d AS (SELECT vec_a, vec_b,
+             sqrt({dsq("ea", "eb", in_dim)}) AS do_,
+             sqrt({dsq("pa", "pb", out_dim)}) AS dp_
+      FROM a JOIN b USING (pid))
+SELECT vec_a, vec_b, round(do_, 6) AS d_orig, round(dp_, 6) AS d_proj,
+       CASE WHEN do_ > 0 THEN round(dp_ / do_, 6) END AS dist_ratio
+FROM d
+"""
+
+
+@_q(
+    "jl_distortion_pairs",
+    _jl_oracle(),
+    doc="Johnson-Lindenstrauss projection distortion eval (operators/"
+    "similarity.py:jl_project/jl_distortion_pairs; Achlioptas 2001 "
+    "±1 Rademacher matrix from the md5 family, so the oracle replays "
+    "the projection bit-exactly): 64→16 dims, 32 deterministic "
+    "md5-sampled vector pairs, original vs projected Euclidean "
+    "distance + ratio. The empirical ε-check a pipeline runs before "
+    "committing LSH banding / IVF routing / rerank to the projected "
+    "space (dim is the multiplier on every distance op at 100 TB — "
+    "project once, run ANN short, rerank survivors on originals). "
+    "Projection map-side zip_with/aggregate folds; sample one "
+    "TakeOrdered heap; pairing on a ≤64-row bounded window.",
+)
+def q_jl_distortion_pairs(spark, sf_dir):
+    return sim.jl_distortion_pairs(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        out_dim=16, in_dim=64, n_vecs=64,
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry exports (driver contract)
 # --------------------------------------------------------------------------
@@ -8981,6 +9056,7 @@ _EXPORT_PRIORITY: list[str] = [
     "domain_capped_docs",
     "price_histogram_quantiles",
     "kmv_daily_user_merge",
+    "jl_distortion_pairs",
     # Stalest verdicts (last seen round 3) — refresh:
     "user_sessions",
     "packed_sequences",
