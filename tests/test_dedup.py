@@ -266,3 +266,26 @@ def test_contamination_spans_planted_overlap(spark):
     # t1 tokens: intro@1 words@2 what@3 is@4 the@5 capital@6 of@7
     # france@8 ... — the only 5-gram shared with eval starts at 3.
     assert got == {"t1": (3, 7, 5)}
+
+
+def test_dedup_corpus_lines_first_occurrence(spark):
+    """Duplicate lines survive only at their lexicographically first
+    (doc_id, pos); docs rebuild in order; a fully-duplicate doc rows
+    out with n_kept=0 and empty text."""
+    from yelp_data_pipeline_spark.operators.textops import dedup_corpus_lines
+
+    docs = [
+        (1, "alpha one\nshared boiler plate\nbeta two"),
+        (2, "shared boiler plate\ngamma three"),
+        (3, "shared boiler plate"),
+        (4, "shared boiler plate\nshared boiler plate"),  # in-doc repeat
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["kept_text"])
+        for r in dedup_corpus_lines(df).collect()
+    }
+    assert got[1] == (3, 3, "alpha one\nshared boiler plate\nbeta two")
+    assert got[2] == (2, 1, "gamma three")
+    assert got[3] == (1, 0, "")
+    assert got[4] == (2, 0, "")

@@ -1622,3 +1622,68 @@ def perceptron_quality_gate(
                  F.col("total").alias("value")),
     ]
     return pocket.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+def dedup_corpus_lines(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """C4-style EXACT LINE dedup across the whole corpus: every
+    newline-delimited line that occurs more than once corpus-wide is
+    kept only at its FIRST occurrence (lexicographic min of
+    (id, position)); each document is rebuilt from its surviving
+    lines in original order. This is the middle tier of the dedup
+    ladder — document-level (MinHash/SimHash) drops whole docs,
+    span-level (duplicate_substring_spans) cuts arbitrary ranges, and
+    line-level is what C4 actually shipped: boilerplate (nav bars,
+    cookie banners, license headers) repeats as whole lines.
+
+    Plan: posexplode lines map-side; the first-occurrence choice is a
+    map-side-combinable min-struct groupBy keyed on the 60-bit line
+    hash (8-byte shuffle keys, never line text — the r7 shingle-key
+    rule; md5 rather than xxhash64 so the oracle replays it), then a
+    hash-keyed join back. A groupBy, not a window: a hot boilerplate
+    line would pin one reducer's window partition, while the partial
+    min combines map-side and the join splits under AQE. Rebuild is
+    one doc-keyed sort-free groupBy (array_sort of (pos, line)
+    structs).
+
+    Returns (id, n_lines, n_kept, kept_text); fully-duplicate docs
+    keep a row with n_kept = 0 and empty kept_text.
+    """
+    from ..functions.hashing import md5_long
+    from ..session import ensure_min_parallelism, track_persist
+
+    lines = track_persist(
+        ensure_min_parallelism(df).select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias(
+                "pos", "line"
+            ),
+        ).select(
+            id_col, "pos", "line", md5_long(F.col("line")).alias("h")
+        )
+    )
+    first = lines.groupBy("h").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("f")
+    )
+    surv = lines.join(first, "h").where(
+        (F.col(id_col) == F.col(f"f.{id_col}"))
+        & (F.col("pos") == F.col("f.pos"))
+    )
+    rebuilt = surv.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("kept_text"),
+    )
+    orig = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    return orig.join(rebuilt, id_col, "left").select(
+        id_col,
+        "n_lines",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.col("kept_text"), F.lit("")).alias("kept_text"),
+    )

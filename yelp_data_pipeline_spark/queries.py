@@ -9025,6 +9025,66 @@ def q_jl_distortion_pairs(spark, sf_dir):
     )
 
 
+@_q(
+    "dedup_corpus_lines",
+    f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, CAST(g AS INT) AS pos,
+         array_to_string(t[CAST(g * 6 + 1 AS INT):CAST(g * 6 + 6 AS INT)], ' ') AS line
+  FROM toks, LATERAL unnest(generate_series(0, CAST((len(t) - 1) // 6 AS INT))) AS u(g)
+),
+hx AS (SELECT doc_id, pos, line, {md5_long_sql("line")} AS h FROM lines),
+fst AS (SELECT h, min({{'d': doc_id, 'p': pos}}) AS f FROM hx GROUP BY h),
+surv AS (
+  SELECT hx.doc_id, hx.pos, hx.line
+  FROM hx JOIN fst ON hx.h = fst.h
+  WHERE hx.doc_id = fst.f.d AND hx.pos = fst.f.p
+),
+rb AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         array_to_string(list(line ORDER BY pos ASC), chr(10)) AS kept_text
+  FROM surv GROUP BY doc_id
+),
+og AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines FROM hx GROUP BY doc_id)
+SELECT og.doc_id, og.n_lines,
+       coalesce(rb.n_kept, 0) AS n_kept,
+       coalesce(rb.kept_text, '') AS kept_text
+FROM og LEFT JOIN rb ON og.doc_id = rb.doc_id
+""",
+    doc="C4-style exact line dedup across the corpus (operators/"
+    "textops.py:dedup_corpus_lines) — the middle tier of the dedup "
+    "ladder between doc-level (MinHash/SimHash) and span-level "
+    "(duplicate_substring_spans): boilerplate repeats as whole lines, "
+    "and C4 shipped exactly this filter. The fixture has no newlines, "
+    "so lines are synthesized identically on both engines (6-token "
+    "groups). First-occurrence choice is a combinable min-struct "
+    "groupBy on 60-bit line hashes (8-byte shuffle keys; a groupBy "
+    "not a window so a hot boilerplate line cannot pin one reducer) "
+    "+ an AQE-splittable hash join back; rebuild is one doc-keyed "
+    "groupBy with array_sort. Fully-duplicate docs surface with "
+    "n_kept = 0.",
+)
+def q_dedup_corpus_lines(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    synth = F.concat_ws(
+        "\n",
+        F.transform(
+            F.sequence(
+                F.lit(0), F.floor((F.size(toks) - 1) / 6).cast("int")
+            ),
+            lambda g: F.concat_ws(" ", F.slice(toks, g * 6 + 1, 6)),
+        ),
+    )
+    return tx.dedup_corpus_lines(
+        d.select("doc_id", synth.alias("text")), "doc_id", "text"
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry exports (driver contract)
 # --------------------------------------------------------------------------
@@ -9057,6 +9117,7 @@ _EXPORT_PRIORITY: list[str] = [
     "price_histogram_quantiles",
     "kmv_daily_user_merge",
     "jl_distortion_pairs",
+    "dedup_corpus_lines",
     # Stalest verdicts (last seen round 3) — refresh:
     "user_sessions",
     "packed_sequences",
