@@ -39,3 +39,27 @@ def test_jl_projection_shape_and_distortion(spark):
         ratio = row[-1]
         if ratio is not None:
             assert (1 - eps) / 2 < ratio < (1 + eps) * 1.5, row
+
+
+def test_hard_negatives_exclude_same_label(spark):
+    """Mined negatives must all carry a different label than their
+    anchor, rank by true cosine, and never include the anchor itself."""
+    from yelp_data_pipeline_spark.operators.similarity import (
+        hard_negatives_topk,
+    )
+
+    # 3 clusters along axes; same-label vectors are the most similar,
+    # so a naive (label-blind) top-k would return them.
+    rows = []
+    for i in range(6):
+        base = [0.0] * 64
+        base[i % 3] = 1.0
+        base[10 + i] = 0.1  # break exact ties deterministically
+        rows.append((i, base, i % 3))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = hard_negatives_topk(df, n_anchors=3, k=2).collect()
+    assert len(out) == 6  # 3 anchors x 2 negatives
+    anchors = {r["anchor_id"]: r["anchor_label"] for r in out}
+    for r in out:
+        assert r["neg_label"] != anchors[r["anchor_id"]]
+        assert r["vec_id"] != r["anchor_id"]

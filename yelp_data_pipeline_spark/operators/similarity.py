@@ -1596,3 +1596,65 @@ def jl_distortion_pairs(
             F.col("do_") > 0, F.round(F.col("dp_") / F.col("do_"), 6)
         ).alias("dist_ratio"),
     )
+
+
+def hard_negatives_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    n_anchors: int = 8,
+    k: int = 5,
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each anchor in a
+    deterministic md5 sample, the ``k`` vectors MOST cosine-similar
+    to it that carry a DIFFERENT label — the negatives that sit
+    closest to the decision boundary, which is what contrastive /
+    triplet / InfoNCE training wants in its batches (random negatives
+    are mostly trivial at scale; hard ones carry the gradient).
+
+    Plan: the serving shape of :func:`cosine_topk_batch` — anchors ≪
+    corpus, broadcast anchors against ONE corpus scan, label
+    inequality filters map-side before the per-anchor row_number heap
+    (shuffled only by anchor id). Anchor choice is md5-priority
+    (rand()-free, retry/partition-stable). At 100 TB mine against the
+    IVF/JL-projected index instead of the exact scan — same output
+    contract, this exact pass is the recall yardstick.
+
+    Returns (anchor_id, anchor_label, vec_id, neg_label, score).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.hashing import md5_long
+
+    key = md5_long(F.concat(F.lit("hneg:"), F.col(id_col).cast("string")))
+    anchors = (
+        df.select(
+            F.col(id_col).alias("anchor_id"),
+            F.col(vec_col).alias("av"),
+            F.col(label_col).alias("anchor_label"),
+            key.alias("kk"),
+        )
+        .orderBy(F.asc("kk"), F.asc("anchor_id"))
+        .limit(n_anchors)
+        .drop("kk")
+    )
+    scored = (
+        df.crossJoin(F.broadcast(anchors))
+        .where(F.col(label_col) != F.col("anchor_label"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col(id_col),
+            F.col(label_col).alias("neg_label"),
+            F.round(cosine(F.col(vec_col), F.col("av")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("anchor_id", "anchor_label", id_col, "neg_label", "score")
+    )

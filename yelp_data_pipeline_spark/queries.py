@@ -9026,6 +9026,45 @@ def q_jl_distortion_pairs(spark, sf_dir):
 
 
 @_q(
+    "hard_negative_pairs",
+    f"""
+WITH anc AS (
+  SELECT anchor_id, av, anchor_label FROM (
+    SELECT vec_id AS anchor_id, embedding AS av, label AS anchor_label,
+           {md5_long_sql("concat('hneg:', CAST(vec_id AS VARCHAR))")} AS kk
+    FROM embeddings) t
+  ORDER BY kk ASC, anchor_id ASC LIMIT 8
+),
+scored AS (
+  SELECT a.anchor_id, a.anchor_label, e.vec_id,
+         e.label AS neg_label,
+         round({cosine_sql('e.embedding', 'a.av', 64)}, 6) AS score
+  FROM embeddings e, anc a
+  WHERE e.label <> a.anchor_label
+)
+SELECT anchor_id, anchor_label, vec_id, neg_label, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY anchor_id
+                               ORDER BY score DESC, vec_id ASC) AS rn
+  FROM scored
+) WHERE rn <= 5
+""",
+    doc="Contrastive hard-negative mining (operators/similarity.py:"
+    "hard_negatives_topk): for each of 8 md5-sampled anchors, the 5 "
+    "most cosine-similar vectors with a DIFFERENT label — the "
+    "near-boundary negatives contrastive/triplet/InfoNCE batches "
+    "need (random negatives are mostly trivial at scale; hard ones "
+    "carry the gradient). Serving shape: anchors ≪ corpus, broadcast "
+    "anchors vs ONE corpus scan, map-side label filter, per-anchor "
+    "row_number heap. At 100 TB mine against the IVF/JL index; this "
+    "exact pass is the recall yardstick.",
+)
+def q_hard_negative_pairs(spark, sf_dir):
+    return sim.hard_negatives_topk(
+        _t(spark, sf_dir, "embeddings"), n_anchors=8, k=5
+    )
+
+
+@_q(
     "dedup_corpus_lines",
     f"""
 WITH toks AS (
@@ -9118,6 +9157,7 @@ _EXPORT_PRIORITY: list[str] = [
     "kmv_daily_user_merge",
     "jl_distortion_pairs",
     "dedup_corpus_lines",
+    "hard_negative_pairs",
     # Stalest verdicts (last seen round 3) — refresh:
     "user_sessions",
     "packed_sequences",
@@ -9142,6 +9182,20 @@ _EXPORT_PRIORITY: list[str] = [
     "shipping_priority_top10",
     "top_orders_with_ties",
     "order_price_percent_rank",
+    # Fill remaining window slots with the oldest round-4 verdicts
+    # (alphabetical prefix of the 46-name stale set; the rest wait for
+    # round 9):
+    "bigram_logprob_scores",
+    "bm25_doc_scores",
+    "bridge_part_words",
+    "clean_pyrepr_attributes",
+    "customers_with_urgent_orders",
+    "customers_without_urgent_orders",
+    "dates_except",
+    "dates_intersect",
+    "dedup_clusters_star",
+    "dedup_keep_best_docs",
+    "detect_parse_json_props",
 ]
 
 
