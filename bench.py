@@ -85,6 +85,10 @@ EXTRAS = [
     "domain_mixture_stats",
     "domain_capped_docs",
     "price_histogram_quantiles",
+    "kmv_daily_user_merge",
+    "jl_distortion_pairs",
+    "dedup_corpus_lines",
+    "hard_negative_pairs",
 ]
 
 

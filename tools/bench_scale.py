@@ -430,6 +430,49 @@ def main_r7(replicas: int) -> int:
     return 0
 
 
+# ``--r8`` family: the round-8 doc-side additions. Expected shapes:
+# line dedup ~linear (line-hash combinable groupBy + join back — the
+# novelty/substring-span shuffle shape); URL canonicalization is pure
+# map-side + one groupBy on the canonical key; domain caps one
+# domain-keyed window over a ~constant domain count (rows/domain grow
+# 25×, the window partition count does NOT — the documented skew
+# regime); contamination is the broadcast-eval-grams semi-join.
+R8_DOC_FAMILY = [
+    "dedup_corpus_lines",
+    "canonical_url_dedup",
+    "domain_capped_docs",
+    "contamination_spans",
+]
+
+
+def main_r8(replicas: int) -> int:
+    spark = get_spark("bench_scale_r8")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = queries()
+    scaled_dir = build_scaled(spark, replicas)
+
+    qs["dedup_corpus_lines"](spark, BASE_SF).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    release_tracked()
+
+    base = run_family(spark, qs, BASE_SF, R8_DOC_FAMILY)
+    scaled = run_family(spark, qs, scaled_dir, R8_DOC_FAMILY)
+    ratios = {
+        k: round(scaled[k] / base[k], 2) for k in base if base[k] > 0
+    }
+    print(json.dumps({
+        "metric": "r8_family_scale",
+        "unit": "sec",
+        "sf_base": 0.1,
+        "scale_multiplier": replicas,
+        "base": base,
+        "scaled": scaled,
+        "ratio": ratios,
+    }))
+    return 0
+
+
 def main_curate(replicas: int) -> int:
     """End-to-end curate pipeline scale point (round-8 verdict #8):
     the COMPOSITE curate_documents_job (scrub → quality → MinHash LSH
@@ -534,6 +577,8 @@ def main() -> int:
         return main_r7(replicas)
     if "--curate" in sys.argv:
         return main_curate(replicas)
+    if "--r8" in sys.argv:
+        return main_r8(replicas)
     spark = get_spark("bench_scale")
     spark.sparkContext.setLogLevel("ERROR")
     qs = queries()

@@ -128,52 +128,42 @@ def registrable_domain(
     ``id_cols + (host_col, registrable_domain)`` — a projection, not a
     decoration, so the caller controls any join back.
 
-    Plan: explode each host into its ≤``max_suffix_labels`` trailing
-    candidates (map-side ``posexplode`` over a bounded sequence),
-    resolve via ONE broadcast hash join against the suffix table, then
-    a combinable max-struct aggregate keyed on ``id_cols`` picks the
-    longest match. Hosts matching no public suffix fall back to the
-    bare host (left join + coalesce) — the PSL '*' convention is the
-    caller's policy.
+    Plan: ZERO shuffles — one map-side candidate column per suffix
+    length (``k = max_suffix_labels..1``, each a bounded slice of the
+    label array) resolved by ≤``max_suffix_labels`` broadcast hash
+    LEFT joins against the suffix table; longest match wins via a
+    coalesce in k-descending order. Every row stays in its input
+    partition (vs the explode→groupBy→join-back shape, which costs
+    two row-count shuffles). Hosts matching no public suffix fall
+    back to the bare host — the PSL '*' convention is the caller's
+    policy; single-label hosts have no (label + suffix) split and
+    fall back too.
     """
     labels = F.split(F.col(host_col), r"\.")
     n = F.size(labels)
-    base = df.select(*id_cols, F.col(host_col), labels.alias("__lbl"))
-    # Single-label hosts have no (label + suffix) split — exclude them
-    # before the explode (sequence(1, 0) would DESCEND in Spark).
-    cands = base.where(F.size("__lbl") >= 2).select(
-        *id_cols,
-        host_col,
-        "__lbl",
-        F.explode(
-            F.sequence(F.lit(1), F.least(F.size("__lbl") - 1, F.lit(max_suffix_labels)))
-        ).alias("k"),
-    ).select(
-        *id_cols,
-        host_col,
-        "__lbl",
-        "k",
-        F.concat_ws(
-            ".", F.slice("__lbl", F.size("__lbl") - F.col("k") + 1, F.col("k"))
-        ).alias("cand"),
+    out = df.select(*id_cols, F.col(host_col))
+    ks = list(range(max_suffix_labels, 0, -1))
+    for k in ks:
+        cand = F.when(
+            n >= k + 1,
+            F.concat_ws(".", F.slice(labels, n - F.lit(k) + 1, F.lit(k))),
+        )
+        sfx_k = suffix_df.select(F.col("suffix").alias(f"__s{k}"))
+        out = out.join(
+            F.broadcast(sfx_k), cand.eqNullSafe(F.col(f"__s{k}")), "left"
+        )
+    # Longest match wins: coalesce in k-descending order.
+    sfx = F.coalesce(*[F.col(f"__s{k}") for k in ks])
+    bk = F.coalesce(
+        *[F.when(F.col(f"__s{k}").isNotNull(), F.lit(k)) for k in ks]
     )
-    hits = (
-        cands.join(F.broadcast(suffix_df), F.col("cand") == F.col("suffix"))
-        .groupBy(*id_cols)
-        .agg(F.max(F.struct(F.col("k"), F.col("cand"))).alias("m"))
-        .select(*id_cols, F.col("m.k").alias("bk"), F.col("m.cand").alias("sfx"))
-    )
-    joined = df.select(*id_cols, host_col).join(hits, id_cols, "left")
-    n2 = F.size(F.split(F.col(host_col), r"\."))
     reg = F.when(
-        F.col("bk").isNotNull(),
+        sfx.isNotNull(),
         F.concat(
-            F.element_at(F.split(F.col(host_col), r"\."), (n2 - F.col("bk")).cast("int")),
-            F.lit("."),
-            F.col("sfx"),
+            F.element_at(labels, (n - bk).cast("int")), F.lit("."), sfx
         ),
     ).otherwise(F.col(host_col))
-    return joined.select(
+    return out.select(
         *id_cols, F.col(host_col), reg.alias("registrable_domain")
     )
 
