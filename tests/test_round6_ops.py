@@ -774,3 +774,30 @@ def test_histogram_quantiles_error_bound_and_merge(spark):
     )
     out = histogram_quantiles(dfn, ["g"], "v", 1.0, [0.5]).collect()
     assert out[0]["n_rows"] == 2
+
+
+def test_kmv_daily_merge_equals_direct(spark):
+    """Union of per-day k-min sets re-taken to k must equal the direct
+    global sketch EXACTLY (every global k-min member is in its own
+    day's k-min set) — the associativity that lets date-range distinct
+    queries run over O(days*k) sketch rows."""
+    import datetime as dt
+
+    from yelp_data_pipeline_spark.operators.aggregates import kmv_daily_merge
+
+    rows = []
+    for d in range(5):
+        day = dt.datetime(2024, 3, 1 + d)
+        for u in range(40):  # heavy overlap across days
+            rows.append((day, f"user{(u * 7 + d) % 60}"))
+    df = spark.createDataFrame(rows, ["ts", "user_id"])
+    got = {
+        r["day"]: r["est_distinct"]
+        for r in kmv_daily_merge(df, "ts", "user_id", k=16).collect()
+    }
+    assert got["__merged__"] == got["__direct__"]
+    assert len(got) == 5 + 2
+    # per-day sets have 40 distinct users > k=16: estimator engaged,
+    # estimates must be positive and finite
+    for d, v in got.items():
+        assert v > 0

@@ -525,3 +525,69 @@ def grouped_theil_sen(
             "ts_slope"
         ),
     )
+
+
+def seasonal_decompose_daily(df: DataFrame, ts_col: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily event
+    count (STL's deterministic little sibling): per day,
+    ``cnt = trend + seasonal + residual`` with trend = centered 7-day
+    moving average (FULL windows only — edge days emit NULL
+    components), seasonal = per-weekday mean of the detrended series,
+    residual = the rest. The decomposition behind "is Tuesday always
+    low, or is THIS Tuesday anomalous?" — the seasonal-aware upgrade
+    of daily_count_zscores.
+
+    Numerics: every intermediate is an EXACT INTEGER — detrended
+    numerator ``7·cnt − S7``, weekday sums (N_w, m_w), residual
+    numerator ``num·m_w − N_w`` — and each output is one single
+    correctly-rounded double division of exact ints (+ round 6dp), so
+    both engines reproduce every cell bit-identically (the repo's
+    no-float-accumulator rule; summing doubles group-wise would be
+    association-order-dependent).
+
+    Scale shape: one (day) groupBy over the raw data, then EVERYTHING
+    runs on the bounded day relation (≤ calendar-days rows — the
+    dim_time class of bounded single-partition windows) plus a 7-row
+    broadcast weekday join.
+
+    Returns (date, cnt, trend, seasonal, residual) ordered by date.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        df.select(F.to_date(ts_col).alias("date"))
+        .groupBy("date")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("date").rowsBetween(-3, 3)
+    t = daily.select(
+        "date",
+        "cnt",
+        F.sum("cnt").over(w).alias("s7"),
+        F.count(F.lit(1)).over(w).alias("c7"),
+    ).withColumn(
+        "num",
+        F.when(F.col("c7") == 7, 7 * F.col("cnt") - F.col("s7")),
+    ).withColumn("dow", F.dayofweek("date"))
+    wk = t.where(F.col("num").isNotNull()).groupBy("dow").agg(
+        F.sum("num").alias("nw"), F.count(F.lit(1)).alias("mw")
+    )
+    j = t.join(F.broadcast(wk), "dow", "left")
+    trend = F.round(F.col("s7").cast("double") / F.lit(7.0), 6)
+    seasonal = F.round(
+        F.col("nw").cast("double") / (F.lit(7.0) * F.col("mw").cast("double")),
+        6,
+    )
+    residual = F.round(
+        (F.col("num") * F.col("mw") - F.col("nw")).cast("double")
+        / (F.lit(7.0) * F.col("mw").cast("double")),
+        6,
+    )
+    has = F.col("num").isNotNull() & F.col("nw").isNotNull()
+    return j.select(
+        "date",
+        "cnt",
+        F.when(has, trend).alias("trend"),
+        F.when(has, seasonal).alias("seasonal"),
+        F.when(has, residual).alias("residual"),
+    ).orderBy("date")
