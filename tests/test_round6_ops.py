@@ -801,3 +801,62 @@ def test_kmv_daily_merge_equals_direct(spark):
     # estimates must be positive and finite
     for d, v in got.items():
         assert v > 0
+
+
+def test_seasonal_decomposition_recovers_planted_pattern(spark):
+    """counts = 100 + day + s[weekday] with sum(s)=0 over the week:
+    the centered 7-day MA recovers the linear trend exactly, the
+    weekday means recover s, and residuals are exactly 0 on every
+    full-window day; edge days emit NULL components."""
+    import datetime as dt
+
+    from yelp_data_pipeline_spark.operators.timeseries import (
+        seasonal_decompose_daily,
+    )
+
+    s = [3, -2, 5, -1, -4, 1, -2]  # sums to 0
+    rows = []
+    base = dt.date(2024, 1, 1)
+    for d in range(28):
+        day = base + dt.timedelta(days=d)
+        cnt = 100 + d + s[day.weekday()]
+        rows.extend(
+            (dt.datetime.combine(day, dt.time(1, 0)),) for _ in range(cnt)
+        )
+    df = spark.createDataFrame(rows, ["ts"])
+    out = {r["date"]: r for r in seasonal_decompose_daily(df, "ts").collect()}
+    assert len(out) == 28
+    for d in range(28):
+        day = base + dt.timedelta(days=d)
+        r = out[day]
+        assert r["cnt"] == 100 + d + s[day.weekday()]
+        if 3 <= d <= 24:  # full centered window
+            assert r["trend"] == float(100 + d)
+            assert r["seasonal"] == float(s[day.weekday()])
+            assert r["residual"] == 0.0
+        else:
+            assert r["trend"] is None and r["residual"] is None
+
+
+def test_cusum_finds_planted_level_shift(spark):
+    """A clean level shift (20/day for 10 days, then 50/day for 10)
+    must peak the CUSUM at the last low day, with segment means
+    recovered exactly."""
+    import datetime as dt
+
+    from yelp_data_pipeline_spark.operators.timeseries import (
+        cusum_changepoint_daily,
+    )
+
+    rows = []
+    base = dt.date(2024, 5, 1)
+    for d in range(20):
+        cnt = 20 if d < 10 else 50
+        day = dt.datetime.combine(base + dt.timedelta(days=d), dt.time(2))
+        rows.extend((day,) for _ in range(cnt))
+    df = spark.createDataFrame(rows, ["ts"])
+    r = cusum_changepoint_daily(df, "ts").collect()[0]
+    assert r["change_date"] == base + dt.timedelta(days=9)
+    assert r["n_days"] == 20
+    assert r["mean_before"] == 20.0
+    assert r["mean_after"] == 50.0

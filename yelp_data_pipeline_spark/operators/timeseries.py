@@ -591,3 +591,85 @@ def seasonal_decompose_daily(df: DataFrame, ts_col: str) -> DataFrame:
         F.when(has, seasonal).alias("seasonal"),
         F.when(has, residual).alias("residual"),
     ).orderBy("date")
+
+
+def cusum_changepoint_daily(df: DataFrame, ts_col: str) -> DataFrame:
+    """CUSUM change-point detection on the daily event count (Page
+    1954): the cumulative sum of deviations from the global mean peaks
+    (in absolute value) at the most likely LEVEL-SHIFT date — the
+    "when did the volume regime change" question that z-scores
+    (point anomalies) and drift tests (distribution shift between two
+    fixed windows) don't answer.
+
+    Numerics: deviations are scaled to exact integers
+    (``n·cnt − S``, i.e. n × (cnt − mean)), so the cumulative sum,
+    the argmax, and the before/after segment sums are all exact
+    integer arithmetic with deterministic tiebreaks (earliest date);
+    the three emitted statistics are single correctly-rounded double
+    divisions — bit-identical cross-engine.
+
+    Scale shape: one raw-data groupBy to the bounded calendar-day
+    relation; the 1-row totals broadcast back (bounded-cross); the
+    cumulative window and argmax run on ≤ days rows.
+
+    Returns ONE row: (change_date, n_days, cusum_peak, mean_before,
+    mean_after) — change_date is the last day of the BEFORE segment;
+    cusum_peak is in count units (peak / n).
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        df.select(F.to_date(ts_col).alias("date"))
+        .groupBy("date")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cnt").alias("s")
+    )
+    c = daily.crossJoin(F.broadcast(tot)).withColumn(
+        "dev", F.col("n") * F.col("cnt") - F.col("s")
+    )
+    w = Window.orderBy("date").rowsBetween(Window.unboundedPreceding, 0)
+    cus = c.withColumn("cum", F.sum("dev").over(w))
+    peak = (
+        cus.orderBy(F.abs(F.col("cum")).desc(), F.col("date").asc())
+        .limit(1)
+        .select(
+            F.col("date").alias("change_date"),
+            F.col("cum").alias("peak"),
+            F.col("n"),
+        )
+    )
+    seg = daily.crossJoin(F.broadcast(peak)).agg(
+        F.first("change_date").alias("change_date"),
+        F.first("n").alias("n_days"),
+        F.first("peak").alias("peak"),
+        F.sum(
+            F.when(F.col("date") <= F.col("change_date"), F.col("cnt"))
+        ).alias("sb"),
+        F.sum(
+            F.when(F.col("date") <= F.col("change_date"), 1)
+        ).alias("nb"),
+        F.sum(
+            F.when(F.col("date") > F.col("change_date"), F.col("cnt"))
+        ).alias("sa"),
+        F.sum(
+            F.when(F.col("date") > F.col("change_date"), 1)
+        ).alias("na"),
+    )
+    return seg.select(
+        "change_date",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.round(
+            F.col("peak").cast("double") / F.col("n_days").cast("double"), 6
+        ).alias("cusum_peak"),
+        F.round(
+            F.col("sb").cast("double") / F.col("nb").cast("double"), 6
+        ).alias("mean_before"),
+        F.when(
+            F.col("na") > 0,
+            F.round(
+                F.col("sa").cast("double") / F.col("na").cast("double"), 6
+            ),
+        ).alias("mean_after"),
+    )

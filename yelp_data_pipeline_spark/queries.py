@@ -9075,6 +9075,51 @@ def q_daily_seasonal_decomposition(spark, sf_dir):
 
 
 @_q(
+    "event_changepoint_cusum",
+    """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS date, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cnt) AS BIGINT) AS s
+        FROM daily),
+c AS (SELECT date, cnt, n, s, n * cnt - s AS dev FROM daily, tot),
+cus AS (SELECT date, n,
+               CAST(sum(dev) OVER (ORDER BY date
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM c),
+peak AS (SELECT date AS change_date, cum AS peak, n FROM cus
+         ORDER BY abs(cum) DESC, date ASC LIMIT 1),
+seg AS (SELECT p.change_date, p.n AS n_days, p.peak,
+               sum(CASE WHEN d.date <= p.change_date THEN d.cnt END) AS sb,
+               sum(CASE WHEN d.date <= p.change_date THEN 1 END) AS nb,
+               sum(CASE WHEN d.date > p.change_date THEN d.cnt END) AS sa,
+               sum(CASE WHEN d.date > p.change_date THEN 1 END) AS na
+        FROM daily d, peak p GROUP BY 1, 2, 3)
+SELECT change_date, n_days,
+       round(CAST(peak AS DOUBLE) / CAST(n_days AS DOUBLE), 6) AS cusum_peak,
+       round(CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE), 6) AS mean_before,
+       CASE WHEN na > 0
+            THEN round(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE), 6)
+       END AS mean_after
+FROM seg
+""",
+    doc="CUSUM change-point detection on daily event volume "
+    "(operators/timeseries.py:cusum_changepoint_daily; Page 1954): "
+    "the |cumulative deviation| peak locates the most likely LEVEL "
+    "SHIFT — the regime-change question z-scores (point anomalies) "
+    "and histogram drift (two fixed windows) don't answer. "
+    "Deviations scaled to exact ints (n·cnt−S) so cumsum/argmax/"
+    "segment sums are exact with deterministic tiebreaks; the three "
+    "emitted stats are single correctly-rounded divisions. One "
+    "raw-data groupBy, then everything on the bounded calendar-day "
+    "relation (1-row totals broadcast, bounded-cross).",
+)
+def q_event_changepoint_cusum(spark, sf_dir):
+    return ts_ops.cusum_changepoint_daily(_t(spark, sf_dir, "events"), "ts")
+
+
+@_q(
     "hard_negative_pairs",
     f"""
 WITH anc AS (
@@ -9208,6 +9253,7 @@ _EXPORT_PRIORITY: list[str] = [
     "dedup_corpus_lines",
     "hard_negative_pairs",
     "daily_seasonal_decomposition",
+    "event_changepoint_cusum",
     # Stalest verdicts (last seen round 3) — refresh:
     "user_sessions",
     "packed_sequences",
@@ -9244,7 +9290,6 @@ _EXPORT_PRIORITY: list[str] = [
     "dates_except",
     "dates_intersect",
     "dedup_clusters_star",
-    "dedup_keep_best_docs",
 ]
 
 
