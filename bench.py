@@ -89,6 +89,9 @@ EXTRAS = [
     "jl_distortion_pairs",
     "dedup_corpus_lines",
     "hard_negative_pairs",
+    "daily_seasonal_decomposition",
+    "event_changepoint_cusum",
+    "docs_embeddings_integrity",
 ]
 
 

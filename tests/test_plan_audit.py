@@ -34,6 +34,9 @@ def test_no_dangerous_nested_loops_in_representative_plans(spark):
         "duplicate_substring_spans",  # round-7 gram join
         "nation_theil_sen_trend",     # pair-sampled slopes
         "hll_users_by_event_type",    # grouped sketch
+        "dedup_corpus_lines",         # round-8 line-hash join
+        "domain_capped_docs",         # round-8 broadcast suffix chain
+        "contamination_spans",        # round-8 eval-gram semi-join
     ]:
         a = ap.audit(name, qs[name](spark, SF_DIR))
         assert not a["nested_loop"], f"{name}: unbounded nested loop"

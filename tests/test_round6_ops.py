@@ -860,3 +860,22 @@ def test_cusum_finds_planted_level_shift(spark):
     assert r["n_days"] == 20
     assert r["mean_before"] == 20.0
     assert r["mean_after"] == 50.0
+
+
+def test_referential_integrity_audit_counts_orphans(spark):
+    from yelp_data_pipeline_spark.operators.quality import (
+        referential_integrity_audit,
+    )
+
+    left = spark.createDataFrame(
+        [(1,), (2,), (3,), (3,), (4,)], ["doc_id"]  # dup key collapses
+    )
+    right = spark.createDataFrame([(3,), (4,), (5,)], ["vec_id"])
+    r = referential_integrity_audit(left, right, "doc_id", "vec_id").collect()[0]
+    assert (
+        r["n_left_keys"],
+        r["n_right_keys"],
+        r["n_matched"],
+        r["n_left_orphans"],
+        r["n_right_orphans"],
+    ) == (4, 3, 2, 2, 1)

@@ -257,3 +257,59 @@ def k_anonymity_audit(
         .where(F.col("class_size") < k)
         .orderBy(F.asc("class_size"), *[F.asc(c) for c in quasi_cols])
     )
+
+
+def referential_integrity_audit(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+) -> DataFrame:
+    """Two-way referential-integrity audit between related tables
+    (documents ↔ embeddings, facts ↔ dims): distinct-key counts on
+    each side, how many match, and the orphan count in each direction
+    — the check that catches a failed encoder batch (docs without
+    embeddings) or a stale index (embeddings whose doc was deleted)
+    before training consumes the join.
+
+    Plan: ONE key-shuffled full outer join of the two DISTINCT key
+    relations (each side pre-shrunk map-side to its distinct keys —
+    no row payloads move), then a single combinable aggregate over
+    the presence flags. Cheaper than the two anti-joins it replaces
+    and produces all five counts in one pass.
+
+    Returns one row: (n_left_keys, n_right_keys, n_matched,
+    n_left_orphans, n_right_orphans).
+    """
+    lk = left.select(F.col(left_key).alias("__lk")).distinct()
+    rk = right.select(F.col(right_key).alias("__rk")).distinct()
+    j = lk.join(rk, F.col("__lk") == F.col("__rk"), "full_outer")
+    return j.agg(
+        F.sum(F.when(F.col("__lk").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_left_keys"),
+        F.sum(F.when(F.col("__rk").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_right_keys"),
+        F.sum(
+            F.when(
+                F.col("__lk").isNotNull() & F.col("__rk").isNotNull(), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_matched"),
+        F.sum(
+            F.when(
+                F.col("__lk").isNotNull() & F.col("__rk").isNull(), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_left_orphans"),
+        F.sum(
+            F.when(
+                F.col("__lk").isNull() & F.col("__rk").isNotNull(), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_right_orphans"),
+    )
