@@ -934,6 +934,114 @@ def q_pricing_summary(spark, sf_dir):
 
 
 @_q(
+    "local_supplier_volume",
+    """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+""",
+    doc="TPC-H Q5 shape — local supplier volume: the 6-table star "
+    "with the c_nationkey = s_nationkey LOCALITY condition (attached "
+    "to the supplier join, not a post-filter, so it prunes during the "
+    "join). region/nation/supplier broadcast (tiny dims), the "
+    "customer side shuffles once on custkey, lineitem⋈orders on "
+    "orderkey; date filter pushed to the orders scan. Revenue via "
+    "decimal-exact sums (order-independent).",
+)
+def q_local_supplier_volume(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select(
+        "r_regionkey"
+    )
+    j = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.groupBy("n_name").agg(agg.exact_sum(disc, "revenue"))
+
+
+@_q(
+    "returned_items_top_customers",
+    """
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND l_returnflag = 'R'
+  AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+""",
+    doc="TPC-H Q10 shape — top 20 customers by revenue from RETURNED "
+    "items in one quarter: the churn-triage query. Return-flag and "
+    "date filters pushed to the lineitem/orders scans BEFORE the "
+    "joins; nation broadcast; final top-20 a TakeOrdered heap with a "
+    "c_custkey tiebreak so the selected set is deterministic. "
+    "Decimal-exact revenue.",
+)
+def q_returned_items_top_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1996-04-01")
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    l = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(agg.exact_sum(disc, "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@_q(
     "avg_balance_by_segment",
     """
 SELECT c_mktsegment,
@@ -9287,6 +9395,8 @@ _EXPORT_PRIORITY: list[str] = [
     "daily_seasonal_decomposition",
     "event_changepoint_cusum",
     "docs_embeddings_integrity",
+    "local_supplier_volume",
+    "returned_items_top_customers",
     # Stalest verdicts (last seen round 3) — refresh:
     "user_sessions",
     "packed_sequences",
@@ -9320,8 +9430,6 @@ _EXPORT_PRIORITY: list[str] = [
     "clean_pyrepr_attributes",
     "customers_with_urgent_orders",
     "customers_without_urgent_orders",
-    "dates_except",
-    "dates_intersect",
 ]
 
 
