@@ -63,3 +63,36 @@ def test_hard_negatives_exclude_same_label(spark):
     for r in out:
         assert r["neg_label"] != anchors[r["anchor_id"]]
         assert r["vec_id"] != r["anchor_id"]
+
+
+def test_whitening_removes_top_component(spark):
+    """On a corpus with a planted dominant direction, the whitened
+    vectors must be (near-)orthogonal to the recovered top PC:
+    sum_d w_d * u_d ~ 0 for every sampled vector."""
+    from yelp_data_pipeline_spark.operators.similarity import (
+        embedding_top_pc,
+        whiten_all_but_top,
+    )
+
+    # dominant direction e0 + small per-vector noise on other dims
+    rows = []
+    for i in range(24):
+        v = [0.0] * 64
+        v[0] = 10.0 + (i % 5)          # strong shared component
+        v[1 + (i % 7)] = 0.5 + 0.01 * i  # weak varying component
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    u = {
+        r["dim"]: r["loading"]
+        for r in embedding_top_pc(df, "embedding", dim=64, iters=8).collect()
+        if r["dim"] >= 1
+    }
+    w = whiten_all_but_top(df, "vec_id", "embedding", 64, 8, n_sample=4)
+    by_vec = {}
+    for r in w.collect():
+        by_vec.setdefault(r["vec_id"], {})[r["dim"]] = r["w"]
+    assert len(by_vec) == 4
+    for vid, comps in by_vec.items():
+        assert len(comps) == 64
+        resid = sum(comps[d] * u[d] for d in range(1, 65))
+        assert abs(resid) < 1e-3, (vid, resid)

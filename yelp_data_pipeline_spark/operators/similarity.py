@@ -1237,55 +1237,13 @@ def pq_recall_eval(
     )
 
 
-def embedding_top_pc(
-    df: DataFrame,
-    vec_col: str = "embedding",
-    dim: int = 64,
-    iters: int = 8,
-) -> DataFrame:
-    """Top principal component of an embedding corpus by POWER
-    ITERATION over the exactly-aggregated covariance matrix — the
-    embedding-diagnostics operator (anisotropy / dominant-direction /
-    drift checks; Mu & Viswanath 2018's "all-but-the-top" starts
-    exactly here) at 100 TB scale.
-
-    Two-stage split that makes this distributed-friendly:
-
-    1. COVARIANCE (the only data-scale pass): each row map-side
-       explodes its d² component products; one (i, j)-keyed groupBy
-       with map-side combine reduces n·d² product rows to d² cells.
-       Sums accumulate in DECIMAL(38,18) of correctly-rounded double
-       products — order-independent, so the matrix is bit-identical
-       across engines/partitionings/retries (the exact_sum rule).
-       C = E[x_i x_j] − μ_i μ_j assembled in doubles of those exact
-       operands.
-
-    2. ITERATION (data-free): ``iters`` fixed power-iteration rounds
-       (anytime contract) on the d²-cell relation — matvec as a join
-       + per-i fold over a j-SORTED array (never a shuffle-ordered
-       float sum), normalization via sqrt (IEEE correctly rounded,
-       allowed by the float rules — unlike ln/exp) of an i-sorted
-       fold. 1-row/64-row eager localCheckpoints keep lineage linear.
-
-    Sign convention (eigenvectors are sign-ambiguous): the component
-    with the largest |loading| (smallest index on ties) is made
-    positive — deterministic on both engines.
-
-    Convergence is (λ₂/λ₁)^iters: fast exactly when a dominant
-    direction EXISTS (the case the diagnostic hunts); on a
-    near-isotropic corpus the direction estimate stays diffuse while
-    the Rayleigh quotient still approaches λ₁ from below — read it
-    against the trace row: anisotropy ≈ λ·d / trace (≈1 ⇒ isotropic,
-    ≫1 ⇒ dominant direction). Either way the OUTPUT is deterministic
-    (fixed iterations, deterministic folds), so the driver hash gate
-    applies regardless of spectrum shape.
-
-    Returns (dim, loading): dim 1..d carry the unit eigenvector
-    rounded 6dp; dim 0 carries the Rayleigh quotient λ = vᵀCv (the
-    top-eigenvalue estimate — variance along the component); dim -1
-    carries trace(C) = Σᵢ var(xᵢ) (total variance, exact-decimal
-    assembled).
-    """
+def _top_pc_state(
+    df: DataFrame, vec_col: str, dim: int, iters: int
+):
+    """Shared state for the top-PC family: (cov, mu, v, sg) frames —
+    the exactly-aggregated covariance cells, per-dim means, the
+    power-iterated (pre-sign-fix) unit vector, and the 1-row sign.
+    See :func:`embedding_top_pc` for the numerics contract."""
     from pyspark.sql import Window
 
     from ..session import ensure_min_parallelism, track_persist
@@ -1419,6 +1377,59 @@ def embedding_top_pc(
             .alias("sg")
         )
     )
+    return cov, mu, vdf, sg, matvec
+
+
+def embedding_top_pc(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    iters: int = 8,
+) -> DataFrame:
+    """Top principal component of an embedding corpus by POWER
+    ITERATION over the exactly-aggregated covariance matrix — the
+    embedding-diagnostics operator (anisotropy / dominant-direction /
+    drift checks; Mu & Viswanath 2018's "all-but-the-top" starts
+    exactly here) at 100 TB scale.
+
+    Two-stage split that makes this distributed-friendly:
+
+    1. COVARIANCE (the only data-scale pass): each row map-side
+       explodes its d² component products; one (i, j)-keyed groupBy
+       with map-side combine reduces n·d² product rows to d² cells.
+       Sums accumulate in DECIMAL(38,18) of correctly-rounded double
+       products — order-independent, so the matrix is bit-identical
+       across engines/partitionings/retries (the exact_sum rule).
+       C = E[x_i x_j] − μ_i μ_j assembled in doubles of those exact
+       operands.
+
+    2. ITERATION (data-free): ``iters`` fixed power-iteration rounds
+       (anytime contract) on the d²-cell relation — matvec as a join
+       + per-i fold over a j-SORTED array (never a shuffle-ordered
+       float sum), normalization via sqrt (IEEE correctly rounded,
+       allowed by the float rules — unlike ln/exp) of an i-sorted
+       fold. 1-row/64-row eager localCheckpoints keep lineage linear.
+
+    Sign convention (eigenvectors are sign-ambiguous): the component
+    with the largest |loading| (smallest index on ties) is made
+    positive — deterministic on both engines.
+
+    Convergence is (λ₂/λ₁)^iters: fast exactly when a dominant
+    direction EXISTS (the case the diagnostic hunts); on a
+    near-isotropic corpus the direction estimate stays diffuse while
+    the Rayleigh quotient still approaches λ₁ from below — read it
+    against the trace row: anisotropy ≈ λ·d / trace (≈1 ⇒ isotropic,
+    ≫1 ⇒ dominant direction). Either way the OUTPUT is deterministic
+    (fixed iterations, deterministic folds), so the driver hash gate
+    applies regardless of spectrum shape.
+
+    Returns (dim, loading): dim 1..d carry the unit eigenvector
+    rounded 6dp; dim 0 carries the Rayleigh quotient λ = vᵀCv (the
+    top-eigenvalue estimate — variance along the component); dim -1
+    carries trace(C) = Σᵢ var(xᵢ) (total variance, exact-decimal
+    assembled).
+    """
+    cov, mu, vdf, sg, matvec = _top_pc_state(df, vec_col, dim, iters)
     ufin = matvec(vdf)
     lam = (
         vdf.select(F.col("j").alias("i"), "vj")
@@ -1657,4 +1668,77 @@ def hard_negatives_topk(
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
         .select("anchor_id", "anchor_label", id_col, "neg_label", "score")
+    )
+
+
+def whiten_all_but_top(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    iters: int = 8,
+    n_sample: int = 4,
+) -> DataFrame:
+    """All-but-the-top postprocessing APPLIED (Mu & Viswanath 2018):
+    for a deterministic md5 sample of vectors, emit the whitened
+    components ``w_d = (v_d − μ_d) − ⟨v − μ, u⟩·u_d`` — mean removed,
+    top principal component projected out. The classic fix for
+    embedding anisotropy (a dominant common direction makes every
+    cosine look alike); :func:`embedding_top_pc` DIAGNOSES it, this
+    operator performs the repair the diagnosis recommends.
+
+    Sampled rather than corpus-wide here because the OUTPUT is the
+    verification surface (long-format per-dim doubles) — in
+    production the same μ/u frames (65 tiny rows) broadcast against
+    the full corpus and the transform is one map-side expression per
+    row, the cheapest possible repair pass at 100 TB.
+
+    Numerics: μ and u come from the exact-DECIMAL covariance power
+    iteration (_top_pc_state, deterministic); the dot product folds
+    d-SORTED per vector; each output is single-rounded double
+    arithmetic, rounded 6dp.
+
+    Returns (vec_id, dim, w) — n_sample × dim rows.
+    """
+    from ..functions.hashing import md5_long
+
+    cov, mu, vdf, sg, _matvec = _top_pc_state(df, vec_col, dim, iters)
+    uu = vdf.crossJoin(F.broadcast(sg)).select(
+        F.col("j").alias("d"), (F.col("sg") * F.col("vj")).alias("u")
+    )
+    key = md5_long(F.concat(F.lit("whiten:"), F.col(id_col).cast("string")))
+    picked = (
+        df.select(F.col(id_col), F.col(vec_col), key.alias("k"))
+        .orderBy(F.asc("k"), F.asc(id_col))
+        .limit(n_sample)
+    )
+    comps = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda i: F.struct(
+            i.cast("int").alias("d"),
+            F.element_at(F.col(vec_col), i).cast("double").alias("x"),
+        ),
+    )
+    cent = (
+        picked.select(id_col, F.explode(comps).alias("e"))
+        .select(id_col, "e.*")
+        .join(F.broadcast(mu.select(F.col("i").alias("d"), "mu")), "d")
+        .select(id_col, "d", (F.col("x") - F.col("mu")).alias("cv"))
+    )
+    cent = cent.join(F.broadcast(uu), "d")
+    dt = cent.groupBy(id_col).agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("d"), (F.col("cv") * F.col("u")).alias("t"))
+                )
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x["t"],
+        ).alias("dot")
+    )
+    return cent.join(dt, id_col).select(
+        id_col,
+        F.col("d").alias("dim"),
+        F.round(F.col("cv") - F.col("dot") * F.col("u"), 6).alias("w"),
     )
