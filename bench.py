@@ -92,6 +92,9 @@ EXTRAS = [
     "daily_seasonal_decomposition",
     "event_changepoint_cusum",
     "docs_embeddings_integrity",
+    "local_supplier_volume",
+    "returned_items_top_customers",
+    "whitened_embedding_sample",
 ]
 
 
