@@ -879,3 +879,14 @@ def test_referential_integrity_audit_counts_orphans(spark):
         r["n_left_orphans"],
         r["n_right_orphans"],
     ) == (4, 3, 2, 2, 1)
+
+
+def test_key_skew_report_flags_hot_key(spark):
+    from yelp_data_pipeline_spark.operators.quality import key_skew_report
+
+    rows = [("hot",)] * 80 + [(f"k{i}",) for i in range(20)]
+    df = spark.createDataFrame(rows, ["k"])
+    r = key_skew_report(df, "k").collect()[0]
+    assert r["n_rows"] == 100 and r["n_keys"] == 21
+    assert r["top_key"] == "hot" and r["top_share"] == 0.8
+    assert r["max_cnt"] == 80 and r["p50_cnt"] == 1.0

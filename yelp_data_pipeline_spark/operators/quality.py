@@ -313,3 +313,49 @@ def referential_integrity_audit(
         .cast("long")
         .alias("n_right_orphans"),
     )
+
+
+def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
+    """Join/shuffle-key skew diagnostic: the numbers an engineer reads
+    BEFORE choosing a join strategy (plain shuffle vs broadcast vs
+    salting vs AQE skew-split) — rows, distinct keys, mean rows/key,
+    exact p50/p90/p99/max of the per-key count distribution, and the
+    hottest key with its share of all rows. A top key holding >1% of
+    a 100 TB fact means one reducer owns >1 TB: this report is how
+    that's caught in planning rather than at hour three of the job.
+
+    Plan: one map-side-combinable groupBy(key) count, then a 1-row
+    aggregate over the per-key relation (percentile == quantile_cont
+    cross-engine); the hottest key via max_by with a key tiebreak.
+    Every emitted float is a single division or an exact percentile —
+    deterministic on both engines.
+
+    Returns ONE row: (n_rows, n_keys, mean_rows_per_key, p50_cnt,
+    p90_cnt, p99_cnt, max_cnt, top_key, top_share).
+    """
+    per_key = df.groupBy(F.col(key_col).cast("string").alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return per_key.agg(
+        F.sum("c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("c").cast("long").alias("max_cnt"),
+        F.expr("percentile(c, 0.5)").alias("__p50"),
+        F.expr("percentile(c, 0.9)").alias("__p90"),
+        F.expr("percentile(c, 0.99)").alias("__p99"),
+        F.max(F.struct(F.col("c"), F.col("k"))).alias("__top"),
+    ).select(
+        "n_rows",
+        "n_keys",
+        F.round(
+            F.col("n_rows").cast("double") / F.col("n_keys").cast("double"), 6
+        ).alias("mean_rows_per_key"),
+        F.round(F.col("__p50"), 6).alias("p50_cnt"),
+        F.round(F.col("__p90"), 6).alias("p90_cnt"),
+        F.round(F.col("__p99"), 6).alias("p99_cnt"),
+        "max_cnt",
+        F.col("__top.k").alias("top_key"),
+        F.round(
+            F.col("max_cnt").cast("double") / F.col("n_rows").cast("double"), 6
+        ).alias("top_share"),
+    )

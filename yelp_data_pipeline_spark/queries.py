@@ -9236,6 +9236,38 @@ def q_daily_seasonal_decomposition(spark, sf_dir):
 
 
 @_q(
+    "event_user_skew_report",
+    """
+WITH pk AS (
+  SELECT CAST(user_id AS VARCHAR) AS k, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+)
+SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       round(CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_rows_per_key,
+       round(quantile_cont(c, 0.5), 6) AS p50_cnt,
+       round(quantile_cont(c, 0.9), 6) AS p90_cnt,
+       round(quantile_cont(c, 0.99), 6) AS p99_cnt,
+       CAST(max(c) AS BIGINT) AS max_cnt,
+       (max({'c': c, 'k': k})).k AS top_key,
+       round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS top_share
+FROM pk
+""",
+    doc="Join/shuffle-key skew diagnostic on events.user_id "
+    "(operators/quality.py:key_skew_report): rows, distinct keys, "
+    "exact p50/p90/p99/max of the per-key count distribution, and "
+    "the hottest key's share — the numbers that choose between plain "
+    "shuffle, broadcast, salting, and AQE skew-split BEFORE the job "
+    "runs (a 1% hot key on a 100 TB fact is >1 TB on one reducer). "
+    "One combinable groupBy + a 1-row aggregate; percentile == "
+    "quantile_cont cross-engine; hottest key via max_by with a "
+    "deterministic (count, key) tiebreak.",
+)
+def q_event_user_skew_report(spark, sf_dir):
+    return dq.key_skew_report(_t(spark, sf_dir, "events"), "user_id")
+
+
+@_q(
     "docs_embeddings_integrity",
     """
 WITH lk AS (SELECT DISTINCT doc_id AS k FROM documents),
@@ -9451,6 +9483,7 @@ _EXPORT_PRIORITY: list[str] = [
     "local_supplier_volume",
     "returned_items_top_customers",
     "whitened_embedding_sample",
+    "event_user_skew_report",
     # Stalest verdicts (last seen round 3) — refresh:
     "user_sessions",
     "packed_sequences",
@@ -9482,7 +9515,6 @@ _EXPORT_PRIORITY: list[str] = [
     "bm25_doc_scores",
     "bridge_part_words",
     "clean_pyrepr_attributes",
-    "customers_with_urgent_orders",
 ]
 
 
