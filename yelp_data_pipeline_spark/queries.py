@@ -1042,6 +1042,79 @@ def q_returned_items_top_customers(spark, sf_dir):
 
 
 @_q(
+    "nation_pair_volume_by_year",
+    """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(CAST(volume AS DECIMAL(27,4))) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+    AND c_nationkey = n2.n_nationkey
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+""",
+    doc="TPC-H Q7 shape — cross-border volume between two specific "
+    "nations by ship year: the two-role dimension pattern (nation "
+    "joined TWICE under different roles, supplier-side and "
+    "customer-side, with a symmetric pair predicate). Both nation "
+    "aliases broadcast; the pair predicate prunes fact rows during "
+    "the joins; decimal-exact revenue; date filter pushed to the "
+    "lineitem scan.",
+)
+def q_nation_pair_volume_by_year(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    l = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .select(
+            "l_orderkey", "l_suppkey", "l_shipdate",
+            "l_extendedprice", "l_discount",
+        )
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    j = (
+        l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(pair)
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.select(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("int").alias("l_year"),
+        vol.alias("volume"),
+    ).groupBy("supp_nation", "cust_nation", "l_year").agg(
+        agg.exact_sum("volume", "revenue")
+    )
+
+
+@_q(
     "avg_balance_by_segment",
     """
 SELECT c_mktsegment,
@@ -9484,6 +9557,7 @@ _EXPORT_PRIORITY: list[str] = [
     "returned_items_top_customers",
     "whitened_embedding_sample",
     "event_user_skew_report",
+    "nation_pair_volume_by_year",
     # Stalest verdicts (last seen round 3) — refresh:
     "user_sessions",
     "packed_sequences",
@@ -9514,7 +9588,6 @@ _EXPORT_PRIORITY: list[str] = [
     "bigram_logprob_scores",
     "bm25_doc_scores",
     "bridge_part_words",
-    "clean_pyrepr_attributes",
 ]
 
 
