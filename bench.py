@@ -95,6 +95,9 @@ EXTRAS = [
     "local_supplier_volume",
     "returned_items_top_customers",
     "whitened_embedding_sample",
+    "event_user_skew_report",
+    "nation_pair_volume_by_year",
+    "nation_market_share_by_year",
 ]
 
 

@@ -1115,6 +1115,92 @@ def q_nation_pair_volume_by_year(spark, sf_dir):
 
 
 @_q(
+    "nation_market_share_by_year",
+    """
+SELECT o_year,
+       round(CAST(SUM(CAST(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END
+                          AS DECIMAL(27,4))) AS DOUBLE)
+             / CAST(SUM(CAST(volume AS DECIMAL(27,4))) AS DOUBLE), 6) AS mkt_share,
+       CAST(SUM(CAST(volume AS DECIMAL(27,4))) AS DOUBLE) AS total_volume
+FROM (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS nation
+  FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+    AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+    AND p_type = 'PROMO'
+) all_nations
+GROUP BY o_year
+""",
+    doc="TPC-H Q8 shape — national market share: the 8-table star "
+    "(part/supplier/lineitem/orders/customer/nation×2/region) with a "
+    "conditional-share aggregate (one nation's volume over all "
+    "nations' volume per year). Every dimension broadcasts; the "
+    "part-type and region filters prune fact rows during their "
+    "joins; both sums accumulate in DECIMAL and the share is ONE "
+    "double division of the exact operands (deterministic "
+    "cross-engine, no float accumulation).",
+)
+def q_nation_market_share_by_year(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select(
+        "p_partkey"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        )
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    r = _t(spark, sf_dir, "region").filter(
+        F.col("r_name") == "AMERICA"
+    ).select("r_regionkey")
+    j = (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    base = j.select(
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        vol.alias("volume"),
+        "nation",
+    )
+    tgt = F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(
+        F.lit(0.0)
+    )
+    return base.groupBy("o_year").agg(
+        F.round(
+            F.sum(tgt.cast(agg.DECIMAL)).cast("double")
+            / F.sum(F.col("volume").cast(agg.DECIMAL)).cast("double"),
+            6,
+        ).alias("mkt_share"),
+        agg.exact_sum("volume", "total_volume"),
+    )
+
+
+@_q(
     "avg_balance_by_segment",
     """
 SELECT c_mktsegment,
@@ -9558,6 +9644,7 @@ _EXPORT_PRIORITY: list[str] = [
     "whitened_embedding_sample",
     "event_user_skew_report",
     "nation_pair_volume_by_year",
+    "nation_market_share_by_year",
     # Stalest verdicts (last seen round 3) — refresh:
     "user_sessions",
     "packed_sequences",
@@ -9587,7 +9674,6 @@ _EXPORT_PRIORITY: list[str] = [
     # round 9):
     "bigram_logprob_scores",
     "bm25_doc_scores",
-    "bridge_part_words",
 ]
 
 
