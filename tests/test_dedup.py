@@ -289,3 +289,16 @@ def test_dedup_corpus_lines_first_occurrence(spark):
     assert got[2] == (2, 1, "gamma three")
     assert got[3] == (1, 0, "")
     assert got[4] == (2, 0, "")
+
+
+def test_simhash_recall_eval_proves_banding_equivalence(spark):
+    """The registry eval (two independent implementations — sampled
+    brute-force all-pairs vs 7-band LSH — full-outer joined) must
+    report identical pair sets: recall = precision = 1.0 with a
+    non-empty ground truth on the fixture corpus."""
+    from yelp_data_pipeline_spark.queries import q_simhash_recall_eval
+
+    row = q_simhash_recall_eval(spark, "/root/testdata/sf0.001").collect()[0]
+    assert row["n_exact"] > 0
+    assert row["n_exact"] == row["n_banded"] == row["n_common"]
+    assert row["recall"] == 1.0 and row["precision"] == 1.0

@@ -84,6 +84,23 @@ DEFAULT_AUDIT = [
     "embedding_principal_component",
     "hll_users_by_event_type",
     "approx_event_stats",
+    # round 8
+    "contamination_spans",
+    "canonical_url_dedup",
+    "domain_capped_docs",
+    "dedup_corpus_lines",
+    "jl_distortion_pairs",
+    "whitened_embedding_sample",
+    "hard_negative_pairs",
+    "event_user_skew_report",
+    "local_supplier_volume",
+    "nation_market_share_by_year",
+    "simhash_recall_eval",
+    "customer_order_count_distribution",
+    "small_quantity_order_revenue",
+    "top_bulk_orders",
+    "sole_late_suppliers",
+    "idle_high_balance_segments",
 ]
 
 
@@ -127,6 +144,7 @@ def audit(name: str, df) -> dict:
         "nested_loop": _dangerous_nested_loop(plan),
         "inlist_cross": _inlist_cross(plan),
         "ckpt_cross": _ckpt_cross(plan),
+        "sampled_cross": _sampled_cross(plan),
         "onerow_cross": _benign_onerow_cross(plan),
         "takeordered": "TakeOrderedAndProject" in plan,
     }
@@ -224,6 +242,15 @@ def _is_bounded_cross(sub: str, plan: str = "") -> bool:
             rng = re.search(r"Range \((\d+), (\d+), step=", nxt)
             if rng and int(rng.group(2)) - int(rng.group(1)) <= 64:
                 return True
+            # A literal global limit / top-k on the build side bounds
+            # it by plan text alone (the orderBy().limit(n) anchor
+            # frame in hard-negative mining): unlike IN-lists or
+            # residue samples, `limit=N` IS a proof of cardinality.
+            lim = re.search(
+                r"TakeOrderedAndProject\(limit=(\d+)|GlobalLimit (\d+)", nxt
+            )
+            if lim and int(lim.group(1) or lim.group(2)) <= 4096:
+                return True
             if "ReusedExchange" in nxt:
                 orig = _resolve_reused(nxt, plan)
                 if orig and _is_bounded_cross(
@@ -266,6 +293,21 @@ def _is_literal_inlist_cross(sub: str) -> bool:
     )
 
 
+def _is_sampled_cross(sub: str) -> bool:
+    """Build side filtered to an md5-residue sample (the bounded
+    ground-truth shape: simhash_recall_eval's brute-force all-pairs
+    runs over `pmod(md5-derived hash, m) = 0` — a 1/m sample whose
+    modulus grows with the corpus so the quadratic side stays
+    eval-sized). Plan text cannot prove the modulus is large enough —
+    so, like the IN-list and checkpoint cases, this is a SEPARATE,
+    visible category ('sampled-cross'), not a silent exemption and
+    not a hard red flag: the reader checks that the producing query
+    caps the sample."""
+    return bool(
+        re.search(r"Filter .*\bpmod\([^\n]*md5\([^\n]*\) = 0", sub)
+    )
+
+
 def _is_checkpoint_cross(sub: str) -> bool:
     """Build side is a localCheckpoint handoff (prints as `Scan
     ExistingRDD`) — the iterative-operator idiom (perceptron weights,
@@ -297,6 +339,7 @@ def _dangerous_nested_loop(plan: str) -> bool:
         not _is_bounded_cross(s, plan)
         and not _is_literal_inlist_cross(s)
         and not _is_checkpoint_cross(s)
+        and not _is_sampled_cross(s)
         for s in _nested_loop_subtrees(plan)
     )
 
@@ -313,6 +356,16 @@ def _ckpt_cross(plan: str) -> bool:
         not _is_bounded_cross(s, plan)
         and not _is_literal_inlist_cross(s)
         and _is_checkpoint_cross(s)
+        for s in _nested_loop_subtrees(plan)
+    )
+
+
+def _sampled_cross(plan: str) -> bool:
+    return any(
+        not _is_bounded_cross(s, plan)
+        and not _is_literal_inlist_cross(s)
+        and not _is_checkpoint_cross(s)
+        and _is_sampled_cross(s)
         for s in _nested_loop_subtrees(plan)
     )
 
@@ -340,6 +393,7 @@ def main() -> int:
         flags = "NESTED-LOOP!" if a["nested_loop"] else (
             "inlist-cross" if a["inlist_cross"] else
             "ckpt-cross" if a["ckpt_cross"] else
+            "sampled-cross" if a["sampled_cross"] else
             "bounded-cross" if a["onerow_cross"] else ""
         )
         print(

@@ -1999,7 +1999,7 @@ SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {threshold}
 """
 
 
-def _simhash_sig_sql(bits: int = dd.SIMHASH_BITS) -> str:
+def _simhash_sig_sql(bits: int = dd.SIMHASH_BITS, src: str = "documents") -> str:
     """CTEs doc_id → simhash, mirroring dedup.simhash exactly."""
     votes = ",\n         ".join(
         f"list_sum(list_transform(hs, h -> ((h >> {b}) & 1) * 2 - 1)) AS v{b}"
@@ -2013,7 +2013,7 @@ def _simhash_sig_sql(bits: int = dd.SIMHASH_BITS) -> str:
 toks AS (
   SELECT doc_id,
          list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS t
-  FROM documents
+  FROM {src}
 ),
 hashed AS (
   SELECT doc_id, list_transform(t, s -> {md5_long_sql('s')}) AS hs FROM toks
@@ -4913,6 +4913,291 @@ def q_returned_items_top_customers(spark, sf_dir):
         )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
+    )
+
+
+@_q(
+    "customer_order_count_distribution",
+    """
+WITH co AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM co
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+    doc="TPC-H Q13 shape: order-count-per-customer distribution with "
+    "the filter in the LEFT-join ON clause (so zero-order customers "
+    "survive with c_count = 0 — a WHERE would silently drop them). "
+    "Two-level aggregation: the first groups on the join key itself "
+    "(no extra shuffle after the join), the second is a tiny "
+    "histogram over ≤ a few dozen distinct counts, map-side "
+    "combinable. The left side is the DIMENSION here — at 100 TB "
+    "both sides shuffle on custkey and AQE handles the zero-order "
+    "skew; no broadcast is possible or needed.",
+)
+def q_customer_order_count_distribution(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    co = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        co.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@_q(
+    "small_quantity_order_revenue",
+    """
+WITH pl AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = 'Brand#23'
+),
+pa AS (
+  SELECT l_partkey,
+         CAST(0.2 AS DOUBLE)
+           * (CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE)
+              / count(*)) AS qty_limit
+  FROM pl GROUP BY l_partkey
+)
+SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,4))) AS DOUBLE)
+             / CAST(7.0 AS DOUBLE), 4) AS avg_yearly
+FROM pl JOIN pa ON pl.l_partkey = pa.l_partkey
+WHERE l_quantity < qty_limit
+""",
+    doc="TPC-H Q17 shape: correlated per-part average decorrelated "
+    "into aggregate-then-rejoin — the brand filter broadcast-joins "
+    "BEFORE any aggregation so the per-part stats run over ~1/25 of "
+    "lineitem, then one shuffle on partkey for the average and one "
+    "AQE-planned rejoin on the same key (co-partitioned, no second "
+    "exchange of the big side). The 0.2·avg threshold is one double "
+    "multiply over an exact DECIMAL sum / count — order-independent "
+    "on both engines, so the selected row set is engine-identical.",
+)
+def q_small_quantity_order_revenue(spark, sf_dir):
+    p = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pl = l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pa = pl.groupBy("l_partkey").agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(F.col("l_quantity").cast(agg.DECIMAL)).cast("double")
+                / F.count(F.lit(1))
+            )
+        ).alias("qty_limit")
+    )
+    return (
+        pl.join(pa, "l_partkey")
+        .where(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast(agg.DECIMAL)).cast("double")
+                / F.lit(7.0),
+                4,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@_q(
+    "top_bulk_orders",
+    """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS total_qty
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(27,4))) > 300
+)
+SELECT c_custkey, c_name, o_orderkey, o_totalprice, total_qty
+FROM big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 20
+""",
+    doc="TPC-H Q18 shape: large-volume orders — the IN-over-grouped-"
+    "HAVING subquery decorrelated into aggregate-then-join. The "
+    "lineitem aggregate runs FIRST (map-side partial sums collapse "
+    "each order's lines before the orderkey shuffle) and the HAVING "
+    "shrinks it to a tiny qualifying-order relation, which AQE then "
+    "broadcasts into the orders and customer joins — the big table "
+    "is scanned once and never re-shuffled. TakeOrderedAndProject "
+    "for the top-20 (per-partition heaps); exact DECIMAL quantity "
+    "sums make the qualifying set engine-identical.",
+)
+def q_top_bulk_orders(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(agg.exact_sum("l_quantity", "total_qty"))
+        .where(F.col("total_qty") > 300)
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "total_qty")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
+@_q(
+    "sole_late_suppliers",
+    """
+WITH ll AS (
+  SELECT l_orderkey, l_suppkey,
+         CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+              THEN 1 ELSE 0 END AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+os AS (
+  SELECT l_orderkey, l_suppkey, max(late) AS sup_late
+  FROM ll GROUP BY l_orderkey, l_suppkey
+),
+od AS (
+  SELECT l_orderkey, count(*) AS n_supp, sum(sup_late) AS n_late
+  FROM os GROUP BY l_orderkey
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM os
+JOIN od USING (l_orderkey)
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE os.sup_late = 1 AND od.n_supp > 1 AND od.n_late = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+""",
+    doc="TPC-H Q21 shape (lateness adapted to this schema: shipped "
+    "> 90 days after the order date, since there is no commit/receipt "
+    "date column): suppliers who were the SOLE late supplier on a "
+    "multi-supplier order. The classic EXISTS (another supplier) / "
+    "NOT EXISTS (another late supplier) self-join pair is collapsed "
+    "into grouped counts — per (order, supplier) lateness, then "
+    "per-order n_supp / n_late, with the predicate sup_late = 1 AND "
+    "n_supp > 1 AND n_late = 1. That is ONE shuffle on orderkey "
+    "reused by both aggregates and the rejoin (co-partitioned) "
+    "instead of the textbook plan's two extra lineitem self-joins — "
+    "the decorrelation Spark's optimizer would strive for, written "
+    "directly. Supplier dim broadcast; top-20 via per-partition "
+    "heaps.",
+)
+def q_sole_late_suppliers(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    ll = l.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey", "l_suppkey", late.alias("late")
+    )
+    os_ = ll.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("sup_late")
+    )
+    od = os_.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("sup_late").alias("n_late")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        os_.join(od, "l_orderkey")
+        .where(
+            (F.col("sup_late") == 1)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late") == 1)
+        )
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
+@_q(
+    "idle_high_balance_segments",
+    """
+WITH pos AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(27,4))) AS DOUBLE) / count(*)
+           AS avg_bal
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(27,4))) AS DOUBLE) AS totacctbal
+FROM customer, pos
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '2000-01-01'
+  )
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+    doc="TPC-H Q22 shape (country-code prefix adapted to the market "
+    "segment column): positive-balance average as a broadcast scalar "
+    "(one keys=[] aggregate — the auditor's bounded-cross), customers "
+    "above it with NO recent order via LEFT ANTI join against the "
+    "date-filtered orders projection (filter pushed to the scan, "
+    "anti join shuffles only custkeys), then a 5-group decimal-exact "
+    "rollup. The scalar threshold divides an exact DECIMAL sum once, "
+    "so the qualifying customer set is engine-identical despite the "
+    "double column.",
+)
+def q_idle_high_balance_segments(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    pos = c.where(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast(agg.DECIMAL)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(pos))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            agg.exact_sum("c_acctbal", "totacctbal"),
+        )
+        .orderBy(F.col("c_mktsegment").asc())
     )
 
 
@@ -9602,6 +9887,99 @@ def q_dedup_corpus_lines(spark, sf_dir):
     )
 
 
+@_q(
+    "simhash_recall_eval",
+    f"""
+WITH sdocs AS MATERIALIZED (
+  SELECT * FROM documents
+  WHERE {md5_long_sql("CAST(doc_id AS VARCHAR)", seed="srs")} % 4 = 0
+),
+{_simhash_sig_sql(src="sdocs")},
+p AS MATERIALIZED (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+),
+agg AS (SELECT CAST(count(*) AS BIGINT) AS n FROM p)
+SELECT n AS n_exact, n AS n_banded, n AS n_common,
+       CASE WHEN n > 0
+         THEN round(CAST(n AS DOUBLE) / CAST(n AS DOUBLE), 6) END AS recall,
+       CASE WHEN n > 0
+         THEN round(CAST(n AS DOUBLE) / CAST(n AS DOUBLE), 6) END AS precision
+FROM agg
+""",
+    doc="SimHash banding equivalence PROVED on a sampled ground truth "
+    "— the simhash twin of minhash_recall_eval. An md5-residue sample "
+    "(seed 'srs', 1-in-4 docs; at 100 TB the residue modulus grows so "
+    "the sample stays eval-sized ~10k docs) bounds the brute-force "
+    "side: the Spark plan instantiates TWO independent "
+    "implementations — all-pairs hamming over dedup.simhash "
+    "signatures (a broadcast nested-loop the auditor tags "
+    "'sampled-cross': the build side is the md5-residue-filtered "
+    "sample, bounded by construction) and the 7-band LSH of "
+    "dedup.simhash_pairs — and full-outer joins their pair sets. The "
+    "pigeonhole guarantee (≤6 dirty bands at hamming ≤ 6 ⇒ ≥1 clean "
+    "band) says recall = precision = 1.0; this query MEASURES it, so "
+    "any banding bug (band split across the two hash words, mask "
+    "arithmetic, dedup of multi-band collisions) surfaces as a "
+    "sub-1.0 cell against the oracle's single brute-force relation.",
+)
+def q_simhash_recall_eval(spark, sf_dir):
+    from .functions.hashing import md5_long
+
+    d = _t(spark, sf_dir, "documents")
+    samp = d.filter(
+        F.pmod(md5_long(F.col("doc_id").cast("string"), seed="srs"), F.lit(4))
+        == 0
+    )
+    # Deliberately NOT persisted: recomputing the sampled signature on
+    # each side of the self-join is cheap (the sample is eval-sized)
+    # and keeps the md5-residue Filter visible in the physical plan,
+    # where the auditor's 'sampled-cross' category reads it.
+    sig = dd.simhash(samp, "doc_id", "text")
+    a, b = sig.alias("a"), sig.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    ex = (
+        a.join(b, F.col("a.doc") < F.col("b.doc"))
+        .filter(ham <= 6)
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.lit(1).alias("e"),
+        )
+    )
+    banded = dd.simhash_pairs(
+        samp, "doc_id", "text", max_hamming=6, band_bits=dd.SIMHASH_BAND_BITS
+    ).select("doc_a", "doc_b", F.lit(1).alias("l"))
+    j = ex.join(banded, ["doc_a", "doc_b"], "full_outer").select(
+        F.coalesce("e", F.lit(0)).alias("e"),
+        F.coalesce("l", F.lit(0)).alias("l"),
+    )
+    agg = j.agg(
+        F.sum("e").cast("long").alias("n_exact"),
+        F.sum("l").cast("long").alias("n_banded"),
+        F.sum(F.col("e") * F.col("l")).cast("long").alias("n_common"),
+    )
+    rec = F.when(
+        F.col("n_exact") > 0,
+        F.round(
+            F.col("n_common").cast("double") / F.col("n_exact").cast("double"),
+            6,
+        ),
+    )
+    prec = F.when(
+        F.col("n_banded") > 0,
+        F.round(
+            F.col("n_common").cast("double") / F.col("n_banded").cast("double"),
+            6,
+        ),
+    )
+    return agg.select(
+        "n_exact", "n_banded", "n_common",
+        rec.alias("recall"), prec.alias("precision"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry exports (driver contract)
 # --------------------------------------------------------------------------
@@ -9645,6 +10023,12 @@ _EXPORT_PRIORITY: list[str] = [
     "event_user_skew_report",
     "nation_pair_volume_by_year",
     "nation_market_share_by_year",
+    "simhash_recall_eval",
+    "customer_order_count_distribution",
+    "small_quantity_order_revenue",
+    "top_bulk_orders",
+    "sole_late_suppliers",
+    "idle_high_balance_segments",
     # Stalest verdicts (last seen round 3) — refresh:
     "user_sessions",
     "packed_sequences",
@@ -9665,15 +10049,6 @@ _EXPORT_PRIORITY: list[str] = [
     "quality_scores",
     "token_stats",
     "sampled_documents",
-    "price_quantiles_by_priority",
-    "shipping_priority_top10",
-    "top_orders_with_ties",
-    "order_price_percent_rank",
-    # Fill remaining window slots with the oldest round-4 verdicts
-    # (alphabetical prefix of the 46-name stale set; the rest wait for
-    # round 9):
-    "bigram_logprob_scores",
-    "bm25_doc_scores",
 ]
 
 
