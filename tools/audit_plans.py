@@ -101,6 +101,8 @@ DEFAULT_AUDIT = [
     "top_bulk_orders",
     "sole_late_suppliers",
     "idle_high_balance_segments",
+    "part_supplier_counts",
+    "excess_shipment_suppliers",
 ]
 
 

@@ -5201,6 +5201,133 @@ def q_idle_high_balance_segments(spark, sf_dir):
     )
 
 
+@_q(
+    "part_supplier_counts",
+    """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+LIMIT 50
+""",
+    doc="TPC-H Q16 shape (the complaint-comment exclusion adapted to "
+    "negative account balance): supplier variety per (brand, type, "
+    "size) — NOT IN decorrelated into a LEFT ANTI join against the "
+    "tiny excluded-supplier relation (broadcast), part attribute "
+    "filters (two inequalities + an IN-list) evaluated on the "
+    "broadcast part dim before the join, then count(DISTINCT "
+    "suppkey) — Spark plans it as the standard two-phase expand/"
+    "aggregate, partial-deduplicating (group, suppkey) map-side "
+    "before the shuffle. Top-50 with full tie-break ordering.",
+)
+def q_part_supplier_counts(spark, sf_dir):
+    p = (
+        _t(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand") != "Brand#1")
+            & (F.col("p_type") != "PROMO")
+            & (F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    l = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand").asc(),
+            F.col("p_type").asc(),
+            F.col("p_size").asc(),
+        )
+        .limit(50)
+    )
+
+
+@_q(
+    "excess_shipment_suppliers",
+    """
+WITH qual_parts AS (
+  SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+),
+heavy AS (
+  SELECT l_suppkey
+  FROM lineitem JOIN qual_parts ON p_partkey = l_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-01-01'
+  GROUP BY l_suppkey, l_partkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(27,4))) > 50
+)
+SELECT DISTINCT s_suppkey, s_name, n_name
+FROM supplier
+JOIN nation ON n_nationkey = s_nationkey
+JOIN heavy ON l_suppkey = s_suppkey
+ORDER BY s_suppkey
+""",
+    doc="TPC-H Q20 shape (partsupp availability adapted to shipped "
+    "volume, since there is no partsupp table): suppliers who moved "
+    "> 50 units of some 'small%' part in 1996 — the spec's nested "
+    "IN chains (part ⊂ partsupp ⊂ supplier) decorrelated into semi "
+    "steps: prefix-filtered part keys broadcast into the date-pruned "
+    "lineitem scan, per-(supplier, part) exact-DECIMAL quantity sums "
+    "with the HAVING shrinking to qualifying suppliers, then a "
+    "DISTINCT semi-style join into the supplier×nation dim (both "
+    "broadcast). LIKE-prefix pushes to the part scan as a "
+    "StringStartsWith filter.",
+)
+def q_excess_shipment_suppliers(spark, sf_dir):
+    p = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").startswith("small"))
+        .select("p_partkey")
+    )
+    l = (
+        _t(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+    )
+    heavy = (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(agg.exact_sum("l_quantity", "qty"))
+        .where(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(heavy, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "n_name")
+        .distinct()
+        .orderBy("s_suppkey")
+    )
+
+
 _CURR_HASH = (
     "CAST('0x' || substr(md5(concat_ws('|', 'curr', CAST(doc_id AS VARCHAR))), 1, 15) AS BIGINT)"
 )
@@ -10025,6 +10152,8 @@ _EXPORT_PRIORITY: list[str] = [
     "nation_market_share_by_year",
     "simhash_recall_eval",
     "customer_order_count_distribution",
+    "part_supplier_counts",
+    "excess_shipment_suppliers",
     "small_quantity_order_revenue",
     "top_bulk_orders",
     "sole_late_suppliers",
@@ -10047,8 +10176,6 @@ _EXPORT_PRIORITY: list[str] = [
     "hourly_event_counts",
     "lang_id_docs",
     "quality_scores",
-    "token_stats",
-    "sampled_documents",
 ]
 
 
