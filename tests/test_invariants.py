@@ -101,3 +101,67 @@ def test_hot_cold_split_join_equals_plain_join(spark):
         .collect()
     )
     assert got == exp and len(got) == 52
+
+
+def test_sole_late_suppliers_matches_textbook_exists_form(spark):
+    """The Q21-shape registry query collapses the EXISTS (another
+    supplier) / NOT EXISTS (another LATE supplier) pair into grouped
+    per-order counts. Prove the reformulation equals the textbook
+    correlated-subquery form, run via spark.sql on the same tables."""
+    from yelp_data_pipeline_spark.tables import register_views
+
+    got = [
+        (r["s_name"], r["numwait"])
+        for r in q.queries()["sole_late_suppliers"](spark, SF_DIR).collect()
+    ]
+    register_views(spark, SF_DIR, ("lineitem", "orders", "supplier"))
+    textbook = spark.sql(
+        """
+        WITH late_pairs AS (
+          SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+          FROM lineitem l1 JOIN orders o1 ON l1.l_orderkey = o1.o_orderkey
+          WHERE l1.l_shipdate > o1.o_orderdate + INTERVAL 90 DAYS
+            AND EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey
+            )
+            AND NOT EXISTS (
+              SELECT 1
+              FROM lineitem l3 JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAYS
+            )
+        )
+        SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM late_pairs JOIN supplier ON s_suppkey = l_suppkey
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name ASC
+        LIMIT 20
+        """
+    ).collect()
+    assert got == [(r["s_name"], r["numwait"]) for r in textbook]
+    assert len(got) > 0
+
+
+def test_incremental_state_merge_equals_direct(spark):
+    """Monoid-state maintenance: the merged base+delta state rows must
+    equal the direct full-recompute rows key-for-key."""
+    rows = q.queries()["incremental_event_state_merge"](spark, SF_DIR).collect()
+    merged = {
+        r["event_type"]: (
+            r["n_events"], r["total_value"], r["min_value"],
+            r["max_value"], r["avg_value"],
+        )
+        for r in rows if r["src"] == "__merged__"
+    }
+    direct = {
+        r["event_type"]: (
+            r["n_events"], r["total_value"], r["min_value"],
+            r["max_value"], r["avg_value"],
+        )
+        for r in rows if r["src"] == "__direct__"
+    }
+    assert len(merged) > 0
+    assert merged == direct

@@ -792,3 +792,82 @@ def kmv_daily_merge(
         per_day.unionByName(global_row(pk, "__merged__"))
         .unionByName(global_row(hx, "__direct__"))
     )
+
+
+def daily_agg_state(
+    df: DataFrame, ts_col: str, key_col: str, val_col: str
+) -> DataFrame:
+    """Per-(day, key) MERGEABLE aggregate state: (n, exact DECIMAL sum,
+    min, max). Count/sum/min/max form commutative monoids, so the
+    state combines associatively — the algebraic fact that makes
+    incremental ETL correct. The sum is kept in DECIMAL(27,4) (never a
+    double) so merging is order-independent and bit-stable across
+    engines; read-time derivations (avg = sum/n) do the single double
+    division at the end."""
+    v = F.col(val_col)
+    return df.groupBy(
+        F.to_date(F.col(ts_col)).alias("day"), F.col(key_col).alias("key")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v.cast(DECIMAL)).alias("s"),
+        F.min(v).alias("mn"),
+        F.max(v).alias("mx"),
+    )
+
+
+def merge_agg_state(state: DataFrame) -> DataFrame:
+    """Fold per-day states into per-key totals: sum of counts, sum of
+    DECIMAL sums, min of mins, max of maxes — one combinable groupBy
+    over days×keys STATE rows, never the raw fact table."""
+    return state.groupBy("key").agg(
+        F.sum("n").alias("n"),
+        F.sum("s").alias("s"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+    )
+
+
+def incremental_state_merge_demo(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    val_col: str,
+    cutoff: str,
+) -> DataFrame:
+    """Incremental-maintenance equivalence PROVED on real data: split
+    the fact table at ``cutoff`` into a base (already-materialized
+    state) and a delta (today's new partition), build their per-day
+    states INDEPENDENTLY, merge — and emit the merged per-key totals
+    next to a direct full recompute. The two row sets are equal by the
+    monoid laws; the query measures it instead of assuming it (the
+    same proof-not-promise pattern as kmv_daily_merge).
+
+    At 100 TB this is the nightly-ETL contract: refreshing a daily
+    state table touches only the delta partition (predicate-pruned
+    scan + one combinable groupBy over days×keys state rows), while
+    the naive alternative rescans the full history. Output one row per
+    (src, key) with src ∈ {'__merged__', '__direct__'}."""
+    base = df.where(F.col(ts_col) < cutoff)
+    delta = df.where(F.col(ts_col) >= cutoff)
+    state = daily_agg_state(base, ts_col, key_col, val_col).unionByName(
+        daily_agg_state(delta, ts_col, key_col, val_col)
+    )
+    merged = merge_agg_state(state).select(
+        F.lit("__merged__").alias("src"), "key", "n", "s", "mn", "mx"
+    )
+    direct = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(val_col).cast(DECIMAL)).alias("s"),
+        F.min(val_col).alias("mn"),
+        F.max(val_col).alias("mx"),
+    ).select(F.lit("__direct__").alias("src"), "key", "n", "s", "mn", "mx")
+    out = merged.unionByName(direct)
+    return out.select(
+        "src",
+        F.col("key").alias("event_type"),
+        F.col("n").alias("n_events"),
+        F.col("s").cast("double").alias("total_value"),
+        F.round("mn", 6).alias("min_value"),
+        F.round("mx", 6).alias("max_value"),
+        F.round(F.col("s").cast("double") / F.col("n"), 6).alias("avg_value"),
+    )

@@ -10107,6 +10107,59 @@ def q_simhash_recall_eval(spark, sf_dir):
     )
 
 
+@_q(
+    "incremental_event_state_merge",
+    """
+WITH st AS (
+  SELECT CAST(ts AS DATE) AS day, event_type AS key, count(*) AS n,
+         SUM(CAST(value AS DECIMAL(27,4))) AS s,
+         min(value) AS mn, max(value) AS mx
+  FROM events WHERE ts < TIMESTAMP '2024-01-25' GROUP BY 1, 2
+  UNION ALL
+  SELECT CAST(ts AS DATE), event_type, count(*),
+         SUM(CAST(value AS DECIMAL(27,4))), min(value), max(value)
+  FROM events WHERE ts >= TIMESTAMP '2024-01-25' GROUP BY 1, 2
+),
+m AS (
+  SELECT key, CAST(sum(n) AS BIGINT) AS n, sum(s) AS s,
+         min(mn) AS mn, max(mx) AS mx
+  FROM st GROUP BY key
+),
+d AS (
+  SELECT event_type AS key, count(*) AS n,
+         SUM(CAST(value AS DECIMAL(27,4))) AS s,
+         min(value) AS mn, max(value) AS mx
+  FROM events GROUP BY event_type
+)
+SELECT '__merged__' AS src, key AS event_type, n AS n_events,
+       CAST(s AS DOUBLE) AS total_value,
+       round(mn, 6) AS min_value, round(mx, 6) AS max_value,
+       round(CAST(s AS DOUBLE) / n, 6) AS avg_value
+FROM m
+UNION ALL
+SELECT '__direct__', key, n, CAST(s AS DOUBLE),
+       round(mn, 6), round(mx, 6), round(CAST(s AS DOUBLE) / n, 6)
+FROM d
+""",
+    doc="Incremental-maintenance equivalence proof (operators/"
+    "aggregates.py:incremental_state_merge_demo) — the general-"
+    "aggregate sibling of kmv_daily_user_merge: per-(day, type) "
+    "mergeable state (count / exact-DECIMAL sum / min / max) built "
+    "INDEPENDENTLY for the base (< 2024-01-25) and delta partitions, "
+    "folded per type, emitted as __merged__ rows next to a __direct__ "
+    "full recompute. Equal by the monoid laws; measured, not assumed. "
+    "The nightly-ETL contract at 100 TB: a state refresh scans only "
+    "the delta partition (date predicate pruned) plus days×keys "
+    "state rows, never the full history; avg is derived at read time "
+    "by ONE double division over the exact sum, so merged and direct "
+    "agree bit-for-bit on both engines.",
+)
+def q_incremental_event_state_merge(spark, sf_dir):
+    return agg.incremental_state_merge_demo(
+        _t(spark, sf_dir, "events"), "ts", "event_type", "value", "2024-01-25"
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry exports (driver contract)
 # --------------------------------------------------------------------------
@@ -10154,6 +10207,7 @@ _EXPORT_PRIORITY: list[str] = [
     "customer_order_count_distribution",
     "part_supplier_counts",
     "excess_shipment_suppliers",
+    "incremental_event_state_merge",
     "small_quantity_order_revenue",
     "top_bulk_orders",
     "sole_late_suppliers",
@@ -10175,7 +10229,6 @@ _EXPORT_PRIORITY: list[str] = [
     "sliding_event_counts",
     "hourly_event_counts",
     "lang_id_docs",
-    "quality_scores",
 ]
 
 
