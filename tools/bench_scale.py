@@ -564,9 +564,57 @@ def main_curate(replicas: int) -> int:
     return 0
 
 
+# ``--tpch`` family: the fact-side TPC-H analogs. Unlike the doc/emb
+# families these scale with SF natively (lineitem/orders grow with the
+# fixture scale factor), so the scale point is sf0.01 → sf0.1 (10×
+# facts) with no derived corpus. Expected shapes: all ~linear — scan-
+# dominated aggregates, broadcast-dim joins, and key-partitioned
+# shuffles with no candidate blowup term; the interesting check is
+# that none of them hides a superlinear join (e.g. the Q21 analog's
+# per-order counts must stay one orderkey shuffle).
+TPCH_FAMILY = [
+    "forecast_revenue_simple",
+    "customer_order_count_distribution",
+    "small_quantity_order_revenue",
+    "top_bulk_orders",
+    "sole_late_suppliers",
+    "idle_high_balance_segments",
+    "part_supplier_counts",
+    "excess_shipment_suppliers",
+    "incremental_event_state_merge",
+]
+
+
+def main_tpch() -> int:
+    spark = get_spark("bench_scale_tpch")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = queries()
+    small, big = "/root/testdata/sf0.01", "/root/testdata/sf0.1"
+    qs["forecast_revenue_simple"](spark, small).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    release_tracked()
+    base = run_family(spark, qs, small, TPCH_FAMILY)
+    scaled = run_family(spark, qs, big, TPCH_FAMILY)
+    ratios = {k: round(scaled[k] / base[k], 2) for k in base if base[k] > 0}
+    print(json.dumps({
+        "metric": "tpch_family_scale",
+        "unit": "sec",
+        "sf_base": 0.01,
+        "sf_scaled": 0.1,
+        "data_multiplier": 10,
+        "base": base,
+        "scaled": scaled,
+        "ratio": ratios,
+    }))
+    return 0
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     replicas = int(args[0]) if args else 5
+    if "--tpch" in sys.argv:
+        return main_tpch()
     if "--emb" in sys.argv:
         return main_emb(replicas)
     if "--docs" in sys.argv:
