@@ -62,3 +62,53 @@ def test_star_join_broadcasts_dims(spark):
     qs = queries()
     a = ap.audit("top_regions_by_orders", qs["top_regions_by_orders"](spark, SF_DIR))
     assert a["broadcasts"] >= 1, "dim chain not broadcast"
+
+
+def test_sampled_cross_and_limit_bounded_recognitions(spark):
+    """Round-8 auditor categories: the eval's brute-force side must
+    read as 'sampled-cross' (md5-residue filter visible on the
+    broadcast build side), and a literal limit(n) build side
+    (hard-negative anchors) must count as plan-proven bounded — both
+    previously printed NESTED-LOOP!."""
+    ap = _auditor()
+    qs = queries()
+
+    a = ap.audit(
+        "simhash_recall_eval", qs["simhash_recall_eval"](spark, SF_DIR)
+    )
+    assert not a["nested_loop"], "eval brute side flagged as dangerous"
+    assert a["sampled_cross"], "md5-residue sample filter not recognized"
+
+    b = ap.audit(
+        "hard_negative_pairs", qs["hard_negative_pairs"](spark, SF_DIR)
+    )
+    assert not b["nested_loop"], "limit-bounded anchor frame flagged"
+    assert b["onerow_cross"], "literal limit build side not recognized"
+
+
+def test_tpch_completion_set_plans_are_clean(spark):
+    """The round-8 TPC-H analogs: no dangerous nested loops anywhere;
+    the top-k shapes use heaps; Q22's scalar threshold reads as a
+    bounded cross."""
+    ap = _auditor()
+    qs = queries()
+    for name in [
+        "customer_order_count_distribution",
+        "small_quantity_order_revenue",
+        "top_bulk_orders",
+        "sole_late_suppliers",
+        "part_supplier_counts",
+        "excess_shipment_suppliers",
+        "incremental_event_state_merge",
+    ]:
+        a = ap.audit(name, qs[name](spark, SF_DIR))
+        assert not a["nested_loop"], f"{name}: unbounded nested loop"
+    q22 = ap.audit(
+        "idle_high_balance_segments",
+        qs["idle_high_balance_segments"](spark, SF_DIR),
+    )
+    assert not q22["nested_loop"]
+    assert q22["onerow_cross"], "scalar avg threshold not bounded-cross"
+    for name in ["top_bulk_orders", "sole_late_suppliers"]:
+        a = ap.audit(name, qs[name](spark, SF_DIR))
+        assert a["takeordered"], f"{name}: top-k fell back to a global sort"
