@@ -96,16 +96,9 @@ EXTRAS = [
     "returned_items_top_customers",
     "whitened_embedding_sample",
     "event_user_skew_report",
-    "nation_pair_volume_by_year",
     "nation_market_share_by_year",
     "simhash_recall_eval",
-    "customer_order_count_distribution",
-    "small_quantity_order_revenue",
-    "top_bulk_orders",
     "sole_late_suppliers",
-    "idle_high_balance_segments",
-    "part_supplier_counts",
-    "excess_shipment_suppliers",
     "incremental_event_state_merge",
 ]
 

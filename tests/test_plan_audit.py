@@ -86,29 +86,24 @@ def test_sampled_cross_and_limit_bounded_recognitions(spark):
     assert b["onerow_cross"], "literal limit build side not recognized"
 
 
-def test_tpch_completion_set_plans_are_clean(spark):
-    """The round-8 TPC-H analogs: no dangerous nested loops anywhere;
-    the top-k shapes use heaps; Q22's scalar threshold reads as a
-    bounded cross."""
+def test_tpch_analog_plans_are_clean(spark):
+    """The TPC-H analog set (round-8 additions + the round-5/6
+    originals they complement): no dangerous nested loops anywhere;
+    the Q21 reformulation keeps its heap top-k."""
     ap = _auditor()
     qs = queries()
     for name in [
         "customer_order_count_distribution",
         "small_quantity_order_revenue",
-        "top_bulk_orders",
+        "large_volume_customers",
         "sole_late_suppliers",
-        "part_supplier_counts",
-        "excess_shipment_suppliers",
+        "part_supplier_diversity",
+        "dominant_share_suppliers",
         "incremental_event_state_merge",
     ]:
         a = ap.audit(name, qs[name](spark, SF_DIR))
         assert not a["nested_loop"], f"{name}: unbounded nested loop"
-    q22 = ap.audit(
-        "idle_high_balance_segments",
-        qs["idle_high_balance_segments"](spark, SF_DIR),
+    a = ap.audit(
+        "sole_late_suppliers", qs["sole_late_suppliers"](spark, SF_DIR)
     )
-    assert not q22["nested_loop"]
-    assert q22["onerow_cross"], "scalar avg threshold not bounded-cross"
-    for name in ["top_bulk_orders", "sole_late_suppliers"]:
-        a = ap.audit(name, qs[name](spark, SF_DIR))
-        assert a["takeordered"], f"{name}: top-k fell back to a global sort"
+    assert a["takeordered"], "Q21 top-k fell back to a global sort"

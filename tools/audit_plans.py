@@ -98,11 +98,8 @@ DEFAULT_AUDIT = [
     "simhash_recall_eval",
     "customer_order_count_distribution",
     "small_quantity_order_revenue",
-    "top_bulk_orders",
     "sole_late_suppliers",
-    "idle_high_balance_segments",
-    "part_supplier_counts",
-    "excess_shipment_suppliers",
+    "incremental_event_state_merge",
 ]
 
 

@@ -576,11 +576,11 @@ TPCH_FAMILY = [
     "forecast_revenue_simple",
     "customer_order_count_distribution",
     "small_quantity_order_revenue",
-    "top_bulk_orders",
+    "large_volume_customers",
     "sole_late_suppliers",
-    "idle_high_balance_segments",
-    "part_supplier_counts",
-    "excess_shipment_suppliers",
+    "dormant_rich_customers",
+    "part_supplier_diversity",
+    "dominant_share_suppliers",
     "incremental_event_state_merge",
 ]
 

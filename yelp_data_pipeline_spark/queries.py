@@ -65,6 +65,14 @@ def _q(
     scale_note: Optional[str] = None,
 ):
     def wrap(fn):
+        # A repeated name would silently SHADOW the earlier spec in
+        # queries()/oracle_sql() (dict semantics: last wins) while the
+        # earlier one still burned registry/bench slots — exactly the
+        # round-8 incident where re-added TPC-H analogs masked the
+        # originals. Fail loudly at import instead.
+        assert name not in {s.name for s in _REGISTRY}, (
+            f"duplicate registry name: {name}"
+        )
         _REGISTRY.append(QuerySpec(name, fn, oracle, doc, scale_note))
         return fn
 
@@ -930,187 +938,6 @@ def q_pricing_summary(spark, sf_dir):
         agg.exact_sum(disc_price, "sum_disc_price"),
         agg.exact_avg("l_quantity", "avg_qty"),
         F.count(F.lit(1)).alias("count_order"),
-    )
-
-
-@_q(
-    "local_supplier_volume",
-    """
-SELECT n_name,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))) AS DOUBLE) AS revenue
-FROM customer, orders, lineitem, supplier, nation, region
-WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
-  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
-  AND r_name = 'ASIA'
-  AND o_orderdate >= TIMESTAMP '1996-01-01'
-  AND o_orderdate < TIMESTAMP '1997-01-01'
-GROUP BY n_name
-""",
-    doc="TPC-H Q5 shape — local supplier volume: the 6-table star "
-    "with the c_nationkey = s_nationkey LOCALITY condition (attached "
-    "to the supplier join, not a post-filter, so it prunes during the "
-    "join). region/nation/supplier broadcast (tiny dims), the "
-    "customer side shuffles once on custkey, lineitem⋈orders on "
-    "orderkey; date filter pushed to the orders scan. Revenue via "
-    "decimal-exact sums (order-independent).",
-)
-def q_local_supplier_volume(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    o = (
-        _t(spark, sf_dir, "orders")
-        .filter(
-            (F.col("o_orderdate") >= "1996-01-01")
-            & (F.col("o_orderdate") < "1997-01-01")
-        )
-        .select("o_orderkey", "o_custkey")
-    )
-    l = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
-    )
-    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    n = _t(spark, sf_dir, "nation").select(
-        "n_nationkey", "n_name", "n_regionkey"
-    )
-    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select(
-        "r_regionkey"
-    )
-    j = (
-        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(c, F.col("o_custkey") == F.col("c_custkey"))
-        .join(
-            F.broadcast(s),
-            (F.col("l_suppkey") == F.col("s_suppkey"))
-            & (F.col("c_nationkey") == F.col("s_nationkey")),
-        )
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
-    )
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return j.groupBy("n_name").agg(agg.exact_sum(disc, "revenue"))
-
-
-@_q(
-    "returned_items_top_customers",
-    """
-SELECT c_custkey, c_name, n_name,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))) AS DOUBLE) AS revenue
-FROM customer, orders, lineitem, nation
-WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
-  AND o_orderdate >= TIMESTAMP '1996-01-01'
-  AND o_orderdate < TIMESTAMP '1996-04-01'
-  AND l_returnflag = 'R'
-  AND c_nationkey = n_nationkey
-GROUP BY c_custkey, c_name, n_name
-ORDER BY revenue DESC, c_custkey ASC LIMIT 20
-""",
-    doc="TPC-H Q10 shape — top 20 customers by revenue from RETURNED "
-    "items in one quarter: the churn-triage query. Return-flag and "
-    "date filters pushed to the lineitem/orders scans BEFORE the "
-    "joins; nation broadcast; final top-20 a TakeOrdered heap with a "
-    "c_custkey tiebreak so the selected set is deterministic. "
-    "Decimal-exact revenue.",
-)
-def q_returned_items_top_customers(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer").select(
-        "c_custkey", "c_name", "c_nationkey"
-    )
-    o = (
-        _t(spark, sf_dir, "orders")
-        .filter(
-            (F.col("o_orderdate") >= "1996-01-01")
-            & (F.col("o_orderdate") < "1996-04-01")
-        )
-        .select("o_orderkey", "o_custkey")
-    )
-    l = (
-        _t(spark, sf_dir, "lineitem")
-        .filter(F.col("l_returnflag") == "R")
-        .select("l_orderkey", "l_extendedprice", "l_discount")
-    )
-    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(c, F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
-        .groupBy("c_custkey", "c_name", "n_name")
-        .agg(agg.exact_sum(disc, "revenue"))
-        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
-        .limit(20)
-    )
-
-
-@_q(
-    "nation_pair_volume_by_year",
-    """
-SELECT supp_nation, cust_nation, l_year,
-       CAST(SUM(CAST(volume AS DECIMAL(27,4))) AS DOUBLE) AS revenue
-FROM (
-  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-         CAST(year(l_shipdate) AS INT) AS l_year,
-         l_extendedprice * (1 - l_discount) AS volume
-  FROM supplier, lineitem, orders, customer, nation n1, nation n2
-  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
-    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
-    AND c_nationkey = n2.n_nationkey
-    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
-    AND l_shipdate >= TIMESTAMP '1996-01-01'
-    AND l_shipdate < TIMESTAMP '1998-01-01'
-) shipping
-GROUP BY supp_nation, cust_nation, l_year
-""",
-    doc="TPC-H Q7 shape — cross-border volume between two specific "
-    "nations by ship year: the two-role dimension pattern (nation "
-    "joined TWICE under different roles, supplier-side and "
-    "customer-side, with a symmetric pair predicate). Both nation "
-    "aliases broadcast; the pair predicate prunes fact rows during "
-    "the joins; decimal-exact revenue; date filter pushed to the "
-    "lineitem scan.",
-)
-def q_nation_pair_volume_by_year(spark, sf_dir):
-    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    l = (
-        _t(spark, sf_dir, "lineitem")
-        .filter(
-            (F.col("l_shipdate") >= "1996-01-01")
-            & (F.col("l_shipdate") < "1998-01-01")
-        )
-        .select(
-            "l_orderkey", "l_suppkey", "l_shipdate",
-            "l_extendedprice", "l_discount",
-        )
-    )
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    n1 = _t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
-    )
-    n2 = _t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
-    )
-    pair = (
-        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
-    ) | (
-        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
-    )
-    j = (
-        l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(c, F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
-        .where(pair)
-    )
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return j.select(
-        "supp_nation",
-        "cust_nation",
-        F.year("l_shipdate").cast("int").alias("l_year"),
-        vol.alias("volume"),
-    ).groupBy("supp_nation", "cust_nation", "l_year").agg(
-        agg.exact_sum("volume", "revenue")
     )
 
 
@@ -4917,159 +4744,6 @@ def q_returned_items_top_customers(spark, sf_dir):
 
 
 @_q(
-    "customer_order_count_distribution",
-    """
-WITH co AS (
-  SELECT c_custkey, count(o_orderkey) AS c_count
-  FROM customer LEFT JOIN orders
-    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
-  GROUP BY c_custkey
-)
-SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
-FROM co
-GROUP BY c_count
-ORDER BY custdist DESC, c_count DESC
-""",
-    doc="TPC-H Q13 shape: order-count-per-customer distribution with "
-    "the filter in the LEFT-join ON clause (so zero-order customers "
-    "survive with c_count = 0 — a WHERE would silently drop them). "
-    "Two-level aggregation: the first groups on the join key itself "
-    "(no extra shuffle after the join), the second is a tiny "
-    "histogram over ≤ a few dozen distinct counts, map-side "
-    "combinable. The left side is the DIMENSION here — at 100 TB "
-    "both sides shuffle on custkey and AQE handles the zero-order "
-    "skew; no broadcast is possible or needed.",
-)
-def q_customer_order_count_distribution(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer").select("c_custkey")
-    o = (
-        _t(spark, sf_dir, "orders")
-        .where(F.col("o_orderpriority") != "1-URGENT")
-        .select("o_custkey", "o_orderkey")
-    )
-    co = (
-        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
-    )
-    return (
-        co.groupBy("c_count")
-        .agg(F.count(F.lit(1)).alias("custdist"))
-        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
-    )
-
-
-@_q(
-    "small_quantity_order_revenue",
-    """
-WITH pl AS (
-  SELECT l_partkey, l_quantity, l_extendedprice
-  FROM lineitem JOIN part ON p_partkey = l_partkey
-  WHERE p_brand = 'Brand#23'
-),
-pa AS (
-  SELECT l_partkey,
-         CAST(0.2 AS DOUBLE)
-           * (CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE)
-              / count(*)) AS qty_limit
-  FROM pl GROUP BY l_partkey
-)
-SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,4))) AS DOUBLE)
-             / CAST(7.0 AS DOUBLE), 4) AS avg_yearly
-FROM pl JOIN pa ON pl.l_partkey = pa.l_partkey
-WHERE l_quantity < qty_limit
-""",
-    doc="TPC-H Q17 shape: correlated per-part average decorrelated "
-    "into aggregate-then-rejoin — the brand filter broadcast-joins "
-    "BEFORE any aggregation so the per-part stats run over ~1/25 of "
-    "lineitem, then one shuffle on partkey for the average and one "
-    "AQE-planned rejoin on the same key (co-partitioned, no second "
-    "exchange of the big side). The 0.2·avg threshold is one double "
-    "multiply over an exact DECIMAL sum / count — order-independent "
-    "on both engines, so the selected row set is engine-identical.",
-)
-def q_small_quantity_order_revenue(spark, sf_dir):
-    p = (
-        _t(spark, sf_dir, "part")
-        .where(F.col("p_brand") == "Brand#23")
-        .select("p_partkey")
-    )
-    l = _t(spark, sf_dir, "lineitem").select(
-        "l_partkey", "l_quantity", "l_extendedprice"
-    )
-    pl = l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")).select(
-        "l_partkey", "l_quantity", "l_extendedprice"
-    )
-    pa = pl.groupBy("l_partkey").agg(
-        (
-            F.lit(0.2)
-            * (
-                F.sum(F.col("l_quantity").cast(agg.DECIMAL)).cast("double")
-                / F.count(F.lit(1))
-            )
-        ).alias("qty_limit")
-    )
-    return (
-        pl.join(pa, "l_partkey")
-        .where(F.col("l_quantity") < F.col("qty_limit"))
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice").cast(agg.DECIMAL)).cast("double")
-                / F.lit(7.0),
-                4,
-            ).alias("avg_yearly")
-        )
-    )
-
-
-@_q(
-    "top_bulk_orders",
-    """
-WITH big AS (
-  SELECT l_orderkey,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS total_qty
-  FROM lineitem
-  GROUP BY l_orderkey
-  HAVING SUM(CAST(l_quantity AS DECIMAL(27,4))) > 300
-)
-SELECT c_custkey, c_name, o_orderkey, o_totalprice, total_qty
-FROM big
-JOIN orders ON o_orderkey = l_orderkey
-JOIN customer ON c_custkey = o_custkey
-ORDER BY o_totalprice DESC, o_orderkey ASC
-LIMIT 20
-""",
-    doc="TPC-H Q18 shape: large-volume orders — the IN-over-grouped-"
-    "HAVING subquery decorrelated into aggregate-then-join. The "
-    "lineitem aggregate runs FIRST (map-side partial sums collapse "
-    "each order's lines before the orderkey shuffle) and the HAVING "
-    "shrinks it to a tiny qualifying-order relation, which AQE then "
-    "broadcasts into the orders and customer joins — the big table "
-    "is scanned once and never re-shuffled. TakeOrderedAndProject "
-    "for the top-20 (per-partition heaps); exact DECIMAL quantity "
-    "sums make the qualifying set engine-identical.",
-)
-def q_top_bulk_orders(spark, sf_dir):
-    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
-    big = (
-        l.groupBy("l_orderkey")
-        .agg(agg.exact_sum("l_quantity", "total_qty"))
-        .where(F.col("total_qty") > 300)
-    )
-    o = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_totalprice"
-    )
-    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    return (
-        big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(c, F.col("c_custkey") == F.col("o_custkey"))
-        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "total_qty")
-        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-        .limit(20)
-    )
-
-
-@_q(
     "sole_late_suppliers",
     """
 WITH ll AS (
@@ -5095,18 +4769,19 @@ GROUP BY s_name
 ORDER BY numwait DESC, s_name ASC
 LIMIT 20
 """,
-    doc="TPC-H Q21 shape (lateness adapted to this schema: shipped "
-    "> 90 days after the order date, since there is no commit/receipt "
-    "date column): suppliers who were the SOLE late supplier on a "
-    "multi-supplier order. The classic EXISTS (another supplier) / "
-    "NOT EXISTS (another late supplier) self-join pair is collapsed "
-    "into grouped counts — per (order, supplier) lateness, then "
-    "per-order n_supp / n_late, with the predicate sup_late = 1 AND "
-    "n_supp > 1 AND n_late = 1. That is ONE shuffle on orderkey "
-    "reused by both aggregates and the rejoin (co-partitioned) "
-    "instead of the textbook plan's two extra lineitem self-joins — "
-    "the decorrelation Spark's optimizer would strive for, written "
-    "directly. Supplier dim broadcast; top-20 via per-partition "
+    doc="TPC-H Q21 shape, SCALABLE REFORMULATION — the deliberate "
+    "pair of sole_late_supplier_waits (which keeps the textbook "
+    "EXISTS/NOT-EXISTS semi+anti plan, the way the repo pairs "
+    "Theil-Sen with OLS and MAD with stddev): the correlated pair is "
+    "collapsed into grouped counts — per-(order, supplier) lateness, "
+    "then per-order n_supp / n_late, predicate sup_late = 1 AND "
+    "n_supp > 1 AND n_late = 1. ONE shuffle on orderkey reused by "
+    "both aggregates and the rejoin (co-partitioned) replaces the "
+    "textbook plan's two extra lineitem self-joins; "
+    "tests/test_invariants.py pins the equivalence against the "
+    "EXISTS form run via spark.sql. Lateness adapted to this schema "
+    "(shipped > 90 days after order date; no commit/receipt "
+    "columns). Supplier dim broadcast; top-20 via per-partition "
     "heaps.",
 )
 def q_sole_late_suppliers(spark, sf_dir):
@@ -5140,191 +4815,6 @@ def q_sole_late_suppliers(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
         .limit(20)
-    )
-
-
-@_q(
-    "idle_high_balance_segments",
-    """
-WITH pos AS (
-  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(27,4))) AS DOUBLE) / count(*)
-           AS avg_bal
-  FROM customer WHERE c_acctbal > 0
-)
-SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
-       CAST(SUM(CAST(c_acctbal AS DECIMAL(27,4))) AS DOUBLE) AS totacctbal
-FROM customer, pos
-WHERE c_acctbal > avg_bal
-  AND NOT EXISTS (
-    SELECT 1 FROM orders
-    WHERE o_custkey = c_custkey
-      AND o_orderdate >= TIMESTAMP '2000-01-01'
-  )
-GROUP BY c_mktsegment
-ORDER BY c_mktsegment
-""",
-    doc="TPC-H Q22 shape (country-code prefix adapted to the market "
-    "segment column): positive-balance average as a broadcast scalar "
-    "(one keys=[] aggregate — the auditor's bounded-cross), customers "
-    "above it with NO recent order via LEFT ANTI join against the "
-    "date-filtered orders projection (filter pushed to the scan, "
-    "anti join shuffles only custkeys), then a 5-group decimal-exact "
-    "rollup. The scalar threshold divides an exact DECIMAL sum once, "
-    "so the qualifying customer set is engine-identical despite the "
-    "double column.",
-)
-def q_idle_high_balance_segments(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer").select(
-        "c_custkey", "c_mktsegment", "c_acctbal"
-    )
-    pos = c.where(F.col("c_acctbal") > 0).agg(
-        (
-            F.sum(F.col("c_acctbal").cast(agg.DECIMAL)).cast("double")
-            / F.count(F.lit(1))
-        ).alias("avg_bal")
-    )
-    recent = (
-        _t(spark, sf_dir, "orders")
-        .where(F.col("o_orderdate") >= "2000-01-01")
-        .select("o_custkey")
-    )
-    return (
-        c.crossJoin(F.broadcast(pos))
-        .where(F.col("c_acctbal") > F.col("avg_bal"))
-        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
-        .groupBy("c_mktsegment")
-        .agg(
-            F.count(F.lit(1)).alias("numcust"),
-            agg.exact_sum("c_acctbal", "totacctbal"),
-        )
-        .orderBy(F.col("c_mktsegment").asc())
-    )
-
-
-@_q(
-    "part_supplier_counts",
-    """
-SELECT p_brand, p_type, p_size,
-       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
-FROM lineitem
-JOIN part ON p_partkey = l_partkey
-WHERE p_brand <> 'Brand#1'
-  AND p_type <> 'PROMO'
-  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
-  AND l_suppkey NOT IN (
-    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
-  )
-GROUP BY p_brand, p_type, p_size
-ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
-LIMIT 50
-""",
-    doc="TPC-H Q16 shape (the complaint-comment exclusion adapted to "
-    "negative account balance): supplier variety per (brand, type, "
-    "size) — NOT IN decorrelated into a LEFT ANTI join against the "
-    "tiny excluded-supplier relation (broadcast), part attribute "
-    "filters (two inequalities + an IN-list) evaluated on the "
-    "broadcast part dim before the join, then count(DISTINCT "
-    "suppkey) — Spark plans it as the standard two-phase expand/"
-    "aggregate, partial-deduplicating (group, suppkey) map-side "
-    "before the shuffle. Top-50 with full tie-break ordering.",
-)
-def q_part_supplier_counts(spark, sf_dir):
-    p = (
-        _t(spark, sf_dir, "part")
-        .where(
-            (F.col("p_brand") != "Brand#1")
-            & (F.col("p_type") != "PROMO")
-            & (F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
-        )
-        .select("p_partkey", "p_brand", "p_type", "p_size")
-    )
-    bad = (
-        _t(spark, sf_dir, "supplier")
-        .where(F.col("s_acctbal") < 0)
-        .select("s_suppkey")
-    )
-    l = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
-    return (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(
-            F.broadcast(bad),
-            F.col("l_suppkey") == F.col("s_suppkey"),
-            "left_anti",
-        )
-        .groupBy("p_brand", "p_type", "p_size")
-        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
-        .orderBy(
-            F.col("supplier_cnt").desc(),
-            F.col("p_brand").asc(),
-            F.col("p_type").asc(),
-            F.col("p_size").asc(),
-        )
-        .limit(50)
-    )
-
-
-@_q(
-    "excess_shipment_suppliers",
-    """
-WITH qual_parts AS (
-  SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
-),
-heavy AS (
-  SELECT l_suppkey
-  FROM lineitem JOIN qual_parts ON p_partkey = l_partkey
-  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-    AND l_shipdate <  TIMESTAMP '1997-01-01'
-  GROUP BY l_suppkey, l_partkey
-  HAVING SUM(CAST(l_quantity AS DECIMAL(27,4))) > 50
-)
-SELECT DISTINCT s_suppkey, s_name, n_name
-FROM supplier
-JOIN nation ON n_nationkey = s_nationkey
-JOIN heavy ON l_suppkey = s_suppkey
-ORDER BY s_suppkey
-""",
-    doc="TPC-H Q20 shape (partsupp availability adapted to shipped "
-    "volume, since there is no partsupp table): suppliers who moved "
-    "> 50 units of some 'small%' part in 1996 — the spec's nested "
-    "IN chains (part ⊂ partsupp ⊂ supplier) decorrelated into semi "
-    "steps: prefix-filtered part keys broadcast into the date-pruned "
-    "lineitem scan, per-(supplier, part) exact-DECIMAL quantity sums "
-    "with the HAVING shrinking to qualifying suppliers, then a "
-    "DISTINCT semi-style join into the supplier×nation dim (both "
-    "broadcast). LIKE-prefix pushes to the part scan as a "
-    "StringStartsWith filter.",
-)
-def q_excess_shipment_suppliers(spark, sf_dir):
-    p = (
-        _t(spark, sf_dir, "part")
-        .where(F.col("p_name").startswith("small"))
-        .select("p_partkey")
-    )
-    l = (
-        _t(spark, sf_dir, "lineitem")
-        .where(
-            (F.col("l_shipdate") >= "1996-01-01")
-            & (F.col("l_shipdate") < "1997-01-01")
-        )
-        .select("l_partkey", "l_suppkey", "l_quantity")
-    )
-    heavy = (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .groupBy("l_suppkey", "l_partkey")
-        .agg(agg.exact_sum("l_quantity", "qty"))
-        .where(F.col("qty") > 50)
-        .select("l_suppkey")
-    )
-    s = _t(spark, sf_dir, "supplier").select(
-        "s_suppkey", "s_name", "s_nationkey"
-    )
-    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    return (
-        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(heavy, F.col("l_suppkey") == F.col("s_suppkey"))
-        .select("s_suppkey", "s_name", "n_name")
-        .distinct()
-        .orderBy("s_suppkey")
     )
 
 
@@ -10201,17 +9691,12 @@ _EXPORT_PRIORITY: list[str] = [
     "returned_items_top_customers",
     "whitened_embedding_sample",
     "event_user_skew_report",
-    "nation_pair_volume_by_year",
     "nation_market_share_by_year",
     "simhash_recall_eval",
     "customer_order_count_distribution",
-    "part_supplier_counts",
-    "excess_shipment_suppliers",
-    "incremental_event_state_merge",
     "small_quantity_order_revenue",
-    "top_bulk_orders",
+    "incremental_event_state_merge",
     "sole_late_suppliers",
-    "idle_high_balance_segments",
     # Stalest verdicts (last seen round 3) — refresh:
     "user_sessions",
     "packed_sequences",
@@ -10229,6 +9714,11 @@ _EXPORT_PRIORITY: list[str] = [
     "sliding_event_counts",
     "hourly_event_counts",
     "lang_id_docs",
+    "quality_scores",
+    "token_stats",
+    "sampled_documents",
+    "price_quantiles_by_priority",
+    "shipping_priority_top10",
 ]
 
 
