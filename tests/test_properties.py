@@ -653,3 +653,46 @@ def test_unigram_viterbi_matches_bruteforce_enumeration(spark, words):
             em[s] += c
     want = dict(em)
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 27),                      # day offset within Jan
+            st.sampled_from(["click", "view", "buy"]),
+            st.floats(-1e6, 1e6, allow_nan=False, width=32),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    cut=st.integers(1, 28),
+)
+@settings(**SETTINGS)
+def test_incremental_state_merge_monoid_any_cutoff(spark, rows, cut):
+    """Monoid law under randomization: for ANY base/delta split day,
+    the merged per-key state equals the direct recompute — counts,
+    exact DECIMAL sums, min/max, and the derived avg."""
+    from yelp_data_pipeline_spark.operators.aggregates import (
+        incremental_state_merge_demo,
+    )
+
+    data = [
+        (f"2024-01-{d + 1:02d} 12:00:00", k, float(v)) for d, k, v in rows
+    ]
+    df = spark.createDataFrame(data, "ts string, event_type string, value double").select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
+    )
+    out = incremental_state_merge_demo(
+        df, "ts", "event_type", "value", f"2024-01-{cut:02d}"
+    ).collect()
+    merged = {
+        r["event_type"]: (r["n_events"], r["total_value"], r["min_value"],
+                          r["max_value"], r["avg_value"])
+        for r in out if r["src"] == "__merged__"
+    }
+    direct = {
+        r["event_type"]: (r["n_events"], r["total_value"], r["min_value"],
+                          r["max_value"], r["avg_value"])
+        for r in out if r["src"] == "__direct__"
+    }
+    assert merged == direct and len(merged) >= 1

@@ -147,3 +147,67 @@ def test_stream_static_enrichment_matches_batch(spark, tmp_path):
 
     with pytest.raises(ValueError):
         sjx.enrich_stream(stream, dim, "user_id", "c_custkey", how="full")
+
+
+def test_stream_stream_left_outer_interval_join_emits_after_watermark(
+    spark, tmp_path
+):
+    """Left-outer stream-stream join: matched pairs equal the batch
+    inner join, and a NULL-right row appears for every unmatched left
+    event old enough that the final watermark (max ts − 1 h) passed
+    its join horizon (l_ts + 10 min). Unmatched lefts INSIDE the
+    horizon are withheld — correct semantics, pinned here."""
+    import datetime as dt
+
+    def split(df):
+        ev = df.select("user_id", "ts", "event_type", "event_id")
+        return (
+            ev.filter(F.col("event_type") == "view"),
+            ev.filter(F.col("event_type") == "purchase"),
+        )
+
+    ls, rs = split(sw.stream_events_from_parquet(spark, SF_DIR))
+    joined = sj.interval_join(
+        ls.withWatermark("ts", "1 hour"),
+        rs.withWatermark("ts", "1 hour"),
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        upper="10 minutes",
+        how="left_outer",
+    )
+    _run(joined, tmp_path, "t_ssoj")
+    got = {
+        (r["l_key"], str(r["l_ts"]), str(r["r_ts"]))
+        for r in spark.sql("SELECT l_key, l_ts, r_ts FROM t_ssoj").collect()
+    }
+
+    lb, rb = split(_batch_events(spark))
+    inner = {
+        (r["l_key"], str(r["l_ts"]), str(r["r_ts"]))
+        for r in sj.interval_join(
+            lb, rb, key="user_id", left_ts="ts", right_ts="ts",
+            upper="10 minutes",
+        ).collect()
+    }
+    matched_lefts = {(k, lts) for k, lts, _ in inner}
+    max_ts = max(r["ts"] for r in _batch_events(spark).select("ts").collect())
+    horizon = max_ts - dt.timedelta(hours=1) - dt.timedelta(minutes=10)
+    expected_nulls = {
+        (r["user_id"], str(r["ts"]), "None")
+        for r in lb.collect()
+        if (r["user_id"], str(r["ts"])) not in matched_lefts
+        and r["ts"] < horizon
+    }
+    assert inner <= got, "matched pairs missing from the outer result"
+    assert expected_nulls <= got, "evictable unmatched lefts not emitted"
+    # nothing unexpected: every row is either a batch-inner pair or an
+    # unmatched left (possibly one still inside the horizon that a
+    # batch boundary happened to flush)
+    unmatched_all = {
+        (r["user_id"], str(r["ts"]), "None")
+        for r in lb.collect()
+        if (r["user_id"], str(r["ts"])) not in matched_lefts
+    }
+    assert got <= inner | unmatched_all
+    assert len(expected_nulls) > 0

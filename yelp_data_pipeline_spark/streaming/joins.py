@@ -26,6 +26,7 @@ def interval_join(
     right_ts: str,
     lower: str = "0 seconds",
     upper: str = "5 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Join two event streams on ``key`` where the right event lands in
     ``[left_ts + lower, left_ts + upper]`` — the enrich-clicks-with-
@@ -33,7 +34,13 @@ def interval_join(
 
     On streams, apply ``withWatermark`` to BOTH inputs first; Spark
     derives the state-eviction horizon from the watermarks plus this
-    interval condition.
+    interval condition. ``how="left_outer"`` keeps unmatched left
+    events (clicks with no purchase): their NULL-right rows are
+    emitted only once the watermark passes ``l_ts + upper`` — the
+    engine cannot know "no match" earlier, so trailing rows inside
+    the horizon are withheld until more data (or the final batch)
+    advances the watermark. That is correct streaming semantics, not
+    data loss; tests/test_stream_joins.py pins it.
     """
     l = left.select(
         F.col(key).alias("l_key"),
@@ -50,7 +57,7 @@ def interval_join(
         & (F.col("r_ts") >= F.col("l_ts") + F.expr(f"INTERVAL {lower}"))
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {upper}"))
     )
-    return l.join(r, cond)
+    return l.join(r, cond, how)
 
 
 def dedup_stream(
