@@ -100,6 +100,7 @@ EXTRAS = [
     "simhash_recall_eval",
     "sole_late_suppliers",
     "incremental_event_state_merge",
+    "curation_funnel_by_source",
 ]
 
 

@@ -165,3 +165,14 @@ def test_incremental_state_merge_equals_direct(spark):
     }
     assert len(merged) > 0
     assert merged == direct
+
+
+def test_curation_funnel_consistent_with_survivor_query(spark):
+    """The funnel's n_final per source must sum to curated_documents'
+    row count (shared stage predicates), and every stage must be
+    monotone non-increasing."""
+    funnel = q.queries()["curation_funnel_by_source"](spark, SF_DIR).collect()
+    survivors = q.queries()["curated_documents"](spark, SF_DIR).count()
+    assert sum(r["n_final"] for r in funnel) == survivors > 0
+    for r in funnel:
+        assert r["n_raw"] >= r["n_dedup"] >= r["n_quality"] >= r["n_final"]

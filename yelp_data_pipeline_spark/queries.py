@@ -3560,10 +3560,10 @@ def q_inverted_postings(spark, sf_dir):
     return out.select("term", "df", F.array_join("postings", ",").alias("postings"))
 
 
-@_q(
-    "curated_documents",
-    f"""
-WITH q AS (
+# Shared curation-stage CTEs (DuckDB): the quality features and the
+# fingerprint-dedup survivor set — consumed by both the survivor query
+# (curated_documents) and the per-source funnel report.
+_CURATE_Q_CTE = f"""q AS (
   SELECT doc_id,
          CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS INT) AS n_tokens,
          round(least(CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS DOUBLE) / 100.0, 1.0) * 0.5
@@ -3574,12 +3574,20 @@ WITH q AS (
                  / CAST(length(text) AS DOUBLE), 6) * 10, 1.0)) * 0.2,
                6) AS quality_score
   FROM documents
-),
-keep AS (
+)"""
+
+_CURATE_KEEP_CTE = """keep AS (
   SELECT min(doc_id) AS doc_id
   FROM documents
   GROUP BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
-)
+)"""
+
+
+@_q(
+    "curated_documents",
+    f"""
+WITH {_CURATE_Q_CTE},
+{_CURATE_KEEP_CTE}
 SELECT d.doc_id, d.lang, d.source, d.n_chars
 FROM documents d
 JOIN keep USING (doc_id)
@@ -9650,6 +9658,76 @@ def q_incremental_event_state_merge(spark, sf_dir):
     )
 
 
+@_q(
+    "curation_funnel_by_source",
+    f"""
+WITH {_CURATE_Q_CTE},
+{_CURATE_KEEP_CTE},
+fl AS (
+  SELECT d.source,
+         CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END AS s1,
+         CASE WHEN k.doc_id IS NOT NULL
+                   AND q.quality_score >= 0.45 THEN 1 ELSE 0 END AS s2,
+         CASE WHEN k.doc_id IS NOT NULL
+                   AND q.quality_score >= 0.45
+                   AND q.n_tokens BETWEEN 5 AND 5000 THEN 1 ELSE 0 END AS s3
+  FROM documents d
+  LEFT JOIN keep k ON d.doc_id = k.doc_id
+  JOIN q ON d.doc_id = q.doc_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_raw,
+       CAST(sum(s1) AS BIGINT) AS n_dedup,
+       CAST(sum(s2) AS BIGINT) AS n_quality,
+       CAST(sum(s3) AS BIGINT) AS n_final,
+       round(CAST(sum(s3) AS DOUBLE) / count(*), 6) AS survival_rate
+FROM fl
+GROUP BY source
+""",
+    doc="Per-source curation funnel — the loss-accounting table every "
+    "published corpus ships (C4/RefinedWeb/Dolma all report one): raw "
+    "→ fingerprint-dedup survivors → + quality ≥ 0.45 → + token "
+    "bounds, with the end-to-end survival rate. EXACTLY the "
+    "curated_documents stage predicates (shared CTEs on the oracle "
+    "side, shared operators on the Spark side), so the funnel's "
+    "n_final per source sums to that query's row count by "
+    "construction. One pass: stage flags are conditional integer "
+    "sums in a single source-keyed aggregate — no per-stage rescan, "
+    "20 groups, map-side combinable; the only shuffles are the "
+    "fingerprint groupBy the dedup stage already needs and the "
+    "doc-keyed joins. The ops twin of corpus_diversity_by_source.",
+)
+def q_curation_funnel_by_source(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    qf = tx.quality_features(docs, "doc_id", "text").select(
+        "doc_id", "quality_score", "n_tokens"
+    )
+    keep = (
+        tx.doc_fingerprints(docs, "doc_id", "text")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", F.lit(1).alias("is_keep"))
+    )
+    fl = (
+        docs.select("doc_id", "source")
+        .join(keep, "doc_id", "left")
+        .join(qf, "doc_id")
+    )
+    dedup_ok = F.col("is_keep").isNotNull()
+    quality_ok = dedup_ok & (F.col("quality_score") >= 0.45)
+    final_ok = quality_ok & F.col("n_tokens").between(5, 5000)
+    flag = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+    return fl.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(flag(dedup_ok)).cast("long").alias("n_dedup"),
+        F.sum(flag(quality_ok)).cast("long").alias("n_quality"),
+        F.sum(flag(final_ok)).cast("long").alias("n_final"),
+        F.round(
+            F.sum(flag(final_ok)).cast("double") / F.count(F.lit(1)), 6
+        ).alias("survival_rate"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry exports (driver contract)
 # --------------------------------------------------------------------------
@@ -9697,6 +9775,7 @@ _EXPORT_PRIORITY: list[str] = [
     "small_quantity_order_revenue",
     "incremental_event_state_merge",
     "sole_late_suppliers",
+    "curation_funnel_by_source",
     # Stalest verdicts (last seen round 3) — refresh:
     "user_sessions",
     "packed_sequences",
@@ -9718,7 +9797,6 @@ _EXPORT_PRIORITY: list[str] = [
     "token_stats",
     "sampled_documents",
     "price_quantiles_by_priority",
-    "shipping_priority_top10",
 ]
 
 
