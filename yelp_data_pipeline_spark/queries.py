@@ -9728,6 +9728,117 @@ def q_curation_funnel_by_source(spark, sf_dir):
     )
 
 
+@_q(
+    "simhash_jaccard_proxy_eval",
+    f"""
+WITH {_simhash_sig_sql()},
+flagged AS MATERIALIZED (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+),
+toks2 AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+),
+sh2 AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN
+           list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                        i -> array_to_string(t[i:i+2], ' ')))
+         ELSE [] END AS shingles
+  FROM toks2
+),
+ex0 AS (
+  SELECT doc_id, CAST(len(shingles) AS INT) AS n_sh, unnest(shingles) AS s
+  FROM sh2
+),
+c AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+         count(*) AS common
+  FROM ex0 a JOIN ex0 b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+),
+truth AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM c
+  WHERE round(CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE), 6)
+        >= 0.8
+),
+j AS (
+  SELECT CASE WHEN truth.doc_a IS NOT NULL THEN 1 ELSE 0 END AS e,
+         CASE WHEN flagged.doc_a IS NOT NULL THEN 1 ELSE 0 END AS l
+  FROM truth FULL OUTER JOIN flagged
+    ON truth.doc_a = flagged.doc_a AND truth.doc_b = flagged.doc_b
+),
+agg AS (
+  SELECT CAST(sum(e) AS BIGINT) AS n_truth,
+         CAST(sum(l) AS BIGINT) AS n_flagged,
+         CAST(sum(e * l) AS BIGINT) AS n_common
+  FROM j
+)
+SELECT n_truth, n_flagged, n_common,
+       CASE WHEN n_truth > 0
+         THEN round(CAST(n_common AS DOUBLE) / CAST(n_truth AS DOUBLE), 6) END
+         AS recall,
+       CASE WHEN n_flagged > 0
+         THEN round(CAST(n_common AS DOUBLE) / CAST(n_flagged AS DOUBLE), 6)
+         END AS precision
+FROM agg
+""",
+    doc="SimHash as a JACCARD DETECTOR, measured — the informative "
+    "companion of simhash_recall_eval (which proves implementation "
+    "equivalence and is 1.0 by construction): the full-corpus "
+    "hamming ≤ 6 pair set scored against the exact 3-gram-Jaccard "
+    "≥ 0.8 ground truth. Recall says how many true near-dups the "
+    "56-bit signature surfaces; precision says how many flagged "
+    "pairs are real — the numbers that decide whether SimHash can "
+    "REPLACE MinHash for a corpus or must feed a verify stage (every "
+    "production pipeline re-derives this trade-off; on this corpus "
+    "hamming ≤ 6 is far LOOSER than Jaccard 0.8, so precision is the "
+    "story). Directly comparable to minhash_recall_eval, which "
+    "scores its own banding against the SAME truth relation — the "
+    "two rows rank the two families on real data. No sampling "
+    "needed: both pair generators are bucketed (band join / shingle "
+    "join), never n².",
+)
+def q_simhash_jaccard_proxy_eval(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    flagged = dd.simhash_pairs(
+        d, "doc_id", "text", max_hamming=6, band_bits=dd.SIMHASH_BAND_BITS
+    ).select("doc_a", "doc_b", F.lit(1).alias("l"))
+    truth = dd.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.8, max_doc_freq=None
+    ).select("doc_a", "doc_b", F.lit(1).alias("e"))
+    j = truth.join(flagged, ["doc_a", "doc_b"], "full_outer").select(
+        F.coalesce("e", F.lit(0)).alias("e"),
+        F.coalesce("l", F.lit(0)).alias("l"),
+    )
+    agg_row = j.agg(
+        F.sum("e").cast("long").alias("n_truth"),
+        F.sum("l").cast("long").alias("n_flagged"),
+        F.sum(F.col("e") * F.col("l")).cast("long").alias("n_common"),
+    )
+    rec = F.when(
+        F.col("n_truth") > 0,
+        F.round(
+            F.col("n_common").cast("double") / F.col("n_truth").cast("double"),
+            6,
+        ),
+    )
+    prec = F.when(
+        F.col("n_flagged") > 0,
+        F.round(
+            F.col("n_common").cast("double")
+            / F.col("n_flagged").cast("double"),
+            6,
+        ),
+    )
+    return agg_row.select(
+        "n_truth", "n_flagged", "n_common",
+        rec.alias("recall"), prec.alias("precision"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry exports (driver contract)
 # --------------------------------------------------------------------------
@@ -9776,6 +9887,7 @@ _EXPORT_PRIORITY: list[str] = [
     "incremental_event_state_merge",
     "sole_late_suppliers",
     "curation_funnel_by_source",
+    "simhash_jaccard_proxy_eval",
     # Stalest verdicts (last seen round 3) — refresh:
     "user_sessions",
     "packed_sequences",
@@ -9796,7 +9908,6 @@ _EXPORT_PRIORITY: list[str] = [
     "quality_scores",
     "token_stats",
     "sampled_documents",
-    "price_quantiles_by_priority",
 ]
 
 
