@@ -8171,6 +8171,10 @@ FROM agg
     "quality is itself a first-class, oracle-checked output. Both "
     "pair sets are bucketed joins (never n²); the comparison is one "
     "full-outer join on the bounded pair relations.",
+    scale_note="eval-tier — the exact-Jaccard ground-truth side "
+    "inherits ngram_jaccard_exact's superlinear recall-baseline cost "
+    "on hot shingles; at corpus scale replay the eval on an "
+    "md5-capped subsample (the simhash_recall_eval sampling pattern)",
 )
 def q_minhash_recall_eval(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
@@ -9800,6 +9804,10 @@ FROM agg
     "two rows rank the two families on real data. No sampling "
     "needed: both pair generators are bucketed (band join / shingle "
     "join), never n².",
+    scale_note="eval-tier — the exact-Jaccard truth side inherits "
+    "ngram_jaccard_exact's superlinear recall-baseline cost on hot "
+    "shingles; at corpus scale replay this eval on an md5-capped "
+    "subsample (the simhash_recall_eval sampling pattern)",
 )
 def q_simhash_jaccard_proxy_eval(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
