@@ -176,3 +176,14 @@ def test_curation_funnel_consistent_with_survivor_query(spark):
     assert sum(r["n_final"] for r in funnel) == survivors > 0
     for r in funnel:
         assert r["n_raw"] >= r["n_dedup"] >= r["n_quality"] >= r["n_final"]
+
+
+def test_histogram_merge_equals_direct(spark):
+    """Quantile-sketch associativity: merged per-day histograms must
+    probe to exactly the direct whole-table estimates for every q."""
+    rows = q.queries()["event_value_histogram_merge"](spark, SF_DIR).collect()
+    merged = {r["q"]: (r["quantile_est"], r["n_rows"])
+              for r in rows if r["src"] == "__merged__"}
+    direct = {r["q"]: (r["quantile_est"], r["n_rows"])
+              for r in rows if r["src"] == "__direct__"}
+    assert merged == direct and len(merged) == 4

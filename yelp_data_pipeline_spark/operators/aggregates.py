@@ -682,8 +682,6 @@ def histogram_quantiles(
     Returns group_cols + (q, quantile_est, n_rows), one row per
     (group, q).
     """
-    from pyspark.sql import Window
-
     b = F.floor(F.col(value_col).cast("double") / F.lit(float(width))).cast(
         "long"
     )
@@ -692,6 +690,23 @@ def histogram_quantiles(
         .groupBy(*group_cols, b.alias("bucket"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    return _hist_quantile_probe(hist, group_cols, width, quantiles)
+
+
+def _hist_quantile_probe(
+    hist: DataFrame,
+    group_cols: list[str],
+    width: float,
+    quantiles: list[float],
+) -> DataFrame:
+    """Quantile probe over a (group_cols..., bucket, cnt) histogram
+    relation — factored out so MERGED histograms (bucket counts summed
+    across partitions/days) take the identical arithmetic path as
+    direct ones. Runs entirely on the bounded bucket relation; with
+    ``group_cols=[]`` the windows are global but span ≤(domain/width)
+    bucket rows, never data rows."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy(*group_cols).orderBy("bucket")
     cum = hist.withColumn(
         "cum",
@@ -723,6 +738,51 @@ def histogram_quantiles(
         est.alias("quantile_est"),
         F.col("n").alias("n_rows"),
     )
+
+
+def histogram_daily_merge(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    width: float,
+    quantiles: list[float],
+) -> DataFrame:
+    """Sketch-associativity demo over the fixed-boundary histogram —
+    the quantile member of the proof family (kmv_daily_merge for
+    distinct counts, incremental_state_merge_demo for sum/min/max):
+    per-day histograms of ``value_col`` MERGED by summing bucket
+    counts, probed for quantiles, emitted next to the direct
+    whole-table histogram probed identically. Equal because the
+    boundaries are data-independent (floor(v/width) never depends on
+    which partition a row came from) — the property that lets a
+    100 TB pipeline keep per-day bucket rows and answer any
+    date-range quantile by summing O(days × buckets) integers. The
+    ``__merged__`` / ``__direct__`` row pairs PROVE it on real data.
+
+    Scale shape: one (day, bucket) combinable groupBy, a bucket-keyed
+    re-aggregation over days×buckets rows, and probes on ≤buckets
+    rows; the raw table is scanned twice only because the demo
+    instantiates both paths — a production refresh maintains the
+    per-day relation incrementally and never rescans."""
+    day = F.to_date(F.col(ts_col))
+    b = F.floor(F.col(value_col).cast("double") / F.lit(float(width))).cast(
+        "long"
+    )
+    nn = df.where(F.col(value_col).isNotNull())
+    daily = nn.groupBy(day.alias("day"), b.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    merged_hist = daily.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+    direct_hist = nn.groupBy(b.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    m = _hist_quantile_probe(merged_hist, [], width, quantiles).select(
+        F.lit("__merged__").alias("src"), "q", "quantile_est", "n_rows"
+    )
+    d = _hist_quantile_probe(direct_hist, [], width, quantiles).select(
+        F.lit("__direct__").alias("src"), "q", "quantile_est", "n_rows"
+    )
+    return m.unionByName(d)
 
 
 def kmv_daily_merge(

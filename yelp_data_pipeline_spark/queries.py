@@ -9847,6 +9847,80 @@ def q_simhash_jaccard_proxy_eval(spark, sf_dir):
     )
 
 
+@_q(
+    "event_value_histogram_merge",
+    """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(floor(CAST(value AS DOUBLE) / 10.0) AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+mh AS (
+  SELECT bucket, CAST(sum(cnt) AS BIGINT) AS cnt FROM daily GROUP BY bucket
+),
+dh AS (
+  SELECT CAST(floor(CAST(value AS DOUBLE) / 10.0) AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+probe_m AS (
+  SELECT bucket, cnt,
+         CAST(sum(cnt) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum,
+         CAST(sum(cnt) OVER () AS BIGINT) AS n
+  FROM mh
+),
+probe_d AS (
+  SELECT bucket, cnt,
+         CAST(sum(cnt) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum,
+         CAST(sum(cnt) OVER () AS BIGINT) AS n
+  FROM dh
+),
+qs AS (SELECT CAST(q AS DOUBLE) AS q
+       FROM (VALUES (0.25), (0.5), (0.9), (0.99)) t(q))
+SELECT '__merged__' AS src, q,
+       round(10.0 * (CAST(bucket AS DOUBLE)
+             + CAST(CAST(ceil(q * n) AS BIGINT) - (cum - cnt) AS DOUBLE)
+               / CAST(cnt AS DOUBLE)), 6) AS quantile_est,
+       n AS n_rows
+FROM probe_m, qs
+WHERE cum >= CAST(ceil(q * n) AS BIGINT)
+  AND (cum - cnt) < CAST(ceil(q * n) AS BIGINT)
+UNION ALL
+SELECT '__direct__', q,
+       round(10.0 * (CAST(bucket AS DOUBLE)
+             + CAST(CAST(ceil(q * n) AS BIGINT) - (cum - cnt) AS DOUBLE)
+               / CAST(cnt AS DOUBLE)), 6),
+       n
+FROM probe_d, qs
+WHERE cum >= CAST(ceil(q * n) AS BIGINT)
+  AND (cum - cnt) < CAST(ceil(q * n) AS BIGINT)
+""",
+    doc="Histogram sketch-associativity demo (operators/aggregates.py:"
+    "histogram_daily_merge) — completes the proof family: KMV "
+    "(kmv_daily_user_merge) proved distinct-count merge, "
+    "incremental_event_state_merge proved the sum/min/max monoids, "
+    "this proves the QUANTILE sketch: per-day fixed-boundary "
+    "histograms of event values merged by summing bucket counts give "
+    "the identical quantile estimates as the direct whole-table "
+    "histogram — because floor(v/width) boundaries are data-"
+    "independent, the property t-digest/DDSketch buy with log "
+    "buckets, here replayable bit-for-bit by the oracle (no ln/exp). "
+    "__merged__/__direct__ row pairs per q ∈ {.25,.5,.9,.99}; both "
+    "probes run the SAME factored arithmetic (_hist_quantile_probe) "
+    "over ≤50 bucket rows. At 100 TB the per-day bucket relation IS "
+    "the serving layer: any date-range quantile = sum O(days × "
+    "buckets) integers, no raw rescan.",
+)
+def q_event_value_histogram_merge(spark, sf_dir):
+    return agg.histogram_daily_merge(
+        _t(spark, sf_dir, "events"), "ts", "value", width=10.0,
+        quantiles=[0.25, 0.5, 0.9, 0.99],
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry exports (driver contract)
 # --------------------------------------------------------------------------
@@ -9896,6 +9970,7 @@ _EXPORT_PRIORITY: list[str] = [
     "sole_late_suppliers",
     "curation_funnel_by_source",
     "simhash_jaccard_proxy_eval",
+    "event_value_histogram_merge",
     # Stalest verdicts (last seen round 3) — refresh:
     "user_sessions",
     "packed_sequences",
@@ -9915,7 +9990,6 @@ _EXPORT_PRIORITY: list[str] = [
     "lang_id_docs",
     "quality_scores",
     "token_stats",
-    "sampled_documents",
 ]
 
 
