@@ -101,6 +101,7 @@ EXTRAS = [
     "sole_late_suppliers",
     "incremental_event_state_merge",
     "curation_funnel_by_source",
+    "event_value_histogram_merge",
 ]
 
 
