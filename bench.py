@@ -102,6 +102,7 @@ EXTRAS = [
     "incremental_event_state_merge",
     "curation_funnel_by_source",
     "event_value_histogram_merge",
+    "hll_daily_user_merge",
 ]
 
 

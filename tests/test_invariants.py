@@ -187,3 +187,13 @@ def test_histogram_merge_equals_direct(spark):
     direct = {r["q"]: (r["quantile_est"], r["n_rows"])
               for r in rows if r["src"] == "__direct__"}
     assert merged == direct and len(merged) == 4
+
+
+def test_hll_merge_state_equals_direct(spark):
+    """HLL register semilattice: the merged per-day register state
+    must equal the direct fold — estimate AND full state (v, rho_sum)."""
+    rows = q.queries()["hll_daily_user_merge"](spark, SF_DIR).collect()
+    by_src = {r["src"]: (r["approx_users"], r["registers_hit"], r["rho_sum"])
+              for r in rows}
+    assert by_src["__merged__"] == by_src["__direct__"]
+    assert by_src["__merged__"][1] > 0

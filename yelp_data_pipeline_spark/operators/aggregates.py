@@ -259,19 +259,34 @@ def hll_distinct(
     if m not in HLL_ALPHA:
         raise ValueError(f"m must be one of {sorted(HLL_ALPHA)}, got {m}")
     by = by or []
-    pow261 = float(1 << 61)  # exact in double
+    return _hll_estimate(_hll_registers(df, col, m, by), m, by)
+
+
+def _hll_registers(
+    df: DataFrame, col: str, m: int, by: list[str]
+) -> DataFrame:
+    """(by..., reg, m_r) register state — the mergeable half of the
+    sketch: registers fold with MAX at any granularity (partition,
+    day, group), which is what hll_daily_merge proves."""
     hexc = F.md5(F.col(col).cast("string"))
     reg = F.conv(F.substring(hexc, 1, 2), 16, 10).cast("long") % m
     wv = F.conv(F.substring(hexc, 3, 15), 16, 10).cast("long")
     rho = F.when(wv == F.lit(0), F.lit(61)).otherwise(
         F.lit(61) - F.length(F.bin(wv))
     )
-    regs = (
+    return (
         df.where(F.col(col).isNotNull())
         .select(*by, reg.alias("reg"), rho.alias("rho"))
         .groupBy(*by, "reg")
         .agg(F.max("rho").alias("m_r"))
     )
+
+
+def _hll_estimate(regs: DataFrame, m: int, by: list[str]) -> DataFrame:
+    """Assemble the estimate from register state: exact DECIMAL(38,0)
+    integer harmonic sum, one double conversion + division at the end
+    (see hll_distinct's docstring for the determinism argument)."""
+    pow261 = float(1 << 61)  # exact in double
     sk = regs.groupBy(*by).agg(
         F.count(F.lit(1)).alias("v"),
         F.sum("m_r").cast("long").alias("rho_sum"),
@@ -291,6 +306,90 @@ def hll_distinct(
         F.col("v").alias("registers_hit"),
         F.col("rho_sum"),
     )
+
+
+def hll_daily_merge(
+    df: DataFrame, ts_col: str, col: str, m: int = 64
+) -> DataFrame:
+    """HLL register-max merge proof — the sketch whose merge is NOT a
+    sum: per-day register states fold with MAX (max is associative,
+    commutative, idempotent — the semilattice the sketch is built
+    on), then the merged state is assembled into an estimate next to
+    the direct whole-table sketch. approx_users, registers_hit AND
+    rho_sum must all agree — the last two pin the full register
+    state, so the pair proves state equality, not just estimate
+    coincidence. Completes the proof family: KMV (k-min union),
+    histogram (bucket-count sum), aggregate state (monoids), HLL
+    (register max). At 100 TB: keep days × m register rows; any
+    date-range distinct = one max-fold over them, no raw rescan."""
+    if m not in HLL_ALPHA:
+        raise ValueError(f"m must be one of {sorted(HLL_ALPHA)}, got {m}")
+    day = F.to_date(F.col(ts_col)).cast("string")
+    daily = _hll_registers(
+        df.withColumn("__day", day), col, m, ["__day"]
+    )
+    merged_regs = daily.groupBy("reg").agg(F.max("m_r").alias("m_r"))
+    merged = _hll_estimate(merged_regs, m, []).select(
+        F.lit("__merged__").alias("src"),
+        "approx_users", "registers_hit", "rho_sum",
+    )
+    direct = _hll_estimate(_hll_registers(df, col, m, []), m, []).select(
+        F.lit("__direct__").alias("src"),
+        "approx_users", "registers_hit", "rho_sum",
+    )
+    return merged.unionByName(direct)
+
+
+def hll_merge_oracle_sql(
+    table: str, ts_col: str, col: str, m: int = 64
+) -> str:
+    """DuckDB twin of :func:`hll_daily_merge`: per-day register maxes
+    re-folded vs the direct fold, both assembled with the identical
+    exact-integer arithmetic as :func:`hll_oracle_sql`."""
+    alpha_m2 = repr(HLL_ALPHA[m] * (m * m))
+    pow261 = repr(float(1 << 61))
+    est = (
+        f"round({alpha_m2} * {pow261} /"
+        f" ((CAST({m} AS DOUBLE) - CAST(v AS DOUBLE)) * {pow261}"
+        f" + CAST(s AS DOUBLE)), 4)"
+    )
+    return f"""
+WITH wv AS (
+  SELECT CAST(CAST({ts_col} AS DATE) AS VARCHAR) AS day,
+         CAST('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 2) AS BIGINT)
+           % {m} AS reg,
+         CAST('0x' || substr(md5(CAST({col} AS VARCHAR)), 3, 15) AS BIGINT)
+           AS w
+  FROM {table} WHERE {col} IS NOT NULL
+),
+rd AS (
+  SELECT day, reg,
+         max(CASE WHEN w = 0 THEN 61 ELSE 61 - length(bin(w)) END) AS m_r
+  FROM wv GROUP BY day, reg
+),
+rm AS (SELECT reg, max(m_r) AS m_r FROM rd GROUP BY reg),
+rdir AS (
+  SELECT reg,
+         max(CASE WHEN w = 0 THEN 61 ELSE 61 - length(bin(w)) END) AS m_r
+  FROM wv GROUP BY reg
+),
+skm AS (
+  SELECT count(*) AS v, CAST(sum(m_r) AS BIGINT) AS rho_sum,
+         sum(CAST(1::BIGINT << (61 - m_r) AS DECIMAL(38,0))) AS s
+  FROM rm
+),
+skd AS (
+  SELECT count(*) AS v, CAST(sum(m_r) AS BIGINT) AS rho_sum,
+         sum(CAST(1::BIGINT << (61 - m_r) AS DECIMAL(38,0))) AS s
+  FROM rdir
+)
+SELECT '__merged__' AS src, {est} AS approx_users,
+       CAST(v AS BIGINT) AS registers_hit, rho_sum
+FROM skm
+UNION ALL
+SELECT '__direct__', {est}, CAST(v AS BIGINT), rho_sum
+FROM skd
+"""
 
 
 def hll_oracle_sql(

@@ -9921,6 +9921,28 @@ def q_event_value_histogram_merge(spark, sf_dir):
     )
 
 
+@_q(
+    "hll_daily_user_merge",
+    agg.hll_merge_oracle_sql("events", "ts", "user_id", m=64),
+    doc="HLL register-max merge proof (operators/aggregates.py:"
+    "hll_daily_merge) — the proof-family member whose merge is NOT a "
+    "sum: per-day register states fold with MAX (associative, "
+    "commutative, IDEMPOTENT — re-merging a day is harmless, which "
+    "neither counters nor k-min sets give you), then the merged "
+    "state's estimate is emitted next to the direct whole-table "
+    "sketch. registers_hit and rho_sum pin the full register state, "
+    "so the __merged__/__direct__ pair proves STATE equality, not "
+    "just estimate coincidence. Completes the family: KMV k-min "
+    "union, histogram bucket sum, aggregate-state monoids, HLL "
+    "register semilattice. At 100 TB keep days × 64 register rows; "
+    "any date-range distinct is one max-fold, no raw rescan.",
+)
+def q_hll_daily_user_merge(spark, sf_dir):
+    return agg.hll_daily_merge(
+        _t(spark, sf_dir, "events"), "ts", "user_id", m=64
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry exports (driver contract)
 # --------------------------------------------------------------------------
@@ -9971,6 +9993,7 @@ _EXPORT_PRIORITY: list[str] = [
     "curation_funnel_by_source",
     "simhash_jaccard_proxy_eval",
     "event_value_histogram_merge",
+    "hll_daily_user_merge",
     # Stalest verdicts (last seen round 3) — refresh:
     "user_sessions",
     "packed_sequences",
@@ -9989,7 +10012,6 @@ _EXPORT_PRIORITY: list[str] = [
     "hourly_event_counts",
     "lang_id_docs",
     "quality_scores",
-    "token_stats",
 ]
 
 
