@@ -103,6 +103,7 @@ EXTRAS = [
     "curation_funnel_by_source",
     "event_value_histogram_merge",
     "hll_daily_user_merge",
+    "cms_daily_user_merge",
 ]
 
 

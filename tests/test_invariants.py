@@ -197,3 +197,12 @@ def test_hll_merge_state_equals_direct(spark):
               for r in rows}
     assert by_src["__merged__"] == by_src["__direct__"]
     assert by_src["__merged__"][1] > 0
+
+
+def test_cms_merge_grid_equals_direct(spark):
+    """Count-Min cell addition: the merged per-day grid must equal the
+    direct grid counter-for-counter."""
+    rows = q.queries()["cms_daily_user_merge"](spark, SF_DIR).collect()
+    merged = {(r["i"], r["pos"]): r["cnt"] for r in rows if r["src"] == "__merged__"}
+    direct = {(r["i"], r["pos"]): r["cnt"] for r in rows if r["src"] == "__direct__"}
+    assert merged == direct and len(merged) > 0

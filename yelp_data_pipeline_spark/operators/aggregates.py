@@ -498,6 +498,82 @@ def cms_heavy_hitters(
     return est.orderBy(F.col("est_cnt").desc(), F.col(col).asc()).limit(k)
 
 
+def cms_daily_merge(
+    df: DataFrame, ts_col: str, col: str, depth: int = 4, width: int = 512
+) -> DataFrame:
+    """Count-Min grid merge proof — cells are plain counters, so grids
+    merge by CELL-WISE ADDITION: per-day depth×width grids summed
+    cell-for-cell must equal the direct whole-table grid. The demo
+    emits BOTH full nonzero grids (src, i, pos, cnt) — bounded at
+    2 · depth · width rows regardless of data volume — so the driver's
+    value hash proves equality of every counter, not a summary. With
+    hll_daily_merge this closes the sketch-merge proof set: counters
+    add, k-min sets union, buckets add, registers max. At 100 TB the
+    per-day grids are the stored artifact (depth·width ints/day); any
+    date-range point query sums them first, then takes min over rows."""
+    from ..functions.hashing import md5_pair
+
+    hexc = F.md5(F.col(col).cast("string"))
+    h1, h2 = md5_pair(hexc)
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                ((h1 + F.lit(i) * h2) % width).alias("pos"),
+            )
+            for i in range(depth)
+        ]
+    )
+    day = F.to_date(F.col(ts_col)).cast("string")
+    daily = (
+        df.select(day.alias("__day"), F.explode(probes).alias("c"))
+        .groupBy("__day", F.col("c.i").alias("i"), F.col("c.pos").alias("pos"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    merged = daily.groupBy("i", "pos").agg(F.sum("cnt").alias("cnt")).select(
+        F.lit("__merged__").alias("src"), "i", "pos",
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+    direct = (
+        df.select(F.explode(probes).alias("c"))
+        .groupBy(F.col("c.i").alias("i"), F.col("c.pos").alias("pos"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.lit("__direct__").alias("src"), "i", "pos",
+            F.col("cnt").cast("long").alias("cnt"),
+        )
+    )
+    return merged.unionByName(direct)
+
+
+def cms_merge_oracle_sql(
+    table: str, ts_col: str, col: str, depth: int = 4, width: int = 512
+) -> str:
+    """DuckDB twin of :func:`cms_daily_merge` (same double-hashing
+    probes as cms_heavy_hitters' oracle)."""
+    from ..functions.hashing import H2_DIGITS, H2_OFFSET, HEX_DIGITS
+
+    h1 = f"CAST('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, {HEX_DIGITS}) AS BIGINT)"
+    h2 = f"CAST('0x' || substr(md5(CAST({col} AS VARCHAR)), {H2_OFFSET}, {H2_DIGITS}) AS BIGINT)"
+    return f"""
+WITH probes AS (
+  SELECT CAST(CAST({ts_col} AS DATE) AS VARCHAR) AS day,
+         CAST(i AS INT) AS i,
+         ({h1} + i * {h2}) % {width} AS pos
+  FROM {table}, LATERAL unnest(generate_series(0, {depth - 1})) AS u(i)
+),
+daily AS (
+  SELECT day, i, pos, CAST(count(*) AS BIGINT) AS cnt
+  FROM probes GROUP BY day, i, pos
+)
+SELECT '__merged__' AS src, i, pos, CAST(sum(cnt) AS BIGINT) AS cnt
+FROM daily GROUP BY i, pos
+UNION ALL
+SELECT '__direct__', i, pos, CAST(count(*) AS BIGINT)
+FROM probes GROUP BY i, pos
+"""
+
+
 # --------------------------------------------- Market-basket pair mining
 
 

@@ -9943,6 +9943,27 @@ def q_hll_daily_user_merge(spark, sf_dir):
     )
 
 
+@_q(
+    "cms_daily_user_merge",
+    agg.cms_merge_oracle_sql("events", "ts", "user_id", depth=4, width=512),
+    doc="Count-Min grid merge proof (operators/aggregates.py:"
+    "cms_daily_merge): per-day 4×512 counter grids summed cell-wise "
+    "vs the direct whole-table grid — BOTH full nonzero grids are "
+    "emitted (src, i, pos, cnt), bounded at 2·depth·width rows "
+    "regardless of data volume, so the driver's value hash proves "
+    "every counter equal, not a summary statistic. Closes the "
+    "sketch-merge proof set (counters ADD, k-min sets UNION, "
+    "histogram buckets ADD, HLL registers MAX). At 100 TB the "
+    "per-day grids are the stored artifact; any date-range heavy-"
+    "hitter query sums O(days·depth·width) integers before the "
+    "min-over-rows probe — no raw rescan.",
+)
+def q_cms_daily_user_merge(spark, sf_dir):
+    return agg.cms_daily_merge(
+        _t(spark, sf_dir, "events"), "ts", "user_id", depth=4, width=512
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry exports (driver contract)
 # --------------------------------------------------------------------------
@@ -9994,6 +10015,7 @@ _EXPORT_PRIORITY: list[str] = [
     "simhash_jaccard_proxy_eval",
     "event_value_histogram_merge",
     "hll_daily_user_merge",
+    "cms_daily_user_merge",
     # Stalest verdicts (last seen round 3) — refresh:
     "user_sessions",
     "packed_sequences",
@@ -10011,7 +10033,6 @@ _EXPORT_PRIORITY: list[str] = [
     "sliding_event_counts",
     "hourly_event_counts",
     "lang_id_docs",
-    "quality_scores",
 ]
 
 
