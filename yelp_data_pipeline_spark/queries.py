@@ -6113,27 +6113,27 @@ def q_cms_heavy_user_hitters(spark, sf_dir):
     """
 WITH w AS (
   SELECT count(*) AS n,
-         sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nn_k,
+         CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_k,
          count(DISTINCT o_orderkey) AS nd_k,
          CAST(CAST(FLOOR(min(CAST(o_orderkey AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS VARCHAR) AS mn_k,
          CAST(CAST(FLOOR(max(CAST(o_orderkey AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS VARCHAR) AS mx_k,
-         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nn_c,
+         CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_c,
          count(DISTINCT o_custkey) AS nd_c,
          CAST(CAST(FLOOR(min(CAST(o_custkey AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS VARCHAR) AS mn_c,
          CAST(CAST(FLOOR(max(CAST(o_custkey AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS VARCHAR) AS mx_c,
-         sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS nn_p,
+         CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_p,
          count(DISTINCT o_totalprice) AS nd_p,
          CAST(CAST(FLOOR(min(CAST(o_totalprice AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS VARCHAR) AS mn_p,
          CAST(CAST(FLOOR(max(CAST(o_totalprice AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS VARCHAR) AS mx_p,
-         sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS nn_s,
+         CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_s,
          count(DISTINCT o_orderstatus) AS nd_s,
          CAST(min(o_orderstatus) AS VARCHAR) AS mn_s,
          CAST(max(o_orderstatus) AS VARCHAR) AS mx_s,
-         sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS nn_o,
+         CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_o,
          count(DISTINCT o_orderpriority) AS nd_o,
          CAST(min(o_orderpriority) AS VARCHAR) AS mn_o,
          CAST(max(o_orderpriority) AS VARCHAR) AS mx_o,
-         sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS nn_d,
+         CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_d,
          count(DISTINCT CAST(o_orderdate AS DATE)) AS nd_d,
          CAST(CAST(min(o_orderdate) AS DATE) AS VARCHAR) AS mn_d,
          CAST(CAST(max(o_orderdate) AS DATE) AS VARCHAR) AS mx_d
@@ -6167,7 +6167,17 @@ SELECT 'o_date', n, nn_d, nd_d, NULL, NULL, mn_d, mx_d FROM w
     "then only IEEE single-op arithmetic — no decimal-cast "
     "semantics, which proved engine-version-dependent on "
     "non-2-decimal-representable doubles (the r6/r7 red-row "
-    "lesson).",
+    "lesson). Root cause found by the round-8 bisect probes: ALL six "
+    "single-column probes failed the driver hash — including the "
+    "string-only ones with no floats at all — pinning the divergence "
+    "on the one cell every probe shared: n_nulls, an uncast "
+    "sum(CASE..) that DuckDB types HUGEINT (int128). HUGEINT "
+    "materializes as float64 through pandas/Arrow (0 → 0.0), so any "
+    "driver that hashes through a dataframe sees '0.0' vs Spark's "
+    "'0'. The fix is CAST(sum(..) AS BIGINT) in the oracle — every "
+    "final oracle output column must land in the pandas-safe type "
+    "set {BIGINT, DOUBLE, VARCHAR, DATE, TIMESTAMP, BOOLEAN}, now "
+    "enforced repo-wide by tools/audit_oracle_types.py.",
 )
 def q_orders_column_profile(spark, sf_dir):
     o = _t(spark, sf_dir, "orders").withColumn(
@@ -6181,75 +6191,6 @@ def q_orders_column_profile(spark, sf_dir):
     )
 
 
-# TEMPORARY round-8 bisect probes (drop in round 9): one single-row
-# profile per orders_column_profile cell group, identical expressions,
-# exported at the FRONT of the window so the external oracle — the only
-# engine that sees the 2-round-old hash failure — localizes (or
-# confirms fixed) the diverging column.
-_PROBE_NUM_SQL = """
-SELECT '{c}' AS "column", count(*) AS n_rows,
-       sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
-       count(DISTINCT {c}) AS n_distinct,
-       CAST(CAST(FLOOR(min(CAST({c} AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS VARCHAR) AS min_num,
-       CAST(CAST(FLOOR(max(CAST({c} AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS VARCHAR) AS max_num,
-       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
-FROM orders
-"""
-
-_PROBE_STR_SQL = """
-SELECT '{c}' AS "column", count(*) AS n_rows,
-       sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
-       count(DISTINCT {c}) AS n_distinct,
-       CAST(NULL AS VARCHAR) AS min_num, CAST(NULL AS VARCHAR) AS max_num,
-       CAST(min({c}) AS VARCHAR) AS min_str,
-       CAST(max({c}) AS VARCHAR) AS max_str
-FROM orders
-"""
-
-_PROBE_DOC = (
-    "TEMPORARY r8 bisect probe for the orders_column_profile driver "
-    "hash failure: the same column_profile expressions restricted to "
-    "ONE column, so the external oracle localizes the diverging cell."
-)
-
-
-def _mk_profile_probe(kind: str, col: str):
-    def fn(spark, sf_dir):
-        o = _t(spark, sf_dir, "orders").withColumn(
-            "o_date", F.to_date("o_orderdate")
-        )
-        kw = {f"{kind}_cols": [col]}
-        return dq.column_profile(o, **kw)
-
-    return fn
-
-
-for _pk, _pc in [
-    ("num", "o_orderkey"),
-    ("num", "o_custkey"),
-    ("num", "o_totalprice"),
-    ("str", "o_orderstatus"),
-    ("str", "o_orderpriority"),
-]:
-    _q(
-        f"profile_probe_{_pc[2:]}",
-        (_PROBE_NUM_SQL if _pk == "num" else _PROBE_STR_SQL).format(c=_pc),
-        doc=_PROBE_DOC,
-    )(_mk_profile_probe(_pk, _pc))
-
-_q(
-    "profile_probe_orderdate",
-    """
-SELECT 'o_date' AS "column", count(*) AS n_rows,
-       sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS n_nulls,
-       count(DISTINCT CAST(o_orderdate AS DATE)) AS n_distinct,
-       CAST(NULL AS VARCHAR) AS min_num, CAST(NULL AS VARCHAR) AS max_num,
-       CAST(CAST(min(o_orderdate) AS DATE) AS VARCHAR) AS min_str,
-       CAST(CAST(max(o_orderdate) AS DATE) AS VARCHAR) AS max_str
-FROM orders
-""",
-    doc=_PROBE_DOC,
-)(_mk_profile_probe("date", "o_date"))
 
 
 # Supplier co-supply k-NN graph: each supplier keeps its 3 strongest
@@ -9976,63 +9917,70 @@ def q_cms_daily_user_merge(spark, sf_dir):
 # repeatedly-verified queries can wait at the back.  `tools/check_oracle.py`
 # always sweeps all entries regardless of order.
 _EXPORT_PRIORITY: list[str] = [
-    # Round-8 red-row bisect: the fixed profile + its six single-column
-    # probes FIRST — the external oracle is the only engine that sees
-    # the 2-round-old hash failure, so these localize (or confirm
-    # fixed) the diverging cell. Drop the probes in round 9.
+    # Round-9 red-row fix confirmation FIRST: the round-8 probes
+    # localized the orders_column_profile divergence (ALL six probes
+    # failed, incl. string-only ones → the shared uncast
+    # sum(CASE..)=HUGEINT n_nulls cell, float64 through pandas). The
+    # oracle now casts it BIGINT; probes dropped as planned.
     "orders_column_profile",
-    "profile_probe_orderkey",
-    "profile_probe_custkey",
-    "profile_probe_totalprice",
-    "profile_probe_orderstatus",
-    "profile_probe_orderpriority",
-    "profile_probe_orderdate",
-    # New in round 8 (no verdict yet by construction) — every new @_q
-    # THIS ROUND must be added to this block as it lands:
-    "contamination_spans",
-    "canonical_url_dedup",
-    "domain_mixture_stats",
-    "domain_capped_docs",
-    "price_histogram_quantiles",
-    "kmv_daily_user_merge",
-    "jl_distortion_pairs",
-    "dedup_corpus_lines",
-    "hard_negative_pairs",
-    "daily_seasonal_decomposition",
-    "event_changepoint_cusum",
-    "docs_embeddings_integrity",
-    "local_supplier_volume",
-    "returned_items_top_customers",
-    "whitened_embedding_sample",
-    "event_user_skew_report",
-    "nation_market_share_by_year",
-    "simhash_recall_eval",
-    "customer_order_count_distribution",
-    "small_quantity_order_revenue",
-    "incremental_event_state_merge",
-    "sole_late_suppliers",
-    "curation_funnel_by_source",
-    "simhash_jaccard_proxy_eval",
-    "event_value_histogram_merge",
-    "hll_daily_user_merge",
-    "cms_daily_user_merge",
+    # New in round 9 — every new @_q THIS ROUND must be added to this
+    # block as it lands:
     # Stalest verdicts (last seen round 3) — refresh:
-    "user_sessions",
-    "packed_sequences",
-    "tfidf_top_terms",
-    "top_words",
-    "scrub_pii_docs",
-    "order_price_rank_scalable",
-    "orders_status_pivot",
-    "orders_status_unpivot",
-    "rolling_7d_event_avg",
-    "semantic_dedup_survivors",
-    "split_assignments",
-    "stratified_sample_by_lang",
-    "winsorized_prices",
-    "sliding_event_counts",
-    "hourly_event_counts",
-    "lang_id_docs",
+    "order_price_percent_rank",
+    "price_quantiles_by_priority",
+    "quality_scores",
+    "sampled_documents",
+    "shipping_priority_top10",
+    "token_stats",
+    "top_orders_with_ties",
+    # Round-4-stale refreshes (oldest-first rotation; tail rolls to
+    # round 10 if round-9 additions displace it past the export cap):
+    "bigram_logprob_scores",
+    "bm25_doc_scores",
+    "bridge_part_words",
+    "clean_pyrepr_attributes",
+    "customers_with_urgent_orders",
+    "customers_without_urgent_orders",
+    "dates_except",
+    "dates_intersect",
+    "dedup_clusters_star",
+    "dedup_keep_best_docs",
+    "detect_parse_json_props",
+    "dict_encode_part_types",
+    "dim_customer",
+    "dim_time",
+    "embedding_neardup_ivf",
+    "events_date_parts",
+    "fact_daily_events",
+    "fact_orders",
+    "filtered_lineitems",
+    "flatten_nested_structs",
+    "fuzzy_dup_pairs",
+    "inverted_postings",
+    "json_extract_props",
+    "kmeans_assignments",
+    "leakage_safe_splits",
+    "lineitem_date_parts",
+    "mixture_resampled_docs",
+    "order_price_quartiles",
+    "prefix_filtered_parts",
+    "price_quantity_corr",
+    "priority_status_grouping_sets",
+    "process_business_oracle",
+    "quantity_buckets",
+    "quantized_embeddings",
+    "salted_segment_event_counts",
+    "scaled_prices_by_priority",
+    "scd2_order_status_history",
+    "split_array_counts",
+    "split_hours_range",
+    "sql_suppliers_by_nation",
+    "temperature_mixture_weights",
+    "top_order_per_customer",
+    "total_counts",
+    "union_distinct_dates",
+    "weighted_quality_sample",
+    "winnowing_fingerprints",
 ]
 
 
