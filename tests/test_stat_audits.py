@@ -1,0 +1,95 @@
+"""Round-9 statistical/forensic audit tier: Benford digit audit,
+contingency association (lift/PMI), Gini concentration, and
+log-odds distinctive terms — fixture-based invariants plus hand-
+computed small-case checks."""
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from yelp_data_pipeline_spark.operators import aggregates as agg
+from yelp_data_pipeline_spark.operators import quality as dq
+from yelp_data_pipeline_spark.operators import textops as tx
+
+
+def test_benford_hand_case(spark):
+    # values with known first digits of exact cents: 1.00->100 (1),
+    # 19.99->1999 (1), 2.50->250 (2), 0.30->30 (3), 9.99->999 (9);
+    # zero/negative/null rows are excluded.
+    rows = [(1.00,), (19.99,), (2.50,), (0.30,), (9.99,), (0.0,), (-5.0,), (None,)]
+    df = spark.createDataFrame(rows, "v double")
+    out = {r["digit"]: r for r in dq.benford_first_digit(df, "v").collect()}
+    assert set(out) == {1, 2, 3, 9}
+    assert out[1]["n_obs"] == 2 and out[2]["n_obs"] == 1
+    assert out[1]["obs_share"] == pytest.approx(0.4)
+    assert out[1]["benford_share"] == pytest.approx(
+        round(math.log10(2.0), 6), abs=1e-9
+    )
+    # shares over emitted digits sum to 1
+    assert sum(r["obs_share"] for r in out.values()) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_contingency_assoc_independent_and_marginals(spark):
+    # Perfectly independent 2x2 design: every lift == 1, every PMI == 0.
+    rows = [("a", "x")] * 4 + [("a", "y")] * 4 + [("b", "x")] * 4 + [("b", "y")] * 4
+    df = spark.createDataFrame(rows, "u string, w string")
+    out = agg.contingency_assoc(df, "u", "w").collect()
+    assert len(out) == 4
+    for r in out:
+        assert r["n_total"] == 16 and r["n_a"] == 8 and r["n_b"] == 8
+        assert r["lift"] == pytest.approx(1.0)
+        assert r["pmi"] == pytest.approx(0.0)
+    # Dependent case: PMI positive on the diagonal, negative off it.
+    rows = [("a", "x")] * 6 + [("b", "y")] * 6 + [("a", "y")] * 1 + [("b", "x")] * 1
+    df = spark.createDataFrame(rows, "u string, w string")
+    got = {(r["u"], r["w"]): r["pmi"] for r in agg.contingency_assoc(df, "u", "w").collect()}
+    assert got[("a", "x")] > 0 and got[("b", "y")] > 0
+    assert got[("a", "y")] < 0 and got[("b", "x")] < 0
+
+
+def test_gini_extremes(spark):
+    # Equal values -> Gini ~ 0 (exactly (n-1)/n deviation-free form:
+    # 2*S1/(n*S)-(n+1)/n with x_i=c gives 0 for any n).
+    rows = [("g1", i, 10.0) for i in range(8)]
+    # One key owns everything -> Gini -> (n-1)/n = 0.875
+    rows += [("g2", 0, 80.0)] + [("g2", i, 0.0) for i in range(1, 8)]
+    df = spark.createDataFrame(rows, "seg string, k long, v double")
+    out = {r["seg"]: r for r in agg.gini_by_group(df, "seg", "k", "v").collect()}
+    assert out["g1"]["gini"] == pytest.approx(0.0)
+    assert out["g2"]["gini"] == pytest.approx(0.875)
+    assert out["g1"]["total_cents"] == 8000
+    assert out["g2"]["n_keys"] == 8
+
+
+def test_gini_scale_invariance(spark):
+    # Gini is scale-free: multiplying every value by 3 leaves it unchanged.
+    base = [("g", i, float(i + 1)) for i in range(10)]
+    scaled = [("g", i, 3.0 * (i + 1)) for i in range(10)]
+    g1 = agg.gini_by_group(
+        spark.createDataFrame(base, "seg string, k long, v double"), "seg", "k", "v"
+    ).collect()[0]["gini"]
+    g2 = agg.gini_by_group(
+        spark.createDataFrame(scaled, "seg string, k long, v double"), "seg", "k", "v"
+    ).collect()[0]["gini"]
+    assert g1 == pytest.approx(g2, abs=2e-6)
+
+
+def test_log_odds_planted_distinctive_term(spark):
+    # 'zebra' appears only in source s1; 'common' everywhere. The
+    # planted term must rank top for s1 with positive z.
+    rows = [(1, "zebra zebra common word", "s1"),
+            (2, "zebra common other word", "s1"),
+            (3, "common word filler text", "s2"),
+            (4, "common other filler text", "s2")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = tx.distinctive_terms_log_odds(df, "source", "text", k=2).collect()
+    s1_top = [r for r in out if r["source"] == "s1"][0]
+    assert s1_top["word"] == "zebra"
+    assert s1_top["z_score"] > 0
+    assert s1_top["n_in_group"] == 3
+    # k bound respected per group
+    per = {}
+    for r in out:
+        per[r["source"]] = per.get(r["source"], 0) + 1
+    assert all(v <= 2 for v in per.values())

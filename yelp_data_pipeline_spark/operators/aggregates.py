@@ -1106,3 +1106,114 @@ def incremental_state_merge_demo(
         F.round("mx", 6).alias("max_value"),
         F.round(F.col("s").cast("double") / F.col("n"), 6).alias("avg_value"),
     )
+
+
+def contingency_assoc(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Contingency-table association audit between two categorical
+    columns: per cell, the joint count plus both marginals, the lift
+    (observed/expected ratio) and the pointwise mutual information
+    (PMI, nats) — the table an analyst reads to decide whether two
+    dimensions are independent before trusting a segmentation or a
+    stratified sample on their cross product.
+
+    Plan: the ONLY data-volume work is one map-side-combinable
+    groupBy(a, b) over the pruned two-column scan; marginals and the
+    grand total are window sums over the resulting CELL relation
+    (|A|x|B| rows, bounded by category cardinality), never a second
+    scan. At 100 TB: one scan, one tiny shuffle, three window passes
+    over dozens of rows.
+
+    Numerics: counts are exact int64; lift and PMI are computed from
+    exact integers with a fixed IEEE op order (two multiplies, one
+    divide), and PMI's single ln is rounded to 6dp — the repo's
+    one-libm-call-per-output rule, replayable on any engine.
+
+    Returns (a, b, n_cell, n_a, n_b, n_total, lift, pmi) with the
+    input column names preserved for a/b, ordered by (a, b).
+    """
+    from pyspark.sql import Window
+
+    cells = df.groupBy(
+        F.col(col_a).alias("__a"), F.col(col_b).alias("__b")
+    ).agg(F.count(F.lit(1)).alias("n_cell"))
+    wa = Window.partitionBy("__a")
+    wb = Window.partitionBy("__b")
+    wall = Window.partitionBy()
+    ratio = (
+        F.col("n_cell").cast("double") * F.col("n_total").cast("double")
+    ) / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+    return (
+        cells.withColumn("n_a", F.sum("n_cell").over(wa).cast("long"))
+        .withColumn("n_b", F.sum("n_cell").over(wb).cast("long"))
+        .withColumn("n_total", F.sum("n_cell").over(wall).cast("long"))
+        .select(
+            F.col("__a").alias(col_a),
+            F.col("__b").alias(col_b),
+            F.col("n_cell"),
+            "n_a",
+            "n_b",
+            "n_total",
+            F.round(ratio, 6).alias("lift"),
+            F.round(F.log(ratio), 6).alias("pmi"),
+        )
+        .orderBy(col_a, col_b)
+    )
+
+
+def gini_by_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Gini concentration coefficient of per-key value totals within
+    each group — the inequality number behind "top 1% of customers
+    drive X% of revenue" (Lorenz 1905/Gini 1912), and for a training
+    corpus the per-source document-contribution skew screen.
+
+    Exactness: per-key totals accumulate as exact integer cents
+    (floor(v*100 + 0.5), single IEEE ops on 2-decimal monetary
+    doubles); the rank-weighted sum S1 = sum(i * x_(i)) accumulates in
+    DECIMAL(38,0) (int64 overflows near 2^63 once n_keys * total_cents
+    grows past ~10^18 — real at fact scale). The final coefficient
+    G = 2*S1/(n*S) - (n+1)/n is a fixed sequence of correctly-rounded
+    IEEE ops on exactly-represented integers, rounded 6dp.
+
+    Plan: one combinable groupBy(group, key) -> per-key relation; one
+    rank window per group (sort shuffle of the KEY relation, not the
+    facts — |keys| << |rows|); one combinable final aggregate. A
+    single pathologically hot group serializes its own rank sort only;
+    at 100 TB pre-aggregate per key first (done here by construction)
+    and the window input is the small relation.
+
+    Returns (group, n_keys, total_cents, gini) ordered by group.
+    """
+    from pyspark.sql import Window
+
+    cents = F.floor(
+        F.col(value_col).cast("double") * F.lit(100.0) + F.lit(0.5)
+    ).cast("long")
+    per_key = df.groupBy(
+        F.col(group_col).alias("g"), F.col(key_col).alias("k")
+    ).agg(F.sum(cents).alias("x"))
+    w = Window.partitionBy("g").orderBy(F.asc("x"), F.asc("k"))
+    ranked = per_key.withColumn("i", F.row_number().over(w))
+    agg_ = ranked.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("x").cast("long").alias("total_cents"),
+        F.sum(
+            F.col("i").cast("decimal(38,0)") * F.col("x").cast("decimal(38,0)")
+        ).alias("__s1"),
+    )
+    n = F.col("n_keys").cast("double")
+    gini = (
+        F.lit(2.0) * F.col("__s1").cast("double")
+        / (n * F.col("total_cents").cast("double"))
+        - (n + F.lit(1.0)) / n
+    )
+    return agg_.select(
+        F.col("g").alias(group_col),
+        "n_keys",
+        "total_cents",
+        F.round(gini, 6).alias("gini"),
+    ).orderBy(group_col)

@@ -178,6 +178,60 @@ def column_profile(
     ).select("p.*")
 
 
+def benford_first_digit(df: DataFrame, value_col: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit of a positive
+    monetary column — the classic forensic screen for fabricated or
+    truncated numeric data (Benford 1938; Nigrini's fraud-audit
+    staple): naturally occurring multi-magnitude amounts put digit d
+    first with probability log10(1 + 1/d); a synthetic or clipped
+    column deviates visibly.
+
+    Determinism across engines: the first digit is NEVER taken from a
+    float's string rendering (engines disagree on double formatting).
+    The value is converted to exact integer cents first
+    (``floor(v·100 + 0.5)`` — single IEEE multiply/add/floor on a
+    2-decimal-representable monetary double), and the digit is the
+    first character of the INTEGER's decimal string, which is
+    bit-identical everywhere. ``log10`` is one libm call per output
+    row, rounded to 6dp (the repo's single-transcendental rule);
+    shares are exact-integer divisions in double, rounded 6dp.
+
+    Plan: one pruned scan → map-side digit extraction → 9-cell
+    combinable groupBy; the total re-derives from the 9-row cell
+    relation via a broadcast 1-row aggregate (no second scan). At
+    100 TB this is scan-bound with a ≤9-row shuffle.
+
+    Returns (digit, n_obs, obs_share, benford_share, abs_dev)
+    ordered by digit.
+    """
+    cents = F.floor(F.col(value_col).cast("double") * F.lit(100.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    per = (
+        df.where(F.col(value_col).isNotNull() & (F.col(value_col) > 0))
+        .select(F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    tot = per.agg(F.sum("n_obs").cast("long").alias("__n_total"))
+    d = F.col("digit").cast("double")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_obs",
+            F.round(
+                F.col("n_obs").cast("double") / F.col("__n_total").cast("double"), 6
+            ).alias("obs_share"),
+            F.round(F.log10(F.lit(1.0) + F.lit(1.0) / d), 6).alias("benford_share"),
+        )
+        .withColumn(
+            "abs_dev", F.round(F.abs(F.col("obs_share") - F.col("benford_share")), 6)
+        )
+        .orderBy("digit")
+    )
+
+
 def mad_outliers(
     df: DataFrame,
     id_col: str,

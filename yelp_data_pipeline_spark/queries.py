@@ -6193,6 +6193,185 @@ def q_orders_column_profile(spark, sf_dir):
 
 
 
+# Statistical / forensic audit tier (round 9): Benford digit
+# forensics, contingency association, concentration (Gini), and
+# corpus-comparison log-odds — the "is this data trustworthy and
+# how is it distributed" battery.
+@_q(
+    "benford_price_audit",
+    """
+WITH v AS (
+  SELECT CAST(FLOOR(CAST(o_totalprice AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+),
+per AS (
+  SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+         count(*) AS n_obs
+  FROM v GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM per),
+sh AS (
+  SELECT digit, n_obs,
+         round(CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS obs_share,
+         round(log10(CAST(1.0 AS DOUBLE) + CAST(1.0 AS DOUBLE) / CAST(digit AS DOUBLE)), 6) AS benford_share
+  FROM per, tot
+)
+SELECT digit, n_obs, obs_share, benford_share,
+       round(abs(obs_share - benford_share), 6) AS abs_dev
+FROM sh ORDER BY digit
+""",
+    doc="Benford first-significant-digit forensic audit of "
+    "o_totalprice (operators/quality.py:benford_first_digit, Benford "
+    "1938 / Nigrini's fraud screen): observed first-digit shares vs "
+    "the log10(1+1/d) law. Digit extracted from the EXACT integer "
+    "cents string (never a float rendering — engines disagree on "
+    "double formatting); one libm log10 per output row rounded 6dp. "
+    "One pruned scan, 9-cell combinable groupBy, total re-derived "
+    "from the 9-row cell relation via broadcast 1-row aggregate "
+    "(bounded-cross).",
+)
+def q_benford_price_audit(spark, sf_dir):
+    return dq.benford_first_digit(_t(spark, sf_dir, "orders"), "o_totalprice")
+
+
+@_q(
+    "priority_status_association",
+    """
+WITH cells AS (
+  SELECT o_orderpriority, o_orderstatus, count(*) AS n_cell
+  FROM orders GROUP BY 1, 2
+),
+m AS (
+  SELECT o_orderpriority, o_orderstatus, n_cell,
+         CAST(sum(n_cell) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n_a,
+         CAST(sum(n_cell) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS n_b,
+         CAST(sum(n_cell) OVER () AS BIGINT) AS n_total
+  FROM cells
+)
+SELECT o_orderpriority, o_orderstatus, n_cell, n_a, n_b, n_total,
+       round(CAST(n_cell AS DOUBLE) * CAST(n_total AS DOUBLE)
+             / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS lift,
+       round(ln(CAST(n_cell AS DOUBLE) * CAST(n_total AS DOUBLE)
+             / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))), 6) AS pmi
+FROM m ORDER BY o_orderpriority, o_orderstatus
+""",
+    doc="Contingency-table association audit priority x status "
+    "(operators/aggregates.py:contingency_assoc): joint count, both "
+    "marginals, lift and pointwise mutual information per cell — the "
+    "independence check run before trusting a segmentation on a "
+    "cross product. Data-volume work is ONE map-side-combinable "
+    "groupBy over the pruned 2-column scan; marginals are window "
+    "sums over the |A|x|B|-row cell relation, never a rescan. PMI's "
+    "single ln rounded 6dp from exact-integer ratio.",
+)
+def q_priority_status_association(spark, sf_dir):
+    return agg.contingency_assoc(
+        _t(spark, sf_dir, "orders"), "o_orderpriority", "o_orderstatus"
+    )
+
+
+@_q(
+    "customer_spend_gini",
+    """
+WITH per_key AS (
+  SELECT c.c_mktsegment AS seg, o.o_custkey AS k,
+         CAST(sum(CAST(FLOOR(CAST(o.o_totalprice AS DOUBLE) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS x
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT seg, x, row_number() OVER (PARTITION BY seg ORDER BY x, k) AS i
+  FROM per_key
+),
+a AS (
+  SELECT seg, count(*) AS n_keys,
+         CAST(sum(x) AS BIGINT) AS total_cents,
+         sum(CAST(i AS HUGEINT) * CAST(x AS HUGEINT)) AS s1
+  FROM ranked GROUP BY 1
+)
+SELECT seg AS c_mktsegment, n_keys, total_cents,
+       round(CAST(2.0 AS DOUBLE) * CAST(s1 AS DOUBLE)
+             / (CAST(n_keys AS DOUBLE) * CAST(total_cents AS DOUBLE))
+             - (CAST(n_keys AS DOUBLE) + CAST(1.0 AS DOUBLE)) / CAST(n_keys AS DOUBLE),
+             6) AS gini
+FROM a ORDER BY c_mktsegment
+""",
+    doc="Gini concentration of per-customer spend within each market "
+    "segment (operators/aggregates.py:gini_by_group, Lorenz/Gini): "
+    "the 'top customers drive X% of revenue' inequality number, per "
+    "segment. Exact integer cents; rank-weighted sum S1 accumulates "
+    "in DECIMAL(38,0)/HUGEINT (int64 overflows near 10^18 at fact "
+    "scale); G = 2*S1/(n*S) - (n+1)/n as a fixed IEEE sequence on "
+    "exact integers, rounded 6dp. The rank window sorts the PER-KEY "
+    "relation (|customers|, not |orders|) — facts fold map-side "
+    "first.",
+)
+def q_customer_spend_gini(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        o.o_custkey == c.c_custkey,
+    )
+    return agg.gini_by_group(j, "c_mktsegment", "o_custkey", "o_totalprice")
+
+
+@_q(
+    "distinctive_terms_by_source",
+    """
+WITH cells AS (
+  SELECT source AS g, w, count(*) AS y
+  FROM (SELECT source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+        FROM documents)
+  WHERE w <> ''
+  GROUP BY 1, 2
+),
+sized AS (
+  SELECT g, w, y,
+         CAST(sum(y) OVER (PARTITION BY w) AS BIGINT) AS y_w,
+         CAST(sum(y) OVER (PARTITION BY g) AS BIGINT) AS n_g
+  FROM cells
+),
+tot AS (
+  SELECT CAST(sum(y) AS BIGINT) AS n, CAST(count(DISTINCT w) AS BIGINT) AS v
+  FROM cells
+),
+scored AS (
+  SELECT g, w, y AS n_in_group,
+         round((round(ln((CAST(y AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                         / (CAST(n_g AS DOUBLE) - CAST(y AS DOUBLE) + CAST(v AS DOUBLE))), 6)
+                - round(ln((CAST(y_w - y AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                           / (CAST(n - n_g AS DOUBLE) - CAST(y_w - y AS DOUBLE) + CAST(v AS DOUBLE))), 6))
+               / sqrt(CAST(1.0 AS DOUBLE) / (CAST(y AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                      + CAST(1.0 AS DOUBLE) / (CAST(y_w - y AS DOUBLE) + CAST(1.0 AS DOUBLE))),
+               6) AS z_score
+  FROM sized, tot
+),
+top AS (
+  SELECT g, w, n_in_group, z_score,
+         row_number() OVER (PARTITION BY g ORDER BY z_score DESC, w) AS r
+  FROM scored
+)
+SELECT g AS source, w AS word, n_in_group, z_score
+FROM top WHERE r <= 5
+ORDER BY source, z_score DESC, word
+""",
+    doc="Per-source distinctive vocabulary via log-odds-ratio z-score "
+    "with add-one smoothing (operators/textops.py:"
+    "distinctive_terms_log_odds; Monroe, Colaresi & Quinn 2008 "
+    "'Fightin' Words') — corpus comparison without tf-idf's length "
+    "bias. One explode + one (source,word) combinable groupBy is the "
+    "only data-volume work; marginals/vocab/total are windows and a "
+    "broadcast 1-row aggregate over the cell relation. Each of the "
+    "two ln calls per row individually rounded 6dp before "
+    "subtraction; variance rational; sqrt correctly-rounded IEEE.",
+)
+def q_distinctive_terms_by_source(spark, sf_dir):
+    return tx.distinctive_terms_log_odds(
+        _t(spark, sf_dir, "documents"), "source", "text", k=5
+    )
+
+
 # Supplier co-supply k-NN graph: each supplier keeps its 3 strongest
 # co-supply partners (shared-order count, deterministic tiebreak) — a
 # scale-free construction shared by the triangle / k-core queries.
@@ -9925,6 +10104,10 @@ _EXPORT_PRIORITY: list[str] = [
     "orders_column_profile",
     # New in round 9 — every new @_q THIS ROUND must be added to this
     # block as it lands:
+    "benford_price_audit",
+    "priority_status_association",
+    "customer_spend_gini",
+    "distinctive_terms_by_source",
     # Stalest verdicts (last seen round 3) — refresh:
     "order_price_percent_rank",
     "price_quantiles_by_priority",
