@@ -104,6 +104,11 @@ EXTRAS = [
     "event_value_histogram_merge",
     "hll_daily_user_merge",
     "cms_daily_user_merge",
+    # round 9
+    "benford_price_audit",
+    "priority_status_association",
+    "customer_spend_gini",
+    "distinctive_terms_by_source",
 ]
 
 

@@ -564,6 +564,69 @@ def main_curate(replicas: int) -> int:
     return 0
 
 
+# ``--r9`` mode: three scale points in one run.
+# (a) Round-9 statistical-audit tier on the fact side, sf0.01 -> sf0.1
+#     (native 10x): Benford is a 9-cell combinable groupBy (scan-
+#     bound), the association table one tiny-cell groupBy + windows,
+#     Gini one per-key fold + a rank window over the KEY relation —
+#     all expected ~linear-or-flat.
+# (b) distinctive_terms_by_source at 25x replica docs: the cell
+#     relation grows with vocab x sources (sublinear in rows), the
+#     explode+groupBy with the corpus — expected ratio well under 25.
+# (c) The round-8 embedding additions BASELINE.md lacked a point for:
+#     whitening (covariance-pass dominated, same shape as the PCA 10x
+#     point), JL distortion (n x out_dim projection + md5-pair join),
+#     hard negatives (batch brute top-k over broadcast queries).
+R9_FACT_FAMILY = [
+    "benford_price_audit",
+    "priority_status_association",
+    "customer_spend_gini",
+]
+
+R9_EMB_FAMILY = [
+    "whitened_embedding_sample",
+    "jl_distortion_pairs",
+    "hard_negative_pairs",
+]
+
+
+def main_r9(replicas: int) -> int:
+    spark = get_spark("bench_scale_r9")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = queries()
+
+    qs["benford_price_audit"](spark, "/root/testdata/sf0.01").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    release_tracked()
+
+    fact_base = run_family(spark, qs, "/root/testdata/sf0.01", R9_FACT_FAMILY)
+    fact_scaled = run_family(spark, qs, BASE_SF, R9_FACT_FAMILY)
+
+    docs_dir = build_scaled(spark, replicas)
+    doc_base = run_family(spark, qs, BASE_SF, ["distinctive_terms_by_source"])
+    doc_scaled = run_family(spark, qs, docs_dir, ["distinctive_terms_by_source"])
+
+    emb_dir = build_scaled(spark, 10, emb_only=True)
+    emb_base = run_family(spark, qs, BASE_SF, R9_EMB_FAMILY)
+    emb_scaled = run_family(spark, qs, emb_dir, R9_EMB_FAMILY)
+
+    def ratios(b, s):
+        return {k: round(s[k] / b[k], 2) for k in b if b[k] > 0}
+
+    print(json.dumps({
+        "metric": "r9_family_scale",
+        "unit": "sec",
+        "fact_10x": {"base_sf0.01": fact_base, "sf0.1": fact_scaled,
+                     "ratio": ratios(fact_base, fact_scaled)},
+        "docs_%dx" % replicas: {"base": doc_base, "scaled": doc_scaled,
+                                "ratio": ratios(doc_base, doc_scaled)},
+        "emb_10x": {"base": emb_base, "scaled": emb_scaled,
+                    "ratio": ratios(emb_base, emb_scaled)},
+    }))
+    return 0
+
+
 # ``--tpch`` family: the fact-side TPC-H analogs. Unlike the doc/emb
 # families these scale with SF natively (lineitem/orders grow with the
 # fixture scale factor), so the scale point is sf0.01 → sf0.1 (10×
@@ -627,6 +690,8 @@ def main() -> int:
         return main_curate(replicas)
     if "--r8" in sys.argv:
         return main_r8(replicas)
+    if "--r9" in sys.argv:
+        return main_r9(replicas)
     spark = get_spark("bench_scale")
     spark.sparkContext.setLogLevel("ERROR")
     qs = queries()
