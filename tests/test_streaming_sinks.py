@@ -110,3 +110,73 @@ def test_restarted_stream_skips_committed_batches(spark, tmp_path):
     run("ckpt_b")  # fresh checkpoint: batch 0 re-delivered, ledger blocks
     assert sorted(map(tuple, spark.read.parquet(target).collect())) == st1
     assert applied_batches(target) == {0}
+
+
+def test_hll_register_sink_stream_equals_batch_and_replay_idempotent(
+    spark, tmp_path
+):
+    """Three micro-batches of user ids folded through the HLL register
+    sink: (1) the streamed state's estimate equals a batch recompute
+    over the union of all rows — same registers_hit, same rho_sum,
+    same estimate; (2) replaying a batch leaves the state bit-identical
+    (register-max is an idempotent semilattice — the no-ledger
+    exactly-once argument)."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from yelp_data_pipeline_spark.operators.aggregates import hll_distinct
+    from yelp_data_pipeline_spark.streaming.sinks import (
+        hll_register_batch,
+        hll_register_sink,
+        hll_state_estimate,
+    )
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    state = str(tmp_path / "hll_state")
+
+    batches = [
+        [(f"u{i}",) for i in range(0, 40)],
+        [(f"u{i}",) for i in range(20, 70)],   # overlaps batch 0
+        [(f"u{i}",) for i in range(60, 100)],  # overlaps batch 1
+    ]
+    for b, rows in enumerate(batches):
+        spark.createDataFrame(rows, ["user_id"]).coalesce(1).write.parquet(
+            str(src_dir / f"b{b}")
+        )
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema("user_id string")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src_dir))
+    )
+    q = (
+        stream.writeStream.foreachBatch(hll_register_sink(state, "user_id"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    streamed = hll_state_estimate(spark, state).collect()[0]
+    all_rows = [r for rows in batches for r in rows]
+    direct = hll_distinct(
+        spark.createDataFrame(all_rows, ["user_id"]), "user_id"
+    ).collect()[0]
+    assert streamed["registers_hit"] == direct["registers_hit"]
+    assert streamed["rho_sum"] == direct["rho_sum"]
+    assert streamed["approx_users"] == direct["approx_users"]
+
+    # Replay batch 1 (same data, new batch id — the at-least-once
+    # crash-recovery shape): state must not move.
+    before = sorted(
+        (r["reg"], r["m_r"]) for r in spark.read.parquet(state).collect()
+    )
+    hll_register_batch(
+        spark.createDataFrame(batches[1], ["user_id"]), 99, state, "user_id"
+    )
+    after = sorted(
+        (r["reg"], r["m_r"]) for r in spark.read.parquet(state).collect()
+    )
+    assert before == after

@@ -110,3 +110,69 @@ def merge_upsert_sink(
         merge_upsert_batch(batch_df, batch_id, target_path, keys, order_col)
 
     return sink
+
+
+def hll_register_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    target_path: str,
+    col: str,
+    m: int = 64,
+) -> None:
+    """Fold one micro-batch into a persistent HLL register-state table
+    — streaming distinct-count maintenance, the streaming face of the
+    batch tier's sketch-merge proofs (aggregates.hll_daily_merge).
+
+    The state is (reg, m_r): m rows max, regardless of stream volume.
+    Unlike the MERGE sink above, NO batch-id ledger is needed for
+    exactly-once state: register-max is a bounded join-semilattice
+    (associative + commutative + IDEMPOTENT), so replaying a batch
+    after a crash folds the same maxes in again and changes nothing.
+    At-least-once delivery is automatically exactly-once table state —
+    the property the proof query pins (`hll_daily_user_merge`) is
+    precisely what makes this sink crash-safe by construction.
+
+    Write protocol: fold into a staged directory, swap via rename
+    (never read + overwrite one path in a single job). At 100 TB the
+    per-batch cost is one map-side register fold over the batch plus a
+    ≤m-row merge — the cheapest possible distinct-count maintenance.
+    """
+    from ..operators.aggregates import _hll_registers
+
+    spark = batch_df.sparkSession
+    regs = _hll_registers(batch_df, col, m, [])
+    if os.path.exists(target_path):
+        regs = (
+            spark.read.parquet(target_path)
+            .unionByName(regs)
+            .groupBy("reg")
+            .agg(F.max("m_r").alias("m_r"))
+        )
+    staged = f"{target_path}.staged-{batch_id}"
+    regs.write.mode("overwrite").parquet(staged)
+    old = f"{target_path}.old-{batch_id}"
+    if os.path.exists(target_path):
+        os.rename(target_path, old)
+    os.rename(staged, target_path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
+def hll_register_sink(target_path: str, col: str, m: int = 64):
+    """``foreachBatch`` callable maintaining a streaming HLL state:
+    ``writeStream.foreachBatch(hll_register_sink(path, "user_id"))``."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        hll_register_batch(batch_df, batch_id, target_path, col, m)
+
+    return sink
+
+
+def hll_state_estimate(spark, target_path: str, m: int = 64) -> DataFrame:
+    """Assemble the distinct-count estimate from a register-state
+    table maintained by :func:`hll_register_sink` — identical
+    arithmetic to the batch sketch, so streamed state and a batch
+    recompute over the same rows yield the SAME (approx, V, rho_sum)."""
+    from ..operators.aggregates import _hll_estimate
+
+    return _hll_estimate(spark.read.parquet(target_path), m, [])
