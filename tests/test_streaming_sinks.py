@@ -180,3 +180,74 @@ def test_hll_register_sink_stream_equals_batch_and_replay_idempotent(
         (r["reg"], r["m_r"]) for r in spark.read.parquet(state).collect()
     )
     assert before == after
+
+
+def test_cms_grid_sink_needs_ledger(spark, tmp_path):
+    """CMS cells merge by SUM (monoid, not idempotent): the streamed
+    grid equals the direct batch grid; a replay is skipped by the
+    ledger (state unchanged); bypassing the ledger double-counts —
+    the demonstrated reason the ledger exists for sum-state while
+    HLL's max-state needs none."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from yelp_data_pipeline_spark.operators.aggregates import _cms_grid
+    from yelp_data_pipeline_spark.streaming.sinks import (
+        cms_grid_batch,
+        cms_grid_sink,
+    )
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    state = str(tmp_path / "cms_state")
+
+    batches = [
+        [(f"u{i % 7}",) for i in range(30)],
+        [(f"u{i % 11}",) for i in range(40)],
+    ]
+    for b, rows in enumerate(batches):
+        spark.createDataFrame(rows, ["user_id"]).coalesce(1).write.parquet(
+            str(src_dir / f"b{b}")
+        )
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema("user_id string")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src_dir))
+    )
+    q = (
+        stream.writeStream.foreachBatch(cms_grid_sink(state, "user_id"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    def grid_rows(df):
+        return sorted((r["i"], r["pos"], r["cnt"]) for r in df.collect())
+
+    all_rows = [r for rows in batches for r in rows]
+    direct = grid_rows(
+        _cms_grid(spark.createDataFrame(all_rows, ["user_id"]), "user_id", 4, 512)
+    )
+    streamed = grid_rows(spark.read.parquet(state))
+    assert streamed == direct
+
+    # Replay batch id 1 -> ledger skips, state unchanged.
+    applied = cms_grid_batch(
+        spark.createDataFrame(batches[1], ["user_id"]), 1, state, "user_id"
+    )
+    assert applied is False
+    assert grid_rows(spark.read.parquet(state)) == direct
+
+    # Bypass the ledger (fresh batch id, same data): counts inflate —
+    # sum-state is NOT replay-tolerant without it.
+    cms_grid_batch(
+        spark.createDataFrame(batches[1], ["user_id"]), 99, state, "user_id"
+    )
+    corrupted = grid_rows(spark.read.parquet(state))
+    assert corrupted != direct
+    assert sum(c for _, _, c in corrupted) == sum(c for _, _, c in direct) + 4 * len(
+        batches[1]
+    )

@@ -438,6 +438,36 @@ FROM sk
 # ------------------------------------------------- Count-Min heavy hitters
 
 
+def _cms_probes(col: str, depth: int, width: int):
+    """The Kirsch-Mitzenmacher md5 probe array shared by every CMS
+    construction (batch top-k, daily merge proof, streaming sink):
+    row i probes position (h1 + i*h2) mod width."""
+    from ..functions.hashing import md5_pair
+
+    hexc = F.md5(F.col(col).cast("string"))
+    h1, h2 = md5_pair(hexc)
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                ((h1 + F.lit(i) * h2) % width).alias("pos"),
+            )
+            for i in range(depth)
+        ]
+    )
+
+
+def _cms_grid(df: DataFrame, col: str, depth: int, width: int) -> DataFrame:
+    """(i, pos, cnt) nonzero-cell grid — <= depth*width rows, built by
+    one map-side-combinable groupBy; grids merge by cell-wise SUM."""
+    probes = _cms_probes(col, depth, width)
+    return (
+        df.select(F.explode(probes).alias("c"))
+        .groupBy(F.col("c.i").alias("i"), F.col("c.pos").alias("pos"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def cms_heavy_hitters(
     df: DataFrame, col: str, depth: int = 4, width: int = 512, k: int = 20
 ) -> DataFrame:
@@ -467,24 +497,8 @@ def cms_heavy_hitters(
     followed by min-per-key and a TakeOrdered k-heap with (count DESC,
     key ASC) tiebreak.
     """
-    from ..functions.hashing import md5_pair
-
-    hexc = F.md5(F.col(col).cast("string"))
-    h1, h2 = md5_pair(hexc)
-    probes = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("i"),
-                ((h1 + F.lit(i) * h2) % width).alias("pos"),
-            )
-            for i in range(depth)
-        ]
-    )
-    cells = (
-        df.select(F.explode(probes).alias("c"))
-        .groupBy(F.col("c.i").alias("i"), F.col("c.pos").alias("pos"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    probes = _cms_probes(col, depth, width)
+    cells = _cms_grid(df, col, depth, width)
     keys = (
         df.select(F.col(col)).distinct()
         .select(F.col(col), F.explode(probes).alias("c"))
@@ -511,19 +525,7 @@ def cms_daily_merge(
     add, k-min sets union, buckets add, registers max. At 100 TB the
     per-day grids are the stored artifact (depth·width ints/day); any
     date-range point query sums them first, then takes min over rows."""
-    from ..functions.hashing import md5_pair
-
-    hexc = F.md5(F.col(col).cast("string"))
-    h1, h2 = md5_pair(hexc)
-    probes = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("i"),
-                ((h1 + F.lit(i) * h2) % width).alias("pos"),
-            )
-            for i in range(depth)
-        ]
-    )
+    probes = _cms_probes(col, depth, width)
     day = F.to_date(F.col(ts_col)).cast("string")
     daily = (
         df.select(day.alias("__day"), F.explode(probes).alias("c"))
@@ -535,9 +537,7 @@ def cms_daily_merge(
         F.col("cnt").cast("long").alias("cnt"),
     )
     direct = (
-        df.select(F.explode(probes).alias("c"))
-        .groupBy(F.col("c.i").alias("i"), F.col("c.pos").alias("pos"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        _cms_grid(df, col, depth, width)
         .select(
             F.lit("__direct__").alias("src"), "i", "pos",
             F.col("cnt").cast("long").alias("cnt"),
