@@ -109,6 +109,8 @@ EXTRAS = [
     "priority_status_association",
     "customer_spend_gini",
     "distinctive_terms_by_source",
+    "event_value_ranksum_drift",
+    "daily_event_acf",
 ]
 
 

@@ -93,3 +93,57 @@ def test_log_odds_planted_distinctive_term(spark):
     for r in out:
         per[r["source"]] = per.get(r["source"], 0) + 1
     assert all(v <= 2 for v in per.values())
+
+
+def test_ranksum_drift_textbook_case(spark):
+    # A = {1,2,3} (early), B = {4,5,6} (late): complete separation.
+    # R_a = 6 -> U_a = 0 -> u2 = 0; tie-free variance
+    # sigma^2 = (9/12)*7 = 5.25; z = (0 - 9) / (2*sqrt(5.25)).
+    from datetime import datetime
+
+    from yelp_data_pipeline_spark.operators.timeseries import ranksum_drift
+
+    early = datetime(2024, 1, 10)
+    late = datetime(2024, 1, 20)
+    rows = [(early, 1.0), (early, 2.0), (early, 3.0),
+            (late, 4.0), (late, 5.0), (late, 6.0)]
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    r = ranksum_drift(df, "ts", "v", "2024-01-16").collect()[0]
+    assert (r["n_a"], r["n_b"], r["u2"]) == (3, 3, 0)
+    assert r["z"] == pytest.approx(-9.0 / (2.0 * math.sqrt(5.25)), abs=1e-6)
+
+    # All ties: every value equal -> U = n_a*n_b/2 -> z numerator 0,
+    # variance 0 -> z is NULL/NaN-free guard not needed here because
+    # numerator hits 0 first; assert u2 == n_a*n_b.
+    rows = [(early, 5.0)] * 3 + [(late, 5.0)] * 2
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    r = ranksum_drift(df, "ts", "v", "2024-01-16").collect()[0]
+    assert r["u2"] == r["n_a"] * r["n_b"]
+
+
+def test_daily_acf_weekly_pattern(spark):
+    # 14-day series with period-7 spikes: ACF must peak at lag 7 and
+    # match the exact cleared-denominator formula computed in Python.
+    from datetime import datetime, timedelta
+
+    from yelp_data_pipeline_spark.operators.timeseries import daily_count_acf
+
+    counts = [10, 1, 1, 1, 1, 1, 1] * 2
+    rows = []
+    d0 = datetime(2024, 3, 1)
+    for i, c in enumerate(counts):
+        rows += [(d0 + timedelta(days=i),)] * c
+    df = spark.createDataFrame(rows, "ts timestamp")
+    got = {r["lag"]: r["r"] for r in daily_count_acf(df, "ts", max_lag=7).collect()}
+
+    n, s = len(counts), sum(counts)
+    ce = [n * x - s for x in counts]
+    den = sum(c * c for c in ce)
+
+    def acf(k):
+        return round(sum(ce[t] * ce[t + k] for t in range(n - k)) / den, 6)
+
+    for k in range(1, 8):
+        assert got[k] == pytest.approx(acf(k), abs=1e-9), k
+    assert got[7] == max(got.values())
+    assert got[7] > 0 > got[1]

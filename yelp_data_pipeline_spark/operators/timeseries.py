@@ -673,3 +673,151 @@ def cusum_changepoint_daily(df: DataFrame, ts_col: str) -> DataFrame:
             ),
         ).alias("mean_after"),
     )
+
+
+def ranksum_drift(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    cutoff: str,
+) -> DataFrame:
+    """Mann-Whitney U rank-sum test between the value distributions
+    before and after ``cutoff`` — the nonparametric SIGNIFICANCE
+    companion to histogram_drift's total-variation DISTANCE: TV says
+    how far apart two windows are, the rank-sum z says whether the
+    shift is larger than chance for distributions of this size, with
+    no normality assumption (Mann & Whitney 1947, tie-corrected
+    normal approximation).
+
+    Exact construction: values become integer cents (single IEEE
+    multiply/add/floor), so the distinct-value relation is bounded by
+    the value DOMAIN (2-decimal values in [0, ~500] => <= ~50k cells)
+    no matter how many rows flow in — the ordered window computing
+    counts-below runs over that bounded relation, not the facts, which
+    is why a single ordered window is scale-safe here (contrast
+    windows.scalable_ranks, which exists for UNBOUNDED-domain ranks).
+    Tie handling is the average-rank convention folded into exact
+    integers: 2*R_a = sum(t_a * (2*cb + t + 1)) over cells, kept in
+    DECIMAL(38,0)/HUGEINT (t_a*cb overflows int64 once n passes ~1e9,
+    i.e. precisely the 100 TB regime). The tie-corrected variance
+    sigma^2 = (n_a*n_b/12) * ((n+1) - sum(t^3-t)/(n*(n-1))) and
+    z = (2U - n_a*n_b) / (2*sigma) are fixed sequences of
+    correctly-rounded IEEE ops on exactly-represented integers.
+
+    Returns ONE row: (n_a, n_b, u2 = 2*U_a, z) with z rounded 6dp.
+    """
+    from pyspark.sql import Window
+
+    cents = F.floor(
+        F.col(value_col).cast("double") * F.lit(100.0) + F.lit(0.5)
+    ).cast("long")
+    is_a = F.col(ts_col) < F.lit(cutoff).cast("timestamp")
+    cells = (
+        df.where(F.col(value_col).isNotNull())
+        .select(cents.alias("v"), is_a.cast("int").alias("a"))
+        .groupBy("v")
+        .agg(
+            F.count(F.lit(1)).alias("t"),
+            F.sum("a").cast("long").alias("t_a"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = cells.withColumn("cb", F.coalesce(F.sum("t").over(w), F.lit(0)))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    out = ranked.agg(
+        F.sum("t_a").cast("long").alias("n_a"),
+        (F.sum("t") - F.sum("t_a")).cast("long").alias("n_b"),
+        F.sum(
+            dec(F.col("t_a"))
+            * (F.lit(2) * dec(F.col("cb")) + dec(F.col("t")) + F.lit(1))
+        ).alias("__r2a"),
+        F.sum(
+            dec(F.col("t")) * dec(F.col("t")) * dec(F.col("t")) - dec(F.col("t"))
+        ).alias("__ties"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    n = na + nb
+    u2 = F.col("__r2a") - dec(F.col("n_a")) * (dec(F.col("n_a")) + F.lit(1))
+    sigma = F.sqrt(
+        na * nb / F.lit(12.0)
+        * ((n + F.lit(1.0)) - F.col("__ties").cast("double") / (n * (n - F.lit(1.0))))
+    )
+    return out.select(
+        "n_a",
+        "n_b",
+        u2.cast("long").alias("u2"),
+        F.round((u2.cast("double") - na * nb) / (F.lit(2.0) * sigma), 6).alias(
+            "z"
+        ),
+    )
+
+
+def daily_count_acf(
+    df: DataFrame, ts_col: str, max_lag: int = 7
+) -> DataFrame:
+    """Autocorrelation function of the gap-filled daily count series at
+    lags 1..max_lag — the seasonality detector that justifies (or
+    refutes) seasonal_decompose_daily's weekly model: a spike at lag 7
+    is weekly rhythm; slow geometric decay is trend; nothing above
+    noise means the series is memoryless.
+
+    Standard sample ACF with the overall mean: r_k =
+    sum_{t<=n-k}((x_t - m)(x_{t+k} - m)) / sum_t((x_t - m)^2),
+    computed EXACTLY by clearing denominators: with S = sum(x) and
+    n = #days, each centered term scales by n to (n*x_t - S) — an
+    integer — so numerator and denominator are exact
+    DECIMAL(38,0)/HUGEINT sums of integer products (n*x near 1e13 at
+    100 TB event volume; squares near 1e27 — far past int64, which is
+    the point of the decimal path), and r_k is ONE double division,
+    rounded 6dp.
+
+    Plan: one combinable groupBy to daily counts (+ broadcast 1-row
+    span -> sequence spine for gap-fill), then every lag is a
+    date-offset self-join of the <=days-row series — bounded work
+    independent of event volume.
+
+    Returns (lag, n_days, r) for lags 1..max_lag, ordered by lag.
+    """
+    from ..session import track_persist
+
+    series = track_persist(daily_counts_gapfilled(df, ts_col))
+    tot = series.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("cnt").cast("long").alias("s"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    base = series.crossJoin(F.broadcast(tot)).select(
+        "date",
+        (dec(F.col("n_days")) * dec(F.col("cnt")) - dec(F.col("s"))).alias(
+            "c"
+        ),
+        "n_days",
+    )
+    denom = base.agg(
+        F.max("n_days").alias("n_days"),
+        F.sum(F.col("c") * F.col("c")).alias("den"),
+    )
+    lags = base.sparkSession.range(1, max_lag + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    pairs = (
+        base.select("date", F.col("c").alias("c1"))
+        .crossJoin(F.broadcast(lags))
+        .withColumn("date2", F.date_add("date", F.col("lag")))
+        .join(
+            base.select(F.col("date").alias("date2"), F.col("c").alias("c2")),
+            "date2",
+        )
+    )
+    nums = pairs.groupBy("lag").agg(F.sum(F.col("c1") * F.col("c2")).alias("num"))
+    return (
+        nums.crossJoin(F.broadcast(denom))
+        .select(
+            "lag",
+            "n_days",
+            F.round(
+                F.col("num").cast("double") / F.col("den").cast("double"), 6
+            ).alias("r"),
+        )
+        .orderBy("lag")
+    )

@@ -6372,6 +6372,116 @@ def q_distinctive_terms_by_source(spark, sf_dir):
     )
 
 
+@_q(
+    "event_value_ranksum_drift",
+    """
+WITH cells AS (
+  SELECT CAST(FLOOR(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS v,
+         count(*) AS t,
+         CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS BIGINT) AS t_a
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+ranked AS (
+  SELECT v, t, t_a,
+         COALESCE(CAST(sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cb
+  FROM cells
+),
+a AS (
+  SELECT CAST(sum(t_a) AS BIGINT) AS n_a,
+         CAST(sum(t) - sum(t_a) AS BIGINT) AS n_b,
+         sum(CAST(t_a AS HUGEINT)
+             * (2 * CAST(cb AS HUGEINT) + CAST(t AS HUGEINT) + 1)) AS r2a,
+         sum(CAST(t AS HUGEINT) * CAST(t AS HUGEINT) * CAST(t AS HUGEINT)
+             - CAST(t AS HUGEINT)) AS ties
+  FROM ranked
+)
+SELECT n_a, n_b,
+       CAST(r2a - CAST(n_a AS HUGEINT) * (CAST(n_a AS HUGEINT) + 1) AS BIGINT) AS u2,
+       round((CAST(r2a - CAST(n_a AS HUGEINT) * (CAST(n_a AS HUGEINT) + 1) AS DOUBLE)
+              - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+             / (CAST(2.0 AS DOUBLE)
+                * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / CAST(12.0 AS DOUBLE)
+                       * ((CAST(n_a + n_b AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                          - CAST(ties AS DOUBLE)
+                            / (CAST(n_a + n_b AS DOUBLE)
+                               * (CAST(n_a + n_b AS DOUBLE) - CAST(1.0 AS DOUBLE)))))),
+             6) AS z
+FROM a
+""",
+    doc="Mann-Whitney U rank-sum drift test on event values, early "
+    "vs late window (operators/timeseries.py:ranksum_drift; Mann & "
+    "Whitney 1947, tie-corrected normal approx) — the nonparametric "
+    "SIGNIFICANCE companion to event_value_drift's total-variation "
+    "DISTANCE. Values become exact integer cents, so the ordered "
+    "counts-below window runs over a DOMAIN-bounded cell relation "
+    "(~50k rows max regardless of volume — why a single window is "
+    "scale-safe here, vs windows.scalable_ranks for unbounded "
+    "domains). Average-rank ties folded into exact integers "
+    "(2R_a = sum(t_a*(2cb+t+1)) in DECIMAL(38,0)/HUGEINT — t_a*cb "
+    "passes int64 near 1e9 rows); z is a fixed IEEE sequence on "
+    "exact parts, rounded 6dp.",
+)
+def q_event_value_ranksum_drift(spark, sf_dir):
+    return ts_ops.ranksum_drift(
+        _t(spark, sf_dir, "events"), "ts", "value", "2024-01-16"
+    )
+
+
+@_q(
+    "daily_event_acf",
+    """
+WITH c AS (
+  SELECT CAST(ts AS DATE) AS date, count(*) AS cnt FROM events GROUP BY 1
+),
+span AS (SELECT min(date) AS lo, max(date) AS hi FROM c),
+spine AS (
+  SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS date
+  FROM span
+),
+s AS (
+  SELECT spine.date, COALESCE(c.cnt, 0) AS cnt
+  FROM spine LEFT JOIN c ON spine.date = c.date
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days, CAST(sum(cnt) AS BIGINT) AS sm
+  FROM s
+),
+base AS (
+  SELECT s.date,
+         CAST(t.n_days AS HUGEINT) * CAST(s.cnt AS HUGEINT)
+           - CAST(t.sm AS HUGEINT) AS ce,
+         t.n_days
+  FROM s, tot t
+),
+den AS (SELECT max(n_days) AS n_days, sum(ce * ce) AS den FROM base),
+lags AS (SELECT CAST(unnest(generate_series(1, 7)) AS INTEGER) AS lag),
+nums AS (
+  SELECT l.lag, sum(b1.ce * b2.ce) AS num
+  FROM base b1 JOIN lags l ON true
+  JOIN base b2 ON b2.date = b1.date + l.lag
+  GROUP BY l.lag
+)
+SELECT n.lag, d.n_days,
+       round(CAST(n.num AS DOUBLE) / CAST(d.den AS DOUBLE), 6) AS r
+FROM nums n, den d
+ORDER BY n.lag
+""",
+    doc="Sample autocorrelation of the gap-filled daily event-count "
+    "series at lags 1..7 (operators/timeseries.py:daily_count_acf) — "
+    "the seasonality detector that justifies (or refutes) "
+    "seasonal_decompose_daily's weekly model. Exact arithmetic by "
+    "clearing denominators: centered terms scale to integers "
+    "(n*x_t - S), numerator/denominator are DECIMAL(38,0)/HUGEINT "
+    "sums of their products (squares pass 1e27 at 100 TB volume), "
+    "r_k is ONE double division rounded 6dp. All lag work is "
+    "date-offset self-joins of the <=days-row series; the 7-row lag "
+    "frame is a literal bounded Range build.",
+)
+def q_daily_event_acf(spark, sf_dir):
+    return ts_ops.daily_count_acf(_t(spark, sf_dir, "events"), "ts", max_lag=7)
+
+
 # Supplier co-supply k-NN graph: each supplier keeps its 3 strongest
 # co-supply partners (shared-order count, deterministic tiebreak) — a
 # scale-free construction shared by the triangle / k-core queries.
@@ -10108,6 +10218,8 @@ _EXPORT_PRIORITY: list[str] = [
     "priority_status_association",
     "customer_spend_gini",
     "distinctive_terms_by_source",
+    "event_value_ranksum_drift",
+    "daily_event_acf",
     # Stalest verdicts (last seen round 3) — refresh:
     "order_price_percent_rank",
     "price_quantiles_by_priority",
