@@ -111,6 +111,7 @@ EXTRAS = [
     "distinctive_terms_by_source",
     "event_value_ranksum_drift",
     "daily_event_acf",
+    "dedup_cluster_rand_index",
 ]
 
 

@@ -147,3 +147,38 @@ def test_daily_acf_weekly_pattern(spark):
         assert got[k] == pytest.approx(acf(k), abs=1e-9), k
     assert got[7] == max(got.values())
     assert got[7] > 0 > got[1]
+
+
+def test_rand_index_hand_cases(spark):
+    from yelp_data_pipeline_spark.operators.graph import clustering_rand_index
+
+    def labels(d):
+        return spark.createDataFrame(
+            [(k, v) for k, v in d.items()], "doc_id long, cluster_id long"
+        )
+
+    # Identical clusterings: RI = ARI = 1.
+    a = {1: 1, 2: 1, 3: 3, 4: 3, 5: 5}
+    r = clustering_rand_index(labels(a), labels(a)).collect()[0]
+    assert r["rand_index"] == pytest.approx(1.0)
+    assert r["adjusted_rand"] == pytest.approx(1.0)
+    assert r["n_docs"] == 5 and r["n_clusters_a"] == r["n_clusters_b"] == 3
+
+    # Textbook contingency: A = {1,2,3},{4,5,6}; B = {1,2},{3,4,5},{6}.
+    # Pairs agreeing: n=6, P=15; Sij = C(2,2)+C(2,2)... cells:
+    # (A1,B1)=2,(A1,B2)=1,(A2,B2)=2,(A2,B3)=1 -> Sij = 1+0+1+0 = 2;
+    # Sa = 2*C(3,2)=6; Sb = C(2,2)+C(3,2)+0 = 1+3 = 4.
+    # RI = (15 + 2*2 - 6 - 4)/15 = 9/15 = 0.6
+    # ARI = (2 - 6*4/15)/((6+4)/2 - 6*4/15) = (2-1.6)/(5-1.6) = 0.117647
+    a = {1: 10, 2: 10, 3: 10, 4: 20, 5: 20, 6: 20}
+    b = {1: 7, 2: 7, 3: 8, 4: 8, 5: 8, 6: 9}
+    r = clustering_rand_index(labels(a), labels(b)).collect()[0]
+    assert r["rand_index"] == pytest.approx(0.6)
+    assert r["adjusted_rand"] == pytest.approx(round(0.4 / 3.4, 6), abs=1e-6)
+
+    # Degenerate: both all-singletons -> ARI denominator 0 -> NULL,
+    # RI = 1 (every pair agrees: separated in both).
+    a = {i: i for i in range(1, 5)}
+    r = clustering_rand_index(labels(a), labels(a)).collect()[0]
+    assert r["rand_index"] == pytest.approx(1.0)
+    assert r["adjusted_rand"] is None

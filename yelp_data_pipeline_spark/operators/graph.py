@@ -262,6 +262,94 @@ def dedup_survivors(clusters: DataFrame) -> DataFrame:
     ).select(F.col("cluster_id").alias("doc_id"), "n_members")
 
 
+def clustering_rand_index(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str = "doc_id",
+    label_col: str = "cluster_id",
+) -> DataFrame:
+    """Rand index and adjusted Rand index between two clusterings of
+    the same id universe (Rand 1971; Hubert & Arabie 1985) — the
+    cluster-LEVEL agreement eval that the pair-level recall evals
+    (minhash_recall_eval, simhash_recall_eval) can't express: two
+    clusterings can share most candidate pairs yet cut the transitive
+    closure differently, and it is the CLOSURE that decides which
+    documents a dedup pass deletes.
+
+    Pair-counting form from the label contingency table, exact
+    integers throughout: with n_ij = |cluster i of A ∩ cluster j of B|
+    and T2(x) = Σ x·(x−1) (twice the pair count),
+
+        RI  = (n(n−1) + 2·T2(n_ij) − T2(a_i) − T2(b_j)) / (n(n−1))
+        ARI = (S_ij − S_a·S_b/P) / ((S_a+S_b)/2 − S_a·S_b/P),
+              S = T2/2, P = n(n−1)/2
+
+    T2 sums accumulate in DECIMAL(38,0) (n(n−1) ≈ 10²⁴ at 10¹²
+    docs — int64 is long gone); the final RI/ARI are fixed IEEE
+    sequences on exact parts, rounded 6dp. ARI is NULL when its
+    denominator is 0 (both clusterings all-singletons or all-one-
+    cluster — agreement is undefined, not 1.0).
+
+    Plan: one id-keyed join of the two label relations, one combinable
+    groupBy to the contingency CELLS, then every statistic is an
+    aggregate of that bounded relation (≤ clusters_A × clusters_B
+    rows) combined via broadcast 1-row cross joins.
+
+    Returns ONE row: (n_docs, n_clusters_a, n_clusters_b, rand_index,
+    adjusted_rand).
+    """
+    la = a.select(F.col(id_col).alias("__id"), F.col(label_col).alias("__ca"))
+    lb = b.select(F.col(id_col).alias("__id"), F.col(label_col).alias("__cb"))
+    cells = (
+        la.join(lb, "__id")
+        .groupBy("__ca", "__cb")
+        .agg(F.count(F.lit(1)).alias("nij"))
+    )
+    from ..session import track_persist
+
+    cells = track_persist(cells)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+
+    def t2(col):
+        return F.sum(dec(F.col(col)) * (dec(F.col(col)) - F.lit(1)))
+
+    tot = cells.agg(
+        F.sum("nij").cast("long").alias("n_docs"),
+        t2("nij").alias("t2ij"),
+    )
+    pa = (
+        cells.groupBy("__ca")
+        .agg(F.sum("nij").alias("ai"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters_a"), t2("ai").alias("t2a"))
+    )
+    pb = (
+        cells.groupBy("__cb")
+        .agg(F.sum("nij").alias("bj"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters_b"), t2("bj").alias("t2b"))
+    )
+    j = tot.crossJoin(F.broadcast(pa)).crossJoin(F.broadcast(pb))
+    n = F.col("n_docs").cast("double")
+    nn = n * (n - F.lit(1.0))
+    t2ij = F.col("t2ij").cast("double")
+    t2a = F.col("t2a").cast("double")
+    t2b = F.col("t2b").cast("double")
+    sij, sa, sb = t2ij / F.lit(2.0), t2a / F.lit(2.0), t2b / F.lit(2.0)
+    pp = nn / F.lit(2.0)
+    ari_den = (sa + sb) / F.lit(2.0) - sa * sb / pp
+    return j.select(
+        "n_docs",
+        "n_clusters_a",
+        "n_clusters_b",
+        F.round(
+            (nn + F.lit(2.0) * t2ij - t2a - t2b) / nn, 6
+        ).alias("rand_index"),
+        F.round(
+            F.when(ari_den != F.lit(0.0), (sij - sa * sb / pp) / ari_den),
+            6,
+        ).alias("adjusted_rand"),
+    )
+
+
 def pagerank_integer(
     edges: DataFrame,
     iters: int = 3,

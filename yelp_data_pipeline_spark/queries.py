@@ -6482,6 +6482,114 @@ def q_daily_event_acf(spark, sf_dir):
     return ts_ops.daily_count_acf(_t(spark, sf_dir, "events"), "ts", max_lag=7)
 
 
+@_q(
+    "dedup_cluster_rand_index",
+    f"""
+WITH RECURSIVE
+{_SHINGLES_CTE},
+exsh AS (
+  SELECT doc_id, CAST(len(shingles) AS INT) AS n_sh, unnest(shingles) AS s FROM sh
+),
+cjac AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+         count(*) AS common
+  FROM exsh a JOIN exsh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+),
+ep AS (
+  SELECT doc_a, doc_b FROM cjac
+  WHERE round(CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE), 6) >= 0.8
+),
+mp AS (SELECT doc_a, doc_b FROM ({_minhash_oracle(k=12, bands=4, threshold=0.8)}) q),
+edges_a AS (
+  SELECT doc_a AS u, doc_b AS v FROM mp UNION SELECT doc_b, doc_a FROM mp
+),
+walk_a(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.v, w.label FROM walk_a w JOIN edges_a e ON e.u = w.node
+),
+lab_a AS (SELECT node AS doc_id, min(label) AS ca FROM walk_a GROUP BY node),
+edges_b AS (
+  SELECT doc_a AS u, doc_b AS v FROM ep UNION SELECT doc_b, doc_a FROM ep
+),
+walk_b(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.v, w.label FROM walk_b w JOIN edges_b e ON e.u = w.node
+),
+lab_b AS (SELECT node AS doc_id, min(label) AS cb FROM walk_b GROUP BY node),
+cells AS (
+  SELECT ca, cb, count(*) AS nij
+  FROM lab_a a JOIN lab_b b ON a.doc_id = b.doc_id
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT CAST(sum(nij) AS BIGINT) AS n_docs,
+         sum(CAST(nij AS HUGEINT) * (CAST(nij AS HUGEINT) - 1)) AS t2ij
+  FROM cells
+),
+pa AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_clusters_a,
+         sum(CAST(ai AS HUGEINT) * (CAST(ai AS HUGEINT) - 1)) AS t2a
+  FROM (SELECT ca, sum(nij) AS ai FROM cells GROUP BY 1)
+),
+pb AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_clusters_b,
+         sum(CAST(bj AS HUGEINT) * (CAST(bj AS HUGEINT) - 1)) AS t2b
+  FROM (SELECT cb, sum(nij) AS bj FROM cells GROUP BY 1)
+),
+fin AS (
+  SELECT n_docs, n_clusters_a, n_clusters_b,
+         CAST(n_docs AS DOUBLE) * (CAST(n_docs AS DOUBLE) - CAST(1.0 AS DOUBLE)) AS nn,
+         CAST(t2ij AS DOUBLE) AS t2ijd, CAST(t2a AS DOUBLE) AS t2ad,
+         CAST(t2b AS DOUBLE) AS t2bd
+  FROM tot, pa, pb
+),
+fin2 AS (
+  SELECT n_docs, n_clusters_a, n_clusters_b, nn, t2ijd, t2ad, t2bd,
+         t2ijd / CAST(2.0 AS DOUBLE) AS sij,
+         t2ad / CAST(2.0 AS DOUBLE) AS sa,
+         t2bd / CAST(2.0 AS DOUBLE) AS sb,
+         nn / CAST(2.0 AS DOUBLE) AS pp
+  FROM fin
+)
+SELECT n_docs, n_clusters_a, n_clusters_b,
+       round((nn + CAST(2.0 AS DOUBLE) * t2ijd - t2ad - t2bd) / nn, 6) AS rand_index,
+       round(CASE WHEN (sa + sb) / CAST(2.0 AS DOUBLE) - sa * sb / pp <> CAST(0.0 AS DOUBLE)
+                  THEN (sij - sa * sb / pp)
+                       / ((sa + sb) / CAST(2.0 AS DOUBLE) - sa * sb / pp)
+             END, 6) AS adjusted_rand
+FROM fin2
+""",
+    doc="Cluster-LEVEL agreement between the MinHash-LSH dedup "
+    "clustering and the exact-Jaccard clustering: Rand index + "
+    "adjusted Rand (operators/graph.py:clustering_rand_index; Rand "
+    "1971, Hubert & Arabie 1985). The pair-level recall evals "
+    "(minhash_recall_eval) can't see this — two pair sets can mostly "
+    "agree while cutting the transitive closure differently, and the "
+    "CLOSURE decides which docs a dedup pass deletes. Both label "
+    "relations come from the SAME hash-min CC machinery the dedup "
+    "tier uses; the oracle recomputes both closures via recursive "
+    "CTEs. Contingency pair counts in exact DECIMAL(38,0)/HUGEINT "
+    "(n(n-1) ~ 1e24 at 1e12 docs); RI/ARI fixed IEEE sequences on "
+    "exact parts, 6dp; ARI NULL when degenerate. Eval-tier cost: "
+    "inherits ngram_jaccard_exact's superlinear recall-baseline "
+    "shape — run sampled at scale, like the other evals.",
+)
+def q_dedup_cluster_rand_index(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pairs_lsh = dd.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=12, bands=4, threshold=0.8
+    )
+    pairs_ex = dd.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8, max_doc_freq=None
+    )
+    la = graph.dedup_clusters(docs, pairs_lsh)
+    lb = graph.dedup_clusters(docs, pairs_ex)
+    return graph.clustering_rand_index(la, lb)
+
+
 # Supplier co-supply k-NN graph: each supplier keeps its 3 strongest
 # co-supply partners (shared-order count, deterministic tiebreak) — a
 # scale-free construction shared by the triangle / k-core queries.
@@ -10220,6 +10328,7 @@ _EXPORT_PRIORITY: list[str] = [
     "distinctive_terms_by_source",
     "event_value_ranksum_drift",
     "daily_event_acf",
+    "dedup_cluster_rand_index",
     # Stalest verdicts (last seen round 3) — refresh:
     "order_price_percent_rank",
     "price_quantiles_by_priority",
