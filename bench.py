@@ -112,6 +112,7 @@ EXTRAS = [
     "event_value_ranksum_drift",
     "daily_event_acf",
     "dedup_cluster_rand_index",
+    "quality_rate_confidence",
 ]
 
 

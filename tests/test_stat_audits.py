@@ -182,3 +182,30 @@ def test_rand_index_hand_cases(spark):
     r = clustering_rand_index(labels(a), labels(a)).collect()[0]
     assert r["rand_index"] == pytest.approx(1.0)
     assert r["adjusted_rand"] is None
+
+
+def test_wilson_rate_confidence(spark):
+    from yelp_data_pipeline_spark.operators.quality import (
+        rate_confidence_by_group,
+    )
+
+    rows = [("s1", 1)] * 8 + [("s1", 0)] * 2 + [("s2", 0)] * 5
+    df = spark.createDataFrame(rows, "src string, ok int")
+    out = {
+        r["src"]: r
+        for r in rate_confidence_by_group(df, "src", F.col("ok") == 1).collect()
+    }
+    # Hand-replication of the Wilson formula for s1: k=8, n=10.
+    z, n, p = 1.96, 10.0, 0.8
+    z2 = z * z
+    center = p + z2 / (2.0 * n)
+    margin = z * math.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))
+    denom = 1.0 + z2 / n
+    assert out["s1"]["rate"] == pytest.approx(0.8)
+    assert out["s1"]["ci_low"] == pytest.approx(round((center - margin) / denom, 6), abs=1e-9)
+    assert out["s1"]["ci_high"] == pytest.approx(round((center + margin) / denom, 6), abs=1e-9)
+    assert 0.0 <= out["s1"]["ci_low"] <= 0.8 <= out["s1"]["ci_high"] <= 1.0
+    # k = 0: Wilson lower bound is exactly 0, upper stays inside [0,1].
+    assert out["s2"]["rate"] == 0.0
+    assert out["s2"]["ci_low"] == pytest.approx(0.0)
+    assert 0.0 < out["s2"]["ci_high"] < 1.0

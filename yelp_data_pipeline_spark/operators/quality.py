@@ -413,3 +413,50 @@ def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
             F.col("max_cnt").cast("double") / F.col("n_rows").cast("double"), 6
         ).alias("top_share"),
     )
+
+
+def rate_confidence_by_group(
+    df: DataFrame,
+    group_col: str,
+    pass_col: Column,
+    z: float = 1.96,
+) -> DataFrame:
+    """Wilson score 95% confidence interval for a per-group pass rate
+    (Wilson 1927) — the number that turns "source X passes the quality
+    gate 62% of the time" into "62% ± how much": before down-weighting
+    or dropping a source over its gate rate, the interval says whether
+    the observed gap is evidence or small-n noise. Wilson rather than
+    the naive normal interval because it stays inside [0,1] and
+    behaves at extreme rates/small groups — the regime long-tail
+    sources actually occupy.
+
+    One combinable groupBy over (group, passes, total) — counts are
+    exact int64; every interval term is a fixed sequence of IEEE ops
+    on the exact counts (z² kept as the PRODUCT z*z so both engines
+    compute the identical double), sqrt correctly rounded, results
+    6dp. At 100 TB: one scan, one tiny shuffle.
+
+    Returns (group, n_docs, n_pass, rate, ci_low, ci_high) ordered by
+    group.
+    """
+    per = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(pass_col, 1).otherwise(0)).cast("long").alias("k"),
+    )
+    zc = F.lit(z)
+    z2 = zc * zc
+    n = F.col("n").cast("double")
+    p = F.col("k").cast("double") / n
+    denom = F.lit(1.0) + z2 / n
+    center = p + z2 / (F.lit(2.0) * n)
+    margin = zc * F.sqrt(
+        p * (F.lit(1.0) - p) / n + z2 / (F.lit(4.0) * n * n)
+    )
+    return per.select(
+        F.col("g").alias(group_col),
+        F.col("n").alias("n_docs"),
+        F.col("k").alias("n_pass"),
+        F.round(p, 6).alias("rate"),
+        F.round((center - margin) / denom, 6).alias("ci_low"),
+        F.round((center + margin) / denom, 6).alias("ci_high"),
+    ).orderBy(group_col)

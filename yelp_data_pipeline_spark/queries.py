@@ -6590,6 +6590,45 @@ def q_dedup_cluster_rand_index(spark, sf_dir):
     return graph.clustering_rand_index(la, lb)
 
 
+@_q(
+    "quality_rate_confidence",
+    f"""
+WITH {_CURATE_Q_CTE},
+per AS (
+  SELECT d.source AS g, count(*) AS n,
+         CAST(sum(CASE WHEN q.quality_score >= 0.45 THEN 1 ELSE 0 END) AS BIGINT) AS k
+  FROM documents d JOIN q USING (doc_id)
+  GROUP BY 1
+)
+SELECT g AS source, n AS n_docs, k AS n_pass,
+       round(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate,
+       round(((CAST(k AS DOUBLE) / CAST(n AS DOUBLE) + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / (CAST(2.0 AS DOUBLE) * CAST(n AS DOUBLE))) - (CAST(1.96 AS DOUBLE) * sqrt((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(1.0 AS DOUBLE) - CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / (CAST(4.0 AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))) / (CAST(1.0 AS DOUBLE) + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS ci_low,
+       round(((CAST(k AS DOUBLE) / CAST(n AS DOUBLE) + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / (CAST(2.0 AS DOUBLE) * CAST(n AS DOUBLE))) + (CAST(1.96 AS DOUBLE) * sqrt((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(1.0 AS DOUBLE) - CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / (CAST(4.0 AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))) / (CAST(1.0 AS DOUBLE) + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS ci_high
+FROM per ORDER BY g
+""",
+    doc="Wilson 95% confidence interval for the per-source quality-"
+    "gate pass rate (operators/quality.py:rate_confidence_by_group, "
+    "Wilson 1927), on the SAME quality predicate curated_documents "
+    "and curation_funnel_by_source apply — before down-weighting or "
+    "dropping a source over its gate rate, the interval says whether "
+    "the observed gap is evidence or small-n noise; Wilson (not the "
+    "naive normal interval) stays inside [0,1] at the extreme rates "
+    "and small counts long-tail sources occupy. Exact int64 counts; "
+    "every interval term a fixed IEEE sequence (z-squared kept as the "
+    "literal product 1.96*1.96 so both engines compute the identical "
+    "double); one combinable groupBy.",
+)
+def q_quality_rate_confidence(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    q = tx.quality_features(docs, "doc_id", "text")
+    j = docs.select("doc_id", "source").join(
+        q.select("doc_id", "quality_score"), "doc_id"
+    )
+    return dq.rate_confidence_by_group(
+        j, "source", F.col("quality_score") >= 0.45
+    )
+
+
 # Supplier co-supply k-NN graph: each supplier keeps its 3 strongest
 # co-supply partners (shared-order count, deterministic tiebreak) — a
 # scale-free construction shared by the triangle / k-core queries.
@@ -10329,6 +10368,7 @@ _EXPORT_PRIORITY: list[str] = [
     "event_value_ranksum_drift",
     "daily_event_acf",
     "dedup_cluster_rand_index",
+    "quality_rate_confidence",
     # Stalest verdicts (last seen round 3) — refresh:
     "order_price_percent_rank",
     "price_quantiles_by_priority",
