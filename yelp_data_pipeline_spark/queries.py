@@ -6576,6 +6576,9 @@ FROM fin2
     "exact parts, 6dp; ARI NULL when degenerate. Eval-tier cost: "
     "inherits ngram_jaccard_exact's superlinear recall-baseline "
     "shape — run sampled at scale, like the other evals.",
+    scale_note="eval-tier — the exact-Jaccard side inherits "
+    "ngram_jaccard_exact's superlinear hot-shingle shape; at scale "
+    "run on an md5 document sample (the simhash_recall_eval recipe)",
 )
 def q_dedup_cluster_rand_index(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
