@@ -113,6 +113,7 @@ EXTRAS = [
     "daily_event_acf",
     "dedup_cluster_rand_index",
     "quality_rate_confidence",
+    "event_value_psi",
 ]
 
 

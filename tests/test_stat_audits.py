@@ -209,3 +209,36 @@ def test_wilson_rate_confidence(spark):
     assert out["s2"]["rate"] == 0.0
     assert out["s2"]["ci_low"] == pytest.approx(0.0)
     assert 0.0 < out["s2"]["ci_high"] < 1.0
+
+
+def test_psi_drift_cases(spark):
+    from datetime import datetime
+
+    from yelp_data_pipeline_spark.operators.timeseries import psi_drift
+
+    early, late = datetime(2024, 1, 10), datetime(2024, 1, 20)
+    # Identical distributions with equal n -> every smoothed p_i == q_i
+    # -> PSI exactly 0.
+    rows = [(early, float(v)) for v in (10, 30, 30, 60)] + [
+        (late, float(v)) for v in (10, 30, 30, 60)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    r = psi_drift(df, "ts", "v", "2024-01-16").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (4, 4)
+    assert r["psi"] == pytest.approx(0.0)
+
+    # Fully shifted mass -> large positive PSI; replicate the exact
+    # spine-smoothed formula in Python.
+    rows = [(early, 10.0)] * 6 + [(late, 460.0)] * 4
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    r = psi_drift(df, "ts", "v", "2024-01-16").collect()[0]
+    ca = {0: 6}
+    cb = {18: 4}
+    na, nb = 6, 4
+    psi = 0.0
+    for b in range(20):
+        p = (ca.get(b, 0) + 1.0) / (na + 20.0)
+        q = (cb.get(b, 0) + 1.0) / (nb + 20.0)
+        psi += round((p - q) * math.log(p / q), 6)
+    assert r["psi"] == pytest.approx(round(psi, 6), abs=1e-9)
+    assert r["psi"] > 0.25  # "shifted" by the standard reading

@@ -6632,6 +6632,54 @@ def q_quality_rate_confidence(spark, sf_dir):
     )
 
 
+@_q(
+    "event_value_psi",
+    """
+WITH obs AS (
+  SELECT CAST(greatest(0, least(19, floor(CAST(value AS DOUBLE) / 25.0))) AS INT) AS bin,
+         CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END) AS BIGINT) AS cb
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+spine AS (SELECT CAST(unnest(generate_series(0, 19)) AS INT) AS bin),
+cells AS (
+  SELECT s.bin, COALESCE(o.ca, 0) AS ca, COALESCE(o.cb, 0) AS cb
+  FROM spine s LEFT JOIN obs o ON s.bin = o.bin
+),
+tot AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b FROM cells
+),
+terms AS (
+  SELECT n_a, n_b,
+         round(((CAST(ca AS DOUBLE) + CAST(1.0 AS DOUBLE)) / (CAST(n_a AS DOUBLE) + CAST(20.0 AS DOUBLE))
+                - (CAST(cb AS DOUBLE) + CAST(1.0 AS DOUBLE)) / (CAST(n_b AS DOUBLE) + CAST(20.0 AS DOUBLE)))
+               * ln(((CAST(ca AS DOUBLE) + CAST(1.0 AS DOUBLE)) / (CAST(n_a AS DOUBLE) + CAST(20.0 AS DOUBLE)))
+                    / ((CAST(cb AS DOUBLE) + CAST(1.0 AS DOUBLE)) / (CAST(n_b AS DOUBLE) + CAST(20.0 AS DOUBLE)))),
+               6) AS term
+  FROM cells, tot
+)
+SELECT n_a, n_b,
+       round(CAST(sum(CAST(term AS DECIMAL(27,6))) AS DOUBLE), 6) AS psi
+FROM terms GROUP BY n_a, n_b
+""",
+    doc="Population Stability Index of event values, early vs late "
+    "window (operators/timeseries.py:psi_drift) — the industry-"
+    "standard production drift monitor (<0.1 stable, 0.1-0.25 "
+    "drifting, >0.25 shifted), completing the drift battery: TV "
+    "distance bounds the gap (event_value_drift), rank-sum z gives "
+    "significance (event_value_ranksum_drift), PSI is the monitored "
+    "number. Fixed 20-bin spine (a bin empty in both windows still "
+    "contributes under Laplace smoothing when n_a != n_b); each "
+    "bin's term has ONE ln, rounded 6dp then DECIMAL(27,6)-summed "
+    "(the bigram-logprob pattern) so the reduction is order-free. "
+    "One pruned scan, <=20-cell combinable groupBy.",
+)
+def q_event_value_psi(spark, sf_dir):
+    return ts_ops.psi_drift(
+        _t(spark, sf_dir, "events"), "ts", "value", "2024-01-16"
+    )
+
+
 # Supplier co-supply k-NN graph: each supplier keeps its 3 strongest
 # co-supply partners (shared-order count, deterministic tiebreak) — a
 # scale-free construction shared by the triangle / k-core queries.
@@ -10372,6 +10420,7 @@ _EXPORT_PRIORITY: list[str] = [
     "daily_event_acf",
     "dedup_cluster_rand_index",
     "quality_rate_confidence",
+    "event_value_psi",
     # Stalest verdicts (last seen round 3) — refresh:
     "order_price_percent_rank",
     "price_quantiles_by_priority",
