@@ -10429,8 +10429,14 @@ _EXPORT_PRIORITY: list[str] = [
     "shipping_priority_top10",
     "token_stats",
     "top_orders_with_ties",
-    # Round-4-stale refreshes (oldest-first rotation; tail rolls to
-    # round 10 if round-9 additions displace it past the export cap):
+    # Round-4-stale refreshes (oldest-first rotation). The 13 names
+    # past the 50-slot export cap (quantized_embeddings,
+    # salted_segment_event_counts, scaled_prices_by_priority,
+    # scd2_order_status_history, split_array_counts, split_hours_range,
+    # sql_suppliers_by_nation, temperature_mixture_weights,
+    # top_order_per_customer, total_counts, union_distinct_dates,
+    # weighted_quality_sample, winnowing_fingerprints) lead round 10's
+    # window together with the 39 round-5-stale names:
     "bigram_logprob_scores",
     "bm25_doc_scores",
     "bridge_part_words",
@@ -10464,19 +10470,6 @@ _EXPORT_PRIORITY: list[str] = [
     "priority_status_grouping_sets",
     "process_business_oracle",
     "quantity_buckets",
-    "quantized_embeddings",
-    "salted_segment_event_counts",
-    "scaled_prices_by_priority",
-    "scd2_order_status_history",
-    "split_array_counts",
-    "split_hours_range",
-    "sql_suppliers_by_nation",
-    "temperature_mixture_weights",
-    "top_order_per_customer",
-    "total_counts",
-    "union_distinct_dates",
-    "weighted_quality_sample",
-    "winnowing_fingerprints",
 ]
 
 
