@@ -251,3 +251,118 @@ def test_cms_grid_sink_needs_ledger(spark, tmp_path):
     assert sum(c for _, _, c in corrupted) == sum(c for _, _, c in direct) + 4 * len(
         batches[1]
     )
+
+
+def test_kmv_state_sink_idempotent_and_equals_batch(spark, tmp_path):
+    """KMV k-min union is the second idempotent semilattice sink:
+    streamed state estimate equals the batch sketch over all rows, and
+    a no-ledger replay leaves the k-min set bit-identical."""
+    from yelp_data_pipeline_spark.operators.aggregates import kmv_distinct
+    from yelp_data_pipeline_spark.streaming.sinks import (
+        kmv_state_batch,
+        kmv_state_estimate,
+        kmv_state_sink,
+    )
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    state = str(tmp_path / "kmv_state")
+    batches = [
+        [(f"u{i}",) for i in range(0, 300)],
+        [(f"u{i}",) for i in range(150, 500)],
+    ]
+    for b, rows in enumerate(batches):
+        spark.createDataFrame(rows, ["user_id"]).coalesce(1).write.parquet(
+            str(src_dir / f"b{b}")
+        )
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema("user_id string")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src_dir))
+    )
+    q = (
+        stream.writeStream.foreachBatch(kmv_state_sink(state, "user_id", k=64))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    streamed = kmv_state_estimate(spark, state, k=64).collect()[0]
+    all_rows = [r for rows in batches for r in rows]
+    direct = kmv_distinct(
+        spark.createDataFrame(all_rows, ["user_id"]), "user_id", k=64
+    ).collect()[0]
+    assert streamed["est_distinct"] == direct["est_distinct"]
+
+    before = sorted(r["h"] for r in spark.read.parquet(state).collect())
+    assert len(before) == 64
+    kmv_state_batch(
+        spark.createDataFrame(batches[0], ["user_id"]), 99, state, "user_id", k=64
+    )
+    after = sorted(r["h"] for r in spark.read.parquet(state).collect())
+    assert before == after
+
+
+def test_histogram_state_sink_needs_ledger(spark, tmp_path):
+    """Histogram buckets add (monoid): streamed buckets equal the
+    direct batch histogram; ledger skips a replayed id; bypassing the
+    ledger inflates total count by exactly the batch size."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from yelp_data_pipeline_spark.streaming.sinks import (
+        histogram_state_batch,
+        histogram_state_sink,
+    )
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    state = str(tmp_path / "hist_state")
+    batches = [
+        [(float(v),) for v in (1, 7, 30, 55, 260)],
+        [(float(v),) for v in (2, 26, 49, 510)],
+    ]
+    for b, rows in enumerate(batches):
+        spark.createDataFrame(rows, ["value"]).coalesce(1).write.parquet(
+            str(src_dir / f"b{b}")
+        )
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema("value double")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src_dir))
+    )
+    q = (
+        stream.writeStream.foreachBatch(histogram_state_sink(state, "value"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["bucket"]: r["cnt"] for r in spark.read.parquet(state).collect()
+    }
+    # buckets of width 25: 1,7,2->0; 30,26,49->1,(49->1); 55->2; 260->10; 510->20
+    assert got == {0: 3, 1: 3, 2: 1, 10: 1, 20: 1}
+
+    assert (
+        histogram_state_batch(
+            spark.createDataFrame(batches[1], ["value"]), 1, state, "value"
+        )
+        is False
+    )
+    assert {
+        r["bucket"]: r["cnt"] for r in spark.read.parquet(state).collect()
+    } == got
+
+    histogram_state_batch(
+        spark.createDataFrame(batches[1], ["value"]), 99, state, "value"
+    )
+    inflated = {
+        r["bucket"]: r["cnt"] for r in spark.read.parquet(state).collect()
+    }
+    assert sum(inflated.values()) == sum(got.values()) + len(batches[1])

@@ -237,3 +237,124 @@ def cms_grid_sink(target_path: str, col: str, depth: int = 4, width: int = 512):
         cms_grid_batch(batch_df, batch_id, target_path, col, depth, width)
 
     return sink
+
+
+def kmv_state_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    target_path: str,
+    col: str,
+    k: int = 256,
+) -> None:
+    """Fold one micro-batch into a persistent KMV k-min hash state —
+    the second IDEMPOTENT sketch sink: k-min-union (union the hash
+    sets, keep the k smallest distinct) is, like HLL's register max,
+    a bounded join-semilattice, so replaying a batch re-unions the
+    same hashes and changes nothing. No batch-id ledger needed; state
+    is <= k rows of (h) regardless of stream volume. Same staged-
+    write + rename protocol as the other sinks.
+    """
+    from ..functions.hashing import md5_long
+
+    spark = batch_df.sparkSession
+    hashes = batch_df.select(
+        md5_long(F.col(col).cast("string")).alias("h")
+    ).distinct()
+    if os.path.exists(target_path):
+        hashes = spark.read.parquet(target_path).unionByName(hashes).distinct()
+    state = hashes.orderBy(F.col("h").asc()).limit(k)
+    staged = f"{target_path}.staged-{batch_id}"
+    state.write.mode("overwrite").parquet(staged)
+    old = f"{target_path}.old-{batch_id}"
+    if os.path.exists(target_path):
+        os.rename(target_path, old)
+    os.rename(staged, target_path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
+def kmv_state_sink(target_path: str, col: str, k: int = 256):
+    """``foreachBatch`` callable maintaining a streaming KMV state."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        kmv_state_batch(batch_df, batch_id, target_path, col, k)
+
+    return sink
+
+
+def kmv_state_estimate(spark, target_path: str, k: int = 256) -> DataFrame:
+    """Distinct-count estimate from a :func:`kmv_state_sink` state —
+    the same estimator as the batch sketch (aggregates.kmv_distinct),
+    so streamed state and a batch recompute over the same rows agree
+    exactly."""
+    from ..operators.aggregates import KMV_HASH_SPACE
+
+    topk = spark.read.parquet(target_path)
+    est = F.when(F.col("m") < k, F.col("m")).otherwise(
+        F.round(
+            F.lit(float((k - 1) * KMV_HASH_SPACE)) / F.col("hk").cast("double")
+        ).cast("long")
+    )
+    return topk.agg(
+        F.count(F.lit(1)).alias("m"), F.max("h").alias("hk")
+    ).select(est.alias("est_distinct"))
+
+
+def histogram_state_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    target_path: str,
+    value_col: str,
+    bin_width: float = 25.0,
+) -> bool:
+    """Fold one micro-batch's fixed-boundary value histogram into a
+    persistent bucket table by COUNT ADDITION — the second MONOID
+    sink: bucket counts, like CMS cells, add rather than max/union,
+    so a replayed batch would double-count and the batch-id ledger is
+    REQUIRED (same recipe as the MERGE and CMS sinks). State is one
+    row per nonzero bucket; any later quantile probe reads the
+    buckets, never the stream. Returns False if already applied.
+    """
+    spark = batch_df.sparkSession
+    ledger = target_path + "_applied"
+    os.makedirs(ledger, exist_ok=True)
+    marker = os.path.join(ledger, f"batch-{batch_id}")
+    if os.path.exists(marker):
+        return False
+    grid = (
+        batch_df.where(F.col(value_col).isNotNull())
+        .select(
+            F.floor(F.col(value_col).cast("double") / F.lit(bin_width))
+            .cast("long")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    if os.path.exists(target_path):
+        grid = (
+            spark.read.parquet(target_path)
+            .unionByName(grid)
+            .groupBy("bucket")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+        )
+    staged = f"{target_path}.staged-{batch_id}"
+    grid.write.mode("overwrite").parquet(staged)
+    old = f"{target_path}.old-{batch_id}"
+    if os.path.exists(target_path):
+        os.rename(target_path, old)
+    os.rename(staged, target_path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    with open(marker, "w") as f:
+        f.write("")
+    return True
+
+
+def histogram_state_sink(target_path: str, value_col: str, bin_width: float = 25.0):
+    """``foreachBatch`` callable maintaining a streaming histogram."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        histogram_state_batch(batch_df, batch_id, target_path, value_col, bin_width)
+
+    return sink
