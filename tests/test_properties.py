@@ -696,3 +696,64 @@ def test_incremental_state_merge_monoid_any_cutoff(spark, rows, cut):
         for r in out if r["src"] == "__direct__"
     }
     assert merged == direct and len(merged) >= 1
+
+
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.booleans(),                      # early/late window
+            st.integers(0, 49_999),            # value in cents
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_psi_nonnegative_and_gini_bounded(spark, vals):
+    """PSI is an f-divergence: every smoothed term (p-q)ln(p/q) >= 0,
+    so PSI >= 0 on ANY split — and 0 only when the smoothed
+    distributions coincide. Gini of nonnegative totals lies in
+    [0, 1 - 1/n] (up to 6dp rounding)."""
+    from datetime import datetime
+
+    from yelp_data_pipeline_spark.operators.aggregates import gini_by_group
+    from yelp_data_pipeline_spark.operators.timeseries import psi_drift
+
+    early, late = datetime(2024, 1, 10), datetime(2024, 1, 20)
+    rows = [(early if a else late, c / 100.0) for a, c in vals]
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    r = psi_drift(df, "ts", "v", "2024-01-16").collect()[0]
+    assert r["psi"] >= -1e-5
+    assert r["n_a"] + r["n_b"] == len(vals)
+
+    grows = [("g", i, c / 100.0) for i, (_, c) in enumerate(vals)]
+    gdf = spark.createDataFrame(grows, "seg string, k long, v double")
+    g = gini_by_group(gdf, "seg", "k", "v").collect()[0]
+    n = g["n_keys"]
+    if g["total_cents"] == 0:
+        assert g["gini"] is None  # concentration of nothing: undefined
+    else:
+        assert -1e-5 <= g["gini"] <= 1.0 - 1.0 / n + 1e-5
+
+
+@given(
+    counts=st.lists(st.integers(0, 50), min_size=9, max_size=20)
+)
+@settings(**SETTINGS)
+def test_acf_bounded(spark, counts):
+    """Sample ACF with the overall mean is a normalized inner product
+    of centered slices: |r_k| <= 1 by Cauchy-Schwarz (up to rounding),
+    for any daily count series that is not constant."""
+    from datetime import datetime, timedelta
+
+    from yelp_data_pipeline_spark.operators.timeseries import daily_count_acf
+
+    if len(set(counts)) == 1:
+        counts = counts + [counts[0] + 1]  # avoid zero denominator
+    rows = []
+    d0 = datetime(2024, 3, 1)
+    for i, c in enumerate(counts):
+        rows += [(d0 + timedelta(days=i),)] * (c + 1)  # >=1 row per day
+    df = spark.createDataFrame(rows, "ts timestamp")
+    for r in daily_count_acf(df, "ts", max_lag=5).collect():
+        assert abs(r["r"]) <= 1.0 + 1e-6, r

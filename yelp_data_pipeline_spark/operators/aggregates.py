@@ -1211,9 +1211,13 @@ def gini_by_group(
         / (n * F.col("total_cents").cast("double"))
         - (n + F.lit(1.0)) / n
     )
+    # total == 0 makes the coefficient 0/0 — concentration of nothing
+    # is undefined; surface an explicit NULL (identical on both
+    # engines) rather than an IEEE NaN.
+    gini = F.when(F.col("total_cents") != 0, F.round(gini, 6))
     return agg_.select(
         F.col("g").alias(group_col),
         "n_keys",
         "total_cents",
-        F.round(gini, 6).alias("gini"),
+        gini.alias("gini"),
     ).orderBy(group_col)

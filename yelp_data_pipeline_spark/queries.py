@@ -6290,10 +6290,12 @@ a AS (
   FROM ranked GROUP BY 1
 )
 SELECT seg AS c_mktsegment, n_keys, total_cents,
-       round(CAST(2.0 AS DOUBLE) * CAST(s1 AS DOUBLE)
-             / (CAST(n_keys AS DOUBLE) * CAST(total_cents AS DOUBLE))
-             - (CAST(n_keys AS DOUBLE) + CAST(1.0 AS DOUBLE)) / CAST(n_keys AS DOUBLE),
-             6) AS gini
+       CASE WHEN total_cents <> 0 THEN
+         round(CAST(2.0 AS DOUBLE) * CAST(s1 AS DOUBLE)
+               / (CAST(n_keys AS DOUBLE) * CAST(total_cents AS DOUBLE))
+               - (CAST(n_keys AS DOUBLE) + CAST(1.0 AS DOUBLE)) / CAST(n_keys AS DOUBLE),
+               6)
+       END AS gini
 FROM a ORDER BY c_mktsegment
 """,
     doc="Gini concentration of per-customer spend within each market "
