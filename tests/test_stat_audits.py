@@ -110,6 +110,7 @@ def test_ranksum_drift_textbook_case(spark):
     df = spark.createDataFrame(rows, "ts timestamp, v double")
     r = ranksum_drift(df, "ts", "v", "2024-01-16").collect()[0]
     assert (r["n_a"], r["n_b"], r["u2"]) == (3, 3, 0)
+    assert r["auc"] == pytest.approx(0.0)  # early never exceeds late
     assert r["z"] == pytest.approx(-9.0 / (2.0 * math.sqrt(5.25)), abs=1e-6)
 
     # All ties: every value equal -> U = n_a*n_b/2 -> z numerator 0,
@@ -119,6 +120,7 @@ def test_ranksum_drift_textbook_case(spark):
     df = spark.createDataFrame(rows, "ts timestamp, v double")
     r = ranksum_drift(df, "ts", "v", "2024-01-16").collect()[0]
     assert r["u2"] == r["n_a"] * r["n_b"]
+    assert r["auc"] == pytest.approx(0.5)  # all ties: no superiority
 
 
 def test_daily_acf_weekly_pattern(spark):

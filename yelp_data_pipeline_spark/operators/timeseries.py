@@ -704,7 +704,13 @@ def ranksum_drift(
     z = (2U - n_a*n_b) / (2*sigma) are fixed sequences of
     correctly-rounded IEEE ops on exactly-represented integers.
 
-    Returns ONE row: (n_a, n_b, u2 = 2*U_a, z) with z rounded 6dp.
+    Returns ONE row: (n_a, n_b, u2 = 2*U_a, auc, z), 6dp floats.
+    ``auc`` = U_a/(n_a*n_b) is the tie-adjusted common-language effect
+    size (probability-of-superiority / ROC-AUC reading): 0.5 = no
+    shift, bounded and scale-free — the number to act on; z says
+    whether it beats chance. ``u2`` stays exact int64 through any
+    realistic window (2U <= n_a*n_b ~ n^2/4 passes int64 only beyond
+    ~6e9 rows per window; auc and z remain exact-ratio doubles there).
     """
     from pyspark.sql import Window
 
@@ -746,6 +752,9 @@ def ranksum_drift(
         "n_a",
         "n_b",
         u2.cast("long").alias("u2"),
+        F.round(
+            u2.cast("double") / F.lit(2.0) / (na * nb), 6
+        ).alias("auc"),
         F.round((u2.cast("double") - na * nb) / (F.lit(2.0) * sigma), 6).alias(
             "z"
         ),

@@ -6399,6 +6399,9 @@ a AS (
 )
 SELECT n_a, n_b,
        CAST(r2a - CAST(n_a AS HUGEINT) * (CAST(n_a AS HUGEINT) + 1) AS BIGINT) AS u2,
+       round(CAST(r2a - CAST(n_a AS HUGEINT) * (CAST(n_a AS HUGEINT) + 1) AS DOUBLE)
+             / CAST(2.0 AS DOUBLE)
+             / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS auc,
        round((CAST(r2a - CAST(n_a AS HUGEINT) * (CAST(n_a AS HUGEINT) + 1) AS DOUBLE)
               - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
              / (CAST(2.0 AS DOUBLE)
