@@ -114,6 +114,7 @@ EXTRAS = [
     "dedup_cluster_rand_index",
     "quality_rate_confidence",
     "event_value_psi",
+    "event_value_median_ci",
 ]
 
 

@@ -244,3 +244,31 @@ def test_psi_drift_cases(spark):
         psi += round((p - q) * math.log(p / q), 6)
     assert r["psi"] == pytest.approx(round(psi, 6), abs=1e-9)
     assert r["psi"] > 0.25  # "shifted" by the standard reading
+
+
+def test_median_ci_hand_cases(spark):
+    from yelp_data_pipeline_spark.operators.aggregates import median_ci
+
+    # Odd n: 1..9 -> median 5; l = floor((9-1.96*3)/2) = 1 -> CI =
+    # (x_(1), x_(9)) = (1, 9).
+    df = spark.createDataFrame([(float(i),) for i in range(1, 10)], "v double")
+    r = median_ci(df, "v").collect()[0]
+    assert r["n_values"] == 9
+    assert r["median"] == pytest.approx(5.0)
+    assert r["ci_low"] == pytest.approx(1.0)
+    assert r["ci_high"] == pytest.approx(9.0)
+
+    # Even n: 1..10 -> median (5+6)/2 = 5.5; l = floor((10-1.96*sqrt(10))/2)
+    l = int(math.floor((10 - 1.96 * math.sqrt(10)) / 2.0))
+    df = spark.createDataFrame([(float(i),) for i in range(1, 11)], "v double")
+    r = median_ci(df, "v").collect()[0]
+    assert r["median"] == pytest.approx(5.5)
+    assert r["ci_low"] == pytest.approx(float(l))
+    assert r["ci_high"] == pytest.approx(float(11 - l))
+
+    # Duplicates/ties collapse into cells but ranks still resolve:
+    # [2,2,2,7] -> median (2+2)/2 = 2.
+    df = spark.createDataFrame([(2.0,), (2.0,), (2.0,), (7.0,)], "v double")
+    r = median_ci(df, "v").collect()[0]
+    assert r["median"] == pytest.approx(2.0)
+    assert r["n_values"] == 4

@@ -1221,3 +1221,72 @@ def gini_by_group(
         "total_cents",
         gini.alias("gini"),
     ).orderBy(group_col)
+
+
+def median_ci(df: DataFrame, value_col: str, z: float = 1.96) -> DataFrame:
+    """Distribution-free 95% confidence interval for the MEDIAN via
+    order statistics (the binomial argument with its normal
+    approximation: ranks l = floor((n - z*sqrt(n))/2) and u = n+1-l
+    bracket the true median with ~95% coverage for ANY continuous
+    distribution — no normality, no bootstrap, no randomness). The
+    inference companion to exact_quantiles: the quantile says where
+    the middle is, the interval says how sure the data lets you be.
+
+    Exact construction on the bounded cents domain (same move as
+    ranksum_drift): values become integer cents, one combinable
+    groupBy to (cents, count) cells — bounded by the value DOMAIN,
+    not the row count — then every order statistic is a min-over-
+    threshold on the running total, and the rank arithmetic is a
+    fixed IEEE sequence (sqrt correctly rounded) on the exact n.
+    Median is the classic mid-pair average for even n, exact in
+    half-cents. One scan, one tiny shuffle, one bounded window.
+
+    Returns ONE row: (n_values, median, ci_low, ci_high) in value
+    units, 6dp.
+    """
+    from pyspark.sql import Window
+
+    cents = F.floor(
+        F.col(value_col).cast("double") * F.lit(100.0) + F.lit(0.5)
+    ).cast("long")
+    cells = (
+        df.where(F.col(value_col).isNotNull())
+        .select(cents.alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = cells.withColumn("cum", F.sum("t").over(w))
+    tot = cum.agg(F.max("cum").cast("long").alias("n"))
+    j = cum.crossJoin(F.broadcast(tot))
+    nd = F.col("n").cast("double")
+    low_rank = F.greatest(
+        F.lit(1),
+        F.floor((nd - F.lit(z) * F.sqrt(nd)) / F.lit(2.0)).cast("long"),
+    )
+    hi_rank = F.least(F.col("n"), F.col("n") + F.lit(1) - low_rank)
+    # Median order statistics: m1 = floor((n+1)/2), m2 = floor(n/2)+1
+    # (equal for odd n; the middle pair for even n). Exact integers.
+    m1 = F.floor((F.col("n") + F.lit(1)).cast("double") / F.lit(2.0)).cast("long")
+    m2 = F.floor(F.col("n").cast("double") / F.lit(2.0)).cast("long") + F.lit(1)
+
+    def at_rank(r):
+        return F.min(F.when(F.col("cum") >= r, F.col("v")))
+
+    agg_ = j.groupBy("n").agg(
+        at_rank(low_rank).alias("vl"),
+        at_rank(hi_rank).alias("vu"),
+        at_rank(m1).alias("vm1"),
+        at_rank(m2).alias("vm2"),
+    )
+    return agg_.select(
+        F.col("n").alias("n_values"),
+        F.round(
+            (F.col("vm1").cast("double") + F.col("vm2").cast("double"))
+            / F.lit(2.0)
+            / F.lit(100.0),
+            6,
+        ).alias("median"),
+        F.round(F.col("vl").cast("double") / F.lit(100.0), 6).alias("ci_low"),
+        F.round(F.col("vu").cast("double") / F.lit(100.0), 6).alias("ci_high"),
+    )

@@ -6685,6 +6685,56 @@ def q_event_value_psi(spark, sf_dir):
     )
 
 
+@_q(
+    "event_value_median_ci",
+    """
+WITH cells AS (
+  SELECT CAST(FLOOR(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS v,
+         count(*) AS t
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+cum AS (
+  SELECT v, CAST(sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM cells
+),
+tot AS (SELECT CAST(max(cum) AS BIGINT) AS n FROM cum),
+ranks AS (
+  SELECT n,
+         greatest(1, CAST(FLOOR((CAST(n AS DOUBLE) - CAST(1.96 AS DOUBLE) * sqrt(CAST(n AS DOUBLE))) / CAST(2.0 AS DOUBLE)) AS BIGINT)) AS lr,
+         CAST(FLOOR(CAST(n + 1 AS DOUBLE) / CAST(2.0 AS DOUBLE)) AS BIGINT) AS m1,
+         CAST(FLOOR(CAST(n AS DOUBLE) / CAST(2.0 AS DOUBLE)) AS BIGINT) + 1 AS m2
+  FROM tot
+),
+sel AS (
+  SELECT r.n,
+         min(CASE WHEN c.cum >= r.lr THEN c.v END) AS vl,
+         min(CASE WHEN c.cum >= least(r.n, r.n + 1 - r.lr) THEN c.v END) AS vu,
+         min(CASE WHEN c.cum >= r.m1 THEN c.v END) AS vm1,
+         min(CASE WHEN c.cum >= r.m2 THEN c.v END) AS vm2
+  FROM cum c, ranks r
+  GROUP BY r.n
+)
+SELECT n AS n_values,
+       round((CAST(vm1 AS DOUBLE) + CAST(vm2 AS DOUBLE)) / CAST(2.0 AS DOUBLE) / CAST(100.0 AS DOUBLE), 6) AS median,
+       round(CAST(vl AS DOUBLE) / CAST(100.0 AS DOUBLE), 6) AS ci_low,
+       round(CAST(vu AS DOUBLE) / CAST(100.0 AS DOUBLE), 6) AS ci_high
+FROM sel
+""",
+    doc="Distribution-free 95% confidence interval for the median of "
+    "event values via order statistics (operators/aggregates.py:"
+    "median_ci): ranks floor((n - 1.96*sqrt(n))/2) and n+1-l bracket "
+    "the true median for ANY continuous distribution — no normality, "
+    "no bootstrap, no randomness; the inference companion to the "
+    "exact-quantile tier. Same bounded-domain move as ranksum_drift: "
+    "integer cents cells (<= ~50k regardless of volume), order "
+    "statistics as min-over-threshold on the running total, rank "
+    "arithmetic a fixed IEEE sequence on exact n. One scan, one tiny "
+    "shuffle, one bounded window.",
+)
+def q_event_value_median_ci(spark, sf_dir):
+    return agg.median_ci(_t(spark, sf_dir, "events"), "value")
+
+
 # Supplier co-supply k-NN graph: each supplier keeps its 3 strongest
 # co-supply partners (shared-order count, deterministic tiebreak) — a
 # scale-free construction shared by the triangle / k-core queries.
@@ -10426,6 +10476,7 @@ _EXPORT_PRIORITY: list[str] = [
     "dedup_cluster_rand_index",
     "quality_rate_confidence",
     "event_value_psi",
+    "event_value_median_ci",
     # Stalest verdicts (last seen round 3) — refresh:
     "order_price_percent_rank",
     "price_quantiles_by_priority",
