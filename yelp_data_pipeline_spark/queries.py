@@ -10525,7 +10525,6 @@ _EXPORT_PRIORITY: list[str] = [
     "price_quantity_corr",
     "priority_status_grouping_sets",
     "process_business_oracle",
-    "quantity_buckets",
 ]
 
 
