@@ -115,6 +115,7 @@ EXTRAS = [
     "quality_rate_confidence",
     "event_value_psi",
     "event_value_median_ci",
+    "price_quantity_spearman",
 ]
 
 

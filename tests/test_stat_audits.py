@@ -272,3 +272,45 @@ def test_median_ci_hand_cases(spark):
     r = median_ci(df, "v").collect()[0]
     assert r["median"] == pytest.approx(2.0)
     assert r["n_values"] == 4
+
+
+def test_spearman_hand_cases(spark):
+    from yelp_data_pipeline_spark.operators.aggregates import spearman_corr
+
+    # Perfect monotone (nonlinear!) relation -> rho = 1 even though
+    # Pearson would be < 1: y = x^3.
+    rows = [(float(x), float(x**3)) for x in range(1, 9)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = spearman_corr(df, "x", "y").collect()[0]
+    assert r["n_rows"] == 8
+    assert r["rho"] == pytest.approx(1.0)
+
+    # Perfect inverse -> rho = -1.
+    rows = [(float(x), float(-x)) for x in range(1, 9)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    assert spearman_corr(df, "x", "y").collect()[0]["rho"] == pytest.approx(-1.0)
+
+    # Ties: average-rank convention, cross-check against scipy-free
+    # hand computation of Pearson on average ranks.
+    rows = [(1.0, 10.0), (1.0, 20.0), (2.0, 20.0), (3.0, 30.0)]
+    xs = [r[0] for r in rows]
+    ys = [r[1] for r in rows]
+
+    def avg_ranks(vals):
+        out = []
+        for v in vals:
+            below = sum(1 for u in vals if u < v)
+            ties = sum(1 for u in vals if u == v)
+            out.append(below + (ties + 1) / 2.0)
+        return out
+
+    rx, ry = avg_ranks(xs), avg_ranks(ys)
+    n = len(rows)
+    mx, my = sum(rx) / n, sum(ry) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    den = math.sqrt(sum((a - mx) ** 2 for a in rx)) * math.sqrt(
+        sum((b - my) ** 2 for b in ry)
+    )
+    df = spark.createDataFrame(rows, "x double, y double")
+    got = spearman_corr(df, "x", "y").collect()[0]["rho"]
+    assert got == pytest.approx(round(num / den, 6), abs=1e-6)

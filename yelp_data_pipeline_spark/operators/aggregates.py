@@ -1290,3 +1290,70 @@ def median_ci(df: DataFrame, value_col: str, z: float = 1.96) -> DataFrame:
         F.round(F.col("vl").cast("double") / F.lit(100.0), 6).alias("ci_low"),
         F.round(F.col("vu").cast("double") / F.lit(100.0), 6).alias("ci_high"),
     )
+
+
+def spearman_corr(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Spearman rank correlation — Pearson on average ranks: the
+    robust, monotone-relationship companion to the exact-moment
+    Pearson (price_quantity_corr), immune to outliers and to any
+    monotone rescaling of either variable, with the textbook
+    average-rank tie convention.
+
+    Exact construction: each column's rank map is built over its
+    DISTINCT-value relation (groupBy + one ordered window over values
+    — for the registry's columns these are domain-bounded; for
+    unbounded domains swap in windows.scalable_ranks' range-partition
+    machinery). Average ranks are kept as INTEGERS via r2 = 2*rank =
+    2*count_below + ties + 1; the constant 2 cancels in the
+    correlation. Rank moments accumulate in DECIMAL(38,0)/HUGEINT
+    (r2^2 * n passes int64 near 10^6-row inputs already), and the
+    final rho is the identical IEEE sequence as the Pearson query,
+    on exact operands, rounded 6dp.
+
+    Plan: two tiny cell aggregations + two map-side rank joins back
+    to the rows + ONE combinable moment aggregate.
+
+    Returns ONE row: (n_rows, rho).
+    """
+    from pyspark.sql import Window
+
+    def rank_map(col):
+        cells = df.groupBy(F.col(col).alias("__v")).agg(
+            F.count(F.lit(1)).alias("__t")
+        )
+        w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+        return cells.withColumn(
+            "__cb", F.coalesce(F.sum("__t").over(w), F.lit(0))
+        ).select(
+            F.col("__v"),
+            (F.lit(2) * F.col("__cb") + F.col("__t") + F.lit(1)).alias("__r2"),
+        )
+
+    xm = rank_map(x_col).withColumnRenamed("__r2", "__rx")
+    ym = rank_map(y_col).withColumnRenamed("__r2", "__ry")
+    j = (
+        df.select(F.col(x_col).alias("__xv"), F.col(y_col).alias("__yv"))
+        .join(F.broadcast(xm), F.col("__xv") == xm["__v"])
+        .drop("__v")
+        .join(F.broadcast(ym), F.col("__yv") == ym["__v"])
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("__rx"))).alias("sx"),
+        F.sum(dec(F.col("__ry"))).alias("sy"),
+        F.sum(dec(F.col("__rx")) * dec(F.col("__ry"))).alias("sxy"),
+        F.sum(dec(F.col("__rx")) * dec(F.col("__rx"))).alias("sxx"),
+        F.sum(dec(F.col("__ry")) * dec(F.col("__ry"))).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    rho = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return m.select(
+        F.col("n").alias("n_rows"),
+        F.round(rho, 6).alias("rho"),
+    )

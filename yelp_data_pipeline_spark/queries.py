@@ -6735,6 +6735,66 @@ def q_event_value_median_ci(spark, sf_dir):
     return agg.median_ci(_t(spark, sf_dir, "events"), "value")
 
 
+@_q(
+    "price_quantity_spearman",
+    """
+WITH xc AS (SELECT l_quantity AS v, count(*) AS t FROM lineitem GROUP BY 1),
+xr AS (
+  SELECT v,
+         2 * COALESCE(CAST(sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+           + t + 1 AS r2
+  FROM xc
+),
+yc AS (SELECT l_extendedprice AS v, count(*) AS t FROM lineitem GROUP BY 1),
+yr AS (
+  SELECT v,
+         2 * COALESCE(CAST(sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+           + t + 1 AS r2
+  FROM yc
+),
+j AS (
+  SELECT xr.r2 AS rx, yr.r2 AS ry
+  FROM lineitem l
+  JOIN xr ON l.l_quantity = xr.v
+  JOIN yr ON l.l_extendedprice = yr.v
+),
+m AS (
+  SELECT count(*) AS n,
+         sum(CAST(rx AS HUGEINT)) AS sx,
+         sum(CAST(ry AS HUGEINT)) AS sy,
+         sum(CAST(rx AS HUGEINT) * CAST(ry AS HUGEINT)) AS sxy,
+         sum(CAST(rx AS HUGEINT) * CAST(rx AS HUGEINT)) AS sxx,
+         sum(CAST(ry AS HUGEINT) * CAST(ry AS HUGEINT)) AS syy
+  FROM j
+)
+SELECT n AS n_rows,
+       round(
+         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS rho
+FROM m
+""",
+    doc="Spearman rank correlation of quantity vs extended price "
+    "(operators/aggregates.py:spearman_corr) — Pearson on average "
+    "ranks: the robust monotone-relationship companion to "
+    "price_quantity_corr, immune to outliers and monotone rescaling "
+    "(the pair reads like mean/stddev vs median/MAD). Average ranks "
+    "kept INTEGER via r2 = 2*count_below + ties + 1 over each "
+    "column's DISTINCT-value relation (quantity: 50 cells; price: "
+    "the distinct-price relation — for unbounded domains swap in "
+    "windows.scalable_ranks' range partitioning); rank moments in "
+    "DECIMAL(38,0)/HUGEINT (r2^2*n passes int64 near 1e6 rows); "
+    "final rho the identical IEEE sequence as the Pearson query.",
+)
+def q_price_quantity_spearman(spark, sf_dir):
+    return agg.spearman_corr(
+        _t(spark, sf_dir, "lineitem"), "l_quantity", "l_extendedprice"
+    )
+
+
 # Supplier co-supply k-NN graph: each supplier keeps its 3 strongest
 # co-supply partners (shared-order count, deterministic tiebreak) — a
 # scale-free construction shared by the triangle / k-core queries.
@@ -10477,6 +10537,7 @@ _EXPORT_PRIORITY: list[str] = [
     "quality_rate_confidence",
     "event_value_psi",
     "event_value_median_ci",
+    "price_quantity_spearman",
     # Stalest verdicts (last seen round 3) — refresh:
     "order_price_percent_rank",
     "price_quantiles_by_priority",
@@ -10524,7 +10585,6 @@ _EXPORT_PRIORITY: list[str] = [
     "prefix_filtered_parts",
     "price_quantity_corr",
     "priority_status_grouping_sets",
-    "process_business_oracle",
 ]
 
 
