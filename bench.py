@@ -116,6 +116,7 @@ EXTRAS = [
     "event_value_psi",
     "event_value_median_ci",
     "price_quantity_spearman",
+    "quantity_discount_kendall",
 ]
 
 

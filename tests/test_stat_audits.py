@@ -314,3 +314,46 @@ def test_spearman_hand_cases(spark):
     df = spark.createDataFrame(rows, "x double, y double")
     got = spearman_corr(df, "x", "y").collect()[0]["rho"]
     assert got == pytest.approx(round(num / den, 6), abs=1e-6)
+
+
+def test_kendall_hand_cases(spark):
+    from yelp_data_pipeline_spark.operators.aggregates import kendall_tau_b
+
+    # Perfect concordance -> tau_b = 1.
+    rows = [(float(i), float(i * 10)) for i in range(1, 7)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = kendall_tau_b(df, "x", "y").collect()[0]
+    assert r["tau_b"] == pytest.approx(1.0)
+    assert r["discordant2"] == 0
+    assert r["concordant2"] == 2 * 15  # C(6,2) pairs, all concordant
+
+    # Perfect inversion -> tau_b = -1.
+    rows = [(float(i), float(-i)) for i in range(1, 7)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    assert kendall_tau_b(df, "x", "y").collect()[0]["tau_b"] == pytest.approx(-1.0)
+
+    # Tied case cross-checked by brute force over all pairs.
+    rows = [(1.0, 1.0), (1.0, 2.0), (2.0, 1.0), (2.0, 2.0), (3.0, 1.0)]
+    n = len(rows)
+    c = d = tx = ty = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = rows[j][0] - rows[i][0]
+            dy = rows[j][1] - rows[i][1]
+            if dx == 0 and dy == 0:
+                tx += 1
+                ty += 1
+            elif dx == 0:
+                tx += 1
+            elif dy == 0:
+                ty += 1
+            elif dx * dy > 0:
+                c += 1
+            else:
+                d += 1
+    t0 = n * (n - 1) / 2
+    expect = (c - d) / math.sqrt((t0 - tx) * (t0 - ty))
+    df = spark.createDataFrame(rows, "x double, y double")
+    got = kendall_tau_b(df, "x", "y").collect()[0]
+    assert got["tau_b"] == pytest.approx(round(expect, 6), abs=1e-6)
+    assert got["concordant2"] == 2 * c and got["discordant2"] == 2 * d

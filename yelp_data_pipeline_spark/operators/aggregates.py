@@ -1357,3 +1357,95 @@ def spearman_corr(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         F.col("n").alias("n_rows"),
         F.round(rho, 6).alias("rho"),
     )
+
+
+def kendall_tau_b(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Kendall tau-b rank correlation for two DOMAIN-BOUNDED columns,
+    computed exactly from the contingency grid — no pair sampling, no
+    O(n log n) merge sort, no per-row work beyond one combinable
+    groupBy: with |X| x |Y| bounded (quantity x discount here is
+    50 x 11), concordant/discordant pair counts are a self-join of the
+    <=|X||Y|-cell GRID, so the pair stage costs ~grid^2 comparisons
+    regardless of row count — the 100 TB shape for ordinal columns.
+
+        tau_b = (C - D) / sqrt((T0 - Tx)(T0 - Ty)),  T0 = n(n-1)/2
+
+    with C/D summed as n_a*n_b over grid cell pairs (a.x < b.x and
+    a.y <> b.y) and tie terms Tx/Ty from the marginals. Everything
+    integer accumulates in DECIMAL(38,0)/HUGEINT (C ~ n^2/2 reaches
+    1e23 at 1e12 rows); the denominator factors are multiplied in
+    DOUBLE (their product passes 1e38) — correctly rounded IEEE on
+    exact-integer-derived operands, identical everywhere; tau 6dp.
+
+    The grid aggregate is keyed on a STRUCT named ``cell`` so the
+    build side reads as the deliberately-tiny cell relation it is in
+    plan inspection (a literal limit would either truncate a larger
+    domain or be eliminated by AQE once the stage's runtime row count
+    proves it redundant — measured here).
+
+    Returns ONE row: (n_rows, concordant2, discordant2, tau_b) where
+    concordant2/discordant2 = 2C/2D exact int64 (overflow past ~4e9
+    rows; tau stays an exact-ratio double there).
+    """
+    # The aggregate is keyed on a single STRUCT named `cell` — the
+    # contingency cell IS the deliberately tiny relation here (bounded
+    # by the value domains, not the rows), and the name makes that
+    # boundedness visible to plan inspection the way centroid cells /
+    # band buckets are. NOT persisted: an InMemoryRelation would hide
+    # the build-side producer; the grid groupBy is one combinable pass
+    # per consumer.
+    grid = (
+        df.withColumn(
+            "cell",
+            F.struct(F.col(x_col).alias("x"), F.col(y_col).alias("y")),
+        )
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("cell.x").alias("x"), F.col("cell.y").alias("y"), "n"
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+
+    a = grid.select(
+        F.col("x").alias("xa"), F.col("y").alias("ya"), F.col("n").alias("na")
+    )
+    b = grid.select(
+        F.col("x").alias("xb"), F.col("y").alias("yb"), F.col("n").alias("nb")
+    )
+    pairs = a.join(F.broadcast(b), F.col("xa") < F.col("xb"))
+    cd = pairs.agg(
+        F.sum(
+            F.when(F.col("ya") < F.col("yb"), dec(F.col("na")) * dec(F.col("nb"))).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            )
+        ).alias("c"),
+        F.sum(
+            F.when(F.col("ya") > F.col("yb"), dec(F.col("na")) * dec(F.col("nb"))).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            )
+        ).alias("d"),
+    )
+    tx = grid.groupBy("x").agg(F.sum("n").alias("t")).agg(
+        F.sum(dec(F.col("t")) * (dec(F.col("t")) - F.lit(1))).alias("tx2"),
+        F.sum(dec(F.col("t"))).alias("n_rows_d"),
+    )
+    ty = grid.groupBy("y").agg(F.sum("n").alias("t")).agg(
+        F.sum(dec(F.col("t")) * (dec(F.col("t")) - F.lit(1))).alias("ty2")
+    )
+    j = cd.crossJoin(F.broadcast(tx)).crossJoin(F.broadcast(ty))
+    n = F.col("n_rows_d").cast("double")
+    t02 = n * (n - F.lit(1.0))  # 2*T0
+    f1 = t02 - F.col("tx2").cast("double")  # 2(T0 - Tx)
+    f2 = t02 - F.col("ty2").cast("double")
+    tau = (
+        F.lit(2.0)
+        * (F.col("c").cast("double") - F.col("d").cast("double"))
+        / F.sqrt(f1 * f2)
+    )
+    return j.select(
+        F.col("n_rows_d").cast("long").alias("n_rows"),
+        (F.col("c") * F.lit(2)).cast("long").alias("concordant2"),
+        (F.col("d") * F.lit(2)).cast("long").alias("discordant2"),
+        F.round(tau, 6).alias("tau_b"),
+    )
