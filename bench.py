@@ -117,6 +117,7 @@ EXTRAS = [
     "event_value_median_ci",
     "price_quantity_spearman",
     "quantity_discount_kendall",
+    "corpus_zipf_fit",
 ]
 
 

@@ -357,3 +357,24 @@ def test_kendall_hand_cases(spark):
     got = kendall_tau_b(df, "x", "y").collect()[0]
     assert got["tau_b"] == pytest.approx(round(expect, 6), abs=1e-6)
     assert got["concordant2"] == 2 * c and got["discordant2"] == 2 * d
+
+
+def test_zipf_fit_synthetic_law(spark):
+    from yelp_data_pipeline_spark.operators.textops import zipf_fit
+
+    # Build a corpus whose word frequencies follow freq(r) = C/r
+    # exactly: slope of ln f on ln r must be ~ -1.
+    words = [f"w{r:03d}" for r in range(1, 21)]
+    text = " ".join(
+        " ".join([w] * (240 // r)) for r, w in enumerate(words, start=1)
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = zipf_fit(df, "text", top_k=20).collect()[0]
+    assert r["n_points"] == 20
+    assert r["slope"] == pytest.approx(-1.0, abs=0.05)
+
+    # Uniform frequencies -> slope ~ 0 (flat, boilerplate signature).
+    text = " ".join(" ".join([w] * 5) for w in words)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = zipf_fit(df, "text", top_k=20).collect()[0]
+    assert abs(r["slope"]) < 1e-6

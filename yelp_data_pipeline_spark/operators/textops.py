@@ -1766,3 +1766,60 @@ def distinctive_terms_log_odds(
         )
         .orderBy(F.asc(group_col), F.desc("z_score"), F.asc("word"))
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str,
+    top_k: int = 1000,
+) -> DataFrame:
+    """Zipf rank-frequency fit over the corpus vocabulary head: OLS of
+    ln(freq) on ln(rank) for the ``top_k`` most frequent words —
+    natural text runs near slope -1 (Zipf 1949); a much flatter slope
+    signals templated/boilerplate-heavy text, a much steeper one a
+    degenerate vocabulary — a one-number corpus-health diagnostic next
+    to the diversity and repetition gates.
+
+    Head-only by design: the fit uses the top-k words via a TakeOrdered
+    k-heap (count desc, word asc tiebreak) — never a global sort, and
+    the tail (where Zipf breaks down anyway) never enters. Determinism:
+    each of the two lns per point is rounded to 6dp, every OLS
+    sufficient statistic is a 6dp-rounded term summed in DECIMAL(27,6)
+    (the bigram-logprob pattern — order-free reduction), and the
+    closed-form slope/intercept are fixed IEEE sequences on those
+    exact sums, 6dp.
+
+    Returns ONE row: (n_points, slope, intercept).
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    counts = (
+        df.select(F.explode(toks).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    head = counts.orderBy(F.col("c").desc(), F.col("w").asc()).limit(top_k)
+    wr = Window.orderBy(F.col("c").desc(), F.col("w").asc())
+    pts = head.withColumn("r", F.row_number().over(wr)).select(
+        F.round(F.log(F.col("r").cast("double")), 6).alias("lr"),
+        F.round(F.log(F.col("c").cast("double")), 6).alias("lf"),
+    )
+    d6 = lambda c: F.round(c, 6).cast("decimal(27,6)")  # noqa: E731
+    m = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d6(F.col("lr"))).alias("sx"),
+        F.sum(d6(F.col("lf"))).alias("sy"),
+        F.sum(d6(F.col("lr") * F.col("lf"))).alias("sxy"),
+        F.sum(d6(F.col("lr") * F.col("lr"))).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        F.col("n").alias("n_points"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    )

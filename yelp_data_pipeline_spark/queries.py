@@ -6847,6 +6847,58 @@ def q_quantity_discount_kendall(spark, sf_dir):
     )
 
 
+@_q(
+    "corpus_zipf_fit",
+    """
+WITH counts AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT trim(unnest(string_split_regex(trim(lower(text)), '\\s+'))) AS w
+        FROM documents)
+  WHERE w <> ''
+  GROUP BY w
+),
+head AS (SELECT w, c FROM counts ORDER BY c DESC, w LIMIT 1000),
+pts AS (
+  SELECT round(ln(CAST(row_number() OVER (ORDER BY c DESC, w) AS DOUBLE)), 6) AS lr,
+         round(ln(CAST(c AS DOUBLE)), 6) AS lf
+  FROM head
+),
+m AS (
+  SELECT count(*) AS n,
+         sum(CAST(round(lr, 6) AS DECIMAL(27,6))) AS sx,
+         sum(CAST(round(lf, 6) AS DECIMAL(27,6))) AS sy,
+         sum(CAST(round(lr * lf, 6) AS DECIMAL(27,6))) AS sxy,
+         sum(CAST(round(lr * lr, 6) AS DECIMAL(27,6))) AS sxx
+  FROM pts
+),
+d AS (
+  SELECT CAST(n AS BIGINT) AS n_points,
+         CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+         CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+         CAST(sxx AS DOUBLE) AS sxxd
+  FROM m
+)
+SELECT n_points,
+       round((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd), 6) AS slope,
+       round((syd - (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) * sxd) / nd, 6)
+         AS intercept
+FROM d
+""",
+    doc="Zipf rank-frequency fit over the vocabulary head "
+    "(operators/textops.py:zipf_fit; Zipf 1949): OLS of ln(freq) on "
+    "ln(rank) for the top-1000 words — natural text runs near slope "
+    "-1; much flatter signals templated/boilerplate-heavy text, much "
+    "steeper a degenerate vocabulary. Head-only via a TakeOrdered "
+    "k-heap (never a global sort; the tail, where Zipf breaks "
+    "anyway, never enters). Each ln rounded 6dp; every OLS "
+    "sufficient statistic a 6dp term summed in DECIMAL(27,6) (the "
+    "bigram-logprob order-free pattern); slope/intercept fixed IEEE "
+    "sequences on the exact sums.",
+)
+def q_corpus_zipf_fit(spark, sf_dir):
+    return tx.zipf_fit(_t(spark, sf_dir, "documents"), "text", top_k=1000)
+
+
 # Supplier co-supply k-NN graph: each supplier keeps its 3 strongest
 # co-supply partners (shared-order count, deterministic tiebreak) — a
 # scale-free construction shared by the triangle / k-core queries.
@@ -10591,6 +10643,7 @@ _EXPORT_PRIORITY: list[str] = [
     "event_value_median_ci",
     "price_quantity_spearman",
     "quantity_discount_kendall",
+    "corpus_zipf_fit",
     # Stalest verdicts (last seen round 3) — refresh:
     "order_price_percent_rank",
     "price_quantiles_by_priority",
@@ -10636,7 +10689,6 @@ _EXPORT_PRIORITY: list[str] = [
     "mixture_resampled_docs",
     "order_price_quartiles",
     "prefix_filtered_parts",
-    "price_quantity_corr",
 ]
 
 
