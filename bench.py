@@ -118,6 +118,7 @@ EXTRAS = [
     "price_quantity_spearman",
     "quantity_discount_kendall",
     "corpus_zipf_fit",
+    "readability_scores",
 ]
 
 

@@ -378,3 +378,23 @@ def test_zipf_fit_synthetic_law(spark):
     df = spark.createDataFrame([(1, text)], "doc_id long, text string")
     r = zipf_fit(df, "text", top_k=20).collect()[0]
     assert abs(r["slope"]) < 1e-6
+
+
+def test_readability_hand_case(spark):
+    from yelp_data_pipeline_spark.operators.textops import readability_scores
+
+    rows = [
+        (1, "The cat sat. The dog ran!"),   # 6 words, 2 sentences
+        (2, ""),                             # degenerate
+        (3, "no terminator here"),           # 3 words, 1 sentence
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in readability_scores(df, "doc_id", "text").collect()}
+    assert out[1]["n_words"] == 6 and out[1]["n_sentences"] == 2
+    # vowel groups: the(1) cat(1) sat(1) the(1) dog(1) ran(1) = 6
+    assert out[1]["n_syllables"] == 6
+    assert out[1]["fk_grade"] == pytest.approx(
+        round(0.39 * (6 / 2) + 11.8 * (6 / 6) - 15.59, 6), abs=1e-9
+    )
+    assert out[2]["fk_grade"] is None and out[2]["n_sentences"] is None
+    assert out[3]["n_sentences"] == 1

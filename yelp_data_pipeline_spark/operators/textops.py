@@ -1823,3 +1823,47 @@ def zipf_fit(
         F.round(slope, 6).alias("slope"),
         F.round((sy - slope * sx) / n, 6).alias("intercept"),
     )
+
+
+def readability_scores(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Flesch-Kincaid-style readability features per document — a
+    standard corpus-filtering signal (too-low grade = fragmentary
+    text, too-high = OCR noise / run-on boilerplate): words, sentences
+    (terminator runs), syllable proxy (vowel groups per word — the
+    classic dictionary-free approximation), and the FK grade
+    0.39*(words/sentences) + 11.8*(syllables/words) - 15.59.
+
+    Everything is Catalyst regexp counting — one map-side pass, no
+    shuffle, RATIONAL arithmetic only (counts and two divisions;
+    no transcendental calls at all), rounded 6dp. Empty/degenerate
+    docs emit NULL grade rather than dividing by zero.
+
+    Returns (id, n_words, n_sentences, n_syllables, fk_grade).
+    """
+    t = F.trim(F.lower(F.col(text_col)))
+    n_words = F.size(F.filter(F.split(t, r"\s+"), lambda w: w != ""))
+    # Sentence terminators: runs of .!? count once; a text without any
+    # terminator counts as one sentence if it has words.
+    n_term = F.regexp_count(t, F.lit(r"[.!?]+"))
+    n_sentences = F.when(n_words > 0, F.greatest(n_term, F.lit(1)))
+    # Syllable proxy: vowel GROUPS (aeiouy runs) across the text's
+    # words; every word contributes at least ~1 group in latin script.
+    n_syll = F.regexp_count(t, F.lit(r"[aeiouy]+"))
+    grade = F.when(
+        (n_words > 0) & (n_syll > 0),
+        F.round(
+            F.lit(0.39) * (n_words.cast("double") / n_sentences.cast("double"))
+            + F.lit(11.8) * (n_syll.cast("double") / n_words.cast("double"))
+            - F.lit(15.59),
+            6,
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        n_sentences.cast("long").alias("n_sentences"),
+        n_syll.cast("long").alias("n_syllables"),
+        grade.alias("fk_grade"),
+    )
