@@ -119,6 +119,7 @@ EXTRAS = [
     "quantity_discount_kendall",
     "corpus_zipf_fit",
     "readability_scores",
+    "corpus_health_report",
 ]
 
 

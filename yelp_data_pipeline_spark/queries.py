@@ -6938,6 +6938,148 @@ def q_readability_scores(spark, sf_dir):
     )
 
 
+@_q(
+    "corpus_health_report",
+    f"""
+WITH {_CURATE_Q_CTE},
+base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+  FROM documents
+),
+fp AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(DISTINCT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))) AS BIGINT) AS nd
+  FROM documents
+),
+qa AS (
+  SELECT round(CAST(sum(CAST(round(quality_score, 6) AS DECIMAL(27,6))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE), 6) AS mean_quality,
+         round(CAST(sum(CASE WHEN quality_score >= 0.45 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE), 6) AS gate_pass_rate
+  FROM q
+),
+counts AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT trim(unnest(string_split_regex(trim(lower(text)), '\\s+'))) AS w
+        FROM documents)
+  WHERE w <> ''
+  GROUP BY w
+),
+head AS (SELECT w, c FROM counts ORDER BY c DESC, w LIMIT 1000),
+pts AS (
+  SELECT round(ln(CAST(row_number() OVER (ORDER BY c DESC, w) AS DOUBLE)), 6) AS lr,
+         round(ln(CAST(c AS DOUBLE)), 6) AS lf
+  FROM head
+),
+zm AS (
+  SELECT CAST(count(*) AS DOUBLE) AS nd_,
+         CAST(sum(CAST(round(lr, 6) AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(round(lf, 6) AS DECIMAL(27,6))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(round(lr * lf, 6) AS DECIMAL(27,6))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(round(lr * lr, 6) AS DECIMAL(27,6))) AS DOUBLE) AS sxx
+  FROM pts
+),
+zf AS (
+  SELECT round((nd_ * sxy - sx * sy) / (nd_ * sxx - sx * sx), 6) AS zipf_slope
+  FROM zm
+),
+fk AS (
+  SELECT doc_id, trim(lower(text)) AS t FROM documents
+),
+fk2 AS (
+  SELECT CAST(len(list_filter(string_split_regex(t, '\\s+'), w -> w <> '')) AS BIGINT) AS n_words,
+         CAST(len(regexp_extract_all(t, '[.!?]+')) AS BIGINT) AS n_term,
+         CAST(len(regexp_extract_all(t, '[aeiouy]+')) AS BIGINT) AS n_syl
+  FROM fk
+),
+fk3 AS (
+  SELECT round(CAST(sum(CAST(round(CAST(0.39 AS DOUBLE)
+                    * (CAST(n_words AS DOUBLE) / CAST(greatest(n_term, 1) AS DOUBLE))
+                  + CAST(11.8 AS DOUBLE)
+                    * (CAST(n_syl AS DOUBLE) / CAST(n_words AS DOUBLE))
+                  - CAST(15.59 AS DOUBLE), 6) AS DECIMAL(27,6))) AS DOUBLE)
+               / CAST(sum(CASE WHEN n_words > 0 AND n_syl > 0 THEN 1 ELSE 0 END) AS DOUBLE),
+               6) AS mean_fk_grade
+  FROM fk2 WHERE n_words > 0 AND n_syl > 0
+)
+SELECT b.n_docs, b.n_sources, b.n_langs,
+       round(CAST(1.0 AS DOUBLE) - CAST(fp.nd AS DOUBLE) / CAST(fp.n AS DOUBLE), 6) AS dup_rate,
+       qa.mean_quality, qa.gate_pass_rate, zf.zipf_slope, fk3.mean_fk_grade
+FROM base b, fp, qa, zf, fk3
+""",
+    doc="ONE-ROW corpus health dashboard composing five tiers in a "
+    "single declarative plan: size/diversity counts, exact-"
+    "fingerprint duplicate rate, mean quality + gate pass rate (the "
+    "exact curate predicate), the Zipf head slope, and mean "
+    "Flesch-Kincaid grade — the table a data-curation standup reads. "
+    "Every sub-metric reuses the SAME operators its standalone query "
+    "verifies (quality_features, doc_fingerprints, zipf_fit, "
+    "readability_scores); the 1-row aggregates meet via broadcast "
+    "cross joins (bounded-cross). Mean aggregates are 6dp-rounded "
+    "terms DECIMAL-summed — order-free.",
+)
+def q_corpus_health_report(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.count_distinct("lang").alias("n_langs"),
+    )
+    fp = tx.doc_fingerprints(docs, "doc_id", "text").agg(
+        (
+            F.lit(1.0)
+            - F.count_distinct("fingerprint").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("__dup")
+    ).select(F.round("__dup", 6).alias("dup_rate"))
+    q = tx.quality_features(docs, "doc_id", "text")
+    qa = q.agg(
+        F.round(
+            F.sum(F.round("quality_score", 6).cast("decimal(27,6)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_quality"),
+        F.round(
+            F.sum(
+                F.when(F.col("quality_score") >= 0.45, 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("gate_pass_rate"),
+    )
+    zf = tx.zipf_fit(docs, "text", top_k=1000).select(
+        F.col("slope").alias("zipf_slope")
+    )
+    fk = (
+        tx.readability_scores(docs, "doc_id", "text")
+        .where(F.col("fk_grade").isNotNull())
+        .agg(
+            F.round(
+                F.sum(F.round("fk_grade", 6).cast("decimal(27,6)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_fk_grade")
+        )
+    )
+    return (
+        base.crossJoin(F.broadcast(fp))
+        .crossJoin(F.broadcast(qa))
+        .crossJoin(F.broadcast(zf))
+        .crossJoin(F.broadcast(fk))
+        .select(
+            "n_docs", "n_sources", "n_langs", "dup_rate",
+            "mean_quality", "gate_pass_rate", "zipf_slope",
+            "mean_fk_grade",
+        )
+    )
+
+
 # Supplier co-supply k-NN graph: each supplier keeps its 3 strongest
 # co-supply partners (shared-order count, deterministic tiebreak) — a
 # scale-free construction shared by the triangle / k-core queries.
@@ -10684,6 +10826,7 @@ _EXPORT_PRIORITY: list[str] = [
     "quantity_discount_kendall",
     "corpus_zipf_fit",
     "readability_scores",
+    "corpus_health_report",
     # Stalest verdicts (last seen round 3) — refresh:
     "order_price_percent_rank",
     "price_quantiles_by_priority",
@@ -10727,7 +10870,6 @@ _EXPORT_PRIORITY: list[str] = [
     "leakage_safe_splits",
     "lineitem_date_parts",
     "mixture_resampled_docs",
-    "order_price_quartiles",
 ]
 
 
