@@ -120,6 +120,7 @@ EXTRAS = [
     "corpus_zipf_fit",
     "readability_scores",
     "corpus_health_report",
+    "event_type_burstiness",
 ]
 
 

@@ -398,3 +398,27 @@ def test_readability_hand_case(spark):
     )
     assert out[2]["fk_grade"] is None and out[2]["n_sentences"] is None
     assert out[3]["n_sentences"] == 1
+
+
+def test_burstiness_poisson_vs_bursty(spark):
+    from datetime import datetime, timedelta
+
+    from yelp_data_pipeline_spark.operators.timeseries import (
+        burstiness_by_group,
+    )
+
+    d0 = datetime(2024, 5, 1)
+    rows = []
+    # "steady": exactly 5/day for 8 days -> variance 0 -> fano 0.
+    for i in range(8):
+        rows += [("steady", d0 + timedelta(days=i))] * 5
+    # "bursty": 40 on one day, 0 elsewhere (absent days don't enter the
+    # daily relation): counts [40] over 1 day -> var 0 too; instead use
+    # alternating 1 and 9 over 8 days: mean 5, pop var 16 -> fano 3.2.
+    for i in range(8):
+        rows += [("bursty", d0 + timedelta(days=i))] * (1 if i % 2 == 0 else 9)
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = {r["event_type"]: r for r in burstiness_by_group(df, "ts", "event_type").collect()}
+    assert out["steady"]["fano"] == pytest.approx(0.0)
+    assert out["steady"]["mean_daily"] == pytest.approx(5.0)
+    assert out["bursty"]["fano"] == pytest.approx(16.0 / 5.0)

@@ -7080,6 +7080,43 @@ def q_corpus_health_report(spark, sf_dir):
     )
 
 
+@_q(
+    "event_type_burstiness",
+    """
+WITH daily AS (
+  SELECT event_type AS g, CAST(ts AS DATE) AS d, count(*) AS x
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n_days,
+         sum(CAST(x AS HUGEINT)) AS s,
+         sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS q
+  FROM daily GROUP BY 1
+)
+SELECT g AS event_type, n_days,
+       round(CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE), 6) AS mean_daily,
+       CASE WHEN s > 0 THEN
+         round((CAST(n_days AS DOUBLE) * CAST(q AS DOUBLE)
+                  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+               / (CAST(n_days AS DOUBLE) * CAST(s AS DOUBLE)), 6)
+       END AS fano
+FROM m ORDER BY event_type
+""",
+    doc="Fano factor (index of dispersion) of daily counts per event "
+    "type (operators/timeseries.py:burstiness_by_group) — var/mean "
+    "== 1 for Poisson traffic, >>1 bursty (retry storms, bot "
+    "floods), <<1 rate-limited; pairs with daily_event_acf (rhythm "
+    "vs clumping). Denominators cleared so the ONLY float op is one "
+    "double division of exact DECIMAL(38,0)/HUGEINT moments (Q ~ "
+    "1e23 at 1e10 rows/day); zero-mean groups NULL-guarded. One "
+    "combinable (type, day) groupBy + a tiny moment aggregate.",
+)
+def q_event_type_burstiness(spark, sf_dir):
+    return ts_ops.burstiness_by_group(
+        _t(spark, sf_dir, "events"), "ts", "event_type"
+    )
+
+
 # Supplier co-supply k-NN graph: each supplier keeps its 3 strongest
 # co-supply partners (shared-order count, deterministic tiebreak) — a
 # scale-free construction shared by the triangle / k-core queries.
@@ -10827,6 +10864,7 @@ _EXPORT_PRIORITY: list[str] = [
     "corpus_zipf_fit",
     "readability_scores",
     "corpus_health_report",
+    "event_type_burstiness",
     # Stalest verdicts (last seen round 3) — refresh:
     "order_price_percent_rank",
     "price_quantiles_by_priority",
@@ -10869,7 +10907,6 @@ _EXPORT_PRIORITY: list[str] = [
     "kmeans_assignments",
     "leakage_safe_splits",
     "lineitem_date_parts",
-    "mixture_resampled_docs",
 ]
 
 
