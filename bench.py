@@ -121,6 +121,7 @@ EXTRAS = [
     "readability_scores",
     "corpus_health_report",
     "event_type_burstiness",
+    "supplier_graph_assortativity",
 ]
 
 

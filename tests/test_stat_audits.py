@@ -422,3 +422,39 @@ def test_burstiness_poisson_vs_bursty(spark):
     assert out["steady"]["fano"] == pytest.approx(0.0)
     assert out["steady"]["mean_daily"] == pytest.approx(5.0)
     assert out["bursty"]["fano"] == pytest.approx(16.0 / 5.0)
+
+
+def test_assortativity_hand_cases(spark):
+    from yelp_data_pipeline_spark.operators.graph import degree_assortativity
+
+    # Star graph (hub 0 to leaves 1..5): maximally disassortative.
+    # Newman r for a star = -1.
+    edges = [(0, i) for i in range(1, 6)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    r = degree_assortativity(df).collect()[0]
+    assert r["n_edges"] == 5
+    assert r["assortativity"] == pytest.approx(-1.0)
+
+    # Two disjoint triangles: 3-regular-ish (every degree 2) ->
+    # zero degree variance -> NULL (undefined), not 0/0.
+    edges = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    r = degree_assortativity(df).collect()[0]
+    assert r["assortativity"] is None
+
+    # Path 1-2-3-4: brute-force Newman r over both orientations.
+    edges = [(1, 2), (2, 3), (3, 4)]
+    deg = {1: 1, 2: 2, 3: 2, 4: 1}
+    pts = []
+    for a, b in edges:
+        pts += [(deg[a], deg[b]), (deg[b], deg[a])]
+    n = len(pts)
+    sx = sum(p[0] for p in pts); sy = sum(p[1] for p in pts)
+    sxy = sum(p[0] * p[1] for p in pts)
+    sxx = sum(p[0] ** 2 for p in pts); syy = sum(p[1] ** 2 for p in pts)
+    expect = (n * sxy - sx * sy) / (
+        math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+    )
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = degree_assortativity(df).collect()[0]["assortativity"]
+    assert got == pytest.approx(round(expect, 6), abs=1e-6)

@@ -350,6 +350,75 @@ def clustering_rand_index(
     )
 
 
+def degree_assortativity(
+    edges: DataFrame, src: str = "a", dst: str = "b"
+) -> DataFrame:
+    """Degree assortativity coefficient of an undirected graph
+    (Newman 2002): the Pearson correlation of endpoint degrees over
+    edges — positive means hubs link to hubs (social-network shape),
+    negative means hubs link to leaves (hub-and-spoke
+    infrastructure). For a dedup/co-occurrence graph it reads whether
+    duplication is one giant hub or a mesh — which decides whether
+    connected components need the O(log d) star variant.
+
+    ``edges`` must be the UNIQUE undirected pair set; each edge enters
+    the correlation in BOTH orientations (the standard symmetric
+    formulation). Exact construction: integer degrees from one
+    combinable groupBy over the symmetrized endpoints; the five
+    Pearson moments accumulate in DECIMAL(38,0)/HUGEINT (deg^2 over
+    1e12 edges passes int64); ONE fixed IEEE tail, rounded 6dp. A
+    degree-regular graph (zero variance) yields NULL, not 0/0.
+
+    Plan: symmetrize with one explode, one degree groupBy, two
+    map-side joins of the slim degree relation, one combinable moment
+    aggregate. Returns ONE row: (n_edges, assortativity).
+    """
+    sym = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+    )
+    from ..session import track_persist
+
+    sym = track_persist(sym)
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    du = deg.select(F.col("u").alias("__u"), F.col("d").alias("dx"))
+    dv = deg.select(F.col("u").alias("__v"), F.col("d").alias("dy"))
+    pairs = (
+        sym.join(du, sym["u"] == du["__u"])
+        .join(dv, sym["v"] == dv["__v"])
+        .select("dx", "dy")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = pairs.agg(
+        F.count(F.lit(1)).alias("n2"),
+        F.sum(dec(F.col("dx"))).alias("sx"),
+        F.sum(dec(F.col("dy"))).alias("sy"),
+        F.sum(dec(F.col("dx")) * dec(F.col("dy"))).alias("sxy"),
+        F.sum(dec(F.col("dx")) * dec(F.col("dx"))).alias("sxx"),
+        F.sum(dec(F.col("dy")) * dec(F.col("dy"))).alias("syy"),
+    )
+    n = F.col("n2").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    den1 = n * sxx - sx * sx
+    den2 = n * syy - sy * sy
+    r = (n * sxy - sx * sy) / (F.sqrt(den1) * F.sqrt(den2))
+    return m.select(
+        (F.col("n2") / F.lit(2)).cast("long").alias("n_edges"),
+        F.when((den1 > 0) & (den2 > 0), F.round(r, 6)).alias(
+            "assortativity"
+        ),
+    )
+
+
 def pagerank_integer(
     edges: DataFrame,
     iters: int = 3,

@@ -7174,6 +7174,57 @@ def _supplier_knn_edges(spark, sf_dir) -> DataFrame:
 
 
 @_q(
+    "supplier_graph_assortativity",
+    "WITH "
+    + KNN_EDGES_CTE
+    + """,
+sym AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+pairs AS (
+  SELECT du.d AS dx, dv.d AS dy
+  FROM sym JOIN deg du ON sym.u = du.u JOIN deg dv ON sym.v = dv.u
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n2,
+         sum(CAST(dx AS HUGEINT)) AS sx,
+         sum(CAST(dy AS HUGEINT)) AS sy,
+         sum(CAST(dx AS HUGEINT) * CAST(dy AS HUGEINT)) AS sxy,
+         sum(CAST(dx AS HUGEINT) * CAST(dx AS HUGEINT)) AS sxx,
+         sum(CAST(dy AS HUGEINT) * CAST(dy AS HUGEINT)) AS syy
+  FROM pairs
+)
+SELECT CAST(n2 / 2 AS BIGINT) AS n_edges,
+       CASE WHEN CAST(n2 AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+             AND CAST(n2 AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0 THEN
+         round((CAST(n2 AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (sqrt(CAST(n2 AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * sqrt(CAST(n2 AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+       END AS assortativity
+FROM m
+""",
+    doc="Degree assortativity of the supplier co-supply k-NN graph "
+    "(operators/graph.py:degree_assortativity; Newman 2002): Pearson "
+    "over endpoint degrees, both orientations per undirected edge — "
+    "positive = hubs link hubs, negative = hub-and-spoke; on a dedup/"
+    "co-occurrence graph this decides whether CC needs the O(log d) "
+    "star variant. Shares the exact edge construction the triangle/"
+    "k-core queries verify; integer degrees, DECIMAL(38,0)/HUGEINT "
+    "moments, one IEEE tail; degree-regular graphs NULL-guarded.",
+)
+def q_supplier_graph_assortativity(spark, sf_dir):
+    knn = _supplier_knn_edges(spark, sf_dir)
+    und = knn.select(
+        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+    ).distinct()
+    return graph.degree_assortativity(und, "a", "b")
+
+
+@_q(
     "supplier_knn_triangles",
     "WITH "
     + KNN_EDGES_CTE
@@ -10865,6 +10916,7 @@ _EXPORT_PRIORITY: list[str] = [
     "readability_scores",
     "corpus_health_report",
     "event_type_burstiness",
+    "supplier_graph_assortativity",
     # Stalest verdicts (last seen round 3) — refresh:
     "order_price_percent_rank",
     "price_quantiles_by_priority",
@@ -10906,7 +10958,6 @@ _EXPORT_PRIORITY: list[str] = [
     "json_extract_props",
     "kmeans_assignments",
     "leakage_safe_splits",
-    "lineitem_date_parts",
 ]
 
 
