@@ -1,0 +1,226 @@
+"""Late round-9 statistical tier: KS drift, EWMA smoothing,
+Kaplan-Meier survival, Cramér's V, HHI concentration, one-way ANOVA,
+Jensen-Shannon divergence, Cohen's kappa, and edit-distance pair
+verification — hand-computed small cases plus structural invariants."""
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from yelp_data_pipeline_spark.operators import aggregates as agg
+from yelp_data_pipeline_spark.operators import dedup as dd
+from yelp_data_pipeline_spark.operators import quality as dq
+from yelp_data_pipeline_spark.operators import textops as tx
+from yelp_data_pipeline_spark.operators import timeseries as ts
+
+
+def test_ks_drift_disjoint_and_identical(spark):
+    # Disjoint supports: D = 1. Identical samples: D = 0.
+    early = [("2024-01-10 00:00:00", float(v)) for v in (1, 2, 3, 4)]
+    late = [("2024-01-20 00:00:00", float(v)) for v in (10, 11, 12, 13)]
+    df = spark.createDataFrame(early + late, "ts string, value double").select(
+        F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    row = ts.ks_drift(df, "ts", "value", "2024-01-16").collect()[0]
+    assert row["n_a"] == 4 and row["n_b"] == 4
+    assert row["d"] == pytest.approx(1.0)
+    same = [("2024-01-10 00:00:00", float(v)) for v in (1, 2, 3)] + [
+        ("2024-01-20 00:00:00", float(v)) for v in (1, 2, 3)
+    ]
+    df2 = spark.createDataFrame(same, "ts string, value double").select(
+        F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    row2 = ts.ks_drift(df2, "ts", "value", "2024-01-16").collect()[0]
+    assert row2["d"] == pytest.approx(0.0)
+    # Smirnov critical value: 1.36*sqrt((3+3)/(3*3))
+    assert row2["d_crit"] == pytest.approx(round(1.36 * math.sqrt(6 / 9), 6))
+
+
+def test_ewma_hand_case(spark):
+    # Three days, counts 2, 0 (gap day), 4. Weights 2^-(j+1) truncated.
+    rows = [
+        ("2024-01-01 01:00:00",),
+        ("2024-01-01 02:00:00",),
+        ("2024-01-03 01:00:00",),
+    ] + [("2024-01-03 02:00:00",)] * 3
+    df = spark.createDataFrame(rows, "ts string").select(
+        F.col("ts").cast("timestamp").alias("ts")
+    )
+    out = {str(r["date"]): r for r in ts.ewma_daily_counts(df, "ts").collect()}
+    assert len(out) == 3
+    # Day 1: only itself available -> ewma == cnt.
+    assert out["2024-01-01"]["ewma"] == pytest.approx(2.0)
+    # Day 2 (gap, cnt 0): (0*128 + 2*64)/(128+64) = 128/192.
+    assert out["2024-01-02"]["cnt"] == 0
+    assert out["2024-01-02"]["ewma"] == pytest.approx(round(128 / 192, 6))
+    # Day 3: (4*128 + 0*64 + 2*32)/(128+64+32) = 576/224.
+    assert out["2024-01-03"]["ewma"] == pytest.approx(round(576 / 224, 6))
+
+
+def test_kaplan_meier_hand_case(spark):
+    # Customer A orders on d0, d2, d5 -> gaps 2, 3 (events) + censored
+    # wait 0 from d5 to end (end = global max date d5).
+    # Customer B orders on d0 only -> censored wait 5.
+    rows = [
+        (1, "2024-01-01"),
+        (1, "2024-01-03"),
+        (1, "2024-01-06"),
+        (2, "2024-01-01"),
+    ]
+    df = spark.createDataFrame(rows, "k long, d string").select(
+        "k", F.col("d").cast("date").alias("d")
+    )
+    out = {r["t_days"]: r for r in ts.kaplan_meier_gaps(df, "k", "d").collect()}
+    # Event times: 2 and 3. Durations: {0 censored, 2 event, 3 event,
+    # 5 censored}. At t=2: at risk 3 (0-censored row already left), 1
+    # event -> S = 2/3. At t=3: at risk 2, 1 event -> S = 2/3 * 1/2.
+    assert set(out) == {2, 3}
+    assert out[2]["n_at_risk"] == 3 and out[2]["n_events"] == 1
+    assert out[2]["survival"] == pytest.approx(2 / 3, abs=1e-5)
+    assert out[3]["n_at_risk"] == 2
+    assert out[3]["survival"] == pytest.approx(1 / 3, abs=1e-5)
+
+
+def test_kaplan_meier_exhausted_risk_set(spark):
+    # Single customer, two orders -> one event gap, one 0-day censored
+    # wait. The event time exhausts the remaining risk set -> S = 0.
+    rows = [(1, "2024-01-01"), (1, "2024-01-04")]
+    df = spark.createDataFrame(rows, "k long, d string").select(
+        "k", F.col("d").cast("date").alias("d")
+    )
+    out = {r["t_days"]: r for r in ts.kaplan_meier_gaps(df, "k", "d").collect()}
+    assert out[3]["survival"] == pytest.approx(0.0)
+
+
+def test_cramers_v_extremes(spark):
+    # Perfect association (b determined by a) -> V = 1.
+    rows = [("a", "x")] * 5 + [("b", "y")] * 5
+    df = spark.createDataFrame(rows, "u string, w string")
+    row = agg.cramers_v(df, "u", "w").collect()[0]
+    assert row["levels_a"] == 2 and row["levels_b"] == 2
+    assert row["v"] == pytest.approx(1.0)
+    # Independence -> chi2 = 0, V = 0.
+    rows = [("a", "x")] * 3 + [("a", "y")] * 3 + [("b", "x")] * 3 + [("b", "y")] * 3
+    df = spark.createDataFrame(rows, "u string, w string")
+    row = agg.cramers_v(df, "u", "w").collect()[0]
+    assert row["chi2"] == pytest.approx(0.0)
+    assert row["v"] == pytest.approx(0.0)
+    # Single-level column -> NULL V, not a crash.
+    rows = [("a", "x")] * 4
+    row = agg.cramers_v(
+        spark.createDataFrame(rows, "u string, w string"), "u", "w"
+    ).collect()[0]
+    assert row["v"] is None
+
+
+def test_hhi_extremes(spark):
+    rows = (
+        [("g1", 1, 10.0)]  # monopoly -> HHI 1
+        + [("g2", i, 5.0) for i in range(4)]  # uniform 4 -> HHI 1/4
+        + [("g3", 1, 0.0)]  # zero total -> NULLs
+    )
+    df = spark.createDataFrame(rows, "g string, e long, v double")
+    out = {r["g"]: r for r in agg.hhi_by_group(df, "g", "e", "v").collect()}
+    assert out["g1"]["hhi"] == pytest.approx(1.0)
+    assert out["g1"]["hhi_normalized"] is None  # single entity
+    assert out["g2"]["hhi"] == pytest.approx(0.25)
+    assert out["g2"]["effective_n"] == pytest.approx(4.0)
+    assert out["g2"]["hhi_normalized"] == pytest.approx(0.0)
+    assert out["g3"]["hhi"] is None
+
+
+def test_anova_f_hand_case(spark):
+    # Two groups with equal means -> SSB 0, F 0; separated means -> F large.
+    rows = [("a", 1.0), ("a", 3.0), ("b", 1.0), ("b", 3.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    row = agg.anova_f(df, "g", "v").collect()[0]
+    assert row["ss_between"] == pytest.approx(0.0)
+    assert row["eta_sq"] == pytest.approx(0.0)
+    rows = [("a", 1.0), ("a", 1.0), ("b", 9.0), ("b", 9.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    row = agg.anova_f(df, "g", "v").collect()[0]
+    # Zero within-group variance -> F undefined (NULL), eta^2 = 1.
+    assert row["f_stat"] is None
+    assert row["eta_sq"] == pytest.approx(1.0)
+    # A real mixed case: a={1,2}, b={5,6}: SSB=16, SSW=1, F=32, eta=16/17.
+    rows = [("a", 1.0), ("a", 2.0), ("b", 5.0), ("b", 6.0)]
+    row = agg.anova_f(
+        spark.createDataFrame(rows, "g string, v double"), "g", "v"
+    ).collect()[0]
+    assert row["ss_between"] == pytest.approx(16.0)
+    assert row["ss_within"] == pytest.approx(1.0)
+    assert row["f_stat"] == pytest.approx(32.0)
+    assert row["eta_sq"] == pytest.approx(16 / 17, abs=1e-5)
+
+
+def test_jsd_identical_vs_disjoint(spark):
+    # A group whose unigram distribution equals the corpus mixture has
+    # small JSD; a disjoint-vocabulary group has a much larger one.
+    rows = (
+        [("s1", "alpha beta gamma")] * 3
+        + [("s2", "alpha beta gamma")] * 3
+        + [("s3", "delta epsilon zeta")] * 3
+    )
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {
+        r["source"]: r
+        for r in tx.unigram_jsd_to_corpus(df, "source", "text").collect()
+    }
+    assert set(out) == {"s1", "s2", "s3"}
+    for r in out.values():
+        assert 0.0 <= r["jsd_bits"] <= 1.0 + 1e-9
+    assert out["s3"]["jsd_bits"] > out["s1"]["jsd_bits"]
+    assert out["s1"]["jsd_bits"] == pytest.approx(out["s2"]["jsd_bits"])
+
+
+def test_kappa_extremes(spark):
+    # Perfect agreement -> kappa 1; independent gates -> kappa ~ 0.
+    rows = [(True, True)] * 6 + [(False, False)] * 6
+    df = spark.createDataFrame(rows, "a boolean, b boolean")
+    row = dq.gate_agreement_kappa(df, F.col("a"), F.col("b")).collect()[0]
+    assert row["kappa"] == pytest.approx(1.0)
+    rows = (
+        [(True, True)] * 3
+        + [(True, False)] * 3
+        + [(False, True)] * 3
+        + [(False, False)] * 3
+    )
+    df = spark.createDataFrame(rows, "a boolean, b boolean")
+    row = dq.gate_agreement_kappa(df, F.col("a"), F.col("b")).collect()[0]
+    assert row["kappa"] == pytest.approx(0.0)
+    # Constant gates -> p_e = 1 -> NULL kappa.
+    rows = [(True, True)] * 4
+    row = dq.gate_agreement_kappa(
+        spark.createDataFrame(rows, "a boolean, b boolean"),
+        F.col("a"),
+        F.col("b"),
+    ).collect()[0]
+    assert row["kappa"] is None
+    # NULL predicate values count as False.
+    rows = [(None, True), (True, True), (False, False), (True, None)]
+    row = dq.gate_agreement_kappa(
+        spark.createDataFrame(rows, "a boolean, b boolean"),
+        F.col("a"),
+        F.col("b"),
+    ).collect()[0]
+    assert row["n_both"] == 1 and row["n_only_b"] == 1 and row["n_only_a"] == 1
+
+
+def test_edit_distance_verify_planted_typos(spark):
+    attrs = spark.createDataFrame(
+        [
+            (1, "jonathan smith"),
+            (2, "jonathan smyth"),   # dist 1 from 1
+            (3, "jonathon smith"),   # dist 1 from 1, 2 from 2
+            (4, "completely different"),
+        ],
+        "id long, name string",
+    )
+    pairs = dd.sorted_neighborhood_pairs(
+        attrs, "id", F.col("name"), window=3
+    ).select("doc_a", "doc_b")
+    out = dd.edit_distance_verify(pairs, attrs, "id", "name", 2).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["edit_dist"] for r in out}
+    assert got[(1, 2)] == 1 and got[(1, 3)] == 1 and got[(2, 3)] == 2
+    assert all(k[1] != 4 and k[0] != 4 for k in got)

@@ -1449,3 +1449,238 @@ def kendall_tau_b(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         (F.col("d") * F.lit(2)).cast("long").alias("discordant2"),
         F.round(tau, 6).alias("tau_b"),
     )
+
+
+def cramers_v(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Chi-square statistic and Cramér's V between two categorical
+    columns — the single-number EFFECT-SIZE summary of the cell-level
+    contingency_assoc audit: lift/PMI read per cell, V compresses the
+    whole table to [0, 1] (0 = independent, 1 = one column determines
+    the other), comparable across tables of any shape because the
+    chi-square is normalized by n*min(r-1, c-1).
+
+    Plan: identical shape to contingency_assoc — ONE map-side-
+    combinable groupBy(a, b) over the pruned two-column scan — PLUS
+    the full r x c level spine (distinct-a cross broadcast
+    distinct-b, both domain-bounded level relations): a cell the
+    data never produced still has expected count n_a*n_b/n and
+    contributes (0-e)^2/e — observed-cells-only silently understates
+    chi-square exactly when association is strongest. Marginals are
+    window sums over the spine relation; the final statistic is a
+    1-row aggregate. At 100 TB: one scan, one tiny shuffle, r x c
+    cell rows.
+
+    Numerics: counts exact int64; each cell's expected count e =
+    n_a*n_b/n keeps the product exact in DECIMAL(38,0) (n_a*n_b
+    passes int64 once n ~ 1e10 — the 100 TB regime) with ONE double
+    division; the cell term (o-e)^2/e is a fixed IEEE sequence
+    rounded 6dp then DECIMAL(27,6)-summed (order-free reduction);
+    V's sqrt is one correctly-rounded IEEE call on exact factors.
+    Single-level columns (min(r,c) = 1) yield NULL V, not a 0/0.
+
+    Returns ONE row: (n_rows, levels_a, levels_b, chi2, v).
+    """
+    from pyspark.sql import Window
+
+    cells = df.groupBy(
+        F.col(col_a).alias("__a"), F.col(col_b).alias("__b")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    # Full r x c spine: the cross of the two LEVEL relations (both
+    # domain-bounded category enumerations — the auditor's bounded
+    # build-side class), so structurally-zero cells contribute their
+    # (0-e)^2/e terms.
+    da = cells.select("__a").distinct()
+    db = (
+        cells.withColumn("bucket", F.col("__b"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("__dummy"))
+        .select("bucket")
+    )
+    spine = da.crossJoin(F.broadcast(db)).select(
+        "__a", F.col("bucket").alias("__b")
+    )
+    full = spine.join(cells, ["__a", "__b"], "left").select(
+        "__a", "__b", F.coalesce("o", F.lit(0)).cast("long").alias("o")
+    )
+    wa = Window.partitionBy("__a")
+    wb = Window.partitionBy("__b")
+    wall = Window.partitionBy()
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    sized = (
+        full.withColumn("n_a", F.sum("o").over(wa).cast("long"))
+        .withColumn("n_b", F.sum("o").over(wb).cast("long"))
+        .withColumn("n", F.sum("o").over(wall).cast("long"))
+    )
+    e = (dec(F.col("n_a")) * dec(F.col("n_b"))).cast("double") / F.col(
+        "n"
+    ).cast("double")
+    o = F.col("o").cast("double")
+    term = F.round((o - e) * (o - e) / e, 6)
+    m = sized.agg(
+        F.max("n").cast("long").alias("n_rows"),
+        F.count_distinct("__a").cast("long").alias("levels_a"),
+        F.count_distinct("__b").cast("long").alias("levels_b"),
+        F.sum(term.cast("decimal(27,6)")).alias("__chi2"),
+    )
+    mindim = F.least(
+        F.col("levels_a") - F.lit(1), F.col("levels_b") - F.lit(1)
+    ).cast("double")
+    return m.select(
+        "n_rows",
+        "levels_a",
+        "levels_b",
+        F.round(F.col("__chi2").cast("double"), 6).alias("chi2"),
+        F.when(
+            mindim > 0,
+            F.round(
+                F.sqrt(
+                    F.col("__chi2").cast("double")
+                    / (F.col("n_rows").cast("double") * mindim)
+                ),
+                6,
+            ),
+        ).alias("v"),
+    )
+
+
+def hhi_by_group(
+    df: DataFrame,
+    group_col: str,
+    entity_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Herfindahl-Hirschman concentration index per group: the sum of
+    squared value SHARES over entities — the antitrust-lineage
+    concentration number (career thresholds: < 0.15 competitive,
+    > 0.25 concentrated) and, as 1/HHI, the "effective number of
+    entities" — the market-structure companion to customer_spend_gini
+    (Gini reads inequality of the distribution, HHI reads dominance
+    at the top; a market can be unequal yet unconcentrated).
+
+    Exact arithmetic: values become integer cents; per (group,
+    entity) subtotals s_i are exact int64; HHI = sum(s_i^2)/S^2 keeps
+    BOTH the squared sum and the sum of squares exact in
+    DECIMAL(38,0) (s_i ~ 1e13 cents at 100 TB makes s_i^2 ~ 1e26 —
+    past int64, inside 38 digits), so the index is ONE double
+    division of exact integers, rounded 6dp. Zero-total groups yield
+    NULL (no shares to square). The normalized variant
+    (HHI - 1/n)/(1 - 1/n) rescales to [0,1] for cross-group
+    comparison; single-entity groups have no spread and yield NULL
+    there.
+
+    Plan: two map-side-combinable groupBys (facts -> entity
+    subtotals -> group moments); no windows, no joins. Returns
+    (group, n_entities, hhi, effective_n, hhi_normalized) ordered by
+    group.
+    """
+    cents = F.floor(
+        F.col(value_col).cast("double") * F.lit(100.0) + F.lit(0.5)
+    ).cast("long")
+    subs = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(group_col).alias("g"), F.col(entity_col).alias("e")
+        )
+        .agg(F.sum(cents).cast("long").alias("s"))
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = subs.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_entities"),
+        F.sum(dec(F.col("s"))).alias("__t"),
+        F.sum(dec(F.col("s")) * dec(F.col("s"))).alias("__q"),
+    )
+    hhi = F.col("__q").cast("double") / (
+        F.col("__t") * F.col("__t")
+    ).cast("double")
+    n = F.col("n_entities").cast("double")
+    inv_n = F.lit(1.0) / n
+    return m.select(
+        F.col("g").alias(group_col),
+        "n_entities",
+        F.when(F.col("__t") > 0, F.round(hhi, 6)).alias("hhi"),
+        F.when(
+            F.col("__t") > 0,
+            F.round(
+                (F.col("__t") * F.col("__t")).cast("double")
+                / F.col("__q").cast("double"),
+                6,
+            ),
+        ).alias("effective_n"),
+        F.when(
+            (F.col("__t") > 0) & (F.col("n_entities") > 1),
+            F.round((hhi - inv_n) / (F.lit(1.0) - inv_n), 6),
+        ).alias("hhi_normalized"),
+    ).orderBy(group_col)
+
+
+def anova_f(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """One-way ANOVA F statistic and eta-squared of a value column
+    across groups — the parametric BETWEEN-GROUPS companion to the
+    two-window drift battery: rank-sum/KS compare two time windows,
+    ANOVA asks whether K category means differ more than within-group
+    noise explains, and eta^2 = SSB/SST is the variance-explained
+    effect size a feature audit reads before trusting a categorical
+    predictor.
+
+    Exact arithmetic: values become integer cents; per-group n_g and
+    S_g = sum(x) are exact int64, the global sum of squares Q is
+    exact DECIMAL(38,0) (x^2 ~ 1e8 per row; the sum passes int64 by
+    ~1e11 rows). The only non-rational step is each group's
+    S_g^2/n_g — ONE double division of exact integers, rounded 6dp
+    and DECIMAL(27,6)-summed (order-free), the same pattern as every
+    ln-term reduction here. SSB/SSW/F/eta^2 are then fixed IEEE
+    sequences on those sums. Degenerate inputs (single group, or
+    zero within-group variance) yield NULL F rather than a division
+    blow-up.
+
+    Plan: one combinable groupBy to K group rows, one 1-row
+    aggregate. Returns ONE row:
+    (n_rows, k_groups, ss_between, ss_within, f_stat, eta_sq).
+    """
+    cents = F.floor(
+        F.col(value_col).cast("double") * F.lit(100.0) + F.lit(0.5)
+    ).cast("long")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    grp = (
+        df.where(F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("g"), cents.alias("x"))
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_g"),
+            F.sum("x").cast("long").alias("s_g"),
+            F.sum(dec(F.col("x")) * dec(F.col("x"))).alias("q_g"),
+        )
+    )
+    a_term = F.round(
+        (dec(F.col("s_g")) * dec(F.col("s_g"))).cast("double")
+        / F.col("n_g").cast("double"),
+        6,
+    )
+    m = grp.agg(
+        F.sum("n_g").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+        F.sum("s_g").cast("long").alias("__t"),
+        F.sum("q_g").alias("__q"),
+        F.sum(a_term.cast("decimal(27,6)")).alias("__a"),
+    )
+    n = F.col("n_rows").cast("double")
+    k = F.col("k_groups").cast("double")
+    grand = F.round(
+        (dec(F.col("__t")) * dec(F.col("__t"))).cast("double") / n, 6
+    )
+    ssb = F.col("__a").cast("double") - grand
+    ssw = F.col("__q").cast("double") - F.col("__a").cast("double")
+    sst = F.col("__q").cast("double") - grand
+    f_stat = (ssb / (k - F.lit(1.0))) / (ssw / (n - k))
+    cents2 = F.lit(10000.0)  # cents^2 -> value-units^2
+    return m.select(
+        "n_rows",
+        "k_groups",
+        F.round(ssb / cents2, 6).alias("ss_between"),
+        F.round(ssw / cents2, 6).alias("ss_within"),
+        F.when(
+            (F.col("k_groups") > 1) & (ssw > 0) & (n > k),
+            F.round(f_stat, 6),
+        ).alias("f_stat"),
+        F.when(sst > 0, F.round(ssb / sst, 6)).alias("eta_sq"),
+    )

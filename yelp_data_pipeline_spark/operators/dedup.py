@@ -1181,3 +1181,53 @@ def contamination_spans(
     )
     hits = tg.join(F.broadcast(eg), "g", "left_semi").select(id_col, "pos")
     return _merge_spans(hits, id_col, min_tokens)
+
+
+def edit_distance_verify(
+    pairs: DataFrame,
+    attrs: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int,
+) -> DataFrame:
+    """Levenshtein verification stage over blocked candidate pairs —
+    the exact-comparison step the classic ER pipeline runs AFTER
+    blocking (SNM windows, LSH bands, shingle buckets) and BEFORE
+    clustering: edit distance is O(len^2) per pair, affordable only
+    because blocking bounded the candidate set to ~n*w pairs, and on
+    short identity strings (names, codes, normalized addresses) it
+    is the verifier of record — token methods cannot see
+    single-character typos that fall inside every shingle.
+
+    Deterministic by construction: the distance is an exact integer
+    (Spark's levenshtein and ANSI engines implement the same classic
+    Wagner-Fischer recurrence), the threshold is an integer compare,
+    no floats anywhere.
+
+    Plan: the attribute relation joins the pair list twice on the id
+    — equi-joins on unique keys, broadcast when attrs is small,
+    shuffled-hash otherwise; the pair list arrives pre-bounded by
+    blocking, so the join is linear in candidates, never all-pairs.
+
+    Returns (doc_a, doc_b, edit_dist) for pairs at or under
+    ``max_dist``, ordered (doc_a, doc_b).
+    """
+    a = attrs.select(
+        F.col(id_col).alias("doc_a"), F.col(text_col).alias("__sa")
+    )
+    b = attrs.select(
+        F.col(id_col).alias("doc_b"), F.col(text_col).alias("__sb")
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein(F.col("__sa"), F.col("__sb")).alias(
+                "edit_dist"
+            ),
+        )
+        .where(F.col("edit_dist") <= F.lit(max_dist))
+        .orderBy("doc_a", "doc_b")
+    )

@@ -460,3 +460,56 @@ def rate_confidence_by_group(
         F.round((center - margin) / denom, 6).alias("ci_low"),
         F.round((center + margin) / denom, 6).alias("ci_high"),
     ).orderBy(group_col)
+
+
+def gate_agreement_kappa(
+    df: DataFrame, pred_a, pred_b
+) -> DataFrame:
+    """Cohen's kappa between two boolean quality gates — the
+    chance-corrected agreement number that answers "does the cheap
+    gate reproduce the expensive one?" before swapping a heuristic
+    filter for a learned one (e.g. the Gopher-style rule flags vs the
+    distilled perceptron gate): raw accuracy flatters any pair of
+    gates that both pass almost everything; kappa subtracts the
+    agreement their marginal rates alone would produce (Cohen 1960;
+    the standard reading: > 0.8 near-interchangeable, < 0.4 the
+    gates disagree on what quality means).
+
+    kappa = (p_o - p_e)/(1 - p_e) with p_o the observed agreement
+    rate and p_e = pa*pb + (1-pa)*(1-pb) from the marginals — every
+    input an exact int64 count from ONE combinable aggregate over the
+    predicate pair, every float step a fixed IEEE sequence on exact
+    integers, 6dp. Degenerate marginals (p_e = 1: both gates
+    constant) yield NULL kappa. NULL predicate values count as False
+    (a gate that cannot evaluate a row does not pass it).
+
+    Plan: one scan, one 1-row aggregate — scan-bound at any scale.
+    Returns ONE row: (n_rows, n_both, n_only_a, n_only_b, n_neither,
+    p_observed, p_expected, kappa).
+    """
+    a = F.coalesce(pred_a.cast("boolean"), F.lit(False))
+    b = F.coalesce(pred_b.cast("boolean"), F.lit(False))
+    m = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum((a & b).cast("int")).cast("long").alias("n_both"),
+        F.sum((a & ~b).cast("int")).cast("long").alias("n_only_a"),
+        F.sum((~a & b).cast("int")).cast("long").alias("n_only_b"),
+        F.sum((~a & ~b).cast("int")).cast("long").alias("n_neither"),
+    )
+    n = F.col("n_rows").cast("double")
+    po = (F.col("n_both") + F.col("n_neither")).cast("double") / n
+    pa = (F.col("n_both") + F.col("n_only_a")).cast("double") / n
+    pb = (F.col("n_both") + F.col("n_only_b")).cast("double") / n
+    pe = pa * pb + (F.lit(1.0) - pa) * (F.lit(1.0) - pb)
+    return m.select(
+        "n_rows",
+        "n_both",
+        "n_only_a",
+        "n_only_b",
+        "n_neither",
+        F.round(po, 6).alias("p_observed"),
+        F.round(pe, 6).alias("p_expected"),
+        F.when(
+            pe < F.lit(1.0), F.round((po - pe) / (F.lit(1.0) - pe), 6)
+        ).alias("kappa"),
+    )

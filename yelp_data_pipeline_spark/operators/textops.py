@@ -1867,3 +1867,102 @@ def readability_scores(
         n_syll.cast("long").alias("n_syllables"),
         grade.alias("fk_grade"),
     )
+
+
+def unigram_jsd_to_corpus(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Per-group Jensen-Shannon divergence (in bits) between the
+    group's unigram distribution and the WHOLE-corpus distribution —
+    the mixture-design number a data-curation pipeline reads next to
+    distinctive_terms_log_odds: log-odds names WHICH words set a
+    source apart, JSD says HOW FAR the source as a whole sits from
+    the corpus mixture (0 = indistinguishable, 1 bit = disjoint).
+    Symmetric, bounded, and defined even for non-overlapping
+    vocabularies — the reason it beats KL for corpus comparison.
+
+    JSD(P||Q) = (KL(P||M) + KL(Q||M))/2 with M = (P+Q)/2, over the
+    corpus vocabulary with add-one smoothing (a word absent from the
+    group still contributes, as in the log-odds tier).
+
+    Plan: one token explode + one map-side-combinable groupBy
+    (group, word); the corpus distribution is a window sum over the
+    CELL relation; the absent-word cells come from a vocab x group
+    spine built from the SAME relation — the word relation probes a
+    BROADCAST of the per-group totals (the build side is the
+    source-bucket relation: a domain-bounded enumeration of mixture
+    sources, same boundedness class as PSI's bin spine), so the
+    spine is |vocab| x |buckets| rows with no rescan of the corpus.
+    At 100 TB: one scan, one (group,word) shuffle, then
+    small-relation arithmetic.
+
+    Numerics: counts exact int64; p, q, m are fixed IEEE divides on
+    exact integers; each row's two p*ln(p/m), q*ln(q/m) terms are
+    individually rounded 6dp then DECIMAL(27,6)-summed (order-free);
+    the final /(2*ln2) conversion to bits is a fixed sequence, 6dp.
+
+    Returns (group, n_tokens, n_vocab, jsd_bits) ordered by group.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    cells = (
+        df.select(F.col(group_col).alias("g"), F.explode(toks).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("g", "w")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    from ..session import track_persist
+
+    cells = track_persist(cells)
+    words = cells.groupBy("w").agg(
+        F.sum("y").cast("long").alias("y_all")
+    )
+    # The spine build side is the per-source-bucket totals — a
+    # domain-bounded enumeration of mixture sources (the auditor's
+    # bounded-key class), broadcast against the vocab probe side.
+    buckets = (
+        cells.withColumn("bucket", F.col("g"))
+        .groupBy("bucket")
+        .agg(F.sum("y").cast("long").alias("n_g"))
+    )
+    tot = cells.agg(
+        F.sum("y").cast("long").alias("__n"),
+        F.count_distinct("w").cast("long").alias("__v"),
+    )
+    spine = words.crossJoin(F.broadcast(buckets)).select(
+        F.col("bucket").alias("g"), "n_g", "w", "y_all"
+    )
+    full = spine.join(cells, ["g", "w"], "left").select(
+        "g",
+        "n_g",
+        "y_all",
+        F.coalesce("y", F.lit(0)).alias("y"),
+    )
+    j = full.crossJoin(F.broadcast(tot))
+    p = (F.col("y").cast("double") + F.lit(1.0)) / (
+        F.col("n_g").cast("double") + F.col("__v").cast("double")
+    )
+    q = (F.col("y_all").cast("double") + F.lit(1.0)) / (
+        F.col("__n").cast("double") + F.col("__v").cast("double")
+    )
+    m = (p + q) / F.lit(2.0)
+    tp = F.round(p * F.log(p / m), 6)
+    tq = F.round(q * F.log(q / m), 6)
+    agg = j.groupBy("g", "n_g").agg(
+        F.max("__v").cast("long").alias("n_vocab"),
+        F.sum(tp.cast("decimal(27,6)")).alias("__sp"),
+        F.sum(tq.cast("decimal(27,6)")).alias("__sq"),
+    )
+    ln2x2 = 1.3862943611198906  # 2*ln(2), a literal on both engines
+    return agg.select(
+        F.col("g").alias(group_col),
+        F.col("n_g").alias("n_tokens"),
+        "n_vocab",
+        F.round(
+            (F.col("__sp") + F.col("__sq")).cast("double") / F.lit(ln2x2),
+            6,
+        ).alias("jsd_bits"),
+    ).orderBy(group_col)

@@ -954,3 +954,222 @@ def burstiness_by_group(
             F.col("s") > 0, F.round((n * q - s * s) / (n * s), 6)
         ).alias("fano"),
     ).orderBy(group_col)
+
+
+def ks_drift(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    cutoff: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the value
+    distributions before and after ``cutoff`` — the final member of
+    the drift battery: TV distance (histogram_drift) bounds the
+    probability gap on FIXED bins, PSI (psi_drift) is the monitored
+    production number, the rank-sum z (ranksum_drift) tests location
+    shift; KS is the bin-free supremum gap between the two empirical
+    CDFs, sensitive to ANY distributional change (location, scale,
+    shape) — the classic goodness-of-fit drift test.
+
+    Exact construction (same bounded-domain move as ranksum_drift):
+    values become integer cents, the distinct-cell relation is bounded
+    by the value DOMAIN, and both running CDFs are integer window sums
+    over that relation. The supremum is taken over the EXACT integer
+    cross-difference |cum_a*n_b - cum_b*n_a| in DECIMAL(38,0) (the
+    product passes int64 near n ~ 1e9 per window — the 100 TB
+    regime), so max() is order-free and exact; D is ONE double
+    division of exact integers. The 5%-level critical value
+    D_crit = 1.36*sqrt((n_a+n_b)/(n_a*n_b)) (Smirnov asymptotic) is a
+    fixed IEEE sequence on exact counts.
+
+    Returns ONE row: (n_a, n_b, d, d_crit), 6dp doubles.
+    """
+    from pyspark.sql import Window
+
+    cents = F.floor(
+        F.col(value_col).cast("double") * F.lit(100.0) + F.lit(0.5)
+    ).cast("long")
+    is_a = (F.col(ts_col) < F.lit(cutoff).cast("timestamp")).cast("int")
+    cells = (
+        df.where(F.col(value_col).isNotNull())
+        .select(cents.alias("v"), is_a.alias("a"))
+        .groupBy("v")
+        .agg(
+            F.sum("a").cast("long").alias("ta"),
+            F.sum(F.lit(1) - F.col("a")).cast("long").alias("tb"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = cells.select(
+        F.sum("ta").over(w).alias("ca"), F.sum("tb").over(w).alias("cb")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    wall = Window.partitionBy()
+    tot = cum.withColumn("ta_n", F.max("ca").over(wall)).withColumn(
+        "tb_n", F.max("cb").over(wall)
+    )
+    m = tot.agg(
+        F.max("ca").cast("long").alias("n_a"),
+        F.max("cb").cast("long").alias("n_b"),
+        F.max(
+            F.abs(
+                dec(F.col("ca")) * dec(F.col("tb_n"))
+                - dec(F.col("cb")) * dec(F.col("ta_n"))
+            )
+        ).alias("__num"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    return m.select(
+        "n_a",
+        "n_b",
+        F.round(F.col("__num").cast("double") / (na * nb), 6).alias("d"),
+        F.round(
+            F.lit(1.36) * F.sqrt((na + nb) / (na * nb)), 6
+        ).alias("d_crit"),
+    )
+
+
+def ewma_daily_counts(
+    df: DataFrame, ts_col: str, k: int = 8
+) -> DataFrame:
+    """Exponentially weighted moving average (alpha = 1/2) of the
+    gap-filled daily count series, truncated at ``k`` terms — the
+    low-latency smoother a traffic monitor pairs with the z-score
+    anomaly tier: rolling_7d gives every day equal vote, EWMA weights
+    the recent past geometrically, reacting in ~1/alpha days instead
+    of the window length. Truncation at k=8 discards < 2^-8 of the
+    weight mass.
+
+    Exact arithmetic: with alpha = 1/2 the truncated weights are
+    2^-(j+1), so numerator and denominator clear to INTEGERS —
+    num = sum_j 2^(k-1-j)*x_(t-j), den = sum over AVAILABLE lags of
+    2^(k-1-j) (the series start renormalizes over fewer terms) — and
+    the EWMA is ONE double division of exact int64s (x ~ 1e10
+    rows/day at 100 TB keeps num < 2^63 through the 128x weight),
+    rounded 6dp. No float powers, no order-dependent float sums.
+
+    Plan: the k lag terms are literal offsets over the tiny gap-filled
+    daily relation (one combinable groupBy + broadcast spine), each an
+    ordered-window lag over <= days rows — bounded work independent of
+    event volume. Returns (date, cnt, ewma) ordered by date.
+    """
+    from pyspark.sql import Window
+
+    series = daily_counts_gapfilled(df, ts_col)
+    w = Window.orderBy("date")
+    num = F.lit(0).cast("long")
+    den = F.lit(0).cast("long")
+    for j in range(k):
+        lx = F.lag("cnt", j).over(w) if j else F.col("cnt")
+        weight = 1 << (k - 1 - j)
+        num = num + F.coalesce(lx * F.lit(weight), F.lit(0))
+        den = den + F.when(lx.isNotNull(), F.lit(weight)).otherwise(F.lit(0))
+    return (
+        series.select(
+            "date",
+            "cnt",
+            F.round(num.cast("double") / den.cast("double"), 6).alias(
+                "ewma"
+            ),
+        )
+        .orderBy("date")
+    )
+
+
+def kaplan_meier_gaps(
+    orders: DataFrame, key_col: str, date_col: str
+) -> DataFrame:
+    """Kaplan-Meier survival curve over customer inter-order gaps —
+    the censoring-correct answer to "how long until a customer orders
+    again?": every consecutive-order gap is an observed event, and the
+    wait from each customer's LAST order to the corpus end-date is a
+    RIGHT-CENSORED duration (the customer hasn't ordered again YET —
+    dropping those rows, or treating them as events, both bias the
+    curve; Kaplan & Meier 1958 is exactly the estimator that uses
+    them correctly). The retention tier's cohort_retention counts
+    fixed horizons; this gives the full curve with censoring.
+
+    S(t) = prod_{t_i <= t} (1 - d_i/n_i) over event times, computed
+    as exp of a running sum of per-time ln(1 - d/n) terms — each term
+    has ONE ln on a ratio of exact integers, is rounded to 6dp, and
+    the running sum accumulates in DECIMAL(27,6) over the ordered
+    gap-value relation (order-free, replay-exact); the final exp is
+    one libm call per output row. If the last event time exhausts the
+    risk set (d = n), survival is exactly 0 there (ln would be -inf;
+    guarded explicitly on both engines).
+
+    Plan: per-customer ordered gaps are one window over the orders
+    relation partitioned by customer (no skew: one partition per
+    customer key); the curve itself lives on the distinct-gap-days
+    relation (bounded by the date span). Returns
+    (t_days, n_at_risk, n_events, n_censored, survival) for event
+    times, ordered by t_days.
+    """
+    from pyspark.sql import Window
+
+    wc = Window.partitionBy("__k").orderBy(F.col("__d"))
+    end = orders.agg(F.max(F.col(date_col)).alias("__end"))
+    durs = (
+        orders.select(
+            F.col(key_col).alias("__k"), F.col(date_col).alias("__d")
+        )
+        .withColumn("__next", F.lead("__d").over(wc))
+        .crossJoin(F.broadcast(end))
+        .select(
+            F.when(
+                F.col("__next").isNotNull(),
+                F.datediff(F.col("__next"), F.col("__d")),
+            )
+            .otherwise(F.datediff(F.col("__end"), F.col("__d")))
+            .cast("long")
+            .alias("t"),
+            F.col("__next").isNotNull().cast("int").alias("ev"),
+        )
+    )
+    cells = durs.groupBy("t").agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.sum(F.lit(1) - F.col("ev")).cast("long").alias("c"),
+    )
+    wt = Window.orderBy("t")
+    prior = (
+        F.coalesce(
+            F.sum(F.col("d") + F.col("c")).over(
+                wt.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+    )
+    tot = cells.agg(F.sum(F.col("d") + F.col("c")).alias("__n"))
+    at_risk = (
+        cells.crossJoin(F.broadcast(tot))
+        .withColumn("n_at_risk", (F.col("__n") - prior).cast("long"))
+    )
+    term = F.when(
+        F.col("d") < F.col("n_at_risk"),
+        F.round(
+            F.log(
+                F.lit(1.0)
+                - F.col("d").cast("double") / F.col("n_at_risk").cast("double")
+            ),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    cum = F.sum(term.cast("decimal(27,6)")).over(
+        wt.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    exhausted = F.max(
+        (F.col("d") >= F.col("n_at_risk")).cast("int")
+    ).over(wt.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        at_risk.select(
+            F.col("t").alias("t_days"),
+            "n_at_risk",
+            F.col("d").alias("n_events"),
+            F.col("c").alias("n_censored"),
+            F.when(exhausted == 1, F.lit(0.0))
+            .otherwise(F.round(F.exp(cum.cast("double")), 6))
+            .alias("survival"),
+        )
+        .where(F.col("n_events") > 0)
+        .orderBy("t_days")
+    )

@@ -10880,6 +10880,532 @@ def q_cms_daily_user_merge(spark, sf_dir):
     )
 
 
+
+
+@_q(
+    "event_value_ks_drift",
+    """
+WITH cells AS (
+  SELECT CAST(FLOOR(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS v,
+         CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS BIGINT) AS ta,
+         CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END) AS BIGINT) AS tb
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+cum AS (
+  SELECT CAST(sum(ta) OVER w AS BIGINT) AS ca,
+         CAST(sum(tb) OVER w AS BIGINT) AS cb
+  FROM cells
+  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+tot AS (SELECT CAST(max(ca) AS BIGINT) AS na, CAST(max(cb) AS BIGINT) AS nb FROM cum),
+m AS (
+  SELECT t.na AS n_a, t.nb AS n_b,
+         max(abs(CAST(c.ca AS HUGEINT) * t.nb - CAST(c.cb AS HUGEINT) * t.na)) AS num
+  FROM cum c, tot t GROUP BY 1, 2
+)
+SELECT n_a, n_b,
+       round(CAST(num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS d,
+       round(CAST(1.36 AS DOUBLE)
+             * sqrt((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))), 6) AS d_crit
+FROM m
+""",
+    doc="Two-sample Kolmogorov-Smirnov drift test on event values, "
+    "early vs late window (operators/timeseries.py:ks_drift) — the "
+    "bin-free supremum-CDF-gap member that completes the drift "
+    "battery (TV distance on fixed bins, PSI monitored number, "
+    "rank-sum location z, KS any-shape-change). Both empirical CDFs "
+    "are integer window sums over the domain-bounded cents-cell "
+    "relation; the supremum is over EXACT integer cross-differences "
+    "|ca*n_b - cb*n_a| (DECIMAL/HUGEINT — the product passes int64 "
+    "near 1e9 rows/window), so D is ONE double division and the "
+    "Smirnov 5% critical value a fixed IEEE sequence. One scan, one "
+    "bounded shuffle, one ordered window over cells.",
+)
+def q_event_value_ks_drift(spark, sf_dir):
+    return ts_ops.ks_drift(
+        _t(spark, sf_dir, "events"), "ts", "value", "2024-01-16"
+    )
+
+
+@_q(
+    "daily_event_ewma",
+    """
+WITH c AS (
+  SELECT CAST(ts AS DATE) AS date, count(*) AS cnt FROM events GROUP BY 1
+),
+span AS (SELECT min(date) AS lo, max(date) AS hi FROM c),
+spine AS (
+  SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS date
+  FROM span
+),
+s AS (
+  SELECT spine.date, coalesce(c.cnt, 0) AS cnt
+  FROM spine LEFT JOIN c ON spine.date = c.date
+),
+l AS (
+  SELECT date, cnt,
+         lag(cnt, 1) OVER w AS l1, lag(cnt, 2) OVER w AS l2,
+         lag(cnt, 3) OVER w AS l3, lag(cnt, 4) OVER w AS l4,
+         lag(cnt, 5) OVER w AS l5, lag(cnt, 6) OVER w AS l6,
+         lag(cnt, 7) OVER w AS l7
+  FROM s
+  WINDOW w AS (ORDER BY date)
+)
+SELECT date, cnt,
+       round(CAST(cnt * 128 + coalesce(l1, 0) * 64 + coalesce(l2, 0) * 32
+                  + coalesce(l3, 0) * 16 + coalesce(l4, 0) * 8
+                  + coalesce(l5, 0) * 4 + coalesce(l6, 0) * 2
+                  + coalesce(l7, 0) AS DOUBLE)
+             / CAST(128 + CASE WHEN l1 IS NOT NULL THEN 64 ELSE 0 END
+                    + CASE WHEN l2 IS NOT NULL THEN 32 ELSE 0 END
+                    + CASE WHEN l3 IS NOT NULL THEN 16 ELSE 0 END
+                    + CASE WHEN l4 IS NOT NULL THEN 8 ELSE 0 END
+                    + CASE WHEN l5 IS NOT NULL THEN 4 ELSE 0 END
+                    + CASE WHEN l6 IS NOT NULL THEN 2 ELSE 0 END
+                    + CASE WHEN l7 IS NOT NULL THEN 1 ELSE 0 END AS DOUBLE),
+             6) AS ewma
+FROM l ORDER BY date
+""",
+    doc="Truncated exponentially weighted moving average (alpha=1/2, "
+    "8 terms) of the gap-filled daily event count "
+    "(operators/timeseries.py:ewma_daily_counts) — the low-latency "
+    "smoother next to rolling_7d_event_avg: geometric recency "
+    "weighting reacts in ~2 days instead of the window length, and "
+    "with alpha=1/2 the truncated weights clear to INTEGER "
+    "numerator/denominator (powers of two), so each day's EWMA is "
+    "ONE double division of exact int64s — no float powers, no "
+    "order-dependent sums. All lag terms are literal offsets over "
+    "the tiny daily relation; work is independent of event volume.",
+)
+def q_daily_event_ewma(spark, sf_dir):
+    return ts_ops.ewma_daily_counts(_t(spark, sf_dir, "events"), "ts")
+
+
+@_q(
+    "customer_order_survival",
+    """
+WITH e AS (SELECT max(o_orderdate) AS end_d FROM orders),
+seq AS (
+  SELECT o_custkey, o_orderdate,
+         lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS nxt
+  FROM orders
+),
+durs AS (
+  SELECT CAST(CASE WHEN nxt IS NOT NULL THEN date_diff('day', o_orderdate, nxt)
+              ELSE date_diff('day', o_orderdate, (SELECT end_d FROM e)) END AS BIGINT) AS t,
+         CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM seq
+),
+cells AS (
+  SELECT t, CAST(sum(ev) AS BIGINT) AS d, CAST(sum(1 - ev) AS BIGINT) AS c
+  FROM durs GROUP BY 1
+),
+tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS n FROM cells),
+ar AS (
+  SELECT t, d, c,
+         CAST((SELECT n FROM tot)
+              - coalesce(sum(d + c) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS n_at_risk
+  FROM cells
+),
+terms AS (
+  SELECT t, d, c, n_at_risk,
+         CASE WHEN d < n_at_risk
+              THEN round(ln(CAST(1.0 AS DOUBLE) - CAST(d AS DOUBLE) / CAST(n_at_risk AS DOUBLE)), 6)
+              ELSE CAST(0.0 AS DOUBLE) END AS term,
+         CASE WHEN d >= n_at_risk THEN 1 ELSE 0 END AS exh
+  FROM ar
+),
+curve AS (
+  SELECT t, d, c, n_at_risk,
+         sum(CAST(term AS DECIMAL(27,6))) OVER wc AS cum,
+         max(exh) OVER wc AS exh2
+  FROM terms
+  WINDOW wc AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT t AS t_days, n_at_risk, d AS n_events, c AS n_censored,
+       CASE WHEN exh2 = 1 THEN CAST(0.0 AS DOUBLE)
+            ELSE round(exp(CAST(cum AS DOUBLE)), 6) END AS survival
+FROM curve WHERE d > 0 ORDER BY t_days
+""",
+    doc="Kaplan-Meier survival curve over customer inter-order gaps "
+    "(operators/timeseries.py:kaplan_meier_gaps) — the censoring-"
+    "correct 'time to next order' curve: consecutive-order gaps are "
+    "events, the wait from each customer's LAST order to the corpus "
+    "end-date is right-censored and enters the risk set without "
+    "biasing the estimate (Kaplan & Meier 1958) — the full-curve "
+    "companion to cohort_retention's fixed horizons. Per-time terms "
+    "ln(1 - d/n) are 6dp-rounded then DECIMAL(27,6)-cumsummed over "
+    "the bounded distinct-gap relation (order-free replay); exp is "
+    "one libm call per output row; a risk-set-exhausting final time "
+    "is exactly 0 on both engines.",
+)
+def q_customer_order_survival(spark, sf_dir):
+    return ts_ops.kaplan_meier_gaps(
+        _t(spark, sf_dir, "orders"), "o_custkey", "o_orderdate"
+    )
+
+
+
+
+@_q(
+    "priority_status_cramers_v",
+    """
+WITH cells AS (
+  SELECT o_orderpriority AS a, o_orderstatus AS b, count(*) AS o
+  FROM orders GROUP BY 1, 2
+),
+da AS (SELECT DISTINCT a FROM cells),
+db AS (SELECT DISTINCT b FROM cells),
+full_c AS (
+  SELECT da.a, db.b, CAST(coalesce(c.o, 0) AS BIGINT) AS o
+  FROM da CROSS JOIN db
+  LEFT JOIN cells c ON c.a = da.a AND c.b = db.b
+),
+sized AS (
+  SELECT a, b, o,
+         CAST(sum(o) OVER (PARTITION BY a) AS BIGINT) AS n_a,
+         CAST(sum(o) OVER (PARTITION BY b) AS BIGINT) AS n_b,
+         CAST(sum(o) OVER () AS BIGINT) AS n
+  FROM full_c
+),
+m AS (
+  SELECT CAST(max(n) AS BIGINT) AS n_rows,
+         (SELECT CAST(count(DISTINCT a) AS BIGINT) FROM cells) AS levels_a,
+         (SELECT CAST(count(DISTINCT b) AS BIGINT) FROM cells) AS levels_b,
+         sum(CAST(round(
+           (CAST(o AS DOUBLE)
+            - CAST(CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT) AS DOUBLE) / CAST(n AS DOUBLE))
+           * (CAST(o AS DOUBLE)
+              - CAST(CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT) AS DOUBLE) / CAST(n AS DOUBLE))
+           / (CAST(CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT) AS DOUBLE) / CAST(n AS DOUBLE)),
+           6) AS DECIMAL(27,6))) AS chi2d
+  FROM sized
+)
+SELECT n_rows, levels_a, levels_b,
+       round(CAST(chi2d AS DOUBLE), 6) AS chi2,
+       CASE WHEN least(levels_a - 1, levels_b - 1) > 0 THEN
+         round(sqrt(CAST(chi2d AS DOUBLE)
+                    / (CAST(n_rows AS DOUBLE)
+                       * CAST(least(levels_a - 1, levels_b - 1) AS DOUBLE))), 6)
+       END AS v
+FROM m
+""",
+    doc="Chi-square statistic and Cramer's V between order priority "
+    "and status (operators/aggregates.py:cramers_v) — the one-number "
+    "effect-size rollup of priority_status_association's cell-level "
+    "lift/PMI table, normalized to [0,1] and comparable across "
+    "tables of any shape. Same plan shape as the association audit "
+    "(one combinable groupBy, marginals as window sums over the "
+    "bounded cell relation) plus the full r x c level spine so "
+    "structurally-zero cells contribute their (0-e)^2/e terms — "
+    "observed-only understates chi2 exactly when association is "
+    "strongest; expected counts keep the n_a*n_b "
+    "product exact in DECIMAL/HUGEINT (passes int64 near n ~ 1e10), "
+    "each cell's (o-e)^2/e is a fixed IEEE sequence rounded 6dp and "
+    "DECIMAL(27,6)-summed — order-free on both engines.",
+)
+def q_priority_status_cramers_v(spark, sf_dir):
+    return agg.cramers_v(
+        _t(spark, sf_dir, "orders"), "o_orderpriority", "o_orderstatus"
+    )
+
+
+@_q(
+    "nation_customer_hhi",
+    """
+WITH subs AS (
+  SELECT n.n_name AS g, c.c_custkey AS e,
+         CAST(sum(CAST(FLOOR(CAST(o.o_totalprice AS DOUBLE) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS s
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE o.o_totalprice IS NOT NULL
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n_entities,
+         sum(CAST(s AS HUGEINT)) AS t,
+         sum(CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS q
+  FROM subs GROUP BY 1
+)
+SELECT g AS n_name, n_entities,
+       CASE WHEN t > 0 THEN round(CAST(q AS DOUBLE) / CAST(t * t AS DOUBLE), 6) END AS hhi,
+       CASE WHEN t > 0 THEN round(CAST(t * t AS DOUBLE) / CAST(q AS DOUBLE), 6) END AS effective_n,
+       CASE WHEN t > 0 AND n_entities > 1 THEN
+         round((CAST(q AS DOUBLE) / CAST(t * t AS DOUBLE)
+                - CAST(1.0 AS DOUBLE) / CAST(n_entities AS DOUBLE))
+               / (CAST(1.0 AS DOUBLE) - CAST(1.0 AS DOUBLE) / CAST(n_entities AS DOUBLE)), 6)
+       END AS hhi_normalized
+FROM m ORDER BY n_name
+""",
+    doc="Herfindahl-Hirschman spend-concentration index per nation "
+    "over customer order totals (operators/aggregates.py:"
+    "hhi_by_group) — the dominance/market-structure companion to "
+    "customer_spend_gini (inequality != concentration), with 1/HHI "
+    "as the effective number of customers and the [0,1]-normalized "
+    "variant for cross-nation comparison. Exact integer cents "
+    "subtotals; sum-of-squares and squared-sum both exact in "
+    "DECIMAL/HUGEINT (s^2 ~ 1e26 at 100 TB — past int64 by design); "
+    "the index is ONE double division. Two combinable groupBys, a "
+    "broadcast dim join, no windows.",
+)
+def q_nation_customer_hhi(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    j = o.join(
+        c, o["o_custkey"] == c["c_custkey"]
+    ).join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+    return agg.hhi_by_group(j, "n_name", "c_custkey", "o_totalprice")
+
+
+@_q(
+    "event_value_anova_f",
+    """
+WITH grp AS (
+  SELECT event_type AS g, CAST(count(*) AS BIGINT) AS n_g,
+         CAST(sum(CAST(FLOOR(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS s_g,
+         sum(CAST(FLOOR(CAST(value AS DOUBLE) * 100.0 + 0.5) AS HUGEINT)
+             * CAST(FLOOR(CAST(value AS DOUBLE) * 100.0 + 0.5) AS HUGEINT)) AS q_g
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+m AS (
+  SELECT CAST(sum(n_g) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS k_groups,
+         sum(CAST(s_g AS HUGEINT)) AS t,
+         sum(q_g) AS q,
+         sum(CAST(round(CAST(CAST(s_g AS HUGEINT) * CAST(s_g AS HUGEINT) AS DOUBLE)
+                        / CAST(n_g AS DOUBLE), 6) AS DECIMAL(27,6))) AS a
+  FROM grp
+),
+x AS (
+  SELECT n_rows, k_groups,
+         CAST(a AS DOUBLE) AS ad,
+         CAST(q AS DOUBLE) AS qd,
+         round(CAST(t * t AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS grand
+  FROM m
+)
+SELECT n_rows, k_groups,
+       round((ad - grand) / CAST(10000.0 AS DOUBLE), 6) AS ss_between,
+       round((qd - ad) / CAST(10000.0 AS DOUBLE), 6) AS ss_within,
+       CASE WHEN k_groups > 1 AND (qd - ad) > 0 AND n_rows > k_groups THEN
+         round(((ad - grand) / (CAST(k_groups AS DOUBLE) - CAST(1.0 AS DOUBLE)))
+               / ((qd - ad) / (CAST(n_rows AS DOUBLE) - CAST(k_groups AS DOUBLE))), 6)
+       END AS f_stat,
+       CASE WHEN (qd - grand) > 0 THEN
+         round((ad - grand) / (qd - grand), 6)
+       END AS eta_sq
+FROM x
+""",
+    doc="One-way ANOVA F and eta-squared of event value across event "
+    "types (operators/aggregates.py:anova_f) — the parametric "
+    "between-groups member of the distribution-testing tier: "
+    "rank-sum/KS compare two time windows, ANOVA asks whether K "
+    "category means differ beyond within-group noise, eta^2 is the "
+    "variance-explained effect size a feature audit reads. Exact "
+    "integer cents moments (Q in DECIMAL/HUGEINT); each group's "
+    "S_g^2/n_g is ONE double division rounded 6dp then "
+    "DECIMAL(27,6)-summed; F/eta^2 fixed IEEE sequences, NULL-"
+    "guarded for degenerate inputs. One combinable groupBy to K "
+    "rows, one 1-row aggregate.",
+)
+def q_event_value_anova_f(spark, sf_dir):
+    return agg.anova_f(_t(spark, sf_dir, "events"), "event_type", "value")
+
+
+
+
+@_q(
+    "source_unigram_jsd",
+    """
+WITH cells AS (
+  SELECT source AS g, w, CAST(count(*) AS BIGINT) AS y
+  FROM (SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        FROM documents)
+  WHERE w <> ''
+  GROUP BY 1, 2
+),
+words AS (SELECT w, CAST(sum(y) AS BIGINT) AS y_all FROM cells GROUP BY 1),
+groups AS (SELECT g, CAST(sum(y) AS BIGINT) AS n_g FROM cells GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(y) AS BIGINT) AS n, CAST(count(DISTINCT w) AS BIGINT) AS v
+  FROM cells
+),
+full_c AS (
+  SELECT gr.g, gr.n_g, wo.w, wo.y_all, coalesce(c.y, 0) AS y
+  FROM groups gr CROSS JOIN words wo
+  LEFT JOIN cells c ON c.g = gr.g AND c.w = wo.w
+),
+pq AS (
+  SELECT g, n_g,
+         (CAST(y AS DOUBLE) + CAST(1.0 AS DOUBLE))
+           / (CAST(n_g AS DOUBLE) + CAST(t.v AS DOUBLE)) AS p,
+         (CAST(y_all AS DOUBLE) + CAST(1.0 AS DOUBLE))
+           / (CAST(t.n AS DOUBLE) + CAST(t.v AS DOUBLE)) AS q,
+         t.v AS v
+  FROM full_c, tot t
+),
+terms AS (
+  SELECT g, n_g, v,
+         round(p * ln(p / ((p + q) / CAST(2.0 AS DOUBLE))), 6) AS tp,
+         round(q * ln(q / ((p + q) / CAST(2.0 AS DOUBLE))), 6) AS tq
+  FROM pq
+)
+SELECT g AS source, n_g AS n_tokens,
+       CAST(max(v) AS BIGINT) AS n_vocab,
+       round(CAST(sum(CAST(tp AS DECIMAL(27,6))) + sum(CAST(tq AS DECIMAL(27,6))) AS DOUBLE)
+             / CAST(1.3862943611198906 AS DOUBLE), 6) AS jsd_bits
+FROM terms GROUP BY 1, 2 ORDER BY source
+""",
+    doc="Per-source Jensen-Shannon divergence (bits) between the "
+    "source's unigram distribution and the whole corpus "
+    "(operators/textops.py:unigram_jsd_to_corpus) — the mixture-"
+    "design number next to distinctive_terms_by_source: log-odds "
+    "names WHICH words set a source apart, JSD says HOW FAR the "
+    "source sits from the corpus mixture (0 = indistinguishable, "
+    "1 bit = disjoint), defined for disjoint vocabularies — why it "
+    "beats KL for corpus comparison. One token explode + one "
+    "(group,word) combinable groupBy; absent-word cells come from a "
+    "vocab x groups spine over the SAME cell relation (no rescan); "
+    "the two ln terms per row are individually 6dp-rounded then "
+    "DECIMAL(27,6)-summed (order-free).",
+)
+def q_source_unigram_jsd(spark, sf_dir):
+    return tx.unigram_jsd_to_corpus(
+        _t(spark, sf_dir, "documents"), "source", "text"
+    )
+
+
+@_q(
+    "quality_gate_kappa",
+    """
+WITH base AS (
+  SELECT doc_id,
+         string_split_regex(trim(lower(text)), '\s+') AS toks,
+         string_split(text, chr(10)) AS lines,
+         CAST(length(text) AS INT) AS n_chars,
+         CAST(len(regexp_extract_all(text, '#')) AS INT)
+           + CAST(len(regexp_extract_all(text, '(\.\.\.|…)')) AS INT) AS n_sym
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         (CAST(len(toks) AS INT) BETWEEN 50 AND 100000
+          AND round(CAST(n_chars - (len(toks) - 1) AS DOUBLE)
+                    / CAST(len(toks) AS DOUBLE), 6) BETWEEN 3.0 AND 10.0
+          AND round(CAST(n_sym AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) <= 0.1
+          AND round(CAST(len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]'))) AS DOUBLE)
+                    / CAST(len(lines) AS DOUBLE), 6) <= 0.9
+          AND round(CAST(len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS DOUBLE)
+                    / CAST(len(lines) AS DOUBLE), 6) <= 0.3
+          AND round(CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+                    / CAST(len(toks) AS DOUBLE), 6) >= 0.8
+          AND CAST(len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'))) AS INT) >= 2
+         ) AS ga
+  FROM base
+),
+q AS (
+  SELECT doc_id,
+         (round(least(CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) / 100.0, 1.0) * 0.5
+               + round(CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                    t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'))) AS DOUBLE)
+                 / CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE), 6) * 0.3
+               + (1.0 - least(round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+                 / CAST(length(text) AS DOUBLE), 6) * 10, 1.0)) * 0.2,
+               6) >= 0.45) AS gb
+  FROM documents
+),
+counts AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN coalesce(ga, false) AND coalesce(gb, false) THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+         CAST(sum(CASE WHEN coalesce(ga, false) AND NOT coalesce(gb, false) THEN 1 ELSE 0 END) AS BIGINT) AS n_only_a,
+         CAST(sum(CASE WHEN NOT coalesce(ga, false) AND coalesce(gb, false) THEN 1 ELSE 0 END) AS BIGINT) AS n_only_b,
+         CAST(sum(CASE WHEN NOT coalesce(ga, false) AND NOT coalesce(gb, false) THEN 1 ELSE 0 END) AS BIGINT) AS n_neither
+  FROM g JOIN q USING (doc_id)
+),
+x AS (
+  SELECT n_rows, n_both, n_only_a, n_only_b, n_neither,
+         CAST(n_both + n_neither AS DOUBLE) / CAST(n_rows AS DOUBLE) AS po,
+         (CAST(n_both + n_only_a AS DOUBLE) / CAST(n_rows AS DOUBLE))
+           * (CAST(n_both + n_only_b AS DOUBLE) / CAST(n_rows AS DOUBLE))
+         + (CAST(1.0 AS DOUBLE) - CAST(n_both + n_only_a AS DOUBLE) / CAST(n_rows AS DOUBLE))
+           * (CAST(1.0 AS DOUBLE) - CAST(n_both + n_only_b AS DOUBLE) / CAST(n_rows AS DOUBLE)) AS pe
+  FROM counts
+)
+SELECT n_rows, n_both, n_only_a, n_only_b, n_neither,
+       round(po, 6) AS p_observed,
+       round(pe, 6) AS p_expected,
+       CASE WHEN pe < CAST(1.0 AS DOUBLE)
+            THEN round((po - pe) / (CAST(1.0 AS DOUBLE) - pe), 6) END AS kappa
+FROM x
+""",
+    doc="Cohen's kappa between the Gopher-style rule gate and the "
+    "quality-score gate on documents (operators/quality.py:"
+    "gate_agreement_kappa) — the chance-corrected agreement number "
+    "read before swapping one quality filter for another: raw "
+    "accuracy flatters any pair of gates that both pass almost "
+    "everything; kappa subtracts the marginal-rate agreement "
+    "(Cohen 1960). Both gates reuse the exact predicates of their "
+    "green registry rows (gopher_quality_flags, "
+    "quality_rate_confidence); every count is one combinable "
+    "aggregate, every float step a fixed IEEE sequence on exact "
+    "int64s, NULL-guarded at pe = 1.",
+)
+def q_quality_gate_kappa(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    g = tx.gopher_quality_flags(docs).select("doc_id", "passes_gopher")
+    q = tx.quality_features(docs, "doc_id", "text").select(
+        "doc_id", "quality_score"
+    )
+    j = g.join(q, "doc_id")
+    return dq.gate_agreement_kappa(
+        j, F.col("passes_gopher"), F.col("quality_score") >= 0.45
+    )
+
+
+@_q(
+    "customer_name_edit_pairs",
+    """
+WITH rn AS (
+  SELECT c_custkey AS id, c_name AS nm,
+         row_number() OVER (ORDER BY c_name, c_custkey) AS rn
+  FROM customer
+),
+pairs AS (
+  SELECT least(a.id, b.id) AS doc_a, greatest(a.id, b.id) AS doc_b
+  FROM rn a JOIN rn b ON b.rn BETWEEN a.rn + 1 AND a.rn + 3
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(levenshtein(ca.c_name, cb.c_name) AS INT) AS edit_dist
+FROM pairs p
+JOIN customer ca ON p.doc_a = ca.c_custkey
+JOIN customer cb ON p.doc_b = cb.c_custkey
+WHERE levenshtein(ca.c_name, cb.c_name) <= 2
+ORDER BY doc_a, doc_b
+""",
+    doc="Edit-distance verification over SNM-blocked customer-name "
+    "candidates (operators/dedup.py:edit_distance_verify over "
+    "sorted_neighborhood_pairs) — the exact Levenshtein comparison "
+    "stage the classic ER pipeline runs AFTER blocking and BEFORE "
+    "clustering: O(len^2) per pair is affordable only because SNM "
+    "bounded candidates to n*w, and on short identity strings it "
+    "catches single-character typos that fall inside every shingle "
+    "(the failure mode of token blocking). Integer distances, "
+    "integer threshold — no floats anywhere; the blocked pair list "
+    "joins the attribute relation on unique keys (equi-joins, "
+    "linear in candidates, never all-pairs).",
+)
+def q_customer_name_edit_pairs(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    pairs = dd.sorted_neighborhood_pairs(
+        c, "c_custkey", F.col("c_name"), window=3
+    ).select("doc_a", "doc_b")
+    return dd.edit_distance_verify(pairs, c, "c_custkey", "c_name", 2)
+
+
 # --------------------------------------------------------------------------
 # Registry exports (driver contract)
 # --------------------------------------------------------------------------
@@ -10917,6 +11443,15 @@ _EXPORT_PRIORITY: list[str] = [
     "corpus_health_report",
     "event_type_burstiness",
     "supplier_graph_assortativity",
+    "event_value_ks_drift",
+    "daily_event_ewma",
+    "customer_order_survival",
+    "priority_status_cramers_v",
+    "nation_customer_hhi",
+    "event_value_anova_f",
+    "source_unigram_jsd",
+    "quality_gate_kappa",
+    "customer_name_edit_pairs",
     # Stalest verdicts (last seen round 3) — refresh:
     "order_price_percent_rank",
     "price_quantiles_by_priority",
@@ -10925,8 +11460,11 @@ _EXPORT_PRIORITY: list[str] = [
     "shipping_priority_top10",
     "token_stats",
     "top_orders_with_ties",
-    # Round-4-stale refreshes (oldest-first rotation). The 13 names
-    # past the 50-slot export cap (quantized_embeddings,
+    # Round-4-stale refreshes (oldest-first rotation). The 22 names
+    # past the 50-slot export cap (fact_daily_events,
+    # fact_orders, filtered_lineitems, flatten_nested_structs,
+    # fuzzy_dup_pairs, inverted_postings, json_extract_props,
+    # kmeans_assignments, leakage_safe_splits, quantized_embeddings,
     # salted_segment_event_counts, scaled_prices_by_priority,
     # scd2_order_status_history, split_array_counts, split_hours_range,
     # sql_suppliers_by_nation, temperature_mixture_weights,
@@ -10949,15 +11487,6 @@ _EXPORT_PRIORITY: list[str] = [
     "dim_time",
     "embedding_neardup_ivf",
     "events_date_parts",
-    "fact_daily_events",
-    "fact_orders",
-    "filtered_lineitems",
-    "flatten_nested_structs",
-    "fuzzy_dup_pairs",
-    "inverted_postings",
-    "json_extract_props",
-    "kmeans_assignments",
-    "leakage_safe_splits",
 ]
 
 
