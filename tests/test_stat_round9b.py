@@ -224,3 +224,141 @@ def test_edit_distance_verify_planted_typos(spark):
     got = {(r["doc_a"], r["doc_b"]): r["edit_dist"] for r in out}
     assert got[(1, 2)] == 1 and got[(1, 3)] == 1 and got[(2, 3)] == 2
     assert all(k[1] != 4 and k[0] != 4 for k in got)
+
+
+def test_cohens_d_hand_case(spark):
+    # a = {1, 2, 3}, b = {3, 4, 5}: means 2 and 4, pooled s^2 = 1
+    # (ssa = ssb = 2, df = 4) -> d = -2. Hedges J = 1 - 3/15 = 0.8.
+    rows = [("2024-01-10 00:00:00", float(v)) for v in (1, 2, 3)] + [
+        ("2024-01-20 00:00:00", float(v)) for v in (3, 4, 5)
+    ]
+    df = spark.createDataFrame(rows, "ts string, value double").select(
+        F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    row = ts.cohens_d_drift(df, "ts", "value", "2024-01-16").collect()[0]
+    assert row["mean_a"] == pytest.approx(2.0)
+    assert row["mean_b"] == pytest.approx(4.0)
+    assert row["cohens_d"] == pytest.approx(-2.0)
+    assert row["hedges_g"] == pytest.approx(-1.6)
+    # Degenerate: all values equal -> zero pooled variance -> NULL.
+    rows = [("2024-01-10 00:00:00", 2.0)] * 3 + [
+        ("2024-01-20 00:00:00", 2.0)
+    ] * 3
+    df = spark.createDataFrame(rows, "ts string, value double").select(
+        F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    assert (
+        ts.cohens_d_drift(df, "ts", "value", "2024-01-16").collect()[0][
+            "cohens_d"
+        ]
+        is None
+    )
+
+
+def test_grouped_ranksum_guards_and_direction(spark):
+    # Type "up" shifts upward late (auc < 0.5 means a below b);
+    # type "onesided" has no late rows -> NULL auc/z.
+    rows = (
+        [("up", "2024-01-10 00:00:00", float(v)) for v in (1, 2, 3)]
+        + [("up", "2024-01-20 00:00:00", float(v)) for v in (10, 11, 12)]
+        + [("onesided", "2024-01-10 00:00:00", 5.0)] * 3
+    )
+    df = spark.createDataFrame(
+        rows, "event_type string, ts string, value double"
+    ).select(
+        "event_type", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    out = {
+        r["event_type"]: r
+        for r in ts.grouped_ranksum_drift(
+            df, "event_type", "ts", "value", "2024-01-16"
+        ).collect()
+    }
+    assert out["up"]["auc"] == pytest.approx(0.0)  # complete separation
+    assert out["up"]["z"] < 0
+    assert out["onesided"]["n_b"] == 0
+    assert out["onesided"]["auc"] is None and out["onesided"]["z"] is None
+
+
+def test_chao1_hand_case(spark):
+    # Tokens: a a b c -> counts {a:2, b:1, c:1}: d=3, N=4, f1=2, f2=1.
+    # chao1 = 3 + 2*1/(2*2) = 3.5; unseen = 2/4.
+    df = spark.createDataFrame([("a a b c",)], "text string")
+    row = tx.chao1_richness(df, "text").collect()[0]
+    assert row["n_tokens"] == 4 and row["n_vocab"] == 3
+    assert row["f1"] == 2 and row["f2"] == 1
+    assert row["chao1"] == pytest.approx(3.5)
+    assert row["unseen_mass"] == pytest.approx(0.5)
+    assert row["coverage"] == pytest.approx(0.5)
+
+
+def test_transition_entropy_extremes(spark):
+    from yelp_data_pipeline_spark.operators import behavior as bh
+
+    # Deterministic chain a->b->a->b...: every row has ONE successor
+    # -> entropy 0.
+    rows = [
+        (1, i, "2024-01-01 00:00:%02d" % i, "a" if i % 2 == 0 else "b")
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts string, event_type string"
+    ).select(
+        "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+    )
+    row = bh.transition_entropy(df).collect()[0]
+    assert row["entropy_rate"] == pytest.approx(0.0)
+    assert row["n_transitions"] == 9
+    # Uniform 2-state chain: entropy ~ ln 2 = max_entropy.
+    seq = ["a", "a", "b", "b", "a", "b", "a", "a", "b", "b", "a", "b"]
+    rows = [
+        (1, i, "2024-01-01 00:00:%02d" % i, t) for i, t in enumerate(seq)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts string, event_type string"
+    ).select(
+        "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+    )
+    row = bh.transition_entropy(df).collect()[0]
+    assert 0 < row["entropy_rate"] <= row["max_entropy"] + 1e-9
+
+
+def test_partial_corr_confounder_collapse(spark):
+    # x and y both driven by z (x = z, y = z plus a tiny wiggle):
+    # r_xy ~ 1 but partial r_xy.z collapses toward 0.
+    import itertools
+
+    rows = []
+    wx = itertools.cycle([0.02, -0.01, -0.01])
+    wy = itertools.cycle([-0.01, 0.02, -0.01])
+    for i in range(42):
+        z = float(i)
+        rows.append((z + next(wx), z + next(wy), z))
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    row = agg.partial_corr(df, "x", "y", "z").collect()[0]
+    assert row["r_xy"] > 0.99
+    assert abs(row["partial_r"]) < 0.5
+    # Perfectly collinear x == z -> r_xz = 1 -> NULL partial.
+    rows = [(float(i), float(2 * i), float(i)) for i in range(10)]
+    row = agg.partial_corr(
+        spark.createDataFrame(rows, "x double, y double, z double"),
+        "x", "y", "z",
+    ).collect()[0]
+    assert row["partial_r"] is None
+
+
+def test_levene_bf_spread_difference(spark):
+    # Equal spreads -> F ~ 0; one wide group -> large F.
+    tight = [("a", float(v)) for v in (10, 11, 12, 13)]
+    same = [("b", float(v)) for v in (20, 21, 22, 23)]
+    row = agg.levene_bf(
+        spark.createDataFrame(tight + same, "g string, v double"), "g", "v"
+    ).collect()[0]
+    assert row["f_stat"] == pytest.approx(0.0)
+    wide = [("b", float(v)) for v in (0, 14, 28, 42)]
+    row = agg.levene_bf(
+        spark.createDataFrame(tight + wide, "g string, v double"), "g", "v"
+    ).collect()[0]
+    assert row["f_stat"] > 5.0

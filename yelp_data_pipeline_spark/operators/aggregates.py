@@ -1684,3 +1684,183 @@ def anova_f(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
         ).alias("f_stat"),
         F.when(sst > 0, F.round(ssb / sst, 6)).alias("eta_sq"),
     )
+
+
+def partial_corr(
+    df: DataFrame, x_col: str, y_col: str, z_col: str
+) -> DataFrame:
+    """First-order partial correlation r_xy.z — the correlation of x
+    and y with the linear effect of a confounder z removed:
+    r_xy.z = (r_xy - r_xz*r_yz) / sqrt((1-r_xz^2)(1-r_yz^2)). The
+    causal-sanity companion to the plain/Spearman/Kendall ladder: a
+    strong r_xy that collapses when conditioning on z was z's doing
+    all along (the analyst's first confounder check before trusting
+    a feature pair).
+
+    Exact construction: all three columns become integer cents, the
+    ten sufficient moments (n, S, Q, and the three cross-sums) are
+    EXACT DECIMAL(38,0) sums from ONE combinable aggregate (cross
+    products pass int64 by ~1e9 rows); each pairwise r is the same
+    fixed IEEE sequence as the Pearson query, individually rounded
+    6dp, and the partial is computed FROM THE ROUNDED r's — so the
+    replay needs only the three published r's, not the raw moments.
+    Degenerate cases (any zero variance, or |r_xz| or |r_yz| = 1)
+    yield NULL. One scan, one 1-row aggregate.
+
+    Returns ONE row: (n_rows, r_xy, r_xz, r_yz, partial_r).
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    cents = lambda c: F.floor(  # noqa: E731
+        F.col(c).cast("double") * F.lit(100.0) + F.lit(0.5)
+    ).cast("long")
+    base = df.where(
+        F.col(x_col).isNotNull()
+        & F.col(y_col).isNotNull()
+        & F.col(z_col).isNotNull()
+    ).select(cents(x_col).alias("x"), cents(y_col).alias("y"), cents(z_col).alias("z"))
+    m = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum("z").cast("long").alias("sz"),
+        F.sum(dec(F.col("x")) * dec(F.col("x"))).alias("sxx"),
+        F.sum(dec(F.col("y")) * dec(F.col("y"))).alias("syy"),
+        F.sum(dec(F.col("z")) * dec(F.col("z"))).alias("szz"),
+        F.sum(dec(F.col("x")) * dec(F.col("y"))).alias("sxy"),
+        F.sum(dec(F.col("x")) * dec(F.col("z"))).alias("sxz"),
+        F.sum(dec(F.col("y")) * dec(F.col("z"))).alias("syz"),
+    )
+    n = F.col("n_rows").cast("double")
+
+    def _r(sab, sa, sb, saa, sbb):
+        num = n * F.col(sab).cast("double") - F.col(sa).cast(
+            "double"
+        ) * F.col(sb).cast("double")
+        da = n * F.col(saa).cast("double") - F.col(sa).cast(
+            "double"
+        ) * F.col(sa).cast("double")
+        db = n * F.col(sbb).cast("double") - F.col(sb).cast(
+            "double"
+        ) * F.col(sb).cast("double")
+        return F.when(
+            (da > 0) & (db > 0),
+            F.round(num / (F.sqrt(da) * F.sqrt(db)), 6),
+        )
+
+    withr = m.select(
+        "n_rows",
+        _r("sxy", "sx", "sy", "sxx", "syy").alias("r_xy"),
+        _r("sxz", "sx", "sz", "sxx", "szz").alias("r_xz"),
+        _r("syz", "sy", "sz", "syy", "szz").alias("r_yz"),
+    )
+    den2 = (F.lit(1.0) - F.col("r_xz") * F.col("r_xz")) * (
+        F.lit(1.0) - F.col("r_yz") * F.col("r_yz")
+    )
+    return withr.select(
+        "n_rows",
+        "r_xy",
+        "r_xz",
+        "r_yz",
+        F.when(
+            den2 > 0,
+            F.round(
+                (F.col("r_xy") - F.col("r_xz") * F.col("r_yz"))
+                / F.sqrt(den2),
+                6,
+            ),
+        ).alias("partial_r"),
+    )
+
+
+def levene_bf(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Brown-Forsythe test statistic for equality of spread across
+    groups — the robust companion to anova_f: ANOVA's F compares
+    MEANS and silently assumes equal variances; Brown-Forsythe runs
+    the same F machinery on absolute deviations FROM EACH GROUP'S
+    MEDIAN (Brown & Forsythe 1974 — the median variant is the robust
+    one), answering 'do these categories differ in SPREAD?' — the
+    check that gates pooled-variance assumptions and flags
+    heteroscedastic segments.
+
+    Exact construction: values become integer cents over the
+    domain-bounded cell relation; each group's lower/upper median
+    arrives as min-over-threshold order statistics on the per-group
+    running total (the median_ci move, partitioned by group), and
+    the deviation is the INTEGER |2x - (m1+m2)| (doubling clears the
+    even-n half; the constant cancels in F). The group moments of
+    those integer deviations feed the identical cleared-denominator
+    F pipeline as anova_f: per-group S_g^2/n_g is ONE double
+    division rounded 6dp then DECIMAL(27,6)-summed; everything else
+    exact. Degenerate inputs yield NULL.
+
+    Returns ONE row: (n_rows, k_groups, f_stat).
+    """
+    from pyspark.sql import Window
+
+    cents = F.floor(
+        F.col(value_col).cast("double") * F.lit(100.0) + F.lit(0.5)
+    ).cast("long")
+    cells = (
+        df.where(F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("g"), cents.alias("v"))
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    wg = Window.partitionBy("g").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy("g")
+    cum = cells.withColumn("cum", F.sum("t").over(wg).cast("long")).withColumn(
+        "n_g", F.sum("t").over(wall).cast("long")
+    )
+    r1 = F.floor((F.col("n_g") + 1) / 2).cast("long")
+    r2 = F.floor(F.col("n_g") / 2).cast("long") + F.lit(1)
+    meds = cum.groupBy("g", "n_g").agg(
+        F.min(F.when(F.col("cum") >= r1, F.col("v"))).alias("m1"),
+        F.min(F.when(F.col("cum") >= r2, F.col("v"))).alias("m2"),
+    )
+    dev = cells.join(meds.select("g", "m1", "m2"), "g").select(
+        "g",
+        "t",
+        F.abs(
+            F.lit(2) * F.col("v") - (F.col("m1") + F.col("m2"))
+        ).alias("zv"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    grp = dev.groupBy("g").agg(
+        F.sum("t").cast("long").alias("n_g"),
+        F.sum(F.col("t") * F.col("zv")).cast("long").alias("s_g"),
+        F.sum(dec(F.col("t")) * dec(F.col("zv")) * dec(F.col("zv"))).alias(
+            "q_g"
+        ),
+    )
+    a_term = F.round(
+        (dec(F.col("s_g")) * dec(F.col("s_g"))).cast("double")
+        / F.col("n_g").cast("double"),
+        6,
+    )
+    m = grp.agg(
+        F.sum("n_g").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+        F.sum("s_g").cast("long").alias("__t"),
+        F.sum("q_g").alias("__q"),
+        F.sum(a_term.cast("decimal(27,6)")).alias("__a"),
+    )
+    n = F.col("n_rows").cast("double")
+    k = F.col("k_groups").cast("double")
+    grand = F.round(
+        (dec(F.col("__t")) * dec(F.col("__t"))).cast("double") / n, 6
+    )
+    ssb = F.col("__a").cast("double") - grand
+    ssw = F.col("__q").cast("double") - F.col("__a").cast("double")
+    f_stat = (ssb / (k - F.lit(1.0))) / (ssw / (n - k))
+    return m.select(
+        "n_rows",
+        "k_groups",
+        F.when(
+            (F.col("k_groups") > 1) & (ssw > 0) & (n > k),
+            F.round(f_stat, 6),
+        ).alias("f_stat"),
+    )

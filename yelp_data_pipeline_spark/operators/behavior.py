@@ -214,3 +214,62 @@ def sequence_motifs(
         .orderBy(F.desc("cnt"), F.asc("motif"))
         .limit(top)
     )
+
+
+def transition_entropy(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Entropy rate of the first-order event-type Markov chain — the
+    one-number predictability summary of the event_transitions
+    matrix: H = -sum_ij (c_ij/N) ln(c_ij/c_i.) in nats, the expected
+    per-step surprise under the empirical transition model. Near 0:
+    journeys are deterministic (each type has one dominant
+    successor); near ln(k): the next event is anyone's guess — the
+    number a sessionization or next-event-prediction effort reads
+    FIRST, since it upper-bounds how predictable the stream can be.
+
+    Built on the same deterministic transition counts as
+    event_transitions ((ts, id)-ordered lag per user); row marginals
+    are a window sum over the tiny (from, to) cell relation. Each
+    cell's term has ONE ln on a ratio of exact integers, rounded 6dp
+    then DECIMAL(27,6)-summed (order-free); H is exact decimal cast
+    once. Plan: one user-keyed window shuffle, one tiny cell reduce,
+    then small-relation arithmetic.
+
+    Returns ONE row: (n_transitions, n_states, entropy_rate,
+    max_entropy) — max_entropy = ln(n_states) for the uniform-chain
+    ceiling, one libm call.
+    """
+    from pyspark.sql import Window
+
+    cells = event_transitions(
+        events, user_col, type_col, ts_col, tiebreak_col
+    )
+    wrow = Window.partitionBy("from_type")
+    wall = Window.partitionBy()
+    sized = cells.withColumn(
+        "row_tot", F.sum("cnt").over(wrow).cast("long")
+    ).withColumn("n", F.sum("cnt").over(wall).cast("long"))
+    term = F.round(
+        (F.col("cnt").cast("double") / F.col("n").cast("double"))
+        * F.log(
+            F.col("row_tot").cast("double") / F.col("cnt").cast("double")
+        ),
+        6,
+    )
+    m = sized.groupBy("n").agg(
+        F.count_distinct("from_type").cast("long").alias("n_states"),
+        F.sum(term.cast("decimal(27,6)")).alias("__h"),
+    )
+    return m.select(
+        F.col("n").alias("n_transitions"),
+        "n_states",
+        F.round(F.col("__h").cast("double"), 6).alias("entropy_rate"),
+        F.round(F.log(F.col("n_states").cast("double")), 6).alias(
+            "max_entropy"
+        ),
+    )

@@ -1966,3 +1966,56 @@ def unigram_jsd_to_corpus(
             6,
         ).alias("jsd_bits"),
     ).orderBy(group_col)
+
+
+def chao1_richness(df: DataFrame, text_col: str) -> DataFrame:
+    """Chao1 vocabulary-richness estimate and Good-Turing unseen-mass
+    over the corpus unigram frequency-of-frequencies — the corpus-
+    health question vocab_coverage_curve cannot answer: the curve
+    shows how fast NEW types arrive as tokens accumulate; Chao1
+    estimates how many types EXIST, observed or not (Chao 1984:
+    richness >= d + f1^2/(2*f2), driven by the singleton/doubleton
+    ratio), and Good-Turing's f1/N is the probability the NEXT token
+    is an unseen type — the held-out-surprise number an LM-data
+    curator reads before declaring a corpus 'covered'.
+
+    Bias-corrected Chao1 form d + f1*(f1-1)/(2*(f2+1)) stays defined
+    at f2 = 0. Every input is an exact int64 (type count d, token
+    count N, singleton f1, doubleton f2 — from one groupBy(word) and
+    one 1-row rollup); each output is ONE double division on exact
+    integers, 6dp. Plan: one token explode + word groupBy (the same
+    shuffle every vocab query pays), then a combinable 1-row
+    aggregate — scan-bound at any scale.
+
+    Returns ONE row:
+    (n_tokens, n_vocab, f1, f2, chao1, unseen_mass, coverage).
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    counts = (
+        df.select(F.explode(toks).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    m = counts.agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_vocab"),
+        F.sum((F.col("c") == 1).cast("int")).cast("long").alias("f1"),
+        F.sum((F.col("c") == 2).cast("int")).cast("long").alias("f2"),
+    )
+    f1 = F.col("f1").cast("double")
+    f2 = F.col("f2").cast("double")
+    unseen = f1 / F.col("n_tokens").cast("double")
+    return m.select(
+        "n_tokens",
+        "n_vocab",
+        "f1",
+        "f2",
+        F.round(
+            F.col("n_vocab").cast("double")
+            + f1 * (f1 - F.lit(1.0)) / (F.lit(2.0) * (f2 + F.lit(1.0))),
+            6,
+        ).alias("chao1"),
+        F.round(unseen, 6).alias("unseen_mass"),
+        F.round(F.lit(1.0) - unseen, 6).alias("coverage"),
+    )

@@ -1173,3 +1173,167 @@ def kaplan_meier_gaps(
         .where(F.col("n_events") > 0)
         .orderBy("t_days")
     )
+
+
+def cohens_d_drift(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    cutoff: str,
+) -> DataFrame:
+    """Cohen's d (and the small-sample Hedges' g correction) between
+    the value distributions before/after ``cutoff`` — the PARAMETRIC
+    effect size that completes the drift battery's effect-size pair:
+    the rank-sum AUC is the distribution-free probability of
+    superiority; d states the mean shift in pooled-standard-deviation
+    units, the number power analyses and monitoring runbooks quote
+    (0.2 small / 0.5 medium / 0.8 large).
+
+    Exact construction: integer-cents moments (n, S, Q) per window
+    from ONE combinable aggregate — Q in DECIMAL(38,0) (x^2 sums pass
+    int64 near 1e11 rows); (n-1)*s^2 = (n*Q - S^2)/n keeps every
+    product exact, so the pooled variance and d are a short fixed
+    IEEE sequence on exact integers, 6dp. Hedges' J = 1 - 3/(4*df-1)
+    is rational. Degenerate windows (n < 2 either side, or zero
+    pooled variance) yield NULL d rather than a division blow-up.
+
+    Returns ONE row:
+    (n_a, n_b, mean_a, mean_b, cohens_d, hedges_g).
+    """
+    cents = F.floor(
+        F.col(value_col).cast("double") * F.lit(100.0) + F.lit(0.5)
+    ).cast("long")
+    is_a = (F.col(ts_col) < F.lit(cutoff).cast("timestamp")).cast("int")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    base = df.where(F.col(value_col).isNotNull()).select(
+        cents.alias("x"), is_a.alias("a")
+    )
+    m = base.agg(
+        F.sum("a").cast("long").alias("n_a"),
+        F.sum(F.lit(1) - F.col("a")).cast("long").alias("n_b"),
+        F.sum(F.col("a") * F.col("x")).cast("long").alias("s_a"),
+        F.sum((F.lit(1) - F.col("a")) * F.col("x")).cast("long").alias("s_b"),
+        F.sum(dec(F.col("a")) * dec(F.col("x")) * dec(F.col("x"))).alias(
+            "q_a"
+        ),
+        F.sum(
+            dec(F.lit(1) - F.col("a")) * dec(F.col("x")) * dec(F.col("x"))
+        ).alias("q_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ssa = (
+        dec(F.col("n_a")) * F.col("q_a") - dec(F.col("s_a")) * dec(F.col("s_a"))
+    ).cast("double") / na
+    ssb = (
+        dec(F.col("n_b")) * F.col("q_b") - dec(F.col("s_b")) * dec(F.col("s_b"))
+    ).cast("double") / nb
+    df_pool = na + nb - F.lit(2.0)
+    s2p = (ssa + ssb) / df_pool
+    d = (
+        F.col("s_a").cast("double") / na - F.col("s_b").cast("double") / nb
+    ) / F.sqrt(s2p)
+    j = F.lit(1.0) - F.lit(3.0) / (F.lit(4.0) * df_pool - F.lit(1.0))
+    ok = (F.col("n_a") > 1) & (F.col("n_b") > 1)
+    return m.select(
+        "n_a",
+        "n_b",
+        F.round(F.col("s_a").cast("double") / na / F.lit(100.0), 6).alias(
+            "mean_a"
+        ),
+        F.round(F.col("s_b").cast("double") / nb / F.lit(100.0), 6).alias(
+            "mean_b"
+        ),
+        F.when(ok & (s2p > 0), F.round(d, 6)).alias("cohens_d"),
+        F.when(ok & (s2p > 0), F.round(j * d, 6)).alias("hedges_g"),
+    )
+
+
+def grouped_ranksum_drift(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    cutoff: str,
+) -> DataFrame:
+    """Per-group Mann-Whitney drift scan: the rank-sum AUC and
+    tie-corrected z for EVERY group's early-vs-late value
+    distribution — the triage view over event_value_ranksum_drift's
+    single global test: when the corpus-level number moves, this
+    says WHICH event types carry the shift (and catches
+    offsetting per-type drifts the global test averages away).
+
+    Same exact construction as ranksum_drift, with every window and
+    aggregate partitioned by group: integer-cents cells bound the
+    per-group ordered window by the value DOMAIN, 2*R_a and the tie
+    correction stay in DECIMAL(38,0)/HUGEINT, and auc/z are fixed
+    IEEE sequences on exact integers. Groups with an empty window on
+    either side (or zero variance — all values tied) yield NULL
+    auc/z rather than a 0/0; their counts still report.
+
+    Returns (group, n_a, n_b, auc, z) ordered by group.
+    """
+    from pyspark.sql import Window
+
+    cents = F.floor(
+        F.col(value_col).cast("double") * F.lit(100.0) + F.lit(0.5)
+    ).cast("long")
+    is_a = F.col(ts_col) < F.lit(cutoff).cast("timestamp")
+    cells = (
+        df.where(F.col(value_col).isNotNull())
+        .select(
+            F.col(group_col).alias("g"),
+            cents.alias("v"),
+            is_a.cast("int").alias("a"),
+        )
+        .groupBy("g", "v")
+        .agg(
+            F.count(F.lit(1)).alias("t"),
+            F.sum("a").cast("long").alias("t_a"),
+        )
+    )
+    w = Window.partitionBy("g").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = cells.withColumn(
+        "cb", F.coalesce(F.sum("t").over(w), F.lit(0))
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    out = ranked.groupBy("g").agg(
+        F.sum("t_a").cast("long").alias("n_a"),
+        (F.sum("t") - F.sum("t_a")).cast("long").alias("n_b"),
+        F.sum(
+            dec(F.col("t_a"))
+            * (F.lit(2) * dec(F.col("cb")) + dec(F.col("t")) + F.lit(1))
+        ).alias("__r2a"),
+        F.sum(
+            dec(F.col("t")) * dec(F.col("t")) * dec(F.col("t"))
+            - dec(F.col("t"))
+        ).alias("__ties"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    n = na + nb
+    u2 = F.col("__r2a") - dec(F.col("n_a")) * (dec(F.col("n_a")) + F.lit(1))
+    sigma2 = (
+        na * nb / F.lit(12.0)
+        * (
+            (n + F.lit(1.0))
+            - F.col("__ties").cast("double") / (n * (n - F.lit(1.0)))
+        )
+    )
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return out.select(
+        F.col("g").alias(group_col),
+        "n_a",
+        "n_b",
+        F.when(
+            ok, F.round(u2.cast("double") / F.lit(2.0) / (na * nb), 6)
+        ).alias("auc"),
+        F.when(
+            ok & (sigma2 > 0),
+            F.round(
+                (u2.cast("double") - na * nb)
+                / (F.lit(2.0) * F.sqrt(sigma2)),
+                6,
+            ),
+        ).alias("z"),
+    ).orderBy(group_col)

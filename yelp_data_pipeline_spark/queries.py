@@ -11406,6 +11406,355 @@ def q_customer_name_edit_pairs(spark, sf_dir):
     return dd.edit_distance_verify(pairs, c, "c_custkey", "c_name", 2)
 
 
+
+
+@_q(
+    "event_value_cohens_d",
+    """
+WITH base AS (
+  SELECT CAST(FLOOR(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS x,
+         CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS a
+  FROM events WHERE value IS NOT NULL
+),
+m AS (
+  SELECT CAST(sum(a) AS BIGINT) AS n_a,
+         CAST(sum(1 - a) AS BIGINT) AS n_b,
+         CAST(sum(a * x) AS BIGINT) AS s_a,
+         CAST(sum((1 - a) * x) AS BIGINT) AS s_b,
+         sum(CAST(a AS HUGEINT) * CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS q_a,
+         sum(CAST(1 - a AS HUGEINT) * CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS q_b
+  FROM base
+),
+x2 AS (
+  SELECT n_a, n_b,
+         CAST(CAST(n_a AS HUGEINT) * q_a - CAST(s_a AS HUGEINT) * CAST(s_a AS HUGEINT) AS DOUBLE)
+           / CAST(n_a AS DOUBLE) AS ssa,
+         CAST(CAST(n_b AS HUGEINT) * q_b - CAST(s_b AS HUGEINT) * CAST(s_b AS HUGEINT) AS DOUBLE)
+           / CAST(n_b AS DOUBLE) AS ssb,
+         CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+         CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+         CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - CAST(2.0 AS DOUBLE) AS dfree
+  FROM m
+)
+SELECT n_a, n_b,
+       round(ma / CAST(100.0 AS DOUBLE), 6) AS mean_a,
+       round(mb / CAST(100.0 AS DOUBLE), 6) AS mean_b,
+       CASE WHEN n_a > 1 AND n_b > 1 AND (ssa + ssb) / dfree > 0 THEN
+         round((ma - mb) / sqrt((ssa + ssb) / dfree), 6) END AS cohens_d,
+       CASE WHEN n_a > 1 AND n_b > 1 AND (ssa + ssb) / dfree > 0 THEN
+         round((CAST(1.0 AS DOUBLE) - CAST(3.0 AS DOUBLE) / (CAST(4.0 AS DOUBLE) * dfree - CAST(1.0 AS DOUBLE)))
+               * ((ma - mb) / sqrt((ssa + ssb) / dfree)), 6) END AS hedges_g
+FROM x2
+""",
+    doc="Cohen's d and Hedges' g between the early/late event-value "
+    "windows (operators/timeseries.py:cohens_d_drift) — the "
+    "parametric effect size completing the drift battery's pair: "
+    "rank-sum AUC is the distribution-free probability of "
+    "superiority; d is the mean shift in pooled-SD units that power "
+    "analyses and runbooks quote. Exact integer-cents moments from "
+    "ONE combinable aggregate (Q in DECIMAL/HUGEINT); "
+    "(n-1)s^2 = (nQ - S^2)/n keeps every product exact; d and the "
+    "rational Hedges correction are short fixed IEEE sequences, "
+    "NULL-guarded for degenerate windows.",
+)
+def q_event_value_cohens_d(spark, sf_dir):
+    return ts_ops.cohens_d_drift(
+        _t(spark, sf_dir, "events"), "ts", "value", "2024-01-16"
+    )
+
+
+@_q(
+    "event_type_ranksum_scan",
+    """
+WITH cells AS (
+  SELECT event_type AS g,
+         CAST(FLOOR(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS v,
+         count(*) AS t,
+         CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS BIGINT) AS t_a
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+ranked AS (
+  SELECT g, v, t, t_a,
+         COALESCE(CAST(sum(t) OVER (PARTITION BY g ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cb
+  FROM cells
+),
+a AS (
+  SELECT g,
+         CAST(sum(t_a) AS BIGINT) AS n_a,
+         CAST(sum(t) - sum(t_a) AS BIGINT) AS n_b,
+         sum(CAST(t_a AS HUGEINT)
+             * (2 * CAST(cb AS HUGEINT) + CAST(t AS HUGEINT) + 1)) AS r2a,
+         sum(CAST(t AS HUGEINT) * CAST(t AS HUGEINT) * CAST(t AS HUGEINT)
+             - CAST(t AS HUGEINT)) AS ties
+  FROM ranked GROUP BY 1
+)
+SELECT g AS event_type, n_a, n_b,
+       CASE WHEN n_a > 0 AND n_b > 0 THEN
+         round(CAST(r2a - CAST(n_a AS HUGEINT) * (CAST(n_a AS HUGEINT) + 1) AS DOUBLE)
+               / CAST(2.0 AS DOUBLE)
+               / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) END AS auc,
+       CASE WHEN n_a > 0 AND n_b > 0
+                 AND CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / CAST(12.0 AS DOUBLE)
+                     * ((CAST(n_a + n_b AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                        - CAST(ties AS DOUBLE)
+                          / (CAST(n_a + n_b AS DOUBLE)
+                             * (CAST(n_a + n_b AS DOUBLE) - CAST(1.0 AS DOUBLE)))) > 0 THEN
+         round((CAST(r2a - CAST(n_a AS HUGEINT) * (CAST(n_a AS HUGEINT) + 1) AS DOUBLE)
+                - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+               / (CAST(2.0 AS DOUBLE)
+                  * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / CAST(12.0 AS DOUBLE)
+                         * ((CAST(n_a + n_b AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                            - CAST(ties AS DOUBLE)
+                              / (CAST(n_a + n_b AS DOUBLE)
+                                 * (CAST(n_a + n_b AS DOUBLE) - CAST(1.0 AS DOUBLE)))))),
+               6) END AS z
+FROM a ORDER BY event_type
+""",
+    doc="Per-event-type Mann-Whitney drift scan, early vs late window "
+    "(operators/timeseries.py:grouped_ranksum_drift) — the triage "
+    "view over event_value_ranksum_drift's single global test: says "
+    "WHICH types carry a corpus-level shift and catches offsetting "
+    "per-type drifts the global number averages away. Identical "
+    "exact construction with every window/aggregate partitioned by "
+    "type (domain-bounded cents cells, DECIMAL/HUGEINT rank sums, "
+    "fixed IEEE auc/z), NULL-guarded for one-sided or all-tied "
+    "groups. One scan, one (type,cell) shuffle, one per-type "
+    "ordered window over cells.",
+)
+def q_event_type_ranksum_scan(spark, sf_dir):
+    return ts_ops.grouped_ranksum_drift(
+        _t(spark, sf_dir, "events"), "event_type", "ts", "value",
+        "2024-01-16",
+    )
+
+
+@_q(
+    "vocab_chao1_richness",
+    """
+WITH counts AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        FROM documents)
+  WHERE w <> ''
+  GROUP BY 1
+),
+m AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_vocab,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+  FROM counts
+)
+SELECT n_tokens, n_vocab, f1, f2,
+       round(CAST(n_vocab AS DOUBLE)
+             + CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - CAST(1.0 AS DOUBLE))
+               / (CAST(2.0 AS DOUBLE) * (CAST(f2 AS DOUBLE) + CAST(1.0 AS DOUBLE))), 6) AS chao1,
+       round(CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS unseen_mass,
+       round(CAST(1.0 AS DOUBLE) - CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS coverage
+FROM m
+""",
+    doc="Chao1 vocabulary-richness estimate plus Good-Turing unseen "
+    "mass over the corpus unigram frequency-of-frequencies "
+    "(operators/textops.py:chao1_richness) — vocab_coverage_curve "
+    "shows how fast new types arrive; Chao1 (d + f1(f1-1)/(2(f2+1)), "
+    "bias-corrected, defined at f2=0) estimates how many types "
+    "EXIST, and f1/N is the probability the next token is unseen "
+    "(Good-Turing) — the coverage number an LM-data curator reads. "
+    "One token explode + word groupBy (the shuffle every vocab query "
+    "pays), one combinable 1-row rollup; every output ONE double "
+    "division on exact int64s.",
+)
+def q_vocab_chao1_richness(spark, sf_dir):
+    return tx.chao1_richness(_t(spark, sf_dir, "documents"), "text")
+
+
+@_q(
+    "event_transition_entropy",
+    """
+WITH cells AS (
+  SELECT from_type, to_type, count(*) AS cnt FROM (
+    SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS from_type,
+           event_type AS to_type
+    FROM events)
+  WHERE from_type IS NOT NULL
+  GROUP BY 1, 2
+),
+sized AS (
+  SELECT cnt,
+         CAST(sum(cnt) OVER (PARTITION BY from_type) AS BIGINT) AS row_tot,
+         CAST(sum(cnt) OVER () AS BIGINT) AS n,
+         from_type
+  FROM cells
+),
+m AS (
+  SELECT n,
+         CAST(count(DISTINCT from_type) AS BIGINT) AS n_states,
+         sum(CAST(round((CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE))
+                        * ln(CAST(row_tot AS DOUBLE) / CAST(cnt AS DOUBLE)), 6)
+                  AS DECIMAL(27,6))) AS h
+  FROM sized GROUP BY 1
+)
+SELECT n AS n_transitions, n_states,
+       round(CAST(h AS DOUBLE), 6) AS entropy_rate,
+       round(ln(CAST(n_states AS DOUBLE)), 6) AS max_entropy
+FROM m
+""",
+    doc="Entropy rate (nats) of the first-order event-type Markov "
+    "chain (operators/behavior.py:transition_entropy) — the "
+    "one-number predictability ceiling over the event_transitions "
+    "matrix: near 0 = deterministic journeys, near ln(k) = the next "
+    "event is anyone's guess; the number to read before investing "
+    "in next-event prediction or session models. Deterministic "
+    "(ts,id)-ordered transitions; row marginals are window sums over "
+    "the tiny (from,to) cell relation; each term has ONE ln on a "
+    "ratio of exact integers, 6dp-rounded then DECIMAL(27,6)-summed "
+    "(order-free). One user-keyed window shuffle, one tiny reduce.",
+)
+def q_event_transition_entropy(spark, sf_dir):
+    from .operators import behavior as bh
+
+    return bh.transition_entropy(_t(spark, sf_dir, "events"))
+
+
+@_q(
+    "price_quantity_partial_corr",
+    """
+WITH base AS (
+  SELECT CAST(FLOOR(CAST(l_extendedprice AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS x,
+         CAST(FLOOR(CAST(l_quantity AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS y,
+         CAST(FLOOR(CAST(l_discount AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS z
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL AND l_discount IS NOT NULL
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, CAST(sum(z) AS BIGINT) AS sz,
+         sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+         sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy,
+         sum(CAST(z AS HUGEINT) * CAST(z AS HUGEINT)) AS szz,
+         sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+         sum(CAST(x AS HUGEINT) * CAST(z AS HUGEINT)) AS sxz,
+         sum(CAST(y AS HUGEINT) * CAST(z AS HUGEINT)) AS syz
+  FROM base
+),
+r AS (
+  SELECT n_rows,
+         CASE WHEN (CAST(n_rows AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                   AND (CAST(n_rows AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0 THEN
+           round((CAST(n_rows AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(n_rows AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n_rows AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) END AS r_xy,
+         CASE WHEN (CAST(n_rows AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                   AND (CAST(n_rows AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)) > 0 THEN
+           round((CAST(n_rows AS DOUBLE) * CAST(sxz AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
+                 / (sqrt(CAST(n_rows AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n_rows AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))), 6) END AS r_xz,
+         CASE WHEN (CAST(n_rows AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                   AND (CAST(n_rows AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)) > 0 THEN
+           round((CAST(n_rows AS DOUBLE) * CAST(syz AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE))
+                 / (sqrt(CAST(n_rows AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                    * sqrt(CAST(n_rows AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))), 6) END AS r_yz
+  FROM m
+)
+SELECT n_rows, r_xy, r_xz, r_yz,
+       CASE WHEN (CAST(1.0 AS DOUBLE) - r_xz * r_xz) * (CAST(1.0 AS DOUBLE) - r_yz * r_yz) > 0 THEN
+         round((r_xy - r_xz * r_yz)
+               / sqrt((CAST(1.0 AS DOUBLE) - r_xz * r_xz) * (CAST(1.0 AS DOUBLE) - r_yz * r_yz)), 6)
+       END AS partial_r
+FROM r
+""",
+    doc="Partial correlation of extended price and quantity "
+    "controlling for discount (operators/aggregates.py:"
+    "partial_corr) — the confounder check completing the "
+    "correlation ladder (Pearson/Spearman/Kendall): a pairwise r "
+    "that collapses under conditioning was the third variable's "
+    "doing. Ten exact DECIMAL/HUGEINT cents moments from ONE "
+    "combinable aggregate; each pairwise r is the Pearson fixed "
+    "IEEE sequence rounded 6dp, and the partial is computed FROM "
+    "the rounded r's so the replay needs only the published "
+    "numbers. NULL-guarded at zero variance or |r| = 1.",
+)
+def q_price_quantity_partial_corr(spark, sf_dir):
+    return agg.partial_corr(
+        _t(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        "l_quantity",
+        "l_discount",
+    )
+
+
+@_q(
+    "event_value_levene",
+    """
+WITH cells AS (
+  SELECT event_type AS g,
+         CAST(FLOOR(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS v,
+         CAST(count(*) AS BIGINT) AS t
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+cum AS (
+  SELECT g, v, t,
+         CAST(sum(t) OVER (PARTITION BY g ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(sum(t) OVER (PARTITION BY g) AS BIGINT) AS n_g
+  FROM cells
+),
+meds AS (
+  SELECT g, n_g,
+         min(CASE WHEN cum >= CAST(FLOOR((CAST(n_g AS DOUBLE) + 1) / 2.0) AS BIGINT) THEN v END) AS m1,
+         min(CASE WHEN cum >= CAST(FLOOR(CAST(n_g AS DOUBLE) / 2.0) AS BIGINT) + 1 THEN v END) AS m2
+  FROM cum GROUP BY 1, 2
+),
+dev AS (
+  SELECT c.g, c.t, abs(2 * c.v - (m.m1 + m.m2)) AS zv
+  FROM cells c JOIN meds m ON c.g = m.g
+),
+grp AS (
+  SELECT g, CAST(sum(t) AS BIGINT) AS n_g,
+         CAST(sum(t * zv) AS BIGINT) AS s_g,
+         sum(CAST(t AS HUGEINT) * CAST(zv AS HUGEINT) * CAST(zv AS HUGEINT)) AS q_g
+  FROM dev GROUP BY 1
+),
+m AS (
+  SELECT CAST(sum(n_g) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS k_groups,
+         sum(CAST(s_g AS HUGEINT)) AS t,
+         sum(q_g) AS q,
+         sum(CAST(round(CAST(CAST(s_g AS HUGEINT) * CAST(s_g AS HUGEINT) AS DOUBLE)
+                        / CAST(n_g AS DOUBLE), 6) AS DECIMAL(27,6))) AS a
+  FROM grp
+),
+x AS (
+  SELECT n_rows, k_groups,
+         CAST(a AS DOUBLE) AS ad, CAST(q AS DOUBLE) AS qd,
+         round(CAST(t * t AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS grand
+  FROM m
+)
+SELECT n_rows, k_groups,
+       CASE WHEN k_groups > 1 AND (qd - ad) > 0 AND n_rows > k_groups THEN
+         round(((ad - grand) / (CAST(k_groups AS DOUBLE) - CAST(1.0 AS DOUBLE)))
+               / ((qd - ad) / (CAST(n_rows AS DOUBLE) - CAST(k_groups AS DOUBLE))), 6)
+       END AS f_stat
+FROM x
+""",
+    doc="Brown-Forsythe (median-based Levene) test for equality of "
+    "event-value spread across event types (operators/aggregates.py:"
+    "levene_bf) — anova_f compares MEANS under an equal-variance "
+    "assumption; this runs the same F machinery on absolute "
+    "deviations from each group's MEDIAN (the robust 1974 variant), "
+    "flagging heteroscedastic segments and gating pooled-variance "
+    "use. Per-group medians are min-over-threshold order statistics "
+    "on the domain-bounded cents-cell relation; deviations stay "
+    "INTEGER via |2x - (m1+m2)| (the doubling cancels in F); then "
+    "the identical cleared-denominator F pipeline as anova_f. One "
+    "scan, one (type,cell) shuffle, bounded windows.",
+)
+def q_event_value_levene(spark, sf_dir):
+    return agg.levene_bf(_t(spark, sf_dir, "events"), "event_type", "value")
+
+
 # --------------------------------------------------------------------------
 # Registry exports (driver contract)
 # --------------------------------------------------------------------------
@@ -11452,6 +11801,12 @@ _EXPORT_PRIORITY: list[str] = [
     "source_unigram_jsd",
     "quality_gate_kappa",
     "customer_name_edit_pairs",
+    "event_value_cohens_d",
+    "event_type_ranksum_scan",
+    "vocab_chao1_richness",
+    "event_transition_entropy",
+    "price_quantity_partial_corr",
+    "event_value_levene",
     # Stalest verdicts (last seen round 3) — refresh:
     "order_price_percent_rank",
     "price_quantiles_by_priority",
@@ -11460,8 +11815,10 @@ _EXPORT_PRIORITY: list[str] = [
     "shipping_priority_top10",
     "token_stats",
     "top_orders_with_ties",
-    # Round-4-stale refreshes (oldest-first rotation). The 22 names
-    # past the 50-slot export cap (fact_daily_events,
+    # Round-4-stale refreshes (oldest-first rotation). The 28 names
+    # past the 50-slot export cap (detect_parse_json_props,
+    # dict_encode_part_types, dim_customer, dim_time,
+    # embedding_neardup_ivf, events_date_parts, fact_daily_events,
     # fact_orders, filtered_lineitems, flatten_nested_structs,
     # fuzzy_dup_pairs, inverted_postings, json_extract_props,
     # kmeans_assignments, leakage_safe_splits, quantized_embeddings,
@@ -11481,12 +11838,6 @@ _EXPORT_PRIORITY: list[str] = [
     "dates_intersect",
     "dedup_clusters_star",
     "dedup_keep_best_docs",
-    "detect_parse_json_props",
-    "dict_encode_part_types",
-    "dim_customer",
-    "dim_time",
-    "embedding_neardup_ivf",
-    "events_date_parts",
 ]
 
 
