@@ -122,6 +122,22 @@ EXTRAS = [
     "corpus_health_report",
     "event_type_burstiness",
     "supplier_graph_assortativity",
+    # round 9, late additions
+    "event_value_ks_drift",
+    "daily_event_ewma",
+    "customer_order_survival",
+    "priority_status_cramers_v",
+    "nation_customer_hhi",
+    "event_value_anova_f",
+    "source_unigram_jsd",
+    "quality_gate_kappa",
+    "customer_name_edit_pairs",
+    "event_value_cohens_d",
+    "event_type_ranksum_scan",
+    "vocab_chao1_richness",
+    "event_transition_entropy",
+    "price_quantity_partial_corr",
+    "event_value_levene",
 ]
 
 
