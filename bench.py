@@ -138,6 +138,11 @@ EXTRAS = [
     "event_transition_entropy",
     "price_quantity_partial_corr",
     "event_value_levene",
+    "word_burstiness",
+    "doc_length_moments",
+    "supplier_graph_clustering",
+    "nation_customer_pareto",
+    "event_interarrival_burstiness",
 ]
 
 

@@ -362,3 +362,109 @@ def test_levene_bf_spread_difference(spark):
         spark.createDataFrame(tight + wide, "g string, v double"), "g", "v"
     ).collect()[0]
     assert row["f_stat"] > 5.0
+
+
+def test_word_burstiness_shapes(spark):
+    # "even" appears once in every doc (Fano < 1, sub-Poisson);
+    # "bursty" appears 4x in one doc only (Fano > 1).
+    rows = [
+        (1, "even bursty bursty bursty bursty"),
+        (2, "even filler"),
+        (3, "even filler"),
+        (4, "even filler"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["word"]: r
+        for r in tx.word_burstiness_topk(df, "doc_id", "text", k=10).collect()
+    }
+    # even: c=1 in 4/4 docs -> var 0 -> fano 0.
+    assert out["even"]["fano"] == pytest.approx(0.0)
+    assert out["even"]["doc_freq"] == 4
+    # bursty: T=4, Q=16, D=4 -> (4*16-16)/(4*4) = 3.
+    assert out["bursty"]["fano"] == pytest.approx(3.0)
+
+
+def test_doc_length_moments_symmetric(spark):
+    # Symmetric lengths {1,2,3}x2 -> skewness 0; uniform-ish kurtosis.
+    rows = [(1,), (2,), (3,), (1,), (2,), (3,)]
+    df = spark.createDataFrame(rows, "n long")
+    row = tx.doc_length_moments(df, "n").collect()[0]
+    assert row["mean_len"] == pytest.approx(2.0)
+    assert row["skewness"] == pytest.approx(0.0)
+    # Population m2 = 2/3, m4 = 2/3*... for {-1,0,1}: m2=2/3, m4=2/3
+    # kurt = (2/3)/(4/9) - 3 = 1.5 - 3 = -1.5
+    assert row["excess_kurtosis"] == pytest.approx(-1.5)
+    # Constant lengths -> NULL shape stats.
+    row = tx.doc_length_moments(
+        spark.createDataFrame([(5,)] * 4, "n long"), "n"
+    ).collect()[0]
+    assert row["sd_len"] is None and row["skewness"] is None
+
+
+def test_global_clustering_triangle_vs_path(spark):
+    from yelp_data_pipeline_spark.operators import graph as g
+
+    # A triangle: 3 wedges, 1 triangle -> C = 1.
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "a long, b long"
+    )
+    row = g.global_clustering(tri, "a", "b").collect()[0]
+    assert row["n_triangles"] == 1 and row["n_wedges"] == 3
+    assert row["c"] == pytest.approx(1.0)
+    # A path a-b-c: 1 wedge, 0 triangles -> C = 0.
+    path = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    row = g.global_clustering(path, "a", "b").collect()[0]
+    assert row["n_triangles"] == 0 and row["n_wedges"] == 1
+    assert row["c"] == pytest.approx(0.0)
+    # A single edge: no wedges -> NULL.
+    edge = spark.createDataFrame([(1, 2)], "a long, b long")
+    assert g.global_clustering(edge, "a", "b").collect()[0]["c"] is None
+
+
+def test_pareto_by_group_hand_case(spark):
+    # g1: spends 80, 10, 5, 5 -> top-1 covers exactly 80% -> n_top80=1.
+    # Top decile k = ceil(4/10) = 1 -> share 0.8.
+    rows = [
+        ("g1", 1, 80.0), ("g1", 2, 10.0), ("g1", 3, 5.0), ("g1", 4, 5.0),
+        # g2: uniform 4x25 -> n_top80 = 4 (cum hits 80% only at rank 4
+        # since 75 < 80), decile share 0.25.
+        ("g2", 1, 25.0), ("g2", 2, 25.0), ("g2", 3, 25.0), ("g2", 4, 25.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, e long, v double")
+    out = {
+        r["g"]: r for r in agg.pareto_by_group(df, "g", "e", "v").collect()
+    }
+    assert out["g1"]["n_top80"] == 1
+    assert out["g1"]["top80_fraction"] == pytest.approx(0.25)
+    assert out["g1"]["top_decile_share"] == pytest.approx(0.8)
+    assert out["g2"]["n_top80"] == 4
+    assert out["g2"]["top_decile_share"] == pytest.approx(0.25)
+
+
+def test_interarrival_burstiness_shapes(spark):
+    from yelp_data_pipeline_spark.operators import behavior as bh
+
+    # Periodic gaps (all equal) -> sigma 0 -> B = -1.
+    rows = [
+        ("tick", 1, i, "2024-01-01 00:00:%02d" % (i * 10)) for i in range(6)
+    ]
+    # Bursty: five events in 1s then one 50s later (one user).
+    rows += [
+        ("burst", 2, i, "2024-01-01 00:00:%02d" % s)
+        for i, s in enumerate((0, 1, 2, 3, 4, 54))
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, user_id long, event_id long, ts string"
+    ).select(
+        "event_type", "user_id", "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    out = {
+        r["event_type"]: r
+        for r in bh.interarrival_burstiness(df).collect()
+    }
+    assert out["tick"]["burstiness"] == pytest.approx(-1.0)
+    assert out["tick"]["mean_gap_s"] == pytest.approx(10.0)
+    # gaps {1,1,1,1,50}: mu=10.8, sigma=19.6 -> B = 8.8/30.4 ~ 0.289
+    assert out["burst"]["burstiness"] == pytest.approx(0.289474, abs=1e-5)

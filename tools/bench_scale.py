@@ -627,6 +627,71 @@ def main_r9(replicas: int) -> int:
     return 0
 
 
+# ``--r9b`` mode: the late round-9 statistical tier.
+# (a) Fact-side native 10x (sf0.01 -> sf0.1): the drift battery
+#     additions (KS / Cohen's d / per-type rank-sum scan), the
+#     between-groups tests (ANOVA, Brown-Forsythe, Cramér's V,
+#     partial correlation), survival, HHI, transition entropy, EWMA,
+#     and the SNM+Levenshtein ER pass. Every one is scan-bound work
+#     plus arithmetic on a domain-bounded cell relation (cents cells,
+#     contingency cells, gap days, transition cells) — expected
+#     ~linear-or-flat; the ER pass is n*w pairs, expected ~linear.
+# (b) Docs 25x replicas: JSD (cell relation ~ vocab x sources,
+#     sublinear), Chao1 (one word groupBy), kappa (two scans of
+#     per-doc Catalyst expressions) — expected well under 25.
+R9B_FACT_FAMILY = [
+    "event_value_ks_drift",
+    "event_value_cohens_d",
+    "event_type_ranksum_scan",
+    "event_value_anova_f",
+    "event_value_levene",
+    "priority_status_cramers_v",
+    "price_quantity_partial_corr",
+    "customer_order_survival",
+    "nation_customer_hhi",
+    "event_transition_entropy",
+    "daily_event_ewma",
+    "customer_name_edit_pairs",
+]
+
+R9B_DOC_FAMILY = [
+    "source_unigram_jsd",
+    "vocab_chao1_richness",
+    "quality_gate_kappa",
+]
+
+
+def main_r9b(replicas: int) -> int:
+    spark = get_spark("bench_scale_r9b")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = queries()
+
+    qs["event_value_ks_drift"](spark, "/root/testdata/sf0.01").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    release_tracked()
+
+    fact_base = run_family(spark, qs, "/root/testdata/sf0.01", R9B_FACT_FAMILY)
+    fact_scaled = run_family(spark, qs, BASE_SF, R9B_FACT_FAMILY)
+
+    docs_dir = build_scaled(spark, replicas)
+    doc_base = run_family(spark, qs, BASE_SF, R9B_DOC_FAMILY)
+    doc_scaled = run_family(spark, qs, docs_dir, R9B_DOC_FAMILY)
+
+    def ratios(b, s):
+        return {k: round(s[k] / b[k], 2) for k in b if b[k] > 0}
+
+    print(json.dumps({
+        "metric": "r9b_family_scale",
+        "unit": "sec",
+        "fact_10x": {"base_sf0.01": fact_base, "sf0.1": fact_scaled,
+                     "ratio": ratios(fact_base, fact_scaled)},
+        "docs_%dx" % replicas: {"base": doc_base, "scaled": doc_scaled,
+                                "ratio": ratios(doc_base, doc_scaled)},
+    }))
+    return 0
+
+
 # ``--tpch`` family: the fact-side TPC-H analogs. Unlike the doc/emb
 # families these scale with SF natively (lineitem/orders grow with the
 # fixture scale factor), so the scale point is sf0.01 → sf0.1 (10×
@@ -692,6 +757,8 @@ def main() -> int:
         return main_r8(replicas)
     if "--r9" in sys.argv:
         return main_r9(replicas)
+    if "--r9b" in sys.argv:
+        return main_r9b(replicas)
     spark = get_spark("bench_scale")
     spark.sparkContext.setLogLevel("ERROR")
     qs = queries()

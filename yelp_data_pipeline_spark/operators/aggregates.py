@@ -1864,3 +1864,92 @@ def levene_bf(
             F.round(f_stat, 6),
         ).alias("f_stat"),
     )
+
+
+def pareto_by_group(
+    df: DataFrame,
+    group_col: str,
+    entity_col: str,
+    value_col: str,
+    share_num: int = 4,
+    share_den: int = 5,
+) -> DataFrame:
+    """Pareto (ABC) concentration per group: how many entities cover
+    share_num/share_den (default 80%) of the group's value, and what
+    share the top decile of entities holds — the operational reading
+    of customer_spend_gini / HHI: Gini scores inequality, HHI scores
+    dominance, Pareto answers the planner's question 'how many
+    accounts do I actually have to watch?'.
+
+    Exact: integer-cents entity subtotals; entities rank by
+    (value desc, entity asc) — a deterministic total order; the 80%
+    cut is the INTEGER predicate share_den*cumsum >= share_num*total
+    (no float threshold, products in DECIMAL(38,0)/HUGEINT since
+    cumsum*den passes int64 near 1e18 cents); the top-decile share
+    is ONE double division. Rank/cumsum windows run over the
+    per-group ENTITY relation (the gini_by_group pattern — for
+    unbounded entity counts swap in windows.scalable_ranks'
+    range-partitioned ranks).
+
+    Returns (group, n_entities, n_top80, top80_fraction,
+    top_decile_share) ordered by group.
+    """
+    from pyspark.sql import Window
+
+    cents = F.floor(
+        F.col(value_col).cast("double") * F.lit(100.0) + F.lit(0.5)
+    ).cast("long")
+    subs = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(group_col).alias("g"), F.col(entity_col).alias("e")
+        )
+        .agg(F.sum(cents).cast("long").alias("s"))
+    )
+    w = Window.partitionBy("g").orderBy(F.desc("s"), F.asc("e"))
+    wg = Window.partitionBy("g")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    ranked = (
+        subs.withColumn("rnk", F.row_number().over(w))
+        .withColumn(
+            "cum",
+            F.sum("s").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ).cast("long"),
+        )
+        .withColumn("tot", F.sum("s").over(wg).cast("long"))
+        .withColumn("n", F.count(F.lit(1)).over(wg).cast("long"))
+    )
+    # ceil(n/10) without floats: (n + 9) div 10.
+    k10 = F.floor((F.col("n") + F.lit(9)) / F.lit(10)).cast("long")
+    m = ranked.groupBy("g").agg(
+        F.max("n").alias("n_entities"),
+        F.min(
+            F.when(
+                dec(F.col("cum")) * F.lit(share_den)
+                >= dec(F.col("tot")) * F.lit(share_num),
+                F.col("rnk"),
+            )
+        ).cast("long").alias("n_top80"),
+        F.max(F.when(F.col("rnk") == k10, F.col("cum"))).cast("long").alias(
+            "__cum10"
+        ),
+        F.max("tot").alias("__tot"),
+    )
+    return m.select(
+        F.col("g").alias(group_col),
+        "n_entities",
+        "n_top80",
+        F.round(
+            F.col("n_top80").cast("double")
+            / F.col("n_entities").cast("double"),
+            6,
+        ).alias("top80_fraction"),
+        F.when(
+            F.col("__tot") > 0,
+            F.round(
+                F.col("__cum10").cast("double") / F.col("__tot").cast("double"),
+                6,
+            ),
+        ).alias("top_decile_share"),
+    ).orderBy(group_col)

@@ -273,3 +273,70 @@ def transition_entropy(
             "max_entropy"
         ),
     )
+
+
+def interarrival_burstiness(
+    events: DataFrame,
+    group_col: str = "event_type",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Goh-Barabási burstiness B = (sigma - mu)/(sigma + mu) of
+    per-user inter-arrival times, per event type — the gap-level
+    companion to the Fano factor on daily counts
+    (timeseries.burstiness_by_group): Fano reads clumping of VOLUME
+    into days; B reads the shape of the gap distribution itself
+    (B = -1 periodic heartbeat, B ~ 0 Poisson, B -> 1 extreme
+    bursts), the standard human-dynamics diagnostic (Goh & Barabási
+    2008) for retry storms vs organic traffic.
+
+    Per-USER gaps by design: gaps within (type, user) sequences in
+    (ts, id) order — the behaviorally meaningful cadence AND the
+    scale-safe window (partitioned by fine-grained (type, user)
+    keys, never a per-type global sort). Gaps are exact integer
+    MICROseconds (unix_micros — second-floor truncation would alias
+    sub-second bursts); moments (n, S, Q) are exact
+    DECIMAL(38,0)/HUGEINT; B simplifies to
+    (sqrt(n*Q - S^2) - S)/(sqrt(n*Q - S^2) + S) — the n cancels —
+    ONE sqrt on an exact integer, a fixed IEEE tail, 6dp.
+    Degenerate groups (< 1 gap, or zero mean) yield NULL.
+
+    Returns (group, n_gaps, mean_gap_s, burstiness) ordered by group.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col, user_col).orderBy(
+        ts_col, tiebreak_col
+    )
+    micros = F.unix_micros(F.col(ts_col))
+    gaps = (
+        events.select(
+            F.col(group_col).alias("g"),
+            F.col(user_col).alias("u"),
+            (micros - F.lag(micros).over(w)).alias("gap"),
+        )
+        .where(F.col("gap").isNotNull())
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = gaps.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("gap").cast("long").alias("s"),
+        F.sum(dec(F.col("gap")) * dec(F.col("gap"))).alias("q"),
+    )
+    disc = (
+        dec(F.col("n_gaps")) * F.col("q") - dec(F.col("s")) * dec(F.col("s"))
+    ).cast("double")
+    sd = F.sqrt(disc)
+    sdbl = F.col("s").cast("double")
+    return m.select(
+        F.col("g").alias(group_col),
+        "n_gaps",
+        F.round(
+            sdbl / F.col("n_gaps").cast("double") / F.lit(1000000.0), 6
+        ).alias("mean_gap_s"),
+        F.when(
+            (F.col("s") > 0) & (disc >= 0),
+            F.round((sd - sdbl) / (sd + sdbl), 6),
+        ).alias("burstiness"),
+    ).orderBy(group_col)

@@ -2019,3 +2019,120 @@ def chao1_richness(df: DataFrame, text_col: str) -> DataFrame:
         F.round(unseen, 6).alias("unseen_mass"),
         F.round(F.lit(1.0) - unseen, 6).alias("coverage"),
     )
+
+
+def word_burstiness_topk(
+    df: DataFrame, id_col: str, text_col: str, k: int = 20
+) -> DataFrame:
+    """Church-Gale word burstiness for the corpus head: per word, the
+    Fano factor (variance-to-mean ratio) of its per-document count
+    ACROSS ALL DOCUMENTS — the corpus-linguistics diagnostic that
+    separates function words (evenly spread, Fano ~ 1, Poisson-like)
+    from topical/bursty words (a few documents use them heavily,
+    Fano >> 1) and near-boilerplate tokens injected once per doc
+    (Fano < 1). The per-word companion to doc_repetition_stats:
+    repetition reads within-doc clumping, burstiness reads
+    across-doc clumping — both feed template/boilerplate detection.
+
+    Exact closed form over zeros: with D total docs, T = sum of the
+    word's per-doc counts and Q = sum of squares (docs without the
+    word contribute 0 to both), population var/mean =
+    (D*Q - T^2)/(D*T) — ONE double division of exact
+    DECIMAL(38,0)/HUGEINT integers (T^2 passes int64 near 1e10
+    occurrences), no densifying doc-spine join needed. Top-k by
+    total count (word-asc tiebreak) via a TakeOrdered heap — never a
+    global sort.
+
+    Returns (word, total_cnt, doc_freq, fano) ordered
+    (total_cnt desc, word asc), k rows.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    per_doc = (
+        df.select(F.col(id_col).alias("__id"), F.explode(toks).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("__id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    words = per_doc.groupBy("w").agg(
+        F.sum("c").cast("long").alias("total_cnt"),
+        F.count(F.lit(1)).cast("long").alias("doc_freq"),
+        F.sum(dec(F.col("c")) * dec(F.col("c"))).alias("__q"),
+    )
+    ndocs = df.agg(F.count(F.lit(1)).cast("long").alias("__d"))
+    j = words.crossJoin(F.broadcast(ndocs))
+    fano = (
+        dec(F.col("__d")) * F.col("__q")
+        - dec(F.col("total_cnt")) * dec(F.col("total_cnt"))
+    ).cast("double") / (
+        dec(F.col("__d")) * dec(F.col("total_cnt"))
+    ).cast("double")
+    return (
+        j.select(
+            F.col("w").alias("word"),
+            "total_cnt",
+            "doc_freq",
+            F.round(fano, 6).alias("fano"),
+        )
+        .orderBy(F.desc("total_cnt"), F.asc("word"))
+        .limit(k)
+    )
+
+
+def doc_length_moments(df: DataFrame, len_col: str) -> DataFrame:
+    """Four-moment profile of the document-length distribution: mean,
+    standard deviation, skewness, excess kurtosis — the shape audit
+    behind every length-based quality gate: a right-skew/heavy-tail
+    (log-normal-ish) profile is what natural corpora look like;
+    near-zero skew suggests truncation or templating, extreme
+    kurtosis a contamination spike at one length. Complements
+    token_count_histogram: the histogram shows the shape, the
+    standardized moments put one comparable number on it.
+
+    Exact sufficient statistics: S1..S4 over the integer length
+    column in DECIMAL(38,0) (len^4 ~ 1e16 per doc — the sum passes
+    int64 immediately, which is the point); the standardized moments
+    are then a FIXED, documented IEEE sequence on the exact sums
+    (m = s1/n; m2 = s2/n - m*m; m3 = s3/n - 3*m*(s2/n) + 2*m*m*m;
+    m4 = s4/n - 4*m*(s3/n) + 6*m*m*(s2/n) - 3*m*m*m*m;
+    skew = m3/(m2*sqrt(m2)); kurt = m4/(m2*m2) - 3) — sqrt is
+    IEEE-correctly-rounded (no pow(), which isn't), so both engines
+    replay bit-identically. Zero-variance input yields NULLs.
+
+    One scan, one 1-row combinable aggregate. Returns ONE row:
+    (n_docs, mean_len, sd_len, skewness, excess_kurtosis).
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    x = F.col(len_col).cast("long")
+    m = df.where(x.isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(x).cast("long").alias("s1"),
+        F.sum(dec(x) * dec(x)).alias("s2"),
+        F.sum(dec(x) * dec(x) * dec(x)).alias("s3"),
+        F.sum(dec(x) * dec(x) * dec(x) * dec(x)).alias("s4"),
+    )
+    n = F.col("n_docs").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    s3 = F.col("s3").cast("double")
+    s4 = F.col("s4").cast("double")
+    mean = s1 / n
+    m2 = s2 / n - mean * mean
+    m3 = s3 / n - F.lit(3.0) * mean * (s2 / n) + F.lit(2.0) * mean * mean * mean
+    m4 = (
+        s4 / n
+        - F.lit(4.0) * mean * (s3 / n)
+        + F.lit(6.0) * mean * mean * (s2 / n)
+        - F.lit(3.0) * mean * mean * mean * mean
+    )
+    return m.select(
+        "n_docs",
+        F.round(mean, 6).alias("mean_len"),
+        F.when(m2 > 0, F.round(F.sqrt(m2), 6)).alias("sd_len"),
+        F.when(m2 > 0, F.round(m3 / (m2 * F.sqrt(m2)), 6)).alias(
+            "skewness"
+        ),
+        F.when(m2 > 0, F.round(m4 / (m2 * m2) - F.lit(3.0), 6)).alias(
+            "excess_kurtosis"
+        ),
+    )
