@@ -1337,3 +1337,84 @@ def grouped_ranksum_drift(
             ),
         ).alias("z"),
     ).orderBy(group_col)
+
+
+def quantile_shift_profile(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    cutoff: str,
+) -> DataFrame:
+    """Per-decile quantile shift between the early/late value windows
+    — the WHERE-in-the-distribution companion to the drift battery's
+    single numbers: KS says the CDFs differ, PSI says by how much,
+    the Q-Q profile says WHICH deciles moved (a tail-only shift and
+    a uniform location shift have identical KS but opposite fixes).
+    Reads as a horizontal slice of the Q-Q plot at p = 0.1..0.9.
+
+    Exact construction: both windows' order statistics come from the
+    SAME domain-bounded cents-cell relation (one scan, one shuffle);
+    the p-quantile is the lower order statistic at INTEGER rank
+    ceil(p*n) = floor((k*n + 9)/10) — no float ranks — selected by
+    min-over-threshold on each window's running total; the shift is
+    integer cents difference rendered once. Empty windows yield NULL
+    quantiles. The decile spine is a literal bounded Range.
+
+    Returns (decile, q_early, q_late, shift) for deciles 1..9,
+    ordered by decile.
+    """
+    from pyspark.sql import Window
+
+    cents = F.floor(
+        F.col(value_col).cast("double") * F.lit(100.0) + F.lit(0.5)
+    ).cast("long")
+    is_a = (F.col(ts_col) < F.lit(cutoff).cast("timestamp")).cast("int")
+    cells = (
+        df.where(F.col(value_col).isNotNull())
+        .select(cents.alias("v"), is_a.alias("a"))
+        .groupBy("v")
+        .agg(
+            F.sum("a").cast("long").alias("ta"),
+            F.sum(F.lit(1) - F.col("a")).cast("long").alias("tb"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = cells.select(
+        "v",
+        F.sum("ta").over(w).cast("long").alias("ca"),
+        F.sum("tb").over(w).cast("long").alias("cb"),
+    )
+    tot = cum.agg(
+        F.max("ca").cast("long").alias("n_a"),
+        F.max("cb").cast("long").alias("n_b"),
+    )
+    deciles = df.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("decile")
+    )
+    j = cum.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(deciles))
+    ra = F.floor(
+        (F.col("decile") * F.col("n_a") + F.lit(9)) / F.lit(10)
+    ).cast("long")
+    rb = F.floor(
+        (F.col("decile") * F.col("n_b") + F.lit(9)) / F.lit(10)
+    ).cast("long")
+    sel = j.groupBy("decile").agg(
+        F.min(
+            F.when((F.col("ca") >= ra) & (F.col("n_a") > 0), F.col("v"))
+        ).alias("__qa"),
+        F.min(
+            F.when((F.col("cb") >= rb) & (F.col("n_b") > 0), F.col("v"))
+        ).alias("__qb"),
+    )
+    return sel.select(
+        "decile",
+        F.round(F.col("__qa").cast("double") / F.lit(100.0), 6).alias(
+            "q_early"
+        ),
+        F.round(F.col("__qb").cast("double") / F.lit(100.0), 6).alias(
+            "q_late"
+        ),
+        F.round(
+            (F.col("__qb") - F.col("__qa")).cast("double") / F.lit(100.0), 6
+        ).alias("shift"),
+    ).orderBy("decile")
