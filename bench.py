@@ -143,6 +143,8 @@ EXTRAS = [
     "supplier_graph_clustering",
     "nation_customer_pareto",
     "event_interarrival_burstiness",
+    "event_value_quantile_shift",
+    "centroid_margin_eval",
 ]
 
 

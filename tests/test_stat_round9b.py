@@ -468,3 +468,50 @@ def test_interarrival_burstiness_shapes(spark):
     assert out["tick"]["mean_gap_s"] == pytest.approx(10.0)
     # gaps {1,1,1,1,50}: mu=10.8, sigma=19.6 -> B = 8.8/30.4 ~ 0.289
     assert out["burst"]["burstiness"] == pytest.approx(0.289474, abs=1e-5)
+
+
+def test_quantile_shift_uniform_location(spark):
+    # Late window = early + 10 exactly: every decile shifts by 10.
+    early = [("2024-01-10 00:00:00", float(v)) for v in range(1, 21)]
+    late = [("2024-01-20 00:00:00", float(v + 10)) for v in range(1, 21)]
+    df = spark.createDataFrame(early + late, "ts string, value double").select(
+        F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    out = ts.quantile_shift_profile(df, "ts", "value", "2024-01-16").collect()
+    assert len(out) == 9
+    for r in out:
+        assert r["shift"] == pytest.approx(10.0)
+    # Decile 5 of 1..20 at rank ceil(0.5*20)=10 -> value 10.
+    d5 = {r["decile"]: r for r in out}[5]
+    assert d5["q_early"] == pytest.approx(10.0)
+    assert d5["q_late"] == pytest.approx(20.0)
+
+
+def test_centroid_margin_audit_separated_clusters(spark):
+    from yelp_data_pipeline_spark.operators import similarity as sim
+
+    # Two orthogonal tight clusters -> cohesion ~1, second-best ~0,
+    # margin ~1 for both labels.
+    rows = []
+    for i in range(4):
+        rows.append((i, "a", [1.0, 0.0, 0.0, 0.0]))
+    for i in range(4, 8):
+        rows.append((i, "b", [0.0, 1.0, 0.0, 0.0]))
+    df = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    )
+    cents = sim.train_centroids_by_label(df, dim=4)
+    out = {
+        r["label"]: r
+        for r in sim.centroid_margin_audit(df, cents).collect()
+    }
+    assert set(out) == {"a", "b"}
+    for r in out.values():
+        assert r["mean_cohesion"] == pytest.approx(1.0)
+        assert r["mean_second_best"] == pytest.approx(0.0)
+        assert r["mean_margin"] == pytest.approx(1.0)
+    # Single centroid -> NULL separation.
+    one = df.where(F.col("label") == "a")
+    c1 = sim.train_centroids_by_label(one, dim=4)
+    row = sim.centroid_margin_audit(one, c1).collect()[0]
+    assert row["mean_second_best"] is None and row["mean_margin"] is None

@@ -1742,3 +1742,77 @@ def whiten_all_but_top(
         F.col("d").alias("dim"),
         F.round(F.col("cv") - F.col("dot") * F.col("u"), 6).alias("w"),
     )
+
+
+def centroid_margin_audit(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    centroid_col: str = "centroid",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-cluster separation audit — the centroid-based silhouette
+    reading for the k-means / IVF / weak-label tier: for each vector,
+    cohesion a = cosine to its OWN (best) centroid and separation
+    b = cosine to the runner-up centroid; per label, the means of a,
+    b, and the margin a-b. A margin near 0 means the cluster boundary
+    is arbitrary (assignments will churn under retraining, IVF probes
+    must widen); a wide margin justifies single-probe routing. The
+    eval companion to classify_to_centroids the way
+    minhash_recall_eval is to the LSH tier.
+
+    Determinism: scores are rounded BEFORE ranking (the argmax/
+    runner-up are identical across engines even at 1-ulp raw
+    differences; cell DESC breaks exact ties); per-label means
+    accumulate the rounded scores in DECIMAL(27,6) (order-free) with
+    ONE double division each. Plan: broadcast centroid fan-out
+    (n·ncells map-side scores, zero shuffle on the big side), a
+    per-vector rank window partitioned by the fine-grained id key,
+    one per-label rollup. Single-centroid inputs yield NULL
+    separation/margin.
+
+    Returns (label, n_vectors, mean_cohesion, mean_second_best,
+    mean_margin) ordered by label.
+    """
+    from pyspark.sql import Window
+
+    score = F.round(
+        cosine(F.col(vec_col), F.col(centroid_col)), round_to
+    ).alias("s")
+    scored = vectors.select(id_col, vec_col).crossJoin(
+        F.broadcast(centroids.select(cell_col, centroid_col))
+    ).select(id_col, F.col(cell_col).alias("__cell"), score)
+    w = Window.partitionBy(id_col).orderBy(F.desc("s"), F.desc("__cell"))
+    ranked = scored.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= 2
+    )
+    per_vec = ranked.groupBy(id_col).agg(
+        F.max(F.when(F.col("rn") == 1, F.col("__cell"))).alias("label"),
+        F.max(F.when(F.col("rn") == 1, F.col("s"))).alias("a"),
+        F.max(F.when(F.col("rn") == 2, F.col("s"))).alias("b"),
+    )
+    dec = lambda c: c.cast("decimal(27,6)")  # noqa: E731
+    m = per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum(dec(F.col("a"))).alias("__sa"),
+        F.sum(dec(F.col("b"))).alias("__sb"),
+        F.count("b").cast("long").alias("__nb"),
+    )
+    n = F.col("n_vectors").cast("double")
+    return m.select(
+        "label",
+        "n_vectors",
+        F.round(F.col("__sa").cast("double") / n, 6).alias("mean_cohesion"),
+        F.when(
+            F.col("__nb") == F.col("n_vectors"),
+            F.round(F.col("__sb").cast("double") / n, 6),
+        ).alias("mean_second_best"),
+        F.when(
+            F.col("__nb") == F.col("n_vectors"),
+            F.round(
+                (F.col("__sa") - F.col("__sb")).cast("double") / n, 6
+            ),
+        ).alias("mean_margin"),
+    ).orderBy("label")

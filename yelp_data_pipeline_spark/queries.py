@@ -12007,6 +12007,123 @@ def q_event_interarrival_burstiness(spark, sf_dir):
     return bh.interarrival_burstiness(_t(spark, sf_dir, "events"))
 
 
+
+
+@_q(
+    "event_value_quantile_shift",
+    """
+WITH cells AS (
+  SELECT CAST(FLOOR(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS v,
+         CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS BIGINT) AS ta,
+         CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END) AS BIGINT) AS tb
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+cum AS (
+  SELECT v,
+         CAST(sum(ta) OVER w AS BIGINT) AS ca,
+         CAST(sum(tb) OVER w AS BIGINT) AS cb
+  FROM cells
+  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+tot AS (SELECT CAST(max(ca) AS BIGINT) AS n_a, CAST(max(cb) AS BIGINT) AS n_b FROM cum),
+dc AS (SELECT CAST(unnest(generate_series(1, 9)) AS INT) AS decile),
+j AS (SELECT c.v, c.ca, c.cb, t.n_a, t.n_b, d.decile FROM cum c, tot t, dc d),
+sel AS (
+  SELECT decile,
+         min(CASE WHEN n_a > 0 AND ca >= CAST(FLOOR(CAST(decile * n_a + 9 AS DOUBLE) / CAST(10.0 AS DOUBLE)) AS BIGINT)
+                  THEN v END) AS qa,
+         min(CASE WHEN n_b > 0 AND cb >= CAST(FLOOR(CAST(decile * n_b + 9 AS DOUBLE) / CAST(10.0 AS DOUBLE)) AS BIGINT)
+                  THEN v END) AS qb
+  FROM j GROUP BY 1
+)
+SELECT decile,
+       round(CAST(qa AS DOUBLE) / CAST(100.0 AS DOUBLE), 6) AS q_early,
+       round(CAST(qb AS DOUBLE) / CAST(100.0 AS DOUBLE), 6) AS q_late,
+       round(CAST(qb - qa AS DOUBLE) / CAST(100.0 AS DOUBLE), 6) AS shift
+FROM sel ORDER BY decile
+""",
+    doc="Per-decile Q-Q shift profile of event values, early vs late "
+    "window (operators/timeseries.py:quantile_shift_profile) — the "
+    "WHERE-in-the-distribution companion to the drift battery: KS "
+    "says the CDFs differ, PSI says how much, this says WHICH "
+    "deciles moved (tail-only vs uniform location shifts have "
+    "identical KS but opposite fixes). Both windows' order "
+    "statistics come from ONE shared domain-bounded cents-cell "
+    "relation; ranks are the INTEGER ceil(k*n/10) = "
+    "floor((k*n+9)/10) — no float ranks; selection is "
+    "min-over-threshold on each window's running total; the decile "
+    "spine is a literal bounded Range.",
+)
+def q_event_value_quantile_shift(spark, sf_dir):
+    return ts_ops.quantile_shift_profile(
+        _t(spark, sf_dir, "events"), "ts", "value", "2024-01-16"
+    )
+
+
+@_q(
+    "centroid_margin_eval",
+    """
+WITH cent AS (
+  SELECT label AS cell, i AS pos,
+         round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m
+  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) g
+  GROUP BY 1, 2
+),
+cvec AS (
+  SELECT cell, list(m ORDER BY pos) AS centroid FROM cent GROUP BY cell
+),
+scored AS (
+  SELECT e.vec_id, c.cell,
+         round((CASE WHEN (sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(c.centroid[i] AS DOUBLE) * CAST(c.centroid[i] AS DOUBLE))))) * (sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) > 0 THEN (list_sum(list_transform(generate_series(1, 64), i -> CAST(c.centroid[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) / ((sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(c.centroid[i] AS DOUBLE) * CAST(c.centroid[i] AS DOUBLE))))) * (sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))))) END), 6) AS s
+  FROM embeddings e, cvec c
+),
+ranked AS (
+  SELECT vec_id, cell, s,
+         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn
+  FROM scored
+),
+per_vec AS (
+  SELECT vec_id,
+         max(CASE WHEN rn = 1 THEN cell END) AS label,
+         max(CASE WHEN rn = 1 THEN s END) AS a,
+         max(CASE WHEN rn = 2 THEN s END) AS b
+  FROM ranked WHERE rn <= 2 GROUP BY 1
+),
+m AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+         sum(CAST(a AS DECIMAL(27,6))) AS sa,
+         sum(CAST(b AS DECIMAL(27,6))) AS sb,
+         CAST(count(b) AS BIGINT) AS nb
+  FROM per_vec GROUP BY 1
+)
+SELECT label, n_vectors,
+       round(CAST(sa AS DOUBLE) / CAST(n_vectors AS DOUBLE), 6) AS mean_cohesion,
+       CASE WHEN nb = n_vectors THEN
+         round(CAST(sb AS DOUBLE) / CAST(n_vectors AS DOUBLE), 6) END AS mean_second_best,
+       CASE WHEN nb = n_vectors THEN
+         round(CAST(sa - sb AS DOUBLE) / CAST(n_vectors AS DOUBLE), 6) END AS mean_margin
+FROM m ORDER BY label
+""",
+    doc="Per-cluster separation audit of the trained centroids "
+    "(operators/similarity.py:centroid_margin_audit) — the "
+    "centroid-based silhouette reading for the k-means/IVF tier: "
+    "per vector, cohesion = cosine to its best centroid and "
+    "separation = cosine to the runner-up; per label, mean a, mean "
+    "b, mean margin. Margin near 0 = arbitrary boundary (IVF must "
+    "widen probes, assignments churn); wide margin justifies "
+    "single-probe routing — the eval companion to "
+    "centroid_assignments the way minhash_recall_eval is to LSH. "
+    "Scores rounded BEFORE ranking (argmax identical across engines "
+    "at 1-ulp raw differences); DECIMAL-accumulated means; "
+    "broadcast fan-out + per-vector rank window, no big-side "
+    "shuffle.",
+)
+def q_centroid_margin_eval(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = sim.train_centroids_by_label(emb)
+    return sim.centroid_margin_audit(emb, cents)
+
+
 # --------------------------------------------------------------------------
 # Registry exports (driver contract)
 # --------------------------------------------------------------------------
@@ -12064,6 +12181,8 @@ _EXPORT_PRIORITY: list[str] = [
     "supplier_graph_clustering",
     "nation_customer_pareto",
     "event_interarrival_burstiness",
+    "event_value_quantile_shift",
+    "centroid_margin_eval",
     # Stalest verdicts (last seen round 3) — refresh:
     "order_price_percent_rank",
     "price_quantiles_by_priority",
@@ -12072,8 +12191,9 @@ _EXPORT_PRIORITY: list[str] = [
     "shipping_priority_top10",
     "token_stats",
     "top_orders_with_ties",
-    # Round-4-stale refreshes (oldest-first rotation). The 33 names
-    # past the 50-slot export cap (customers_without_urgent_orders,
+    # Round-4-stale refreshes (oldest-first rotation). The 35 names
+    # past the 50-slot export cap (clean_pyrepr_attributes,
+    # customers_with_urgent_orders, customers_without_urgent_orders,
     # dates_except, dates_intersect, dedup_clusters_star,
     # dedup_keep_best_docs, detect_parse_json_props,
     # dict_encode_part_types, dim_customer, dim_time,
@@ -12090,8 +12210,6 @@ _EXPORT_PRIORITY: list[str] = [
     "bigram_logprob_scores",
     "bm25_doc_scores",
     "bridge_part_words",
-    "clean_pyrepr_attributes",
-    "customers_with_urgent_orders",
 ]
 
 
