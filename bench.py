@@ -145,6 +145,7 @@ EXTRAS = [
     "event_interarrival_burstiness",
     "event_value_quantile_shift",
     "centroid_margin_eval",
+    "daily_count_hurst",
 ]
 
 

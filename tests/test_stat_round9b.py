@@ -515,3 +515,24 @@ def test_centroid_margin_audit_separated_clusters(spark):
     c1 = sim.train_centroids_by_label(one, dim=4)
     row = sim.centroid_margin_audit(one, c1).collect()[0]
     assert row["mean_second_best"] is None and row["mean_margin"] is None
+
+
+def test_hurst_trend_vs_alternating(spark):
+    # A monotone ramp is maximally persistent (H -> 1); a strict
+    # alternation is anti-persistent (H well below 0.5).
+    def mk(counts):
+        rows = []
+        for day, c in enumerate(counts, 1):
+            for i in range(c):
+                rows.append(("2024-01-%02d 00:00:%02d" % (day, i % 60),))
+        return spark.createDataFrame(rows, "ts string").select(
+            F.col("ts").cast("timestamp").alias("ts")
+        )
+
+    ramp = mk([d for d in range(1, 29)])
+    row = ts.hurst_rs_daily(ramp, "ts", sizes=(4, 7, 14)).collect()[0]
+    assert row["n_days"] == 28 and row["n_sizes"] == 3
+    assert row["hurst"] > 0.85
+    alt = mk([1 if d % 2 else 5 for d in range(1, 29)])
+    row = ts.hurst_rs_daily(alt, "ts", sizes=(4, 7, 14)).collect()[0]
+    assert row["hurst"] < 0.35

@@ -1418,3 +1418,127 @@ def quantile_shift_profile(
             (F.col("__qb") - F.col("__qa")).cast("double") / F.lit(100.0), 6
         ).alias("shift"),
     ).orderBy("decile")
+
+
+def hurst_rs_daily(
+    df: DataFrame, ts_col: str, sizes=(4, 8, 16, 32, 64)
+) -> DataFrame:
+    """Hurst exponent of the daily event-count series via classical
+    rescaled-range (R/S) analysis — the long-memory diagnostic that
+    completes the temporal-structure tier: ACF reads fixed-lag
+    rhythm, CUSUM finds level breaks, H reads PERSISTENCE across all
+    horizons at once (H ~ 0.5 memoryless, H > 0.5 trending/
+    persistent — shocks echo for days, H < 0.5 mean-reverting).
+    A capacity planner sizes buffers very differently at H = 0.8
+    than at 0.5 (Hurst 1951; the original Nile-reservoir question).
+
+    Classical R/S: split the series into blocks of m days; per
+    block, R = range of mean-adjusted cumulative deviations, S =
+    population std; H = OLS slope of ln(mean R/S) on ln(m) over
+    block sizes m.
+
+    Exact construction: denominators clear inside each block —
+    m*Z_t = m*cumsum - t*S1 is INTEGER, so R*m = max - min is exact;
+    S*m = sqrt(m*Q - S1^2) on exact DECIMAL(38,0) (counts ~ 1e10/day
+    at 100 TB square past int64), and R/S = (max-min)/sqrt(m*Q-S1^2)
+    is ONE division + ONE sqrt per block, 6dp. Block means accumulate
+    the rounded R/S in DECIMAL(27,6); each ln is rounded 6dp; the
+    final OLS runs on <= |sizes| points with 6dp-rounded products
+    DECIMAL-summed (order-free). Zero-variance blocks are excluded
+    on both engines; sizes with no complete block drop out.
+
+    Plan: everything lives on the calendar-bounded daily relation
+    x |sizes| (a broadcast literal) — row volume only deepens the
+    map-side daily fold. Returns ONE row: (n_days, n_sizes, hurst);
+    hurst is NULL when fewer than two sizes survive.
+    """
+    from pyspark.sql import Window
+
+    series = daily_counts_gapfilled(df, ts_col)
+    w = Window.orderBy("date")
+    base = series.select(
+        F.col("cnt").cast("long").alias("x"),
+        F.row_number().over(w).cast("long").alias("rn"),
+    )
+    tot = base.agg(F.max("rn").alias("n_days"))
+    sizes_df = df.sparkSession.createDataFrame(
+        [(int(m),) for m in sizes], "m long"
+    )
+    j = base.crossJoin(F.broadcast(sizes_df)).crossJoin(F.broadcast(tot))
+    blk = F.floor((F.col("rn") - 1) / F.col("m")).cast("long")
+    j = j.withColumn("block", blk).where(
+        F.col("block") < F.floor(F.col("n_days") / F.col("m"))
+    ).withColumn("t", F.col("rn") - F.col("block") * F.col("m"))
+    wb = Window.partitionBy("m", "block").orderBy("rn")
+    wf = Window.partitionBy("m", "block")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    cum = (
+        j.withColumn(
+            "cumx",
+            F.sum("x").over(wb.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn("s1", F.sum("x").over(wf).cast("long"))
+        .withColumn("q", F.sum(dec(F.col("x")) * dec(F.col("x"))).over(wf))
+        .withColumn(
+            "z", F.col("m") * F.col("cumx") - F.col("t") * F.col("s1")
+        )
+    )
+    blocks = cum.groupBy("m", "block").agg(
+        (F.max("z") - F.min("z")).cast("long").alias("r_m"),
+        (dec(F.max("m")) * F.max("q") - dec(F.max("s1")) * dec(F.max("s1")))
+        .alias("__d"),
+        F.max("n_days").alias("n_days"),
+    )
+    rs = blocks.select(
+        "m",
+        "n_days",
+        F.when(
+            F.col("__d") > 0,
+            F.round(
+                F.col("r_m").cast("double")
+                / F.sqrt(F.col("__d").cast("double")),
+                6,
+            ),
+        ).alias("rs"),
+    )
+    dec6 = lambda c: c.cast("decimal(27,6)")  # noqa: E731
+    per_size = (
+        rs.where(F.col("rs").isNotNull())
+        .groupBy("m")
+        .agg(
+            F.max("n_days").alias("n_days"),
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            F.round(
+                F.sum(dec6(F.col("rs"))).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("avg_rs"),
+        )
+        .where(F.col("avg_rs") > 0)
+    )
+    pts = per_size.select(
+        "n_days",
+        F.round(F.log(F.col("m").cast("double")), 6).alias("lx"),
+        F.round(F.log(F.col("avg_rs")), 6).alias("ly"),
+    )
+    ols = pts.groupBy("n_days").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sizes"),
+        F.sum(dec6(F.col("lx"))).alias("sx"),
+        F.sum(dec6(F.col("ly"))).alias("sy"),
+        F.sum(dec6(F.round(F.col("lx") * F.col("ly"), 6))).alias("sxy"),
+        F.sum(dec6(F.round(F.col("lx") * F.col("lx"), 6))).alias("sxx"),
+    )
+    np_ = F.col("n_sizes").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    den = np_ * sxx - sx * sx
+    return ols.select(
+        "n_days",
+        "n_sizes",
+        F.when(
+            (F.col("n_sizes") > 1) & (den != 0),
+            F.round((np_ * sxy - sx * sy) / den, 6),
+        ).alias("hurst"),
+    )

@@ -12124,6 +12124,114 @@ def q_centroid_margin_eval(spark, sf_dir):
     return sim.centroid_margin_audit(emb, cents)
 
 
+
+
+@_q(
+    "daily_count_hurst",
+    """
+WITH c AS (
+  SELECT CAST(ts AS DATE) AS date, count(*) AS cnt FROM events GROUP BY 1
+),
+span AS (SELECT min(date) AS lo, max(date) AS hi FROM c),
+spine AS (
+  SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS date
+  FROM span
+),
+s AS (
+  SELECT spine.date, coalesce(c.cnt, 0) AS cnt
+  FROM spine LEFT JOIN c ON spine.date = c.date
+),
+base AS (
+  SELECT CAST(cnt AS BIGINT) AS x,
+         CAST(row_number() OVER (ORDER BY date) AS BIGINT) AS rn
+  FROM s
+),
+tot AS (SELECT CAST(max(rn) AS BIGINT) AS n_days FROM base),
+sz AS (SELECT CAST(unnest([4, 8, 16, 32, 64]) AS BIGINT) AS m),
+j AS (
+  SELECT b.x, b.rn, z.m, t.n_days,
+         CAST(FLOOR(CAST(b.rn - 1 AS DOUBLE) / CAST(z.m AS DOUBLE)) AS BIGINT) AS block
+  FROM base b, sz z, tot t
+),
+j2 AS (
+  SELECT x, rn, m, n_days, block, rn - block * m AS t
+  FROM j
+  WHERE block < CAST(FLOOR(CAST(n_days AS DOUBLE) / CAST(m AS DOUBLE)) AS BIGINT)
+),
+cum AS (
+  SELECT m, block, n_days, rn, t, x,
+         sum(x) OVER (PARTITION BY m, block ORDER BY rn
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumx,
+         CAST(sum(x) OVER (PARTITION BY m, block) AS BIGINT) AS s1,
+         sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT))
+           OVER (PARTITION BY m, block) AS q
+  FROM j2
+),
+zrel AS (
+  SELECT m, block, n_days, m * cumx - t * s1 AS zv, s1, q FROM cum
+),
+blocks AS (
+  SELECT m, block,
+         CAST(max(zv) - min(zv) AS BIGINT) AS r_m,
+         CAST(max(m) AS HUGEINT) * max(q)
+           - CAST(max(s1) AS HUGEINT) * CAST(max(s1) AS HUGEINT) AS d,
+         CAST(max(n_days) AS BIGINT) AS n_days
+  FROM zrel GROUP BY 1, 2
+),
+rsr AS (
+  SELECT m, n_days,
+         CASE WHEN d > 0 THEN
+           round(CAST(r_m AS DOUBLE) / sqrt(CAST(d AS DOUBLE)), 6) END AS rs
+  FROM blocks
+),
+per_size AS (
+  SELECT m, CAST(max(n_days) AS BIGINT) AS n_days,
+         CAST(count(*) AS BIGINT) AS n_blocks,
+         round(CAST(sum(CAST(rs AS DECIMAL(27,6))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE), 6) AS avg_rs
+  FROM rsr WHERE rs IS NOT NULL GROUP BY 1
+),
+pts AS (
+  SELECT n_days,
+         round(ln(CAST(m AS DOUBLE)), 6) AS lx,
+         round(ln(avg_rs), 6) AS ly
+  FROM per_size WHERE avg_rs > 0
+),
+ols AS (
+  SELECT n_days, CAST(count(*) AS BIGINT) AS n_sizes,
+         sum(CAST(lx AS DECIMAL(27,6))) AS sx,
+         sum(CAST(ly AS DECIMAL(27,6))) AS sy,
+         sum(CAST(round(lx * ly, 6) AS DECIMAL(27,6))) AS sxy,
+         sum(CAST(round(lx * lx, 6) AS DECIMAL(27,6))) AS sxx
+  FROM pts GROUP BY 1
+)
+SELECT n_days, n_sizes,
+       CASE WHEN n_sizes > 1
+                 AND (CAST(n_sizes AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) <> 0 THEN
+         round((CAST(n_sizes AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n_sizes AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) END AS hurst
+FROM ols
+""",
+    doc="Hurst exponent of the daily event-count series via classical "
+    "rescaled-range analysis (operators/timeseries.py:"
+    "hurst_rs_daily) — the long-memory member completing the "
+    "temporal tier: ACF reads fixed-lag rhythm, CUSUM finds breaks, "
+    "H reads persistence across ALL horizons (0.5 memoryless, >0.5 "
+    "trending, <0.5 mean-reverting; Hurst 1951). Denominators clear "
+    "inside each block (m*Z_t = m*cumsum - t*S1 integer, R*m exact; "
+    "S via sqrt(m*Q - S1^2) on DECIMAL/HUGEINT), one division+sqrt "
+    "per block 6dp; block means and the <= 5-point ln-ln OLS use "
+    "the rounded-term DECIMAL(27,6) pattern. Everything lives on "
+    "the calendar-bounded daily relation x a literal size spine.",
+)
+def q_daily_count_hurst(spark, sf_dir):
+    return ts_ops.hurst_rs_daily(_t(spark, sf_dir, "events"), "ts")
+
+
 # --------------------------------------------------------------------------
 # Registry exports (driver contract)
 # --------------------------------------------------------------------------
@@ -12183,6 +12291,7 @@ _EXPORT_PRIORITY: list[str] = [
     "event_interarrival_burstiness",
     "event_value_quantile_shift",
     "centroid_margin_eval",
+    "daily_count_hurst",
     # Stalest verdicts (last seen round 3) — refresh:
     "order_price_percent_rank",
     "price_quantiles_by_priority",
@@ -12191,8 +12300,8 @@ _EXPORT_PRIORITY: list[str] = [
     "shipping_priority_top10",
     "token_stats",
     "top_orders_with_ties",
-    # Round-4-stale refreshes (oldest-first rotation). The 35 names
-    # past the 50-slot export cap (clean_pyrepr_attributes,
+    # Round-4-stale refreshes (oldest-first rotation). The 36 names
+    # past the 50-slot export cap (bridge_part_words, clean_pyrepr_attributes,
     # customers_with_urgent_orders, customers_without_urgent_orders,
     # dates_except, dates_intersect, dedup_clusters_star,
     # dedup_keep_best_docs, detect_parse_json_props,
@@ -12209,7 +12318,6 @@ _EXPORT_PRIORITY: list[str] = [
     # window together with the 39 round-5-stale names:
     "bigram_logprob_scores",
     "bm25_doc_scores",
-    "bridge_part_words",
 ]
 
 
