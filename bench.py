@@ -146,6 +146,11 @@ EXTRAS = [
     "event_value_quantile_shift",
     "centroid_margin_eval",
     "daily_count_hurst",
+    "priority_status_mutual_info",
+    "benford_price_conformity",
+    "daily_count_runs_test",
+    "tfidf_doc_similarity",
+    "ann_rank_quality",
 ]
 
 

@@ -536,3 +536,113 @@ def test_hurst_trend_vs_alternating(spark):
     alt = mk([1 if d % 2 else 5 for d in range(1, 29)])
     row = ts.hurst_rs_daily(alt, "ts", sizes=(4, 7, 14)).collect()[0]
     assert row["hurst"] < 0.35
+
+
+def test_mutual_info_extremes(spark):
+    # Perfect dependence: MI = H_a = H_b, U = 1.
+    rows = [("a", "x")] * 5 + [("b", "y")] * 5
+    df = spark.createDataFrame(rows, "u string, w string")
+    row = agg.mutual_info(df, "u", "w").collect()[0]
+    assert row["mi"] == pytest.approx(row["h_a"], abs=1e-5)
+    assert row["theils_u"] == pytest.approx(1.0, abs=1e-5)
+    # Independence: MI ~ 0, U ~ 0.
+    rows = [("a", "x")] * 3 + [("a", "y")] * 3 + [("b", "x")] * 3 + [("b", "y")] * 3
+    row = agg.mutual_info(
+        spark.createDataFrame(rows, "u string, w string"), "u", "w"
+    ).collect()[0]
+    assert row["mi"] == pytest.approx(0.0, abs=1e-5)
+    assert row["theils_u"] == pytest.approx(0.0, abs=1e-5)
+    assert row["h_a"] == pytest.approx(math.log(2), abs=1e-5)
+    # Constant columns -> zero entropies -> NULL U.
+    rows = [("a", "x")] * 4
+    row = agg.mutual_info(
+        spark.createDataFrame(rows, "u string, w string"), "u", "w"
+    ).collect()[0]
+    assert row["theils_u"] is None
+
+
+def test_benford_conformity_perfect_vs_flat(spark):
+    # A sample drawn exactly at Benford proportions (x1000) scores
+    # chi2 ~ 0 and tiny MAD; a uniform-digit sample scores far worse.
+    import math as _m
+
+    benford = []
+    for d in range(1, 10):
+        n = round(1000 * _m.log10(1 + 1 / d))
+        benford += [(float(d),)] * n  # value d.00 -> first digit d
+    df = spark.createDataFrame(benford, "v double")
+    good = dq.benford_conformity(df, "v").collect()[0]
+    flat = dq.benford_conformity(
+        spark.createDataFrame([(float(d),) for d in range(1, 10)] * 100, "v double"),
+        "v",
+    ).collect()[0]
+    assert good["chi2"] < flat["chi2"]
+    assert good["mad"] < 0.006 < flat["mad"]
+
+
+def test_runs_test_alternating_vs_monotone(spark):
+    def mk(counts):
+        rows = []
+        for day, c in enumerate(counts, 1):
+            rows += [("2024-01-%02d 00:00:00" % day,)] * c
+        return spark.createDataFrame(rows, "ts string").select(
+            F.col("ts").cast("timestamp").alias("ts")
+        )
+
+    # Strict alternation -> every change is a new run -> z > 0.
+    alt = mk([1 if d % 2 else 5 for d in range(1, 21)])
+    row = ts.daily_runs_test(alt, "ts").collect()[0]
+    assert row["n_runs"] == row["n_up"] + row["n_down"]
+    assert row["z"] > 2.0
+    # Monotone ramp -> a single run of ups -> NULL (no downs).
+    ramp = mk(list(range(1, 21)))
+    row = ts.daily_runs_test(ramp, "ts").collect()[0]
+    assert row["n_down"] == 0 and row["n_runs"] == 1
+    assert row["z"] is None
+
+
+def test_tfidf_doc_similarity_topical_pair(spark):
+    # Docs 1 and 2 share the distinctive bigram-free vocabulary
+    # (df-banded terms); doc 3 is unrelated. Terms must appear in
+    # >= 2 docs to count, so the shared pair dominates.
+    rows = [
+        (1, "quantum entanglement spooky action"),
+        (2, "quantum entanglement bell inequality"),
+        (3, "sourdough starter hydration ratio"),
+        (4, "sourdough starter flour blend"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tx.tfidf_doc_similarity_topk(df, "doc_id", "text", k=5).collect()
+    got = {(r["doc_a"], r["doc_b"]): r for r in out}
+    assert (1, 2) in got and (3, 4) in got
+    assert got[(1, 2)]["n_shared_terms"] == 2
+    assert got[(1, 2)]["cosine"] > 0.5
+    assert (1, 3) not in got and (2, 4) not in got
+
+
+def test_ann_rank_quality_exact_ivf_agreement(spark):
+    from yelp_data_pipeline_spark.operators import similarity as sim
+
+    # Tight orthogonal clusters: IVF with nprobe=1 routes to the true
+    # cell, so the approximate list IS the exact list -> nDCG 1, RR 1.
+    rows = []
+    for i in range(6):
+        v = [0.0] * 8
+        v[0] = 1.0 + 0.001 * i
+        rows.append((i, "a", v))
+    for i in range(6, 12):
+        v = [0.0] * 8
+        v[1] = 1.0 + 0.001 * i
+        rows.append((i, "b", v))
+    df = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    )
+    corpus = df.withColumnRenamed("label", "cell")
+    cents = sim.train_centroids_by_label(df, dim=8)
+    qs = df.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    out = sim.ann_rank_quality_eval(corpus, cents, qs, k=4, nprobe=1)
+    for r in out.collect():
+        assert r["ndcg_at_4"] == pytest.approx(1.0)
+        assert r["reciprocal_rank"] == pytest.approx(1.0)

@@ -144,6 +144,7 @@ def audit(name: str, df) -> dict:
         "inlist_cross": _inlist_cross(plan),
         "ckpt_cross": _ckpt_cross(plan),
         "sampled_cross": _sampled_cross(plan),
+        "litbound_cross": _litbound_cross(plan),
         "onerow_cross": _benign_onerow_cross(plan),
         "takeordered": "TakeOrderedAndProject" in plan,
     }
@@ -307,6 +308,37 @@ def _is_sampled_cross(sub: str) -> bool:
     )
 
 
+def _is_literal_bound_cross(sub: str) -> bool:
+    """Build side is a SCAN filtered to `col < N` with a small literal
+    N (the broadcast-query-set serving shape when probes are chosen
+    by a literal id range: ann_recall_eval / ann_rank_quality's
+    `vec_id < 20` query arm). Same epistemics as the IN-list case:
+    plan text cannot prove the filtered column is unique — `price <
+    20` bounds nothing while `vec_id < 20` bounds everything — so
+    this is a SEPARATE, visible category ('litbound-cross'), not a
+    silent exemption and not a hard red flag: the reader checks the
+    filtered column is a key. Only literals <= 4096 qualify (the
+    same cardinality bar as the limit/Range exemptions)."""
+    if "CartesianProduct" in sub:
+        return False
+    lines = sub.splitlines()
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" not in line and "BroadcastQueryStage" not in line:
+            continue
+        label = re.search(r"[A-Za-z*]", line)
+        d = label.start() if label else 0
+        for nxt in lines[i + 1 :]:
+            lbl = re.search(r"[A-Za-z*]", nxt)
+            if lbl and lbl.start() <= d and nxt.strip():
+                break
+            m = re.search(r"Filter .*#\d+L? < (\d+)\)", nxt) or re.search(
+                r"PushedFilters: \[[^\]]*LessThan\(\w+,(\d+)\)", nxt
+            )
+            if m and int(m.group(1)) <= 4096:
+                return True
+    return False
+
+
 def _is_checkpoint_cross(sub: str) -> bool:
     """Build side is a localCheckpoint handoff (prints as `Scan
     ExistingRDD`) — the iterative-operator idiom (perceptron weights,
@@ -339,6 +371,7 @@ def _dangerous_nested_loop(plan: str) -> bool:
         and not _is_literal_inlist_cross(s)
         and not _is_checkpoint_cross(s)
         and not _is_sampled_cross(s)
+        and not _is_literal_bound_cross(s)
         for s in _nested_loop_subtrees(plan)
     )
 
@@ -369,6 +402,17 @@ def _sampled_cross(plan: str) -> bool:
     )
 
 
+def _litbound_cross(plan: str) -> bool:
+    return any(
+        not _is_bounded_cross(s, plan)
+        and not _is_literal_inlist_cross(s)
+        and not _is_checkpoint_cross(s)
+        and not _is_sampled_cross(s)
+        and _is_literal_bound_cross(s)
+        for s in _nested_loop_subtrees(plan)
+    )
+
+
 def _benign_onerow_cross(plan: str) -> bool:
     return any(_is_bounded_cross(s, plan) for s in _nested_loop_subtrees(plan))
 
@@ -393,6 +437,7 @@ def main() -> int:
             "inlist-cross" if a["inlist_cross"] else
             "ckpt-cross" if a["ckpt_cross"] else
             "sampled-cross" if a["sampled_cross"] else
+            "litbound-cross" if a["litbound_cross"] else
             "bounded-cross" if a["onerow_cross"] else ""
         )
         print(

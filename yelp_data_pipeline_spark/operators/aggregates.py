@@ -1953,3 +1953,135 @@ def pareto_by_group(
             ),
         ).alias("top_decile_share"),
     ).orderBy(group_col)
+
+
+def mutual_info(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Mutual information (nats) and the symmetric uncertainty
+    coefficient between two categorical columns — the information-
+    theoretic member of the association tier: chi2/Cramér's V score
+    DEVIATION from independence, MI scores shared INFORMATION
+    (how many nats knowing one column tells you about the other),
+    and U = 2*MI/(H_a + H_b) normalizes it to [0, 1] for
+    cross-table comparison (Theil's uncertainty coefficient,
+    symmetric form) — the number a feature-selection pass ranks
+    categorical predictors by.
+
+    Exact construction: joint and marginal counts from ONE
+    combinable groupBy + window sums over the bounded cell relation
+    (structurally-zero cells contribute 0 to MI — no spine needed,
+    unlike chi2); each cell's term (n_ij/n)*ln(n*n_ij/(n_a*n_b)) has
+    ONE ln on a ratio of exact integers (products in
+    DECIMAL(38,0)/HUGEINT — n*n_ij passes int64 near 1e10 rows),
+    rounded 6dp then DECIMAL(27,6)-summed; the entropies use the
+    same pattern over each marginal relation. U is NULL-guarded for
+    single-level inputs (H_a + H_b = 0).
+
+    Returns ONE row: (n_rows, h_a, h_b, mi, theils_u).
+    """
+    from pyspark.sql import Window
+
+    cells = df.groupBy(
+        F.col(col_a).alias("__a"), F.col(col_b).alias("__b")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    wa = Window.partitionBy("__a")
+    wb = Window.partitionBy("__b")
+    wall = Window.partitionBy()
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    dec6 = lambda c: c.cast("decimal(27,6)")  # noqa: E731
+    sized = (
+        cells.withColumn("n_a", F.sum("o").over(wa).cast("long"))
+        .withColumn("n_b", F.sum("o").over(wb).cast("long"))
+        .withColumn("n", F.sum("o").over(wall).cast("long"))
+    )
+    n = F.col("n").cast("double")
+    mi_term = F.round(
+        (F.col("o").cast("double") / n)
+        * F.log(
+            (dec(F.col("n")) * dec(F.col("o"))).cast("double")
+            / (dec(F.col("n_a")) * dec(F.col("n_b"))).cast("double")
+        ),
+        6,
+    )
+    ha_term = F.round(
+        (F.col("n_a").cast("double") / n)
+        * F.log(n / F.col("n_a").cast("double")),
+        6,
+    )
+    hb_term = F.round(
+        (F.col("n_b").cast("double") / n)
+        * F.log(n / F.col("n_b").cast("double")),
+        6,
+    )
+    m = sized.groupBy("n").agg(
+        F.sum(dec6(mi_term)).alias("__mi"),
+        # Each marginal term must count ONCE per level, not once per
+        # cell: divide the per-cell contribution by the level's cell
+        # count... simpler: aggregate distinct marginal relations.
+        F.count(F.lit(1)).alias("__ncells"),
+    )
+    # Entropies over the DISTINCT marginal relations (one row per
+    # level), not the cell relation.
+    ma = (
+        cells.groupBy("__a")
+        .agg(F.sum("o").cast("long").alias("n_a"))
+        .crossJoin(
+            F.broadcast(
+                cells.agg(F.sum("o").cast("long").alias("n"))
+            )
+        )
+    )
+    ha = ma.agg(
+        F.sum(
+            dec6(
+                F.round(
+                    (F.col("n_a").cast("double") / F.col("n").cast("double"))
+                    * F.log(
+                        F.col("n").cast("double")
+                        / F.col("n_a").cast("double")
+                    ),
+                    6,
+                )
+            )
+        ).alias("__ha")
+    )
+    mb = (
+        cells.groupBy("__b")
+        .agg(F.sum("o").cast("long").alias("n_b"))
+        .crossJoin(
+            F.broadcast(
+                cells.agg(F.sum("o").cast("long").alias("n"))
+            )
+        )
+    )
+    hb = mb.agg(
+        F.sum(
+            dec6(
+                F.round(
+                    (F.col("n_b").cast("double") / F.col("n").cast("double"))
+                    * F.log(
+                        F.col("n").cast("double")
+                        / F.col("n_b").cast("double")
+                    ),
+                    6,
+                )
+            )
+        ).alias("__hb")
+    )
+    j = (
+        m.select(F.col("n").alias("n_rows"), "__mi")
+        .crossJoin(F.broadcast(ha))
+        .crossJoin(F.broadcast(hb))
+    )
+    hsum = (F.col("__ha") + F.col("__hb")).cast("double")
+    return j.select(
+        "n_rows",
+        F.round(F.col("__ha").cast("double"), 6).alias("h_a"),
+        F.round(F.col("__hb").cast("double"), 6).alias("h_b"),
+        F.round(F.col("__mi").cast("double"), 6).alias("mi"),
+        F.when(
+            hsum > 0,
+            F.round(
+                F.lit(2.0) * F.col("__mi").cast("double") / hsum, 6
+            ),
+        ).alias("theils_u"),
+    )

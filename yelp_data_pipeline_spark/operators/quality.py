@@ -513,3 +513,70 @@ def gate_agreement_kappa(
             pe < F.lit(1.0), F.round((po - pe) / (F.lit(1.0) - pe), 6)
         ).alias("kappa"),
     )
+
+
+def benford_conformity(df: DataFrame, value_col: str) -> DataFrame:
+    """Benford conformity statistics — the one-row verdict over
+    benford_first_digit's 9-row table: the chi-square goodness-of-fit
+    against the Benford expectation and Nigrini's Mean Absolute
+    Deviation (the audit-practice thresholds read MAD < 0.006 close
+    conformity, 0.006-0.012 acceptable, 0.012-0.015 marginal, > 0.015
+    nonconformity). The digit screen shows WHERE the distribution
+    deviates; this says WHETHER the column passes at all.
+
+    The digit spine is the literal 1..9 Range — a digit absent from
+    the data still contributes its full expected mass to chi-square
+    and its deviation to MAD (observed-only would understate both).
+    Expected shares are one log10 per digit rounded 6dp (the same
+    literal sequence as the screen); each chi2 term
+    (o - n*p)^2/(n*p) and each |share - p| is a fixed IEEE sequence
+    rounded 6dp then DECIMAL(27,6)-summed (order-free); MAD is the
+    sum divided by 9. Plan: the screen's 9-cell groupBy + bounded
+    spine arithmetic — scan-bound.
+
+    Returns ONE row: (n_obs, chi2, mad).
+    """
+    cents = F.floor(
+        F.col(value_col).cast("double") * F.lit(100.0) + F.lit(0.5)
+    ).cast("long")
+    per = (
+        df.where(F.col(value_col).isNotNull() & (F.col(value_col) > 0))
+        .select(
+            F.substring(cents.cast("string"), 1, 1).cast("int").alias(
+                "digit"
+            )
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    spine = df.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("digit")
+    )
+    cells = spine.join(per, "digit", "left").select(
+        "digit", F.coalesce("n_obs", F.lit(0)).cast("long").alias("o")
+    )
+    tot = cells.agg(F.sum("o").cast("long").alias("n"))
+    j = cells.crossJoin(F.broadcast(tot))
+    d = F.col("digit").cast("double")
+    p = F.round(F.log10(F.lit(1.0) + F.lit(1.0) / d), 6)
+    e = F.col("n").cast("double") * p
+    chi_term = F.round(
+        (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e)
+        / e,
+        6,
+    )
+    dev_term = F.round(
+        F.abs(F.col("o").cast("double") / F.col("n").cast("double") - p), 6
+    )
+    dec6 = lambda c: c.cast("decimal(27,6)")  # noqa: E731
+    m = j.groupBy("n").agg(
+        F.sum(dec6(chi_term)).alias("__chi"),
+        F.sum(dec6(dev_term)).alias("__dev"),
+    )
+    return m.select(
+        F.col("n").alias("n_obs"),
+        F.round(F.col("__chi").cast("double"), 6).alias("chi2"),
+        F.round(
+            F.col("__dev").cast("double") / F.lit(9.0), 6
+        ).alias("mad"),
+    )

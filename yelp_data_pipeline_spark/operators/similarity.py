@@ -1816,3 +1816,103 @@ def centroid_margin_audit(
             ),
         ).alias("mean_margin"),
     ).orderBy("label")
+
+
+def ann_rank_quality_eval(
+    df: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    qid_col: str = "qid",
+    qvec_col: str = "qv",
+) -> DataFrame:
+    """Rank-quality evaluation of the IVF path against the exact
+    top-k: nDCG@k and reciprocal rank per query — the ORDER-aware
+    companion to ann_recall_eval: recall@k treats the returned set
+    as a bag; a serving stack that feeds a reranker or shows a
+    ranked list needs to know whether the RIGHT items are also EARLY
+    (nDCG, graded by exact-rank relevance k-r+1) and where the true
+    best neighbor lands (MRR). Together the pair decides
+    nprobe/ncells the way precision/recall decide a threshold.
+
+    Both arms reuse the serving operators; ranks re-derive from the
+    returned k-row lists with the identical (rounded score desc, id
+    asc) window, so positions replay across engines. Each DCG term
+    rel/log2(pos+1) has ONE log2 on an exact integer, rounded 6dp
+    then DECIMAL(27,6)-summed; the ideal DCG comes from a literal
+    1..k Range with the same pattern; nDCG is one division.
+
+    Returns (qid, ndcg_at_k, reciprocal_rank) per query; queries
+    whose approximate list missed the exact top-k entirely score 0.
+    """
+    from pyspark.sql import Window
+
+    worder = Window.partitionBy(qid_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    brute = cosine_topk_batch(
+        df, queries, k=k, id_col=id_col, vec_col=vec_col,
+        qid_col=qid_col, qvec_col=qvec_col,
+    ).withColumn("exact_rank", F.row_number().over(worder)).select(
+        qid_col, id_col, "exact_rank"
+    )
+    approx = ivf_topk_batch(
+        df, centroids, queries, k=k, nprobe=nprobe, id_col=id_col,
+        vec_col=vec_col, cell_col=cell_col, qid_col=qid_col,
+        qvec_col=qvec_col,
+    ).withColumn("pos", F.row_number().over(worder)).select(
+        qid_col, id_col, "pos"
+    )
+    joined = approx.join(brute, [qid_col, id_col], "left")
+    rel = F.when(
+        F.col("exact_rank").isNotNull(),
+        (F.lit(k) - F.col("exact_rank") + F.lit(1)).cast("double"),
+    ).otherwise(F.lit(0.0))
+    dterm = F.round(
+        rel / F.log2((F.col("pos") + F.lit(1)).cast("double")), 6
+    )
+    dec6 = lambda c: c.cast("decimal(27,6)")  # noqa: E731
+    per = joined.groupBy(qid_col).agg(
+        F.sum(dec6(dterm)).alias("__dcg"),
+        F.min(
+            F.when(F.col("exact_rank") == 1, F.col("pos"))
+        ).alias("__first"),
+    )
+    spine = df.sparkSession.range(1, k + 1).select(
+        F.col("id").alias("i")
+    )
+    ideal = spine.agg(
+        F.sum(
+            dec6(
+                F.round(
+                    (F.lit(k) - F.col("i") + F.lit(1)).cast("double")
+                    / F.log2((F.col("i") + F.lit(1)).cast("double")),
+                    6,
+                )
+            )
+        ).alias("__idcg")
+    )
+    out = (
+        queries.select(qid_col)
+        .join(per, qid_col, "left")
+        .crossJoin(F.broadcast(ideal))
+    )
+    return out.select(
+        qid_col,
+        F.round(
+            F.coalesce(F.col("__dcg").cast("double"), F.lit(0.0))
+            / F.col("__idcg").cast("double"),
+            6,
+        ).alias(f"ndcg_at_{k}"),
+        F.round(
+            F.when(
+                F.col("__first").isNotNull(),
+                F.lit(1.0) / F.col("__first").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("reciprocal_rank"),
+    )

@@ -2136,3 +2136,116 @@ def doc_length_moments(df: DataFrame, len_col: str) -> DataFrame:
             "excess_kurtosis"
         ),
     )
+
+
+def tfidf_doc_similarity_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 20,
+    min_df: int = 2,
+    max_df: int = 100,
+) -> DataFrame:
+    """Top-k most similar document pairs by TF-IDF cosine over an
+    inverted-index self-join — the lexical doc-doc similarity member
+    the retrieval tier lacked: BM25 scores query-vs-docs, the dedup
+    tier finds NEAR-COPIES (shingles/MinHash), TF-IDF cosine finds
+    TOPICALLY similar pairs that share distinctive vocabulary
+    without sharing n-grams — the relation a related-content or
+    link-suggestion feature serves.
+
+    Scale shape: the pair generation is the inverted-index join ON
+    TERM (never all-pairs), with the df band [min_df, max_df] as the
+    governing knob — hapax terms (df < min_df) cannot produce pairs,
+    stop-terms (df > max_df) would quadratically blow the join and
+    carry ~0 idf weight anyway (the same stop-shingle cap the
+    n-gram-Jaccard tier measures; candidates ~ sum_t df_t^2 over the
+    band). Weights w = round(tf*ln(N/df), 6) reuse the tfidf_top_terms
+    formula; per-pair dot and per-doc norm terms are 6dp-rounded then
+    DECIMAL(27,6)-summed (order-free); cosine is one division +
+    sqrt's on exact decimal sums; top-k by (cos desc, pair asc) via
+    a TakeOrdered heap. Norms use ALL banded terms of each doc, so
+    the cosine is exact over the banded vocabulary by definition.
+
+    Returns (doc_a, doc_b, n_shared_terms, cosine), k rows ordered
+    (cosine desc, doc_a asc, doc_b asc).
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    tf = (
+        df.select(F.col(id_col).alias("__id"), F.explode(toks).alias("t"))
+        .where(F.col("t") != "")
+        .groupBy("__id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    from ..session import track_persist
+
+    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = df.agg(
+        F.count_distinct(F.col(id_col)).cast("long").alias("__n")
+    )
+    banded = track_persist(
+        tf.join(
+            dfreq.where(
+                (F.col("df") >= min_df) & (F.col("df") <= max_df)
+            ),
+            "t",
+        )
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "__id",
+            "t",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(
+                    F.col("__n").cast("double") / F.col("df").cast("double")
+                ),
+                6,
+            ).alias("w"),
+        )
+    )
+    dec6 = lambda c: c.cast("decimal(27,6)")  # noqa: E731
+    norms = banded.groupBy("__id").agg(
+        F.sqrt(
+            F.sum(dec6(F.round(F.col("w") * F.col("w"), 6))).cast("double")
+        ).alias("nrm")
+    )
+    a = banded.select(
+        F.col("__id").alias("doc_a"), "t", F.col("w").alias("wa")
+    )
+    b = banded.select(
+        F.col("__id").alias("doc_b"), "t", F.col("w").alias("wb")
+    )
+    dots = (
+        a.join(b, "t")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared_terms"),
+            F.sum(
+                dec6(F.round(F.col("wa") * F.col("wb"), 6))
+            ).cast("double").alias("dot"),
+        )
+    )
+    na = norms.select(
+        F.col("__id").alias("doc_a"), F.col("nrm").alias("na")
+    )
+    nb = norms.select(
+        F.col("__id").alias("doc_b"), F.col("nrm").alias("nb")
+    )
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared_terms",
+            F.when(
+                (F.col("na") > 0) & (F.col("nb") > 0),
+                F.round(
+                    F.col("dot") / (F.col("na") * F.col("nb")), 6
+                ),
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(k)
+    )

@@ -1542,3 +1542,82 @@ def hurst_rs_daily(
             F.round((np_ * sxy - sx * sy) / den, 6),
         ).alias("hurst"),
     )
+
+
+def daily_runs_test(df: DataFrame, ts_col: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the signs of day-over-day changes
+    in the daily count series — the randomness check that closes the
+    temporal-structure tier from the other side: ACF/Hurst measure
+    HOW MUCH structure there is; the runs test asks whether the
+    up/down sequence is distinguishable from coin flips at all
+    (too FEW runs = momentum/trending, too MANY = oscillation;
+    |z| < 1.96 means day-over-day direction is noise and any
+    momentum story is overfit).
+
+    Exact construction: signs from integer day-over-day differences
+    (zero-change days are excluded, the standard convention); the
+    run count is 1 + the number of sign flips — an integer window
+    sum over the calendar-bounded daily relation; mu = 2*n1*n2/n + 1
+    and sigma^2 = 2*n1*n2*(2*n1*n2 - n)/(n^2*(n-1)) are fixed IEEE
+    sequences on exact integer counts (products kept in
+    DECIMAL(38,0) — 2*n1*n2 passes int64 near n ~ 3e9 days only in
+    theory, but the pattern is uniform house style), z rounded 6dp.
+    Degenerate series (all one direction, or < 2 changes) yield
+    NULL z.
+
+    Returns ONE row: (n_up, n_down, n_runs, z).
+    """
+    from pyspark.sql import Window
+
+    series = daily_counts_gapfilled(df, ts_col)
+    w = Window.orderBy("date")
+    diffs = (
+        series.withColumn("prev", F.lag("cnt").over(w))
+        .where(F.col("prev").isNotNull() & (F.col("cnt") != F.col("prev")))
+        .select(
+            "date",
+            F.when(F.col("cnt") > F.col("prev"), F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("sgn"),
+        )
+    )
+    w2 = Window.orderBy("date")
+    runs = diffs.withColumn("prev_sgn", F.lag("sgn").over(w2)).select(
+        "sgn",
+        F.when(
+            F.col("prev_sgn").isNull()
+            | (F.col("sgn") != F.col("prev_sgn")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_run"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = runs.agg(
+        F.sum((F.col("sgn") == 1).cast("int")).cast("long").alias("n_up"),
+        F.sum((F.col("sgn") == -1).cast("int")).cast("long").alias(
+            "n_down"
+        ),
+        F.sum("new_run").cast("long").alias("n_runs"),
+    )
+    n1 = F.col("n_up").cast("double")
+    n2 = F.col("n_down").cast("double")
+    n = n1 + n2
+    two_n1n2 = (
+        F.lit(2) * dec(F.col("n_up")) * dec(F.col("n_down"))
+    ).cast("double")
+    mu = two_n1n2 / n + F.lit(1.0)
+    sigma2 = (
+        two_n1n2 * (two_n1n2 - n) / (n * n * (n - F.lit(1.0)))
+    )
+    return m.select(
+        "n_up",
+        "n_down",
+        "n_runs",
+        F.when(
+            (F.col("n_up") > 0) & (F.col("n_down") > 0) & (sigma2 > 0),
+            F.round(
+                (F.col("n_runs").cast("double") - mu) / F.sqrt(sigma2), 6
+            ),
+        ).alias("z"),
+    )

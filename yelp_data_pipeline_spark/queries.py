@@ -12232,6 +12232,330 @@ def q_daily_count_hurst(spark, sf_dir):
     return ts_ops.hurst_rs_daily(_t(spark, sf_dir, "events"), "ts")
 
 
+
+
+@_q(
+    "priority_status_mutual_info",
+    """
+WITH cells AS (
+  SELECT o_orderpriority AS a, o_orderstatus AS b, CAST(count(*) AS BIGINT) AS o
+  FROM orders GROUP BY 1, 2
+),
+sized AS (
+  SELECT o,
+         CAST(sum(o) OVER (PARTITION BY a) AS BIGINT) AS n_a,
+         CAST(sum(o) OVER (PARTITION BY b) AS BIGINT) AS n_b,
+         CAST(sum(o) OVER () AS BIGINT) AS n
+  FROM cells
+),
+mirel AS (
+  SELECT n,
+         sum(CAST(round((CAST(o AS DOUBLE) / CAST(n AS DOUBLE))
+                        * ln(CAST(CAST(n AS HUGEINT) * CAST(o AS HUGEINT) AS DOUBLE)
+                             / CAST(CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT) AS DOUBLE)), 6)
+                  AS DECIMAL(27,6))) AS miv
+  FROM sized GROUP BY 1
+),
+ma AS (SELECT a, CAST(sum(o) AS BIGINT) AS n_a FROM cells GROUP BY 1),
+mb AS (SELECT b, CAST(sum(o) AS BIGINT) AS n_b FROM cells GROUP BY 1),
+tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+ha AS (
+  SELECT sum(CAST(round((CAST(n_a AS DOUBLE) / CAST(t.n AS DOUBLE))
+                        * ln(CAST(t.n AS DOUBLE) / CAST(n_a AS DOUBLE)), 6)
+                  AS DECIMAL(27,6))) AS hav
+  FROM ma, tot t
+),
+hb AS (
+  SELECT sum(CAST(round((CAST(n_b AS DOUBLE) / CAST(t.n AS DOUBLE))
+                        * ln(CAST(t.n AS DOUBLE) / CAST(n_b AS DOUBLE)), 6)
+                  AS DECIMAL(27,6))) AS hbv
+  FROM mb, tot t
+)
+SELECT m.n AS n_rows,
+       round(CAST(hav AS DOUBLE), 6) AS h_a,
+       round(CAST(hbv AS DOUBLE), 6) AS h_b,
+       round(CAST(miv AS DOUBLE), 6) AS mi,
+       CASE WHEN CAST(hav + hbv AS DOUBLE) > 0 THEN
+         round(CAST(2.0 AS DOUBLE) * CAST(miv AS DOUBLE) / CAST(hav + hbv AS DOUBLE), 6)
+       END AS theils_u
+FROM mirel m, ha, hb
+""",
+    doc="Mutual information (nats) and symmetric Theil's U between "
+    "order priority and status (operators/aggregates.py:"
+    "mutual_info) — the information-theoretic member of the "
+    "association tier: chi2/V score deviation from independence, MI "
+    "scores shared information, U = 2*MI/(H_a+H_b) normalizes to "
+    "[0,1] — the number feature selection ranks categorical "
+    "predictors by. Zero cells contribute 0 (no spine needed, "
+    "unlike chi2); each term has ONE ln on a ratio of exact "
+    "DECIMAL/HUGEINT integer products, 6dp-rounded then "
+    "DECIMAL(27,6)-summed; entropies use the same pattern over the "
+    "marginal relations.",
+)
+def q_priority_status_mutual_info(spark, sf_dir):
+    return agg.mutual_info(
+        _t(spark, sf_dir, "orders"), "o_orderpriority", "o_orderstatus"
+    )
+
+
+@_q(
+    "benford_price_conformity",
+    """
+WITH per AS (
+  SELECT CAST(substr(CAST(CAST(FLOOR(CAST(o_totalprice AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+         CAST(count(*) AS BIGINT) AS n_obs
+  FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+  GROUP BY 1
+),
+spine AS (SELECT CAST(unnest(generate_series(1, 9)) AS INT) AS digit),
+cells AS (
+  SELECT s.digit, CAST(coalesce(p.n_obs, 0) AS BIGINT) AS o
+  FROM spine s LEFT JOIN per p ON s.digit = p.digit
+),
+tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+terms AS (
+  SELECT n,
+         round((CAST(o AS DOUBLE) - CAST(n AS DOUBLE) * round(log10(CAST(1.0 AS DOUBLE) + CAST(1.0 AS DOUBLE) / CAST(digit AS DOUBLE)), 6))
+               * (CAST(o AS DOUBLE) - CAST(n AS DOUBLE) * round(log10(CAST(1.0 AS DOUBLE) + CAST(1.0 AS DOUBLE) / CAST(digit AS DOUBLE)), 6))
+               / (CAST(n AS DOUBLE) * round(log10(CAST(1.0 AS DOUBLE) + CAST(1.0 AS DOUBLE) / CAST(digit AS DOUBLE)), 6)), 6) AS chit,
+         round(abs(CAST(o AS DOUBLE) / CAST(n AS DOUBLE)
+                   - round(log10(CAST(1.0 AS DOUBLE) + CAST(1.0 AS DOUBLE) / CAST(digit AS DOUBLE)), 6)), 6) AS devt
+  FROM cells, tot
+)
+SELECT n AS n_obs,
+       round(CAST(sum(CAST(chit AS DECIMAL(27,6))) AS DOUBLE), 6) AS chi2,
+       round(CAST(sum(CAST(devt AS DECIMAL(27,6))) AS DOUBLE) / CAST(9.0 AS DOUBLE), 6) AS mad
+FROM terms GROUP BY 1
+""",
+    doc="Benford conformity verdict over the first-digit screen "
+    "(operators/quality.py:benford_conformity): chi-square "
+    "goodness-of-fit vs the Benford expectation plus Nigrini's Mean "
+    "Absolute Deviation (the audit thresholds: MAD < 0.006 close, "
+    "> 0.015 nonconforming) — benford_price_audit shows WHERE the "
+    "digits deviate, this says WHETHER the column passes. Full "
+    "9-digit spine (absent digits contribute their whole expected "
+    "mass); expected shares one log10 per digit 6dp-rounded (the "
+    "screen's literal sequence); chi2/MAD terms rounded then "
+    "DECIMAL(27,6)-summed. Scan-bound.",
+)
+def q_benford_price_conformity(spark, sf_dir):
+    return dq.benford_conformity(
+        _t(spark, sf_dir, "orders"), "o_totalprice"
+    )
+
+
+@_q(
+    "daily_count_runs_test",
+    """
+WITH c AS (
+  SELECT CAST(ts AS DATE) AS date, count(*) AS cnt FROM events GROUP BY 1
+),
+span AS (SELECT min(date) AS lo, max(date) AS hi FROM c),
+spine AS (
+  SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS date
+  FROM span
+),
+s AS (
+  SELECT spine.date, coalesce(c.cnt, 0) AS cnt
+  FROM spine LEFT JOIN c ON spine.date = c.date
+),
+d AS (SELECT date, cnt, lag(cnt) OVER (ORDER BY date) AS prev FROM s),
+signs AS (
+  SELECT date, CASE WHEN cnt > prev THEN 1 ELSE -1 END AS sgn
+  FROM d WHERE prev IS NOT NULL AND cnt <> prev
+),
+runs AS (
+  SELECT sgn,
+         CASE WHEN lag(sgn) OVER (ORDER BY date) IS NULL
+                   OR sgn <> lag(sgn) OVER (ORDER BY date)
+              THEN 1 ELSE 0 END AS new_run
+  FROM signs
+),
+m AS (
+  SELECT CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+         CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+         CAST(sum(new_run) AS BIGINT) AS n_runs
+  FROM runs
+),
+x AS (
+  SELECT n_up, n_down, n_runs,
+         CAST(2 * CAST(n_up AS HUGEINT) * CAST(n_down AS HUGEINT) AS DOUBLE) AS t2,
+         CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE) AS nn
+  FROM m
+)
+SELECT n_up, n_down, n_runs,
+       CASE WHEN n_up > 0 AND n_down > 0
+                 AND t2 * (t2 - nn) / (nn * nn * (nn - CAST(1.0 AS DOUBLE))) > 0 THEN
+         round((CAST(n_runs AS DOUBLE) - (t2 / nn + CAST(1.0 AS DOUBLE)))
+               / sqrt(t2 * (t2 - nn) / (nn * nn * (nn - CAST(1.0 AS DOUBLE)))), 6)
+       END AS z
+FROM x
+""",
+    doc="Wald-Wolfowitz runs test on day-over-day count direction "
+    "(operators/timeseries.py:daily_runs_test) — the randomness "
+    "check closing the temporal tier from the other side: ACF/Hurst "
+    "measure how much structure; the runs test asks whether the "
+    "up/down sequence beats coin flips at all (too few runs = "
+    "momentum, too many = oscillation). Signs from integer "
+    "differences on the gap-filled daily relation (zero-change days "
+    "excluded, the standard convention); run count = 1 + sign "
+    "flips; mu/sigma fixed IEEE sequences on exact integer counts, "
+    "NULL-guarded one-sided series.",
+)
+def q_daily_count_runs_test(spark, sf_dir):
+    return ts_ops.daily_runs_test(_t(spark, sf_dir, "events"), "ts")
+
+
+@_q(
+    "tfidf_doc_similarity",
+    """
+WITH tf AS (
+  SELECT doc_id AS id, t, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        FROM documents)
+  WHERE t <> '' GROUP BY 1, 2
+),
+dfreq AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM documents),
+banded AS (
+  SELECT tf.id, tf.t,
+         round(CAST(tf.tf AS DOUBLE) * ln(CAST(nd.n AS DOUBLE) / CAST(d.df AS DOUBLE)), 6) AS w
+  FROM tf JOIN dfreq d ON tf.t = d.t, nd
+  WHERE d.df BETWEEN 2 AND 100
+),
+norms AS (
+  SELECT id, sqrt(CAST(sum(CAST(round(w * w, 6) AS DECIMAL(27,6))) AS DOUBLE)) AS nrm
+  FROM banded GROUP BY 1
+),
+dots AS (
+  SELECT a.id AS doc_a, b.id AS doc_b,
+         CAST(count(*) AS BIGINT) AS n_shared_terms,
+         CAST(sum(CAST(round(a.w * b.w, 6) AS DECIMAL(27,6))) AS DOUBLE) AS dot
+  FROM banded a JOIN banded b ON a.t = b.t AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_shared_terms,
+       CASE WHEN na.nrm > 0 AND nb.nrm > 0 THEN
+         round(dot / (na.nrm * nb.nrm), 6) END AS cosine
+FROM dots
+JOIN norms na ON dots.doc_a = na.id
+JOIN norms nb ON dots.doc_b = nb.id
+ORDER BY cosine DESC, doc_a ASC, doc_b ASC
+LIMIT 20
+""",
+    doc="Top-20 most similar document pairs by TF-IDF cosine over an "
+    "inverted-index self-join (operators/textops.py:"
+    "tfidf_doc_similarity_topk) — the lexical doc-doc member the "
+    "retrieval tier lacked: BM25 scores query-vs-docs, dedup finds "
+    "near-copies, TF-IDF cosine finds TOPICALLY similar pairs "
+    "sharing distinctive vocabulary without shared n-grams. Pair "
+    "generation is the postings join ON TERM inside the df band "
+    "[2, 100] (hapax can't pair; stop-terms would blow the join "
+    "quadratically and carry ~0 idf — the measured stop-shingle cap "
+    "move); dot/norm terms 6dp-rounded then DECIMAL-summed; top-k "
+    "by (cosine desc, pair asc) TakeOrdered heap.",
+)
+def q_tfidf_doc_similarity(spark, sf_dir):
+    return tx.tfidf_doc_similarity_topk(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=20
+    )
+
+
+@_q(
+    "ann_rank_quality",
+    """
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20
+),
+cent AS (
+  SELECT label AS cell, i AS pos,
+         round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m
+  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) g
+  GROUP BY 1, 2
+),
+cvec AS (
+  SELECT cell, list(m ORDER BY pos) AS centroid FROM cent GROUP BY cell
+),
+route AS (
+  SELECT qid, qv, cell FROM (
+    SELECT q.qid, q.qv, c.cell,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY round((CASE WHEN (sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(c.centroid[i] AS DOUBLE) * CAST(c.centroid[i] AS DOUBLE))))) * (sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))) > 0 THEN (list_sum(list_transform(generate_series(1, 64), i -> CAST(c.centroid[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))) / ((sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(c.centroid[i] AS DOUBLE) * CAST(c.centroid[i] AS DOUBLE))))) * (sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))))) END), 6) DESC,
+                      c.cell ASC) AS rn
+    FROM q, cvec c
+  ) WHERE rn <= 1
+),
+ivf AS (
+  SELECT qid, vec_id, rn AS pos FROM (
+    SELECT r.qid, e.vec_id,
+           row_number() OVER (
+             PARTITION BY r.qid
+             ORDER BY round((CASE WHEN (sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) * (sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(r.qv[i] AS DOUBLE) * CAST(r.qv[i] AS DOUBLE))))) > 0 THEN (list_sum(list_transform(generate_series(1, 64), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(r.qv[i] AS DOUBLE)))) / ((sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) * (sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(r.qv[i] AS DOUBLE) * CAST(r.qv[i] AS DOUBLE)))))) END), 6) DESC,
+                      e.vec_id ASC) AS rn
+    FROM embeddings e JOIN route r ON e.label = r.cell
+  ) WHERE rn <= 10
+),
+brute AS (
+  SELECT qid, vec_id, rn AS exact_rank FROM (
+    SELECT q.qid, e.vec_id,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY round((CASE WHEN (sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) * (sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))) > 0 THEN (list_sum(list_transform(generate_series(1, 64), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))) / ((sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) * (sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))))) END), 6) DESC,
+                      e.vec_id ASC) AS rn
+    FROM embeddings e, q
+  ) WHERE rn <= 10
+),
+joined AS (
+  SELECT i.qid, i.pos, b.exact_rank
+  FROM ivf i LEFT JOIN brute b ON i.qid = b.qid AND i.vec_id = b.vec_id
+),
+per AS (
+  SELECT qid,
+         sum(CAST(round((CASE WHEN exact_rank IS NOT NULL
+                              THEN CAST(10 - exact_rank + 1 AS DOUBLE)
+                              ELSE CAST(0.0 AS DOUBLE) END)
+                        / log2(CAST(pos + 1 AS DOUBLE)), 6)
+                  AS DECIMAL(27,6))) AS dcg,
+         min(CASE WHEN exact_rank = 1 THEN pos END) AS first_pos
+  FROM joined GROUP BY 1
+),
+ideal AS (
+  SELECT sum(CAST(round(CAST(10 - i + 1 AS DOUBLE) / log2(CAST(i + 1 AS DOUBLE)), 6)
+                  AS DECIMAL(27,6))) AS idcg
+  FROM (SELECT CAST(unnest(generate_series(1, 10)) AS BIGINT) AS i)
+)
+SELECT q.qid,
+       round(coalesce(CAST(p.dcg AS DOUBLE), CAST(0.0 AS DOUBLE))
+             / CAST(ideal.idcg AS DOUBLE), 6) AS ndcg_at_10,
+       round(CASE WHEN p.first_pos IS NOT NULL
+                  THEN CAST(1.0 AS DOUBLE) / CAST(p.first_pos AS DOUBLE)
+                  ELSE CAST(0.0 AS DOUBLE) END, 6) AS reciprocal_rank
+FROM q LEFT JOIN per p ON q.qid = p.qid, ideal
+""",
+    doc="Rank-quality eval of the IVF path vs the exact top-10: "
+    "nDCG@10 (graded by exact-rank relevance k-r+1) and reciprocal "
+    "rank of the true best neighbor, per query "
+    "(operators/similarity.py:ann_rank_quality_eval) — the "
+    "ORDER-aware companion to ann_recall_eval: recall treats the "
+    "returned set as a bag; a stack feeding a reranker needs the "
+    "right items EARLY. Both arms reuse the serving operators with "
+    "positions re-derived by the identical (rounded score desc, id "
+    "asc) window; each DCG term has ONE log2 on an exact integer, "
+    "6dp-rounded then DECIMAL-summed; the ideal DCG is a literal "
+    "1..k Range with the same pattern.",
+)
+def q_ann_rank_quality(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.withColumnRenamed("label", "cell")
+    cents = sim.train_centroids_by_label(emb)
+    qs = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    return sim.ann_rank_quality_eval(corpus, cents, qs, k=10, nprobe=1)
+
+
 # --------------------------------------------------------------------------
 # Registry exports (driver contract)
 # --------------------------------------------------------------------------
@@ -12292,16 +12616,21 @@ _EXPORT_PRIORITY: list[str] = [
     "event_value_quantile_shift",
     "centroid_margin_eval",
     "daily_count_hurst",
+    "priority_status_mutual_info",
+    "benford_price_conformity",
+    "daily_count_runs_test",
+    "tfidf_doc_similarity",
+    "ann_rank_quality",
     # Stalest verdicts (last seen round 3) — refresh:
     "order_price_percent_rank",
     "price_quantiles_by_priority",
     "quality_scores",
     "sampled_documents",
-    "shipping_priority_top10",
-    "token_stats",
-    "top_orders_with_ties",
-    # Round-4-stale refreshes (oldest-first rotation). The 36 names
-    # past the 50-slot export cap (bridge_part_words, clean_pyrepr_attributes,
+    # Round-3/4-stale refreshes (oldest-first rotation). The 42 names
+    # past the 50-slot export cap (shipping_priority_top10, token_stats,
+    # top_orders_with_ties,
+    # bigram_logprob_scores, bm25_doc_scores,
+    # bridge_part_words, clean_pyrepr_attributes,
     # customers_with_urgent_orders, customers_without_urgent_orders,
     # dates_except, dates_intersect, dedup_clusters_star,
     # dedup_keep_best_docs, detect_parse_json_props,
@@ -12316,8 +12645,6 @@ _EXPORT_PRIORITY: list[str] = [
     # top_order_per_customer, total_counts, union_distinct_dates,
     # weighted_quality_sample, winnowing_fingerprints) lead round 10's
     # window together with the 39 round-5-stale names:
-    "bigram_logprob_scores",
-    "bm25_doc_scores",
 ]
 
 
