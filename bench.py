@@ -151,6 +151,8 @@ EXTRAS = [
     "daily_count_runs_test",
     "tfidf_doc_similarity",
     "ann_rank_quality",
+    "quality_score_auc",
+    "quality_score_lift",
 ]
 
 

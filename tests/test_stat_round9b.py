@@ -646,3 +646,44 @@ def test_ann_rank_quality_exact_ivf_agreement(spark):
     for r in out.collect():
         assert r["ndcg_at_4"] == pytest.approx(1.0)
         assert r["reciprocal_rank"] == pytest.approx(1.0)
+
+
+def test_score_label_auc_extremes(spark):
+    # Perfectly separating score -> AUC 1; anti-separating -> 0;
+    # constant labels -> NULL.
+    rows = [(0.9, True), (0.8, True), (0.2, False), (0.1, False)]
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    row = dq.score_label_auc(df, "s", F.col("y")).collect()[0]
+    assert row["auc"] == pytest.approx(1.0)
+    assert row["gini"] == pytest.approx(1.0)
+    rows = [(0.1, True), (0.2, True), (0.8, False), (0.9, False)]
+    row = dq.score_label_auc(
+        spark.createDataFrame(rows, "s double, y boolean"), "s", F.col("y")
+    ).collect()[0]
+    assert row["auc"] == pytest.approx(0.0)
+    # All-tied scores -> AUC 0.5 by the average-rank convention.
+    rows = [(0.5, True), (0.5, False), (0.5, True), (0.5, False)]
+    row = dq.score_label_auc(
+        spark.createDataFrame(rows, "s double, y boolean"), "s", F.col("y")
+    ).collect()[0]
+    assert row["auc"] == pytest.approx(0.5)
+    rows = [(0.5, True)] * 3
+    row = dq.score_label_auc(
+        spark.createDataFrame(rows, "s double, y boolean"), "s", F.col("y")
+    ).collect()[0]
+    assert row["auc"] is None
+
+
+def test_score_lift_table_hand_case(spark):
+    # 20 rows, scores descending, positives all in the top 4 ->
+    # decile 1 (top 2 rows) and 2 catch them; lift in decile 1 = 5x.
+    rows = [(i, 1.0 - i * 0.01, i < 4) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, s double, y boolean")
+    out = {r["decile"]: r for r in dq.score_lift_table(df, "id", "s", F.col("y")).collect()}
+    assert len(out) == 10 and all(out[d]["n_rows"] == 2 for d in out)
+    assert out[1]["n_pos"] == 2 and out[2]["n_pos"] == 2
+    assert out[1]["pos_rate"] == pytest.approx(1.0)
+    assert out[1]["lift"] == pytest.approx(5.0)
+    assert out[2]["cum_recall"] == pytest.approx(1.0)
+    assert out[10]["cum_recall"] == pytest.approx(1.0)
+    assert out[3]["n_pos"] == 0

@@ -103,6 +103,35 @@ DEFAULT_AUDIT = [
 ]
 
 
+def _normalize_tree_lines(plan: str) -> str:
+    """Rejoin physical-plan lines broken by literal newlines inside
+    expression text (e.g. `string_split(text, chr(10))` prints the
+    actual newline), which otherwise truncate indentation-based
+    subtree capture mid-branch — the failure mode that hid a nested-
+    loop build side behind a chr(10) literal in a probe-side
+    projection. Every real tree line except the root contains a
+    '+- ' or ':- ' edge marker (or is a section header); anything
+    else is a continuation of the previous logical line."""
+    out: list[str] = []
+    prev_header = False
+    for i, line in enumerate(plan.splitlines()):
+        # AQE section roots ("+- == Final/Initial Plan ==") are
+        # followed by ONE headerless top node line — a real tree line.
+        is_tree = (
+            i == 0
+            or "+- " in line
+            or ":- " in line
+            or line.startswith("==")
+            or prev_header
+        )
+        prev_header = line.rstrip().endswith("==")
+        if is_tree or not out:
+            out.append(line)
+        else:
+            out[-1] = out[-1] + " " + line.strip()
+    return "\n".join(out)
+
+
 def _elide_cached(plan: str) -> str:
     """Drop the build-plan subtree repeated under every
     InMemoryRelation node: it prints once per cached-scan consumer but
@@ -130,7 +159,7 @@ def audit(name: str, df) -> dict:
     # spans and runtime join choices.
     jqe = df._jdf.queryExecution()
     jqe.executedPlan().executeCollect()
-    plan = _elide_cached(jqe.executedPlan().toString())
+    plan = _elide_cached(_normalize_tree_lines(jqe.executedPlan().toString()))
     # codegen spans print as `*(N)` prefixes; long PushedFilters lists
     # are truncated by toString without a closing bracket, so count
     # non-empty opens rather than matching to `]`.

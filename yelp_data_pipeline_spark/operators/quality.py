@@ -580,3 +580,145 @@ def benford_conformity(df: DataFrame, value_col: str) -> DataFrame:
             F.col("__dev").cast("double") / F.lit(9.0), 6
         ).alias("mad"),
     )
+
+
+def score_label_auc(df: DataFrame, score_col: str, label_col) -> DataFrame:
+    """ROC-AUC (and the accuracy-ratio Gini 2*AUC-1) of a continuous
+    score against a boolean label — the ranking-power member of the
+    classifier-eval battery: kappa (gate_agreement_kappa) asks
+    whether two HARD gates agree; AUC asks whether the SOFT score
+    orders positives above negatives at any threshold (0.5 = no
+    signal), i.e. whether thresholding the score can ever reproduce
+    the gate. AUC IS the Mann-Whitney probability of superiority, so
+    the construction is the drift tier's rank-sum machinery aimed at
+    labels instead of time windows.
+
+    Exact: scores are 6dp-rounded producers, so the distinct-score
+    relation is domain-bounded (<= 10^6+1 cells for a [0,1] score);
+    tie handling is the average-rank convention in exact
+    DECIMAL(38,0) integers over that relation (ties between a
+    positive and negative count half — the trapezoidal ROC rule);
+    AUC is ONE double division. NULL labels count as negatives;
+    degenerate inputs (single class) yield NULL.
+
+    Returns ONE row: (n_pos, n_neg, auc, gini).
+    """
+    from pyspark.sql import Window
+
+    lab = F.coalesce(label_col.cast("boolean"), F.lit(False)).cast("int")
+    cells = (
+        df.where(F.col(score_col).isNotNull())
+        .select(F.col(score_col).alias("s"), lab.alias("y"))
+        .groupBy("s")
+        .agg(
+            F.count(F.lit(1)).alias("t"),
+            F.sum("y").cast("long").alias("t_pos"),
+        )
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = cells.withColumn(
+        "cb",
+        F.coalesce(
+            F.sum(F.col("t") - F.col("t_pos")).over(w), F.lit(0)
+        ).cast("long"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = ranked.agg(
+        F.sum("t_pos").cast("long").alias("n_pos"),
+        (F.sum("t") - F.sum("t_pos")).cast("long").alias("n_neg"),
+        F.sum(
+            dec(F.col("t_pos"))
+            * (
+                F.lit(2) * dec(F.col("cb"))
+                + dec(F.col("t") - F.col("t_pos"))
+            )
+        ).alias("__u2"),
+    )
+    np_, nn = F.col("n_pos").cast("double"), F.col("n_neg").cast("double")
+    auc = F.col("__u2").cast("double") / F.lit(2.0) / (np_ * nn)
+    ok = (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
+    return m.select(
+        "n_pos",
+        "n_neg",
+        F.when(ok, F.round(auc, 6)).alias("auc"),
+        F.when(ok, F.round(F.lit(2.0) * auc - F.lit(1.0), 6)).alias(
+            "gini"
+        ),
+    )
+
+
+def score_lift_table(
+    df: DataFrame, id_col: str, score_col: str, label_col
+) -> DataFrame:
+    """Decile gains/lift table of a score against a boolean label —
+    the operational reading next to AUC: AUC summarizes ranking power
+    in one number; the lift table says what a CAPACITY-constrained
+    consumer gets ('review the top 10% by score → catch X% of
+    positives at Y× the base rate') — the standard model-adoption
+    artifact for a curation or fraud queue.
+
+    Deterministic deciles: rows order by (score desc, id asc) — a
+    total order — and the decile is the INTEGER floor((rn-1)*10/n)+1
+    (no float ntile); per-decile positives are exact counts; rate,
+    cumulative recall, and lift-vs-base-rate are fixed IEEE
+    sequences, 6dp. The global row_number runs over the scored
+    relation — swap in windows.scalable_ranks' range-partitioned
+    ranks past single-window scale (the documented unbounded-order
+    path). NULL labels count as negatives; a label-free corpus
+    yields NULL rates.
+
+    Returns (decile, n_rows, n_pos, pos_rate, cum_recall, lift)
+    ordered by decile.
+    """
+    from pyspark.sql import Window
+
+    lab = F.coalesce(label_col.cast("boolean"), F.lit(False)).cast("int")
+    scored = df.where(F.col(score_col).isNotNull()).select(
+        F.col(id_col).alias("__id"),
+        F.col(score_col).alias("s"),
+        lab.alias("y"),
+    )
+    w = Window.orderBy(F.desc("s"), F.asc("__id"))
+    wall = Window.partitionBy()
+    ranked = scored.withColumn(
+        "rn", F.row_number().over(w).cast("long")
+    ).withColumn("n", F.count(F.lit(1)).over(wall).cast("long"))
+    binned = ranked.withColumn(
+        "decile",
+        (
+            F.floor(
+                (F.col("rn") - 1) * F.lit(10) / F.col("n")
+            )
+            + F.lit(1)
+        ).cast("int"),
+    )
+    per = binned.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("y").cast("long").alias("n_pos"),
+    )
+    tot = per.agg(
+        F.sum("n_rows").cast("long").alias("__n"),
+        F.sum("n_pos").cast("long").alias("__p"),
+    )
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    j = per.crossJoin(F.broadcast(tot)).withColumn(
+        "cum_pos", F.sum("n_pos").over(wcum).cast("long")
+    )
+    rate = F.col("n_pos").cast("double") / F.col("n_rows").cast("double")
+    base = F.col("__p").cast("double") / F.col("__n").cast("double")
+    return j.select(
+        "decile",
+        "n_rows",
+        "n_pos",
+        F.round(rate, 6).alias("pos_rate"),
+        F.when(
+            F.col("__p") > 0,
+            F.round(
+                F.col("cum_pos").cast("double") / F.col("__p").cast("double"),
+                6,
+            ),
+        ).alias("cum_recall"),
+        F.when(F.col("__p") > 0, F.round(rate / base, 6)).alias("lift"),
+    ).orderBy("decile")

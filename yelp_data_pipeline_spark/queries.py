@@ -12556,6 +12556,197 @@ def q_ann_rank_quality(spark, sf_dir):
     return sim.ann_rank_quality_eval(corpus, cents, qs, k=10, nprobe=1)
 
 
+
+
+@_q(
+    "quality_score_auc",
+    """
+WITH base AS (
+  SELECT doc_id,
+         string_split_regex(trim(lower(text)), '\s+') AS toks,
+         string_split(text, chr(10)) AS lines,
+         CAST(length(text) AS INT) AS n_chars,
+         CAST(len(regexp_extract_all(text, '#')) AS INT)
+           + CAST(len(regexp_extract_all(text, '(\.\.\.|…)')) AS INT) AS n_sym
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         (CAST(len(toks) AS INT) BETWEEN 50 AND 100000
+          AND round(CAST(n_chars - (len(toks) - 1) AS DOUBLE)
+                    / CAST(len(toks) AS DOUBLE), 6) BETWEEN 3.0 AND 10.0
+          AND round(CAST(n_sym AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) <= 0.1
+          AND round(CAST(len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]'))) AS DOUBLE)
+                    / CAST(len(lines) AS DOUBLE), 6) <= 0.9
+          AND round(CAST(len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS DOUBLE)
+                    / CAST(len(lines) AS DOUBLE), 6) <= 0.3
+          AND round(CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+                    / CAST(len(toks) AS DOUBLE), 6) >= 0.8
+          AND CAST(len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'))) AS INT) >= 2
+         ) AS y
+  FROM base
+),
+q AS (
+  SELECT doc_id,
+         round(least(CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) / 100.0, 1.0) * 0.5
+               + round(CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                    t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'))) AS DOUBLE)
+                 / CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE), 6) * 0.3
+               + (1.0 - least(round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+                 / CAST(length(text) AS DOUBLE), 6) * 10, 1.0)) * 0.2,
+               6) AS s
+  FROM documents
+),
+sl AS (
+  SELECT q.doc_id, q.s, CASE WHEN coalesce(g.y, false) THEN 1 ELSE 0 END AS y
+  FROM q JOIN g USING (doc_id)
+),
+cells AS (
+  SELECT s, CAST(count(*) AS BIGINT) AS t, CAST(sum(y) AS BIGINT) AS t_pos
+  FROM sl GROUP BY 1
+),
+ranked AS (
+  SELECT s, t, t_pos,
+         COALESCE(CAST(sum(t - t_pos) OVER (ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cb
+  FROM cells
+),
+m AS (
+  SELECT CAST(sum(t_pos) AS BIGINT) AS n_pos,
+         CAST(sum(t) - sum(t_pos) AS BIGINT) AS n_neg,
+         sum(CAST(t_pos AS HUGEINT)
+             * (2 * CAST(cb AS HUGEINT) + CAST(t - t_pos AS HUGEINT))) AS u2
+  FROM ranked
+)
+SELECT n_pos, n_neg,
+       CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         round(CAST(u2 AS DOUBLE) / CAST(2.0 AS DOUBLE)
+               / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6) END AS auc,
+       CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         round(CAST(2.0 AS DOUBLE)
+               * (CAST(u2 AS DOUBLE) / CAST(2.0 AS DOUBLE)
+                  / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)))
+               - CAST(1.0 AS DOUBLE), 6) END AS gini
+FROM m
+
+""",
+    doc="ROC-AUC and accuracy-ratio Gini of the heuristic quality "
+    "score against the Gopher rule gate (operators/quality.py:"
+    "score_label_auc) — the ranking-power member of the classifier-"
+    "eval battery: kappa (quality_gate_kappa) scores hard-gate "
+    "agreement; AUC asks whether thresholding the SOFT score can "
+    "ever reproduce the gate (0.5 = no signal). AUC IS Mann-Whitney "
+    "probability of superiority — the drift tier's rank-sum "
+    "machinery aimed at labels: 6dp scores bound the distinct-cell "
+    "relation, average-rank tie handling in exact DECIMAL/HUGEINT, "
+    "ONE division.",
+)
+def q_quality_score_auc(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    g = tx.gopher_quality_flags(docs).select("doc_id", "passes_gopher")
+    q = tx.quality_features(docs, "doc_id", "text").select(
+        "doc_id", "quality_score"
+    )
+    j = q.join(g, "doc_id")
+    return dq.score_label_auc(j, "quality_score", F.col("passes_gopher"))
+
+
+@_q(
+    "quality_score_lift",
+    """
+WITH base AS (
+  SELECT doc_id,
+         string_split_regex(trim(lower(text)), '\s+') AS toks,
+         string_split(text, chr(10)) AS lines,
+         CAST(length(text) AS INT) AS n_chars,
+         CAST(len(regexp_extract_all(text, '#')) AS INT)
+           + CAST(len(regexp_extract_all(text, '(\.\.\.|…)')) AS INT) AS n_sym
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         (CAST(len(toks) AS INT) BETWEEN 50 AND 100000
+          AND round(CAST(n_chars - (len(toks) - 1) AS DOUBLE)
+                    / CAST(len(toks) AS DOUBLE), 6) BETWEEN 3.0 AND 10.0
+          AND round(CAST(n_sym AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) <= 0.1
+          AND round(CAST(len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]'))) AS DOUBLE)
+                    / CAST(len(lines) AS DOUBLE), 6) <= 0.9
+          AND round(CAST(len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS DOUBLE)
+                    / CAST(len(lines) AS DOUBLE), 6) <= 0.3
+          AND round(CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+                    / CAST(len(toks) AS DOUBLE), 6) >= 0.8
+          AND CAST(len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'))) AS INT) >= 2
+         ) AS y
+  FROM base
+),
+q AS (
+  SELECT doc_id,
+         round(least(CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) / 100.0, 1.0) * 0.5
+               + round(CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                    t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'))) AS DOUBLE)
+                 / CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE), 6) * 0.3
+               + (1.0 - least(round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+                 / CAST(length(text) AS DOUBLE), 6) * 10, 1.0)) * 0.2,
+               6) AS s
+  FROM documents
+),
+sl AS (
+  SELECT q.doc_id, q.s, CASE WHEN coalesce(g.y, false) THEN 1 ELSE 0 END AS y
+  FROM q JOIN g USING (doc_id)
+),
+ranked AS (
+  SELECT doc_id, s, y,
+         CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS BIGINT) AS rn,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM sl
+),
+binned AS (
+  SELECT CAST(FLOOR(CAST((rn - 1) * 10 AS DOUBLE) / CAST(n AS DOUBLE)) + 1 AS INT) AS decile, y
+  FROM ranked
+),
+per AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(y) AS BIGINT) AS n_pos
+  FROM binned GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS n, CAST(sum(n_pos) AS BIGINT) AS p FROM per),
+j AS (
+  SELECT per.decile, per.n_rows, per.n_pos, t.n, t.p,
+         CAST(sum(per.n_pos) OVER (ORDER BY per.decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos
+  FROM per, tot t
+)
+SELECT decile, n_rows, n_pos,
+       round(CAST(n_pos AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS pos_rate,
+       CASE WHEN p > 0 THEN round(CAST(cum_pos AS DOUBLE) / CAST(p AS DOUBLE), 6) END AS cum_recall,
+       CASE WHEN p > 0 THEN
+         round((CAST(n_pos AS DOUBLE) / CAST(n_rows AS DOUBLE))
+               / (CAST(p AS DOUBLE) / CAST(n AS DOUBLE)), 6) END AS lift
+FROM j ORDER BY decile
+
+""",
+    doc="Decile gains/lift table of the quality score against the "
+    "Gopher gate (operators/quality.py:score_lift_table) — the "
+    "operational companion to AUC: what a capacity-constrained "
+    "curation queue gets (review the top decile, catch cum_recall "
+    "of gate-passers at lift x the base rate). Deterministic "
+    "deciles: (score desc, doc_id asc) total order, INTEGER "
+    "floor((rn-1)*10/n)+1 bins — no float ntile; exact counts; "
+    "fixed IEEE rates. The global row_number runs over the scored "
+    "relation (swap in windows.scalable_ranks past single-window "
+    "scale — the documented unbounded-order path).",
+)
+def q_quality_score_lift(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    g = tx.gopher_quality_flags(docs).select("doc_id", "passes_gopher")
+    q = tx.quality_features(docs, "doc_id", "text").select(
+        "doc_id", "quality_score"
+    )
+    j = q.join(g, "doc_id")
+    return dq.score_lift_table(
+        j, "doc_id", "quality_score", F.col("passes_gopher")
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry exports (driver contract)
 # --------------------------------------------------------------------------
@@ -12621,14 +12812,14 @@ _EXPORT_PRIORITY: list[str] = [
     "daily_count_runs_test",
     "tfidf_doc_similarity",
     "ann_rank_quality",
+    "quality_score_auc",
+    "quality_score_lift",
     # Stalest verdicts (last seen round 3) — refresh:
     "order_price_percent_rank",
     "price_quantiles_by_priority",
-    "quality_scores",
-    "sampled_documents",
-    # Round-3/4-stale refreshes (oldest-first rotation). The 42 names
-    # past the 50-slot export cap (shipping_priority_top10, token_stats,
-    # top_orders_with_ties,
+    # Round-3/4-stale refreshes (oldest-first rotation). The 44 names
+    # past the 50-slot export cap (quality_scores, sampled_documents,
+    # shipping_priority_top10, token_stats, top_orders_with_ties,
     # bigram_logprob_scores, bm25_doc_scores,
     # bridge_part_words, clean_pyrepr_attributes,
     # customers_with_urgent_orders, customers_without_urgent_orders,
