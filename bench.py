@@ -153,6 +153,9 @@ EXTRAS = [
     "ann_rank_quality",
     "quality_score_auc",
     "quality_score_lift",
+    "event_drift_report",
+    "quality_score_calibration",
+    "quality_score_brier",
 ]
 
 

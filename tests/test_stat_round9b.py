@@ -687,3 +687,67 @@ def test_score_lift_table_hand_case(spark):
     assert out[2]["cum_recall"] == pytest.approx(1.0)
     assert out[10]["cum_recall"] == pytest.approx(1.0)
     assert out[3]["n_pos"] == 0
+
+
+def test_event_drift_report_matches_members(spark):
+    # The one-row dashboard must agree cell-for-cell with the four
+    # standalone drift operators it composes (same split, same data).
+    from yelp_data_pipeline_spark.queries import queries
+
+    qs = queries()
+    sf = "/root/testdata/sf0.001"
+    rep = qs["event_drift_report"](spark, sf).collect()[0]
+    psi = qs["event_value_psi"](spark, sf).collect()[0]
+    ks = qs["event_value_ks_drift"](spark, sf).collect()[0]
+    rs = qs["event_value_ranksum_drift"](spark, sf).collect()[0]
+    cd = qs["event_value_cohens_d"](spark, sf).collect()[0]
+    assert rep["n_a"] == psi["n_a"] and rep["n_b"] == psi["n_b"]
+    assert rep["psi"] == psi["psi"]
+    assert rep["ks_d"] == ks["d"] and rep["ks_crit"] == ks["d_crit"]
+    assert rep["auc"] == rs["auc"] and rep["z"] == rs["z"]
+    assert rep["cohens_d"] == cd["cohens_d"]
+    assert 0.0 <= rep["auc"] <= 1.0 and 0.0 <= rep["ks_d"] <= 1.0
+
+
+def test_score_calibration_table_hand_case(spark):
+    # Bin edges: half-open width-0.1 bins, top-closed. s=0.1 -> bin 2,
+    # s=0.0 -> bin 1, s=1.0 -> bin 10.
+    rows = [(0.0, False), (0.1, False), (1.0, True)]
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    out = {r["bin"]: r for r in dq.score_calibration_table(df, "s", F.col("y")).collect()}
+    assert set(out) == {1, 2, 10}
+    assert out[10]["pos_rate"] == pytest.approx(1.0)
+    assert out[10]["mean_score"] == pytest.approx(1.0)
+    # Perfectly calibrated bin: four 0.25-scored rows, one positive.
+    rows = [(0.25, i == 0) for i in range(4)]
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    row = dq.score_calibration_table(df, "s", F.col("y")).collect()[0]
+    assert row["bin"] == 3 and row["n_rows"] == 4 and row["n_pos"] == 1
+    assert row["mean_score"] == pytest.approx(0.25)
+    assert row["pos_rate"] == pytest.approx(0.25)
+    assert row["gap"] == pytest.approx(0.0)
+
+
+def test_score_brier_hand_cases(spark):
+    # Oracle forecaster: s=1 on positives, s=0 on negatives.
+    rows = [(1.0, True), (1.0, True), (0.0, False), (0.0, False)]
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    row = dq.score_brier(df, "s", F.col("y")).collect()[0]
+    assert row["brier"] == pytest.approx(0.0)
+    assert row["brier_skill"] == pytest.approx(1.0)
+    assert row["ece"] == pytest.approx(0.0)
+    # Calibrated-but-unsharp: constant s = base rate 0.25 -> Brier
+    # equals BS_ref = 0.1875, skill 0, ECE 0.
+    rows = [(0.25, i == 0) for i in range(4)]
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    row = dq.score_brier(df, "s", F.col("y")).collect()[0]
+    assert row["brier"] == pytest.approx(0.1875)
+    assert row["brier_skill"] == pytest.approx(0.0)
+    assert row["ece"] == pytest.approx(0.0)
+    # Confidently wrong single-class: skill NULL, ECE = mean score.
+    rows = [(0.9, False), (0.9, False)]
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    row = dq.score_brier(df, "s", F.col("y")).collect()[0]
+    assert row["brier"] == pytest.approx(0.81)
+    assert row["brier_skill"] is None
+    assert row["ece"] == pytest.approx(0.9)

@@ -366,3 +366,83 @@ def test_histogram_state_sink_needs_ledger(spark, tmp_path):
         r["bucket"]: r["cnt"] for r in spark.read.parquet(state).collect()
     }
     assert sum(inflated.values()) == sum(got.values()) + len(batches[1])
+
+
+def test_psi_monitor_sink_matches_batch_operator(spark, tmp_path):
+    """Streaming PSI drift monitor: fold 3 micro-batches of the late
+    window against a frozen early-window reference — the final
+    monitor row must reproduce the batch psi_drift number on the
+    same split bit-for-bit, and a replayed batch must add neither
+    counts nor a duplicate monitor row."""
+    import os
+
+    from yelp_data_pipeline_spark.operators.timeseries import psi_drift
+    from yelp_data_pipeline_spark.streaming.sinks import (
+        freeze_psi_reference,
+        psi_bin_batch,
+        psi_monitor_sink,
+    )
+
+    cutoff = "2024-01-16"
+    early = [
+        ("2024-01-%02d 08:00:00" % (d % 15 + 1), float(v))
+        for d, v in enumerate([12, 40, 77, 120, 160, 220, 310, 480, 45, 33])
+    ]
+    late = [
+        ("2024-01-%02d 09:00:00" % (d % 14 + 16), float(v))
+        for d, v in enumerate(
+            [5, 8, 14, 22, 30, 36, 41, 47, 55, 260, 410, 499]
+        )
+    ]
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "ts_s string, value double").select(
+            F.col("ts_s").cast("timestamp").alias("ts"), "value"
+        )
+
+    ref_path = str(tmp_path / "ref")
+    freeze_psi_reference(mk(early), ref_path, "value")
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):
+        mk(late[i * 4 : (i + 1) * 4]).coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+        time.sleep(1.1)
+
+    target = str(tmp_path / "state")
+    stream = (
+        spark.readStream.schema(mk(early).schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            psi_monitor_sink(target, ref_path, "value")
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    log = sorted(
+        spark.read.parquet(target + "_monitor").collect(),
+        key=lambda r: r["batch_id"],
+    )
+    assert [r["batch_id"] for r in log] == [0, 1, 2]
+    assert [r["n_cur"] for r in log] == [4, 8, 12]
+    assert all(r["n_ref"] == len(early) for r in log)
+
+    batch = psi_drift(mk(early + late), "ts", "value", cutoff).collect()[0]
+    assert batch["n_a"] == len(early) and batch["n_b"] == len(late)
+    assert log[-1]["psi"] == batch["psi"]  # bit-for-bit
+
+    # Replay: ledger hit -> no state change, no new monitor row.
+    before = sorted(map(tuple, spark.read.parquet(target).collect()))
+    assert psi_bin_batch(mk(late[:4]), 0, target, "value") is False
+    psi_monitor_sink(target, ref_path, "value")(mk(late[:4]), 0)
+    assert sorted(map(tuple, spark.read.parquet(target).collect())) == before
+    assert spark.read.parquet(target + "_monitor").count() == 3

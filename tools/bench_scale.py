@@ -692,6 +692,77 @@ def main_r9b(replicas: int) -> int:
     return 0
 
 
+# ``--r9c`` mode: the final late-round-9 additions.
+# (a) Fact-side native 10x: Q-Q shift (shared cents cells), Hurst
+#     (calendar-bounded blocks), runs test (daily relation), mutual
+#     info / Benford conformity (bounded cells + spines), AUC/lift
+#     vs the doc gates... the doc-gate pair rides the docs corpus, so
+#     it goes in (b).
+# (b) Docs 25x: burstiness/moments/chao1/tfidf-pairs/AUC/lift — the
+#     tfidf pair join is the one with a real growth term (sum of
+#     df^2 over the band), expected well under 25 with the cap.
+# (c) Embeddings 10x: rank-quality + centroid margin (broadcast
+#     fan-out, per-vector windows).
+R9C_FACT_FAMILY = [
+    "event_value_quantile_shift",
+    "daily_count_hurst",
+    "daily_count_runs_test",
+    "priority_status_mutual_info",
+    "benford_price_conformity",
+]
+
+R9C_DOC_FAMILY = [
+    "word_burstiness",
+    "doc_length_moments",
+    "vocab_chao1_richness",
+    "tfidf_doc_similarity",
+    "quality_score_auc",
+    "quality_score_lift",
+]
+
+R9C_EMB_FAMILY = [
+    "ann_rank_quality",
+    "centroid_margin_eval",
+]
+
+
+def main_r9c(replicas: int) -> int:
+    spark = get_spark("bench_scale_r9c")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = queries()
+
+    qs["event_value_quantile_shift"](
+        spark, "/root/testdata/sf0.01"
+    ).write.format("noop").mode("overwrite").save()
+    release_tracked()
+
+    fact_base = run_family(spark, qs, "/root/testdata/sf0.01", R9C_FACT_FAMILY)
+    fact_scaled = run_family(spark, qs, BASE_SF, R9C_FACT_FAMILY)
+
+    docs_dir = build_scaled(spark, replicas)
+    doc_base = run_family(spark, qs, BASE_SF, R9C_DOC_FAMILY)
+    doc_scaled = run_family(spark, qs, docs_dir, R9C_DOC_FAMILY)
+
+    emb_dir = build_scaled(spark, 10, emb_only=True)
+    emb_base = run_family(spark, qs, BASE_SF, R9C_EMB_FAMILY)
+    emb_scaled = run_family(spark, qs, emb_dir, R9C_EMB_FAMILY)
+
+    def ratios(b, s):
+        return {k: round(s[k] / b[k], 2) for k in b if b[k] > 0}
+
+    print(json.dumps({
+        "metric": "r9c_family_scale",
+        "unit": "sec",
+        "fact_10x": {"base_sf0.01": fact_base, "sf0.1": fact_scaled,
+                     "ratio": ratios(fact_base, fact_scaled)},
+        "docs_%dx" % replicas: {"base": doc_base, "scaled": doc_scaled,
+                                "ratio": ratios(doc_base, doc_scaled)},
+        "emb_10x": {"base": emb_base, "scaled": emb_scaled,
+                    "ratio": ratios(emb_base, emb_scaled)},
+    }))
+    return 0
+
+
 # ``--tpch`` family: the fact-side TPC-H analogs. Unlike the doc/emb
 # families these scale with SF natively (lineitem/orders grow with the
 # fixture scale factor), so the scale point is sf0.01 → sf0.1 (10×
@@ -759,6 +830,8 @@ def main() -> int:
         return main_r9(replicas)
     if "--r9b" in sys.argv:
         return main_r9b(replicas)
+    if "--r9c" in sys.argv:
+        return main_r9c(replicas)
     spark = get_spark("bench_scale")
     spark.sparkContext.setLogLevel("ERROR")
     qs = queries()

@@ -722,3 +722,150 @@ def score_lift_table(
         ).alias("cum_recall"),
         F.when(F.col("__p") > 0, F.round(rate / base, 6)).alias("lift"),
     ).orderBy("decile")
+
+
+def score_calibration_table(
+    df: DataFrame, score_col: str, label_col
+) -> DataFrame:
+    """Reliability (calibration) table of a [0,1] score against a
+    boolean label over 10 fixed-width score bins — the third member
+    of the classifier-eval battery: AUC (score_label_auc) measures
+    RANKING power, the lift table (score_lift_table) measures
+    capacity-constrained yield, and calibration asks whether the
+    score's VALUE means what it says (a 0.7-scored doc should pass
+    the gate ~70% of the time) — the property a curation pipeline
+    needs before using the score as a sampling weight or threshold
+    probability rather than a mere ranker.
+
+    Exact: scores are 6dp-rounded producers, so k = round(s*1e6) is
+    an exact integer in [0, 1e6] on both engines; bins are integer
+    floor(k/1e5) (fixed width 0.1, half-open, top-closed); per-bin
+    sums of k and y accumulate in DECIMAL(38,0) (no float-sum order
+    dependence at any row count); mean_score, pos_rate and the
+    signed gap (mean_score - pos_rate, its numerator the exact
+    integer sk - 1e6*n_pos) are each ONE double division of exact
+    integers. NULL labels count as negatives.
+
+    Returns (bin, n_rows, n_pos, mean_score, pos_rate, gap) ordered
+    by bin; bins with no rows are absent (the oracle replays the
+    same grouping).
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    lab = F.coalesce(label_col.cast("boolean"), F.lit(False)).cast("int")
+    kk = df.where(F.col(score_col).isNotNull()).select(
+        F.round(F.col(score_col) * F.lit(1000000.0), 0)
+        .cast("long")
+        .alias("k"),
+        lab.alias("y"),
+    )
+    binned = kk.withColumn(
+        "bin",
+        (
+            F.least(
+                F.floor(F.col("k").cast("double") / F.lit(100000.0)).cast(
+                    "int"
+                ),
+                F.lit(9),
+            )
+            + F.lit(1)
+        ).cast("int"),
+    )
+    per = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum(dec(F.col("k"))).alias("sk"),
+    )
+    nr = F.col("n_rows").cast("double")
+    return per.select(
+        "bin",
+        "n_rows",
+        "n_pos",
+        F.round(
+            F.col("sk").cast("double") / (nr * F.lit(1000000.0)), 6
+        ).alias("mean_score"),
+        F.round(F.col("n_pos").cast("double") / nr, 6).alias("pos_rate"),
+        F.round(
+            (F.col("sk") - dec(F.col("n_pos")) * F.lit(1000000)).cast(
+                "double"
+            )
+            / (nr * F.lit(1000000.0)),
+            6,
+        ).alias("gap"),
+    ).orderBy("bin")
+
+
+def score_brier(df: DataFrame, score_col: str, label_col) -> DataFrame:
+    """Brier score, Brier skill vs the base-rate forecast, and
+    expected calibration error of a [0,1] score against a boolean
+    label — the one-row summary over score_calibration_table's bins:
+    Brier = mean((s-y)^2) is the proper scoring rule (rewards
+    calibration AND sharpness together); skill = 1 - BS/BS_ref with
+    BS_ref = p(1-p) the constant-base-rate forecast (positive skill
+    = the score beats knowing only the prevalence); ECE is the
+    bin-weighted |mean_score - pos_rate| over the same 10 fixed
+    bins.
+
+    Exact at any scale: with k = round(s*1e6) integer, (s-y)^2 =
+    (k - 1e6*y)^2 / 1e12, so the Brier numerator is an exact
+    DECIMAL(38,0) integer sum; the ECE numerator telescopes to
+    sum_b |sk_b - 1e6*pos_b| — also an exact integer (the n_b/n
+    weight cancels each bin's denominator) — so each output is ONE
+    double division of exact integers, order-free on both engines.
+    NULL labels count as negatives; a single-class corpus yields
+    NULL skill.
+
+    Returns ONE row: (n, n_pos, brier, brier_skill, ece).
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    lab = F.coalesce(label_col.cast("boolean"), F.lit(False)).cast("int")
+    kk = df.where(F.col(score_col).isNotNull()).select(
+        F.round(F.col(score_col) * F.lit(1000000.0), 0)
+        .cast("long")
+        .alias("k"),
+        lab.alias("y"),
+    )
+    d = F.col("k") - F.lit(1000000) * F.col("y")
+    m = kk.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum(dec(d) * dec(d)).alias("sd2"),
+    )
+    binned = kk.withColumn(
+        "bin",
+        (
+            F.least(
+                F.floor(F.col("k").cast("double") / F.lit(100000.0)).cast(
+                    "int"
+                ),
+                F.lit(9),
+            )
+            + F.lit(1)
+        ).cast("int"),
+    )
+    per = binned.groupBy("bin").agg(
+        F.sum("y").cast("long").alias("n_pos_b"),
+        F.sum(dec(F.col("k"))).alias("sk"),
+    )
+    e = per.agg(
+        F.sum(
+            F.abs(F.col("sk") - dec(F.col("n_pos_b")) * F.lit(1000000))
+        ).alias("enum_")
+    )
+    j = m.crossJoin(F.broadcast(e))
+    n_d = F.col("n").cast("double")
+    brier = F.col("sd2").cast("double") / (n_d * F.lit(1000000000000.0))
+    ref = (
+        dec(F.col("n_pos")) * dec(F.col("n") - F.col("n_pos"))
+    ).cast("double") / (n_d * n_d)
+    ok = (F.col("n_pos") > 0) & (F.col("n_pos") < F.col("n"))
+    return j.select(
+        "n",
+        "n_pos",
+        F.round(brier, 6).alias("brier"),
+        F.when(ok, F.round(F.lit(1.0) - brier / ref, 6)).alias(
+            "brier_skill"
+        ),
+        F.round(
+            F.col("enum_").cast("double") / (n_d * F.lit(1000000.0)), 6
+        ).alias("ece"),
+    )

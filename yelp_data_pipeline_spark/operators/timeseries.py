@@ -1621,3 +1621,55 @@ def daily_runs_test(df: DataFrame, ts_col: str) -> DataFrame:
             ),
         ).alias("z"),
     )
+
+
+def psi_from_counts(
+    ref_cells: DataFrame, cur_cells: DataFrame, n_bins: int = 20
+) -> DataFrame:
+    """PSI between two pre-binned count tables ``(bin, cnt)`` over the
+    SAME fixed ``n_bins`` spine — the histogram-to-histogram form of
+    :func:`psi_drift`, for monitors that keep bin counts as state
+    (the streaming PSI sink) instead of re-scanning raw rows. Term
+    math is identical to ``psi_drift`` (add-one smoothing over the
+    full spine, one ln per bin, 6dp-rounded terms DECIMAL-summed), so
+    a monitor fed the same split reproduces the batch operator's
+    number bit-for-bit.
+
+    Returns ONE row: (n_ref, n_cur, psi).
+    """
+    spark = ref_cells.sparkSession
+    spine = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    cells = (
+        spine.join(
+            ref_cells.select("bin", F.col("cnt").alias("ca")), "bin", "left"
+        )
+        .join(
+            cur_cells.select("bin", F.col("cnt").alias("cb")), "bin", "left"
+        )
+        .select(
+            "bin",
+            F.coalesce("ca", F.lit(0)).cast("long").alias("ca"),
+            F.coalesce("cb", F.lit(0)).cast("long").alias("cb"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("ca").cast("long").alias("n_ref"),
+        F.sum("cb").cast("long").alias("n_cur"),
+    )
+    j = cells.crossJoin(F.broadcast(tot))
+    p = (F.col("ca").cast("double") + F.lit(1.0)) / (
+        F.col("n_ref").cast("double") + F.lit(float(n_bins))
+    )
+    q = (F.col("cb").cast("double") + F.lit(1.0)) / (
+        F.col("n_cur").cast("double") + F.lit(float(n_bins))
+    )
+    term = F.round((p - q) * F.log(p / q), 6)
+    return (
+        j.groupBy("n_ref", "n_cur")
+        .agg(
+            F.round(
+                F.sum(term.cast("decimal(27,6)")).cast("double"), 6
+            ).alias("psi")
+        )
+        .select("n_ref", "n_cur", "psi")
+    )

@@ -12747,6 +12747,161 @@ def q_quality_score_lift(spark, sf_dir):
     )
 
 
+
+
+def _oracle_of(name: str) -> str:
+    return next(s.oracle for s in _REGISTRY if s.name == name)
+
+
+@_q(
+    "event_drift_report",
+    "WITH p AS (" + _oracle_of("event_value_psi") + "),\n"
+    "r AS (" + _oracle_of("event_value_ranksum_drift") + "),\n"
+    "k AS (" + _oracle_of("event_value_ks_drift") + "),\n"
+    "c AS (" + _oracle_of("event_value_cohens_d") + ")\n"
+    "SELECT p.n_a, p.n_b, p.psi, k.d AS ks_d, k.d_crit AS ks_crit,\n"
+    "       r.auc, r.z, c.cohens_d\n"
+    "FROM p, r, k, c",
+    doc="One-row drift dashboard composing the full battery over the "
+    "same early/late split: PSI (monitored number), KS D + critical "
+    "value (bin-free any-shape test), rank-sum AUC + z "
+    "(distribution-free effect size + significance), Cohen's d "
+    "(parametric effect size) — the single pane a data-drift monitor "
+    "alerts on, in the corpus_health_report composition style. Each "
+    "member is the EXACT green registry operator (the oracle is "
+    "built from their oracle strings verbatim — consistency by "
+    "construction); the composition is four 1-row broadcast "
+    "aggregates cross-joined (auditor-exempt), each independently "
+    "scan-bound.",
+)
+def q_event_drift_report(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    cutoff = "2024-01-16"
+    psi = ts_ops.psi_drift(ev, "ts", "value", cutoff).select(
+        "n_a", "n_b", "psi"
+    )
+    rs = ts_ops.ranksum_drift(ev, "ts", "value", cutoff).select(
+        "auc", "z"
+    )
+    ks = ts_ops.ks_drift(ev, "ts", "value", cutoff).select(
+        F.col("d").alias("ks_d"), F.col("d_crit").alias("ks_crit")
+    )
+    cd = ts_ops.cohens_d_drift(ev, "ts", "value", cutoff).select(
+        "cohens_d"
+    )
+    return (
+        psi.crossJoin(F.broadcast(rs))
+        .crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(cd))
+        .select(
+            "n_a", "n_b", "psi", "ks_d", "ks_crit", "auc", "z",
+            "cohens_d",
+        )
+    )
+
+
+# The calibration pair reuses the AUC oracle's base/g/q/sl fragments
+# VERBATIM (sliced from the green row, like event_drift_report's
+# composition) — the score/gate definitions stay consistent by
+# construction.
+_SL_PREFIX = _oracle_of("quality_score_auc").split("cells AS (")[0]
+
+_KK_CTE = """kk AS (
+  SELECT CAST(round(s * 1000000.0) AS BIGINT) AS k, y FROM sl
+),
+b AS (
+  SELECT CAST(least(CAST(floor(CAST(k AS DOUBLE) / 100000.0) AS INT), 9)
+              + 1 AS INT) AS bin, k, y
+  FROM kk
+),
+per AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(y) AS BIGINT) AS n_pos,
+         sum(CAST(k AS HUGEINT)) AS sk
+  FROM b GROUP BY 1
+)"""
+
+
+@_q(
+    "quality_score_calibration",
+    _SL_PREFIX + _KK_CTE + """
+SELECT bin, n_rows, n_pos,
+       round(CAST(sk AS DOUBLE) / (CAST(n_rows AS DOUBLE) * 1000000.0), 6)
+         AS mean_score,
+       round(CAST(n_pos AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS pos_rate,
+       round(CAST(sk - 1000000 * CAST(n_pos AS HUGEINT) AS DOUBLE)
+             / (CAST(n_rows AS DOUBLE) * 1000000.0), 6) AS gap
+FROM per ORDER BY bin
+""",
+    doc="Reliability (calibration) table of the heuristic quality "
+    "score against the Gopher gate over 10 fixed-width score bins "
+    "(operators/quality.py:score_calibration_table) — the third "
+    "member of the classifier-eval battery: AUC measures ranking "
+    "power, lift measures capacity-constrained yield, calibration "
+    "asks whether the score's VALUE means what it says (needed "
+    "before the score can serve as a sampling weight). k=round(s*1e6)"
+    " exact integer bins; DECIMAL(38,0) per-bin sums; every rate ONE "
+    "double division of exact integers.",
+)
+def q_quality_score_calibration(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    g = tx.gopher_quality_flags(docs).select("doc_id", "passes_gopher")
+    q = tx.quality_features(docs, "doc_id", "text").select(
+        "doc_id", "quality_score"
+    )
+    j = q.join(g, "doc_id")
+    return dq.score_calibration_table(
+        j, "quality_score", F.col("passes_gopher")
+    )
+
+
+@_q(
+    "quality_score_brier",
+    _SL_PREFIX + _KK_CTE + """,
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+         sum(CAST(k - 1000000 * y AS HUGEINT)
+             * CAST(k - 1000000 * y AS HUGEINT)) AS sd2
+  FROM kk
+),
+e AS (
+  SELECT sum(abs(sk - 1000000 * CAST(n_pos AS HUGEINT))) AS enum_ FROM per
+)
+SELECT n, n_pos,
+       round(CAST(sd2 AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000000000.0), 6)
+         AS brier,
+       CASE WHEN n_pos > 0 AND n_pos < n THEN
+         round(1.0 - (CAST(sd2 AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * 1000000000000.0))
+               / (CAST(CAST(n_pos AS HUGEINT)
+                       * CAST(n - n_pos AS HUGEINT) AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6) END
+         AS brier_skill,
+       round(CAST(enum_ AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0), 6)
+         AS ece
+FROM m, e
+""",
+    doc="Brier score + Brier skill vs the base-rate forecast + "
+    "expected calibration error of the quality score against the "
+    "Gopher gate (operators/quality.py:score_brier) — the one-row "
+    "proper-scoring-rule summary over the calibration table's bins. "
+    "Exact at any scale: Brier numerator = sum (k-1e6*y)^2 in "
+    "DECIMAL(38,0); the ECE numerator telescopes to the exact "
+    "integer sum_b |sk_b - 1e6*pos_b| (the n_b/n weight cancels "
+    "each bin's denominator); each output is ONE double division. "
+    "The two 1-row aggregates meet via a broadcast cross "
+    "(auditor-exempt).",
+)
+def q_quality_score_brier(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    g = tx.gopher_quality_flags(docs).select("doc_id", "passes_gopher")
+    q = tx.quality_features(docs, "doc_id", "text").select(
+        "doc_id", "quality_score"
+    )
+    j = q.join(g, "doc_id")
+    return dq.score_brier(j, "quality_score", F.col("passes_gopher"))
+
+
 # --------------------------------------------------------------------------
 # Registry exports (driver contract)
 # --------------------------------------------------------------------------
@@ -12814,9 +12969,9 @@ _EXPORT_PRIORITY: list[str] = [
     "ann_rank_quality",
     "quality_score_auc",
     "quality_score_lift",
-    # Stalest verdicts (last seen round 3) — refresh:
-    "order_price_percent_rank",
-    "price_quantiles_by_priority",
+    "event_drift_report",
+    "quality_score_calibration",
+    "quality_score_brier",
     # Round-3/4-stale refreshes (oldest-first rotation). The 44 names
     # past the 50-slot export cap (quality_scores, sampled_documents,
     # shipping_priority_top10, token_stats, top_orders_with_ties,
@@ -12835,7 +12990,9 @@ _EXPORT_PRIORITY: list[str] = [
     # sql_suppliers_by_nation, temperature_mixture_weights,
     # top_order_per_customer, total_counts, union_distinct_dates,
     # weighted_quality_sample, winnowing_fingerprints) lead round 10's
-    # window together with the 39 round-5-stale names:
+    # window together with the 39 round-5-stale names and the two
+    # round-3-stale refreshes bumped for the final round-9 additions
+    # (order_price_percent_rank, price_quantiles_by_priority):
 ]
 
 

@@ -358,3 +358,130 @@ def histogram_state_sink(target_path: str, value_col: str, bin_width: float = 25
         histogram_state_batch(batch_df, batch_id, target_path, value_col, bin_width)
 
     return sink
+
+
+# ---------------------------------------------------------------------------
+# Streaming drift monitor: frozen-reference PSI per micro-batch
+# ---------------------------------------------------------------------------
+
+def _psi_bins(value_col: str, bin_width: float, n_bins: int):
+    """The exact clamped-bin expression psi_drift uses."""
+    return (
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(n_bins - 1),
+                F.floor(F.col(value_col).cast("double") / F.lit(bin_width)),
+            ),
+        )
+        .cast("int")
+        .alias("bin")
+    )
+
+
+def freeze_psi_reference(
+    ref_df: DataFrame,
+    ref_path: str,
+    value_col: str,
+    bin_width: float = 25.0,
+    n_bins: int = 20,
+) -> None:
+    """Materialize the FROZEN reference bin-count table a PSI monitor
+    compares every micro-batch state against — built once from a
+    trusted window (training data, last stable week), then never
+    touched by the stream."""
+    (
+        ref_df.where(F.col(value_col).isNotNull())
+        .select(_psi_bins(value_col, bin_width, n_bins))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .write.mode("overwrite")
+        .parquet(ref_path)
+    )
+
+
+def psi_bin_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    target_path: str,
+    value_col: str,
+    bin_width: float = 25.0,
+    n_bins: int = 20,
+) -> bool:
+    """Fold one micro-batch's clamped-bin counts into the monitor's
+    cumulative state — a MONOID (counts add), so the batch-id ledger
+    is REQUIRED for replay safety, same recipe as the CMS/histogram
+    sinks. State is <= n_bins rows. Returns False if already applied.
+    """
+    spark = batch_df.sparkSession
+    ledger = target_path + "_applied"
+    os.makedirs(ledger, exist_ok=True)
+    marker = os.path.join(ledger, f"batch-{batch_id}")
+    if os.path.exists(marker):
+        return False
+    grid = (
+        batch_df.where(F.col(value_col).isNotNull())
+        .select(_psi_bins(value_col, bin_width, n_bins))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    if os.path.exists(target_path):
+        grid = (
+            spark.read.parquet(target_path)
+            .unionByName(grid)
+            .groupBy("bin")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+        )
+    staged = f"{target_path}.staged-{batch_id}"
+    grid.write.mode("overwrite").parquet(staged)
+    old = f"{target_path}.old-{batch_id}"
+    if os.path.exists(target_path):
+        os.rename(target_path, old)
+    os.rename(staged, target_path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    with open(marker, "w") as f:
+        f.write("")
+    return True
+
+
+def psi_monitor_sink(
+    target_path: str,
+    ref_path: str,
+    value_col: str,
+    bin_width: float = 25.0,
+    n_bins: int = 20,
+):
+    """``foreachBatch`` drift monitor: fold the batch into the
+    cumulative bin state, then score the state against the frozen
+    reference with :func:`..operators.timeseries.psi_from_counts`
+    and APPEND one (batch_id, n_ref, n_cur, psi) row to
+    ``target_path + "_monitor"`` — the alert log a production drift
+    dashboard tails (PSI reads: <0.1 stable, 0.1-0.25 drifting,
+    >0.25 shifted). The monitor append rides the SAME ledger
+    decision as the state fold, so a replayed batch adds neither
+    counts nor a duplicate log row; term math is identical to the
+    oracle-verified batch operator (event_value_psi), so the last
+    monitor row over a replayed split reproduces the batch number
+    bit-for-bit.
+    """
+    from ..operators.timeseries import psi_from_counts
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        applied = psi_bin_batch(
+            batch_df, batch_id, target_path, value_col, bin_width, n_bins
+        )
+        if not applied:
+            return
+        spark = batch_df.sparkSession
+        ref = spark.read.parquet(ref_path)
+        cur = spark.read.parquet(target_path)
+        (
+            psi_from_counts(ref, cur, n_bins)
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .select("batch_id", "n_ref", "n_cur", "psi")
+            .write.mode("append")
+            .parquet(target_path + "_monitor")
+        )
+
+    return sink
