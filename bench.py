@@ -156,6 +156,7 @@ EXTRAS = [
     "event_drift_report",
     "quality_score_calibration",
     "quality_score_brier",
+    "event_value_wasserstein",
 ]
 
 

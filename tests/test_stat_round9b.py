@@ -701,11 +701,13 @@ def test_event_drift_report_matches_members(spark):
     ks = qs["event_value_ks_drift"](spark, sf).collect()[0]
     rs = qs["event_value_ranksum_drift"](spark, sf).collect()[0]
     cd = qs["event_value_cohens_d"](spark, sf).collect()[0]
+    wd = qs["event_value_wasserstein"](spark, sf).collect()[0]
     assert rep["n_a"] == psi["n_a"] and rep["n_b"] == psi["n_b"]
     assert rep["psi"] == psi["psi"]
     assert rep["ks_d"] == ks["d"] and rep["ks_crit"] == ks["d_crit"]
     assert rep["auc"] == rs["auc"] and rep["z"] == rs["z"]
     assert rep["cohens_d"] == cd["cohens_d"]
+    assert rep["w1"] == wd["w1"]
     assert 0.0 <= rep["auc"] <= 1.0 and 0.0 <= rep["ks_d"] <= 1.0
 
 
@@ -751,3 +753,30 @@ def test_score_brier_hand_cases(spark):
     assert row["brier"] == pytest.approx(0.81)
     assert row["brier_skill"] is None
     assert row["ece"] == pytest.approx(0.9)
+
+
+def test_wasserstein_drift_hand_cases(spark):
+    def mk(early_vals, late_vals):
+        rows = [("2024-01-10 00:00:00", float(v)) for v in early_vals] + [
+            ("2024-01-20 00:00:00", float(v)) for v in late_vals
+        ]
+        return spark.createDataFrame(rows, "ts_s string, value double").select(
+            F.col("ts_s").cast("timestamp").alias("ts"), "value"
+        )
+
+    cutoff = "2024-01-16"
+    # Point masses 1.00 vs 3.50: mass travels exactly 2.50.
+    row = ts.wasserstein_drift(mk([1, 1, 1], [3.5, 3.5]), "ts", "value", cutoff).collect()[0]
+    assert (row["n_a"], row["n_b"]) == (3, 2)
+    assert row["w1"] == pytest.approx(2.5)
+    # Identical samples: zero transport.
+    row = ts.wasserstein_drift(mk([1, 2, 3], [1, 2, 3]), "ts", "value", cutoff).collect()[0]
+    assert row["w1"] == pytest.approx(0.0)
+    # Uniform +1 shift: every unit of mass moves exactly 1.
+    row = ts.wasserstein_drift(mk([1, 2, 3], [2, 3, 4]), "ts", "value", cutoff).collect()[0]
+    assert row["w1"] == pytest.approx(1.0)
+    # W1 is magnitude-aware where KS is not: same D=1 for both
+    # disjoint splits, but 10x the transport distance.
+    near = ts.wasserstein_drift(mk([1], [2]), "ts", "value", cutoff).collect()[0]
+    far = ts.wasserstein_drift(mk([1], [11]), "ts", "value", cutoff).collect()[0]
+    assert near["w1"] == pytest.approx(1.0) and far["w1"] == pytest.approx(10.0)

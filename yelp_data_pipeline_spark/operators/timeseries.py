@@ -1673,3 +1673,88 @@ def psi_from_counts(
         )
         .select("n_ref", "n_cur", "psi")
     )
+
+
+def wasserstein_drift(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    cutoff: str,
+) -> DataFrame:
+    """1-D Wasserstein-1 (earth-mover) distance between the value
+    distributions before and after ``cutoff`` — the MAGNITUDE member
+    of the drift battery: KS reports the worst CDF gap but not how
+    FAR mass moved (a 1-cent global shift and a 100-dollar shift can
+    share a D); W1 = integral |F_a - F_b| dx is exactly the average
+    distance mass must travel, in value units — the number a cost
+    model can act on. Same bounded-domain construction as ks_drift:
+    integer cents cells, running CDFs as integer window sums, and the
+    closed-form 1-D transport solution (the CDF-gap integral — no LP
+    needed in one dimension).
+
+    Exact: each cell's term is the exact integer
+    |cum_a*n_b - cum_b*n_a| * (next_v - v) in DECIMAL(38,0) summed in
+    DECIMAL (order-free; the cross-product passes int64 near n ~ 1e9);
+    W1 is ONE double division by (n_a * n_b * 100) — the 100 undoes
+    the cents scaling. Cells are bounded by the value DOMAIN, so the
+    single-partition CDF window rides ~50k rows regardless of row
+    count. NULL values drop; a single-class or single-value split
+    yields 0/NULL per the guards.
+
+    Returns ONE row: (n_a, n_b, w1), 6dp double.
+    """
+    from pyspark.sql import Window
+
+    cents = F.floor(
+        F.col(value_col).cast("double") * F.lit(100.0) + F.lit(0.5)
+    ).cast("long")
+    is_a = (F.col(ts_col) < F.lit(cutoff).cast("timestamp")).cast("int")
+    cells = (
+        df.where(F.col(value_col).isNotNull())
+        .select(cents.alias("v"), is_a.alias("a"))
+        .groupBy("v")
+        .agg(
+            F.sum("a").cast("long").alias("ta"),
+            F.sum(F.lit(1) - F.col("a")).cast("long").alias("tb"),
+        )
+    )
+    wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wnext = Window.orderBy("v")
+    cum = cells.select(
+        "v",
+        F.sum("ta").over(wcum).cast("long").alias("ca"),
+        F.sum("tb").over(wcum).cast("long").alias("cb"),
+        F.lead("v", 1).over(wnext).alias("nxt"),
+    )
+    tot = cells.agg(
+        F.sum("ta").cast("long").alias("n_a"),
+        F.sum("tb").cast("long").alias("n_b"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    terms = cum.where(F.col("nxt").isNotNull()).crossJoin(
+        F.broadcast(tot)
+    )
+    s = terms.agg(
+        F.coalesce(
+            F.sum(
+                F.abs(
+                    dec(F.col("ca")) * dec(F.col("n_b"))
+                    - dec(F.col("cb")) * dec(F.col("n_a"))
+                )
+                * dec(F.col("nxt") - F.col("v"))
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("sw")
+    )
+    j = tot.crossJoin(F.broadcast(s))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    return j.select(
+        "n_a",
+        "n_b",
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.round(
+                F.col("sw").cast("double") / (na * nb * F.lit(100.0)), 6
+            ),
+        ).alias("w1"),
+    )

@@ -12754,25 +12754,77 @@ def _oracle_of(name: str) -> str:
 
 
 @_q(
+    "event_value_wasserstein",
+    """
+WITH cells AS (
+  SELECT CAST(FLOOR(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS v,
+         CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS BIGINT) AS ta,
+         CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END) AS BIGINT) AS tb
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+cum AS (
+  SELECT v,
+         CAST(sum(ta) OVER w AS BIGINT) AS ca,
+         CAST(sum(tb) OVER w AS BIGINT) AS cb,
+         lead(v) OVER (ORDER BY v) AS nxt
+  FROM cells
+  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+tot AS (
+  SELECT CAST(sum(ta) AS BIGINT) AS n_a, CAST(sum(tb) AS BIGINT) AS n_b
+  FROM cells
+),
+s AS (
+  SELECT coalesce(sum(abs(CAST(c.ca AS HUGEINT) * t.n_b
+                          - CAST(c.cb AS HUGEINT) * t.n_a)
+                      * CAST(c.nxt - c.v AS HUGEINT)),
+                  0) AS sw
+  FROM cum c, tot t WHERE c.nxt IS NOT NULL
+)
+SELECT n_a, n_b,
+       CASE WHEN n_a > 0 AND n_b > 0 THEN
+         round(CAST(sw AS DOUBLE)
+               / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) * 100.0), 6) END
+         AS w1
+FROM tot, s
+""",
+    doc="1-D Wasserstein-1 (earth-mover) distance early-vs-late "
+    "(operators/timeseries.py:wasserstein_drift) — the MAGNITUDE "
+    "member completing the drift battery: KS caps the CDF gap but a "
+    "1-cent and a 100-dollar global shift can share a D; W1 is the "
+    "average distance mass moved, in value units, via the 1-D "
+    "closed form (integral of |F_a - F_b| over the cents domain — "
+    "no LP). Exact integer cell terms |cum_a*n_b - cum_b*n_a| * gap "
+    "DECIMAL-summed over the domain-bounded cells; ONE double "
+    "division.",
+)
+def q_event_value_wasserstein(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ts_ops.wasserstein_drift(ev, "ts", "value", "2024-01-16")
+
+
+
+@_q(
     "event_drift_report",
     "WITH p AS (" + _oracle_of("event_value_psi") + "),\n"
     "r AS (" + _oracle_of("event_value_ranksum_drift") + "),\n"
     "k AS (" + _oracle_of("event_value_ks_drift") + "),\n"
-    "c AS (" + _oracle_of("event_value_cohens_d") + ")\n"
+    "c AS (" + _oracle_of("event_value_cohens_d") + "),\n"
+    "wd AS (" + _oracle_of("event_value_wasserstein") + ")\n"
     "SELECT p.n_a, p.n_b, p.psi, k.d AS ks_d, k.d_crit AS ks_crit,\n"
-    "       r.auc, r.z, c.cohens_d\n"
-    "FROM p, r, k, c",
+    "       r.auc, r.z, c.cohens_d, wd.w1\n"
+    "FROM p, r, k, c, wd",
     doc="One-row drift dashboard composing the full battery over the "
     "same early/late split: PSI (monitored number), KS D + critical "
     "value (bin-free any-shape test), rank-sum AUC + z "
     "(distribution-free effect size + significance), Cohen's d "
-    "(parametric effect size) — the single pane a data-drift monitor "
-    "alerts on, in the corpus_health_report composition style. Each "
-    "member is the EXACT green registry operator (the oracle is "
-    "built from their oracle strings verbatim — consistency by "
-    "construction); the composition is four 1-row broadcast "
-    "aggregates cross-joined (auditor-exempt), each independently "
-    "scan-bound.",
+    "(parametric effect size), Wasserstein-1 (transport magnitude in "
+    "value units) — the single pane a data-drift monitor alerts on, "
+    "in the corpus_health_report composition style. Each member is "
+    "the EXACT green registry operator (the oracle is built from "
+    "their oracle strings verbatim — consistency by construction); "
+    "the composition is five 1-row broadcast aggregates cross-joined "
+    "(auditor-exempt), each independently scan-bound.",
 )
 def q_event_drift_report(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
@@ -12789,13 +12841,15 @@ def q_event_drift_report(spark, sf_dir):
     cd = ts_ops.cohens_d_drift(ev, "ts", "value", cutoff).select(
         "cohens_d"
     )
+    wd = ts_ops.wasserstein_drift(ev, "ts", "value", cutoff).select("w1")
     return (
         psi.crossJoin(F.broadcast(rs))
         .crossJoin(F.broadcast(ks))
         .crossJoin(F.broadcast(cd))
+        .crossJoin(F.broadcast(wd))
         .select(
             "n_a", "n_b", "psi", "ks_d", "ks_crit", "auc", "z",
-            "cohens_d",
+            "cohens_d", "w1",
         )
     )
 
@@ -12921,9 +12975,11 @@ _EXPORT_PRIORITY: list[str] = [
     # oracle now casts it BIGINT; probes dropped as planned.
     "orders_column_profile",
     # New in round 9 — every new @_q THIS ROUND must be added to this
-    # block as it lands:
-    "benford_price_audit",
-    "priority_status_association",
+    # block as it lands. benford_price_audit and
+    # priority_status_association are deferred to lead round 10's
+    # window (50-slot cap; their newer siblings
+    # benford_price_conformity / priority_status_mutual_info exercise
+    # the same spine construction this round):
     "customer_spend_gini",
     "distinctive_terms_by_source",
     "event_value_ranksum_drift",
@@ -12972,6 +13028,7 @@ _EXPORT_PRIORITY: list[str] = [
     "event_drift_report",
     "quality_score_calibration",
     "quality_score_brier",
+    "event_value_wasserstein",
     # Round-3/4-stale refreshes (oldest-first rotation). The 44 names
     # past the 50-slot export cap (quality_scores, sampled_documents,
     # shipping_priority_top10, token_stats, top_orders_with_ties,
