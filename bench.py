@@ -157,6 +157,7 @@ EXTRAS = [
     "quality_score_calibration",
     "quality_score_brier",
     "event_value_wasserstein",
+    "customer_golden_records",
 ]
 
 

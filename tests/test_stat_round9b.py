@@ -780,3 +780,37 @@ def test_wasserstein_drift_hand_cases(spark):
     near = ts.wasserstein_drift(mk([1], [2]), "ts", "value", cutoff).collect()[0]
     far = ts.wasserstein_drift(mk([1], [11]), "ts", "value", cutoff).collect()[0]
     assert near["w1"] == pytest.approx(1.0) and far["w1"] == pytest.approx(10.0)
+
+
+def test_golden_records_planted_duplicates(spark):
+    # Three records of the same entity (1-char name typos, adjacent
+    # after the name sort) + one distinct singleton. Survivorship:
+    # rep = max acctbal (tie min key); segment = mode with
+    # (count desc, value asc) tie-break; balance rules exact.
+    from yelp_data_pipeline_spark.queries import _golden_records
+
+    rows = [
+        (1, "Customer#aaa01", 5, 100.10, "AUTO"),
+        (2, "Customer#aab01", 7, 300.30, "STEEL"),
+        (3, "Customer#aac01", 9, 200.20, "AUTO"),
+        (50, "Zebra#zzz", 3, 50.05, "FURN"),
+    ]
+    c = spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    out = {r["cluster_id"]: r for r in _golden_records(c).collect()}
+    assert set(out) == {1, 50}
+    g = out[1]
+    assert g["n_members"] == 3
+    assert g["rep_custkey"] == 2 and g["rep_name"] == "Customer#aab01"
+    assert g["rep_nationkey"] == 7
+    assert g["top_segment"] == "AUTO"  # 2 AUTO vs 1 STEEL
+    assert g["max_acctbal"] == pytest.approx(300.30)
+    assert g["total_acctbal"] == pytest.approx(600.60)
+    s = out[50]
+    assert s["n_members"] == 1 and s["rep_custkey"] == 50
+    assert s["top_segment"] == "FURN"
+    # Invariant: every source row lands in exactly one golden record.
+    assert sum(r["n_members"] for r in out.values()) == len(rows)

@@ -12956,6 +12956,162 @@ def q_quality_score_brier(spark, sf_dir):
     return dq.score_brier(j, "quality_score", F.col("passes_gopher"))
 
 
+@_q(
+    "customer_golden_records",
+    """
+WITH RECURSIVE rn AS (
+  SELECT c_custkey AS id, c_name AS nm,
+         row_number() OVER (ORDER BY c_name, c_custkey) AS rn
+  FROM customer
+),
+cand AS (
+  SELECT least(a.id, b.id) AS doc_a, greatest(a.id, b.id) AS doc_b
+  FROM rn a JOIN rn b ON b.rn BETWEEN a.rn + 1 AND a.rn + 3
+),
+pairs AS (
+  SELECT p.doc_a, p.doc_b
+  FROM cand p
+  JOIN customer ca ON p.doc_a = ca.c_custkey
+  JOIN customer cb ON p.doc_b = cb.c_custkey
+  WHERE levenshtein(ca.c_name, cb.c_name) <= 2
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+walk(node, label) AS (
+  SELECT c_custkey, c_custkey FROM customer
+  UNION
+  SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.node
+),
+comp AS (SELECT node, CAST(min(label) AS BIGINT) AS cluster FROM walk GROUP BY node),
+mem AS (
+  SELECT c.*, comp.cluster FROM customer c
+  JOIN comp ON c.c_custkey = comp.node
+),
+rep AS (
+  SELECT cluster, c_custkey, c_name, c_nationkey,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY c_acctbal DESC, c_custkey ASC) AS r
+  FROM mem
+),
+seg AS (
+  SELECT cluster, c_mktsegment,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY count(*) DESC, c_mktsegment ASC) AS r
+  FROM mem GROUP BY cluster, c_mktsegment
+),
+agg AS (
+  SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+         round(max(c_acctbal), 2) AS max_acctbal,
+         CAST(sum(CAST(floor(CAST(c_acctbal AS DOUBLE) * 100.0 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS cents
+  FROM mem GROUP BY 1
+)
+SELECT a.cluster AS cluster_id, a.n_members,
+       r.c_custkey AS rep_custkey, r.c_name AS rep_name,
+       CAST(r.c_nationkey AS INT) AS rep_nationkey,
+       s.c_mktsegment AS top_segment,
+       a.max_acctbal,
+       round(CAST(a.cents AS DOUBLE) / 100.0, 2) AS total_acctbal
+FROM agg a
+JOIN rep r ON r.cluster = a.cluster AND r.r = 1
+JOIN seg s ON s.cluster = a.cluster AND s.r = 1
+ORDER BY cluster_id
+""",
+    doc="Golden-record survivorship - the END stage of the ER "
+    "pipeline the tier was missing: blocking (sorted-neighborhood, "
+    "customer_name_edit_pairs), pairwise verification (Levenshtein "
+    "<= 2), transitive clustering (operators/graph.py:"
+    "connected_components_star - the oracle replays it as the "
+    "recursive min-label walk, the dedup_clusters_star pattern), "
+    "then ATTRIBUTE-level survivorship per entity: representative "
+    "by max account balance (tie: min key) contributes name and "
+    "nation (recency/value proxy), mode market segment with a "
+    "(count desc, value asc) deterministic tie-break (consensus "
+    "rule), exact cents-summed total balance (merge rule). All "
+    "rules are window/aggregate picks - no mode()/struct-min "
+    "engine ambiguity; singletons are their own golden record.",
+)
+def q_customer_golden_records(spark, sf_dir):
+    return _golden_records(_t(spark, sf_dir, "customer"))
+
+
+def _golden_records(c):
+    from pyspark.sql import Window
+
+    pairs = dd.edit_distance_verify(
+        dd.sorted_neighborhood_pairs(
+            c, "c_custkey", F.col("c_name"), window=3
+        ).select("doc_a", "doc_b"),
+        c,
+        "c_custkey",
+        "c_name",
+        2,
+    ).select("doc_a", "doc_b")
+    comp = graph.connected_components_star(pairs, "doc_a", "doc_b")
+    mem = c.join(
+        comp.withColumnRenamed("node", "c_custkey"), "c_custkey", "left"
+    ).withColumn(
+        "cluster",
+        F.coalesce("cluster", F.col("c_custkey")).cast("long"),
+    )
+    w_rep = Window.partitionBy("cluster").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    rep = (
+        mem.withColumn("r", F.row_number().over(w_rep))
+        .where(F.col("r") == 1)
+        .select(
+            "cluster",
+            F.col("c_custkey").alias("rep_custkey"),
+            F.col("c_name").alias("rep_name"),
+            F.col("c_nationkey").cast("int").alias("rep_nationkey"),
+        )
+    )
+    segc = mem.groupBy("cluster", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    w_seg = Window.partitionBy("cluster").orderBy(
+        F.desc("__n"), F.asc("c_mktsegment")
+    )
+    seg = (
+        segc.withColumn("r", F.row_number().over(w_seg))
+        .where(F.col("r") == 1)
+        .select("cluster", F.col("c_mktsegment").alias("top_segment"))
+    )
+    agg = mem.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.round(F.max("c_acctbal"), 2).alias("max_acctbal"),
+        F.sum(
+            F.floor(
+                F.col("c_acctbal").cast("double") * F.lit(100.0)
+                + F.lit(0.5)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("cents"),
+    )
+    return (
+        agg.join(rep, "cluster")
+        .join(seg, "cluster")
+        .select(
+            F.col("cluster").alias("cluster_id"),
+            "n_members",
+            "rep_custkey",
+            "rep_name",
+            "rep_nationkey",
+            "top_segment",
+            "max_acctbal",
+            F.round(F.col("cents").cast("double") / F.lit(100.0), 2).alias(
+                "total_acctbal"
+            ),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry exports (driver contract)
 # --------------------------------------------------------------------------
@@ -12975,12 +13131,12 @@ _EXPORT_PRIORITY: list[str] = [
     # oracle now casts it BIGINT; probes dropped as planned.
     "orders_column_profile",
     # New in round 9 — every new @_q THIS ROUND must be added to this
-    # block as it lands. benford_price_audit and
-    # priority_status_association are deferred to lead round 10's
-    # window (50-slot cap; their newer siblings
-    # benford_price_conformity / priority_status_mutual_info exercise
-    # the same spine construction this round):
-    "customer_spend_gini",
+    # block as it lands. benford_price_audit,
+    # priority_status_association and customer_spend_gini are
+    # deferred to lead round 10's window (50-slot cap; the first
+    # two's newer siblings benford_price_conformity /
+    # priority_status_mutual_info exercise the same spine
+    # construction this round):
     "distinctive_terms_by_source",
     "event_value_ranksum_drift",
     "daily_event_acf",
@@ -13029,6 +13185,7 @@ _EXPORT_PRIORITY: list[str] = [
     "quality_score_calibration",
     "quality_score_brier",
     "event_value_wasserstein",
+    "customer_golden_records",
     # Round-3/4-stale refreshes (oldest-first rotation). The 44 names
     # past the 50-slot export cap (quality_scores, sampled_documents,
     # shipping_priority_top10, token_stats, top_orders_with_ties,
