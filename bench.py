@@ -158,6 +158,7 @@ EXTRAS = [
     "quality_score_brier",
     "event_value_wasserstein",
     "customer_golden_records",
+    "event_type_wasserstein_scan",
 ]
 
 

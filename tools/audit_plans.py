@@ -100,6 +100,16 @@ DEFAULT_AUDIT = [
     "small_quantity_order_revenue",
     "sole_late_suppliers",
     "incremental_event_state_merge",
+    # round 9 (late): the composite dashboard, the classifier-eval
+    # additions, the transport-drift member, and the iterative-CC
+    # golden-record merge (the registry's biggest fixed-size plan
+    # after unigram_lm).
+    "event_drift_report",
+    "quality_score_calibration",
+    "quality_score_brier",
+    "event_value_wasserstein",
+    "event_type_wasserstein_scan",
+    "customer_golden_records",
 ]
 
 

@@ -763,6 +763,58 @@ def main_r9c(replicas: int) -> int:
     return 0
 
 
+# ``--r9d`` mode: the final-session round-9 additions.
+# (a) Fact-side native 10x (sf0.01 -> sf0.1): Wasserstein (cents-cell
+#     CDF windows), the five-member drift dashboard, and the
+#     golden-record merge — the interesting one: customers grow
+#     1500 -> 15000 and the name-typo chain cluster grows with them,
+#     so this measures the alternating-star CC's O(log n) rounds on a
+#     10x-longer chain plus the survivorship windows.
+# (b) Docs 25x: the calibration pair (same linear per-doc regex
+#     regime as AUC/lift/kappa).
+R9D_FACT_FAMILY = [
+    "event_value_wasserstein",
+    "event_drift_report",
+    "customer_golden_records",
+]
+
+R9D_DOC_FAMILY = [
+    "quality_score_calibration",
+    "quality_score_brier",
+]
+
+
+def main_r9d(replicas: int) -> int:
+    spark = get_spark("bench_scale_r9d")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = queries()
+
+    qs["event_value_wasserstein"](
+        spark, "/root/testdata/sf0.01"
+    ).write.format("noop").mode("overwrite").save()
+    release_tracked()
+
+    fact_base = run_family(spark, qs, "/root/testdata/sf0.01", R9D_FACT_FAMILY)
+    fact_scaled = run_family(spark, qs, BASE_SF, R9D_FACT_FAMILY)
+
+    docs_dir = build_scaled(spark, replicas)
+    doc_base = run_family(spark, qs, BASE_SF, R9D_DOC_FAMILY)
+    doc_scaled = run_family(spark, qs, docs_dir, R9D_DOC_FAMILY)
+
+    def ratios(b, s):
+        return {k: round(s[k] / b[k], 2) for k in b if b[k] > 0}
+
+    print(json.dumps({
+        "metric": "r9d_family_scale",
+        "unit": "sec",
+        "fact_10x": {"base_sf0.01": fact_base, "sf0.1": fact_scaled,
+                     "ratio": ratios(fact_base, fact_scaled)},
+        "docs_%dx" % replicas: {"base": doc_base, "scaled": doc_scaled,
+                                "ratio": ratios(doc_base, doc_scaled)},
+    }))
+    return 0
+
+
 # ``--tpch`` family: the fact-side TPC-H analogs. Unlike the doc/emb
 # families these scale with SF natively (lineitem/orders grow with the
 # fixture scale factor), so the scale point is sf0.01 → sf0.1 (10×
@@ -832,6 +884,8 @@ def main() -> int:
         return main_r9b(replicas)
     if "--r9c" in sys.argv:
         return main_r9c(replicas)
+    if "--r9d" in sys.argv:
+        return main_r9d(replicas)
     spark = get_spark("bench_scale")
     spark.sparkContext.setLogLevel("ERROR")
     qs = queries()

@@ -1758,3 +1758,92 @@ def wasserstein_drift(
             ),
         ).alias("w1"),
     )
+
+
+def wasserstein_by_group(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_col: str,
+    cutoff: str,
+) -> DataFrame:
+    """Per-group 1-D Wasserstein-1 distance early-vs-late — the
+    magnitude column of the drift TRIAGE scan: grouped_ranksum_drift
+    ranks groups by shift significance; this ranks them by how much
+    the shift COSTS (value units moved per row), which is what
+    decides remediation priority. Same exact construction as
+    :func:`wasserstein_drift`, but every window is PARTITIONED by the
+    group (no single-partition stage at all): cells are
+    (group, cents) bounded by groups x domain, CDFs and the
+    next-value gap are per-group windows, each group's transport sum
+    is an exact DECIMAL(38,0) integer, ONE double division per group.
+    Groups with a single distinct value get W1 = 0; a group empty on
+    either side yields NULL.
+
+    Returns one row per group: (group, n_a, n_b, w1) ordered by
+    group.
+    """
+    from pyspark.sql import Window
+
+    cents = F.floor(
+        F.col(value_col).cast("double") * F.lit(100.0) + F.lit(0.5)
+    ).cast("long")
+    is_a = (F.col(ts_col) < F.lit(cutoff).cast("timestamp")).cast("int")
+    cells = (
+        df.where(F.col(value_col).isNotNull())
+        .select(
+            F.col(group_col).alias("g"), cents.alias("v"), is_a.alias("a")
+        )
+        .groupBy("g", "v")
+        .agg(
+            F.sum("a").cast("long").alias("ta"),
+            F.sum(F.lit(1) - F.col("a")).cast("long").alias("tb"),
+        )
+    )
+    wcum = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wnext = Window.partitionBy("g").orderBy("v")
+    cum = cells.select(
+        "g",
+        "v",
+        F.sum("ta").over(wcum).cast("long").alias("ca"),
+        F.sum("tb").over(wcum).cast("long").alias("cb"),
+        F.lead("v", 1).over(wnext).alias("nxt"),
+    )
+    tot = cells.groupBy("g").agg(
+        F.sum("ta").cast("long").alias("n_a"),
+        F.sum("tb").cast("long").alias("n_b"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per = (
+        cum.where(F.col("nxt").isNotNull())
+        .join(tot, "g")
+        .groupBy("g")
+        .agg(
+            F.sum(
+                F.abs(
+                    dec(F.col("ca")) * dec(F.col("n_b"))
+                    - dec(F.col("cb")) * dec(F.col("n_a"))
+                )
+                * dec(F.col("nxt") - F.col("v"))
+            ).alias("sw")
+        )
+    )
+    j = tot.join(per, "g", "left").withColumn(
+        "sw", F.coalesce("sw", F.lit(0).cast("decimal(38,0)"))
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    return j.select(
+        F.col("g").alias(group_col),
+        "n_a",
+        "n_b",
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.round(
+                F.col("sw").cast("double") / (na * nb * F.lit(100.0)), 6
+            ),
+        ).alias("w1"),
+    ).orderBy(group_col)
