@@ -159,6 +159,7 @@ EXTRAS = [
     "event_value_wasserstein",
     "customer_golden_records",
     "event_type_wasserstein_scan",
+    "supplier_bfs_hops",
 ]
 
 

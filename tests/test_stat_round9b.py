@@ -846,3 +846,21 @@ def test_wasserstein_by_group_hand_cases(spark):
         df.where(F.col("event_type") == "A"), "ts", "value", "2024-01-16"
     ).collect()[0]
     assert out["A"]["w1"] == solo["w1"]
+
+
+def test_bfs_hops_path_and_disconnected(spark):
+    from yelp_data_pipeline_spark.operators import graph as gr
+
+    # Path 1-2-3-4-5 plus a disconnected pair 10-11. Max degree is 2,
+    # shared by nodes 2,3,4,10?No: 10 has degree 1 — tie-break min id
+    # picks node 2. Hops from 2: {2}=0, {1,3}=1, {4}=2, {5}=3; the
+    # pair is unreached -> hop -1 with 2 nodes.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "a long, b long"
+    )
+    out = {r["hop"]: r["n_nodes"] for r in gr.bfs_hops(edges).collect()}
+    assert out == {-1: 2, 0: 1, 1: 2, 2: 1, 3: 1}
+    # Fully connected triangle: no -1 row.
+    tri = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "a long, b long")
+    out = {r["hop"]: r["n_nodes"] for r in gr.bfs_hops(tri).collect()}
+    assert out == {0: 1, 1: 2}

@@ -110,6 +110,7 @@ DEFAULT_AUDIT = [
     "event_value_wasserstein",
     "event_type_wasserstein_scan",
     "customer_golden_records",
+    "supplier_bfs_hops",
 ]
 
 

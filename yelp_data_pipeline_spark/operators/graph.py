@@ -829,3 +829,63 @@ def global_clustering(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame
             ),
         ).alias("c"),
     )
+
+
+def bfs_hops(
+    edges: DataFrame, src: str = "a", dst: str = "b", rounds: int = 8
+) -> DataFrame:
+    """Breadth-first hop-distance histogram from the graph's
+    max-degree node (tie: min id) — the traversal primitive the graph
+    tier lacked next to PageRank/k-core/triangles: the hop profile is
+    the empirical diameter/reach read ("how many hops until the
+    component is covered"), the number that decides how many rounds
+    iterative algorithms on this graph actually need.
+
+    Level-synchronous frontier expansion, the canonical distributed
+    BFS: each round is one key-shuffled join frontier->edges plus an
+    anti-join against the settled set, so a node enters `dist` at its
+    FIRST (minimal) hop — no min() reduction needed. `rounds` bounds
+    the unrolled plan (the k-core/pagerank anytime contract: fixed
+    rounds, exact integers, deterministic regardless of scheduling);
+    nodes not reached within `rounds` report as hop -1. Eager
+    localCheckpoint per round keeps lineage linear (the plan-fan-in
+    lesson from the unigram-LM DP).
+
+    Returns (hop, n_nodes) ordered by hop; the -1 row only when
+    unreached nodes exist.
+    """
+    half = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = half.union(
+        half.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    seed = (
+        deg.orderBy(F.desc("deg"), F.asc("u"))
+        .limit(1)
+        .select(F.col("u").alias("node"), F.lit(0).cast("int").alias("hop"))
+    )
+    dist = seed.localCheckpoint(eager=True)
+    frontier = dist
+    for h in range(1, rounds + 1):
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["u"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .withColumn("hop", F.lit(h).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+        dist = dist.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    hist = dist.groupBy("hop").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+    unreach = (
+        sym.select("u")
+        .distinct()
+        .join(dist.select(F.col("node").alias("u")), "u", "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .where(F.col("n_nodes") > 0)
+        .select(F.lit(-1).cast("int").alias("hop"), "n_nodes")
+    )
+    return hist.unionByName(unreach).orderBy("hop")

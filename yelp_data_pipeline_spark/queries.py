@@ -13168,6 +13168,52 @@ def q_event_type_wasserstein_scan(spark, sf_dir):
     )
 
 
+@_q(
+    "supplier_bfs_hops",
+    "WITH RECURSIVE " + KNN_EDGES_CTE + """,
+sym AS (SELECT a AS u, b AS v FROM und UNION SELECT b, a FROM und),
+deg AS (SELECT u, count(*) AS deg FROM sym GROUP BY 1),
+s AS (
+  SELECT u AS src FROM (
+    SELECT u, row_number() OVER (ORDER BY deg DESC, u ASC) AS r FROM deg
+  ) WHERE r = 1
+),
+walk(node, hop) AS (
+  SELECT src, 0 FROM s
+  UNION
+  SELECT e.v, w.hop + 1 FROM walk w JOIN sym e ON e.u = w.node
+  WHERE w.hop < 8
+),
+dist AS (SELECT node, CAST(min(hop) AS INT) AS hop FROM walk GROUP BY 1),
+hist AS (
+  SELECT hop, CAST(count(*) AS BIGINT) AS n_nodes FROM dist GROUP BY 1
+),
+un AS (
+  SELECT CAST(-1 AS INT) AS hop, CAST(count(*) AS BIGINT) AS n_nodes
+  FROM (SELECT DISTINCT u FROM sym) n LEFT JOIN dist d ON n.u = d.node
+  WHERE d.node IS NULL HAVING count(*) > 0
+)
+SELECT hop, n_nodes FROM hist
+UNION ALL
+SELECT hop, n_nodes FROM un
+ORDER BY hop
+""",
+    doc="BFS hop-distance histogram from the co-supply graph's "
+    "max-degree supplier (operators/graph.py:bfs_hops) — the "
+    "traversal primitive beside PageRank/k-core/triangles: the hop "
+    "profile is the empirical reach/diameter read that tells you how "
+    "many rounds iterative algorithms on this graph need. Level-"
+    "synchronous frontier expansion (one keyed join + settled-set "
+    "anti-join per round, eager checkpoints), fixed 8-round anytime "
+    "contract, hop -1 = unreached; the oracle replays it as the "
+    "hop-bounded recursive min-label walk.",
+)
+def q_supplier_bfs_hops(spark, sf_dir):
+    return graph.bfs_hops(
+        _supplier_knn_edges(spark, sf_dir), src="a", dst="b", rounds=8
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry exports (driver contract)
 # --------------------------------------------------------------------------
@@ -13189,11 +13235,12 @@ _EXPORT_PRIORITY: list[str] = [
     # New in round 9 — every new @_q THIS ROUND must be added to this
     # block as it lands. benford_price_audit,
     # priority_status_association, customer_spend_gini and
-    # distinctive_terms_by_source are deferred to lead round 10's
+    # distinctive_terms_by_source and event_value_ranksum_drift
+    # (its siblings ks/cohens_d are windowed and the drift report
+    # composes it) are deferred to lead round 10's
     # window (50-slot cap; the first two's newer siblings
     # benford_price_conformity / priority_status_mutual_info exercise
     # the same spine construction this round):
-    "event_value_ranksum_drift",
     "daily_event_acf",
     "dedup_cluster_rand_index",
     "quality_rate_confidence",
@@ -13242,6 +13289,7 @@ _EXPORT_PRIORITY: list[str] = [
     "event_value_wasserstein",
     "customer_golden_records",
     "event_type_wasserstein_scan",
+    "supplier_bfs_hops",
     # Round-3/4-stale refreshes (oldest-first rotation). The 44 names
     # past the 50-slot export cap (quality_scores, sampled_documents,
     # shipping_priority_top10, token_stats, top_orders_with_ties,
