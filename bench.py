@@ -160,6 +160,7 @@ EXTRAS = [
     "customer_golden_records",
     "event_type_wasserstein_scan",
     "supplier_bfs_hops",
+    "prefix_dim_fidelity",
 ]
 
 

@@ -864,3 +864,40 @@ def test_bfs_hops_path_and_disconnected(spark):
     tri = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "a long, b long")
     out = {r["hop"]: r["n_nodes"] for r in gr.bfs_hops(tri).collect()}
     assert out == {0: 1, 1: 2}
+
+
+def test_prefix_dim_fidelity_structure_and_zero_suffix(spark):
+    from yelp_data_pipeline_spark.operators import similarity as sim
+    from yelp_data_pipeline_spark.queries import queries
+
+    # Registry query shape: one row per query vector, overlap in [0,10].
+    rows = queries()["prefix_dim_fidelity"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert [r["qid"] for r in rows] == list(range(20))
+    for r in rows:
+        assert 0 <= r["n_overlap"] <= 10
+        assert r["overlap_at_10"] == pytest.approx(r["n_overlap"] / 10.0)
+
+    # When all information lives in the prefix (zero suffix), the
+    # 32-dim arm must reproduce the full 64-dim top-k exactly.
+    import random
+
+    rnd = random.Random(7)
+    corpus = [
+        (i, [rnd.uniform(-1, 1) for _ in range(32)] + [0.0] * 32)
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(corpus, "vec_id long, embedding array<float>")
+    qs = df.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    full = sim.cosine_topk_batch(df, qs, k=5)
+    pre = sim.cosine_topk_batch(
+        df.select("vec_id", F.slice("embedding", 1, 32).alias("embedding")),
+        qs.select("qid", F.slice("qv", 1, 32).alias("qv")),
+        k=5,
+    )
+    a = sorted(map(tuple, full.select("qid", "vec_id").collect()))
+    b = sorted(map(tuple, pre.select("qid", "vec_id").collect()))
+    assert a == b and len(a) == 15

@@ -111,6 +111,7 @@ DEFAULT_AUDIT = [
     "event_type_wasserstein_scan",
     "customer_golden_records",
     "supplier_bfs_hops",
+    "prefix_dim_fidelity",
 ]
 
 

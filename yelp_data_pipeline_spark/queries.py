@@ -13214,6 +13214,96 @@ def q_supplier_bfs_hops(spark, sf_dir):
     )
 
 
+@_q(
+    "prefix_dim_fidelity",
+    f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20
+),
+sf AS (
+  SELECT q.qid, e.vec_id,
+         round({cosine_sql('e.embedding', 'q.qv', 64)}, 6) AS score
+  FROM embeddings e, q
+),
+tf AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY score DESC, vec_id) AS rn
+    FROM sf
+  ) WHERE rn <= 10
+),
+sh AS (
+  SELECT q.qid, e.vec_id,
+         round({cosine_sql('e.embedding', 'q.qv', 32)}, 6) AS score
+  FROM embeddings e, q
+),
+th AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY score DESC, vec_id) AS rn
+    FROM sh
+  ) WHERE rn <= 10
+),
+ov AS (
+  SELECT t.qid, CAST(count(*) AS BIGINT) AS n_overlap
+  FROM tf t JOIN th h ON t.qid = h.qid AND t.vec_id = h.vec_id
+  GROUP BY 1
+)
+SELECT q.qid, CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+       round(CAST(coalesce(o.n_overlap, 0) AS DOUBLE) / 10.0, 6)
+         AS overlap_at_10
+FROM q LEFT JOIN ov o ON q.qid = o.qid
+ORDER BY q.qid
+""",
+    doc="Prefix-dimension fidelity eval (the Matryoshka/MRL "
+    "question): per query, the overlap@10 between exact top-10 by "
+    "full 64-dim cosine and top-10 by the FIRST-32-dims cosine — "
+    "measures whether serving can run coarse retrieval on a prefix "
+    "slice (half the bytes, half the FLOPs) before full-dim rerank, "
+    "the standard two-stage stack. Both arms are "
+    "similarity.cosine_topk_batch (broadcast query set, one corpus "
+    "scan each, per-qid top-k windows); the prefix arm is F.slice — "
+    "same JVM fold order as the oracle's generate_series(1, 32). "
+    "Self-match included in both arms (rank-1 cos=1, cancels in the "
+    "comparison).",
+)
+def q_prefix_dim_fidelity(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    full = sim.cosine_topk_batch(emb, qs, k=10)
+    halfc = emb.select(
+        "vec_id", F.slice("embedding", 1, 32).alias("embedding")
+    )
+    halfq = qs.select("qid", F.slice("qv", 1, 32).alias("qv"))
+    pre = sim.cosine_topk_batch(halfc, halfq, k=10)
+    ov = (
+        full.select("qid", "vec_id")
+        .join(pre.select("qid", "vec_id"), ["qid", "vec_id"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+    return (
+        qs.select("qid")
+        .join(ov, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias(
+                "n_overlap"
+            ),
+            F.round(
+                F.coalesce("n_overlap", F.lit(0)).cast("double")
+                / F.lit(10.0),
+                6,
+            ).alias("overlap_at_10"),
+        )
+        .orderBy("qid")
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry exports (driver contract)
 # --------------------------------------------------------------------------
@@ -13241,7 +13331,6 @@ _EXPORT_PRIORITY: list[str] = [
     # window (50-slot cap; the first two's newer siblings
     # benford_price_conformity / priority_status_mutual_info exercise
     # the same spine construction this round):
-    "daily_event_acf",
     "dedup_cluster_rand_index",
     "quality_rate_confidence",
     "event_value_psi",
@@ -13290,6 +13379,7 @@ _EXPORT_PRIORITY: list[str] = [
     "customer_golden_records",
     "event_type_wasserstein_scan",
     "supplier_bfs_hops",
+    "prefix_dim_fidelity",
     # Round-3/4-stale refreshes (oldest-first rotation). The 44 names
     # past the 50-slot export cap (quality_scores, sampled_documents,
     # shipping_priority_top10, token_stats, top_orders_with_ties,
