@@ -161,6 +161,7 @@ EXTRAS = [
     "event_type_wasserstein_scan",
     "supplier_bfs_hops",
     "prefix_dim_fidelity",
+    "quantile_sketch_error",
 ]
 
 

@@ -901,3 +901,31 @@ def test_prefix_dim_fidelity_structure_and_zero_suffix(spark):
     a = sorted(map(tuple, full.select("qid", "vec_id").collect()))
     b = sorted(map(tuple, pre.select("qid", "vec_id").collect()))
     assert a == b and len(a) == 15
+
+
+def test_quantile_sketch_error_bound_and_exact_hand_case(spark):
+    from yelp_data_pipeline_spark.operators import aggregates as ag
+
+    # 10 values 100..1000 in one group, width 200. Exact type-1
+    # quantiles: p50 -> rank 5 -> 500; p90 -> rank 9 -> 900.
+    rows = [("g", float(v)) for v in range(100, 1001, 100)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {
+        r["q"]: r
+        for r in ag.quantile_sketch_error(
+            df, ["g"], "v", width=200.0, quantiles=[0.5, 0.9]
+        ).collect()
+    }
+    assert out[0.5]["exact_q"] == pytest.approx(500.0)
+    assert out[0.9]["exact_q"] == pytest.approx(900.0)
+    for r in out.values():
+        assert r["within_bucket"] is True
+        assert r["abs_err"] <= 200.0
+    # Registry shape: every row honors the width-5000 bound.
+    from yelp_data_pipeline_spark.queries import queries
+
+    rows = queries()["quantile_sketch_error"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 20
+    assert all(r["within_bucket"] for r in rows)

@@ -2085,3 +2085,75 @@ def mutual_info(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
             ),
         ).alias("theils_u"),
     )
+
+
+def quantile_sketch_error(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    width: float,
+    quantiles: list[float],
+) -> DataFrame:
+    """Accuracy eval for :func:`histogram_quantiles` — the
+    recall-eval pattern (minhash/simhash/PQ/ANN all carry one)
+    applied to the sketch tier's quantile member: per (group, q),
+    the histogram's interpolated estimate next to the EXACT type-1
+    order statistic, the absolute error, and the within-bucket flag
+    the sketch's error bound promises (|est - exact| <= width by
+    construction — a red flag here means the merge or interpolation
+    broke, the check a monitoring pipeline runs after every
+    histogram merge).
+
+    The exact arm uses the bounded cents-cell construction (values
+    are 2dp producers): per-group integer CDF over the cell
+    relation, exact rank ceil(q*n), min-over-threshold selection —
+    no percentile_approx, no engine-specific interpolation; the
+    estimate arm is histogram_quantiles verbatim.
+
+    Returns (group..., q, quantile_est, exact_q, abs_err,
+    within_bucket) ordered by (group..., q).
+    """
+    from pyspark.sql import Window
+
+    est = histogram_quantiles(df, group_cols, value_col, width, quantiles)
+    cents = F.floor(
+        F.col(value_col).cast("double") * F.lit(100.0) + F.lit(0.5)
+    ).cast("long")
+    cells = df.groupBy(
+        *group_cols, cents.alias("v")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    wcum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy(*group_cols)
+    c = cells.withColumn(
+        "cum", F.sum("cnt").over(wcum).cast("long")
+    ).withColumn("n", F.sum("cnt").over(wall).cast("long"))
+    qdf = df.sparkSession.createDataFrame(
+        [(float(q),) for q in quantiles], "q double"
+    )
+    x = c.crossJoin(F.broadcast(qdf))
+    ex = (
+        x.where(
+            F.col("cum")
+            >= F.ceil(F.col("q") * F.col("n")).cast("long")
+        )
+        .groupBy(*group_cols, "q")
+        .agg(
+            F.round(F.min("v").cast("double") / F.lit(100.0), 6).alias(
+                "exact_q"
+            )
+        )
+    )
+    j = est.join(ex, [*group_cols, "q"])
+    err = F.round(F.abs(F.col("quantile_est") - F.col("exact_q")), 6)
+    return j.select(
+        *group_cols,
+        "q",
+        "quantile_est",
+        "exact_q",
+        err.alias("abs_err"),
+        (err <= F.lit(float(width))).alias("within_bucket"),
+    ).orderBy(*group_cols, "q")

@@ -13304,6 +13304,56 @@ def q_prefix_dim_fidelity(spark, sf_dir):
     )
 
 
+@_q(
+    "quantile_sketch_error",
+    "WITH e AS (" + _oracle_of("price_histogram_quantiles") + """),
+cells AS (
+  SELECT o_orderpriority AS prio,
+         CAST(FLOOR(CAST(o_totalprice AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS v,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY 1, 2
+),
+c AS (
+  SELECT prio, v,
+         CAST(sum(cnt) OVER (PARTITION BY prio ORDER BY v
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(sum(cnt) OVER (PARTITION BY prio) AS BIGINT) AS n
+  FROM cells
+),
+x AS (SELECT c.*, CAST(q AS DOUBLE) AS q
+      FROM c, (VALUES (0.25), (0.5), (0.9), (0.99)) AS qs(q)),
+ex AS (
+  SELECT prio, q, round(CAST(min(v) AS DOUBLE) / 100.0, 6) AS exact_q
+  FROM x WHERE cum >= CAST(ceil(q * n) AS BIGINT) GROUP BY 1, 2
+)
+SELECT e.prio, e.q, e.quantile_est, ex.exact_q,
+       round(abs(e.quantile_est - ex.exact_q), 6) AS abs_err,
+       (round(abs(e.quantile_est - ex.exact_q), 6) <= 5000.0)
+         AS within_bucket
+FROM e JOIN ex ON e.prio = ex.prio AND e.q = ex.q
+ORDER BY e.prio, e.q
+""",
+    doc="Accuracy eval for the histogram-quantile sketch "
+    "(operators/aggregates.py:quantile_sketch_error) — the "
+    "recall-eval pattern applied to the sketch tier's quantile "
+    "member: per (priority, q), the mergeable-histogram estimate "
+    "next to the EXACT type-1 order statistic (bounded cents-cell "
+    "CDF, rank ceil(q*n), min-over-threshold), the absolute error, "
+    "and the within-bucket flag the width-5000 error bound "
+    "promises — the post-merge invariant a monitoring pipeline "
+    "checks. Estimate arm reuses the green operator and its oracle "
+    "verbatim.",
+)
+def q_quantile_sketch_error(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"), "o_totalprice"
+    )
+    return agg.quantile_sketch_error(
+        o, ["prio"], "o_totalprice", width=5000.0,
+        quantiles=[0.25, 0.5, 0.9, 0.99],
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry exports (driver contract)
 # --------------------------------------------------------------------------
@@ -13331,7 +13381,6 @@ _EXPORT_PRIORITY: list[str] = [
     # window (50-slot cap; the first two's newer siblings
     # benford_price_conformity / priority_status_mutual_info exercise
     # the same spine construction this round):
-    "dedup_cluster_rand_index",
     "quality_rate_confidence",
     "event_value_psi",
     "event_value_median_ci",
@@ -13380,6 +13429,7 @@ _EXPORT_PRIORITY: list[str] = [
     "event_type_wasserstein_scan",
     "supplier_bfs_hops",
     "prefix_dim_fidelity",
+    "quantile_sketch_error",
     # Round-3/4-stale refreshes (oldest-first rotation). The 44 names
     # past the 50-slot export cap (quality_scores, sampled_documents,
     # shipping_priority_top10, token_stats, top_orders_with_ties,
