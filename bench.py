@@ -162,6 +162,7 @@ EXTRAS = [
     "supplier_bfs_hops",
     "prefix_dim_fidelity",
     "quantile_sketch_error",
+    "split_leakage_audit",
 ]
 
 

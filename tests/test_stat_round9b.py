@@ -929,3 +929,27 @@ def test_quantile_sketch_error_bound_and_exact_hand_case(spark):
     ).collect()
     assert len(rows) == 20
     assert all(r["within_bucket"] for r in rows)
+
+
+def test_split_leakage_audit_cluster_keyed_is_leak_free(spark):
+    from yelp_data_pipeline_spark.queries import queries
+
+    rows = queries()["split_leakage_audit"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    # Full 2-strategy x 3-pair spine, always 6 rows.
+    assert len(rows) == 6
+    by = {(r["strategy"], r["split_a"], r["split_b"]): r for r in rows}
+    pairs_ = [("train", "val"), ("train", "test"), ("val", "test")]
+    assert set(by) == {
+        (s, a, b)
+        for s in ("naive_hash", "cluster_keyed")
+        for a, b in pairs_
+    }
+    # The constructional claim: cluster-keyed splitting leaks ZERO
+    # verified near-dup pairs across any split boundary.
+    for a, b in pairs_:
+        r = by[("cluster_keyed", a, b)]
+        assert r["leaking_pairs"] == 0 and r["leaked_docs"] == 0
+    for r in rows:
+        assert r["leaked_docs"] <= r["leaking_pairs"]

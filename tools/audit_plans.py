@@ -112,6 +112,8 @@ DEFAULT_AUDIT = [
     "customer_golden_records",
     "supplier_bfs_hops",
     "prefix_dim_fidelity",
+    "quantile_sketch_error",
+    "split_leakage_audit",
 ]
 
 

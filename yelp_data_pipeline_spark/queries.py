@@ -13354,6 +13354,141 @@ def q_quantile_sketch_error(spark, sf_dir):
     )
 
 
+@_q(
+    "split_leakage_audit",
+    "WITH RECURSIVE naive AS (" + _oracle_of("split_assignments") + "),\n"
+    "safe AS (SELECT doc_id, split FROM (" + _oracle_of("leakage_safe_splits")
+    + ") s0),\n"
+    "mp AS (SELECT doc_a, doc_b FROM ("
+    + _oracle_of("dedup_minhash_pairs") + """) z),
+b AS (
+  SELECT s.strategy, s.doc_id, s.split,
+         CASE s.split WHEN 'train' THEN 1 WHEN 'val' THEN 2 ELSE 3 END AS rk
+  FROM (
+    SELECT 'naive_hash' AS strategy, doc_id, split FROM naive
+    UNION ALL
+    SELECT 'cluster_keyed' AS strategy, doc_id, split FROM safe
+  ) s
+),
+x AS (
+  SELECT a.strategy,
+         CASE WHEN a.rk < c.rk THEN a.split ELSE c.split END AS split_a,
+         CASE WHEN a.rk < c.rk THEN c.split ELSE a.split END AS split_b,
+         CASE WHEN a.rk < c.rk THEN m.doc_b ELSE m.doc_a END AS leaked_doc
+  FROM mp m
+  JOIN b a ON a.doc_id = m.doc_a
+  JOIN b c ON c.strategy = a.strategy AND c.doc_id = m.doc_b
+  WHERE a.rk <> c.rk
+),
+agg AS (
+  SELECT strategy, split_a, split_b,
+         CAST(count(*) AS BIGINT) AS leaking_pairs,
+         CAST(count(DISTINCT leaked_doc) AS BIGINT) AS leaked_docs
+  FROM x GROUP BY 1, 2, 3
+),
+spine AS (
+  SELECT s.strategy, p.split_a, p.split_b
+  FROM (VALUES ('naive_hash'), ('cluster_keyed')) AS s(strategy),
+       (VALUES ('train', 'val'), ('train', 'test'), ('val', 'test'))
+         AS p(split_a, split_b)
+)
+SELECT sp.strategy, sp.split_a, sp.split_b,
+       CAST(coalesce(a.leaking_pairs, 0) AS BIGINT) AS leaking_pairs,
+       CAST(coalesce(a.leaked_docs, 0) AS BIGINT) AS leaked_docs
+FROM spine sp
+LEFT JOIN agg a
+  ON sp.strategy = a.strategy AND sp.split_a = a.split_a
+ AND sp.split_b = a.split_b
+ORDER BY sp.strategy, sp.split_a, sp.split_b
+""",
+    doc="Split-leakage audit over the full strategy x split-pair "
+    "spine: verified near-duplicate pairs (the minhash relation, "
+    "jaccard >= 0.8) whose endpoints land in DIFFERENT splits, and "
+    "the distinct later-split docs leaked — for BOTH strategies "
+    "(naive per-doc hash split vs cluster-keyed "
+    "leakage_safe_splits). The demonstration the splits tier "
+    "needed: the naive split leaks a predictable ~2*p*(1-p) share "
+    "of near-dup pairs across splits (eval contamination); the "
+    "cluster-keyed split reports ZERO on every pair by construction "
+    "(pair endpoints share a cluster, a cluster gets one split). "
+    "Every member reuses the green operator/oracle verbatim "
+    "(composition via _oracle_of).",
+)
+def q_split_leakage_audit(spark, sf_dir):
+    from .operators import packing as pk
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=12, bands=4, threshold=0.8
+    ).select("doc_a", "doc_b")
+    naive = pk.split_assign(docs).select("doc_id", "split")
+    safe = pk.split_assign(
+        graph.dedup_clusters(docs, pairs), key_col="cluster_id"
+    ).select("doc_id", "split")
+    rk = lambda c: (  # noqa: E731
+        F.when(c == "train", 1).when(c == "val", 2).otherwise(3)
+    )
+    b = naive.withColumn("strategy", F.lit("naive_hash")).unionByName(
+        safe.withColumn("strategy", F.lit("cluster_keyed"))
+    ).withColumn("rk", rk(F.col("split")))
+    a = b.select(
+        "strategy",
+        F.col("doc_id").alias("doc_a"),
+        F.col("split").alias("sa"),
+        F.col("rk").alias("ra"),
+    )
+    c = b.select(
+        "strategy",
+        F.col("doc_id").alias("doc_b"),
+        F.col("split").alias("sb"),
+        F.col("rk").alias("rb"),
+    )
+    x = (
+        pairs.join(a, "doc_a")
+        .join(c, ["strategy", "doc_b"])
+        .where(F.col("ra") != F.col("rb"))
+        .select(
+            "strategy",
+            F.when(F.col("ra") < F.col("rb"), F.col("sa"))
+            .otherwise(F.col("sb"))
+            .alias("split_a"),
+            F.when(F.col("ra") < F.col("rb"), F.col("sb"))
+            .otherwise(F.col("sa"))
+            .alias("split_b"),
+            F.when(F.col("ra") < F.col("rb"), F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("leaked_doc"),
+        )
+    )
+    agg_x = x.groupBy("strategy", "split_a", "split_b").agg(
+        F.count(F.lit(1)).cast("long").alias("leaking_pairs"),
+        F.countDistinct("leaked_doc").cast("long").alias("leaked_docs"),
+    )
+    spine = spark.createDataFrame(
+        [
+            (s, p[0], p[1])
+            for s in ("naive_hash", "cluster_keyed")
+            for p in (("train", "val"), ("train", "test"), ("val", "test"))
+        ],
+        "strategy string, split_a string, split_b string",
+    )
+    return (
+        spine.join(agg_x, ["strategy", "split_a", "split_b"], "left")
+        .select(
+            "strategy",
+            "split_a",
+            "split_b",
+            F.coalesce("leaking_pairs", F.lit(0)).cast("long").alias(
+                "leaking_pairs"
+            ),
+            F.coalesce("leaked_docs", F.lit(0)).cast("long").alias(
+                "leaked_docs"
+            ),
+        )
+        .orderBy("strategy", "split_a", "split_b")
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry exports (driver contract)
 # --------------------------------------------------------------------------
@@ -13381,7 +13516,6 @@ _EXPORT_PRIORITY: list[str] = [
     # window (50-slot cap; the first two's newer siblings
     # benford_price_conformity / priority_status_mutual_info exercise
     # the same spine construction this round):
-    "quality_rate_confidence",
     "event_value_psi",
     "event_value_median_ci",
     "price_quantity_spearman",
@@ -13430,6 +13564,7 @@ _EXPORT_PRIORITY: list[str] = [
     "supplier_bfs_hops",
     "prefix_dim_fidelity",
     "quantile_sketch_error",
+    "split_leakage_audit",
     # Round-3/4-stale refreshes (oldest-first rotation). The 44 names
     # past the 50-slot export cap (quality_scores, sampled_documents,
     # shipping_priority_top10, token_stats, top_orders_with_ties,
