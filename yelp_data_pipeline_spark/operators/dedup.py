@@ -269,45 +269,6 @@ def edit_distance_pairs(
 # -------------------------------------------------------------- minhash
 
 
-def minhash_signature(df: DataFrame, id_col: str, text_col: str, k: int = 12, n: int = 3) -> DataFrame:
-    """k-permutation MinHash signature: per seed i, min over shingles
-    of ``md5_long(shingle, seed=i)``.
-
-    Plan shape: explode shingles → k seeded md5 columns (whole-stage
-    codegen) → groupBy(doc) min per seed → join the k-wide signature
-    back to the (doc, shingles) row. The earlier formulation — k
-    ``array_min(transform(...))`` folds — kept everything map-side but
-    ran interpreted (higher-order functions don't codegen), which at
-    bench scale cost more than the groupBy shuffle it avoided. Partial
-    aggregation collapses each doc's mins map-side, so the shuffle
-    moves k longs per doc; the join back is doc-keyed and AQE-sized.
-
-    Left join preserves docs with zero shingles (NULL signature), the
-    same observable as ``array_min`` over an empty array.
-    """
-    sh = with_shingles(df, text_col, n).select(
-        F.col(id_col).alias("doc"), F.size("shingles").alias("n_sh"), "shingles"
-    )
-    ex = sh.select("doc", F.explode("shingles").alias("s"))
-    # ONE md5 per shingle; the k family members are h1 + i*h2
-    # (Kirsch-Mitzenmacher double hashing — see functions/hashing.py).
-    # hx sits in its own projection so CollapseProject doesn't re-inline
-    # the md5 into both component extractions.
-    h1, h2 = md5_pair(F.col("hx"))
-    hashed = (
-        ex.withColumn("hx", F.md5(F.col("s")))
-        .select("doc", h1.alias("h1"), h2.alias("h2"))
-        .select(
-            "doc",
-            *[(F.col("h1") + i * F.col("h2")).alias(f"f{i}") for i in range(k)],
-        )
-    )
-    mins = hashed.groupBy("doc").agg(
-        *[F.min(f"f{i}").alias(f"mh{i}") for i in range(k)]
-    )
-    return sh.join(mins, "doc", "left")
-
-
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,

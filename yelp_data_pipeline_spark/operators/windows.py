@@ -41,22 +41,6 @@ def with_lag(
     return df.withColumn(alias, F.lag(F.col(col), offset).over(w))
 
 
-def running_agg(
-    df: DataFrame,
-    partition_by: list[str],
-    order_by: list,
-    agg_col: str,
-    alias: str,
-) -> DataFrame:
-    """Cumulative sum frame (rowsBetween unboundedPreceding..current)."""
-    w = (
-        Window.partitionBy(*partition_by)
-        .orderBy(*order_by)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return df.withColumn(alias, F.sum(F.col(agg_col)).over(w))
-
-
 def scalable_ranks(
     df: DataFrame,
     value_col: str,
