@@ -163,6 +163,7 @@ EXTRAS = [
     "prefix_dim_fidelity",
     "quantile_sketch_error",
     "split_leakage_audit",
+    "fd_discovery_audit",
 ]
 
 

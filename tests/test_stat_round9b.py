@@ -953,3 +953,22 @@ def test_split_leakage_audit_cluster_keyed_is_leak_free(spark):
         assert r["leaking_pairs"] == 0 and r["leaked_docs"] == 0
     for r in rows:
         assert r["leaked_docs"] <= r["leaking_pairs"]
+
+
+def test_fd_audit_hand_case(spark):
+    # k -> v holds (k unique); v -> k violated (v=1 maps to two ks).
+    rows = [(1, 10, "a"), (2, 10, "b"), (3, 20, "a")]
+    df = spark.createDataFrame(rows, "k long, v long, s string")
+    out = {
+        (r["lhs"], r["rhs"]): r
+        for r in dq.fd_audit(df, "t", [("k", "v"), ("v", "k"), ("v", "s")]).collect()
+    }
+    assert out[("k", "v")]["holds"] is True
+    assert out[("k", "v")]["violating_lhs"] == 0
+    # v=10 -> {1,2} (2 distinct ks), v=20 -> {3}: 1 violating value,
+    # surplus = (2+1) - 2 = 1.
+    r = out[("v", "k")]
+    assert r["n_lhs"] == 2 and r["violating_lhs"] == 1
+    assert r["surplus_rhs"] == 1 and r["holds"] is False
+    # v -> s: v=10 -> {a,b} violated, v=20 -> {a} fine.
+    assert out[("v", "s")]["violating_lhs"] == 1

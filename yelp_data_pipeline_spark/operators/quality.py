@@ -876,3 +876,51 @@ def score_brier(df: DataFrame, score_col: str, label_col) -> DataFrame:
             F.col("enum_").cast("double") / (n_d * F.lit(1000000.0)), 6
         ).alias("ece"),
     )
+
+
+def fd_audit(
+    df: DataFrame, table_name: str, pairs: list[tuple[str, str]]
+) -> DataFrame:
+    """Functional-dependency audit over candidate (determinant ->
+    dependent) column pairs — the schema-profiling classic next to
+    column_profile and k_anonymity_audit: an FD that HOLDS is a
+    candidate key fragment / normalization opportunity / join-safety
+    guarantee ("joining on lhs cannot fan out rhs"); a near-FD's
+    violation count is a data-quality signal (entity resolution
+    candidates, corrupted dimension rows).
+
+    One combinable pass per pair: groupBy(lhs) -> count_distinct(rhs)
+    (map-side partial aggregation collapses duplicates before the
+    shuffle), then a 1-row fold counting violating determinant values
+    and surplus dependent values. Pairs are unioned — each arm is an
+    independent scan-bound aggregate; Catalyst prunes each scan to
+    exactly its two columns.
+
+    Returns one row per pair: (tbl, lhs, rhs, n_lhs, violating_lhs,
+    surplus_rhs, holds) ordered by (tbl, lhs, rhs).
+    """
+    arms = []
+    for lhs, rhs in pairs:
+        g = (
+            df.where(F.col(lhs).isNotNull())
+            .groupBy(lhs)
+            .agg(F.countDistinct(rhs).alias("__d"))
+        )
+        arms.append(
+            g.agg(
+                F.lit(table_name).alias("tbl"),
+                F.lit(lhs).alias("lhs"),
+                F.lit(rhs).alias("rhs"),
+                F.count(F.lit(1)).cast("long").alias("n_lhs"),
+                F.sum((F.col("__d") > 1).cast("int"))
+                .cast("long")
+                .alias("violating_lhs"),
+                (F.sum("__d") - F.count(F.lit(1)))
+                .cast("long")
+                .alias("surplus_rhs"),
+            ).withColumn("holds", F.col("violating_lhs") == 0)
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out.orderBy("tbl", "lhs", "rhs")

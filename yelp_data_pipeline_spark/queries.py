@@ -13489,6 +13489,94 @@ def q_split_leakage_audit(spark, sf_dir):
     )
 
 
+@_q(
+    "fd_discovery_audit",
+    """
+SELECT * FROM (
+SELECT 'orders' AS tbl, 'o_orderkey' AS lhs, 'o_custkey' AS rhs,
+       CAST(count(*) AS BIGINT) AS n_lhs,
+       CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT) AS violating_lhs,
+       CAST(sum(d) - count(*) AS BIGINT) AS surplus_rhs,
+       (sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) = 0) AS holds
+FROM (SELECT o_orderkey AS k, count(DISTINCT o_custkey) AS d
+      FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1) g
+UNION ALL
+SELECT 'orders' AS tbl, 'o_custkey' AS lhs, 'o_orderpriority' AS rhs,
+       CAST(count(*) AS BIGINT) AS n_lhs,
+       CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT) AS violating_lhs,
+       CAST(sum(d) - count(*) AS BIGINT) AS surplus_rhs,
+       (sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) = 0) AS holds
+FROM (SELECT o_custkey AS k, count(DISTINCT o_orderpriority) AS d
+      FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1) g
+UNION ALL
+SELECT 'orders' AS tbl, 'o_orderdate' AS lhs, 'o_orderstatus' AS rhs,
+       CAST(count(*) AS BIGINT) AS n_lhs,
+       CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT) AS violating_lhs,
+       CAST(sum(d) - count(*) AS BIGINT) AS surplus_rhs,
+       (sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) = 0) AS holds
+FROM (SELECT o_orderdate AS k, count(DISTINCT o_orderstatus) AS d
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1) g
+UNION ALL
+SELECT 'part' AS tbl, 'p_partkey' AS lhs, 'p_brand' AS rhs,
+       CAST(count(*) AS BIGINT) AS n_lhs,
+       CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT) AS violating_lhs,
+       CAST(sum(d) - count(*) AS BIGINT) AS surplus_rhs,
+       (sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) = 0) AS holds
+FROM (SELECT p_partkey AS k, count(DISTINCT p_brand) AS d
+      FROM part WHERE p_partkey IS NOT NULL GROUP BY 1) g
+UNION ALL
+SELECT 'part' AS tbl, 'p_name' AS lhs, 'p_brand' AS rhs,
+       CAST(count(*) AS BIGINT) AS n_lhs,
+       CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT) AS violating_lhs,
+       CAST(sum(d) - count(*) AS BIGINT) AS surplus_rhs,
+       (sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) = 0) AS holds
+FROM (SELECT p_name AS k, count(DISTINCT p_brand) AS d
+      FROM part WHERE p_name IS NOT NULL GROUP BY 1) g
+UNION ALL
+SELECT 'part' AS tbl, 'p_brand' AS lhs, 'p_type' AS rhs,
+       CAST(count(*) AS BIGINT) AS n_lhs,
+       CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT) AS violating_lhs,
+       CAST(sum(d) - count(*) AS BIGINT) AS surplus_rhs,
+       (sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) = 0) AS holds
+FROM (SELECT p_brand AS k, count(DISTINCT p_type) AS d
+      FROM part WHERE p_brand IS NOT NULL GROUP BY 1) g
+) u ORDER BY tbl, lhs, rhs
+""",
+    doc="Functional-dependency audit (operators/quality.py:fd_audit) "
+    "over six candidate determinant->dependent pairs in orders/part "
+    "— the schema-profiling member next to column_profile and "
+    "k_anonymity_audit: a HOLDING FD certifies join safety (joining "
+    "on lhs cannot fan out rhs) and flags normalization/candidate-"
+    "key structure; a near-FD's violating_lhs + surplus_rhs counts "
+    "are the data-quality signal (dirty dimension rows, ER "
+    "candidates). One combinable groupBy(lhs)->count_distinct(rhs) "
+    "pass per pair, each scan pruned to exactly two columns; the "
+    "six 1-row folds union.",
+)
+def q_fd_discovery_audit(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    p = _t(spark, sf_dir, "part")
+    a = dq.fd_audit(
+        o,
+        "orders",
+        [
+            ("o_orderkey", "o_custkey"),
+            ("o_custkey", "o_orderpriority"),
+            ("o_orderdate", "o_orderstatus"),
+        ],
+    )
+    b = dq.fd_audit(
+        p,
+        "part",
+        [
+            ("p_partkey", "p_brand"),
+            ("p_name", "p_brand"),
+            ("p_brand", "p_type"),
+        ],
+    )
+    return a.unionByName(b).orderBy("tbl", "lhs", "rhs")
+
+
 # --------------------------------------------------------------------------
 # Registry exports (driver contract)
 # --------------------------------------------------------------------------
@@ -13583,9 +13671,10 @@ _EXPORT_PRIORITY: list[str] = [
     # sql_suppliers_by_nation, temperature_mixture_weights,
     # top_order_per_customer, total_counts, union_distinct_dates,
     # weighted_quality_sample, winnowing_fingerprints) lead round 10's
-    # window together with the 39 round-5-stale names and the two
+    # window together with the 39 round-5-stale names, the two
     # round-3-stale refreshes bumped for the final round-9 additions
-    # (order_price_percent_rank, price_quantiles_by_priority):
+    # (order_price_percent_rank, price_quantiles_by_priority), and
+    # fd_discovery_audit (landed after the 50 slots filled):
 ]
 
 
