@@ -164,6 +164,7 @@ EXTRAS = [
     "quantile_sketch_error",
     "split_leakage_audit",
     "fd_discovery_audit",
+    "heavy_hitter_error_report",
 ]
 
 

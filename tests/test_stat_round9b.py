@@ -972,3 +972,18 @@ def test_fd_audit_hand_case(spark):
     assert r["surplus_rhs"] == 1 and r["holds"] is False
     # v -> s: v=10 -> {a,b} violated, v=20 -> {a} fine.
     assert out[("v", "s")]["violating_lhs"] == 1
+
+
+def test_heavy_hitter_error_report_one_sided(spark):
+    # The CMS one-sided-error guarantee: est >= exact on every row.
+    from yelp_data_pipeline_spark.queries import queries
+
+    rows = queries()["heavy_hitter_error_report"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["overcount"] >= 0
+        assert r["est_cnt"] == r["exact_cnt"] + r["overcount"]
+    # At least one reported hitter should be a true top-k member.
+    assert any(r["in_exact_topk"] for r in rows)

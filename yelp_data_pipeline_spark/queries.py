@@ -13577,6 +13577,70 @@ def q_fd_discovery_audit(spark, sf_dir):
     return a.unionByName(b).orderBy("tbl", "lhs", "rhs")
 
 
+@_q(
+    "heavy_hitter_error_report",
+    "WITH e AS (" + _oracle_of("cms_heavy_user_hitters") + """),
+ex AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+),
+tk AS (
+  SELECT user_id FROM (
+    SELECT user_id,
+           row_number() OVER (ORDER BY exact_cnt DESC, user_id ASC) AS rn
+    FROM ex
+  ) WHERE rn <= 20
+)
+SELECT e.user_id, CAST(e.est_cnt AS BIGINT) AS est_cnt, x.exact_cnt,
+       CAST(e.est_cnt - x.exact_cnt AS BIGINT) AS overcount,
+       (t.user_id IS NOT NULL) AS in_exact_topk
+FROM e
+JOIN ex x ON e.user_id = x.user_id
+LEFT JOIN tk t ON e.user_id = t.user_id
+ORDER BY est_cnt DESC, e.user_id ASC
+""",
+    doc="Accuracy eval for the Count-Min heavy hitters "
+    "(the recall-eval pattern applied to the counting sketch, next "
+    "to quantile_sketch_error and kmv's rel_err): the CMS top-20 "
+    "joined to exact per-user counts — overcount = est - exact is "
+    "NON-NEGATIVE by the CMS one-sided-error guarantee (min over "
+    "rows of counters that only ever add; pinned in the test), and "
+    "in_exact_topk flags rank agreement with the exact top-20 "
+    "(collision-inflated tail entries are the miss mode). Estimate "
+    "arm and its oracle reused verbatim from the green row.",
+)
+def q_heavy_hitter_error_report(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    est = agg.cms_heavy_hitters(ev, "user_id", depth=4, width=512, k=20)
+    ex = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+    )
+    w = Window.orderBy(F.desc("exact_cnt"), F.asc("user_id"))
+    tk = (
+        ex.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .select("user_id", F.lit(True).alias("__in"))
+    )
+    return (
+        est.join(ex, "user_id")
+        .join(tk, "user_id", "left")
+        .select(
+            "user_id",
+            F.col("est_cnt").cast("long").alias("est_cnt"),
+            "exact_cnt",
+            (F.col("est_cnt") - F.col("exact_cnt"))
+            .cast("long")
+            .alias("overcount"),
+            F.coalesce("__in", F.lit(False)).alias("in_exact_topk"),
+        )
+        .orderBy(F.desc("est_cnt"), F.asc("user_id"))
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry exports (driver contract)
 # --------------------------------------------------------------------------
@@ -13674,7 +13738,8 @@ _EXPORT_PRIORITY: list[str] = [
     # window together with the 39 round-5-stale names, the two
     # round-3-stale refreshes bumped for the final round-9 additions
     # (order_price_percent_rank, price_quantiles_by_priority), and
-    # fd_discovery_audit (landed after the 50 slots filled):
+    # fd_discovery_audit + heavy_hitter_error_report (landed after
+    # the 50 slots filled):
 ]
 
 
