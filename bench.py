@@ -165,6 +165,7 @@ EXTRAS = [
     "split_leakage_audit",
     "fd_discovery_audit",
     "heavy_hitter_error_report",
+    "hll_error_report",
 ]
 
 

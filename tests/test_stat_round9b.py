@@ -987,3 +987,27 @@ def test_heavy_hitter_error_report_one_sided(spark):
         assert r["est_cnt"] == r["exact_cnt"] + r["overcount"]
     # At least one reported hitter should be a true top-k member.
     assert any(r["in_exact_topk"] for r in rows)
+
+
+def test_hll_error_report_sane(spark):
+    from yelp_data_pipeline_spark.queries import queries
+
+    rows = queries()["hll_error_report"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["exact_users"] > 0
+        # The raw harmonic-mean estimator (no linear-counting branch
+        # — determinism over small-range accuracy) is WAY off when
+        # n ~ m at sf0.001: the eval exists precisely to expose that.
+        # Pin the arithmetic, not a bound the estimator can't meet.
+        got = abs(r["approx_users"] - r["exact_users"]) / r["exact_users"]
+        assert r["rel_err"] == pytest.approx(round(got, 6), abs=1e-9)
+    # At sf0.01 the groups leave the small-range regime and the m=64
+    # error settles near its ~13% standard error.
+    rows = queries()["hll_error_report"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    for r in rows:
+        assert r["rel_err"] < 0.5

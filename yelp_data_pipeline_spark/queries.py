@@ -13641,6 +13641,60 @@ def q_heavy_hitter_error_report(spark, sf_dir):
     )
 
 
+@_q(
+    "hll_error_report",
+    "WITH e AS (" + _oracle_of("hll_users_by_event_type") + """),
+ex AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+)
+SELECT e.event_type, e.approx_users, x.exact_users,
+       round(abs(e.approx_users - CAST(x.exact_users AS DOUBLE))
+             / CAST(x.exact_users AS DOUBLE), 6) AS rel_err
+FROM e JOIN ex x ON e.event_type = x.event_type
+ORDER BY e.event_type
+""",
+    doc="Accuracy eval for the grouped deterministic HLL — the last "
+    "sketch without one (KMV carries rel_err, the histogram its "
+    "within-bucket bound, CMS its one-sided overcount): per "
+    "event_type, the md5-register HLL estimate next to the exact "
+    "distinct-user count and the relative error. m=64 registers -> "
+    "~13% standard error ONCE n >> m; the raw harmonic estimator "
+    "(deliberately no linear-counting branch — determinism over "
+    "small-range accuracy) drifts far beyond that when n ~ m, and "
+    "this eval is what QUANTIFIES that regime boundary per group "
+    "(sf0.001 shows it; sf0.01 settles near the SE) — plus the "
+    "post-merge sanity check the streaming HLL sink state needs. "
+    "Estimate arm and oracle reused verbatim from the green "
+    "grouped-HLL row.",
+)
+def q_hll_error_report(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    est = agg.hll_distinct(ev, "user_id", m=64, by=["event_type"])
+    ex = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_users"))
+    )
+    return (
+        est.join(ex, "event_type")
+        .select(
+            "event_type",
+            "approx_users",
+            "exact_users",
+            F.round(
+                F.abs(
+                    F.col("approx_users")
+                    - F.col("exact_users").cast("double")
+                )
+                / F.col("exact_users").cast("double"),
+                6,
+            ).alias("rel_err"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry exports (driver contract)
 # --------------------------------------------------------------------------
@@ -13738,8 +13792,8 @@ _EXPORT_PRIORITY: list[str] = [
     # window together with the 39 round-5-stale names, the two
     # round-3-stale refreshes bumped for the final round-9 additions
     # (order_price_percent_rank, price_quantiles_by_priority), and
-    # fd_discovery_audit + heavy_hitter_error_report (landed after
-    # the 50 slots filled):
+    # fd_discovery_audit + heavy_hitter_error_report +
+    # hll_error_report (landed after the 50 slots filled):
 ]
 
 
