@@ -166,6 +166,7 @@ EXTRAS = [
     "fd_discovery_audit",
     "heavy_hitter_error_report",
     "hll_error_report",
+    "hybrid_rrf_ranking",
 ]
 
 

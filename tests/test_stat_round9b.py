@@ -1011,3 +1011,25 @@ def test_hll_error_report_sane(spark):
     ).collect()
     for r in rows:
         assert r["rel_err"] < 0.5
+
+
+def test_hybrid_rrf_ranking_properties(spark):
+    from yelp_data_pipeline_spark.queries import queries
+
+    rows = queries()["hybrid_rrf_ranking"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert 0 < len(rows) <= 20
+    # Fused score equals its definition from the two ranks.
+    for r in rows:
+        want = 0.0
+        if r["lex_rank"] is not None:
+            want += 1.0 / (60.0 + r["lex_rank"])
+        if r["sem_rank"] is not None:
+            want += 1.0 / (60.0 + r["sem_rank"])
+        assert r["rrf"] == pytest.approx(round(want, 6), abs=1e-9)
+        assert r["lex_rank"] is not None or r["sem_rank"] is not None
+    # Descending fused order; a doc ranked #1 in BOTH arms would top
+    # any single-arm doc — monotonicity sanity.
+    scores = [r["rrf"] for r in rows]
+    assert scores == sorted(scores, reverse=True)

@@ -114,6 +114,10 @@ DEFAULT_AUDIT = [
     "prefix_dim_fidelity",
     "quantile_sketch_error",
     "split_leakage_audit",
+    "fd_discovery_audit",
+    "heavy_hitter_error_report",
+    "hll_error_report",
+    "hybrid_rrf_ranking",
 ]
 
 

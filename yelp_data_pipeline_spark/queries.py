@@ -13695,6 +13695,107 @@ def q_hll_error_report(spark, sf_dir):
     )
 
 
+@_q(
+    "hybrid_rrf_ranking",
+    "WITH lexs AS (" + _oracle_of("bm25_doc_scores") + """),
+lex AS (
+  SELECT doc_id, CAST(rn AS INT) AS lex_rank FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rn
+    FROM lexs
+  ) WHERE rn <= 100
+),
+qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+sems AS (
+  SELECT e.vec_id AS doc_id,
+         round(""" + cosine_sql('e.embedding', 'q.qv', _EMB_DIM) + """, 6)
+           AS score
+  FROM embeddings e, qv q
+),
+sem AS (
+  SELECT doc_id, CAST(rn AS INT) AS sem_rank FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+    FROM sems
+  ) WHERE rn <= 100
+),
+fused AS (
+  SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+         l.lex_rank, s.sem_rank,
+         round(coalesce(1.0 / (60.0 + CAST(l.lex_rank AS DOUBLE)), 0.0)
+               + coalesce(1.0 / (60.0 + CAST(s.sem_rank AS DOUBLE)), 0.0),
+               6) AS rrf
+  FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+)
+SELECT doc_id, lex_rank, sem_rank, rrf FROM (
+  SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rn
+  FROM fused
+) WHERE rn <= 20
+ORDER BY rrf DESC, doc_id ASC
+""",
+    doc="Hybrid-search serving: reciprocal-rank fusion (Cormack et "
+    "al. 2009, k=60) of the lexical arm (BM25 over the fixed term "
+    "query, bm25_doc_scores verbatim) and the semantic arm (cosine "
+    "of each doc's embedding against the vec_id-0 query vector, the "
+    "ann_topk machinery) — the standard two-retriever stack fused "
+    "WITHOUT score normalization (RRF uses only ranks, immune to "
+    "incomparable score scales). Each arm is a top-100 candidate "
+    "list (rank from the 6dp-rounded score, id tie-break), fused by "
+    "1/(60+r) sums over a FULL outer join (single-arm docs keep "
+    "their one term); top-20 output. Ranks are per-arm windows over "
+    "candidate lists, never the corpus.",
+)
+def q_hybrid_rrf_ranking(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lexs = tx.bm25_scores(docs, "doc_id", "text", _BM25_TERMS)
+    wl = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lex = (
+        lexs.withColumn("rn", F.row_number().over(wl))
+        .where(F.col("rn") <= 100)
+        .select("doc_id", F.col("rn").cast("int").alias("lex_rank"))
+    )
+    sems = sim.cosine_topk(emb, _query_vec(spark, sf_dir), k=100).select(
+        F.col("vec_id").alias("doc_id"), "score"
+    )
+    ws = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    sem = (
+        sems.withColumn("rn", F.row_number().over(ws))
+        .where(F.col("rn") <= 100)
+        .select("doc_id", F.col("rn").cast("int").alias("sem_rank"))
+    )
+    fused = (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "lex_rank",
+            "sem_rank",
+            F.round(
+                F.coalesce(
+                    F.lit(1.0)
+                    / (F.lit(60.0) + F.col("lex_rank").cast("double")),
+                    F.lit(0.0),
+                )
+                + F.coalesce(
+                    F.lit(1.0)
+                    / (F.lit(60.0) + F.col("sem_rank").cast("double")),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    wf = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rn", F.row_number().over(wf))
+        .where(F.col("rn") <= 20)
+        .select("doc_id", "lex_rank", "sem_rank", "rrf")
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry exports (driver contract)
 # --------------------------------------------------------------------------
@@ -13793,7 +13894,8 @@ _EXPORT_PRIORITY: list[str] = [
     # round-3-stale refreshes bumped for the final round-9 additions
     # (order_price_percent_rank, price_quantiles_by_priority), and
     # fd_discovery_audit + heavy_hitter_error_report +
-    # hll_error_report (landed after the 50 slots filled):
+    # hll_error_report + hybrid_rrf_ranking (landed after the 50
+    # slots filled):
 ]
 
 
