@@ -167,6 +167,7 @@ EXTRAS = [
     "heavy_hitter_error_report",
     "hll_error_report",
     "hybrid_rrf_ranking",
+    "ann_prefilter_vs_postfilter",
 ]
 
 

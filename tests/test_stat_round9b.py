@@ -1033,3 +1033,19 @@ def test_hybrid_rrf_ranking_properties(spark):
     # any single-arm doc — monotonicity sanity.
     scores = [r["rrf"] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_ann_prefilter_vs_postfilter_invariants(spark):
+    from yelp_data_pipeline_spark.queries import queries
+
+    rows = queries()["ann_prefilter_vs_postfilter"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert [r["qid"] for r in rows] == list(range(10))
+    for r in rows:
+        # Post-filter survivors are a prefix of the pre-filter ranking:
+        # never MORE results, never more than k.
+        assert 0 <= r["n_post_found"] <= r["n_pre_found"] <= 5
+        # The query vector itself matches its own label and ranks #1
+        # in both arms -> at least one result each.
+        assert r["n_pre_found"] >= 1 and r["n_post_found"] >= 1

@@ -118,6 +118,7 @@ DEFAULT_AUDIT = [
     "heavy_hitter_error_report",
     "hll_error_report",
     "hybrid_rrf_ranking",
+    "ann_prefilter_vs_postfilter",
 ]
 
 

@@ -13796,6 +13796,114 @@ def q_hybrid_rrf_ranking(spark, sf_dir):
     )
 
 
+@_q(
+    "ann_prefilter_vs_postfilter",
+    f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+  FROM embeddings WHERE vec_id < 10
+),
+scored AS (
+  SELECT q.qid, q.qlabel, e.vec_id, e.label,
+         round({cosine_sql('e.embedding', 'q.qv', _EMB_DIM)}, 6) AS score
+  FROM embeddings e, q
+),
+pre AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY score DESC, vec_id ASC) AS rn
+    FROM scored WHERE label = qlabel
+  ) WHERE rn <= 5
+),
+post AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id, label, qlabel,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY score DESC, vec_id ASC) AS rn
+    FROM scored
+  ) WHERE rn <= 30 AND label = qlabel
+  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY rn) <= 5
+),
+np AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_post_found FROM post GROUP BY 1),
+npre AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_pre_found FROM pre GROUP BY 1)
+SELECT q.qid, CAST(q.qlabel AS INT) AS label,
+       CAST(coalesce(npre.n_pre_found, 0) AS BIGINT) AS n_pre_found,
+       CAST(coalesce(np.n_post_found, 0) AS BIGINT) AS n_post_found
+FROM q LEFT JOIN np ON q.qid = np.qid LEFT JOIN npre ON q.qid = npre.qid
+ORDER BY q.qid
+""",
+    doc="Filtered vector search, the pre-filter vs post-filter design "
+    "axis every vector store documents: per query, exact top-5 among "
+    "SAME-LABEL vectors computed by PRE-filtering (predicate pushed "
+    "below the score-rank — always returns k when k matches exist) "
+    "vs POST-filtering an unfiltered top-30 (the cheap path — can "
+    "come home short when the label is rare in the global "
+    "neighborhood; n_post_found < n_pre_found is that recall loss "
+    "made visible; the survivors are always a PREFIX of the "
+    "pre-filter ranking, so the counts alone tell the story). One "
+    "broadcast-query corpus scan feeds BOTH arms; per-qid windows; "
+    "rounded-score/id total order.",
+)
+def q_ann_prefilter_vs_postfilter(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from .functions.vectors import cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    scored = emb.crossJoin(F.broadcast(qs)).select(
+        "qid",
+        "qlabel",
+        "vec_id",
+        "label",
+        F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("score"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
+    pre = (
+        scored.where(F.col("label") == F.col("qlabel"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("qid", "vec_id")
+    )
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    wpost = Window.partitionBy("qid").orderBy("rn")
+    post = (
+        ranked.where(
+            (F.col("rn") <= 30) & (F.col("label") == F.col("qlabel"))
+        )
+        .withColumn("rn2", F.row_number().over(wpost))
+        .where(F.col("rn2") <= 5)
+        .select("qid", "vec_id")
+    )
+    np_ = post.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_post_found")
+    )
+    npre = pre.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pre_found")
+    )
+    return (
+        qs.select("qid", F.col("qlabel").cast("int").alias("label"))
+        .join(np_, "qid", "left")
+        .join(npre, "qid", "left")
+        .select(
+            "qid",
+            "label",
+            F.coalesce("n_pre_found", F.lit(0)).cast("long").alias(
+                "n_pre_found"
+            ),
+            F.coalesce("n_post_found", F.lit(0)).cast("long").alias(
+                "n_post_found"
+            ),
+        )
+        .orderBy("qid")
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry exports (driver contract)
 # --------------------------------------------------------------------------
@@ -13894,8 +14002,9 @@ _EXPORT_PRIORITY: list[str] = [
     # round-3-stale refreshes bumped for the final round-9 additions
     # (order_price_percent_rank, price_quantiles_by_priority), and
     # fd_discovery_audit + heavy_hitter_error_report +
-    # hll_error_report + hybrid_rrf_ranking (landed after the 50
-    # slots filled):
+    # hll_error_report + hybrid_rrf_ranking +
+    # ann_prefilter_vs_postfilter (landed after the 50 slots
+    # filled):
 ]
 
 
