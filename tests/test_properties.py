@@ -757,3 +757,142 @@ def test_acf_bounded(spark, counts):
     df = spark.createDataFrame(rows, "ts timestamp")
     for r in daily_count_acf(df, "ts", max_lag=5).collect():
         assert abs(r["r"]) <= 1.0 + 1e-6, r
+
+
+@given(
+    early=st.lists(st.integers(0, 400), min_size=1, max_size=15),
+    late=st.lists(st.integers(0, 400), min_size=1, max_size=15),
+    shift=st.integers(1, 50),
+)
+@settings(**SETTINGS)
+def test_wasserstein_metric_properties(spark, early, late, shift):
+    from yelp_data_pipeline_spark.operators.timeseries import (
+        wasserstein_drift,
+    )
+
+    def mk(e, l):
+        rows = [("2024-01-10 00:00:00", float(v)) for v in e] + [
+            ("2024-01-20 00:00:00", float(v)) for v in l
+        ]
+        return spark.createDataFrame(rows, "t string, value double").select(
+            F.col("t").cast("timestamp").alias("ts"), "value"
+        )
+
+    cut = "2024-01-16"
+    w = wasserstein_drift(mk(early, late), "ts", "value", cut).collect()[0]
+    assert w["w1"] >= 0.0
+    # Identity: same multiset on both sides -> 0.
+    wid = wasserstein_drift(mk(early, early), "ts", "value", cut).collect()[0]
+    assert wid["w1"] == 0.0
+    # Symmetry: swapping the sides leaves W1 unchanged.
+    ws = wasserstein_drift(mk(late, early), "ts", "value", cut).collect()[0]
+    assert ws["w1"] == w["w1"]
+    # Bound: mass can travel at most the union's value span.
+    span = max(early + late) - min(early + late)
+    assert w["w1"] <= span + 1e-9
+    # Pure translation of one side by c moves exactly |c| per unit
+    # mass when sizes match (use equal-size prefix).
+    m = min(len(early), 8)
+    base = early[:m]
+    wt = wasserstein_drift(
+        mk(base, [v + shift for v in base]), "ts", "value", cut
+    ).collect()[0]
+    assert wt["w1"] == round(float(shift), 6)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 1000000), st.booleans()
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_brier_and_calibration_match_bruteforce(spark, rows):
+    from yelp_data_pipeline_spark.operators.quality import (
+        score_brier,
+        score_calibration_table,
+    )
+
+    data = [(k / 1e6, y) for k, y in rows]
+    df = spark.createDataFrame(data, "s double, y boolean")
+    got = score_brier(df, "s", F.col("y")).collect()[0]
+    n = len(data)
+    brute = sum((s - (1 if y else 0)) ** 2 for s, y in data) / n
+    assert got["n"] == n
+    assert abs(got["brier"] - brute) < 1e-5
+    assert 0.0 <= got["brier"] <= 1.0
+    assert 0.0 <= got["ece"] <= 1.0 + 1e-9
+    # Calibration table partitions the rows.
+    tab = score_calibration_table(df, "s", F.col("y")).collect()
+    assert sum(r["n_rows"] for r in tab) == n
+    assert sum(r["n_pos"] for r in tab) == sum(1 for _, y in data if y)
+    for r in tab:
+        assert 1 <= r["bin"] <= 10
+        assert abs(r["gap"] - round(r["mean_score"] - r["pos_rate"], 6)) < 2e-6
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**SETTINGS)
+def test_bfs_hops_match_bruteforce(spark, edges):
+    from collections import deque
+
+    from yelp_data_pipeline_spark.operators import graph as gr
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r["hop"]: r["n_nodes"] for r in gr.bfs_hops(df, rounds=8).collect()}
+
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {u: len(vs) for u, vs in adj.items()}
+    src = min(sorted(deg), key=lambda u: (-deg[u], u))
+    dist = {src: 0}
+    dq_ = deque([src])
+    while dq_:
+        u = dq_.popleft()
+        for v in adj[u]:
+            if v not in dist and dist[u] < 8:
+                dist[v] = dist[u] + 1
+                dq_.append(v)
+    want: dict[int, int] = {}
+    for h in dist.values():
+        want[h] = want.get(h, 0) + 1
+    unreached = len(adj) - len(dist)
+    if unreached:
+        want[-1] = unreached
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 3)),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_fd_audit_matches_bruteforce(spark, rows):
+    from yelp_data_pipeline_spark.operators.quality import fd_audit
+
+    df = spark.createDataFrame(rows, "k long, v long")
+    r = fd_audit(df, "t", [("k", "v")]).collect()[0]
+    seen: dict[int, set[int]] = {}
+    for k, v in rows:
+        seen.setdefault(k, set()).add(v)
+    assert r["n_lhs"] == len(seen)
+    assert r["violating_lhs"] == sum(1 for s in seen.values() if len(s) > 1)
+    assert r["surplus_rhs"] == sum(len(s) - 1 for s in seen.values())
+    assert r["holds"] == (r["violating_lhs"] == 0)
