@@ -168,6 +168,7 @@ EXTRAS = [
     "hll_error_report",
     "hybrid_rrf_ranking",
     "ann_prefilter_vs_postfilter",
+    "mmr_diversified_topk",
 ]
 
 

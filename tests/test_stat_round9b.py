@@ -1049,3 +1049,41 @@ def test_ann_prefilter_vs_postfilter_invariants(spark):
         # The query vector itself matches its own label and ranks #1
         # in both arms -> at least one result each.
         assert r["n_pre_found"] >= 1 and r["n_post_found"] >= 1
+
+
+def test_mmr_diversify_hand_case(spark):
+    from yelp_data_pipeline_spark.operators import similarity as sim
+
+    # Corpus: the top hit (1), a near-copy of it (2), and a diverse
+    # vector (3). The query must NOT be parallel to pick 1 (else
+    # rel == sim-to-picked and every MMR score degenerates to 0):
+    # rel: 1 -> 0.954, 2 -> 0.944, 3 -> 0.902, but sim(2,1) ~ 0.999
+    # vs sim(3,1) ~ 0.731 — MMR (lambda=0.5) prefers the DIVERSE 3
+    # over the near-copy 2 at pos 2.
+    rows = [
+        (1, [0.95, 0.3, 0.0, 0.0]),
+        (2, [0.94, 0.33, 0.0, 0.0]),
+        (3, [0.9, -0.43, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0])], "qid long, qv array<float>"
+    )
+    out = {r["pos"]: r for r in sim.mmr_diversify(df, qs, k=3, pool=3).collect()}
+    assert out[1]["vec_id"] == 1 and out[1]["max_sim"] is None
+    assert out[2]["vec_id"] == 3  # diversity beats the near-copy
+    assert out[3]["vec_id"] == 2
+    # The penalized pick's max_sim reflects its similarity to pick 1.
+    assert out[3]["max_sim"] > out[2]["max_sim"]
+    # Registry shape: 10 queries x 5 positions, pos-1 seeds NULL.
+    from yelp_data_pipeline_spark.queries import queries
+
+    rows = queries()["mmr_diversified_topk"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 50
+    for r in rows:
+        if r["pos"] == 1:
+            assert r["max_sim"] is None and r["mmr"] is None
+        else:
+            assert r["max_sim"] is not None and r["mmr"] is not None

@@ -119,6 +119,7 @@ DEFAULT_AUDIT = [
     "hll_error_report",
     "hybrid_rrf_ranking",
     "ann_prefilter_vs_postfilter",
+    "mmr_diversified_topk",
 ]
 
 

@@ -1916,3 +1916,129 @@ def ann_rank_quality_eval(
             6,
         ).alias("reciprocal_rank"),
     )
+
+
+def mmr_diversify(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    pool: int = 30,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qv",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell &
+    Goldstein 1998) — the result-diversification stage completing the
+    retrieval stack (rank: cosine_topk_batch; fuse: RRF; filter:
+    pre-filter; diversify: MMR): pure relevance top-k returns k
+    near-copies of the best hit when the corpus has near-dups; MMR
+    greedily picks argmax lam*rel - (1-lam)*max_sim_to_picked, so
+    each subsequent pick must EARN its redundancy.
+
+    Plan: one broadcast-query corpus scan builds the per-query
+    top-``pool`` candidate list (rounded-score/id total order),
+    materialized ONCE (eager localCheckpoint — the loop-input rule;
+    each greedy step re-references it). Each of the k-1 steps is
+    bounded work on <= pool*k rows per query: candidate x picked
+    cosines, a max per candidate, one per-qid argmax window. Greedy
+    selection is inherently sequential in k — k is small and fixed,
+    data never re-scanned.
+
+    Exact: rel, pairwise sims and the MMR score are 6dp-rounded with
+    id tie-breaks, so the greedy trajectory replays identically on a
+    sequential engine. Returns (qid, pos, vec_id, rel, max_sim, mmr)
+    with NULL max_sim/mmr at pos 1 (pure-relevance seed), ordered by
+    (qid, pos).
+    """
+    from pyspark.sql import Window
+    from ..functions.vectors import cosine
+
+    scored = df.crossJoin(F.broadcast(queries)).select(
+        F.col(qid_col).alias("qid"),
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("emb"),
+        F.round(cosine(F.col(vec_col), F.col(qvec_col)), 6).alias("rel"),
+    )
+    w_rel = Window.partitionBy("qid").orderBy(
+        F.desc("rel"), F.asc("vid")
+    )
+    cand = (
+        scored.withColumn("rn", F.row_number().over(w_rel))
+        .where(F.col("rn") <= pool)
+        .drop("rn")
+        .localCheckpoint(eager=True)
+    )
+    picked = (
+        cand.withColumn("rn", F.row_number().over(w_rel))
+        .where(F.col("rn") == 1)
+        .select(
+            "qid",
+            F.lit(1).cast("int").alias("pos"),
+            "vid",
+            "emb",
+            "rel",
+            F.lit(None).cast("double").alias("max_sim"),
+            F.lit(None).cast("double").alias("mmr"),
+        )
+    )
+    for pos in range(2, k + 1):
+        pk = picked.select(
+            "qid", F.col("vid").alias("pid"), F.col("emb").alias("pemb")
+        )
+        remaining = cand.join(
+            picked.select("qid", "vid"), ["qid", "vid"], "left_anti"
+        )
+        sims = (
+            remaining.join(pk, "qid")
+            .select(
+                "qid",
+                "vid",
+                F.round(cosine(F.col("emb"), F.col("pemb")), 6).alias(
+                    "sim"
+                ),
+            )
+            .groupBy("qid", "vid")
+            .agg(F.max("sim").alias("max_sim"))
+        )
+        stepped = (
+            remaining.join(sims, ["qid", "vid"])
+            .withColumn(
+                "mmr",
+                F.round(
+                    F.lit(lam) * F.col("rel")
+                    - F.lit(1.0 - lam) * F.col("max_sim"),
+                    6,
+                ),
+            )
+        )
+        w_mmr = Window.partitionBy("qid").orderBy(
+            F.desc("mmr"), F.asc("vid")
+        )
+        nxt = (
+            stepped.withColumn("rn", F.row_number().over(w_mmr))
+            .where(F.col("rn") == 1)
+            .select(
+                "qid",
+                F.lit(pos).cast("int").alias("pos"),
+                "vid",
+                "emb",
+                "rel",
+                "max_sim",
+                "mmr",
+            )
+        )
+        # Checkpoint the loop STATE too (not just the loop input):
+        # each step references `picked` three times, so a lazy union
+        # chain re-embeds every prior step's plan 3^i times — audited
+        # at 900 exchanges unchecked vs ~40 with the cut.
+        picked = picked.unionByName(nxt).localCheckpoint(eager=True)
+    return picked.select(
+        "qid",
+        "pos",
+        F.col("vid").alias(id_col),
+        "rel",
+        "max_sim",
+        "mmr",
+    ).orderBy("qid", "pos")

@@ -13904,6 +13904,129 @@ def q_ann_prefilter_vs_postfilter(spark, sf_dir):
     )
 
 
+@_q(
+    "mmr_diversified_topk",
+    """
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10
+),
+sc AS (
+  SELECT q.qid, e.vec_id AS vid, e.embedding AS emb,
+         round((CASE WHEN (sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) * (sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))) > 0 THEN (list_sum(list_transform(generate_series(1, 64), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))) / ((sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) * (sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))))) END), 6) AS rel
+  FROM embeddings e, q
+),
+cand AS (
+  SELECT qid, vid, emb, rel FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid
+                                 ORDER BY rel DESC, vid ASC) AS rn
+    FROM sc
+  ) WHERE rn <= 30
+),
+a1 AS (
+  SELECT qid, CAST(1 AS INT) AS pos, vid, emb, rel,
+         CAST(NULL AS DOUBLE) AS max_sim, CAST(NULL AS DOUBLE) AS mmr
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid
+                                 ORDER BY rel DESC, vid ASC) AS rn
+    FROM cand
+  ) WHERE rn = 1
+),
+s2 AS (
+  SELECT c.qid, c.vid, max(round((CASE WHEN (sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(c.emb[i] AS DOUBLE) * CAST(c.emb[i] AS DOUBLE))))) * (sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(p.emb[i] AS DOUBLE) * CAST(p.emb[i] AS DOUBLE))))) > 0 THEN (list_sum(list_transform(generate_series(1, 64), i -> CAST(c.emb[i] AS DOUBLE) * CAST(p.emb[i] AS DOUBLE)))) / ((sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(c.emb[i] AS DOUBLE) * CAST(c.emb[i] AS DOUBLE))))) * (sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(p.emb[i] AS DOUBLE) * CAST(p.emb[i] AS DOUBLE)))))) END), 6)) AS max_sim
+  FROM cand c JOIN a1 p ON c.qid = p.qid
+  WHERE NOT EXISTS (SELECT 1 FROM a1 x
+                    WHERE x.qid = c.qid AND x.vid = c.vid)
+  GROUP BY c.qid, c.vid
+),
+p2 AS (
+  SELECT qid, CAST(2 AS INT) AS pos, vid, emb, rel, max_sim, mmr FROM (
+    SELECT c.qid, c.vid, c.emb, c.rel, s.max_sim,
+           round(0.5 * c.rel - 0.5 * s.max_sim, 6) AS mmr,
+           row_number() OVER (PARTITION BY c.qid
+                              ORDER BY round(0.5 * c.rel - 0.5 * s.max_sim, 6) DESC,
+                                       c.vid ASC) AS rn
+    FROM cand c JOIN s2 s ON c.qid = s.qid AND c.vid = s.vid
+  ) WHERE rn = 1
+),
+a2 AS (SELECT * FROM a1 UNION ALL SELECT * FROM p2),
+s3 AS (
+  SELECT c.qid, c.vid, max(round((CASE WHEN (sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(c.emb[i] AS DOUBLE) * CAST(c.emb[i] AS DOUBLE))))) * (sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(p.emb[i] AS DOUBLE) * CAST(p.emb[i] AS DOUBLE))))) > 0 THEN (list_sum(list_transform(generate_series(1, 64), i -> CAST(c.emb[i] AS DOUBLE) * CAST(p.emb[i] AS DOUBLE)))) / ((sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(c.emb[i] AS DOUBLE) * CAST(c.emb[i] AS DOUBLE))))) * (sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(p.emb[i] AS DOUBLE) * CAST(p.emb[i] AS DOUBLE)))))) END), 6)) AS max_sim
+  FROM cand c JOIN a2 p ON c.qid = p.qid
+  WHERE NOT EXISTS (SELECT 1 FROM a2 x
+                    WHERE x.qid = c.qid AND x.vid = c.vid)
+  GROUP BY c.qid, c.vid
+),
+p3 AS (
+  SELECT qid, CAST(3 AS INT) AS pos, vid, emb, rel, max_sim, mmr FROM (
+    SELECT c.qid, c.vid, c.emb, c.rel, s.max_sim,
+           round(0.5 * c.rel - 0.5 * s.max_sim, 6) AS mmr,
+           row_number() OVER (PARTITION BY c.qid
+                              ORDER BY round(0.5 * c.rel - 0.5 * s.max_sim, 6) DESC,
+                                       c.vid ASC) AS rn
+    FROM cand c JOIN s3 s ON c.qid = s.qid AND c.vid = s.vid
+  ) WHERE rn = 1
+),
+a3 AS (SELECT * FROM a2 UNION ALL SELECT * FROM p3),
+s4 AS (
+  SELECT c.qid, c.vid, max(round((CASE WHEN (sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(c.emb[i] AS DOUBLE) * CAST(c.emb[i] AS DOUBLE))))) * (sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(p.emb[i] AS DOUBLE) * CAST(p.emb[i] AS DOUBLE))))) > 0 THEN (list_sum(list_transform(generate_series(1, 64), i -> CAST(c.emb[i] AS DOUBLE) * CAST(p.emb[i] AS DOUBLE)))) / ((sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(c.emb[i] AS DOUBLE) * CAST(c.emb[i] AS DOUBLE))))) * (sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(p.emb[i] AS DOUBLE) * CAST(p.emb[i] AS DOUBLE)))))) END), 6)) AS max_sim
+  FROM cand c JOIN a3 p ON c.qid = p.qid
+  WHERE NOT EXISTS (SELECT 1 FROM a3 x
+                    WHERE x.qid = c.qid AND x.vid = c.vid)
+  GROUP BY c.qid, c.vid
+),
+p4 AS (
+  SELECT qid, CAST(4 AS INT) AS pos, vid, emb, rel, max_sim, mmr FROM (
+    SELECT c.qid, c.vid, c.emb, c.rel, s.max_sim,
+           round(0.5 * c.rel - 0.5 * s.max_sim, 6) AS mmr,
+           row_number() OVER (PARTITION BY c.qid
+                              ORDER BY round(0.5 * c.rel - 0.5 * s.max_sim, 6) DESC,
+                                       c.vid ASC) AS rn
+    FROM cand c JOIN s4 s ON c.qid = s.qid AND c.vid = s.vid
+  ) WHERE rn = 1
+),
+a4 AS (SELECT * FROM a3 UNION ALL SELECT * FROM p4),
+s5 AS (
+  SELECT c.qid, c.vid, max(round((CASE WHEN (sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(c.emb[i] AS DOUBLE) * CAST(c.emb[i] AS DOUBLE))))) * (sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(p.emb[i] AS DOUBLE) * CAST(p.emb[i] AS DOUBLE))))) > 0 THEN (list_sum(list_transform(generate_series(1, 64), i -> CAST(c.emb[i] AS DOUBLE) * CAST(p.emb[i] AS DOUBLE)))) / ((sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(c.emb[i] AS DOUBLE) * CAST(c.emb[i] AS DOUBLE))))) * (sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(p.emb[i] AS DOUBLE) * CAST(p.emb[i] AS DOUBLE)))))) END), 6)) AS max_sim
+  FROM cand c JOIN a4 p ON c.qid = p.qid
+  WHERE NOT EXISTS (SELECT 1 FROM a4 x
+                    WHERE x.qid = c.qid AND x.vid = c.vid)
+  GROUP BY c.qid, c.vid
+),
+p5 AS (
+  SELECT qid, CAST(5 AS INT) AS pos, vid, emb, rel, max_sim, mmr FROM (
+    SELECT c.qid, c.vid, c.emb, c.rel, s.max_sim,
+           round(0.5 * c.rel - 0.5 * s.max_sim, 6) AS mmr,
+           row_number() OVER (PARTITION BY c.qid
+                              ORDER BY round(0.5 * c.rel - 0.5 * s.max_sim, 6) DESC,
+                                       c.vid ASC) AS rn
+    FROM cand c JOIN s5 s ON c.qid = s.qid AND c.vid = s.vid
+  ) WHERE rn = 1
+),
+a5 AS (SELECT * FROM a4 UNION ALL SELECT * FROM p5)
+SELECT qid, pos, vid AS vec_id, rel, max_sim, mmr
+FROM a5 ORDER BY qid, pos
+
+""",
+    doc="MMR-diversified top-5 per query (Carbonell & Goldstein "
+    "1998, lambda=0.5, pool=30) — the diversification stage "
+    "completing the retrieval stack (rank / fuse / filter / "
+    "diversify): pure relevance returns near-copies of the best hit "
+    "when the corpus has near-dups; each greedy pick maximizes "
+    "0.5*rel - 0.5*max_sim_to_picked, so redundancy must be earned "
+    "(operators/similarity.py:mmr_diversify). One broadcast-query "
+    "corpus scan builds the candidate pool, materialized once; the "
+    "4 greedy steps are bounded candidate x picked work with "
+    "6dp-rounded scores and id tie-breaks (the oracle replays the "
+    "greedy trajectory as an unrolled CTE chain).",
+)
+def q_mmr_diversified_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    return sim.mmr_diversify(emb, qs, k=5, pool=30, lam=0.5)
+
+
 # --------------------------------------------------------------------------
 # Registry exports (driver contract)
 # --------------------------------------------------------------------------
@@ -14003,8 +14126,8 @@ _EXPORT_PRIORITY: list[str] = [
     # (order_price_percent_rank, price_quantiles_by_priority), and
     # fd_discovery_audit + heavy_hitter_error_report +
     # hll_error_report + hybrid_rrf_ranking +
-    # ann_prefilter_vs_postfilter (landed after the 50 slots
-    # filled):
+    # ann_prefilter_vs_postfilter + mmr_diversified_topk (landed
+    # after the 50 slots filled):
 ]
 
 
