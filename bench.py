@@ -169,6 +169,7 @@ EXTRAS = [
     "hybrid_rrf_ranking",
     "ann_prefilter_vs_postfilter",
     "mmr_diversified_topk",
+    "retrieval_health_report",
 ]
 
 

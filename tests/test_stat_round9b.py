@@ -1087,3 +1087,33 @@ def test_mmr_diversify_hand_case(spark):
             assert r["max_sim"] is None and r["mmr"] is None
         else:
             assert r["max_sim"] is not None and r["mmr"] is not None
+
+
+def test_retrieval_health_report_matches_members(spark):
+    from yelp_data_pipeline_spark.queries import queries
+
+    qs = queries()
+    sf = "/root/testdata/sf0.001"
+    rep = qs["retrieval_health_report"](spark, sf).collect()[0]
+    rq = qs["ann_rank_quality"](spark, sf).collect()
+    pf = qs["prefix_dim_fidelity"](spark, sf).collect()
+    pp = qs["ann_prefilter_vs_postfilter"](spark, sf).collect()
+    assert rep["n_queries"] == len(rq)
+    assert rep["mean_ndcg_at_10"] == pytest.approx(
+        round(sum(r["ndcg_at_10"] for r in rq) / len(rq), 6), abs=1e-6
+    )
+    assert rep["mean_prefix_overlap_at_10"] == pytest.approx(
+        round(sum(r["overlap_at_10"] for r in pf) / len(pf), 6), abs=1e-6
+    )
+    want_pr = sum(r["n_post_found"] for r in pp) / sum(
+        r["n_pre_found"] for r in pp
+    )
+    assert rep["postfilter_recall"] == pytest.approx(round(want_pr, 6))
+    for k in (
+        "mean_ndcg_at_10",
+        "mean_mrr",
+        "mean_pq_recall_at_10",
+        "mean_prefix_overlap_at_10",
+        "postfilter_recall",
+    ):
+        assert 0.0 <= rep[k] <= 1.0 + 1e-9

@@ -120,6 +120,7 @@ DEFAULT_AUDIT = [
     "hybrid_rrf_ranking",
     "ann_prefilter_vs_postfilter",
     "mmr_diversified_topk",
+    "retrieval_health_report",
 ]
 
 

@@ -14027,6 +14027,108 @@ def q_mmr_diversified_topk(spark, sf_dir):
     return sim.mmr_diversify(emb, qs, k=5, pool=30, lam=0.5)
 
 
+@_q(
+    "retrieval_health_report",
+    "WITH rq AS (" + _oracle_of("ann_rank_quality") + "),\n"
+    "pq AS (" + _oracle_of("pq_recall_eval") + "),\n"
+    "pf AS (" + _oracle_of("prefix_dim_fidelity") + "),\n"
+    "pp AS (" + _oracle_of("ann_prefilter_vs_postfilter") + """),
+a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         round(CAST(SUM(CAST(ndcg_at_10 AS DECIMAL(18,6))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE), 6) AS mean_ndcg_at_10,
+         round(CAST(SUM(CAST(reciprocal_rank AS DECIMAL(18,6))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE), 6) AS mean_mrr
+  FROM rq
+),
+b AS (
+  SELECT round(CAST(SUM(CAST(recall_at_10 AS DECIMAL(18,6))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE), 6) AS mean_pq_recall_at_10
+  FROM pq
+),
+c AS (
+  SELECT round(CAST(SUM(CAST(overlap_at_10 AS DECIMAL(18,6))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE), 6) AS mean_prefix_overlap_at_10
+  FROM pf
+),
+d AS (
+  SELECT round(CAST(sum(n_post_found) AS DOUBLE)
+               / CAST(sum(n_pre_found) AS DOUBLE), 6)
+           AS postfilter_recall
+  FROM pp
+)
+SELECT a.n_queries, a.mean_ndcg_at_10, a.mean_mrr,
+       b.mean_pq_recall_at_10, c.mean_prefix_overlap_at_10,
+       d.postfilter_recall
+FROM a, b, c, d
+""",
+    doc="One-row vector-serving dashboard in the corpus_health / "
+    "drift-report composition style — the single pane that says "
+    "whether the ANN stack is healthy: mean nDCG@10 + MRR of the "
+    "IVF path vs exact (order quality), mean PQ recall@10 "
+    "(compression loss), mean first-32-dims overlap@10 (prefix-"
+    "slice viability), and the post-filter recall ratio (filtered-"
+    "search strategy cost). Each member is the green standalone "
+    "eval verbatim (oracle composed from their oracle strings); "
+    "per-query 6dp members DECIMAL-summed before the ONE mean "
+    "division (order-free); four 1-row aggregates meet via "
+    "broadcast crosses (auditor-exempt).",
+)
+def q_retrieval_health_report(spark, sf_dir):
+    rq = q_ann_rank_quality(spark, sf_dir)
+    pq = q_pq_recall_eval(spark, sf_dir)
+    pf = q_prefix_dim_fidelity(spark, sf_dir)
+    pp = q_ann_prefilter_vs_postfilter(spark, sf_dir)
+    dec = lambda c: c.cast("decimal(18,6)")  # noqa: E731
+    a = rq.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.round(
+            F.sum(dec(F.col("ndcg_at_10"))).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_ndcg_at_10"),
+        F.round(
+            F.sum(dec(F.col("reciprocal_rank"))).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_mrr"),
+    )
+    b = pq.agg(
+        F.round(
+            F.sum(dec(F.col("recall_at_10"))).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_pq_recall_at_10")
+    )
+    c = pf.agg(
+        F.round(
+            F.sum(dec(F.col("overlap_at_10"))).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_prefix_overlap_at_10")
+    )
+    d = pp.agg(
+        F.round(
+            F.sum("n_post_found").cast("double")
+            / F.sum("n_pre_found").cast("double"),
+            6,
+        ).alias("postfilter_recall")
+    )
+    return (
+        a.crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(c))
+        .crossJoin(F.broadcast(d))
+        .select(
+            "n_queries",
+            "mean_ndcg_at_10",
+            "mean_mrr",
+            "mean_pq_recall_at_10",
+            "mean_prefix_overlap_at_10",
+            "postfilter_recall",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry exports (driver contract)
 # --------------------------------------------------------------------------
@@ -14126,8 +14228,8 @@ _EXPORT_PRIORITY: list[str] = [
     # (order_price_percent_rank, price_quantiles_by_priority), and
     # fd_discovery_audit + heavy_hitter_error_report +
     # hll_error_report + hybrid_rrf_ranking +
-    # ann_prefilter_vs_postfilter + mmr_diversified_topk (landed
-    # after the 50 slots filled):
+    # ann_prefilter_vs_postfilter + mmr_diversified_topk +
+    # retrieval_health_report (landed after the 50 slots filled):
 ]
 
 
