@@ -206,3 +206,25 @@ def test_cms_merge_grid_equals_direct(spark):
     merged = {(r["i"], r["pos"]): r["cnt"] for r in rows if r["src"] == "__merged__"}
     direct = {(r["i"], r["pos"]): r["cnt"] for r in rows if r["src"] == "__direct__"}
     assert merged == direct and len(merged) > 0
+
+
+def test_export_window_contract():
+    """The driver samples the FRONT 50 of the ordered registry: the
+    priority list must name exactly 50 real, oracle-backed queries,
+    with no duplicates, and the red-row confirmation first."""
+    from yelp_data_pipeline_spark.queries import (
+        _EXPORT_PRIORITY,
+        oracle_sql,
+        queries,
+    )
+
+    qs = queries()
+    assert len(_EXPORT_PRIORITY) == 50
+    assert len(set(_EXPORT_PRIORITY)) == 50
+    missing = [n for n in _EXPORT_PRIORITY if n not in qs]
+    assert not missing, f"window names not in registry: {missing}"
+    assert _EXPORT_PRIORITY[0] == "orders_column_profile"
+    assert list(qs)[:50] == _EXPORT_PRIORITY
+    # Everything the driver can sample is oracle-backed.
+    osql = oracle_sql()
+    assert all(n in osql for n in _EXPORT_PRIORITY)
