@@ -903,3 +903,78 @@ def bfs_hops(
         .select(F.lit(-1).cast("int").alias("hop"), "n_nodes")
     )
     return hist.unionByName(unreach).orderBy("hop")
+
+
+def hits_bipartite(
+    edges: DataFrame,
+    left_col: str,
+    right_col: str,
+    rounds: int = 2,
+    top_k: int = 10,
+) -> DataFrame:
+    """Unnormalized HITS (Kleinberg 1999, "Authoritative sources in a
+    hyperlinked environment") on a bipartite graph — hub scores on the
+    left partition, authority scores on the right, returned as the
+    top-k right nodes by final authority.
+
+    Recurrence with a(r) initialized to 1:
+
+        h_i(l) = Σ_{r adjacent to l} a_{i-1}(r)
+        a_i(r) = Σ_{l adjacent to r} h_i(l)
+
+    The textbook L2 normalization between rounds only rescales every
+    score by the same scalar — it cannot change the RANKING, which is
+    what this operator returns — so it is dropped and the whole
+    computation stays in EXACT integer arithmetic (round 1's hub score
+    is the left degree; round 2's authority is a degree-weighted
+    two-hop mass). Scores are accumulated in DECIMAL(38,0): they grow
+    like edges·deg^(2·rounds−1), which exits int64 long before it
+    exits 38 digits; the final projection casts to BIGINT (exact while
+    the true value < 2⁶³ — fine at any realistic catalog size, and the
+    cast would error loudly under ANSI rather than wrap).
+
+    Anytime contract (same as pagerank/bfs here): a FIXED round count
+    is part of the operator's definition — the oracle replays the same
+    unrolled recurrence, so any engine agrees bit-for-bit.
+
+    Scale: the deduped edge list is persisted and reused by all
+    2·rounds joins; each half-round is one key-partitioned
+    shuffle-join + one combinable groupBy (map-side partials), never a
+    global sort. The final top-k is a TakeOrdered (per-partition heap
+    + driver merge of k rows), and the rank window runs on the ≤k-row
+    result, not the graph.
+    """
+    e = (
+        edges.select(
+            F.col(left_col).cast("long").alias("l"),
+            F.col(right_col).cast("long").alias("r"),
+        )
+        .where(F.col("l").isNotNull() & F.col("r").isNotNull())
+        .distinct()
+    )
+    from ..session import track_persist
+
+    e = track_persist(e)
+    a = e.select("r").distinct().withColumn(
+        "s", F.lit(1).cast("decimal(38,0)")
+    )
+    for _ in range(rounds):
+        h = e.join(a, "r").groupBy("l").agg(F.sum("s").alias("s"))
+        a = e.join(h, "l").groupBy("r").agg(F.sum("s").alias("s"))
+    deg = e.groupBy("r").agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    top = (
+        a.join(deg, "r")
+        .select(
+            F.col("r").alias("node"),
+            "degree",
+            F.col("s").cast("long").alias("authority"),
+        )
+        .orderBy(F.desc("authority"), F.asc("node"))
+        .limit(top_k)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("authority"), F.asc("node"))
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).orderBy("rank")

@@ -1847,3 +1847,92 @@ def wasserstein_by_group(
             ),
         ).alias("w1"),
     ).orderBy(group_col)
+
+
+def ols_multifeature_fit(
+    df: DataFrame,
+    group_cols: list[str],
+    y_col: str,
+    x1_col: str,
+    x2_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group two-feature least squares y ~ b0 + b1·x1 + b2·x2 via
+    the NORMAL EQUATIONS — the distributed closed form: one combinable
+    aggregate pass builds the 3×3 Gram matrix X'X and the moment
+    vector X'y, then Cramer's rule solves the system per group on the
+    |groups|-row result. No iteration, no driver loop, no gradient
+    steps — the multi-feature upgrade of grouped_ols_trend's
+    sufficient-statistics pattern.
+
+    Cross-engine exactness contract (the registry's float rule): all
+    three inputs must already be EXACT INTEGERS (cents / units /
+    integer-scaled percentages). First-order sums stay in int64;
+    second-order sums (x², x·y, y²) accumulate in DECIMAL(38,0) —
+    order-independent exact values either way. Only AFTER aggregation
+    does the closed form run, as one fixed IEEE-double expression tree
+    over those exact operands — bit-identical on any engine. det = 0
+    (collinear or constant features) yields NULL coefficients, never a
+    division.
+
+    R² comes from the same pass: SSE = Σy² − b0·Σy − b1·Σx1y − b2·Σx2y,
+    SST = Σy² − (Σy)²/n.
+
+    Scale: ONE map-side-combinable groupBy over a pruned 3-column
+    (+keys) scan; everything downstream is per-group scalar math on
+    |groups| rows. At 100 TB this is the same shape as a grouped
+    count — the Gram matrix is 6 numbers per group.
+    """
+    d0 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    y, x1, x2 = d0(y_col), d0(x1_col), d0(x2_col)
+    stats = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(x1_col).cast("long")).alias("s1"),
+        F.sum(F.col(x2_col).cast("long")).alias("s2"),
+        F.sum(F.col(y_col).cast("long")).alias("sy"),
+        F.sum(x1 * x1).alias("s11"),
+        F.sum(x2 * x2).alias("s22"),
+        F.sum(x1 * x2).alias("s12"),
+        F.sum(x1 * y).alias("s1y"),
+        F.sum(x2 * y).alias("s2y"),
+        F.sum(y * y).alias("syy"),
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    n, s1, s2 = dd("n"), dd("s1"), dd("s2")
+    s11, s22, s12 = dd("s11"), dd("s22"), dd("s12")
+    sy, s1y, s2y, syy = dd("sy"), dd("s1y"), dd("s2y"), dd("syy")
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    det0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1 * (s1y * s22 - s12 * s2y)
+        + s2 * (s1y * s12 - s11 * s2y)
+    )
+    det1 = (
+        n * (s1y * s22 - s12 * s2y)
+        - sy * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s2y - s1y * s2)
+    )
+    det2 = (
+        n * (s11 * s2y - s1y * s12)
+        - s1 * (s1 * s2y - s1y * s2)
+        + sy * (s1 * s12 - s11 * s2)
+    )
+    ok = det != F.lit(0.0)
+    b0 = F.when(ok, det0 / det)
+    b1 = F.when(ok, det1 / det)
+    b2 = F.when(ok, det2 / det)
+    sse = syy - b0 * sy - b1 * s1y - b2 * s2y
+    sst = syy - sy * sy / n
+    r2 = F.when(ok & (sst != F.lit(0.0)), F.lit(1.0) - sse / sst)
+    return stats.select(
+        *group_cols,
+        F.col("n").alias("n_rows"),
+        F.round(b0, round_to).alias("b0"),
+        F.round(b1, round_to).alias("b1"),
+        F.round(b2, round_to).alias("b2"),
+        F.round(r2, round_to).alias("r2"),
+    )

@@ -14130,6 +14130,144 @@ def q_retrieval_health_report(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Round 10: link-analysis centrality, closed-form multi-feature OLS,
+# conformal intervals, quantile normalization, cross-source dedup
+# analytics, token-budget allocation.
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "part_supplier_hits",
+    """
+WITH e AS (
+  SELECT DISTINCT CAST(l_partkey AS BIGINT) AS l, CAST(l_suppkey AS BIGINT) AS r
+  FROM lineitem WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+),
+h1 AS (SELECT l, count(*) AS s FROM e GROUP BY l),
+a1 AS (SELECT e.r, sum(h1.s) AS s FROM e JOIN h1 USING (l) GROUP BY e.r),
+h2 AS (SELECT e.l, sum(a1.s) AS s FROM e JOIN a1 ON e.r = a1.r GROUP BY e.l),
+a2 AS (SELECT e.r, sum(h2.s) AS s FROM e JOIN h2 ON e.l = h2.l GROUP BY e.r),
+deg AS (SELECT r, CAST(count(*) AS BIGINT) AS degree FROM e GROUP BY r),
+top AS (
+  SELECT a2.r AS node, deg.degree, CAST(a2.s AS BIGINT) AS authority
+  FROM a2 JOIN deg ON a2.r = deg.r
+  ORDER BY authority DESC, node LIMIT 10
+)
+SELECT node, degree, authority,
+       CAST(row_number() OVER (ORDER BY authority DESC, node) AS INT) AS rank
+FROM top ORDER BY rank
+""",
+    doc="HITS link analysis (Kleinberg 1999) on the bipartite "
+    "part <-> supplier graph from deduped lineitem edges "
+    "(operators/graph.py:hits_bipartite): top-10 suppliers by 2-round "
+    "authority mass. Unnormalized EXACT-INTEGER recurrence (L2 "
+    "normalization only rescales the ranking, so it is dropped; "
+    "DECIMAL(38,0) accumulation, BIGINT projection) — the oracle "
+    "replays the same unrolled recurrence. Each half-round is one "
+    "key-partitioned join + combinable groupBy on the persisted edge "
+    "list; the top-k is a TakeOrdered, and the rank window runs on "
+    "10 rows, never the graph.",
+)
+def q_part_supplier_hits(spark, sf_dir):
+    return graph.hits_bipartite(
+        _t(spark, sf_dir, "lineitem"), "l_partkey", "l_suppkey",
+        rounds=2, top_k=10,
+    )
+
+
+@_q(
+    "price_qty_discount_ols",
+    """
+WITH f AS (
+  SELECT l_returnflag,
+         CAST(FLOOR(CAST(l_extendedprice AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS y,
+         CAST(FLOOR(CAST(l_quantity AS DOUBLE) + 0.5) AS BIGINT) AS x1,
+         CAST(FLOOR(CAST(l_discount AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS x2
+  FROM lineitem
+),
+stats AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x1) AS BIGINT) AS s1,
+         CAST(sum(x2) AS BIGINT) AS s2,
+         CAST(sum(y) AS BIGINT) AS sy,
+         sum(x1 * x1) AS s11,
+         sum(x2 * x2) AS s22,
+         sum(x1 * x2) AS s12,
+         sum(x1 * y) AS s1y,
+         sum(x2 * y) AS s2y,
+         sum(CAST(y AS HUGEINT) * y) AS syy
+  FROM f GROUP BY l_returnflag
+),
+d AS (
+  SELECT l_returnflag, n,
+         CAST(n AS DOUBLE) AS nd, CAST(s1 AS DOUBLE) AS s1,
+         CAST(s2 AS DOUBLE) AS s2, CAST(sy AS DOUBLE) AS sy,
+         CAST(s11 AS DOUBLE) AS s11, CAST(s22 AS DOUBLE) AS s22,
+         CAST(s12 AS DOUBLE) AS s12, CAST(s1y AS DOUBLE) AS s1y,
+         CAST(s2y AS DOUBLE) AS s2y, CAST(syy AS DOUBLE) AS syy
+  FROM stats
+),
+dets AS (
+  SELECT *,
+    nd * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+      + s2 * (s1 * s12 - s11 * s2) AS det,
+    sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+      + s2 * (s1y * s12 - s11 * s2y) AS det0,
+    nd * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+      + s2 * (s1 * s2y - s1y * s2) AS det1,
+    nd * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+      + sy * (s1 * s12 - s11 * s2) AS det2
+  FROM d
+),
+coefs AS (
+  SELECT l_returnflag, n, sy, s1y, s2y, syy, nd,
+         CASE WHEN det <> 0.0 THEN det0 / det END AS b0,
+         CASE WHEN det <> 0.0 THEN det1 / det END AS b1,
+         CASE WHEN det <> 0.0 THEN det2 / det END AS b2,
+         det
+  FROM dets
+),
+fit AS (
+  SELECT l_returnflag, n, b0, b1, b2,
+         syy - b0 * sy - b1 * s1y - b2 * s2y AS sse,
+         syy - sy * sy / nd AS sst, det
+  FROM coefs
+)
+SELECT l_returnflag, n AS n_rows,
+       round(b0, 6) AS b0, round(b1, 6) AS b1, round(b2, 6) AS b2,
+       round(CASE WHEN det <> 0.0 AND sst <> 0.0
+                  THEN 1.0 - sse / sst END, 6) AS r2
+FROM fit ORDER BY l_returnflag
+""",
+    doc="Two-feature least squares extendedprice_cents ~ quantity + "
+    "discount_pct per returnflag via the NORMAL EQUATIONS "
+    "(operators/timeseries.py:ols_multifeature_fit): ONE combinable "
+    "aggregate builds the 3x3 Gram matrix (exact ints: first-order "
+    "int64, second-order DECIMAL(38,0)); Cramer's rule + R-squared "
+    "run as a fixed IEEE-double expression tree on the 3-row result. "
+    "The distributed closed form for fitting regressions at 100 TB: "
+    "same plan shape as a grouped count.",
+)
+def q_price_qty_discount_ols(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice").cast("double") * 100.0 + 0.5)
+        .cast("long")
+        .alias("y"),
+        F.floor(F.col("l_quantity").cast("double") + 0.5)
+        .cast("long")
+        .alias("x1"),
+        F.floor(F.col("l_discount").cast("double") * 100.0 + 0.5)
+        .cast("long")
+        .alias("x2"),
+    )
+    return ts_ops.ols_multifeature_fit(
+        li, ["l_returnflag"], "y", "x1", "x2"
+    ).orderBy("l_returnflag")
+
+
+# --------------------------------------------------------------------------
 # Registry exports (driver contract)
 # --------------------------------------------------------------------------
 
