@@ -76,3 +76,78 @@ class TestOlsMultifeature:
         df = spark.createDataFrame(data, ["g", "x1", "x2", "y"])
         r = ts.ols_multifeature_fit(df, ["g"], "y", "x1", "x2").collect()[0]
         assert r["r2"] is not None and r["r2"] < 1.0
+
+
+class TestConformalIntervals:
+    def _frame(self, spark):
+        # group 'a': calib values 100..1000 step 100 (mean 550);
+        # test values chosen so coverage is hand-checkable.
+        rows = []
+        for i, v in enumerate(range(100, 1100, 100)):
+            rows.append(("a", 1000 + i, v, True))
+        for i, v in enumerate([500, 600, 550, 50, 1050]):
+            rows.append(("a", 2000 + i, v, False))
+        return spark.createDataFrame(
+            rows, ["g", "rid", "v", "is_calib"]
+        )
+
+    def test_rank_and_coverage_hand_computed(self, spark):
+        from yelp_data_pipeline_spark.operators import quality as dq
+
+        out = dq.conformal_intervals(
+            self._frame(spark), "g", "v", "is_calib", "rid"
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        # n_calib = 10, rank = ceil(11 * 0.9) = 10 -> qhat = max resid
+        # residuals vs mean 550: 450,350,...,50,50,...,450 -> max 450
+        assert r["n_calib"] == 10
+        assert abs(r["qhat"] - 4.5) < 1e-9  # 450 cents / 100
+        # test resids: 50,50,0,500,500 -> covered 3 of 5
+        assert r["n_test"] == 5
+        assert abs(r["coverage"] - 0.6) < 1e-9
+
+    def test_rank_capped_at_n(self, spark):
+        from yelp_data_pipeline_spark.operators import quality as dq
+
+        df = spark.createDataFrame(
+            [("a", 1, 100, True), ("a", 2, 200, True), ("a", 3, 150, False)],
+            ["g", "rid", "v", "is_calib"],
+        )
+        r = dq.conformal_intervals(df, "g", "v", "is_calib", "rid").collect()[0]
+        # ceil(3 * 0.9) = 3 > n_calib = 2 -> capped at 2 -> qhat = 50c
+        assert r["n_calib"] == 2
+        assert abs(r["qhat"] - 0.5) < 1e-9
+        assert r["coverage"] == 1.0  # |150 - 150| = 0 <= 50
+
+
+class TestQuantileNormalize:
+    def test_identical_distributions_after(self, spark):
+        from yelp_data_pipeline_spark.operators import quality as dq
+
+        # source A skews small, source B skews large
+        rows = [("A", i, v) for i, v in enumerate([1, 2, 3, 4])] + [
+            ("B", 10 + i, v) for i, v in enumerate([100, 200, 300, 400])
+        ]
+        df = spark.createDataFrame(rows, ["src", "rid", "val"])
+        out = dq.quantile_normalize(df, "src", "val", "rid").collect()
+        by_src = {}
+        for r in out:
+            by_src.setdefault(r["src"], []).append(r["norm_val"])
+        # same within-group quantiles -> identical normalized multisets
+        assert sorted(by_src["A"]) == sorted(by_src["B"])
+        # rank preserved within group
+        a = sorted((r["val"], r["norm_val"]) for r in out if r["src"] == "A")
+        assert [x[1] for x in a] == sorted(x[1] for x in a)
+
+    def test_single_group_is_near_identity(self, spark):
+        from yelp_data_pipeline_spark.operators import quality as dq
+
+        rows = [("A", i, v) for i, v in enumerate([5, 7, 7, 9, 11])]
+        df = spark.createDataFrame(rows, ["src", "rid", "val"])
+        out = {r["rid"]: r["norm_val"] for r in dq.quantile_normalize(
+            df, "src", "val", "rid"
+        ).collect()}
+        # one group: pooled == group -> each row maps to a value at its
+        # own quantile; distinct ranks land back on the sorted values
+        assert sorted(out.values()) == [5, 7, 7, 9, 11]

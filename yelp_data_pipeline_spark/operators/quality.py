@@ -924,3 +924,163 @@ def fd_audit(
     for a in arms[1:]:
         out = out.unionByName(a)
     return out.orderBy("tbl", "lhs", "rhs")
+
+
+def conformal_intervals(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    calib_col: str,
+    id_col: str,
+    alpha_num: int = 1,
+    alpha_den: int = 10,
+) -> DataFrame:
+    """Split-conformal prediction intervals (Vovk et al. 2005; Lei et
+    al. 2018) per group, with measured held-out coverage — the
+    distribution-free uncertainty wrapper a data pipeline puts around
+    ANY point predictor. Here the predictor is the per-group
+    calibration mean; the nonconformity score is the absolute
+    residual; the interval is mean ± qhat where qhat is the
+    ceil((n+1)(1−α))-th smallest calibration residual — guaranteeing
+    ≥ 1−α coverage on exchangeable test rows regardless of the value
+    distribution.
+
+    Exactness contract: ``value_col`` must be an exact integer (cents),
+    ``calib_col`` a deterministic hash-split flag (rand() resamples per
+    partition layout). The calibration mean is ONE division of exact
+    int64 operands; residuals, the quantile pick and the coverage test
+    are then fixed IEEE expressions on it — bit-identical on any
+    engine. α is a rational (num/den), so the rank
+    ceil((n+1)·(den−num)/den) is computed in pure integer arithmetic
+    (floor((x·(den−num)+den−1)/den), exact while x·den < 2⁵³ — i.e.
+    up to ~10¹² calibration rows; past that, swap the long for a
+    DECIMAL, nothing else changes).
+
+    Scale: one combinable aggregate for the means, one per-group
+    window sort over CALIBRATION rows only (the half you deliberately
+    keep small), one broadcast join of the |groups|-row (mean, qhat)
+    frame back onto the test half. Output is |groups| rows.
+    """
+    cov_num = alpha_den - alpha_num
+    calib = df.where(F.col(calib_col))
+    stats = calib.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_calib"),
+        F.sum(F.col(value_col).cast("long")).alias("sum_v"),
+    ).withColumn(
+        "mean_v",
+        F.col("sum_v").cast("double") / F.col("n_calib").cast("double"),
+    ).withColumn(
+        "r_rank",
+        F.least(
+            F.expr(
+                f"((n_calib + 1) * {cov_num} + {alpha_den} - 1) "
+                f"div {alpha_den}"
+            ),
+            F.col("n_calib"),
+        ),
+    )
+    from pyspark.sql import Window
+
+    res = calib.join(
+        F.broadcast(stats.select(group_col, "mean_v", "r_rank")), group_col
+    ).withColumn(
+        "resid",
+        F.abs(F.col(value_col).cast("double") - F.col("mean_v")),
+    )
+    w = Window.partitionBy(group_col).orderBy("resid", id_col)
+    q = (
+        res.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == F.col("r_rank"))
+        .select(group_col, F.col("resid").alias("qhat"))
+    )
+    gq = stats.select(group_col, "n_calib", "mean_v").join(q, group_col)
+    test = df.where(~F.col(calib_col)).join(F.broadcast(gq), group_col)
+    out = test.groupBy(group_col, "n_calib", "qhat").agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum(
+            F.when(
+                F.abs(F.col(value_col).cast("double") - F.col("mean_v"))
+                <= F.col("qhat"),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_covered"),
+    )
+    return out.select(
+        group_col,
+        "n_calib",
+        "n_test",
+        F.round(F.col("qhat") / F.lit(100.0), 6).alias("qhat"),
+        F.round(
+            F.col("n_covered").cast("double")
+            / F.col("n_test").cast("double"),
+            6,
+        ).alias("coverage"),
+    ).orderBy(group_col)
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-group quantile normalization onto the POOLED distribution
+    (the microarray-era classic — Bolstad et al. 2003 — and the
+    cross-source score-calibration move in data curation): each row's
+    value is replaced by the pooled-distribution order statistic at
+    the same within-group quantile, so every group ends up with an
+    identical value distribution while preserving within-group rank.
+
+        p = ceil(rank_g · N / n_g)     (type-1 / inverse-CDF position)
+        normalized = pooled value at global position p
+
+    Exact-integer contract: values must be integers; ranks are unique
+    (value, id) orderings; the position arithmetic is pure integer
+    floor-div (exact while rank·N < 2⁵³ — swap to DECIMAL past ~10²⁶
+    row-pairs). No floats anywhere, so any engine agrees exactly.
+
+    Scale: the within-group rank is a per-group window (parallel
+    across groups). The pooled CDF is NOT a global row sort — it is a
+    value-cells relation (groupBy value → counts → running sum over
+    the BOUNDED distinct-value domain), broadcast and range-joined
+    (p ∈ (cum−cnt, cum]) back onto the rows. A 100 TB corpus with a
+    bounded measurement domain (doc lengths, scores) keeps cells tiny
+    while rows stay distributed.
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("long")
+    cells = (
+        df.groupBy(v.alias("__v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__cnt"))
+    )
+    wc = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    cells = cells.withColumn("__cum", F.sum("__cnt").over(wc).cast("long"))
+    total = df.agg(F.count(F.lit(1)).cast("long").alias("__n_total"))
+    wg = Window.partitionBy(group_col).orderBy(value_col, id_col)
+    ranked = (
+        df.select(group_col, value_col, id_col)
+        .withColumn("__rank", F.row_number().over(wg).cast("long"))
+        .withColumn(
+            "__n_g",
+            F.count(F.lit(1))
+            .over(Window.partitionBy(group_col))
+            .cast("long"),
+        )
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "__p",
+            F.expr("(__rank * __n_total + __n_g - 1) div __n_g"),
+        )
+    )
+    out = ranked.join(
+        F.broadcast(cells),
+        (F.col("__p") > F.col("__cum") - F.col("__cnt"))
+        & (F.col("__p") <= F.col("__cum")),
+    )
+    return out.select(
+        id_col,
+        group_col,
+        F.col(value_col).cast("long").alias(value_col),
+        F.col("__v").alias(f"norm_{value_col}"),
+    )

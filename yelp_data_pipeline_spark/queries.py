@@ -14267,6 +14267,134 @@ def q_price_qty_discount_ols(spark, sf_dir):
     ).orderBy("l_returnflag")
 
 
+_CONF_SPLIT_SQL = md5_long_sql("CAST(event_id AS VARCHAR)", "conf")
+
+
+@_q(
+    "conformal_event_intervals",
+    f"""
+WITH base AS (
+  SELECT event_type, event_id,
+         CAST(FLOOR(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS v,
+         ({_CONF_SPLIT_SQL} % 2 = 0) AS is_calib
+  FROM events WHERE value IS NOT NULL
+),
+stats AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_calib,
+         CAST(sum(v) AS BIGINT) AS sum_v
+  FROM base WHERE is_calib GROUP BY event_type
+),
+m AS (
+  SELECT event_type, n_calib,
+         CAST(sum_v AS DOUBLE) / CAST(n_calib AS DOUBLE) AS mean_v,
+         least(((n_calib + 1) * 9 + 9) // 10, n_calib) AS r_rank
+  FROM stats
+),
+rk AS (
+  SELECT b.event_type,
+         abs(CAST(b.v AS DOUBLE) - m.mean_v) AS resid,
+         row_number() OVER (
+           PARTITION BY b.event_type
+           ORDER BY abs(CAST(b.v AS DOUBLE) - m.mean_v), b.event_id
+         ) AS rn,
+         m.r_rank
+  FROM base b JOIN m ON b.event_type = m.event_type
+  WHERE b.is_calib
+),
+q AS (SELECT event_type, resid AS qhat FROM rk WHERE rn = r_rank),
+t AS (
+  SELECT b.event_type,
+         CAST(count(*) AS BIGINT) AS n_test,
+         CAST(sum(CASE WHEN abs(CAST(b.v AS DOUBLE) - m.mean_v) <= q.qhat
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+  FROM base b
+  JOIN m ON b.event_type = m.event_type
+  JOIN q ON b.event_type = q.event_type
+  WHERE NOT b.is_calib GROUP BY b.event_type
+)
+SELECT m.event_type, m.n_calib, t.n_test,
+       round(q.qhat / 100.0, 6) AS qhat,
+       round(CAST(t.n_covered AS DOUBLE) / CAST(t.n_test AS DOUBLE), 6)
+         AS coverage
+FROM m JOIN q ON m.event_type = q.event_type
+       JOIN t ON m.event_type = t.event_type
+ORDER BY m.event_type
+""",
+    doc="Split-conformal prediction intervals for event value per "
+    "event_type (Vovk et al. 2005; operators/quality.py:"
+    "conformal_intervals): deterministic md5 half-split, predictor = "
+    "calibration mean, qhat = ceil((n+1)*0.9)-th smallest absolute "
+    "residual (pure-integer rank arithmetic), plus MEASURED held-out "
+    "coverage — the distribution-free >=90% guarantee a monitoring "
+    "pipeline wraps around any point forecast. One combinable "
+    "aggregate + one per-group calibration sort + one broadcast "
+    "join onto the test half.",
+)
+def q_conformal_event_intervals(spark, sf_dir):
+    from .functions.hashing import md5_long
+
+    base = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "event_id",
+            F.floor(F.col("value").cast("double") * 100.0 + 0.5)
+            .cast("long")
+            .alias("v"),
+            (md5_long(F.col("event_id").cast("string"), "conf") % 2 == 0)
+            .alias("is_calib"),
+        )
+    )
+    return dq.conformal_intervals(
+        base, "event_type", "v", "is_calib", "event_id",
+        alpha_num=1, alpha_den=10,
+    )
+
+
+@_q(
+    "quantile_normalized_doclens",
+    """
+WITH cells AS (
+  SELECT CAST(n_chars AS BIGINT) AS v, count(*) AS cnt FROM documents GROUP BY 1
+),
+cum AS (
+  SELECT v, CAST(cnt AS BIGINT) AS cnt,
+         CAST(sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum
+  FROM cells
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents),
+rk AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS nc,
+         CAST(row_number() OVER (
+           PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) AS rnk,
+         CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_g
+  FROM documents
+),
+pos AS (
+  SELECT rk.*, (rnk * tot.n_total + n_g - 1) // n_g AS p FROM rk, tot
+)
+SELECT pos.doc_id, pos.source, pos.nc AS n_chars, c.v AS norm_n_chars
+FROM pos JOIN cum c ON pos.p > c.cum - c.cnt AND pos.p <= c.cum
+ORDER BY pos.doc_id
+""",
+    doc="Quantile normalization of document lengths across sources "
+    "(Bolstad et al. 2003; operators/quality.py:quantile_normalize): "
+    "every source's length distribution is mapped onto the POOLED "
+    "distribution at matching within-source quantiles — the "
+    "cross-source calibration that makes per-source thresholds "
+    "comparable before a global quality gate. Pure integer rank/"
+    "floor-div arithmetic; pooled CDF is a bounded VALUE-CELLS "
+    "relation (never a global row sort), broadcast range-joined back "
+    "onto the distributed rows.",
+)
+def q_quantile_normalized_doclens(spark, sf_dir):
+    return dq.quantile_normalize(
+        _t(spark, sf_dir, "documents"), "source", "n_chars", "doc_id"
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry exports (driver contract)
 # --------------------------------------------------------------------------
