@@ -151,3 +151,43 @@ class TestQuantileNormalize:
         # one group: pooled == group -> each row maps to a value at its
         # own quantile; distinct ranks land back on the sorted values
         assert sorted(out.values()) == [5, 7, 7, 9, 11]
+
+
+class TestDedupAnalytics:
+    def test_cross_source_matrix_invariants(self, spark):
+        from yelp_data_pipeline_spark.queries import (
+            q_cross_source_dup_matrix,
+        )
+        from yelp_data_pipeline_spark.operators import dedup as dd
+        from yelp_data_pipeline_spark.tables import load_table
+
+        sf = "/root/testdata/sf0.001"
+        rows = q_cross_source_dup_matrix(spark, sf).collect()
+        n_sources = load_table(spark, sf, "documents").select(
+            "source"
+        ).distinct().count()
+        # full unordered spine incl. diagonal
+        assert len(rows) == n_sources * (n_sources + 1) // 2
+        total_pairs = dd.minhash_lsh_pairs(
+            load_table(spark, sf, "documents"),
+            "doc_id", "text", k=12, bands=4, threshold=0.8,
+        ).count()
+        assert sum(r["dup_pairs"] for r in rows) == total_pairs
+        for r in rows:
+            assert r["docs_involved"] <= 2 * r["dup_pairs"]
+            assert 0.0 <= r["dup_rate"] <= 1.0
+            assert r["src_a"] <= r["src_b"]
+
+    def test_composition_shift_conserves_mass(self, spark):
+        from yelp_data_pipeline_spark.queries import (
+            q_dedup_composition_shift,
+        )
+
+        rows = q_dedup_composition_shift(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert sum(r["n_before"] for r in rows) == 500
+        assert all(r["n_after"] <= r["n_before"] for r in rows)
+        assert all(r["removed"] == r["n_before"] - r["n_after"] for r in rows)
+        # shares each sum to ~1, so shifts sum to ~0
+        assert abs(sum(r["share_shift"] for r in rows)) < 1e-4

@@ -14395,6 +14395,208 @@ def q_quantile_normalized_doclens(spark, sf_dir):
     )
 
 
+@_q(
+    "cross_source_dup_matrix",
+    "WITH mp AS (SELECT doc_a, doc_b FROM ("
+    + _oracle_of("dedup_minhash_pairs")
+    + """) z),
+ds AS (SELECT doc_id, source FROM documents),
+pairs AS (
+  SELECT least(a.source, b.source) AS src_a,
+         greatest(a.source, b.source) AS src_b,
+         m.doc_a, m.doc_b
+  FROM mp m
+  JOIN ds a ON m.doc_a = a.doc_id
+  JOIN ds b ON m.doc_b = b.doc_id
+),
+agg AS (
+  SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS dup_pairs
+  FROM pairs GROUP BY 1, 2
+),
+di AS (
+  SELECT src_a, src_b, CAST(count(DISTINCT d) AS BIGINT) AS docs_involved
+  FROM (
+    SELECT src_a, src_b, doc_a AS d FROM pairs
+    UNION ALL
+    SELECT src_a, src_b, doc_b FROM pairs
+  ) u GROUP BY 1, 2
+),
+n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY 1),
+spine AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CASE WHEN a.source = b.source
+              THEN (a.n_docs * (a.n_docs - 1)) // 2
+              ELSE a.n_docs * b.n_docs END AS possible_pairs
+  FROM n a JOIN n b ON a.source <= b.source
+)
+SELECT s.src_a, s.src_b,
+       CAST(coalesce(g.dup_pairs, 0) AS BIGINT) AS dup_pairs,
+       CAST(coalesce(di.docs_involved, 0) AS BIGINT) AS docs_involved,
+       s.possible_pairs,
+       round(CAST(coalesce(g.dup_pairs, 0) AS DOUBLE)
+             / CAST(s.possible_pairs AS DOUBLE), 6) AS dup_rate
+FROM spine s
+LEFT JOIN agg g ON s.src_a = g.src_a AND s.src_b = g.src_b
+LEFT JOIN di ON s.src_a = di.src_a AND s.src_b = di.src_b
+ORDER BY s.src_a, s.src_b
+""",
+    doc="Cross-source duplication matrix: verified near-dup pairs "
+    "(the green minhash relation, jaccard >= 0.8) bucketed by "
+    "UNORDERED source pair over the full source x source spine — "
+    "pair count, distinct docs involved, possible-pair denominator "
+    "and the normalized dup_rate. The corpus-composition question "
+    "dedup reports answer at ingest: which feeds mirror each other "
+    "(cross-source mass) vs self-repeat (diagonal mass). Everything "
+    "downstream of the LSH join is two slim joins against a "
+    "broadcastable (doc_id, source) projection + combinable "
+    "groupBys; the spine is a bounded |sources|^2 aggregate join.",
+)
+def q_cross_source_dup_matrix(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    ds = docs.select("doc_id", "source")
+    mp = dd.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=12, bands=4, threshold=0.8
+    ).select("doc_a", "doc_b")
+    a = ds.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    b = ds.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    pairs = (
+        mp.join(F.broadcast(a), "doc_a")
+        .join(F.broadcast(b), "doc_b")
+        .select(
+            F.least("sa", "sb").alias("src_a"),
+            F.greatest("sa", "sb").alias("src_b"),
+            "doc_a",
+            "doc_b",
+        )
+    )
+    aggp = pairs.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).cast("long").alias("dup_pairs")
+    )
+    di = (
+        pairs.select("src_a", "src_b", F.col("doc_a").alias("d"))
+        .unionAll(pairs.select("src_a", "src_b", F.col("doc_b").alias("d")))
+        .groupBy("src_a", "src_b")
+        .agg(F.countDistinct("d").cast("long").alias("docs_involved"))
+    )
+    n = ds.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    na = n.select(F.col("source").alias("src_a"), F.col("n_docs").alias("n_a"))
+    nb = n.select(F.col("source").alias("src_b"), F.col("n_docs").alias("n_b"))
+    spine = (
+        na.join(F.broadcast(nb), F.col("src_a") <= F.col("src_b"))
+        .withColumn(
+            "possible_pairs",
+            F.when(
+                F.col("src_a") == F.col("src_b"),
+                F.expr("(n_a * (n_a - 1)) div 2"),
+            ).otherwise(F.col("n_a") * F.col("n_b")),
+        )
+        .select("src_a", "src_b", "possible_pairs")
+    )
+    return (
+        spine.join(aggp, ["src_a", "src_b"], "left")
+        .join(di, ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            F.coalesce("dup_pairs", F.lit(0)).cast("long").alias("dup_pairs"),
+            F.coalesce("docs_involved", F.lit(0))
+            .cast("long")
+            .alias("docs_involved"),
+            "possible_pairs",
+            F.round(
+                F.coalesce("dup_pairs", F.lit(0)).cast("double")
+                / F.col("possible_pairs").cast("double"),
+                6,
+            ).alias("dup_rate"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+@_q(
+    "dedup_composition_shift",
+    "WITH RECURSIVE cl AS (SELECT doc_id, cluster_id FROM ("
+    + _oracle_of("dedup_clusters_star")
+    + """) z),
+d AS (SELECT doc_id, source FROM documents),
+j AS (
+  SELECT d.source, (d.doc_id = cl.cluster_id) AS survives
+  FROM d JOIN cl ON d.doc_id = cl.doc_id
+),
+agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_before,
+         CAST(sum(CASE WHEN survives THEN 1 ELSE 0 END) AS BIGINT) AS n_after
+  FROM j GROUP BY source
+),
+tot AS (
+  SELECT CAST(sum(n_before) AS BIGINT) AS tb,
+         CAST(sum(n_after) AS BIGINT) AS ta
+  FROM agg
+)
+SELECT source, n_before, n_after, n_before - n_after AS removed,
+       round(CAST(n_before AS DOUBLE) / CAST(tb AS DOUBLE), 6)
+         AS share_before,
+       round(CAST(n_after AS DOUBLE) / CAST(ta AS DOUBLE), 6)
+         AS share_after,
+       round(CAST(n_after AS DOUBLE) / CAST(ta AS DOUBLE)
+             - CAST(n_before AS DOUBLE) / CAST(tb AS DOUBLE), 6)
+         AS share_shift
+FROM agg, tot ORDER BY source
+""",
+    doc="Dedup composition-shift report: per-source corpus share "
+    "BEFORE vs AFTER near-dup removal (survivor = cluster "
+    "representative, doc_id == min-label cluster_id from the green "
+    "connected-components relation) — the side-effect audit every "
+    "production dedup needs, because removing duplicates is an "
+    "implicit RE-WEIGHTING of the mixture (the feed that mirrors "
+    "others loses share). share_shift > 0 means dedup promoted the "
+    "source. Post-clustering work is one slim join + one combinable "
+    "groupBy + a broadcast 1-row totals frame (bounded-cross).",
+)
+def q_dedup_composition_shift(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=12, bands=4, threshold=0.8
+    ).select("doc_a", "doc_b")
+    cl = graph.dedup_clusters(docs, pairs)
+    j = (
+        docs.select("doc_id", "source")
+        .join(cl, "doc_id")
+        .select(
+            "source",
+            (F.col("doc_id") == F.col("cluster_id")).alias("survives"),
+        )
+    )
+    aggd = j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_before"),
+        F.sum(F.when(F.col("survives"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_after"),
+    )
+    tot = aggd.agg(
+        F.sum("n_before").cast("long").alias("tb"),
+        F.sum("n_after").cast("long").alias("ta"),
+    )
+    sb = F.col("n_before").cast("double") / F.col("tb").cast("double")
+    sa = F.col("n_after").cast("double") / F.col("ta").cast("double")
+    return (
+        aggd.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_before",
+            "n_after",
+            (F.col("n_before") - F.col("n_after")).alias("removed"),
+            F.round(sb, 6).alias("share_before"),
+            F.round(sa, 6).alias("share_after"),
+            F.round(sa - sb, 6).alias("share_shift"),
+        )
+        .orderBy("source")
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry exports (driver contract)
 # --------------------------------------------------------------------------
