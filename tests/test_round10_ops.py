@@ -191,3 +191,61 @@ class TestDedupAnalytics:
         assert all(r["removed"] == r["n_before"] - r["n_after"] for r in rows)
         # shares each sum to ~1, so shifts sum to ~0
         assert abs(sum(r["share_shift"] for r in rows)) < 1e-4
+
+
+class TestTokenBudgetAllocation:
+    def _alloc(self, spark, rows, **kw):
+        from yelp_data_pipeline_spark.operators import sampling as smp
+
+        df = spark.createDataFrame(rows, ["src", "tokens", "weight"])
+        return {
+            r["src"]: r
+            for r in smp.token_budget_allocation(
+                df, "src", "tokens", "weight", **kw
+            ).collect()
+        }
+
+    def test_uncapped_is_weight_proportional(self, spark):
+        # budget 1000*3//2 = 1500, weights 1:2, caps 4000 each -> no cap
+        out = self._alloc(
+            spark,
+            [("a", 500, 1), ("b", 500, 2)],
+            budget_num=3, budget_den=2, repeat_cap=8, rounds=3,
+        )
+        assert not out["a"]["capped"] and not out["b"]["capped"]
+        assert out["a"]["alloc_tokens"] == 500   # 1500*1//3
+        assert out["b"]["alloc_tokens"] == 1000  # 1500*2//3
+
+    def test_cap_binds_and_surplus_redistributes(self, spark):
+        # budget = 2000*2 = 4000? use num/den 2/1 -> B = 4000.
+        # weights 9:1 -> a provisionally 3600 > cap 2*1000 = 2000 ->
+        # capped; b then gets the rest: min(2000, (4000-2000)*1//1)
+        out = self._alloc(
+            spark,
+            [("a", 1000, 9), ("b", 1000, 1)],
+            budget_num=2, budget_den=1, repeat_cap=2, rounds=3,
+        )
+        assert out["a"]["capped"] and out["a"]["alloc_tokens"] == 2000
+        assert out["a"]["epochs"] == 2.0
+        # b's recomputed share caps too (2000 >= 2000)
+        assert out["b"]["alloc_tokens"] == 2000
+
+    def test_budget_never_exceeded(self, spark):
+        rows = [(f"s{i}", 100 * (i + 1), (i * 7) % 5 + 1) for i in range(8)]
+        out = self._alloc(
+            spark, rows, budget_num=9, budget_den=5, repeat_cap=2, rounds=3
+        )
+        total_alloc = sum(r["alloc_tokens"] for r in out.values())
+        total_t = sum(r[1] for r in rows)
+        assert total_alloc <= 9 * total_t // 5
+        for r in out.values():
+            assert r["alloc_tokens"] <= r["cap_tokens"]
+
+    def test_zero_weight_gets_zero(self, spark):
+        out = self._alloc(
+            spark,
+            [("a", 1000, 0), ("b", 1000, 5)],
+            budget_num=1, budget_den=1, repeat_cap=3, rounds=3,
+        )
+        assert out["a"]["alloc_tokens"] == 0
+        assert out["b"]["alloc_tokens"] == 2000  # B=2000 all to b, < cap 3000

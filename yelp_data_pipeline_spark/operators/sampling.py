@@ -331,3 +331,132 @@ def priority_sample(
             ).alias("est_weight"),
         )
     )
+
+
+def token_budget_allocation(
+    stats: DataFrame,
+    key_col: str,
+    tokens_col: str,
+    weight_col: str,
+    budget_num: int = 3,
+    budget_den: int = 2,
+    repeat_cap: int = 2,
+    rounds: int = 3,
+) -> DataFrame:
+    """Token-budget allocation across sources under a repeat cap — the
+    data-constrained-scaling planning step (Muennighoff et al. 2023,
+    "Scaling Data-Constrained Language Models"; the C4/Pile-style
+    mixture move): given per-source available tokens T_s, integer
+    mixture weights w_s, a total training budget B =
+    (budget_num/budget_den)·ΣT and a maximum of ``repeat_cap`` epochs
+    per source, WATER-FILL the budget proportionally to the weights
+    with capped sources' surplus redistributed:
+
+        repeat: alloc_s = floor(B_rem · w_s / W_uncapped)
+                cap any source where alloc_s ≥ repeat_cap·T_s
+
+    ``rounds`` capping iterations then one final allocation pass — an
+    anytime contract like the registry's other fixed-iteration
+    operators (each round caps every currently-over source at once;
+    |sources| rounds is exact, 3 is converged in practice).
+
+    Exactness: all arithmetic is integer (floor-div of int64 products;
+    B_rem·w_s exits int64 around 10¹⁸ token-weight mass — swap the
+    longs for DECIMAL(38,0) past that, nothing else changes). Floor
+    rounding leaves < |uncapped| tokens unassigned — reported in the
+    ``epochs`` ratio, never silently re-added.
+
+    Scale: the heavy input (per-source token totals) arrives
+    PRE-AGGREGATED (one combinable groupBy over the corpus); this
+    operator runs entirely on the |sources|-row stats relation with
+    unpartitioned windows over that bounded frame.
+    """
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
+    df = stats.select(
+        F.col(key_col).alias("__k"),
+        F.col(tokens_col).cast("long").alias("t"),
+        F.col(weight_col).cast("long").alias("w"),
+    ).withColumn("cap", F.lit(repeat_cap) * F.col("t"))
+    df = df.withColumn("__sum_t", F.sum("t").over(w_all)).withColumn(
+        "B", F.expr(f"({budget_num} * __sum_t) div {budget_den}")
+    )
+    df = df.withColumn("capped0", F.lit(False))
+    prev = "capped0"
+    for r in range(1, rounds + 1):
+        df = (
+            df.withColumn(
+                f"W{r}",
+                F.coalesce(
+                    F.sum(F.when(~F.col(prev), F.col("w"))).over(w_all),
+                    F.lit(0),
+                ),
+            )
+            .withColumn(
+                f"Beff{r}",
+                F.col("B")
+                - F.coalesce(
+                    F.sum(F.when(F.col(prev), F.col("cap"))).over(w_all),
+                    F.lit(0),
+                ),
+            )
+            .withColumn(
+                f"prov{r}",
+                F.expr(
+                    f"CASE WHEN W{r} > 0 THEN (Beff{r} * w) div W{r} "
+                    f"ELSE 0 END"
+                ),
+            )
+            .withColumn(
+                f"capped{r}",
+                F.col(prev) | (F.col(f"prov{r}") >= F.col("cap")),
+            )
+        )
+        prev = f"capped{r}"
+    fr = rounds + 1
+    df = (
+        df.withColumn(
+            f"W{fr}",
+            F.coalesce(
+                F.sum(F.when(~F.col(prev), F.col("w"))).over(w_all),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            f"Beff{fr}",
+            F.col("B")
+            - F.coalesce(
+                F.sum(F.when(F.col(prev), F.col("cap"))).over(w_all),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            # The final pass CLAMPS at the cap: with fewer capping
+            # rounds than the input needs, the redistributed share can
+            # cross a cap that a later round would have caught — the
+            # cap is a hard constraint, so the residual budget is left
+            # unallocated (visible in epochs), never over-assigned.
+            "alloc",
+            F.when(F.col(prev), F.col("cap")).otherwise(
+                F.least(
+                    F.col("cap"),
+                    F.expr(
+                        f"CASE WHEN W{fr} > 0 THEN (Beff{fr} * w) div W{fr} "
+                        f"ELSE 0 END"
+                    ),
+                )
+            ),
+        )
+    )
+    return df.select(
+        F.col("__k").alias(key_col),
+        F.col("t").alias("tokens_available"),
+        F.col("w").alias("weight"),
+        F.col("cap").alias("cap_tokens"),
+        F.col("alloc").alias("alloc_tokens"),
+        F.round(
+            F.col("alloc").cast("double") / F.col("t").cast("double"), 6
+        ).alias("epochs"),
+        F.col(prev).alias("capped"),
+    ).orderBy(key_col)

@@ -14597,6 +14597,110 @@ def q_dedup_composition_shift(spark, sf_dir):
     )
 
 
+def _waterfill_rounds_sql(rounds: int) -> tuple[str, str, str, str]:
+    """Unrolled water-filling round CTEs for the token-budget oracle.
+    Returns (cte_blocks, last_capped, final_W, final_Beff)."""
+    blocks = []
+    prev, src = "capped0", "s0"
+    for r in range(1, rounds + 1):
+        blocks.append(
+            f"""r{r}a AS (
+  SELECT *,
+    CAST(coalesce(sum(CASE WHEN NOT {prev} THEN w END) OVER (), 0)
+      AS BIGINT) AS W{r},
+    B - CAST(coalesce(sum(CASE WHEN {prev} THEN cap END) OVER (), 0)
+      AS BIGINT) AS Beff{r}
+  FROM {src}),
+r{r}b AS (
+  SELECT *, CASE WHEN W{r} > 0 THEN (Beff{r} * w) // W{r} ELSE 0 END
+    AS prov{r}
+  FROM r{r}a),
+r{r} AS (SELECT *, {prev} OR prov{r} >= cap AS capped{r} FROM r{r}b)"""
+        )
+        prev, src = f"capped{r}", f"r{r}"
+    fr = rounds + 1
+    blocks.append(
+        f"""fin AS (
+  SELECT *,
+    CAST(coalesce(sum(CASE WHEN NOT {prev} THEN w END) OVER (), 0)
+      AS BIGINT) AS W{fr},
+    B - CAST(coalesce(sum(CASE WHEN {prev} THEN cap END) OVER (), 0)
+      AS BIGINT) AS Beff{fr}
+  FROM {src})"""
+    )
+    return ",\n".join(blocks), prev, f"W{fr}", f"Beff{fr}"
+
+
+_WF_BLOCKS, _WF_CAPPED, _WF_W, _WF_BEFF = _waterfill_rounds_sql(3)
+
+
+@_q(
+    "token_budget_allocation",
+    f"""
+WITH per AS (
+  SELECT source,
+         CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT)
+           AS tok,
+         (n_chars >= 300) AS passes
+  FROM documents
+),
+t AS (
+  SELECT source, CAST(sum(tok) AS BIGINT) AS t,
+         CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS w
+  FROM per GROUP BY source
+),
+s0 AS (
+  SELECT source, t, w, 2 * t AS cap,
+         (9 * CAST(sum(t) OVER () AS BIGINT)) // 5 AS B,
+         false AS capped0
+  FROM t
+),
+{_WF_BLOCKS},
+alloc AS (
+  SELECT source, t, w, cap,
+         CASE WHEN {_WF_CAPPED} THEN cap
+              WHEN {_WF_W} > 0
+                THEN least(cap, ({_WF_BEFF} * w) // {_WF_W})
+              ELSE 0 END AS alloc_tokens,
+         {_WF_CAPPED} AS capped
+  FROM fin
+)
+SELECT source, t AS tokens_available, w AS weight, cap AS cap_tokens,
+       alloc_tokens,
+       round(CAST(alloc_tokens AS DOUBLE) / CAST(t AS DOUBLE), 6) AS epochs,
+       capped
+FROM alloc ORDER BY source
+""",
+    doc="Token-budget allocation under a repeat cap (Muennighoff et "
+    "al. 2023 data-constrained scaling; operators/sampling.py:"
+    "token_budget_allocation): per-source available tokens (one "
+    "combinable whitespace-token aggregate) + integer quality "
+    "weights (docs with n_chars >= 300), budget = 1.8x total corpus "
+    "tokens, max 2 epochs per source — WATER-FILLED in 3 unrolled "
+    "capping rounds + a final pass, all pure integer floor-div "
+    "arithmetic on the |sources|-row stats relation. The mixture "
+    "planning step that decides how many epochs of each feed a "
+    "training run actually gets; capped=true marks feeds the budget "
+    "wants more of than the repeat cap allows.",
+)
+def q_token_budget_allocation(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select(
+        "source",
+        tx.token_count(F.col("text")).cast("long").alias("tok"),
+        (F.col("n_chars") >= 300).alias("passes"),
+    )
+    stats = d.groupBy("source").agg(
+        F.sum("tok").alias("tokens"),
+        F.sum(F.when(F.col("passes"), 1).otherwise(0))
+        .cast("long")
+        .alias("weight"),
+    )
+    return smp.token_budget_allocation(
+        stats, "source", "tokens", "weight",
+        budget_num=9, budget_den=5, repeat_cap=2, rounds=3,
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry exports (driver contract)
 # --------------------------------------------------------------------------
