@@ -14483,9 +14483,30 @@ def q_cross_source_dup_matrix(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
     na = n.select(F.col("source").alias("src_a"), F.col("n_docs").alias("n_a"))
-    nb = n.select(F.col("source").alias("src_b"), F.col("n_docs").alias("n_b"))
+    # The spine is an unordered self-cross of the source dimension.
+    # Rather than an inequality NLJ of two aggregates (whose
+    # boundedness AQE's runtime limit-elision hides from the plan
+    # text), the build side is a keys=[] aggregate carrying the WHOLE
+    # bounded dimension in one row — broadcast 1 row, explode per
+    # probe row, filter to src_a <= src_b. Same |sources|^2 output,
+    # plan-provably bounded-cross.
+    dim = n.agg(
+        F.collect_list(
+            F.struct(
+                F.col("source").alias("src_b"), F.col("n_docs").alias("n_b")
+            )
+        ).alias("__dim")
+    )
     spine = (
-        na.join(F.broadcast(nb), F.col("src_a") <= F.col("src_b"))
+        na.crossJoin(F.broadcast(dim))
+        .select("src_a", "n_a", F.explode("__dim").alias("b"))
+        .where(F.col("src_a") <= F.col("b.src_b"))
+        .select(
+            "src_a",
+            F.col("b.src_b").alias("src_b"),
+            "n_a",
+            F.col("b.n_b").alias("n_b"),
+        )
         .withColumn(
             "possible_pairs",
             F.when(
@@ -14713,95 +14734,77 @@ def q_token_budget_allocation(spark, sf_dir):
 # repeatedly-verified queries can wait at the back.  `tools/check_oracle.py`
 # always sweeps all entries regardless of order.
 _EXPORT_PRIORITY: list[str] = [
-    # Round-9 red-row fix confirmation FIRST: the round-8 probes
-    # localized the orders_column_profile divergence (ALL six probes
-    # failed, incl. string-only ones → the shared uncast
-    # sum(CASE..)=HUGEINT n_nulls cell, float64 through pandas). The
-    # oracle now casts it BIGINT; probes dropped as planned.
-    "orders_column_profile",
-    # New in round 9 — every new @_q THIS ROUND must be added to this
-    # block as it lands. benford_price_audit,
-    # priority_status_association, customer_spend_gini and
-    # distinctive_terms_by_source and event_value_ranksum_drift
-    # (its siblings ks/cohens_d are windowed and the drift report
-    # composes it) are deferred to lead round 10's
-    # window (50-slot cap; the first two's newer siblings
-    # benford_price_conformity / priority_status_mutual_info exercise
-    # the same spine construction this round):
-    "event_value_psi",
-    "event_value_median_ci",
-    "price_quantity_spearman",
-    "quantity_discount_kendall",
-    "corpus_zipf_fit",
-    "readability_scores",
-    "corpus_health_report",
-    "event_type_burstiness",
-    "supplier_graph_assortativity",
-    "event_value_ks_drift",
-    "daily_event_ewma",
-    "customer_order_survival",
-    "priority_status_cramers_v",
-    "nation_customer_hhi",
-    "event_value_anova_f",
-    "source_unigram_jsd",
-    "quality_gate_kappa",
-    "customer_name_edit_pairs",
-    "event_value_cohens_d",
-    "event_type_ranksum_scan",
-    "vocab_chao1_richness",
-    "event_transition_entropy",
-    "price_quantity_partial_corr",
-    "event_value_levene",
-    "word_burstiness",
-    "doc_length_moments",
-    "supplier_graph_clustering",
-    "nation_customer_pareto",
-    "event_interarrival_burstiness",
-    "event_value_quantile_shift",
-    "centroid_margin_eval",
-    "daily_count_hurst",
-    "priority_status_mutual_info",
-    "benford_price_conformity",
-    "daily_count_runs_test",
-    "tfidf_doc_similarity",
-    "ann_rank_quality",
-    "quality_score_auc",
-    "quality_score_lift",
-    "event_drift_report",
-    "quality_score_calibration",
-    "quality_score_brier",
-    "event_value_wasserstein",
-    "customer_golden_records",
-    "event_type_wasserstein_scan",
-    "supplier_bfs_hops",
-    "prefix_dim_fidelity",
-    "quantile_sketch_error",
-    "split_leakage_audit",
-    # Round-3/4-stale refreshes (oldest-first rotation). The 44 names
-    # past the 50-slot export cap (quality_scores, sampled_documents,
-    # shipping_priority_top10, token_stats, top_orders_with_ties,
-    # bigram_logprob_scores, bm25_doc_scores,
-    # bridge_part_words, clean_pyrepr_attributes,
-    # customers_with_urgent_orders, customers_without_urgent_orders,
-    # dates_except, dates_intersect, dedup_clusters_star,
-    # dedup_keep_best_docs, detect_parse_json_props,
-    # dict_encode_part_types, dim_customer, dim_time,
-    # embedding_neardup_ivf, events_date_parts, fact_daily_events,
-    # fact_orders, filtered_lineitems, flatten_nested_structs,
-    # fuzzy_dup_pairs, inverted_postings, json_extract_props,
-    # kmeans_assignments, leakage_safe_splits, quantized_embeddings,
-    # salted_segment_event_counts, scaled_prices_by_priority,
-    # scd2_order_status_history, split_array_counts, split_hours_range,
-    # sql_suppliers_by_nation, temperature_mixture_weights,
-    # top_order_per_customer, total_counts, union_distinct_dates,
-    # weighted_quality_sample, winnowing_fingerprints) lead round 10's
-    # window together with the 39 round-5-stale names, the two
-    # round-3-stale refreshes bumped for the final round-9 additions
-    # (order_price_percent_rank, price_quantiles_by_priority), and
-    # fd_discovery_audit + heavy_hitter_error_report +
-    # hll_error_report + hybrid_rrf_ranking +
-    # ann_prefilter_vs_postfilter + mmr_diversified_topk +
-    # retrieval_health_report (landed after the 50 slots filled):
+    # Round-10 window (50-slot cap), oldest-verdict-first rotation:
+    # (1) the 7 queries NEW this round — every new @_q this round
+    #     must be inserted in this block as it lands (trim the r4
+    #     tail to keep 50):
+    "part_supplier_hits",
+    "price_qty_discount_ols",
+    "conformal_event_intervals",
+    "quantile_normalized_doclens",
+    "cross_source_dup_matrix",
+    "dedup_composition_shift",
+    "token_budget_allocation",
+    # (2) the 15 never-verdicted round-9 late additions:
+    "fd_discovery_audit",
+    "heavy_hitter_error_report",
+    "hll_error_report",
+    "hybrid_rrf_ranking",
+    "ann_prefilter_vs_postfilter",
+    "mmr_diversified_topk",
+    "retrieval_health_report",
+    "benford_price_audit",
+    "priority_status_association",
+    "customer_spend_gini",
+    "distinctive_terms_by_source",
+    "event_value_ranksum_drift",
+    "daily_event_acf",
+    "dedup_cluster_rand_index",
+    "quality_rate_confidence",
+    # (3) the 7 round-3-stale refreshes:
+    "quality_scores",
+    "token_stats",
+    "price_quantiles_by_priority",
+    "order_price_percent_rank",
+    "shipping_priority_top10",
+    "top_orders_with_ties",
+    "sampled_documents",
+    # (4) 21 of the 46 round-4-stale names (decorator order). The
+    #     25 deferred to lead round 11: process_business_oracle,
+    #     events_date_parts, prefix_filtered_parts,
+    #     sql_suppliers_by_nation, top_order_per_customer,
+    #     order_price_quartiles, scd2_order_status_history,
+    #     fuzzy_dup_pairs, bigram_logprob_scores,
+    #     weighted_quality_sample, mixture_resampled_docs,
+    #     dedup_keep_best_docs, temperature_mixture_weights,
+    #     bm25_doc_scores, price_quantity_corr,
+    #     scaled_prices_by_priority, salted_segment_event_counts,
+    #     priority_status_grouping_sets, winnowing_fingerprints,
+    #     embedding_neardup_ivf, kmeans_assignments,
+    #     dedup_clusters_star, inverted_postings,
+    #     quantized_embeddings, leakage_safe_splits — then the 39
+    #     round-5-stale names.
+    "total_counts",
+    "dim_time",
+    "dim_customer",
+    "dict_encode_part_types",
+    "bridge_part_words",
+    "fact_orders",
+    "fact_daily_events",
+    "union_distinct_dates",
+    "dates_intersect",
+    "dates_except",
+    "customers_with_urgent_orders",
+    "customers_without_urgent_orders",
+    "filtered_lineitems",
+    "lineitem_date_parts",
+    "quantity_buckets",
+    "clean_pyrepr_attributes",
+    "split_hours_range",
+    "json_extract_props",
+    "split_array_counts",
+    "flatten_nested_structs",
+    "detect_parse_json_props",
 ]
 
 
