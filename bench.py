@@ -170,6 +170,14 @@ EXTRAS = [
     "ann_prefilter_vs_postfilter",
     "mmr_diversified_topk",
     "retrieval_health_report",
+    # round 10
+    "part_supplier_hits",
+    "price_qty_discount_ols",
+    "conformal_event_intervals",
+    "quantile_normalized_doclens",
+    "cross_source_dup_matrix",
+    "dedup_composition_shift",
+    "token_budget_allocation",
 ]
 
 

@@ -815,6 +815,62 @@ def main_r9d(replicas: int) -> int:
     return 0
 
 
+# ``--r10`` mode: the round-10 additions.
+# (a) Fact-side native 10x (sf0.01 -> sf0.1): HITS (edge list and
+#     per-round shuffles grow 10x; rounds fixed -> expect ~linear),
+#     the normal-equations OLS (one combinable aggregate -> linear,
+#     scan-dominated) and the conformal intervals (calibration sort
+#     grows with the split half -> ~linear per group).
+# (b) Docs 25x: quantile normalization (per-source windows + bounded
+#     cells), the dup matrix / composition shift (LSH-candidate
+#     regime, pinned linear for the underlying pair relation by the
+#     default family run) and the token-budget water-fill (token
+#     aggregate dominates; the k-row allocation is scale-free).
+R10_FACT_FAMILY = [
+    "part_supplier_hits",
+    "price_qty_discount_ols",
+    "conformal_event_intervals",
+]
+
+R10_DOC_FAMILY = [
+    "quantile_normalized_doclens",
+    "token_budget_allocation",
+    "cross_source_dup_matrix",
+    "dedup_composition_shift",
+]
+
+
+def main_r10(replicas: int) -> int:
+    spark = get_spark("bench_scale_r10")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = queries()
+
+    qs["price_qty_discount_ols"](
+        spark, "/root/testdata/sf0.01"
+    ).write.format("noop").mode("overwrite").save()
+    release_tracked()
+
+    fact_base = run_family(spark, qs, "/root/testdata/sf0.01", R10_FACT_FAMILY)
+    fact_scaled = run_family(spark, qs, BASE_SF, R10_FACT_FAMILY)
+
+    docs_dir = build_scaled(spark, replicas)
+    doc_base = run_family(spark, qs, BASE_SF, R10_DOC_FAMILY)
+    doc_scaled = run_family(spark, qs, docs_dir, R10_DOC_FAMILY)
+
+    def ratios(b, s):
+        return {k: round(s[k] / b[k], 2) for k in b if b[k] > 0}
+
+    print(json.dumps({
+        "metric": "r10_family_scale",
+        "unit": "sec",
+        "fact_10x": {"base_sf0.01": fact_base, "sf0.1": fact_scaled,
+                     "ratio": ratios(fact_base, fact_scaled)},
+        "docs_%dx" % replicas: {"base": doc_base, "scaled": doc_scaled,
+                                "ratio": ratios(doc_base, doc_scaled)},
+    }))
+    return 0
+
+
 # ``--tpch`` family: the fact-side TPC-H analogs. Unlike the doc/emb
 # families these scale with SF natively (lineitem/orders grow with the
 # fixture scale factor), so the scale point is sf0.01 → sf0.1 (10×
@@ -886,6 +942,8 @@ def main() -> int:
         return main_r9c(replicas)
     if "--r9d" in sys.argv:
         return main_r9d(replicas)
+    if "--r10" in sys.argv:
+        return main_r10(replicas)
     spark = get_spark("bench_scale")
     spark.sparkContext.setLogLevel("ERROR")
     qs = queries()
