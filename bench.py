@@ -178,6 +178,7 @@ EXTRAS = [
     "cross_source_dup_matrix",
     "dedup_composition_shift",
     "token_budget_allocation",
+    "bloom_fpr_eval",
 ]
 
 

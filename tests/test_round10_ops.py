@@ -249,3 +249,32 @@ class TestTokenBudgetAllocation:
         )
         assert out["a"]["alloc_tokens"] == 0
         assert out["b"]["alloc_tokens"] == 2000  # B=2000 all to b, < cap 3000
+
+
+class TestBloomFprStats:
+    def test_no_false_negatives_and_counts(self, spark):
+        from yelp_data_pipeline_spark.operators import joins
+
+        small = spark.createDataFrame([(i,) for i in range(50)], ["k"])
+        big = spark.createDataFrame([(i,) for i in range(200)], ["k"])
+        r = joins.bloom_prefilter_fpr_stats(
+            big, small, "k", "k", m_bits=256, k=2
+        ).collect()[0]
+        assert r["n_build_keys"] == 50
+        assert r["n_probe_keys"] == 200
+        assert r["n_members"] == 50
+        assert r["n_missed_members"] == 0          # no false negatives
+        assert r["n_pass"] == 50 + r["n_false_pos"]
+        assert 0.0 <= r["fpr"] <= 1.0
+
+    def test_bigger_filter_fewer_false_positives(self, spark):
+        from yelp_data_pipeline_spark.operators import joins
+
+        small = spark.createDataFrame([(i,) for i in range(50)], ["k"])
+        big = spark.createDataFrame([(i,) for i in range(2000)], ["k"])
+        fp = {}
+        for m in (256, 1 << 14):
+            fp[m] = joins.bloom_prefilter_fpr_stats(
+                big, small, "k", "k", m_bits=m, k=2
+            ).collect()[0]["n_false_pos"]
+        assert fp[1 << 14] < fp[256]

@@ -14722,6 +14722,85 @@ def q_token_budget_allocation(spark, sf_dir):
     )
 
 
+@_q(
+    "bloom_fpr_eval",
+    """
+WITH build AS (
+  SELECT DISTINCT CAST(c_custkey AS BIGINT) AS key
+  FROM customer WHERE c_mktsegment = 'AUTOMOBILE' AND c_custkey IS NOT NULL
+),
+bh AS (
+  SELECT key,
+         CAST('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 15) AS BIGINT) AS h1,
+         CAST('0x' || substr(md5(CAST(key AS VARCHAR)), 16, 13) AS BIGINT) AS h2
+  FROM build
+),
+bpos AS (
+  SELECT DISTINCT (h1 + i * h2) % 2048 AS pos
+  FROM bh, (VALUES (0), (1)) AS ii(i)
+),
+probe AS (
+  SELECT DISTINCT CAST(user_id AS BIGINT) AS key
+  FROM events WHERE user_id IS NOT NULL
+),
+ph AS (
+  SELECT key,
+         CAST('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 15) AS BIGINT) AS h1,
+         CAST('0x' || substr(md5(CAST(key AS VARCHAR)), 16, 13) AS BIGINT) AS h2
+  FROM probe
+),
+flags AS (
+  SELECT key,
+         ((h1 % 2048) IN (SELECT pos FROM bpos))
+           AND (((h1 + h2) % 2048) IN (SELECT pos FROM bpos)) AS passes,
+         key IN (SELECT key FROM build) AS is_member
+  FROM ph
+),
+nb AS (SELECT CAST(count(*) AS BIGINT) AS n_build_keys FROM build),
+ag AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_probe_keys,
+         CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+         CAST(sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_members,
+         CAST(sum(CASE WHEN passes AND NOT is_member THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_false_pos,
+         CAST(sum(CASE WHEN is_member AND NOT passes THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_missed_members
+  FROM flags
+)
+SELECT nb.n_build_keys, ag.n_probe_keys, ag.n_pass, ag.n_members,
+       ag.n_false_pos, ag.n_missed_members,
+       round(CAST(ag.n_false_pos AS DOUBLE)
+             / CAST(ag.n_probe_keys - ag.n_members AS DOUBLE), 6) AS fpr,
+       round(2.0 * CAST(nb.n_build_keys AS DOUBLE) / 2048.0, 6)
+         AS load_factor,
+       round((2.0 * CAST(nb.n_build_keys AS DOUBLE) / 2048.0)
+             * (2.0 * CAST(nb.n_build_keys AS DOUBLE) / 2048.0), 6)
+         AS fp_bound
+FROM nb, ag
+""",
+    doc="Measured false-positive rate of the Bloom prefilter "
+    "(operators/joins.py:bloom_prefilter_fpr_stats) — the accuracy "
+    "eval completing the sketch tier's no-sketch-without-an-error-"
+    "report rule (KMV rel_err / CMS overcount / HLL bias / histogram "
+    "bound / minhash-simhash recall; Bloom was the one member "
+    "without one). Deliberately UNDERSIZED image (2 Kibit for ~300 "
+    "AUTOMOBILE keys, load 0.29) so the false-positive regime is "
+    "real at fixture scale: reports measured fpr vs the (kn/m)^k "
+    "sizing bound, and PROVES the no-false-negative contract "
+    "(n_missed_members column, structurally 0). Two distinct-key "
+    "aggregates + broadcast position joins; nothing quadratic.",
+)
+def q_bloom_fpr_eval(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select("user_id")
+    c = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "AUTOMOBILE"
+    ).select("c_custkey")
+    return joins.bloom_prefilter_fpr_stats(
+        e, c, "user_id", "c_custkey", m_bits=2048, k=2
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry exports (driver contract)
 # --------------------------------------------------------------------------
@@ -14745,6 +14824,7 @@ _EXPORT_PRIORITY: list[str] = [
     "cross_source_dup_matrix",
     "dedup_composition_shift",
     "token_budget_allocation",
+    "bloom_fpr_eval",
     # (2) the 15 never-verdicted round-9 late additions:
     "fd_discovery_audit",
     "heavy_hitter_error_report",
@@ -14769,8 +14849,9 @@ _EXPORT_PRIORITY: list[str] = [
     "shipping_priority_top10",
     "top_orders_with_ties",
     "sampled_documents",
-    # (4) 21 of the 46 round-4-stale names (decorator order). The
-    #     25 deferred to lead round 11: process_business_oracle,
+    # (4) 20 of the 46 round-4-stale names (decorator order). The
+    #     26 deferred to lead round 11: detect_parse_json_props,
+    #     process_business_oracle,
     #     events_date_parts, prefix_filtered_parts,
     #     sql_suppliers_by_nation, top_order_per_customer,
     #     order_price_quartiles, scd2_order_status_history,
@@ -14804,7 +14885,6 @@ _EXPORT_PRIORITY: list[str] = [
     "json_extract_props",
     "split_array_counts",
     "flatten_nested_structs",
-    "detect_parse_json_props",
 ]
 
 
