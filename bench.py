@@ -179,6 +179,7 @@ EXTRAS = [
     "dedup_composition_shift",
     "token_budget_allocation",
     "bloom_fpr_eval",
+    "minhash_band_tuning_curve",
 ]
 
 

@@ -278,3 +278,24 @@ class TestBloomFprStats:
                 big, small, "k", "k", m_bits=m, k=2
             ).collect()[0]["n_false_pos"]
         assert fp[1 << 14] < fp[256]
+
+
+class TestMinhashBandTuning:
+    def test_more_bands_more_candidates_and_recall(self, spark):
+        from yelp_data_pipeline_spark.queries import (
+            q_minhash_band_tuning_curve,
+        )
+
+        rows = q_minhash_band_tuning_curve(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert [r["bands"] for r in rows] == [2, 3, 4, 6]
+        assert all(r["bands"] * r["rows_per_band"] == 12 for r in rows)
+        cands = [r["n_candidates"] for r in rows]
+        recalls = [r["recall"] for r in rows]
+        # shorter band keys -> candidate volume is non-decreasing
+        assert cands == sorted(cands)
+        assert recalls == sorted(recalls)
+        # candidates always cover the verified truth hits
+        assert all(r["n_common"] <= r["n_candidates"] for r in rows)
+        assert all(r["n_common"] <= r["n_truth"] for r in rows)

@@ -269,34 +269,23 @@ def edit_distance_pairs(
 # -------------------------------------------------------------- minhash
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    k: int = 12,
-    bands: int = 4,
-    n: int = 3,
-    threshold: float = 0.8,
-) -> DataFrame:
-    """MinHash + LSH banding + exact-Jaccard verification.
+def _minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int, n: int
+):
+    """Shared MinHash signature construction (shingles + k minima).
 
-    bands × rows = k. A pair collides in a band iff that band's minhash
-    rows all match; candidates are verified with true Jaccard on the
-    shingle sets (array_intersect on already-distinct arrays), so the
-    output has no false positives — LSH only bounds recall.
+    Two persisted relations instead of one joined signature frame:
+    - sh (doc, n_sh, shingles): the shingling pass feeds the hash
+      pipeline AND the verify joins — persisting it runs tokenize/
+      shingle/distinct ONCE (a joined sh⋈mins formulation re-shingles
+      the corpus for the join-back and pays a doc-keyed join nobody
+      consumes: band keys need only the minima, verify needs only the
+      shingles).
+    - mins (doc, k longs): slim; feeds band-key construction.
+    MEMORY_AND_DISK persists registered with session.track_persist so
+    the session driver releases them after the consuming action
+    (release_tracked) instead of leaking cached blocks.
     """
-    rows = k // bands
-    # Two persisted relations instead of one joined signature frame:
-    # - sh (doc, n_sh, shingles): the shingling pass feeds the hash
-    #   pipeline AND both verify joins — persisting it runs tokenize/
-    #   shingle/distinct ONCE (the previous sh⋈mins formulation
-    #   re-shingled the corpus for the join-back and paid a doc-keyed
-    #   join nobody consumed: band keys need only the minima, verify
-    #   needs only the shingles).
-    # - mins (doc, k longs): slim; feeds band-key construction once.
-    # MEMORY_AND_DISK persists registered with session.track_persist so
-    # the session driver releases them after the consuming action
-    # (release_tracked) instead of leaking cached blocks.
     from ..session import track_persist
 
     sh = track_persist(
@@ -318,6 +307,29 @@ def minhash_lsh_pairs(
         .groupBy("doc")
         .agg(*[F.min(f"f{i}").alias(f"mh{i}") for i in range(k)])
     )
+    return sh, mins
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 12,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash + LSH banding + exact-Jaccard verification.
+
+    bands × rows = k. A pair collides in a band iff that band's minhash
+    rows all match; candidates are verified with true Jaccard on the
+    shingle sets (array_intersect on already-distinct arrays), so the
+    output has no false positives — LSH only bounds recall.
+    """
+    rows = k // bands
+    from ..session import track_persist
+
+    sh, mins = _minhash_signatures(df, id_col, text_col, k, n)
     band_cols = [
         F.md5(
             F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)])
@@ -379,6 +391,79 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def minhash_band_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 12,
+    bands_list: tuple = (2, 3, 4, 6),
+    n: int = 3,
+) -> DataFrame:
+    """CANDIDATE pairs (pre-verification) for several LSH bandings of
+    the SAME k-hash MinHash signature — the raw material of the
+    banding S-curve: more bands ⇒ shorter band keys ⇒ more collisions
+    ⇒ higher recall AND more verification work. minhash_lsh_pairs
+    verifies candidates so its precision is 1.0 by construction; what
+    a banding choice actually trades is CANDIDATE volume vs recall,
+    and that is only measurable pre-verify.
+
+    Signatures are computed ONCE (the persisted relation is shared by
+    every banding — the whole point of evaluating bandings of a fixed
+    k); each banding contributes one slim (doc, band_id, key)
+    self-join, bucketed by band key, never n².
+
+    Returns (bands, doc_a, doc_b), one row per candidate pair per
+    banding.
+    """
+    _, mins = _minhash_signatures(df, id_col, text_col, k, n)
+    from ..session import track_persist
+
+    mins = track_persist(mins)
+    out = None
+    for bands in bands_list:
+        rows = k // bands
+        band_cols = [
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"mh{b * rows + r}") for r in range(rows)]
+                )
+            ).alias(f"band{b}")
+            for b in range(bands)
+        ]
+        bands_long = mins.select(F.col("doc"), *band_cols).select(
+            "doc",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_id"),
+                            F.col(f"band{b}").alias("key"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bk"),
+        ).select("doc", F.col("bk.band_id"), F.col("bk.key"))
+        a, b_ = bands_long.alias("a"), bands_long.alias("b")
+        cand = (
+            a.join(
+                b_,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.doc") < F.col("b.doc")),
+            )
+            .select(
+                F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b")
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
+            .select(
+                F.lit(bands).cast("int").alias("bands"), "doc_a", "doc_b"
+            )
+        )
+        out = cand if out is None else out.unionByName(cand)
+    return out
 
 
 # -------------------------------------------------------------- simhash

@@ -14801,6 +14801,181 @@ def q_bloom_fpr_eval(spark, sf_dir):
     )
 
 
+def _band_candidates_sql(k: int = 12, bands_list: tuple = (2, 3, 4, 6)) -> str:
+    """CTE blocks: MinHash sig once, candidate pairs per banding
+    (DuckDB twin of operators/dedup.py:minhash_band_candidates)."""
+    mh_cols = ",\n         ".join(
+        f"list_min(list_transform(shingles, s -> {md5_family_sql('s', i)}))"
+        f" AS mh{i}"
+        for i in range(k)
+    )
+    parts = []
+    for bands in bands_list:
+        rows = k // bands
+        band_cols = ",\n         ".join(
+            "md5(concat_ws('|', "
+            + ", ".join(f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows))
+            + f")) AS band{b}"
+            for b in range(bands)
+        )
+        band_union = "\nUNION ALL\n".join(
+            f"SELECT doc_id, {b} AS band_id, band{b} AS key FROM banded{bands}"
+            for b in range(bands)
+        )
+        parts.append(
+            f"""banded{bands} AS (
+  SELECT doc_id,
+         {band_cols}
+  FROM sig
+),
+bl{bands} AS ({band_union}),
+cand{bands} AS (
+  SELECT DISTINCT CAST({bands} AS INT) AS bands,
+         CAST({rows} AS INT) AS rows_per_band,
+         a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bl{bands} a JOIN bl{bands} b
+    ON a.band_id = b.band_id AND a.key = b.key AND a.doc_id < b.doc_id
+)"""
+        )
+    union = "\nUNION ALL\n".join(f"SELECT * FROM cand{b}" for b in bands_list)
+    return (
+        f"""sig AS MATERIALIZED (
+  SELECT doc_id,
+         {mh_cols}
+  FROM sh WHERE len(shingles) > 0
+),
+"""
+        + ",\n".join(parts)
+        + f""",
+cands AS ({union})"""
+    )
+
+
+@_q(
+    "minhash_band_tuning_curve",
+    f"""
+WITH {_SHINGLES_CTE},
+{_band_candidates_sql(k=12, bands_list=(2, 3, 4, 6))},
+ex AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM (
+    WITH exx AS (
+      SELECT doc_id, CAST(len(shingles) AS INT) AS n_sh, unnest(shingles) AS s
+      FROM sh
+    ),
+    c AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+             count(*) AS common
+      FROM exx a JOIN exx b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b
+    FROM c
+    WHERE round(CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE), 6)
+          >= 0.8
+  ) q
+),
+per AS (
+  SELECT c.bands, c.rows_per_band,
+         CAST(count(*) AS BIGINT) AS n_candidates,
+         CAST(sum(CASE WHEN e.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_common
+  FROM cands c
+  LEFT JOIN ex e ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b
+  GROUP BY 1, 2
+),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM ex),
+spine AS (
+  SELECT CAST(v.bands AS INT) AS bands,
+         CAST(12 / v.bands AS INT) AS rows_per_band
+  FROM (VALUES (2), (3), (4), (6)) AS v(bands)
+)
+SELECT s.bands, s.rows_per_band,
+       CAST(coalesce(p.n_candidates, 0) AS BIGINT) AS n_candidates,
+       t.n_truth,
+       CAST(coalesce(p.n_common, 0) AS BIGINT) AS n_common,
+       CASE WHEN t.n_truth > 0
+         THEN round(CAST(coalesce(p.n_common, 0) AS DOUBLE)
+                    / CAST(t.n_truth AS DOUBLE), 6) END AS recall,
+       CASE WHEN coalesce(p.n_candidates, 0) > 0
+         THEN round(CAST(p.n_common AS DOUBLE)
+                    / CAST(p.n_candidates AS DOUBLE), 6) END AS precision
+FROM spine s
+LEFT JOIN per p ON s.bands = p.bands
+CROSS JOIN t
+ORDER BY s.bands
+""",
+    doc="MinHash banding S-curve, measured (operators/dedup.py:"
+    "minhash_band_candidates): CANDIDATE recall and precision at "
+    "bands = 2/3/4/6 of the SAME 12-hash signature vs the exact "
+    "3-gram-Jaccard >= 0.8 ground truth. minhash_recall_eval grades "
+    "the one shipped banding (4x3) after verification; this is the "
+    "eval that CHOOSES the banding — more bands buys recall with "
+    "candidate volume (the verification bill), and the curve shows "
+    "where the knee is. Signatures computed once and shared; each "
+    "banding is one bucketed slim self-join; the comparison joins "
+    "bounded pair relations.",
+    scale_note="eval-tier — the exact ground-truth arm inherits "
+    "ngram_jaccard_exact's superlinear recall-baseline cost; at "
+    "corpus scale replay on an md5-capped subsample (the "
+    "simhash_recall_eval sampling pattern)",
+)
+def q_minhash_band_tuning_curve(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    cands = dd.minhash_band_candidates(
+        d, "doc_id", "text", k=12, bands_list=(2, 3, 4, 6)
+    ).withColumn("rows_per_band", (F.lit(12) / F.col("bands")).cast("int"))
+    truth = dd.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.8, max_doc_freq=None
+    ).select("doc_a", "doc_b", F.lit(1).alias("e"))
+    per = (
+        cands.join(truth, ["doc_a", "doc_b"], "left")
+        .groupBy("bands", "rows_per_band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.sum(F.coalesce("e", F.lit(0))).cast("long").alias("n_common"),
+        )
+    )
+    t = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    spine = spark.createDataFrame(
+        [(b, 12 // b) for b in (2, 3, 4, 6)], ["bands", "rows_per_band"]
+    ).select(
+        F.col("bands").cast("int").alias("bands"),
+        F.col("rows_per_band").cast("int").alias("rows_per_band"),
+    )
+    rec = F.when(
+        F.col("n_truth") > 0,
+        F.round(
+            F.coalesce("n_common", F.lit(0)).cast("double")
+            / F.col("n_truth").cast("double"),
+            6,
+        ),
+    )
+    prec = F.when(
+        F.coalesce("n_candidates", F.lit(0)) > 0,
+        F.round(
+            F.col("n_common").cast("double")
+            / F.col("n_candidates").cast("double"),
+            6,
+        ),
+    )
+    return (
+        spine.join(per, ["bands", "rows_per_band"], "left")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "bands",
+            "rows_per_band",
+            F.coalesce("n_candidates", F.lit(0))
+            .cast("long")
+            .alias("n_candidates"),
+            "n_truth",
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+            rec.alias("recall"),
+            prec.alias("precision"),
+        )
+        .orderBy("bands")
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry exports (driver contract)
 # --------------------------------------------------------------------------
@@ -14825,6 +15000,7 @@ _EXPORT_PRIORITY: list[str] = [
     "dedup_composition_shift",
     "token_budget_allocation",
     "bloom_fpr_eval",
+    "minhash_band_tuning_curve",
     # (2) the 15 never-verdicted round-9 late additions:
     "fd_discovery_audit",
     "heavy_hitter_error_report",
@@ -14849,8 +15025,9 @@ _EXPORT_PRIORITY: list[str] = [
     "shipping_priority_top10",
     "top_orders_with_ties",
     "sampled_documents",
-    # (4) 20 of the 46 round-4-stale names (decorator order). The
-    #     26 deferred to lead round 11: detect_parse_json_props,
+    # (4) 19 of the 46 round-4-stale names (decorator order). The
+    #     27 deferred to lead round 11: flatten_nested_structs,
+    #     detect_parse_json_props,
     #     process_business_oracle,
     #     events_date_parts, prefix_filtered_parts,
     #     sql_suppliers_by_nation, top_order_per_customer,
@@ -14884,7 +15061,6 @@ _EXPORT_PRIORITY: list[str] = [
     "split_hours_range",
     "json_extract_props",
     "split_array_counts",
-    "flatten_nested_structs",
 ]
 
 
