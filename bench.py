@@ -180,6 +180,7 @@ EXTRAS = [
     "token_budget_allocation",
     "bloom_fpr_eval",
     "minhash_band_tuning_curve",
+    "ivf_nprobe_recall_curve",
 ]
 
 

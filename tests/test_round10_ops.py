@@ -299,3 +299,21 @@ class TestMinhashBandTuning:
         # candidates always cover the verified truth hits
         assert all(r["n_common"] <= r["n_candidates"] for r in rows)
         assert all(r["n_common"] <= r["n_truth"] for r in rows)
+
+
+class TestIvfNprobeCurve:
+    def test_recall_monotone_in_nprobe(self, spark):
+        from yelp_data_pipeline_spark.queries import (
+            q_ivf_nprobe_recall_curve,
+        )
+
+        rows = q_ivf_nprobe_recall_curve(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert [r["nprobe"] for r in rows] == [1, 2, 4]
+        recalls = [r["mean_recall_at_10"] for r in rows]
+        # probing more cells can only add candidates -> recall monotone
+        assert recalls == sorted(recalls)
+        for r in rows:
+            assert 0.0 <= r["mean_recall_at_10"] <= 1.0
+            assert r["total_hits"] <= r["n_queries"] * 10
