@@ -181,6 +181,7 @@ EXTRAS = [
     "bloom_fpr_eval",
     "minhash_band_tuning_curve",
     "ivf_nprobe_recall_curve",
+    "quality_score_lift_scalable",
 ]
 
 

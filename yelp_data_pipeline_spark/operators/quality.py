@@ -692,6 +692,14 @@ def score_lift_table(
             + F.lit(1)
         ).cast("int"),
     )
+    return _lift_tail(binned)
+
+
+def _lift_tail(binned: DataFrame) -> DataFrame:
+    """Shared lift-table tail: (decile, y) rows → the per-decile
+    gains table. Windows run over the ≤10-row decile relation only."""
+    from pyspark.sql import Window
+
     per = binned.groupBy("decile").agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum("y").cast("long").alias("n_pos"),
@@ -722,6 +730,43 @@ def score_lift_table(
         ).alias("cum_recall"),
         F.when(F.col("__p") > 0, F.round(rate / base, 6)).alias("lift"),
     ).orderBy("decile")
+
+
+def score_lift_table_scalable(
+    df: DataFrame, id_col: str, score_col: str, label_col
+) -> DataFrame:
+    """score_lift_table WITHOUT the global row_number window — the
+    scale path its docstring promises, built on
+    windows.scalable_unique_ranks (per-value hash-agg → range
+    partition → local cumulative counts → bounded subtotal collect →
+    broadcast offsets): no stage ever funnels the scored relation
+    through one reducer. Descending score order is obtained by
+    negating the score (exact for IEEE doubles). Output is
+    bit-identical to score_lift_table — both registry rows share one
+    oracle, which PROVES the equivalence on every sweep.
+    """
+    from .windows import scalable_unique_ranks
+
+    lab = F.coalesce(label_col.cast("boolean"), F.lit(False)).cast("int")
+    scored = df.where(F.col(score_col).isNotNull()).select(
+        F.col(id_col).alias("__id"),
+        (-F.col(score_col)).alias("__neg_s"),
+        lab.alias("y"),
+    )
+    ranked = scalable_unique_ranks(scored, "__neg_s", "__id").join(
+        scored.select("__id", "y"), "__id"
+    )
+    n = scored.agg(F.count(F.lit(1)).cast("long").alias("__n_rows_total"))
+    binned = ranked.crossJoin(F.broadcast(n)).withColumn(
+        "decile",
+        (
+            F.floor(
+                (F.col("rn") - 1) * F.lit(10) / F.col("__n_rows_total")
+            )
+            + F.lit(1)
+        ).cast("int"),
+    )
+    return _lift_tail(binned.select("decile", "y"))
 
 
 def score_calibration_table(

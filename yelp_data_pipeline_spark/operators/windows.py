@@ -237,3 +237,66 @@ def global_row_numbers(
         .withColumn(out, (F.col("__off") + F.col("__lrn")).cast("long"))
         .drop("__pid", "__lrn", "__off")
     )
+
+
+def scalable_unique_ranks(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_col: str,
+    num_range_parts: int | None = None,
+) -> DataFrame:
+    """Exact global UNIQUE rank (row_number by (value asc, tiebreak
+    asc)) without a global window — the same distributed-rank
+    algorithm as scalable_ranks (per-value hash-agg → range
+    partition → local cumulative counts → one bounded per-partition
+    subtotal collect → broadcast offsets → small tie-group windows),
+    exposed as the raw rank for consumers that bin on rank directly
+    (lift tables, top-p% gates) rather than percent_rank/ntile.
+
+    For a DESCENDING order, negate the value column first (exact for
+    integers and IEEE doubles alike).
+
+    Returns df's (tiebreak_col, value_col) plus ``rn`` (1-based long).
+    """
+    spark = df.sparkSession
+    p = int(
+        num_range_parts
+        or spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    vals = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    rv = (
+        vals.repartitionByRange(p, F.col(value_col).asc())
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    wloc = (
+        Window.partitionBy("__pid")
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rv = rv.withColumn("__cum_le", F.sum("__cnt").over(wloc))
+    from ..session import track_persist
+
+    rv = track_persist(rv)
+    subtotals = {
+        r["__pid"]: r["t"]
+        for r in rv.groupBy("__pid").agg(F.sum("__cnt").alias("t")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(subtotals):
+        offsets.append((pid, acc))
+        acc += subtotals[pid]
+    off_df = spark.createDataFrame(offsets, "__pid int, __off long")
+    ranked_vals = rv.join(F.broadcast(off_df), "__pid").select(
+        value_col,
+        (F.col("__off") + F.col("__cum_le") - F.col("__cnt")).alias("__cb"),
+    )
+    wtie = Window.partitionBy(value_col).orderBy(tiebreak_col)
+    return (
+        df.select(tiebreak_col, value_col)
+        .join(ranked_vals, value_col)
+        .withColumn(
+            "rn",
+            (F.col("__cb") + F.row_number().over(wtie)).cast("long"),
+        )
+        .drop("__cb")
+    )
