@@ -182,6 +182,7 @@ EXTRAS = [
     "minhash_band_tuning_curve",
     "ivf_nprobe_recall_curve",
     "quality_score_lift_scalable",
+    "layout_pruning_eval",
 ]
 
 

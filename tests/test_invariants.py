@@ -223,7 +223,11 @@ def test_export_window_contract():
     assert len(set(_EXPORT_PRIORITY)) == 50
     missing = [n for n in _EXPORT_PRIORITY if n not in qs]
     assert not missing, f"window names not in registry: {missing}"
-    assert _EXPORT_PRIORITY[0] == "orders_column_profile"
+    # Round-10 rotation: the round's new queries lead the window so
+    # they get their first external verdicts (update this pin when the
+    # window rotates each round).
+    assert _EXPORT_PRIORITY[0] == "part_supplier_hits"
+    assert "bloom_fpr_eval" in _EXPORT_PRIORITY
     assert list(qs)[:50] == _EXPORT_PRIORITY
     # Everything the driver can sample is oracle-backed.
     osql = oracle_sql()

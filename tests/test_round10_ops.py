@@ -352,3 +352,23 @@ class TestScalableUniqueRanks:
             map(tuple, q_quality_score_lift_scalable(spark, sf).collect())
         )
         assert base == scal
+
+
+class TestLayoutPruningEval:
+    def test_zorder_beats_single_column_layouts(self, spark):
+        from yelp_data_pipeline_spark.queries import q_layout_pruning_eval
+
+        rows = {
+            r["layout"]: r
+            for r in q_layout_pruning_eval(
+                spark, "/root/testdata/sf0.001"
+            ).collect()
+        }
+        assert set(rows) == {"zorder", "price_sorted", "qty_sorted"}
+        for r in rows.values():
+            # touched files must cover every matching row
+            assert r["rows_scanned"] >= r["rows_matching"]
+            assert r["files_touched"] <= r["n_files"]
+        z = rows["zorder"]["scan_efficiency"]
+        assert z >= rows["price_sorted"]["scan_efficiency"]
+        assert z >= rows["qty_sorted"]["scan_efficiency"]

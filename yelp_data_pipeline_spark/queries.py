@@ -5785,6 +5785,172 @@ def q_zorder_file_stats(spark, sf_dir):
     )
 
 
+_LAYOUT_BOX = (
+    "min_price <= 40000.0 AND max_price >= 30000.0 "
+    "AND min_qty <= 15.0 AND max_qty >= 10.0"
+)
+
+
+@_q(
+    "layout_pruning_eval",
+    f"""
+WITH bounds AS (
+  SELECT min(l_extendedprice) AS plo, max(l_extendedprice) AS phi,
+         min(l_quantity) AS qlo, max(l_quantity) AS qhi
+  FROM lineitem
+),
+quant AS (
+  SELECT CAST(floor(((l_extendedprice - plo) / (phi - plo)) * 255.0) AS BIGINT)
+           AS qx,
+         CAST(floor(((l_quantity - qlo) / (qhi - qlo)) * 255.0) AS BIGINT)
+           AS qy,
+         l_extendedprice, l_quantity
+  FROM lineitem, bounds
+),
+assigned AS (
+  SELECT 'zorder' AS layout, ({_morton8("qx", "qy", "duckdb")} >> 10)
+           AS file_id, l_extendedprice, l_quantity
+  FROM quant
+  UNION ALL
+  SELECT 'price_sorted', qx >> 2, l_extendedprice, l_quantity FROM quant
+  UNION ALL
+  SELECT 'qty_sorted', qy >> 2, l_extendedprice, l_quantity FROM quant
+),
+files AS (
+  SELECT layout, file_id, CAST(count(*) AS BIGINT) AS n_rows,
+         min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+         min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+  FROM assigned GROUP BY 1, 2
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS rows_matching
+  FROM lineitem
+  WHERE l_extendedprice BETWEEN 30000.0 AND 40000.0
+    AND l_quantity BETWEEN 10.0 AND 15.0
+),
+per AS (
+  SELECT layout,
+         CAST(count(*) AS BIGINT) AS n_files,
+         CAST(sum(CASE WHEN {_LAYOUT_BOX} THEN 1 ELSE 0 END) AS BIGINT)
+           AS files_touched,
+         CAST(sum(CASE WHEN {_LAYOUT_BOX} THEN n_rows ELSE 0 END) AS BIGINT)
+           AS rows_scanned
+  FROM files GROUP BY layout
+)
+SELECT per.layout, per.n_files, per.files_touched, per.rows_scanned,
+       m.rows_matching,
+       round(CAST(per.files_touched AS DOUBLE)
+             / CAST(per.n_files AS DOUBLE), 6) AS file_frac,
+       CASE WHEN per.rows_scanned > 0 THEN
+         round(CAST(m.rows_matching AS DOUBLE)
+               / CAST(per.rows_scanned AS DOUBLE), 6) END AS scan_efficiency
+FROM per, m ORDER BY per.layout
+""",
+    doc="Data-layout pruning eval — zorder_file_stats' claimed payoff "
+    "MEASURED instead of asserted: the same 64-file budget laid out "
+    "three ways (Z-order interleave of price x quantity; price-band "
+    "sort; quantity-band sort), then a fixed 2-D box predicate "
+    "(price in [30k,40k], qty in [10,15]) is pruned against each "
+    "layout's per-file min/max stats. Reports files touched, rows "
+    "scanned in touched files, and scan_efficiency = matching/"
+    "scanned — the number that decides an OPTIMIZE ZORDER: a single-"
+    "column layout prunes its own column perfectly but every touched "
+    "file spans the full range of the OTHER column, so its scanned "
+    "volume inflates; Z-order files cover narrow 2-D rectangles. "
+    "Pure integer bit/bucket arithmetic on broadcast global bounds; "
+    "one combinable groupBy per layout over a shared quantized scan.",
+)
+def q_layout_pruning_eval(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem").select("l_extendedprice", "l_quantity")
+    bounds = l.agg(
+        F.min("l_extendedprice").alias("plo"),
+        F.max("l_extendedprice").alias("phi"),
+        F.min("l_quantity").alias("qlo"),
+        F.max("l_quantity").alias("qhi"),
+    )
+    quant = l.crossJoin(F.broadcast(bounds)).select(
+        F.floor(
+            ((F.col("l_extendedprice") - F.col("plo"))
+             / (F.col("phi") - F.col("plo"))) * 255.0
+        ).cast("long").alias("qx"),
+        F.floor(
+            ((F.col("l_quantity") - F.col("qlo"))
+             / (F.col("qhi") - F.col("qlo"))) * 255.0
+        ).cast("long").alias("qy"),
+        "l_extendedprice",
+        "l_quantity",
+    )
+    from .session import track_persist
+
+    quant = track_persist(quant)
+    z = quant.select(
+        F.lit("zorder").alias("layout"),
+        F.expr(f"shiftright({_morton8('qx', 'qy', 'spark')}, 10)").alias(
+            "file_id"
+        ),
+        "l_extendedprice",
+        "l_quantity",
+    )
+    px = quant.select(
+        F.lit("price_sorted").alias("layout"),
+        F.expr("shiftright(qx, 2)").alias("file_id"),
+        "l_extendedprice",
+        "l_quantity",
+    )
+    qy = quant.select(
+        F.lit("qty_sorted").alias("layout"),
+        F.expr("shiftright(qy, 2)").alias("file_id"),
+        "l_extendedprice",
+        "l_quantity",
+    )
+    assigned = z.unionAll(px).unionAll(qy)
+    files = assigned.groupBy("layout", "file_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+    touched = F.expr(_LAYOUT_BOX)
+    per = files.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum(F.when(touched, 1).otherwise(0))
+        .cast("long")
+        .alias("files_touched"),
+        F.sum(F.when(touched, F.col("n_rows")).otherwise(0))
+        .cast("long")
+        .alias("rows_scanned"),
+    )
+    m = l.where(
+        F.col("l_extendedprice").between(30000.0, 40000.0)
+        & F.col("l_quantity").between(10.0, 15.0)
+    ).agg(F.count(F.lit(1)).cast("long").alias("rows_matching"))
+    return (
+        per.crossJoin(F.broadcast(m))
+        .select(
+            "layout",
+            "n_files",
+            "files_touched",
+            "rows_scanned",
+            "rows_matching",
+            F.round(
+                F.col("files_touched").cast("double")
+                / F.col("n_files").cast("double"),
+                6,
+            ).alias("file_frac"),
+            F.when(
+                F.col("rows_scanned") > 0,
+                F.round(
+                    F.col("rows_matching").cast("double")
+                    / F.col("rows_scanned").cast("double"),
+                    6,
+                ),
+            ).alias("scan_efficiency"),
+        )
+        .orderBy("layout")
+    )
+
+
 def _pagerank_oracle_sql(iters: int = 3, scale: int = 10**12,
                          damping_pct: int = 85) -> str:
     """Unrolled integer-PageRank CTE chain — the DuckDB twin of
@@ -15163,6 +15329,7 @@ _EXPORT_PRIORITY: list[str] = [
     "minhash_band_tuning_curve",
     "ivf_nprobe_recall_curve",
     "quality_score_lift_scalable",
+    "layout_pruning_eval",
     # (2) the 15 never-verdicted round-9 late additions:
     "fd_discovery_audit",
     "heavy_hitter_error_report",
@@ -15187,8 +15354,9 @@ _EXPORT_PRIORITY: list[str] = [
     "shipping_priority_top10",
     "top_orders_with_ties",
     "sampled_documents",
-    # (4) 17 of the 46 round-4-stale names (decorator order). The
-    #     29 deferred to lead round 11: json_extract_props,
+    # (4) 16 of the 46 round-4-stale names (decorator order). The
+    #     30 deferred to lead round 11: split_hours_range,
+    #     json_extract_props,
     #     split_array_counts,
     #     flatten_nested_structs,
     #     detect_parse_json_props,
@@ -15222,7 +15390,6 @@ _EXPORT_PRIORITY: list[str] = [
     "lineitem_date_parts",
     "quantity_buckets",
     "clean_pyrepr_attributes",
-    "split_hours_range",
 ]
 
 
