@@ -372,3 +372,35 @@ class TestLayoutPruningEval:
         z = rows["zorder"]["scan_efficiency"]
         assert z >= rows["price_sorted"]["scan_efficiency"]
         assert z >= rows["qty_sorted"]["scan_efficiency"]
+
+
+class TestTokenBudgetProperties:
+    def test_waterfill_invariants_random_frames(self, spark):
+        # deterministic pseudo-random exploration of the input space
+        # (hypothesis-style, but seeds fixed so CI is stable)
+        import random
+
+        rng = random.Random(10)
+        from yelp_data_pipeline_spark.operators import sampling as smp
+
+        for trial in range(6):
+            k = rng.randint(1, 12)
+            rows = [
+                (f"s{i}", rng.randint(1, 10_000), rng.randint(0, 50))
+                for i in range(k)
+            ]
+            num, den = rng.choice([(1, 1), (3, 2), (9, 5), (2, 1), (3, 1)])
+            cap = rng.choice([1, 2, 3])
+            df = spark.createDataFrame(rows, ["src", "tokens", "weight"])
+            out = smp.token_budget_allocation(
+                df, "src", "tokens", "weight",
+                budget_num=num, budget_den=den, repeat_cap=cap, rounds=3,
+            ).collect()
+            total_t = sum(r[1] for r in rows)
+            budget = num * total_t // den
+            total_alloc = sum(r["alloc_tokens"] for r in out)
+            assert total_alloc <= budget, (trial, rows, num, den, cap)
+            for r in out:
+                assert 0 <= r["alloc_tokens"] <= r["cap_tokens"]
+                if r["weight"] == 0:
+                    assert r["alloc_tokens"] == 0

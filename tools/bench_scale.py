@@ -839,6 +839,64 @@ R10_DOC_FAMILY = [
     "dedup_composition_shift",
 ]
 
+# ``--r10b``: the later round-10 additions. bloom/layout are fact-side
+# native 10x; the banding S-curve and scalable lift are doc-side 25x
+# (the S-curve's exact-truth arm inherits the ngram_jaccard_exact
+# superlinear recall-baseline regime — expected >2, documented);
+# nprobe curve is embeddings (native corpus, 10x replicas).
+R10B_FACT_FAMILY = [
+    "bloom_fpr_eval",
+    "layout_pruning_eval",
+]
+
+R10B_DOC_FAMILY = [
+    "minhash_band_tuning_curve",
+    "quality_score_lift_scalable",
+]
+
+R10B_EMB_FAMILY = [
+    "ivf_nprobe_recall_curve",
+]
+
+
+def main_r10b(replicas: int) -> int:
+    spark = get_spark("bench_scale_r10b")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = queries()
+
+    qs["bloom_fpr_eval"](
+        spark, "/root/testdata/sf0.01"
+    ).write.format("noop").mode("overwrite").save()
+    release_tracked()
+
+    fact_base = run_family(
+        spark, qs, "/root/testdata/sf0.01", R10B_FACT_FAMILY
+    )
+    fact_scaled = run_family(spark, qs, BASE_SF, R10B_FACT_FAMILY)
+
+    docs_dir = build_scaled(spark, replicas)
+    doc_base = run_family(spark, qs, BASE_SF, R10B_DOC_FAMILY)
+    doc_scaled = run_family(spark, qs, docs_dir, R10B_DOC_FAMILY)
+
+    emb_dir = build_scaled(spark, 10, emb_only=True)
+    emb_base = run_family(spark, qs, BASE_SF, R10B_EMB_FAMILY)
+    emb_scaled = run_family(spark, qs, emb_dir, R10B_EMB_FAMILY)
+
+    def ratios(b, s):
+        return {k: round(s[k] / b[k], 2) for k in b if b[k] > 0}
+
+    print(json.dumps({
+        "metric": "r10b_family_scale",
+        "unit": "sec",
+        "fact_10x": {"base_sf0.01": fact_base, "sf0.1": fact_scaled,
+                     "ratio": ratios(fact_base, fact_scaled)},
+        "docs_%dx" % replicas: {"base": doc_base, "scaled": doc_scaled,
+                                "ratio": ratios(doc_base, doc_scaled)},
+        "emb_10x": {"base": emb_base, "scaled": emb_scaled,
+                    "ratio": ratios(emb_base, emb_scaled)},
+    }))
+    return 0
+
 
 def main_r10(replicas: int) -> int:
     spark = get_spark("bench_scale_r10")
@@ -944,6 +1002,8 @@ def main() -> int:
         return main_r9d(replicas)
     if "--r10" in sys.argv:
         return main_r10(replicas)
+    if "--r10b" in sys.argv:
+        return main_r10b(replicas)
     spark = get_spark("bench_scale")
     spark.sparkContext.setLogLevel("ERROR")
     qs = queries()
