@@ -183,6 +183,7 @@ EXTRAS = [
     "ivf_nprobe_recall_curve",
     "quality_score_lift_scalable",
     "layout_pruning_eval",
+    "pretraining_data_report",
 ]
 
 

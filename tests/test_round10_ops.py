@@ -404,3 +404,25 @@ class TestTokenBudgetProperties:
                 assert 0 <= r["alloc_tokens"] <= r["cap_tokens"]
                 if r["weight"] == 0:
                     assert r["alloc_tokens"] == 0
+
+
+class TestPretrainingDataReport:
+    def test_members_consistent(self, spark):
+        from yelp_data_pipeline_spark.queries import (
+            q_dedup_composition_shift,
+            q_pretraining_data_report,
+            q_token_budget_allocation,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        r = q_pretraining_data_report(spark, sf).collect()[0]
+        # cluster-keyed split leaks nothing, by construction
+        assert r["clusterkeyed_leaked_pairs"] == 0
+        assert 0 < r["n_survivors"] <= r["n_docs"]
+        comp = q_dedup_composition_shift(spark, sf).collect()
+        assert r["n_docs"] == sum(x["n_before"] for x in comp)
+        assert r["n_survivors"] == sum(x["n_after"] for x in comp)
+        bud = q_token_budget_allocation(spark, sf).collect()
+        assert r["total_tokens"] == sum(x["tokens_available"] for x in bud)
+        assert r["alloc_tokens"] == sum(x["alloc_tokens"] for x in bud)
+        assert r["n_sources_capped"] == sum(1 for x in bud if x["capped"])
