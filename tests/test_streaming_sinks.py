@@ -446,3 +446,102 @@ def test_psi_monitor_sink_matches_batch_operator(spark, tmp_path):
     psi_monitor_sink(target, ref_path, "value")(mk(late[:4]), 0)
     assert sorted(map(tuple, spark.read.parquet(target).collect())) == before
     assert spark.read.parquet(target + "_monitor").count() == 3
+
+
+def test_conformal_monitor_sink_matches_batch_operator(spark, tmp_path):
+    """Streaming conformal-coverage monitor: freeze the calibration
+    on the md5 calib half, stream the test half in 3 micro-batches —
+    the final cumulative state must reproduce the oracle-verified
+    batch query's (n_test, coverage) per event_type bit-for-bit, and
+    a replayed batch must add neither counts nor a log row."""
+    import time
+
+    import pyspark.sql.functions as F
+
+    from yelp_data_pipeline_spark.functions.hashing import md5_long
+    from yelp_data_pipeline_spark.queries import q_conformal_event_intervals
+    from yelp_data_pipeline_spark.streaming.sinks import (
+        conformal_monitor_sink,
+        freeze_conformal_calibration,
+    )
+    from yelp_data_pipeline_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    base = (
+        load_table(spark, sf, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "event_id",
+            F.floor(F.col("value").cast("double") * 100.0 + 0.5)
+            .cast("long")
+            .alias("v"),
+            (md5_long(F.col("event_id").cast("string"), "conf") % 2 == 0)
+            .alias("is_calib"),
+        )
+    )
+    ref_path = str(tmp_path / "calib")
+    freeze_conformal_calibration(
+        base.where(F.col("is_calib")),
+        ref_path,
+        "event_type",
+        "v",
+        "event_id",
+    )
+
+    test_half = base.where(~F.col("is_calib")).select(
+        "event_type", "event_id", "v"
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):
+        test_half.where(F.pmod(F.col("event_id"), F.lit(3)) == i).coalesce(
+            1
+        ).write.parquet(str(src / f"b{i}"))
+        time.sleep(1.1)
+
+    target = str(tmp_path / "state")
+    stream = (
+        spark.readStream.schema(test_half.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            conformal_monitor_sink(target, ref_path, "event_type", "v")
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    state = {
+        r["event_type"]: (r["n_seen"], r["n_covered"])
+        for r in spark.read.parquet(target).collect()
+    }
+    batch = {
+        r["event_type"]: (r["n_test"], r["coverage"])
+        for r in q_conformal_event_intervals(spark, sf).collect()
+    }
+    assert set(state) == set(batch)
+    for et, (n_test, coverage) in batch.items():
+        n_seen, n_cov = state[et]
+        assert n_seen == n_test
+        assert round(n_cov / n_seen, 6) == coverage
+
+    log = spark.read.parquet(target + "_monitor")
+    n_log_rows = log.count()
+    last_batch = log.agg(F.max("batch_id")).collect()[0][0]
+
+    # replay: re-applying an old batch must be a no-op
+    replay_df = spark.read.parquet(str(src / "b0"))
+    conformal_monitor_sink(target, ref_path, "event_type", "v")(replay_df, 0)
+    assert spark.read.parquet(target + "_monitor").count() == n_log_rows
+    state2 = {
+        r["event_type"]: (r["n_seen"], r["n_covered"])
+        for r in spark.read.parquet(target).collect()
+    }
+    assert state2 == state
+    assert last_batch is not None

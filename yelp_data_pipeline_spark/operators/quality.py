@@ -971,6 +971,54 @@ def fd_audit(
     return out.orderBy("tbl", "lhs", "rhs")
 
 
+def conformal_calibrate(
+    calib: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    alpha_num: int = 1,
+    alpha_den: int = 10,
+) -> DataFrame:
+    """Calibration half of the split-conformal recipe: per group, the
+    mean predictor and qhat = the ceil((n+1)(1−α))-th smallest
+    absolute residual (pure-integer rank arithmetic, capped at n).
+    Returns (group, n_calib, mean_v, qhat) — the FROZEN artifact both
+    the batch eval (conformal_intervals) and the streaming coverage
+    monitor (streaming/sinks.py:conformal_monitor_sink) consume."""
+    cov_num = alpha_den - alpha_num
+    stats = calib.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_calib"),
+        F.sum(F.col(value_col).cast("long")).alias("sum_v"),
+    ).withColumn(
+        "mean_v",
+        F.col("sum_v").cast("double") / F.col("n_calib").cast("double"),
+    ).withColumn(
+        "r_rank",
+        F.least(
+            F.expr(
+                f"((n_calib + 1) * {cov_num} + {alpha_den} - 1) "
+                f"div {alpha_den}"
+            ),
+            F.col("n_calib"),
+        ),
+    )
+    from pyspark.sql import Window
+
+    res = calib.join(
+        F.broadcast(stats.select(group_col, "mean_v", "r_rank")), group_col
+    ).withColumn(
+        "resid",
+        F.abs(F.col(value_col).cast("double") - F.col("mean_v")),
+    )
+    w = Window.partitionBy(group_col).orderBy("resid", id_col)
+    q = (
+        res.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == F.col("r_rank"))
+        .select(group_col, F.col("resid").alias("qhat"))
+    )
+    return stats.select(group_col, "n_calib", "mean_v").join(q, group_col)
+
+
 def conformal_intervals(
     df: DataFrame,
     group_col: str,
@@ -1006,39 +1054,14 @@ def conformal_intervals(
     keep small), one broadcast join of the |groups|-row (mean, qhat)
     frame back onto the test half. Output is |groups| rows.
     """
-    cov_num = alpha_den - alpha_num
-    calib = df.where(F.col(calib_col))
-    stats = calib.groupBy(group_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_calib"),
-        F.sum(F.col(value_col).cast("long")).alias("sum_v"),
-    ).withColumn(
-        "mean_v",
-        F.col("sum_v").cast("double") / F.col("n_calib").cast("double"),
-    ).withColumn(
-        "r_rank",
-        F.least(
-            F.expr(
-                f"((n_calib + 1) * {cov_num} + {alpha_den} - 1) "
-                f"div {alpha_den}"
-            ),
-            F.col("n_calib"),
-        ),
+    gq = conformal_calibrate(
+        df.where(F.col(calib_col)),
+        group_col,
+        value_col,
+        id_col,
+        alpha_num=alpha_num,
+        alpha_den=alpha_den,
     )
-    from pyspark.sql import Window
-
-    res = calib.join(
-        F.broadcast(stats.select(group_col, "mean_v", "r_rank")), group_col
-    ).withColumn(
-        "resid",
-        F.abs(F.col(value_col).cast("double") - F.col("mean_v")),
-    )
-    w = Window.partitionBy(group_col).orderBy("resid", id_col)
-    q = (
-        res.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == F.col("r_rank"))
-        .select(group_col, F.col("resid").alias("qhat"))
-    )
-    gq = stats.select(group_col, "n_calib", "mean_v").join(q, group_col)
     test = df.where(~F.col(calib_col)).join(F.broadcast(gq), group_col)
     out = test.groupBy(group_col, "n_calib", "qhat").agg(
         F.count(F.lit(1)).cast("long").alias("n_test"),

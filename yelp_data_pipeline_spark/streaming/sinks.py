@@ -485,3 +485,148 @@ def psi_monitor_sink(
         )
 
     return sink
+
+
+def freeze_conformal_calibration(
+    calib_df: DataFrame,
+    ref_path: str,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    alpha_num: int = 1,
+    alpha_den: int = 10,
+) -> None:
+    """Materialize the FROZEN per-group (mean, qhat) conformal
+    calibration the coverage monitor scores every micro-batch against
+    — built once from a trusted window, never touched by the stream
+    (the freeze_psi_reference recipe applied to the conformal tier).
+    """
+    from ..operators.quality import conformal_calibrate
+
+    (
+        conformal_calibrate(
+            calib_df, group_col, value_col, id_col,
+            alpha_num=alpha_num, alpha_den=alpha_den,
+        )
+        .write.mode("overwrite")
+        .parquet(ref_path)
+    )
+
+
+def conformal_cover_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    target_path: str,
+    ref_path: str,
+    group_col: str,
+    value_col: str,
+) -> bool:
+    """Fold one micro-batch's per-group (n_seen, n_covered) counts
+    into the monitor's cumulative state — a MONOID (counts add), so
+    the batch-id ledger is REQUIRED for replay safety, same recipe as
+    the PSI/CMS/histogram sinks. covered = |value − mean| ≤ qhat
+    against the frozen broadcast calibration; state is |groups| rows.
+    Returns False if the batch was already applied.
+    """
+    spark = batch_df.sparkSession
+    ledger = target_path + "_applied"
+    os.makedirs(ledger, exist_ok=True)
+    marker = os.path.join(ledger, f"batch-{batch_id}")
+    if os.path.exists(marker):
+        return False
+    ref = spark.read.parquet(ref_path).select(group_col, "mean_v", "qhat")
+    grid = (
+        batch_df.where(F.col(value_col).isNotNull())
+        .join(F.broadcast(ref), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_seen"),
+            F.sum(
+                F.when(
+                    F.abs(
+                        F.col(value_col).cast("double") - F.col("mean_v")
+                    )
+                    <= F.col("qhat"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_covered"),
+        )
+    )
+    if os.path.exists(target_path):
+        grid = (
+            spark.read.parquet(target_path)
+            .unionByName(grid)
+            .groupBy(group_col)
+            .agg(
+                F.sum("n_seen").cast("long").alias("n_seen"),
+                F.sum("n_covered").cast("long").alias("n_covered"),
+            )
+        )
+    staged = f"{target_path}.staged-{batch_id}"
+    grid.write.mode("overwrite").parquet(staged)
+    old = f"{target_path}.old-{batch_id}"
+    if os.path.exists(target_path):
+        os.rename(target_path, old)
+    os.rename(staged, target_path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    with open(marker, "w") as f:
+        f.write("")
+    return True
+
+
+def conformal_monitor_sink(
+    target_path: str,
+    ref_path: str,
+    group_col: str,
+    value_col: str,
+    alpha_num: int = 1,
+    alpha_den: int = 10,
+):
+    """``foreachBatch`` conformal-coverage monitor: fold the batch
+    into the cumulative per-group coverage state, then APPEND one
+    (batch_id, group, n_seen, n_covered, coverage, breach) row per
+    group to ``target_path + "_monitor"`` — the alert log that says
+    whether the deployed interval still holds its ≥ 1−α guarantee on
+    live data (a breach means the exchangeability assumption broke:
+    drift). The breach test is EXACT integer arithmetic
+    (n_covered·den < n_seen·(den−num)), no float thresholds; the
+    monitor append rides the same ledger decision as the state fold,
+    so a replayed batch adds neither counts nor a duplicate log row.
+    The cumulative state over a replayed split reproduces the batch
+    operator's (conformal_intervals) n_test/coverage bit-for-bit —
+    pinned in tests/test_streaming_sinks.py.
+    """
+    cov_num = alpha_den - alpha_num
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        applied = conformal_cover_batch(
+            batch_df, batch_id, target_path, ref_path, group_col, value_col
+        )
+        if not applied:
+            return
+        spark = batch_df.sparkSession
+        cur = spark.read.parquet(target_path)
+        (
+            cur.select(
+                F.lit(batch_id).cast("long").alias("batch_id"),
+                F.col(group_col),
+                "n_seen",
+                "n_covered",
+                F.round(
+                    F.col("n_covered").cast("double")
+                    / F.col("n_seen").cast("double"),
+                    6,
+                ).alias("coverage"),
+                (
+                    F.col("n_covered") * F.lit(alpha_den)
+                    < F.col("n_seen") * F.lit(cov_num)
+                ).alias("breach"),
+            )
+            .write.mode("append")
+            .parquet(target_path + "_monitor")
+        )
+
+    return sink
