@@ -121,6 +121,23 @@ DEFAULT_AUDIT = [
     "ann_prefilter_vs_postfilter",
     "mmr_diversified_topk",
     "retrieval_health_report",
+    # round 10: the composite report (LSH + CC + both leakage arms off
+    # one persisted pair relation), the dup-matrix spine (the
+    # AQE-limit-elision lesson), the banding/nprobe tuning curves,
+    # the no-global-window lift path, HITS, and the layout eval.
+    "pretraining_data_report",
+    "cross_source_dup_matrix",
+    "minhash_band_tuning_curve",
+    "ivf_nprobe_recall_curve",
+    "quality_score_lift_scalable",
+    "part_supplier_hits",
+    "layout_pruning_eval",
+    "conformal_event_intervals",
+    "quantile_normalized_doclens",
+    "token_budget_allocation",
+    "bloom_fpr_eval",
+    "price_qty_discount_ols",
+    "dedup_composition_shift",
 ]
 
 
