@@ -426,3 +426,38 @@ class TestPretrainingDataReport:
         assert r["total_tokens"] == sum(x["tokens_available"] for x in bud)
         assert r["alloc_tokens"] == sum(x["alloc_tokens"] for x in bud)
         assert r["n_sources_capped"] == sum(1 for x in bud if x["capped"])
+
+
+class TestTimeWeightedMean:
+    def test_burst_robustness_hand_computed(self, spark):
+        from yelp_data_pipeline_spark.operators import timeseries as ts
+
+        # value 100 holds 10s, then a 1s burst of 10 readings at 2000,
+        # then back to 100 for 10s: naive mean is inflated by the
+        # burst; time-weighted is not.
+        rows = [("a", 1, "2024-01-01 00:00:00", 100)]
+        for i in range(10):
+            rows.append(("a", 10 + i, f"2024-01-01 00:00:{10 + i // 10}.{i % 10}", 2000))
+        rows.append(("a", 99, "2024-01-01 00:00:11", 100))
+        rows.append(("a", 100, "2024-01-01 00:00:21", 100))
+        df = spark.createDataFrame(
+            rows, "g string, rid long, ts_s string, v long"
+        ).select("g", "rid", F.col("ts_s").cast("timestamp").alias("ts"), "v")
+        r = ts.time_weighted_mean(df, "g", "ts", "v", "rid").collect()[0]
+        assert r["n_points"] == 13
+        # naive mean heavily pulled toward 2000 by the burst rows
+        assert r["naive_mean"] > 15.0
+        # time-weighted: 2000 held only ~1s of the 21s span
+        assert r["time_weighted_mean"] < 3.0
+        assert r["span_us"] == 21_000_000
+
+    def test_constant_value_twa_equals_value(self, spark):
+        from yelp_data_pipeline_spark.operators import timeseries as ts
+
+        rows = [("a", i, f"2024-01-01 00:00:{i:02d}", 500) for i in range(5)]
+        df = spark.createDataFrame(
+            rows, "g string, rid long, ts_s string, v long"
+        ).select("g", "rid", F.col("ts_s").cast("timestamp").alias("ts"), "v")
+        r = ts.time_weighted_mean(df, "g", "ts", "v", "rid").collect()[0]
+        assert r["time_weighted_mean"] == 5.0
+        assert r["naive_mean"] == 5.0

@@ -1936,3 +1936,75 @@ def ols_multifeature_fit(
         F.round(b2, round_to).alias("b2"),
         F.round(r2, round_to).alias("r2"),
     )
+
+
+def time_weighted_mean(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_int_col: str,
+    id_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Time-weighted mean over IRREGULARLY sampled values per group —
+    the TSDB-standard LOCF integral (TimescaleDB's time_weight, Flux's
+    timeWeightedAvg): each observation holds until the next one, so
+
+        twa = Σ v_i·(t_{i+1} − t_i) / (t_N − t_0)
+
+    The naive row mean over-weights bursts (ten readings in one busy
+    second count ten times); the time integral weights by how LONG a
+    value held — the correct aggregate for sampled gauges, sensor
+    states, and sparse telemetry.
+
+    Exactness: value must be an exact integer (cents); the per-row
+    product value·Δt_µs exits int64 (~2·10¹⁹ for month-long holds), so
+    products and their sum accumulate in DECIMAL(38,0) — exact and
+    order-independent — and ONLY the final ratio is a double, rounded.
+    The Δt chain is a per-group lead() window ordered by (ts, id) —
+    a unique total order, parallel across groups, never global.
+
+    Returns (group, n_points, span_us, naive_mean, time_weighted_mean)
+    with means in value units (cents / 100).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(ts_col, id_col)
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    stepped = (
+        df.where(F.col(value_int_col).isNotNull())
+        .withColumn("__t", us(ts_col))
+        .withColumn("__t_next", F.lead("__t").over(w))
+        .withColumn("__dt", F.col("__t_next") - F.col("__t"))
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = stepped.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum(F.col(value_int_col).cast("long")).alias("sum_v"),
+        F.sum(F.when(F.col("__dt").isNotNull(), F.col("__dt"))).cast(
+            "long"
+        ).alias("span_us"),
+        F.sum(
+            F.when(
+                F.col("__dt").isNotNull(),
+                dec(F.col(value_int_col)) * dec(F.col("__dt")),
+            )
+        ).alias("sum_vdt"),
+    )
+    naive = (
+        F.col("sum_v").cast("double") / F.col("n_points").cast("double")
+    ) / F.lit(100.0)
+    twa = F.when(
+        F.col("span_us") > 0,
+        (
+            F.col("sum_vdt").cast("double") / F.col("span_us").cast("double")
+        )
+        / F.lit(100.0),
+    )
+    return agg.select(
+        group_col,
+        "n_points",
+        F.coalesce("span_us", F.lit(0)).cast("long").alias("span_us"),
+        F.round(naive, round_to).alias("naive_mean"),
+        F.round(twa, round_to).alias("time_weighted_mean"),
+    ).orderBy(group_col)

@@ -15303,6 +15303,61 @@ def q_minhash_band_tuning_curve(spark, sf_dir):
 
 
 @_q(
+    "time_weighted_event_means",
+    """
+WITH base AS (
+  SELECT event_type, event_id,
+         CAST(FLOOR(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS v,
+         epoch_us(ts) AS t
+  FROM events WHERE value IS NOT NULL
+),
+stepped AS (
+  SELECT event_type, v,
+         lead(t) OVER (PARTITION BY event_type ORDER BY t, event_id) - t
+           AS dt
+  FROM base
+),
+agg AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_points,
+         CAST(sum(v) AS BIGINT) AS sum_v,
+         CAST(sum(CASE WHEN dt IS NOT NULL THEN dt END) AS BIGINT)
+           AS span_us,
+         sum(CASE WHEN dt IS NOT NULL THEN CAST(v AS HUGEINT) * dt END)
+           AS sum_vdt
+  FROM stepped GROUP BY event_type
+)
+SELECT event_type, n_points,
+       CAST(coalesce(span_us, 0) AS BIGINT) AS span_us,
+       round(CAST(sum_v AS DOUBLE) / CAST(n_points AS DOUBLE) / 100.0, 6)
+         AS naive_mean,
+       CASE WHEN span_us > 0 THEN
+         round(CAST(sum_vdt AS DOUBLE) / CAST(span_us AS DOUBLE) / 100.0, 6)
+       END AS time_weighted_mean
+FROM agg ORDER BY event_type
+""",
+    doc="Time-weighted mean event value per type over the IRREGULAR "
+    "event stream (operators/timeseries.py:time_weighted_mean) — the "
+    "TSDB-standard LOCF integral (TimescaleDB time_weight): each "
+    "value holds until the next observation, so burst seconds stop "
+    "over-weighting the mean; reported NEXT to the naive row mean so "
+    "the sampling bias is visible per type. Exact DECIMAL(38,0) "
+    "value*microsecond products (the per-row product exits int64); "
+    "per-type lead() windows, parallel across types, never global.",
+)
+def q_time_weighted_event_means(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.floor(F.col("value").cast("double") * 100.0 + 0.5)
+        .cast("long")
+        .alias("v"),
+    )
+    return ts_ops.time_weighted_mean(e, "event_type", "ts", "v", "event_id")
+
+
+@_q(
     "pretraining_data_report",
     "WITH comp AS (SELECT * FROM ("
     + _oracle_of("dedup_composition_shift")
