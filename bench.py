@@ -184,6 +184,7 @@ EXTRAS = [
     "quality_score_lift_scalable",
     "layout_pruning_eval",
     "pretraining_data_report",
+    "time_weighted_event_means",
 ]
 
 

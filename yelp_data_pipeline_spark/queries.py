@@ -15526,6 +15526,7 @@ _EXPORT_PRIORITY: list[str] = [
     "quality_score_lift_scalable",
     "layout_pruning_eval",
     "pretraining_data_report",
+    "time_weighted_event_means",
     # (2) the 15 never-verdicted round-9 late additions:
     "fd_discovery_audit",
     "heavy_hitter_error_report",
@@ -15550,8 +15551,9 @@ _EXPORT_PRIORITY: list[str] = [
     "shipping_priority_top10",
     "top_orders_with_ties",
     "sampled_documents",
-    # (4) 15 of the 46 round-4-stale names (decorator order). The
-    #     31 deferred to lead round 11: clean_pyrepr_attributes,
+    # (4) 14 of the 46 round-4-stale names (decorator order). The
+    #     32 deferred to lead round 11: quantity_buckets,
+    #     clean_pyrepr_attributes,
     #     split_hours_range,
     #     json_extract_props,
     #     split_array_counts,
@@ -15585,7 +15587,6 @@ _EXPORT_PRIORITY: list[str] = [
     "customers_without_urgent_orders",
     "filtered_lineitems",
     "lineitem_date_parts",
-    "quantity_buckets",
 ]
 
 
