@@ -185,6 +185,7 @@ EXTRAS = [
     "layout_pruning_eval",
     "pretraining_data_report",
     "time_weighted_event_means",
+    "int8_recall_eval",
 ]
 
 

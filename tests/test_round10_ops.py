@@ -461,3 +461,15 @@ class TestTimeWeightedMean:
         r = ts.time_weighted_mean(df, "g", "ts", "v", "rid").collect()[0]
         assert r["time_weighted_mean"] == 5.0
         assert r["naive_mean"] == 5.0
+
+
+class TestInt8RecallEval:
+    def test_high_fidelity_at_64_dims(self, spark):
+        from yelp_data_pipeline_spark.queries import q_int8_recall_eval
+
+        r = q_int8_recall_eval(spark, "/root/testdata/sf0.001").collect()[0]
+        # int8 symmetric quantization at 64 dims is near-lossless
+        assert r["mean_recon_cosine"] > 0.999
+        assert r["mean_recall_at_10"] > 0.9
+        assert r["total_hits"] <= r["n_queries"] * 10
+        assert r["n_vectors"] > 0

@@ -15302,6 +15302,145 @@ def q_minhash_band_tuning_curve(spark, sf_dir):
     )
 
 
+_INT8_QZ_CTE = """base AS (
+  SELECT vec_id, embedding,
+         list_aggregate(list_transform(embedding,
+                                       x -> abs(CAST(x AS DOUBLE))), 'max')
+           AS m
+  FROM embeddings
+),
+qz AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / m)
+                                  AS INT)) AS qvec
+  FROM base WHERE m > 0
+)"""
+
+
+@_q(
+    "int8_recall_eval",
+    f"""
+WITH {_INT8_QZ_CTE},
+rc AS (
+  SELECT round({cosine_sql('embedding', 'qvec', _EMB_DIM)}, 6) AS c FROM qz
+),
+mr AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+         round(CAST(sum(CAST(c AS DECIMAL(18,6))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE), 6) AS mean_recon_cosine
+  FROM rc
+),
+q AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20
+),
+brute AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, e.vec_id,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY round({cosine_sql('e.embedding', 'q.qv', _EMB_DIM)}, 6)
+                        DESC,
+                      e.vec_id ASC) AS rn
+    FROM embeddings e, q
+  ) WHERE rn <= 10
+),
+i8 AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, z.vec_id,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY round({cosine_sql('z.qvec', 'q.qv', _EMB_DIM)}, 6)
+                        DESC,
+                      z.vec_id ASC) AS rn
+    FROM qz z, q
+  ) WHERE rn <= 10
+),
+h AS (
+  SELECT CAST(count(*) AS BIGINT) AS total_hits
+  FROM brute b JOIN i8 ON b.qid = i8.qid AND b.vec_id = i8.vec_id
+),
+nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries FROM q)
+SELECT mr.n_vectors, mr.mean_recon_cosine, nq.n_queries, h.total_hits,
+       round(CAST(h.total_hits AS DOUBLE)
+             / (CAST(nq.n_queries AS DOUBLE) * 10.0), 6)
+         AS mean_recall_at_10
+FROM mr, nq, h
+""",
+    doc="Accuracy eval for the int8 scalar quantization "
+    "(quantized_embeddings; operators/similarity.py:"
+    "quantize_embeddings) — the eval the quantization tier owed "
+    "(PQ has pq_recall_eval, JL has jl_distortion_pairs): mean "
+    "per-vector reconstruction cosine (scale cancels in cosine, so "
+    "it is measured against the raw int codes; per-vector values "
+    "rounded 6dp then accumulated in DECIMAL — order-independent) "
+    "and recall@10 of full-precision queries against the QUANTIZED "
+    "corpus vs the exact ranking, over the standard 20-query set. "
+    "The 4x-shrink-for-how-much-recall number an index deployment "
+    "decides on. Single quantize+cosine scan feeds the distortion "
+    "arm; both rank arms are one corpus scan each.",
+)
+def q_int8_recall_eval(spark, sf_dir):
+    from .functions.vectors import cosine
+    from .session import track_persist
+
+    emb = _t(spark, sf_dir, "embeddings")
+    absmax = F.array_max(
+        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    )
+    qz = track_persist(
+        emb.withColumn("__m", absmax)
+        .where(F.col("__m") > 0)
+        .select(
+            "vec_id",
+            "embedding",
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.round(
+                    x.cast("double") * F.lit(127.0) / F.col("__m")
+                ).cast("int"),
+            ).alias("qvec"),
+        )
+    )
+    rc = qz.select(
+        F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias("c")
+    )
+    mr = rc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.round(
+            F.sum(F.col("c").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_recon_cosine"),
+    )
+    qs = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    brute = sim.cosine_topk_batch(emb, qs, k=10).select("qid", "vec_id")
+    i8 = sim.cosine_topk_batch(
+        qz.select("vec_id", F.col("qvec").alias("embedding")), qs, k=10
+    ).select("qid", "vec_id")
+    h = brute.join(i8, ["qid", "vec_id"]).agg(
+        F.count(F.lit(1)).cast("long").alias("total_hits")
+    )
+    nq = qs.agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
+    return (
+        mr.crossJoin(F.broadcast(nq))
+        .crossJoin(F.broadcast(h))
+        .select(
+            "n_vectors",
+            "mean_recon_cosine",
+            "n_queries",
+            "total_hits",
+            F.round(
+                F.col("total_hits").cast("double")
+                / (F.col("n_queries").cast("double") * F.lit(10.0)),
+                6,
+            ).alias("mean_recall_at_10"),
+        )
+    )
+
+
 @_q(
     "time_weighted_event_means",
     """
@@ -15527,6 +15666,7 @@ _EXPORT_PRIORITY: list[str] = [
     "layout_pruning_eval",
     "pretraining_data_report",
     "time_weighted_event_means",
+    "int8_recall_eval",
     # (2) the 15 never-verdicted round-9 late additions:
     "fd_discovery_audit",
     "heavy_hitter_error_report",
@@ -15551,8 +15691,9 @@ _EXPORT_PRIORITY: list[str] = [
     "shipping_priority_top10",
     "top_orders_with_ties",
     "sampled_documents",
-    # (4) 14 of the 46 round-4-stale names (decorator order). The
-    #     32 deferred to lead round 11: quantity_buckets,
+    # (4) 13 of the 46 round-4-stale names (decorator order). The
+    #     33 deferred to lead round 11: lineitem_date_parts,
+    #     quantity_buckets,
     #     clean_pyrepr_attributes,
     #     split_hours_range,
     #     json_extract_props,
@@ -15586,7 +15727,6 @@ _EXPORT_PRIORITY: list[str] = [
     "customers_with_urgent_orders",
     "customers_without_urgent_orders",
     "filtered_lineitems",
-    "lineitem_date_parts",
 ]
 
 
