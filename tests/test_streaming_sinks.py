@@ -545,3 +545,48 @@ def test_conformal_monitor_sink_matches_batch_operator(spark, tmp_path):
     }
     assert state2 == state
     assert last_batch is not None
+
+
+def test_conformal_monitor_flags_breach_on_shifted_stream(spark, tmp_path):
+    """When the live distribution shifts away from the calibration
+    window, coverage drops below 1-alpha and the monitor's exact
+    integer breach test fires."""
+    import pyspark.sql.functions as F
+
+    from yelp_data_pipeline_spark.streaming.sinks import (
+        conformal_monitor_sink,
+        freeze_conformal_calibration,
+    )
+
+    # calibration: tight values around 1000 cents
+    calib = spark.createDataFrame(
+        [("a", i, 1000 + (i % 5)) for i in range(40)],
+        "g string, rid long, v long",
+    )
+    ref_path = str(tmp_path / "calib")
+    freeze_conformal_calibration(calib, ref_path, "g", "v", "rid")
+
+    # live batch: shifted by 10x the calibration spread
+    shifted = spark.createDataFrame(
+        [("a", 100 + i, 1500 + i) for i in range(20)],
+        "g string, rid long, v long",
+    )
+    target = str(tmp_path / "state")
+    conformal_monitor_sink(target, ref_path, "g", "v")(shifted, 0)
+
+    row = spark.read.parquet(target + "_monitor").collect()[0]
+    assert row["n_seen"] == 20
+    assert row["n_covered"] == 0
+    assert row["coverage"] == 0.0
+    assert bool(row["breach"]) is True
+
+    # an in-distribution batch pulls coverage back up; breach clears
+    ok = spark.createDataFrame(
+        [("a", 200 + i, 1000 + (i % 5)) for i in range(180)],
+        "g string, rid long, v long",
+    )
+    conformal_monitor_sink(target, ref_path, "g", "v")(ok, 1)
+    rows = {r["batch_id"]: r for r in
+            spark.read.parquet(target + "_monitor").collect()}
+    assert rows[1]["n_seen"] == 200
+    assert bool(rows[1]["breach"]) is False
