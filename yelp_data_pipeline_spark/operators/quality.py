@@ -760,11 +760,10 @@ def score_lift_table_scalable(
     from ..session import track_persist
 
     scored = track_persist(scored)
-    ranked = scalable_unique_ranks(scored, "__neg_s", "__id").join(
-        scored.select("__id", "y"), "__id"
-    )
-    n = scored.agg(F.count(F.lit(1)).cast("long").alias("__n_rows_total"))
-    binned = ranked.crossJoin(F.broadcast(n)).withColumn(
+    ranked = scalable_unique_ranks(
+        scored, "__neg_s", "__id", attach_total_col="__n_rows_total"
+    ).join(scored.select("__id", "y"), "__id")
+    binned = ranked.withColumn(
         "decile",
         (
             F.floor(

@@ -244,6 +244,7 @@ def scalable_unique_ranks(
     value_col: str,
     tiebreak_col: str,
     num_range_parts: int | None = None,
+    attach_total_col: str | None = None,
 ) -> DataFrame:
     """Exact global UNIQUE rank (row_number by (value asc, tiebreak
     asc)) without a global window — the same distributed-rank
@@ -257,6 +258,12 @@ def scalable_unique_ranks(
     integers and IEEE doubles alike).
 
     Returns df's (tiebreak_col, value_col) plus ``rn`` (1-based long).
+    ``attach_total_col`` additionally attaches the TOTAL row count as
+    a literal column of that name: the algorithm already knows it
+    from the bounded subtotal collect, so rank-fraction consumers
+    (decile bins, top-p%% gates) get N for free instead of paying a
+    count aggregate + cross join — which would also sit as an opaque
+    nested loop over the persisted input in the executed plan.
     """
     spark = df.sparkSession
     p = int(
@@ -291,7 +298,7 @@ def scalable_unique_ranks(
         (F.col("__off") + F.col("__cum_le") - F.col("__cnt")).alias("__cb"),
     )
     wtie = Window.partitionBy(value_col).orderBy(tiebreak_col)
-    return (
+    out = (
         df.select(tiebreak_col, value_col)
         .join(ranked_vals, value_col)
         .withColumn(
@@ -300,3 +307,8 @@ def scalable_unique_ranks(
         )
         .drop("__cb")
     )
+    if attach_total_col is not None:
+        out = out.withColumn(
+            attach_total_col, F.lit(acc).cast("long")
+        )
+    return out
