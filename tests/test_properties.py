@@ -896,3 +896,35 @@ def test_fd_audit_matches_bruteforce(spark, rows):
     assert r["violating_lhs"] == sum(1 for s in seen.values() if len(s) > 1)
     assert r["surplus_rhs"] == sum(len(s) - 1 for s in seen.values())
     assert r["holds"] == (r["violating_lhs"] == 0)
+
+
+@given(
+    vals=st.lists(st.integers(-50, 50), min_size=1, max_size=40),
+)
+@settings(**SETTINGS)
+def test_scalable_unique_ranks_equals_global_window(spark, vals):
+    """The distributed rank (range partition + offsets + tie windows)
+    must equal row_number over a global window for ANY multiset,
+    including heavy ties and negative values; the attached literal
+    total must equal the row count."""
+    from pyspark.sql import Window
+
+    from yelp_data_pipeline_spark.operators.windows import (
+        scalable_unique_ranks,
+    )
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "rid long, v long")
+    got = {
+        r["rid"]: (r["rn"], r["n"])
+        for r in scalable_unique_ranks(
+            df, "v", "rid", attach_total_col="n"
+        ).collect()
+    }
+    w = Window.orderBy("v", "rid")
+    want = {
+        r["rid"]: r["rn"]
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == want
+    assert all(n == len(vals) for _, n in got.values())
