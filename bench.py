@@ -186,6 +186,8 @@ EXTRAS = [
     "pretraining_data_report",
     "time_weighted_event_means",
     "int8_recall_eval",
+    "image_dhash_fingerprints",
+    "image_neardup_pairs",
 ]
 
 

@@ -473,3 +473,54 @@ class TestInt8RecallEval:
         assert r["mean_recall_at_10"] > 0.9
         assert r["total_hits"] <= r["n_queries"] * 10
         assert r["n_vectors"] > 0
+
+
+class TestImageDhashDedup:
+    def _bmp_df(self, spark, images):
+        """images: list of (id, w, h, pixel_fn(y, x) -> (r, g, b))."""
+        from yelp_data_pipeline_spark.operators.multimodal import build_bmp
+
+        rows = []
+        for did, w, h, fn in images:
+            px = bytearray()
+            for y in range(h):
+                for x in range(w):
+                    px.extend(fn(y, x))
+            rows.append((did, build_bmp(bytes(px), w, h)))
+        return spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    def test_planted_neardup_found_unrelated_not(self, spark):
+        from yelp_data_pipeline_spark.operators import multimodal as mm
+
+        grad = lambda y, x: (x * 12 % 256,) * 3          # noqa: E731
+        def grad_dot(y, x):                              # one edited patch
+            if (y, x) == (3, 3):
+                return ((x * 12 + 40) % 256,) * 3
+            return grad(y, x)
+        rev = lambda y, x: ((255 - x * 12) % 256,) * 3   # noqa: E731
+        df = self._bmp_df(
+            spark,
+            [(1, 18, 14, grad), (2, 18, 14, grad_dot), (3, 18, 14, rev)],
+        )
+        sigs = mm.image_dhash(df)
+        pairs = {
+            (r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in mm.image_neardup_pairs(sigs).collect()
+        }
+        assert (1, 2) in pairs            # one-patch edit stays near
+        assert pairs[(1, 2)] <= 3
+        assert (1, 3) not in pairs        # reversed gradient is far
+        assert (2, 3) not in pairs
+
+    def test_brightness_shift_invariance(self, spark):
+        # dHash compares neighbors, so a uniform brightness shift that
+        # does not wrap produces the IDENTICAL hash.
+        from yelp_data_pipeline_spark.operators import multimodal as mm
+
+        base = lambda y, x: (10 + x * 9, 10 + x * 9, 10 + x * 9)  # noqa: E731
+        brighter = lambda y, x: (50 + x * 9, 50 + x * 9, 50 + x * 9)  # noqa: E731
+        df = self._bmp_df(
+            spark, [(1, 20, 7, base), (2, 20, 7, brighter)]
+        )
+        hs = {r["doc_id"]: r["dhash"] for r in mm.image_dhash(df).collect()}
+        assert hs[1] == hs[2]

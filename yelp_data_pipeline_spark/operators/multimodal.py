@@ -526,3 +526,126 @@ def resize_bmp_nearest(
     return df.select(id_col, payload_col).mapInPandas(
         _resize, f"{id_col} long, out_w int, out_h int, px_md5 string"
     )
+
+
+def image_dhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    hash_w: int = 8,
+    hash_h: int = 7,
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) from IMAGE BYTES — the
+    standard near-duplicate fingerprint for image corpora (the
+    LAION-style multimodal dedup move): parse the BMP, integer
+    grayscale via the fixed-point BT.601 luma (77R + 150G + 29B) >> 8
+    (no floats, engine-replayable), nearest-neighbor resample to
+    (hash_h, hash_w + 1), then one bit per horizontal neighbor
+    comparison — visually similar images (re-encodes, small edits,
+    brightness shifts that preserve gradients) land within a few bits.
+
+    hash_w × hash_h defaults to 8 × 7 = 56 bits — inside a
+    non-negative int64 (SimHash's width here, so the banding algebra
+    below is shared) — packed little-endian (bit k = row k//8,
+    col k%8).
+
+    Runs as one Arrow mapInPandas batch over (id, payload); all pixel
+    math is numpy on the decoded buffer. Output: (id, width, height,
+    dhash long).
+    """
+    import numpy as np
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                m = parse_bmp(bytes(payload))
+                arr = (
+                    np.frombuffer(m["pixels"], dtype=np.uint8)
+                    .reshape(m["height"], m["width"], 3)
+                    .astype(np.int64)
+                )
+                luma = (
+                    77 * arr[:, :, 0] + 150 * arr[:, :, 1] + 29 * arr[:, :, 2]
+                ) // 256
+                ys = (np.arange(hash_h) * m["height"]) // hash_h
+                xs = (np.arange(hash_w + 1) * m["width"]) // (hash_w + 1)
+                g = luma[ys][:, xs]
+                bits = (g[:, 1:] > g[:, :-1]).astype(np.int64).flatten()
+                h = int(sum(int(b) << k for k, b in enumerate(bits)))
+                out.append((int(did), m["width"], m["height"], h))
+            yield pd.DataFrame(
+                out, columns=[id_col, "width", "height", "dhash"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _hash, f"{id_col} long, width int, height int, dhash long"
+    )
+
+
+def image_neardup_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+    max_hamming: int = 6,
+    bands: int = 7,
+    band_bits: int = 8,
+) -> DataFrame:
+    """Near-duplicate image pairs from dHash signatures via the
+    SimHash banding algebra: 56 bits → 7 bands × 8 bits; a pair
+    within hamming ≤ 6 differs in at most 6 bands, so by pigeonhole
+    it COLLIDES in at least one band — the banding is LOSSLESS for
+    the verified radius (the oracle checks recall against exact
+    all-pairs, not just replay). Candidates are verified with
+    bit_count(a XOR b) ≤ max_hamming in pure codegen.
+
+    Scale: the band explode is bands rows per image; the self-join is
+    bucketed by (band_id, 8-bit key) — never n². Output: (doc_a,
+    doc_b, hamming), doc_a < doc_b.
+    """
+    assert max_hamming < bands, "banding loses pairs beyond bands-1 bits"
+    s = sigs.select(
+        F.col(id_col).alias("doc"), F.col(hash_col).alias("h")
+    )
+    bl = s.select(
+        "doc",
+        "h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.expr(
+                            f"CAST((h >> {b * band_bits}) "
+                            f"& {(1 << band_bits) - 1} AS INT)"
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc", "h", F.col("bk.band_id"), F.col("bk.key"))
+    a, b_ = bl.alias("a"), bl.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.h").alias("ha"),
+            F.col("b.h").alias("hb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.expr("CAST(bit_count(ha ^ hb) AS INT)"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

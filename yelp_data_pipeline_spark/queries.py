@@ -3743,6 +3743,89 @@ def q_multimodal_bmp_resize(spark, sf_dir):
     return mm.resize_bmp_nearest(d, out_w=8, out_h=8)
 
 
+def _dhash_luma_sql(y: str, x: str) -> str:
+    """DuckDB fixed-point BT.601 luma of the formula pixel at (y, x)."""
+    def px(c: int) -> str:
+        return (
+            f"((doc_id * 31 + (({y}) * w * 3 + ({x}) * 3 + {c}) * 7) % 256)"
+        )
+
+    return f"((77 * {px(0)} + 150 * {px(1)} + 29 * {px(2)}) // 256)"
+
+
+_DHASH_SQL = (
+    "CAST(list_sum(list_transform(generate_series(0, 55), k -> "
+    "CASE WHEN "
+    + _dhash_luma_sql("((k // 8) * h) // 7", "(((k % 8) + 1) * w) // 9")
+    + " > "
+    + _dhash_luma_sql("((k // 8) * h) // 7", "((k % 8) * w) // 9")
+    + " THEN (CAST(1 AS BIGINT) << CAST(k AS INT)) ELSE 0 END)) AS BIGINT)"
+)
+
+
+@_q(
+    "image_dhash_fingerprints",
+    f"""
+WITH dims AS (
+  SELECT doc_id,
+         8 + (doc_id % 5) * 4 AS w,
+         6 + (doc_id % 3) * 6 AS h
+  FROM documents
+)
+SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       {_DHASH_SQL} AS dhash
+FROM dims ORDER BY doc_id
+""",
+    doc="Perceptual difference-hash from IMAGE BYTES "
+    "(operators/multimodal.py:image_dhash): BMP parse -> fixed-point "
+    "BT.601 integer luma -> nearest-neighbor 9x7 resample -> one bit "
+    "per horizontal neighbor comparison, 56 bits packed into a "
+    "non-negative long — the standard image near-dup fingerprint "
+    "(LAION-style multimodal dedup). The oracle replays luma + "
+    "resample + comparison arithmetic on the formula pixels WITHOUT "
+    "touching bytes, so the hash only matches if the whole byte path "
+    "(bottom-up un-flip, stride strip, reshape, channel order) is "
+    "exact. One Arrow mapInPandas stage; all else is arithmetic.",
+)
+def q_image_dhash_fingerprints(spark, sf_dir):
+    d = mm.attach_bmp_payload(_t(spark, sf_dir, "documents"))
+    return mm.image_dhash(d).orderBy("doc_id")
+
+
+@_q(
+    "image_neardup_pairs",
+    f"""
+WITH dims AS (
+  SELECT doc_id,
+         8 + (doc_id % 5) * 4 AS w,
+         6 + (doc_id % 3) * 6 AS h
+  FROM documents
+),
+sig AS (SELECT doc_id, {_DHASH_SQL} AS dhash FROM dims)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+ORDER BY doc_a, doc_b
+""",
+    doc="Near-duplicate IMAGE pairs (operators/multimodal.py:"
+    "image_neardup_pairs): dHash signatures banded 7 x 8 bits — a "
+    "pair within hamming <= 6 differs in at most 6 bands, so by "
+    "pigeonhole it collides in at least one band: the banding is "
+    "LOSSLESS for the verified radius, and the oracle is the EXACT "
+    "all-pairs query (not a replay), so every sweep proves recall. "
+    "Candidates bucket-join on (band_id, 8-bit key), verify via one "
+    "codegen bit_count(xor); the fixture's formula images share a "
+    "constant-shift structure that yields genuine near-dup structure "
+    "(~1.5k pairs at 500 images). Extends the dedup tier to the "
+    "multimodal column.",
+)
+def q_image_neardup_pairs(spark, sf_dir):
+    d = mm.attach_bmp_payload(_t(spark, sf_dir, "documents"))
+    sigs = mm.image_dhash(d)
+    return mm.image_neardup_pairs(sigs).orderBy("doc_a", "doc_b")
+
+
 @_q(
     "multimodal_frame_sample",
     _WAV_ORACLE_BASE + """,
@@ -15667,6 +15750,8 @@ _EXPORT_PRIORITY: list[str] = [
     "pretraining_data_report",
     "time_weighted_event_means",
     "int8_recall_eval",
+    "image_dhash_fingerprints",
+    "image_neardup_pairs",
     # (2) the 15 never-verdicted round-9 late additions:
     "fd_discovery_audit",
     "heavy_hitter_error_report",
@@ -15691,8 +15776,9 @@ _EXPORT_PRIORITY: list[str] = [
     "shipping_priority_top10",
     "top_orders_with_ties",
     "sampled_documents",
-    # (4) 13 of the 46 round-4-stale names (decorator order). The
-    #     33 deferred to lead round 11: lineitem_date_parts,
+    # (4) 11 of the 46 round-4-stale names (decorator order). The
+    #     35 deferred to lead round 11: customers_without_urgent_orders,
+    #     filtered_lineitems, lineitem_date_parts,
     #     quantity_buckets,
     #     clean_pyrepr_attributes,
     #     split_hours_range,
@@ -15725,8 +15811,6 @@ _EXPORT_PRIORITY: list[str] = [
     "dates_intersect",
     "dates_except",
     "customers_with_urgent_orders",
-    "customers_without_urgent_orders",
-    "filtered_lineitems",
 ]
 
 
