@@ -188,6 +188,7 @@ EXTRAS = [
     "int8_recall_eval",
     "image_dhash_fingerprints",
     "image_neardup_pairs",
+    "audio_fingerprints",
 ]
 
 

@@ -524,3 +524,48 @@ class TestImageDhashDedup:
         )
         hs = {r["doc_id"]: r["dhash"] for r in mm.image_dhash(df).collect()}
         assert hs[1] == hs[2]
+
+
+class TestAudioFingerprint:
+    def _wav_df(self, spark, clips):
+        from yelp_data_pipeline_spark.operators.multimodal import build_wav
+
+        rows = [
+            (did, build_wav(bytes(pcm), sample_rate=8000, n_channels=1))
+            for did, pcm in clips
+        ]
+        return spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    def test_planted_edit_pairs_different_waveform_does_not(self, spark):
+        from yelp_data_pipeline_spark.operators import multimodal as mm
+
+        rising = [min(255, i) for i in range(300)]
+        edited = list(rising)
+        edited[150] = 0                       # one-sample glitch
+        falling = [max(0, 255 - i) for i in range(300)]
+        df = self._wav_df(spark, [(1, rising), (2, edited), (3, falling)])
+        sigs = mm.audio_fingerprint(df).select(
+            "doc_id", F.col("afp").alias("dhash")
+        )
+        pairs = {
+            (r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in mm.hamming_neardup_pairs(sigs).collect()
+        }
+        assert (1, 2) in pairs and pairs[(1, 2)] <= 2
+        assert (1, 3) not in pairs
+        assert (2, 3) not in pairs
+
+    def test_fingerprint_uses_data_chunk_only(self, spark):
+        # identical PCM behind different container layouts (INFO chunk
+        # present or not) must fingerprint identically
+        from yelp_data_pipeline_spark.operators.multimodal import build_wav
+        from yelp_data_pipeline_spark.operators import multimodal as mm
+
+        pcm = bytes([(i * 13) % 256 for i in range(200)])
+        rows = [
+            (1, build_wav(pcm, 8000, 1, with_info_chunk=False)),
+            (2, build_wav(pcm, 8000, 1, with_info_chunk=True)),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        hs = {r["doc_id"]: r["afp"] for r in mm.audio_fingerprint(df).collect()}
+        assert hs[1] == hs[2]

@@ -649,3 +649,56 @@ def image_neardup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# The 56-bit hamming-band join is hash-agnostic — the audio
+# fingerprint below reuses it unchanged.
+hamming_neardup_pairs = image_neardup_pairs
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    bits: int = 56,
+) -> DataFrame:
+    """Perceptual-hash analog for AUDIO bytes — the dHash trick on the
+    PCM body: parse the RIFF container (chunk walk), take the data
+    chunk's bytes, nearest-neighbor resample to ``bits``+1 positions,
+    and emit one bit per neighbor comparison (waveform 'rising here?'
+    shape bits). Re-encodes and small edits preserve most of the
+    coarse shape, so near-duplicate audio lands within a few bits —
+    the same banding join as the image path finds the pairs.
+
+    56 bits in a non-negative long (shared banding algebra with
+    dHash / SimHash). One Arrow mapInPandas stage; numpy byte math.
+
+    Output: (id, sample_rate, n_samples, afp long).
+    """
+    import numpy as np
+
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                m = parse_wav(b)
+                block_align = m["n_channels"] * m["bits"] // 8
+                L = m["n_samples"] * block_align
+                body = np.frombuffer(
+                    b, dtype=np.uint8, count=L, offset=m["data_offset"]
+                ).astype(np.int64)
+                xs = (np.arange(bits + 1) * L) // (bits + 1)
+                g = body[xs]
+                bvec = (g[1:] > g[:-1]).astype(np.int64)
+                h = int(sum(int(v) << k for k, v in enumerate(bvec)))
+                out.append(
+                    (int(did), m["sample_rate"], m["n_samples"], h)
+                )
+            yield pd.DataFrame(
+                out, columns=[id_col, "sample_rate", "n_samples", "afp"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _fp, f"{id_col} long, sample_rate int, n_samples int, afp long"
+    )

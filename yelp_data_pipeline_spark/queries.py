@@ -3826,6 +3826,66 @@ def q_image_neardup_pairs(spark, sf_dir):
     return mm.image_neardup_pairs(sigs).orderBy("doc_a", "doc_b")
 
 
+def _pcm_byte_sql(pos: str) -> str:
+    """DuckDB byte of the WAV data chunk at 0-based ``pos``: the PCM
+    body is the doc's ASCII text bytes plus zero padding."""
+    return (
+        f"(CASE WHEN ({pos}) < sl "
+        f"THEN ord(substr(text, CAST(({pos}) + 1 AS INT), 1)) "
+        f"ELSE 0 END)"
+    )
+
+
+_AFP_SQL = (
+    "CAST(list_sum(list_transform(generate_series(0, 55), k -> "
+    "CASE WHEN "
+    + _pcm_byte_sql("((k + 1) * data_len) // 57")
+    + " > "
+    + _pcm_byte_sql("(k * data_len) // 57")
+    + " THEN (CAST(1 AS BIGINT) << CAST(k AS INT)) ELSE 0 END)) AS BIGINT)"
+)
+
+
+@_q(
+    "audio_fingerprints",
+    _WAV_ORACLE_BASE + f""",
+t AS (
+  SELECT w.doc_id, w.sr, w.n_samples, w.data_len, d.text,
+         strlen(d.text) AS sl
+  FROM w JOIN documents d USING (doc_id)
+)
+SELECT doc_id, CAST(sr AS INT) AS sample_rate,
+       CAST(n_samples AS INT) AS n_samples,
+       {_AFP_SQL} AS afp
+FROM t ORDER BY doc_id
+""",
+    doc="Perceptual fingerprint from AUDIO bytes (operators/"
+    "multimodal.py:audio_fingerprint) — the dHash trick on the PCM "
+    "body: RIFF chunk walk, nearest-neighbor resample of the data "
+    "chunk to 57 positions, one waveform-shape bit per neighbor "
+    "comparison, 56 bits in a non-negative long. The oracle replays "
+    "the byte arithmetic from the source text (the synthesized PCM "
+    "body) WITHOUT touching bytes, so the hash only matches if the "
+    "chunk walk, data offset, and block-align padding are exact. "
+    "One Arrow mapInPandas stage.",
+)
+def q_audio_fingerprints(spark, sf_dir):
+    d = mm.attach_wav_payload(_t(spark, sf_dir, "documents"))
+    return mm.audio_fingerprint(d).orderBy("doc_id")
+
+
+# Audio near-dup pairs reuse the image path's hash-agnostic banding
+# join (multimodal.hamming_neardup_pairs) over audio_fingerprint
+# signatures. NOT a registry row: the fixture's synthesized PCM
+# (document text bytes) has NO pairs inside the lossless hamming<=6
+# radius (measured min pairwise hamming = 11 — insertions shift the
+# sample alignment), and an empty result demonstrates nothing. The
+# machinery is pinned instead by a planted-edit readback in
+# tests/test_round10_ops.py (small PCM edit -> pair found; different
+# waveform -> not), the honest place for a fixture without audio
+# near-dups.
+
+
 @_q(
     "multimodal_frame_sample",
     _WAV_ORACLE_BASE + """,
@@ -15752,6 +15812,7 @@ _EXPORT_PRIORITY: list[str] = [
     "int8_recall_eval",
     "image_dhash_fingerprints",
     "image_neardup_pairs",
+    "audio_fingerprints",
     # (2) the 15 never-verdicted round-9 late additions:
     "fd_discovery_audit",
     "heavy_hitter_error_report",
@@ -15776,8 +15837,9 @@ _EXPORT_PRIORITY: list[str] = [
     "shipping_priority_top10",
     "top_orders_with_ties",
     "sampled_documents",
-    # (4) 11 of the 46 round-4-stale names (decorator order). The
-    #     35 deferred to lead round 11: customers_without_urgent_orders,
+    # (4) 10 of the 46 round-4-stale names (decorator order). The
+    #     36 deferred to lead round 11: customers_with_urgent_orders,
+    #     customers_without_urgent_orders,
     #     filtered_lineitems, lineitem_date_parts,
     #     quantity_buckets,
     #     clean_pyrepr_attributes,
@@ -15810,7 +15872,6 @@ _EXPORT_PRIORITY: list[str] = [
     "union_distinct_dates",
     "dates_intersect",
     "dates_except",
-    "customers_with_urgent_orders",
 ]
 
 
