@@ -242,6 +242,21 @@ def main() -> int:
         "sf": sf,
     }
     print(json.dumps(out))
+    # The driver captures a bounded TAIL of stdout and parses the last
+    # JSON line it sees; the full per-query map above can exceed that
+    # window (every BENCH_r*.json through r10 recorded "parsed": null
+    # because the tail started mid-JSON). Emit a compact summary line
+    # LAST so the driver's parse always succeeds; the full map stays
+    # above for humans and BASELINE.md.
+    compact = {
+        "metric": "headline_total",
+        "value": out["value"],
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "queries": {n: timings[n] for n in HEADLINE},
+    }
+    print(json.dumps(compact))
     return 0
 
 

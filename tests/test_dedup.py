@@ -302,3 +302,79 @@ def test_simhash_recall_eval_proves_banding_equivalence(spark):
     assert row["n_exact"] > 0
     assert row["n_exact"] == row["n_banded"] == row["n_common"]
     assert row["recall"] == 1.0 and row["precision"] == 1.0
+
+
+def test_apply_span_surgery_cuts_exact_ranges(spark):
+    """Surgery removes exactly the 1-based inclusive span ranges and
+    recomposes the survivors with single spaces; docs without spans
+    pass through verbatim; a fully-covered doc becomes empty text."""
+    from yelp_data_pipeline_spark.operators.dedup import apply_span_surgery
+
+    docs = spark.createDataFrame(
+        [
+            (1, "A B C D E F G H"),
+            (2, "x y z"),
+            (3, "p q r s"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = spark.createDataFrame(
+        [(1, 2, 4, 3), (1, 7, 8, 2), (3, 1, 4, 4)],
+        "doc_id long, start_tok int, end_tok int, span_tokens int",
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["n_spans"],
+            r["n_removed_tokens"],
+            r["clean_text"],
+        )
+        for r in apply_span_surgery(docs, spans).collect()
+    }
+    # Tokens are lowercased by the span producers' tokenizer.
+    assert got[1] == (8, 2, 5, "a e f")
+    assert got[2] == (3, 0, 0, "x y z")
+    assert got[3] == (4, 1, 4, "")
+
+
+def test_apply_span_surgery_destroys_planted_eval_grams(spark):
+    """End-to-end decontamination invariant: compose
+    contamination_spans -> apply_span_surgery and assert NO eval
+    L-gram survives in the rewritten train corpus (every original
+    occurrence lies inside a merged span, so the cut destroys it)."""
+    from yelp_data_pipeline_spark.operators.dedup import (
+        apply_span_surgery,
+        contamination_spans,
+    )
+
+    quote = "what is the capital of france"
+    train = spark.createDataFrame(
+        [
+            (1, f"intro words {quote} asked the teacher loudly"),
+            (2, f"prefix {quote} suffix and {quote} again twice"),
+            (3, "totally clean document with no quoted benchmark text"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, f"q: {quote} a: paris")], "doc_id long, text string"
+    )
+    L = 4
+    spans = contamination_spans(train, ev, "doc_id", "text", min_tokens=L)
+    out = apply_span_surgery(train, spans)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # Clean doc untouched; contaminated docs lost tokens.
+    assert rows[3]["n_removed_tokens"] == 0
+    assert rows[1]["n_removed_tokens"] >= 6
+    assert rows[2]["n_removed_tokens"] >= 12  # two occurrences cut
+
+    def grams(text, L):
+        t = text.lower().split()
+        return {tuple(t[i : i + L]) for i in range(len(t) - L + 1)}
+
+    eval_grams = grams(f"q: {quote} a: paris", L)
+    for r in rows.values():
+        assert not (grams(r["clean_text"], L) & eval_grams), (
+            r["doc_id"],
+            r["clean_text"],
+        )

@@ -223,11 +223,12 @@ def test_export_window_contract():
     assert len(set(_EXPORT_PRIORITY)) == 50
     missing = [n for n in _EXPORT_PRIORITY if n not in qs]
     assert not missing, f"window names not in registry: {missing}"
-    # Round-10 rotation: the round's new queries lead the window so
-    # they get their first external verdicts (update this pin when the
-    # window rotates each round).
-    assert _EXPORT_PRIORITY[0] == "part_supplier_hits"
-    assert "bloom_fpr_eval" in _EXPORT_PRIORITY
+    # Round-11 rotation: new rows lead, then the stalest verdicts —
+    # the r3 straggler and ALL 36 round-4-stale names (update this pin
+    # when the window rotates each round).
+    assert "customers_with_urgent_orders" in _EXPORT_PRIORITY
+    assert "process_business_oracle" in _EXPORT_PRIORITY
+    assert "leakage_safe_splits" in _EXPORT_PRIORITY
     assert list(qs)[:50] == _EXPORT_PRIORITY
     # Everything the driver can sample is oracle-backed.
     osql = oracle_sql()

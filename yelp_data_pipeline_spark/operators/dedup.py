@@ -270,7 +270,12 @@ def edit_distance_pairs(
 
 
 def _minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, k: int, n: int
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    n: int,
+    persist_shingles: bool = True,
 ):
     """Shared MinHash signature construction (shingles + k minima).
 
@@ -285,16 +290,21 @@ def _minhash_signatures(
     MEMORY_AND_DISK persists registered with session.track_persist so
     the session driver releases them after the consuming action
     (release_tracked) instead of leaking cached blocks.
+
+    ``persist_shingles=False`` skips the sh persist for callers that
+    only consume the slim minima (the band-candidates path discards
+    sh): caching the heavy shingle arrays with no verify consumer
+    would burn block-manager memory as a pure side effect.
     """
     from ..session import track_persist
 
-    sh = track_persist(
-        with_shingles(df, text_col, n).select(
-            F.col(id_col).alias("doc"),
-            F.size("shingles").alias("n_sh"),
-            "shingles",
-        )
+    sh = with_shingles(df, text_col, n).select(
+        F.col(id_col).alias("doc"),
+        F.size("shingles").alias("n_sh"),
+        "shingles",
     )
+    if persist_shingles:
+        sh = track_persist(sh)
     ex = sh.select("doc", F.explode("shingles").alias("s"))
     h1, h2 = md5_pair(F.col("hx"))
     mins = (
@@ -417,7 +427,9 @@ def minhash_band_candidates(
     Returns (bands, doc_a, doc_b), one row per candidate pair per
     banding.
     """
-    _, mins = _minhash_signatures(df, id_col, text_col, k, n)
+    _, mins = _minhash_signatures(
+        df, id_col, text_col, k, n, persist_shingles=False
+    )
     from ..session import track_persist
 
     mins = track_persist(mins)
@@ -1227,6 +1239,86 @@ def contamination_spans(
     )
     hits = tg.join(F.broadcast(eg), "g", "left_semi").select(id_col, "pos")
     return _merge_spans(hits, id_col, min_tokens)
+
+
+def apply_span_surgery(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SPAN SURGERY — the APPLY stage the span tier was missing:
+    :func:`duplicate_substring_spans` / :func:`contamination_spans`
+    locate the token ranges a dedup/decontamination pipeline cuts
+    (Lee et al. 2022's next stage); this operator EMITS the rewritten
+    corpus with those ranges excised, keeping the rest of each
+    document — the difference between losing a book and losing a
+    quoted benchmark question.
+
+    Token semantics match the span producers exactly: tokens are
+    ``split(trim(lower(text)), '\\s+')`` and span positions are
+    1-based inclusive over that sequence, so cutting [start_tok,
+    end_tok] removes precisely the flagged windows. Every ORIGINAL
+    occurrence of a flagged ≥min_tokens gram is destroyed by
+    construction (each such gram lies inside a merged span); the
+    recomposition joins surviving tokens with single spaces.
+
+    All Catalyst, no UDF: spans collapse to ONE array per doc
+    (collect_list of (start,end) structs — bounded: merged spans are
+    disjoint and each covers ≥ min_tokens tokens, so a doc holds at
+    most n_tokens/min_tokens of them), broadcast-joined back to the
+    corpus, and the cut is a higher-order ``filter`` with the
+    positional lambda testing membership against the span array
+    (``exists``) — per-row vectorized codegen, zero Python. Docs
+    without spans pass through verbatim (left join + empty-array
+    coalesce). At 100 TB the doc-keyed span aggregate and the join
+    shuffle only (id, spans) — never the text.
+
+    Returns (id, n_tokens, n_spans, n_removed_tokens, clean_text):
+    original token count, spans applied, tokens excised, and the
+    rewritten text (empty string when a doc is fully covered).
+    """
+    sp = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(
+                F.col("start_tok").alias("s"), F.col("end_tok").alias("e")
+            )
+        ).alias("__spans")
+    )
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    j = docs.select(F.col(id_col), toks.alias("__t")).join(
+        sp, id_col, "left"
+    )
+    empty = F.array().cast("array<struct<s:int,e:int>>")
+    covered = lambda i: F.exists(  # noqa: E731  (1-based position i)
+        F.col("__sp"), lambda r: (r["s"] <= i) & (i <= r["e"])
+    )
+    kept = F.filter(
+        F.col("__t"),
+        lambda x, i: ~covered(i + F.lit(1)),
+    )
+    return (
+        j.select(
+            F.col(id_col),
+            F.col("__t"),
+            F.coalesce(F.col("__spans"), empty).alias("__sp"),
+        )
+        .select(
+            F.col(id_col),
+            F.size("__t").alias("n_tokens"),
+            F.size("__sp").alias("n_spans"),
+            kept.alias("__kept"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.col("n_spans"),
+            (F.col("n_tokens") - F.size("__kept")).alias(
+                "n_removed_tokens"
+            ),
+            F.array_join("__kept", " ").alias("clean_text"),
+        )
+    )
 
 
 def edit_distance_verify(

@@ -603,7 +603,13 @@ def image_neardup_pairs(
     bucketed by (band_id, 8-bit key) — never n². Output: (doc_a,
     doc_b, hamming), doc_a < doc_b.
     """
-    assert max_hamming < bands, "banding loses pairs beyond bands-1 bits"
+    if max_hamming >= bands:
+        # Not an assert: under ``python -O`` an assert is stripped and
+        # a bad radius/band combo would silently LOSE pairs.
+        raise ValueError(
+            f"max_hamming={max_hamming} must be < bands={bands}: the "
+            "pigeonhole banding guarantee loses pairs beyond bands-1 bits"
+        )
     s = sigs.select(
         F.col(id_col).alias("doc"), F.col(hash_col).alias("h")
     )
@@ -685,6 +691,13 @@ def audio_fingerprint(
                 m = parse_wav(b)
                 block_align = m["n_channels"] * m["bits"] // 8
                 L = m["n_samples"] * block_align
+                if L == 0:
+                    # Empty data chunk (e.g. empty source text): no
+                    # neighbor comparisons exist — emit afp=0 exactly
+                    # like the oracle's zero-padding CASE instead of
+                    # letting body[xs] raise in the Arrow worker.
+                    out.append((int(did), m["sample_rate"], 0, 0))
+                    continue
                 body = np.frombuffer(
                     b, dtype=np.uint8, count=L, offset=m["data_offset"]
                 ).astype(np.int64)

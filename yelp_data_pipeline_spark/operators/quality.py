@@ -673,7 +673,14 @@ def score_lift_table(
     from pyspark.sql import Window
 
     lab = F.coalesce(label_col.cast("boolean"), F.lit(False)).cast("int")
-    scored = df.where(F.col(score_col).isNotNull()).select(
+    # NaN scores are EXCLUDED (not ranked): NaN sorts greatest in both
+    # ascending and descending Spark sorts, so the negated-key scale
+    # twin (score_lift_table_scalable) would bin a NaN differently —
+    # dropping them here keeps the two bit-identical for any input.
+    scored = df.where(
+        F.col(score_col).isNotNull()
+        & ~F.isnan(F.col(score_col).cast("double"))
+    ).select(
         F.col(id_col).alias("__id"),
         F.col(score_col).alias("s"),
         lab.alias("y"),
@@ -748,7 +755,14 @@ def score_lift_table_scalable(
     from .windows import scalable_unique_ranks
 
     lab = F.coalesce(label_col.cast("boolean"), F.lit(False)).cast("int")
-    scored = df.where(F.col(score_col).isNotNull()).select(
+    # Same NaN exclusion as score_lift_table: IEEE negation reverses
+    # order EXCEPT for NaN (greatest in both sort directions), so a
+    # NaN would land in decile 10 here but decile 1 there — filtering
+    # it in both preserves the documented bit-identical equivalence.
+    scored = df.where(
+        F.col(score_col).isNotNull()
+        & ~F.isnan(F.col(score_col).cast("double"))
+    ).select(
         F.col(id_col).alias("__id"),
         (-F.col(score_col)).alias("__neg_s"),
         lab.alias("y"),

@@ -10203,6 +10203,88 @@ def q_contamination_spans(spark, sf_dir):
     return dd.contamination_spans(train, ev, "doc_id", "text", min_tokens=4)
 
 
+@_q(
+    "span_surgery_docs",
+    f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         {md5_long_sql("array_to_string(t[CAST(i AS INT):CAST(i + 3 AS INT)], ' ')")} AS g
+  FROM toks, LATERAL unnest(generate_series(1, len(t) - 3)) AS u(i)
+  WHERE len(t) >= 4
+),
+evg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+hits AS (SELECT doc_id, pos FROM grams
+         WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM evg)),
+fl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 4
+              THEN 0 ELSE 1 END AS new
+  FROM hits
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(new) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM fl
+),
+spans AS (
+  SELECT doc_id, min(pos) AS start_tok, max(pos) + 3 AS end_tok
+  FROM isl GROUP BY doc_id, island
+),
+pos AS (
+  SELECT doc_id, CAST(i AS INT) AS pos, t[CAST(i AS INT)] AS tok
+  FROM toks, LATERAL unnest(generate_series(1, len(t))) AS u(i)
+  WHERE doc_id % 97 <> 0
+),
+kept AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         string_agg(tok, ' ' ORDER BY pos) AS txt
+  FROM pos p
+  WHERE NOT EXISTS (SELECT 1 FROM spans s
+                    WHERE s.doc_id = p.doc_id
+                      AND p.pos BETWEEN s.start_tok AND s.end_tok)
+  GROUP BY doc_id
+),
+nsp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
+        FROM spans GROUP BY doc_id)
+SELECT t.doc_id, CAST(len(t.t) AS INT) AS n_tokens,
+       CAST(coalesce(n.n_spans, 0) AS INT) AS n_spans,
+       CAST(len(t.t) - coalesce(k.n_kept, 0) AS INT) AS n_removed_tokens,
+       coalesce(k.txt, '') AS clean_text
+FROM toks t
+LEFT JOIN kept k USING (doc_id)
+LEFT JOIN nsp n USING (doc_id)
+WHERE t.doc_id % 97 <> 0
+ORDER BY t.doc_id
+""",
+    doc="SPAN SURGERY (operators/dedup.py:apply_span_surgery) — the "
+    "APPLY stage completing the decontamination tier end-to-end: "
+    "contamination_spans finds the ≥4-token ranges shared with the "
+    "eval split (doc_id % 97 = 0); this row EMITS the rewritten train "
+    "corpus with those ranges excised and the rest of each document "
+    "kept — Lee et al. 2022's cut step, where the doc-level tier "
+    "(decontaminated_docs) would drop whole documents. All Catalyst: "
+    "spans collapse to one (start,end)-struct array per doc (bounded "
+    "— disjoint merged spans, each ≥4 tokens), join back, and the cut "
+    "is a positional higher-order filter with an exists() membership "
+    "test; recomposition is array_join. Every original occurrence of "
+    "a flagged gram is destroyed by construction (pinned by the "
+    "planted-overlap pytest: zero eval 4-grams survive in clean_text).",
+)
+def q_span_surgery_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    spans = dd.contamination_spans(train, ev, "doc_id", "text", min_tokens=4)
+    return dd.apply_span_surgery(train, spans, "doc_id", "text").orderBy(
+        "doc_id"
+    )
+
+
 # --------------------------------------------------------------------------
 # URL / domain curation tier (operators/urls.py)
 # --------------------------------------------------------------------------
@@ -13527,6 +13609,14 @@ def _golden_records(c):
         "cluster",
         F.coalesce("cluster", F.col("c_custkey")).cast("long"),
     )
+    # The cluster-map relation is consumed by THREE survivorship arms
+    # (representative window, mode segment, merge aggregate); without a
+    # persist each arm re-derives the blocking+verify+CC subtree —
+    # measured 550 joins / 224 exchanges in the round-10 plan audit
+    # (the round-9 Brier / round-10 lift-table lesson again).
+    from .session import track_persist
+
+    mem = track_persist(mem)
     w_rep = Window.partitionBy("cluster").orderBy(
         F.desc("c_acctbal"), F.asc("c_custkey")
     )
@@ -15791,87 +15881,67 @@ def q_pretraining_data_report(spark, sf_dir):
 # repeatedly-verified queries can wait at the back.  `tools/check_oracle.py`
 # always sweeps all entries regardless of order.
 _EXPORT_PRIORITY: list[str] = [
-    # Round-10 window (50-slot cap), oldest-verdict-first rotation:
-    # (1) the 7 queries NEW this round — every new @_q this round
-    #     must be inserted in this block as it lands (trim the r4
-    #     tail to keep 50):
-    "part_supplier_hits",
-    "price_qty_discount_ols",
-    "conformal_event_intervals",
-    "quantile_normalized_doclens",
-    "cross_source_dup_matrix",
-    "dedup_composition_shift",
-    "token_budget_allocation",
-    "bloom_fpr_eval",
-    "minhash_band_tuning_curve",
-    "ivf_nprobe_recall_curve",
-    "quality_score_lift_scalable",
-    "layout_pruning_eval",
-    "pretraining_data_report",
-    "time_weighted_event_means",
-    "int8_recall_eval",
-    "image_dhash_fingerprints",
-    "image_neardup_pairs",
-    "audio_fingerprints",
-    # (2) the 15 never-verdicted round-9 late additions:
-    "fd_discovery_audit",
-    "heavy_hitter_error_report",
-    "hll_error_report",
-    "hybrid_rrf_ranking",
-    "ann_prefilter_vs_postfilter",
-    "mmr_diversified_topk",
-    "retrieval_health_report",
-    "benford_price_audit",
-    "priority_status_association",
-    "customer_spend_gini",
-    "distinctive_terms_by_source",
-    "event_value_ranksum_drift",
-    "daily_event_acf",
-    "dedup_cluster_rand_index",
-    "quality_rate_confidence",
-    # (3) the 7 round-3-stale refreshes:
-    "quality_scores",
-    "token_stats",
-    "price_quantiles_by_priority",
-    "order_price_percent_rank",
-    "shipping_priority_top10",
-    "top_orders_with_ties",
-    "sampled_documents",
-    # (4) 10 of the 46 round-4-stale names (decorator order). The
-    #     36 deferred to lead round 11: customers_with_urgent_orders,
-    #     customers_without_urgent_orders,
-    #     filtered_lineitems, lineitem_date_parts,
-    #     quantity_buckets,
-    #     clean_pyrepr_attributes,
-    #     split_hours_range,
-    #     json_extract_props,
-    #     split_array_counts,
-    #     flatten_nested_structs,
-    #     detect_parse_json_props,
-    #     process_business_oracle,
-    #     events_date_parts, prefix_filtered_parts,
-    #     sql_suppliers_by_nation, top_order_per_customer,
-    #     order_price_quartiles, scd2_order_status_history,
-    #     fuzzy_dup_pairs, bigram_logprob_scores,
-    #     weighted_quality_sample, mixture_resampled_docs,
-    #     dedup_keep_best_docs, temperature_mixture_weights,
-    #     bm25_doc_scores, price_quantity_corr,
-    #     scaled_prices_by_priority, salted_segment_event_counts,
-    #     priority_status_grouping_sets, winnowing_fingerprints,
-    #     embedding_neardup_ivf, kmeans_assignments,
-    #     dedup_clusters_star, inverted_postings,
-    #     quantized_embeddings, leakage_safe_splits — then the 39
-    #     round-5-stale names.
-    "total_counts",
-    "dim_time",
-    "dim_customer",
-    "dict_encode_part_types",
-    "bridge_part_words",
-    "fact_orders",
-    "fact_daily_events",
-    "union_distinct_dates",
-    "dates_intersect",
-    "dates_except",
+    # Round-11 window (50-slot cap), oldest-verdict-first rotation:
+    # (1) every query NEW (or with a CHANGED result contract) this
+    #     round is inserted in this block as it lands — trim the
+    #     round-5-stale fill tail below to keep the total at 50:
+    "span_surgery_docs",
+    # (2) there is no live round-3-stale name: the r3 straggler
+    #     ngram_jaccard_capped was renamed to dedup_ngram_pairs
+    #     (re-verdicted round 6).
+    # (3) ALL 36 round-4-stale names (VERDICT r10 item #1 — includes
+    #     the M1-M9 reference-parity cleaning tier):
+    "customers_with_urgent_orders",
+    "customers_without_urgent_orders",
+    "filtered_lineitems",
+    "lineitem_date_parts",
+    "quantity_buckets",
+    "clean_pyrepr_attributes",
+    "split_hours_range",
+    "json_extract_props",
+    "split_array_counts",
+    "flatten_nested_structs",
+    "detect_parse_json_props",
+    "process_business_oracle",
+    "events_date_parts",
+    "prefix_filtered_parts",
+    "sql_suppliers_by_nation",
+    "top_order_per_customer",
+    "order_price_quartiles",
+    "scd2_order_status_history",
+    "fuzzy_dup_pairs",
+    "bigram_logprob_scores",
+    "weighted_quality_sample",
+    "mixture_resampled_docs",
+    "dedup_keep_best_docs",
+    "temperature_mixture_weights",
+    "bm25_doc_scores",
+    "price_quantity_corr",
+    "scaled_prices_by_priority",
+    "salted_segment_event_counts",
+    "priority_status_grouping_sets",
+    "winnowing_fingerprints",
+    "embedding_neardup_ivf",
+    "kmeans_assignments",
+    "dedup_clusters_star",
+    "inverted_postings",
+    "quantized_embeddings",
+    "leakage_safe_splits",
+    # (4) fill to 50 with the oldest round-5-stale names (the other
+    #     26 r5-stale names lead round 12):
+    "top_regions_by_orders",
+    "weekday_activity",
+    "top_urgent_customers",
+    "gopher_quality_flags",
+    "script_char_ratios",
+    "duplicate_span_stats",
+    "normalized_embeddings",
+    "ann_recall_eval",
+    "curriculum_order_docs",
+    "shuffled_doc_shards",
+    "corpus_trigram_topk",
+    "cross_dup_rate_by_source",
+    "pii_summary_by_source",
 ]
 
 
