@@ -138,6 +138,16 @@ DEFAULT_AUDIT = [
     "bloom_fpr_eval",
     "price_qty_discount_ols",
     "dedup_composition_shift",
+    # round 11: span surgery (collect_list + higher-order filter), the
+    # MIH near-dup join, the video tier (container decode + per-frame
+    # dHash + packed-key MIH), the extended readiness pane, and the
+    # train×eval contamination matrix (litbound spine).
+    "span_surgery_docs",
+    "image_neardup_pairs_mih",
+    "multimodal_avi_decode",
+    "video_frame_fingerprints",
+    "video_neardup_pairs",
+    "contamination_direction_matrix",
 ]
 
 

@@ -230,10 +230,16 @@ def connected_components_star(
             "node", F.coalesce("v", F.col("node")).alias("cluster")
         )
     )
-    from ..session import _TRACKED_PERSISTS
-
-    _TRACKED_PERSISTS.append(e)
-    _TRACKED_PERSISTS.append(all_nodes)
+    # Eagerly checkpoint the (tiny: one row per node) label map and
+    # release the loop relations NOW: without the cut, every consumer
+    # of the returned frame embeds the full blocking/verify lineage of
+    # the ORIGINAL edge relation in its plan — customer_golden_records'
+    # three survivorship arms audited at 550 joins / 224 exchanges
+    # before this (round-10 plan audit), ~30 after. One extra small job
+    # here buys a scan-sized plan for every downstream subtree.
+    labels = labels.localCheckpoint(eager=True)
+    e.unpersist()
+    all_nodes.unpersist()
     return labels
 
 

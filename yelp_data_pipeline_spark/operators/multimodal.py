@@ -662,6 +662,115 @@ def image_neardup_pairs(
 hamming_neardup_pairs = image_neardup_pairs
 
 
+def hamming_neardup_pairs_mih(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+    max_hamming: int = 6,
+    chunks: int = 4,
+    bits: int = 56,
+) -> DataFrame:
+    """Near-duplicate pairs by MULTI-INDEX HASHING (Norouzi, Punjani &
+    Fleet, "Fast Search in Hamming Space with Multi-Index Hashing",
+    CVPR'12) — the scale path past the fixed banding join's occupancy
+    wall: :func:`image_neardup_pairs`' 7×8-bit bands give only 256
+    buckets per band, so bucket occupancy grows ~n/256 and the band
+    self-join degrades toward n²/256 (the same wall BASELINE.md
+    documents for fixed-band SimHash). MIH splits the code into FEWER,
+    WIDER chunks — 4×14 bits = 16384 buckets per chunk, 64× more
+    selective — and recovers the lost radius by PROBING: by pigeonhole,
+    a pair within hamming ≤ r has some chunk with ≤ floor(r/m) errors,
+    so the probe side enumerates every key within that Hamming ball of
+    each of its chunk values (r=6, m=4 ⇒ ball radius 1 ⇒ 15 keys per
+    chunk) while the index side stores exact chunk keys. Lossless for
+    ANY chunk count m (m·(floor(r/m)+1) > r always), verified like the
+    banding join with one codegen ``bit_count(a XOR b)``.
+
+    Cost shape: probe explode is m·(1+w) rows per item (60 here) vs the
+    banding join's 7 — a constant-factor row tax paid to push the
+    occupancy wall out 64×; the join stays bucketed by (chunk, key),
+    never n². Ball radius ≤ 1 is implemented (floor(max_hamming /
+    chunks) ≤ 1 — wider radii need multi-bit enumeration; raise rather
+    than silently lose pairs).
+
+    Output: (doc_a, doc_b, hamming), doc_a < doc_b — identical to
+    :func:`image_neardup_pairs`, so the two share one exact all-pairs
+    oracle and every sweep proves the equivalence.
+    """
+    if bits % chunks != 0:
+        raise ValueError(f"bits={bits} must divide into chunks={chunks}")
+    w = bits // chunks
+    ball_r = max_hamming // chunks
+    if ball_r > 1:
+        raise ValueError(
+            f"ball radius {ball_r} (max_hamming={max_hamming} over "
+            f"chunks={chunks}) not implemented: use more chunks or the "
+            "banding join"
+        )
+    mask = (1 << w) - 1
+    s = sigs.select(F.col(id_col).alias("doc"), F.col(hash_col).alias("h"))
+
+    def chunk_key(c: int) -> str:
+        return f"CAST((h >> {c * w}) & {mask} AS INT)"
+
+    index = s.select(
+        "doc",
+        "h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.expr(chunk_key(c)).alias("key"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc", "h", F.col("ck.chunk_id"), F.col("ck.key"))
+    probe_keys = []
+    for c in range(chunks):
+        probe_keys.append(
+            F.struct(
+                F.lit(c).alias("chunk_id"), F.expr(chunk_key(c)).alias("key")
+            )
+        )
+        if ball_r == 1:
+            probe_keys.extend(
+                F.struct(
+                    F.lit(c).alias("chunk_id"),
+                    F.expr(f"({chunk_key(c)}) ^ {1 << b}").alias("key"),
+                )
+                for b in range(w)
+            )
+    probe = s.select(
+        "doc", "h", F.explode(F.array(*probe_keys)).alias("ck")
+    ).select("doc", "h", F.col("ck.chunk_id"), F.col("ck.key"))
+    a, b_ = probe.alias("a"), index.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.h").alias("ha"),
+            F.col("b.h").alias("hb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.expr("CAST(bit_count(ha ^ hb) AS INT)")
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def audio_fingerprint(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -714,4 +823,322 @@ def audio_fingerprint(
 
     return df.select(id_col, payload_col).mapInPandas(
         _fp, f"{id_col} long, sample_rate int, n_samples int, afp long"
+    )
+
+
+# ------------------------------------------------------------------ AVI
+
+def _dib_body(pixels: bytes, width: int, height: int) -> bytes:
+    """Bottom-up, 4-byte-stride-padded DIB bits from a top-down
+    row-major BGR buffer — the frame payload layout BI_RGB AVIs share
+    with BMP (the BMP body without the file/info headers)."""
+    stride = ((width * 3 + 3) // 4) * 4
+    pad = b"\x00" * (stride - width * 3)
+    return b"".join(
+        pixels[y * width * 3:(y + 1) * width * 3] + pad
+        for y in range(height - 1, -1, -1)
+    )
+
+
+def build_avi(
+    frames: list[bytes],
+    width: int,
+    height: int,
+    fps: int = 10,
+    with_junk_chunk: bool = False,
+) -> bytes:
+    """Serialize a spec-valid uncompressed (BI_RGB 'DIB ') RIFF AVI:
+    LIST hdrl { avih, LIST strl { strh, strf } } + LIST movi holding
+    one '00db' chunk per frame (bottom-up stride-padded DIB bits —
+    the same two traps as BMP). ``frames`` are top-down row-major BGR
+    buffers, each len == width*height*3. ``with_junk_chunk`` inserts
+    a JUNK chunk before movi so the movi offset varies across rows —
+    forcing any reader to walk chunks rather than assume a fixed
+    layout (the WAV INFO-chunk trick)."""
+    stride = ((width * 3 + 3) // 4) * 4
+    for fr in frames:
+        if len(fr) != width * height * 3:
+            raise ValueError("frame buffer does not match dimensions")
+    n = len(frames)
+    frame_bytes = stride * height
+    avih = struct.pack(
+        "<4sI14I",
+        b"avih", 56,
+        1_000_000 // fps,              # dwMicroSecPerFrame
+        frame_bytes * fps,             # dwMaxBytesPerSec
+        0, 0,                          # padding granularity, flags
+        n, 0, 1,                       # totalFrames, initialFrames, streams
+        frame_bytes,                   # suggestedBufferSize
+        width, height,
+        0, 0, 0, 0,                    # reserved
+    )
+    strh = struct.pack(
+        "<4sI4s4sIHHIIIIIIIi4h",
+        b"strh", 56,
+        b"vids", b"DIB ",
+        0, 0, 0, 0,                    # flags, priority, language, initFrames
+        1, fps,                        # scale, rate (fps = rate/scale)
+        0, n,                          # start, length (frames)
+        frame_bytes, 0xFFFFFFFF & -1,  # suggestedBufferSize, quality (-1)
+        0,                             # sampleSize (0: varies)
+        0, 0, width, height,           # rcFrame
+    )
+    strf = struct.pack(
+        "<4sIIiiHHIIiiII",
+        b"strf", 40,
+        40, width, height, 1, 24, 0,   # BITMAPINFOHEADER, BI_RGB
+        frame_bytes, 2835, 2835, 0, 0,
+    )
+    strl = b"LIST" + struct.pack("<I", 4 + len(strh) + len(strf)) + b"strl" + strh + strf
+    hdrl_content = b"hdrl" + avih + strl
+    hdrl = b"LIST" + struct.pack("<I", len(hdrl_content)) + hdrl_content
+    junk = b""
+    if with_junk_chunk:
+        junk = struct.pack("<4sI", b"JUNK", 10) + b"sparkgen\x00\x00"
+    movi_content = b"movi" + b"".join(
+        struct.pack("<4sI", b"00db", frame_bytes)
+        + _dib_body(fr, width, height)
+        for fr in frames
+    )
+    movi = b"LIST" + struct.pack("<I", len(movi_content)) + movi_content
+    body = b"AVI " + hdrl + junk + movi
+    return struct.pack("<4sI", b"RIFF", len(body)) + body
+
+
+def parse_avi(payload: bytes) -> dict:
+    """Parse a RIFF AVI from bytes alone: validate magic, walk the
+    top-level chunk list, recurse into LIST hdrl for the main header
+    (dimensions, frame count, frame duration) and the stream format
+    (bpp), then walk LIST movi collecting byte-accurate frame chunk
+    offsets. Raises ``ValueError`` on malformed input."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI container")
+    riff_size = struct.unpack_from("<I", payload, 4)[0]
+    if riff_size + 8 != len(payload):
+        raise ValueError("RIFF size does not match payload length")
+    meta: dict = {"n_bytes": len(payload)}
+    frame_offsets: list[int] = []
+    frame_sizes: list[int] = []
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            cid, csize = struct.unpack_from("<4sI", payload, pos)
+            if cid == b"LIST":
+                ltype = payload[pos + 8:pos + 12]
+                if ltype in (b"hdrl", b"strl", b"movi"):
+                    walk(pos + 12, pos + 8 + csize)
+            elif cid == b"avih":
+                (usec, _mbps, _pad, _flags, total, _init, _streams,
+                 _sbuf, w, h) = struct.unpack_from("<10I", payload, pos + 8)
+                meta.update(
+                    width=w, height=h, n_frames=total,
+                    usec_per_frame=usec,
+                )
+            elif cid == b"strf":
+                (_hs, _w, _h, _planes, bpp) = struct.unpack_from(
+                    "<IiiHH", payload, pos + 8
+                )
+                meta["bpp"] = bpp
+            elif cid == b"00db":
+                frame_offsets.append(pos + 8)
+                frame_sizes.append(csize)
+            pos += 8 + csize + (csize % 2)  # chunks are word-aligned
+
+    walk(12, len(payload))
+    if "width" not in meta or "bpp" not in meta:
+        raise ValueError("missing avih or strf header")
+    if meta["bpp"] != 24:
+        raise ValueError(f"unsupported AVI frame bpp {meta['bpp']}")
+    if len(frame_offsets) != meta["n_frames"]:
+        raise ValueError("frame chunk count does not match avih total")
+    meta["frame_offsets"] = frame_offsets
+    meta["frame_sizes"] = frame_sizes
+    return meta
+
+
+def decode_avi_frame(payload: bytes, meta: dict, idx: int) -> bytes:
+    """Top-down BGR pixel buffer of frame ``idx`` from the parsed
+    container (undo the DIB bottom-up row order + stride padding)."""
+    w, h = meta["width"], meta["height"]
+    stride = ((w * 3 + 3) // 4) * 4
+    off = meta["frame_offsets"][idx]
+    return b"".join(
+        payload[off + (h - 1 - y) * stride: off + (h - 1 - y) * stride + w * 3]
+        for y in range(h)
+    )
+
+
+def _avi_n_frames(doc_id: int) -> int:
+    return 2 + doc_id % 4
+
+
+def _avi_frame_pixels(doc_id: int, f: int, w: int, h: int):
+    """Formula pixels of frame ``f``: the BMP formula plus a per-frame
+    shift term — (doc_id·31 + f·13 + i·7) mod 256 — so the oracle
+    replays every frame arithmetically."""
+    import numpy as np
+
+    idx = np.arange(w * h * 3, dtype=np.int64)
+    return ((doc_id * 31 + f * 13 + idx * 7) % 256).astype(np.uint8)
+
+
+def attach_avi_payload(
+    df: DataFrame, id_col: str = "doc_id", fps: int = 10
+) -> DataFrame:
+    """(id, payload binary): id-derived dimensions (shared with the
+    BMP tier), 2 + id%4 frames of formula pixels, serialized through
+    build_avi so payloads are genuine chunk-walked containers; odd
+    ids carry a JUNK chunk before movi (varying offsets prove the
+    reader walks chunks)."""
+    from pyspark.sql.types import (
+        BinaryType, LongType, StructField, StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = _bmp_dims(did)
+                frames = [
+                    _avi_frame_pixels(did, f, w, h).tobytes()
+                    for f in range(_avi_n_frames(did))
+                ]
+                rows.append(
+                    (did, build_avi(frames, w, h, fps=fps,
+                                    with_junk_chunk=bool(did % 2)))
+                )
+            yield pd.DataFrame(rows, columns=[id_col, "payload"])
+
+    return df.select(id_col).mapInPandas(_synth, schema)
+
+
+def decode_avi_meta(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Recover video metadata from BYTES ALONE via parse_avi."""
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did, b in zip(pdf[id_col], pdf[payload_col]):
+                m = parse_avi(bytes(b))
+                out.append(
+                    (int(did), m["width"], m["height"], m["n_frames"],
+                     m["usec_per_frame"], m["frame_offsets"][0],
+                     m["n_bytes"])
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[id_col, "width", "height", "n_frames",
+                         "usec_per_frame", "first_frame_offset",
+                         "n_bytes"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _decode,
+        f"{id_col} long, width int, height int, n_frames int, "
+        "usec_per_frame int, first_frame_offset int, n_bytes int",
+    )
+
+
+def video_frame_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    stride: int = 2,
+    hash_w: int = 8,
+    hash_h: int = 7,
+) -> DataFrame:
+    """Frame-sampled perceptual fingerprints over REAL AVI containers
+    — the video member of the multimodal dedup tier: parse the RIFF
+    chunk list, decode every ``stride``-th frame (bottom-up un-flip +
+    stride strip), and dHash each decoded frame with the image tier's
+    exact arithmetic (fixed-point BT.601 luma, nearest-neighbor
+    (hash_h, hash_w+1) resample, one bit per horizontal neighbor
+    comparison). Row-expanding like sample_frames: output rows ≈
+    videos × frames/stride. Output: (id, frame_idx, width, height,
+    dhash long) — the relation the hamming band/MIH joins consume for
+    video near-dup."""
+    import numpy as np
+
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did, b in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(b)
+                m = parse_avi(b)
+                w, h = m["width"], m["height"]
+                ys = (np.arange(hash_h) * h) // hash_h
+                xs = (np.arange(hash_w + 1) * w) // (hash_w + 1)
+                for fi in range(0, m["n_frames"], stride):
+                    arr = (
+                        np.frombuffer(decode_avi_frame(b, m, fi), dtype=np.uint8)
+                        .reshape(h, w, 3)
+                        .astype(np.int64)
+                    )
+                    luma = (
+                        77 * arr[:, :, 0] + 150 * arr[:, :, 1]
+                        + 29 * arr[:, :, 2]
+                    ) // 256
+                    g = luma[ys][:, xs]
+                    bits = (g[:, 1:] > g[:, :-1]).astype(np.int64).flatten()
+                    hh = int(sum(int(v) << k for k, v in enumerate(bits)))
+                    out.append((int(did), fi, w, h, hh))
+            yield pd.DataFrame(
+                out,
+                columns=[id_col, "frame_idx", "width", "height", "dhash"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _fp,
+        f"{id_col} long, frame_idx int, width int, height int, dhash long",
+    )
+
+
+def video_neardup_pairs(
+    fps_df: DataFrame,
+    id_col: str = "doc_id",
+    min_matched_frames: int = 2,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Video-level near-duplicates from frame fingerprints: two videos
+    are near-dups when ≥ ``min_matched_frames`` ALIGNED sampled frames
+    (same frame_idx) land within ``max_hamming`` bits — re-encodes and
+    small edits preserve most frames' coarse structure, while distinct
+    footage matches at most incidentally. Frame matching reuses the
+    scale-safe multi-index hashing join over a composite (video,
+    frame) key — frame_idx is packed into the id's low bits, so the
+    whole frame relation goes through ONE bucketed join, never a
+    per-frame loop — then pairs with mismatched frame_idx are dropped
+    and survivors aggregate per video pair.
+
+    Output: (video_a, video_b, matched_frames, min_hamming)."""
+    packed = fps_df.select(
+        (F.col(id_col) * 16 + F.col("frame_idx")).alias("doc_id"),
+        F.col("dhash"),
+    )
+    pairs = hamming_neardup_pairs_mih(
+        packed, "doc_id", "dhash", max_hamming=max_hamming
+    )
+    aligned = pairs.where(
+        F.col("doc_a") % 16 == F.col("doc_b") % 16
+    ).select(
+        F.expr("doc_a div 16").alias("video_a"),
+        F.expr("doc_b div 16").alias("video_b"),
+        "hamming",
+    )
+    return (
+        aligned.groupBy("video_a", "video_b")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("matched_frames"),
+            F.min("hamming").cast("int").alias("min_hamming"),
+        )
+        .where(F.col("matched_frames") >= min_matched_frames)
     )

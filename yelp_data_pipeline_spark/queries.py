@@ -3819,11 +3819,58 @@ ORDER BY doc_a, doc_b
     "constant-shift structure that yields genuine near-dup structure "
     "(~1.5k pairs at 500 images). Extends the dedup tier to the "
     "multimodal column.",
+    scale_note="fixed 8-bit bands = 256 buckets/band — occupancy grows "
+    "~n/256 and the band self-join degrades toward n²/256 at corpus "
+    "scale (the round-4 SimHash wall); at scale use "
+    "image_neardup_pairs_mih (multi-index hashing, 16384 buckets/"
+    "chunk), which emits the identical pair set",
 )
 def q_image_neardup_pairs(spark, sf_dir):
     d = mm.attach_bmp_payload(_t(spark, sf_dir, "documents"))
     sigs = mm.image_dhash(d)
     return mm.image_neardup_pairs(sigs).orderBy("doc_a", "doc_b")
+
+
+@_q(
+    "image_neardup_pairs_mih",
+    f"""
+WITH dims AS (
+  SELECT doc_id,
+         8 + (doc_id % 5) * 4 AS w,
+         6 + (doc_id % 3) * 6 AS h
+  FROM documents
+),
+sig AS (SELECT doc_id, {_DHASH_SQL} AS dhash FROM dims)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+ORDER BY doc_a, doc_b
+""",
+    doc="Near-duplicate IMAGE pairs by MULTI-INDEX HASHING (operators/"
+    "multimodal.py:hamming_neardup_pairs_mih; Norouzi-Punjani-Fleet "
+    "CVPR'12) — the scale path past image_neardup_pairs' fixed-band "
+    "occupancy wall: 4 chunks × 14 bits = 16384 buckets per chunk "
+    "(64× the 8-bit bands), with the lost radius recovered by probing "
+    "every key within Hamming-ball radius floor(6/4)=1 of each probe "
+    "chunk (15 keys/chunk) against exact index keys — lossless at "
+    "radius 6 by pigeonhole. Shares the banding row's EXACT all-pairs "
+    "oracle verbatim: every sweep proves the two variants emit the "
+    "identical pair set while this one's bucket occupancy is 64× "
+    "slimmer. The probe explode is a constant 60 rows/image vs the "
+    "band join's 7 — a fixed row tax paid once for the selectivity.",
+    scale_note="candidate volume for ANY lossless hamming-radius-6 "
+    "bucketing is ~n²/2^chunk_bits, and 14-bit chunks are the MAX a "
+    "56-bit code admits at this radius (ball ≤ 1 needs ≥ 4 chunks) — "
+    "~7.5× under the 8-bit banding join but still quadratic; at "
+    "corpus scale widen the CODE (e.g. 8×15 dHash = 120 bits → 7×17-"
+    "bit exact bands, 131072 buckets) so bucket count grows with n, "
+    "the IVF cells-∝-n discipline applied to hamming space",
+)
+def q_image_neardup_pairs_mih(spark, sf_dir):
+    d = mm.attach_bmp_payload(_t(spark, sf_dir, "documents"))
+    sigs = mm.image_dhash(d)
+    return mm.hamming_neardup_pairs_mih(sigs).orderBy("doc_a", "doc_b")
 
 
 def _pcm_byte_sql(pos: str) -> str:
@@ -3912,6 +3959,133 @@ FROM (SELECT doc_id, ba, data_offset,
 def q_multimodal_frame_sample(spark, sf_dir):
     d = mm.attach_wav_payload(_t(spark, sf_dir, "documents"))
     return mm.sample_frames(d, stride=2)
+
+
+def _vdhash_luma_sql(y: str, x: str) -> str:
+    """DuckDB fixed-point BT.601 luma of the formula pixel at (y, x)
+    of video frame ``f`` (the BMP formula plus the per-frame shift)."""
+    def px(c: int) -> str:
+        return (
+            f"((doc_id * 31 + f * 13 + (({y}) * w * 3 + ({x}) * 3 + {c}) * 7)"
+            " % 256)"
+        )
+
+    return f"((77 * {px(0)} + 150 * {px(1)} + 29 * {px(2)}) // 256)"
+
+
+_VDHASH_SQL = (
+    "CAST(list_sum(list_transform(generate_series(0, 55), k -> "
+    "CASE WHEN "
+    + _vdhash_luma_sql("((k // 8) * h) // 7", "(((k % 8) + 1) * w) // 9")
+    + " > "
+    + _vdhash_luma_sql("((k // 8) * h) // 7", "((k % 8) * w) // 9")
+    + " THEN (CAST(1 AS BIGINT) << CAST(k AS INT)) ELSE 0 END)) AS BIGINT)"
+)
+
+_VIDEO_SIG_CTE = """
+vdims AS (
+  SELECT doc_id,
+         8 + (doc_id % 5) * 4 AS w,
+         6 + (doc_id % 3) * 6 AS h,
+         2 + doc_id % 4 AS n_frames
+  FROM documents
+),
+vsig AS (
+  SELECT doc_id, CAST(f AS INT) AS frame_idx,
+         CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+         {dhash} AS dhash
+  FROM (SELECT doc_id, w, h,
+               unnest(generate_series(0, n_frames - 1, 2)) AS f
+        FROM vdims)
+)""".format(dhash=_VDHASH_SQL)
+
+
+@_q(
+    "multimodal_avi_decode",
+    """
+SELECT doc_id,
+       CAST(8 + (doc_id % 5) * 4 AS INT) AS width,
+       CAST(6 + (doc_id % 3) * 6 AS INT) AS height,
+       CAST(2 + doc_id % 4 AS INT) AS n_frames,
+       CAST(100000 AS INT) AS usec_per_frame,
+       CAST(232 + 18 * (doc_id % 2) AS INT) AS first_frame_offset,
+       CAST(224 + 18 * (doc_id % 2)
+            + (2 + doc_id % 4)
+              * (8 + ((8 + (doc_id % 5) * 4) * 3 + 3) // 4 * 4
+                     * (6 + (doc_id % 3) * 6)) AS INT) AS n_bytes
+FROM documents ORDER BY doc_id
+""",
+    doc="REAL video container decode (operators/multimodal.py:"
+    "build_avi/parse_avi): a spec-valid uncompressed RIFF AVI — LIST "
+    "hdrl {avih, LIST strl {strh, strf}} + LIST movi of '00db' DIB "
+    "frames (bottom-up rows, 4-byte stride, the BMP traps per frame), "
+    "odd ids carrying a JUNK chunk before movi so the frame offset "
+    "varies (proves the reader walks chunks, the WAV INFO trick). The "
+    "oracle recomputes the full container layout arithmetic — header "
+    "sizes, stride, per-frame chunk bytes, JUNK displacement — so a "
+    "hash match proves the writer AND the chunk-walking parser agree "
+    "byte-for-byte. Closes the modality set: WAV audio, NPY tensor, "
+    "BMP image, AVI video.",
+)
+def q_multimodal_avi_decode(spark, sf_dir):
+    d = mm.attach_avi_payload(_t(spark, sf_dir, "documents"))
+    return mm.decode_avi_meta(d).orderBy("doc_id")
+
+
+@_q(
+    "video_frame_fingerprints",
+    f"""
+WITH {_VIDEO_SIG_CTE}
+SELECT doc_id, frame_idx, width, height, dhash
+FROM vsig ORDER BY doc_id, frame_idx
+""",
+    doc="Frame-sampled perceptual fingerprints over REAL AVI "
+    "containers (operators/multimodal.py:video_frame_fingerprints): "
+    "RIFF chunk walk, every 2nd frame decoded (bottom-up un-flip + "
+    "stride strip), per-frame dHash with the image tier's exact "
+    "arithmetic (BT.601 integer luma, 9x7 nearest-neighbor resample, "
+    "56 neighbor-comparison bits in a long). The oracle replays luma "
+    "+ resample + comparison on the per-frame formula pixels WITHOUT "
+    "touching bytes, so the hash only matches if the whole container "
+    "path (movi offsets, JUNK displacement, DIB un-flip) is exact. "
+    "Row-expanding mapInPandas (videos x frames/stride), the video "
+    "member of the multimodal dedup tier.",
+)
+def q_video_frame_fingerprints(spark, sf_dir):
+    d = mm.attach_avi_payload(_t(spark, sf_dir, "documents"))
+    return mm.video_frame_fingerprints(d, stride=2).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
+@_q(
+    "video_neardup_pairs",
+    f"""
+WITH {_VIDEO_SIG_CTE}
+SELECT a.doc_id AS video_a, b.doc_id AS video_b,
+       CAST(count(*) AS INT) AS matched_frames,
+       CAST(min(bit_count(xor(a.dhash, b.dhash))) AS INT) AS min_hamming
+FROM vsig a
+JOIN vsig b ON a.doc_id < b.doc_id AND a.frame_idx = b.frame_idx
+WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+GROUP BY 1, 2
+HAVING count(*) >= 2
+ORDER BY video_a, video_b
+""",
+    doc="Video-level near-duplicates (operators/multimodal.py:"
+    "video_neardup_pairs): two videos match when >=2 ALIGNED sampled "
+    "frames (same frame_idx) land within hamming 6 — frame matching "
+    "reuses the scale-safe multi-index hashing join over a composite "
+    "(video, frame) packed key (ONE bucketed join for the whole frame "
+    "relation, no per-frame loop), then survivors aggregate per video "
+    "pair. The oracle is the EXACT all-pairs frame join (recall "
+    "proven per sweep, like image_neardup_pairs). Completes "
+    "multimodal dedup across image, audio, and video columns.",
+)
+def q_video_neardup_pairs(spark, sf_dir):
+    d = mm.attach_avi_payload(_t(spark, sf_dir, "documents"))
+    sigs = mm.video_frame_fingerprints(d, stride=2)
+    return mm.video_neardup_pairs(sigs).orderBy("video_a", "video_b")
 
 
 @_q(
@@ -10285,6 +10459,111 @@ def q_span_surgery_docs(spark, sf_dir):
     )
 
 
+@_q(
+    "contamination_direction_matrix",
+    f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         {md5_long_sql("array_to_string(t[CAST(i AS INT):CAST(i + 3 AS INT)], ' ')")} AS g
+  FROM toks, LATERAL unnest(generate_series(1, len(t) - 3)) AS u(i)
+  WHERE len(t) >= 4
+),
+tsrc AS (SELECT DISTINCT source FROM documents WHERE doc_id % 97 <> 0),
+esrc AS (SELECT DISTINCT source FROM documents WHERE doc_id % 97 = 0),
+eg AS (
+  SELECT DISTINCT gr.g, d.source AS eval_source
+  FROM grams gr JOIN documents d USING (doc_id)
+  WHERE d.doc_id % 97 = 0
+),
+hits AS (
+  SELECT gr.doc_id, d.source AS train_source, e.eval_source
+  FROM grams gr
+  JOIN documents d USING (doc_id)
+  JOIN eg e ON gr.g = e.g
+  WHERE d.doc_id % 97 <> 0
+),
+per AS (
+  SELECT train_source, eval_source,
+         CAST(count(*) AS BIGINT) AS n_gram_hits,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_train_docs
+  FROM hits GROUP BY 1, 2
+)
+SELECT s.source AS train_source, e.source AS eval_source,
+       CAST(coalesce(p.n_gram_hits, 0) AS BIGINT) AS n_gram_hits,
+       CAST(coalesce(p.n_train_docs, 0) AS BIGINT) AS n_train_docs
+FROM tsrc s
+CROSS JOIN esrc e
+LEFT JOIN per p
+  ON p.train_source = s.source AND p.eval_source = e.source
+ORDER BY train_source, eval_source
+""",
+    doc="Per-source contamination DIRECTION matrix — which training "
+    "feed contaminates which eval suite: for every (train source × "
+    "eval source) cell, the number of ≥4-token gram occurrences in "
+    "that train source that also appear in that eval source, and the "
+    "distinct train docs carrying them (the cross_source_dup_matrix "
+    "move applied to the train×eval axis; completes decontamination "
+    "REPORTING the way round 10 completed dedup reporting — spans "
+    "say what to cut, this says which ingestion pipeline to fix). "
+    "Train grams meet the (gram, eval_source) relation in ONE "
+    "broadcast hash join (eval suites ≪ corpus); the all-cells spine "
+    "is the litbound pattern — two keys=[] collect_set aggregates "
+    "crossed at one row each then exploded, plan-provably bounded.",
+)
+def q_contamination_direction_matrix(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    tg = dd._positioned_grams(train, "doc_id", "text", 4).join(
+        train.select("doc_id", F.col("source").alias("train_source")),
+        "doc_id",
+    )
+    eg = (
+        dd._positioned_grams(ev, "doc_id", "text", 4)
+        .join(
+            ev.select("doc_id", F.col("source").alias("eval_source")),
+            "doc_id",
+        )
+        .select("g", "eval_source")
+        .distinct()
+    )
+    per = (
+        tg.join(F.broadcast(eg), "g")
+        .groupBy("train_source", "eval_source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gram_hits"),
+            F.countDistinct("doc_id").cast("long").alias("n_train_docs"),
+        )
+    )
+    # All-cells spine, litbound: one-row collect_set aggregates crossed
+    # (keys=[] agg is plan-provably single-row), exploded after.
+    ts = train.agg(F.collect_set("source").alias("ts"))
+    es = ev.agg(F.collect_set("source").alias("es"))
+    spine = (
+        ts.crossJoin(F.broadcast(es))
+        .select(F.explode("ts").alias("train_source"), "es")
+        .select("train_source", F.explode("es").alias("eval_source"))
+    )
+    return (
+        spine.join(per, ["train_source", "eval_source"], "left")
+        .select(
+            "train_source",
+            "eval_source",
+            F.coalesce("n_gram_hits", F.lit(0))
+            .cast("long")
+            .alias("n_gram_hits"),
+            F.coalesce("n_train_docs", F.lit(0))
+            .cast("long")
+            .alias("n_train_docs"),
+        )
+        .orderBy("train_source", "eval_source")
+    )
+
+
 # --------------------------------------------------------------------------
 # URL / domain curation tier (operators/urls.py)
 # --------------------------------------------------------------------------
@@ -15737,7 +16016,11 @@ def q_time_weighted_event_means(spark, sf_dir):
     + _oracle_of("split_leakage_audit")
     + ") z2),\nbud AS (SELECT * FROM ("
     + _oracle_of("token_budget_allocation")
-    + """) z3),
+    + ") z3),\nimg AS (SELECT * FROM ("
+    + _oracle_of("image_neardup_pairs")
+    + ") z4),\nafp AS (SELECT * FROM ("
+    + _oracle_of("audio_fingerprints")
+    + """) z5),
 a AS (
   SELECT CAST(sum(n_before) AS BIGINT) AS n_docs,
          CAST(sum(n_after) AS BIGINT) AS n_survivors
@@ -15758,6 +16041,16 @@ c AS (
          CAST(sum(CASE WHEN capped THEN 1 ELSE 0 END) AS BIGINT)
            AS n_sources_capped
   FROM bud
+),
+i1 AS (SELECT CAST(count(*) AS BIGINT) AS n_image_dup_pairs FROM img),
+i2 AS (
+  SELECT CAST(count(DISTINCT d) AS BIGINT) AS n_image_dup_docs
+  FROM (SELECT doc_a AS d FROM img UNION ALL SELECT doc_b FROM img) u
+),
+a2 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_audio_dup_pairs
+  FROM afp x JOIN afp y
+    ON x.doc_id < y.doc_id AND bit_count(xor(x.afp, y.afp)) <= 6
 )
 SELECT a.n_docs, a.n_survivors,
        round(CAST(a.n_survivors AS DOUBLE) / CAST(a.n_docs AS DOUBLE), 6)
@@ -15765,8 +16058,12 @@ SELECT a.n_docs, a.n_survivors,
        b.naive_leaked_pairs, b.clusterkeyed_leaked_pairs,
        c.total_tokens, c.alloc_tokens, c.n_sources_capped,
        round(CAST(c.alloc_tokens AS DOUBLE) / CAST(c.total_tokens AS DOUBLE),
-             6) AS mean_epochs
-FROM a, b, c
+             6) AS mean_epochs,
+       i1.n_image_dup_pairs, i2.n_image_dup_docs,
+       round(CAST(i2.n_image_dup_docs AS DOUBLE) / CAST(a.n_docs AS DOUBLE),
+             6) AS image_dup_doc_rate,
+       a2.n_audio_dup_pairs
+FROM a, b, c, i1, i2, a2
 """,
     doc="One-row pretraining-data readiness pane — the curation "
     "tier's dashboard in the corpus_health_report / "
@@ -15774,12 +16071,17 @@ FROM a, b, c
     "survivor count and rate (CC representatives), near-dup pairs "
     "LEAKING across train/val/test under the naive hash split vs "
     "the cluster-keyed split (the latter structurally 0 — proven "
-    "every sweep, not asserted), and the token-budget outcome "
-    "(corpus tokens, allocated tokens = mean epochs, sources hitting "
-    "the repeat cap). Every member reuses the green operators; the "
-    "Spark plan computes the LSH pair relation ONCE (persisted) and "
-    "feeds clustering and both leakage arms from it; the oracle "
-    "composes the member oracle strings verbatim via _oracle_of.",
+    "every sweep, not asserted), the token-budget outcome (corpus "
+    "tokens, allocated tokens = mean epochs, sources hitting the "
+    "repeat cap), and — round 11 — the MULTIMODAL dup tier next to "
+    "the text one: image near-dup pairs/docs/rate (dHash + the "
+    "scale-safe MIH join) and audio near-dup pairs (0 on this "
+    "fixture — the PCM has no pairs inside the lossless radius, and "
+    "the count PROVES that per sweep rather than assuming it). Every "
+    "member reuses the green operators; the Spark plan computes the "
+    "LSH pair relation ONCE (persisted) and feeds clustering and "
+    "both leakage arms from it; the oracle composes the member "
+    "oracle strings verbatim via _oracle_of.",
 )
 def q_pretraining_data_report(spark, sf_dir):
     from .operators import packing as pk
@@ -15843,10 +16145,30 @@ def q_pretraining_data_report(spark, sf_dir):
         .cast("long")
         .alias("n_sources_capped"),
     )
+    # Multimodal dup tier: image near-dup pairs via the scale-safe MIH
+    # join (persisted — the pair relation feeds both the count and the
+    # distinct-doc aggregate) and audio pairs over the PCM fingerprints.
+    ip = track_persist(
+        mm.hamming_neardup_pairs_mih(
+            mm.image_dhash(mm.attach_bmp_payload(docs))
+        )
+    )
+    i1 = ip.agg(F.count(F.lit(1)).cast("long").alias("n_image_dup_pairs"))
+    i2 = ip.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("d")
+    ).agg(F.countDistinct("d").cast("long").alias("n_image_dup_docs"))
+    a2 = mm.hamming_neardup_pairs_mih(
+        mm.audio_fingerprint(mm.attach_wav_payload(docs)).select(
+            "doc_id", F.col("afp").alias("dhash")
+        )
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_audio_dup_pairs"))
     return (
         a.crossJoin(F.broadcast(b_n))
         .crossJoin(F.broadcast(b_c))
         .crossJoin(F.broadcast(c))
+        .crossJoin(F.broadcast(i1))
+        .crossJoin(F.broadcast(i2))
+        .crossJoin(F.broadcast(a2))
         .select(
             "n_docs",
             "n_survivors",
@@ -15865,6 +16187,14 @@ def q_pretraining_data_report(spark, sf_dir):
                 / F.col("total_tokens").cast("double"),
                 6,
             ).alias("mean_epochs"),
+            "n_image_dup_pairs",
+            "n_image_dup_docs",
+            F.round(
+                F.col("n_image_dup_docs").cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("image_dup_doc_rate"),
+            "n_audio_dup_pairs",
         )
     )
 
@@ -15886,6 +16216,12 @@ _EXPORT_PRIORITY: list[str] = [
     #     round is inserted in this block as it lands — trim the
     #     round-5-stale fill tail below to keep the total at 50:
     "span_surgery_docs",
+    "image_neardup_pairs_mih",
+    "contamination_direction_matrix",
+    "multimodal_avi_decode",
+    "video_frame_fingerprints",
+    "video_neardup_pairs",
+    "pretraining_data_report",  # contract changed: +multimodal columns
     # (2) there is no live round-3-stale name: the r3 straggler
     #     ngram_jaccard_capped was renamed to dedup_ngram_pairs
     #     (re-verdicted round 6).
@@ -15936,12 +16272,6 @@ _EXPORT_PRIORITY: list[str] = [
     "script_char_ratios",
     "duplicate_span_stats",
     "normalized_embeddings",
-    "ann_recall_eval",
-    "curriculum_order_docs",
-    "shuffled_doc_shards",
-    "corpus_trigram_topk",
-    "cross_dup_rate_by_source",
-    "pii_summary_by_source",
 ]
 
 
