@@ -189,6 +189,15 @@ EXTRAS = [
     "image_dhash_fingerprints",
     "image_neardup_pairs",
     "audio_fingerprints",
+    # round 11
+    "span_surgery_docs",
+    "image_neardup_pairs_mih",
+    "contamination_direction_matrix",
+    "multimodal_avi_decode",
+    "video_frame_fingerprints",
+    "video_neardup_pairs",
+    # (pretraining_data_report already in the round-10 block; its
+    # standing row now includes the multimodal dup columns)
 ]
 
 
