@@ -196,6 +196,7 @@ EXTRAS = [
     "multimodal_avi_decode",
     "video_frame_fingerprints",
     "video_neardup_pairs",
+    "dedup_threshold_curve",
     # (pretraining_data_report already in the round-10 block; its
     # standing row now includes the multimodal dup columns)
 ]

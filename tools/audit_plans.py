@@ -148,6 +148,7 @@ DEFAULT_AUDIT = [
     "video_frame_fingerprints",
     "video_neardup_pairs",
     "contamination_direction_matrix",
+    "dedup_threshold_curve",
 ]
 
 

@@ -10460,6 +10460,100 @@ def q_span_surgery_docs(spark, sf_dir):
 
 
 @_q(
+    "dedup_threshold_curve",
+    "WITH mp AS (SELECT * FROM ("
+    + _minhash_oracle(k=12, bands=4, threshold=0.7)
+    + """) z),
+th AS (SELECT unnest([0.7, 0.8, 0.9]) AS threshold),
+x AS (
+  SELECT t.threshold, m.doc_a, m.doc_b
+  FROM mp m JOIN th t ON m.jaccard >= t.threshold
+),
+p AS (
+  SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs
+  FROM x GROUP BY 1
+),
+d AS (
+  SELECT threshold, CAST(count(DISTINCT dd) AS BIGINT) AS n_dup_docs
+  FROM (SELECT threshold, doc_a AS dd FROM x
+        UNION ALL SELECT threshold, doc_b FROM x) u
+  GROUP BY 1
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+SELECT CAST(t.threshold AS DOUBLE) AS threshold,
+       CAST(coalesce(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(coalesce(d.n_dup_docs, 0) AS BIGINT) AS n_dup_docs,
+       round(CAST(coalesce(d.n_dup_docs, 0) AS DOUBLE)
+             / CAST(tot.n_docs AS DOUBLE), 6) AS dup_doc_rate
+FROM th t
+LEFT JOIN p ON p.threshold = t.threshold
+LEFT JOIN d ON d.threshold = t.threshold
+CROSS JOIN tot
+ORDER BY threshold
+""",
+    doc="Dedup threshold sensitivity curve — the third member of the "
+    "tuning-curve tier (banding S-curve chooses the LSH banding, "
+    "nprobe curve the serving knob; this chooses the VERIFY "
+    "threshold): near-dup pair count, distinct docs in ≥1 pair, and "
+    "the dup-doc rate at Jaccard ≥ 0.7/0.8/0.9, all cut from ONE "
+    "MinHash(12)+LSH(4×3) candidates+verify relation computed at the "
+    "loosest threshold and persisted — the marginal corpus loss of "
+    "tightening the dedup gate, measured before committing a "
+    "full-corpus rerun. The threshold explode is 3 rows/pair; both "
+    "aggregates are combinable groupBys on the slim pair relation.",
+)
+def q_dedup_threshold_curve(spark, sf_dir):
+    from .session import track_persist
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = track_persist(
+        dd.minhash_lsh_pairs(
+            docs, "doc_id", "text", k=12, bands=4, threshold=0.7
+        )
+    )
+    x = pairs.select(
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        F.explode(
+            F.array(F.lit(0.7), F.lit(0.8), F.lit(0.9))
+        ).alias("threshold"),
+    ).where(F.col("jaccard") >= F.col("threshold"))
+    p = x.groupBy("threshold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    d = (
+        x.select(
+            "threshold", F.explode(F.array("doc_a", "doc_b")).alias("dd")
+        )
+        .groupBy("threshold")
+        .agg(F.countDistinct("dd").cast("long").alias("n_dup_docs"))
+    )
+    tot = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    spine = spark.createDataFrame(
+        [(0.7,), (0.8,), (0.9,)], "threshold double"
+    )
+    return (
+        spine.join(p, "threshold", "left")
+        .join(d, "threshold", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_dup_docs", F.lit(0))
+            .cast("long")
+            .alias("n_dup_docs"),
+            F.round(
+                F.coalesce("n_dup_docs", F.lit(0)).cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("dup_doc_rate"),
+        )
+        .orderBy("threshold")
+    )
+
+
+@_q(
     "contamination_direction_matrix",
     f"""
 WITH toks AS (
@@ -16222,6 +16316,7 @@ _EXPORT_PRIORITY: list[str] = [
     "video_frame_fingerprints",
     "video_neardup_pairs",
     "pretraining_data_report",  # contract changed: +multimodal columns
+    "dedup_threshold_curve",
     # (2) there is no live round-3-stale name: the r3 straggler
     #     ngram_jaccard_capped was renamed to dedup_ngram_pairs
     #     (re-verdicted round 6).
@@ -16271,7 +16366,6 @@ _EXPORT_PRIORITY: list[str] = [
     "gopher_quality_flags",
     "script_char_ratios",
     "duplicate_span_stats",
-    "normalized_embeddings",
 ]
 
 
