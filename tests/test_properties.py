@@ -928,3 +928,55 @@ def test_scalable_unique_ranks_equals_global_window(spark, vals):
     }
     assert {k: v[0] for k, v in got.items()} == want
     assert all(n == len(vals) for _, n in got.values())
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=12
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    spans=st.lists(
+        st.tuples(
+            st.integers(0, 3),      # doc index
+            st.integers(1, 12),     # start_tok
+            st.integers(0, 5),      # extra length
+        ),
+        max_size=6,
+    ),
+)
+@settings(**SETTINGS)
+def test_apply_span_surgery_python_replay(spark, docs, spans):
+    """Surgery equals the obvious sequential cut: for random token
+    docs and random (possibly overlapping, possibly out-of-range)
+    spans, clean_text == tokens with any position inside any span
+    removed, and the count columns agree."""
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sp_rows = [
+        (d, s, s + ln, ln + 1)
+        for (d, s, ln) in spans
+        if d < len(docs)
+    ]
+    sp = spark.createDataFrame(
+        sp_rows or [(99, 1, 1, 1)],
+        "doc_id long, start_tok int, end_tok int, span_tokens int",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in dd.apply_span_surgery(df, sp).collect()
+    }
+    for i, toks in enumerate(docs):
+        cover = {
+            p
+            for (d, s, ln) in spans
+            if d == i
+            for p in range(s, s + ln + 1)
+        }
+        kept = [t for j, t in enumerate(toks, start=1) if j not in cover]
+        r = got[i]
+        assert r["clean_text"] == " ".join(kept)
+        assert r["n_tokens"] == len(toks)
+        assert r["n_removed_tokens"] == len(toks) - len(kept)

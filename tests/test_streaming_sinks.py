@@ -590,3 +590,86 @@ def test_conformal_monitor_flags_breach_on_shifted_stream(spark, tmp_path):
             spark.read.parquet(target + "_monitor").collect()}
     assert rows[1]["n_seen"] == 200
     assert bool(rows[1]["breach"]) is False
+
+
+def test_neardup_gate_matches_batch_pairs_and_is_replay_safe(
+    spark, tmp_path
+):
+    """Streaming near-dup gate: freeze the LSH index on the corpus
+    half (doc_id % 2 == 0), stream the other half in 3 micro-batches.
+    The union of quarantine-log rows must equal the BATCH minhash
+    operator's verified cross-pair set between the two halves (same
+    k/bands/threshold), the cumulative (n_seen, n_dups) monoid must
+    match direct counts, and a replayed batch must add neither."""
+    import time
+
+    import pyspark.sql.functions as F
+
+    from yelp_data_pipeline_spark.operators.dedup import minhash_lsh_pairs
+    from yelp_data_pipeline_spark.streaming.sinks import (
+        freeze_dedup_index,
+        neardup_gate_batch,
+        neardup_gate_sink,
+    )
+    from yelp_data_pipeline_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    incoming = docs.where(F.col("doc_id") % 2 != 0)
+
+    ref_path = str(tmp_path / "index")
+    freeze_dedup_index(corpus, ref_path)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):
+        incoming.where(F.pmod(F.col("doc_id"), F.lit(3)) == i).coalesce(
+            1
+        ).write.parquet(str(src / f"b{i}"))
+        time.sleep(1.1)
+
+    target = str(tmp_path / "state")
+    stream = (
+        spark.readStream.schema(incoming.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(neardup_gate_sink(target, ref_path))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # Batch truth: verified cross-half pairs from the SAME algebra.
+    cross = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", k=12, bands=4, threshold=0.8
+        ).collect()
+        if (r["doc_a"] % 2 == 0) != (r["doc_b"] % 2 == 0)
+    }
+    cross_oriented = {
+        (a, b) if a % 2 != 0 else (b, a) for a, b in cross
+    }
+    gate = {
+        (r["doc_in"], r["doc_ref"])
+        for r in spark.read.parquet(target + "_rejects").collect()
+    }
+    assert gate == cross_oriented
+    assert len(gate) > 0  # the fixture has genuine cross-half dups
+
+    st = spark.read.parquet(target).collect()[0]
+    assert st["n_seen"] == incoming.count()
+    assert st["n_dups"] == len({a for a, _ in gate})
+
+    # Replay: re-applying batch 0 must change nothing.
+    n_rej = spark.read.parquet(target + "_rejects").count()
+    replay_df = spark.read.parquet(str(src / "b0"))
+    assert neardup_gate_batch(replay_df, 0, target, ref_path) is False
+    assert spark.read.parquet(target + "_rejects").count() == n_rej
+    st2 = spark.read.parquet(target).collect()[0]
+    assert (st2["n_seen"], st2["n_dups"]) == (st["n_seen"], st["n_dups"])

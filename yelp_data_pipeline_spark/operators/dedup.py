@@ -403,6 +403,50 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_index_relations(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 12,
+    bands: int = 4,
+    n: int = 3,
+) -> tuple:
+    """(keys, shingles) relations for a corpus near-dup INDEX — the
+    freeze/probe halves of the streaming dedup gate: ``keys`` is the
+    slim (doc, band_id, key) banded relation with band keys computed
+    EXACTLY as minhash_lsh_pairs computes them (same md5 family, same
+    concat), ``shingles`` is (doc, n_sh, shingles) for the exact-
+    Jaccard verify. Kept as two relations so the stored index never
+    duplicates a shingle array per band."""
+    rows = k // bands
+    sh, mins = _minhash_signatures(
+        df, id_col, text_col, k, n, persist_shingles=False
+    )
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"mh{b * rows + r}") for r in range(rows)]
+            )
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    keys = mins.select("doc", *band_cols).select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.col(f"band{b}").alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc", F.col("bk.band_id"), F.col("bk.key"))
+    return keys, sh
+
+
 def minhash_band_candidates(
     df: DataFrame,
     id_col: str,

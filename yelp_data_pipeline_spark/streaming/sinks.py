@@ -630,3 +630,174 @@ def conformal_monitor_sink(
         )
 
     return sink
+
+
+# ------------------------------------------------------------- dedup gate
+
+def freeze_dedup_index(
+    corpus_df: DataFrame,
+    ref_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 12,
+    bands: int = 4,
+    n: int = 3,
+) -> None:
+    """Materialize the FROZEN corpus near-dup index the streaming gate
+    probes every micro-batch: the slim (doc, band_id, key) banded
+    MinHash relation at ``ref_path + "_keys"`` and the (doc, n_sh,
+    shingles) verify relation at ``ref_path + "_shingles"`` — band
+    keys computed exactly as minhash_lsh_pairs computes them, so a
+    gate verdict equals the batch operator's on the same pair. Built
+    once from the accepted corpus, never touched by the stream (the
+    freeze_psi_reference recipe applied to the dedup tier)."""
+    from ..operators.dedup import minhash_index_relations
+
+    keys, sh = minhash_index_relations(
+        corpus_df, id_col, text_col, k=k, bands=bands, n=n
+    )
+    keys.write.mode("overwrite").parquet(ref_path + "_keys")
+    sh.write.mode("overwrite").parquet(ref_path + "_shingles")
+
+
+def neardup_gate_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    target_path: str,
+    ref_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 12,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> bool:
+    """Gate one micro-batch of incoming documents against the frozen
+    corpus index: batch band keys bucket-join the index keys
+    (candidates), candidates verify with exact Jaccard on the shingle
+    sets (zero false positives — LSH only bounds recall), and the
+    (n_seen, n_dups) counts fold into the cumulative MONOID state at
+    ``target_path`` under the batch-id ledger (replay-safe). Verified
+    rejects append to ``target_path + "_rejects"`` — (batch_id,
+    doc_id, matched_doc, jaccard), the quarantine log an ingestion
+    pipeline reviews — riding the same ledger decision, so a replayed
+    batch adds neither counts nor duplicate log rows.
+    Returns False if the batch was already applied."""
+    from ..operators.dedup import minhash_index_relations
+
+    spark = batch_df.sparkSession
+    ledger = target_path + "_applied"
+    os.makedirs(ledger, exist_ok=True)
+    marker = os.path.join(ledger, f"batch-{batch_id}")
+    if os.path.exists(marker):
+        return False
+    ikeys = spark.read.parquet(ref_path + "_keys")
+    ish = spark.read.parquet(ref_path + "_shingles")
+    bkeys, bsh = minhash_index_relations(
+        batch_df, id_col, text_col, k=k, bands=bands, n=n
+    )
+    cand = (
+        bkeys.alias("a")
+        .join(
+            ikeys.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.key") == F.col("b.key")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_in"), F.col("b.doc").alias("doc_ref")
+        )
+        .dropDuplicates(["doc_in", "doc_ref"])
+    )
+    inter = F.size(F.array_intersect("sh_in", "sh_ref"))
+    jac = inter.cast("double") / (
+        F.col("n_in") + F.col("n_ref") - inter
+    ).cast("double")
+    rejects = (
+        cand.join(
+            bsh.select(
+                F.col("doc").alias("doc_in"),
+                F.col("n_sh").alias("n_in"),
+                F.col("shingles").alias("sh_in"),
+            ),
+            "doc_in",
+        )
+        .join(
+            ish.select(
+                F.col("doc").alias("doc_ref"),
+                F.col("n_sh").alias("n_ref"),
+                F.col("shingles").alias("sh_ref"),
+            ),
+            "doc_ref",
+        )
+        .withColumn("jaccard", F.round(jac, 6))
+        .where(F.col("jaccard") >= F.lit(threshold))
+        .select("doc_in", "doc_ref", "jaccard")
+    )
+    from ..session import track_persist
+
+    rejects = track_persist(rejects)
+    grid = batch_df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_seen")
+    ).crossJoin(
+        F.broadcast(
+            rejects.agg(
+                F.countDistinct("doc_in").cast("long").alias("n_dups")
+            )
+        )
+    )
+    if os.path.exists(target_path):
+        grid = (
+            spark.read.parquet(target_path)
+            .unionByName(grid)
+            .agg(
+                F.sum("n_seen").cast("long").alias("n_seen"),
+                F.sum("n_dups").cast("long").alias("n_dups"),
+            )
+        )
+    staged = f"{target_path}.staged-{batch_id}"
+    grid.write.mode("overwrite").parquet(staged)
+    old = f"{target_path}.old-{batch_id}"
+    if os.path.exists(target_path):
+        os.rename(target_path, old)
+    os.rename(staged, target_path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    rejects.withColumn("batch_id", F.lit(batch_id).cast("long")).write.mode(
+        "append"
+    ).parquet(target_path + "_rejects")
+    with open(marker, "w") as f:
+        f.write("")
+    return True
+
+
+def neardup_gate_sink(
+    target_path: str,
+    ref_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 12,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.8,
+):
+    """``foreachBatch`` streaming near-duplicate gate — incremental
+    dedup at the ingestion boundary: every incoming document is
+    checked against the FROZEN accepted-corpus LSH index (candidates
+    by band-key bucket join, verified with exact Jaccard — the same
+    algebra as the batch minhash_lsh_pairs, so gate verdicts match
+    the batch operator's pair set on the same data, pinned in
+    tests/test_streaming_sinks.py), verified rejects land in the
+    quarantine log, and the cumulative (n_seen, n_dups) monoid tracks
+    the live dup rate. Replay-safe via the batch-id ledger."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        neardup_gate_batch(
+            batch_df, batch_id, target_path, ref_path,
+            id_col=id_col, text_col=text_col,
+            k=k, bands=bands, n=n, threshold=threshold,
+        )
+        from ..session import release_tracked
+
+        release_tracked()
+
+    return sink
