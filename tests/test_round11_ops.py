@@ -204,3 +204,42 @@ class TestVideoNearDup:
         }
         assert (1, 2) in got and got[(1, 2)][0] == 2
         assert (1, 3) not in got and (2, 3) not in got
+
+
+class TestVideoPackingGuard:
+    def test_high_frame_idx_not_misattributed(self, spark):
+        """Regression: with 4-bit packing, frames (10, idx 16) and
+        (26, idx 16) collided with (11, idx 0) / (27, idx 0) and a
+        genuine match was attributed to the WRONG videos. 16-bit
+        packing must attribute it to videos 10 and 26."""
+        from yelp_data_pipeline_spark.operators.multimodal import (
+            video_neardup_pairs,
+        )
+
+        sigs = spark.createDataFrame(
+            [(10, 16, 0xAAAA), (26, 16, 0xAAAA),
+             (10, 17, 0x5555), (26, 17, 0x5555)],
+            "doc_id long, frame_idx int, dhash long",
+        )
+        got = {
+            (r["video_a"], r["video_b"]): r["matched_frames"]
+            for r in video_neardup_pairs(sigs).collect()
+        }
+        assert got == {(10, 26): 2}
+
+    def test_overflowing_frame_idx_raises(self, spark):
+        """A frame_idx that cannot pack must fail LOUDLY (assert_true),
+        never silently merge key spaces."""
+        import pytest
+        from py4j.protocol import Py4JJavaError
+
+        from yelp_data_pipeline_spark.operators.multimodal import (
+            video_neardup_pairs,
+        )
+
+        sigs = spark.createDataFrame(
+            [(1, 1 << 16, 0xAAAA), (2, 1 << 16, 0xAAAA)],
+            "doc_id long, frame_idx int, dhash long",
+        )
+        with pytest.raises((Py4JJavaError, Exception)):
+            video_neardup_pairs(sigs, min_matched_frames=1).collect()

@@ -336,31 +336,16 @@ def minhash_lsh_pairs(
     shingle sets (array_intersect on already-distinct arrays), so the
     output has no false positives — LSH only bounds recall.
     """
-    rows = k // bands
     from ..session import track_persist
 
     sh, mins = _minhash_signatures(df, id_col, text_col, k, n)
-    band_cols = [
-        F.md5(
-            F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)])
-        ).alias(f"band{b}")
-        for b in range(bands)
-    ]
     # Candidate generation over SLIM rows (doc, band_id, key) — the
     # shingle arrays stay out of the banded explode and its self-join
     # shuffle (they'd otherwise ship 2×bands copies of every array).
-    # Persisted because the LSH self-join consumes it twice.
-    banded = track_persist(mins.select("doc", *band_cols))
-    bands_long = banded.select(
-        "doc",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("key"))
-                for b in range(bands)
-            ])
-        ).alias("bk"),
-    ).select("doc", F.col("bk.band_id"), F.col("bk.key"))
-
+    # Persisted because the LSH self-join consumes it twice. Band-key
+    # construction is the SHARED _band_keys_long (the streaming gate's
+    # frozen index must produce identical keys).
+    bands_long = track_persist(_band_keys_long(mins, k, bands))
     a, b_ = bands_long.alias("a"), bands_long.alias("b")
     cand = (
         a.join(
@@ -372,35 +357,12 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    # Exact-Jaccard verify: arrays fetched per candidate via two
-    # doc-keyed joins against the signature relation (candidates ≪ n).
-    # Exact-Jaccard verify fetches arrays from the persisted shingle
-    # relation per candidate (candidates ≪ n).
-    pairs = (
-        cand.join(
-            sh.select(
-                F.col("doc").alias("doc_a"),
-                F.col("n_sh").alias("na"),
-                F.col("shingles").alias("sh_a"),
-            ),
-            "doc_a",
-        )
-        .join(
-            sh.select(
-                F.col("doc").alias("doc_b"),
-                F.col("n_sh").alias("nb"),
-                F.col("shingles").alias("sh_b"),
-            ),
-            "doc_b",
-        )
-    )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    jac = inter.cast("double") / (F.col("na") + F.col("nb") - inter).cast("double")
-    return (
-        pairs.withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    # Exact-Jaccard verify (shared tail): arrays fetched per candidate
+    # via two doc-keyed joins against the persisted shingle relation
+    # (candidates ≪ n).
+    return jaccard_verify_pairs(
+        cand, sh, sh, "doc_a", "doc_b", threshold
+    ).select("doc_a", "doc_b", "jaccard")
 
 
 def minhash_index_relations(
@@ -417,11 +379,23 @@ def minhash_index_relations(
     EXACTLY as minhash_lsh_pairs computes them (same md5 family, same
     concat), ``shingles`` is (doc, n_sh, shingles) for the exact-
     Jaccard verify. Kept as two relations so the stored index never
-    duplicates a shingle array per band."""
+    duplicates a shingle array per band.
+
+    BOTH returned relations are consumed (keys feed the bucket join,
+    shingles the verify — and the minima under keys derive FROM the
+    shingles), so the shared shingle subtree stays persisted
+    (persist_shingles=True); callers release via release_tracked."""
+    sh, mins = _minhash_signatures(df, id_col, text_col, k, n)
+    keys = _band_keys_long(mins, k, bands)
+    return keys, sh
+
+
+def _band_keys_long(mins: DataFrame, k: int, bands: int) -> DataFrame:
+    """(doc, band_id, key) banded relation from a minima frame — THE
+    band-key construction (md5 over '|'-joined row minima), shared by
+    minhash_lsh_pairs and the frozen streaming index so the on-disk
+    index can never drift from the batch operator's keys."""
     rows = k // bands
-    sh, mins = _minhash_signatures(
-        df, id_col, text_col, k, n, persist_shingles=False
-    )
     band_cols = [
         F.md5(
             F.concat_ws(
@@ -430,7 +404,7 @@ def minhash_index_relations(
         ).alias(f"band{b}")
         for b in range(bands)
     ]
-    keys = mins.select("doc", *band_cols).select(
+    return mins.select("doc", *band_cols).select(
         "doc",
         F.explode(
             F.array(
@@ -444,7 +418,49 @@ def minhash_index_relations(
             )
         ).alias("bk"),
     ).select("doc", F.col("bk.band_id"), F.col("bk.key"))
-    return keys, sh
+
+
+def jaccard_verify_pairs(
+    cand: DataFrame,
+    sh_left: DataFrame,
+    sh_right: DataFrame,
+    left_col: str,
+    right_col: str,
+    threshold: float,
+) -> DataFrame:
+    """THE exact-Jaccard verification tail (array_intersect over
+    distinct shingle arrays, 6dp round, >= threshold), shared by
+    minhash_lsh_pairs and the streaming gate: candidates carry
+    (left_col, right_col) doc keys; shingle relations are
+    (doc, n_sh, shingles). Output: candidates + ``jaccard``,
+    false-positive-free."""
+    pairs = (
+        cand.join(
+            sh_left.select(
+                F.col("doc").alias(left_col),
+                F.col("n_sh").alias("__na"),
+                F.col("shingles").alias("__sh_a"),
+            ),
+            left_col,
+        )
+        .join(
+            sh_right.select(
+                F.col("doc").alias(right_col),
+                F.col("n_sh").alias("__nb"),
+                F.col("shingles").alias("__sh_b"),
+            ),
+            right_col,
+        )
+    )
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
+    jac = inter.cast("double") / (
+        F.col("__na") + F.col("__nb") - inter
+    ).cast("double")
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .drop("__na", "__nb", "__sh_a", "__sh_b")
+    )
 
 
 def minhash_band_candidates(

@@ -553,26 +553,14 @@ def image_dhash(
     math is numpy on the decoded buffer. Output: (id, width, height,
     dhash long).
     """
-    import numpy as np
-
     def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for did, payload in zip(pdf[id_col], pdf[payload_col]):
                 m = parse_bmp(bytes(payload))
-                arr = (
-                    np.frombuffer(m["pixels"], dtype=np.uint8)
-                    .reshape(m["height"], m["width"], 3)
-                    .astype(np.int64)
+                h = _dhash_bits(
+                    m["pixels"], m["width"], m["height"], hash_w, hash_h
                 )
-                luma = (
-                    77 * arr[:, :, 0] + 150 * arr[:, :, 1] + 29 * arr[:, :, 2]
-                ) // 256
-                ys = (np.arange(hash_h) * m["height"]) // hash_h
-                xs = (np.arange(hash_w + 1) * m["width"]) // (hash_w + 1)
-                g = luma[ys][:, xs]
-                bits = (g[:, 1:] > g[:, :-1]).astype(np.int64).flatten()
-                h = int(sum(int(b) << k for k, b in enumerate(bits)))
                 out.append((int(did), m["width"], m["height"], h))
             yield pd.DataFrame(
                 out, columns=[id_col, "width", "height", "dhash"]
@@ -581,6 +569,29 @@ def image_dhash(
     return df.select(id_col, payload_col).mapInPandas(
         _hash, f"{id_col} long, width int, height int, dhash long"
     )
+
+
+def _dhash_bits(
+    pixels: bytes, width: int, height: int, hash_w: int, hash_h: int
+) -> int:
+    """THE dHash arithmetic — fixed-point BT.601 luma, nearest-neighbor
+    (hash_h, hash_w+1) resample, one bit per horizontal neighbor
+    comparison — shared by the image and video fingerprints so the
+    hashes stay comparable across modalities and a change here cannot
+    silently diverge one copy."""
+    import numpy as np
+
+    arr = (
+        np.frombuffer(pixels, dtype=np.uint8)
+        .reshape(height, width, 3)
+        .astype(np.int64)
+    )
+    luma = (77 * arr[:, :, 0] + 150 * arr[:, :, 1] + 29 * arr[:, :, 2]) // 256
+    ys = (np.arange(hash_h) * height) // hash_h
+    xs = (np.arange(hash_w + 1) * width) // (hash_w + 1)
+    g = luma[ys][:, xs]
+    bits = (g[:, 1:] > g[:, :-1]).astype(np.int64).flatten()
+    return int(sum(int(b) << k for k, b in enumerate(bits)))
 
 
 def image_neardup_pairs(
@@ -632,26 +643,30 @@ def image_neardup_pairs(
         ).alias("bk"),
     ).select("doc", "h", F.col("bk.band_id"), F.col("bk.key"))
     a, b_ = bl.alias("a"), bl.alias("b")
-    cand = (
-        a.join(
-            b_,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(
+    cand = a.join(
+        b_,
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col("a.doc") < F.col("b.doc")),
+    )
+    return _hamming_verify_tail(cand, max_hamming)
+
+
+def _hamming_verify_tail(cand: DataFrame, max_hamming: int) -> DataFrame:
+    """THE candidate dedup + hamming verify tail (codegen
+    bit_count(a XOR b) ≤ radius), shared by the banding and the
+    multi-index-hashing joins so the two variants' verify cannot
+    drift — the shared-oracle equivalence rests on it. ``cand`` is an
+    aliased a/b join carrying doc + h on both sides."""
+    return (
+        cand.select(
             F.col("a.doc").alias("doc_a"),
             F.col("b.doc").alias("doc_b"),
             F.col("a.h").alias("ha"),
             F.col("b.h").alias("hb"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
-    )
-    return (
-        cand.withColumn(
-            "hamming",
-            F.expr("CAST(bit_count(ha ^ hb) AS INT)"),
-        )
+        .withColumn("hamming", F.expr("CAST(bit_count(ha ^ hb) AS INT)"))
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
@@ -747,28 +762,13 @@ def hamming_neardup_pairs_mih(
         "doc", "h", F.explode(F.array(*probe_keys)).alias("ck")
     ).select("doc", "h", F.col("ck.chunk_id"), F.col("ck.key"))
     a, b_ = probe.alias("a"), index.alias("b")
-    cand = (
-        a.join(
-            b_,
-            (F.col("a.chunk_id") == F.col("b.chunk_id"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            F.col("a.h").alias("ha"),
-            F.col("b.h").alias("hb"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+    cand = a.join(
+        b_,
+        (F.col("a.chunk_id") == F.col("b.chunk_id"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col("a.doc") < F.col("b.doc")),
     )
-    return (
-        cand.withColumn(
-            "hamming", F.expr("CAST(bit_count(ha ^ hb) AS INT)")
-        )
-        .where(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
-    )
+    return _hamming_verify_tail(cand, max_hamming)
 
 
 def audio_fingerprint(
@@ -1029,10 +1029,14 @@ def decode_avi_meta(
             out = []
             for did, b in zip(pdf[id_col], pdf[payload_col]):
                 m = parse_avi(bytes(b))
+                # A zero-frame container is valid (avih total 0, no
+                # '00db' chunks) — emit a -1 offset sentinel instead
+                # of letting frame_offsets[0] raise in the Arrow
+                # worker (the audio empty-payload lesson).
+                first = m["frame_offsets"][0] if m["frame_offsets"] else -1
                 out.append(
                     (int(did), m["width"], m["height"], m["n_frames"],
-                     m["usec_per_frame"], m["frame_offsets"][0],
-                     m["n_bytes"])
+                     m["usec_per_frame"], first, m["n_bytes"])
                 )
             yield pd.DataFrame(
                 out,
@@ -1075,21 +1079,10 @@ def video_frame_fingerprints(
                 b = bytes(b)
                 m = parse_avi(b)
                 w, h = m["width"], m["height"]
-                ys = (np.arange(hash_h) * h) // hash_h
-                xs = (np.arange(hash_w + 1) * w) // (hash_w + 1)
                 for fi in range(0, m["n_frames"], stride):
-                    arr = (
-                        np.frombuffer(decode_avi_frame(b, m, fi), dtype=np.uint8)
-                        .reshape(h, w, 3)
-                        .astype(np.int64)
+                    hh = _dhash_bits(
+                        decode_avi_frame(b, m, fi), w, h, hash_w, hash_h
                     )
-                    luma = (
-                        77 * arr[:, :, 0] + 150 * arr[:, :, 1]
-                        + 29 * arr[:, :, 2]
-                    ) // 256
-                    g = luma[ys][:, xs]
-                    bits = (g[:, 1:] > g[:, :-1]).astype(np.int64).flatten()
-                    hh = int(sum(int(v) << k for k, v in enumerate(bits)))
                     out.append((int(did), fi, w, h, hh))
             yield pd.DataFrame(
                 out,
@@ -1114,24 +1107,42 @@ def video_neardup_pairs(
     small edits preserve most frames' coarse structure, while distinct
     footage matches at most incidentally. Frame matching reuses the
     scale-safe multi-index hashing join over a composite (video,
-    frame) key — frame_idx is packed into the id's low bits, so the
-    whole frame relation goes through ONE bucketed join, never a
+    frame) key — frame_idx is packed into the id's low 16 bits, so
+    the whole frame relation goes through ONE bucketed join, never a
     per-frame loop — then pairs with mismatched frame_idx are dropped
     and survivors aggregate per video pair.
 
+    The packing is GUARDED per row (``assert_true``): frame_idx must
+    fit 16 bits and the video id 46, else two distinct (video, frame)
+    keys could collide and a genuine match would be attributed to the
+    WRONG videos — a silent-corruption class, so it fails loudly.
+
     Output: (video_a, video_b, matched_frames, min_hamming)."""
+    pack_ok = F.assert_true(
+        (F.col("frame_idx") >= 0)
+        & (F.col("frame_idx") < F.lit(1 << 16))
+        & (F.col(id_col) >= 0)
+        & (F.col(id_col) < F.lit(1 << 46)),
+        F.lit(
+            "video_neardup_pairs packing overflow: need 0 <= frame_idx"
+            " < 2^16 and 0 <= video id < 2^46"
+        ),
+    )
     packed = fps_df.select(
-        (F.col(id_col) * 16 + F.col("frame_idx")).alias("doc_id"),
+        F.when(
+            pack_ok.isNull(),
+            F.col(id_col) * F.lit(1 << 16) + F.col("frame_idx"),
+        ).alias("doc_id"),
         F.col("dhash"),
     )
     pairs = hamming_neardup_pairs_mih(
         packed, "doc_id", "dhash", max_hamming=max_hamming
     )
     aligned = pairs.where(
-        F.col("doc_a") % 16 == F.col("doc_b") % 16
+        F.col("doc_a") % (1 << 16) == F.col("doc_b") % (1 << 16)
     ).select(
-        F.expr("doc_a div 16").alias("video_a"),
-        F.expr("doc_b div 16").alias("video_b"),
+        F.expr(f"doc_a div {1 << 16}").alias("video_a"),
+        F.expr(f"doc_b div {1 << 16}").alias("video_b"),
         "hamming",
     )
     return (

@@ -658,6 +658,11 @@ def freeze_dedup_index(
     )
     keys.write.mode("overwrite").parquet(ref_path + "_keys")
     sh.write.mode("overwrite").parquet(ref_path + "_shingles")
+    # The helper persists the shared shingle subtree so the two writes
+    # above shingle the corpus once; release now that both are on disk.
+    from ..session import release_tracked
+
+    release_tracked()
 
 
 def neardup_gate_batch(
@@ -708,31 +713,13 @@ def neardup_gate_batch(
         )
         .dropDuplicates(["doc_in", "doc_ref"])
     )
-    inter = F.size(F.array_intersect("sh_in", "sh_ref"))
-    jac = inter.cast("double") / (
-        F.col("n_in") + F.col("n_ref") - inter
-    ).cast("double")
-    rejects = (
-        cand.join(
-            bsh.select(
-                F.col("doc").alias("doc_in"),
-                F.col("n_sh").alias("n_in"),
-                F.col("shingles").alias("sh_in"),
-            ),
-            "doc_in",
-        )
-        .join(
-            ish.select(
-                F.col("doc").alias("doc_ref"),
-                F.col("n_sh").alias("n_ref"),
-                F.col("shingles").alias("sh_ref"),
-            ),
-            "doc_ref",
-        )
-        .withColumn("jaccard", F.round(jac, 6))
-        .where(F.col("jaccard") >= F.lit(threshold))
-        .select("doc_in", "doc_ref", "jaccard")
-    )
+    # Shared verify tail — the gate's jaccard is bit-identical to the
+    # batch operator's by construction, not by parallel copies.
+    from ..operators.dedup import jaccard_verify_pairs
+
+    rejects = jaccard_verify_pairs(
+        cand, bsh, ish, "doc_in", "doc_ref", threshold
+    ).select("doc_in", "doc_ref", "jaccard")
     from ..session import track_persist
 
     rejects = track_persist(rejects)
@@ -762,11 +749,17 @@ def neardup_gate_batch(
     os.rename(staged, target_path)
     if os.path.exists(old):
         shutil.rmtree(old)
+    with open(marker, "w") as f:
+        f.write("")
+    # Quarantine-log append AFTER the marker, like the psi/conformal
+    # monitor appends: a full Spark write inside the swap→marker
+    # window would make a crash there replay the batch against the
+    # already-swapped state and double-count the fold. (The symmetric
+    # cost — a crash right here loses this batch's log rows — is the
+    # module's established trade.)
     rejects.withColumn("batch_id", F.lit(batch_id).cast("long")).write.mode(
         "append"
     ).parquet(target_path + "_rejects")
-    with open(marker, "w") as f:
-        f.write("")
     return True
 
 
