@@ -197,6 +197,7 @@ EXTRAS = [
     "video_frame_fingerprints",
     "video_neardup_pairs",
     "dedup_threshold_curve",
+    "dedup_span_surgery_docs",
     # (pretraining_data_report already in the round-10 block; its
     # standing row now includes the multimodal dup columns)
 ]

@@ -378,3 +378,34 @@ def test_apply_span_surgery_destroys_planted_eval_grams(spark):
             r["doc_id"],
             r["clean_text"],
         )
+
+
+def test_dedup_span_surgery_cut_all_policy(spark):
+    """Self-dedup surgery (cut-all policy): a 4-token run shared by
+    two docs is excised from BOTH (the Lee et al. ExactSubstr quirk —
+    twice-duplicated text vanishes entirely); unique text survives."""
+    from yelp_data_pipeline_spark.operators.dedup import (
+        apply_span_surgery,
+        duplicate_substring_spans,
+    )
+
+    run = "the quick brown fox"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {run} gamma delta"),
+            (2, f"{run} zeta eta theta iota"),
+            (3, "all words here are said once only"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = duplicate_substring_spans(docs, "doc_id", "text", min_tokens=4)
+    got = {
+        r["doc_id"]: (r["n_removed_tokens"], r["clean_text"])
+        for r in apply_span_surgery(docs, spans).collect()
+    }
+    assert got[1] == (4, "alpha beta gamma delta")
+    assert got[2] == (4, "zeta eta theta iota")
+    assert got[3][0] == 0
+    # Cut-all: NO occurrence of the duplicated run survives anywhere.
+    for _, text in got.values():
+        assert run not in text

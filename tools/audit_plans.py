@@ -149,6 +149,7 @@ DEFAULT_AUDIT = [
     "video_neardup_pairs",
     "contamination_direction_matrix",
     "dedup_threshold_curve",
+    "dedup_span_surgery_docs",
 ]
 
 

@@ -10460,6 +10460,81 @@ def q_span_surgery_docs(spark, sf_dir):
 
 
 @_q(
+    "dedup_span_surgery_docs",
+    f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         {md5_long_sql("array_to_string(t[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')")} AS g
+  FROM toks, LATERAL unnest(generate_series(1, len(t) - 7)) AS u(i)
+  WHERE len(t) >= 8
+),
+dupg AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+hits AS (SELECT doc_id, pos FROM grams JOIN dupg USING (g)),
+fl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+              THEN 0 ELSE 1 END AS new
+  FROM hits
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(new) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM fl
+),
+spans AS (
+  SELECT doc_id, min(pos) AS start_tok, max(pos) + 7 AS end_tok
+  FROM isl GROUP BY doc_id, island
+),
+pos AS (
+  SELECT doc_id, CAST(i AS INT) AS pos, t[CAST(i AS INT)] AS tok
+  FROM toks, LATERAL unnest(generate_series(1, len(t))) AS u(i)
+),
+kept AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         string_agg(tok, ' ' ORDER BY pos) AS txt
+  FROM pos p
+  WHERE NOT EXISTS (SELECT 1 FROM spans s
+                    WHERE s.doc_id = p.doc_id
+                      AND p.pos BETWEEN s.start_tok AND s.end_tok)
+  GROUP BY doc_id
+),
+nsp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
+        FROM spans GROUP BY doc_id)
+SELECT t.doc_id, CAST(len(t.t) AS INT) AS n_tokens,
+       CAST(coalesce(n.n_spans, 0) AS INT) AS n_spans,
+       CAST(len(t.t) - coalesce(k.n_kept, 0) AS INT) AS n_removed_tokens,
+       coalesce(k.txt, '') AS clean_text
+FROM toks t
+LEFT JOIN kept k USING (doc_id)
+LEFT JOIN nsp n USING (doc_id)
+ORDER BY t.doc_id
+""",
+    doc="SELF-dedup span surgery — apply_span_surgery composed with "
+    "duplicate_substring_spans: the rewritten corpus with every "
+    "maximal ≥8-token range that occurs ≥2× corpus-wide excised from "
+    "EVERY occurrence (the cut-all policy of Lee et al. 2022's "
+    "ExactSubstr tooling, whose documented quirk is that twice-"
+    "duplicated text vanishes entirely; a keep-one-copy policy needs "
+    "an ownership rule assigning each duplicated gram run a surviving "
+    "doc — noted, not implemented). Together with span_surgery_docs "
+    "(the train-vs-eval cut) the APPLY stage now covers both span "
+    "producers. Same Catalyst shape: span-array join + positional "
+    "higher-order filter + array_join recomposition.",
+)
+def q_dedup_span_surgery_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    spans = dd.duplicate_substring_spans(docs, "doc_id", "text", min_tokens=8)
+    return dd.apply_span_surgery(docs, spans, "doc_id", "text").orderBy(
+        "doc_id"
+    )
+
+
+@_q(
     "dedup_threshold_curve",
     "WITH mp AS (SELECT * FROM ("
     + _minhash_oracle(k=12, bands=4, threshold=0.7)
@@ -16317,6 +16392,7 @@ _EXPORT_PRIORITY: list[str] = [
     "video_neardup_pairs",
     "pretraining_data_report",  # contract changed: +multimodal columns
     "dedup_threshold_curve",
+    "dedup_span_surgery_docs",
     # (2) there is no live round-3-stale name: the r3 straggler
     #     ngram_jaccard_capped was renamed to dedup_ngram_pairs
     #     (re-verdicted round 6).
@@ -16365,7 +16441,6 @@ _EXPORT_PRIORITY: list[str] = [
     "top_urgent_customers",
     "gopher_quality_flags",
     "script_char_ratios",
-    "duplicate_span_stats",
 ]
 
 
