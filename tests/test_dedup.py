@@ -409,3 +409,31 @@ def test_dedup_span_surgery_cut_all_policy(spark):
     # Cut-all: NO occurrence of the duplicated run survives anywhere.
     for _, text in got.values():
         assert run not in text
+
+
+def test_apply_span_surgery_null_text_keeps_contract(spark):
+    """NULL text must not degrade to (n_tokens=-1, clean_text=NULL):
+    it coalesces to '' (the span producers can never emit a span for
+    it), so the (n_tokens, clean_text) contract holds."""
+    from yelp_data_pipeline_spark.operators.dedup import apply_span_surgery
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "a b c")],
+        "doc_id long, text string",
+    )
+    spans = spark.createDataFrame(
+        [(2, 1, 2, 2)],
+        "doc_id long, start_tok int, end_tok int, span_tokens int",
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["n_spans"],
+            r["n_removed_tokens"],
+            r["clean_text"],
+        )
+        for r in apply_span_surgery(docs, spans).collect()
+    }
+    # split('') yields [''] — one (empty) token, never -1 / NULL.
+    assert got[1] == (1, 0, 0, "")
+    assert got[2] == (3, 1, 2, "c")

@@ -77,9 +77,10 @@ class TestMultiIndexHashing:
         sigs = spark.createDataFrame([(1, 0)], "doc_id long, dhash long")
         with pytest.raises(ValueError):
             hamming_neardup_pairs_mih(sigs, bits=56, chunks=5)
-        with pytest.raises(ValueError):
-            # ball radius floor(12/4)=3 > 1: unimplemented enumeration
-            hamming_neardup_pairs_mih(sigs, max_hamming=12)
+        # ball radius floor(12/4)=3 is IMPLEMENTED since round 12
+        # (generic literal-mask enumeration, 1880 keys/item — under
+        # the 2048 cap); the loud failure moved to the fan-out guard,
+        # pinned in tests/test_round12_ops.py::test_fanout_guard_raises.
         with pytest.raises(ValueError):
             # banding precondition now a real error, not an assert
             image_neardup_pairs(sigs, max_hamming=7, bands=7)
@@ -231,7 +232,7 @@ class TestVideoPackingGuard:
         """A frame_idx that cannot pack must fail LOUDLY (assert_true),
         never silently merge key spaces."""
         import pytest
-        from py4j.protocol import Py4JJavaError
+        from pyspark.errors.exceptions.captured import SparkRuntimeException
 
         from yelp_data_pipeline_spark.operators.multimodal import (
             video_neardup_pairs,
@@ -241,5 +242,7 @@ class TestVideoPackingGuard:
             [(1, 1 << 16, 0xAAAA), (2, 1 << 16, 0xAAAA)],
             "doc_id long, frame_idx int, dhash long",
         )
-        with pytest.raises((Py4JJavaError, Exception)):
+        # The guard's own exception type AND message — a catch-all
+        # would pass even with the packing guard removed.
+        with pytest.raises(SparkRuntimeException, match="packing overflow"):
             video_neardup_pairs(sigs, min_matched_frames=1).collect()

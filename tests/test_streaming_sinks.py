@@ -673,3 +673,37 @@ def test_neardup_gate_matches_batch_pairs_and_is_replay_safe(
     assert spark.read.parquet(target + "_rejects").count() == n_rej
     st2 = spark.read.parquet(target).collect()[0]
     assert (st2["n_seen"], st2["n_dups"]) == (st["n_seen"], st["n_dups"])
+
+
+def test_crashed_swap_recovers_cumulative_state(spark, tmp_path):
+    """A crash between rename(target, old) and rename(staged, target)
+    leaves no live state dir, only the orphaned .old-<id>. The next
+    read must restore that orphan and resume the cumulative fold —
+    NOT silently reset the monoid to the current batch alone."""
+    import os
+
+    from yelp_data_pipeline_spark.streaming.sinks import cms_grid_batch
+
+    state = str(tmp_path / "cms_state")
+    b0 = spark.createDataFrame([(f"u{i % 7}",) for i in range(30)], ["user_id"])
+    b1 = spark.createDataFrame([(f"u{i % 11}",) for i in range(40)], ["user_id"])
+
+    assert cms_grid_batch(b0, 0, state, "user_id") is True
+    total0 = sum(
+        r["cnt"]
+        for r in spark.read.parquet(state).where(F.col("i") == 0).collect()
+    )
+    assert total0 == 30
+
+    # Simulate the crash window of batch 1: state displaced to the
+    # .old dir, replacement swap never happened, no marker written.
+    os.rename(state, state + ".old-1")
+
+    # Replayed batch 1 must fold onto the RESTORED batch-0 state.
+    assert cms_grid_batch(b1, 1, state, "user_id") is True
+    total = sum(
+        r["cnt"]
+        for r in spark.read.parquet(state).where(F.col("i") == 0).collect()
+    )
+    assert total == 70  # 30 + 40, not 40
+    assert not os.path.exists(state + ".old-1")

@@ -390,6 +390,54 @@ def minhash_index_relations(
     return keys, sh
 
 
+def neardup_gate_log(
+    incoming: DataFrame,
+    ikeys: DataFrame,
+    ish: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 12,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """THE gate probe: incoming documents against a FROZEN corpus
+    index — band keys of the incoming batch bucket-join the index
+    keys (candidates), candidates verify with exact Jaccard on the
+    shingle sets (LSH only bounds recall; the log is false-positive-
+    free). This is the single construction behind BOTH faces of the
+    ingestion gate: the streaming ``neardup_gate_batch`` calls it per
+    micro-batch against the on-disk index, and the batch registry
+    twin (`neardup_gate_quarantine`) calls it with in-plan index
+    relations — the two cannot drift because there is one copy.
+
+    Because the index is frozen, gating a stream batch-by-batch emits
+    exactly the union of the per-batch logs — order-insensitive, so
+    one batch-checkable relation verifies the streaming semantics.
+
+    ``ikeys``/``ish`` are the (doc, band_id, key) / (doc, n_sh,
+    shingles) halves from :func:`minhash_index_relations`. Output:
+    (doc_in, doc_ref, jaccard)."""
+    bkeys, bsh = minhash_index_relations(
+        incoming, id_col, text_col, k=k, bands=bands, n=n
+    )
+    cand = (
+        bkeys.alias("a")
+        .join(
+            ikeys.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.key") == F.col("b.key")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_in"), F.col("b.doc").alias("doc_ref")
+        )
+        .dropDuplicates(["doc_in", "doc_ref"])
+    )
+    return jaccard_verify_pairs(
+        cand, bsh, ish, "doc_in", "doc_ref", threshold
+    ).select("doc_in", "doc_ref", "jaccard")
+
+
 def _band_keys_long(mins: DataFrame, k: int, bands: int) -> DataFrame:
     """(doc, band_id, key) banded relation from a minima frame — THE
     band-key construction (md5 over '|'-joined row minima), shared by
@@ -1337,6 +1385,11 @@ def apply_span_surgery(
     Returns (id, n_tokens, n_spans, n_removed_tokens, clean_text):
     original token count, spans applied, tokens excised, and the
     rewritten text (empty string when a doc is fully covered).
+
+    NULL ``text`` is coalesced to ``''`` before tokenizing (matching
+    the span producers, which can never emit a span for it), so the
+    (n_tokens, clean_text) contract holds instead of degrading to
+    ``(-1, NULL)`` via ``F.size(NULL)``.
     """
     sp = spans.groupBy(id_col).agg(
         F.collect_list(
@@ -1345,7 +1398,9 @@ def apply_span_surgery(
             )
         ).alias("__spans")
     )
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    toks = F.split(
+        F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
+    )
     j = docs.select(F.col(id_col), toks.alias("__t")).join(
         sp, id_col, "left"
     )

@@ -45,6 +45,51 @@ def applied_batches(target_path: str) -> set[int]:
     return out
 
 
+def _recover_state(target_path: str) -> None:
+    """Crash-window repair for the module's two-rename state swap: a
+    crash between ``rename(target, old)`` and ``rename(staged,
+    target)`` leaves NO live state dir, only an orphaned
+    ``.old-<id>`` — and a naive "missing target ⇒ first batch" read
+    would silently reset the cumulative monoid to the current batch
+    alone. Restore the newest orphan before reading, so the fold
+    resumes from the last committed state. The crashed batch left no
+    ledger marker (markers are written after the swap), so on replay
+    it folds in full against the restored state — exactly-once
+    preserved. The stale ``.staged-<id>`` dir, if any, is simply
+    overwritten by the replay's staged write."""
+    if os.path.exists(target_path):
+        return
+    parent = os.path.dirname(target_path) or "."
+    base = os.path.basename(target_path)
+    if not os.path.isdir(parent):
+        return
+    orphans = [
+        name
+        for name in os.listdir(parent)
+        if name.startswith(base + ".old-")
+    ]
+    if not orphans:
+        return
+    newest = max(orphans, key=lambda nm: int(nm.rsplit("-", 1)[1]))
+    os.rename(os.path.join(parent, newest), target_path)
+
+
+def _commit_state(df: DataFrame, target_path: str, batch_id: int) -> None:
+    """The module's shared state-swap protocol: write the new fold to
+    a STAGED directory (never read + overwrite one path in a single
+    job), swap via rename, then drop the displaced state. The
+    rename(target, old) → rename(staged, target) window is repaired
+    on the read side by :func:`_recover_state`."""
+    staged = f"{target_path}.staged-{batch_id}"
+    df.write.mode("overwrite").parquet(staged)
+    old = f"{target_path}.old-{batch_id}"
+    if os.path.exists(target_path):
+        os.rename(target_path, old)
+    os.rename(staged, target_path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
 def merge_upsert_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -73,6 +118,7 @@ def merge_upsert_batch(
     marker = os.path.join(ledger, f"batch-{batch_id}")
     if os.path.exists(marker):
         return False
+    _recover_state(target_path)
     updates = batch_df
     if order_col is not None:
         from pyspark.sql import Window
@@ -87,14 +133,7 @@ def merge_upsert_batch(
         merged = merge_upsert_df(spark.read.parquet(target_path), updates, keys)
     else:
         merged = updates
-    staged = f"{target_path}.staged-{batch_id}"
-    merged.write.mode("overwrite").parquet(staged)
-    old = f"{target_path}.old-{batch_id}"
-    if os.path.exists(target_path):
-        os.rename(target_path, old)
-    os.rename(staged, target_path)
-    if os.path.exists(old):
-        shutil.rmtree(old)
+    _commit_state(merged, target_path, batch_id)
     with open(marker, "w") as f:
         f.write("")
     return True
@@ -141,6 +180,7 @@ def hll_register_batch(
 
     spark = batch_df.sparkSession
     regs = _hll_registers(batch_df, col, m, [])
+    _recover_state(target_path)
     if os.path.exists(target_path):
         regs = (
             spark.read.parquet(target_path)
@@ -148,14 +188,7 @@ def hll_register_batch(
             .groupBy("reg")
             .agg(F.max("m_r").alias("m_r"))
         )
-    staged = f"{target_path}.staged-{batch_id}"
-    regs.write.mode("overwrite").parquet(staged)
-    old = f"{target_path}.old-{batch_id}"
-    if os.path.exists(target_path):
-        os.rename(target_path, old)
-    os.rename(staged, target_path)
-    if os.path.exists(old):
-        shutil.rmtree(old)
+    _commit_state(regs, target_path, batch_id)
 
 
 def hll_register_sink(target_path: str, col: str, m: int = 64):
@@ -175,6 +208,7 @@ def hll_state_estimate(spark, target_path: str, m: int = 64) -> DataFrame:
     recompute over the same rows yield the SAME (approx, V, rho_sum)."""
     from ..operators.aggregates import _hll_estimate
 
+    _recover_state(target_path)
     return _hll_estimate(spark.read.parquet(target_path), m, [])
 
 
@@ -208,6 +242,7 @@ def cms_grid_batch(
     marker = os.path.join(ledger, f"batch-{batch_id}")
     if os.path.exists(marker):
         return False
+    _recover_state(target_path)
     grid = _cms_grid(batch_df, col, depth, width)
     if os.path.exists(target_path):
         grid = (
@@ -216,14 +251,7 @@ def cms_grid_batch(
             .groupBy("i", "pos")
             .agg(F.sum("cnt").cast("long").alias("cnt"))
         )
-    staged = f"{target_path}.staged-{batch_id}"
-    grid.write.mode("overwrite").parquet(staged)
-    old = f"{target_path}.old-{batch_id}"
-    if os.path.exists(target_path):
-        os.rename(target_path, old)
-    os.rename(staged, target_path)
-    if os.path.exists(old):
-        shutil.rmtree(old)
+    _commit_state(grid, target_path, batch_id)
     with open(marker, "w") as f:
         f.write("")
     return True
@@ -260,17 +288,11 @@ def kmv_state_batch(
     hashes = batch_df.select(
         md5_long(F.col(col).cast("string")).alias("h")
     ).distinct()
+    _recover_state(target_path)
     if os.path.exists(target_path):
         hashes = spark.read.parquet(target_path).unionByName(hashes).distinct()
     state = hashes.orderBy(F.col("h").asc()).limit(k)
-    staged = f"{target_path}.staged-{batch_id}"
-    state.write.mode("overwrite").parquet(staged)
-    old = f"{target_path}.old-{batch_id}"
-    if os.path.exists(target_path):
-        os.rename(target_path, old)
-    os.rename(staged, target_path)
-    if os.path.exists(old):
-        shutil.rmtree(old)
+    _commit_state(state, target_path, batch_id)
 
 
 def kmv_state_sink(target_path: str, col: str, k: int = 256):
@@ -289,6 +311,7 @@ def kmv_state_estimate(spark, target_path: str, k: int = 256) -> DataFrame:
     exactly."""
     from ..operators.aggregates import KMV_HASH_SPACE
 
+    _recover_state(target_path)
     topk = spark.read.parquet(target_path)
     est = F.when(F.col("m") < k, F.col("m")).otherwise(
         F.round(
@@ -321,6 +344,7 @@ def histogram_state_batch(
     marker = os.path.join(ledger, f"batch-{batch_id}")
     if os.path.exists(marker):
         return False
+    _recover_state(target_path)
     grid = (
         batch_df.where(F.col(value_col).isNotNull())
         .select(
@@ -338,14 +362,7 @@ def histogram_state_batch(
             .groupBy("bucket")
             .agg(F.sum("cnt").cast("long").alias("cnt"))
         )
-    staged = f"{target_path}.staged-{batch_id}"
-    grid.write.mode("overwrite").parquet(staged)
-    old = f"{target_path}.old-{batch_id}"
-    if os.path.exists(target_path):
-        os.rename(target_path, old)
-    os.rename(staged, target_path)
-    if os.path.exists(old):
-        shutil.rmtree(old)
+    _commit_state(grid, target_path, batch_id)
     with open(marker, "w") as f:
         f.write("")
     return True
@@ -419,6 +436,7 @@ def psi_bin_batch(
     marker = os.path.join(ledger, f"batch-{batch_id}")
     if os.path.exists(marker):
         return False
+    _recover_state(target_path)
     grid = (
         batch_df.where(F.col(value_col).isNotNull())
         .select(_psi_bins(value_col, bin_width, n_bins))
@@ -432,14 +450,7 @@ def psi_bin_batch(
             .groupBy("bin")
             .agg(F.sum("cnt").cast("long").alias("cnt"))
         )
-    staged = f"{target_path}.staged-{batch_id}"
-    grid.write.mode("overwrite").parquet(staged)
-    old = f"{target_path}.old-{batch_id}"
-    if os.path.exists(target_path):
-        os.rename(target_path, old)
-    os.rename(staged, target_path)
-    if os.path.exists(old):
-        shutil.rmtree(old)
+    _commit_state(grid, target_path, batch_id)
     with open(marker, "w") as f:
         f.write("")
     return True
@@ -534,6 +545,7 @@ def conformal_cover_batch(
     marker = os.path.join(ledger, f"batch-{batch_id}")
     if os.path.exists(marker):
         return False
+    _recover_state(target_path)
     ref = spark.read.parquet(ref_path).select(group_col, "mean_v", "qhat")
     grid = (
         batch_df.where(F.col(value_col).isNotNull())
@@ -564,14 +576,7 @@ def conformal_cover_batch(
                 F.sum("n_covered").cast("long").alias("n_covered"),
             )
         )
-    staged = f"{target_path}.staged-{batch_id}"
-    grid.write.mode("overwrite").parquet(staged)
-    old = f"{target_path}.old-{batch_id}"
-    if os.path.exists(target_path):
-        os.rename(target_path, old)
-    os.rename(staged, target_path)
-    if os.path.exists(old):
-        shutil.rmtree(old)
+    _commit_state(grid, target_path, batch_id)
     with open(marker, "w") as f:
         f.write("")
     return True
@@ -688,7 +693,7 @@ def neardup_gate_batch(
     pipeline reviews — riding the same ledger decision, so a replayed
     batch adds neither counts nor duplicate log rows.
     Returns False if the batch was already applied."""
-    from ..operators.dedup import minhash_index_relations
+    from ..operators.dedup import neardup_gate_log
 
     spark = batch_df.sparkSession
     ledger = target_path + "_applied"
@@ -696,30 +701,16 @@ def neardup_gate_batch(
     marker = os.path.join(ledger, f"batch-{batch_id}")
     if os.path.exists(marker):
         return False
+    _recover_state(target_path)
     ikeys = spark.read.parquet(ref_path + "_keys")
     ish = spark.read.parquet(ref_path + "_shingles")
-    bkeys, bsh = minhash_index_relations(
-        batch_df, id_col, text_col, k=k, bands=bands, n=n
+    # ONE shared probe construction (candidates by band-key bucket
+    # join + exact-Jaccard verify) for the streaming gate and the
+    # batch registry twin — bit-identical by having one copy.
+    rejects = neardup_gate_log(
+        batch_df, ikeys, ish, id_col, text_col,
+        k=k, bands=bands, n=n, threshold=threshold,
     )
-    cand = (
-        bkeys.alias("a")
-        .join(
-            ikeys.alias("b"),
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.key") == F.col("b.key")),
-        )
-        .select(
-            F.col("a.doc").alias("doc_in"), F.col("b.doc").alias("doc_ref")
-        )
-        .dropDuplicates(["doc_in", "doc_ref"])
-    )
-    # Shared verify tail — the gate's jaccard is bit-identical to the
-    # batch operator's by construction, not by parallel copies.
-    from ..operators.dedup import jaccard_verify_pairs
-
-    rejects = jaccard_verify_pairs(
-        cand, bsh, ish, "doc_in", "doc_ref", threshold
-    ).select("doc_in", "doc_ref", "jaccard")
     from ..session import track_persist
 
     rejects = track_persist(rejects)
@@ -741,14 +732,7 @@ def neardup_gate_batch(
                 F.sum("n_dups").cast("long").alias("n_dups"),
             )
         )
-    staged = f"{target_path}.staged-{batch_id}"
-    grid.write.mode("overwrite").parquet(staged)
-    old = f"{target_path}.old-{batch_id}"
-    if os.path.exists(target_path):
-        os.rename(target_path, old)
-    os.rename(staged, target_path)
-    if os.path.exists(old):
-        shutil.rmtree(old)
+    _commit_state(grid, target_path, batch_id)
     with open(marker, "w") as f:
         f.write("")
     # Quarantine-log append AFTER the marker, like the psi/conformal
