@@ -200,6 +200,14 @@ EXTRAS = [
     "dedup_span_surgery_docs",
     # (pretraining_data_report already in the round-10 block; its
     # standing row now includes the multimodal dup columns)
+    # round 12
+    "image_neardup_pairs_mih_r8",
+    "video_neardup_pairs_offset",
+    "neardup_gate_quarantine",
+    "modality_dup_matrix",
+    "image_dhash_fingerprints_wide",
+    "image_neardup_pairs_wide",
+    "audio_neardup_pairs",
 ]
 
 

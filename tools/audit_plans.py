@@ -150,6 +150,17 @@ DEFAULT_AUDIT = [
     "contamination_direction_matrix",
     "dedup_threshold_curve",
     "dedup_span_surgery_docs",
+    # round 12: the ball-2 MIH join, the offset-tolerant video matcher
+    # (delta-mode aggregate over the packed-key join), the gate's
+    # batch twin (cross-half bucket join + verify), and the
+    # modality × source dup matrix (three pair relations + bounded
+    # spine cross).
+    "image_neardup_pairs_mih_r8",
+    "video_neardup_pairs_offset",
+    "neardup_gate_quarantine",
+    "modality_dup_matrix",
+    "image_neardup_pairs_wide",
+    "audio_neardup_pairs",
 ]
 
 

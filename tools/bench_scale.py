@@ -1000,6 +1000,70 @@ def main_r11(replicas: int) -> int:
     return 0
 
 
+# ``--r12`` mode: the round-12 additions.
+# (a) Native 10x (sf0.01 -> sf0.1 documents): the ball-2 MIH join
+#     (same ~n²/2¹⁴ candidate law as radius 6, more TRUE pairs by
+#     definition), the offset-tolerant video matcher (identical packed
+#     join + one extra combinable groupBy over the slim matched-frame
+#     relation), the gate twin (cross-half bucket join, candidates
+#     ~n²·bands/2^band-entropy like the minhash join), and the
+#     modality matrix (three pair relations + spine; image arm makes
+#     the replica corpus invalid — see the r11 degeneracy note — so
+#     native-only).
+# (b) Derived 25x docs: the gate twin only (text-only minhash algebra;
+#     replica corpus preserves within-replica near-dup structure).
+R12_NATIVE_FAMILY = [
+    "image_neardup_pairs_mih_r8",
+    "video_neardup_pairs_offset",
+    "neardup_gate_quarantine",
+    "modality_dup_matrix",
+    "image_dhash_fingerprints_wide",
+    "image_neardup_pairs_wide",
+    "audio_neardup_pairs",
+]
+
+R12_DOC_FAMILY = [
+    "neardup_gate_quarantine",
+]
+
+
+def main_r12(replicas: int) -> int:
+    spark = get_spark("bench_scale_r12")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = queries()
+
+    qs["image_neardup_pairs_mih_r8"](
+        spark, "/root/testdata/sf0.01"
+    ).write.format("noop").mode("overwrite").save()
+    release_tracked()
+
+    nat_base = run_family(
+        spark, qs, "/root/testdata/sf0.01", R12_NATIVE_FAMILY
+    )
+    print("nat_base", json.dumps(nat_base), flush=True)
+    nat_scaled = run_family(spark, qs, BASE_SF, R12_NATIVE_FAMILY)
+    print("nat_scaled", json.dumps(nat_scaled), flush=True)
+
+    docs_dir = build_scaled(spark, replicas)
+    doc_base = run_family(spark, qs, BASE_SF, R12_DOC_FAMILY)
+    print("doc_base", json.dumps(doc_base), flush=True)
+    doc_scaled = run_family(spark, qs, docs_dir, R12_DOC_FAMILY)
+    print("doc_scaled", json.dumps(doc_scaled), flush=True)
+
+    def ratios(b, s):
+        return {k: round(s[k] / b[k], 2) for k in b if b[k] > 0}
+
+    print(json.dumps({
+        "metric": "r12_family_scale",
+        "unit": "sec",
+        "native_10x": {"base_sf0.01": nat_base, "sf0.1": nat_scaled,
+                       "ratio": ratios(nat_base, nat_scaled)},
+        "docs_%dx" % replicas: {"base": doc_base, "scaled": doc_scaled,
+                                "ratio": ratios(doc_base, doc_scaled)},
+    }))
+    return 0
+
+
 # ``--tpch`` family: the fact-side TPC-H analogs. Unlike the doc/emb
 # families these scale with SF natively (lineitem/orders grow with the
 # fixture scale factor), so the scale point is sf0.01 → sf0.1 (10×
@@ -1075,6 +1139,8 @@ def main() -> int:
         return main_r10(replicas)
     if "--r10b" in sys.argv:
         return main_r10b(replicas)
+    if "--r12" in sys.argv:
+        return main_r12(replicas)
     if "--r11" in sys.argv:
         return main_r11(replicas)
     spark = get_spark("bench_scale")

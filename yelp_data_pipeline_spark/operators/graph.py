@@ -145,6 +145,7 @@ def connected_components_star(
     dst: str = "dst",
     max_iter: int = 50,
     rounds_per_checkpoint: int = 1,
+    prepass_rounds: int = 0,
 ) -> DataFrame:
     """Connected components via the alternating large-star/small-star
     algorithm (Kiveris et al., "Connected Components in MapReduce and
@@ -173,6 +174,30 @@ def connected_components_star(
     fan-out-needs-materialization law the per-round eager checkpoint
     exists to enforce. Default stays 1; the knob documents the
     negative result.
+
+    ``prepass_rounds`` > 0 runs that many cheap HASH-MIN rounds first
+    and CONTRACTS the graph by the partial labels before the star
+    loop: after k rounds every node holds the min id of its k-hop
+    neighborhood, each edge (u, v) maps to (L(u), L(v)), self-loops
+    drop, and components of diameter ≤ k vanish entirely — the star
+    rounds then see only the residual long-diameter skeleton.
+    Soundness: L(u) is always in u's component (it is a neighborhood
+    min), a component's global min m has L(m) = m, and contracted
+    edges preserve inter-group connectivity, so star-over-contracted
+    labels compose exactly (node → L(node) → star label).
+
+    NEGATIVE RESULT on the golden-records graph (measured sf0.1,
+    BASELINE.md round 12): break-even within host noise (warm ~10.5s
+    either way at k ∈ {2, 3, 6}). The premise — collapse the
+    short-diameter mass so the star rounds shuffle fewer edges —
+    is structurally void there: TPC-H customer names chain at edit
+    distance 1, so the edge mass sits in giant chain components and
+    k hash-min rounds cut only ~3% of edges per round (44100 → 40050
+    at k=3) while costing k extra join+agg rounds. Default stays 0.
+    The knob is kept (correctness-pinned in tests/test_round12_ops)
+    because on the COMMON near-dup shape — tiny star/clique clusters,
+    diameter ≤ ~3 — the same contraction erases almost the whole edge
+    set before the first star round.
     """
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -187,6 +212,47 @@ def connected_components_star(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     all_nodes.count()
+    pre = None
+    if prepass_rounds > 0:
+        sym0 = (
+            e.select("u", "v")
+            .union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        lab = all_nodes.select("node", F.col("node").alias("l"))
+        for _ in range(prepass_rounds):
+            nbr_min = (
+                sym0.join(
+                    lab.select(F.col("node").alias("v"), "l"), "v"
+                )
+                .groupBy("u")
+                .agg(F.min("l").alias("nl"))
+                .withColumnRenamed("u", "node")
+            )
+            # Eager checkpoint per round — the CC lineage law: an
+            # unmaterialized round is re-derived by the next one.
+            lab = (
+                lab.join(nbr_min, "node", "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("l"), F.coalesce("nl", F.col("l"))
+                    ).alias("l"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        sym0.unpersist()
+        pre = lab  # (node, l): node -> min id of its k-hop neighborhood
+        contracted = (
+            e.join(pre.select(F.col("node").alias("u"), F.col("l").alias("lu")), "u")
+            .join(pre.select(F.col("node").alias("v"), F.col("l").alias("lv")), "v")
+            .select(F.col("lu").alias("u"), F.col("lv").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        e.unpersist()
+        e = contracted.persist(StorageLevel.MEMORY_AND_DISK)
     converged = False
     for _ in range(max_iter):
         cur = e
@@ -241,13 +307,24 @@ def connected_components_star(
             f"alternating star did not converge in {max_iter} rounds"
         )
     # Stars: (u → center). Centers and isolated-after-dedup nodes
-    # label themselves.
-    labels = (
-        all_nodes.join(e, all_nodes["node"] == e["u"], "left")
-        .select(
-            "node", F.coalesce("v", F.col("node")).alias("cluster")
+    # label themselves. With a pre-pass, compose through the partial
+    # labels: node → L(node) → star label of the contracted
+    # representative (L(node) when the representative is itself a
+    # center, or when its component collapsed entirely pre-star).
+    if pre is not None:
+        labels = (
+            pre.join(e, pre["l"] == e["u"], "left")
+            .select(
+                "node", F.coalesce("v", F.col("l")).alias("cluster")
+            )
         )
-    )
+    else:
+        labels = (
+            all_nodes.join(e, all_nodes["node"] == e["u"], "left")
+            .select(
+                "node", F.coalesce("v", F.col("node")).alias("cluster")
+            )
+        )
     # Eagerly checkpoint the (tiny: one row per node) label map and
     # release the loop relations NOW: without the cut, every consumer
     # of the returned frame embeds the full blocking/verify lineage of

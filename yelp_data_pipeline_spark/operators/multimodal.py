@@ -571,6 +571,165 @@ def image_dhash(
     )
 
 
+def image_dhash_wide(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """120-bit dHash (8 rows × 15 comparisons) split across TWO longs
+    — the WIDER CODE every narrow-code scale_note in this module
+    points at: for any lossless Hamming-radius-r bucketing, candidate
+    volume is ~n²/2^chunk_bits, so the only way to keep bucket count
+    growing with the corpus is more code bits, not more probes. 120
+    bits give :func:`hamming_neardup_pairs_mih_wide` 8 × 15-bit
+    chunks (32768 buckets per chunk, 2× the 14-bit chunks of the
+    56-bit code) AND ball radius ≤ 1 all the way to Hamming radius
+    15 — where the 56-bit code needs ball-2 enumeration past radius 7.
+
+    Same decode + luma + resample arithmetic as :func:`image_dhash`
+    (one Arrow mapInPandas pass, ``_dhash_bits`` with a (8, 16)
+    grid); bit k = row k//15, col k%15, packed little-endian with
+    bits 0-59 in ``dh_lo`` and 60-119 in ``dh_hi`` (both longs stay
+    non-negative). Output: (id, width, height, dh_hi, dh_lo)."""
+    lo_mask = (1 << 60) - 1
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                m = parse_bmp(bytes(payload))
+                h = _dhash_bits(
+                    m["pixels"], m["width"], m["height"], 15, 8
+                )
+                out.append(
+                    (
+                        int(did),
+                        m["width"],
+                        m["height"],
+                        h >> 60,
+                        h & lo_mask,
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=[id_col, "width", "height", "dh_hi", "dh_lo"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _hash,
+        f"{id_col} long, width int, height int, dh_hi long, dh_lo long",
+    )
+
+
+def hamming_neardup_pairs_mih_wide(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    hi_col: str = "dh_hi",
+    lo_col: str = "dh_lo",
+    max_hamming: int = 8,
+    chunks: int = 8,
+    bits: int = 120,
+) -> DataFrame:
+    """Multi-index hashing over the TWO-LONG 120-bit code — the scale
+    path the 56-bit rows' scale_notes name: 8 × 15-bit chunks =
+    32768 buckets per chunk, and floor(max_hamming/8) ≤ 1 for every
+    radius up to 15, so the probe ball stays single-bit (16
+    keys/chunk, 128 probe rows/item) at radii where the 56-bit code
+    already needs multi-bit enumeration. Same Norouzi-Punjani-Fleet
+    pigeonhole, same literal-mask probe encoding as
+    :func:`hamming_neardup_pairs_mih` (one explode + one expression,
+    codegen-safe at any radius), verify = bit_count(hi⊕hi) +
+    bit_count(lo⊕lo) in pure codegen.
+
+    Chunk layout: 15 divides 60, so chunks 0-3 read ``lo_col`` and
+    4-7 read ``hi_col`` — no chunk straddles the longs. Output:
+    (doc_a, doc_b, hamming), doc_a < doc_b, identical contract to the
+    56-bit joins so the exact all-pairs oracle shape carries over."""
+    from itertools import combinations
+    from math import comb
+
+    if bits != 120 or chunks != 8:
+        raise ValueError(
+            "two-long MIH is laid out for bits=120, chunks=8 "
+            f"(got bits={bits}, chunks={chunks})"
+        )
+    w = bits // chunks
+    ball_r = max_hamming // chunks
+    keys_per_item = chunks * sum(comb(w, j) for j in range(ball_r + 1))
+    if keys_per_item > 2048:
+        raise ValueError(
+            f"MIH probe fan-out {keys_per_item} keys/item exceeds 2048"
+        )
+    mask = (1 << w) - 1
+    s = sigs.select(
+        F.col(id_col).alias("doc"),
+        F.col(hi_col).alias("hi"),
+        F.col(lo_col).alias("lo"),
+    )
+    chunk_val = (
+        f"(CASE WHEN __c < 4 THEN (lo >> (__c * {w})) "
+        f"ELSE (hi >> ((__c - 4) * {w})) END)"
+    )
+    index = s.select(
+        "doc",
+        "hi",
+        "lo",
+        F.explode(F.lit(list(range(chunks)))).alias("__c"),
+    ).select(
+        "doc",
+        "hi",
+        "lo",
+        F.col("__c").cast("int").alias("chunk_id"),
+        F.expr(f"CAST({chunk_val} & {mask} AS INT)").alias("key"),
+    )
+    enc = [
+        (c << w) | sum(1 << b for b in flipped)
+        for c in range(chunks)
+        for j in range(ball_r + 1)
+        for flipped in combinations(range(w), j)
+    ]
+    probe = s.select(
+        "doc", "hi", "lo", F.explode(F.lit(enc)).alias("__e")
+    ).select(
+        "doc",
+        "hi",
+        "lo",
+        F.expr(f"CAST(__e div {1 << w} AS INT)").alias("chunk_id"),
+        F.expr(
+            f"CAST((CASE WHEN (__e div {1 << w}) < 4 "
+            f"THEN (lo >> (CAST(__e div {1 << w} AS INT) * {w})) "
+            f"ELSE (hi >> ((CAST(__e div {1 << w} AS INT) - 4) * {w})) "
+            f"END) & {mask} AS INT) ^ CAST(__e % {1 << w} AS INT)"
+        ).alias("key"),
+    )
+    a, b_ = probe.alias("a"), index.alias("b")
+    cand = a.join(
+        b_,
+        (F.col("a.chunk_id") == F.col("b.chunk_id"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col("a.doc") < F.col("b.doc")),
+    )
+    return (
+        cand.select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.hi").alias("hi_a"),
+            F.col("a.lo").alias("lo_a"),
+            F.col("b.hi").alias("hi_b"),
+            F.col("b.lo").alias("lo_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn(
+            "hamming",
+            F.expr(
+                "CAST(bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)"
+                " AS INT)"
+            ),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def _dhash_bits(
     pixels: bytes, width: int, height: int, hash_w: int, hash_h: int
 ) -> int:
@@ -701,26 +860,34 @@ def hamming_neardup_pairs_mih(
     ANY chunk count m (m·(floor(r/m)+1) > r always), verified like the
     banding join with one codegen ``bit_count(a XOR b)``.
 
-    Cost shape: probe explode is m·(1+w) rows per item (60 here) vs the
-    banding join's 7 — a constant-factor row tax paid to push the
-    occupancy wall out 64×; the join stays bucketed by (chunk, key),
-    never n². Ball radius ≤ 1 is implemented (floor(max_hamming /
-    chunks) ≤ 1 — wider radii need multi-bit enumeration; raise rather
-    than silently lose pairs).
+    Cost shape: probe explode is m·Σ_{{j≤r'}} C(w,j) rows per item
+    (60 at ball radius r'=1, 424 at r'=2 with w=14) vs the banding
+    join's 7 — a constant-factor row tax paid to push the occupancy
+    wall out 64×; the join stays bucketed by (chunk, key), never n².
+    The Hamming ball is enumerated generically (all XOR masks of
+    weight ≤ floor(max_hamming/chunks) per chunk — static expressions,
+    so Catalyst sees one explode of literal-mask keys); a probe fan-out
+    past 2048 keys/item raises rather than silently building an
+    unboundedly wide plan — at that point use more chunks or a wider
+    fingerprint.
 
     Output: (doc_a, doc_b, hamming), doc_a < doc_b — identical to
     :func:`image_neardup_pairs`, so the two share one exact all-pairs
     oracle and every sweep proves the equivalence.
     """
+    from itertools import combinations
+    from math import comb
+
     if bits % chunks != 0:
         raise ValueError(f"bits={bits} must divide into chunks={chunks}")
     w = bits // chunks
     ball_r = max_hamming // chunks
-    if ball_r > 1:
+    keys_per_item = chunks * sum(comb(w, j) for j in range(ball_r + 1))
+    if keys_per_item > 2048:
         raise ValueError(
-            f"ball radius {ball_r} (max_hamming={max_hamming} over "
-            f"chunks={chunks}) not implemented: use more chunks or the "
-            "banding join"
+            f"MIH probe fan-out {keys_per_item} keys/item (ball radius "
+            f"{ball_r} over {chunks}×{w}-bit chunks) exceeds 2048: use "
+            "more chunks or a wider fingerprint"
         )
     mask = (1 << w) - 1
     s = sigs.select(F.col(id_col).alias("doc"), F.col(hash_col).alias("h"))
@@ -743,24 +910,32 @@ def hamming_neardup_pairs_mih(
             )
         ).alias("ck"),
     ).select("doc", "h", F.col("ck.chunk_id"), F.col("ck.key"))
-    probe_keys = []
-    for c in range(chunks):
-        probe_keys.append(
-            F.struct(
-                F.lit(c).alias("chunk_id"), F.expr(chunk_key(c)).alias("key")
-            )
-        )
-        if ball_r == 1:
-            probe_keys.extend(
-                F.struct(
-                    F.lit(c).alias("chunk_id"),
-                    F.expr(f"({chunk_key(c)}) ^ {1 << b}").alias("key"),
-                )
-                for b in range(w)
-            )
+    # The Hamming ball is enumerated as a LITERAL array of
+    # (chunk << w) | xor_mask encodings, exploded once, with the probe
+    # key computed by ONE shift/and/xor expression over the exploded
+    # element — NOT as one projection expression per ball key: at ball
+    # radius 2 that is 424 expressions in a single Project, which
+    # overflows janino's method-size limit and silently drops the
+    # whole stage out of codegen (observed in the round-12 plan
+    # audit). A constant array + one expression keeps every radius
+    # inside whole-stage codegen and the plan size flat.
+    enc = [
+        (c << w) | sum(1 << b for b in flipped)
+        for c in range(chunks)
+        for j in range(ball_r + 1)
+        for flipped in combinations(range(w), j)
+    ]
     probe = s.select(
-        "doc", "h", F.explode(F.array(*probe_keys)).alias("ck")
-    ).select("doc", "h", F.col("ck.chunk_id"), F.col("ck.key"))
+        "doc", "h", F.explode(F.lit(enc)).alias("__e")
+    ).select(
+        "doc",
+        "h",
+        F.expr(f"CAST(__e div {1 << w} AS INT)").alias("chunk_id"),
+        F.expr(
+            f"CAST((h >> (CAST(__e div {1 << w} AS INT) * {w}))"
+            f" & {mask} AS INT) ^ CAST(__e % {1 << w} AS INT)"
+        ).alias("key"),
+    )
     a, b_ = probe.alias("a"), index.alias("b")
     cand = a.join(
         b_,
@@ -1118,6 +1293,31 @@ def video_neardup_pairs(
     WRONG videos — a silent-corruption class, so it fails loudly.
 
     Output: (video_a, video_b, matched_frames, min_hamming)."""
+    aligned = (
+        _packed_frame_pairs(fps_df, id_col, max_hamming)
+        .where(F.col("idx_a") == F.col("idx_b"))
+        .select("video_a", "video_b", "hamming")
+    )
+    return (
+        aligned.groupBy("video_a", "video_b")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("matched_frames"),
+            F.min("hamming").cast("int").alias("min_hamming"),
+        )
+        .where(F.col("matched_frames") >= min_matched_frames)
+    )
+
+
+def _packed_frame_pairs(
+    fps_df: DataFrame, id_col: str, max_hamming: int
+) -> DataFrame:
+    """The shared packed-key MIH frame join behind both video
+    matchers: (video, frame_idx) packs into one long (guarded per row
+    — see :func:`video_neardup_pairs`), the WHOLE frame relation goes
+    through ONE bucketed MIH join, and the packed ids unpack back to
+    (video_a, video_b, idx_a, idx_b, hamming) with video_a < video_b
+    (packed order is (video, frame) lexicographic, so cross-video
+    pairs always orient by video id)."""
     pack_ok = F.assert_true(
         (F.col("frame_idx") >= 0)
         & (F.col("frame_idx") < F.lit(1 << 16))
@@ -1138,18 +1338,77 @@ def video_neardup_pairs(
     pairs = hamming_neardup_pairs_mih(
         packed, "doc_id", "dhash", max_hamming=max_hamming
     )
-    aligned = pairs.where(
-        F.col("doc_a") % (1 << 16) == F.col("doc_b") % (1 << 16)
-    ).select(
+    return pairs.select(
         F.expr(f"doc_a div {1 << 16}").alias("video_a"),
         F.expr(f"doc_b div {1 << 16}").alias("video_b"),
+        (F.col("doc_a") % F.lit(1 << 16)).cast("int").alias("idx_a"),
+        (F.col("doc_b") % F.lit(1 << 16)).cast("int").alias("idx_b"),
         "hamming",
     )
+
+
+def video_neardup_pairs_offset(
+    fps_df: DataFrame,
+    id_col: str = "doc_id",
+    min_matched_frames: int = 2,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """OFFSET-TOLERANT video near-duplicates — the case the aligned
+    matcher (:func:`video_neardup_pairs`) provably misses: a TRIMMED
+    or padded clip shifts every frame index by a constant, so no frame
+    pair shares an index and same-idx matching finds nothing, yet the
+    content is a near-duplicate. Temporal alignment is recovered by
+    VOTING: every cross-video frame match casts a vote for its index
+    delta (idx_b − idx_a), and the MODAL delta — the alignment most
+    frames agree on — wins; ≥ ``min_matched_frames`` supporting frames
+    accepts the pair. Incidental single-frame matches at stray deltas
+    are outvoted, which is exactly the robustness constant-offset
+    matching needs (the standard temporal-alignment trick in video
+    copy detection, e.g. Hampapur & Bolle's sequence matching).
+
+    Same ONE packed-key bucketed MIH join as the aligned matcher (the
+    frame relation never self-joins n²) plus one extra combinable
+    groupBy over the slim matched-frame relation: (pair, delta) counts
+    then a per-pair struct-max picks the modal delta with a
+    deterministic tiebreak (most frames, then smallest |delta|, then
+    smallest delta).
+
+    Output: (video_a, video_b, idx_delta, matched_frames,
+    min_hamming), video_a < video_b; idx_delta is the winning
+    alignment of the higher-id video relative to the lower-id one
+    (a clip trimmed by t frames reports −t)."""
+    cross = _packed_frame_pairs(fps_df, id_col, max_hamming).where(
+        F.col("video_a") != F.col("video_b")
+    )
+    per_delta = cross.groupBy(
+        "video_a",
+        "video_b",
+        (F.col("idx_b") - F.col("idx_a")).alias("idx_delta"),
+    ).agg(
+        F.count(F.lit(1)).cast("int").alias("matched_frames"),
+        F.min("hamming").cast("int").alias("min_hamming"),
+    )
+    # Struct max = lexicographic: most supporting frames, then the
+    # smallest |delta| (prefer the least-shifted alignment), then the
+    # smaller signed delta — fully deterministic.
+    pick = F.max(
+        F.struct(
+            F.col("matched_frames").alias("mf"),
+            (-F.abs(F.col("idx_delta"))).alias("neg_abs"),
+            (-F.col("idx_delta")).alias("neg_d"),
+            F.col("idx_delta").alias("idx_delta"),
+            F.col("min_hamming").alias("min_hamming"),
+        )
+    ).alias("p")
     return (
-        aligned.groupBy("video_a", "video_b")
-        .agg(
-            F.count(F.lit(1)).cast("int").alias("matched_frames"),
-            F.min("hamming").cast("int").alias("min_hamming"),
+        per_delta.groupBy("video_a", "video_b")
+        .agg(pick)
+        .select(
+            "video_a",
+            "video_b",
+            F.col("p.idx_delta").alias("idx_delta"),
+            F.col("p.mf").alias("matched_frames"),
+            F.col("p.min_hamming").alias("min_hamming"),
         )
         .where(F.col("matched_frames") >= min_matched_frames)
     )

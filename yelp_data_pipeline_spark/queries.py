@@ -1780,7 +1780,15 @@ sh AS (
 )"""
 
 
-def _minhash_oracle(k: int = 12, bands: int = 4, threshold: float = 0.8) -> str:
+def _minhash_oracle(
+    k: int = 12,
+    bands: int = 4,
+    threshold: float = 0.8,
+    pair_pred: str = "a.doc_id < b.doc_id",
+) -> str:
+    """``pair_pred`` restricts the candidate self-join (default: the
+    batch dedup orientation; the gate twin passes the cross-half
+    incoming-vs-index predicate)."""
     rows = k // bands
     mh_cols = ",\n         ".join(
         f"list_min(list_transform(shingles, s -> {md5_family_sql('s', i)})) AS mh{i}"
@@ -1814,7 +1822,7 @@ cand AS (
                   a.shingles AS sh_a, b.shingles AS sh_b,
                   a.n_sh AS na, b.n_sh AS nb
   FROM bl a JOIN bl b
-    ON a.band_id = b.band_id AND a.key = b.key AND a.doc_id < b.doc_id
+    ON a.band_id = b.band_id AND a.key = b.key AND ({pair_pred})
 ),
 verified AS (
   SELECT doc_a, doc_b,
@@ -3873,6 +3881,148 @@ def q_image_neardup_pairs_mih(spark, sf_dir):
     return mm.hamming_neardup_pairs_mih(sigs).orderBy("doc_a", "doc_b")
 
 
+@_q(
+    "image_neardup_pairs_mih_r8",
+    f"""
+WITH dims AS (
+  SELECT doc_id,
+         8 + (doc_id % 5) * 4 AS w,
+         6 + (doc_id % 3) * 6 AS h
+  FROM documents
+),
+sig AS (SELECT doc_id, {_DHASH_SQL} AS dhash FROM dims)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= 8
+ORDER BY doc_a, doc_b
+""",
+    doc="MIH at Hamming radius 8 — the wider-radius envelope the "
+    "round-11 implementation walled off with a ValueError: "
+    "floor(8/4)=2 errors can land in EVERY 14-bit chunk, so the probe "
+    "side now enumerates the full ball of radius 2 per chunk "
+    "(1+14+C(14,2)=106 literal-mask keys/chunk, 424/image — static "
+    "expressions, one explode) against exact index keys; lossless by "
+    "the same pigeonhole (8 errors over 4 chunks ⇒ some chunk ≤ 2). "
+    "The oracle is the EXACT all-pairs join at radius 8 — every sweep "
+    "proves recall at the radius the old guard refused. An "
+    "adversarial planted pair with exactly 2 errors per chunk (which "
+    "radius-1 probing can never candidate) is pinned in "
+    "tests/test_round12_ops.py.",
+    scale_note="the ~n²/2^14 lossless-bucketing candidate law from "
+    "image_neardup_pairs_mih applies unchanged, and radius 8 admits "
+    "more TRUE pairs by definition; the 424-key probe explode is a "
+    "constant row tax. At corpus scale widen the code (120-bit dHash "
+    "→ 8×15-bit chunks keep ball ≤ 1 at radius 8) before widening "
+    "the radius",
+)
+def q_image_neardup_pairs_mih_r8(spark, sf_dir):
+    d = mm.attach_bmp_payload(_t(spark, sf_dir, "documents"))
+    sigs = mm.image_dhash(d)
+    return mm.hamming_neardup_pairs_mih(sigs, max_hamming=8).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def _dhash120_luma(y: str, x: str) -> str:
+    return _dhash_luma_sql(y, x)
+
+
+_DHASH120_BIT = (
+    "CASE WHEN "
+    + _dhash120_luma("((k // 15) * h) // 8", "(((k % 15) + 1) * w) // 16")
+    + " > "
+    + _dhash120_luma("((k // 15) * h) // 8", "((k % 15) * w) // 16")
+    + " THEN 1 ELSE 0 END"
+)
+
+_DHASH120_LO = (
+    "CAST(list_sum(list_transform(generate_series(0, 59), k -> ("
+    + _DHASH120_BIT
+    + ") * (CAST(1 AS BIGINT) << CAST(k AS INT)))) AS BIGINT)"
+)
+
+_DHASH120_HI = (
+    "CAST(list_sum(list_transform(generate_series(60, 119), k -> ("
+    + _DHASH120_BIT
+    + ") * (CAST(1 AS BIGINT) << CAST(k - 60 AS INT)))) AS BIGINT)"
+)
+
+
+@_q(
+    "image_dhash_fingerprints_wide",
+    f"""
+WITH dims AS (
+  SELECT doc_id,
+         8 + (doc_id % 5) * 4 AS w,
+         6 + (doc_id % 3) * 6 AS h
+  FROM documents
+)
+SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       {_DHASH120_HI} AS dh_hi,
+       {_DHASH120_LO} AS dh_lo
+FROM dims ORDER BY doc_id
+""",
+    doc="120-bit dHash split across two longs (operators/multimodal"
+    ".py:image_dhash_wide) — the WIDER CODE the 56-bit rows' "
+    "scale_notes name as the real scale fix: 8 rows × 15 neighbor "
+    "comparisons on a (8, 16) luma resample, bits 0-59 in dh_lo and "
+    "60-119 in dh_hi. The oracle replays the full luma + resample + "
+    "comparison + two-long packing arithmetic on the formula pixels, "
+    "so the hashes only match if the byte path AND the hi/lo split "
+    "are exact. Same one-Arrow-pass shape as the 56-bit row.",
+)
+def q_image_dhash_fingerprints_wide(spark, sf_dir):
+    d = mm.attach_bmp_payload(_t(spark, sf_dir, "documents"))
+    return mm.image_dhash_wide(d).orderBy("doc_id")
+
+
+@_q(
+    "image_neardup_pairs_wide",
+    f"""
+WITH dims AS (
+  SELECT doc_id,
+         8 + (doc_id % 5) * 4 AS w,
+         6 + (doc_id % 3) * 6 AS h
+  FROM documents
+),
+sig AS (
+  SELECT doc_id, {_DHASH120_HI} AS hi, {_DHASH120_LO} AS lo FROM dims
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.hi, b.hi))
+            + bit_count(xor(a.lo, b.lo)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 8
+ORDER BY doc_a, doc_b
+""",
+    doc="Near-duplicate image pairs over the 120-BIT code (operators/"
+    "multimodal.py:hamming_neardup_pairs_mih_wide) — the widen-the-"
+    "code scale path, now implemented rather than only named in "
+    "scale_notes: 8 × 15-bit chunks = 32768 buckets per chunk (2× "
+    "the 56-bit code's 14-bit chunks), and ball radius stays ≤ 1 for "
+    "every Hamming radius up to 15 (16 keys/chunk, 128 probe rows/"
+    "item) where the 56-bit code needs ball-2 enumeration past "
+    "radius 7. No chunk straddles the two longs (15 | 60); verify is "
+    "bit_count(hi⊕hi) + bit_count(lo⊕lo) in codegen. The oracle is "
+    "the EXACT all-pairs join at radius 8 over the replayed 120-bit "
+    "formula hashes — recall proven per sweep, and radius-12 "
+    "losslessness pinned in tests/test_round12_ops.py.",
+    scale_note="candidate volume ~n²/2^15 per chunk-bucket law — 2× "
+    "under the 56-bit MIH and 128× under the 8-bit banding; the "
+    "probe explode is a constant 128 rows/image. This IS the "
+    "widen-the-code path the 56-bit rows point to; past this, grow "
+    "bits with log₂(n) (the IVF cells-∝-n discipline in hamming "
+    "space)",
+)
+def q_image_neardup_pairs_wide(spark, sf_dir):
+    d = mm.attach_bmp_payload(_t(spark, sf_dir, "documents"))
+    sigs = mm.image_dhash_wide(d)
+    return mm.hamming_neardup_pairs_mih_wide(sigs, max_hamming=8).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
 def _pcm_byte_sql(pos: str) -> str:
     """DuckDB byte of the WAV data chunk at 0-based ``pos``: the PCM
     body is the doc's ASCII text bytes plus zero padding."""
@@ -3921,16 +4071,56 @@ def q_audio_fingerprints(spark, sf_dir):
     return mm.audio_fingerprint(d).orderBy("doc_id")
 
 
-# Audio near-dup pairs reuse the image path's hash-agnostic banding
-# join (multimodal.hamming_neardup_pairs) over audio_fingerprint
-# signatures. NOT a registry row: the fixture's synthesized PCM
-# (document text bytes) has NO pairs inside the lossless hamming<=6
-# radius (measured min pairwise hamming = 11 — insertions shift the
-# sample alignment), and an empty result demonstrates nothing. The
-# machinery is pinned instead by a planted-edit readback in
-# tests/test_round10_ops.py (small PCM edit -> pair found; different
-# waveform -> not), the honest place for a fixture without audio
-# near-dups.
+# Audio near-dup pairs reuse the image path's hash-agnostic joins
+# over audio_fingerprint signatures. At the standard hamming<=6
+# radius the fixture's synthesized PCM (document text bytes) has NO
+# pairs (measured min pairwise hamming = 11 — insertions shift the
+# sample alignment), so the r6 arm stays pinned by the planted-edit
+# readback in tests/test_round10_ops.py instead of an empty registry
+# row. The generic Hamming-ball enumeration (round 12) reaches radius
+# 12 (ball 3 over 4x14-bit chunks, 1880 probe keys/item — under the
+# 2048 fan-out cap), where the fixture DOES hold genuine pairs — that
+# non-empty row follows.
+
+
+@_q(
+    "audio_neardup_pairs",
+    _WAV_ORACLE_BASE + f""",
+t AS (
+  SELECT w.doc_id, w.data_len, d.text, strlen(d.text) AS sl
+  FROM w JOIN documents d USING (doc_id)
+),
+sig AS (SELECT doc_id, {_AFP_SQL} AS afp FROM t)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.afp, b.afp)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.afp, b.afp)) <= 12
+ORDER BY doc_a, doc_b
+""",
+    doc="Near-duplicate AUDIO pairs at Hamming radius 12 — the first "
+    "NON-EMPTY audio arm (rounds 10-11 could only 0-prove the r6 "
+    "radius: the fixture's min pairwise fingerprint distance is 11): "
+    "ball radius floor(12/4)=3 over the 4×14-bit MIH chunks, 1880 "
+    "literal-mask probe keys/item under the 2048 fan-out cap, "
+    "exercising the generic multi-bit Hamming-ball enumeration at "
+    "its widest shipped setting. The oracle is the EXACT all-pairs "
+    "join over the replayed PCM fingerprint arithmetic, so the sweep "
+    "proves pigeonhole losslessness at ball 3 on real data.",
+    scale_note="radius 12 on a 56-bit code is a LOOSE gate (the "
+    "candidate law ~n²/2^14 applies, and the 1880-key probe explode "
+    "is a 32× row tax over radius 6) — the parity/eval setting; at "
+    "corpus scale use the 120-bit wide code "
+    "(image_neardup_pairs_wide's join), where radius 12 keeps ball "
+    "≤ 1 and a 128-key probe",
+)
+def q_audio_neardup_pairs(spark, sf_dir):
+    d = mm.attach_wav_payload(_t(spark, sf_dir, "documents"))
+    sigs = mm.audio_fingerprint(d).select(
+        "doc_id", F.col("afp").alias("dhash")
+    )
+    return mm.hamming_neardup_pairs_mih(sigs, max_hamming=12).orderBy(
+        "doc_a", "doc_b"
+    )
 
 
 @_q(
@@ -4086,6 +4276,57 @@ def q_video_neardup_pairs(spark, sf_dir):
     d = mm.attach_avi_payload(_t(spark, sf_dir, "documents"))
     sigs = mm.video_frame_fingerprints(d, stride=2)
     return mm.video_neardup_pairs(sigs).orderBy("video_a", "video_b")
+
+
+@_q(
+    "video_neardup_pairs_offset",
+    f"""
+WITH {_VIDEO_SIG_CTE},
+m AS (
+  SELECT a.doc_id AS video_a, b.doc_id AS video_b,
+         b.frame_idx - a.frame_idx AS idx_delta,
+         bit_count(xor(a.dhash, b.dhash)) AS hamming
+  FROM vsig a JOIN vsig b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+),
+pd AS (
+  SELECT video_a, video_b, idx_delta,
+         CAST(count(*) AS INT) AS matched_frames,
+         CAST(min(hamming) AS INT) AS min_hamming
+  FROM m GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT video_a, video_b, idx_delta, matched_frames, min_hamming,
+         row_number() OVER (
+           PARTITION BY video_a, video_b
+           ORDER BY matched_frames DESC, abs(idx_delta) ASC,
+                    idx_delta ASC) AS rk
+  FROM pd
+)
+SELECT video_a, video_b, CAST(idx_delta AS INT) AS idx_delta,
+       matched_frames, min_hamming
+FROM best WHERE rk = 1 AND matched_frames >= 2
+ORDER BY video_a, video_b
+""",
+    doc="OFFSET-TOLERANT video near-duplicates (operators/multimodal"
+    ".py:video_neardup_pairs_offset) — the case the aligned matcher "
+    "provably misses (pinned by a planted trimmed-clip pytest): a "
+    "trimmed or padded clip shifts every frame index by a constant, "
+    "so no frame pair shares an index. Alignment is recovered by "
+    "VOTING: every cross-video frame match (the SAME one packed-key "
+    "MIH join) casts a vote for its idx delta, and the modal delta — "
+    "the alignment most frames agree on — wins with a deterministic "
+    "tiebreak (most frames, smallest |delta|, smallest delta); "
+    ">= 2 supporting frames accepts the pair. One extra combinable "
+    "groupBy over the slim matched-frame relation; the oracle is the "
+    "exact all-pairs frame join with the same delta-mode aggregate.",
+)
+def q_video_neardup_pairs_offset(spark, sf_dir):
+    d = mm.attach_avi_payload(_t(spark, sf_dir, "documents"))
+    sigs = mm.video_frame_fingerprints(d, stride=2)
+    return mm.video_neardup_pairs_offset(sigs).orderBy(
+        "video_a", "video_b"
+    )
 
 
 @_q(
@@ -10578,10 +10819,17 @@ ORDER BY threshold
     "aggregates are combinable groupBys on the slim pair relation.",
 )
 def q_dedup_threshold_curve(spark, sf_dir):
-    from .session import track_persist
+    from .session import cut_lineage
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = track_persist(
+    # Eager lineage cut, not a lazy persist: the slim verified-pair
+    # relation has three consumers (two aggregates + the spine), and a
+    # lazy persist leaves the full MinHash subtree embedded in each
+    # consumer's plan (audited at 142 exchanges round 11) — any
+    # consumer that misses cache re-derives LSH from scratch. After
+    # the checkpoint every consumer plans against a scan of the
+    # materialized pair blocks.
+    pairs = cut_lineage(
         dd.minhash_lsh_pairs(
             docs, "doc_id", "text", k=12, bands=4, threshold=0.7
         )
@@ -10626,6 +10874,47 @@ def q_dedup_threshold_curve(spark, sf_dir):
         )
         .orderBy("threshold")
     )
+
+
+@_q(
+    "neardup_gate_quarantine",
+    "SELECT CAST(doc_a % 3 AS BIGINT) AS batch_id, doc_a AS doc_id, "
+    "doc_b AS matched_doc, jaccard FROM ("
+    + _minhash_oracle(
+        k=12,
+        bands=4,
+        threshold=0.8,
+        pair_pred="a.doc_id % 2 = 1 AND b.doc_id % 2 = 0",
+    )
+    + ") g ORDER BY doc_id, matched_doc",
+    doc="Batch-checkable twin of the STREAMING near-dup ingestion "
+    "gate (streaming/sinks.py:neardup_gate_batch — round 11's "
+    "pytest-only surface, now driver-hashed): even-id documents form "
+    "the frozen accepted-corpus index, odd-id documents arrive as "
+    "the stream replayed over a 3-batch spine (batch_id = doc_id % "
+    "3), and the quarantine log is every incoming doc that verifies "
+    "against an index doc at exact Jaccard >= 0.8 after the band-key "
+    "bucket join. The log is computed by dedup.neardup_gate_log — "
+    "the SAME single construction the foreachBatch sink calls per "
+    "micro-batch, so this row hashes the gate's actual algebra, not "
+    "a parallel copy; the frozen index makes per-batch gating equal "
+    "the all-at-once relation (order-insensitive union), which is "
+    "what makes the stream batch-checkable at all. Oracle: the "
+    "minhash fragment with the cross-half (incoming vs index) "
+    "candidate predicate.",
+)
+def q_neardup_gate_quarantine(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    incoming = docs.where(F.col("doc_id") % 2 == 1)
+    ikeys, ish = dd.minhash_index_relations(corpus, "doc_id", "text")
+    log = dd.neardup_gate_log(incoming, ikeys, ish, "doc_id", "text")
+    return log.select(
+        (F.col("doc_in") % 3).cast("long").alias("batch_id"),
+        F.col("doc_in").alias("doc_id"),
+        F.col("doc_ref").alias("matched_doc"),
+        "jaccard",
+    ).orderBy("doc_id", "matched_doc")
 
 
 @_q(
@@ -16254,15 +16543,21 @@ FROM a, b, c, i1, i2, a2
 )
 def q_pretraining_data_report(spark, sf_dir):
     from .operators import packing as pk
-    from .session import track_persist
+    from .session import cut_lineage
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = track_persist(
+    # Eager lineage cuts, not lazy persists: the pane broadcasts its
+    # arms on separate threads (each crossJoin(broadcast(x)) arm
+    # materializes concurrently), and concurrent first-computations
+    # race past a lazy persist's unpopulated cache — round 11 measured
+    # the pane re-running the fingerprint/LSH subtrees (+6.1s). Each
+    # slim relation is materialized exactly once, up front.
+    pairs = cut_lineage(
         dd.minhash_lsh_pairs(
             docs, "doc_id", "text", k=12, bands=4, threshold=0.8
         ).select("doc_a", "doc_b")
     )
-    cl = track_persist(graph.dedup_clusters(docs, pairs))
+    cl = cut_lineage(graph.dedup_clusters(docs, pairs))
     a = cl.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(
@@ -16315,9 +16610,10 @@ def q_pretraining_data_report(spark, sf_dir):
         .alias("n_sources_capped"),
     )
     # Multimodal dup tier: image near-dup pairs via the scale-safe MIH
-    # join (persisted — the pair relation feeds both the count and the
-    # distinct-doc aggregate) and audio pairs over the PCM fingerprints.
-    ip = track_persist(
+    # join (lineage-cut — the pair relation feeds both the count and
+    # the distinct-doc aggregate, whose broadcasts race a lazy cache)
+    # and audio pairs over the PCM fingerprints.
+    ip = cut_lineage(
         mm.hamming_neardup_pairs_mih(
             mm.image_dhash(mm.attach_bmp_payload(docs))
         )
@@ -16368,6 +16664,137 @@ def q_pretraining_data_report(spark, sf_dir):
     )
 
 
+@_q(
+    "modality_dup_matrix",
+    f"""
+WITH tp AS (SELECT doc_a, doc_b FROM ({_minhash_oracle(k=12, bands=4, threshold=0.8)}) z),
+isig AS (
+  SELECT doc_id, {_DHASH_SQL} AS dhash
+  FROM (SELECT doc_id,
+               8 + (doc_id % 5) * 4 AS w,
+               6 + (doc_id % 3) * 6 AS h
+        FROM documents) dims
+),
+ip AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM isig a JOIN isig b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+),
+asig AS (
+  SELECT doc_id, afp FROM (
+    {_WAV_ORACLE_BASE.strip()},
+    t AS (
+      SELECT w.doc_id, w.data_len, d.text, strlen(d.text) AS sl
+      FROM w JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, {_AFP_SQL} AS afp FROM t
+  ) q
+),
+ap AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM asig a JOIN asig b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.afp, b.afp)) <= 6
+),
+dup AS (
+  SELECT 'text' AS modality, doc_a AS doc_id FROM tp
+  UNION SELECT 'text', doc_b FROM tp
+  UNION SELECT 'image', doc_a FROM ip
+  UNION SELECT 'image', doc_b FROM ip
+  UNION SELECT 'audio', doc_a FROM ap
+  UNION SELECT 'audio', doc_b FROM ap
+),
+srcs AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+),
+mods AS (SELECT unnest(['audio', 'image', 'text']) AS modality),
+ds AS (
+  SELECT u.modality, d.source,
+         CAST(count(DISTINCT u.doc_id) AS BIGINT) AS n_dup_docs
+  FROM dup u JOIN documents d USING (doc_id)
+  GROUP BY 1, 2
+)
+SELECT m.modality, s.source, s.n_docs,
+       CAST(coalesce(ds.n_dup_docs, 0) AS BIGINT) AS n_dup_docs,
+       round(CAST(coalesce(ds.n_dup_docs, 0) AS DOUBLE)
+             / CAST(s.n_docs AS DOUBLE), 6) AS dup_doc_rate
+FROM mods m CROSS JOIN srcs s
+LEFT JOIN ds ON ds.modality = m.modality AND ds.source = s.source
+ORDER BY m.modality, s.source
+""",
+    doc="Cross-modal duplication matrix — the (modality × source) "
+    "pane completing the reporting symmetry (text dedup rates r10, "
+    "contamination direction r11, modality r12): for each ingestion "
+    "source, how many of its documents participate in >= 1 near-dup "
+    "pair under each modality's production matcher (text: MinHash "
+    "12/4 + exact-Jaccard >= 0.8; image: dHash + MIH hamming <= 6; "
+    "audio: PCM fingerprint + MIH hamming <= 6 — 0-proven on this "
+    "fixture, the honest empty arm). Each pair relation computes "
+    "once, explodes to its dup-doc set, and one combinable groupBy "
+    "against the broadcast (doc, source) map fills a modality × "
+    "source spine (bounded 3 × |sources| cross). The answer to "
+    "'WHICH feed is polluting WHICH modality' before reweighting a "
+    "mixture.",
+)
+def q_modality_dup_matrix(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.select("doc_id", "source")
+    tp = dd.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=12, bands=4, threshold=0.8
+    ).select("doc_a", "doc_b")
+    ip = mm.hamming_neardup_pairs_mih(
+        mm.image_dhash(mm.attach_bmp_payload(docs))
+    ).select("doc_a", "doc_b")
+    ap = mm.hamming_neardup_pairs_mih(
+        mm.audio_fingerprint(mm.attach_wav_payload(docs)).select(
+            "doc_id", F.col("afp").alias("dhash")
+        )
+    ).select("doc_a", "doc_b")
+
+    def dup_docs(pairs: DataFrame, modality: str) -> DataFrame:
+        return pairs.select(
+            F.lit(modality).alias("modality"),
+            F.explode(F.array("doc_a", "doc_b")).alias("doc_id"),
+        ).distinct()
+
+    dup = (
+        dup_docs(tp, "text")
+        .unionByName(dup_docs(ip, "image"))
+        .unionByName(dup_docs(ap, "audio"))
+    )
+    ds = (
+        dup.join(src, "doc_id")
+        .groupBy("modality", "source")
+        .agg(F.countDistinct("doc_id").cast("long").alias("n_dup_docs"))
+    )
+    base = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    mods = spark.createDataFrame(
+        [("audio",), ("image",), ("text",)], "modality string"
+    )
+    # Broadcast the LITERAL side (3 rows, LocalTableScan — provably
+    # bounded in plan text); per-source counts stay the stream side.
+    return (
+        base.crossJoin(F.broadcast(mods))
+        .join(ds, ["modality", "source"], "left")
+        .select(
+            "modality",
+            "source",
+            "n_docs",
+            F.coalesce("n_dup_docs", F.lit(0))
+            .cast("long")
+            .alias("n_dup_docs"),
+            F.round(
+                F.coalesce("n_dup_docs", F.lit(0)).cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("dup_doc_rate"),
+        )
+        .orderBy("modality", "source")
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry exports (driver contract)
 # --------------------------------------------------------------------------
@@ -16380,67 +16807,64 @@ def q_pretraining_data_report(spark, sf_dir):
 # repeatedly-verified queries can wait at the back.  `tools/check_oracle.py`
 # always sweeps all entries regardless of order.
 _EXPORT_PRIORITY: list[str] = [
-    # Round-11 window (50-slot cap), oldest-verdict-first rotation:
-    # (1) every query NEW (or with a CHANGED result contract) this
-    #     round is inserted in this block as it lands — trim the
-    #     round-5-stale fill tail below to keep the total at 50:
-    "span_surgery_docs",
-    "image_neardup_pairs_mih",
-    "contamination_direction_matrix",
-    "multimodal_avi_decode",
-    "video_frame_fingerprints",
-    "video_neardup_pairs",
-    "pretraining_data_report",  # contract changed: +multimodal columns
-    "dedup_threshold_curve",
-    "dedup_span_surgery_docs",
-    # (2) there is no live round-3-stale name: the r3 straggler
-    #     ngram_jaccard_capped was renamed to dedup_ngram_pairs
-    #     (re-verdicted round 6).
-    # (3) ALL 36 round-4-stale names (VERDICT r10 item #1 — includes
-    #     the M1-M9 reference-parity cleaning tier):
-    "customers_with_urgent_orders",
-    "customers_without_urgent_orders",
-    "filtered_lineitems",
-    "lineitem_date_parts",
-    "quantity_buckets",
-    "clean_pyrepr_attributes",
-    "split_hours_range",
-    "json_extract_props",
-    "split_array_counts",
-    "flatten_nested_structs",
-    "detect_parse_json_props",
-    "process_business_oracle",
-    "events_date_parts",
-    "prefix_filtered_parts",
-    "sql_suppliers_by_nation",
-    "top_order_per_customer",
-    "order_price_quartiles",
-    "scd2_order_status_history",
-    "fuzzy_dup_pairs",
-    "bigram_logprob_scores",
-    "weighted_quality_sample",
-    "mixture_resampled_docs",
-    "dedup_keep_best_docs",
-    "temperature_mixture_weights",
-    "bm25_doc_scores",
-    "price_quantity_corr",
-    "scaled_prices_by_priority",
-    "salted_segment_event_counts",
-    "priority_status_grouping_sets",
-    "winnowing_fingerprints",
-    "embedding_neardup_ivf",
-    "kmeans_assignments",
-    "dedup_clusters_star",
-    "inverted_postings",
-    "quantized_embeddings",
-    "leakage_safe_splits",
-    # (4) fill to 50 with the oldest round-5-stale names (the other
-    #     26 r5-stale names lead round 12):
-    "top_regions_by_orders",
-    "weekday_activity",
-    "top_urgent_customers",
-    "gopher_quality_flags",
-    "script_char_ratios",
+    # Round-12 window (50-slot cap), oldest-verdict-first rotation:
+    # (1) every query NEW this round (no round-12 row changed an
+    #     existing result contract) — trim the round-6-stale fill
+    #     tail below to keep the total at 50:
+    "image_neardup_pairs_mih_r8",
+    "video_neardup_pairs_offset",
+    "neardup_gate_quarantine",
+    "modality_dup_matrix",
+    "image_dhash_fingerprints_wide",
+    "image_neardup_pairs_wide",
+    "audio_neardup_pairs",
+    # (2) ALL 34 round-5-stale names (VERDICT r11 item #1: the only
+    #     names whose latest driver verdict is round 5):
+    "ann_recall_eval",
+    "bpe_merge_pairs",
+    "cluster_size_histogram",
+    "compaction_plan",
+    "corpus_trigram_topk",
+    "cross_dup_rate_by_source",
+    "curriculum_order_docs",
+    "customer_rfm_segments",
+    "disjunctive_part_revenue",
+    "dormant_rich_customers",
+    "duplicate_span_stats",
+    "eval_contaminated_docs",
+    "forecast_revenue_simple",
+    "incremental_daily_event_counts",
+    "key_skew_report",
+    "large_volume_customers",
+    "late_shipment_priority_counts",
+    "latest_event_per_user",
+    "nation_pair_trade_volume",
+    "normalized_embeddings",
+    "orders_events_daily_full_join",
+    "orders_table_checksum",
+    "orders_yoy_growth",
+    "part_supplier_diversity",
+    "pii_summary_by_source",
+    "promo_revenue_share",
+    "quality_by_source_summary",
+    "shuffled_doc_shards",
+    "sole_late_supplier_waits",
+    "storage_partition_layout",
+    "token_count_histogram",
+    "top_supplier_by_revenue",
+    "value_band_rate_lookup",
+    "zorder_file_stats",
+    # (3) fill to 50 with round-6-stale names (alphabetical-first
+    #     slice of the 48; the remaining 36 lead round 13):
+    "adaptive_quality_survivors",
+    "bloom_filtered_segment_events",
+    "bpe_encoded_token_counts",
+    "bpe_merged_vocab",
+    "cdc_chunked_documents",
+    "cms_heavy_user_hitters",
+    "corpus_diversity_by_source",
+    "customer_k_anonymity_audit",
+    "dedup_ngram_pairs",
 ]
 
 

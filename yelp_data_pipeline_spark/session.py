@@ -66,6 +66,31 @@ def release_tracked(blocking: bool = False) -> int:
     return n
 
 
+def cut_lineage(df: DataFrame) -> DataFrame:
+    """Eager ``localCheckpoint`` — materialize NOW and replace the
+    logical plan with a scan of the checkpointed blocks.
+
+    :func:`track_persist` alone is NOT enough for a slim relation with
+    several expensive-to-derive consumers: every consumer still embeds
+    the full producing subtree in its analyzed/optimized plan (plan
+    audits count the whole lineage once per consumer), and when
+    consumers materialize CONCURRENTLY — Spark broadcasts each
+    ``crossJoin(broadcast(x))`` arm on its own thread — two of them
+    can race past the not-yet-populated cache and BOTH compute the
+    subtree (the `customer_golden_records` 550-join lesson,
+    operators/graph.py:258, applied to eval panes). An eager local
+    checkpoint computes the relation exactly once, up front, and
+    every consumer plans against the materialized blocks.
+
+    Trade: blocks are owned by the RDD (freed on GC/session stop, not
+    by release_tracked), and lineage-based recomputation after
+    executor loss is off for this relation — the right trade for
+    slim, cheap-to-restore relations (pair lists, label maps) with
+    multiple consumers. Do NOT use on wide relations (the text/body
+    columns would be copied into block storage)."""
+    return df.localCheckpoint(eager=True)
+
+
 def ensure_min_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Guard for CPU-heavy per-row operators (hashing, shingling,
     vector math): a small single-file parquet scan yields ONE input
