@@ -208,6 +208,8 @@ EXTRAS = [
     "image_dhash_fingerprints_wide",
     "image_neardup_pairs_wide",
     "audio_neardup_pairs",
+    "crossmodal_mismatch_pairs",
+    "length_bucketed_packing_stats",
 ]
 
 

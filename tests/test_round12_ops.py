@@ -317,3 +317,64 @@ class TestWideCode:
             m = parse_bmp(payloads[did])
             full = _dhash_bits(m["pixels"], m["width"], m["height"], 15, 8)
             assert (hi << 60) | lo == full
+
+
+class TestCrossmodalMismatch:
+    def test_same_text_image_dup_not_flagged(self, spark):
+        """An image near-dup pair whose TEXTS agree (jaccard >= 0.5)
+        must NOT appear in the mismatch relation; a pair with
+        unrelated texts must."""
+        import pyspark.sql.functions as F  # noqa: F811
+
+        from yelp_data_pipeline_spark.operators import dedup as dd
+        from yelp_data_pipeline_spark.operators.multimodal import (
+            hamming_neardup_pairs_mih,
+        )
+
+        # Mirror the registry composition inline on a planted frame.
+        txt = "the quick brown fox jumps over the lazy dog tonight"
+        docs = spark.createDataFrame(
+            [
+                (1, txt),
+                (2, txt + " again"),  # high jaccard with doc 1
+                (3, "completely different words in every single position here"),
+            ],
+            "doc_id long, text string",
+        )
+        sigs = spark.createDataFrame(
+            # identical image hash for all three: every pair is an
+            # image near-dup
+            [(1, 0xABC), (2, 0xABC), (3, 0xABC)],
+            "doc_id long, dhash long",
+        )
+        pairs = hamming_neardup_pairs_mih(sigs)
+        sh = dd.with_shingles(docs, "text", 3).select(
+            F.col("doc_id").alias("doc"),
+            F.size("shingles").alias("n_sh"),
+            "shingles",
+        )
+        sa = sh.select(
+            F.col("doc").alias("doc_a"),
+            F.col("n_sh").alias("__na"),
+            F.col("shingles").alias("__sh_a"),
+        )
+        sb = sh.select(
+            F.col("doc").alias("doc_b"),
+            F.col("n_sh").alias("__nb"),
+            F.col("shingles").alias("__sh_b"),
+        )
+        inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
+        den = (F.col("__na") + F.col("__nb") - inter).cast("double")
+        jac = F.when(den == 0, F.lit(1.0)).otherwise(
+            F.round(inter.cast("double") / den, 6)
+        )
+        out = {
+            (r["doc_a"], r["doc_b"])
+            for r in pairs.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .withColumn("jaccard", jac)
+            .where(F.col("jaccard") < 0.5)
+            .collect()
+        }
+        # (1,2) share text -> clean; (1,3) and (2,3) mismatch.
+        assert out == {(1, 3), (2, 3)}

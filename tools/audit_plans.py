@@ -161,6 +161,8 @@ DEFAULT_AUDIT = [
     "modality_dup_matrix",
     "image_neardup_pairs_wide",
     "audio_neardup_pairs",
+    "crossmodal_mismatch_pairs",
+    "length_bucketed_packing_stats",
 ]
 
 

@@ -1020,6 +1020,7 @@ R12_NATIVE_FAMILY = [
     "image_dhash_fingerprints_wide",
     "image_neardup_pairs_wide",
     "audio_neardup_pairs",
+    "crossmodal_mismatch_pairs",
 ]
 
 R12_DOC_FAMILY = [

@@ -4124,6 +4124,164 @@ def q_audio_neardup_pairs(spark, sf_dir):
 
 
 @_q(
+    "crossmodal_mismatch_pairs",
+    f"""
+WITH {_SHINGLES_CTE},
+dims AS (
+  SELECT doc_id,
+         8 + (doc_id % 5) * 4 AS w,
+         6 + (doc_id % 3) * 6 AS h
+  FROM documents
+),
+isig AS (SELECT doc_id, {_DHASH_SQL} AS dhash FROM dims),
+ip AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+  FROM isig a JOIN isig b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+),
+j AS (
+  SELECT p.doc_a, p.doc_b, p.hamming,
+         CASE WHEN len(sa.shingles) + len(sb.shingles)
+                   - len(list_intersect(sa.shingles, sb.shingles)) = 0
+              THEN 1.0
+              ELSE round(
+                CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                / CAST(len(sa.shingles) + len(sb.shingles)
+                       - len(list_intersect(sa.shingles, sb.shingles))
+                       AS DOUBLE), 6)
+         END AS jaccard
+  FROM ip p
+  JOIN sh sa ON sa.doc_id = p.doc_a
+  JOIN sh sb ON sb.doc_id = p.doc_b
+)
+SELECT doc_a, doc_b, hamming, jaccard
+FROM j WHERE jaccard < 0.5
+ORDER BY doc_a, doc_b
+""",
+    doc="Cross-modal MISMATCH detection — image near-duplicates whose "
+    "TEXT disagrees (exact 3-gram Jaccard < 0.5): the caption-swap / "
+    "duplicated-asset-different-caption rows a multimodal curation "
+    "pipeline quarantines, because near-identical images with "
+    "conflicting captions poison contrastive training (the LAION-"
+    "style image-text consistency sweep). Composes the production "
+    "matchers: the MIH hamming<=6 image join supplies the pairs, the "
+    "shared shingle relation supplies exact text Jaccard (empty-"
+    "union pairs count as identical, never a divide-by-zero); both "
+    "relations already verified standalone. One bucketed image join "
+    "+ two doc-keyed shingle joins — the text relation shuffles "
+    "only (doc, shingles).",
+)
+def q_crossmodal_mismatch_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pairs = mm.hamming_neardup_pairs_mih(
+        mm.image_dhash(mm.attach_bmp_payload(docs))
+    )
+    sh = dd.with_shingles(docs, "text", 3).select(
+        F.col("doc_id").alias("doc"),
+        F.size("shingles").alias("n_sh"),
+        "shingles",
+    )
+    sa = sh.select(
+        F.col("doc").alias("doc_a"),
+        F.col("n_sh").alias("__na"),
+        F.col("shingles").alias("__sh_a"),
+    )
+    sb = sh.select(
+        F.col("doc").alias("doc_b"),
+        F.col("n_sh").alias("__nb"),
+        F.col("shingles").alias("__sh_b"),
+    )
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
+    den = (F.col("__na") + F.col("__nb") - inter).cast("double")
+    jac = F.when(den == 0, F.lit(1.0)).otherwise(
+        F.round(inter.cast("double") / den, 6)
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") < 0.5)
+        .select("doc_a", "doc_b", "hamming", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@_q(
+    "length_bucketed_packing_stats",
+    r"""
+WITH t AS (
+  SELECT doc_id,
+         least(CAST(len(string_split_regex(trim(lower(text)), '\s+'))
+                    AS INT), 128) AS eff_tok
+  FROM documents
+),
+b AS (
+  SELECT CAST(((eff_tok + 15) // 16) * 16 AS INT) AS bucket_cap,
+         eff_tok
+  FROM t
+)
+SELECT bucket_cap,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(eff_tok) AS BIGINT) AS sum_tokens,
+       CAST(count(*) * bucket_cap AS BIGINT) AS padded_tokens,
+       round(1.0 - CAST(sum(eff_tok) AS DOUBLE)
+                   / CAST(count(*) * bucket_cap AS DOUBLE), 6)
+         AS waste_frac,
+       round(1.0 - CAST(sum(eff_tok) AS DOUBLE)
+                   / CAST(count(*) * 128 AS DOUBLE), 6)
+         AS naive_waste_frac
+FROM b
+GROUP BY bucket_cap
+ORDER BY bucket_cap
+""",
+    doc="Length-bucketed batching eval — the padding-waste numbers "
+    "that decide a training dataloader's bucketing strategy: docs "
+    "clip to a 128-token context, bucket by 16-token steps, and each "
+    "bucket reports the tokens actually carried vs the padded cost "
+    "at its cap (waste_frac) next to the single-bucket baseline "
+    "where every doc pads to the full context (naive_waste_frac — "
+    "the per-bucket saving is the gap). One combinable groupBy over "
+    "a two-column projection; the bucket key is pure arithmetic so "
+    "the aggregate is map-side combinable at any corpus size.",
+)
+def q_length_bucketed_packing_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    eff = F.least(tx.token_count(F.col("text")), F.lit(128)).cast("int")
+    cap = ((F.col("eff_tok") + 15) / 16).cast("int") * 16
+    t = docs.select(eff.alias("eff_tok"))
+    return (
+        t.select("eff_tok", cap.cast("int").alias("bucket_cap"))
+        .groupBy("bucket_cap")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("eff_tok").cast("long").alias("sum_tokens"),
+        )
+        .select(
+            "bucket_cap",
+            "n_docs",
+            "sum_tokens",
+            (F.col("n_docs") * F.col("bucket_cap"))
+            .cast("long")
+            .alias("padded_tokens"),
+            F.round(
+                F.lit(1.0)
+                - F.col("sum_tokens").cast("double")
+                / (F.col("n_docs") * F.col("bucket_cap")).cast("double"),
+                6,
+            ).alias("waste_frac"),
+            F.round(
+                F.lit(1.0)
+                - F.col("sum_tokens").cast("double")
+                / (F.col("n_docs") * 128).cast("double"),
+                6,
+            ).alias("naive_waste_frac"),
+        )
+        .orderBy("bucket_cap")
+    )
+
+
+@_q(
     "multimodal_frame_sample",
     _WAV_ORACLE_BASE + """,
 f AS (
@@ -16818,6 +16976,8 @@ _EXPORT_PRIORITY: list[str] = [
     "image_dhash_fingerprints_wide",
     "image_neardup_pairs_wide",
     "audio_neardup_pairs",
+    "crossmodal_mismatch_pairs",
+    "length_bucketed_packing_stats",
     # (2) ALL 34 round-5-stale names (VERDICT r11 item #1: the only
     #     names whose latest driver verdict is round 5):
     "ann_recall_eval",
@@ -16862,8 +17022,6 @@ _EXPORT_PRIORITY: list[str] = [
     "bpe_merged_vocab",
     "cdc_chunked_documents",
     "cms_heavy_user_hitters",
-    "corpus_diversity_by_source",
-    "customer_k_anonymity_audit",
     "dedup_ngram_pairs",
 ]
 
