@@ -538,9 +538,14 @@ def minhash_band_candidates(
     _, mins = _minhash_signatures(
         df, id_col, text_col, k, n, persist_shingles=False
     )
-    from ..session import track_persist
+    # Eager lineage cut, not a lazy persist: the slim (doc, 12 longs)
+    # signature relation is embedded 2·|bands_list| times (both sides
+    # of every banding's self-join) — lazily persisted, each embedding
+    # re-plans the whole shingle+hash subtree (minhash_band_tuning_curve
+    # audited 94 exchanges round 12; 18 after the cut).
+    from ..session import cut_lineage
 
-    mins = track_persist(mins)
+    mins = cut_lineage(mins)
     out = None
     for bands in bands_list:
         rows = k // bands

@@ -15907,6 +15907,8 @@ ORDER BY s.src_a, s.src_b
     "groupBys; the spine is a bounded |sources|^2 aggregate join.",
 )
 def q_cross_source_dup_matrix(spark, sf_dir):
+    from .session import cut_lineage
+
     docs = _t(spark, sf_dir, "documents")
     ds = docs.select("doc_id", "source")
     mp = dd.minhash_lsh_pairs(
@@ -15914,7 +15916,11 @@ def q_cross_source_dup_matrix(spark, sf_dir):
     ).select("doc_a", "doc_b")
     a = ds.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
     b = ds.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
-    pairs = (
+    # Eager lineage cut (the dedup_threshold_curve lesson): the slim
+    # source-tagged pair relation feeds TWO aggregates — lazily
+    # persisted, each consumer's plan re-embeds the whole MinHash
+    # subtree (audited 76 exchanges / 34 broadcasts round 12).
+    pairs = cut_lineage(
         mp.join(F.broadcast(a), "doc_a")
         .join(F.broadcast(b), "doc_b")
         .select(
@@ -16374,13 +16380,22 @@ ORDER BY s.bands
     "simhash_recall_eval sampling pattern)",
 )
 def q_minhash_band_tuning_curve(spark, sf_dir):
+    from .session import cut_lineage
+
     d = _t(spark, sf_dir, "documents")
     cands = dd.minhash_band_candidates(
         d, "doc_id", "text", k=12, bands_list=(2, 3, 4, 6)
     ).withColumn("rows_per_band", (F.lit(12) / F.col("bands")).cast("int"))
-    truth = dd.ngram_jaccard_pairs(
-        d, "doc_id", "text", n=3, threshold=0.8, max_doc_freq=None
-    ).select("doc_a", "doc_b", F.lit(1).alias("e"))
+    # Eager lineage cut (the dedup_threshold_curve lesson): the exact
+    # truth relation — a full shingle self-join — feeds BOTH the
+    # per-banding join and the n_truth broadcast; lazily persisted it
+    # was re-embedded in each consumer's plan (audited 98 exchanges
+    # round 12).
+    truth = cut_lineage(
+        dd.ngram_jaccard_pairs(
+            d, "doc_id", "text", n=3, threshold=0.8, max_doc_freq=None
+        ).select("doc_a", "doc_b", F.lit(1).alias("e"))
+    )
     per = (
         cands.join(truth, ["doc_a", "doc_b"], "left")
         .groupBy("bands", "rows_per_band")
