@@ -1295,7 +1295,7 @@ def unigram_lm_piece_scores(
 
     Returns top-``k`` (piece, em_count, seed_freq) by Viterbi usage.
     """
-    from ..session import ensure_min_parallelism, track_persist
+    from ..session import cut_lineage, ensure_min_parallelism
 
     words = (
         ensure_min_parallelism(df)
@@ -1305,7 +1305,13 @@ def unigram_lm_piece_scores(
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("wcnt"))
     )
-    words = track_persist(words)
+    # Eager lineage cuts, not lazy persists (the round-12
+    # dedup_threshold_curve lesson): words feeds 4+ consumers, pr
+    # feeds the arc join, and arcs is consumed by EVERY one of the
+    # max_word_len DP levels — lazily persisted, each level's plan
+    # re-embedded the words->pieces->pr->arcs subtree (the query
+    # audited 172 exchanges / 89 broadcasts before the cut).
+    words = cut_lineage(words)
 
     # Seed pieces: every substring of length 1..max_piece_len, corpus
     # frequency = occurrences weighted by word count. Single chars are
@@ -1329,7 +1335,7 @@ def unigram_lm_piece_scores(
         .where((F.col("freq") >= min_freq) | (F.length("piece") == 1))
     )
     total = pieces.agg(F.sum("freq").cast("double").alias("total"))
-    pr = track_persist(
+    pr = cut_lineage(
         pieces.crossJoin(F.broadcast(total)).select(
             "piece",
             "freq",
@@ -1352,7 +1358,7 @@ def unigram_lm_piece_scores(
             ),
         )
     )
-    arcs = track_persist(
+    arcs = cut_lineage(
         words.select("word", F.explode(arc_arr).alias("a"))
         .select("word", "a.j", "a.i", "a.piece")
         .join(pr.select("piece", "prob"), "piece")
