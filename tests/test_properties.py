@@ -980,3 +980,132 @@ def test_apply_span_surgery_python_replay(spark, docs, spans):
         assert r["clean_text"] == " ".join(kept)
         assert r["n_tokens"] == len(toks)
         assert r["n_removed_tokens"] == len(toks) - len(kept)
+
+
+@given(
+    codes=st.lists(
+        st.integers(0, (1 << 56) - 1), min_size=2, max_size=14, unique=True
+    ),
+    radius=st.integers(0, 12),
+)
+@settings(**SETTINGS)
+def test_mih_generic_ball_equals_brute_force(spark, codes, radius):
+    """Multi-index hashing with the generic Hamming-ball enumeration
+    (ball radius floor(r/4) = 0..3 over this radius range) emits
+    EXACTLY the brute-force pair set at every radius — the pigeonhole
+    losslessness property, randomized."""
+    from yelp_data_pipeline_spark.operators.multimodal import (
+        hamming_neardup_pairs_mih,
+    )
+
+    sigs = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(codes)], "doc_id long, dhash long"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in hamming_neardup_pairs_mih(
+            sigs, max_hamming=radius
+        ).collect()
+    }
+    want = {
+        (a, b, bin(ca ^ cb).count("1"))
+        for a, ca in enumerate(codes)
+        for b, cb in enumerate(codes)
+        if a < b and bin(ca ^ cb).count("1") <= radius
+    }
+    assert got == want
+
+
+@given(
+    codes=st.lists(
+        st.integers(0, (1 << 120) - 1), min_size=2, max_size=10, unique=True
+    ),
+    radius=st.integers(0, 15),
+)
+@settings(**SETTINGS)
+def test_mih_wide_ball_equals_brute_force(spark, codes, radius):
+    """The 120-bit two-long MIH join equals brute force at every
+    radius up to 15 (ball stays <= 1 over 8 chunks) — including the
+    hi/lo split arithmetic on random codes."""
+    from yelp_data_pipeline_spark.operators.multimodal import (
+        hamming_neardup_pairs_mih_wide,
+    )
+
+    lo_mask = (1 << 60) - 1
+    sigs = spark.createDataFrame(
+        [(i, c >> 60, c & lo_mask) for i, c in enumerate(codes)],
+        "doc_id long, dh_hi long, dh_lo long",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in hamming_neardup_pairs_mih_wide(
+            sigs, max_hamming=radius
+        ).collect()
+    }
+    want = {
+        (a, b, bin(ca ^ cb).count("1"))
+        for a, ca in enumerate(codes)
+        for b, cb in enumerate(codes)
+        if a < b and bin(ca ^ cb).count("1") <= radius
+    }
+    assert got == want
+
+
+@given(
+    frames=st.lists(
+        st.tuples(
+            st.integers(1, 4),      # video id
+            st.integers(0, 9),      # frame idx
+            st.integers(0, 3),      # content id -> spread code
+        ),
+        min_size=2,
+        max_size=20,
+    ),
+    min_frames=st.integers(1, 3),
+)
+@settings(**SETTINGS)
+def test_video_offset_modal_delta_python_replay(spark, frames, min_frames):
+    """video_neardup_pairs_offset equals a direct python replay of
+    the spec: exact-match frame pairs vote for idx deltas, the modal
+    delta wins with the (frames desc, |delta| asc, delta asc)
+    tiebreak, pairs below min_matched_frames drop."""
+    from collections import Counter
+
+    from yelp_data_pipeline_spark.operators.multimodal import (
+        video_neardup_pairs_offset,
+    )
+
+    # distinct-content codes pairwise > 6 bits apart, so only equal
+    # content ids match at hamming <= 6
+    code = [0, 0x3FFF, 0x3FFF << 14, 0x3FFF << 28]
+    rows = {(v, i): code[c] for v, i, c in frames}  # last content wins
+    sigs = spark.createDataFrame(
+        [(v, i, h) for (v, i), h in rows.items()],
+        "doc_id long, frame_idx int, dhash long",
+    )
+    got = {
+        (r["video_a"], r["video_b"]): (
+            r["idx_delta"], r["matched_frames"], r["min_hamming"]
+        )
+        for r in video_neardup_pairs_offset(
+            sigs, min_matched_frames=min_frames
+        ).collect()
+    }
+
+    votes = Counter()
+    for (va, ia), ha in rows.items():
+        for (vb, ib), hb in rows.items():
+            if va < vb and ha == hb:
+                votes[(va, vb, ib - ia)] += 1
+    want = {}
+    for (va, vb, d), n in votes.items():
+        cur = want.get((va, vb))
+        cand = (n, -abs(d), -d)
+        if cur is None or cand > cur[0]:
+            want[(va, vb)] = (cand, d)
+    want = {
+        k: (d, cand[0], 0)
+        for k, (cand, d) in want.items()
+        if cand[0] >= min_frames
+    }
+    assert got == want
