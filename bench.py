@@ -210,6 +210,7 @@ EXTRAS = [
     "audio_neardup_pairs",
     "crossmodal_mismatch_pairs",
     "length_bucketed_packing_stats",
+    "dedup_family_agreement",
 ]
 
 

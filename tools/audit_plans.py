@@ -163,6 +163,7 @@ DEFAULT_AUDIT = [
     "audio_neardup_pairs",
     "crossmodal_mismatch_pairs",
     "length_bucketed_packing_stats",
+    "dedup_family_agreement",
 ]
 
 

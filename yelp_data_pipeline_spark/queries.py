@@ -11035,6 +11035,84 @@ def q_dedup_threshold_curve(spark, sf_dir):
 
 
 @_q(
+    "dedup_family_agreement",
+    f"""
+WITH lex AS (
+  SELECT doc_a, doc_b FROM ({_minhash_oracle(k=12, bands=4, threshold=0.8)}) m
+),
+sem AS (
+  SELECT id_a AS doc_a, id_b AS doc_b
+  FROM ({_signlsh_adaptive_oracle(threshold=0.42)}) s
+),
+j AS (
+  SELECT CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END AS lx,
+         CASE WHEN r.doc_a IS NOT NULL THEN 1 ELSE 0 END AS sx
+  FROM lex l FULL JOIN sem r
+    ON l.doc_a = r.doc_a AND l.doc_b = r.doc_b
+)
+SELECT CAST(sum(lx) AS BIGINT) AS n_lexical,
+       CAST(sum(sx) AS BIGINT) AS n_semantic,
+       CAST(sum(lx * sx) AS BIGINT) AS n_both,
+       CAST(sum(lx * (1 - sx)) AS BIGINT) AS n_only_lexical,
+       CAST(sum(sx * (1 - lx)) AS BIGINT) AS n_only_semantic,
+       CASE WHEN count(*) = 0 THEN NULL
+            ELSE round(CAST(sum(lx * sx) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE), 6)
+       END AS pair_jaccard
+FROM j
+""",
+    doc="Lexical-vs-semantic dedup AGREEMENT — the number that decides "
+    "whether embedding dedup earns its cost on top of MinHash (the "
+    "SemDeDup question asked of real relations): the verified MinHash "
+    "pair set (exact Jaccard >= 0.8) and the sign-LSH cosine pair set "
+    "(>= 0.42, corpus-adaptive banding) meet in ONE full outer join "
+    "on the shared id domain; the row reports each family's pair "
+    "count, the intersection, each side's exclusive catches, and the "
+    "pair-set Jaccard. High agreement ⇒ the cheaper family suffices; "
+    "a large n_only_semantic is the paraphrase mass only embeddings "
+    "see. Both member relations are verbatim the standalone green "
+    "operators. On THIS fixture the answer is pair_jaccard = 0 — the "
+    "synthetic embeddings are generated independently of the "
+    "documents' text, so the two families flag disjoint pair sets; "
+    "an honest measured zero, like the audio r6 arm.",
+)
+def q_dedup_family_agreement(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = dd.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=12, bands=4, threshold=0.8
+    ).select("doc_a", "doc_b", F.lit(1).alias("lx"))
+    sem = sim.cosine_neardup_pairs(emb, threshold=0.42).select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        F.lit(1).alias("sx"),
+    )
+    j = lex.join(sem, ["doc_a", "doc_b"], "full").select(
+        F.coalesce("lx", F.lit(0)).alias("lx"),
+        F.coalesce("sx", F.lit(0)).alias("sx"),
+    )
+    return j.agg(
+        F.sum("lx").cast("long").alias("n_lexical"),
+        F.sum("sx").cast("long").alias("n_semantic"),
+        F.sum(F.col("lx") * F.col("sx")).cast("long").alias("n_both"),
+        F.sum(F.col("lx") * (1 - F.col("sx")))
+        .cast("long")
+        .alias("n_only_lexical"),
+        F.sum(F.col("sx") * (1 - F.col("lx")))
+        .cast("long")
+        .alias("n_only_semantic"),
+        F.when(
+            F.count(F.lit(1)) > 0,
+            F.round(
+                F.sum(F.col("lx") * F.col("sx")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ),
+        ).alias("pair_jaccard"),
+    )
+
+
+@_q(
     "neardup_gate_quarantine",
     "SELECT CAST(doc_a % 3 AS BIGINT) AS batch_id, doc_a AS doc_id, "
     "doc_b AS matched_doc, jaccard FROM ("
@@ -16993,6 +17071,7 @@ _EXPORT_PRIORITY: list[str] = [
     "audio_neardup_pairs",
     "crossmodal_mismatch_pairs",
     "length_bucketed_packing_stats",
+    "dedup_family_agreement",
     # (2) ALL 34 round-5-stale names (VERDICT r11 item #1: the only
     #     names whose latest driver verdict is round 5):
     "ann_recall_eval",
@@ -17036,7 +17115,6 @@ _EXPORT_PRIORITY: list[str] = [
     "bpe_encoded_token_counts",
     "bpe_merged_vocab",
     "cdc_chunked_documents",
-    "cms_heavy_user_hitters",
     "dedup_ngram_pairs",
 ]
 
