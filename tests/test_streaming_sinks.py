@@ -707,3 +707,41 @@ def test_crashed_swap_recovers_cumulative_state(spark, tmp_path):
     )
     assert total == 70  # 30 + 40, not 40
     assert not os.path.exists(state + ".old-1")
+
+
+def test_gate_crashed_swap_resumes_monoid(spark, tmp_path):
+    """The near-dup gate's (n_seen, n_dups) monoid survives the
+    two-rename crash window: with the state dir displaced to the
+    .old orphan (crash between the renames, no marker written), the
+    replayed batch restores the orphan and folds cumulatively."""
+    from yelp_data_pipeline_spark.streaming.sinks import (
+        freeze_dedup_index,
+        neardup_gate_batch,
+    )
+    from yelp_data_pipeline_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    incoming = docs.where(F.col("doc_id") % 2 != 0)
+
+    ref_path = str(tmp_path / "index")
+    freeze_dedup_index(corpus, ref_path)
+    target = str(tmp_path / "state")
+
+    b0 = incoming.where(F.pmod(F.col("doc_id"), F.lit(3)) == 0)
+    b1 = incoming.where(F.pmod(F.col("doc_id"), F.lit(3)) == 1)
+    assert neardup_gate_batch(b0, 0, target, ref_path) is True
+    st0 = spark.read.parquet(target).collect()[0]
+    assert st0["n_seen"] == b0.count()
+
+    # Crash window of batch 1: state displaced, swap never completed,
+    # no marker.
+    import os
+
+    os.rename(target, target + ".old-1")
+    assert neardup_gate_batch(b1, 1, target, ref_path) is True
+    st = spark.read.parquet(target).collect()[0]
+    assert st["n_seen"] == b0.count() + b1.count()  # resumed, not reset
+    assert st["n_dups"] >= st0["n_dups"]
+    assert not os.path.exists(target + ".old-1")
