@@ -745,3 +745,101 @@ def test_gate_crashed_swap_resumes_monoid(spark, tmp_path):
     assert st["n_seen"] == b0.count() + b1.count()  # resumed, not reset
     assert st["n_dups"] >= st0["n_dups"]
     assert not os.path.exists(target + ".old-1")
+
+
+def test_postswap_premarker_crash_rolls_back_not_doublecounts(
+    spark, tmp_path
+):
+    """Crash AFTER the swap but BEFORE the ledger marker: the target
+    holds an unrecorded fold and the pre-fold state sits in .old.
+    Recovery must ROLL BACK and let the replay fold exactly once —
+    never sum the batch in twice."""
+    import os
+
+    from yelp_data_pipeline_spark.streaming.sinks import cms_grid_batch
+
+    state = str(tmp_path / "cms_state")
+    b0 = spark.createDataFrame([("u1",)] * 30, ["user_id"])
+    b1 = spark.createDataFrame([("u2",)] * 40, ["user_id"])
+    assert cms_grid_batch(b0, 0, state, "user_id") is True
+
+    # Simulate batch 1's crash window: swap completed (target = post-
+    # fold state), marker never written, pre-fold state displaced.
+    # Build it by really running batch 1 then deleting its marker and
+    # resurrecting the pre-fold state from a copy.
+    import shutil
+
+    pre = str(tmp_path / "pre_copy")
+    shutil.copytree(state, pre)
+    assert cms_grid_batch(b1, 1, state, "user_id") is True
+    os.remove(os.path.join(state + "_applied", "batch-1"))
+    shutil.copytree(pre, state + ".old-1")
+
+    # Replay of batch 1 must roll back to the pre-fold state and fold
+    # ONCE: total = 70, not 110.
+    assert cms_grid_batch(b1, 1, state, "user_id") is True
+    total = sum(
+        r["cnt"]
+        for r in spark.read.parquet(state).where(F.col("i") == 0).collect()
+    )
+    assert total == 70
+    assert not os.path.exists(state + ".old-1")
+
+
+def test_postmarker_precleanup_orphan_does_not_wedge(spark, tmp_path):
+    """Crash AFTER the marker but BEFORE the .old cleanup: the stale
+    orphan must be garbage-collected by the next batch's recovery —
+    not wedge its displacement rename — and the replayed batch must
+    stay skipped."""
+    import os
+    import shutil
+
+    from yelp_data_pipeline_spark.streaming.sinks import cms_grid_batch
+
+    state = str(tmp_path / "cms_state")
+    b0 = spark.createDataFrame([("u1",)] * 30, ["user_id"])
+    b1 = spark.createDataFrame([("u2",)] * 40, ["user_id"])
+    b2 = spark.createDataFrame([("u3",)] * 50, ["user_id"])
+    assert cms_grid_batch(b0, 0, state, "user_id") is True
+    pre = str(tmp_path / "pre_copy")
+    shutil.copytree(state, pre)
+    assert cms_grid_batch(b1, 1, state, "user_id") is True
+    # marker-1 exists; resurrect the displaced state as the orphan the
+    # lost cleanup would have removed.
+    shutil.copytree(pre, state + ".old-1")
+
+    # Replayed batch 1: marker present -> skipped, state unchanged.
+    assert cms_grid_batch(b1, 1, state, "user_id") is False
+    # Batch 2 must commit cleanly (the stale orphan must not make the
+    # rename(target, old) wedge) and clean the garbage.
+    assert cms_grid_batch(b2, 2, state, "user_id") is True
+    total = sum(
+        r["cnt"]
+        for r in spark.read.parquet(state).where(F.col("i") == 0).collect()
+    )
+    assert total == 120  # 30 + 40 + 50, exactly once each
+    assert not os.path.exists(state + ".old-1")
+    assert not os.path.exists(state + ".old-2")
+
+
+def test_live_state_path_reads_orphan_without_mutating(spark, tmp_path):
+    """Estimators never mutate: with the target mid-swap (displaced to
+    .old), the estimate reads the orphan in place and leaves the
+    directory layout untouched for the writer to finish."""
+    import os
+
+    from yelp_data_pipeline_spark.streaming.sinks import (
+        hll_register_batch,
+        hll_state_estimate,
+    )
+
+    state = str(tmp_path / "hll_state")
+    b0 = spark.createDataFrame([(f"u{i}",) for i in range(50)], ["user_id"])
+    hll_register_batch(b0, 0, state, "user_id")
+    want = hll_state_estimate(spark, state).collect()[0]["approx_users"]
+
+    os.rename(state, state + ".old-1")  # writer mid-swap
+    got = hll_state_estimate(spark, state).collect()[0]["approx_users"]
+    assert got == want
+    assert os.path.exists(state + ".old-1")  # untouched
+    assert not os.path.exists(state)

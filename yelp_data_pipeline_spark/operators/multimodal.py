@@ -644,69 +644,29 @@ def hamming_neardup_pairs_mih_wide(
     4-7 read ``hi_col`` — no chunk straddles the longs. Output:
     (doc_a, doc_b, hamming), doc_a < doc_b, identical contract to the
     56-bit joins so the exact all-pairs oracle shape carries over."""
-    from itertools import combinations
-    from math import comb
-
     if bits != 120 or chunks != 8:
         raise ValueError(
             "two-long MIH is laid out for bits=120, chunks=8 "
             f"(got bits={bits}, chunks={chunks})"
         )
     w = bits // chunks
-    ball_r = max_hamming // chunks
-    keys_per_item = chunks * sum(comb(w, j) for j in range(ball_r + 1))
-    if keys_per_item > 2048:
-        raise ValueError(
-            f"MIH probe fan-out {keys_per_item} keys/item exceeds 2048"
-        )
-    mask = (1 << w) - 1
     s = sigs.select(
         F.col(id_col).alias("doc"),
         F.col(hi_col).alias("hi"),
         F.col(lo_col).alias("lo"),
     )
-    chunk_val = (
-        f"(CASE WHEN __c < 4 THEN (lo >> (__c * {w})) "
-        f"ELSE (hi >> ((__c - 4) * {w})) END)"
-    )
-    index = s.select(
-        "doc",
-        "hi",
-        "lo",
-        F.explode(F.lit(list(range(chunks)))).alias("__c"),
-    ).select(
-        "doc",
-        "hi",
-        "lo",
-        F.col("__c").cast("int").alias("chunk_id"),
-        F.expr(f"CAST({chunk_val} & {mask} AS INT)").alias("key"),
-    )
-    enc = [
-        (c << w) | sum(1 << b for b in flipped)
-        for c in range(chunks)
-        for j in range(ball_r + 1)
-        for flipped in combinations(range(w), j)
-    ]
-    probe = s.select(
-        "doc", "hi", "lo", F.explode(F.lit(enc)).alias("__e")
-    ).select(
-        "doc",
-        "hi",
-        "lo",
-        F.expr(f"CAST(__e div {1 << w} AS INT)").alias("chunk_id"),
-        F.expr(
-            f"CAST((CASE WHEN (__e div {1 << w}) < 4 "
-            f"THEN (lo >> (CAST(__e div {1 << w} AS INT) * {w})) "
-            f"ELSE (hi >> ((CAST(__e div {1 << w} AS INT) - 4) * {w})) "
-            f"END) & {mask} AS INT) ^ CAST(__e % {1 << w} AS INT)"
-        ).alias("key"),
-    )
-    a, b_ = probe.alias("a"), index.alias("b")
-    cand = a.join(
-        b_,
-        (F.col("a.chunk_id") == F.col("b.chunk_id"))
-        & (F.col("a.key") == F.col("b.key"))
-        & (F.col("a.doc") < F.col("b.doc")),
+    cand = _mih_candidate_join(
+        s,
+        chunks=chunks,
+        w=w,
+        ball_r=max_hamming // chunks,
+        # chunks 0-3 live in lo (bits 0-59), 4-7 in hi — 15 | 60, so
+        # no chunk straddles the longs.
+        chunk_val=lambda ce: (
+            f"(CASE WHEN ({ce}) < 4 THEN (lo >> (({ce}) * {w})) "
+            f"ELSE (hi >> ((({ce}) - 4) * {w})) END)"
+        ),
+        carry=["hi", "lo"],
     )
     return (
         cand.select(
@@ -875,13 +835,52 @@ def hamming_neardup_pairs_mih(
     :func:`image_neardup_pairs`, so the two share one exact all-pairs
     oracle and every sweep proves the equivalence.
     """
-    from itertools import combinations
-    from math import comb
-
     if bits % chunks != 0:
         raise ValueError(f"bits={bits} must divide into chunks={chunks}")
     w = bits // chunks
-    ball_r = max_hamming // chunks
+    s = sigs.select(F.col(id_col).alias("doc"), F.col(hash_col).alias("h"))
+    cand = _mih_candidate_join(
+        s,
+        chunks=chunks,
+        w=w,
+        ball_r=max_hamming // chunks,
+        chunk_val=lambda ce: f"(h >> (({ce}) * {w}))",
+        carry=["h"],
+    )
+    return _hamming_verify_tail(cand, max_hamming)
+
+
+def _mih_candidate_join(
+    s: DataFrame,
+    chunks: int,
+    w: int,
+    ball_r: int,
+    chunk_val,
+    carry: list,
+) -> DataFrame:
+    """THE multi-index-hashing candidate join, shared by the
+    single-long and the two-long (wide) code paths so the ball
+    enumeration, the fan-out guard, and the probe/index scaffolding
+    cannot drift (the neardup_gate_log lesson): ``chunk_val`` maps a
+    chunk-id SQL expression to the SQL extracting that chunk's bits
+    from the carried payload columns; everything else is identical.
+
+    The Hamming ball is enumerated as a LITERAL array of
+    (chunk << w) | xor_mask encodings, exploded once, with the probe
+    key computed by ONE shift/and/xor expression over the exploded
+    element — NOT as one projection expression per ball key: at ball
+    radius 2 that is 424 expressions in a single Project, which
+    overflows janino's method-size limit and silently drops the whole
+    stage out of codegen (observed in the round-12 plan audit). A
+    constant array + one expression keeps every radius inside
+    whole-stage codegen and the plan size flat.
+
+    Returns the aliased a/b candidate join (probe side ``a``, exact
+    index side ``b``) with ``doc`` + the carry columns on both sides;
+    callers attach their verify tail."""
+    from itertools import combinations
+    from math import comb
+
     keys_per_item = chunks * sum(comb(w, j) for j in range(ball_r + 1))
     if keys_per_item > 2048:
         raise ValueError(
@@ -890,60 +889,41 @@ def hamming_neardup_pairs_mih(
             "more chunks or a wider fingerprint"
         )
     mask = (1 << w) - 1
-    s = sigs.select(F.col(id_col).alias("doc"), F.col(hash_col).alias("h"))
-
-    def chunk_key(c: int) -> str:
-        return f"CAST((h >> {c * w}) & {mask} AS INT)"
-
     index = s.select(
+        "doc", *carry, F.explode(F.lit(list(range(chunks)))).alias("__c")
+    ).select(
         "doc",
-        "h",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk_id"),
-                        F.expr(chunk_key(c)).alias("key"),
-                    )
-                    for c in range(chunks)
-                ]
-            )
-        ).alias("ck"),
-    ).select("doc", "h", F.col("ck.chunk_id"), F.col("ck.key"))
-    # The Hamming ball is enumerated as a LITERAL array of
-    # (chunk << w) | xor_mask encodings, exploded once, with the probe
-    # key computed by ONE shift/and/xor expression over the exploded
-    # element — NOT as one projection expression per ball key: at ball
-    # radius 2 that is 424 expressions in a single Project, which
-    # overflows janino's method-size limit and silently drops the
-    # whole stage out of codegen (observed in the round-12 plan
-    # audit). A constant array + one expression keeps every radius
-    # inside whole-stage codegen and the plan size flat.
+        *carry,
+        F.col("__c").cast("int").alias("chunk_id"),
+        F.expr(f"CAST({chunk_val('CAST(__c AS INT)')} & {mask} AS INT)").alias(
+            "key"
+        ),
+    )
     enc = [
         (c << w) | sum(1 << b for b in flipped)
         for c in range(chunks)
         for j in range(ball_r + 1)
         for flipped in combinations(range(w), j)
     ]
+    ce = f"CAST(__e div {1 << w} AS INT)"
     probe = s.select(
-        "doc", "h", F.explode(F.lit(enc)).alias("__e")
+        "doc", *carry, F.explode(F.lit(enc)).alias("__e")
     ).select(
         "doc",
-        "h",
-        F.expr(f"CAST(__e div {1 << w} AS INT)").alias("chunk_id"),
+        *carry,
+        F.expr(ce).alias("chunk_id"),
         F.expr(
-            f"CAST((h >> (CAST(__e div {1 << w} AS INT) * {w}))"
-            f" & {mask} AS INT) ^ CAST(__e % {1 << w} AS INT)"
+            f"CAST({chunk_val(ce)} & {mask} AS INT)"
+            f" ^ CAST(__e % {1 << w} AS INT)"
         ).alias("key"),
     )
     a, b_ = probe.alias("a"), index.alias("b")
-    cand = a.join(
+    return a.join(
         b_,
         (F.col("a.chunk_id") == F.col("b.chunk_id"))
         & (F.col("a.key") == F.col("b.key"))
         & (F.col("a.doc") < F.col("b.doc")),
     )
-    return _hamming_verify_tail(cand, max_hamming)
 
 
 def audio_fingerprint(

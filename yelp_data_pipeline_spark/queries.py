@@ -3924,15 +3924,11 @@ def q_image_neardup_pairs_mih_r8(spark, sf_dir):
     )
 
 
-def _dhash120_luma(y: str, x: str) -> str:
-    return _dhash_luma_sql(y, x)
-
-
 _DHASH120_BIT = (
     "CASE WHEN "
-    + _dhash120_luma("((k // 15) * h) // 8", "(((k % 15) + 1) * w) // 16")
+    + _dhash_luma_sql("((k // 15) * h) // 8", "(((k % 15) + 1) * w) // 16")
     + " > "
-    + _dhash120_luma("((k // 15) * h) // 8", "((k % 15) * w) // 16")
+    + _dhash_luma_sql("((k // 15) * h) // 8", "((k % 15) * w) // 16")
     + " THEN 1 ELSE 0 END"
 )
 

@@ -45,49 +45,119 @@ def applied_batches(target_path: str) -> set[int]:
     return out
 
 
-def _recover_state(target_path: str) -> None:
-    """Crash-window repair for the module's two-rename state swap: a
-    crash between ``rename(target, old)`` and ``rename(staged,
-    target)`` leaves NO live state dir, only an orphaned
-    ``.old-<id>`` — and a naive "missing target ⇒ first batch" read
-    would silently reset the cumulative monoid to the current batch
-    alone. Restore the newest orphan before reading, so the fold
-    resumes from the last committed state. The crashed batch left no
-    ledger marker (markers are written after the swap), so on replay
-    it folds in full against the restored state — exactly-once
-    preserved. The stale ``.staged-<id>`` dir, if any, is simply
-    overwritten by the replay's staged write."""
-    if os.path.exists(target_path):
-        return
+def _state_orphans(target_path: str) -> list[str]:
+    """``.old-<batch_id>`` directory names next to ``target_path``,
+    sorted by batch id ascending."""
     parent = os.path.dirname(target_path) or "."
     base = os.path.basename(target_path)
     if not os.path.isdir(parent):
-        return
-    orphans = [
-        name
-        for name in os.listdir(parent)
-        if name.startswith(base + ".old-")
-    ]
-    if not orphans:
-        return
-    newest = max(orphans, key=lambda nm: int(nm.rsplit("-", 1)[1]))
-    os.rename(os.path.join(parent, newest), target_path)
+        return []
+    return sorted(
+        (nm for nm in os.listdir(parent) if nm.startswith(base + ".old-")),
+        key=lambda nm: int(nm.rsplit("-", 1)[1]),
+    )
 
 
-def _commit_state(df: DataFrame, target_path: str, batch_id: int) -> None:
-    """The module's shared state-swap protocol: write the new fold to
-    a STAGED directory (never read + overwrite one path in a single
-    job), swap via rename, then drop the displaced state. The
-    rename(target, old) → rename(staged, target) window is repaired
-    on the read side by :func:`_recover_state`."""
+def _recover_state(target_path: str, ledger: str | None = None) -> None:
+    """Crash-window repair for the state-swap protocol, run by the
+    WRITER before every fold (Structured Streaming executes one
+    foreachBatch at a time per query, so the writer owns the
+    directory). Each ``.old-<id>`` orphan identifies which window the
+    crash hit, decided by its batch's ledger marker:
+
+    - marker PRESENT: swap and marker both landed, only the
+      post-marker cleanup was lost — the orphan is garbage, drop it
+      (left in place, it would wedge a later attempt to displace the
+      target under the same name).
+    - marker ABSENT, target present: the swap completed but the
+      marker write was lost — ROLL BACK (drop the post-fold target,
+      restore the pre-fold orphan) so the replayed batch folds
+      exactly once instead of double-counting.
+    - marker ABSENT, target missing: crash between the two renames —
+      restore the orphan so the fold resumes from the last committed
+      state instead of silently resetting the monoid.
+
+    Ledger-less sinks (HLL register-max, KMV k-min — idempotent
+    semilattices) pass ``ledger=None``: replaying onto post-fold
+    state is a no-op by idempotency, so an orphan beside a live
+    target is simply dropped and a missing target restores from the
+    newest orphan. A stale ``.staged-<id>`` dir, in any window, is
+    simply overwritten by the replay's staged write."""
+    parent = os.path.dirname(target_path) or "."
+    pending: list[str] = []
+    for nm in _state_orphans(target_path):
+        path = os.path.join(parent, nm)
+        bid = nm.rsplit("-", 1)[1]
+        committed = (
+            ledger is not None
+            and os.path.exists(os.path.join(ledger, f"batch-{bid}"))
+        ) or (ledger is None and os.path.exists(target_path))
+        if committed:
+            shutil.rmtree(path)
+        else:
+            pending.append(path)
+    if not pending:
+        return
+    # At most one batch can be in flight, so at most one uncommitted
+    # orphan exists; if several somehow do, the newest is the last
+    # committed pre-fold state — keep it, drop the rest.
+    for path in pending[:-1]:
+        shutil.rmtree(path)
+    newest = pending[-1]
+    if os.path.exists(target_path):
+        # Swap landed, marker did not: the target holds an UNRECORDED
+        # fold — roll back to the pre-fold state and let the replay
+        # fold it once. (A crash inside this rollback re-enters one of
+        # the handled windows: no-target ⇒ restore, both ⇒ re-run.)
+        shutil.rmtree(target_path)
+    os.rename(newest, target_path)
+
+
+def _commit_state(
+    df: DataFrame,
+    target_path: str,
+    batch_id: int,
+    marker: str | None = None,
+) -> None:
+    """The shared state-swap protocol: write the new fold to a STAGED
+    directory (never read + overwrite one path in a single job), swap
+    via rename, record the ledger ``marker`` (when the sink's algebra
+    needs one), and only THEN drop the displaced state — the marker
+    must land while the pre-fold state is still on disk, or a crash
+    after the swap would leave an unrecorded fold that a replay
+    double-counts and nothing to roll back to. Every crash window
+    this leaves open is repaired by :func:`_recover_state`."""
     staged = f"{target_path}.staged-{batch_id}"
     df.write.mode("overwrite").parquet(staged)
     old = f"{target_path}.old-{batch_id}"
+    if os.path.exists(old):
+        # A leftover from a crashed attempt of this same batch that
+        # recovery already resolved — garbage; drop it so the
+        # displacement rename below cannot fail on an existing dir.
+        shutil.rmtree(old)
     if os.path.exists(target_path):
         os.rename(target_path, old)
     os.rename(staged, target_path)
+    if marker is not None:
+        with open(marker, "w") as f:
+            f.write("")
     if os.path.exists(old):
         shutil.rmtree(old)
+
+
+def _live_state_path(target_path: str) -> str:
+    """READ-ONLY crash-window fallback for the estimate functions: a
+    concurrent foreachBatch writer may be mid-swap, and a reader that
+    renames directories would race the writer's own renames — so a
+    reader never mutates. If the target is missing, read the newest
+    orphan (the last committed state) in place."""
+    if os.path.exists(target_path):
+        return target_path
+    orphans = _state_orphans(target_path)
+    if orphans:
+        parent = os.path.dirname(target_path) or "."
+        return os.path.join(parent, orphans[-1])
+    return target_path
 
 
 def merge_upsert_batch(
@@ -118,7 +188,7 @@ def merge_upsert_batch(
     marker = os.path.join(ledger, f"batch-{batch_id}")
     if os.path.exists(marker):
         return False
-    _recover_state(target_path)
+    _recover_state(target_path, ledger)
     updates = batch_df
     if order_col is not None:
         from pyspark.sql import Window
@@ -133,9 +203,7 @@ def merge_upsert_batch(
         merged = merge_upsert_df(spark.read.parquet(target_path), updates, keys)
     else:
         merged = updates
-    _commit_state(merged, target_path, batch_id)
-    with open(marker, "w") as f:
-        f.write("")
+    _commit_state(merged, target_path, batch_id, marker)
     return True
 
 
@@ -208,8 +276,9 @@ def hll_state_estimate(spark, target_path: str, m: int = 64) -> DataFrame:
     recompute over the same rows yield the SAME (approx, V, rho_sum)."""
     from ..operators.aggregates import _hll_estimate
 
-    _recover_state(target_path)
-    return _hll_estimate(spark.read.parquet(target_path), m, [])
+    return _hll_estimate(
+        spark.read.parquet(_live_state_path(target_path)), m, []
+    )
 
 
 def cms_grid_batch(
@@ -242,7 +311,7 @@ def cms_grid_batch(
     marker = os.path.join(ledger, f"batch-{batch_id}")
     if os.path.exists(marker):
         return False
-    _recover_state(target_path)
+    _recover_state(target_path, ledger)
     grid = _cms_grid(batch_df, col, depth, width)
     if os.path.exists(target_path):
         grid = (
@@ -251,9 +320,7 @@ def cms_grid_batch(
             .groupBy("i", "pos")
             .agg(F.sum("cnt").cast("long").alias("cnt"))
         )
-    _commit_state(grid, target_path, batch_id)
-    with open(marker, "w") as f:
-        f.write("")
+    _commit_state(grid, target_path, batch_id, marker)
     return True
 
 
@@ -311,8 +378,7 @@ def kmv_state_estimate(spark, target_path: str, k: int = 256) -> DataFrame:
     exactly."""
     from ..operators.aggregates import KMV_HASH_SPACE
 
-    _recover_state(target_path)
-    topk = spark.read.parquet(target_path)
+    topk = spark.read.parquet(_live_state_path(target_path))
     est = F.when(F.col("m") < k, F.col("m")).otherwise(
         F.round(
             F.lit(float((k - 1) * KMV_HASH_SPACE)) / F.col("hk").cast("double")
@@ -344,7 +410,7 @@ def histogram_state_batch(
     marker = os.path.join(ledger, f"batch-{batch_id}")
     if os.path.exists(marker):
         return False
-    _recover_state(target_path)
+    _recover_state(target_path, ledger)
     grid = (
         batch_df.where(F.col(value_col).isNotNull())
         .select(
@@ -362,9 +428,7 @@ def histogram_state_batch(
             .groupBy("bucket")
             .agg(F.sum("cnt").cast("long").alias("cnt"))
         )
-    _commit_state(grid, target_path, batch_id)
-    with open(marker, "w") as f:
-        f.write("")
+    _commit_state(grid, target_path, batch_id, marker)
     return True
 
 
@@ -436,7 +500,7 @@ def psi_bin_batch(
     marker = os.path.join(ledger, f"batch-{batch_id}")
     if os.path.exists(marker):
         return False
-    _recover_state(target_path)
+    _recover_state(target_path, ledger)
     grid = (
         batch_df.where(F.col(value_col).isNotNull())
         .select(_psi_bins(value_col, bin_width, n_bins))
@@ -450,9 +514,7 @@ def psi_bin_batch(
             .groupBy("bin")
             .agg(F.sum("cnt").cast("long").alias("cnt"))
         )
-    _commit_state(grid, target_path, batch_id)
-    with open(marker, "w") as f:
-        f.write("")
+    _commit_state(grid, target_path, batch_id, marker)
     return True
 
 
@@ -545,7 +607,7 @@ def conformal_cover_batch(
     marker = os.path.join(ledger, f"batch-{batch_id}")
     if os.path.exists(marker):
         return False
-    _recover_state(target_path)
+    _recover_state(target_path, ledger)
     ref = spark.read.parquet(ref_path).select(group_col, "mean_v", "qhat")
     grid = (
         batch_df.where(F.col(value_col).isNotNull())
@@ -576,9 +638,7 @@ def conformal_cover_batch(
                 F.sum("n_covered").cast("long").alias("n_covered"),
             )
         )
-    _commit_state(grid, target_path, batch_id)
-    with open(marker, "w") as f:
-        f.write("")
+    _commit_state(grid, target_path, batch_id, marker)
     return True
 
 
@@ -701,7 +761,7 @@ def neardup_gate_batch(
     marker = os.path.join(ledger, f"batch-{batch_id}")
     if os.path.exists(marker):
         return False
-    _recover_state(target_path)
+    _recover_state(target_path, ledger)
     ikeys = spark.read.parquet(ref_path + "_keys")
     ish = spark.read.parquet(ref_path + "_shingles")
     # ONE shared probe construction (candidates by band-key bucket
@@ -732,15 +792,13 @@ def neardup_gate_batch(
                 F.sum("n_dups").cast("long").alias("n_dups"),
             )
         )
-    _commit_state(grid, target_path, batch_id)
-    with open(marker, "w") as f:
-        f.write("")
-    # Quarantine-log append AFTER the marker, like the psi/conformal
-    # monitor appends: a full Spark write inside the swap→marker
-    # window would make a crash there replay the batch against the
-    # already-swapped state and double-count the fold. (The symmetric
-    # cost — a crash right here loses this batch's log rows — is the
-    # module's established trade.)
+    _commit_state(grid, target_path, batch_id, marker)
+    # Quarantine-log append AFTER the commit (swap + marker), like
+    # the psi/conformal monitor appends: a crash between the marker
+    # and this append loses this batch's log rows but never
+    # double-counts the fold (a crash before the marker now ROLLS
+    # BACK via _recover_state and replays cleanly) — the module's
+    # established trade.
     rejects.withColumn("batch_id", F.lit(batch_id).cast("long")).write.mode(
         "append"
     ).parquet(target_path + "_rejects")
