@@ -211,6 +211,7 @@ EXTRAS = [
     "crossmodal_mismatch_pairs",
     "length_bucketed_packing_stats",
     "dedup_family_agreement",
+    "tokenizer_fertility_by_source",
 ]
 
 

@@ -164,6 +164,7 @@ DEFAULT_AUDIT = [
     "crossmodal_mismatch_pairs",
     "length_bucketed_packing_stats",
     "dedup_family_agreement",
+    "tokenizer_fertility_by_source",
 ]
 
 
