@@ -843,3 +843,35 @@ def test_live_state_path_reads_orphan_without_mutating(spark, tmp_path):
     assert got == want
     assert os.path.exists(state + ".old-1")  # untouched
     assert not os.path.exists(state)
+
+
+def test_foreign_old_suffix_does_not_wedge_recovery(spark, tmp_path):
+    """A foreign or truncated directory that merely shares the
+    '<base>.old-' prefix but whose suffix is not an integer (e.g. a
+    user's manual backup '<base>.old-backup') is NOT part of the swap
+    protocol: recovery must skip it — not raise ValueError and
+    permanently wedge the sink — and must still repair real orphans
+    sitting next to it."""
+    import os
+
+    from yelp_data_pipeline_spark.streaming.sinks import cms_grid_batch
+
+    state = str(tmp_path / "cms_state")
+    b0 = spark.createDataFrame([("u1",)] * 30, ["user_id"])
+    b1 = spark.createDataFrame([("u2",)] * 40, ["user_id"])
+    assert cms_grid_batch(b0, 0, state, "user_id") is True
+
+    os.makedirs(state + ".old-backup")  # foreign dir, non-numeric suffix
+    os.makedirs(state + ".old-")  # truncated: empty suffix
+    # A real crash window too: state displaced, swap never completed.
+    os.rename(state, state + ".old-1")
+
+    assert cms_grid_batch(b1, 1, state, "user_id") is True
+    total = sum(
+        r["cnt"]
+        for r in spark.read.parquet(state).where(F.col("i") == 0).collect()
+    )
+    assert total == 70  # orphan restored and folded, foreign dirs ignored
+    assert os.path.isdir(state + ".old-backup")  # not ours — untouched
+    assert os.path.isdir(state + ".old-")
+    assert not os.path.exists(state + ".old-1")

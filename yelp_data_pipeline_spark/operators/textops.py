@@ -160,6 +160,118 @@ def doc_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+HASHED_EMB_DIM = 64
+
+
+def hashed_text_embeddings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = HASHED_EMB_DIM,
+    out_id: str = "vec_id",
+) -> DataFrame:
+    """Deterministic TEXT-DERIVED embedding: the hashing trick
+    (Weinberger et al., ICML'09 feature hashing) over the document's
+    bag of word 3-grams, projected to ``dim`` signed-count dimensions.
+
+    Per gram g: h = md5_long(g); the low 6 bits index the dimension
+    (h % dim), bit 6 supplies a ±1 sign (1 - 2·((h >> 6) & 1)) so
+    colliding grams cancel in expectation instead of piling up. The
+    embedding is the per-dimension sum of signs — exactly reproducible
+    in any engine with md5 (the DuckDB oracle replays it verbatim),
+    and cosine over it is a soft lexical-overlap similarity: near-dup
+    texts share almost all grams (cosine → 1), a doc and its half
+    share half the mass (cosine ≈ √0.5), unrelated texts share almost
+    no word 3-grams (cosine ≈ 0). This is the TEXT-GROUNDED fixture
+    twin for the semantic-dedup tier: unlike the synthetic
+    ``embeddings`` table (generated independently of the text, so
+    semantic similarity there is noise), agreement numbers measured
+    over THESE vectors answer the SemDeDup question for real.
+
+    Shape: one narrow projection — tokens, grams, and the fold to the
+    ``dim``-array all happen inside Catalyst higher-order functions on
+    each row; NO shuffle, no UDF. The fold input (one md5 per gram) is
+    the single argument of one ``aggregate``, so each gram is hashed
+    exactly once; the accumulator rebuild is dim cheap ops per gram.
+    Docs with fewer than 3 tokens are excluded (a zero vector has no
+    angle; both engines drop the same rows).
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    df = df.select(F.col(id_col).alias(out_id), toks.alias("_t")).where(
+        F.size("_t") >= 3
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("_t") - 2),
+        lambda i: F.array_join(F.slice("_t", i, 3), " "),
+    )
+
+    from ..functions.hashing import md5_long
+
+    def gram_entry(g):
+        h = md5_long(g)
+        return F.struct(
+            F.pmod(h, F.lit(dim)).alias("d"),
+            (F.lit(1) - F.lit(2) * F.shiftright(h, 6).bitwiseAND(F.lit(1)))
+            .cast("double")
+            .alias("s"),
+        )
+
+    emb = F.aggregate(
+        F.transform(grams, gram_entry),
+        F.array_repeat(F.lit(0.0), dim),
+        lambda acc, p: F.transform(
+            acc,
+            lambda x, i: x + F.when(p["d"] == i.cast("long"), p["s"]).otherwise(0.0),
+        ),
+    )
+    return df.select(out_id, emb.alias("embedding"))
+
+
+def hashed_text_embeddings_sql(
+    src: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = HASHED_EMB_DIM,
+) -> str:
+    """DuckDB twin of :func:`hashed_text_embeddings` as a chain of CTE
+    definitions ending in ``temb(vec_id, embedding)`` — splice into an
+    oracle's WITH clause (oracle-only; the dims grid join is fine at
+    oracle scale)."""
+    from ..functions.hashing import md5_long_sql
+
+    gram = "array_to_string(t[CAST(i AS INT):CAST(i + 2 AS INT)], ' ')"
+    return f"""
+temb_toks AS (
+  SELECT {id_col} AS vec_id,
+         string_split_regex(trim(lower({text_col})), '\\s+') AS t
+  FROM {src}
+  WHERE len(string_split_regex(trim(lower({text_col})), '\\s+')) >= 3
+),
+temb_cells AS (
+  SELECT vec_id, h % {dim} AS d,
+         CAST(1 - 2 * ((h >> 6) & 1) AS DOUBLE) AS s
+  FROM (
+    SELECT vec_id, {md5_long_sql(gram)} AS h
+    FROM temb_toks, LATERAL unnest(generate_series(1, len(t) - 2)) AS u(i)
+  )
+),
+temb_agg AS (
+  SELECT vec_id, d, sum(s) AS v FROM temb_cells GROUP BY vec_id, d
+),
+temb_grid AS (
+  SELECT ids.vec_id, dims.d
+  FROM (SELECT DISTINCT vec_id FROM temb_toks) ids
+  CROSS JOIN (SELECT unnest(generate_series(0, {dim - 1})) AS d) dims
+),
+temb AS (
+  SELECT g.vec_id,
+         list(coalesce(a.v, 0.0) ORDER BY g.d) AS embedding
+  FROM temb_grid g
+  LEFT JOIN temb_agg a ON a.vec_id = g.vec_id AND a.d = g.d
+  GROUP BY g.vec_id
+)"""
+
+
 def tfidf_top_terms(
     df: DataFrame, id_col: str, text_col: str, top_n: int = 3
 ) -> DataFrame:

@@ -2365,7 +2365,11 @@ def q_ann_topk_cosine(spark, sf_dir):
 
 
 def _signlsh_adaptive_oracle(
-    threshold: float, dim: int = _EMB_DIM, bands: int = 8
+    threshold: float,
+    dim: int = _EMB_DIM,
+    bands: int = 8,
+    emb_rel: str = "embeddings",
+    prelude: str = "",
 ) -> str:
     """DuckDB twin of similarity.cosine_neardup_pairs with the DEFAULT
     corpus-adaptive banding: bits-per-band is derived from count(*)
@@ -2391,9 +2395,9 @@ def _signlsh_adaptive_oracle(
     )
     cos = cosine_sql("ua", "ub", dim)
     return f"""
-WITH params AS (
+WITH {prelude}params AS (
   SELECT {bits_case} AS bits
-  FROM (SELECT count(*) AS n FROM embeddings)
+  FROM (SELECT count(*) AS n FROM {emb_rel})
 ),
 planes AS (SELECT [
     {planes_lit}
@@ -2404,7 +2408,7 @@ sgn AS (
            pl -> CASE WHEN list_sum(list_transform(generate_series(1, {dim}),
                         i -> CAST(embedding[i] AS DOUBLE) * pl[i])) > 0
                  THEN 1 ELSE 0 END) AS sbits
-  FROM embeddings, planes, params
+  FROM {emb_rel}, planes, params
 ),
 banded AS (
   SELECT vec_id, band_id,
@@ -2421,8 +2425,8 @@ cand AS (
 pairs AS (
   SELECT id_a, id_b, ea.embedding AS ua, eb.embedding AS ub
   FROM cand
-  JOIN embeddings ea ON ea.vec_id = cand.id_a
-  JOIN embeddings eb ON eb.vec_id = cand.id_b
+  JOIN {emb_rel} ea ON ea.vec_id = cand.id_a
+  JOIN {emb_rel} eb ON eb.vec_id = cand.id_b
 )
 SELECT id_a, id_b, round({cos}, 6) AS score
 FROM pairs WHERE round({cos}, 6) >= {threshold}
@@ -11177,6 +11181,179 @@ def q_dedup_family_agreement(spark, sf_dir):
                 6,
             ),
         ).alias("pair_jaccard"),
+    )
+
+
+@_q(
+    "text_hashed_embeddings",
+    "WITH "
+    + tx.hashed_text_embeddings_sql()
+    + """
+SELECT vec_id AS doc_id,
+       array_to_string(list_transform(embedding,
+         x -> CAST(CAST(x AS BIGINT) AS VARCHAR)), ',') AS emb_sig
+FROM temb
+ORDER BY doc_id
+""",
+    doc="The TEXT-DERIVED embedding fixture twin (verdict r12 item "
+    "#2): feature-hashing (Weinberger ICML'09) over each document's "
+    "bag of word 3-grams — md5-hashed gram → dimension h % 64, sign "
+    "± from bit 6 — summed to a 64-dim signed-count vector, entirely "
+    "in Catalyst higher-order functions (one md5 per gram, no "
+    "shuffle, no UDF). Unlike the synthetic embeddings table "
+    "(text-independent, so semantic similarity there is noise), "
+    "cosine over THESE vectors is a real soft-overlap similarity, "
+    "which makes the semantic-dedup tier's agreement numbers "
+    "meaningful. The row serializes the integer-valued vector "
+    "(values are sums of ±1, so the long cast is exact and "
+    "formatting-stable) for the cross-engine hash; the DuckDB "
+    "oracle replays tokenization, gram slicing, hash, sign, and the "
+    "dims-grid fold verbatim.",
+)
+def q_text_hashed_embeddings(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    emb = tx.hashed_text_embeddings(docs)
+    return emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.array_join(
+            F.transform("embedding", lambda x: x.cast("long").cast("string")),
+            ",",
+        ).alias("emb_sig"),
+    ).orderBy("doc_id")
+
+
+@_q(
+    "dedup_family_agreement_text",
+    "WITH "
+    + tx.hashed_text_embeddings_sql()
+    + f""",
+lex AS (
+  SELECT doc_a, doc_b FROM ({_minhash_oracle(k=12, bands=4, threshold=0.8)}) m
+),
+sem AS (
+  SELECT id_a AS doc_a, id_b AS doc_b
+  FROM ({_signlsh_adaptive_oracle(threshold=0.5, emb_rel="temb")}) s
+),
+j AS (
+  SELECT CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END AS lx,
+         CASE WHEN r.doc_a IS NOT NULL THEN 1 ELSE 0 END AS sx
+  FROM lex l FULL JOIN sem r
+    ON l.doc_a = r.doc_a AND l.doc_b = r.doc_b
+)
+SELECT CAST(sum(lx) AS BIGINT) AS n_lexical,
+       CAST(sum(sx) AS BIGINT) AS n_semantic,
+       CAST(sum(lx * sx) AS BIGINT) AS n_both,
+       CAST(sum(lx * (1 - sx)) AS BIGINT) AS n_only_lexical,
+       CAST(sum(sx * (1 - lx)) AS BIGINT) AS n_only_semantic,
+       CASE WHEN count(*) = 0 THEN NULL
+            ELSE round(CAST(sum(lx * sx) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE), 6)
+       END AS pair_jaccard
+FROM j
+""",
+    doc="dedup_family_agreement asked on NON-DEGENERATE truth "
+    "(verdict r12 item #2): the lexical arm is unchanged (verified "
+    "MinHash, exact Jaccard >= 0.8) but the semantic arm runs the "
+    "SAME production sign-LSH cosine matcher over the text-derived "
+    "hashed embeddings (text_hashed_embeddings) at cosine >= 0.5 — "
+    "so the two families finally see the same underlying text and "
+    "the agreement number answers the SemDeDup question for real. "
+    "Measured on this fixture: n_both > 0 (every planted near-dup "
+    "pair is caught by both arms) and n_only_semantic > 0 — the "
+    "paraphrase/containment mass (e.g. a doc vs its half: shingle "
+    "Jaccard ~0.5, below the lexical bar, but cosine ~sqrt(0.5) "
+    "over shared-gram counts) that ONLY the embedding arm sees, "
+    "which is precisely the mass that decides whether semantic "
+    "dedup earns its cost. The degenerate twin over the synthetic "
+    "embeddings table stays registered as the algebra check.",
+)
+def q_dedup_family_agreement_text(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    lex = dd.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=12, bands=4, threshold=0.8
+    ).select("doc_a", "doc_b", F.lit(1).alias("lx"))
+    sem = sim.cosine_neardup_pairs(
+        tx.hashed_text_embeddings(docs), threshold=0.5
+    ).select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        F.lit(1).alias("sx"),
+    )
+    j = lex.join(sem, ["doc_a", "doc_b"], "full").select(
+        F.coalesce("lx", F.lit(0)).alias("lx"),
+        F.coalesce("sx", F.lit(0)).alias("sx"),
+    )
+    return j.agg(
+        F.sum("lx").cast("long").alias("n_lexical"),
+        F.sum("sx").cast("long").alias("n_semantic"),
+        F.sum(F.col("lx") * F.col("sx")).cast("long").alias("n_both"),
+        F.sum(F.col("lx") * (1 - F.col("sx")))
+        .cast("long")
+        .alias("n_only_lexical"),
+        F.sum(F.col("sx") * (1 - F.col("lx")))
+        .cast("long")
+        .alias("n_only_semantic"),
+        F.when(
+            F.count(F.lit(1)) > 0,
+            F.round(
+                F.sum(F.col("lx") * F.col("sx")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ),
+        ).alias("pair_jaccard"),
+    )
+
+
+@_q(
+    "semantic_dedup_survivors_text",
+    "WITH RECURSIVE "
+    + tx.hashed_text_embeddings_sql()
+    + f""",
+pairs AS (
+  SELECT id_a, id_b FROM ({_signlsh_adaptive_oracle(threshold=0.5, emb_rel="temb")}) sp
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+walk(node, label) AS (
+  SELECT vec_id, vec_id FROM temb
+  UNION
+  SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.node
+),
+clusters AS (
+  SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node
+)
+SELECT cluster_id AS doc_id, count(*) AS n_members
+FROM clusters GROUP BY cluster_id
+""",
+    doc="semantic_dedup_survivors on NON-DEGENERATE truth: the same "
+    "sign-LSH-pairs → connected-components → min-id-survivor "
+    "pipeline, run over the text-derived hashed embeddings at "
+    "cosine >= 0.5 — so the semantic clusters actually merge "
+    "paraphrase/containment families the MinHash clusters split, "
+    "instead of partitioning noise. Oracle = recursive-CTE "
+    "reachability over the replayed LSH pairs, seeded from the "
+    "derived-embedding id domain (docs with >= 3 tokens).",
+)
+def q_semantic_dedup_survivors_text(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    emb = tx.hashed_text_embeddings(docs)
+    pairs = sim.cosine_neardup_pairs(emb, threshold=0.5)
+    comp = graph.connected_components(pairs, "id_a", "id_b")
+    clusters = (
+        emb.select(F.col("vec_id").alias("doc_id"))
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .select(F.col("cluster_id").alias("doc_id"), "n_members")
     )
 
 

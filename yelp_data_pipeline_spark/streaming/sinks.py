@@ -47,15 +47,24 @@ def applied_batches(target_path: str) -> set[int]:
 
 def _state_orphans(target_path: str) -> list[str]:
     """``.old-<batch_id>`` directory names next to ``target_path``,
-    sorted by batch id ascending."""
+    sorted by batch id ascending. Names whose suffix is not an integer
+    (a foreign or truncated directory that merely shares the prefix)
+    are not part of the swap protocol and are skipped — recovery runs
+    before every fold, so raising on them would permanently wedge the
+    sink."""
     parent = os.path.dirname(target_path) or "."
     base = os.path.basename(target_path)
     if not os.path.isdir(parent):
         return []
-    return sorted(
-        (nm for nm in os.listdir(parent) if nm.startswith(base + ".old-")),
-        key=lambda nm: int(nm.rsplit("-", 1)[1]),
-    )
+    keyed: list[tuple[int, str]] = []
+    for nm in os.listdir(parent):
+        if not nm.startswith(base + ".old-"):
+            continue
+        try:
+            keyed.append((int(nm.rsplit("-", 1)[1]), nm))
+        except ValueError:
+            continue
+    return [nm for _, nm in sorted(keyed)]
 
 
 def _recover_state(target_path: str, ledger: str | None = None) -> None:
@@ -158,6 +167,21 @@ def _live_state_path(target_path: str) -> str:
         parent = os.path.dirname(target_path) or "."
         return os.path.join(parent, orphans[-1])
     return target_path
+
+
+def _read_state(spark, target_path: str) -> DataFrame:
+    """Read the live state with ONE retry. :func:`_live_state_path` is
+    check-then-read: a concurrent writer's rollback/swap can remove the
+    resolved path between the ``exists`` check and Spark's file
+    listing. The writer's swap is a bounded two-rename sequence, so by
+    the time a failed read re-resolves, either the new target or its
+    orphan is in place — a single re-resolution closes the practical
+    window (a second consecutive miss means the state genuinely does
+    not exist, and the error should surface)."""
+    try:
+        return spark.read.parquet(_live_state_path(target_path))
+    except Exception:
+        return spark.read.parquet(_live_state_path(target_path))
 
 
 def merge_upsert_batch(
@@ -276,9 +300,7 @@ def hll_state_estimate(spark, target_path: str, m: int = 64) -> DataFrame:
     recompute over the same rows yield the SAME (approx, V, rho_sum)."""
     from ..operators.aggregates import _hll_estimate
 
-    return _hll_estimate(
-        spark.read.parquet(_live_state_path(target_path)), m, []
-    )
+    return _hll_estimate(_read_state(spark, target_path), m, [])
 
 
 def cms_grid_batch(
@@ -378,7 +400,7 @@ def kmv_state_estimate(spark, target_path: str, k: int = 256) -> DataFrame:
     exactly."""
     from ..operators.aggregates import KMV_HASH_SPACE
 
-    topk = spark.read.parquet(_live_state_path(target_path))
+    topk = _read_state(spark, target_path)
     est = F.when(F.col("m") < k, F.col("m")).otherwise(
         F.round(
             F.lit(float((k - 1) * KMV_HASH_SPACE)) / F.col("hk").cast("double")
