@@ -93,3 +93,106 @@ class TestHashedTextEmbeddings:
 
         # 18 of the full doc's 38 grams are the half's 18 grams
         assert abs(row["c"] - math.sqrt(18 / 38)) < 0.08
+
+
+class TestLengthBucketedPacking:
+    def test_assignment_reproduces_stats_row(self, spark):
+        """THE invariant the verdict asked for: the waste numbers
+        length_bucketed_packing_stats reports must be exactly
+        recomputable FROM the concrete assignment — group the
+        assignment by bucket_cap and the (n_docs, sum_tokens,
+        padded_tokens, waste_frac, naive_waste_frac) tuple equals the
+        stats row, bucket for bucket."""
+        from yelp_data_pipeline_spark import queries as Q
+
+        sf = "/root/testdata/sf0.001"
+        by_name = {s.name: s.fn for s in Q.registry()}
+        stats = {
+            r["bucket_cap"]: r
+            for r in by_name["length_bucketed_packing_stats"](spark, sf).collect()
+        }
+        asg = by_name["packed_assignments"](spark, sf)
+        derived = (
+            asg.groupBy("bucket_cap")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("eff_tok").cast("long").alias("sum_tokens"),
+            )
+            .collect()
+        )
+        assert {r["bucket_cap"] for r in derived} == set(stats)
+        for r in derived:
+            s = stats[r["bucket_cap"]]
+            assert r["n_docs"] == s["n_docs"]
+            assert r["sum_tokens"] == s["sum_tokens"]
+            assert r["n_docs"] * r["bucket_cap"] == s["padded_tokens"]
+            assert (
+                round(1.0 - r["sum_tokens"] / (r["n_docs"] * r["bucket_cap"]), 6)
+                == s["waste_frac"]
+            )
+            assert (
+                round(1.0 - r["sum_tokens"] / (r["n_docs"] * 128), 6)
+                == s["naive_waste_frac"]
+            )
+
+    def test_pack_structure_invariants(self, spark):
+        """Packs are well-formed: every doc fits its bucket_cap, no
+        pack holds more than context // bucket_cap docs, positions in
+        a pack are dense 0..k-1, pack_fill is the pack's true token
+        load / context and never exceeds 1."""
+        from yelp_data_pipeline_spark.operators import packing as pk
+
+        docs = spark.createDataFrame(
+            [(i, " ".join(f"t{j}" for j in range(1 + (i * 37) % 200)))
+             for i in range(120)],
+            ["doc_id", "text"],
+        )
+        rows = pk.length_bucketed_packing(
+            docs, context=128, bucket_step=16, n_shards=4
+        ).collect()
+        assert len(rows) == 120
+        packs: dict = {}
+        for r in rows:
+            assert r["eff_tok"] <= r["bucket_cap"] <= 128
+            assert r["bucket_cap"] - r["eff_tok"] < 16
+            packs.setdefault(r["pack_id"], []).append(r)
+        for pid, members in packs.items():
+            cap = members[0]["bucket_cap"]
+            assert all(m["bucket_cap"] == cap for m in members)
+            k = len(members)
+            assert k <= 128 // cap
+            assert sorted(m["position"] for m in members) == list(range(k))
+            # X/128 has exactly 7 decimal digits, so the 6-digit round
+            # hits a trailing 5: replicate Spark's HALF_UP (Python's
+            # round is banker's and disagrees on e.g. 0.8203125).
+            from decimal import ROUND_HALF_UP, Decimal
+
+            fill = float(
+                (Decimal(sum(m["eff_tok"] for m in members)) / 128).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+            )
+            assert all(m["pack_fill"] == fill for m in members)
+            assert fill <= 1.0
+
+    def test_ffd_order_within_shard(self, spark):
+        """Within a (bucket, shard), longer docs land in earlier packs
+        (first-fit-DECREASING): pack_seq is monotone non-increasing in
+        eff_tok."""
+        from yelp_data_pipeline_spark.operators import packing as pk
+
+        docs = spark.createDataFrame(
+            [(i, " ".join("x" for _ in range(1 + (i * 13) % 16)))
+             for i in range(200)],
+            ["doc_id", "text"],
+        )  # all docs <= 16 tokens: one bucket, 8 docs per pack
+        rows = pk.length_bucketed_packing(
+            docs, context=128, bucket_step=16, n_shards=2
+        ).collect()
+        by_shard: dict = {}
+        for r in rows:
+            by_shard.setdefault(r["shard"], []).append(r)
+        for members in by_shard.values():
+            members.sort(key=lambda m: (-m["eff_tok"], m["doc_id"]))
+            seqs = [m["pack_id"] for m in members]
+            assert seqs == sorted(seqs)

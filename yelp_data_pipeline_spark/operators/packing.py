@@ -61,6 +61,92 @@ def pack_sequences(
     )
 
 
+def length_bucketed_packing(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    context: int = 128,
+    bucket_step: int = 16,
+    n_shards: int = 8,
+    salt: str = "lbpack",
+) -> DataFrame:
+    """Length-bucketed PACKING ASSIGNMENT — the operator behind the
+    ``length_bucketed_packing_stats`` eval (stats → assignment, the
+    same move as span-stats → span-surgery): every doc gets a concrete
+    (pack_id, position) in a ``context``-token training sequence.
+
+    Algebra (first-fit-decreasing within bucket — with equal-cap slots
+    FFD is exactly "sort decreasing, fill slots in order"):
+
+    - eff_tok  = min(tokens, context); bucket_cap = eff_tok rounded up
+      to ``bucket_step`` — every doc in a bucket pads to bucket_cap.
+    - docs_per_pack = context // bucket_cap (equal slots, so a pack
+      NEVER straddles: position r goes to pack r // docs_per_pack,
+      slot r % docs_per_pack).
+    - Packing order within a (bucket, shard) is eff_tok DESC, id ASC —
+      decreasing length, deterministic tiebreak.
+
+    Scale shape: bucket_cap alone has only context/bucket_step
+    distinct values — a window partitioned on it would funnel the
+    corpus through ~8 reducers. Docs are therefore hash-sharded first
+    (same recipe as :func:`pack_sequences`): the window partitions on
+    (bucket_cap, shard), n_shards chosen per cluster, so the only
+    shuffle is one balanced window. Rerun-deterministic on any engine
+    or partitioning: shard is a content hash, order is (eff_tok, id).
+
+    Output: (id, eff_tok, bucket_cap, shard, pack_id, position,
+    pack_fill) where pack_id is globally unique (bucket/shard/seq bit-
+    packed into one BIGINT: cap16 << 50 | shard << 40 | seq) and
+    pack_fill is the pack's real token load / ``context`` — the
+    dataloader's fill fraction after bucketing.
+    """
+    eff = F.least(token_count(F.col(text_col)), F.lit(context)).cast("int")
+    shard = F.pmod(
+        md5_long(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))),
+        F.lit(n_shards),
+    ).cast("int")
+    base = df.select(
+        F.col(id_col),
+        eff.alias("eff_tok"),
+        shard.alias("shard"),
+    ).withColumn(
+        "bucket_cap",
+        (((F.col("eff_tok") + bucket_step - 1) / bucket_step).cast("int")
+         * bucket_step).cast("int"),
+    )
+    w = Window.partitionBy("bucket_cap", "shard").orderBy(
+        F.col("eff_tok").desc(), F.col(id_col).asc()
+    )
+    r = F.row_number().over(w) - 1
+    dpp = F.floor(F.lit(context) / F.col("bucket_cap")).cast("int")
+    assigned = base.select(
+        id_col,
+        "eff_tok",
+        "bucket_cap",
+        "shard",
+        (r / dpp).cast("long").alias("pack_seq"),
+        F.pmod(r, dpp).cast("int").alias("position"),
+    ).withColumn(
+        "pack_id",
+        F.shiftleft((F.col("bucket_cap") / bucket_step).cast("long"), 50)
+        .bitwiseOR(F.shiftleft(F.col("shard").cast("long"), 40))
+        .bitwiseOR(F.col("pack_seq")),
+    )
+    fill = Window.partitionBy("pack_id")
+    return assigned.select(
+        id_col,
+        "eff_tok",
+        "bucket_cap",
+        "shard",
+        "pack_id",
+        "position",
+        F.round(
+            F.sum("eff_tok").over(fill).cast("double") / F.lit(float(context)),
+            6,
+        ).alias("pack_fill"),
+    )
+
+
 def split_assign(
     df: DataFrame,
     key_col: str = "doc_id",

@@ -4910,6 +4910,73 @@ def q_packed_sequences(spark, sf_dir):
     return pk.pack_sequences(_t(spark, sf_dir, "documents"), seq_len=512, n_shards=8)
 
 
+_LBPACK_SHARD_SQL = md5_long_sql(
+    "concat_ws('|', 'lbpack', CAST(doc_id AS VARCHAR))"
+)
+
+
+@_q(
+    "packed_assignments",
+    f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST({_LBPACK_SHARD_SQL} % 8 AS INT) AS shard,
+         least(CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+                    AS INT), 128) AS eff_tok
+  FROM documents
+),
+b AS (
+  SELECT doc_id, shard, eff_tok,
+         CAST(((eff_tok + 15) // 16) * 16 AS INT) AS bucket_cap
+  FROM t
+),
+r AS (
+  SELECT doc_id, eff_tok, bucket_cap, shard,
+         row_number() OVER (PARTITION BY bucket_cap, shard
+                            ORDER BY eff_tok DESC, doc_id ASC) - 1 AS rk
+  FROM b
+),
+a AS (
+  SELECT doc_id, eff_tok, bucket_cap, shard,
+         rk // (128 // bucket_cap) AS pack_seq,
+         CAST(rk % (128 // bucket_cap) AS INT) AS position
+  FROM r
+),
+p AS (
+  SELECT doc_id, eff_tok, bucket_cap, shard, position,
+         (CAST(bucket_cap // 16 AS BIGINT) << 50)
+           | (CAST(shard AS BIGINT) << 40) | pack_seq AS pack_id
+  FROM a
+)
+SELECT doc_id, eff_tok, bucket_cap, shard, pack_id, position,
+       round(CAST(sum(eff_tok) OVER (PARTITION BY pack_id) AS DOUBLE)
+             / 128.0, 6) AS pack_fill
+FROM p
+""",
+    doc="The packing ASSIGNMENT operator (verdict r12 item #3 — the "
+    "span-stats → span-surgery move applied to the packing tier): "
+    "length_bucketed_packing_stats reports what bucketing WOULD save; "
+    "this row emits the concrete (doc_id → pack_id, position, "
+    "pack_fill) a dataloader consumes. First-fit-decreasing within "
+    "bucket — with equal bucket_cap slots FFD reduces to sort-"
+    "decreasing + fill-in-order, so the whole assignment is ONE "
+    "row_number window partitioned on (bucket_cap, shard): docs are "
+    "hash-sharded first because bucket_cap alone has only 8 distinct "
+    "values (a reducer funnel at scale — same recipe as "
+    "packed_sequences), slot r goes to pack r // (context // "
+    "bucket_cap) at position r %% it (equal slots ⇒ no pack ever "
+    "straddles the context), and pack_id bit-packs (cap16, shard, "
+    "seq) into one BIGINT. The stats row's waste numbers are exactly "
+    "recomputable FROM this assignment (pytest-pinned invariant).",
+)
+def q_packed_assignments(spark, sf_dir):
+    from .operators import packing as pk
+
+    return pk.length_bucketed_packing(
+        _t(spark, sf_dir, "documents"), context=128, bucket_step=16, n_shards=8
+    )
+
+
 @_q(
     "split_assignments",
     f"""
