@@ -196,3 +196,86 @@ class TestLengthBucketedPacking:
             members.sort(key=lambda m: (-m["eff_tok"], m["doc_id"]))
             seqs = [m["pack_id"] for m in members]
             assert seqs == sorted(seqs)
+
+
+class TestVideoRateTolerant:
+    def _sigs(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, frame_idx int, dhash long"
+        )
+
+    # distinct contents: disjoint 14-bit blocks pairwise hamming >= 14
+    C = [0, 0x3FFF, 0x3FFF << 14, 0x3FFF << 28, 0x3FFF << 42]
+
+    def test_halved_rate_clip_matches_only_rate_variant(self, spark):
+        """The planted 2×-rate case (verdict r12 item #4): video 2 is
+        video 1 re-sampled at half rate — its sampled frame idx_b
+        corresponds to video 1's idx_a = 2·idx_b, a LINEAR map whose
+        deltas (idx_b − idx_a = −idx_b) are all distinct. The modal-
+        delta offset matcher MUST find nothing; the rate matcher must
+        report the (1, 2) hypothesis with shift 0."""
+        from yelp_data_pipeline_spark.operators.multimodal import (
+            video_neardup_pairs_offset,
+            video_neardup_pairs_rate,
+        )
+
+        # v1 sampled at stride 2: frames 0,2,4,6,8; v2 at half rate
+        # carries v1's content 0,4,8 at its own indices 0,2,4.
+        rows = [(1, 2 * i, h) for i, h in enumerate(self.C)]
+        rows += [(2, 2 * j, self.C[2 * j]) for j in range(3)]
+        sigs = self._sigs(spark, rows)
+
+        off = video_neardup_pairs_offset(sigs, min_matched_frames=2).collect()
+        assert off == []  # deltas 0,-2,-4 never agree: provably missed
+
+        got = video_neardup_pairs_rate(sigs, min_matched_frames=2).collect()
+        assert len(got) == 1
+        r = got[0]
+        # idx_b = (1·idx_a + 0) / 2: half rate, zero shift, 3 frames
+        assert (
+            r["video_a"], r["video_b"], r["rate_num"], r["rate_den"],
+            r["idx_shift"], r["matched_frames"], r["min_hamming"],
+        ) == (1, 2, 1, 2, 0, 3, 0)
+
+    def test_pure_trim_reports_identity_rate(self, spark):
+        """Identity is in the hypothesis family: a constant-offset pair
+        (the r12 trimmed-clip case) reports (1, 1, delta) — the rate
+        matcher strictly generalizes the offset matcher."""
+        from yelp_data_pipeline_spark.operators.multimodal import (
+            video_neardup_pairs_rate,
+        )
+
+        rows = [(1, i, h) for i, h in enumerate(self.C)]
+        rows += [(2, i, h) for i, h in enumerate(self.C[2:])]
+        got = video_neardup_pairs_rate(
+            self._sigs(spark, rows), min_matched_frames=2
+        ).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert (
+            r["rate_num"], r["rate_den"], r["idx_shift"],
+            r["matched_frames"],
+        ) == (1, 1, -2, 3)
+
+    def test_wrong_rate_votes_scatter(self, spark):
+        """A true aligned pair must not be stolen by the 2× or half
+        hypotheses: their shifts scatter across frames (shift varies
+        with idx_a), so identity wins even though every frame also
+        votes under the wrong rates — the bounded-Hough robustness
+        argument, pinned."""
+        from yelp_data_pipeline_spark.operators.multimodal import (
+            video_neardup_pairs_rate,
+        )
+
+        # 4 aligned frames at nonzero indices so wrong-rate shifts
+        # (±idx) are genuinely distinct per frame
+        rows = [(1, i, h) for i, h in enumerate(self.C[1:], start=3)]
+        rows += [(2, i, h) for i, h in enumerate(self.C[1:], start=3)]
+        got = video_neardup_pairs_rate(
+            self._sigs(spark, rows), min_matched_frames=2
+        ).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert (r["rate_num"], r["rate_den"], r["idx_shift"]) == (1, 1, 0)
+        assert r["matched_frames"] == 4
+

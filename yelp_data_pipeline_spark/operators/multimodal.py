@@ -1392,3 +1392,113 @@ def video_neardup_pairs_offset(
         )
         .where(F.col("matched_frames") >= min_matched_frames)
     )
+
+
+def video_neardup_pairs_rate(
+    fps_df: DataFrame,
+    id_col: str = "doc_id",
+    min_matched_frames: int = 2,
+    max_hamming: int = 6,
+    rates: tuple[tuple[int, int], ...] = ((1, 1), (1, 2), (2, 1)),
+) -> DataFrame:
+    """FRAME-RATE-CHANGE-tolerant video near-duplicates — the LINEAR
+    index map the constant-offset matcher provably cannot see (verdict
+    r12 boundary #4): a re-encode at a different frame rate maps
+    idx_b ≈ (num/den)·idx_a + shift/den, so even with perfect content
+    matches the per-pair idx deltas are all DISTINCT and modal-delta
+    voting finds no majority. The vote key is generalized to the full
+    linear hypothesis: each cross-video frame match casts one vote per
+    candidate rate (num, den) for the invariant
+    ``shift = den·idx_b − num·idx_a`` (constant across a pair's
+    matches exactly when the linear map holds), and the modal
+    (num, den, shift) wins. Under a WRONG hypothesis a true pair's
+    votes scatter (shift varies with idx_a), so wrong rates are
+    outvoted by construction — the same robustness argument as the
+    offset matcher, lifted from translations to the rational-slope
+    affine family.
+
+    ``rates`` bounds the hypothesis family to the re-samples that
+    occur in practice (2×/half speed plus identity by default; the
+    identity makes this a strict generalization of
+    :func:`video_neardup_pairs_offset` — a pure trim reports
+    (1, 1, delta)). Arbitrary irrational or drifting maps remain out
+    of scope by design: an unbounded family would let every pair find
+    SOME 2-frame-consistent line (Hough-style voting needs a bounded
+    accumulator to mean anything).
+
+    Scale shape: the SAME one packed-key bucketed MIH join, then a
+    len(rates)× constant expansion of the slim matched-frame relation
+    (explode of a literal array — no join, no re-shuffle of frames)
+    into two combinable groupBys. Deterministic tiebreak: most
+    supporting frames, simplest rate (num·den, then num — identity
+    before slow-down before speed-up), smallest |shift|, smallest
+    shift.
+
+    Output: (video_a, video_b, rate_num, rate_den, idx_shift,
+    matched_frames, min_hamming), video_a < video_b, with
+    idx_b = (rate_num·idx_a + idx_shift) / rate_den at the matched
+    frames."""
+    cross = _packed_frame_pairs(fps_df, id_col, max_hamming).where(
+        F.col("video_a") != F.col("video_b")
+    )
+    hyp = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("rate_num"), F.lit(d).alias("rate_den")
+            )
+            for n, d in rates
+        ]
+    )
+    votes = cross.select(
+        "video_a",
+        "video_b",
+        "hamming",
+        F.explode(hyp).alias("r"),
+        (F.col("idx_a")).alias("idx_a"),
+        (F.col("idx_b")).alias("idx_b"),
+    ).select(
+        "video_a",
+        "video_b",
+        "hamming",
+        F.col("r.rate_num").alias("rate_num"),
+        F.col("r.rate_den").alias("rate_den"),
+        (
+            F.col("r.rate_den") * F.col("idx_b")
+            - F.col("r.rate_num") * F.col("idx_a")
+        )
+        .cast("int")
+        .alias("idx_shift"),
+    )
+    per_key = votes.groupBy(
+        "video_a", "video_b", "rate_num", "rate_den", "idx_shift"
+    ).agg(
+        F.count(F.lit(1)).cast("int").alias("matched_frames"),
+        F.min("hamming").cast("int").alias("min_hamming"),
+    )
+    pick = F.max(
+        F.struct(
+            F.col("matched_frames").alias("mf"),
+            (-(F.col("rate_num") * F.col("rate_den"))).alias("neg_prod"),
+            (-F.col("rate_num")).alias("neg_num"),
+            (-F.abs(F.col("idx_shift"))).alias("neg_abs"),
+            (-F.col("idx_shift")).alias("neg_s"),
+            F.col("rate_num").alias("rate_num"),
+            F.col("rate_den").alias("rate_den"),
+            F.col("idx_shift").alias("idx_shift"),
+            F.col("min_hamming").alias("min_hamming"),
+        )
+    ).alias("p")
+    return (
+        per_key.groupBy("video_a", "video_b")
+        .agg(pick)
+        .select(
+            "video_a",
+            "video_b",
+            F.col("p.rate_num").alias("rate_num"),
+            F.col("p.rate_den").alias("rate_den"),
+            F.col("p.idx_shift").alias("idx_shift"),
+            F.col("p.mf").alias("matched_frames"),
+            F.col("p.min_hamming").alias("min_hamming"),
+        )
+        .where(F.col("matched_frames") >= min_matched_frames)
+    )

@@ -4560,6 +4560,71 @@ def q_video_neardup_pairs_offset(spark, sf_dir):
 
 
 @_q(
+    "video_neardup_pairs_rate",
+    f"""
+WITH {_VIDEO_SIG_CTE},
+m AS (
+  SELECT a.doc_id AS video_a, b.doc_id AS video_b,
+         a.frame_idx AS idx_a, b.frame_idx AS idx_b,
+         bit_count(xor(a.dhash, b.dhash)) AS hamming
+  FROM vsig a JOIN vsig b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+),
+hyp AS (SELECT * FROM (VALUES (1, 1), (1, 2), (2, 1))
+        AS t(rate_num, rate_den)),
+v AS (
+  SELECT video_a, video_b, rate_num, rate_den,
+         CAST(rate_den * idx_b - rate_num * idx_a AS INT) AS idx_shift,
+         hamming
+  FROM m CROSS JOIN hyp
+),
+pk AS (
+  SELECT video_a, video_b, rate_num, rate_den, idx_shift,
+         CAST(count(*) AS INT) AS matched_frames,
+         CAST(min(hamming) AS INT) AS min_hamming
+  FROM v GROUP BY 1, 2, 3, 4, 5
+),
+best AS (
+  SELECT video_a, video_b, rate_num, rate_den, idx_shift,
+         matched_frames, min_hamming,
+         row_number() OVER (
+           PARTITION BY video_a, video_b
+           ORDER BY matched_frames DESC, rate_num * rate_den ASC,
+                    rate_num ASC, abs(idx_shift) ASC, idx_shift ASC) AS rk
+  FROM pk
+)
+SELECT video_a, video_b, rate_num, rate_den, idx_shift,
+       matched_frames, min_hamming
+FROM best WHERE rk = 1 AND matched_frames >= 2
+ORDER BY video_a, video_b
+""",
+    doc="FRAME-RATE-CHANGE-tolerant video matching (operators/"
+    "multimodal.py:video_neardup_pairs_rate) — closes the r12 "
+    "verdict's honesty boundary on the video tier: a re-encode at a "
+    "different rate is a LINEAR index map idx_b = (num/den)·idx_a + "
+    "shift/den, whose per-pair deltas are all distinct, so modal-"
+    "DELTA voting provably finds nothing (planted 2×-rate pytest). "
+    "Each cross-video frame match (the SAME one packed-key MIH join) "
+    "casts one vote per candidate rate for the invariant shift = "
+    "den·idx_b − num·idx_a; under the true rate the shifts agree, "
+    "under a wrong one they scatter — Hough-style voting over a "
+    "BOUNDED hypothesis family {{identity, half, double}}, which is "
+    "what keeps a 2-frame-consistent line from being findable for "
+    "every pair. Identity in the family makes this a strict "
+    "generalization of the offset matcher (a pure trim reports "
+    "(1,1,delta)). Constant len(rates)× expansion of the slim "
+    "matched-frame relation, two combinable groupBys, deterministic "
+    "tiebreak (frames desc, simplest rate, smallest |shift|, "
+    "smallest shift). Oracle = exact all-pairs frame join with the "
+    "vote replayed in SQL.",
+)
+def q_video_neardup_pairs_rate(spark, sf_dir):
+    d = mm.attach_avi_payload(_t(spark, sf_dir, "documents"))
+    sigs = mm.video_frame_fingerprints(d, stride=2)
+    return mm.video_neardup_pairs_rate(sigs).orderBy("video_a", "video_b")
+
+
+@_q(
     "multimodal_resize_meta",
     _WAV_ORACLE_BASE + """
 SELECT doc_id,
