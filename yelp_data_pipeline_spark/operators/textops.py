@@ -1470,83 +1470,99 @@ def unigram_lm_piece_scores(
             ),
         )
     )
-    arcs = cut_lineage(
-        words.select("word", F.explode(arc_arr).alias("a"))
-        .select("word", "a.j", "a.i", "a.piece")
+    arcs = (
+        words.select("word", "wcnt", F.explode(arc_arr).alias("a"))
+        .select("word", "wcnt", "a.j", "a.i", "a.piece")
         .join(pr.select("piece", "prob"), "piece")
     )
 
-    from pyspark.sql import Window
-
-    dp_levels: list[DataFrame] = [
-        words.select(
-            "word",
-            F.lit(0).cast("int").alias("i"),
-            F.lit(1.0).alias("prob"),
-            F.lit(None).cast("int").alias("bj"),
-            F.lit(None).cast("string").alias("bpiece"),
-        )
-    ]
-    for i in range(1, max_word_len + 1):
-        lo = max(0, i - max_piece_len)
-        prev = dp_levels[lo]
-        for d in dp_levels[lo + 1 : i]:
-            prev = prev.unionByName(d)
-        cand = (
-            arcs.where(F.col("i") == i)
-            .join(
-                prev.select(
-                    "word", F.col("i").alias("j"), F.col("prob").alias("pp")
-                ),
-                ["word", "j"],
-            )
-            .select(
-                "word",
-                F.col("i"),
-                (F.col("pp") * F.col("prob")).alias("prob"),
-                F.col("j").alias("bj"),
-                F.col("piece").alias("bpiece"),
-            )
-        )
-        rw = Window.partitionBy("word").orderBy(
-            F.desc("prob"), F.asc("bj"), F.asc("bpiece")
-        )
-        # EAGER localCheckpoint, not persist: dp[i] fans into up to
-        # max_piece_len later levels, so an uncut logical plan grows
-        # ~4^L nodes (the CC/kcore lesson — persist caches data but
-        # leaves the analyzer walking the whole tree; the r7 smoke
-        # test OOM'd in explainString exactly that way).
-        dp_i = (
-            cand.withColumn("rn", F.row_number().over(rw))
-            .where(F.col("rn") == 1)
-            .drop("rn")
-            .localCheckpoint(eager=True)
-        )
-        dp_levels.append(dp_i)
-
-    dp_all = dp_levels[1]
-    for d in dp_levels[2:]:
-        dp_all = dp_all.unionByName(d)
-    dp_all = dp_all.localCheckpoint(eager=True)
-
-    # Backpointer walk from i = len(word) down to 0 — ≤ max_word_len
-    # bounded joins against the persisted dp table.
-    cur = words.select(
-        "word", "wcnt", F.length("word").cast("int").alias("pos")
+    # ONE-RELATION VITERBI (round 13). The per-word lattice is a
+    # BOUNDED LOCAL computation — ≤ max_word_len levels over
+    # ≤ max_word_len·max_piece_len arcs — yet the previous
+    # formulation distributed its LEVELS across 12 per-level joins +
+    # 12 backpointer-walk joins, which audited 155 exchanges even
+    # after lineage cuts (the round-12 residual). Collecting each
+    # word's arcs once and running the DP + backtrace inside Catalyst
+    # higher-order functions buys nothing for a single word but
+    # removes EVERY per-level shuffle: the whole lattice now costs
+    # one groupBy(word) plus one final groupBy(piece).
+    #
+    # Determinism is unchanged: path scores are the SAME products in
+    # the SAME association order (dp[j].prob · arc.prob), and the
+    # argmax tiebreak (prob DESC, j ASC, piece ASC) is an array_sort
+    # comparator identical to the old per-level window ordering — so
+    # segmentations, and the integer-only output, are bit-identical
+    # to the level-join formulation (equality pytest-pinned).
+    lat = arcs.groupBy("word", "wcnt").agg(
+        F.collect_list(F.struct("j", "i", "piece", "prob")).alias("arcs")
     )
-    emits: list[DataFrame] = []
-    for _ in range(max_word_len):
-        hit = cur.join(
-            dp_all.select("word", F.col("i").alias("pos"), "bj", "bpiece"),
-            ["word", "pos"],
+
+    def cmp(a, b):
+        return (
+            F.when(a["prob"] > b["prob"], -1)
+            .when(a["prob"] < b["prob"], 1)
+            .when(a["bj"] < b["bj"], -1)
+            .when(a["bj"] > b["bj"], 1)
+            .when(a["bpiece"] < b["bpiece"], -1)
+            .when(a["bpiece"] > b["bpiece"], 1)
+            .otherwise(F.lit(0))
         )
-        emits.append(hit.select(F.col("bpiece").alias("piece"), "wcnt"))
-        cur = hit.where(F.col("bj") > 0).select(
-            "word", "wcnt", F.col("bj").alias("pos")
+
+    def _node(prob, bj, bpiece):
+        return F.struct(
+            prob.alias("prob"),
+            bj.cast("int").alias("bj"),
+            bpiece.cast("string").alias("bpiece"),
         )
-    allem = emits[0]
-    for e in emits[1:]:
-        allem = allem.unionByName(e)
+
+    unreachable = _node(F.lit(0.0), F.lit(-1), F.lit(None))
+
+    def dp_step(dp, i):
+        scored = F.transform(
+            F.filter(F.col("arcs"), lambda a: a["i"] == i),
+            lambda a: _node(
+                F.element_at(dp, a["j"] + 1)["prob"] * a["prob"],
+                a["j"],
+                a["piece"],
+            ),
+        )
+        best = F.element_at(F.array_sort(scored, cmp), 1)
+        return F.concat(
+            dp,
+            F.array(F.when(F.size(scored) > 0, best).otherwise(unreachable)),
+        )
+
+    dp_col = F.aggregate(
+        F.sequence(F.lit(1), F.lit(max_word_len)),
+        F.array(_node(F.lit(1.0), F.lit(-1), F.lit(None))),
+        dp_step,
+    )
+    # dp referenced >1× in the walk below — a separate projection that
+    # CollapseProject will NOT inline (multi-reference, non-cheap), so
+    # the lattice is computed once per word.
+    lat = lat.select("word", "wcnt", dp_col.alias("dp"))
+
+    def walk_step(acc, _):
+        cur = F.element_at(F.col("dp"), acc["pos"] + 1)
+        return F.when(
+            acc["pos"] > 0,
+            F.struct(
+                cur["bj"].alias("pos"),
+                F.concat(acc["pieces"], F.array(cur["bpiece"])).alias(
+                    "pieces"
+                ),
+            ),
+        ).otherwise(acc)
+
+    pieces_col = F.aggregate(
+        F.sequence(F.lit(1), F.lit(max_word_len)),
+        F.struct(
+            F.length("word").cast("int").alias("pos"),
+            F.array().cast("array<string>").alias("pieces"),
+        ),
+        walk_step,
+    )["pieces"]
+    allem = lat.select("wcnt", F.explode(pieces_col).alias("piece"))
 
     em = allem.groupBy("piece").agg(F.sum("wcnt").alias("em_count"))
     return (

@@ -17250,11 +17250,17 @@ def q_pretraining_data_report(spark, sf_dir):
     i2 = ip.select(
         F.explode(F.array("doc_a", "doc_b")).alias("d")
     ).agg(F.countDistinct("d").cast("long").alias("n_image_dup_docs"))
-    a2 = mm.hamming_neardup_pairs_mih(
-        mm.audio_fingerprint(mm.attach_wav_payload(docs)).select(
-            "doc_id", F.col("afp").alias("dhash")
+    # Audio arm lineage-cut too (r12 verdict #6): single consumer
+    # TODAY, but the pane's history (+6.1s in r11 from exactly this
+    # re-computation class) says cut every arm BEFORE it grows one.
+    ap = cut_lineage(
+        mm.hamming_neardup_pairs_mih(
+            mm.audio_fingerprint(mm.attach_wav_payload(docs)).select(
+                "doc_id", F.col("afp").alias("dhash")
+            )
         )
-    ).agg(F.count(F.lit(1)).cast("long").alias("n_audio_dup_pairs"))
+    )
+    a2 = ap.agg(F.count(F.lit(1)).cast("long").alias("n_audio_dup_pairs"))
     return (
         a.crossJoin(F.broadcast(b_n))
         .crossJoin(F.broadcast(b_c))
