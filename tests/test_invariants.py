@@ -223,13 +223,13 @@ def test_export_window_contract():
     assert len(set(_EXPORT_PRIORITY)) == 50
     missing = [n for n in _EXPORT_PRIORITY if n not in qs]
     assert not missing, f"window names not in registry: {missing}"
-    # Round-12 rotation: new rows lead, then ALL 34 round-5-stale
-    # names, then a round-6-stale fill (update this pin when the
-    # window rotates each round).
-    assert "image_neardup_pairs_mih_r8" in _EXPORT_PRIORITY
-    assert "ann_recall_eval" in _EXPORT_PRIORITY
-    assert "zorder_file_stats" in _EXPORT_PRIORITY
-    assert "dedup_ngram_pairs" in _EXPORT_PRIORITY
+    # Round-13 rotation: the 7 new rows lead, then ALL 43
+    # round-6-stale names (update this pin when the window rotates
+    # each round).
+    assert "video_neardup_pairs_rate" in _EXPORT_PRIORITY
+    assert "packed_boundary_loss_stats" in _EXPORT_PRIORITY
+    assert "cdc_chunked_documents" in _EXPORT_PRIORITY
+    assert "vocab_coverage_curve" in _EXPORT_PRIORITY
     assert list(qs)[:50] == _EXPORT_PRIORITY
     # Everything the driver can sample is oracle-backed.
     osql = oracle_sql()

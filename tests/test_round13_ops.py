@@ -279,3 +279,119 @@ class TestVideoRateTolerant:
         assert (r["rate_num"], r["rate_den"], r["idx_shift"]) == (1, 1, 0)
         assert r["matched_frames"] == 4
 
+
+
+class TestPackingBoundaryStats:
+    def _asg(self, spark):
+        from yelp_data_pipeline_spark.operators import packing as pk
+
+        rows = [
+            (i, " ".join(f"t{j}" for j in range(1 + (i * 7) % 30)))
+            for i in range(1, 31)
+        ]
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        return pk.length_bucketed_packing(
+            docs, context=32, bucket_step=8, n_shards=2
+        )
+
+    def test_boundary_stats_match_bruteforce(self, spark):
+        """The eval is exactly recomputable FROM the assignment: group
+        the collected assignment by pack_id, apply the closed form
+        (L^2 - sum li^2)/2 per pack, and every per-bucket column of
+        packing_boundary_stats falls out — same invariant discipline
+        as assignment-vs-stats."""
+        from collections import defaultdict
+
+        from yelp_data_pipeline_spark.operators import packing as pk
+
+        asg = self._asg(spark)
+        rows = asg.collect()
+        got = {
+            r["bucket_cap"]: r
+            for r in pk.packing_boundary_stats(asg, context=32).collect()
+        }
+
+        packs = defaultdict(list)
+        for r in rows:
+            packs[(r["bucket_cap"], r["pack_id"])].append(r["eff_tok"])
+        per_bucket = defaultdict(list)
+        for (cap, _pid), ls in packs.items():
+            per_bucket[cap].append(ls)
+        assert set(got) == set(per_bucket)
+        for cap, plist in per_bucket.items():
+            g = got[cap]
+            n_packs = len(plist)
+            n_docs = sum(len(ls) for ls in plist)
+            cross = sum(
+                (sum(ls) ** 2 - sum(x * x for x in ls)) / 2.0
+                for ls in plist
+            )
+            total = sum(
+                sum(ls) * (sum(ls) - 1) / 2.0 for ls in plist
+            )
+            assert g["n_packs"] == n_packs
+            assert g["n_docs"] == n_docs
+            assert g["avg_docs_per_pack"] == round(n_docs / n_packs, 6)
+            assert g["avg_pack_fill"] == round(
+                sum(sum(ls) for ls in plist) / (n_packs * 32.0), 6
+            )
+            assert g["avg_boundaries"] == round(
+                sum(len(ls) - 1 for ls in plist) / n_packs, 6
+            )
+            assert g["crossdoc_pair_frac"] == round(cross / total, 6)
+
+    def test_full_cap_packs_have_zero_cross(self, spark):
+        """Docs that fill a whole context (bucket_cap == context ⇒ one
+        doc per pack) contribute zero boundaries and zero cross-doc
+        pairs — the closed form's degenerate case, pinned."""
+        from yelp_data_pipeline_spark.operators import packing as pk
+
+        docs = spark.createDataFrame(
+            [(i, " ".join(f"t{j}" for j in range(40))) for i in range(5)],
+            ["doc_id", "text"],
+        )
+        asg = pk.length_bucketed_packing(
+            docs, context=32, bucket_step=8, n_shards=2
+        )
+        out = pk.packing_boundary_stats(asg, context=32).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["bucket_cap"] == 32
+        assert r["avg_boundaries"] == 0.0
+        assert r["crossdoc_pair_frac"] == 0.0
+        assert r["avg_docs_per_pack"] == 1.0
+
+
+class TestMultimodalCurationFunnel:
+    def test_first_stages_equal_text_funnel(self, spark):
+        """Stage-sum proof: the multimodal funnel's first four columns
+        equal curation_funnel_by_source's, source for source — the
+        multimodal rows EXTEND the text funnel (shared CTEs oracle-
+        side, shared operators Spark-side), so every modality stage's
+        marginal loss is exactly attributable."""
+        from yelp_data_pipeline_spark import queries as Q
+
+        sf = "/root/testdata/sf0.001"
+        by_name = {s.name: s.fn for s in Q.registry()}
+        text = {
+            r["source"]: r
+            for r in by_name["curation_funnel_by_source"](spark, sf).collect()
+        }
+        multi = {
+            r["source"]: r
+            for r in by_name["multimodal_curation_funnel"](spark, sf).collect()
+        }
+        assert set(text) == set(multi)
+        for src, m in multi.items():
+            t = text[src]
+            assert m["n_raw"] == t["n_raw"]
+            assert m["n_text_dedup"] == t["n_dedup"]
+            assert m["n_quality"] == t["n_quality"]
+            assert m["n_length"] == t["n_final"]
+            # stages only ever lose documents, never gain
+            seq = [
+                m["n_raw"], m["n_text_dedup"], m["n_quality"],
+                m["n_length"], m["n_image_dedup"], m["n_audio_dedup"],
+                m["n_final"],
+            ]
+            assert seq == sorted(seq, reverse=True)

@@ -147,6 +147,63 @@ def length_bucketed_packing(
     )
 
 
+def packing_boundary_stats(
+    assignment: DataFrame,
+    context: int = 128,
+) -> DataFrame:
+    """Cross-document attention loss of a packing ASSIGNMENT — the eval
+    that answers "what does this packing COST the model": when packed
+    sequences are trained without cross-document attention masking,
+    every causal (query, key) pair that straddles a document boundary
+    attends to unrelated context. For a pack holding docs of lengths
+    l1..lk (L = Σli), total causal pairs are L(L-1)/2 and within-doc
+    pairs Σ li(li-1)/2, so the cross-document count is the closed form
+    (L² − Σli²)/2 — no token enumeration, the whole metric folds out
+    of two per-pack sums.
+
+    Input is :func:`length_bucketed_packing` output (any assignment
+    with eff_tok, bucket_cap, pack_id works). Two combinable hash
+    aggregates — pack_id then bucket_cap — both map-side partial, both
+    linear; pack_id is bit-packed unique so the first groupBy is as
+    balanced as the packing itself. Per bucket: pack/doc counts,
+    average docs per pack, fill fraction against ``context``, average
+    boundaries per pack (docs − 1), and the corpus-weighted
+    cross-document pair fraction Σcross / Σtotal.
+    """
+    per_pack = assignment.groupBy("pack_id", "bucket_cap").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("eff_tok").cast("long").alias("load"),
+        F.sum(F.col("eff_tok").cast("long") * F.col("eff_tok"))
+        .cast("long")
+        .alias("sumsq"),
+    )
+    load = F.col("load").cast("double")
+    cross = (load * F.col("load") - F.col("sumsq")) / 2.0
+    total = load * (F.col("load") - 1) / 2.0
+    return (
+        per_pack.groupBy("bucket_cap")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_packs"),
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.round(
+                F.avg(F.col("n_docs").cast("double")), 6
+            ).alias("avg_docs_per_pack"),
+            F.round(
+                F.sum(load) / (F.count(F.lit(1)) * float(context)), 6
+            ).alias("avg_pack_fill"),
+            F.round(
+                F.sum(F.col("n_docs").cast("double") - 1)
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_boundaries"),
+            F.round(F.sum(cross) / F.sum(total), 6).alias(
+                "crossdoc_pair_frac"
+            ),
+        )
+        .orderBy("bucket_cap")
+    )
+
+
 def split_assign(
     df: DataFrame,
     key_col: str = "doc_id",

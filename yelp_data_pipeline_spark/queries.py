@@ -4980,10 +4980,10 @@ _LBPACK_SHARD_SQL = md5_long_sql(
 )
 
 
-@_q(
-    "packed_assignments",
-    f"""
-WITH t AS (
+# Shared length-bucketed packing-assignment CTEs (DuckDB) — consumed by
+# the assignment row itself AND the boundary-loss eval so the two
+# oracles can never drift from one algebra.
+_LBPACK_CTES = f"""t AS (
   SELECT doc_id,
          CAST({_LBPACK_SHARD_SQL} % 8 AS INT) AS shard,
          least(CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
@@ -5012,7 +5012,13 @@ p AS (
          (CAST(bucket_cap // 16 AS BIGINT) << 50)
            | (CAST(shard AS BIGINT) << 40) | pack_seq AS pack_id
   FROM a
-)
+)"""
+
+
+@_q(
+    "packed_assignments",
+    f"""
+WITH {_LBPACK_CTES}
 SELECT doc_id, eff_tok, bucket_cap, shard, pack_id, position,
        round(CAST(sum(eff_tok) OVER (PARTITION BY pack_id) AS DOUBLE)
              / 128.0, 6) AS pack_fill
@@ -5040,6 +5046,55 @@ def q_packed_assignments(spark, sf_dir):
     return pk.length_bucketed_packing(
         _t(spark, sf_dir, "documents"), context=128, bucket_step=16, n_shards=8
     )
+
+
+@_q(
+    "packed_boundary_loss_stats",
+    f"""
+WITH {_LBPACK_CTES},
+pk AS (
+  SELECT pack_id, bucket_cap,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(eff_tok) AS BIGINT) AS load,
+         CAST(sum(CAST(eff_tok AS BIGINT) * eff_tok) AS BIGINT) AS sumsq
+  FROM p GROUP BY 1, 2
+)
+SELECT bucket_cap,
+       CAST(count(*) AS BIGINT) AS n_packs,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       round(avg(CAST(n_docs AS DOUBLE)), 6) AS avg_docs_per_pack,
+       round(sum(CAST(load AS DOUBLE)) / (count(*) * 128.0), 6)
+         AS avg_pack_fill,
+       round(sum(CAST(n_docs AS DOUBLE) - 1) / count(*), 6)
+         AS avg_boundaries,
+       round(sum((CAST(load AS DOUBLE) * load - sumsq) / 2.0)
+             / sum(CAST(load AS DOUBLE) * (load - 1) / 2.0), 6)
+         AS crossdoc_pair_frac
+FROM pk GROUP BY bucket_cap ORDER BY bucket_cap
+""",
+    doc="Cross-document attention loss of the packing assignment "
+    "(operators/packing.py:packing_boundary_stats) — what the packing "
+    "COSTS the model when packs train without cross-document masking: "
+    "for a pack of doc lengths l1..lk (L = sum), cross-document causal "
+    "(query, key) pairs have the closed form (L^2 - sum(li^2))/2, so "
+    "the whole metric folds out of two per-pack sums — no token "
+    "enumeration. Per bucket_cap: packs, docs, avg docs/pack, fill "
+    "fraction, avg boundaries/pack, and the corpus-weighted cross-doc "
+    "pair fraction. Two combinable map-side-partial aggregates "
+    "(pack_id then bucket_cap) over the SAME assignment algebra as "
+    "packed_assignments (shared CTE block oracle-side, shared "
+    "operator Spark-side) — linear, balanced by the bit-packed "
+    "pack_id. The eval twin of the assignment row: bucketed packing "
+    "trades pad waste (length_bucketed_packing_stats) for boundary "
+    "contamination; this row prices the second half of that trade.",
+)
+def q_packed_boundary_loss_stats(spark, sf_dir):
+    from .operators import packing as pk
+
+    asg = pk.length_bucketed_packing(
+        _t(spark, sf_dir, "documents"), context=128, bucket_step=16, n_shards=8
+    )
+    return pk.packing_boundary_stats(asg, context=128)
 
 
 @_q(
@@ -17429,6 +17484,182 @@ def q_modality_dup_matrix(spark, sf_dir):
     )
 
 
+@_q(
+    "multimodal_curation_funnel",
+    f"""
+WITH {_CURATE_Q_CTE},
+{_CURATE_KEEP_CTE},
+isig AS (
+  SELECT doc_id, {_DHASH_SQL} AS dhash
+  FROM (SELECT doc_id,
+               8 + (doc_id % 5) * 4 AS w,
+               6 + (doc_id % 3) * 6 AS h
+        FROM documents) dims
+),
+idrop AS (
+  SELECT DISTINCT b.doc_id
+  FROM isig a JOIN isig b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+),
+asig AS (
+  SELECT doc_id, afp FROM (
+    {_WAV_ORACLE_BASE.strip()},
+    t AS (
+      SELECT w.doc_id, w.data_len, d.text, strlen(d.text) AS sl
+      FROM w JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, {_AFP_SQL} AS afp FROM t
+  ) aq
+),
+adrop AS (
+  SELECT DISTINCT b.doc_id
+  FROM asig a JOIN asig b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.afp, b.afp)) <= 6
+),
+{_VIDEO_SIG_CTE.strip()},
+vdrop AS (
+  SELECT DISTINCT doc_b AS doc_id FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM vsig a
+    JOIN vsig b ON a.doc_id < b.doc_id AND a.frame_idx = b.frame_idx
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+  ) vp
+),
+fl AS (
+  SELECT d.source,
+         CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END AS s1,
+         CASE WHEN k.doc_id IS NOT NULL
+                   AND q.quality_score >= 0.45 THEN 1 ELSE 0 END AS s2,
+         CASE WHEN k.doc_id IS NOT NULL
+                   AND q.quality_score >= 0.45
+                   AND q.n_tokens BETWEEN 5 AND 5000 THEN 1 ELSE 0 END AS s3,
+         CASE WHEN k.doc_id IS NOT NULL
+                   AND q.quality_score >= 0.45
+                   AND q.n_tokens BETWEEN 5 AND 5000
+                   AND i.doc_id IS NULL THEN 1 ELSE 0 END AS s4,
+         CASE WHEN k.doc_id IS NOT NULL
+                   AND q.quality_score >= 0.45
+                   AND q.n_tokens BETWEEN 5 AND 5000
+                   AND i.doc_id IS NULL
+                   AND aa.doc_id IS NULL THEN 1 ELSE 0 END AS s5,
+         CASE WHEN k.doc_id IS NOT NULL
+                   AND q.quality_score >= 0.45
+                   AND q.n_tokens BETWEEN 5 AND 5000
+                   AND i.doc_id IS NULL
+                   AND aa.doc_id IS NULL
+                   AND v.doc_id IS NULL THEN 1 ELSE 0 END AS s6
+  FROM documents d
+  LEFT JOIN keep k ON d.doc_id = k.doc_id
+  JOIN q ON d.doc_id = q.doc_id
+  LEFT JOIN idrop i ON d.doc_id = i.doc_id
+  LEFT JOIN adrop aa ON d.doc_id = aa.doc_id
+  LEFT JOIN vdrop v ON d.doc_id = v.doc_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_raw,
+       CAST(sum(s1) AS BIGINT) AS n_text_dedup,
+       CAST(sum(s2) AS BIGINT) AS n_quality,
+       CAST(sum(s3) AS BIGINT) AS n_length,
+       CAST(sum(s4) AS BIGINT) AS n_image_dedup,
+       CAST(sum(s5) AS BIGINT) AS n_audio_dedup,
+       CAST(sum(s6) AS BIGINT) AS n_final,
+       round(CAST(sum(s6) AS DOUBLE) / count(*), 6) AS survival_rate
+FROM fl
+GROUP BY source
+""",
+    doc="Modality-aware curation funnel (verdict r12 item #7) — "
+    "curation_funnel_by_source extended with the multimodal near-dup "
+    "cut stages the tier now implements: raw → text fingerprint-dedup "
+    "survivors → + quality >= 0.45 → + token bounds → + image "
+    "near-dup cut (dHash + MIH hamming <= 6) → + audio near-dup cut "
+    "(PCM fingerprint + MIH hamming <= 6) → + video near-dup cut "
+    "(>= 2 aligned frames within hamming 6), with end-to-end "
+    "survival. Each modality cut applies the keep-lowest-id rule (a "
+    "doc is dropped iff it is the higher id of some near-dup pair — "
+    "deterministic, matches the pair relations' doc_a < doc_b "
+    "convention). The first four columns are BY CONSTRUCTION equal "
+    "to curation_funnel_by_source's (same shared CTEs oracle-side, "
+    "same operators Spark-side; pytest-pinned), so the multimodal "
+    "stages' marginal losses are exactly attributable. Stage flags "
+    "are conditional sums in ONE source-keyed aggregate; the only "
+    "shuffles are the relations each stage already needs, and every "
+    "modality pair join is the scale-safe MIH bucketed join.",
+)
+def q_multimodal_curation_funnel(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    qf = tx.quality_features(docs, "doc_id", "text").select(
+        "doc_id", "quality_score", "n_tokens"
+    )
+    keep = (
+        tx.doc_fingerprints(docs, "doc_id", "text")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", F.lit(1).alias("is_keep"))
+    )
+
+    def drop_set(pairs: DataFrame, b_col: str, flag: str) -> DataFrame:
+        return (
+            pairs.select(F.col(b_col).alias("doc_id"))
+            .distinct()
+            .withColumn(flag, F.lit(1))
+        )
+
+    idrop = drop_set(
+        mm.hamming_neardup_pairs_mih(
+            mm.image_dhash(mm.attach_bmp_payload(docs))
+        ),
+        "doc_b",
+        "img_dup",
+    )
+    adrop = drop_set(
+        mm.hamming_neardup_pairs_mih(
+            mm.audio_fingerprint(mm.attach_wav_payload(docs)).select(
+                "doc_id", F.col("afp").alias("dhash")
+            )
+        ),
+        "doc_b",
+        "aud_dup",
+    )
+    vdrop = drop_set(
+        mm.video_neardup_pairs(
+            mm.video_frame_fingerprints(
+                mm.attach_avi_payload(docs), stride=2
+            )
+        ),
+        "video_b",
+        "vid_dup",
+    )
+    fl = (
+        docs.select("doc_id", "source")
+        .join(keep, "doc_id", "left")
+        .join(qf, "doc_id")
+        .join(idrop, "doc_id", "left")
+        .join(adrop, "doc_id", "left")
+        .join(vdrop, "doc_id", "left")
+    )
+    s1 = F.col("is_keep").isNotNull()
+    s2 = s1 & (F.col("quality_score") >= 0.45)
+    s3 = s2 & F.col("n_tokens").between(5, 5000)
+    s4 = s3 & F.col("img_dup").isNull()
+    s5 = s4 & F.col("aud_dup").isNull()
+    s6 = s5 & F.col("vid_dup").isNull()
+    flag = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+    return fl.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_raw"),
+        F.sum(flag(s1)).cast("long").alias("n_text_dedup"),
+        F.sum(flag(s2)).cast("long").alias("n_quality"),
+        F.sum(flag(s3)).cast("long").alias("n_length"),
+        F.sum(flag(s4)).cast("long").alias("n_image_dedup"),
+        F.sum(flag(s5)).cast("long").alias("n_audio_dedup"),
+        F.sum(flag(s6)).cast("long").alias("n_final"),
+        F.round(
+            F.sum(flag(s6)).cast("double") / F.count(F.lit(1)), 6
+        ).alias("survival_rate"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry exports (driver contract)
 # --------------------------------------------------------------------------
@@ -17441,64 +17672,60 @@ def q_modality_dup_matrix(spark, sf_dir):
 # repeatedly-verified queries can wait at the back.  `tools/check_oracle.py`
 # always sweeps all entries regardless of order.
 _EXPORT_PRIORITY: list[str] = [
-    # Round-12 window (50-slot cap), oldest-verdict-first rotation:
-    # (1) every query NEW this round (no round-12 row changed an
-    #     existing result contract) — trim the round-6-stale fill
-    #     tail below to keep the total at 50:
-    "image_neardup_pairs_mih_r8",
-    "video_neardup_pairs_offset",
-    "neardup_gate_quarantine",
-    "modality_dup_matrix",
-    "image_dhash_fingerprints_wide",
-    "image_neardup_pairs_wide",
-    "audio_neardup_pairs",
-    "crossmodal_mismatch_pairs",
-    "length_bucketed_packing_stats",
-    "dedup_family_agreement",
-    "tokenizer_fertility_by_source",
-    # (2) ALL 34 round-5-stale names (VERDICT r11 item #1: the only
-    #     names whose latest driver verdict is round 5):
-    "ann_recall_eval",
-    "bpe_merge_pairs",
-    "cluster_size_histogram",
-    "compaction_plan",
-    "corpus_trigram_topk",
-    "cross_dup_rate_by_source",
-    "curriculum_order_docs",
-    "customer_rfm_segments",
-    "disjunctive_part_revenue",
-    "dormant_rich_customers",
-    "duplicate_span_stats",
-    "eval_contaminated_docs",
-    "forecast_revenue_simple",
-    "incremental_daily_event_counts",
-    "key_skew_report",
-    "large_volume_customers",
-    "late_shipment_priority_counts",
-    "latest_event_per_user",
-    "nation_pair_trade_volume",
-    "normalized_embeddings",
-    "orders_events_daily_full_join",
-    "orders_table_checksum",
-    "orders_yoy_growth",
-    "part_supplier_diversity",
-    "pii_summary_by_source",
-    "promo_revenue_share",
-    "quality_by_source_summary",
-    "shuffled_doc_shards",
-    "sole_late_supplier_waits",
-    "storage_partition_layout",
-    "token_count_histogram",
-    "top_supplier_by_revenue",
-    "value_band_rate_lookup",
-    "zorder_file_stats",
-    # (3) fill to 50 with round-6-stale names (alphabetical-first
-    #     slice of the 48; the remaining 36 lead round 13):
-    "adaptive_quality_survivors",
-    "bloom_filtered_segment_events",
-    "bpe_encoded_token_counts",
-    "bpe_merged_vocab",
-    "dedup_ngram_pairs",
+    # Round-13 window (50-slot cap), oldest-verdict-first rotation:
+    # (1) every query NEW this round (round-13 additions):
+    "video_neardup_pairs_rate",
+    "packed_assignments",
+    "text_hashed_embeddings",
+    "dedup_family_agreement_text",
+    "semantic_dedup_survivors_text",
+    "multimodal_curation_funnel",
+    "packed_boundary_loss_stats",
+    # (2) ALL 43 round-6-stale names (VERDICT r12 item #1: the only
+    #     names whose latest driver verdict is round 6):
+    "cdc_chunked_documents",
+    "cms_heavy_user_hitters",
+    "corpus_diversity_by_source",
+    "customer_k_anonymity_audit",
+    "customer_linkage_scores",
+    "doc_novelty_scores",
+    "dominant_share_suppliers",
+    "duplicate_sentence_stats",
+    "embedding_norm_outliers",
+    "event_value_drift",
+    "event_value_mad_outliers",
+    "frequent_part_pairs",
+    "hourly_value_isotonic_fit",
+    "important_part_values",
+    "kmv_distinct_events",
+    "kmv_user_customer_overlap",
+    "min_cost_part_supplier",
+    "multimodal_bmp_decode",
+    "multimodal_bmp_resize",
+    "multimodal_decode_meta",
+    "multimodal_frame_sample",
+    "multimodal_npy_decode",
+    "multimodal_resize_meta",
+    "nation_market_share",
+    "nation_revenue_trend",
+    "ngram_jaccard_exact",
+    "order_price_decile_bins",
+    "order_priority_fulfillment",
+    "orders_dq_quarantine",
+    "orders_reconciliation_diff",
+    "pagerank_supplier_graph",
+    "personalized_pagerank_nation",
+    "pq_adc_topk",
+    "pq_encoded_embeddings",
+    "pq_recall_eval",
+    "prefix_jaccard_pairs",
+    "priority_loo_target_encoding",
+    "product_profit_by_nation_year",
+    "segment_event_values_hot_cold",
+    "snm_candidate_pairs",
+    "supplier_kcore",
+    "supplier_knn_triangles",
+    "vocab_coverage_curve",
 ]
 
 
