@@ -212,6 +212,14 @@ EXTRAS = [
     "length_bucketed_packing_stats",
     "dedup_family_agreement",
     "tokenizer_fertility_by_source",
+    # round 13
+    "video_neardup_pairs_rate",
+    "packed_assignments",
+    "packed_boundary_loss_stats",
+    "text_hashed_embeddings",
+    "dedup_family_agreement_text",
+    "semantic_dedup_survivors_text",
+    "multimodal_curation_funnel",
 ]
 
 

@@ -1028,6 +1028,76 @@ R12_DOC_FAMILY = [
 ]
 
 
+# ``--r13`` mode: the round-13 additions.
+# (a) Native 10x (sf0.01 -> sf0.1 documents): hashed text embeddings
+#     (zero-shuffle map-side fold — must track ~n), the packing
+#     assignment + its boundary-loss eval (one balanced window + two
+#     combinable aggregates — ~n), the text-grounded agreement and
+#     semantic-survivor rows (minhash join + ADAPTIVE sign-LSH join:
+#     bucket counts grow with n so candidates stay ~n·bucket_size),
+#     the modality-aware funnel (three MIH pair joins + one
+#     conditional-sum aggregate), and the rate-hypothesis video
+#     matcher (same packed MIH join as the offset matcher + a bounded
+#     rate-bucket vote).
+# (b) Derived 5x docs: the linear rows + the agreement row (text-only
+#     algebra; the replica corpus preserves within-replica near-dup
+#     structure, and hashed embeddings are text-derived so the
+#     semantic arm sees the same preserved structure — unlike the
+#     synthetic embeddings table, replicas do NOT degenerate it).
+R13_NATIVE_FAMILY = [
+    "text_hashed_embeddings",
+    "packed_assignments",
+    "packed_boundary_loss_stats",
+    "dedup_family_agreement_text",
+    "semantic_dedup_survivors_text",
+    "multimodal_curation_funnel",
+    "video_neardup_pairs_rate",
+]
+
+R13_DOC_FAMILY = [
+    "text_hashed_embeddings",
+    "packed_assignments",
+    "dedup_family_agreement_text",
+]
+
+
+def main_r13(replicas: int) -> int:
+    spark = get_spark("bench_scale_r13")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = queries()
+
+    qs["packed_assignments"](
+        spark, "/root/testdata/sf0.01"
+    ).write.format("noop").mode("overwrite").save()
+    release_tracked()
+
+    nat_base = run_family(
+        spark, qs, "/root/testdata/sf0.01", R13_NATIVE_FAMILY
+    )
+    print("nat_base", json.dumps(nat_base), flush=True)
+    nat_scaled = run_family(spark, qs, BASE_SF, R13_NATIVE_FAMILY)
+    print("nat_scaled", json.dumps(nat_scaled), flush=True)
+
+    docs_dir = build_scaled(spark, replicas)
+    doc_base = run_family(spark, qs, BASE_SF, R13_DOC_FAMILY)
+    print("doc_base", json.dumps(doc_base), flush=True)
+    doc_scaled = run_family(spark, qs, docs_dir, R13_DOC_FAMILY)
+    print("doc_scaled", json.dumps(doc_scaled), flush=True)
+
+    def ratios(b, s):
+        return {k: round(s[k] / b[k], 2) for k in b if b[k] > 0}
+
+    print(json.dumps({
+        "metric": "r13_family_scale",
+        "unit": "sec",
+        "native_10x": {"base_sf0.01": nat_base, "sf0.1": nat_scaled,
+                       "ratio": ratios(nat_base, nat_scaled)},
+        "docs_%dx" % replicas: {"base": doc_base, "scaled": doc_scaled,
+                                "ratio": ratios(doc_base, doc_scaled)},
+    }))
+    return 0
+
+
 def main_r12(replicas: int) -> int:
     spark = get_spark("bench_scale_r12")
     spark.sparkContext.setLogLevel("ERROR")
@@ -1140,6 +1210,8 @@ def main() -> int:
         return main_r10(replicas)
     if "--r10b" in sys.argv:
         return main_r10b(replicas)
+    if "--r13" in sys.argv:
+        return main_r13(replicas)
     if "--r12" in sys.argv:
         return main_r12(replicas)
     if "--r11" in sys.argv:
