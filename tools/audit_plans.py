@@ -165,6 +165,19 @@ DEFAULT_AUDIT = [
     "length_bucketed_packing_stats",
     "dedup_family_agreement",
     "tokenizer_fertility_by_source",
+    # round 13: the map-side gram-fold embeddings, the packing
+    # assignment window + its boundary-loss aggregates, the
+    # text-grounded agreement/survivor rows (adaptive sign-LSH +
+    # minhash joins, CC), the rate-hypothesis video matcher (packed
+    # MIH join + bounded vote), and the modality-aware funnel
+    # (three MIH pair joins + one conditional-sum aggregate).
+    "text_hashed_embeddings",
+    "packed_assignments",
+    "packed_boundary_loss_stats",
+    "dedup_family_agreement_text",
+    "semantic_dedup_survivors_text",
+    "video_neardup_pairs_rate",
+    "multimodal_curation_funnel",
 ]
 
 
