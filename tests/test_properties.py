@@ -1109,3 +1109,92 @@ def test_video_offset_modal_delta_python_replay(spark, frames, min_frames):
         if cand[0] >= min_frames
     }
     assert got == want
+
+
+@given(
+    lens=st.lists(st.integers(1, 40), min_size=1, max_size=25),
+)
+@settings(**SETTINGS)
+def test_packing_assignment_partitions_docs(spark, lens):
+    """Random doc lengths: the assignment is a PARTITION of the input
+    (every doc exactly once), no pack exceeds the context, positions
+    are dense 0..k-1 within each pack, and the boundary-loss eval's
+    closed form matches the brute-force pair count on every pack."""
+    from yelp_data_pipeline_spark.operators import packing as pk
+
+    rows = [
+        (i, " ".join(f"t{j}" for j in range(n)))
+        for i, n in enumerate(lens)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    asg = pk.length_bucketed_packing(
+        docs, context=32, bucket_step=8, n_shards=2
+    ).collect()
+    assert sorted(r["doc_id"] for r in asg) == sorted(r[0] for r in rows)
+    by_pack = {}
+    for r in asg:
+        by_pack.setdefault(r["pack_id"], []).append(r)
+    for members in by_pack.values():
+        caps = {m["bucket_cap"] for m in members}
+        assert len(caps) == 1                       # packs never mix buckets
+        assert sum(m["eff_tok"] for m in members) <= 32
+        assert len(members) * caps.pop() <= 32      # padded load fits too
+        assert sorted(m["position"] for m in members) == list(
+            range(len(members))
+        )
+
+    stats = pk.packing_boundary_stats(
+        pk.length_bucketed_packing(docs, context=32, bucket_step=8, n_shards=2),
+        context=32,
+    ).collect()
+    # closed form vs brute force, aggregated per bucket
+    import collections
+
+    agg = collections.defaultdict(lambda: [0.0, 0.0])
+    for members in by_pack.values():
+        ls = [m["eff_tok"] for m in members]
+        cap = members[0]["bucket_cap"]
+        L = sum(ls)
+        agg[cap][0] += (L * L - sum(x * x for x in ls)) / 2.0
+        agg[cap][1] += L * (L - 1) / 2.0
+    for r in stats:
+        cross, total = agg[r["bucket_cap"]]
+        if total > 0:
+            assert r["crossdoc_pair_frac"] == round(cross / total, 6)
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "bravo", "charlie", "delta", "echo"]),
+            min_size=3,
+            max_size=10,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**SETTINGS)
+def test_hashed_embeddings_norm_bounds(spark, texts):
+    """Random token sequences: the hashed embedding's |mass| is
+    bounded by the gram count (collisions can only cancel), identical
+    texts get identical vectors, and the vector is integral."""
+    from yelp_data_pipeline_spark.operators import textops as tx
+
+    rows = [(i, " ".join(t)) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["vec_id"]: r["embedding"]
+        for r in tx.hashed_text_embeddings(docs).collect()
+    }
+    by_text = {}
+    for i, t in enumerate(texts):
+        n_grams = len(t) - 2
+        emb = got[i]
+        assert len(emb) == 64
+        assert sum(abs(v) for v in emb) <= n_grams
+        assert all(v == int(v) for v in emb)
+        key = " ".join(t)
+        if key in by_text:
+            assert emb == by_text[key]
+        by_text[key] = emb
