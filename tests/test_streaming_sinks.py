@@ -875,3 +875,125 @@ def test_foreign_old_suffix_does_not_wedge_recovery(spark, tmp_path):
     assert os.path.isdir(state + ".old-backup")  # not ours — untouched
     assert os.path.isdir(state + ".old-")
     assert not os.path.exists(state + ".old-1")
+
+
+class TestPackStreamSink:
+    def _docs(self, spark, ids):
+        return spark.createDataFrame(
+            [(i, " ".join(f"w{j}" for j in range(1 + i % 7))) for i in ids],
+            ["doc_id", "text"],
+        )
+
+    def test_stream_equals_batch_packer_in_id_order(self, spark, tmp_path):
+        """THE no-drift theorem for the packing tier: batches arriving
+        in id order assign byte-identical (shard, start_offset,
+        pack_id) to pack_sequences over the concatenated input — the
+        carry state is exactly the prefix sum the batch window
+        computes."""
+        from yelp_data_pipeline_spark.operators import packing as pk
+        from yelp_data_pipeline_spark.streaming.sinks import (
+            pack_stream_assignments,
+            pack_stream_batch,
+        )
+
+        target = str(tmp_path / "packstate")
+        batches = [list(range(0, 10)), list(range(10, 25)), list(range(25, 30))]
+        for bid, ids in enumerate(batches):
+            pack_stream_batch(
+                self._docs(spark, ids), bid, target,
+                seq_len=16, n_shards=2,
+            )
+        got = {
+            r["doc_id"]: (r["shard"], r["start_offset"], r["pack_id"])
+            for r in pack_stream_assignments(spark, target).collect()
+        }
+        want = {
+            r["doc_id"]: (r["shard"], r["start_offset"], r["pack_id"])
+            for r in pk.pack_sequences(
+                self._docs(spark, range(30)), seq_len=16, n_shards=2
+            ).collect()
+        }
+        assert got == want
+
+    def test_replay_is_exactly_once(self, spark, tmp_path):
+        """Replaying a committed batch changes neither the state nor
+        the assignment log."""
+        from yelp_data_pipeline_spark.streaming.sinks import (
+            pack_stream_assignments,
+            pack_stream_batch,
+        )
+
+        target = str(tmp_path / "packstate")
+        assert pack_stream_batch(
+            self._docs(spark, range(10)), 0, target, seq_len=16, n_shards=2
+        )
+        state0 = sorted(
+            map(tuple, spark.read.parquet(target).collect())
+        )
+        n0 = pack_stream_assignments(spark, target).count()
+        assert not pack_stream_batch(   # ledger marker short-circuits
+            self._docs(spark, range(10)), 0, target, seq_len=16, n_shards=2
+        )
+        assert sorted(map(tuple, spark.read.parquet(target).collect())) == state0
+        assert pack_stream_assignments(spark, target).count() == n0
+
+    def test_postswap_premarker_crash_replays_to_same_assignments(
+        self, spark, tmp_path
+    ):
+        """Kill the marker after a completed swap (the unrecorded-fold
+        window): recovery rolls the carry back, and the replay rewrites
+        the SAME assignment bytes — offsets continue, nothing
+        double-counts."""
+        import os
+        import shutil
+
+        from yelp_data_pipeline_spark.streaming.sinks import (
+            pack_stream_assignments,
+            pack_stream_batch,
+        )
+
+        target = str(tmp_path / "packstate")
+        pack_stream_batch(
+            self._docs(spark, range(10)), 0, target, seq_len=16, n_shards=2
+        )
+        pack_stream_batch(
+            self._docs(spark, range(10, 20)), 1, target, seq_len=16, n_shards=2
+        )
+        committed = {
+            r["doc_id"]: (r["shard"], r["start_offset"])
+            for r in pack_stream_assignments(spark, target).collect()
+        }
+        # Simulate the crash window: batch 1's swap landed but the
+        # marker did not — resurrect the pre-fold state as an orphan
+        # and delete the marker (what disk looks like after the crash).
+        state1 = spark.read.parquet(target).collect()
+        pre = [
+            (r["shard"], r["cum_tokens"])
+            for r in state1
+        ]
+        # recompute batch-0-only state: rerun batch 0 into a fresh dir
+        t2 = str(tmp_path / "replaystate")
+        pack_stream_batch(
+            self._docs(spark, range(10)), 0, t2, seq_len=16, n_shards=2
+        )
+        spark.read.parquet(t2).write.mode("overwrite").parquet(
+            target + ".old-1"
+        )
+        os.remove(os.path.join(target + "_applied", "batch-1"))
+        shutil.rmtree(
+            os.path.join(target + "_assignments", "batch-1")
+        )
+        # Replay batch 1: recovery must roll back to the orphan, fold
+        # once, and land the identical assignments.
+        assert pack_stream_batch(
+            self._docs(spark, range(10, 20)), 1, target, seq_len=16, n_shards=2
+        )
+        got = {
+            r["doc_id"]: (r["shard"], r["start_offset"])
+            for r in pack_stream_assignments(spark, target).collect()
+        }
+        assert got == committed
+        assert sorted(pre) == sorted(
+            (r["shard"], r["cum_tokens"])
+            for r in spark.read.parquet(target).collect()
+        )

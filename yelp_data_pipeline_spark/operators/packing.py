@@ -18,6 +18,28 @@ from .sampling import BUCKETS, hash_bucket
 from .textops import token_count
 
 
+def pack_base(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 8,
+    salt: str = "pack",
+) -> DataFrame:
+    """The shared (id, shard, n_tokens) projection both the batch
+    packer and the streaming packer fold over — ONE definition so the
+    two can never drift (the same no-drift discipline as the
+    near-dup gate's shared probe construction)."""
+    shard = F.pmod(
+        md5_long(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))),
+        F.lit(n_shards),
+    ).cast("int")
+    return df.select(
+        F.col(id_col),
+        shard.alias("shard"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -37,15 +59,7 @@ def pack_sequences(
     of the doc in its shard's token stream, pack_id = the training
     sequence its first token lands in).
     """
-    shard = F.pmod(
-        md5_long(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))),
-        F.lit(n_shards),
-    ).cast("int")
-    base = df.select(
-        F.col(id_col),
-        shard.alias("shard"),
-        token_count(F.col(text_col)).alias("n_tokens"),
-    )
+    base = pack_base(df, id_col, text_col, n_shards, salt)
     w = (
         Window.partitionBy("shard")
         .orderBy(id_col)

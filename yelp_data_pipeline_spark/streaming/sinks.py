@@ -858,3 +858,137 @@ def neardup_gate_sink(
         release_tracked()
 
     return sink
+
+
+def pack_stream_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    target_path: str,
+    seq_len: int = 512,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "pack",
+) -> bool:
+    """Fold one micro-batch of documents into the STREAMING sequence
+    packer — incremental training-batch assembly at the ingestion
+    boundary, the streaming twin of ``packing.pack_sequences``
+    (reference has no streaming tier; this extends SURVEY §2.10's
+    batch/stream no-drift discipline to the packing family).
+
+    State at ``target_path``: one (shard, cum_tokens) row per shard —
+    each shard's committed token-stream length. The batch's docs get
+    the SAME (shard, n_tokens) projection as the batch packer (the
+    shared ``packing.pack_base``, so stream and batch cannot drift),
+    a within-batch running offset per shard (one balanced window, the
+    batch operator's exact shape), and a start_offset = carry +
+    within-batch offset. pack_id = start_offset // seq_len, exactly
+    the batch formula — so a stream whose batches arrive in id order
+    assigns BYTE-IDENTICAL packs to ``pack_sequences`` over the
+    concatenated input (pinned in tests/test_streaming_sinks.py).
+
+    Exactly-once: the batch-id ledger + the shared two-rename state
+    swap (crash windows repaired by ``_recover_state``). The per-batch
+    assignment log lands in ``<target>_assignments/batch-<id>`` BEFORE
+    the state commit: a replay recomputes it from the same pre-fold
+    carry and overwrites the same directory with the same bytes, so
+    every crash window leaves the log deterministic.
+
+    Scale shape: state is ``n_shards`` rows forever; the only shuffle
+    is the batch-sized window partitioned on shard (balanced by the
+    uniform content hash); the carry join broadcasts ``n_shards``
+    rows. Nothing grows with stream volume except the append-only
+    assignment log — which is the product.
+    """
+    from ..operators.packing import pack_base
+
+    spark = batch_df.sparkSession
+    ledger = target_path + "_applied"
+    os.makedirs(ledger, exist_ok=True)
+    marker = os.path.join(ledger, f"batch-{batch_id}")
+    if os.path.exists(marker):
+        return False
+    _recover_state(target_path, ledger)
+
+    from pyspark.sql import Window
+
+    base = pack_base(batch_df, id_col, text_col, n_shards, salt)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
+    if os.path.exists(target_path):
+        carry = spark.read.parquet(_live_state_path(target_path))
+    else:
+        carry = spark.createDataFrame([], "shard int, cum_tokens long")
+    asg = (
+        base.withColumn("_within", within)
+        .join(F.broadcast(carry), "shard", "left")
+        .select(
+            id_col,
+            "shard",
+            "n_tokens",
+            (F.coalesce("cum_tokens", F.lit(0)) + F.col("_within"))
+            .cast("long")
+            .alias("start_offset"),
+        )
+        .withColumn(
+            "pack_id",
+            F.floor(F.col("start_offset") / F.lit(seq_len)).cast("long"),
+        )
+    )
+    log_dir = os.path.join(target_path + "_assignments", f"batch-{batch_id}")
+    asg.write.mode("overwrite").parquet(log_dir)
+
+    batch_tot = (
+        spark.read.parquet(log_dir)
+        .groupBy("shard")
+        .agg(F.sum("n_tokens").cast("long").alias("add_tokens"))
+    )
+    new_state = (
+        carry.join(batch_tot, "shard", "full")
+        .select(
+            "shard",
+            (
+                F.coalesce("cum_tokens", F.lit(0))
+                + F.coalesce("add_tokens", F.lit(0))
+            )
+            .cast("long")
+            .alias("cum_tokens"),
+        )
+    )
+    _commit_state(new_state, target_path, batch_id, marker)
+    return True
+
+
+def pack_stream_sink(
+    target_path: str,
+    seq_len: int = 512,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """``foreachBatch`` callable for the streaming sequence packer:
+    ``writeStream.foreachBatch(pack_stream_sink(path))``."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        pack_stream_batch(
+            batch_df, batch_id, target_path,
+            seq_len=seq_len, n_shards=n_shards,
+            id_col=id_col, text_col=text_col,
+        )
+
+    return sink
+
+
+def pack_stream_assignments(spark, target_path: str) -> DataFrame:
+    """Read the streaming packer's cumulative assignment log (every
+    committed batch's (id, shard, n_tokens, start_offset, pack_id)
+    rows). An uncommitted batch directory may appear after a crash;
+    its content is deterministic and the replay overwrites it with
+    identical bytes, so readers never see torn assignments."""
+    return spark.read.parquet(
+        os.path.join(target_path + "_assignments", "batch-*")
+    )
