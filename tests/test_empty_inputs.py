@@ -1,0 +1,92 @@
+"""Empty-input contract (round 13).
+
+At 100 TB an upstream filter can legitimately drop EVERY row before
+any operator runs; a stage that crashes on an empty relation (ANSI
+0/0, driver-side .first()[0] on None, seed/query lookups) takes the
+whole pipeline down. The contract, pinned here on an all-empty
+fixture with the production schemas:
+
+- Pure-relational pipelines return EMPTY or NULL-padded results with
+  their normal schema — never raise (SQL division semantics: 0/0 is
+  NULL, sum over nothing is NULL, count is 0).
+- Data-derived-parameter lookups (ANN query ids, kmeans seeds,
+  personalized-pagerank seeds) return empty results when the CORPUS
+  is empty; their informative errors are reserved for nonempty inputs
+  that genuinely mis-reference (typo'd id ≠ empty table).
+
+The full 341-query empty sweep ran green in round 13 except the two
+documented engine-semantics rows (priority_status_cube/rollup: SQL
+emits the () grand-total row over empty input, Spark's grouping-sets
+emit none — recorded in BASELINE.md); this file keeps the fixed crash
+classes from regressing without re-running the whole sweep.
+"""
+
+import duckdb
+import pytest
+
+from conftest import SF_DIR  # noqa: F401  (sys.path side effect)
+
+from yelp_data_pipeline_spark import TABLES
+
+# One representative per fixed crash class (18 crashes fixed in r13).
+REPRESENTATIVES = [
+    "kmv_distinct_events",          # rel_err 0/0 under ANSI
+    "pagerank_supplier_graph",      # scale // 0 nodes on driver
+    "personalized_pagerank_nation", # seed-vs-empty-graph distinction
+    "pq_adc_topk",                  # query ids vs empty corpus
+    "ann_topk_cosine",              # .first() query vector on None
+    "kmeans_assignments",           # seed init on empty input
+    "detect_parse_json_props",      # detector sample on empty
+    "corpus_health_report",         # per-count pane ratios
+    "dedup_threshold_curve",        # rate spine over empty corpus
+    "benford_price_conformity",     # chi/dev terms at n = 0
+    "event_changepoint_cusum",      # spurious all-NULL global-agg row
+    "event_value_ks_drift",         # same class, KS statistic
+    "simhash_recall_eval",          # NULL counts vs COUNT-like 0s
+    "embedding_principal_component",# 0.0-vs-NULL spectrum fold
+    "pretraining_data_report",      # every pane ratio guarded
+]
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("sf_empty")
+    for t in TABLES:
+        duckdb.sql(
+            f"COPY (SELECT * FROM '{SF_DIR}/{t}.parquet' LIMIT 0) "
+            f"TO '{d}/{t}.parquet' (FORMAT parquet)"
+        )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVES)
+def test_empty_input_never_crashes(spark, empty_sf_dir, name):
+    from yelp_data_pipeline_spark import queries as Q
+
+    fn = {s.name: s.fn for s in Q.registry()}[name]
+    rows = fn(spark, empty_sf_dir).collect()  # must not raise
+    assert isinstance(rows, list)
+
+
+def test_missing_query_id_still_raises_on_nonempty(spark):
+    """The empty-corpus path must NOT have swallowed the informative
+    mis-reference errors: a nonempty corpus that lacks the requested
+    query id still raises."""
+    from yelp_data_pipeline_spark.operators import similarity as sim
+
+    emb = spark.createDataFrame(
+        [(5, [float(i) for i in range(64)])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="not present in the corpus"):
+        sim.pq_adc_topk_batch(emb, query_ids=[999]).collect()
+
+
+def test_mis_keyed_kmeans_still_raises_on_nonempty(spark):
+    from yelp_data_pipeline_spark.operators import similarity as sim
+
+    emb = spark.createDataFrame(
+        [(100, [float(i) for i in range(64)])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="seed vectors"):
+        sim.kmeans_centroids(emb, k=4).collect()

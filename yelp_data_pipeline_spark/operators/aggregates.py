@@ -199,12 +199,18 @@ def kmv_distinct(
         .select(
             "est_distinct",
             "exact_distinct",
-            F.round(
-                F.abs(F.col("est_distinct") - F.col("exact_distinct")).cast(
-                    "double"
-                )
-                / F.col("exact_distinct").cast("double"),
-                4,
+            # NULL on an empty relation (exact = 0), matching SQL
+            # division semantics — an ANSI-mode 0/0 would otherwise
+            # crash the stage on empty input.
+            F.when(
+                F.col("exact_distinct") > 0,
+                F.round(
+                    F.abs(
+                        F.col("est_distinct") - F.col("exact_distinct")
+                    ).cast("double")
+                    / F.col("exact_distinct").cast("double"),
+                    4,
+                ),
             ).alias("rel_err"),
         )
     )

@@ -583,6 +583,13 @@ def pagerank_integer(
     # ONE driver scalar — the same one-count-per-run budget CC and
     # k-core spend per ROUND.
     n = nodes.count()
+    if n == 0:
+        # Empty graph: no nodes, no ranks — an empty relation, not a
+        # crash (an upstream filter that drops every edge must not
+        # kill the stage; scale // 0 would).
+        return nodes.select(
+            "node", F.lit(None).cast("long").alias("rank_scaled")
+        )
     flagged = nodes.withColumn("is_seed", F.lit(1))
     return _pagerank_loop(
         edges, deg, flagged, n, iters, scale, damping_pct, teleport_mass
@@ -818,7 +825,16 @@ def pagerank_personalized(
     # branch is dead and the loop would SILENTLY return all-zero ranks
     # (a typo'd seed prefix reads as "nothing is related"). The scalar
     # also replaces the broadcast-stat cross join with a literal.
-    ns = flagged.agg(F.sum("is_seed")).first()[0]
+    ns, nn = flagged.agg(
+        F.sum("is_seed"), F.count(F.lit(1))
+    ).first()
+    if nn == 0:
+        # Empty graph: an empty rank relation, not a crash — distinct
+        # from the typo'd-seed case below, which only makes sense when
+        # there ARE nodes the seeds could have hit.
+        return flagged.select(
+            "node", F.lit(None).cast("long").alias("rank_scaled")
+        )
     if not ns:
         raise ValueError(
             "pagerank_personalized: no seed intersects the graph's node "

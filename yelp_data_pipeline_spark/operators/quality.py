@@ -560,13 +560,23 @@ def benford_conformity(df: DataFrame, value_col: str) -> DataFrame:
     d = F.col("digit").cast("double")
     p = F.round(F.log10(F.lit(1.0) + F.lit(1.0) / d), 6)
     e = F.col("n").cast("double") * p
-    chi_term = F.round(
-        (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e)
-        / e,
-        6,
+    # n = 0 (empty relation) ⇒ NULL terms, NULL chi2/mad — SQL division
+    # semantics, not an ANSI crash; matches the oracle bit for bit.
+    chi_term = F.when(
+        F.col("n") > 0,
+        F.round(
+            (F.col("o").cast("double") - e)
+            * (F.col("o").cast("double") - e)
+            / e,
+            6,
+        ),
     )
-    dev_term = F.round(
-        F.abs(F.col("o").cast("double") / F.col("n").cast("double") - p), 6
+    dev_term = F.when(
+        F.col("n") > 0,
+        F.round(
+            F.abs(F.col("o").cast("double") / F.col("n").cast("double") - p),
+            6,
+        ),
     )
     dec6 = lambda c: c.cast("decimal(27,6)")  # noqa: E731
     m = j.groupBy("n").agg(

@@ -427,6 +427,11 @@ def kmeans_centroids(
     )
     n_init = cents.count()
     if n_init < k:
+        if n_init == 0 and df.isEmpty():
+            # Empty input: no cells to train — an empty (cell,
+            # centroid) relation, not a crash. The mis-keyed-ids error
+            # below is reserved for inputs that HAVE vectors.
+            return cents
         raise ValueError(
             f"kmeans_centroids init selected {n_init} of {k} seed vectors: "
             f"'{id_col}' must hold dense integers starting at 0 (ids 0..k-1 "
@@ -1105,6 +1110,16 @@ def _pq_adc_scores(
         .count()
     )
     if n_found != len(set(query_ids)):
+        if df.isEmpty():
+            # Empty corpus: there is nothing to score and nothing to
+            # mis-reference — an empty (qid, id, adc_d2) relation, not
+            # a crash (the typo'd-id error below only makes sense when
+            # a corpus exists for the ids to miss).
+            return df.select(
+                F.col(id_col).alias("qid"),
+                F.col(id_col),
+                F.lit(0.0).alias("adc_d2"),
+            )
         raise ValueError(
             f"_pq_adc_scores: {len(set(query_ids)) - n_found} of "
             f"{len(set(query_ids))} query ids not present in the corpus "
@@ -1435,16 +1450,30 @@ def embedding_top_pc(
         vdf.select(F.col("j").alias("i"), "vj")
         .join(ufin, "i")
         .agg(
-            F.aggregate(
-                F.array_sort(
+            # NULL (not 0.0) when there are no vectors at all — the
+            # fold over an empty collected array must read as "no
+            # spectrum", matching SQL sum-over-nothing semantics.
+            F.when(
+                F.size(
                     F.collect_list(
                         F.struct(
                             F.col("i"), (F.col("vj") * F.col("u")).alias("t")
                         )
                     )
+                )
+                > 0,
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("i"),
+                                (F.col("vj") * F.col("u")).alias("t"),
+                            )
+                        )
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x["t"],
                 ),
-                F.lit(0.0),
-                lambda a, x: a + x["t"],
             ).alias("lam")
         )
     )
@@ -1459,10 +1488,18 @@ def embedding_top_pc(
     trace_row = (
         cov.where(F.col("i") == F.col("j"))
         .agg(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("i", F.col("c").alias("t")))),
-                F.lit(0.0),
-                lambda a, x: a + x["t"],
+            F.when(
+                F.size(
+                    F.collect_list(F.struct("i", F.col("c").alias("t")))
+                )
+                > 0,
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(F.struct("i", F.col("c").alias("t")))
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x["t"],
+                ),
             ).alias("tr")
         )
         .select(

@@ -657,7 +657,10 @@ def cusum_changepoint_daily(df: DataFrame, ts_col: str) -> DataFrame:
             F.when(F.col("date") > F.col("change_date"), 1)
         ).alias("na"),
     )
-    return seg.select(
+    # where: an empty series has no changepoint ROW at all (the agg
+    # over the empty cross join would otherwise emit one all-NULL row,
+    # and its 0-denominator divisions would crash under ANSI).
+    return seg.where(F.col("n_days").isNotNull()).select(
         "change_date",
         F.col("n_days").cast("long").alias("n_days"),
         F.round(
@@ -1019,7 +1022,9 @@ def ks_drift(
         ).alias("__num"),
     )
     na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
-    return m.select(
+    # where: an empty series yields NO row (the global agg would
+    # otherwise emit one all-NULL row that no SQL engine produces).
+    return m.where(F.col("n_a").isNotNull()).select(
         "n_a",
         "n_b",
         F.round(F.col("__num").cast("double") / (na * nb), 6).alias("d"),

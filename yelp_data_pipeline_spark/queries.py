@@ -656,6 +656,14 @@ FROM events
 def q_detect_parse_json_props(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     detected = cl.detect_json_string_columns(e, ["event_type", "props"])
+    if not detected and e.isEmpty():
+        # Empty relation: the detector correctly finds nothing —
+        # return the 0-row result with the contract schema instead of
+        # tripping the fixture assertion below (which pins the
+        # detector against NONEMPTY data).
+        return e.select(
+            "event_id", F.lit(None).cast("string").alias("k")
+        )
     assert detected == ["props"], f"detector should find props only: {detected}"
     parsed = cl.parse_json_columns(e, detected)
     return parsed.select("event_id", F.col("props.k").alias("k"))
@@ -2335,14 +2343,29 @@ def q_simhash_near_pairs(spark, sf_dir):
 _EMB_DIM = 64
 
 
-def _query_vec(spark, sf_dir) -> list[float]:
+def _query_vec(spark, sf_dir) -> list[float] | None:
+    """The fixture query vector (vec_id = 0), or None when it does not
+    exist — the SQL oracles all derive the query via ``WITH q AS
+    (SELECT ... WHERE vec_id = 0)`` and cross join it, so a missing
+    query row means an EMPTY result in every consumer, never a crash
+    (see _empty_if_no_query)."""
     row = (
         _t(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") == 0)
         .select("embedding")
         .first()
     )
-    return [float(x) for x in row[0]]
+    return None if row is None else [float(x) for x in row[0]]
+
+
+def _empty_if_no_query(emb: DataFrame, qv: list[float] | None):
+    """Mirror the oracles' cross-join-with-q semantics when the query
+    vector is absent: keep the relation's schema, drop every row, and
+    substitute a harmless zero vector (never evaluated — no rows
+    reach it)."""
+    if qv is None:
+        return emb.where(F.lit(False)), [0.0] * _EMB_DIM
+    return emb, qv
 
 
 @_q(
@@ -2359,9 +2382,10 @@ LIMIT 10
     "global sort, no shuffle).",
 )
 def q_ann_topk_cosine(spark, sf_dir):
-    return sim.cosine_topk(
-        _t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=10
+    emb, qv = _empty_if_no_query(
+        _t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir)
     )
+    return sim.cosine_topk(emb, qv, k=10)
 
 
 def _signlsh_adaptive_oracle(
@@ -2750,7 +2774,8 @@ def q_ann_ivf_topk(spark, sf_dir):
     cents = sim.train_centroids_by_label(
         _t(spark, sf_dir, "embeddings"), "label", "embedding"
     )
-    return sim.ivf_topk(emb, cents, _query_vec(spark, sf_dir), k=10, nprobe=2)
+    emb, qv = _empty_if_no_query(emb, _query_vec(spark, sf_dir))
+    return sim.ivf_topk(emb, cents, qv, k=10, nprobe=2)
 
 
 # --------------------------------------------------------------------------
@@ -5748,10 +5773,15 @@ def q_ivf_nprobe_recall_curve(spark, sf_dir):
             F.coalesce("total_hits", F.lit(0))
             .cast("long")
             .alias("total_hits"),
-            F.round(
-                F.coalesce("total_hits", F.lit(0)).cast("double")
-                / (F.col("n_queries").cast("double") * F.lit(10.0)),
-                6,
+            # NULL recall when there are no queries (empty relation)
+            # — SQL division semantics, not an ANSI crash.
+            F.when(
+                F.col("n_queries") > 0,
+                F.round(
+                    F.coalesce("total_hits", F.lit(0)).cast("double")
+                    / (F.col("n_queries").cast("double") * F.lit(10.0)),
+                    6,
+                ),
             ).alias("mean_recall_at_10"),
         )
         .orderBy("nprobe")
@@ -8302,28 +8332,37 @@ def q_corpus_health_report(spark, sf_dir):
         F.count_distinct("source").alias("n_sources"),
         F.count_distinct("lang").alias("n_langs"),
     )
+    # Every per-count division is guarded for the count = 0 (empty
+    # relation) case — NULL rates, SQL semantics, never an ANSI crash.
     fp = tx.doc_fingerprints(docs, "doc_id", "text").agg(
-        (
+        F.when(
+            F.count(F.lit(1)) > 0,
             F.lit(1.0)
             - F.count_distinct("fingerprint").cast("double")
-            / F.count(F.lit(1)).cast("double")
+            / F.count(F.lit(1)).cast("double"),
         ).alias("__dup")
     ).select(F.round("__dup", 6).alias("dup_rate"))
     q = tx.quality_features(docs, "doc_id", "text")
     qa = q.agg(
-        F.round(
-            F.sum(F.round("quality_score", 6).cast("decimal(27,6)")).cast(
-                "double"
-            )
-            / F.count(F.lit(1)).cast("double"),
-            6,
+        F.when(
+            F.count(F.lit(1)) > 0,
+            F.round(
+                F.sum(
+                    F.round("quality_score", 6).cast("decimal(27,6)")
+                ).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ),
         ).alias("mean_quality"),
-        F.round(
-            F.sum(
-                F.when(F.col("quality_score") >= 0.45, 1).otherwise(0)
-            ).cast("double")
-            / F.count(F.lit(1)).cast("double"),
-            6,
+        F.when(
+            F.count(F.lit(1)) > 0,
+            F.round(
+                F.sum(
+                    F.when(F.col("quality_score") >= 0.45, 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ),
         ).alias("gate_pass_rate"),
     )
     zf = tx.zipf_fit(docs, "text", top_k=1000).select(
@@ -11283,10 +11322,14 @@ def q_dedup_threshold_curve(spark, sf_dir):
             F.coalesce("n_dup_docs", F.lit(0))
             .cast("long")
             .alias("n_dup_docs"),
-            F.round(
-                F.coalesce("n_dup_docs", F.lit(0)).cast("double")
-                / F.col("n_docs").cast("double"),
-                6,
+            # NULL rate on an empty corpus — not an ANSI 0/0 crash.
+            F.when(
+                F.col("n_docs") > 0,
+                F.round(
+                    F.coalesce("n_dup_docs", F.lit(0)).cast("double")
+                    / F.col("n_docs").cast("double"),
+                    6,
+                ),
             ).alias("dup_doc_rate"),
         )
         .orderBy("threshold")
@@ -12430,10 +12473,14 @@ def q_simhash_recall_eval(spark, sf_dir):
         F.coalesce("e", F.lit(0)).alias("e"),
         F.coalesce("l", F.lit(0)).alias("l"),
     )
+    # coalesce: COUNT-like totals are 0 on an empty corpus (SQL sum
+    # over no rows is NULL; the oracle's counts are 0).
     agg = j.agg(
-        F.sum("e").cast("long").alias("n_exact"),
-        F.sum("l").cast("long").alias("n_banded"),
-        F.sum(F.col("e") * F.col("l")).cast("long").alias("n_common"),
+        F.coalesce(F.sum("e"), F.lit(0)).cast("long").alias("n_exact"),
+        F.coalesce(F.sum("l"), F.lit(0)).cast("long").alias("n_banded"),
+        F.coalesce(F.sum(F.col("e") * F.col("l")), F.lit(0))
+        .cast("long")
+        .alias("n_common"),
     )
     rec = F.when(
         F.col("n_exact") > 0,
@@ -15721,7 +15768,8 @@ def q_hybrid_rrf_ranking(spark, sf_dir):
         .where(F.col("rn") <= 100)
         .select("doc_id", F.col("rn").cast("int").alias("lex_rank"))
     )
-    sems = sim.cosine_topk(emb, _query_vec(spark, sf_dir), k=100).select(
+    emb, qv = _empty_if_no_query(emb, _query_vec(spark, sf_dir))
+    sems = sim.cosine_topk(emb, qv, k=100).select(
         F.col("vec_id").alias("doc_id"), "score"
     )
     ws = Window.orderBy(F.desc("score"), F.asc("doc_id"))
@@ -17085,10 +17133,15 @@ def q_int8_recall_eval(spark, sf_dir):
             "mean_recon_cosine",
             "n_queries",
             "total_hits",
-            F.round(
-                F.col("total_hits").cast("double")
-                / (F.col("n_queries").cast("double") * F.lit(10.0)),
-                6,
+            # NULL recall with zero queries (empty relation) — SQL
+            # division semantics, never an ANSI crash.
+            F.when(
+                F.col("n_queries") > 0,
+                F.round(
+                    F.col("total_hits").cast("double")
+                    / (F.col("n_queries").cast("double") * F.lit(10.0)),
+                    6,
+                ),
             ).alias("mean_recall_at_10"),
         )
     )
@@ -17163,7 +17216,9 @@ def q_time_weighted_event_means(spark, sf_dir):
     + _oracle_of("audio_fingerprints")
     + """) z5),
 a AS (
-  SELECT CAST(sum(n_before) AS BIGINT) AS n_docs,
+  -- coalesce: n_docs is a COUNT-like total (0 on an empty corpus,
+  -- matching the Spark pane's count aggregate), not a NULL sum.
+  SELECT CAST(coalesce(sum(n_before), 0) AS BIGINT) AS n_docs,
          CAST(sum(n_after) AS BIGINT) AS n_survivors
   FROM comp
 ),
@@ -17326,27 +17381,39 @@ def q_pretraining_data_report(spark, sf_dir):
         .select(
             "n_docs",
             "n_survivors",
-            F.round(
-                F.col("n_survivors").cast("double")
-                / F.col("n_docs").cast("double"),
-                6,
+            # Every pane ratio is guarded for the zero-denominator
+            # (empty corpus) case — NULL, SQL semantics, never an
+            # ANSI crash.
+            F.when(
+                F.col("n_docs") > 0,
+                F.round(
+                    F.col("n_survivors").cast("double")
+                    / F.col("n_docs").cast("double"),
+                    6,
+                ),
             ).alias("survivor_rate"),
             "naive_leaked_pairs",
             "clusterkeyed_leaked_pairs",
             "total_tokens",
             "alloc_tokens",
             "n_sources_capped",
-            F.round(
-                F.col("alloc_tokens").cast("double")
-                / F.col("total_tokens").cast("double"),
-                6,
+            F.when(
+                F.col("total_tokens") > 0,
+                F.round(
+                    F.col("alloc_tokens").cast("double")
+                    / F.col("total_tokens").cast("double"),
+                    6,
+                ),
             ).alias("mean_epochs"),
             "n_image_dup_pairs",
             "n_image_dup_docs",
-            F.round(
-                F.col("n_image_dup_docs").cast("double")
-                / F.col("n_docs").cast("double"),
-                6,
+            F.when(
+                F.col("n_docs") > 0,
+                F.round(
+                    F.col("n_image_dup_docs").cast("double")
+                    / F.col("n_docs").cast("double"),
+                    6,
+                ),
             ).alias("image_dup_doc_rate"),
             "n_audio_dup_pairs",
         )
