@@ -90,3 +90,42 @@ def test_mis_keyed_kmeans_still_raises_on_nonempty(spark):
     )
     with pytest.raises(ValueError, match="seed vectors"):
         sim.kmeans_centroids(emb, k=4).collect()
+
+
+# ---- single-row (degenerate-statistics) contract, round 13 ----------------
+
+SINGLE_ROW_REPRESENTATIVES = [
+    "price_quantity_corr",        # zero variance -> NULL corr
+    "price_quantity_spearman",    # zero rank variance -> NULL rho
+    "dedup_cluster_rand_index",   # n*(n-1) = 0 pairs -> NULL indices
+    "zorder_file_stats",          # degenerate min==max bounds
+    "event_value_ranksum_drift",  # one-sided cutoff -> NULL auc/z
+    "event_value_ks_drift",       # one-sided cutoff -> NULL d
+    "event_value_cohens_d",       # empty side -> NULL mean/effect
+    "cross_source_dup_matrix",    # single-doc source: 0 possible pairs
+    "mixture_resampled_docs",     # absent targeted source -> empty (strict)
+]
+
+
+@pytest.fixture(scope="module")
+def single_row_sf_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("sf_one")
+    for t in TABLES:
+        duckdb.sql(
+            f"COPY (SELECT * FROM '{SF_DIR}/{t}.parquet' ORDER BY 1 LIMIT 1) "
+            f"TO '{d}/{t}.parquet' (FORMAT parquet)"
+        )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", SINGLE_ROW_REPRESENTATIVES)
+def test_single_row_never_crashes(spark, single_row_sf_dir, name):
+    """One row is the degenerate-statistics regime (zero variance,
+    zero pairs, one-sided cutoffs, min == max bounds) — a real shape
+    for a tiny source or a heavily filtered slice; the contract is
+    NULL statistics via SQL 0/0 semantics, never an ANSI crash."""
+    from yelp_data_pipeline_spark import queries as Q
+
+    fn = {s.name: s.fn for s in Q.registry()}[name]
+    rows = fn(spark, single_row_sf_dir).collect()  # must not raise
+    assert isinstance(rows, list)

@@ -1356,12 +1356,14 @@ def spearman_corr(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
     sxy = F.col("sxy").cast("double")
     sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
-    rho = (n * sxy - sx * sy) / (
-        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
-    )
+    # NULL rho when either rank column has zero variance (single row,
+    # all-tied values) — SQL 0/0 semantics, never an ANSI crash.
+    denx = n * sxx - sx * sx
+    deny = n * syy - sy * sy
+    rho = (n * sxy - sx * sy) / (F.sqrt(denx) * F.sqrt(deny))
     return m.select(
         F.col("n").alias("n_rows"),
-        F.round(rho, 6).alias("rho"),
+        F.when((denx > 0) & (deny > 0), F.round(rho, 6)).alias("rho"),
     )
 
 

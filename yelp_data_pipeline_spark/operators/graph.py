@@ -437,16 +437,25 @@ def clustering_rand_index(
     sij, sa, sb = t2ij / F.lit(2.0), t2a / F.lit(2.0), t2b / F.lit(2.0)
     pp = nn / F.lit(2.0)
     ari_den = (sa + sb) / F.lit(2.0) - sa * sb / pp
+    # A single document has no pairs (nn = 0): NULL indices via SQL
+    # 0/0 semantics, never an ANSI crash — the ari_den probe itself
+    # divides by pp, so it only evaluates inside the n > 1 branch.
     return j.select(
         "n_docs",
         "n_clusters_a",
         "n_clusters_b",
-        F.round(
-            (nn + F.lit(2.0) * t2ij - t2a - t2b) / nn, 6
+        F.when(
+            nn > 0,
+            F.round((nn + F.lit(2.0) * t2ij - t2a - t2b) / nn, 6),
         ).alias("rand_index"),
-        F.round(
-            F.when(ari_den != F.lit(0.0), (sij - sa * sb / pp) / ari_den),
-            6,
+        F.when(
+            nn > 0,
+            F.round(
+                F.when(
+                    ari_den != F.lit(0.0), (sij - sa * sb / pp) / ari_den
+                ),
+                6,
+            ),
         ).alias("adjusted_rand"),
     )
 

@@ -751,16 +751,28 @@ def ranksum_drift(
         na * nb / F.lit(12.0)
         * ((n + F.lit(1.0)) - F.col("__ties").cast("double") / (n * (n - F.lit(1.0))))
     )
+    # One-sided series (a cutoff that every row falls on one side of)
+    # has no rank-sum statistic: NULL auc/z via SQL 0/0 semantics —
+    # never an ANSI crash. sigma's ties term divides by n(n-1), so it
+    # is only evaluated inside the n_a>0 & n_b>0 branch (n >= 2).
+    both = (F.col("n_a") > 0) & (F.col("n_b") > 0)
     return out.select(
         "n_a",
         "n_b",
         u2.cast("long").alias("u2"),
-        F.round(
-            u2.cast("double") / F.lit(2.0) / (na * nb), 6
+        F.when(
+            both,
+            F.round(u2.cast("double") / F.lit(2.0) / (na * nb), 6),
         ).alias("auc"),
-        F.round((u2.cast("double") - na * nb) / (F.lit(2.0) * sigma), 6).alias(
-            "z"
-        ),
+        F.when(
+            both,
+            F.when(
+                sigma > 0,
+                F.round(
+                    (u2.cast("double") - na * nb) / (F.lit(2.0) * sigma), 6
+                ),
+            ),
+        ).alias("z"),
     )
 
 
@@ -1024,12 +1036,19 @@ def ks_drift(
     na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
     # where: an empty series yields NO row (the global agg would
     # otherwise emit one all-NULL row that no SQL engine produces).
+    # when: a one-sided series (every row before/after the cutoff)
+    # has no KS statistic — NULL, SQL 0/0 semantics, not an ANSI
+    # crash.
+    both = (F.col("n_a") > 0) & (F.col("n_b") > 0)
     return m.where(F.col("n_a").isNotNull()).select(
         "n_a",
         "n_b",
-        F.round(F.col("__num").cast("double") / (na * nb), 6).alias("d"),
-        F.round(
-            F.lit(1.36) * F.sqrt((na + nb) / (na * nb)), 6
+        F.when(
+            both, F.round(F.col("__num").cast("double") / (na * nb), 6)
+        ).alias("d"),
+        F.when(
+            both,
+            F.round(F.lit(1.36) * F.sqrt((na + nb) / (na * nb)), 6),
         ).alias("d_crit"),
     )
 
@@ -1242,14 +1261,19 @@ def cohens_d_drift(
     return m.select(
         "n_a",
         "n_b",
-        F.round(F.col("s_a").cast("double") / na / F.lit(100.0), 6).alias(
-            "mean_a"
-        ),
-        F.round(F.col("s_b").cast("double") / nb / F.lit(100.0), 6).alias(
-            "mean_b"
-        ),
-        F.when(ok & (s2p > 0), F.round(d, 6)).alias("cohens_d"),
-        F.when(ok & (s2p > 0), F.round(j * d, 6)).alias("hedges_g"),
+        # NULL means on an empty side — SQL 0/0, not an ANSI crash.
+        F.when(
+            F.col("n_a") > 0,
+            F.round(F.col("s_a").cast("double") / na / F.lit(100.0), 6),
+        ).alias("mean_a"),
+        F.when(
+            F.col("n_b") > 0,
+            F.round(F.col("s_b").cast("double") / nb / F.lit(100.0), 6),
+        ).alias("mean_b"),
+        # ok (both sides > 1) bounds df_pool >= 2, so the pooled-s2
+        # divisions only evaluate where they are defined.
+        F.when(ok, F.when(s2p > 0, F.round(d, 6))).alias("cohens_d"),
+        F.when(ok, F.when(s2p > 0, F.round(j * d, 6))).alias("hedges_g"),
     )
 
 

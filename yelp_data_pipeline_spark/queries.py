@@ -1258,16 +1258,28 @@ def q_weighted_quality_sample(spark, sf_dir):
 @_q(
     "mixture_resampled_docs",
     f"""
-WITH cnt AS (
-  SELECT source, count(*) AS c,
-         CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
-                     WHEN 'src2' THEN 0.2 END AS w
+WITH tgt(source, w) AS (
+  VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)
+),
+obs AS (
+  SELECT source, count(*) AS c
   FROM documents WHERE source IN ('src0', 'src1', 'src2')
   GROUP BY source
 ),
+-- LEFT JOIN from the target list: a targeted source with ZERO corpus
+-- rows contributes count 0, driving T to 0 and the result to empty —
+-- the operator's strict-mixture contract (sampling.py), not a silent
+-- renormalization over whichever sources happen to exist.
+cnt AS (
+  SELECT t.source, coalesce(o.c, 0) AS c, t.w
+  FROM tgt t LEFT JOIN obs o ON t.source = o.source
+),
 t AS (SELECT min(c / w) AS t FROM cnt),
 rates AS (
-  SELECT source, CAST(floor(w * t.t / c * 10000) AS BIGINT) AS thresh
+  SELECT source,
+         CASE WHEN c > 0
+              THEN CAST(floor(w * t.t / c * 10000) AS BIGINT)
+              ELSE 0 END AS thresh
   FROM cnt, t
 )
 SELECT d.doc_id, d.source
@@ -1483,11 +1495,16 @@ def q_price_quantity_corr(spark, sf_dir):
     sxy = F.col("sxy").cast("double")
     sxx = F.col("sxx").cast("double")
     syy = F.col("syy").cast("double")
+    # NULL when either column has zero variance (e.g. a single row) —
+    # SQL 0/0 semantics, never an ANSI crash.
+    denx = n * sxx - sx * sx
+    deny = n * syy - sy * sy
     return m.select(
-        F.round(
-            (n * sxy - sx * sy)
-            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
-            6,
+        F.when(
+            (denx > 0) & (deny > 0),
+            F.round(
+                (n * sxy - sx * sy) / (F.sqrt(denx) * F.sqrt(deny)), 6
+            ),
         ).alias("corr")
     )
 
@@ -6764,14 +6781,22 @@ def q_zorder_file_stats(spark, sf_dir):
         F.min("l_quantity").alias("qlo"),
         F.max("l_quantity").alias("qhi"),
     )
+    # Degenerate bounds (single row / all-equal column) quantize to
+    # NULL via SQL 0/0 semantics — never an ANSI crash.
     quant = l.crossJoin(F.broadcast(bounds)).select(
-        F.floor(
-            ((F.col("l_extendedprice") - F.col("plo"))
-             / (F.col("phi") - F.col("plo"))) * 255.0
+        F.when(
+            F.col("phi") > F.col("plo"),
+            F.floor(
+                ((F.col("l_extendedprice") - F.col("plo"))
+                 / (F.col("phi") - F.col("plo"))) * 255.0
+            ),
         ).alias("qx"),
-        F.floor(
-            ((F.col("l_quantity") - F.col("qlo"))
-             / (F.col("qhi") - F.col("qlo"))) * 255.0
+        F.when(
+            F.col("qhi") > F.col("qlo"),
+            F.floor(
+                ((F.col("l_quantity") - F.col("qlo"))
+                 / (F.col("qhi") - F.col("qlo"))) * 255.0
+            ),
         ).alias("qy"),
         "l_extendedprice", "l_quantity",
     )
@@ -6873,14 +6898,21 @@ def q_layout_pruning_eval(spark, sf_dir):
         F.min("l_quantity").alias("qlo"),
         F.max("l_quantity").alias("qhi"),
     )
+    # Same degenerate-bounds guard as zorder_file_stats.
     quant = l.crossJoin(F.broadcast(bounds)).select(
-        F.floor(
-            ((F.col("l_extendedprice") - F.col("plo"))
-             / (F.col("phi") - F.col("plo"))) * 255.0
+        F.when(
+            F.col("phi") > F.col("plo"),
+            F.floor(
+                ((F.col("l_extendedprice") - F.col("plo"))
+                 / (F.col("phi") - F.col("plo"))) * 255.0
+            ),
         ).cast("long").alias("qx"),
-        F.floor(
-            ((F.col("l_quantity") - F.col("qlo"))
-             / (F.col("qhi") - F.col("qlo"))) * 255.0
+        F.when(
+            F.col("qhi") > F.col("qlo"),
+            F.floor(
+                ((F.col("l_quantity") - F.col("qlo"))
+                 / (F.col("qhi") - F.col("qlo"))) * 255.0
+            ),
         ).cast("long").alias("qy"),
         "l_extendedprice",
         "l_quantity",
@@ -16545,10 +16577,15 @@ def q_cross_source_dup_matrix(spark, sf_dir):
             .cast("long")
             .alias("docs_involved"),
             "possible_pairs",
-            F.round(
-                F.coalesce("dup_pairs", F.lit(0)).cast("double")
-                / F.col("possible_pairs").cast("double"),
-                6,
+            # A single-doc source has 0 possible same-source pairs:
+            # NULL rate (SQL 0/0), never an ANSI crash.
+            F.when(
+                F.col("possible_pairs") > 0,
+                F.round(
+                    F.coalesce("dup_pairs", F.lit(0)).cast("double")
+                    / F.col("possible_pairs").cast("double"),
+                    6,
+                ),
             ).alias("dup_rate"),
         )
         .orderBy("src_a", "src_b")
