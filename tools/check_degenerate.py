@@ -1,0 +1,134 @@
+"""Degenerate-input regression gate (round 13).
+
+Re-runs the two degenerate sweeps behind BASELINE.md's round-13
+contract sections — the all-EMPTY fixture and the ONE-row fixture —
+and asserts the failure set EQUALS the documented residual allowlist:
+
+- a previously-FIXED query failing again is a regression → exit 1;
+- a NEW failure is a regression → exit 1;
+- a documented residual going green means the allowlist (and the
+  BASELINE.md contract section) should be tightened → exit 1 with a
+  "tighten" message, so the docs can never silently drift from
+  reality.
+
+Fixtures are derived from sf0.001 via DuckDB (schema-true, 0/1 rows)
+into a temp directory, so the gate needs nothing pre-built. Usage:
+
+    python tools/check_degenerate.py [src_sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import subprocess
+import sys
+import tempfile
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from yelp_data_pipeline_spark import TABLES  # noqa: E402
+
+# The documented residuals (BASELINE.md round-13 contract sections).
+EMPTY_ALLOWED = {
+    # Engine-semantics boundary: SQL emits the () grand-total
+    # grouping-set row over empty input; Spark's cube/rollup emit none.
+    "priority_status_cube",
+    "priority_status_rollup",
+}
+
+ONE_ROW_ALLOWED = {
+    # Data-derived-parameter preconditions that SHOULD raise on a
+    # corpus that cannot satisfy them (typo'd-seed/ids safety).
+    "personalized_pagerank_nation",
+    "pq_recall_eval",
+    "retrieval_health_report",
+    "embedding_neardup_ivf",
+    "kmeans_assignments",
+    # Rank-1 covariance: the eigenvector direction is undefined, so
+    # the power iteration's output is engine-dependent noise.
+    "embedding_principal_component",
+    "whitened_embedding_sample",
+}
+
+
+def _build_fixture(src: str, dst: str, limit: int) -> None:
+    os.makedirs(dst, exist_ok=True)
+    for t in TABLES:
+        sel = (
+            f"SELECT * FROM '{src}/{t}.parquet' ORDER BY 1 LIMIT {limit}"
+            if limit
+            else f"SELECT * FROM '{src}/{t}.parquet' LIMIT 0"
+        )
+        duckdb.sql(f"COPY ({sel}) TO '{dst}/{t}.parquet' (FORMAT parquet)")
+
+
+def _sweep_failures(sf_dir: str) -> set[str]:
+    env = dict(os.environ, SPARK_GRAFT_ANSI="true")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "check_oracle.py"),
+            sf_dir,
+        ],
+        capture_output=True,
+        text=True,
+        env=env,
+    )
+    out = proc.stdout + proc.stderr
+    m = re.search(r"FAILURES: ([a-z_0-9, ]+)", out)
+    if m:
+        return {n.strip() for n in m.group(1).split(",") if n.strip()}
+    if "ALL GREEN" in out:
+        return set()
+    raise RuntimeError(
+        f"sweep at {sf_dir} produced neither FAILURES nor ALL GREEN "
+        f"(rc={proc.returncode}); tail:\n{out[-2000:]}"
+    )
+
+
+def _gate(name: str, got: set[str], allowed: set[str]) -> list[str]:
+    problems = []
+    regressions = sorted(got - allowed)
+    if regressions:
+        problems.append(
+            f"{name}: REGRESSION — previously-green queries now fail: "
+            f"{regressions}"
+        )
+    tighten = sorted(allowed - got)
+    if tighten:
+        problems.append(
+            f"{name}: allowlist stale — documented residuals now pass "
+            f"(tighten the list + BASELINE.md): {tighten}"
+        )
+    return problems
+
+
+def main() -> int:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    problems: list[str] = []
+    with tempfile.TemporaryDirectory(prefix="degen_") as tmp:
+        empty = os.path.join(tmp, "sf_empty")
+        one = os.path.join(tmp, "sf_one")
+        _build_fixture(src, empty, 0)
+        _build_fixture(src, one, 1)
+
+        got_empty = _sweep_failures(empty)
+        print(f"empty sweep: {len(got_empty)} failures -> {sorted(got_empty)}")
+        problems += _gate("empty", got_empty, EMPTY_ALLOWED)
+
+        got_one = _sweep_failures(one)
+        print(f"one-row sweep: {len(got_one)} failures -> {sorted(got_one)}")
+        problems += _gate("one-row", got_one, ONE_ROW_ALLOWED)
+
+    for p in problems:
+        print("GATE:", p)
+    print("DEGENERATE GATE", "RED" if problems else "GREEN")
+    return 1 if problems else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
