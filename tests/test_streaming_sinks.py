@@ -997,3 +997,16 @@ class TestPackStreamSink:
             (r["shard"], r["cum_tokens"])
             for r in spark.read.parquet(target).collect()
         )
+
+
+def test_pack_stream_assignments_before_first_commit_is_empty(spark, tmp_path):
+    """A never-started stream reads as an EMPTY assignment relation
+    with the packer's schema — the engine-wide empty-relation posture
+    — not a path-not-found AnalysisException."""
+    from yelp_data_pipeline_spark.streaming.sinks import pack_stream_assignments
+
+    out = pack_stream_assignments(spark, str(tmp_path / "never_started"))
+    assert out.columns == [
+        "doc_id", "shard", "n_tokens", "start_offset", "pack_id"
+    ]
+    assert out.collect() == []

@@ -1,7 +1,9 @@
-"""Degenerate-input regression gate (round 13).
+"""Degenerate-input regression gate (round 13; ties fixture round 14).
 
-Re-runs the two degenerate sweeps behind BASELINE.md's round-13
-contract sections — the all-EMPTY fixture and the ONE-row fixture —
+Re-runs the degenerate sweeps behind BASELINE.md's contract sections
+— the all-EMPTY fixture, the ONE-row fixture, and the all-TIES
+fixture (two IDENTICAL rows per table: duplicate keys everywhere,
+zero variance with n > 1, single-token text, empty props string) —
 and asserts the failure set EQUALS the documented residual allowlist:
 
 - a previously-FIXED query failing again is a regression → exit 1;
@@ -53,15 +55,40 @@ ONE_ROW_ALLOWED = {
     "whitened_embedding_sample",
 }
 
+# Two identical rows (duplicate keys, zero variance with n > 1,
+# single-token text, empty props) — filled from the round-14 sweep.
+TIES_ALLOWED: set[str] = set()
 
-def _build_fixture(src: str, dst: str, limit: int) -> None:
+
+# Degenerate VALUE overrides for the ties fixture (ADVICE r13): the
+# row-count fixtures can't exercise degenerate text shapes — a
+# single-token doc is exactly what slipped past the r13 gate
+# (packing_boundary_stats ANSI 0/0).
+_TIES_OVERRIDES = {
+    "documents": {"text": "'x'", "n_chars": "1"},
+    "events": {"props": "''"},
+}
+
+
+def _build_fixture(src: str, dst: str, mode: str) -> None:
     os.makedirs(dst, exist_ok=True)
     for t in TABLES:
-        sel = (
-            f"SELECT * FROM '{src}/{t}.parquet' ORDER BY 1 LIMIT {limit}"
-            if limit
-            else f"SELECT * FROM '{src}/{t}.parquet' LIMIT 0"
-        )
+        one = f"SELECT * FROM '{src}/{t}.parquet' ORDER BY 1 LIMIT 1"
+        if mode == "empty":
+            sel = f"SELECT * FROM '{src}/{t}.parquet' LIMIT 0"
+        elif mode == "one":
+            sel = one
+        elif mode == "ties":
+            over = _TIES_OVERRIDES.get(t)
+            if over:
+                repl = ", ".join(f"{v} AS {k}" for k, v in over.items())
+                one = (
+                    f"SELECT * REPLACE ({repl}) FROM '{src}/{t}.parquet' "
+                    "ORDER BY 1 LIMIT 1"
+                )
+            sel = f"WITH o AS ({one}) SELECT * FROM o UNION ALL SELECT * FROM o"
+        else:
+            raise ValueError(mode)
         duckdb.sql(f"COPY ({sel}) TO '{dst}/{t}.parquet' (FORMAT parquet)")
 
 
@@ -113,8 +140,10 @@ def main() -> int:
     with tempfile.TemporaryDirectory(prefix="degen_") as tmp:
         empty = os.path.join(tmp, "sf_empty")
         one = os.path.join(tmp, "sf_one")
-        _build_fixture(src, empty, 0)
-        _build_fixture(src, one, 1)
+        ties = os.path.join(tmp, "sf_ties")
+        _build_fixture(src, empty, "empty")
+        _build_fixture(src, one, "one")
+        _build_fixture(src, ties, "ties")
 
         got_empty = _sweep_failures(empty)
         print(f"empty sweep: {len(got_empty)} failures -> {sorted(got_empty)}")
@@ -123,6 +152,10 @@ def main() -> int:
         got_one = _sweep_failures(one)
         print(f"one-row sweep: {len(got_one)} failures -> {sorted(got_one)}")
         problems += _gate("one-row", got_one, ONE_ROW_ALLOWED)
+
+        got_ties = _sweep_failures(ties)
+        print(f"ties sweep: {len(got_ties)} failures -> {sorted(got_ties)}")
+        problems += _gate("ties", got_ties, TIES_ALLOWED)
 
     for p in problems:
         print("GATE:", p)

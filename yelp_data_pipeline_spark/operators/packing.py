@@ -210,9 +210,17 @@ def packing_boundary_stats(
                 / F.count(F.lit(1)),
                 6,
             ).alias("avg_boundaries"),
-            F.round(F.sum(cross) / F.sum(total), 6).alias(
-                "crossdoc_pair_frac"
-            ),
+            # Guard: every pack in a bucket can hold a single <=1-token
+            # doc, making every per-pack `total` 0 — an unguarded ratio
+            # is an ANSI DIVIDE_BY_ZERO (and NULL-vs-NaN oracle drift
+            # otherwise). Zero causal pairs ⇒ the fraction is 0 by
+            # convention, matching the oracle's CASE WHEN.
+            F.when(
+                F.sum(total) > 0,
+                F.round(F.sum(cross) / F.sum(total), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("crossdoc_pair_frac"),
         )
         .orderBy("bucket_cap")
     )

@@ -5109,8 +5109,10 @@ SELECT bucket_cap,
          AS avg_pack_fill,
        round(sum(CAST(n_docs AS DOUBLE) - 1) / count(*), 6)
          AS avg_boundaries,
-       round(sum((CAST(load AS DOUBLE) * load - sumsq) / 2.0)
-             / sum(CAST(load AS DOUBLE) * (load - 1) / 2.0), 6)
+       CASE WHEN sum(CAST(load AS DOUBLE) * (load - 1) / 2.0) > 0
+            THEN round(sum((CAST(load AS DOUBLE) * load - sumsq) / 2.0)
+                       / sum(CAST(load AS DOUBLE) * (load - 1) / 2.0), 6)
+            ELSE 0.0 END
          AS crossdoc_pair_frac
 FROM pk GROUP BY bucket_cap ORDER BY bucket_cap
 """,
@@ -17776,60 +17778,62 @@ def q_multimodal_curation_funnel(spark, sf_dir):
 # repeatedly-verified queries can wait at the back.  `tools/check_oracle.py`
 # always sweeps all entries regardless of order.
 _EXPORT_PRIORITY: list[str] = [
-    # Round-13 window (50-slot cap), oldest-verdict-first rotation:
-    # (1) every query NEW this round (round-13 additions):
-    "video_neardup_pairs_rate",
-    "packed_assignments",
-    "text_hashed_embeddings",
-    "dedup_family_agreement_text",
-    "semantic_dedup_survivors_text",
-    "multimodal_curation_funnel",
-    "packed_boundary_loss_stats",
-    # (2) ALL 43 round-6-stale names (VERDICT r12 item #1: the only
-    #     names whose latest driver verdict is round 6):
-    "cdc_chunked_documents",
-    "cms_heavy_user_hitters",
-    "corpus_diversity_by_source",
-    "customer_k_anonymity_audit",
-    "customer_linkage_scores",
-    "doc_novelty_scores",
-    "dominant_share_suppliers",
-    "duplicate_sentence_stats",
-    "embedding_norm_outliers",
-    "event_value_drift",
-    "event_value_mad_outliers",
-    "frequent_part_pairs",
-    "hourly_value_isotonic_fit",
-    "important_part_values",
-    "kmv_distinct_events",
-    "kmv_user_customer_overlap",
-    "min_cost_part_supplier",
-    "multimodal_bmp_decode",
-    "multimodal_bmp_resize",
-    "multimodal_decode_meta",
-    "multimodal_frame_sample",
-    "multimodal_npy_decode",
-    "multimodal_resize_meta",
-    "nation_market_share",
-    "nation_revenue_trend",
-    "ngram_jaccard_exact",
-    "order_price_decile_bins",
-    "order_priority_fulfillment",
-    "orders_dq_quarantine",
-    "orders_reconciliation_diff",
-    "pagerank_supplier_graph",
-    "personalized_pagerank_nation",
-    "pq_adc_topk",
-    "pq_encoded_embeddings",
-    "pq_recall_eval",
-    "prefix_jaccard_pairs",
-    "priority_loo_target_encoding",
-    "product_profit_by_nation_year",
-    "segment_event_values_hot_cold",
-    "snm_candidate_pairs",
-    "supplier_kcore",
-    "supplier_knn_triangles",
-    "vocab_coverage_curve",
+    # Round-14 window (50-slot cap), oldest-verdict-first rotation:
+    # (1) ALL 49 round-7-stale names (VERDICT r13 item #1: the only
+    #     names whose latest driver verdict is round 7), in registry
+    #     order:
+    "event_lag_gaps",
+    "running_spend_per_customer",
+    "pricing_summary",
+    "avg_balance_by_segment",
+    "count_distinct_users",
+    "priority_status_cube",
+    "approx_event_stats",
+    "asof_latest_order",
+    "salted_event_type_counts",
+    "event_pairs_within_5s",
+    "median_price_by_priority",
+    "priority_status_rollup",
+    "merge_upsert_orders",
+    "dedup_exact_docs",
+    "doc_fingerprints",
+    "dedup_minhash_pairs",
+    "simhash_signatures",
+    "simhash_near_pairs",
+    "ann_topk_cosine",
+    "embedding_neardup_pairs",
+    "embedding_neardup_fine",
+    "ann_topk_batch",
+    "ann_ivf_topk",
+    "daily_events_gapfilled",
+    "event_value_histogram",
+    "dq_orders_summary",
+    "embedding_centroids",
+    "dedup_clusters",
+    "curated_documents",
+    "funnel_steps",
+    "cohort_retention",
+    "event_transitions",
+    "decayed_user_scores",
+    "doc_repetition_stats",
+    "decontaminated_docs",
+    "dedup_incremental_batch",
+    "chunked_documents",
+    "event_type_daily_zscores",
+    "event_type_distincts",
+    "centroid_assignments",
+    "event_sequence_motifs",
+    "minhash_recall_eval",
+    "priority_sampled_docs",
+    "hll_users_by_event_type",
+    "embedding_principal_component",
+    "perceptron_quality_gate",
+    "nation_theil_sen_trend",
+    "unigram_lm_piece_scores",
+    "duplicate_substring_spans",
+    # (2) top-up to 50 with the earliest round-8-stale name (registry
+    #     order) — the round-15 rotation starts here:
+    "nation_market_share_by_year",
 ]
 
 

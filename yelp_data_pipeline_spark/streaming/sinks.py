@@ -983,12 +983,33 @@ def pack_stream_sink(
     return sink
 
 
-def pack_stream_assignments(spark, target_path: str) -> DataFrame:
+def pack_stream_assignments(
+    spark,
+    target_path: str,
+    id_col: str = "doc_id",
+    id_type: str = "long",
+) -> DataFrame:
     """Read the streaming packer's cumulative assignment log (every
     committed batch's (id, shard, n_tokens, start_offset, pack_id)
     rows). An uncommitted batch directory may appear after a crash;
     its content is deterministic and the replay overwrites it with
-    identical bytes, so readers never see torn assignments."""
-    return spark.read.parquet(
-        os.path.join(target_path + "_assignments", "batch-*")
-    )
+    identical bytes, so readers never see torn assignments — UNLESS
+    the stream never resumes, in which case the last crash-window
+    batch stays visible here (deterministic, but its state fold never
+    committed; resuming the stream repairs it).
+
+    A never-started stream (no batch ever committed) reads as an EMPTY
+    assignment relation, not a path error — the same empty-relation
+    posture as the rest of the engine's degenerate-input contract.
+    ``id_col``/``id_type`` only shape that empty schema (the packer's
+    id column passes through with its source type)."""
+    root = target_path + "_assignments"
+    if not os.path.isdir(root) or not any(
+        name.startswith("batch-") for name in os.listdir(root)
+    ):
+        return spark.createDataFrame(
+            [],
+            f"{id_col} {id_type}, shard int, n_tokens int, "
+            "start_offset long, pack_id long",
+        )
+    return spark.read.parquet(os.path.join(root, "batch-*"))
