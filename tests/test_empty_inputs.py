@@ -15,9 +15,9 @@ fixture with the production schemas:
   that genuinely mis-reference (typo'd id ≠ empty table).
 
 The full 341-query empty sweep ran green in round 13 except the two
-documented engine-semantics rows (priority_status_cube/rollup: SQL
-emits the () grand-total row over empty input, Spark's grouping-sets
-emit none — recorded in BASELINE.md); this file keeps the fixed crash
+cube/rollup () grand-total rows — CLOSED in round 14 by
+aggregates.empty_grand_total (a limit(1)-gated fallback union, so the
+empty sweep now has zero residuals); this file keeps the fixed crash
 classes from regressing without re-running the whole sweep.
 """
 
@@ -45,6 +45,8 @@ REPRESENTATIVES = [
     "simhash_recall_eval",          # NULL counts vs COUNT-like 0s
     "embedding_principal_component",# 0.0-vs-NULL spectrum fold
     "pretraining_data_report",      # every pane ratio guarded
+    "priority_status_cube",         # () grand-total row on empty (r14)
+    "priority_status_rollup",       # () grand-total row on empty (r14)
 ]
 
 
@@ -129,3 +131,16 @@ def test_single_row_never_crashes(spark, single_row_sf_dir, name):
     fn = {s.name: s.fn for s in Q.registry()}[name]
     rows = fn(spark, single_row_sf_dir).collect()  # must not raise
     assert isinstance(rows, list)
+
+
+def test_cube_rollup_emit_grand_total_row_on_empty(spark, empty_sf_dir):
+    """SQL semantics for CUBE/ROLLUP over an EMPTY relation: exactly
+    the () grand-total grouping-set row (keys NULL, COUNT 0, SUM
+    NULL). Spark's cube/rollup emit nothing; the r14
+    aggregates.empty_grand_total fallback restores the row."""
+    from yelp_data_pipeline_spark import queries as Q
+
+    fns = {s.name: s.fn for s in Q.registry()}
+    for name in ("priority_status_cube", "priority_status_rollup"):
+        rows = fns[name](spark, empty_sf_dir).collect()
+        assert [tuple(r) for r in rows] == [(None, None, 0, None)], name

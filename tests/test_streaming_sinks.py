@@ -1010,3 +1010,218 @@ def test_pack_stream_assignments_before_first_commit_is_empty(spark, tmp_path):
         "doc_id", "shard", "n_tokens", "start_offset", "pack_id"
     ]
     assert out.collect() == []
+
+
+class TestCurateStreamSink:
+    """The streaming curation composite (scrub -> quality -> near-dup
+    gate -> packer, ONE ledger) equals the batch
+    curated_documents -> pack_sequences chain on id-ordered arrival."""
+
+    def _docs(self, spark, ids):
+        # Texts: length varies 1..10 tokens (length gate [3, 8] cuts
+        # both tails); ids >= 20 repeat the text of id - 20 (exact
+        # dups scrubbed by the fingerprint state across batches).
+        rows = []
+        for i in ids:
+            base = i % 20
+            n = 1 + base % 10
+            rows.append((i, " ".join(f"w{base}t{j}" for j in range(n))))
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def _twin(self, spark, docs, ref_rel=None):
+        """Batch twin built from the SAME operators the registry's
+        curated_documents query composes, plus the optional gate and
+        the batch packer."""
+        from pyspark.sql import functions as F
+
+        from yelp_data_pipeline_spark.operators import packing as pk
+        from yelp_data_pipeline_spark.operators import textops as tx
+        from yelp_data_pipeline_spark.operators.dedup import neardup_gate_log
+
+        q = tx.quality_features(docs, "doc_id", "text").filter(
+            (F.col("quality_score") >= 0.0)
+            & F.col("n_tokens").between(3, 8)
+        )
+        keep = (
+            tx.doc_fingerprints(docs, "doc_id", "text")
+            .groupBy("fingerprint")
+            .agg(F.min("doc_id").alias("doc_id"))
+        )
+        cur = docs.join(keep.select("doc_id"), "doc_id", "left_semi").join(
+            q.select("doc_id"), "doc_id", "left_semi"
+        )
+        if ref_rel is not None:
+            ikeys, ish = ref_rel
+            rejects = neardup_gate_log(cur, ikeys, ish, "doc_id", "text")
+            cur = cur.join(
+                rejects.select(F.col("doc_in").alias("doc_id")).distinct(),
+                "doc_id",
+                "left_anti",
+            )
+        asg = pk.pack_sequences(cur, seq_len=16, n_shards=2)
+        return cur, asg
+
+    def _run(self, spark, target, batches, ref=None):
+        from yelp_data_pipeline_spark.streaming.sinks import curate_stream_batch
+
+        for bid, ids in enumerate(batches):
+            curate_stream_batch(
+                self._docs(spark, ids), bid, target, ref,
+                quality_min=0.0, min_tokens=3, max_tokens=8,
+                seq_len=16, n_shards=2,
+            )
+
+    def test_stream_equals_batch_curation_and_packing(self, spark, tmp_path):
+        from yelp_data_pipeline_spark.streaming.sinks import (
+            curate_stream_curated,
+            pack_stream_assignments,
+        )
+
+        target = str(tmp_path / "curate")
+        batches = [list(range(0, 15)), list(range(15, 30)), list(range(30, 40))]
+        self._run(spark, target, batches)
+
+        all_docs = self._docs(spark, range(40))
+        cur_b, asg_b = self._twin(spark, all_docs)
+
+        got_ids = sorted(
+            r["doc_id"] for r in curate_stream_curated(spark, target).collect()
+        )
+        want_ids = sorted(r["doc_id"] for r in cur_b.collect())
+        assert got_ids == want_ids
+        # dups (ids >= 20 repeating earlier text) were scrubbed and
+        # both length tails cut — the stages demonstrably fired
+        assert got_ids and all(i < 20 for i in got_ids)
+
+        got_asg = {
+            r["doc_id"]: (r["shard"], r["start_offset"], r["pack_id"])
+            for r in pack_stream_assignments(spark, target).collect()
+        }
+        want_asg = {
+            r["doc_id"]: (r["shard"], r["start_offset"], r["pack_id"])
+            for r in asg_b.collect()
+        }
+        assert got_asg == want_asg
+
+    def test_neardup_gate_arm_drops_index_matches(self, spark, tmp_path):
+        from yelp_data_pipeline_spark.operators.dedup import (
+            minhash_index_relations,
+        )
+        from yelp_data_pipeline_spark.streaming.sinks import (
+            curate_stream_curated,
+            freeze_dedup_index,
+        )
+
+        # Accepted corpus: the exact text of stream doc 5 (7-token
+        # doc, inside the length gate) under a different id.
+        corpus = spark.createDataFrame(
+            [(1000, " ".join(f"w5t{j}" for j in range(6)))],
+            "doc_id long, text string",
+        )
+        ref = str(tmp_path / "ref")
+        freeze_dedup_index(corpus, ref)
+        target = str(tmp_path / "curate_gated")
+        self._run(spark, target, [list(range(0, 20))], ref=ref)
+
+        got_ids = sorted(
+            r["doc_id"] for r in curate_stream_curated(spark, target).collect()
+        )
+        ikeys, ish = minhash_index_relations(corpus, "doc_id", "text")
+        cur_b, _ = self._twin(
+            spark, self._docs(spark, range(20)), ref_rel=(ikeys, ish)
+        )
+        assert got_ids == sorted(r["doc_id"] for r in cur_b.collect())
+        assert 5 not in got_ids          # gated out by the frozen index
+        assert 6 in got_ids              # its neighbors survive
+
+    def test_replay_is_exactly_once(self, spark, tmp_path):
+        from yelp_data_pipeline_spark.streaming.sinks import (
+            curate_stream_batch,
+            curate_stream_curated,
+        )
+
+        target = str(tmp_path / "curate_replay")
+        assert curate_stream_batch(
+            self._docs(spark, range(10)), 0, target,
+            quality_min=0.0, min_tokens=3, max_tokens=8,
+            seq_len=16, n_shards=2,
+        )
+        fp0 = sorted(
+            r["fp"] for r in spark.read.parquet(target + "_fps").collect()
+        )
+        n0 = curate_stream_curated(spark, target).count()
+        assert not curate_stream_batch(   # ledger marker short-circuits
+            self._docs(spark, range(10)), 0, target,
+            quality_min=0.0, min_tokens=3, max_tokens=8,
+            seq_len=16, n_shards=2,
+        )
+        assert sorted(
+            r["fp"] for r in spark.read.parquet(target + "_fps").collect()
+        ) == fp0
+        assert curate_stream_curated(spark, target).count() == n0
+
+    def test_crash_between_state_swaps_replays_to_same_results(
+        self, spark, tmp_path
+    ):
+        """The window that makes the ONE-ledger design necessary: the
+        fingerprint swap landed but the packer swap and the marker did
+        NOT. Recovery must roll the fingerprint state back (else the
+        replay sees the batch's own fingerprints as 'seen' and scrubs
+        every doc) and the replay must land identical curated rows,
+        assignments, and states."""
+        import os
+        import shutil
+
+        from yelp_data_pipeline_spark.streaming.sinks import (
+            curate_stream_batch,
+            curate_stream_curated,
+            pack_stream_assignments,
+        )
+
+        kw = dict(
+            quality_min=0.0, min_tokens=3, max_tokens=8,
+            seq_len=16, n_shards=2,
+        )
+        target = str(tmp_path / "curate_crash")
+        curate_stream_batch(self._docs(spark, range(10)), 0, target, **kw)
+        curate_stream_batch(self._docs(spark, range(10, 20)), 1, target, **kw)
+        committed_cur = sorted(
+            r["doc_id"] for r in curate_stream_curated(spark, target).collect()
+        )
+        committed_asg = {
+            r["doc_id"]: (r["shard"], r["start_offset"], r["pack_id"])
+            for r in pack_stream_assignments(spark, target).collect()
+        }
+        committed_fp = sorted(
+            r["fp"] for r in spark.read.parquet(target + "_fps").collect()
+        )
+
+        # Reconstruct the crash window from a batch-0-only replica:
+        # fp state = post-fold with its pre-fold orphan still on disk,
+        # pack state = pre-fold, marker absent, batch-1 logs gone.
+        t2 = str(tmp_path / "prefold")
+        curate_stream_batch(self._docs(spark, range(10)), 0, t2, **kw)
+        spark.read.parquet(t2 + "_fps").write.mode("overwrite").parquet(
+            target + "_fps.old-1"
+        )
+        shutil.rmtree(target + "_pack")
+        spark.read.parquet(t2 + "_pack").write.mode("overwrite").parquet(
+            target + "_pack"
+        )
+        os.remove(os.path.join(target + "_applied", "batch-1"))
+        shutil.rmtree(os.path.join(target + "_curated", "batch-1"))
+        shutil.rmtree(os.path.join(target + "_assignments", "batch-1"))
+
+        assert curate_stream_batch(
+            self._docs(spark, range(10, 20)), 1, target, **kw
+        )
+        assert sorted(
+            r["doc_id"] for r in curate_stream_curated(spark, target).collect()
+        ) == committed_cur
+        assert {
+            r["doc_id"]: (r["shard"], r["start_offset"], r["pack_id"])
+            for r in pack_stream_assignments(spark, target).collect()
+        } == committed_asg
+        assert sorted(
+            r["fp"] for r in spark.read.parquet(target + "_fps").collect()
+        ) == committed_fp

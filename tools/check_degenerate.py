@@ -33,13 +33,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from yelp_data_pipeline_spark import TABLES  # noqa: E402
 
-# The documented residuals (BASELINE.md round-13 contract sections).
-EMPTY_ALLOWED = {
-    # Engine-semantics boundary: SQL emits the () grand-total
-    # grouping-set row over empty input; Spark's cube/rollup emit none.
-    "priority_status_cube",
-    "priority_status_rollup",
-}
+# The documented residuals (BASELINE.md round-13/14 contract sections).
+# Round 14 closed the cube/rollup () grand-total residual (the
+# aggregates.empty_grand_total limit(1)-gated fallback union) — the
+# empty sweep now has ZERO allowed failures.
+EMPTY_ALLOWED: set[str] = set()
 
 ONE_ROW_ALLOWED = {
     # Data-derived-parameter preconditions that SHOULD raise on a
@@ -55,9 +53,26 @@ ONE_ROW_ALLOWED = {
     "whitened_embedding_sample",
 }
 
-# Two identical rows (duplicate keys, zero variance with n > 1,
-# single-token text, empty props) — filled from the round-14 sweep.
-TIES_ALLOWED: set[str] = set()
+# Two rows with distinct keys but identical values everywhere (zero
+# variance with n > 1, exact-dup content, single-token text, empty
+# props): the degenerate-VALUE regime. Residuals are the same two
+# documented contracts as the one-row sweep — nothing ties-specific
+# survived round 14 (winnowing ''-serialization and the BPE encoder's
+# fewer-than-`merges`-rules chain were fixed there).
+TIES_ALLOWED = {
+    # Data-derived-parameter preconditions that SHOULD raise (two
+    # identical vectors cannot seed k distinct centroids / satisfy
+    # eval preconditions; same class as ONE_ROW_ALLOWED).
+    "personalized_pagerank_nation",
+    "pq_recall_eval",
+    "retrieval_health_report",
+    "embedding_neardup_ivf",
+    "kmeans_assignments",
+    # Rank-1 covariance (two identical embeddings): eigenvector
+    # direction undefined, engine-dependent output.
+    "embedding_principal_component",
+    "whitened_embedding_sample",
+}
 
 
 # Degenerate VALUE overrides for the ties fixture (ADVICE r13): the
@@ -86,7 +101,19 @@ def _build_fixture(src: str, dst: str, mode: str) -> None:
                     f"SELECT * REPLACE ({repl}) FROM '{src}/{t}.parquet' "
                     "ORDER BY 1 LIMIT 1"
                 )
-            sel = f"WITH o AS ({one}) SELECT * FROM o UNION ALL SELECT * FROM o"
+            # Two rows with DISTINCT keys (first column is every
+            # table's leading key) but IDENTICAL values otherwise:
+            # all ties, zero variance, exact-dup content — WITHOUT
+            # violating the engine's unique-key loader contract
+            # (duplicate keys make cross-engine divergence benign and
+            # would drown the real signal).
+            key = duckdb.sql(
+                f"DESCRIBE SELECT * FROM '{src}/{t}.parquet'"
+            ).fetchall()[0][0]
+            sel = (
+                f"WITH o AS ({one}) SELECT * FROM o "
+                f"UNION ALL SELECT * REPLACE ({key} + 1 AS {key}) FROM o"
+            )
         else:
             raise ValueError(mode)
         duckdb.sql(f"COPY ({sel}) TO '{dst}/{t}.parquet' (FORMAT parquet)")

@@ -39,6 +39,46 @@ def group_count(df: DataFrame, keys: list[str], alias: str = "cnt") -> DataFrame
     return df.groupBy(*keys).agg(F.count(F.lit(1)).alias(alias))
 
 
+def empty_grand_total(
+    result: DataFrame,
+    source: DataFrame,
+    fallback: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Close the cube/rollup empty-input gap against SQL semantics:
+    ``GROUP BY CUBE/ROLLUP`` over an EMPTY relation emits the ()
+    grand-total grouping-set row (keys NULL, COUNT 0, SUM NULL) in
+    ANSI SQL, while Spark's cube/rollup emit nothing.
+
+    The fallback row is gated on ``source`` (the cube's input) being
+    empty, probed with ``limit(1)`` — a one-row CollectLimit that
+    scans partitions incrementally and stops at the first row, so the
+    probe costs one split at any scale; the fact table is never
+    rescanned in full (counting over the grouped RESULT instead would
+    duplicate the whole aggregate: column pruning specializes the
+    gate's copy, defeating ReusedExchange — measured on the cube
+    plan). On nonempty input the gate arm is an empty relation and
+    the union is a no-op. ``fallback`` overrides per output column
+    (COUNT-like columns want ``F.lit(0)``); everything else NULLs at
+    its schema type, exactly the SQL () row.
+    """
+    fallback = fallback or {}
+    gate = (
+        source.select(F.lit(1).alias("__x"))
+        .limit(1)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") == 0)
+    )
+    row = gate.select(
+        [
+            (fallback[f.name] if f.name in fallback else F.lit(None))
+            .cast(f.dataType)
+            .alias(f.name)
+            for f in result.schema.fields
+        ]
+    )
+    return result.unionByName(row)
+
+
 def salted_group_count(
     df: DataFrame, keys: list[str], alias: str = "cnt", salt_buckets: int = 16
 ) -> DataFrame:

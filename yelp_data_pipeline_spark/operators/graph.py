@@ -35,6 +35,12 @@ from pyspark.storagelevel import StorageLevel
 # block write, not a recompute.
 CHECKPOINT_EVERY = 1
 
+# Introspection: rounds the last connected_components call took to
+# reach the label fixpoint (the changed==0 exit round included).
+# Written for measurement tooling (BASELINE.md convergence tables);
+# never read by the operators themselves.
+LAST_CC_ROUNDS: int = 0
+
 
 def connected_components(
     edges: DataFrame,
@@ -121,6 +127,8 @@ def connected_components(
         last_persisted = persisted
         if changed == 0:
             break
+    global LAST_CC_ROUNDS
+    LAST_CC_ROUNDS = it + 1
     sym.unpersist()
     if changed != 0:
         last_persisted.unpersist()

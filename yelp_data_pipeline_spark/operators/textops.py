@@ -1951,7 +1951,11 @@ def zipf_fit(
     n = F.col("n").cast("double")
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
     sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    # A one-distinct-word corpus puts every point at rank 1: the OLS
+    # denominator is exactly 0 (undefined slope) — NULL, matching SQL
+    # division semantics, never an ANSI DIVIDE_BY_ZERO.
+    denom = n * sxx - sx * sx
+    slope = F.when(denom != 0, (n * sxy - sx * sy) / denom)
     return m.select(
         F.col("n").alias("n_points"),
         F.round(slope, 6).alias("slope"),

@@ -586,7 +586,8 @@ def q_split_hours_range(spark, sf_dir):
 @_q(
     "json_extract_props",
     """
-SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+SELECT event_id,
+       CAST(json_extract_string(NULLIF(props, ''), '$.k') AS INT) AS k
 FROM events
 """,
     doc="M4-adjacent — JSON string column → typed value (B2S:45-54; "
@@ -646,7 +647,8 @@ def q_flatten_nested_structs(spark, sf_dir):
 @_q(
     "detect_parse_json_props",
     """
-SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+SELECT event_id,
+       CAST(json_extract_string(NULLIF(props, ''), '$.k') AS BIGINT) AS k
 FROM events
 """,
     doc="M3+M4 — JSON-column detector (single aggregated pass, not one "
@@ -656,13 +658,15 @@ FROM events
 def q_detect_parse_json_props(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     detected = cl.detect_json_string_columns(e, ["event_type", "props"])
-    if not detected and e.isEmpty():
-        # Empty relation: the detector correctly finds nothing —
-        # return the 0-row result with the contract schema instead of
-        # tripping the fixture assertion below (which pins the
-        # detector against NONEMPTY data).
+    if not detected:
+        # The detector correctly finds nothing — on an empty relation
+        # OR a corpus whose props column holds no parseable JSON
+        # (e.g. all-empty strings): emit the contract schema with
+        # NULL k (what extracting from unparseable JSON yields) rather
+        # than tripping the fixture assertion below, which pins the
+        # detector against data that DOES carry JSON.
         return e.select(
-            "event_id", F.lit(None).cast("string").alias("k")
+            "event_id", F.lit(None).cast("bigint").alias("k")
         )
     assert detected == ["props"], f"detector should find props only: {detected}"
     parsed = cl.parse_json_columns(e, detected)
@@ -1078,13 +1082,16 @@ SELECT o_orderpriority, o_orderstatus, count(*) AS cnt,
 FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
 """,
     doc="Cube (SURVEY §2.4 'built-in if needed'): all 2^k grouping "
-    "sets in one pass.",
+    "sets in one pass. Empty-input () grand-total row restored via "
+    "the self-gated fallback union (aggregates.empty_grand_total) — "
+    "ReusedExchange keeps the nonempty plan single-scan.",
 )
 def q_priority_status_cube(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
-    return o.cube("o_orderpriority", "o_orderstatus").agg(
+    cube = o.cube("o_orderpriority", "o_orderstatus").agg(
         F.count(F.lit(1)).alias("cnt"), agg.exact_sum("o_totalprice", "sum_price")
     )
+    return agg.empty_grand_total(cube, o, {"cnt": F.lit(0)})
 
 
 @_q(
@@ -1741,13 +1748,15 @@ SELECT o_orderpriority, o_orderstatus, count(*) AS cnt,
 FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 """,
     doc="Rollup (SURVEY §2.4 'built-in if needed'): hierarchical "
-    "subtotals in one pass.",
+    "subtotals in one pass. Empty-input () grand-total row restored "
+    "via the self-gated fallback union (aggregates.empty_grand_total).",
 )
 def q_priority_status_rollup(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
-    return o.rollup("o_orderpriority", "o_orderstatus").agg(
+    rolled = o.rollup("o_orderpriority", "o_orderstatus").agg(
         F.count(F.lit(1)).alias("cnt"), agg.exact_sum("o_totalprice", "sum_price")
     )
+    return agg.empty_grand_total(rolled, o, {"cnt": F.lit(0)})
 
 
 # --------------------------------------------------------------------------
@@ -3017,12 +3026,12 @@ h AS (
   SELECT doc_id, list_transform(grams, s -> {md5_long_sql('s')}) AS hs FROM g
 )
 SELECT doc_id,
-       array_to_string(
+       COALESCE(array_to_string(
          CASE WHEN len(hs) >= 4 THEN
                 list_sort(list_distinct(list_transform(
                   generate_series(1, len(hs) - 3), i -> list_min(hs[i:i+3]))))
               WHEN len(hs) > 0 THEN [list_min(hs)]
-              ELSE [] END, ',') AS fingerprints
+              ELSE [] END, ','), '') AS fingerprints
 FROM h
 """,
     doc="Winnowing (rolling-hash) document fingerprints — SIGMOD'03 "
@@ -8991,13 +9000,20 @@ dw0 AS (
   WHERE length(w) >= 1
 )""")
     for t in range(1, merges + 1):
+        # LEFT JOIN, not cross join: a degenerate corpus (all words
+        # single-symbol) learns FEWER than `merges` rules, leaving
+        # b{t} empty — a cross join would wipe every document out of
+        # the chain; the encoder must pass docs through unchanged
+        # when round t has no rule (the Spark side applies an empty
+        # rule list as a no-op).
         parts.append(f""",
 dw{t} AS (
   SELECT d.doc_id,
-         replace(d.r,
+         CASE WHEN b.pair IS NULL THEN d.r
+              ELSE replace(d.r,
                  {sep} || replace(b.pair, ' ', {dsep}) || {sep},
-                 {sep} || replace(b.pair, ' ', '') || {sep}) AS r
-  FROM dw{t - 1} d, b{t} b
+                 {sep} || replace(b.pair, ' ', '') || {sep}) END AS r
+  FROM dw{t - 1} d LEFT JOIN b{t} b ON TRUE
 )""")
     parts.append(f"""
 SELECT doc_id,

@@ -136,6 +136,24 @@ def _commit_state(
     after the swap would leave an unrecorded fold that a replay
     double-counts and nothing to roll back to. Every crash window
     this leaves open is repaired by :func:`_recover_state`."""
+    old = _swap_state_keep_old(df, target_path, batch_id)
+    if marker is not None:
+        with open(marker, "w") as f:
+            f.write("")
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
+def _swap_state_keep_old(
+    df: DataFrame, target_path: str, batch_id: int
+) -> str:
+    """The swap half of the protocol alone: stage, displace, rename —
+    leaving the displaced ``.old-<id>`` state ON DISK and writing no
+    marker, so a MULTI-state sink can swap each of its state paths and
+    land ONE ledger marker after all of them (the curation composite).
+    Until that marker lands, every swap remains rollback-able by
+    :func:`_recover_state`; the caller removes the returned old dir
+    after the marker. Returns the old-state path."""
     staged = f"{target_path}.staged-{batch_id}"
     df.write.mode("overwrite").parquet(staged)
     old = f"{target_path}.old-{batch_id}"
@@ -147,11 +165,7 @@ def _commit_state(
     if os.path.exists(target_path):
         os.rename(target_path, old)
     os.rename(staged, target_path)
-    if marker is not None:
-        with open(marker, "w") as f:
-            f.write("")
-    if os.path.exists(old):
-        shutil.rmtree(old)
+    return old
 
 
 def _live_state_path(target_path: str) -> str:
@@ -900,8 +914,6 @@ def pack_stream_batch(
     rows. Nothing grows with stream volume except the append-only
     assignment log — which is the product.
     """
-    from ..operators.packing import pack_base
-
     spark = batch_df.sparkSession
     ledger = target_path + "_applied"
     os.makedirs(ledger, exist_ok=True)
@@ -910,7 +922,40 @@ def pack_stream_batch(
         return False
     _recover_state(target_path, ledger)
 
+    carry = _pack_carry(spark, target_path)
+    asg = _pack_fold(batch_df, carry, seq_len, n_shards, id_col, text_col, salt)
+    log_dir = os.path.join(target_path + "_assignments", f"batch-{batch_id}")
+    asg.write.mode("overwrite").parquet(log_dir)
+
+    new_state = _pack_state_fold(spark, carry, log_dir)
+    _commit_state(new_state, target_path, batch_id, marker)
+    return True
+
+
+def _pack_carry(spark, target_path: str) -> DataFrame:
+    """The packer's committed per-shard carry, or the empty monoid."""
+    if os.path.exists(target_path):
+        return spark.read.parquet(_live_state_path(target_path))
+    return spark.createDataFrame([], "shard int, cum_tokens long")
+
+
+def _pack_fold(
+    batch_df: DataFrame,
+    carry: DataFrame,
+    seq_len: int,
+    n_shards: int,
+    id_col: str,
+    text_col: str,
+    salt: str,
+) -> DataFrame:
+    """ONE copy of the streaming packer's per-batch assignment algebra
+    (shared ``packing.pack_base`` projection + the balanced per-shard
+    window + carry join), extracted so :func:`pack_stream_batch` and
+    the curation composite fold identically — the same no-drift
+    discipline as ``pack_base`` itself."""
     from pyspark.sql import Window
+
+    from ..operators.packing import pack_base
 
     base = pack_base(batch_df, id_col, text_col, n_shards, salt)
     w = (
@@ -919,11 +964,7 @@ def pack_stream_batch(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     within = (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
-    if os.path.exists(target_path):
-        carry = spark.read.parquet(_live_state_path(target_path))
-    else:
-        carry = spark.createDataFrame([], "shard int, cum_tokens long")
-    asg = (
+    return (
         base.withColumn("_within", within)
         .join(F.broadcast(carry), "shard", "left")
         .select(
@@ -939,15 +980,18 @@ def pack_stream_batch(
             F.floor(F.col("start_offset") / F.lit(seq_len)).cast("long"),
         )
     )
-    log_dir = os.path.join(target_path + "_assignments", f"batch-{batch_id}")
-    asg.write.mode("overwrite").parquet(log_dir)
 
+
+def _pack_state_fold(spark, carry: DataFrame, log_dir: str) -> DataFrame:
+    """Fold one batch's WRITTEN assignment log into the carry monoid —
+    reading the log back (not re-deriving it) so the committed state
+    and the on-disk assignments can never disagree."""
     batch_tot = (
         spark.read.parquet(log_dir)
         .groupBy("shard")
         .agg(F.sum("n_tokens").cast("long").alias("add_tokens"))
     )
-    new_state = (
+    return (
         carry.join(batch_tot, "shard", "full")
         .select(
             "shard",
@@ -959,8 +1003,6 @@ def pack_stream_batch(
             .alias("cum_tokens"),
         )
     )
-    _commit_state(new_state, target_path, batch_id, marker)
-    return True
 
 
 def pack_stream_sink(
@@ -1011,5 +1053,195 @@ def pack_stream_assignments(
             [],
             f"{id_col} {id_type}, shard int, n_tokens int, "
             "start_offset long, pack_id long",
+        )
+    return spark.read.parquet(os.path.join(root, "batch-*"))
+
+
+# --------------------------------------------------------------------------
+# Streaming curation composite: scrub -> quality -> near-dup gate -> packer
+# --------------------------------------------------------------------------
+
+
+def curate_stream_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    target_path: str,
+    ref_path: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_min: float = 0.45,
+    min_tokens: int = 5,
+    max_tokens: int = 5000,
+    seq_len: int = 512,
+    n_shards: int = 8,
+    salt: str = "pack",
+    k: int = 12,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> bool:
+    """The END-TO-END streaming curation composite — the streaming
+    twin of the batch ``curated_documents`` → ``pack_sequences``
+    chain, assembled from the SAME shared constructions so stream and
+    batch cannot drift (pinned in tests/test_streaming_sinks.py):
+
+    1. **Scrub / incremental exact dedup** — every arriving doc's
+       normalized md5 fingerprint (``dedup.fingerprint``, the
+       ``curated_documents`` keep-CTE's exact hash) folds into the
+       cumulative SEEN-fingerprint state; a doc survives only if its
+       fingerprint is new to the corpus AND it is the min-id claimant
+       within its batch. ALL arriving fingerprints are folded —
+       including quality-rejected docs' — because the batch semantics
+       let a low-quality first arrival claim the fingerprint (keep =
+       min(doc_id) per fingerprint over the WHOLE corpus).
+    2. **Quality gate** — ``textops.quality_features`` score >=
+       ``quality_min`` and token count in [min_tokens, max_tokens]:
+       the identical predicate ``curated_documents`` applies.
+    3. **Near-dup gate** (optional, ``ref_path``) — survivors probe
+       the FROZEN accepted-corpus LSH index via the one
+       ``dedup.neardup_gate_log`` construction; verified matches are
+       dropped. Frozen index ⇒ a doc's verdict is a property of the
+       doc alone, so per-batch gating equals gating the batch twin's
+       whole curated relation.
+    4. **Packer** — survivors fold into the per-shard sequence-packer
+       carry via the SAME ``_pack_fold`` the standalone
+       ``pack_stream_batch`` uses.
+
+    ONE ledger marker governs the batch's BOTH state folds (seen
+    fingerprints at ``<target>_fps``, packer carry at
+    ``<target>_pack``): each state swaps via
+    ``_swap_state_keep_old`` and the marker lands only after both —
+    any crash before it rolls BOTH states back (``_recover_state``
+    sees marker-absent orphans), so a replay recomputes the SAME
+    survivors from the same pre-fold state. This is why the composite
+    cannot reuse two independent sinks: with per-subsystem ledgers, a
+    crash between commits would replay the batch against a
+    fingerprint state that already contains the batch's own
+    fingerprints, silently scrubbing every doc.
+
+    Per-batch logs (deterministic overwrite, written BEFORE the
+    swaps, byte-identical on replay): accepted docs at
+    ``<target>_curated/batch-<id>`` and pack assignments at
+    ``<target>_assignments/batch-<id>`` (readable with
+    :func:`pack_stream_assignments`).
+
+    Scale shape: fingerprint state is the distinct-content ledger
+    (16-byte keys — the honest linear cost of exact incremental
+    dedup; joins shuffle hashes, never text); packer state is
+    ``n_shards`` rows forever; gate probes are band-key bucket joins
+    against the frozen index. Nothing else grows with stream volume
+    except the append-only logs, which are the product.
+    """
+    from ..operators import textops as tx
+    from ..operators.dedup import fingerprint, neardup_gate_log
+    from ..session import release_tracked, track_persist
+
+    spark = batch_df.sparkSession
+    ledger = target_path + "_applied"
+    os.makedirs(ledger, exist_ok=True)
+    marker = os.path.join(ledger, f"batch-{batch_id}")
+    if os.path.exists(marker):
+        return False
+    fp_path = target_path + "_fps"
+    pk_path = target_path + "_pack"
+    _recover_state(fp_path, ledger)
+    _recover_state(pk_path, ledger)
+
+    if os.path.exists(fp_path):
+        seen = spark.read.parquet(_live_state_path(fp_path))
+    else:
+        seen = spark.createDataFrame([], "fp string")
+
+    # (1) scrub: first-arrival (min id) per UNSEEN fingerprint.
+    fps = batch_df.select(
+        F.col(id_col), fingerprint(F.col(text_col)).alias("fp")
+    )
+    firsts = track_persist(
+        fps.groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+        .join(seen, "fp", "left_anti")
+    )
+    scrubbed = batch_df.join(firsts.select(id_col), id_col, "left_semi")
+
+    # (2) quality gate — the curated_documents predicate.
+    q = tx.quality_features(scrubbed, id_col, text_col).filter(
+        (F.col("quality_score") >= quality_min)
+        & F.col("n_tokens").between(min_tokens, max_tokens)
+    )
+    gated = scrubbed.join(q.select(id_col), id_col, "left_semi")
+
+    # (3) near-dup gate against the frozen accepted-corpus index.
+    if ref_path is not None:
+        ikeys = spark.read.parquet(ref_path + "_keys")
+        ish = spark.read.parquet(ref_path + "_shingles")
+        rejects = neardup_gate_log(
+            gated, ikeys, ish, id_col, text_col,
+            k=k, bands=bands, n=n, threshold=threshold,
+        )
+        survivors = gated.join(
+            rejects.select(F.col("doc_in").alias(id_col)).distinct(),
+            id_col,
+            "left_anti",
+        )
+    else:
+        survivors = gated
+
+    # (4) packer fold over the survivors (shared _pack_fold algebra).
+    carry = _pack_carry(spark, pk_path)
+    asg = _pack_fold(
+        survivors, carry, seq_len, n_shards, id_col, text_col, salt
+    )
+
+    # Deterministic per-batch logs BEFORE any state swap: a replay
+    # recomputes them from the rolled-back pre-fold state and
+    # overwrites the same directories with the same bytes.
+    cur_dir = os.path.join(target_path + "_curated", f"batch-{batch_id}")
+    survivors.write.mode("overwrite").parquet(cur_dir)
+    asg_dir = os.path.join(target_path + "_assignments", f"batch-{batch_id}")
+    asg.write.mode("overwrite").parquet(asg_dir)
+
+    # Both state folds, then the ONE marker, then cleanup.
+    new_fp = seen.unionByName(firsts.select("fp")).distinct()
+    new_pk = _pack_state_fold(spark, carry, asg_dir)
+    old_fp = _swap_state_keep_old(new_fp, fp_path, batch_id)
+    old_pk = _swap_state_keep_old(new_pk, pk_path, batch_id)
+    with open(marker, "w") as f:
+        f.write("")
+    for old in (old_fp, old_pk):
+        if os.path.exists(old):
+            shutil.rmtree(old)
+    release_tracked()
+    return True
+
+
+def curate_stream_sink(
+    target_path: str,
+    ref_path: str | None = None,
+    **kwargs,
+):
+    """``foreachBatch`` callable for the streaming curation composite:
+    ``writeStream.foreachBatch(curate_stream_sink(path, ref))``."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        curate_stream_batch(batch_df, batch_id, target_path, ref_path, **kwargs)
+
+    return sink
+
+
+def curate_stream_curated(spark, target_path: str) -> DataFrame:
+    """Read the composite's cumulative accepted-document log (every
+    committed batch's survivor rows, full batch schema). A
+    never-started stream reads as an EMPTY relation with the
+    documents-table schema (doc_id/text/lang/source/n_chars) — the
+    engine's empty-relation posture; pass batches through
+    :func:`curate_stream_batch` first for any other schema."""
+    root = target_path + "_curated"
+    if not os.path.isdir(root) or not any(
+        nm.startswith("batch-") for nm in os.listdir(root)
+    ):
+        return spark.createDataFrame(
+            [],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
         )
     return spark.read.parquet(os.path.join(root, "batch-*"))
