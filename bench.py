@@ -273,6 +273,19 @@ def main() -> int:
         "sf": sf,
     }
     print(json.dumps(out))
+    # Full per-query map to a FILE as well: the driver's stdout tail
+    # only preserves the last ~50 rows of the inline map, which made
+    # round-over-round comparison of the full tail impossible
+    # (VERDICT r13 "what's wrong" #4). Overwritten per run; the round
+    # driver (or a human) snapshots it as BENCH_detail_r{n}.json.
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_detail.json"),
+    )
+    with open(detail_path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+        f.write("\n")
     # The driver captures a bounded TAIL of stdout and parses the last
     # JSON line it sees; the full per-query map above can exceed that
     # window (every BENCH_r*.json through r10 recorded "parsed": null

@@ -144,3 +144,53 @@ def test_cube_rollup_emit_grand_total_row_on_empty(spark, empty_sf_dir):
     for name in ("priority_status_cube", "priority_status_rollup"):
         rows = fns[name](spark, empty_sf_dir).collect()
         assert [tuple(r) for r in rows] == [(None, None, 0, None)], name
+
+
+# ---- all-ties (degenerate-VALUE) contract, round 14 -----------------------
+
+TIES_REPRESENTATIVES = [
+    "packed_boundary_loss_stats",  # 0 causal pairs -> fraction 0, not ANSI 0/0
+    "corpus_zipf_fit",             # one-distinct-word OLS denominator 0 -> NULL
+    "corpus_health_report",        # same class via its zipf pane
+    "detect_parse_json_props",     # detector finds nothing on valueless corpus
+    "json_extract_props",          # '' props -> NULL k (oracle NULLIF twin)
+    "winnowing_fingerprints",      # unshingleable doc -> '' serialization
+    "bpe_encoded_token_counts",    # fewer-than-`merges` learnable rules
+]
+
+
+@pytest.fixture(scope="module")
+def ties_sf_dir(tmp_path_factory):
+    """Two rows per table: DISTINCT keys (leading column +1), identical
+    values otherwise — zero variance at n > 1, exact-dup content,
+    single-token text, empty JSON props. Built by the same helper the
+    degenerate gate sweeps (tools/check_degenerate.py)."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tools"),
+    )
+    from check_degenerate import _build_fixture
+
+    d = tmp_path_factory.mktemp("sf_ties")
+    _build_fixture(SF_DIR, str(d), "ties")
+    return str(d)
+
+
+@pytest.mark.parametrize("name", TIES_REPRESENTATIVES)
+def test_all_ties_never_crashes(spark, ties_sf_dir, name):
+    """Degenerate VALUES (not row counts) are the third contract shape
+    — the regime that hid the packing ANSI 0/0 from the r13 gate."""
+    from yelp_data_pipeline_spark import queries as Q
+
+    fn = {s.name: s.fn for s in Q.registry()}[name]
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        rows = fn(spark, ties_sf_dir).collect()  # must not raise
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+    assert isinstance(rows, list)
