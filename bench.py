@@ -220,6 +220,8 @@ EXTRAS = [
     "dedup_family_agreement_text",
     "semantic_dedup_survivors_text",
     "multimodal_curation_funnel",
+    # round 14
+    "curated_packed_assignments",
 ]
 
 

@@ -223,13 +223,13 @@ def test_export_window_contract():
     assert len(set(_EXPORT_PRIORITY)) == 50
     missing = [n for n in _EXPORT_PRIORITY if n not in qs]
     assert not missing, f"window names not in registry: {missing}"
-    # Round-14 rotation: ALL 49 round-7-stale names, topped up with
-    # the earliest round-8-stale name (update this pin when the
-    # window rotates each round).
+    # Round-14 rotation: the new composite-twin row leads, then ALL
+    # 49 round-7-stale names (update this pin when the window rotates
+    # each round).
+    assert _EXPORT_PRIORITY[0] == "curated_packed_assignments"
     assert "event_lag_gaps" in _EXPORT_PRIORITY
     assert "duplicate_substring_spans" in _EXPORT_PRIORITY
     assert "priority_status_cube" in _EXPORT_PRIORITY
-    assert "nation_market_share_by_year" in _EXPORT_PRIORITY
     assert list(qs)[:50] == _EXPORT_PRIORITY
     # Everything the driver can sample is oracle-backed.
     osql = oracle_sql()

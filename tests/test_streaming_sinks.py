@@ -1225,3 +1225,37 @@ class TestCurateStreamSink:
         assert sorted(
             r["fp"] for r in spark.read.parquet(target + "_fps").collect()
         ) == committed_fp
+
+
+def test_curate_stream_defaults_equal_registry_twin(spark, tmp_path):
+    """The registry's driver-hashed `curated_packed_assignments` row
+    IS the stream composite at its default knobs: streaming the real
+    documents fixture in two id-ordered batches reproduces the batch
+    row's assignment relation exactly — so the driver's hash covers
+    the composite's end-to-end algebra."""
+    from pyspark.sql import functions as F
+
+    from conftest import SF_DIR
+    from yelp_data_pipeline_spark import queries as Q
+    from yelp_data_pipeline_spark.streaming.sinks import (
+        curate_stream_batch,
+        pack_stream_assignments,
+    )
+    from yelp_data_pipeline_spark.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    mid = 250
+    target = str(tmp_path / "curate_defaults")
+    curate_stream_batch(docs.filter(F.col("doc_id") < mid), 0, target)
+    curate_stream_batch(docs.filter(F.col("doc_id") >= mid), 1, target)
+
+    got = {
+        r["doc_id"]: (r["shard"], r["n_tokens"], r["start_offset"], r["pack_id"])
+        for r in pack_stream_assignments(spark, target).collect()
+    }
+    twin = {s.name: s.fn for s in Q.registry()}["curated_packed_assignments"]
+    want = {
+        r["doc_id"]: (r["shard"], r["n_tokens"], r["start_offset"], r["pack_id"])
+        for r in twin(spark, SF_DIR).collect()
+    }
+    assert got == want and len(got) > 100

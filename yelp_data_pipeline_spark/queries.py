@@ -5151,6 +5151,67 @@ def q_packed_boundary_loss_stats(spark, sf_dir):
 
 
 @_q(
+    "curated_packed_assignments",
+    f"""
+WITH {_CURATE_Q_CTE},
+{_CURATE_KEEP_CTE},
+cur AS (
+  SELECT d.doc_id, d.text
+  FROM documents d
+  JOIN keep USING (doc_id)
+  JOIN q USING (doc_id)
+  WHERE q.quality_score >= 0.45 AND q.n_tokens BETWEEN 5 AND 5000
+),
+t AS (
+  SELECT doc_id,
+         CAST({_PACK_SHARD_SQL} % 8 AS INT) AS shard,
+         CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS INT) AS n_tokens
+  FROM cur
+),
+r AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens
+              AS BIGINT) AS start_offset
+  FROM t
+)
+SELECT doc_id, shard, n_tokens, start_offset,
+       start_offset // 512 AS pack_id
+FROM r
+""",
+    doc="The batch-checkable twin of the STREAMING curation composite "
+    "(streaming/sinks.py:curate_stream_batch — scrub -> quality gate "
+    "-> sequence packer under ONE ledger): fingerprint-dedup "
+    "survivors ∩ the curated_documents quality/length predicate, "
+    "packed by the shared concat-and-chop algebra at the composite's "
+    "default knobs (quality 0.45, tokens [5, 5000], seq_len 512, 8 "
+    "shards). Equals the stream sink's cumulative assignment log on "
+    "id-ordered arrival (the TestCurateStreamSink theorem, pinned "
+    "against THIS registry row on the real documents fixture) — so "
+    "the driver hashes the composite's actual end-to-end algebra, "
+    "not a parallel copy. Oracle replays curation CTEs + the packing "
+    "window; plan is the curated semi-joins feeding ONE balanced "
+    "per-shard window.",
+)
+def q_curated_packed_assignments(spark, sf_dir):
+    from .operators import packing as pk
+
+    docs = _t(spark, sf_dir, "documents")
+    q = tx.quality_features(docs, "doc_id", "text").filter(
+        (F.col("quality_score") >= 0.45) & F.col("n_tokens").between(5, 5000)
+    )
+    keep = (
+        tx.doc_fingerprints(docs, "doc_id", "text")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    cur = docs.join(keep.select("doc_id"), "doc_id", "left_semi").join(
+        q.select("doc_id"), "doc_id", "left_semi"
+    )
+    return pk.pack_sequences(cur, seq_len=512, n_shards=8)
+
+
+@_q(
     "split_assignments",
     f"""
 SELECT doc_id,
@@ -17795,7 +17856,9 @@ def q_multimodal_curation_funnel(spark, sf_dir):
 # always sweeps all entries regardless of order.
 _EXPORT_PRIORITY: list[str] = [
     # Round-14 window (50-slot cap), oldest-verdict-first rotation:
-    # (1) ALL 49 round-7-stale names (VERDICT r13 item #1: the only
+    # (1) the query NEW this round (round-14 addition):
+    "curated_packed_assignments",
+    # (2) ALL 49 round-7-stale names (VERDICT r13 item #1: the only
     #     names whose latest driver verdict is round 7), in registry
     #     order:
     "event_lag_gaps",
@@ -17847,9 +17910,6 @@ _EXPORT_PRIORITY: list[str] = [
     "nation_theil_sen_trend",
     "unigram_lm_piece_scores",
     "duplicate_substring_spans",
-    # (2) top-up to 50 with the earliest round-8-stale name (registry
-    #     order) — the round-15 rotation starts here:
-    "nation_market_share_by_year",
 ]
 
 
