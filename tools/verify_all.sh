@@ -6,19 +6,22 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 SF="${1:-/root/testdata/sf0.01}"
 
-echo "== 1/5 oracle type audit (pandas-safe final projections) =="
+echo "== 1/6 oracle type audit (pandas-safe final projections) =="
 python tools/audit_oracle_types.py
 
-echo "== 2/5 full registry sweep vs DuckDB, ANSI ON, at $SF =="
+echo "== 2/6 full registry sweep vs DuckDB, ANSI ON, at $SF =="
 SPARK_GRAFT_ANSI=true python tools/check_oracle.py "$SF"
 
-echo "== 3/5 plan audit (default sweep: cartesian/NLJ classification) =="
+echo "== 3/6 plan audit (default sweep: cartesian/NLJ classification) =="
 python tools/audit_plans.py
 
-echo "== 4/5 pytest =="
+echo "== 4/6 pytest =="
 python -m pytest tests/ -x -q
 
-echo "== 5/5 bench (one JSON line) =="
+echo "== 5/6 degenerate-input gate (empty / one-row / ties sweeps) =="
+python tools/check_degenerate.py
+
+echo "== 6/6 bench (one JSON line) =="
 python bench.py
 
 echo "ALL VERIFICATION STAGES GREEN"
