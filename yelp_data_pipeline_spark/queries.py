@@ -13308,7 +13308,7 @@ def q_event_value_anova_f(spark, sf_dir):
 
 @_q(
     "source_unigram_jsd",
-    """
+    r"""
 WITH cells AS (
   SELECT source AS g, w, CAST(count(*) AS BIGINT) AS y
   FROM (SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
@@ -13369,7 +13369,7 @@ def q_source_unigram_jsd(spark, sf_dir):
 
 @_q(
     "quality_gate_kappa",
-    """
+    r"""
 WITH base AS (
   SELECT doc_id,
          string_split_regex(trim(lower(text)), '\s+') AS toks,
@@ -13619,7 +13619,7 @@ def q_event_type_ranksum_scan(spark, sf_dir):
 
 @_q(
     "vocab_chao1_richness",
-    """
+    r"""
 WITH counts AS (
   SELECT w, count(*) AS c
   FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
@@ -13847,7 +13847,7 @@ def q_event_value_levene(spark, sf_dir):
 
 @_q(
     "word_burstiness",
-    """
+    r"""
 WITH per_doc AS (
   SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
   FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
@@ -14497,7 +14497,7 @@ def q_daily_count_runs_test(spark, sf_dir):
 
 @_q(
     "tfidf_doc_similarity",
-    """
+    r"""
 WITH tf AS (
   SELECT doc_id AS id, t, CAST(count(*) AS BIGINT) AS tf
   FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
@@ -14648,7 +14648,7 @@ def q_ann_rank_quality(spark, sf_dir):
 
 @_q(
     "quality_score_auc",
-    """
+    r"""
 WITH base AS (
   SELECT doc_id,
          string_split_regex(trim(lower(text)), '\s+') AS toks,
@@ -14741,7 +14741,7 @@ def q_quality_score_auc(spark, sf_dir):
 
 @_q(
     "quality_score_lift",
-    """
+    r"""
 WITH base AS (
   SELECT doc_id,
          string_split_regex(trim(lower(text)), '\s+') AS toks,
