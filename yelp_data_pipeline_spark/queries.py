@@ -4769,7 +4769,7 @@ def q_sliding_event_counts(spark, sf_dir):
     "user_sessions",
     """
 WITH flagged AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
                    OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_sess
@@ -4777,8 +4777,13 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 numbered AS (
+  -- (ts, event_id), the SAME total order as flagged's window: with
+  -- ts ties (two events in one instant) an ts-only ROWS cumsum can
+  -- fold the tied rows' 1/0 flags in either order — one session or
+  -- two, run-dependent (caught by the all-ties degenerate fixture).
   SELECT user_id, ts,
-         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess_no
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_no
   FROM flagged
 )
 SELECT user_id, min(ts) AS sess_start, max(ts) + INTERVAL 30 MINUTE AS sess_end,
