@@ -1259,3 +1259,62 @@ def test_curate_stream_defaults_equal_registry_twin(spark, tmp_path):
         for r in twin(spark, SF_DIR).collect()
     }
     assert got == want and len(got) > 100
+
+
+def test_curate_stream_sink_via_real_writestream(spark, tmp_path):
+    """The composite under an actual Structured Streaming driver
+    (readStream → writeStream.foreachBatch, availableNow): multiple
+    source files arrive as micro-batches, the sink curates+packs them,
+    and a restart from the same checkpoint re-enters nothing."""
+    from pyspark.sql import functions as F
+
+    from yelp_data_pipeline_spark.streaming.sinks import (
+        applied_batches,
+        curate_stream_curated,
+        curate_stream_sink,
+        pack_stream_assignments,
+    )
+
+    src = tmp_path / "docsrc"
+    src.mkdir()
+    mk = TestCurateStreamSink()._docs
+    mk(spark, range(0, 20)).coalesce(1).write.parquet(str(src / "f0"))
+    mk(spark, range(20, 40)).coalesce(1).write.parquet(str(src / "f1"))
+    target = str(tmp_path / "curate_stream")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("recursiveFileLookup", "true")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                curate_stream_sink(
+                    target, quality_min=0.0, min_tokens=3, max_tokens=8,
+                    seq_len=16, n_shards=2,
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run("ckpt_a")
+    cur1 = sorted(
+        r["doc_id"] for r in curate_stream_curated(spark, target).collect()
+    )
+    asg1 = sorted(map(tuple, pack_stream_assignments(spark, target).collect()))
+    assert len(applied_batches(target)) >= 1 and cur1
+    # dups of earlier text (ids >= 20) were scrubbed across batches
+    assert all(i < 20 for i in cur1)
+
+    run("ckpt_a")  # restart, same checkpoint: nothing re-enters
+    assert sorted(
+        r["doc_id"] for r in curate_stream_curated(spark, target).collect()
+    ) == cur1
+    assert sorted(
+        map(tuple, pack_stream_assignments(spark, target).collect())
+    ) == asg1
