@@ -1,0 +1,146 @@
+"""Manifest-based versioned table (operators/versioned.py) — the
+jar-free Delta-semantics twin: time travel, append file-sharing,
+RESTORE, VACUUM retention, optimistic-concurrency commit, crash
+orphan invisibility."""
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from yelp_data_pipeline_spark.operators import versioned as vt
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k int, val string")
+
+
+def _vals(df):
+    return {(r.k, r.val) for r in df.collect()}
+
+
+def test_create_merge_time_travel(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    vt.create_versioned(_df(spark, [(1, "a"), (2, "b")]), t)
+    vt.merge_versioned(spark, _df(spark, [(2, "B"), (3, "c")]), t, ["k"])
+
+    assert vt.list_versions(t) == [0, 1]
+    # Time travel: version 0 is intact AFTER the merge commit.
+    assert _vals(vt.read_version(spark, t, 0)) == {(1, "a"), (2, "b")}
+    # Latest = MERGE semantics: matched row updated, new row inserted.
+    assert _vals(vt.read_version(spark, t)) == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_merge_on_empty_table_creates(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    m = vt.merge_versioned(spark, _df(spark, [(1, "a")]), t, ["k"])
+    assert m["version"] == 0 and m["op"] == "overwrite"
+    assert _vals(vt.read_version(spark, t)) == {(1, "a")}
+
+
+def test_append_shares_previous_files(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    v0 = vt.create_versioned(_df(spark, [(1, "a")]), t)
+    v1 = vt.append_versioned(_df(spark, [(2, "b")]), t)
+    # Zero-rewrite append: every v0 physical file is re-referenced.
+    assert set(v0["files"]) < set(v1["files"])
+    assert _vals(vt.read_version(spark, t, 1)) == {(1, "a"), (2, "b")}
+    assert _vals(vt.read_version(spark, t, 0)) == {(1, "a")}
+
+
+def test_restore_is_metadata_only(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    v0 = vt.create_versioned(_df(spark, [(1, "a")]), t)
+    vt.merge_versioned(spark, _df(spark, [(1, "A")]), t, ["k"])
+    before = set(glob.glob(os.path.join(t, "data", "*", "*.parquet")))
+    m = vt.restore_versioned(t, 0)
+    after = set(glob.glob(os.path.join(t, "data", "*", "*.parquet")))
+    assert before == after  # no data files written
+    assert m["files"] == v0["files"]
+    assert _vals(vt.read_version(spark, t)) == {(1, "a")}
+    # Intervening history still readable.
+    assert _vals(vt.read_version(spark, t, 1)) == {(1, "A")}
+
+
+def test_concurrent_commit_loses_cleanly(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    vt.create_versioned(_df(spark, [(1, "a")]), t)
+    # Simulate a racing writer that won version 1.
+    os.makedirs(os.path.join(t, "_manifest"), exist_ok=True)
+    with open(os.path.join(t, "_manifest", "v00000001.json"), "w") as f:
+        json.dump({"version": 1, "op": "append", "files": [], "n_files": 0}, f)
+    with pytest.raises(vt.ConcurrentCommitError):
+        vt._commit_manifest(t, 1, "merge", [])
+    # Table state untouched by the loser.
+    assert _vals(vt.read_version(spark, t, 0)) == {(1, "a")}
+
+
+def test_crashed_writer_orphans_invisible_then_vacuumed(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    vt.create_versioned(_df(spark, [(1, "a")]), t)
+    # Crash between step 1 (data write) and step 2 (manifest commit):
+    # files exist, nothing references them.
+    orphans = vt._write_snapshot_files(_df(spark, [(9, "z")]), t)
+    assert orphans
+    assert _vals(vt.read_version(spark, t)) == {(1, "a")}  # invisible
+    deleted = vt.vacuum_versioned(t)
+    assert deleted == len(orphans)
+    for f in orphans:
+        assert not os.path.exists(os.path.join(t, f))
+    assert _vals(vt.read_version(spark, t)) == {(1, "a")}  # unharmed
+
+
+def test_vacuum_retention_keeps_retained_versions_readable(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    vt.create_versioned(_df(spark, [(1, "a")]), t)
+    vt.merge_versioned(spark, _df(spark, [(1, "A")]), t, ["k"])
+    vt.merge_versioned(spark, _df(spark, [(2, "b")]), t, ["k"])
+    deleted = vt.vacuum_versioned(t, keep_versions=2)
+    assert deleted > 0  # v0's snapshot files dropped
+    assert vt.list_versions(t) == [1, 2]
+    assert _vals(vt.read_version(spark, t, 1)) == {(1, "A")}
+    assert _vals(vt.read_version(spark, t, 2)) == {(1, "A"), (2, "b")}
+    with pytest.raises(FileNotFoundError):
+        vt.read_manifest(t, 0)
+
+
+def test_version_history(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    vt.create_versioned(_df(spark, [(1, "a")]), t)
+    vt.append_versioned(_df(spark, [(2, "b")]), t)
+    vt.restore_versioned(t, 0)
+    hist = vt.version_history(spark, t).orderBy("version").collect()
+    assert [(r.version, r.op) for r in hist] == [
+        (0, "overwrite"),
+        (1, "append"),
+        (2, "restore(0)"),
+    ]
+    assert all(r.n_files >= 1 for r in hist)
+
+
+def test_empty_snapshot_reads_typed_empty(spark, tmp_path):
+    """An empty batch committed as a version reads back as a TYPED
+    empty relation (manifest carries the schema, like Delta's
+    metaData action) — the engine's empty-relation posture."""
+    t = str(tmp_path / "tbl")
+    vt.create_versioned(_df(spark, []), t)
+    out = vt.read_version(spark, t)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["k", "val"]
+    # Non-empty merge on top of the empty v0 still works.
+    vt.merge_versioned(spark, _df(spark, [(1, "a")]), t, ["k"])
+    assert _vals(vt.read_version(spark, t)) == {(1, "a")}
+
+
+def test_merge_rerun_idempotent(spark, tmp_path):
+    """Same updates merged twice: version advances, STATE is equal —
+    the property the reference's Airflow retries rely on."""
+    t = str(tmp_path / "tbl")
+    vt.create_versioned(_df(spark, [(1, "a"), (2, "b")]), t)
+    upd = _df(spark, [(2, "B"), (3, "c")])
+    vt.merge_versioned(spark, upd, t, ["k"])
+    once = _vals(vt.read_version(spark, t))
+    vt.merge_versioned(spark, upd, t, ["k"])
+    assert _vals(vt.read_version(spark, t)) == once

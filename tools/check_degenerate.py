@@ -94,9 +94,21 @@ def _build_fixture(src: str, dst: str, mode: str) -> None:
         elif mode == "one":
             sel = one
         elif mode == "ties":
+            desc = duckdb.sql(
+                f"DESCRIBE SELECT * FROM '{src}/{t}.parquet'"
+            ).fetchall()
             over = _TIES_OVERRIDES.get(t)
             if over:
-                repl = ", ".join(f"{v} AS {k}" for k, v in over.items())
+                # CAST each literal override to the SOURCE column's
+                # type (ADVICE r14): a bare `1 AS n_chars` would narrow
+                # BIGINT→INTEGER in the written parquet, so the ties
+                # sweep would exercise a different file schema than
+                # production and could mask type-dependent drift.
+                types = {name: typ for name, typ, *_ in desc}
+                repl = ", ".join(
+                    f"CAST({v} AS {types[k]}) AS {k}"
+                    for k, v in over.items()
+                )
                 one = (
                     f"SELECT * REPLACE ({repl}) FROM '{src}/{t}.parquet' "
                     "ORDER BY 1 LIMIT 1"
@@ -107,9 +119,7 @@ def _build_fixture(src: str, dst: str, mode: str) -> None:
             # violating the engine's unique-key loader contract
             # (duplicate keys make cross-engine divergence benign and
             # would drown the real signal).
-            key = duckdb.sql(
-                f"DESCRIBE SELECT * FROM '{src}/{t}.parquet'"
-            ).fetchall()[0][0]
+            key = desc[0][0]
             sel = (
                 f"WITH o AS ({one}) SELECT * FROM o "
                 f"UNION ALL SELECT * REPLACE ({key} + 1 AS {key}) FROM o"

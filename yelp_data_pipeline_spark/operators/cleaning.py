@@ -141,14 +141,17 @@ def split_range_column(
 
 
 def detect_json_string_columns(
-    df: DataFrame, candidates: list[str], sample_rows: int = 256
+    df: DataFrame, candidates: list[str], sample_rows: int | None = 256
 ) -> list[str]:
     """M3 — JSON-column detector (B2S:36-43), scale-fixed.
 
     The reference issues one ``filter(...).limit(1).collect()`` per
     candidate column (a driver round-trip each). Here a single
     aggregated pass computes, per column, whether any sampled non-null
-    value looks like a JSON object.
+    value looks like a JSON object. ``sample_rows=None`` probes the
+    FULL relation (one combinable ANY-style aggregate — map-side
+    partial, no limit), used to confirm a negative sampled verdict
+    before callers commit to a "no JSON anywhere" posture.
     """
     if not candidates:
         return []
@@ -163,7 +166,10 @@ def detect_json_string_columns(
         ).alias(c)
         for c in candidates
     ]
-    row = df.select(candidates).limit(sample_rows * 16).agg(*probes).first()
+    scoped = df.select(candidates)
+    if sample_rows is not None:
+        scoped = scoped.limit(sample_rows * 16)
+    row = scoped.agg(*probes).first()
     return [c for c in candidates if row[c] == 1]
 
 

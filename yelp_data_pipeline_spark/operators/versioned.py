@@ -1,0 +1,279 @@
+"""Manifest-based versioned parquet table — the jar-free Delta twin.
+
+Closes the last declared Delta-parity boundary *semantically*: the
+reference stores Gold tables as Delta (silver_to_gold_on_minio.py:
+127-144; delta-spark wired in mnt/spark-conf/spark-defaults.conf:16-18),
+which buys four things plain parquet lacks — atomic commits, versioned
+snapshot reads (time travel), RESTORE, and VACUUM. This module
+re-expresses all four over plain parquet plus a JSON manifest log, the
+same design Delta/Iceberg use underneath (an append-only metadata log
+naming exactly which data files each version comprises).
+
+Layout::
+
+    <table>/
+      _manifest/v00000000.json     one file per committed version
+      data/<commit-id>/part-*.parquet
+
+Commit protocol (optimistic concurrency, Delta's model):
+
+1. Write the new data files FIRST, into a fresh ``data/<commit-id>/``
+   directory. Unreferenced files are invisible — no manifest names
+   them, so no reader can observe a half-written commit.
+2. Create ``_manifest/v{n}.json`` with O_EXCL (put-if-absent). Exactly
+   one writer wins version n; the loser gets
+   :class:`ConcurrentCommitError` and retries against the new latest.
+   (On a local/HDFS filesystem ``open(..., 'x')`` IS put-if-absent; on
+   S3 the same protocol needs the conditional-PUT header or a
+   commit-coordinator, which is precisely what delta-spark's
+   LogStore abstraction provides — the protocol here is identical.)
+3. A writer that crashes between 1 and 2 leaves only orphaned data
+   files; readers never see them and :func:`vacuum_versioned` removes
+   them.
+
+Readers (:func:`read_version`) list the manifest directory (metadata
+only), pick version n (or the max), and scan exactly the files that
+manifest names — snapshot isolation by construction.
+
+File sharing — why this survives 100 TB: an *append* commit
+re-references every file of the previous version plus the new ones
+(zero rewrite — commit cost is proportional to the appended data, not
+the table); *overwrite*/*merge* commits reference only the fresh
+snapshot; *restore* is metadata-only (a new manifest re-pointing at an
+old version's files). Multiple manifests referencing one physical file
+is the Delta/Iceberg model, not copy-on-write of the table per commit.
+
+The transactional gap vs real Delta: MERGE here rewrites the full
+table snapshot (one anti-join + union, :func:`merge_upsert_df`) where
+Delta rewrites only the files that contain matched keys. Same
+asymptotic shuffle (the join), more write amplification on large
+tables with selective updates — partition the table and merge
+per-partition for that regime.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .upsert import merge_upsert_df
+
+_MANIFEST_DIR = "_manifest"
+_DATA_DIR = "data"
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed this version first — reread latest and
+    retry (the optimistic-concurrency loser path)."""
+
+
+def _manifest_path(table: str, version: int) -> str:
+    return os.path.join(table, _MANIFEST_DIR, f"v{version:08d}.json")
+
+
+def list_versions(table: str) -> list[int]:
+    """Committed version numbers, ascending. One directory listing."""
+    mdir = os.path.join(table, _MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for nm in os.listdir(mdir):
+        if nm.startswith("v") and nm.endswith(".json"):
+            out.append(int(nm[1:-5]))
+    return sorted(out)
+
+
+def latest_version(table: str) -> int | None:
+    vs = list_versions(table)
+    return vs[-1] if vs else None
+
+
+def read_manifest(table: str, version: int) -> dict:
+    with open(_manifest_path(table, version)) as f:
+        return json.load(f)
+
+
+def _write_snapshot_files(df: DataFrame, table: str) -> list[str]:
+    """Write df into a fresh data/<commit-id>/ dir; return the data
+    file paths RELATIVE to the table root (what manifests store, so
+    the table directory is relocatable)."""
+    commit_id = uuid.uuid4().hex[:12]
+    rel_dir = os.path.join(_DATA_DIR, commit_id)
+    out_dir = os.path.join(table, rel_dir)
+    df.write.mode("error").parquet(out_dir)
+    files = [
+        os.path.join(rel_dir, nm)
+        for nm in sorted(os.listdir(out_dir))
+        if nm.endswith(".parquet") and not nm.startswith(("_", "."))
+    ]
+    return files
+
+
+def _commit_manifest(
+    table: str, version: int, op: str, files: list[str], schema_json: str | None = None
+) -> dict:
+    """Step 2 of the protocol: put-if-absent on v{n}.json. The
+    manifest carries the snapshot SCHEMA (like Delta's metaData
+    action) so an empty snapshot — zero data files — still reads back
+    with its correct shape."""
+    os.makedirs(os.path.join(table, _MANIFEST_DIR), exist_ok=True)
+    manifest = {
+        "version": version,
+        "op": op,
+        "files": files,
+        "n_files": len(files),
+        "schema": schema_json,
+        "ts": time.time(),
+    }
+    path = _manifest_path(table, version)
+    try:
+        # 'x' = O_EXCL put-if-absent: exactly one writer wins version n.
+        with open(path, "x") as f:
+            json.dump(manifest, f)
+    except FileExistsError as e:
+        raise ConcurrentCommitError(
+            f"version {version} of {table} was committed concurrently"
+        ) from e
+    return manifest
+
+
+def create_versioned(df: DataFrame, table: str) -> dict:
+    """Commit version 0 (or a full overwrite as the next version)."""
+    next_v = (latest_version(table) + 1) if list_versions(table) else 0
+    files = _write_snapshot_files(df, table)
+    return _commit_manifest(table, next_v, "overwrite", files, df.schema.json())
+
+
+def append_versioned(df: DataFrame, table: str) -> dict:
+    """Append commit: new manifest = previous files + the fresh ones.
+
+    Zero rewrite — the previous version's physical files are
+    re-referenced, so commit cost scales with the appended batch, not
+    the table. This is the property that makes incremental loads on a
+    100 TB table affordable.
+    """
+    prev_v = latest_version(table)
+    if prev_v is None:
+        return create_versioned(df, table)
+    prev_files = read_manifest(table, prev_v)["files"]
+    new_files = _write_snapshot_files(df, table)
+    return _commit_manifest(
+        table, prev_v + 1, "append", prev_files + new_files, df.schema.json()
+    )
+
+
+def merge_versioned(
+    spark: SparkSession, updates: DataFrame, table: str, keys: list[str]
+) -> dict:
+    """MERGE commit — Delta's whenMatchedUpdateAll/whenNotMatchedInsertAll
+    over the manifest log (reference semantics: S2G:127-144, including
+    the create-if-absent branch at S2G:132).
+
+    Reads the current snapshot, applies :func:`merge_upsert_df`
+    (updates ∪ target⟕anti updates — one key-shuffled anti-join), and
+    writes the result as a NEW snapshot directory. The plan reads the
+    old version's files and writes different files, so no checkpoint /
+    staging is needed: the old version stays intact (that is what time
+    travel reads) and the commit is the manifest put-if-absent.
+    """
+    prev_v = latest_version(table)
+    if prev_v is None:
+        return create_versioned(updates, table)
+    target = read_version(spark, table, prev_v)
+    merged = merge_upsert_df(target, updates, keys)
+    files = _write_snapshot_files(merged, table)
+    return _commit_manifest(table, prev_v + 1, "merge", files, merged.schema.json())
+
+
+def restore_versioned(table: str, version: int) -> dict:
+    """Delta RESTORE: commit a NEW version whose file list is an old
+    version's — metadata-only (no data read or written), and the
+    intervening history remains readable."""
+    old = read_manifest(table, version)
+    next_v = latest_version(table) + 1
+    return _commit_manifest(
+        table, next_v, f"restore({version})", old["files"], old.get("schema")
+    )
+
+
+def read_version(
+    spark: SparkSession, table: str, version: int | None = None
+) -> DataFrame:
+    """Time travel: scan exactly the files manifest ``version`` names
+    (default: latest). Equivalent to Delta's
+    ``.option("versionAsOf", n)``; snapshot-isolated by construction
+    because manifests are immutable once committed."""
+    v = latest_version(table) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"{table} has no committed versions")
+    m = read_manifest(table, v)
+    if not m["files"]:
+        # Empty snapshot (e.g. an empty batch committed): the manifest
+        # carries the schema, so the read is a typed empty relation —
+        # the engine's empty-relation posture, not an error.
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame([], StructType.fromJson(json.loads(m["schema"])))
+    return spark.read.parquet(*[os.path.join(table, f) for f in m["files"]])
+
+
+def version_history(spark: SparkSession, table: str) -> DataFrame:
+    """DESCRIBE HISTORY twin: one row per committed version (version,
+    op, n_files). Driver-side manifest read — the log is metadata,
+    bounded by commit count, never by data volume."""
+    rows = [
+        (m["version"], m["op"], m["n_files"])
+        for m in (read_manifest(table, v) for v in list_versions(table))
+    ]
+    return spark.createDataFrame(
+        rows, "version int, op string, n_files int"
+    )
+
+
+def vacuum_versioned(table: str, keep_versions: int | None = None) -> int:
+    """Delta VACUUM: delete physical files no retained manifest
+    references — orphans from crashed writers, and (when
+    ``keep_versions`` trims history) files only old versions used.
+    Returns the number of files deleted.
+
+    Retention is by version count here rather than Delta's
+    retention-hours; the invariant is the same — every RETAINED
+    version remains fully readable, enforced by computing the live set
+    as the union of retained manifests' file lists before touching
+    anything.
+    """
+    versions = list_versions(table)
+    if keep_versions is not None and keep_versions < len(versions):
+        drop, keep = versions[:-keep_versions], versions[-keep_versions:]
+        for v in drop:
+            os.remove(_manifest_path(table, v))
+        versions = keep
+    live = set()
+    for v in versions:
+        live.update(read_manifest(table, v)["files"])
+    deleted = 0
+    data_root = os.path.join(table, _DATA_DIR)
+    if not os.path.isdir(data_root):
+        return 0
+    for commit_dir in sorted(os.listdir(data_root)):
+        cdir = os.path.join(data_root, commit_dir)
+        for nm in sorted(os.listdir(cdir)):
+            rel = os.path.join(_DATA_DIR, commit_dir, nm)
+            if nm.startswith(("_", ".")):
+                # Spark success markers / CRCs: drop alongside the last
+                # data file in the commit dir.
+                continue
+            if rel not in live:
+                os.remove(os.path.join(cdir, nm))
+                deleted += 1
+        if not any(
+            not nm.startswith(("_", ".")) for nm in os.listdir(cdir)
+        ):
+            import shutil
+
+            shutil.rmtree(cdir)
+    return deleted

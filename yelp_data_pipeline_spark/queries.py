@@ -659,12 +659,24 @@ def q_detect_parse_json_props(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     detected = cl.detect_json_string_columns(e, ["event_type", "props"])
     if not detected:
-        # The detector correctly finds nothing — on an empty relation
-        # OR a corpus whose props column holds no parseable JSON
-        # (e.g. all-empty strings): emit the contract schema with
-        # NULL k (what extracting from unparseable JSON yields) rather
-        # than tripping the fixture assertion below, which pins the
-        # detector against data that DOES carry JSON.
+        # The sampled probe found nothing — but it only reads the first
+        # ~4096 rows, so confirm with a FULL-relation probe (one
+        # combinable ANY aggregate) before committing to "no JSON
+        # anywhere". A corpus whose JSON appears only beyond the sample
+        # window must fail loudly, never be silently nulled out.
+        full = cl.detect_json_string_columns(
+            e, ["event_type", "props"], sample_rows=None
+        )
+        if full:
+            raise AssertionError(
+                "sampled JSON detector missed columns present in the "
+                f"full relation: {full} — widen the sample window"
+            )
+        # Confirmed empty relation OR a corpus whose props column holds
+        # no parseable JSON (e.g. all-empty strings): emit the contract
+        # schema with NULL k (what extracting from unparseable JSON
+        # yields) rather than tripping the fixture assertion below,
+        # which pins the detector against data that DOES carry JSON.
         return e.select(
             "event_id", F.lit(None).cast("bigint").alias("k")
         )
@@ -1792,6 +1804,125 @@ def q_merge_upsert_orders(spark, sf_dir):
         "o_totalprice", F.col("o_totalprice") * 2
     )
     return up.merge_upsert_df(old, upd, ["o_orderkey"])
+
+
+def _versioned_orders_replay(spark, sf_dir):
+    """Shared replay for the versioned-table rows: commit the
+    merge_upsert_orders scenario as two versions of a manifest-tracked
+    table (v0 = create base, v1 = MERGE updates) in a throwaway temp
+    dir. Returns (table_path, tmp_root)."""
+    import tempfile
+
+    from .operators import versioned as vt
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    base = o.filter(F.month("o_orderdate") <= 6)
+    upd = o.filter(F.month("o_orderdate").isin(6, 7)).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    tmp_root = tempfile.mkdtemp(prefix="spark_graft_versioned_")
+    table = tmp_root + "/orders"
+    vt.create_versioned(base, table)
+    vt.merge_versioned(spark, upd, table, ["o_orderkey"])
+    return table, tmp_root
+
+
+def _checkpoint_and_clean(df, tmp_root):
+    """Materialize the result off the temp table's files (eager
+    localCheckpoint — executor-local storage), then delete the temp
+    dir so repeated sweeps don't accrete /tmp snapshots."""
+    import shutil
+
+    rows = df.localCheckpoint(eager=True)
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    return rows
+
+
+_VERSIONED_ORACLE_CTES = """
+v0 AS (
+  SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice FROM orders
+  WHERE month(o_orderdate) <= 6
+),
+upd AS (
+  SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice * 2 AS o_totalprice
+  FROM orders WHERE month(o_orderdate) IN (6, 7)
+),
+v1 AS (
+  SELECT * FROM upd
+  UNION ALL
+  SELECT o.* FROM v0 o
+  WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = o.o_orderkey)
+)"""
+
+
+@_q(
+    "orders_version_history",
+    f"""
+WITH {_VERSIONED_ORACLE_CTES}
+SELECT 0 AS version, * FROM v0
+UNION ALL
+SELECT 1 AS version, * FROM v1
+""",
+    doc="S3/S9/S10 Delta-parity closure — manifest-tracked versioned "
+    "parquet table (operators/versioned.py): REPLAYS two commits "
+    "(v0 create, v1 MERGE; reference S2G:127-144) against a real "
+    "on-disk table, then TIME-TRAVELS both versions back "
+    "(read_version 0 and 1). The oracle reconstructs each version "
+    "from the update stream, so a snapshot-isolation bug (v1 bleeding "
+    "into v0's files, or a half-commit visible) hash-mismatches.",
+)
+def q_orders_version_history(spark, sf_dir):
+    from .operators import versioned as vt
+
+    table, tmp_root = _versioned_orders_replay(spark, sf_dir)
+    v0 = vt.read_version(spark, table, 0).withColumn("version", F.lit(0))
+    v1 = vt.read_version(spark, table, 1).withColumn("version", F.lit(1))
+    out = v0.unionByName(v1).select(
+        "version", "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    return _checkpoint_and_clean(out, tmp_root)
+
+
+@_q(
+    "orders_time_travel_stats",
+    f"""
+WITH {_VERSIONED_ORACLE_CTES},
+tagged AS (
+  SELECT 0 AS version, * FROM v0
+  UNION ALL SELECT 1, * FROM v1
+  UNION ALL SELECT 2, * FROM v0
+)
+SELECT version,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE) AS total_price
+FROM tagged GROUP BY version
+""",
+    doc="Delta RESTORE twin over the manifest log: after v0 create + "
+    "v1 MERGE, restore_versioned(0) commits metadata-only v2 "
+    "re-referencing v0's physical files; per-version row counts and "
+    "decimal-accumulated price sums are read back across ALL three "
+    "versions. v2 == v0 proves restore; v1 intact proves history "
+    "survives it.",
+)
+def q_orders_time_travel_stats(spark, sf_dir):
+    from .operators import versioned as vt
+
+    table, tmp_root = _versioned_orders_replay(spark, sf_dir)
+    vt.restore_versioned(table, 0)
+    per_version = [
+        vt.read_version(spark, table, v).withColumn("version", F.lit(v))
+        for v in (0, 1, 2)
+    ]
+    tagged = per_version[0].unionByName(per_version[1]).unionByName(per_version[2])
+    out = tagged.groupBy("version").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(27,4)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+    return _checkpoint_and_clean(out, tmp_root)
 
 
 # --------------------------------------------------------------------------
@@ -17860,61 +17991,63 @@ def q_multimodal_curation_funnel(spark, sf_dir):
 # repeatedly-verified queries can wait at the back.  `tools/check_oracle.py`
 # always sweeps all entries regardless of order.
 _EXPORT_PRIORITY: list[str] = [
-    # Round-14 window (50-slot cap), oldest-verdict-first rotation:
-    # (1) the query NEW this round (round-14 addition):
-    "curated_packed_assignments",
-    # (2) ALL 49 round-7-stale names (VERDICT r13 item #1: the only
-    #     names whose latest driver verdict is round 7), in registry
-    #     order:
-    "event_lag_gaps",
-    "running_spend_per_customer",
-    "pricing_summary",
-    "avg_balance_by_segment",
-    "count_distinct_users",
-    "priority_status_cube",
-    "approx_event_stats",
-    "asof_latest_order",
-    "salted_event_type_counts",
-    "event_pairs_within_5s",
-    "median_price_by_priority",
-    "priority_status_rollup",
-    "merge_upsert_orders",
-    "dedup_exact_docs",
-    "doc_fingerprints",
-    "dedup_minhash_pairs",
-    "simhash_signatures",
-    "simhash_near_pairs",
-    "ann_topk_cosine",
-    "embedding_neardup_pairs",
-    "embedding_neardup_fine",
-    "ann_topk_batch",
-    "ann_ivf_topk",
-    "daily_events_gapfilled",
-    "event_value_histogram",
-    "dq_orders_summary",
-    "embedding_centroids",
-    "dedup_clusters",
-    "curated_documents",
-    "funnel_steps",
-    "cohort_retention",
-    "event_transitions",
-    "decayed_user_scores",
-    "doc_repetition_stats",
-    "decontaminated_docs",
-    "dedup_incremental_batch",
-    "chunked_documents",
-    "event_type_daily_zscores",
-    "event_type_distincts",
-    "centroid_assignments",
-    "event_sequence_motifs",
-    "minhash_recall_eval",
-    "priority_sampled_docs",
-    "hll_users_by_event_type",
-    "embedding_principal_component",
-    "perceptron_quality_gate",
-    "nation_theil_sen_trend",
-    "unigram_lm_piece_scores",
-    "duplicate_substring_spans",
+    # Round-15 window (50-slot cap), oldest-verdict-first rotation:
+    # (1) the queries NEW this round (versioned-table Delta closure):
+    "orders_version_history",
+    "orders_time_travel_stats",
+    # (2) ALL 43 round-8-stale names (the staleness floor after the
+    #     r14 window: every name whose latest driver verdict is r8),
+    #     in registry order:
+    "nation_market_share_by_year",
+    "lang_id_docs",
+    "top_words",
+    "order_price_rank_scalable",
+    "orders_status_pivot",
+    "orders_status_unpivot",
+    "semantic_dedup_survivors",
+    "stratified_sample_by_lang",
+    "tfidf_top_terms",
+    "scrub_pii_docs",
+    "hourly_event_counts",
+    "sliding_event_counts",
+    "user_sessions",
+    "packed_sequences",
+    "split_assignments",
+    "winsorized_prices",
+    "rolling_7d_event_avg",
+    "local_supplier_volume",
+    "returned_items_top_customers",
+    "sole_late_suppliers",
+    "customer_order_count_distribution",
+    "small_quantity_order_revenue",
+    "whitened_embedding_sample",
+    "contamination_spans",
+    "canonical_url_dedup",
+    "domain_mixture_stats",
+    "domain_capped_docs",
+    "price_histogram_quantiles",
+    "kmv_daily_user_merge",
+    "jl_distortion_pairs",
+    "daily_seasonal_decomposition",
+    "event_user_skew_report",
+    "docs_embeddings_integrity",
+    "event_changepoint_cusum",
+    "hard_negative_pairs",
+    "dedup_corpus_lines",
+    "simhash_recall_eval",
+    "incremental_event_state_merge",
+    "curation_funnel_by_source",
+    "simhash_jaccard_proxy_eval",
+    "event_value_histogram_merge",
+    "hll_daily_user_merge",
+    "cms_daily_user_merge",
+    # (3) the 5 oldest round-9 names (registry order) to fill the
+    #     window; the floor moves to r9 after this round's check:
+    "orders_column_profile",
+    "event_value_psi",
+    "event_value_median_ci",
+    "price_quantity_spearman",
+    "quantity_discount_kendall",
 ]
 
 

@@ -1132,8 +1132,7 @@ def curate_stream_batch(
     against the frozen index. Nothing else grows with stream volume
     except the append-only logs, which are the product.
     """
-    from ..operators import textops as tx
-    from ..operators.dedup import fingerprint, neardup_gate_log
+    from ..operators.dedup import fingerprint
     from ..session import release_tracked, track_persist
 
     spark = batch_df.sparkSession
@@ -1161,6 +1160,30 @@ def curate_stream_batch(
         .agg(F.min(id_col).alias(id_col))
         .join(seen, "fp", "left_anti")
     )
+    try:
+        return _curate_stream_batch_body(
+            batch_df, batch_id, target_path, ref_path, spark, seen,
+            firsts, marker, fp_path, pk_path, id_col, text_col,
+            quality_min, min_tokens, max_tokens, seq_len, n_shards,
+            salt, k, bands, n, threshold,
+        )
+    finally:
+        # Drain the tracked persist even when a Spark action throws
+        # mid-batch (ADVICE r14): without this, a failed foreachBatch
+        # retry leaks the cached `firsts` frame until some LATER
+        # successful batch happens to call release_tracked().
+        release_tracked()
+
+
+def _curate_stream_batch_body(
+    batch_df, batch_id, target_path, ref_path, spark, seen, firsts,
+    marker, fp_path, pk_path, id_col, text_col, quality_min,
+    min_tokens, max_tokens, seq_len, n_shards, salt, k, bands, n,
+    threshold,
+) -> bool:
+    from ..operators import textops as tx
+    from ..operators.dedup import neardup_gate_log
+
     scrubbed = batch_df.join(firsts.select(id_col), id_col, "left_semi")
 
     # (2) quality gate — the curated_documents predicate.
@@ -1210,7 +1233,6 @@ def curate_stream_batch(
     for old in (old_fp, old_pk):
         if os.path.exists(old):
             shutil.rmtree(old)
-    release_tracked()
     return True
 
 
@@ -1228,20 +1250,28 @@ def curate_stream_sink(
     return sink
 
 
-def curate_stream_curated(spark, target_path: str) -> DataFrame:
+def curate_stream_curated(
+    spark, target_path: str, schema: str | None = None
+) -> DataFrame:
     """Read the composite's cumulative accepted-document log (every
-    committed batch's survivor rows, full batch schema). A
-    never-started stream reads as an EMPTY relation with the
-    documents-table schema (doc_id/text/lang/source/n_chars) — the
-    engine's empty-relation posture; pass batches through
-    :func:`curate_stream_batch` first for any other schema."""
+    committed batch's survivor rows, full batch schema).
+
+    A never-started stream reads as an EMPTY relation. Committed
+    batches pass through whatever schema the stream carries, so the
+    empty relation must carry the SAME one (ADVICE r14) — pass
+    ``schema`` (DDL string) when the stream's schema differs from the
+    default documents-table shape
+    (``doc_id/text/lang/source/n_chars``), else a reader that unions
+    or schema-matches the empty result against later logs mismatches.
+    """
     root = target_path + "_curated"
     if not os.path.isdir(root) or not any(
         nm.startswith("batch-") for nm in os.listdir(root)
     ):
         return spark.createDataFrame(
             [],
-            "doc_id long, text string, lang string, source string, "
+            schema
+            or "doc_id long, text string, lang string, source string, "
             "n_chars long",
         )
     return spark.read.parquet(os.path.join(root, "batch-*"))
