@@ -41,6 +41,18 @@ def main(argv: list[str] | None = None) -> int:
     s2g.add_argument("--year", type=int, required=True)
     s2g.add_argument("--month", type=int, required=True)
 
+    bf = sub.add_parser(
+        "backfill",
+        help="month-range b2s>>s2g backfill (catchup=True, "
+        "max_active_runs=1, retries — the reference DAG's semantics)",
+    )
+    bf.add_argument("--bronze", required=True)
+    bf.add_argument("--silver", required=True)
+    bf.add_argument("--gold", required=True)
+    bf.add_argument("--start", required=True, help="YYYY-MM (inclusive)")
+    bf.add_argument("--end", required=True, help="YYYY-MM (inclusive)")
+    bf.add_argument("--retries", type=int, default=1)
+
     args = p.parse_args(argv)
 
     from .queries import queries
@@ -75,6 +87,23 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.sf_dir, args.out, min_quality=args.min_quality
         )
         print(f"curated: {curated.count()} rows -> {args.out}")
+        return 0
+
+    if args.cmd == "backfill":
+        def _ym(s: str) -> tuple[int, int]:
+            y, m = s.split("-")
+            return int(y), int(m)
+
+        summary = pipelines.backfill(
+            spark, args.bronze, args.silver, args.gold,
+            _ym(args.start), _ym(args.end), retries=args.retries,
+        )
+        for rec in summary:
+            rows = ", ".join(f"{k}={v}" for k, v in rec["rows"].items())
+            print(
+                f"{rec['year']}-{rec['month']:02d} {rec['task']} "
+                f"(attempt {rec['attempts']}): {rows}"
+            )
         return 0
 
     if args.cmd == "b2s":

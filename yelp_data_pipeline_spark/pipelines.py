@@ -201,6 +201,90 @@ def _upsert(spark: SparkSession, updates: DataFrame, path: str, keys: list[str])
     return spark.read.parquet(path)
 
 
+def month_range(
+    start: tuple[int, int], end: tuple[int, int]
+) -> list[tuple[int, int]]:
+    """Inclusive (year, month) range, ascending — the schedule a
+    ``catchup=True`` monthly DAG would enumerate."""
+    sy, sm = start
+    ey, em = end
+    if (sy, sm) > (ey, em):
+        raise ValueError(f"start {start} after end {end}")
+    out, y, m = [], sy, sm
+    while (y, m) <= (ey, em):
+        out.append((y, m))
+        m += 1
+        if m == 13:
+            y, m = y + 1, 1
+    return out
+
+
+def backfill(
+    spark: SparkSession,
+    bronze_dir: str,
+    silver_dir: str,
+    gold_dir: str,
+    start: tuple[int, int],
+    end: tuple[int, int],
+    retries: int = 1,
+    _b2s=None,
+    _s2g=None,
+) -> list[dict]:
+    """Month-range backfill with the reference DAG's orchestration
+    semantics (mnt/airflow/dags/yelp_pipeline.py:10-21) re-expressed
+    as a driver loop:
+
+    - ``catchup=True``   → every month in [start, end] runs, oldest
+      first (:func:`month_range`);
+    - ``max_active_runs=1`` → months run strictly sequentially —
+      REQUIRED for correctness here, not just politeness: gold MERGE
+      upserts fold month N's dims into month N-1's table state, so
+      two months racing would lose updates;
+    - ``bronze_to_silver >> silver_to_gold`` → task order within a
+      month; a month's s2g never starts before its b2s committed;
+    - ``retries: 1`` → each task re-attempts ``retries`` times on
+      failure before the backfill aborts (remaining months DON'T run
+      — Airflow's depends-on-failed-upstream posture for a linear
+      chain).
+
+    Rerun idempotence is the property that makes retries safe, and it
+    holds by construction: silver month-scoped tables write via
+    dynamic partition overwrite (replaying a month replaces exactly
+    that month's partitions), gold keyed tables go through the MERGE
+    twin (same keys → same survivors). Verified in
+    tests/test_backfill.py by table-state equality.
+
+    Returns one summary dict per (month, task) with row counts.
+    """
+    b2s = _b2s or bronze_to_silver
+    s2g = _s2g or silver_to_gold
+    summary: list[dict] = []
+    for year, month in month_range(start, end):
+        for task_name, task, src, dst in (
+            ("bronze_to_silver", b2s, bronze_dir, silver_dir),
+            ("silver_to_gold", s2g, silver_dir, gold_dir),
+        ):
+            attempt = 0
+            while True:
+                try:
+                    out = task(spark, src, dst, year, month)
+                    break
+                except Exception:
+                    attempt += 1
+                    if attempt > retries:
+                        raise
+            summary.append(
+                {
+                    "year": year,
+                    "month": month,
+                    "task": task_name,
+                    "attempts": attempt + 1,
+                    "rows": {name: df.count() for name, df in out.items()},
+                }
+            )
+    return summary
+
+
 def curate_documents_job(
     spark: SparkSession,
     sf_dir: str,

@@ -9237,6 +9237,14 @@ GROUP BY doc_id""")
     "round (the argmax), same anytime-iteration shape as kmeans. "
     "Oracle replays the loop via an INDEPENDENT algorithm (delimited-"
     "string replace in unrolled CTEs).",
+    scale_note="driver-paced iteration — one 1-row collect + one Spark "
+    "job PER merge round, linear in `merges`, not in data. The "
+    "contract is merges = small constant (demo uses 6); a real 30k-"
+    "merge tokenizer would mean 30k sequential jobs — at that scale "
+    "train the vocab off-cluster on the word-frequency table this "
+    "operator's ONE corpus scan produces (|vocab| rows, tiny), then "
+    "ship the rules to bpe_encoded_token_counts, whose encode is "
+    "map-side and scale-safe",
 )
 def q_bpe_merged_vocab(spark, sf_dir):
     return tx.bpe_train(_t(spark, sf_dir, "documents"), merges=6)
@@ -9254,6 +9262,11 @@ def q_bpe_merged_vocab(spark, sf_dir):
     "trainer's counting): no shuffle, no UDF, trivially parallel at "
     "100 TB. Oracle re-derives the rules with the training CTE chain "
     "and replays the encode via delimited-string replaces.",
+    scale_note="the TRAINING arm inherits bpe_merged_vocab's driver-"
+    "paced one-job-per-merge contract (merges = small constant); the "
+    "encode half is map-side and scale-safe — at scale freeze rules "
+    "from an offline/off-cluster trainer and call textops."
+    "bpe_encode_counts directly",
 )
 def q_bpe_encoded_token_counts(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
