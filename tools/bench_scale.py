@@ -1098,6 +1098,70 @@ def main_r13(replicas: int) -> int:
     return 0
 
 
+# ``--r15`` mode: third scale points for the r13/r14 additions
+# (VERDICT r14 item #5).
+# (a) Native three-point curve (sf0.001 -> sf0.01 -> sf0.1): the
+#     newest operators measured at TWO consecutive 10x steps, so an
+#     inflection between regimes is visible, matching the three-point
+#     evidence the dedup/ANN families carry. Valid for the multimodal
+#     rows because every point is the real generated corpus (the
+#     replica derivation degenerates the image arm — r11 note).
+# (b) Derived 10x docs (text-only algebra, replica-valid): the packing
+#     + curation-composite rows, extending their 5x point.
+R15_THREE_POINT_FAMILY = [
+    "packed_assignments",
+    "curated_packed_assignments",
+    "video_neardup_pairs_rate",
+    "multimodal_curation_funnel",
+]
+
+R15_DOC_FAMILY = [
+    "packed_assignments",
+    "curated_packed_assignments",
+]
+
+
+def main_r15(replicas: int) -> int:
+    spark = get_spark("bench_scale_r15")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = queries()
+
+    # JIT/session warmup on the smallest point.
+    qs["packed_assignments"](
+        spark, "/root/testdata/sf0.001"
+    ).write.format("noop").mode("overwrite").save()
+    release_tracked()
+
+    points = {}
+    for tag, sf_dir in (
+        ("sf0.001", "/root/testdata/sf0.001"),
+        ("sf0.01", "/root/testdata/sf0.01"),
+        ("sf0.1", BASE_SF),
+    ):
+        points[tag] = run_family(spark, qs, sf_dir, R15_THREE_POINT_FAMILY)
+        print(tag, json.dumps(points[tag]), flush=True)
+
+    docs_dir = build_scaled(spark, replicas)
+    doc_base = run_family(spark, qs, BASE_SF, R15_DOC_FAMILY)
+    print("doc_base", json.dumps(doc_base), flush=True)
+    doc_scaled = run_family(spark, qs, docs_dir, R15_DOC_FAMILY)
+    print("doc_scaled", json.dumps(doc_scaled), flush=True)
+
+    def ratios(b, s):
+        return {k: round(s[k] / b[k], 2) for k in b if b[k] > 0}
+
+    print(json.dumps({
+        "metric": "r15_family_scale",
+        "unit": "sec",
+        "native_points": points,
+        "native_ratio_mid": ratios(points["sf0.001"], points["sf0.01"]),
+        "native_ratio_top": ratios(points["sf0.01"], points["sf0.1"]),
+        "docs_%dx" % replicas: {"base": doc_base, "scaled": doc_scaled,
+                                "ratio": ratios(doc_base, doc_scaled)},
+    }))
+    return 0
+
+
 def main_r12(replicas: int) -> int:
     spark = get_spark("bench_scale_r12")
     spark.sparkContext.setLogLevel("ERROR")
@@ -1210,6 +1274,8 @@ def main() -> int:
         return main_r10(replicas)
     if "--r10b" in sys.argv:
         return main_r10b(replicas)
+    if "--r15" in sys.argv:
+        return main_r15(int(args[0]) if args else 10)
     if "--r13" in sys.argv:
         return main_r13(replicas)
     if "--r12" in sys.argv:
