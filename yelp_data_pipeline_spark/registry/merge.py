@@ -1,0 +1,163 @@
+"""SURVEY §2.1 S9 — MERGE upsert semantics + the manifest-versioned table (time travel) rows.
+
+Split from the single-file queries.py (round 15). Modules are imported by registry/__init__.py in a FIXED order; every @_q call appends to the shared _REGISTRY in registry/core.py, so registration order (the driver's export order) is preserved byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from .core import F, _q, _t, up  # noqa: F401
+
+# --------------------------------------------------------------------------
+# §2.1 S9 — MERGE upsert semantics
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "merge_upsert_orders",
+    """
+WITH old AS (
+  SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice FROM orders
+  WHERE month(o_orderdate) <= 6
+),
+upd AS (
+  SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice * 2 AS o_totalprice
+  FROM orders WHERE month(o_orderdate) IN (6, 7)
+)
+SELECT * FROM upd
+UNION ALL
+SELECT o.* FROM old o
+WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = o.o_orderkey)
+""",
+    doc="S9 — Delta MERGE semantics (S2G:127-144) as updates ∪ "
+    "anti-joined target: month-6 rows updated, month-7 inserted.",
+)
+def q_merge_upsert_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    old = o.filter(F.month("o_orderdate") <= 6)
+    upd = o.filter(F.month("o_orderdate").isin(6, 7)).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    return up.merge_upsert_df(old, upd, ["o_orderkey"])
+
+
+def _versioned_orders_replay(spark, sf_dir):
+    """Shared replay for the versioned-table rows: commit the
+    merge_upsert_orders scenario as two versions of a manifest-tracked
+    table (v0 = create base, v1 = MERGE updates) in a throwaway temp
+    dir. Returns (table_path, tmp_root)."""
+    import tempfile
+
+    from ..operators import versioned as vt
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    base = o.filter(F.month("o_orderdate") <= 6)
+    upd = o.filter(F.month("o_orderdate").isin(6, 7)).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    tmp_root = tempfile.mkdtemp(prefix="spark_graft_versioned_")
+    table = tmp_root + "/orders"
+    vt.create_versioned(base, table)
+    vt.merge_versioned(spark, upd, table, ["o_orderkey"])
+    return table, tmp_root
+
+
+def _checkpoint_and_clean(df, tmp_root):
+    """Materialize the result off the temp table's files (eager
+    localCheckpoint — executor-local storage), then delete the temp
+    dir so repeated sweeps don't accrete /tmp snapshots."""
+    import shutil
+
+    rows = df.localCheckpoint(eager=True)
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    return rows
+
+
+_VERSIONED_ORACLE_CTES = """
+v0 AS (
+  SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice FROM orders
+  WHERE month(o_orderdate) <= 6
+),
+upd AS (
+  SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice * 2 AS o_totalprice
+  FROM orders WHERE month(o_orderdate) IN (6, 7)
+),
+v1 AS (
+  SELECT * FROM upd
+  UNION ALL
+  SELECT o.* FROM v0 o
+  WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = o.o_orderkey)
+)"""
+
+
+@_q(
+    "orders_version_history",
+    f"""
+WITH {_VERSIONED_ORACLE_CTES}
+SELECT 0 AS version, * FROM v0
+UNION ALL
+SELECT 1 AS version, * FROM v1
+""",
+    doc="S3/S9/S10 Delta-parity closure — manifest-tracked versioned "
+    "parquet table (operators/versioned.py): REPLAYS two commits "
+    "(v0 create, v1 MERGE; reference S2G:127-144) against a real "
+    "on-disk table, then TIME-TRAVELS both versions back "
+    "(read_version 0 and 1). The oracle reconstructs each version "
+    "from the update stream, so a snapshot-isolation bug (v1 bleeding "
+    "into v0's files, or a half-commit visible) hash-mismatches.",
+)
+def q_orders_version_history(spark, sf_dir):
+    from ..operators import versioned as vt
+
+    table, tmp_root = _versioned_orders_replay(spark, sf_dir)
+    v0 = vt.read_version(spark, table, 0).withColumn("version", F.lit(0))
+    v1 = vt.read_version(spark, table, 1).withColumn("version", F.lit(1))
+    out = v0.unionByName(v1).select(
+        "version", "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    return _checkpoint_and_clean(out, tmp_root)
+
+
+@_q(
+    "orders_time_travel_stats",
+    f"""
+WITH {_VERSIONED_ORACLE_CTES},
+tagged AS (
+  SELECT 0 AS version, * FROM v0
+  UNION ALL SELECT 1, * FROM v1
+  UNION ALL SELECT 2, * FROM v0
+)
+SELECT version,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE) AS total_price
+FROM tagged GROUP BY version
+""",
+    doc="Delta RESTORE twin over the manifest log: after v0 create + "
+    "v1 MERGE, restore_versioned(0) commits metadata-only v2 "
+    "re-referencing v0's physical files; per-version row counts and "
+    "decimal-accumulated price sums are read back across ALL three "
+    "versions. v2 == v0 proves restore; v1 intact proves history "
+    "survives it.",
+)
+def q_orders_time_travel_stats(spark, sf_dir):
+    from ..operators import versioned as vt
+
+    table, tmp_root = _versioned_orders_replay(spark, sf_dir)
+    vt.restore_versioned(table, 0)
+    per_version = [
+        vt.read_version(spark, table, v).withColumn("version", F.lit(v))
+        for v in (0, 1, 2)
+    ]
+    tagged = per_version[0].unionByName(per_version[1]).unionByName(per_version[2])
+    out = tagged.groupBy("version").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(27,4)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+    return _checkpoint_and_clean(out, tmp_root)
+
+
