@@ -134,6 +134,42 @@ def test_empty_snapshot_reads_typed_empty(spark, tmp_path):
     assert _vals(vt.read_version(spark, t)) == {(1, "a")}
 
 
+def test_optimize_compacts_as_new_version(spark, tmp_path):
+    """OPTIMIZE: fewer files, same rows, prior versions intact."""
+    t = str(tmp_path / "tbl")
+    vt.create_versioned(_df(spark, [(1, "a")]).repartition(4), t)
+    vt.append_versioned(_df(spark, [(2, "b")]).repartition(4), t)
+    before = vt.read_manifest(t, 1)
+    m = vt.optimize_versioned(spark, t, target_file_bytes=1 << 30)
+    assert m["op"] == "optimize"
+    assert m["n_files"] < before["n_files"]
+    assert _vals(vt.read_version(spark, t)) == {(1, "a"), (2, "b")}
+    # The pre-optimize version still reads from its original files.
+    assert _vals(vt.read_version(spark, t, 1)) == {(1, "a"), (2, "b")}
+    # Vacuum retires the fat layout; the optimized version survives.
+    vt.vacuum_versioned(t, keep_versions=1)
+    assert _vals(vt.read_version(spark, t, 2)) == {(1, "a"), (2, "b")}
+
+
+def test_read_version_diff_incremental(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    vt.create_versioned(_df(spark, [(1, "a")]), t)
+    vt.append_versioned(_df(spark, [(2, "b")]), t)
+    vt.append_versioned(_df(spark, [(3, "c")]), t)
+    # CDF-for-appends: rows added after v0, after v1, and the
+    # empty diff of a version against itself (typed empty relation).
+    assert _vals(vt.read_version_diff(spark, t, 0)) == {(2, "b"), (3, "c")}
+    assert _vals(vt.read_version_diff(spark, t, 1, 2)) == {(3, "c")}
+    empty = vt.read_version_diff(spark, t, 2, 2)
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["k", "val"]
+    # A merge rewrites files: the file-level diff is no longer the
+    # row-level diff, so the read must refuse.
+    vt.merge_versioned(spark, _df(spark, [(1, "A")]), t, ["k"])
+    with pytest.raises(ValueError, match="anti-join"):
+        vt.read_version_diff(spark, t, 0)
+
+
 def test_merge_rerun_idempotent(spark, tmp_path):
     """Same updates merged twice: version advances, STATE is equal —
     the property the reference's Airflow retries rely on."""

@@ -221,6 +221,87 @@ def read_version(
     return spark.read.parquet(*[os.path.join(table, f) for f in m["files"]])
 
 
+def optimize_versioned(
+    spark: SparkSession,
+    table: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_within_by: list[str] | None = None,
+) -> dict:
+    """Delta ``OPTIMIZE`` over the manifest log: rewrite the LATEST
+    snapshot into ``ceil(bytes / target_file_bytes)`` files and commit
+    the rewrite as a new version (op ``optimize``) — same rows, fewer
+    files; prior versions keep reading their original files until
+    :func:`vacuum_versioned` retires them.
+
+    Unlike :func:`~.upsert.compact_small_files` (the plain-parquet
+    compactor), no localCheckpoint staging is needed: the rewrite
+    lands in a fresh ``data/<commit-id>/`` directory, never
+    overwriting the files it reads — the manifest swap IS the commit.
+    Optional ``sort_within_by`` adds the write_clustered property
+    (range-partitioned files with disjoint min/max on the sort key, so
+    later scans prune files).
+    """
+    import math
+
+    prev_v = latest_version(table)
+    if prev_v is None:
+        raise FileNotFoundError(f"{table} has no committed versions")
+    m = read_manifest(table, prev_v)
+    total = sum(
+        os.path.getsize(os.path.join(table, f)) for f in m["files"]
+    )
+    n_target = max(1, math.ceil(total / target_file_bytes))
+    df = read_version(spark, table, prev_v)
+    if sort_within_by:
+        out = df.repartitionByRange(
+            n_target, *sort_within_by
+        ).sortWithinPartitions(*sort_within_by)
+    else:
+        out = df.repartition(n_target)
+    files = _write_snapshot_files(out, table)
+    manifest = _commit_manifest(
+        table, prev_v + 1, "optimize", files, m.get("schema")
+    )
+    manifest["files_before"] = len(m["files"])
+    return manifest
+
+
+def read_version_diff(
+    spark: SparkSession, table: str, v_from: int, v_to: int | None = None
+) -> DataFrame:
+    """Incremental read: the rows ADDED between version ``v_from``
+    (exclusive) and ``v_to`` (inclusive, default latest) — Delta
+    change-data-feed semantics for the append-only case, and the scan
+    an incremental downstream consumer wants: it reads ONLY the new
+    files, cost proportional to the appended data, never the table.
+
+    Only valid across ``append``/``restore``-of-append lineage:
+    ``merge``/``overwrite``/``optimize`` commits rewrite files (their
+    file sets aren't supersets), so the file-level diff would not
+    equal the row-level diff — those raise ``ValueError`` and callers
+    diff the snapshots relationally instead (anti-join on the key).
+    """
+    v_to_resolved = latest_version(table) if v_to is None else v_to
+    base = set(read_manifest(table, v_from)["files"])
+    m_to = read_manifest(table, v_to_resolved)
+    for v in range(v_from + 1, v_to_resolved + 1):
+        op = read_manifest(table, v)["op"]
+        if op != "append" and not op.startswith("restore("):
+            raise ValueError(
+                f"version {v} is {op!r}: file-level diff only equals "
+                "row-level diff across append commits — anti-join the "
+                "snapshots instead"
+            )
+    new_files = [f for f in m_to["files"] if f not in base]
+    if not new_files:
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame(
+            [], StructType.fromJson(json.loads(m_to["schema"]))
+        )
+    return spark.read.parquet(*[os.path.join(table, f) for f in new_files])
+
+
 def version_history(spark: SparkSession, table: str) -> DataFrame:
     """DESCRIBE HISTORY twin: one row per committed version (version,
     op, n_files). Driver-side manifest read — the log is metadata,

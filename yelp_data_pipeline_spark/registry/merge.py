@@ -161,3 +161,47 @@ def q_orders_time_travel_stats(spark, sf_dir):
     return _checkpoint_and_clean(out, tmp_root)
 
 
+
+
+@_q(
+    "orders_versioned_append_diff",
+    """
+WITH b1 AS (
+  SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice FROM orders
+  WHERE month(o_orderdate) IN (5, 6)
+),
+b2 AS (
+  SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice FROM orders
+  WHERE month(o_orderdate) IN (7, 8)
+)
+SELECT 1 AS step, * FROM b1
+UNION ALL
+SELECT 2 AS step, * FROM b2
+""",
+    doc="Incremental version-diff read over the manifest log "
+    "(versioned.read_version_diff) — Delta change-data-feed semantics "
+    "for append commits: v0 = create(months<=4), v1 = append(months "
+    "5-6), v2 = append(months 7-8); the query returns the rows added "
+    "in (v0,v1] and (v1,v2], each read from ONLY the appended files "
+    "(cost ~ batch, never the table). A diff that leaked base-snapshot "
+    "rows, or an append that rewrote files, hash-mismatches.",
+)
+def q_orders_versioned_append_diff(spark, sf_dir):
+    import tempfile
+
+    from ..operators import versioned as vt
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    tmp_root = tempfile.mkdtemp(prefix="spark_graft_versioned_")
+    table = tmp_root + "/orders"
+    vt.create_versioned(o.filter(F.month("o_orderdate") <= 4), table)
+    vt.append_versioned(o.filter(F.month("o_orderdate").isin(5, 6)), table)
+    vt.append_versioned(o.filter(F.month("o_orderdate").isin(7, 8)), table)
+    d1 = vt.read_version_diff(spark, table, 0, 1).withColumn("step", F.lit(1))
+    d2 = vt.read_version_diff(spark, table, 1, 2).withColumn("step", F.lit(2))
+    out = d1.unionByName(d2).select(
+        "step", "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    return _checkpoint_and_clean(out, tmp_root)
