@@ -222,6 +222,11 @@ EXTRAS = [
     "multimodal_curation_funnel",
     # round 14
     "curated_packed_assignments",
+    # round 15 — the versioned-table (Delta-twin) replays: real disk
+    # writes + manifest commits + time-travel reads, so they carry
+    # write-path cost no other bench row has
+    "orders_version_history",
+    "orders_versioned_append_diff",
 ]
 
 

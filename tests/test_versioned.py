@@ -170,6 +170,64 @@ def test_read_version_diff_incremental(spark, tmp_path):
         vt.read_version_diff(spark, t, 0)
 
 
+def test_stream_append_replay_skipped(spark, tmp_path):
+    """Exactly-once streaming appends: a replayed (crash-redelivered)
+    batch_id is a no-op; the race loser's retry also no-ops."""
+    from yelp_data_pipeline_spark.operators.versioned import (
+        append_versioned_stream,
+        last_committed_batch,
+    )
+
+    t = str(tmp_path / "tbl")
+    m0 = append_versioned_stream(_df(spark, [(1, "a")]), t, 0)
+    assert m0["batch_id"] == 0 and m0["version"] == 0
+    m1 = append_versioned_stream(_df(spark, [(2, "b")]), t, 1)
+    assert m1["version"] == 1
+    # Replay batch 1 (same id, same data — Structured Streaming's
+    # at-least-once redelivery): skipped, state unchanged.
+    assert append_versioned_stream(_df(spark, [(2, "b")]), t, 1) is None
+    assert _vals(vt.read_version(spark, t)) == {(1, "a"), (2, "b")}
+    assert vt.list_versions(t) == [0, 1]
+    assert last_committed_batch(t) == 1
+    # A stale batch id (0) after batch 1 committed: also skipped.
+    assert append_versioned_stream(_df(spark, [(9, "z")]), t, 0) is None
+
+
+def test_stream_append_through_real_writestream(spark, tmp_path):
+    """Drive versioned_append_sink under a REAL Structured Streaming
+    query (file source, availableNow): each micro-batch becomes a
+    version, the final state is the union, and read_version_diff
+    exposes the per-batch increments."""
+    import time as _time
+
+    from yelp_data_pipeline_spark.streaming.sinks import versioned_append_sink
+
+    src = tmp_path / "src"
+    src.mkdir()
+    t = str(tmp_path / "tbl")
+    _df(spark, [(1, "a")]).coalesce(1).write.parquet(str(src / "b0"))
+    _time.sleep(1.1)  # file source orders by mod time
+    _df(spark, [(2, "b")]).coalesce(1).write.parquet(str(src / "b1"))
+
+    stream = (
+        spark.readStream.schema("k int, val string")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(versioned_append_sink(t))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    assert vt.list_versions(t) == [0, 1]
+    assert _vals(vt.read_version(spark, t)) == {(1, "a"), (2, "b")}
+    assert _vals(vt.read_version_diff(spark, t, 0, 1)) == {(2, "b")}
+
+
 def test_merge_rerun_idempotent(spark, tmp_path):
     """Same updates merged twice: version advances, STATE is equal —
     the property the reference's Airflow retries rely on."""

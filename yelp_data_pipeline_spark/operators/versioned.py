@@ -114,12 +114,19 @@ def _write_snapshot_files(df: DataFrame, table: str) -> list[str]:
 
 
 def _commit_manifest(
-    table: str, version: int, op: str, files: list[str], schema_json: str | None = None
+    table: str,
+    version: int,
+    op: str,
+    files: list[str],
+    schema_json: str | None = None,
+    extra: dict | None = None,
 ) -> dict:
     """Step 2 of the protocol: put-if-absent on v{n}.json. The
     manifest carries the snapshot SCHEMA (like Delta's metaData
     action) so an empty snapshot — zero data files — still reads back
-    with its correct shape."""
+    with its correct shape. ``extra`` fields (e.g. the streaming
+    ``batch_id``) ride in the SAME atomic write — a manifest is never
+    visible without them."""
     os.makedirs(os.path.join(table, _MANIFEST_DIR), exist_ok=True)
     manifest = {
         "version": version,
@@ -128,6 +135,7 @@ def _commit_manifest(
         "n_files": len(files),
         "schema": schema_json,
         "ts": time.time(),
+        **(extra or {}),
     }
     path = _manifest_path(table, version)
     try:
@@ -219,6 +227,52 @@ def read_version(
 
         return spark.createDataFrame([], StructType.fromJson(json.loads(m["schema"])))
     return spark.read.parquet(*[os.path.join(table, f) for f in m["files"]])
+
+
+def last_committed_batch(table: str) -> int | None:
+    """Highest ``batch_id`` recorded across committed manifests, or
+    None. One manifest-directory scan — bounded by commit count
+    (metadata), never data volume."""
+    best = None
+    for v in list_versions(table):
+        b = read_manifest(table, v).get("batch_id")
+        if b is not None and (best is None or b > best):
+            best = b
+    return best
+
+
+def append_versioned_stream(
+    df: DataFrame, table: str, batch_id: int
+) -> dict | None:
+    """Exactly-once streaming append — Delta's ``txnAppId``/
+    ``txnVersion`` idempotence model over the manifest log: the commit
+    records ``batch_id``; a replayed foreachBatch (same batch_id, as
+    Structured Streaming redelivers after a crash) is detected and
+    SKIPPED, so retries never duplicate rows. Returns the manifest, or
+    None when the batch was already committed.
+
+    The race window is closed by the commit primitive, not the check:
+    two racing retries can both pass the batch-id test, but only one
+    wins the put-if-absent manifest; the loser's
+    :class:`ConcurrentCommitError` surfaces to the caller, whose retry
+    then sees the batch committed and no-ops. Orphaned data files from
+    the losing attempt are vacuum-cleanable, invisible to readers.
+    """
+    last = last_committed_batch(table)
+    if last is not None and batch_id <= last:
+        return None
+    extra = {"batch_id": batch_id}
+    if not list_versions(table):
+        files = _write_snapshot_files(df, table)
+        return _commit_manifest(
+            table, 0, "append", files, df.schema.json(), extra
+        )
+    prev_v = latest_version(table)
+    prev_files = read_manifest(table, prev_v)["files"]
+    files = _write_snapshot_files(df, table)
+    return _commit_manifest(
+        table, prev_v + 1, "append", prev_files + files, df.schema.json(), extra
+    )
 
 
 def optimize_versioned(

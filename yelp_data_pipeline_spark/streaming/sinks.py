@@ -1236,6 +1236,29 @@ def _curate_stream_batch_body(
     return True
 
 
+def versioned_append_sink(target_table: str):
+    """``foreachBatch`` callable appending each micro-batch to a
+    manifest-versioned table (operators/versioned.py) exactly once —
+    the Delta streaming-sink idempotence model (``txnAppId``/
+    ``txnVersion``) jar-free: the manifest commit carries the stream's
+    ``batch_id``; a crash-replayed batch (same id) is detected and
+    skipped, so at-least-once delivery + idempotent commit =
+    exactly-once table state, AND every micro-batch is a time-
+    travelable version (``read_version_diff`` gives a downstream
+    consumer the per-batch increment).
+
+    Usage::
+
+        stream.writeStream.foreachBatch(versioned_append_sink(path))
+    """
+    from ..operators.versioned import append_versioned_stream
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        append_versioned_stream(batch_df, target_table, batch_id)
+
+    return sink
+
+
 def curate_stream_sink(
     target_path: str,
     ref_path: str | None = None,
