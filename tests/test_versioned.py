@@ -170,6 +170,51 @@ def test_read_version_diff_incremental(spark, tmp_path):
         vt.read_version_diff(spark, t, 0)
 
 
+def test_optimize_zorder_tightens_bounding_boxes(spark, tmp_path):
+    """OPTIMIZE ZORDER BY parity: after a z-ordered rewrite each file's
+    (x, y) bounding box is a tile, so the summed box area collapses vs
+    the round-robin layout where every file spans the whole domain —
+    measured from the real parquet footer statistics."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    def box_area_sum(table_dir, version):
+        m = vt.read_manifest(table_dir, version)
+        total = 0.0
+        for f in m["files"]:
+            meta = pq.ParquetFile(os.path.join(table_dir, f)).metadata
+            xs, ys = [], []
+            for rg in range(meta.num_row_groups):
+                for ci in range(meta.num_columns):
+                    col = meta.row_group(rg).column(ci)
+                    st = col.statistics
+                    name = col.path_in_schema
+                    if name == "x":
+                        xs += [st.min, st.max]
+                    elif name == "y":
+                        ys += [st.min, st.max]
+            total += (max(xs) - min(xs) + 1) * (max(ys) - min(ys) + 1)
+        return total
+
+    t = str(tmp_path / "tbl")
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(32) for y in range(32)], "x int, y int"
+    ).repartition(4)  # round-robin: every file spans the full domain
+    vt.create_versioned(grid, t)
+    m = vt.optimize_versioned(spark, t, target_file_bytes=2_500, zorder_by=["x", "y"])
+    assert m["op"] == "optimize_zorder(x,y)"
+    assert m["n_files"] >= 2
+    # Same rows, any version.
+    assert vt.read_version(spark, t, 1).count() == 1024
+    before, after = box_area_sum(t, 0), box_area_sum(t, 1)
+    assert after < 0.5 * before, (before, after)
+    # A z-ordered rewrite is a file REWRITE: incremental diff refuses.
+    with pytest.raises(ValueError, match="anti-join"):
+        vt.read_version_diff(spark, t, 0)
+    assert _glob.glob(os.path.join(t, "data", "*", "*.parquet"))
+
+
 def test_stream_append_replay_skipped(spark, tmp_path):
     """Exactly-once streaming appends: a replayed (crash-redelivered)
     batch_id is a no-op; the race loser's retry also no-ops."""

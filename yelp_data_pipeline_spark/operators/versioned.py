@@ -275,11 +275,52 @@ def append_versioned_stream(
     )
 
 
+def zorder_column(df: DataFrame, cols: list[str], bits: int = 8):
+    """Morton (Z-order) interleave of ``cols``, each min-max quantized
+    to ``bits`` bits — the locality key behind Delta's
+    ``OPTIMIZE ZORDER BY``: range-partitioning on it gives every
+    output file a tight bounding BOX over all the dims at once, so
+    selective predicates on ANY of them prune files, where a plain
+    sort only prunes on its leading column.
+
+    One tiny bounds aggregate (2·|cols| scalars to the driver) sizes
+    the quantizers; the interleave itself is a pure Catalyst bit
+    expression (shiftleft/&/+ — codegen'd, no UDF). Returns a Column.
+    """
+    from functools import reduce
+    from operator import add
+    from pyspark.sql import functions as F
+
+    bounds = df.agg(
+        *[F.min(c).cast("double").alias(f"lo_{i}") for i, c in enumerate(cols)],
+        *[F.max(c).cast("double").alias(f"hi_{i}") for i, c in enumerate(cols)],
+    ).first()
+    n = len(cols)
+    terms = []
+    for i, c in enumerate(cols):
+        lo, hi = bounds[f"lo_{i}"], bounds[f"hi_{i}"]
+        span = (hi - lo) or 1.0
+        q = F.least(
+            F.lit((1 << bits) - 1),
+            F.floor(
+                (F.col(c).cast("double") - F.lit(lo)) / F.lit(span)
+                * F.lit(float((1 << bits) - 1))
+            ).cast("long"),
+        )
+        for b in range(bits):
+            # dim i's bit b lands at interleaved position b*n + i
+            terms.append(
+                F.shiftleft(F.shiftright(q, b).bitwiseAND(F.lit(1)), b * n + i)
+            )
+    return reduce(add, terms).alias("__zorder__")
+
+
 def optimize_versioned(
     spark: SparkSession,
     table: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     sort_within_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
 ) -> dict:
     """Delta ``OPTIMIZE`` over the manifest log: rewrite the LATEST
     snapshot into ``ceil(bytes / target_file_bytes)`` files and commit
@@ -291,12 +332,20 @@ def optimize_versioned(
     compactor), no localCheckpoint staging is needed: the rewrite
     lands in a fresh ``data/<commit-id>/`` directory, never
     overwriting the files it reads — the manifest swap IS the commit.
-    Optional ``sort_within_by`` adds the write_clustered property
-    (range-partitioned files with disjoint min/max on the sort key, so
-    later scans prune files).
+
+    Layout options (mutually exclusive):
+    - ``sort_within_by`` — the write_clustered property: files own
+      disjoint ranges of the leading sort key.
+    - ``zorder_by`` — ``OPTIMIZE ZORDER BY`` parity: range-partition
+      on :func:`zorder_column`, giving every file a tight bounding
+      box over ALL the named dims, so predicates on any of them prune
+      files (verified against parquet footer statistics in
+      tests/test_versioned.py).
     """
     import math
 
+    if sort_within_by and zorder_by:
+        raise ValueError("pass sort_within_by OR zorder_by, not both")
     prev_v = latest_version(table)
     if prev_v is None:
         raise FileNotFoundError(f"{table} has no committed versions")
@@ -306,16 +355,22 @@ def optimize_versioned(
     )
     n_target = max(1, math.ceil(total / target_file_bytes))
     df = read_version(spark, table, prev_v)
-    if sort_within_by:
+    if zorder_by:
+        keyed = df.withColumn("__zorder__", zorder_column(df, zorder_by))
+        out = (
+            keyed.repartitionByRange(n_target, "__zorder__")
+            .sortWithinPartitions("__zorder__")
+            .drop("__zorder__")
+        )
+    elif sort_within_by:
         out = df.repartitionByRange(
             n_target, *sort_within_by
         ).sortWithinPartitions(*sort_within_by)
     else:
         out = df.repartition(n_target)
     files = _write_snapshot_files(out, table)
-    manifest = _commit_manifest(
-        table, prev_v + 1, "optimize", files, m.get("schema")
-    )
+    op = "optimize" if not zorder_by else f"optimize_zorder({','.join(zorder_by)})"
+    manifest = _commit_manifest(table, prev_v + 1, op, files, m.get("schema"))
     manifest["files_before"] = len(m["files"])
     return manifest
 
