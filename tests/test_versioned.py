@@ -170,6 +170,31 @@ def test_read_version_diff_incremental(spark, tmp_path):
         vt.read_version_diff(spark, t, 0)
 
 
+def test_append_schema_evolution(spark, tmp_path):
+    """Additive append evolution (Delta mergeSchema contract): the new
+    column unions into the table schema; every read applies the
+    MANIFEST schema, so pre-evolution files yield NULL for it — and
+    time travel to the pre-evolution version keeps the old shape."""
+    t = str(tmp_path / "tbl")
+    vt.create_versioned(_df(spark, [(1, "a")]), t)
+    wider = spark.createDataFrame([(2, "b", 9.5)], "k int, val string, score double")
+    vt.append_versioned(wider, t)
+
+    latest = vt.read_version(spark, t)
+    assert [f.name for f in latest.schema.fields] == ["k", "val", "score"]
+    got = {(r.k, r.val, r.score) for r in latest.collect()}
+    assert got == {(1, "a", None), (2, "b", 9.5)}
+    # Pre-evolution version: original two-column shape.
+    assert vt.read_version(spark, t, 0).columns == ["k", "val"]
+    # Increment read carries the evolved shape.
+    diff = vt.read_version_diff(spark, t, 0, 1)
+    assert {(r.k, r.val, r.score) for r in diff.collect()} == {(2, "b", 9.5)}
+    # A type CHANGE on an existing column must refuse.
+    clash = spark.createDataFrame([(3, 7)], "k int, val int")
+    with pytest.raises(TypeError, match="rewrite"):
+        vt.append_versioned(clash, t)
+
+
 def test_optimize_zorder_tightens_bounding_boxes(spark, tmp_path):
     """OPTIMIZE ZORDER BY parity: after a z-ordered rewrite each file's
     (x, y) bounding box is a tile, so the summed box area collapses vs

@@ -156,6 +156,33 @@ def create_versioned(df: DataFrame, table: str) -> dict:
     return _commit_manifest(table, next_v, "overwrite", files, df.schema.json())
 
 
+def _merged_schema_json(prev_json: str | None, df: DataFrame) -> str:
+    """Additive schema evolution (Delta ``mergeSchema`` on append):
+    the committed table schema is the previous schema plus any NEW
+    columns the batch introduces, in arrival order. A same-name column
+    with a different type raises — silent coercion is how evolving
+    tables rot."""
+    if not prev_json:
+        return df.schema.json()
+    from pyspark.sql.types import StructType
+
+    prev = StructType.fromJson(json.loads(prev_json))
+    by_name = {f.name: f for f in prev.fields}
+    merged = list(prev.fields)
+    for f in df.schema.fields:
+        old = by_name.get(f.name)
+        if old is None:
+            merged.append(f)
+        elif old.dataType != f.dataType:
+            raise TypeError(
+                f"append changes column {f.name!r} from "
+                f"{old.dataType.simpleString()} to "
+                f"{f.dataType.simpleString()} — rewrite (overwrite/"
+                "merge) for type changes"
+            )
+    return StructType(merged).json()
+
+
 def append_versioned(df: DataFrame, table: str) -> dict:
     """Append commit: new manifest = previous files + the fresh ones.
 
@@ -163,14 +190,23 @@ def append_versioned(df: DataFrame, table: str) -> dict:
     re-referenced, so commit cost scales with the appended batch, not
     the table. This is the property that makes incremental loads on a
     100 TB table affordable.
+
+    Additive schema evolution is allowed (new columns union into the
+    committed schema, :func:`_merged_schema_json`); readers apply the
+    manifest schema to every file, so pre-evolution files yield NULL
+    for the new columns — Delta's mergeSchema-append contract.
     """
     prev_v = latest_version(table)
     if prev_v is None:
         return create_versioned(df, table)
-    prev_files = read_manifest(table, prev_v)["files"]
+    prev = read_manifest(table, prev_v)
     new_files = _write_snapshot_files(df, table)
     return _commit_manifest(
-        table, prev_v + 1, "append", prev_files + new_files, df.schema.json()
+        table,
+        prev_v + 1,
+        "append",
+        prev["files"] + new_files,
+        _merged_schema_json(prev.get("schema"), df),
     )
 
 
@@ -214,19 +250,29 @@ def read_version(
     """Time travel: scan exactly the files manifest ``version`` names
     (default: latest). Equivalent to Delta's
     ``.option("versionAsOf", n)``; snapshot-isolated by construction
-    because manifests are immutable once committed."""
+    because manifests are immutable once committed.
+
+    The manifest's schema (when recorded) is APPLIED to the scan, like
+    Delta reading files through the table schema: after an additive
+    schema-evolution append, pre-evolution files yield NULL for the
+    new columns instead of the read schema depending on which file the
+    reader sampled first."""
     v = latest_version(table) if version is None else version
     if v is None:
         raise FileNotFoundError(f"{table} has no committed versions")
     m = read_manifest(table, v)
+    schema = None
+    if m.get("schema"):
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(m["schema"]))
     if not m["files"]:
         # Empty snapshot (e.g. an empty batch committed): the manifest
         # carries the schema, so the read is a typed empty relation —
         # the engine's empty-relation posture, not an error.
-        from pyspark.sql.types import StructType
-
-        return spark.createDataFrame([], StructType.fromJson(json.loads(m["schema"])))
-    return spark.read.parquet(*[os.path.join(table, f) for f in m["files"]])
+        return spark.createDataFrame([], schema)
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    return reader.parquet(*[os.path.join(table, f) for f in m["files"]])
 
 
 def last_committed_batch(table: str) -> int | None:
@@ -402,13 +448,17 @@ def read_version_diff(
                 "snapshots instead"
             )
     new_files = [f for f in m_to["files"] if f not in base]
-    if not new_files:
-        from pyspark.sql.types import StructType
+    from pyspark.sql.types import StructType
 
-        return spark.createDataFrame(
-            [], StructType.fromJson(json.loads(m_to["schema"]))
-        )
-    return spark.read.parquet(*[os.path.join(table, f) for f in new_files])
+    schema = StructType.fromJson(json.loads(m_to["schema"]))
+    if not new_files:
+        return spark.createDataFrame([], schema)
+    # Target version's schema applied, matching read_version: an
+    # increment read across a schema-evolution append carries the
+    # evolved shape (older columns NULL-padded consistently).
+    return spark.read.schema(schema).parquet(
+        *[os.path.join(table, f) for f in new_files]
+    )
 
 
 def version_history(spark: SparkSession, table: str) -> DataFrame:
