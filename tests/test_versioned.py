@@ -170,6 +170,43 @@ def test_read_version_diff_incremental(spark, tmp_path):
         vt.read_version_diff(spark, t, 0)
 
 
+def test_concurrent_appends_with_retry_both_land(spark, tmp_path):
+    """TWO writers racing real commits: put-if-absent picks exactly one
+    winner per version; the loser's commit_with_retry rebases onto the
+    new latest and lands next. Both rows present, versions contiguous,
+    no file orphaned into the final state."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from yelp_data_pipeline_spark.operators.versioned import commit_with_retry
+
+    t = str(tmp_path / "tbl")
+    vt.create_versioned(_df(spark, [(0, "base")]), t)
+
+    def writer(row):
+        # append_versioned re-reads latest on each attempt — the shape
+        # commit_with_retry requires.
+        return commit_with_retry(
+            lambda: vt.append_versioned(_df(spark, [row]), t), retries=5
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        f1 = ex.submit(writer, (1, "a"))
+        f2 = ex.submit(writer, (2, "b"))
+        m1, m2 = f1.result(60), f2.result(60)
+
+    assert sorted([m1["version"], m2["version"]]) == [1, 2]
+    assert vt.list_versions(t) == [0, 1, 2]
+    assert _vals(vt.read_version(spark, t)) == {(0, "base"), (1, "a"), (2, "b")}
+    # The retry loop surfaces after exhaustion.
+    import pytest as _pytest
+
+    with _pytest.raises(vt.ConcurrentCommitError):
+        commit_with_retry(
+            lambda: (_ for _ in ()).throw(vt.ConcurrentCommitError("x")),
+            retries=2,
+        )
+
+
 def test_append_schema_evolution(spark, tmp_path):
     """Additive append evolution (Delta mergeSchema contract): the new
     column unions into the table schema; every read applies the

@@ -275,6 +275,30 @@ def read_version(
     return reader.parquet(*[os.path.join(table, f) for f in m["files"]])
 
 
+def commit_with_retry(commit_fn, retries: int = 3):
+    """Optimistic-concurrency retry loop — the caller-side half of the
+    put-if-absent protocol (Delta's ``OptimisticTransaction`` retry):
+    ``commit_fn()`` attempts one commit against the CURRENT latest
+    version (re-reading it each attempt, so the rebased write sees the
+    winner's rows); a :class:`ConcurrentCommitError` loser re-runs up
+    to ``retries`` times before surfacing.
+
+    Safe only for commits that re-derive their content from the table
+    state each attempt (merge/append re-read latest internally);
+    idempotent-by-batch-id streaming appends prefer
+    :func:`append_versioned_stream`, which no-ops instead of retrying
+    a batch another writer already landed.
+    """
+    attempt = 0
+    while True:
+        try:
+            return commit_fn()
+        except ConcurrentCommitError:
+            attempt += 1
+            if attempt > retries:
+                raise
+
+
 def last_committed_batch(table: str) -> int | None:
     """Highest ``batch_id`` recorded across committed manifests, or
     None. One manifest-directory scan — bounded by commit count
