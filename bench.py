@@ -227,6 +227,7 @@ EXTRAS = [
     # write-path cost no other bench row has
     "orders_version_history",
     "orders_versioned_append_diff",
+    "orders_incremental_agg_maintenance",
 ]
 
 

@@ -47,6 +47,7 @@ _EXPORT_PRIORITY: list[str] = [
     "orders_version_history",
     "orders_time_travel_stats",
     "orders_versioned_append_diff",
+    "orders_incremental_agg_maintenance",
     # (2) ALL 43 round-8-stale names (the staleness floor after the
     #     r14 window: every name whose latest driver verdict is r8),
     #     in registry order:
@@ -93,12 +94,11 @@ _EXPORT_PRIORITY: list[str] = [
     "event_value_histogram_merge",
     "hll_daily_user_merge",
     "cms_daily_user_merge",
-    # (3) the 4 oldest round-9 names (registry order) to fill the
+    # (3) the 3 oldest round-9 names (registry order) to fill the
     #     window; the floor moves to r9 after this round's check:
     "orders_column_profile",
     "event_value_psi",
     "event_value_median_ci",
-    "price_quantity_spearman",
 ]
 
 

@@ -205,3 +205,78 @@ def q_orders_versioned_append_diff(spark, sf_dir):
         "step", "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
     )
     return _checkpoint_and_clean(out, tmp_root)
+
+
+@_q(
+    "orders_incremental_agg_maintenance",
+    """
+WITH upto AS (
+  SELECT month(o_orderdate) AS order_month, o_totalprice FROM orders
+  WHERE month(o_orderdate) <= 8
+),
+agg AS (
+  SELECT order_month,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE)
+           AS total_price
+  FROM upto GROUP BY order_month
+)
+SELECT '__merged__' AS src, * FROM agg
+UNION ALL
+SELECT '__direct__', * FROM agg
+""",
+    doc="Incremental aggregate maintenance off the versioned table's "
+    "change feed — the production incremental-ETL pattern at 100 TB: "
+    "a gold aggregate is kept current by folding MONOID PARTIALS of "
+    "each append's increment (read_version_diff scans only the new "
+    "files) instead of re-scanning the table. Replay: v0 = "
+    "create(months<=4), v1/v2 = appends (5-6, 7-8); merged arm = "
+    "re-aggregate of the three partial aggregates, direct arm = one "
+    "full recompute of v2 — the driver hash proves merged == direct "
+    "row-for-row (the oracle emits the same aggregate under both "
+    "tags). count/sum fold associatively; sums accumulate in DECIMAL "
+    "both engines.",
+)
+def q_orders_incremental_agg_maintenance(spark, sf_dir):
+    import tempfile
+
+    from ..operators import versioned as vt
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    tmp_root = tempfile.mkdtemp(prefix="spark_graft_versioned_")
+    table = tmp_root + "/orders"
+    vt.create_versioned(o.filter(F.month("o_orderdate") <= 4), table)
+    vt.append_versioned(o.filter(F.month("o_orderdate").isin(5, 6)), table)
+    vt.append_versioned(o.filter(F.month("o_orderdate").isin(7, 8)), table)
+
+    def partial(df):
+        # Monoid partial: (count, decimal sum) per group — map-side
+        # combinable, merges by plain addition.
+        return df.groupBy(
+            F.month("o_orderdate").alias("order_month")
+        ).agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(27,4)")).alias("p_sum"),
+        )
+
+    increments = [
+        partial(vt.read_version(spark, table, 0)),
+        partial(vt.read_version_diff(spark, table, 0, 1)),
+        partial(vt.read_version_diff(spark, table, 1, 2)),
+    ]
+    folded = increments[0].unionByName(increments[1]).unionByName(increments[2])
+    merged = folded.groupBy("order_month").agg(
+        F.sum("n_orders").alias("n_orders"),
+        F.sum("p_sum").cast("double").alias("total_price"),
+    )
+    direct = partial(vt.read_version(spark, table, 2)).select(
+        "order_month",
+        "n_orders",
+        F.col("p_sum").cast("double").alias("total_price"),
+    )
+    out = merged.withColumn("src", F.lit("__merged__")).unionByName(
+        direct.withColumn("src", F.lit("__direct__"))
+    ).select("src", "order_month", "n_orders", "total_price")
+    return _checkpoint_and_clean(out, tmp_root)
