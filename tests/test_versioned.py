@@ -85,7 +85,14 @@ def test_crashed_writer_orphans_invisible_then_vacuumed(spark, tmp_path):
     orphans = vt._write_snapshot_files(_df(spark, [(9, "z")]), t)
     assert orphans
     assert _vals(vt.read_version(spark, t)) == {(1, "a")}  # invisible
-    deleted = vt.vacuum_versioned(t)
+    # Default retention window: the young orphans are indistinguishable
+    # from a LIVE writer's step-1 files, so vacuum keeps them.
+    assert vt.vacuum_versioned(t) == 0
+    for f in orphans:
+        assert os.path.exists(os.path.join(t, f))
+    # Past the window (retention 0 = operator asserts no writer in
+    # flight) they are crashed-writer garbage and go.
+    deleted = vt.vacuum_versioned(t, retention_seconds=0)
     assert deleted == len(orphans)
     for f in orphans:
         assert not os.path.exists(os.path.join(t, f))
@@ -345,3 +352,263 @@ def test_merge_rerun_idempotent(spark, tmp_path):
     once = _vals(vt.read_version(spark, t))
     vt.merge_versioned(spark, upd, t, ["k"])
     assert _vals(vt.read_version(spark, t)) == once
+
+
+def test_restore_to_earlier_version_refuses_file_diff(spark, tmp_path):
+    """A restore to an EARLIER version removes rows; the file-level
+    diff validates the actual superset invariant (not op names) and
+    refuses, instead of silently omitting the removals."""
+    t = str(tmp_path / "tbl")
+    vt.create_versioned(_df(spark, [(1, "a")]), t)
+    vt.append_versioned(_df(spark, [(2, "b")]), t)
+    vt.restore_versioned(t, 0)  # drops (2, "b") — files shrink
+    with pytest.raises(ValueError, match="anti-join"):
+        vt.read_version_diff(spark, t, 0)
+    # A restore that doesn't shrink the file set (restore to the
+    # current state) still diffs fine.
+    vt.restore_versioned(t, 1)
+
+
+def test_truncated_manifest_never_published(spark, tmp_path):
+    """Atomic manifest publish: a crash mid-serialization leaves only
+    an invisible temp file — version n stays claimable and readers
+    never see a truncated manifest."""
+    t = str(tmp_path / "tbl")
+    vt.create_versioned(_df(spark, [(1, "a")]), t)
+
+    class Boom(RuntimeError):
+        pass
+
+    real_dump = json.dump
+
+    def exploding_dump(obj, fh, *a, **k):
+        fh.write('{"version": 1, "op": "appe')  # partial bytes
+        raise Boom()
+
+    import yelp_data_pipeline_spark.operators.versioned as _vt
+
+    orig = _vt.json.dump
+    _vt.json.dump = exploding_dump
+    try:
+        with pytest.raises(Boom):
+            vt._commit_manifest(t, 1, "append", [])
+    finally:
+        _vt.json.dump = orig
+    # Nothing published: version 1 is still claimable, readers clean.
+    assert vt.list_versions(t) == [0]
+    assert _vals(vt.read_version(spark, t)) == {(1, "a")}
+    m = vt._commit_manifest(t, 1, "append", [], _df(spark, []).schema.json())
+    assert m["version"] == 1
+    assert real_dump is json.dump
+
+
+def test_partitioned_merge_rewrites_only_touched_partitions(spark, tmp_path):
+    """Delta's file-pruned MERGE over the manifest log: only the
+    partitions named by the updates are rewritten; every other
+    partition's physical files are RE-REFERENCED byte-identical, and
+    the new files all live in touched partitions."""
+    import hashlib
+
+    def md5s(table, files):
+        return {
+            f: hashlib.md5(
+                open(os.path.join(table, f), "rb").read()
+            ).hexdigest()
+            for f in files
+        }
+
+    t = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(k, f"v{k}", k % 4) for k in range(40)], "k int, val string, pm int"
+    )
+    m0 = vt.create_versioned(base, t, partition_by=["pm"])
+    assert m0["partition_by"] == ["pm"]
+    assert all("pm=" in f for f in m0["files"])
+    # Updates touch ONLY partitions 1 and 2: update k=1 (pm=1),
+    # insert k=101 (pm=1), k=102 (pm=2).
+    upd = spark.createDataFrame(
+        [(1, "V1", 1), (101, "new1", 1), (102, "new2", 2)],
+        "k int, val string, pm int",
+    )
+    untouched_before = [
+        f for f in m0["files"]
+        if vt._file_partition_values(f, ["pm"]) not in {("1",), ("2",)}
+    ]
+    sums_before = md5s(t, untouched_before)
+    m1 = vt.merge_versioned(spark, upd, t, ["k"])
+    # Untouched partitions (pm=0, pm=3): same physical files,
+    # byte-identical — re-referenced, not rewritten.
+    assert set(untouched_before) <= set(m1["files"])
+    assert md5s(t, untouched_before) == sums_before
+    # Every NEW file lives in a touched partition.
+    new_files = set(m1["files"]) - set(m0["files"])
+    assert new_files
+    assert {
+        vt._file_partition_values(f, ["pm"]) for f in new_files
+    } <= {("1",), ("2",)}
+    # File-count bound: old untouched + new touched only (no file of a
+    # touched partition's OLD layout is re-referenced).
+    old_touched = [
+        f for f in m0["files"]
+        if vt._file_partition_values(f, ["pm"]) in {("1",), ("2",)}
+    ]
+    assert not (set(old_touched) & set(m1["files"]))
+    assert len(m1["files"]) == len(untouched_before) + len(new_files)
+    # MERGE semantics hold across the whole table.
+    got = {(r.k, r.val, r.pm) for r in vt.read_version(spark, t).collect()}
+    want = {(k, f"v{k}", k % 4) for k in range(40) if k != 1}
+    want |= {(1, "V1", 1), (101, "new1", 1), (102, "new2", 2)}
+    assert got == want
+    # Time travel: v0 intact, partition columns recovered.
+    assert vt.read_version(spark, t, 0).count() == 40
+
+
+def test_partitioned_append_and_diff(spark, tmp_path):
+    """Appends on a partitioned table keep the layout and the
+    incremental diff read recovers partition columns from the paths."""
+    t = str(tmp_path / "tbl")
+    vt.create_versioned(
+        spark.createDataFrame([(1, "a", 1)], "k int, val string, pm int"),
+        t,
+        partition_by=["pm"],
+    )
+    m1 = vt.append_versioned(
+        spark.createDataFrame([(2, "b", 2)], "k int, val string, pm int"), t
+    )
+    assert m1["partition_by"] == ["pm"]
+    d = vt.read_version_diff(spark, t, 0, 1)
+    assert {(r.k, r.val, r.pm) for r in d.collect()} == {(2, "b", 2)}
+    got = {(r.k, r.val, r.pm) for r in vt.read_version(spark, t).collect()}
+    assert got == {(1, "a", 1), (2, "b", 2)}
+
+
+def test_version_changes_cdf(spark, tmp_path):
+    """Row-level change feed (Delta CDF): keyed insert / delete /
+    update_preimage+postimage across a merge+overwrite lineage that
+    read_version_diff refuses."""
+    t = str(tmp_path / "tbl")
+    vt.create_versioned(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), t)
+    # v1 = merge: update k=2, insert k=4.
+    vt.merge_versioned(spark, _df(spark, [(2, "B"), (4, "d")]), t, ["k"])
+    ch = vt.version_changes(spark, t, 0, 1, keys=["k"])
+    got = {(r.k, r.val, r._change_type) for r in ch.collect()}
+    assert got == {
+        (4, "d", "insert"),
+        (2, "b", "update_preimage"),
+        (2, "B", "update_postimage"),
+    }
+    # v2 = overwrite dropping k=1: a delete appears.
+    vt.create_versioned(_df(spark, [(2, "B"), (3, "c"), (4, "d")]), t)
+    ch2 = vt.version_changes(spark, t, 1, 2, keys=["k"])
+    got2 = {(r.k, r.val, r._change_type) for r in ch2.collect()}
+    assert got2 == {(1, "a", "delete")}
+    # Unkeyed: full-row multiset diff, insert/delete encoding.
+    ch3 = vt.version_changes(spark, t, 0, 2)
+    got3 = {(r.k, r.val, r._change_type) for r in ch3.collect()}
+    assert got3 == {
+        (1, "a", "delete"),
+        (2, "b", "delete"),
+        (2, "B", "insert"),
+        (4, "d", "insert"),
+    }
+
+
+def test_version_changes_append_fast_path_agreement(spark, tmp_path):
+    """On a pure append lineage version_changes and read_version_diff
+    agree: every change is an insert and the row sets match — the
+    relational path generalizes the file-level fast path."""
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "tbl")
+    vt.create_versioned(_df(spark, [(1, "a")]), t)
+    vt.append_versioned(_df(spark, [(2, "b"), (3, "c")]), t)
+    fast = vt.read_version_diff(spark, t, 0, 1).withColumn(
+        "_change_type", F.lit("insert")
+    )
+    slow = vt.version_changes(spark, t, 0, 1, keys=["k"])
+    as_set = lambda df: {(r.k, r.val, r._change_type) for r in df.collect()}
+    assert as_set(fast) == as_set(slow)
+    # Unkeyed agrees too.
+    assert as_set(fast) == as_set(vt.version_changes(spark, t, 0, 1))
+
+
+def test_manifest_checkpoint_bounds_history_reads(spark, tmp_path):
+    """500-commit table: last_committed_batch / version_history read
+    the latest checkpoint + log tail — manifest opens stay
+    O(CHECKPOINT_EVERY), not O(commit count)."""
+    import yelp_data_pipeline_spark.operators.versioned as _vt
+
+    t = str(tmp_path / "tbl")
+    schema_json = _df(spark, []).schema.json()
+    for v in range(500):
+        _vt._commit_manifest(
+            t, v, "append", [], schema_json, {"batch_id": v}
+        )
+    # Versions 0..499: the last checkpoint-eligible version is 490.
+    assert _vt.latest_checkpoint(t)["version"] == 490
+
+    counter = {"n": 0}
+    orig = _vt.read_manifest
+
+    def counting(table, version):
+        counter["n"] += 1
+        return orig(table, version)
+
+    _vt.read_manifest = counting
+    try:
+        assert _vt.last_committed_batch(t) == 499
+        reads_batch = counter["n"]
+        counter["n"] = 0
+        hist = _vt.version_history(spark, t)
+        assert hist.count() == 500
+        reads_hist = counter["n"]
+    finally:
+        _vt.read_manifest = orig
+    # Tail after the v490 checkpoint = 9 manifests; generous bound.
+    assert reads_batch <= 2 * _vt.CHECKPOINT_EVERY, reads_batch
+    assert reads_hist <= 2 * _vt.CHECKPOINT_EVERY, reads_hist
+    # History is complete and correct despite the bounded reads.
+    rows = hist.orderBy("version").collect()
+    assert [r.version for r in rows] == list(range(500))
+    assert all(r.op == "append" for r in rows)
+
+
+def test_optimize_append_race_loser_rebases(spark, tmp_path):
+    """Compaction-under-ingest race: OPTIMIZE and an append race for
+    version n. The append should WIN (its rebase is cheap — re-point
+    at the new latest + its own files) and OPTIMIZE should re-run (it
+    is idempotent maintenance; rebasing its output without re-reading
+    would silently drop the appended rows). Deterministic interleave:
+    the append lands between optimize's snapshot read and its commit;
+    optimize loses put-if-absent, commit_with_retry re-runs it against
+    the new latest, and the final table carries BOTH effects."""
+    import yelp_data_pipeline_spark.operators.versioned as _vt
+
+    t = str(tmp_path / "tbl")
+    vt.create_versioned(_df(spark, [(1, "a")]).repartition(4), t)
+
+    sneak = {"armed": True}
+    orig_commit = _vt._commit_manifest
+
+    def racing_commit(table, version, op, files, schema_json=None, extra=None):
+        if op.startswith("optimize") and sneak["armed"]:
+            sneak["armed"] = False  # before the append re-enters here
+            vt.append_versioned(_df(spark, [(2, "b")]), t)  # wins version n
+        return orig_commit(table, version, op, files, schema_json, extra)
+
+    _vt._commit_manifest = racing_commit
+    try:
+        m = vt.commit_with_retry(
+            lambda: vt.optimize_versioned(spark, t, target_file_bytes=1 << 30),
+            retries=3,
+        )
+    finally:
+        _vt._commit_manifest = orig_commit
+    # The append won version 1; optimize re-ran and landed at 2,
+    # compacting the union (so the appended row is IN the rewrite).
+    assert vt.list_versions(t) == [0, 1, 2]
+    assert m["version"] == 2 and m["op"] == "optimize"
+    assert _vals(vt.read_version(spark, t)) == {(1, "a"), (2, "b")}
+    assert m["n_files"] < len(vt.read_manifest(t, 1)["files"])
+    # Every retained version stays readable.
+    assert _vals(vt.read_version(spark, t, 1)) == {(1, "a"), (2, "b")}

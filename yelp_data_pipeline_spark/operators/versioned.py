@@ -20,16 +20,21 @@ Commit protocol (optimistic concurrency, Delta's model):
 1. Write the new data files FIRST, into a fresh ``data/<commit-id>/``
    directory. Unreferenced files are invisible — no manifest names
    them, so no reader can observe a half-written commit.
-2. Create ``_manifest/v{n}.json`` with O_EXCL (put-if-absent). Exactly
-   one writer wins version n; the loser gets
-   :class:`ConcurrentCommitError` and retries against the new latest.
-   (On a local/HDFS filesystem ``open(..., 'x')`` IS put-if-absent; on
-   S3 the same protocol needs the conditional-PUT header or a
-   commit-coordinator, which is precisely what delta-spark's
-   LogStore abstraction provides — the protocol here is identical.)
+2. Publish ``_manifest/v{n}.json`` atomically: serialize to a private
+   temp file, fsync, then ``os.link(tmp, final)`` — link(2) fails with
+   EEXIST when the target exists, so the publish is put-if-absent AND
+   all-or-nothing (a crash or ENOSPC mid-serialization leaves only the
+   invisible temp file — version n stays claimable, readers never see
+   a truncated manifest). Exactly one writer wins version n; the loser
+   gets :class:`ConcurrentCommitError` and retries against the new
+   latest. (On a local/HDFS filesystem link IS put-if-absent; on S3
+   the same protocol needs the conditional-PUT header or a
+   commit-coordinator, which is precisely what delta-spark's LogStore
+   abstraction provides — the protocol here is identical.)
 3. A writer that crashes between 1 and 2 leaves only orphaned data
    files; readers never see them and :func:`vacuum_versioned` removes
-   them.
+   them once older than its retention window (younger unreferenced
+   files might be a LIVE writer's step 1, so they are kept).
 
 Readers (:func:`read_version`) list the manifest directory (metadata
 only), pick version n (or the max), and scan exactly the files that
@@ -97,20 +102,84 @@ def read_manifest(table: str, version: int) -> dict:
         return json.load(f)
 
 
-def _write_snapshot_files(df: DataFrame, table: str) -> list[str]:
+def _write_snapshot_files(
+    df: DataFrame, table: str, partition_by: list[str] | None = None
+) -> list[str]:
     """Write df into a fresh data/<commit-id>/ dir; return the data
     file paths RELATIVE to the table root (what manifests store, so
-    the table directory is relocatable)."""
+    the table directory is relocatable). With ``partition_by``, files
+    land under Hive-style ``col=value`` subdirs (Delta's
+    partitionValues-per-file, encoded in the path) so commits can
+    re-reference untouched partitions' files without rewriting them."""
     commit_id = uuid.uuid4().hex[:12]
     rel_dir = os.path.join(_DATA_DIR, commit_id)
     out_dir = os.path.join(table, rel_dir)
-    df.write.mode("error").parquet(out_dir)
-    files = [
-        os.path.join(rel_dir, nm)
-        for nm in sorted(os.listdir(out_dir))
-        if nm.endswith(".parquet") and not nm.startswith(("_", "."))
-    ]
-    return files
+    writer = df.write.mode("error")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(out_dir)
+    files = []
+    for root, _dirs, names in os.walk(out_dir):
+        rel_root = os.path.relpath(root, table)
+        for nm in names:
+            if nm.endswith(".parquet") and not nm.startswith(("_", ".")):
+                files.append(os.path.join(rel_root, nm))
+    return sorted(files)
+
+
+def _file_partition_values(rel_path: str, partition_by: list[str]) -> tuple:
+    """Partition values of one data file, decoded from its Hive-style
+    path segments (``data/<cid>/col=val/.../part-*.parquet``) — the
+    manifest-side half of partition pruning. Values come back as the
+    RAW directory strings (``__HIVE_DEFAULT_PARTITION__`` for NULL),
+    compared against :func:`_partition_dir_value` of the probe."""
+    vals = {}
+    for seg in rel_path.split(os.sep)[2:-1]:
+        if "=" in seg:
+            k, v = seg.split("=", 1)
+            vals[k] = v
+    return tuple(vals.get(c) for c in partition_by)
+
+
+def _partition_dir_value(v) -> str:
+    """How Spark's Hive-style writer encodes a partition VALUE as a
+    directory string — enough of the escaping for the simple scalar
+    partition columns this table supports (ints, dates, plain
+    strings)."""
+    if v is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    return str(v)
+
+
+def _scan_files(
+    spark: SparkSession,
+    table: str,
+    files: list[str],
+    schema,
+    partition_by: list[str] | None,
+) -> DataFrame:
+    """Scan an explicit manifest file list. Unpartitioned: one reader
+    over all paths. Partitioned: partition VALUES live in the path, so
+    each commit directory is read with its own ``basePath`` (partition
+    columns recovered, cast through the manifest schema) and the
+    per-commit scans union — the union width is bounded by commit
+    count (metadata), never file count."""
+    if not partition_by:
+        reader = spark.read.schema(schema) if schema is not None else spark.read
+        return reader.parquet(*[os.path.join(table, f) for f in files])
+    from functools import reduce
+
+    by_commit: dict[str, list[str]] = {}
+    for f in files:
+        parts = f.split(os.sep)
+        by_commit.setdefault(os.sep.join(parts[:2]), []).append(f)
+    scans = []
+    for base_rel, group in sorted(by_commit.items()):
+        reader = spark.read.option("basePath", os.path.join(table, base_rel))
+        if schema is not None:
+            reader = reader.schema(schema)
+        scans.append(reader.parquet(*[os.path.join(table, f) for f in group]))
+    return reduce(lambda a, b: a.unionByName(b), scans)
 
 
 def _commit_manifest(
@@ -138,22 +207,120 @@ def _commit_manifest(
         **(extra or {}),
     }
     path = _manifest_path(table, version)
+    # Atomic publish: serialize to a private temp file, fsync it, then
+    # os.link(tmp, final) — link(2) fails with EEXIST if the target
+    # exists, so it IS put-if-absent, and the published manifest is
+    # always a complete, durable JSON document. A writer crash (or
+    # ENOSPC) mid-serialization leaves only the invisible temp file:
+    # version n stays claimable and readers never see a truncated
+    # manifest. (open('x') + json.dump lacked this: a crash mid-dump
+    # both wedged version n and crashed every reader.)
+    tmp = f"{path}.{uuid.uuid4().hex[:12]}.tmp"
     try:
-        # 'x' = O_EXCL put-if-absent: exactly one writer wins version n.
-        with open(path, "x") as f:
+        with open(tmp, "w") as f:
             json.dump(manifest, f)
-    except FileExistsError as e:
-        raise ConcurrentCommitError(
-            f"version {version} of {table} was committed concurrently"
-        ) from e
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, path)
+        except FileExistsError as e:
+            raise ConcurrentCommitError(
+                f"version {version} of {table} was committed concurrently"
+            ) from e
+    finally:
+        try:
+            os.unlink(tmp)
+        except FileNotFoundError:
+            pass
+    _maybe_write_checkpoint(table, version)
     return manifest
 
 
-def create_versioned(df: DataFrame, table: str) -> dict:
-    """Commit version 0 (or a full overwrite as the next version)."""
+#: Write a manifest checkpoint every N commits (Delta's
+#: checkpointInterval, default 10 there too).
+CHECKPOINT_EVERY = 10
+
+
+def _checkpoint_path(table: str, version: int) -> str:
+    return os.path.join(table, _MANIFEST_DIR, f"checkpoint-v{version:08d}.json")
+
+
+def latest_checkpoint(table: str) -> dict | None:
+    """The newest manifest checkpoint, or None. One directory listing
+    plus one JSON read — never O(commit count)."""
+    mdir = os.path.join(table, _MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return None
+    cks = sorted(
+        nm for nm in os.listdir(mdir)
+        if nm.startswith("checkpoint-v") and nm.endswith(".json")
+    )
+    if not cks:
+        return None
+    with open(os.path.join(mdir, cks[-1])) as f:
+        return json.load(f)
+
+
+def _history_entries(table: str) -> list[dict]:
+    """(version, op, n_files, batch_id) for every COMMITTED version,
+    ascending — reading the latest checkpoint plus only the manifests
+    newer than it (Delta's checkpoint + log-tail replay), so the read
+    cost is O(CHECKPOINT_EVERY), not O(commit count). Versions whose
+    manifests were dropped by :func:`vacuum_versioned` retention are
+    filtered out even when an old checkpoint still records them."""
+    live = set(list_versions(table))
+    ck = latest_checkpoint(table)
+    entries: dict[int, dict] = {}
+    ck_v = -1
+    if ck is not None:
+        ck_v = ck["version"]
+        for e in ck["history"]:
+            if e["version"] in live:
+                entries[e["version"]] = e
+    for v in sorted(live):
+        if v > ck_v:
+            m = read_manifest(table, v)
+            entries[v] = {
+                "version": v,
+                "op": m["op"],
+                "n_files": m["n_files"],
+                "batch_id": m.get("batch_id"),
+            }
+    return [entries[v] for v in sorted(entries)]
+
+
+def _maybe_write_checkpoint(table: str, version: int) -> None:
+    """Every :data:`CHECKPOINT_EVERY` commits, aggregate the history
+    into one checkpoint JSON. Derived, idempotent metadata: written to
+    a temp file then os.replace'd (atomic; a concurrent duplicate
+    write produces identical content), and losing it only degrades the
+    next reader to a longer log-tail replay."""
+    if version == 0 or version % CHECKPOINT_EVERY != 0:
+        return
+    ck = {"version": version, "history": _history_entries(table)}
+    path = _checkpoint_path(table, version)
+    tmp = f"{path}.{uuid.uuid4().hex[:12]}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(ck, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def create_versioned(
+    df: DataFrame, table: str, partition_by: list[str] | None = None
+) -> dict:
+    """Commit version 0 (or a full overwrite as the next version).
+    ``partition_by`` declares the table's partition columns (recorded
+    in the manifest, carried by every later commit): data files land
+    under Hive-style ``col=value`` dirs, which is what lets
+    :func:`merge_versioned` rewrite only touched partitions."""
     next_v = (latest_version(table) + 1) if list_versions(table) else 0
-    files = _write_snapshot_files(df, table)
-    return _commit_manifest(table, next_v, "overwrite", files, df.schema.json())
+    files = _write_snapshot_files(df, table, partition_by)
+    extra = {"partition_by": partition_by} if partition_by else None
+    return _commit_manifest(
+        table, next_v, "overwrite", files, df.schema.json(), extra
+    )
 
 
 def _merged_schema_json(prev_json: str | None, df: DataFrame) -> str:
@@ -200,37 +367,99 @@ def append_versioned(df: DataFrame, table: str) -> dict:
     if prev_v is None:
         return create_versioned(df, table)
     prev = read_manifest(table, prev_v)
-    new_files = _write_snapshot_files(df, table)
+    pby = prev.get("partition_by")
+    new_files = _write_snapshot_files(df, table, pby)
     return _commit_manifest(
         table,
         prev_v + 1,
         "append",
         prev["files"] + new_files,
         _merged_schema_json(prev.get("schema"), df),
+        {"partition_by": pby} if pby else None,
     )
 
 
 def merge_versioned(
-    spark: SparkSession, updates: DataFrame, table: str, keys: list[str]
+    spark: SparkSession,
+    updates: DataFrame,
+    table: str,
+    keys: list[str],
+    partition_by: list[str] | None = None,
 ) -> dict:
     """MERGE commit — Delta's whenMatchedUpdateAll/whenNotMatchedInsertAll
     over the manifest log (reference semantics: S2G:127-144, including
     the create-if-absent branch at S2G:132).
 
-    Reads the current snapshot, applies :func:`merge_upsert_df`
-    (updates ∪ target⟕anti updates — one key-shuffled anti-join), and
-    writes the result as a NEW snapshot directory. The plan reads the
-    old version's files and writes different files, so no checkpoint /
-    staging is needed: the old version stays intact (that is what time
-    travel reads) and the commit is the manifest put-if-absent.
+    **Unpartitioned table**: reads the current snapshot, applies
+    :func:`merge_upsert_df` (updates ∪ target⟕anti updates — one
+    key-shuffled anti-join), and writes the result as a NEW snapshot
+    directory. Full-snapshot write amplification — fine for dimension
+    tables, wrong for a 100 TB fact table with selective updates.
+
+    **Partitioned table** (created with ``partition_by``, or pass it
+    here): Delta's file-pruned MERGE — the reference merges
+    month-partitioned fact tables (silver_to_gold_on_minio.py:195-223)
+    and this is the path that keeps those affordable. The distinct
+    partition tuples present in ``updates`` (one tiny distinct —
+    bounded by partitions touched, not rows) select which partitions
+    are rewritten; every other partition's physical files are
+    RE-REFERENCED unchanged in the new manifest, so merge cost scales
+    with the touched partitions, never the table.
+
+    Contract (same as Delta's partition-pruned merge with a partition
+    predicate): a matched key must live in the partition its update
+    names — i.e. partition columns are stable under the key
+    (functionally determined by it, e.g. month-of-order-date keyed by
+    order id). A key whose existing row sits in an UNtouched partition
+    would not be matched there and would be inserted again.
+
+    Either way the plan reads old files and writes different files, so
+    no checkpoint / staging is needed: the old version stays intact
+    (that is what time travel reads) and the commit is the manifest
+    put-if-absent.
     """
     prev_v = latest_version(table)
     if prev_v is None:
-        return create_versioned(updates, table)
-    target = read_version(spark, table, prev_v)
+        return create_versioned(updates, table, partition_by)
+    prev = read_manifest(table, prev_v)
+    pby = partition_by or prev.get("partition_by")
+    schema = None
+    if prev.get("schema"):
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(prev["schema"]))
+    if not pby:
+        target = read_version(spark, table, prev_v)
+        merged = merge_upsert_df(target, updates, keys)
+        files = _write_snapshot_files(merged, table)
+        return _commit_manifest(
+            table, prev_v + 1, "merge", files, merged.schema.json()
+        )
+    # Partition-scoped path: split the previous manifest's files into
+    # touched (their partition tuple appears in updates) vs untouched.
+    touched = {
+        tuple(_partition_dir_value(r[c]) for c in pby)
+        for r in updates.select(*pby).distinct().collect()
+    }
+    touched_files, untouched_files = [], []
+    for f in prev["files"]:
+        (touched_files if _file_partition_values(f, pby) in touched
+         else untouched_files).append(f)
+    target = (
+        _scan_files(spark, table, touched_files, schema, pby)
+        if touched_files
+        else spark.createDataFrame([], schema or updates.schema)
+    )
     merged = merge_upsert_df(target, updates, keys)
-    files = _write_snapshot_files(merged, table)
-    return _commit_manifest(table, prev_v + 1, "merge", files, merged.schema.json())
+    new_files = _write_snapshot_files(merged, table, pby)
+    return _commit_manifest(
+        table,
+        prev_v + 1,
+        "merge",
+        untouched_files + new_files,
+        merged.schema.json(),
+        {"partition_by": pby},
+    )
 
 
 def restore_versioned(table: str, version: int) -> dict:
@@ -239,8 +468,14 @@ def restore_versioned(table: str, version: int) -> dict:
     intervening history remains readable."""
     old = read_manifest(table, version)
     next_v = latest_version(table) + 1
+    pby = old.get("partition_by")
     return _commit_manifest(
-        table, next_v, f"restore({version})", old["files"], old.get("schema")
+        table,
+        next_v,
+        f"restore({version})",
+        old["files"],
+        old.get("schema"),
+        {"partition_by": pby} if pby else None,
     )
 
 
@@ -271,8 +506,7 @@ def read_version(
         # carries the schema, so the read is a typed empty relation —
         # the engine's empty-relation posture, not an error.
         return spark.createDataFrame([], schema)
-    reader = spark.read.schema(schema) if schema is not None else spark.read
-    return reader.parquet(*[os.path.join(table, f) for f in m["files"]])
+    return _scan_files(spark, table, m["files"], schema, m.get("partition_by"))
 
 
 def commit_with_retry(commit_fn, retries: int = 3):
@@ -301,11 +535,13 @@ def commit_with_retry(commit_fn, retries: int = 3):
 
 def last_committed_batch(table: str) -> int | None:
     """Highest ``batch_id`` recorded across committed manifests, or
-    None. One manifest-directory scan — bounded by commit count
-    (metadata), never data volume."""
+    None. Reads the latest checkpoint plus the log tail
+    (:func:`_history_entries`) — O(CHECKPOINT_EVERY) manifest opens
+    regardless of commit count, so a long-lived streaming table at one
+    commit/minute stays cheap to resume."""
     best = None
-    for v in list_versions(table):
-        b = read_manifest(table, v).get("batch_id")
+    for e in _history_entries(table):
+        b = e.get("batch_id")
         if b is not None and (best is None or b > best):
             best = b
     return best
@@ -338,10 +574,21 @@ def append_versioned_stream(
             table, 0, "append", files, df.schema.json(), extra
         )
     prev_v = latest_version(table)
-    prev_files = read_manifest(table, prev_v)["files"]
-    files = _write_snapshot_files(df, table)
+    prev = read_manifest(table, prev_v)
+    pby = prev.get("partition_by")
+    if pby:
+        extra["partition_by"] = pby
+    files = _write_snapshot_files(df, table, pby)
+    # Same additive schema evolution as batch appends: merge with the
+    # previous manifest's schema so a narrower micro-batch never
+    # silently drops columns a prior append/batch evolution added.
     return _commit_manifest(
-        table, prev_v + 1, "append", prev_files + files, df.schema.json(), extra
+        table,
+        prev_v + 1,
+        "append",
+        prev["files"] + files,
+        _merged_schema_json(prev.get("schema"), df),
+        extra,
     )
 
 
@@ -369,6 +616,12 @@ def zorder_column(df: DataFrame, cols: list[str], bits: int = 8):
     terms = []
     for i, c in enumerate(cols):
         lo, hi = bounds[f"lo_{i}"], bounds[f"hi_{i}"]
+        if lo is None or hi is None:
+            # Entirely-NULL column or empty snapshot: no bounds to
+            # quantize against — constant quantizer (all rows land in
+            # cell 0 for this dim), so the rewrite degrades to a plain
+            # repartition instead of raising TypeError on None - None.
+            lo, hi = 0.0, 0.0
         span = (hi - lo) or 1.0
         q = F.least(
             F.lit((1 << bits) - 1),
@@ -438,9 +691,17 @@ def optimize_versioned(
         ).sortWithinPartitions(*sort_within_by)
     else:
         out = df.repartition(n_target)
-    files = _write_snapshot_files(out, table)
+    pby = m.get("partition_by")
+    files = _write_snapshot_files(out, table, pby)
     op = "optimize" if not zorder_by else f"optimize_zorder({','.join(zorder_by)})"
-    manifest = _commit_manifest(table, prev_v + 1, op, files, m.get("schema"))
+    manifest = _commit_manifest(
+        table,
+        prev_v + 1,
+        op,
+        files,
+        m.get("schema"),
+        {"partition_by": pby} if pby else None,
+    )
     manifest["files_before"] = len(m["files"])
     return manifest
 
@@ -454,23 +715,30 @@ def read_version_diff(
     an incremental downstream consumer wants: it reads ONLY the new
     files, cost proportional to the appended data, never the table.
 
-    Only valid across ``append``/``restore``-of-append lineage:
-    ``merge``/``overwrite``/``optimize`` commits rewrite files (their
-    file sets aren't supersets), so the file-level diff would not
-    equal the row-level diff — those raise ``ValueError`` and callers
-    diff the snapshots relationally instead (anti-join on the key).
+    Only valid across file-ACCRETIVE lineage. The check is the actual
+    invariant, not op names: every manifest in ``(v_from, v_to]`` must
+    reference a SUPERSET of its predecessor's files — true for appends
+    and same-state restores, false for merge/overwrite/optimize
+    rewrites AND for a restore to an earlier version (which removes
+    rows a file-level diff would silently miss). Violations raise
+    ``ValueError`` and callers diff the snapshots relationally instead
+    (anti-join on the key, or :func:`version_changes`).
     """
     v_to_resolved = latest_version(table) if v_to is None else v_to
     base = set(read_manifest(table, v_from)["files"])
     m_to = read_manifest(table, v_to_resolved)
+    prev_files = base
     for v in range(v_from + 1, v_to_resolved + 1):
-        op = read_manifest(table, v)["op"]
-        if op != "append" and not op.startswith("restore("):
+        m = read_manifest(table, v)
+        cur_files = set(m["files"])
+        if not cur_files >= prev_files:
             raise ValueError(
-                f"version {v} is {op!r}: file-level diff only equals "
-                "row-level diff across append commits — anti-join the "
-                "snapshots instead"
+                f"version {v} ({m['op']!r}) drops files of version "
+                f"{v - 1}: file-level diff only equals row-level diff "
+                "across file-accretive commits — anti-join the "
+                "snapshots instead (see version_changes)"
             )
+        prev_files = cur_files
     new_files = [f for f in m_to["files"] if f not in base]
     from pyspark.sql.types import StructType
 
@@ -480,46 +748,163 @@ def read_version_diff(
     # Target version's schema applied, matching read_version: an
     # increment read across a schema-evolution append carries the
     # evolved shape (older columns NULL-padded consistently).
-    return spark.read.schema(schema).parquet(
-        *[os.path.join(table, f) for f in new_files]
+    return _scan_files(
+        spark, table, new_files, schema, m_to.get("partition_by")
     )
+
+
+def version_changes(
+    spark: SparkSession,
+    table: str,
+    v_from: int,
+    v_to: int | None = None,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Row-level change feed between two versions — Delta CDF
+    semantics (``_change_type`` column) for the lineages
+    :func:`read_version_diff` refuses: merge / overwrite / restore
+    commits rewrite or drop files, so the change set is computed
+    RELATIONALLY from the two snapshots, never from file sets.
+
+    With ``keys`` (Delta CDF shape — merge lineage has key identity):
+
+    - ``insert`` — key in ``v_to`` only (the emitted row is the new row)
+    - ``delete`` — key in ``v_from`` only (the emitted row is the old row)
+    - ``update_preimage`` / ``update_postimage`` — key in both with any
+      non-key column changed (NULL-safe struct comparison), emitting
+      the old and new row respectively, exactly Delta's two-row update
+      encoding.
+
+    Without ``keys``: a full-row multiset diff (``exceptAll`` both
+    ways) → ``insert`` / ``delete`` only — the right shape when rows
+    have no key identity.
+
+    Cost: two snapshot scans + one key-shuffled join (or two
+    exceptAll shuffles) — proportional to the two snapshots. On a pure
+    append lineage prefer :func:`read_version_diff`, which reads ONLY
+    the appended files; the two agree there (every change is an
+    ``insert``), pinned in tests/test_versioned.py.
+
+    Schema evolution between the versions is handled by NULL-padding
+    the missing columns on the narrower side (a column added between
+    the versions shows as old=NULL → new=value inside an update pair).
+    """
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    v_to_resolved = latest_version(table) if v_to is None else v_to
+    df_from = read_version(spark, table, v_from)
+    df_to = read_version(spark, table, v_to_resolved)
+    # Align the two snapshots on the union of their columns (to-side
+    # order first) so evolution between versions diffs cleanly.
+    cols = list(df_to.columns) + [
+        c for c in df_from.columns if c not in df_to.columns
+    ]
+
+    def align(df):
+        have = set(df.columns)
+        return df.select(
+            *[
+                F.col(c) if c in have else F.lit(None).alias(c)
+                for c in cols
+            ]
+        )
+
+    df_from, df_to = align(df_from), align(df_to)
+    if keys is None:
+        ins = df_to.exceptAll(df_from).withColumn(
+            "_change_type", F.lit("insert")
+        )
+        dels = df_from.exceptAll(df_to).withColumn(
+            "_change_type", F.lit("delete")
+        )
+        return ins.unionByName(dels)
+    non_key = [c for c in cols if c not in keys]
+    old, new = df_from.alias("__old__"), df_to.alias("__new__")
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(f"__old__.{k}").eqNullSafe(F.col(f"__new__.{k}")) for k in keys],
+    )
+    ins = new.join(old, cond, "left_anti").withColumn(
+        "_change_type", F.lit("insert")
+    )
+    dels = old.join(new, cond, "left_anti").withColumn(
+        "_change_type", F.lit("delete")
+    )
+    changed = (
+        ~F.struct(*[F.col(f"__old__.{c}") for c in non_key]).eqNullSafe(
+            F.struct(*[F.col(f"__new__.{c}") for c in non_key])
+        )
+        if non_key
+        else F.lit(False)
+    )
+    both = old.join(new, cond, "inner").where(changed)
+    pre = both.select(
+        *[F.col(f"__old__.{c}").alias(c) for c in cols]
+    ).withColumn("_change_type", F.lit("update_preimage"))
+    post = both.select(
+        *[F.col(f"__new__.{c}").alias(c) for c in cols]
+    ).withColumn("_change_type", F.lit("update_postimage"))
+    return ins.unionByName(dels).unionByName(pre).unionByName(post)
 
 
 def version_history(spark: SparkSession, table: str) -> DataFrame:
     """DESCRIBE HISTORY twin: one row per committed version (version,
-    op, n_files). Driver-side manifest read — the log is metadata,
-    bounded by commit count, never by data volume."""
+    op, n_files). Reads checkpoint + log tail
+    (:func:`_history_entries`): O(CHECKPOINT_EVERY) manifest opens,
+    not O(commit count) — the driver-side list stays metadata-bounded
+    even on a 500k-commit streaming table."""
     rows = [
-        (m["version"], m["op"], m["n_files"])
-        for m in (read_manifest(table, v) for v in list_versions(table))
+        (e["version"], e["op"], e["n_files"]) for e in _history_entries(table)
     ]
     return spark.createDataFrame(
         rows, "version int, op string, n_files int"
     )
 
 
-def vacuum_versioned(table: str, keep_versions: int | None = None) -> int:
+def vacuum_versioned(
+    table: str,
+    keep_versions: int | None = None,
+    retention_seconds: float = 3600.0,
+) -> int:
     """Delta VACUUM: delete physical files no retained manifest
     references — orphans from crashed writers, and (when
     ``keep_versions`` trims history) files only old versions used.
     Returns the number of files deleted.
 
-    Retention is by version count here rather than Delta's
+    Version retention is by count here rather than Delta's
     retention-hours; the invariant is the same — every RETAINED
     version remains fully readable, enforced by computing the live set
     as the union of retained manifests' file lists before touching
     anything.
+
+    ``retention_seconds`` is the in-flight-writer guard (Delta's
+    VACUUM retention-hours): a file referenced by NO manifest at all
+    is indistinguishable from commit-protocol step 1 of a LIVE writer
+    whose manifest hasn't landed yet, so never-referenced files
+    younger than the window (file mtime) are kept — vacuuming them
+    would let the racing writer commit a manifest naming deleted
+    files. Files a *dropped* manifest referenced are known-committed
+    history (no writer will re-reference them) and are deleted
+    regardless of age. Pass ``retention_seconds=0`` only when no
+    writer can be in flight. Default 1h — comfortably above any
+    single-commit duration.
     """
     versions = list_versions(table)
+    retired = set()
     if keep_versions is not None and keep_versions < len(versions):
         drop, keep = versions[:-keep_versions], versions[-keep_versions:]
         for v in drop:
+            retired.update(read_manifest(table, v)["files"])
             os.remove(_manifest_path(table, v))
         versions = keep
     live = set()
     for v in versions:
         live.update(read_manifest(table, v)["files"])
+    retired -= live
     deleted = 0
+    now = time.time()
     data_root = os.path.join(table, _DATA_DIR)
     if not os.path.isdir(data_root):
         return 0
@@ -531,9 +916,19 @@ def vacuum_versioned(table: str, keep_versions: int | None = None) -> int:
                 # Spark success markers / CRCs: drop alongside the last
                 # data file in the commit dir.
                 continue
-            if rel not in live:
-                os.remove(os.path.join(cdir, nm))
-                deleted += 1
+            if rel in live:
+                continue
+            if rel not in retired:
+                # Never referenced: possible in-flight commit — only
+                # delete past the retention window.
+                try:
+                    age = now - os.path.getmtime(os.path.join(cdir, nm))
+                except FileNotFoundError:
+                    continue
+                if age < retention_seconds:
+                    continue
+            os.remove(os.path.join(cdir, nm))
+            deleted += 1
         if not any(
             not nm.startswith(("_", ".")) for nm in os.listdir(cdir)
         ):
