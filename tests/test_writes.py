@@ -211,3 +211,41 @@ def test_compact_sort_within_tightens_footer_ranges(spark, tmp_path):
     )
     assert overlaps == 0  # sorted-within + range partition = disjoint
     assert spark.read.parquet(path).count() == 40_000
+
+
+def test_save_catalog_table_external_roundtrip(spark, tmp_path):
+    """Catalog-serving parity (reference: Hive Metastore + Trino over
+    the gold bucket): saveAsTable with an explicit location registers
+    an EXTERNAL spark_catalog table — queryable BY NAME, schema in the
+    catalog; DROP TABLE removes only the catalog entry, the gold data
+    files stay (the bucket remains the source of truth)."""
+    import os
+
+    from yelp_data_pipeline_spark.tables import save_catalog_table
+
+    df = spark.createDataFrame(
+        [("P1", 3, 10.0), ("P2", 1, 5.5)], "prio string, n int, total double"
+    )
+    loc = str(tmp_path / "gold_tbl")
+    save_catalog_table(df, "gold_test_rollup", path=loc)
+    try:
+        assert spark.catalog.tableExists("gold_test_rollup")
+        got = {
+            (r.prio, r.n, r.total)
+            for r in spark.sql(
+                "SELECT prio, n, total FROM gold_test_rollup"
+            ).collect()
+        }
+        assert got == {("P1", 3, 10.0), ("P2", 1, 5.5)}
+        # Overwrite mode is idempotent re-registration (Airflow retry
+        # posture): same name, fresh data.
+        save_catalog_table(
+            df.withColumn("n", df.n + 1), "gold_test_rollup", path=loc
+        )
+        got2 = {r.n for r in spark.sql("SELECT n FROM gold_test_rollup").collect()}
+        assert got2 == {4, 2}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS gold_test_rollup")
+    assert not spark.catalog.tableExists("gold_test_rollup")
+    # External table: data files survive the DROP.
+    assert any(nm.endswith(".parquet") for nm in os.listdir(loc))

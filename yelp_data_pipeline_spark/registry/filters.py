@@ -410,3 +410,54 @@ def q_sql_suppliers_by_nation(spark, sf_dir):
     return spark.sql(_SQL_SERVING)
 
 
+
+
+_CATALOG_ROLLUP_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE) AS total_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@_q(
+    "sql_catalog_orders_rollup",
+    _CATALOG_ROLLUP_SQL,
+    doc="S11 catalog-serving parity — the reference wires a Hive "
+    "Metastore + Trino catalog over the gold bucket "
+    "(mnt/hive-conf/hive-site.xml) though its jobs never register "
+    "tables; here the gold rollup is REGISTERED as a real "
+    "spark_catalog EXTERNAL table (tables.save_catalog_table → "
+    "saveAsTable with an explicit location) and the serving query "
+    "reads it back BY NAME through the catalog, not by path. The "
+    "oracle computes the same rollup straight from orders, so a "
+    "catalog round-trip that dropped rows, reordered schema, or "
+    "double-applied the aggregation hash-mismatches. The table is "
+    "dropped and its temp location removed after materialization.",
+)
+def q_sql_catalog_orders_rollup(spark, sf_dir):
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from ..tables import save_catalog_table
+
+    gold = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(27,4)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+    name = f"gold_orders_rollup_{_uuid.uuid4().hex[:8]}"
+    tmp_root = tempfile.mkdtemp(prefix="spark_graft_catalog_")
+    save_catalog_table(gold, name, path=tmp_root + "/tbl")
+    out = spark.sql(
+        f"SELECT o_orderpriority, n_orders, total_price FROM {name}"
+    )
+    rows = out.localCheckpoint(eager=True)
+    spark.sql(f"DROP TABLE {name}")
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    return rows

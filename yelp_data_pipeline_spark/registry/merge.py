@@ -280,3 +280,109 @@ def q_orders_incremental_agg_maintenance(spark, sf_dir):
         direct.withColumn("src", F.lit("__direct__"))
     ).select("src", "order_month", "n_orders", "total_price")
     return _checkpoint_and_clean(out, tmp_root)
+
+
+@_q(
+    "orders_partitioned_merge",
+    """
+WITH old AS (
+  SELECT month(o_orderdate) AS order_month,
+         o_orderkey, o_custkey, o_orderdate, o_totalprice FROM orders
+  WHERE month(o_orderdate) <= 6
+),
+upd AS (
+  SELECT month(o_orderdate) AS order_month,
+         o_orderkey, o_custkey, o_orderdate, o_totalprice * 2 AS o_totalprice
+  FROM orders WHERE month(o_orderdate) IN (6, 7)
+)
+SELECT * FROM upd
+UNION ALL
+SELECT o.* FROM old o
+WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = o.o_orderkey)
+""",
+    doc="Partition-scoped MERGE on the versioned table — Delta's "
+    "file-pruned MERGE (reference merges month-partitioned fact "
+    "tables, S2G:195-223): v0 creates a month-partitioned table "
+    "(partition_by=['order_month'], Hive-style dirs), the merge "
+    "rewrites ONLY the partitions its updates name (months 6-7) and "
+    "re-references every other month's physical files unchanged — "
+    "commit cost ~ touched partitions, never the table. The final "
+    "snapshot is read back through the partition-recovering scan, so "
+    "a wrong partition split (a matched row stranded untouched, or a "
+    "month mis-bucketed by the dir round-trip) hash-mismatches. "
+    "File-level re-referencing is pinned byte-identical in "
+    "tests/test_versioned.py::test_partitioned_merge_rewrites_only_"
+    "touched_partitions.",
+)
+def q_orders_partitioned_merge(spark, sf_dir):
+    import tempfile
+
+    from ..operators import versioned as vt
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.month("o_orderdate").alias("order_month"),
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        "o_totalprice",
+    )
+    base = o.filter(F.col("order_month") <= 6)
+    upd = o.filter(F.col("order_month").isin(6, 7)).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    tmp_root = tempfile.mkdtemp(prefix="spark_graft_versioned_")
+    table = tmp_root + "/orders"
+    vt.create_versioned(base, table, partition_by=["order_month"])
+    vt.merge_versioned(spark, upd, table, ["o_orderkey"])
+    out = vt.read_version(spark, table).select(
+        "order_month", "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    return _checkpoint_and_clean(out, tmp_root)
+
+
+@_q(
+    "orders_version_changes",
+    f"""
+WITH {_VERSIONED_ORACLE_CTES},
+ins AS (
+  SELECT 'insert' AS _change_type,
+         u.o_orderkey, u.o_custkey, u.o_orderdate, u.o_totalprice
+  FROM upd u
+  WHERE NOT EXISTS (SELECT 1 FROM v0 o WHERE o.o_orderkey = u.o_orderkey)
+),
+pairs AS (
+  SELECT o.o_orderkey,
+         o.o_custkey AS old_ck, o.o_orderdate AS old_od,
+         o.o_totalprice AS old_tp,
+         u.o_custkey AS new_ck, u.o_orderdate AS new_od,
+         u.o_totalprice AS new_tp
+  FROM v0 o JOIN upd u ON o.o_orderkey = u.o_orderkey
+  WHERE o.o_custkey IS DISTINCT FROM u.o_custkey
+     OR o.o_orderdate IS DISTINCT FROM u.o_orderdate
+     OR o.o_totalprice IS DISTINCT FROM u.o_totalprice
+)
+SELECT * FROM ins
+UNION ALL
+SELECT 'update_preimage', o_orderkey, old_ck, old_od, old_tp FROM pairs
+UNION ALL
+SELECT 'update_postimage', o_orderkey, new_ck, new_od, new_tp FROM pairs
+""",
+    doc="Row-level change feed across a MERGE commit (Delta CDF "
+    "_change_type encoding) — the lineage read_version_diff refuses: "
+    "version_changes anti-joins the two snapshots on the key "
+    "(NULL-safe) and emits insert / update_preimage / "
+    "update_postimage rows (this merge deletes nothing). The oracle "
+    "reconstructs the change set independently from the update "
+    "stream with IS DISTINCT FROM row comparison, so a miscounted "
+    "match, a preimage leaking post-merge values, or a lost insert "
+    "hash-mismatches. Append-lineage agreement with the file-level "
+    "fast path is pinned in tests/test_versioned.py.",
+)
+def q_orders_version_changes(spark, sf_dir):
+    from ..operators import versioned as vt
+
+    table, tmp_root = _versioned_orders_replay(spark, sf_dir)
+    out = vt.version_changes(spark, table, 0, 1, keys=["o_orderkey"]).select(
+        "_change_type", "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    return _checkpoint_and_clean(out, tmp_root)

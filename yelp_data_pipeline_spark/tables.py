@@ -104,3 +104,25 @@ def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TA
     answered by spark.sql over the same engine."""
     for n in names:
         load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def save_catalog_table(
+    df: DataFrame, name: str, path: str | None = None, mode: str = "overwrite"
+) -> None:
+    """Register a gold output as a persistent ``spark_catalog`` TABLE
+    (``saveAsTable``) — catalog-serving parity with the reference,
+    which wires a Hive Metastore + Trino catalog for exactly this
+    (mnt/hive-conf/hive-site.xml; trino catalog over the gold bucket)
+    even though its jobs only ever write paths. Registered tables are
+    queryable by name from ANY session on the catalog (spark.sql /
+    thriftserver), carry their schema in the metastore, and survive
+    view-less sessions — the serving tier a path-only layout lacks.
+
+    ``path`` makes it an EXTERNAL table (data stays at the given
+    location; DROP TABLE removes only the catalog entry) — the gold
+    layout stays the single source of truth, exactly the
+    metastore-over-bucket shape the reference runs."""
+    writer = df.write.mode(mode)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(name)
