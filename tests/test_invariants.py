@@ -223,16 +223,16 @@ def test_export_window_contract():
     assert len(set(_EXPORT_PRIORITY)) == 50
     missing = [n for n in _EXPORT_PRIORITY if n not in qs]
     assert not missing, f"window names not in registry: {missing}"
-    # Round-15 rotation: the four new versioned-table rows lead, then
-    # ALL 43 round-8-stale names + 3 oldest round-9 names (update this
-    # pin when the window rotates each round).
-    assert _EXPORT_PRIORITY[0] == "orders_version_history"
-    assert _EXPORT_PRIORITY[1] == "orders_time_travel_stats"
-    assert _EXPORT_PRIORITY[2] == "orders_versioned_append_diff"
-    assert _EXPORT_PRIORITY[3] == "orders_incremental_agg_maintenance"
-    assert "nation_market_share_by_year" in _EXPORT_PRIORITY
-    assert "cms_daily_user_merge" in _EXPORT_PRIORITY
-    assert "event_value_median_ci" in _EXPORT_PRIORITY
+    # Round-16 rotation: the three new rows (partition-scoped MERGE,
+    # row-level change feed, catalog serving) lead, then ALL 47
+    # round-9-stale names (update this pin when the window rotates
+    # each round).
+    assert _EXPORT_PRIORITY[0] == "orders_partitioned_merge"
+    assert _EXPORT_PRIORITY[1] == "orders_version_changes"
+    assert _EXPORT_PRIORITY[2] == "sql_catalog_orders_rollup"
+    assert "price_quantity_spearman" in _EXPORT_PRIORITY
+    assert "customer_golden_records" in _EXPORT_PRIORITY
+    assert "split_leakage_audit" in _EXPORT_PRIORITY
     assert list(qs)[:50] == _EXPORT_PRIORITY
     # Everything the driver can sample is oracle-backed.
     osql = oracle_sql()

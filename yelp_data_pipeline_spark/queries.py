@@ -42,63 +42,63 @@ del _m
 # repeatedly-verified queries can wait at the back.  `tools/check_oracle.py`
 # always sweeps all entries regardless of order.
 _EXPORT_PRIORITY: list[str] = [
-    # Round-15 window (50-slot cap), oldest-verdict-first rotation:
-    # (1) the queries NEW this round (versioned-table Delta closure):
-    "orders_version_history",
-    "orders_time_travel_stats",
-    "orders_versioned_append_diff",
-    "orders_incremental_agg_maintenance",
-    # (2) ALL 43 round-8-stale names (the staleness floor after the
-    #     r14 window: every name whose latest driver verdict is r8),
-    #     in registry order:
-    "nation_market_share_by_year",
-    "lang_id_docs",
-    "top_words",
-    "order_price_rank_scalable",
-    "orders_status_pivot",
-    "orders_status_unpivot",
-    "semantic_dedup_survivors",
-    "stratified_sample_by_lang",
-    "tfidf_top_terms",
-    "scrub_pii_docs",
-    "hourly_event_counts",
-    "sliding_event_counts",
-    "user_sessions",
-    "packed_sequences",
-    "split_assignments",
-    "winsorized_prices",
-    "rolling_7d_event_avg",
-    "local_supplier_volume",
-    "returned_items_top_customers",
-    "sole_late_suppliers",
-    "customer_order_count_distribution",
-    "small_quantity_order_revenue",
-    "whitened_embedding_sample",
-    "contamination_spans",
-    "canonical_url_dedup",
-    "domain_mixture_stats",
-    "domain_capped_docs",
-    "price_histogram_quantiles",
-    "kmv_daily_user_merge",
-    "jl_distortion_pairs",
-    "daily_seasonal_decomposition",
-    "event_user_skew_report",
-    "docs_embeddings_integrity",
-    "event_changepoint_cusum",
-    "hard_negative_pairs",
-    "dedup_corpus_lines",
-    "simhash_recall_eval",
-    "incremental_event_state_merge",
-    "curation_funnel_by_source",
-    "simhash_jaccard_proxy_eval",
-    "event_value_histogram_merge",
-    "hll_daily_user_merge",
-    "cms_daily_user_merge",
-    # (3) the 3 oldest round-9 names (registry order) to fill the
-    #     window; the floor moves to r9 after this round's check:
-    "orders_column_profile",
-    "event_value_psi",
-    "event_value_median_ci",
+    # Round-16 window (50-slot cap), oldest-verdict-first rotation:
+    # (1) the queries NEW this round (partition-scoped MERGE, row-level
+    #     change feed, catalog-table serving):
+    "orders_partitioned_merge",
+    "orders_version_changes",
+    "sql_catalog_orders_rollup",
+    # (2) ALL 47 round-9-stale names (the staleness floor after the
+    #     r15 window: every name whose latest driver verdict is r9),
+    #     in registry order — the floor moves to r10 after this
+    #     round's check:
+    "price_quantity_spearman",
+    "quantity_discount_kendall",
+    "corpus_zipf_fit",
+    "readability_scores",
+    "corpus_health_report",
+    "event_type_burstiness",
+    "supplier_graph_assortativity",
+    "event_value_ks_drift",
+    "daily_event_ewma",
+    "customer_order_survival",
+    "priority_status_cramers_v",
+    "nation_customer_hhi",
+    "event_value_anova_f",
+    "source_unigram_jsd",
+    "quality_gate_kappa",
+    "customer_name_edit_pairs",
+    "event_value_cohens_d",
+    "event_type_ranksum_scan",
+    "vocab_chao1_richness",
+    "event_transition_entropy",
+    "price_quantity_partial_corr",
+    "event_value_levene",
+    "word_burstiness",
+    "doc_length_moments",
+    "supplier_graph_clustering",
+    "nation_customer_pareto",
+    "event_interarrival_burstiness",
+    "event_value_quantile_shift",
+    "centroid_margin_eval",
+    "daily_count_hurst",
+    "priority_status_mutual_info",
+    "benford_price_conformity",
+    "daily_count_runs_test",
+    "tfidf_doc_similarity",
+    "ann_rank_quality",
+    "quality_score_auc",
+    "quality_score_lift",
+    "event_value_wasserstein",
+    "event_drift_report",
+    "quality_score_calibration",
+    "quality_score_brier",
+    "customer_golden_records",
+    "event_type_wasserstein_scan",
+    "supplier_bfs_hops",
+    "prefix_dim_fidelity",
+    "quantile_sketch_error",
+    "split_leakage_audit",
 ]
 
 
