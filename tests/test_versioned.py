@@ -612,3 +612,108 @@ def test_optimize_append_race_loser_rebases(spark, tmp_path):
     assert m["n_files"] < len(vt.read_manifest(t, 1)["files"])
     # Every retained version stays readable.
     assert _vals(vt.read_version(spark, t, 1)) == {(1, "a"), (2, "b")}
+
+
+def test_manifest_stats_recorded_and_carried(spark, tmp_path):
+    """Commits record per-file column min/max (parquet footers); an
+    append carries re-referenced files' stats forward and adds the new
+    files' — Delta's add-action stats model."""
+    t = str(tmp_path / "tbl")
+    m0 = vt.create_versioned(_df(spark, [(1, "a"), (5, "e")]), t)
+    assert m0["stats"]
+    # Every file has a stats entry; zero-row part files legitimately
+    # have no per-column stats (no row groups) and are never pruned.
+    assert set(m0["stats"]) == set(m0["files"])
+    with_k = [s for s in m0["stats"].values() if "k" in s]
+    assert with_k
+    assert min(s["k"][0] for s in with_k) == 1
+    assert max(s["k"][1] for s in with_k) == 5
+    assert all("val" in s for s in with_k)
+    m1 = vt.append_versioned(_df(spark, [(9, "z")]), t)
+    # Old files' stats identical (carried), new files' stats present.
+    for f in m0["files"]:
+        assert m1["stats"][f] == m0["stats"][f]
+    new = set(m1["files"]) - set(m0["files"])
+    new_k = [m1["stats"][f]["k"] for f in new if "k" in m1["stats"][f]]
+    assert new_k and all(kk == [9, 9] for kk in new_k)
+
+
+def test_read_version_pruned_skips_files_exactly(spark, tmp_path):
+    """Data skipping on a clustered layout: a selective range probe
+    scans a strict subset of files, and the result is IDENTICAL to
+    filtering the full snapshot (pruning is pure I/O avoidance)."""
+    import datetime
+
+    t = str(tmp_path / "tbl")
+    rows = [
+        (k, datetime.date(1994, 1, 1) + datetime.timedelta(days=k), float(k))
+        for k in range(400)
+    ]
+    df = spark.createDataFrame(rows, "k int, d date, x double").repartition(8)
+    vt.create_versioned(df, t)
+    # Cluster on k so files own disjoint ranges (write_clustered).
+    vt.optimize_versioned(spark, t, target_file_bytes=2_000, sort_within_by=["k"])
+    m = vt.read_manifest(t, 1)
+    assert m["n_files"] >= 4
+    conds = {"k": (100, 140)}
+    cand = vt.prune_files_by_stats(m, conds)
+    assert 0 < len(cand) < m["n_files"]  # strict pruning happened
+    got = {r.k for r in vt.read_version_pruned(spark, t, conds).collect()}
+    assert got == set(range(100, 141))
+    # Date-typed pruning (ISO-encoded stats): same discipline.
+    dconds = {"d": (datetime.date(1994, 4, 11), datetime.date(1994, 5, 21))}
+    dcand = vt.prune_files_by_stats(m, dconds)
+    assert 0 < len(dcand) < m["n_files"]
+    dgot = {r.k for r in vt.read_version_pruned(spark, t, dconds).collect()}
+    assert dgot == set(range(100, 141))
+    # Open bounds + unknown column: sound over-approximation (keep all).
+    assert vt.prune_files_by_stats(m, {"nope": (0, 1)}) == m["files"]
+    half = {r.k for r in vt.read_version_pruned(spark, t, {"k": (350, None)}).collect()}
+    assert half == set(range(350, 400))
+    # A probe entirely outside the table: zero files, typed empty.
+    empty = vt.read_version_pruned(spark, t, {"k": (10_000, 20_000)})
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["k", "d", "x"]
+
+
+def test_check_constraints_enforced_on_commit(spark, tmp_path):
+    """Delta CHECK-constraint parity: add_constraint validates the
+    existing snapshot and commits metadata-only; later appends/merges
+    validate their BATCH (one combined scan, never the table); a
+    violating commit raises and publishes NOTHING; constraints carry
+    across append/merge/optimize/overwrite; NULL passes (SQL standard);
+    drop_constraint lifts enforcement."""
+    t = str(tmp_path / "tbl")
+    vt.create_versioned(_df(spark, [(1, "a"), (2, "b")]), t)
+    m = vt.add_constraint(spark, t, "k_pos", "k > 0")
+    assert m["op"] == "add_constraint(k_pos)" and m["constraints"] == {"k_pos": "k > 0"}
+    # Metadata-only: same files as v0.
+    assert m["files"] == vt.read_manifest(t, 0)["files"]
+    # Adding a constraint the snapshot violates: refused, not committed.
+    with pytest.raises(vt.ConstraintViolation):
+        vt.add_constraint(spark, t, "k_big", "k > 10")
+    assert vt.latest_version(t) == 1
+    # Valid append passes; violating append refused with NO new version.
+    vt.append_versioned(_df(spark, [(3, "c")]), t)
+    with pytest.raises(vt.ConstraintViolation, match="k_pos"):
+        vt.append_versioned(_df(spark, [(-1, "x")]), t)
+    assert vt.latest_version(t) == 2
+    # NULL passes (SQL-standard CHECK), and the constraint carries
+    # through merge and overwrite commits.
+    vt.merge_versioned(spark, _df(spark, [(None, "n"), (3, "C")]), t, ["k"])
+    with pytest.raises(vt.ConstraintViolation):
+        vt.merge_versioned(spark, _df(spark, [(-5, "x")]), t, ["k"])
+    vt.create_versioned(_df(spark, [(7, "z")]), t)  # overwrite
+    assert vt.read_manifest(t, vt.latest_version(t))["constraints"] == {
+        "k_pos": "k > 0"
+    }
+    with pytest.raises(vt.ConstraintViolation):
+        vt.create_versioned(_df(spark, [(-7, "z")]), t)
+    # Streaming appends enforce too.
+    assert vt.append_versioned_stream(_df(spark, [(8, "s")]), t, 99) is not None
+    with pytest.raises(vt.ConstraintViolation):
+        vt.append_versioned_stream(_df(spark, [(-8, "s")]), t, 100)
+    # Drop: enforcement lifted, recorded as a metadata-only commit.
+    vt.drop_constraint(t, "k_pos")
+    vt.append_versioned(_df(spark, [(-1, "x")]), t)
+    assert (-1, "x") in _vals(vt.read_version(spark, t))

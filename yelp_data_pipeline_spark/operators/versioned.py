@@ -182,6 +182,64 @@ def _scan_files(
     return reduce(lambda a, b: a.unionByName(b), scans)
 
 
+def _stats_jsonable(v):
+    """Footer statistic → JSON-storable, ORDER-PRESERVING encoding:
+    dates/timestamps to ISO strings (lexicographic == chronological),
+    bytes decoded, numbers kept numeric. None = not encodable (the
+    file is then never pruned on that column — safe)."""
+    import datetime
+    import decimal
+
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, (int, float)):
+        return v
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, str):
+        return v
+    return None
+
+
+def _collect_file_stats(table: str, files: list[str]) -> dict:
+    """Per-file column min/max from the parquet FOOTERS (metadata-only
+    driver reads, like Delta computing add-action stats at write):
+    {rel_path: {col: [min, max]}}. Row-group stats aggregate per file;
+    columns without usable stats are simply absent (never pruned).
+    Parquet writers truncate long string bounds with VALID bounds
+    (max's last byte incremented), so interval checks stay safe."""
+    import pyarrow.parquet as pq
+
+    out = {}
+    for rel in files:
+        per: dict[str, list] = {}
+        meta = pq.ParquetFile(os.path.join(table, rel)).metadata
+        for rg in range(meta.num_row_groups):
+            row_group = meta.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                st = col.statistics
+                name = col.path_in_schema
+                if st is None or not st.has_min_max or "." in name:
+                    continue
+                mn, mx = _stats_jsonable(st.min), _stats_jsonable(st.max)
+                if mn is None or mx is None:
+                    continue
+                if name in per:
+                    per[name] = [min(per[name][0], mn), max(per[name][1], mx)]
+                else:
+                    per[name] = [mn, mx]
+        out[rel] = per
+    return out
+
+
 def _commit_manifest(
     table: str,
     version: int,
@@ -197,12 +255,27 @@ def _commit_manifest(
     ``batch_id``) ride in the SAME atomic write — a manifest is never
     visible without them."""
     os.makedirs(os.path.join(table, _MANIFEST_DIR), exist_ok=True)
+    # Per-file column min/max stats (Delta add-action stats): carried
+    # forward for re-referenced files from the previous manifest, read
+    # from parquet footers (metadata-only) for files new to the log —
+    # what read_version_pruned skips files with.
+    prev_stats = {}
+    if version > 0:
+        try:
+            prev_stats = read_manifest(table, version - 1).get("stats") or {}
+        except (FileNotFoundError, json.JSONDecodeError):
+            prev_stats = {}
+    stats = {f: prev_stats[f] for f in files if f in prev_stats}
+    stats.update(
+        _collect_file_stats(table, [f for f in files if f not in stats])
+    )
     manifest = {
         "version": version,
         "op": op,
         "files": files,
         "n_files": len(files),
         "schema": schema_json,
+        "stats": stats,
         "ts": time.time(),
         **(extra or {}),
     }
@@ -307,6 +380,18 @@ def _maybe_write_checkpoint(table: str, version: int) -> None:
     os.replace(tmp, path)
 
 
+def _carried_props(prev: dict) -> dict:
+    """Table properties every commit carries forward in its manifest:
+    the partition layout and the CHECK constraints (Delta's metaData /
+    table-properties persistence)."""
+    extra = {}
+    if prev.get("partition_by"):
+        extra["partition_by"] = prev["partition_by"]
+    if prev.get("constraints"):
+        extra["constraints"] = prev["constraints"]
+    return extra
+
+
 def create_versioned(
     df: DataFrame, table: str, partition_by: list[str] | None = None
 ) -> dict:
@@ -314,12 +399,22 @@ def create_versioned(
     ``partition_by`` declares the table's partition columns (recorded
     in the manifest, carried by every later commit): data files land
     under Hive-style ``col=value`` dirs, which is what lets
-    :func:`merge_versioned` rewrite only touched partitions."""
-    next_v = (latest_version(table) + 1) if list_versions(table) else 0
+    :func:`merge_versioned` rewrite only touched partitions.
+
+    An overwrite on an EXISTING table keeps its CHECK constraints
+    (table property, Delta semantics) and validates the fresh snapshot
+    against them before publishing."""
+    prev_v = latest_version(table)
+    extra = {"partition_by": partition_by} if partition_by else {}
+    if prev_v is not None:
+        prev = read_manifest(table, prev_v)
+        if prev.get("constraints"):
+            _validate_constraints(df, prev["constraints"])
+            extra["constraints"] = prev["constraints"]
+    next_v = prev_v + 1 if prev_v is not None else 0
     files = _write_snapshot_files(df, table, partition_by)
-    extra = {"partition_by": partition_by} if partition_by else None
     return _commit_manifest(
-        table, next_v, "overwrite", files, df.schema.json(), extra
+        table, next_v, "overwrite", files, df.schema.json(), extra or None
     )
 
 
@@ -367,15 +462,15 @@ def append_versioned(df: DataFrame, table: str) -> dict:
     if prev_v is None:
         return create_versioned(df, table)
     prev = read_manifest(table, prev_v)
-    pby = prev.get("partition_by")
-    new_files = _write_snapshot_files(df, table, pby)
+    _validate_constraints(df, prev.get("constraints") or {})
+    new_files = _write_snapshot_files(df, table, prev.get("partition_by"))
     return _commit_manifest(
         table,
         prev_v + 1,
         "append",
         prev["files"] + new_files,
         _merged_schema_json(prev.get("schema"), df),
-        {"partition_by": pby} if pby else None,
+        _carried_props(prev) or None,
     )
 
 
@@ -422,6 +517,9 @@ def merge_versioned(
     if prev_v is None:
         return create_versioned(updates, table, partition_by)
     prev = read_manifest(table, prev_v)
+    # Old rows satisfied the constraints at their own commits; the
+    # only fresh data a merge writes comes from the updates batch.
+    _validate_constraints(updates, prev.get("constraints") or {})
     pby = partition_by or prev.get("partition_by")
     schema = None
     if prev.get("schema"):
@@ -433,7 +531,12 @@ def merge_versioned(
         merged = merge_upsert_df(target, updates, keys)
         files = _write_snapshot_files(merged, table)
         return _commit_manifest(
-            table, prev_v + 1, "merge", files, merged.schema.json()
+            table,
+            prev_v + 1,
+            "merge",
+            files,
+            merged.schema.json(),
+            _carried_props(prev) or None,
         )
     # Partition-scoped path: split the previous manifest's files into
     # touched (their partition tuple appears in updates) vs untouched.
@@ -458,24 +561,33 @@ def merge_versioned(
         "merge",
         untouched_files + new_files,
         merged.schema.json(),
-        {"partition_by": pby},
+        {**_carried_props(prev), "partition_by": pby},
     )
 
 
 def restore_versioned(table: str, version: int) -> dict:
     """Delta RESTORE: commit a NEW version whose file list is an old
     version's — metadata-only (no data read or written), and the
-    intervening history remains readable."""
+    intervening history remains readable. The restored files' layout
+    (partition_by) comes from the OLD manifest; CHECK constraints are
+    a table property and carry from the CURRENT latest — and, matching
+    Delta, the restored data is NOT re-validated against constraints
+    added after it was written."""
     old = read_manifest(table, version)
-    next_v = latest_version(table) + 1
-    pby = old.get("partition_by")
+    latest = read_manifest(table, latest_version(table))
+    extra = {}
+    if old.get("partition_by"):
+        extra["partition_by"] = old["partition_by"]
+    if latest.get("constraints"):
+        extra["constraints"] = latest["constraints"]
+    next_v = latest["version"] + 1
     return _commit_manifest(
         table,
         next_v,
         f"restore({version})",
         old["files"],
         old.get("schema"),
-        {"partition_by": pby} if pby else None,
+        extra or None,
     )
 
 
@@ -507,6 +619,160 @@ def read_version(
         # the engine's empty-relation posture, not an error.
         return spark.createDataFrame([], schema)
     return _scan_files(spark, table, m["files"], schema, m.get("partition_by"))
+
+
+class ConstraintViolation(ValueError):
+    """A batch (or the existing snapshot, when adding a constraint)
+    contains rows failing a CHECK constraint — the commit is refused
+    and no version is published."""
+
+
+def _validate_constraints(df: DataFrame, constraints: dict) -> None:
+    """Enforce CHECK constraints on a batch before its commit (Delta's
+    write-path constraint enforcement). SQL-standard semantics: a row
+    violates only when the predicate is FALSE — NULL/unknown passes
+    (add an explicit ``col IS NOT NULL`` constraint for NOT NULL).
+    One combined scan of the BATCH (never the table): all predicates
+    checked in a single pass, first violating constraint reported."""
+    if not constraints:
+        return
+    from pyspark.sql import functions as F
+
+    flags = [
+        F.max(
+            F.when(F.expr(pred) == F.lit(False), F.lit(1)).otherwise(F.lit(0))
+        ).alias(name)
+        for name, pred in constraints.items()
+    ]
+    row = df.agg(*flags).first()
+    for name, pred in constraints.items():
+        if row[name] == 1:
+            raise ConstraintViolation(
+                f"CHECK constraint {name!r} ({pred}) violated by the batch"
+            )
+
+
+def add_constraint(
+    spark: SparkSession, table: str, name: str, predicate_sql: str
+) -> dict:
+    """Delta ``ALTER TABLE ... ADD CONSTRAINT ... CHECK (...)`` over
+    the manifest log: validates the CURRENT snapshot satisfies the
+    predicate (one scan), then commits a metadata-only version (same
+    files) whose manifest carries the constraint; every later
+    append / merge / streaming append validates its batch against all
+    recorded constraints before publishing, and a violating commit
+    raises :class:`ConstraintViolation` with nothing published."""
+    prev_v = latest_version(table)
+    if prev_v is None:
+        raise FileNotFoundError(f"{table} has no committed versions")
+    prev = read_manifest(table, prev_v)
+    constraints = dict(prev.get("constraints") or {})
+    if name in constraints:
+        raise ValueError(f"constraint {name!r} already exists")
+    _validate_constraints(
+        read_version(spark, table, prev_v), {name: predicate_sql}
+    )
+    constraints[name] = predicate_sql
+    extra = {"constraints": constraints}
+    if prev.get("partition_by"):
+        extra["partition_by"] = prev["partition_by"]
+    return _commit_manifest(
+        table,
+        prev_v + 1,
+        f"add_constraint({name})",
+        prev["files"],
+        prev.get("schema"),
+        extra,
+    )
+
+
+def drop_constraint(table: str, name: str) -> dict:
+    """Metadata-only commit removing a CHECK constraint."""
+    prev_v = latest_version(table)
+    prev = read_manifest(table, prev_v)
+    constraints = dict(prev.get("constraints") or {})
+    constraints.pop(name)
+    extra = {"constraints": constraints}
+    if prev.get("partition_by"):
+        extra["partition_by"] = prev["partition_by"]
+    return _commit_manifest(
+        table,
+        prev_v + 1,
+        f"drop_constraint({name})",
+        prev["files"],
+        prev.get("schema"),
+        extra,
+    )
+
+
+def prune_files_by_stats(manifest: dict, conds: dict) -> list[str]:
+    """The file-skipping decision, exposed for tests/inspection: which
+    of the manifest's files can contain a row satisfying ``conds``
+    ({col: (lo, hi)}, either bound None for open). A file is skipped
+    only when its recorded [min, max] interval provably misses the
+    probe interval; files with no stats for a probed column are kept —
+    pruning is always a sound over-approximation."""
+    stats = manifest.get("stats") or {}
+    out = []
+    for f in manifest["files"]:
+        s = stats.get(f) or {}
+        keep = True
+        for col, (lo, hi) in conds.items():
+            if col not in s:
+                continue
+            mn, mx = s[col]
+            lo_j, hi_j = _stats_jsonable(lo), _stats_jsonable(hi)
+            if (lo_j is not None and mx < lo_j) or (
+                hi_j is not None and mn > hi_j
+            ):
+                keep = False
+                break
+        if keep:
+            out.append(f)
+    return out
+
+
+def read_version_pruned(
+    spark: SparkSession,
+    table: str,
+    conds: dict,
+    version: int | None = None,
+) -> DataFrame:
+    """Data-skipping read — Delta's stats-based file pruning over the
+    manifest log: ``conds`` maps column → (lo, hi) range (inclusive;
+    either bound None for open, lo == hi for equality). Files whose
+    footer-recorded [min, max] provably miss the range are never
+    scanned — on a clustered layout (optimize_versioned
+    ``sort_within_by``/``zorder_by``) a selective predicate reads a
+    handful of files out of a 100 TB table. The surviving files then
+    get the EXACT predicate as a normal Catalyst filter (pushed to the
+    parquet row-group scan as well), so results are identical to
+    filtering the full snapshot — pruning is pure I/O avoidance,
+    pinned in tests/test_versioned.py.
+    """
+    from pyspark.sql import functions as F
+
+    v = latest_version(table) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"{table} has no committed versions")
+    m = read_manifest(table, v)
+    schema = None
+    if m.get("schema"):
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(m["schema"]))
+    candidates = prune_files_by_stats(m, conds)
+    if not candidates:
+        df = spark.createDataFrame([], schema)
+    else:
+        df = _scan_files(spark, table, candidates, schema, m.get("partition_by"))
+    pred = F.lit(True)
+    for col, (lo, hi) in conds.items():
+        if lo is not None:
+            pred = pred & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            pred = pred & (F.col(col) <= F.lit(hi))
+    return df.filter(pred)
 
 
 def commit_with_retry(commit_fn, retries: int = 3):
@@ -575,10 +841,9 @@ def append_versioned_stream(
         )
     prev_v = latest_version(table)
     prev = read_manifest(table, prev_v)
-    pby = prev.get("partition_by")
-    if pby:
-        extra["partition_by"] = pby
-    files = _write_snapshot_files(df, table, pby)
+    _validate_constraints(df, prev.get("constraints") or {})
+    extra.update(_carried_props(prev))
+    files = _write_snapshot_files(df, table, prev.get("partition_by"))
     # Same additive schema evolution as batch appends: merge with the
     # previous manifest's schema so a narrower micro-batch never
     # silently drops columns a prior append/batch evolution added.
@@ -691,8 +956,7 @@ def optimize_versioned(
         ).sortWithinPartitions(*sort_within_by)
     else:
         out = df.repartition(n_target)
-    pby = m.get("partition_by")
-    files = _write_snapshot_files(out, table, pby)
+    files = _write_snapshot_files(out, table, m.get("partition_by"))
     op = "optimize" if not zorder_by else f"optimize_zorder({','.join(zorder_by)})"
     manifest = _commit_manifest(
         table,
@@ -700,7 +964,7 @@ def optimize_versioned(
         op,
         files,
         m.get("schema"),
-        {"partition_by": pby} if pby else None,
+        _carried_props(m) or None,
     )
     manifest["files_before"] = len(m["files"])
     return manifest

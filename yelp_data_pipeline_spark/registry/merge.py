@@ -386,3 +386,62 @@ def q_orders_version_changes(spark, sf_dir):
         "_change_type", "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
     )
     return _checkpoint_and_clean(out, tmp_root)
+
+
+@_q(
+    "orders_pruned_date_scan",
+    """
+SELECT month(o_orderdate) AS order_month, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE) AS total_price
+FROM orders
+WHERE o_orderdate BETWEEN TIMESTAMP '1996-04-01 00:00:00'
+                       AND TIMESTAMP '1996-06-30 23:59:59'
+GROUP BY month(o_orderdate)
+""",
+    doc="Stats-based data skipping over the versioned table — Delta's "
+    "file pruning from add-action min/max stats: every commit records "
+    "per-file column [min,max] from the parquet FOOTERS (metadata-only "
+    "driver reads); after an OPTIMIZE sort_within_by(o_orderdate) "
+    "clusters files into disjoint date ranges, read_version_pruned "
+    "scans ONLY the files whose interval intersects the probe quarter "
+    "and applies the exact predicate to the survivors — at 100 TB a "
+    "selective date probe reads a handful of files, not the table. "
+    "The oracle filters the raw orders directly, so an unsound prune "
+    "(a file skipped that held matching rows) hash-mismatches; strict "
+    "file-count pruning is pinned in tests/test_versioned.py::"
+    "test_read_version_pruned_skips_files_exactly.",
+)
+def q_orders_pruned_date_scan(spark, sf_dir):
+    import datetime
+    import tempfile
+
+    from ..operators import versioned as vt
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    tmp_root = tempfile.mkdtemp(prefix="spark_graft_versioned_")
+    table = tmp_root + "/orders"
+    vt.create_versioned(o, table)
+    vt.optimize_versioned(
+        spark, table, target_file_bytes=1 << 20, sort_within_by=["o_orderdate"]
+    )
+    pruned = vt.read_version_pruned(
+        spark,
+        table,
+        {
+            "o_orderdate": (
+                datetime.datetime(1996, 4, 1),
+                datetime.datetime(1996, 6, 30, 23, 59, 59),
+            )
+        },
+    )
+    out = pruned.groupBy(
+        F.month("o_orderdate").alias("order_month")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(27,4)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+    return _checkpoint_and_clean(out, tmp_root)
