@@ -228,6 +228,12 @@ EXTRAS = [
     "orders_version_history",
     "orders_versioned_append_diff",
     "orders_incremental_agg_maintenance",
+    # round 16 — partition-scoped MERGE (file-pruned rewrite), row-level
+    # change feed, stats-based data skipping, catalog-table serving
+    "orders_partitioned_merge",
+    "orders_version_changes",
+    "orders_pruned_date_scan",
+    "sql_catalog_orders_rollup",
 ]
 
 

@@ -717,3 +717,37 @@ def test_check_constraints_enforced_on_commit(spark, tmp_path):
     vt.drop_constraint(t, "k_pos")
     vt.append_versioned(_df(spark, [(-1, "x")]), t)
     assert (-1, "x") in _vals(vt.read_version(spark, t))
+
+
+def test_partition_scoped_optimize(spark, tmp_path):
+    """OPTIMIZE ... WHERE parity: compact only the hot partition's
+    small files; cold partitions' files are re-referenced untouched."""
+    t = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(k, f"v{k}", k % 3) for k in range(30)], "k int, val string, pm int"
+    ).repartition(6)
+    vt.create_versioned(base, t, partition_by=["pm"])
+    m0 = vt.read_manifest(t, 0)
+    cold = [f for f in m0["files"] if vt._file_partition_values(f, ["pm"]) != ("1",)]
+    hot = [f for f in m0["files"] if vt._file_partition_values(f, ["pm"]) == ("1",)]
+    assert len(hot) > 1  # fragmented hot partition to compact
+    m1 = vt.optimize_versioned(
+        spark, t, target_file_bytes=1 << 30, partition_filter={"pm": 1}
+    )
+    # Cold files identical references; hot partition compacted.
+    assert set(cold) <= set(m1["files"])
+    new = set(m1["files"]) - set(m0["files"])
+    assert new and all(
+        vt._file_partition_values(f, ["pm"]) == ("1",) for f in new
+    )
+    assert len(new) < len(hot)
+    assert not (set(hot) & set(m1["files"]))
+    got = {(r.k, r.val, r.pm) for r in vt.read_version(spark, t).collect()}
+    assert got == {(k, f"v{k}", k % 3) for k in range(30)}
+    # Guardrails: unpartitioned table / no matching partition refuse.
+    with pytest.raises(ValueError, match="no files match"):
+        vt.optimize_versioned(spark, t, partition_filter={"pm": 99})
+    t2 = str(tmp_path / "flat")
+    vt.create_versioned(_df(spark, [(1, "a")]), t2)
+    with pytest.raises(ValueError, match="partitioned"):
+        vt.optimize_versioned(spark, t2, partition_filter={"pm": 1})

@@ -909,6 +909,7 @@ def optimize_versioned(
     target_file_bytes: int = 128 * 1024 * 1024,
     sort_within_by: list[str] | None = None,
     zorder_by: list[str] | None = None,
+    partition_filter: dict | None = None,
 ) -> dict:
     """Delta ``OPTIMIZE`` over the manifest log: rewrite the LATEST
     snapshot into ``ceil(bytes / target_file_bytes)`` files and commit
@@ -929,6 +930,13 @@ def optimize_versioned(
       box over ALL the named dims, so predicates on any of them prune
       files (verified against parquet footer statistics in
       tests/test_versioned.py).
+
+    ``partition_filter`` (``{col: value}``, partitioned tables only) is
+    Delta's ``OPTIMIZE ... WHERE``: compact only the matching
+    partitions — the compaction-under-ingest pattern at 100 TB, where
+    the hot ingest partition accretes small files while cold
+    partitions are already compacted and must be RE-REFERENCED, not
+    rewritten.
     """
     import math
 
@@ -938,11 +946,42 @@ def optimize_versioned(
     if prev_v is None:
         raise FileNotFoundError(f"{table} has no committed versions")
     m = read_manifest(table, prev_v)
+    untouched_files: list[str] = []
+    target_files = m["files"]
+    if partition_filter:
+        pby = m.get("partition_by")
+        if not pby:
+            raise ValueError(
+                "partition_filter requires a partitioned table"
+            )
+        probe = {
+            c: _partition_dir_value(v) for c, v in partition_filter.items()
+        }
+
+        def _matches(f):
+            vals = dict(zip(pby, _file_partition_values(f, pby)))
+            return all(vals.get(c) == v for c, v in probe.items())
+
+        target_files = [f for f in m["files"] if _matches(f)]
+        untouched_files = [f for f in m["files"] if not _matches(f)]
+        if not target_files:
+            raise ValueError(
+                f"no files match partition_filter {partition_filter!r}"
+            )
     total = sum(
-        os.path.getsize(os.path.join(table, f)) for f in m["files"]
+        os.path.getsize(os.path.join(table, f)) for f in target_files
     )
     n_target = max(1, math.ceil(total / target_file_bytes))
-    df = read_version(spark, table, prev_v)
+    schema = None
+    if m.get("schema"):
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(m["schema"]))
+    df = (
+        _scan_files(spark, table, target_files, schema, m.get("partition_by"))
+        if partition_filter
+        else read_version(spark, table, prev_v)
+    )
     if zorder_by:
         keyed = df.withColumn("__zorder__", zorder_column(df, zorder_by))
         out = (
@@ -962,7 +1001,7 @@ def optimize_versioned(
         table,
         prev_v + 1,
         op,
-        files,
+        untouched_files + files,
         m.get("schema"),
         _carried_props(m) or None,
     )
