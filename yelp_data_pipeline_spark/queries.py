@@ -44,14 +44,16 @@ del _m
 _EXPORT_PRIORITY: list[str] = [
     # Round-16 window (50-slot cap), oldest-verdict-first rotation:
     # (1) the queries NEW this round (partition-scoped MERGE, row-level
-    #     change feed, catalog-table serving):
+    #     change feed, stats-based data skipping, catalog-table
+    #     serving):
     "orders_partitioned_merge",
     "orders_version_changes",
+    "orders_pruned_date_scan",
     "sql_catalog_orders_rollup",
-    # (2) ALL 47 round-9-stale names (the staleness floor after the
-    #     r15 window: every name whose latest driver verdict is r9),
-    #     in registry order — the floor moves to r10 after this
-    #     round's check:
+    # (2) 46 of the 47 round-9-stale names (the staleness floor after
+    #     the r15 window), in registry order; split_leakage_audit is
+    #     the one r9 name that waits for r17 — the floor effectively
+    #     moves to r10 after this round's check:
     "price_quantity_spearman",
     "quantity_discount_kendall",
     "corpus_zipf_fit",
@@ -98,7 +100,6 @@ _EXPORT_PRIORITY: list[str] = [
     "supplier_bfs_hops",
     "prefix_dim_fidelity",
     "quantile_sketch_error",
-    "split_leakage_audit",
 ]
 
 
