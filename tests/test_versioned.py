@@ -751,3 +751,73 @@ def test_partition_scoped_optimize(spark, tmp_path):
     vt.create_versioned(_df(spark, [(1, "a")]), t2)
     with pytest.raises(ValueError, match="partitioned"):
         vt.optimize_versioned(spark, t2, partition_filter={"pm": 1})
+
+
+def test_vacuum_partitioned_table_cleans_nested_files(spark, tmp_path):
+    """Partitioned commits nest data files under Hive-style col=value
+    subdirectories; vacuum must walk them (a flat listing either
+    missed retired files or hit IsADirectoryError on aged orphan
+    partition dirs) and the retention window must apply to nested
+    step-1 files of a live writer too."""
+    t = str(tmp_path / "tbl")
+    pdf = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k int, p string, v int"
+    )
+    vt.create_versioned(pdf, t, partition_by=["p"])
+    retired = vt.read_manifest(t, 0)["files"]
+    assert all("p=" in f for f in retired)  # nested layout in play
+    vt.create_versioned(
+        spark.createDataFrame([(3, "a", 30)], "k int, p string, v int"), t
+    )
+    # Nested step-1 files of a simulated in-flight writer: kept inside
+    # the retention window even though no manifest references them.
+    orphans = vt._write_snapshot_files(
+        spark.createDataFrame([(9, "z", 90)], "k int, p string, v int"), t, ["p"]
+    )
+    assert vt.vacuum_versioned(t, keep_versions=1) == len(retired)
+    for f in retired:
+        assert not os.path.exists(os.path.join(t, f))
+    for f in orphans:
+        assert os.path.exists(os.path.join(t, f))
+    # Past the window the nested orphans (and their emptied commit
+    # dir) go; the retained snapshot is unharmed.
+    assert vt.vacuum_versioned(t, retention_seconds=0) == len(orphans)
+    for f in orphans:
+        assert not os.path.exists(os.path.join(t, f))
+    assert {(r.k, r.p, r.v) for r in vt.read_version(spark, t).collect()} == {
+        (3, "a", 30)
+    }
+
+
+def test_overwrite_inherits_partition_layout(spark, tmp_path):
+    """Partition columns are table metadata (Delta): an overwrite with
+    partition_by=None keeps the layout; an explicit [] un-partitions."""
+    t = str(tmp_path / "tbl")
+    vt.create_versioned(
+        spark.createDataFrame([(1, "a", 10)], "k int, p string, v int"),
+        t,
+        partition_by=["p"],
+    )
+    m1 = vt.create_versioned(
+        spark.createDataFrame([(2, "b", 20)], "k int, p string, v int"), t
+    )
+    assert m1["partition_by"] == ["p"]
+    assert all("p=b" in f for f in m1["files"])
+    # Partition-scoped merge works against the inherited layout.
+    vt.merge_versioned(
+        spark,
+        spark.createDataFrame([(3, "c", 30)], "k int, p string, v int"),
+        t,
+        ["k"],
+    )
+    m2 = vt.read_manifest(t, 2)
+    assert m2["partition_by"] == ["p"]
+    assert set(m1["files"]) <= set(m2["files"])  # untouched p=b re-referenced
+    # Explicit [] changes the layout to unpartitioned.
+    m3 = vt.create_versioned(
+        spark.createDataFrame([(4, "d", 40)], "k int, p string, v int"),
+        t,
+        partition_by=[],
+    )
+    assert "partition_by" not in m3
+    assert all("=" not in os.path.basename(os.path.dirname(f)) for f in m3["files"])

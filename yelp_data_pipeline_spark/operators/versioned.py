@@ -401,10 +401,15 @@ def create_versioned(
     under Hive-style ``col=value`` dirs, which is what lets
     :func:`merge_versioned` rewrite only touched partitions.
 
-    An overwrite on an EXISTING table keeps its CHECK constraints
-    (table property, Delta semantics) and validates the fresh snapshot
-    against them before publishing."""
+    An overwrite on an EXISTING table keeps its CHECK constraints AND
+    its partition layout (both table properties, Delta semantics —
+    partition columns are table metadata, not per-write options):
+    ``partition_by=None`` inherits the table's layout; pass an
+    explicit list (``[]`` to un-partition) to change it. The fresh
+    snapshot is validated against the constraints before publishing."""
     prev_v = latest_version(table)
+    if prev_v is not None and partition_by is None:
+        partition_by = read_manifest(table, prev_v).get("partition_by")
     extra = {"partition_by": partition_by} if partition_by else {}
     if prev_v is not None:
         prev = read_manifest(table, prev_v)
@@ -1213,28 +1218,34 @@ def vacuum_versioned(
         return 0
     for commit_dir in sorted(os.listdir(data_root)):
         cdir = os.path.join(data_root, commit_dir)
-        for nm in sorted(os.listdir(cdir)):
-            rel = os.path.join(_DATA_DIR, commit_dir, nm)
-            if nm.startswith(("_", ".")):
-                # Spark success markers / CRCs: drop alongside the last
-                # data file in the commit dir.
-                continue
-            if rel in live:
-                continue
-            if rel not in retired:
-                # Never referenced: possible in-flight commit — only
-                # delete past the retention window.
-                try:
-                    age = now - os.path.getmtime(os.path.join(cdir, nm))
-                except FileNotFoundError:
+        # Recursive walk: partitioned commits nest data files under
+        # Hive-style col=value subdirectories, so a flat listing would
+        # miss retired files (and trip over the directories).
+        remaining = 0
+        for root, _dirs, names in os.walk(cdir):
+            for nm in sorted(names):
+                if nm.startswith(("_", ".")):
+                    # Spark success markers / CRCs: drop alongside the
+                    # last data file in the commit dir.
                     continue
-                if age < retention_seconds:
+                path = os.path.join(root, nm)
+                rel = os.path.relpath(path, table)
+                if rel in live:
+                    remaining += 1
                     continue
-            os.remove(os.path.join(cdir, nm))
-            deleted += 1
-        if not any(
-            not nm.startswith(("_", ".")) for nm in os.listdir(cdir)
-        ):
+                if rel not in retired:
+                    # Never referenced: possible in-flight commit —
+                    # only delete past the retention window.
+                    try:
+                        age = now - os.path.getmtime(path)
+                    except FileNotFoundError:
+                        continue
+                    if age < retention_seconds:
+                        remaining += 1
+                        continue
+                os.remove(path)
+                deleted += 1
+        if remaining == 0:
             import shutil
 
             shutil.rmtree(cdir)
