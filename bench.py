@@ -234,6 +234,9 @@ EXTRAS = [
     "orders_version_changes",
     "orders_pruned_date_scan",
     "sql_catalog_orders_rollup",
+    # round 16 — file-pruned DML (Delta DELETE / UPDATE parity)
+    "orders_file_pruned_delete",
+    "orders_file_pruned_update",
 ]
 
 

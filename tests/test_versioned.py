@@ -821,3 +821,69 @@ def test_overwrite_inherits_partition_layout(spark, tmp_path):
     )
     assert "partition_by" not in m3
     assert all("=" not in os.path.basename(os.path.dirname(f)) for f in m3["files"])
+
+
+def test_delete_versioned_rewrites_only_touched_files(spark, tmp_path):
+    """Delta DELETE parity: one scan finds the files containing
+    matching rows; only those are rewritten (keeping non-matching
+    rows), the rest re-referenced byte-identical; NULL predicate rows
+    are kept (SQL DELETE deletes only WHERE true); no-match is a
+    no-op with no version committed; time travel across the delete
+    still reads the old snapshot."""
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(k, "keep" if k % 10 else None) for k in range(100)],
+        "k int, tag string",
+    ).repartition(5, "k")
+    vt.create_versioned(df, t)
+    m0 = vt.read_manifest(t, 0)
+    assert len(m0["files"]) > 1
+    m1 = vt.delete_versioned(spark, t, "k >= 90 AND tag = 'keep'")
+    assert m1["op"] == "delete"
+    # Untouched files re-referenced (same rel paths), touched gone.
+    reused = set(m0["files"]) & set(m1["files"])
+    assert reused and set(m1["files"]) - set(m0["files"])
+    got = {r.k for r in vt.read_version(spark, t).collect()}
+    # k in 90..99 deleted EXCEPT k=90 (tag NULL -> predicate unknown -> kept)
+    assert got == set(range(90)) | {90}
+    assert {r.k for r in vt.read_version(spark, t, 0).collect()} == set(range(100))
+    # No-op: nothing matches, no commit.
+    assert vt.delete_versioned(spark, t, "k > 1000") is None
+    assert vt.latest_version(t) == 1
+
+
+def test_update_versioned_file_pruned(spark, tmp_path):
+    """Delta UPDATE parity: matching rows get the assignments, other
+    rows in touched files copy through, untouched files re-reference;
+    assignments cast to the column's type; CHECK constraints are
+    enforced on the rewritten rows; partitioned tables move updated
+    rows into their new partition dirs."""
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(k, k % 4, float(k)) for k in range(40)], "k int, p int, v double"
+    )
+    vt.create_versioned(df, t, partition_by=["p"])
+    m0 = vt.read_manifest(t, 0)
+    vt.add_constraint(spark, t, "v_nonneg", "v >= 0")
+    m2 = vt.update_versioned(spark, t, "p = 1", {"v": "v * 2", "p": "3"})
+    assert m2["op"] == "update"
+    untouched0 = [f for f in m0["files"] if vt._file_partition_values(f, ["p"]) != ("1",)]
+    assert set(untouched0) <= set(m2["files"])
+    rows = {(r.k, r.p, r.v) for r in vt.read_version(spark, t).collect()}
+    expect = {
+        (k, 3 if k % 4 == 1 else k % 4, float(k) * 2 if k % 4 == 1 else float(k))
+        for k in range(40)
+    }
+    assert rows == expect
+    # Moved rows live under their NEW partition dir in the manifest.
+    new_files = set(m2["files"]) - set(m0["files"])
+    assert new_files and all(
+        vt._file_partition_values(f, ["p"]) == ("3",) for f in new_files
+    )
+    # Constraint enforcement on the rewritten rows.
+    with pytest.raises(vt.ConstraintViolation):
+        vt.update_versioned(spark, t, "k = 2", {"v": "-1.0"})
+    assert vt.latest_version(t) == 2  # refused commit published nothing
+    # Unknown assignment column refused.
+    with pytest.raises(ValueError, match="unknown columns"):
+        vt.update_versioned(spark, t, "k = 2", {"nope": "1"})

@@ -570,6 +570,148 @@ def merge_versioned(
     )
 
 
+def _touched_rel_files(
+    spark: SparkSession, table: str, m: dict, predicate_sql: str
+) -> list[str]:
+    """Which of manifest ``m``'s files contain at least one row
+    matching ``predicate_sql`` — Delta's DML file-finding scan: one
+    distributed pass over the snapshot tagged with
+    ``input_file_name()``, aggregated to the distinct matching file
+    set (bounded by file count — metadata-sized, never rows). The
+    predicate is pushed into the scan, so with a clustered layout
+    (optimize_versioned sort/zorder) parquet row-group stats already
+    skip most files' rows before the aggregate."""
+    from pyspark.sql import functions as F
+
+    schema = None
+    if m.get("schema"):
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(m["schema"]))
+    df = _scan_files(spark, table, m["files"], schema, m.get("partition_by"))
+    uris = [
+        r.f
+        for r in df.filter(F.expr(predicate_sql))
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    ]
+    root = os.path.abspath(table)
+    out = []
+    for u in uris:
+        p = u[7:] if u.startswith("file://") else u
+        out.append(os.path.relpath(os.path.abspath(p), root))
+    return sorted(out)
+
+
+def delete_versioned(
+    spark: SparkSession, table: str, predicate_sql: str
+) -> dict | None:
+    """Delta ``DELETE FROM table WHERE predicate`` over the manifest
+    log, file-pruned exactly like Delta's: one scan finds the files
+    that CONTAIN matching rows (:func:`_touched_rel_files`); only
+    those are rewritten (keeping their non-matching rows) and every
+    other file is re-referenced unchanged — delete cost scales with
+    the files the predicate touches, never the table. On a clustered
+    layout (optimize sort/zorder on the predicate column) a selective
+    delete rewrites a handful of files out of a 100 TB snapshot.
+
+    Returns the new manifest, or ``None`` when no row matches (no-op,
+    no version committed — Delta's empty-DML behavior). Prior
+    versions keep reading the original files (time travel across the
+    delete works; VACUUM retires them later)."""
+    from pyspark.sql import functions as F
+
+    prev_v = latest_version(table)
+    if prev_v is None:
+        raise FileNotFoundError(f"{table} has no committed versions")
+    prev = read_manifest(table, prev_v)
+    touched = _touched_rel_files(spark, table, prev, predicate_sql)
+    if not touched:
+        return None
+    touched_set = set(touched)
+    untouched = [f for f in prev["files"] if f not in touched_set]
+    schema = None
+    if prev.get("schema"):
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(prev["schema"]))
+    pby = prev.get("partition_by")
+    kept = _scan_files(spark, table, touched, schema, pby).filter(
+        ~F.coalesce(F.expr(predicate_sql), F.lit(False))
+    )
+    new_files = _write_snapshot_files(kept, table, pby)
+    return _commit_manifest(
+        table,
+        prev_v + 1,
+        "delete",
+        untouched + new_files,
+        prev.get("schema"),
+        _carried_props(prev) or None,
+    )
+
+
+def update_versioned(
+    spark: SparkSession,
+    table: str,
+    predicate_sql: str,
+    assignments: dict[str, str],
+) -> dict | None:
+    """Delta ``UPDATE table SET col = expr, ... WHERE predicate`` over
+    the manifest log — the same file-pruned rewrite as
+    :func:`delete_versioned`: only files containing matching rows are
+    rewritten (matching rows get the ``assignments`` applied — SQL
+    expressions that may reference any column; non-matching rows in
+    those files are copied through unchanged), every other file is
+    re-referenced. Assignment expressions are CAST to the column's
+    existing type (ANSI store-assignment: the table schema never
+    drifts through an UPDATE; an unrepresentable value raises under
+    ANSI mode instead of silently corrupting). The REWRITTEN rows
+    are validated against the table's CHECK constraints before the
+    commit publishes. Returns the new manifest, or ``None`` when no
+    row matches."""
+    from pyspark.sql import functions as F
+
+    prev_v = latest_version(table)
+    if prev_v is None:
+        raise FileNotFoundError(f"{table} has no committed versions")
+    prev = read_manifest(table, prev_v)
+    touched = _touched_rel_files(spark, table, prev, predicate_sql)
+    if not touched:
+        return None
+    touched_set = set(touched)
+    untouched = [f for f in prev["files"] if f not in touched_set]
+    schema = None
+    if prev.get("schema"):
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(prev["schema"]))
+    pby = prev.get("partition_by")
+    base = _scan_files(spark, table, touched, schema, pby)
+    bad = set(assignments) - set(base.columns)
+    if bad:
+        raise ValueError(f"assignments target unknown columns: {sorted(bad)}")
+    match = F.coalesce(F.expr(predicate_sql), F.lit(False))
+    rewritten = base.withColumns(
+        {
+            c: F.when(match, F.expr(e).cast(base.schema[c].dataType)).otherwise(
+                F.col(c)
+            )
+            for c, e in assignments.items()
+        }
+    )
+    _validate_constraints(rewritten, prev.get("constraints") or {})
+    new_files = _write_snapshot_files(rewritten, table, pby)
+    return _commit_manifest(
+        table,
+        prev_v + 1,
+        "update",
+        untouched + new_files,
+        prev.get("schema"),
+        _carried_props(prev) or None,
+    )
+
+
 def restore_versioned(table: str, version: int) -> dict:
     """Delta RESTORE: commit a NEW version whose file list is an old
     version's — metadata-only (no data read or written), and the

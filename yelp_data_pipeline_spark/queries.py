@@ -45,15 +45,18 @@ _EXPORT_PRIORITY: list[str] = [
     # Round-16 window (50-slot cap), oldest-verdict-first rotation:
     # (1) the queries NEW this round (partition-scoped MERGE, row-level
     #     change feed, stats-based data skipping, catalog-table
-    #     serving):
+    #     serving, file-pruned DELETE / UPDATE):
     "orders_partitioned_merge",
     "orders_version_changes",
     "orders_pruned_date_scan",
     "sql_catalog_orders_rollup",
-    # (2) 46 of the 47 round-9-stale names (the staleness floor after
-    #     the r15 window), in registry order; split_leakage_audit is
-    #     the one r9 name that waits for r17 — the floor effectively
-    #     moves to r10 after this round's check:
+    "orders_file_pruned_delete",
+    "orders_file_pruned_update",
+    # (2) 44 of the 47 round-9-stale names (the staleness floor after
+    #     the r15 window), in registry order; split_leakage_audit,
+    #     prefix_dim_fidelity and quantile_sketch_error are the three
+    #     r9 names that wait for r17 — the floor effectively moves to
+    #     r10 after this round's check:
     "price_quantity_spearman",
     "quantity_discount_kendall",
     "corpus_zipf_fit",
@@ -98,8 +101,6 @@ _EXPORT_PRIORITY: list[str] = [
     "customer_golden_records",
     "event_type_wasserstein_scan",
     "supplier_bfs_hops",
-    "prefix_dim_fidelity",
-    "quantile_sketch_error",
 ]
 
 

@@ -445,3 +445,95 @@ def q_orders_pruned_date_scan(spark, sf_dir):
         .alias("total_price"),
     )
     return _checkpoint_and_clean(out, tmp_root)
+
+
+_DML_PRED = (
+    "o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND "
+    "o_orderdate < TIMESTAMP '1996-04-01 00:00:00' AND "
+    "o_totalprice > 150000"
+)
+
+
+@_q(
+    "orders_file_pruned_delete",
+    f"""
+SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+WHERE NOT COALESCE({_DML_PRED}, FALSE)
+""",
+    doc="Delta DELETE parity, file-pruned like Delta's: one "
+    "input_file_name() scan finds the files CONTAINING matching rows "
+    "(delete_versioned), only those are rewritten keeping their "
+    "non-matching rows, every other file is re-referenced unchanged — "
+    "after optimize sort_within_by(o_orderdate) clusters files into "
+    "disjoint date ranges, a one-quarter high-price delete rewrites "
+    "only the quarter's files (cost ~ touched files, never the "
+    "table). The final snapshot is the full remaining relation, so a "
+    "row deleted too eagerly, kept wrongly, or duplicated by the "
+    "rewrite hash-mismatches against the oracle's NOT COALESCE "
+    "filter. Untouched-file re-referencing, NULL-predicate keep "
+    "semantics and the no-match no-op are pinned in "
+    "tests/test_versioned.py::test_delete_versioned_rewrites_only_"
+    "touched_files.",
+)
+def q_orders_file_pruned_delete(spark, sf_dir):
+    import tempfile
+
+    from ..operators import versioned as vt
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    tmp_root = tempfile.mkdtemp(prefix="spark_graft_versioned_")
+    table = tmp_root + "/orders"
+    vt.create_versioned(o, table)
+    vt.optimize_versioned(
+        spark, table, target_file_bytes=1 << 20, sort_within_by=["o_orderdate"]
+    )
+    vt.delete_versioned(spark, table, _DML_PRED)
+    out = vt.read_version(spark, table).select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    return _checkpoint_and_clean(out, tmp_root)
+
+
+@_q(
+    "orders_file_pruned_update",
+    f"""
+SELECT o_orderkey, o_orderdate,
+       CASE WHEN COALESCE({_DML_PRED}, FALSE)
+            THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+FROM orders
+""",
+    doc="Delta UPDATE parity — the same file-pruned rewrite as "
+    "orders_file_pruned_delete (update_versioned): matching rows get "
+    "the SET assignments (cast to the column's existing type — ANSI "
+    "store-assignment, the table schema never drifts), non-matching "
+    "rows in touched files copy through byte-equal, untouched files "
+    "re-reference. The oracle applies the same CASE WHEN to the raw "
+    "orders, so an update leaking outside the predicate, a missed "
+    "match inside a touched file, or a copy-through row mutated by "
+    "the rewrite hash-mismatches. Partition-moving updates and CHECK "
+    "enforcement on rewritten rows are pinned in tests/"
+    "test_versioned.py::test_update_versioned_file_pruned.",
+)
+def q_orders_file_pruned_update(spark, sf_dir):
+    import tempfile
+
+    from ..operators import versioned as vt
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    tmp_root = tempfile.mkdtemp(prefix="spark_graft_versioned_")
+    table = tmp_root + "/orders"
+    vt.create_versioned(o, table)
+    vt.optimize_versioned(
+        spark, table, target_file_bytes=1 << 20, sort_within_by=["o_orderdate"]
+    )
+    vt.update_versioned(
+        spark, table, _DML_PRED, {"o_totalprice": "o_totalprice * 2"}
+    )
+    out = vt.read_version(spark, table).select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    return _checkpoint_and_clean(out, tmp_root)
