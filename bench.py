@@ -234,9 +234,12 @@ EXTRAS = [
     "orders_version_changes",
     "orders_pruned_date_scan",
     "sql_catalog_orders_rollup",
-    # round 16 — file-pruned DML (Delta DELETE / UPDATE parity)
+    # round 16 — file-pruned DML (Delta DELETE / UPDATE parity) and the
+    # real Structured Streaming round trip through the Python Data
+    # Source versioned streaming source (query startup dominates)
     "orders_file_pruned_delete",
     "orders_file_pruned_update",
+    "orders_versioned_stream_roundtrip",
 ]
 
 

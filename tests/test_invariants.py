@@ -223,21 +223,22 @@ def test_export_window_contract():
     assert len(set(_EXPORT_PRIORITY)) == 50
     missing = [n for n in _EXPORT_PRIORITY if n not in qs]
     assert not missing, f"window names not in registry: {missing}"
-    # Round-16 rotation: the six new rows (partition-scoped MERGE,
+    # Round-16 rotation: the seven new rows (partition-scoped MERGE,
     # row-level change feed, data skipping, catalog serving,
-    # file-pruned DELETE / UPDATE) lead, then 44 of the 47
-    # round-9-stale names (split_leakage_audit, prefix_dim_fidelity,
-    # quantile_sketch_error wait for r17; update this pin when the
-    # window rotates).
+    # file-pruned DELETE / UPDATE, versioned streaming source) lead,
+    # then 43 of the 47 round-9-stale names (split_leakage_audit,
+    # prefix_dim_fidelity, quantile_sketch_error, supplier_bfs_hops
+    # wait for r17; update this pin when the window rotates).
     assert _EXPORT_PRIORITY[0] == "orders_partitioned_merge"
     assert _EXPORT_PRIORITY[1] == "orders_version_changes"
     assert _EXPORT_PRIORITY[2] == "orders_pruned_date_scan"
     assert _EXPORT_PRIORITY[3] == "sql_catalog_orders_rollup"
     assert _EXPORT_PRIORITY[4] == "orders_file_pruned_delete"
     assert _EXPORT_PRIORITY[5] == "orders_file_pruned_update"
+    assert _EXPORT_PRIORITY[6] == "orders_versioned_stream_roundtrip"
     assert "price_quantity_spearman" in _EXPORT_PRIORITY
     assert "customer_golden_records" in _EXPORT_PRIORITY
-    assert "supplier_bfs_hops" in _EXPORT_PRIORITY
+    assert "event_drift_report" in _EXPORT_PRIORITY
     assert list(qs)[:50] == _EXPORT_PRIORITY
     # Everything the driver can sample is oracle-backed.
     osql = oracle_sql()

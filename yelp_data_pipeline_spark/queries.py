@@ -45,18 +45,20 @@ _EXPORT_PRIORITY: list[str] = [
     # Round-16 window (50-slot cap), oldest-verdict-first rotation:
     # (1) the queries NEW this round (partition-scoped MERGE, row-level
     #     change feed, stats-based data skipping, catalog-table
-    #     serving, file-pruned DELETE / UPDATE):
+    #     serving, file-pruned DELETE / UPDATE, the Python Data Source
+    #     streaming source over the versioned table):
     "orders_partitioned_merge",
     "orders_version_changes",
     "orders_pruned_date_scan",
     "sql_catalog_orders_rollup",
     "orders_file_pruned_delete",
     "orders_file_pruned_update",
-    # (2) 44 of the 47 round-9-stale names (the staleness floor after
+    "orders_versioned_stream_roundtrip",
+    # (2) 43 of the 47 round-9-stale names (the staleness floor after
     #     the r15 window), in registry order; split_leakage_audit,
-    #     prefix_dim_fidelity and quantile_sketch_error are the three
-    #     r9 names that wait for r17 — the floor effectively moves to
-    #     r10 after this round's check:
+    #     prefix_dim_fidelity, quantile_sketch_error and
+    #     supplier_bfs_hops are the four r9 names that wait for r17 —
+    #     the floor effectively moves to r10 after this round's check:
     "price_quantity_spearman",
     "quantity_discount_kendall",
     "corpus_zipf_fit",
@@ -100,7 +102,6 @@ _EXPORT_PRIORITY: list[str] = [
     "quality_score_brier",
     "customer_golden_records",
     "event_type_wasserstein_scan",
-    "supplier_bfs_hops",
 ]
 
 

@@ -5,7 +5,7 @@ Split from the single-file queries.py (round 15). Modules are imported by regist
 
 from __future__ import annotations
 
-from .core import _q, _t, sw  # noqa: F401
+from .core import F, _q, _t, sw  # noqa: F401
 
 # --------------------------------------------------------------------------
 # Streaming-equivalent semantics (batch-checkable; true readStream is
@@ -80,3 +80,67 @@ def q_user_sessions(spark, sf_dir):
     return sw.session_counts(_t(spark, sf_dir, "events"), "ts", "30 minutes", ["user_id"])
 
 
+
+
+@_q(
+    "orders_versioned_stream_roundtrip",
+    """
+SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice FROM orders
+WHERE month(o_orderdate) <= 8
+""",
+    doc="REAL Structured Streaming round trip over the versioned "
+    "table (not a batch twin): table A (v0 = months<=6, v1 = append "
+    "months 7-8) is read through the Python Data Source streaming "
+    "source (streaming/versioned_source.py — version-number offsets, "
+    "per-file Arrow partitions, Delta streaming-source semantics), "
+    "micro-batches land in table B via the exactly-once "
+    "batch-id-in-manifest sink (append_versioned_stream), and the "
+    "result is B's latest snapshot. availableNow makes the run "
+    "deterministic: every committed version is consumed, so B must "
+    "equal A row-for-row — a dropped micro-batch, a replayed file, "
+    "or an offset off-by-one (batch (start,end] boundaries) "
+    "hash-mismatches against the oracle's plain filter. Resume, "
+    "append-only refusal, skipChangeCommits, schema-evolution "
+    "NULL-padding and double-replay idempotence are pinned in "
+    "tests/test_versioned_stream_source.py.",
+)
+def q_orders_versioned_stream_roundtrip(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from ..operators import versioned as vt
+    from ..streaming.versioned_source import VersionedTableDataSource
+
+    spark.dataSource.register(VersionedTableDataSource)
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    tmp_root = tempfile.mkdtemp(prefix="spark_graft_vstream_")
+    src, dst = tmp_root + "/a", tmp_root + "/b"
+    vt.create_versioned(o.filter(F.month("o_orderdate") <= 6), src)
+    vt.append_versioned(o.filter(F.month("o_orderdate").isin(7, 8)), src)
+
+    def sink(batch_df, batch_id):
+        vt.append_versioned_stream(
+            batch_df.localCheckpoint(eager=True), dst, batch_id
+        )
+
+    q = (
+        spark.readStream.format("versioned_table")
+        .option("path", src)
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", tmp_root + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        raise TimeoutError("versioned stream round trip did not finish")
+    out = vt.read_version(spark, dst).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    rows = out.localCheckpoint(eager=True)
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    return rows

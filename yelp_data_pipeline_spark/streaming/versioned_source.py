@@ -1,0 +1,201 @@
+"""Structured Streaming SOURCE over the manifest-versioned table —
+the Delta streaming-source twin, built on Spark 4's Python Data
+Source API (``pyspark.sql.datasource``).
+
+The reference's pipeline is monthly Airflow batches; its Delta gold
+tables COULD be streamed from (``spark.readStream.format("delta")``)
+but never are. This module closes that gap jar-free for the
+manifest-versioned table (`operators/versioned.py`): offsets are
+manifest VERSION numbers, each micro-batch is exactly the files the
+next versions appended, and Spark's checkpoint + the idempotent
+versioned SINK (:func:`..operators.versioned.append_versioned_stream`)
+make the table→stream→table round trip end-to-end exactly-once.
+
+Design (mirrors Delta's streaming source):
+
+- ``initialOffset`` = ``{"version": startingVersion - 1}`` — a batch
+  covers the half-open version interval ``(start, end]``.
+- ``latestOffset`` = the table's current latest committed version;
+  manifests are immutable once published, so an offset names an exact,
+  replayable file set (snapshot isolation per micro-batch).
+- ``partitions(start, end)`` = one :class:`InputPartition` per data
+  file ADDED across the interval — planning is metadata-only (manifest
+  JSON reads, no data I/O on the driver), and batch read parallelism
+  is per-file, like any file source.
+- Non-accretive commits (merge / overwrite / optimize / restore to an
+  earlier version) RAISE, exactly Delta's default posture (its
+  streaming source fails on non-append changes unless
+  ``ignoreChanges``/``skipChangeCommits`` is set): silently treating a
+  rewrite's files as fresh rows would duplicate the table into the
+  stream. Pass ``skipChangeCommits=true`` for Delta's opt-in: change
+  commits contribute NO rows, appends still stream.
+- ``read(partition)`` runs on executors and yields Arrow record
+  batches straight from the parquet file (pyarrow) — vectorized, no
+  per-row Python. Files are read THROUGH the stream's fixed schema
+  (columns selected/reordered; columns a later schema-evolution append
+  introduced are ignored mid-stream, and files predating an evolution
+  NULL-pad — restart the stream to pick up a wider schema, Delta's
+  contract).
+
+Usage::
+
+    spark.dataSource.register(VersionedTableDataSource)
+    df = (spark.readStream.format("versioned_table")
+          .option("path", table_dir).load())
+    q = (df.writeStream.foreachBatch(...)
+         .trigger(availableNow=True).start())
+
+Options: ``path`` (table root, required), ``startingVersion``
+(default 0 = the whole table history), ``skipChangeCommits``
+(default false).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+from ..operators import versioned as vt
+
+FORMAT_NAME = "versioned_table"
+
+
+class _FilePartition(InputPartition):
+    """One appended data file: (absolute path, stream schema as JSON —
+    the executor-side read casts every file through it)."""
+
+    def __init__(self, path: str, schema_json: str):
+        self.path = path
+        self.schema_json = schema_json
+
+
+class VersionedTableStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: StructType, options: dict):
+        self._table = options.get("path")
+        if not self._table:
+            raise ValueError("versioned_table source requires option 'path'")
+        self._schema = schema
+        self._starting = int(options.get("startingversion", 0))
+        self._skip_changes = str(
+            options.get("skipchangecommits", "false")
+        ).lower() in ("true", "1")
+
+    def initialOffset(self) -> dict:
+        return {"version": self._starting - 1}
+
+    def latestOffset(self) -> dict:
+        v = vt.latest_version(self._table)
+        # Before the first commit: stay at the initial offset (empty
+        # batch), don't go backwards.
+        return {"version": self._starting - 1 if v is None else v}
+
+    def _added_files(self, v_from: int, v_to: int) -> list[str]:
+        """Files new in ``(v_from, v_to]``, enforcing Delta's
+        append-only streaming contract per version step. ``v_from``
+        may be ``startingVersion - 1`` (nothing read yet): version
+        ``v_from + 1``'s full file list seeds the stream."""
+        added: list[str] = []
+        prev: set[str] | None = None
+        if v_from >= self._starting:
+            prev = set(vt.read_manifest(self._table, v_from)["files"])
+        for v in range(v_from + 1, v_to + 1):
+            m = vt.read_manifest(self._table, v)
+            cur = set(m["files"])
+            if prev is not None:
+                if cur >= prev:
+                    added.extend(sorted(cur - prev))
+                elif self._skip_changes:
+                    pass  # change commit contributes no rows
+                else:
+                    raise ValueError(
+                        f"version {v} ({m['op']!r}) is not an append "
+                        "(drops files) — the streaming source is "
+                        "append-only; pass skipChangeCommits=true to "
+                        "skip change commits (Delta's opt-in) or use "
+                        "version_changes for a row-level change feed"
+                    )
+            else:
+                added.extend(sorted(cur))
+            prev = cur
+        return added
+
+    def partitions(self, start: dict, end: dict):
+        v_from, v_to = start["version"], end["version"]
+        if v_to <= v_from:
+            return []
+        sj = self._schema.json()
+        return [
+            _FilePartition(os.path.join(self._table, rel), sj)
+            for rel in self._added_files(v_from, v_to)
+        ] or [_FilePartition("", sj)]
+
+    def read(self, partition: _FilePartition):
+        if not partition.path:
+            return iter(())
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        expected = to_arrow_schema(
+            StructType.fromJson(json.loads(partition.schema_json))
+        )
+        tbl = pq.read_table(
+            partition.path,
+            columns=[c for c in expected.names if c in
+                     set(pq.read_schema(partition.path).names)],
+        )
+        have = set(tbl.column_names)
+        n = tbl.num_rows
+        arrays = []
+        for field in expected:
+            if field.name in have:
+                arrays.append(
+                    tbl.column(field.name).combine_chunks().cast(field.type)
+                )
+            else:
+                # File predates a schema-evolution append: NULL-pad at
+                # the stream's declared type.
+                arrays.append(pa.nulls(n, type=field.type))
+        return iter(pa.Table.from_arrays(arrays, schema=expected).to_batches())
+
+    def commit(self, end: dict) -> None:
+        # Manifests are immutable and offsets live in Spark's
+        # checkpoint — nothing to reclaim on the source side.
+        pass
+
+
+class VersionedTableDataSource(DataSource):
+    """``spark.dataSource.register(VersionedTableDataSource)`` then
+    ``spark.readStream.format("versioned_table")``. Batch reads of the
+    same table go through :func:`..operators.versioned.read_version`
+    (plain DataFrame, full Catalyst pushdown) — this class is the
+    STREAMING surface."""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self):
+        table = self.options.get("path")
+        if not table:
+            raise ValueError("versioned_table source requires option 'path'")
+        v = vt.latest_version(table)
+        if v is None:
+            raise FileNotFoundError(f"{table} has no committed versions")
+        m = vt.read_manifest(table, v)
+        if not m.get("schema"):
+            raise ValueError(
+                f"{table} manifest v{v} records no schema — cannot "
+                "infer the stream schema"
+            )
+        return StructType.fromJson(json.loads(m["schema"]))
+
+    def streamReader(self, schema: StructType):
+        return VersionedTableStreamReader(schema, dict(self.options))
