@@ -48,12 +48,14 @@ snapshot; *restore* is metadata-only (a new manifest re-pointing at an
 old version's files). Multiple manifests referencing one physical file
 is the Delta/Iceberg model, not copy-on-write of the table per commit.
 
-The transactional gap vs real Delta: MERGE here rewrites the full
-table snapshot (one anti-join + union, :func:`merge_upsert_df`) where
-Delta rewrites only the files that contain matched keys. Same
-asymptotic shuffle (the join), more write amplification on large
-tables with selective updates — partition the table and merge
-per-partition for that regime.
+Write amplification, by op: appends re-reference (zero rewrite);
+MERGE on a partitioned table rewrites only the partitions its updates
+touch (:func:`merge_versioned`); DELETE / UPDATE rewrite only the
+files that CONTAIN matching rows (:func:`delete_versioned` /
+:func:`update_versioned` — Delta's file-finding scan); OPTIMIZE takes
+a ``partition_filter`` to compact just the hot partition. The one
+remaining gap vs real Delta is sub-file granularity (deletion
+vectors): a matched row still costs its file's rewrite, never more.
 """
 
 from __future__ import annotations
