@@ -240,6 +240,7 @@ EXTRAS = [
     "orders_file_pruned_delete",
     "orders_file_pruned_update",
     "orders_versioned_stream_roundtrip",
+    "orders_dv_delete",
 ]
 
 

@@ -223,12 +223,14 @@ def test_export_window_contract():
     assert len(set(_EXPORT_PRIORITY)) == 50
     missing = [n for n in _EXPORT_PRIORITY if n not in qs]
     assert not missing, f"window names not in registry: {missing}"
-    # Round-16 rotation: the seven new rows (partition-scoped MERGE,
+    # Round-16 rotation: the eight new rows (partition-scoped MERGE,
     # row-level change feed, data skipping, catalog serving,
-    # file-pruned DELETE / UPDATE, versioned streaming source) lead,
-    # then 43 of the 47 round-9-stale names (split_leakage_audit,
-    # prefix_dim_fidelity, quantile_sketch_error, supplier_bfs_hops
-    # wait for r17; update this pin when the window rotates).
+    # file-pruned DELETE / UPDATE, versioned streaming source,
+    # deletion-vector DELETE) lead, then 42 of the 47 round-9-stale
+    # names (split_leakage_audit, prefix_dim_fidelity,
+    # quantile_sketch_error, supplier_bfs_hops,
+    # event_type_wasserstein_scan wait for r17; update this pin when
+    # the window rotates).
     assert _EXPORT_PRIORITY[0] == "orders_partitioned_merge"
     assert _EXPORT_PRIORITY[1] == "orders_version_changes"
     assert _EXPORT_PRIORITY[2] == "orders_pruned_date_scan"
@@ -236,6 +238,7 @@ def test_export_window_contract():
     assert _EXPORT_PRIORITY[4] == "orders_file_pruned_delete"
     assert _EXPORT_PRIORITY[5] == "orders_file_pruned_update"
     assert _EXPORT_PRIORITY[6] == "orders_versioned_stream_roundtrip"
+    assert _EXPORT_PRIORITY[7] == "orders_dv_delete"
     assert "price_quantity_spearman" in _EXPORT_PRIORITY
     assert "customer_golden_records" in _EXPORT_PRIORITY
     assert "event_drift_report" in _EXPORT_PRIORITY

@@ -887,3 +887,99 @@ def test_update_versioned_file_pruned(spark, tmp_path):
     # Unknown assignment column refused.
     with pytest.raises(ValueError, match="unknown columns"):
         vt.update_versioned(spark, t, "k = 2", {"nope": "1"})
+
+
+def test_deletion_vector_delete(spark, tmp_path):
+    """mode='dv' DELETE: matched positions land in the manifest's dv
+    map, the FILE SET is unchanged (zero data rewrite), reads
+    anti-join the tombstones out, time travel still sees them, and a
+    second DV delete unions indices per file."""
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(k, f"v{k}") for k in range(200)], "k int, val string"
+    ).repartition(4)
+    vt.create_versioned(df, t)
+    m0 = vt.read_manifest(t, 0)
+    # threshold 1.0: tiny test files would trip the default 10%
+    # tombstone-economics rewrite; the economics themselves are pinned
+    # in test_deletion_vector_tombstone_economics.
+    m1 = vt.delete_versioned(
+        spark, t, "k < 5", mode="dv", dv_rewrite_threshold=1.0
+    )
+    assert m1["op"] == "delete_dv"
+    assert m1["files"] == m0["files"]  # byte-identical references
+    assert sum(len(v) for v in m1["dv"].values()) == 5
+    assert {r.k for r in vt.read_version(spark, t).collect()} == set(range(5, 200))
+    assert vt.read_version(spark, t, 0).count() == 200  # time travel
+    m2 = vt.delete_versioned(
+        spark, t, "k >= 5 AND k < 8", mode="dv", dv_rewrite_threshold=1.0
+    )
+    assert m2["files"] == m0["files"]
+    assert sum(len(v) for v in m2["dv"].values()) == 8  # unioned
+    assert {r.k for r in vt.read_version(spark, t).collect()} == set(range(8, 200))
+    # No-match DV delete is still a no-op.
+    assert vt.delete_versioned(spark, t, "k > 1000", mode="dv") is None
+
+
+def test_deletion_vector_tombstone_economics(spark, tmp_path):
+    """A file whose live-row deleted fraction exceeds the threshold is
+    REWRITTEN, not tombstoned; dv_max_rows demotes the biggest
+    contributors to rewrite; OPTIMIZE clears DVs by rewriting."""
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(k, f"v{k}") for k in range(100)], "k int, val string"
+    ).repartition(2)
+    vt.create_versioned(df, t)
+    m0 = vt.read_manifest(t, 0)
+    # 50% delete > 10% threshold: whole-file rewrites, no DV entries.
+    m1 = vt.delete_versioned(spark, t, "k % 2 = 0", mode="dv")
+    assert not m1.get("dv")
+    assert not set(m1["files"]) & set(m0["files"])
+    assert vt.read_version(spark, t).count() == 50
+    # Cap: 3 matching rows but dv_max_rows=1 forces rewrites for the
+    # over-cap files (every file demoted here — 2 rows in one file).
+    m2 = vt.delete_versioned(
+        spark, t, "k IN (1, 3, 5)", mode="dv", dv_max_rows=1
+    )
+    assert sum(len(v) for v in (m2.get("dv") or {}).values()) <= 1
+    assert vt.read_version(spark, t).count() == 47
+    # Fresh DV then OPTIMIZE: the compaction rewrite retires the
+    # tombstones (files are fresh, dv map empty).
+    vt.delete_versioned(spark, t, "k = 7", mode="dv")
+    m4 = vt.optimize_versioned(spark, t)
+    assert not m4.get("dv")
+    assert vt.read_version(spark, t).count() == 46
+
+
+def test_deletion_vectors_interact_with_dml_and_append(spark, tmp_path):
+    """DVs survive appends (auto-carry), apply inside UPDATE/MERGE
+    reads (a tombstoned row can't be matched or updated), restore
+    brings back the DV view of its version, and the append-lineage
+    fast path refuses DV-changing history."""
+    t = str(tmp_path / "tbl")
+    vt.create_versioned(_df(spark, [(k, "a") for k in range(10)]), t)
+    vt.delete_versioned(
+        spark, t, "k = 3", mode="dv", dv_rewrite_threshold=1.0
+    )                                                         # v1
+    vt.append_versioned(_df(spark, [(100, "z")]), t)          # v2
+    assert {r.k for r in vt.read_version(spark, t).collect()} == (
+        set(range(10)) - {3}
+    ) | {100}
+    # UPDATE of the tombstoned key matches nothing → no-op (None).
+    assert vt.update_versioned(spark, t, "k = 3", {"val": "'X'"}) is None
+    # MERGE re-inserts key 3 as a NEW row (it is invisible, so it is
+    # an insert, not an update) — Delta semantics.
+    vt.merge_versioned(spark, _df(spark, [(3, "resurrected")]), t, ["k"])
+    rows = {(r.k, r.val) for r in vt.read_version(spark, t).collect()}
+    assert (3, "resurrected") in rows and len(rows) == 11
+    # Restore to v1: key 3 gone again, its DV restored explicitly.
+    vt.restore_versioned(t, 1)
+    assert {r.k for r in vt.read_version(spark, t).collect()} == (
+        set(range(10)) - {3}
+    )
+    with pytest.raises(ValueError, match="deletion vectors"):
+        vt.read_version_diff(spark, t, 0, 2)
+    # version_changes reads THROUGH DVs: the v0→v1 change set is
+    # exactly the one deleted row.
+    ch = vt.version_changes(spark, t, 0, 1, keys=["k"]).collect()
+    assert [(r.k, r._change_type) for r in ch] == [(3, "delete")]

@@ -189,3 +189,67 @@ def test_stream_to_versioned_sink_exactly_once(registered, spark, tmp_path):
     _run(spark, a, str(tmp_path / "ckpt2"), sink)
     assert vt.latest_version(b) == b_version
     assert {(r.k, r.v) for r in vt.read_version(spark, b).collect()} == rows
+
+
+def test_stream_seed_applies_deletion_vectors(registered, spark, tmp_path):
+    """startingVersion seeding reads THROUGH the seed version's
+    deletion vectors (tombstoned positions masked in the executor-side
+    Arrow read), and a later DV delete is a change commit: refused by
+    default, skipped under skipChangeCommits."""
+    src = str(tmp_path / "src")
+    vt.create_versioned(_df(spark, [(k, "a") for k in range(10)]), src)
+    vt.delete_versioned(
+        spark, src, "k IN (2, 7)", mode="dv", dv_rewrite_threshold=1.0
+    )
+    got = []
+    q0 = (
+        spark.readStream.format("versioned_table")
+        .option("path", src)
+        .option("startingVersion", "1")  # seed AT the DV snapshot
+        .load()
+        .writeStream.foreachBatch(
+            lambda b, i: got.extend(r.k for r in b.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "c1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q0.awaitTermination(180)
+    assert sorted(got) == [0, 1, 3, 4, 5, 6, 8, 9]
+    # New DV delete after the stream's offset: change commit.
+    vt.delete_versioned(
+        spark, src, "k = 5", mode="dv", dv_rewrite_threshold=1.0
+    )
+    q = (
+        spark.readStream.format("versioned_table")
+        .option("path", src)
+        .load()
+        .writeStream.foreachBatch(lambda b, i: None)
+        .option("checkpointLocation", str(tmp_path / "c1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="not an append"):
+        q.awaitTermination(180)
+    # skipChangeCommits: the DV commit contributes nothing, a
+    # subsequent append still streams.
+    vt.append_versioned(_df(spark, [(100, "z")]), src)
+    got2 = []
+    q2 = (
+        spark.readStream.format("versioned_table")
+        .option("path", src)
+        .option("skipChangeCommits", "true")
+        .load()
+        .writeStream.foreachBatch(
+            lambda b, i: got2.extend(r.k for r in b.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "c2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q2.awaitTermination(180)
+    # Fresh checkpoint seeds at v0 (pre-delete), skips both DV
+    # commits, then the append: 10 + 1 rows.
+    assert sorted(got2) == list(range(10)) + [100]

@@ -53,9 +53,13 @@ MERGE on a partitioned table rewrites only the partitions its updates
 touch (:func:`merge_versioned`); DELETE / UPDATE rewrite only the
 files that CONTAIN matching rows (:func:`delete_versioned` /
 :func:`update_versioned` — Delta's file-finding scan); OPTIMIZE takes
-a ``partition_filter`` to compact just the hot partition. The one
-remaining gap vs real Delta is sub-file granularity (deletion
-vectors): a matched row still costs its file's rewrite, never more.
+a ``partition_filter`` to compact just the hot partition; and
+``delete_versioned(mode="dv")`` goes below file granularity with
+deletion vectors — matched row positions recorded in the manifest,
+ZERO data rewrite, applied at read time by a broadcast anti-join on
+the hidden ``_metadata`` columns (with Delta's tombstone economics:
+mostly-dead files get rewritten, not tombstoned, and an oversized DV
+payload degrades to the rewrite path).
 """
 
 from __future__ import annotations
@@ -159,29 +163,78 @@ def _scan_files(
     files: list[str],
     schema,
     partition_by: list[str] | None,
+    dv: dict | None = None,
 ) -> DataFrame:
     """Scan an explicit manifest file list. Unpartitioned: one reader
     over all paths. Partitioned: partition VALUES live in the path, so
     each commit directory is read with its own ``basePath`` (partition
     columns recovered, cast through the manifest schema) and the
     per-commit scans union — the union width is bounded by commit
-    count (metadata), never file count."""
+    count (metadata), never file count.
+
+    ``dv`` is the manifest's deletion-vector map ({rel_path: [row
+    indices]}): deleted positions are filtered out with ONE broadcast
+    anti-join on ``(_metadata.file_path, _metadata.row_index)`` — the
+    hidden file-source metadata columns, so the filter is pure
+    Catalyst (no UDF) and files without DV entries pay nothing."""
     if not partition_by:
         reader = spark.read.schema(schema) if schema is not None else spark.read
-        return reader.parquet(*[os.path.join(table, f) for f in files])
-    from functools import reduce
+        df = reader.parquet(*[os.path.join(table, f) for f in files])
+    else:
+        from functools import reduce
 
-    by_commit: dict[str, list[str]] = {}
-    for f in files:
-        parts = f.split(os.sep)
-        by_commit.setdefault(os.sep.join(parts[:2]), []).append(f)
-    scans = []
-    for base_rel, group in sorted(by_commit.items()):
-        reader = spark.read.option("basePath", os.path.join(table, base_rel))
-        if schema is not None:
-            reader = reader.schema(schema)
-        scans.append(reader.parquet(*[os.path.join(table, f) for f in group]))
-    return reduce(lambda a, b: a.unionByName(b), scans)
+        by_commit: dict[str, list[str]] = {}
+        for f in files:
+            parts = f.split(os.sep)
+            by_commit.setdefault(os.sep.join(parts[:2]), []).append(f)
+        scans = []
+        for base_rel, group in sorted(by_commit.items()):
+            reader = spark.read.option("basePath", os.path.join(table, base_rel))
+            if schema is not None:
+                reader = reader.schema(schema)
+            scans.append(reader.parquet(*[os.path.join(table, f) for f in group]))
+        df = reduce(lambda a, b: a.unionByName(b), scans)
+    present = set(files)
+    dv = {f: idxs for f, idxs in (dv or {}).items() if idxs and f in present}
+    if dv:
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        pairs = pd.DataFrame(
+            {
+                "__dv_path__": pd.Series(
+                    [
+                        _file_uri(table, f)
+                        for f, idxs in dv.items()
+                        for _ in idxs
+                    ],
+                    dtype="object",
+                ),
+                "__dv_idx__": pd.Series(
+                    [i for idxs in dv.values() for i in idxs], dtype="int64"
+                ),
+            }
+        )
+        dv_df = spark.createDataFrame(pairs)
+        df = (
+            df.withColumn("__dv_p__", F.col("_metadata.file_path"))
+            .withColumn("__dv_i__", F.col("_metadata.row_index"))
+            .join(
+                F.broadcast(dv_df),
+                (F.col("__dv_p__") == F.col("__dv_path__"))
+                & (F.col("__dv_i__") == F.col("__dv_idx__")),
+                "left_anti",
+            )
+            .drop("__dv_p__", "__dv_i__")
+        )
+    return df
+
+
+def _file_uri(table: str, rel_path: str) -> str:
+    """The exact string ``_metadata.file_path`` yields for a data
+    file — the join key between manifest DV entries (rel paths) and
+    the scan's hidden metadata column."""
+    return "file:" + os.path.abspath(os.path.join(table, rel_path))
 
 
 def _stats_jsonable(v):
@@ -249,28 +302,42 @@ def _commit_manifest(
     files: list[str],
     schema_json: str | None = None,
     extra: dict | None = None,
+    dv: dict | None = None,
 ) -> dict:
     """Step 2 of the protocol: put-if-absent on v{n}.json. The
     manifest carries the snapshot SCHEMA (like Delta's metaData
     action) so an empty snapshot — zero data files — still reads back
     with its correct shape. ``extra`` fields (e.g. the streaming
     ``batch_id``) ride in the SAME atomic write — a manifest is never
-    visible without them."""
+    visible without them.
+
+    ``dv`` (deletion vectors, {rel_path: [row indices]}): ``None``
+    auto-carries the previous manifest's entries for every
+    RE-REFERENCED file (rewritten/new files start DV-free — the right
+    default for append/merge/optimize/update); pass an explicit dict
+    to set them (delete's DV mode, restore)."""
     os.makedirs(os.path.join(table, _MANIFEST_DIR), exist_ok=True)
     # Per-file column min/max stats (Delta add-action stats): carried
     # forward for re-referenced files from the previous manifest, read
     # from parquet footers (metadata-only) for files new to the log —
     # what read_version_pruned skips files with.
-    prev_stats = {}
+    prev = {}
     if version > 0:
         try:
-            prev_stats = read_manifest(table, version - 1).get("stats") or {}
+            prev = read_manifest(table, version - 1)
         except (FileNotFoundError, json.JSONDecodeError):
-            prev_stats = {}
+            prev = {}
+    prev_stats = prev.get("stats") or {}
     stats = {f: prev_stats[f] for f in files if f in prev_stats}
     stats.update(
         _collect_file_stats(table, [f for f in files if f not in stats])
     )
+    if dv is None:
+        prev_dv = prev.get("dv") or {}
+        dv = {f: prev_dv[f] for f in files if prev_dv.get(f)}
+    else:
+        present = set(files)
+        dv = {f: sorted(idxs) for f, idxs in dv.items() if idxs and f in present}
     manifest = {
         "version": version,
         "op": op,
@@ -279,6 +346,7 @@ def _commit_manifest(
         "schema": schema_json,
         "stats": stats,
         "ts": time.time(),
+        **({"dv": dv} if dv else {}),
         **(extra or {}),
     }
     path = _manifest_path(table, version)
@@ -556,7 +624,7 @@ def merge_versioned(
         (touched_files if _file_partition_values(f, pby) in touched
          else untouched_files).append(f)
     target = (
-        _scan_files(spark, table, touched_files, schema, pby)
+        _scan_files(spark, table, touched_files, schema, pby, prev.get("dv"))
         if touched_files
         else spark.createDataFrame([], schema or updates.schema)
     )
@@ -590,7 +658,9 @@ def _touched_rel_files(
         from pyspark.sql.types import StructType
 
         schema = StructType.fromJson(json.loads(m["schema"]))
-    df = _scan_files(spark, table, m["files"], schema, m.get("partition_by"))
+    df = _scan_files(
+        spark, table, m["files"], schema, m.get("partition_by"), m.get("dv")
+    )
     uris = [
         r.f
         for r in df.filter(F.expr(predicate_sql))
@@ -607,7 +677,12 @@ def _touched_rel_files(
 
 
 def delete_versioned(
-    spark: SparkSession, table: str, predicate_sql: str
+    spark: SparkSession,
+    table: str,
+    predicate_sql: str,
+    mode: str = "rewrite",
+    dv_rewrite_threshold: float = 0.10,
+    dv_max_rows: int = 1_000_000,
 ) -> dict | None:
     """Delta ``DELETE FROM table WHERE predicate`` over the manifest
     log, file-pruned exactly like Delta's: one scan finds the files
@@ -618,12 +693,34 @@ def delete_versioned(
     layout (optimize sort/zorder on the predicate column) a selective
     delete rewrites a handful of files out of a 100 TB snapshot.
 
+    ``mode="dv"`` is Delta's deletion-vector DELETE — sub-file
+    granularity, ZERO data rewrite: the matching rows' file positions
+    (``_metadata.row_index``) are recorded in the manifest's ``dv``
+    map and every read anti-joins them out (:func:`_scan_files`).
+    Two self-tuning guards mirror Delta's tombstone economics:
+
+    - a file whose LIVE-row deleted fraction exceeds
+      ``dv_rewrite_threshold`` is rewritten instead (a mostly-dead
+      file should be compacted, not tombstoned — reads pay the DV
+      anti-join forever, a rewrite pays once);
+    - if the candidate DV rows exceed ``dv_max_rows`` (the manifest
+      is JSON — positions are stored inline, not as roaring bitmaps),
+      the largest contributors are demoted to rewrite until the cap
+      holds, so a huge delete degrades to the rewrite path instead of
+      bloating the log.
+
+    OPTIMIZE rewrites drop DV entries naturally (rewritten files are
+    fresh); appends/merges carry them for re-referenced files
+    (:func:`_commit_manifest` auto-carry).
+
     Returns the new manifest, or ``None`` when no row matches (no-op,
     no version committed — Delta's empty-DML behavior). Prior
     versions keep reading the original files (time travel across the
     delete works; VACUUM retires them later)."""
     from pyspark.sql import functions as F
 
+    if mode not in ("rewrite", "dv"):
+        raise ValueError(f"mode must be 'rewrite' or 'dv', got {mode!r}")
     prev_v = latest_version(table)
     if prev_v is None:
         raise FileNotFoundError(f"{table} has no committed versions")
@@ -639,17 +736,74 @@ def delete_versioned(
 
         schema = StructType.fromJson(json.loads(prev["schema"]))
     pby = prev.get("partition_by")
-    kept = _scan_files(spark, table, touched, schema, pby).filter(
-        ~F.coalesce(F.expr(predicate_sql), F.lit(False))
-    )
-    new_files = _write_snapshot_files(kept, table, pby)
+    prev_dv = prev.get("dv") or {}
+    rewrite_files = touched
+    dv_out: dict[str, list[int]] = {}
+    if mode == "dv":
+        import pyarrow.parquet as pq
+
+        # Matched-row count per touched file (one aggregate, result
+        # bounded by file count) sizes the per-file DV-vs-rewrite call.
+        counts = {
+            os.path.relpath(r.f[5:] if r.f.startswith("file:") else r.f,
+                            os.path.abspath(table)): r.n
+            for r in _scan_files(spark, table, touched, schema, pby, prev_dv)
+            .filter(F.expr(predicate_sql))
+            .groupBy(F.col("_metadata.file_path").alias("f"))
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        dv_files, rewrite_files = [], []
+        for f in touched:
+            total = pq.ParquetFile(os.path.join(table, f)).metadata.num_rows
+            live = total - len(prev_dv.get(f) or [])
+            n = counts.get(f, 0)
+            (rewrite_files if live and n / live > dv_rewrite_threshold
+             else dv_files).append(f)
+        # Cap the inline-JSON DV payload: demote biggest contributors.
+        while dv_files and sum(counts.get(f, 0) for f in dv_files) > dv_max_rows:
+            worst = max(dv_files, key=lambda f: counts.get(f, 0))
+            dv_files.remove(worst)
+            rewrite_files.append(worst)
+        if dv_files:
+            hits = (
+                _scan_files(spark, table, dv_files, schema, pby, prev_dv)
+                .filter(F.expr(predicate_sql))
+                .select(
+                    F.col("_metadata.file_path").alias("f"),
+                    F.col("_metadata.row_index").alias("i"),
+                )
+                .collect()
+            )
+            root = os.path.abspath(table)
+            for r in hits:
+                p = r.f[5:] if r.f.startswith("file:") else r.f
+                dv_out.setdefault(
+                    os.path.relpath(os.path.abspath(p), root), []
+                ).append(r.i)
+    new_files: list[str] = []
+    if rewrite_files:
+        kept = _scan_files(
+            spark, table, rewrite_files, schema, pby, prev_dv
+        ).filter(~F.coalesce(F.expr(predicate_sql), F.lit(False)))
+        new_files = _write_snapshot_files(kept, table, pby)
+    dropped = set(rewrite_files)
+    # Re-referenced files keep their previous manifest order (pure-DV
+    # deletes leave the file list byte-identical).
+    final_files = [f for f in prev["files"] if f not in dropped] + new_files
+    # Explicit DV map: carried entries for every re-referenced file,
+    # plus the fresh tombstones unioned with any existing ones.
+    dv_final = {f: list(prev_dv[f]) for f in final_files if prev_dv.get(f)}
+    for f, idxs in dv_out.items():
+        dv_final[f] = sorted(set(dv_final.get(f, [])) | set(idxs))
     return _commit_manifest(
         table,
         prev_v + 1,
-        "delete",
-        untouched + new_files,
+        "delete" if mode == "rewrite" else "delete_dv",
+        final_files,
         prev.get("schema"),
         _carried_props(prev) or None,
+        dv=dv_final,
     )
 
 
@@ -689,7 +843,7 @@ def update_versioned(
 
         schema = StructType.fromJson(json.loads(prev["schema"]))
     pby = prev.get("partition_by")
-    base = _scan_files(spark, table, touched, schema, pby)
+    base = _scan_files(spark, table, touched, schema, pby, prev.get("dv"))
     bad = set(assignments) - set(base.columns)
     if bad:
         raise ValueError(f"assignments target unknown columns: {sorted(bad)}")
@@ -721,7 +875,9 @@ def restore_versioned(table: str, version: int) -> dict:
     (partition_by) comes from the OLD manifest; CHECK constraints are
     a table property and carry from the CURRENT latest — and, matching
     Delta, the restored data is NOT re-validated against constraints
-    added after it was written."""
+    added after it was written. Deletion vectors restore WITH their
+    version (explicit, not the auto-carry — the old snapshot's row
+    visibility is part of what RESTORE restores)."""
     old = read_manifest(table, version)
     latest = read_manifest(table, latest_version(table))
     extra = {}
@@ -737,6 +893,7 @@ def restore_versioned(table: str, version: int) -> dict:
         old["files"],
         old.get("schema"),
         extra or None,
+        dv=old.get("dv") or {},
     )
 
 
@@ -767,7 +924,9 @@ def read_version(
         # carries the schema, so the read is a typed empty relation —
         # the engine's empty-relation posture, not an error.
         return spark.createDataFrame([], schema)
-    return _scan_files(spark, table, m["files"], schema, m.get("partition_by"))
+    return _scan_files(
+        spark, table, m["files"], schema, m.get("partition_by"), m.get("dv")
+    )
 
 
 class ConstraintViolation(ValueError):
@@ -914,7 +1073,9 @@ def read_version_pruned(
     if not candidates:
         df = spark.createDataFrame([], schema)
     else:
-        df = _scan_files(spark, table, candidates, schema, m.get("partition_by"))
+        df = _scan_files(
+            spark, table, candidates, schema, m.get("partition_by"), m.get("dv")
+        )
     pred = F.lit(True)
     for col, (lo, hi) in conds.items():
         if lo is not None:
@@ -1127,7 +1288,9 @@ def optimize_versioned(
 
         schema = StructType.fromJson(json.loads(m["schema"]))
     df = (
-        _scan_files(spark, table, target_files, schema, m.get("partition_by"))
+        _scan_files(
+            spark, table, target_files, schema, m.get("partition_by"), m.get("dv")
+        )
         if partition_filter
         else read_version(spark, table, prev_v)
     )
@@ -1172,14 +1335,19 @@ def read_version_diff(
     reference a SUPERSET of its predecessor's files — true for appends
     and same-state restores, false for merge/overwrite/optimize
     rewrites AND for a restore to an earlier version (which removes
-    rows a file-level diff would silently miss). Violations raise
-    ``ValueError`` and callers diff the snapshots relationally instead
-    (anti-join on the key, or :func:`version_changes`).
+    rows a file-level diff would silently miss). A deletion-vector
+    change on a carried-over file is a row REMOVAL with an unchanged
+    file set, so DV entries must also be IDENTICAL across the lineage
+    — checked per version step. Violations raise ``ValueError`` and
+    callers diff the snapshots relationally instead (anti-join on the
+    key, or :func:`version_changes`).
     """
     v_to_resolved = latest_version(table) if v_to is None else v_to
-    base = set(read_manifest(table, v_from)["files"])
+    m_from = read_manifest(table, v_from)
+    base = set(m_from["files"])
     m_to = read_manifest(table, v_to_resolved)
     prev_files = base
+    prev_dv = m_from.get("dv") or {}
     for v in range(v_from + 1, v_to_resolved + 1):
         m = read_manifest(table, v)
         cur_files = set(m["files"])
@@ -1190,7 +1358,19 @@ def read_version_diff(
                 "across file-accretive commits — anti-join the "
                 "snapshots instead (see version_changes)"
             )
-        prev_files = cur_files
+        cur_dv = m.get("dv") or {}
+        changed = [
+            f for f in prev_files
+            if (cur_dv.get(f) or []) != (prev_dv.get(f) or [])
+        ]
+        if changed:
+            raise ValueError(
+                f"version {v} ({m['op']!r}) changes deletion vectors "
+                f"on {len(changed)} carried-over file(s): rows were "
+                "removed without a file-set change — use "
+                "version_changes for the row-level feed"
+            )
+        prev_files, prev_dv = cur_files, cur_dv
     new_files = [f for f in m_to["files"] if f not in base]
     from pyspark.sql.types import StructType
 
@@ -1199,9 +1379,12 @@ def read_version_diff(
         return spark.createDataFrame([], schema)
     # Target version's schema applied, matching read_version: an
     # increment read across a schema-evolution append carries the
-    # evolved shape (older columns NULL-padded consistently).
+    # evolved shape (older columns NULL-padded consistently). New
+    # files can't have DV entries mid-append-lineage (checked above),
+    # but pass the map anyway for belt-and-braces.
     return _scan_files(
-        spark, table, new_files, schema, m_to.get("partition_by")
+        spark, table, new_files, schema, m_to.get("partition_by"),
+        m_to.get("dv"),
     )
 
 

@@ -54,11 +54,13 @@ _EXPORT_PRIORITY: list[str] = [
     "orders_file_pruned_delete",
     "orders_file_pruned_update",
     "orders_versioned_stream_roundtrip",
-    # (2) 43 of the 47 round-9-stale names (the staleness floor after
+    "orders_dv_delete",
+    # (2) 42 of the 47 round-9-stale names (the staleness floor after
     #     the r15 window), in registry order; split_leakage_audit,
-    #     prefix_dim_fidelity, quantile_sketch_error and
-    #     supplier_bfs_hops are the four r9 names that wait for r17 —
-    #     the floor effectively moves to r10 after this round's check:
+    #     prefix_dim_fidelity, quantile_sketch_error, supplier_bfs_hops
+    #     and event_type_wasserstein_scan are the five r9 names that
+    #     wait for r17 — the floor effectively moves to r10 after this
+    #     round's check:
     "price_quantity_spearman",
     "quantity_discount_kendall",
     "corpus_zipf_fit",
@@ -101,7 +103,6 @@ _EXPORT_PRIORITY: list[str] = [
     "quality_score_calibration",
     "quality_score_brier",
     "customer_golden_records",
-    "event_type_wasserstein_scan",
 ]
 
 

@@ -537,3 +537,45 @@ def q_orders_file_pruned_update(spark, sf_dir):
         "o_orderkey", "o_orderdate", "o_totalprice"
     )
     return _checkpoint_and_clean(out, tmp_root)
+
+
+@_q(
+    "orders_dv_delete",
+    """
+SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+WHERE NOT (o_orderkey % 97 = 0) AND NOT (o_orderkey % 101 = 0)
+""",
+    doc="Deletion-vector DELETE (Delta DVs) — sub-file granularity, "
+    "ZERO data rewrite: two successive mode='dv' deletes record the "
+    "matched rows' _metadata.row_index positions in the manifest's dv "
+    "map (unioned per file on the second commit); every read "
+    "anti-joins the tombstones out via ONE broadcast join on the "
+    "hidden (_metadata.file_path, _metadata.row_index) columns — pure "
+    "Catalyst, no UDF, untombstoned files pay nothing. The ~1%-"
+    "selectivity predicates stay under the tombstone-economics "
+    "threshold (a mostly-dead file is rewritten instead, and an "
+    "oversized DV payload degrades to the rewrite path — Delta's "
+    "compaction posture), so the file set is byte-identical across "
+    "both commits, pinned in tests/test_versioned.py::"
+    "test_deletion_vector_delete. The oracle filters the raw orders "
+    "with the complementary predicate, so a resurrected tombstone, a "
+    "row deleted too eagerly, or an index collision across the two "
+    "DV commits hash-mismatches.",
+)
+def q_orders_dv_delete(spark, sf_dir):
+    import tempfile
+
+    from ..operators import versioned as vt
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    tmp_root = tempfile.mkdtemp(prefix="spark_graft_versioned_")
+    table = tmp_root + "/orders"
+    vt.create_versioned(o.repartition(8), table)
+    vt.delete_versioned(spark, table, "o_orderkey % 97 = 0", mode="dv")
+    vt.delete_versioned(spark, table, "o_orderkey % 101 = 0", mode="dv")
+    out = vt.read_version(spark, table).select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    return _checkpoint_and_clean(out, tmp_root)

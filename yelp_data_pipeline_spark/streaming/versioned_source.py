@@ -69,11 +69,13 @@ FORMAT_NAME = "versioned_table"
 
 class _FilePartition(InputPartition):
     """One appended data file: (absolute path, stream schema as JSON —
-    the executor-side read casts every file through it)."""
+    the executor-side read casts every file through it, deleted row
+    positions to mask out — non-empty only for seed-snapshot files)."""
 
-    def __init__(self, path: str, schema_json: str):
+    def __init__(self, path: str, schema_json: str, dv_indices: list[int] | None = None):
         self.path = path
         self.schema_json = schema_json
+        self.dv_indices = dv_indices or []
 
 
 class VersionedTableStreamReader(DataSourceStreamReader):
@@ -96,34 +98,50 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         # batch), don't go backwards.
         return {"version": self._starting - 1 if v is None else v}
 
-    def _added_files(self, v_from: int, v_to: int) -> list[str]:
-        """Files new in ``(v_from, v_to]``, enforcing Delta's
-        append-only streaming contract per version step. ``v_from``
-        may be ``startingVersion - 1`` (nothing read yet): version
-        ``v_from + 1``'s full file list seeds the stream."""
-        added: list[str] = []
+    def _added_files(self, v_from: int, v_to: int) -> list[tuple[str, list[int]]]:
+        """(file, deletion-vector indices) pairs new in ``(v_from,
+        v_to]``, enforcing Delta's append-only streaming contract per
+        version step: a commit that drops files OR changes a
+        carried-over file's deletion vector (a row removal with an
+        unchanged file set) is a CHANGE commit — refused, or skipped
+        under ``skipChangeCommits``. ``v_from`` may be
+        ``startingVersion - 1`` (nothing read yet): version
+        ``v_from + 1``'s full file list seeds the stream, read THROUGH
+        that version's deletion vectors (the seed is a snapshot)."""
+        added: list[tuple[str, list[int]]] = []
         prev: set[str] | None = None
+        prev_dv: dict = {}
         if v_from >= self._starting:
-            prev = set(vt.read_manifest(self._table, v_from)["files"])
+            m_prev = vt.read_manifest(self._table, v_from)
+            prev = set(m_prev["files"])
+            prev_dv = m_prev.get("dv") or {}
         for v in range(v_from + 1, v_to + 1):
             m = vt.read_manifest(self._table, v)
             cur = set(m["files"])
+            cur_dv = m.get("dv") or {}
             if prev is not None:
-                if cur >= prev:
-                    added.extend(sorted(cur - prev))
+                dv_changed = any(
+                    (cur_dv.get(f) or []) != (prev_dv.get(f) or [])
+                    for f in prev
+                )
+                if cur >= prev and not dv_changed:
+                    # Appended files never carry DV entries (fresh
+                    # files start tombstone-free), so no mask here.
+                    added.extend((f, []) for f in sorted(cur - prev))
                 elif self._skip_changes:
                     pass  # change commit contributes no rows
                 else:
                     raise ValueError(
                         f"version {v} ({m['op']!r}) is not an append "
-                        "(drops files) — the streaming source is "
-                        "append-only; pass skipChangeCommits=true to "
-                        "skip change commits (Delta's opt-in) or use "
-                        "version_changes for a row-level change feed"
+                        "(drops files or changes deletion vectors) — "
+                        "the streaming source is append-only; pass "
+                        "skipChangeCommits=true to skip change commits "
+                        "(Delta's opt-in) or use version_changes for a "
+                        "row-level change feed"
                     )
             else:
-                added.extend(sorted(cur))
-            prev = cur
+                added.extend((f, cur_dv.get(f) or []) for f in sorted(cur))
+            prev, prev_dv = cur, cur_dv
         return added
 
     def partitions(self, start: dict, end: dict):
@@ -132,8 +150,8 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             return []
         sj = self._schema.json()
         return [
-            _FilePartition(os.path.join(self._table, rel), sj)
-            for rel in self._added_files(v_from, v_to)
+            _FilePartition(os.path.join(self._table, rel), sj, dv_idx)
+            for rel, dv_idx in self._added_files(v_from, v_to)
         ] or [_FilePartition("", sj)]
 
     def read(self, partition: _FilePartition):
@@ -151,6 +169,15 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             columns=[c for c in expected.names if c in
                      set(pq.read_schema(partition.path).names)],
         )
+        if partition.dv_indices:
+            # Seed-snapshot file with deletion vectors: mask the
+            # tombstoned positions (row order in the file IS the
+            # row_index definition).
+            import numpy as np
+
+            mask = np.ones(tbl.num_rows, dtype=bool)
+            mask[np.asarray(partition.dv_indices, dtype=np.int64)] = False
+            tbl = tbl.filter(pa.array(mask))
         have = set(tbl.column_names)
         n = tbl.num_rows
         arrays = []
