@@ -177,6 +177,11 @@ def _scan_files(
     anti-join on ``(_metadata.file_path, _metadata.row_index)`` — the
     hidden file-source metadata columns, so the filter is pure
     Catalyst (no UDF) and files without DV entries pay nothing."""
+    if not files:
+        # Empty snapshot (an empty batch committed — the degenerate
+        # fixtures hit this): a typed empty relation, same posture as
+        # read_version's empty branch.
+        return spark.createDataFrame([], schema)
     if not partition_by:
         reader = spark.read.schema(schema) if schema is not None else spark.read
         df = reader.parquet(*[os.path.join(table, f) for f in files])
