@@ -983,3 +983,72 @@ def test_deletion_vectors_interact_with_dml_and_append(spark, tmp_path):
     # exactly the one deleted row.
     ch = vt.version_changes(spark, t, 0, 1, keys=["k"]).collect()
     assert [(r.k, r._change_type) for r in ch] == [(3, "delete")]
+
+
+def test_deletion_vector_update(spark, tmp_path):
+    """mode='dv' UPDATE: matched positions tombstoned, updated rows
+    APPENDED (every previous file re-referenced), result identical to
+    the rewrite path; threshold/cap breach falls back to rewrite."""
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(k, float(k)) for k in range(200)], "k int, v double"
+    ).repartition(4)
+    vt.create_versioned(df, t)
+    m0 = vt.read_manifest(t, 0)
+    m1 = vt.update_versioned(
+        spark, t, "k < 4", {"v": "v * 10"}, mode="dv",
+        dv_rewrite_threshold=1.0,
+    )
+    assert m1["op"] == "update_dv"
+    assert set(m0["files"]) <= set(m1["files"])  # all re-referenced
+    assert sum(len(v) for v in m1["dv"].values()) == 4
+    rows = {(r.k, r.v) for r in vt.read_version(spark, t).collect()}
+    assert rows == {(k, float(k) * (10 if k < 4 else 1)) for k in range(200)}
+    assert vt.read_version(spark, t, 0).count() == 200  # time travel
+    # Equivalence with the rewrite path on the same logical update.
+    t2 = str(tmp_path / "tbl2")
+    vt.create_versioned(df, t2)
+    m2 = vt.update_versioned(spark, t2, "k < 4", {"v": "v * 10"})
+    assert m2["op"] == "update"
+    rows2 = {(r.k, r.v) for r in vt.read_version(spark, t2).collect()}
+    assert rows2 == rows
+    # Cap breach: the whole update degrades to rewrite (no dv).
+    m3 = vt.update_versioned(
+        spark, t, "k >= 100", {"v": "0.0"}, mode="dv", dv_max_rows=5
+    )
+    assert m3["op"] == "update" and not m3.get("dv")
+    assert (
+        vt.read_version(spark, t).filter("k >= 100 AND v = 0.0").count()
+        == 100
+    )
+
+
+def test_zorder_temporal_columns(spark, tmp_path):
+    """OPTIMIZE ZORDER over a (timestamp, numeric) pair: temporal dims
+    quantize through unix epoch (a bare double cast is invalid), and
+    the clustered layout prunes on BOTH dims via file stats."""
+    t = str(tmp_path / "tbl")
+    df = spark.sql(
+        "SELECT TIMESTAMP '1996-01-01 00:00:00' + make_interval(0,0,0,id,0,0) AS ts, "
+        "CAST(id % 50 AS DOUBLE) AS x, id FROM range(2000)"
+    )
+    vt.create_versioned(df.repartition(8), t)
+    m = vt.optimize_versioned(
+        spark, t, target_file_bytes=4096, zorder_by=["ts", "x"]
+    )
+    assert m["op"].startswith("optimize_zorder")
+    assert vt.read_version(spark, t).count() == 2000
+    # Stats-based pruning works on the timestamp dim after clustering.
+    stats = vt.read_manifest(t, vt.latest_version(t))["stats"]
+    import datetime
+    probe = (datetime.datetime(1996, 1, 10), datetime.datetime(1996, 1, 12))
+    kept = vt.prune_files_by_stats(
+        vt.read_manifest(t, vt.latest_version(t)),
+        {"ts": probe},
+    )
+    assert 0 < len(kept) < len(stats)
+    got = vt.read_version_pruned(spark, t, {"ts": probe}).count()
+    exp = df.filter(
+        (df.ts >= probe[0].isoformat()) & (df.ts <= probe[1].isoformat())
+    ).count()
+    assert got == exp > 0

@@ -817,6 +817,9 @@ def update_versioned(
     table: str,
     predicate_sql: str,
     assignments: dict[str, str],
+    mode: str = "rewrite",
+    dv_rewrite_threshold: float = 0.10,
+    dv_max_rows: int = 1_000_000,
 ) -> dict | None:
     """Delta ``UPDATE table SET col = expr, ... WHERE predicate`` over
     the manifest log — the same file-pruned rewrite as
@@ -827,12 +830,24 @@ def update_versioned(
     re-referenced. Assignment expressions are CAST to the column's
     existing type (ANSI store-assignment: the table schema never
     drifts through an UPDATE; an unrepresentable value raises under
-    ANSI mode instead of silently corrupting). The REWRITTEN rows
-    are validated against the table's CHECK constraints before the
-    commit publishes. Returns the new manifest, or ``None`` when no
-    row matches."""
+    ANSI mode instead of silently corrupting). The updated rows are
+    validated against the table's CHECK constraints before the commit
+    publishes. Returns the new manifest, or ``None`` when no row
+    matches.
+
+    ``mode="dv"`` is Delta's deletion-vector UPDATE: the matched
+    rows' positions are TOMBSTONED (manifest ``dv`` map) and the
+    updated rows are APPENDED as fresh files — write cost
+    O(matched rows), not O(touched files); every previous file is
+    re-referenced unchanged. All-or-nothing economics: if any touched
+    file's live-row matched fraction exceeds ``dv_rewrite_threshold``
+    or the total matched rows exceed ``dv_max_rows``, the whole UPDATE
+    falls back to the rewrite path (same result, different physical
+    plan — pinned equivalent in tests/test_versioned.py)."""
     from pyspark.sql import functions as F
 
+    if mode not in ("rewrite", "dv"):
+        raise ValueError(f"mode must be 'rewrite' or 'dv', got {mode!r}")
     prev_v = latest_version(table)
     if prev_v is None:
         raise FileNotFoundError(f"{table} has no committed versions")
@@ -848,18 +863,66 @@ def update_versioned(
 
         schema = StructType.fromJson(json.loads(prev["schema"]))
     pby = prev.get("partition_by")
-    base = _scan_files(spark, table, touched, schema, pby, prev.get("dv"))
+    prev_dv = prev.get("dv") or {}
+    base = _scan_files(spark, table, touched, schema, pby, prev_dv)
     bad = set(assignments) - set(base.columns)
     if bad:
         raise ValueError(f"assignments target unknown columns: {sorted(bad)}")
     match = F.coalesce(F.expr(predicate_sql), F.lit(False))
-    rewritten = base.withColumns(
-        {
-            c: F.when(match, F.expr(e).cast(base.schema[c].dataType)).otherwise(
-                F.col(c)
-            )
-            for c, e in assignments.items()
+    set_cols = {
+        c: F.expr(e).cast(base.schema[c].dataType)
+        for c, e in assignments.items()
+    }
+    if mode == "dv":
+        import pyarrow.parquet as pq
+
+        root = os.path.abspath(table)
+
+        def _rel(uri):
+            p = uri[5:] if uri.startswith("file:") else uri
+            return os.path.relpath(os.path.abspath(p), root)
+
+        counts = {
+            _rel(r.f): r.n
+            for r in base.filter(match)
+            .groupBy(F.col("_metadata.file_path").alias("f"))
+            .agg(F.count("*").alias("n"))
+            .collect()
         }
+        ok = sum(counts.values()) <= dv_max_rows
+        for f, n in counts.items() if ok else ():
+            total = pq.ParquetFile(os.path.join(table, f)).metadata.num_rows
+            live = total - len(prev_dv.get(f) or [])
+            if live and n / live > dv_rewrite_threshold:
+                ok = False
+                break
+        if ok:
+            matched = base.filter(match)
+            hits = matched.select(
+                F.col("_metadata.file_path").alias("f"),
+                F.col("_metadata.row_index").alias("i"),
+            ).collect()
+            updated = matched.withColumns(set_cols)
+            _validate_constraints(updated, prev.get("constraints") or {})
+            new_files = _write_snapshot_files(updated, table, pby)
+            dv_final = {
+                f: list(prev_dv[f]) for f in prev["files"] if prev_dv.get(f)
+            }
+            for r in hits:
+                f = _rel(r.f)
+                dv_final[f] = sorted(set(dv_final.get(f, [])) | {r.i})
+            return _commit_manifest(
+                table,
+                prev_v + 1,
+                "update_dv",
+                prev["files"] + new_files,
+                prev.get("schema"),
+                _carried_props(prev) or None,
+                dv=dv_final,
+            )
+        # else: fall through to the rewrite path (same result).
+    rewritten = base.withColumns(
+        {c: F.when(match, e).otherwise(F.col(c)) for c, e in set_cols.items()}
     )
     _validate_constraints(rewritten, prev.get("constraints") or {})
     new_files = _write_snapshot_files(rewritten, table, pby)
@@ -1183,14 +1246,27 @@ def zorder_column(df: DataFrame, cols: list[str], bits: int = 8):
     One tiny bounds aggregate (2·|cols| scalars to the driver) sizes
     the quantizers; the interleave itself is a pure Catalyst bit
     expression (shiftleft/&/+ — codegen'd, no UDF). Returns a Column.
+
+    Date / timestamp dims quantize through their epoch integer
+    (``unix_date`` / ``unix_micros``) — a direct ``cast("double")``
+    on temporal types is not a valid Spark cast.
     """
     from functools import reduce
     from operator import add
     from pyspark.sql import functions as F
+    from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+    def _as_double(c):
+        dt = df.schema[c].dataType
+        if isinstance(dt, DateType):
+            return F.unix_date(F.col(c)).cast("double")
+        if isinstance(dt, (TimestampType, TimestampNTZType)):
+            return F.unix_micros(F.col(c).cast("timestamp")).cast("double")
+        return F.col(c).cast("double")
 
     bounds = df.agg(
-        *[F.min(c).cast("double").alias(f"lo_{i}") for i, c in enumerate(cols)],
-        *[F.max(c).cast("double").alias(f"hi_{i}") for i, c in enumerate(cols)],
+        *[F.min(_as_double(c)).alias(f"lo_{i}") for i, c in enumerate(cols)],
+        *[F.max(_as_double(c)).alias(f"hi_{i}") for i, c in enumerate(cols)],
     ).first()
     n = len(cols)
     terms = []
@@ -1206,7 +1282,7 @@ def zorder_column(df: DataFrame, cols: list[str], bits: int = 8):
         q = F.least(
             F.lit((1 << bits) - 1),
             F.floor(
-                (F.col(c).cast("double") - F.lit(lo)) / F.lit(span)
+                (_as_double(c) - F.lit(lo)) / F.lit(span)
                 * F.lit(float((1 << bits) - 1))
             ).cast("long"),
         )

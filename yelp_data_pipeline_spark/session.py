@@ -157,6 +157,13 @@ def get_spark(
         # The fixtures store TIMESTAMP(NANOS) which the vectorized reader
         # rejects; read as long and convert in the source layer (tables.py).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Write timestamps as INT64 micros, not the legacy INT96:
+        # INT96 carries NO parquet min/max statistics, which silently
+        # disables footer-stats data skipping (versioned.py
+        # _collect_file_stats / read_version_pruned) and row-group
+        # pruning on every timestamp column. Micros is also what
+        # Delta/Iceberg write.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
