@@ -1052,3 +1052,33 @@ def test_zorder_temporal_columns(spark, tmp_path):
         (df.ts >= probe[0].isoformat()) & (df.ts <= probe[1].isoformat())
     ).count()
     assert got == exp > 0
+
+
+def test_deletion_vectors_on_partitioned_table(spark, tmp_path):
+    """DVs over Hive-partitioned commits: the read-side anti-join
+    works through the per-commit basePath scans (hidden _metadata
+    columns resolve per file), the file list stays byte-identical,
+    and partition-scoped MERGE still re-references DV'd cold
+    partitions with their tombstones intact."""
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(k, k % 3, f"v{k}") for k in range(60)], "k int, p int, val string"
+    )
+    vt.create_versioned(df, t, partition_by=["p"])
+    m0 = vt.read_manifest(t, 0)
+    m1 = vt.delete_versioned(
+        spark, t, "k IN (0, 31)", mode="dv", dv_rewrite_threshold=1.0
+    )
+    assert m1["op"] == "delete_dv" and m1["files"] == m0["files"]
+    assert all("p=" in f for f in m1["dv"])  # tombstones on nested files
+    got = {r.k for r in vt.read_version(spark, t).collect()}
+    assert got == set(range(60)) - {0, 31}
+    # Merge into partition p=2 only: p=0 / p=1 files (incl. the DV'd
+    # ones) re-reference and their tombstones carry.
+    upd = spark.createDataFrame([(2, 2, "X")], "k int, p int, val string")
+    m2 = vt.merge_versioned(spark, upd, t, ["k"])
+    for f, idxs in m1["dv"].items():
+        assert f in m2["files"] and m2["dv"][f] == idxs
+    got = {(r.k, r.val) for r in vt.read_version(spark, t).collect()}
+    assert (2, "X") in got
+    assert {k for k, _ in got} == set(range(60)) - {0, 31}

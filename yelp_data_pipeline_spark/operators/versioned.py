@@ -164,6 +164,7 @@ def _scan_files(
     schema,
     partition_by: list[str] | None,
     dv: dict | None = None,
+    with_metadata: bool = False,
 ) -> DataFrame:
     """Scan an explicit manifest file list. Unpartitioned: one reader
     over all paths. Partitioned: partition VALUES live in the path, so
@@ -176,15 +177,40 @@ def _scan_files(
     indices]}): deleted positions are filtered out with ONE broadcast
     anti-join on ``(_metadata.file_path, _metadata.row_index)`` — the
     hidden file-source metadata columns, so the filter is pure
-    Catalyst (no UDF) and files without DV entries pay nothing."""
+    Catalyst (no UDF) and files without DV entries pay nothing. The
+    metadata columns are materialized INSIDE each file scan (as
+    ``__file__`` / ``__idx__``) because ``_metadata`` only resolves
+    directly on a file-source relation, never through the partitioned
+    path's union. ``with_metadata=True`` keeps them in the output —
+    the DML file-finding/tombstoning scans need the provenance."""
+    from pyspark.sql import functions as F
+
     if not files:
         # Empty snapshot (an empty batch committed — the degenerate
         # fixtures hit this): a typed empty relation, same posture as
         # read_version's empty branch.
-        return spark.createDataFrame([], schema)
+        df = spark.createDataFrame([], schema)
+        if with_metadata:
+            df = df.withColumn("__file__", F.lit(None).cast("string")).withColumn(
+                "__idx__", F.lit(None).cast("long")
+            )
+        return df
+    present = set(files)
+    dv = {f: idxs for f, idxs in (dv or {}).items() if idxs and f in present}
+    need_meta = with_metadata or bool(dv)
+
+    def _tag(scan):
+        if not need_meta:
+            return scan
+        return scan.select(
+            "*",
+            F.col("_metadata.file_path").alias("__file__"),
+            F.col("_metadata.row_index").alias("__idx__"),
+        )
+
     if not partition_by:
         reader = spark.read.schema(schema) if schema is not None else spark.read
-        df = reader.parquet(*[os.path.join(table, f) for f in files])
+        df = _tag(reader.parquet(*[os.path.join(table, f) for f in files]))
     else:
         from functools import reduce
 
@@ -197,13 +223,12 @@ def _scan_files(
             reader = spark.read.option("basePath", os.path.join(table, base_rel))
             if schema is not None:
                 reader = reader.schema(schema)
-            scans.append(reader.parquet(*[os.path.join(table, f) for f in group]))
+            scans.append(
+                _tag(reader.parquet(*[os.path.join(table, f) for f in group]))
+            )
         df = reduce(lambda a, b: a.unionByName(b), scans)
-    present = set(files)
-    dv = {f: idxs for f, idxs in (dv or {}).items() if idxs and f in present}
     if dv:
         import pandas as pd
-        from pyspark.sql import functions as F
 
         pairs = pd.DataFrame(
             {
@@ -221,17 +246,14 @@ def _scan_files(
             }
         )
         dv_df = spark.createDataFrame(pairs)
-        df = (
-            df.withColumn("__dv_p__", F.col("_metadata.file_path"))
-            .withColumn("__dv_i__", F.col("_metadata.row_index"))
-            .join(
-                F.broadcast(dv_df),
-                (F.col("__dv_p__") == F.col("__dv_path__"))
-                & (F.col("__dv_i__") == F.col("__dv_idx__")),
-                "left_anti",
-            )
-            .drop("__dv_p__", "__dv_i__")
+        df = df.join(
+            F.broadcast(dv_df),
+            (F.col("__file__") == F.col("__dv_path__"))
+            & (F.col("__idx__") == F.col("__dv_idx__")),
+            "left_anti",
         )
+    if need_meta and not with_metadata:
+        df = df.drop("__file__", "__idx__")
     return df
 
 
@@ -752,9 +774,12 @@ def delete_versioned(
         counts = {
             os.path.relpath(r.f[5:] if r.f.startswith("file:") else r.f,
                             os.path.abspath(table)): r.n
-            for r in _scan_files(spark, table, touched, schema, pby, prev_dv)
+            for r in _scan_files(
+                spark, table, touched, schema, pby, prev_dv,
+                with_metadata=True,
+            )
             .filter(F.expr(predicate_sql))
-            .groupBy(F.col("_metadata.file_path").alias("f"))
+            .groupBy(F.col("__file__").alias("f"))
             .agg(F.count("*").alias("n"))
             .collect()
         }
@@ -772,11 +797,14 @@ def delete_versioned(
             rewrite_files.append(worst)
         if dv_files:
             hits = (
-                _scan_files(spark, table, dv_files, schema, pby, prev_dv)
+                _scan_files(
+                    spark, table, dv_files, schema, pby, prev_dv,
+                    with_metadata=True,
+                )
                 .filter(F.expr(predicate_sql))
                 .select(
-                    F.col("_metadata.file_path").alias("f"),
-                    F.col("_metadata.row_index").alias("i"),
+                    F.col("__file__").alias("f"),
+                    F.col("__idx__").alias("i"),
                 )
                 .collect()
             )
@@ -882,10 +910,13 @@ def update_versioned(
             p = uri[5:] if uri.startswith("file:") else uri
             return os.path.relpath(os.path.abspath(p), root)
 
+        tagged = _scan_files(
+            spark, table, touched, schema, pby, prev_dv, with_metadata=True
+        )
         counts = {
             _rel(r.f): r.n
-            for r in base.filter(match)
-            .groupBy(F.col("_metadata.file_path").alias("f"))
+            for r in tagged.filter(match)
+            .groupBy(F.col("__file__").alias("f"))
             .agg(F.count("*").alias("n"))
             .collect()
         }
@@ -897,12 +928,12 @@ def update_versioned(
                 ok = False
                 break
         if ok:
-            matched = base.filter(match)
+            matched = tagged.filter(match)
             hits = matched.select(
-                F.col("_metadata.file_path").alias("f"),
-                F.col("_metadata.row_index").alias("i"),
+                F.col("__file__").alias("f"),
+                F.col("__idx__").alias("i"),
             ).collect()
-            updated = matched.withColumns(set_cols)
+            updated = matched.withColumns(set_cols).drop("__file__", "__idx__")
             _validate_constraints(updated, prev.get("constraints") or {})
             new_files = _write_snapshot_files(updated, table, pby)
             dv_final = {
