@@ -936,10 +936,13 @@ def test_deletion_vector_tombstone_economics(spark, tmp_path):
     assert not m1.get("dv")
     assert not set(m1["files"]) & set(m0["files"])
     assert vt.read_version(spark, t).count() == 50
-    # Cap: 3 matching rows but dv_max_rows=1 forces rewrites for the
-    # over-cap files (every file demoted here — 2 rows in one file).
+    # Cap (inline-only storage): 3 matching rows but dv_max_rows=1
+    # forces rewrites for the over-cap files (every file demoted here
+    # — 2 rows in one file). With sidecars enabled the cap is moot
+    # (test_dv_sidecar_large_delete).
     m2 = vt.delete_versioned(
-        spark, t, "k IN (1, 3, 5)", mode="dv", dv_max_rows=1
+        spark, t, "k IN (1, 3, 5)", mode="dv", dv_max_rows=1,
+        dv_sidecar=False,
     )
     assert sum(len(v) for v in (m2.get("dv") or {}).values()) <= 1
     assert vt.read_version(spark, t).count() == 47
@@ -1012,9 +1015,11 @@ def test_deletion_vector_update(spark, tmp_path):
     assert m2["op"] == "update"
     rows2 = {(r.k, r.v) for r in vt.read_version(spark, t2).collect()}
     assert rows2 == rows
-    # Cap breach: the whole update degrades to rewrite (no dv).
+    # Cap breach (inline-only storage): the whole update degrades to
+    # rewrite (no dv).
     m3 = vt.update_versioned(
-        spark, t, "k >= 100", {"v": "0.0"}, mode="dv", dv_max_rows=5
+        spark, t, "k >= 100", {"v": "0.0"}, mode="dv", dv_max_rows=5,
+        dv_sidecar=False,
     )
     assert m3["op"] == "update" and not m3.get("dv")
     assert (
@@ -1082,3 +1087,420 @@ def test_deletion_vectors_on_partitioned_table(spark, tmp_path):
     got = {(r.k, r.val) for r in vt.read_version(spark, t).collect()}
     assert (2, "X") in got
     assert {k for k, _ in got} == set(range(60)) - {0, 31}
+
+
+# --------------------------------------------------------------------------
+# Round 17: DV sidecars, TIMESTAMP AS OF, conflict rebase, encoding fixes
+# --------------------------------------------------------------------------
+
+
+def test_timestamp_stats_pruning_boundary(spark, tmp_path):
+    """Stats pruning on TIMESTAMP columns is sound at boundaries: a
+    probe whose inclusive upper bound equals a file's min (and an
+    equality probe hitting a file min/max exactly) must KEEP the file.
+    Footer stats come back tz-aware while probe bounds are naive —
+    both must normalize to one encoding or the longer tz-suffixed
+    string compares greater and matching rows silently vanish."""
+    import datetime
+
+    t = str(tmp_path / "tbl")
+    df = spark.sql(
+        "SELECT TIMESTAMP '1996-04-01 00:00:00' + "
+        "make_interval(0,0,0,CAST(id AS INT),0,0) AS ts, id FROM range(10)"
+    ).coalesce(1)
+    vt.create_versioned(df, t)
+    m = vt.read_manifest(t, 0)
+    assert "ts" in (m["stats"] or {}).get(m["files"][0], {})
+    file_min = datetime.datetime(1996, 4, 1)  # naive probe bound
+    # Inclusive upper bound == file min: must keep the file.
+    assert vt.prune_files_by_stats(m, {"ts": (None, file_min)}) == m["files"]
+    # Equality probe (lo == hi) on the exact min: kept too.
+    assert (
+        vt.prune_files_by_stats(m, {"ts": (file_min, file_min)})
+        == m["files"]
+    )
+    # And the full read agrees with a plain filter.
+    got = vt.read_version_pruned(spark, t, {"ts": (file_min, file_min)})
+    assert got.count() == 1
+    # Probes strictly before the min still prune.
+    before = datetime.datetime(1996, 3, 31)
+    assert vt.prune_files_by_stats(m, {"ts": (None, before)}) == []
+
+
+def test_partition_value_escaping_matches_spark(spark, tmp_path):
+    """_partition_dir_value reproduces Spark's Hive-style directory
+    encoding for metacharacter string values (':' -> %3A, '%' -> %25,
+    '' and NULL -> __HIVE_DEFAULT_PARTITION__), so the touched-
+    partition probe classifies every partition correctly and a merge
+    updates in place instead of silently duplicating keys."""
+    t = str(tmp_path / "tbl")
+    rows = [(1, "x:y"), (2, "a b"), (3, "p%q"), (4, None), (5, "")]
+    df = spark.createDataFrame(rows, "k int, part string")
+    vt.create_versioned(df, t, partition_by=["part"])
+    m0 = vt.read_manifest(t, 0)
+    # The probe encoding matches the directories Spark actually wrote.
+    dirs = {vt._file_partition_values(f, ["part"])[0] for f in m0["files"]}
+    assert dirs == {
+        vt._partition_dir_value(v) for v in ("x:y", "a b", "p%q", None, "")
+    }
+    # Merge touching ONLY the 'x:y' partition: its key updates in
+    # place (no duplicate), every other partition file re-referenced.
+    upd = spark.createDataFrame([(1, "x:y")], "k int, part string")
+    m1 = vt.merge_versioned(spark, upd, t, ["k"])
+    assert (
+        vt.read_version(spark, t).filter("k = 1").count() == 1
+    )  # no duplicated key
+    untouched = [
+        f for f in m0["files"]
+        if vt._file_partition_values(f, ["part"])[0]
+        != vt._partition_dir_value("x:y")
+    ]
+    assert set(untouched) <= set(m1["files"])  # re-referenced, not rewritten
+    assert _count_writes_dirs(t, m0, m1) == 1  # one partition rewritten
+
+
+def _count_writes_dirs(table, m_prev, m_cur):
+    prev_commits = {f.split(os.sep)[1] for f in m_prev["files"]}
+    return len(
+        {f.split(os.sep)[1] for f in m_cur["files"]} - prev_commits
+    )
+
+
+def test_unsupported_partition_type_raises(spark, tmp_path):
+    """Partition column types whose directory encoding is not
+    reproduced here (timestamps, floats, booleans) are refused at
+    create time instead of silently mis-bucketing merges."""
+    t = str(tmp_path / "tbl")
+    df = spark.sql("SELECT id, CAST(id AS DOUBLE) AS d FROM range(4)")
+    with pytest.raises(TypeError, match="partition column"):
+        vt.create_versioned(df, t, partition_by=["d"])
+
+
+def test_checkpoint_write_failure_does_not_fail_commit(
+    spark, tmp_path, monkeypatch
+):
+    """The manifest IS the commit; the checkpoint is derived metadata.
+    A failing checkpoint write (ENOSPC, permissions) must not surface
+    as a commit failure — a retry-loop caller would re-apply the same
+    batch as a new version."""
+    t = str(tmp_path / "tbl")
+    vt.create_versioned(_df(spark, [(1, "a")]), t)
+    monkeypatch.setattr(
+        vt,
+        "_maybe_write_checkpoint",
+        lambda *a, **k: (_ for _ in ()).throw(OSError("disk full")),
+    )
+    with pytest.warns(RuntimeWarning, match="checkpoint write failed"):
+        m = vt.append_versioned(_df(spark, [(2, "b")]), t)
+    assert m["version"] == 1  # commit succeeded
+    monkeypatch.undo()
+    assert _vals(vt.read_version(spark, t)) == {(1, "a"), (2, "b")}
+
+
+def test_metachar_table_path_dml(spark, tmp_path):
+    """A table path containing URL-encodable characters (space, '%'):
+    the DML file-finding scan (input_file_name -> rel path) and the DV
+    anti-join key (_metadata.file_path vs _file_uri) both survive,
+    because encode/decode go through one shared pair of inverses."""
+    t = str(tmp_path / "meta char %41 tbl")
+    df = spark.createDataFrame(
+        [(k, f"v{k}") for k in range(40)], "k int, val string"
+    ).repartition(4)
+    vt.create_versioned(df, t)
+    # File-pruned DELETE: finding scan decodes URIs back to rel paths.
+    m1 = vt.delete_versioned(spark, t, "k >= 30")
+    assert m1 is not None
+    assert vt.read_version(spark, t).count() == 30
+    # DV delete: the anti-join key must match _metadata.file_path's
+    # URL-encoded spelling exactly, else rows silently survive.
+    m2 = vt.delete_versioned(
+        spark, t, "k < 3", mode="dv", dv_rewrite_threshold=1.0
+    )
+    assert m2["op"] == "delete_dv" and m2.get("dv")
+    assert {r.k for r in vt.read_version(spark, t).collect()} == set(
+        range(3, 30)
+    )
+    # DV update on the same table exercises the update-side decoding.
+    m3 = vt.update_versioned(
+        spark, t, "k = 5", {"val": "'X'"}, mode="dv",
+        dv_rewrite_threshold=1.0,
+    )
+    assert m3["op"] == "update_dv"
+    assert (
+        vt.read_version(spark, t).filter("val = 'X'").count() == 1
+    )
+
+
+def test_dv_roaring_codec_roundtrip():
+    """The sidecar codec: array containers (sparse chunks), bitmap
+    containers (dense chunks), chunk boundaries, empty and large
+    inputs all round-trip exactly."""
+    cases = [
+        [],
+        [0],
+        [65535, 65536],  # chunk boundary straddle
+        list(range(0, 200_000, 3)),  # dense-ish: bitmap containers
+        [7, 11, 1_000_003, 2**33 + 5],  # sparse, huge positions
+        list(range(5000)),  # one chunk, > _DV_ARRAY_MAX -> bitmap
+    ]
+    for positions in cases:
+        data = vt._dv_encode(positions)
+        assert vt._dv_decode(data) == sorted(set(positions))
+    # Dense chunk actually produced a bitmap container (kind byte 1).
+    dense = vt._dv_encode(list(range(5000)))
+    # kind byte: 4B magic + <IQ header (12B) + <q container key (8B).
+    assert dense[:4] == b"RDV1" and dense[24] == 1
+    with pytest.raises(ValueError, match="magic"):
+        vt._dv_decode(b"nope" + b"\x00" * 16)
+
+
+def test_dv_sidecar_large_delete(spark, tmp_path):
+    """A scattered delete of more rows than the inline cap stays
+    ZERO-REWRITE: positions land in a roaring-bitmap sidecar under
+    _dv/, the manifest references it by (path, cardinality, crc32),
+    reads apply it, and a corrupt sidecar is refused."""
+    t = str(tmp_path / "tbl")
+    n = 10_000
+    df = spark.range(n).selectExpr("id AS k", "CAST(id AS STRING) AS val")
+    # Two files -> ~1666 tombstones each, over DV_INLINE_MAX_ROWS
+    # (1024): per-file vectors must go to sidecars.
+    vt.create_versioned(df.repartition(2), t)
+    m0 = vt.read_manifest(t, 0)
+    # Scattered ~30% delete, way over DV_INLINE_MAX_ROWS (1024):
+    # threshold 1.0 isolates the storage path from the economics.
+    m1 = vt.delete_versioned(
+        spark, t, "k % 3 = 0", mode="dv", dv_rewrite_threshold=1.0,
+        dv_max_rows=1,  # the inline cap must be IRRELEVANT with sidecars
+    )
+    assert m1["files"] == m0["files"]  # zero files rewritten
+    entries = list(m1["dv"].values())
+    assert entries and all(isinstance(e, dict) for e in entries)
+    total = sum(e["cardinality"] for e in entries)
+    assert total == len([k for k in range(n) if k % 3 == 0])
+    for e in entries:
+        assert os.path.isfile(os.path.join(t, e["sidecar"]))
+        assert e["sidecar"].startswith("_dv" + os.sep)
+    # Read-back excludes exactly the tombstoned rows.
+    assert vt.read_version(spark, t).count() == n - total
+    assert (
+        vt.read_version(spark, t).filter("k % 3 = 0").count() == 0
+    )
+    # Time travel to v0 still sees everything.
+    assert vt.read_version(spark, t, 0).count() == n
+    # A second small DV delete UNIONs into the (re-encoded) vectors.
+    m2 = vt.delete_versioned(
+        spark, t, "k = 1", mode="dv", dv_rewrite_threshold=1.0
+    )
+    assert vt.read_version(spark, t).count() == n - total - 1
+    # Corrupt one sidecar: the read refuses rather than un-deleting.
+    e = next(iter(m2["dv"].values()))
+    path = os.path.join(t, e["sidecar"])
+    with open(path, "r+b") as f:
+        f.seek(20)
+        f.write(b"\xff\xff\xff")
+    with pytest.raises(ValueError, match="checksum|cardinality"):
+        vt.read_version(spark, t).count()
+
+
+def test_vacuum_cleans_orphaned_dv_sidecars(spark, tmp_path):
+    """Sidecars referenced by retained manifests survive VACUUM;
+    sidecars only referenced by dropped manifests are deleted; an
+    unreferenced (orphaned) sidecar falls under the retention
+    window like any in-flight writer's file."""
+    t = str(tmp_path / "tbl")
+    df = spark.range(5000).selectExpr("id AS k", "CAST(id AS STRING) AS val")
+    vt.create_versioned(df.coalesce(2), t)
+    vt.delete_versioned(
+        spark, t, "k % 2 = 0", mode="dv", dv_rewrite_threshold=1.0
+    )  # v1: sidecar DV
+    m1 = vt.read_manifest(t, 1)
+    sidecars = {e["sidecar"] for e in m1["dv"].values()}
+    assert sidecars
+    # Orphan: a sidecar no manifest references (losing commit debris).
+    orphan = os.path.join(t, "_dv", "dv-orphan.bin")
+    with open(orphan, "wb") as f:
+        f.write(vt._dv_encode([1, 2, 3]))
+    # Retention window keeps the young orphan, live sidecars stay.
+    assert vt.vacuum_versioned(t, retention_seconds=3600) == 0
+    assert os.path.isfile(orphan)
+    # Past the window the orphan goes; referenced sidecars still stay.
+    deleted = vt.vacuum_versioned(t, retention_seconds=0)
+    assert deleted == 1 and not os.path.exists(orphan)
+    for rel in sidecars:
+        assert os.path.isfile(os.path.join(t, rel))
+    assert vt.read_version(spark, t).count() == 2500
+    # OPTIMIZE clears the DVs; trimming history to the optimized
+    # version retires the old files AND their sidecars.
+    vt.optimize_versioned(spark, t)
+    vt.vacuum_versioned(t, keep_versions=1, retention_seconds=0)
+    for rel in sidecars:
+        assert not os.path.exists(os.path.join(t, rel))
+    assert vt.read_version(spark, t).count() == 2500
+
+
+def test_inline_dv_cap_counts_carried_entries(spark, tmp_path):
+    """dv_sidecar=False accounting: the inline cap counts positions
+    CARRIED from previous versions too, so repeated small DV deletes
+    cannot accumulate unbounded inline-JSON payload — the file demotes
+    to rewrite once carried + new exceeds the cap."""
+    t = str(tmp_path / "tbl")
+    df = spark.range(100).selectExpr("id AS k", "CAST(id AS STRING) AS val")
+    vt.create_versioned(df.coalesce(1), t)
+    m1 = vt.delete_versioned(
+        spark, t, "k < 6", mode="dv", dv_rewrite_threshold=1.0,
+        dv_max_rows=10, dv_sidecar=False,
+    )
+    assert m1["op"] == "delete_dv"
+    assert sum(len(v) for v in m1["dv"].values()) == 6
+    # Second delete: 6 carried + 5 new = 11 > 10 -> demote to rewrite
+    # (the file is rewritten — its carried tombstones materialize into
+    # the rewrite — and the manifest carries NO inline dv payload).
+    m1_files = set(m1["files"])
+    m2 = vt.delete_versioned(
+        spark, t, "k >= 6 AND k < 11", mode="dv", dv_rewrite_threshold=1.0,
+        dv_max_rows=10, dv_sidecar=False,
+    )
+    assert not m2.get("dv")  # demoted: no inline payload at all
+    assert not set(m2["files"]) & m1_files  # the file was rewritten
+    assert vt.read_version(spark, t).count() == 89
+
+
+def test_timestamp_as_of(spark, tmp_path):
+    """TIMESTAMP AS OF: latest version at-or-before t; between-commit
+    timestamps resolve to the earlier version; before-first-commit
+    raises (Delta's posture); after-last resolves to latest;
+    version_history(with_ts=True) exposes the commit timestamps."""
+    t = str(tmp_path / "tbl")
+    vt.create_versioned(_df(spark, [(1, "a")]), t)          # v0
+    vt.append_versioned(_df(spark, [(2, "b")]), t)          # v1
+    vt.append_versioned(_df(spark, [(3, "c")]), t)          # v2
+    ts = [vt.read_manifest(t, v)["ts"] for v in range(3)]
+    assert ts == sorted(ts)
+    # Exactly-at and between-commits resolution.
+    assert vt.version_at_timestamp(t, ts[0]) == 0
+    assert vt.version_at_timestamp(t, (ts[0] + ts[1]) / 2) == 0
+    assert vt.version_at_timestamp(t, (ts[1] + ts[2]) / 2) == 1
+    assert vt.version_at_timestamp(t, ts[2] + 1e9) == 2  # far future
+    with pytest.raises(ValueError, match="predates the first commit"):
+        vt.version_at_timestamp(t, ts[0] - 1.0)
+    # read_version(timestamp=...) is the user surface.
+    mid = (ts[1] + ts[2]) / 2
+    assert _vals(vt.read_version(spark, t, timestamp=mid)) == {
+        (1, "a"), (2, "b")
+    }
+    # datetime input (naive = UTC) works too.
+    import datetime
+
+    dt = datetime.datetime.fromtimestamp(mid, tz=datetime.timezone.utc)
+    assert _vals(vt.read_version(spark, t, timestamp=dt)) == {
+        (1, "a"), (2, "b")
+    }
+    with pytest.raises(ValueError, match="not both"):
+        vt.read_version(spark, t, version=1, timestamp=mid)
+    hist = vt.version_history(spark, t, with_ts=True).collect()
+    assert [r.version for r in hist] == [0, 1, 2]
+    assert [r.ts for r in hist] == pytest.approx(ts)
+
+
+def test_timestamp_as_of_through_checkpoint(spark, tmp_path):
+    """Timestamp resolution stays O(CHECKPOINT_EVERY): commit
+    timestamps ride in checkpoint history entries, so resolving
+    against a long history needs no full manifest walk."""
+    t = str(tmp_path / "tbl")
+    vt.create_versioned(_df(spark, [(0, "x")]), t)
+    for i in range(1, 13):
+        vt.append_versioned(_df(spark, [(i, "x")]), t)
+    ck = vt.latest_checkpoint(t)
+    assert ck is not None and ck["version"] >= 10
+    assert all(e.get("ts") is not None for e in ck["history"])
+    ts5 = vt.read_manifest(t, 5)["ts"]
+    assert vt.version_at_timestamp(t, ts5) == 5
+    assert vt.read_version(spark, t, timestamp=ts5).count() == 6
+
+
+def test_concurrent_merge_rebase_disjoint(spark, tmp_path, monkeypatch):
+    """Two partition-disjoint merges racing: the loser REBASES (its
+    already-written files re-pointed onto the winner's manifest)
+    without re-running the merge — counted via _write_snapshot_files;
+    both updates land; untouched partitions stay re-referenced."""
+    t = str(tmp_path / "tbl")
+    rows = [(k, k % 3, f"v{k}") for k in range(30)]
+    df = spark.createDataFrame(rows, "k int, p int, val string")
+    vt.create_versioned(df, t, partition_by=["p"])
+
+    writes = []
+    orig_write = vt._write_snapshot_files
+
+    def counting_write(df_, table_, partition_by=None):
+        writes.append(1)
+        return orig_write(df_, table_, partition_by)
+
+    monkeypatch.setattr(vt, "_write_snapshot_files", counting_write)
+
+    # Interleave: when the LOSER (merge on p=1) reaches its manifest
+    # publish, the WINNER (merge on p=2) commits first at the same
+    # version number.
+    orig_commit = vt._commit_manifest
+    state = {"injected": False}
+
+    def racing_commit(table, version, op, files, *a, **k):
+        if not state["injected"] and op == "merge":
+            state["injected"] = True
+            upd_w = spark.createDataFrame(
+                [(2, 2, "WINNER")], "k int, p int, val string"
+            )
+            vt.merge_versioned(spark, upd_w, t, ["k"])  # wins this version
+        return orig_commit(table, version, op, files, *a, **k)
+
+    monkeypatch.setattr(vt, "_commit_manifest", racing_commit)
+    upd_l = spark.createDataFrame(
+        [(1, 1, "LOSER")], "k int, p int, val string"
+    )
+    m = vt.merge_versioned(spark, upd_l, t, ["k"])
+    monkeypatch.undo()
+    # Two merges -> exactly two snapshot writes: the loser REBASED,
+    # it did not re-run its merge (which would be a third write).
+    assert len(writes) == 2
+    assert m["version"] == 2 and m["op"] == "merge"
+    got = {(r.k, r.val) for r in vt.read_version(spark, t).collect()}
+    assert (1, "LOSER") in got and (2, "WINNER") in got
+    assert len(got) == 30  # both merges updated in place
+    # Partition p=0 was touched by NEITHER: files re-referenced from v0.
+    m0 = vt.read_manifest(t, 0)
+    p0 = [
+        f for f in m0["files"]
+        if vt._file_partition_values(f, ["p"])[0] == "0"
+    ]
+    assert set(p0) <= set(m["files"])
+
+
+def test_concurrent_overlapping_dml_reexecutes(spark, tmp_path, monkeypatch):
+    """Two OVERLAPPING deletes racing (same partition): the loser gets
+    ConcurrentCommitError (no silent rebase — that could drop the
+    winner's effect), and commit_with_retry re-executes it against the
+    winner's snapshot; the final state is serializable."""
+    t = str(tmp_path / "tbl")
+    rows = [(k, k % 2, f"v{k}") for k in range(20)]
+    df = spark.createDataFrame(rows, "k int, p int, val string")
+    vt.create_versioned(df, t, partition_by=["p"])
+
+    state = {"injected": False}
+    orig_commit = vt._commit_manifest
+
+    def racing_commit(table, version, op, files, *a, **k):
+        if not state["injected"] and op == "delete":
+            state["injected"] = True
+            vt.delete_versioned(spark, t, "p = 0 AND k < 4")  # winner
+        return orig_commit(table, version, op, files, *a, **k)
+
+    monkeypatch.setattr(vt, "_commit_manifest", racing_commit)
+    with pytest.raises(vt.ConcurrentCommitError):
+        vt.delete_versioned(spark, t, "p = 0 AND k >= 4 AND k < 8")
+    monkeypatch.undo()
+    # commit_with_retry re-executes the loser against the new latest.
+    m = vt.commit_with_retry(
+        lambda: vt.delete_versioned(spark, t, "p = 0 AND k >= 4 AND k < 8")
+    )
+    assert m is not None
+    got = {r.k for r in vt.read_version(spark, t).collect()}
+    assert got == set(range(20)) - {0, 2, 4, 6}  # both deletes applied

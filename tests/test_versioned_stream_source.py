@@ -253,3 +253,85 @@ def test_stream_seed_applies_deletion_vectors(registered, spark, tmp_path):
     # Fresh checkpoint seeds at v0 (pre-delete), skips both DV
     # commits, then the append: 10 + 1 rows.
     assert sorted(got2) == list(range(10)) + [100]
+
+
+def test_max_files_per_trigger_drains_backlog(registered, spark, tmp_path):
+    """Admission control (Delta's maxFilesPerTrigger): a 30-commit
+    backlog with a 5-files-per-trigger cap drains in multiple capped
+    micro-batches — batch boundaries at version granularity — and the
+    streamed rows equal the table snapshot exactly. (Uses a
+    processingTime trigger: availableNow in the Python Data Source
+    API fixes its drain target at the FIRST latestOffset, so a capped
+    stream under availableNow processes one capped batch — see the
+    module docstring.)"""
+    import time
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    vt.create_versioned(_df(spark, [(0, "v0")]).coalesce(1), src)
+    for i in range(1, 30):
+        vt.append_versioned(_df(spark, [(i, f"v{i}")]).coalesce(1), src)
+    assert vt.latest_version(src) == 29
+    assert vt.read_manifest(src, 29)["n_files"] == 30  # 1 file/commit
+    batches = []
+    q = (
+        spark.readStream.format("versioned_table")
+        .option("path", src)
+        .option("maxFilesPerTrigger", "5")
+        .load()
+        .writeStream.foreachBatch(
+            lambda b, i: batches.append(sorted((r.k, r.v) for r in b.collect()))
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    deadline = time.time() + 150
+    while time.time() < deadline:
+        if sum(len(b) for b in batches) >= 30:
+            break
+        time.sleep(0.5)
+    q.stop()
+    non_empty = [b for b in batches if b]
+    # 30 single-file commits / cap 5 = 6 capped micro-batches.
+    assert len(non_empty) == 6
+    assert all(len(b) == 5 for b in non_empty)
+    got = sorted(r for b in batches for r in b)
+    want = sorted(
+        (r.k, r.v) for r in vt.read_version(spark, src).collect()
+    )
+    assert got == want
+
+
+def test_max_bytes_per_trigger_admits_at_least_one_version(
+    registered, spark, tmp_path
+):
+    """maxBytesPerTrigger is a SOFT cap: even a 1-byte cap admits the
+    first pending version each trigger (the stream must progress), so
+    a 4-commit backlog becomes 4 one-version micro-batches, never a
+    stall."""
+    import time
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    vt.create_versioned(_df(spark, [(0, "a")]).coalesce(1), src)
+    for i in range(1, 4):
+        vt.append_versioned(_df(spark, [(i, "a")]).coalesce(1), src)
+    batches = []
+    q = (
+        spark.readStream.format("versioned_table")
+        .option("path", src)
+        .option("maxBytesPerTrigger", "1")
+        .load()
+        .writeStream.foreachBatch(
+            lambda b, i: batches.append(b.count())
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if sum(batches) >= 4:
+            break
+        time.sleep(0.5)
+    q.stop()
+    assert [n for n in batches if n] == [1, 1, 1, 1]

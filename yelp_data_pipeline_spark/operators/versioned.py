@@ -14,6 +14,9 @@ Layout::
     <table>/
       _manifest/v00000000.json     one file per committed version
       data/<commit-id>/part-*.parquet
+      _dv/dv-*.bin                 roaring-bitmap deletion-vector
+                                   sidecars (large DVs; small ones
+                                   stay inline in the manifest JSON)
 
 Commit protocol (optimistic concurrency, Delta's model):
 
@@ -147,14 +150,63 @@ def _file_partition_values(rel_path: str, partition_by: list[str]) -> tuple:
     return tuple(vals.get(c) for c in partition_by)
 
 
+#: Characters Hive/Spark escape in partition directory values
+#: (ExternalCatalogUtils.escapePathName): control chars plus the shell/
+#: path metacharacters, each written as ``%XX`` uppercase hex.
+_HIVE_ESCAPE_CHARS = frozenset('"#%\'*/:=?\\{[]^\x7f') | frozenset(
+    chr(i) for i in range(0x20)
+)
+
+
+def _escape_path_name(s: str) -> str:
+    return "".join(
+        f"%{ord(c):02X}" if c in _HIVE_ESCAPE_CHARS else c for c in s
+    )
+
+
 def _partition_dir_value(v) -> str:
     """How Spark's Hive-style writer encodes a partition VALUE as a
-    directory string — enough of the escaping for the simple scalar
-    partition columns this table supports (ints, dates, plain
-    strings)."""
-    if v is None:
+    directory string, for the scalar partition column types this table
+    supports (validated at :func:`create_versioned`): ints and dates
+    via ``str`` (ISO dates match the directory form), strings through
+    Hive's ``escapePathName`` (``:`` → ``%3A`` etc. — verified against
+    Spark's own writer output in tests/test_versioned.py), NULL and
+    the empty string as ``__HIVE_DEFAULT_PARTITION__`` (Spark folds ""
+    into the default partition)."""
+    if v is None or v == "":
         return "__HIVE_DEFAULT_PARTITION__"
+    if isinstance(v, str):
+        return _escape_path_name(v)
     return str(v)
+
+
+def _check_partition_types(df: DataFrame, partition_by: list[str]) -> None:
+    """Refuse partition column types whose directory encoding this
+    module does not reproduce bit-exactly (floats, timestamps,
+    booleans, decimals, binaries) — a silent encoding mismatch would
+    classify a touched partition as untouched in merge_versioned and
+    duplicate keys. Ints / strings / dates cover every partitioning
+    the engine uses (and the reference's month partitions)."""
+    from pyspark.sql.types import (
+        ByteType,
+        DateType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+    )
+
+    allowed = (ByteType, ShortType, IntegerType, LongType, StringType, DateType)
+    for c in partition_by:
+        dt = df.schema[c].dataType
+        if not isinstance(dt, allowed):
+            raise TypeError(
+                f"partition column {c!r} has type {dt.simpleString()}: "
+                "versioned tables support int / string / date partition "
+                "columns (other types' Hive directory encodings are not "
+                "reproduced here — partition on a derived int/string/"
+                "date column instead)"
+            )
 
 
 def _scan_files(
@@ -196,7 +248,11 @@ def _scan_files(
             )
         return df
     present = set(files)
-    dv = {f: idxs for f, idxs in (dv or {}).items() if idxs and f in present}
+    dv = {
+        f: _dv_entry_positions(table, e)
+        for f, e in (dv or {}).items()
+        if f in present and _dv_entry_count(e)
+    }
     need_meta = with_metadata or bool(dv)
 
     def _tag(scan):
@@ -257,18 +313,228 @@ def _scan_files(
     return df
 
 
+#: Characters java.net.URI leaves raw in a path component (RFC 2396
+#: unreserved marks plus the path-legal punctuation) — what Spark's
+#: Path.toUri / input_file_name / _metadata.file_path encoding keeps.
+_URI_SAFE = "/-_.!~*'()=+,:;@&$"
+
+
 def _file_uri(table: str, rel_path: str) -> str:
     """The exact string ``_metadata.file_path`` yields for a data
     file — the join key between manifest DV entries (rel paths) and
-    the scan's hidden metadata column."""
-    return "file:" + os.path.abspath(os.path.join(table, rel_path))
+    the scan's hidden metadata column. Spark URL-encodes the path
+    (space → ``%20``, ``%`` → ``%25``; RFC 2396 path characters kept
+    raw), so the join key must too — pinned against Spark's own
+    output on a metacharacter-laden table path in
+    tests/test_versioned.py."""
+    from urllib.parse import quote
+
+    return "file:" + quote(
+        os.path.abspath(os.path.join(table, rel_path)), safe=_URI_SAFE
+    )
+
+
+def _rel_from_uri(table: str, uri: str) -> str:
+    """Shared inverse of :func:`_file_uri` for BOTH of Spark's file-
+    provenance spellings — ``input_file_name()`` returns
+    ``file://<encoded>`` while ``_metadata.file_path`` returns
+    ``file:<encoded>`` — URL-decoding before the relpath so table
+    paths containing encodable characters map back to manifest
+    rel-paths correctly."""
+    from urllib.parse import unquote
+
+    p = uri
+    if p.startswith("file://"):
+        p = p[7:]
+    elif p.startswith("file:"):
+        p = p[5:]
+    return os.path.relpath(
+        os.path.abspath(unquote(p)), os.path.abspath(table)
+    )
+
+
+# --------------------------------------------------------------------------
+# Deletion-vector storage: inline positions for small vectors, roaring-
+# bitmap sidecar files for large ones — Delta's dual encoding (its add
+# action stores tiny DVs inline and larger ones as RoaringBitmapArray
+# sidecar files referenced by path + size + checksum). The manifest
+# entry is either a plain sorted position list (inline) or
+# ``{"sidecar": "_dv/dv-….bin", "cardinality": n, "crc32": c}``.
+# Sidecars keep the JSON log O(1) per DV regardless of tombstone count,
+# which is what lets a scattered 0.1% delete of a billion-row table
+# stay zero-rewrite instead of demoting to the rewrite path.
+# --------------------------------------------------------------------------
+
+#: Positions at or under this count stay inline in the manifest JSON;
+#: larger vectors go to a sidecar file (when the DML call allows it).
+DV_INLINE_MAX_ROWS = 1024
+
+_DV_DIR = "_dv"
+
+#: Roaring container switch-over: a 64Ki-position chunk with more than
+#: this many values stores an 8 KiB bitmap instead of a u16 array
+#: (4096 × 2 bytes == 8192 bytes — the classic roaring break-even).
+_DV_ARRAY_MAX = 4096
+
+
+def _dv_encode(positions) -> bytes:
+    """Serialize sorted row positions as a roaring bitmap: chunked by
+    ``pos >> 16``, each container either a sorted u16 array (sparse)
+    or an 8 KiB bitmap (dense), whichever is smaller — the standard
+    roaring layout (Chambi et al. 2016), written with numpy (no
+    per-position Python loop)."""
+    import struct
+
+    import numpy as np
+
+    arr = np.unique(np.asarray(list(positions), dtype=np.int64))
+    if arr.size and arr[0] < 0:
+        raise ValueError("deletion-vector positions must be non-negative")
+    keys = arr >> 16
+    lows = (arr & 0xFFFF).astype(np.uint16)
+    buf = bytearray()
+    n_containers = 0
+    bounds = np.flatnonzero(np.diff(keys)) + 1
+    for lo_i, hi_i in zip(np.r_[0, bounds], np.r_[bounds, arr.size]):
+        lo_i, hi_i = int(lo_i), int(hi_i)
+        if hi_i == lo_i:
+            continue
+        key = int(keys[lo_i])
+        vals = lows[lo_i:hi_i]
+        card = int(vals.size)
+        if card <= _DV_ARRAY_MAX:
+            buf += struct.pack("<qBI", key, 0, card) + vals.tobytes()
+        else:
+            bitmap = np.zeros(8192, dtype=np.uint8)
+            np.bitwise_or.at(
+                bitmap,
+                vals >> 3,
+                np.left_shift(1, (vals & 7).astype(np.int64)).astype(np.uint8),
+            )
+            buf += struct.pack("<qBI", key, 1, card) + bitmap.tobytes()
+        n_containers += 1
+    return b"RDV1" + struct.pack("<IQ", n_containers, arr.size) + bytes(buf)
+
+
+def _dv_decode(data: bytes) -> list[int]:
+    """Inverse of :func:`_dv_encode`; validates magic and the recorded
+    total cardinality."""
+    import struct
+
+    import numpy as np
+
+    if data[:4] != b"RDV1":
+        raise ValueError("not a DV sidecar (bad magic)")
+    n_containers, total = struct.unpack_from("<IQ", data, 4)
+    off = 16
+    chunks = []
+    for _ in range(n_containers):
+        key, kind, card = struct.unpack_from("<qBI", data, off)
+        off += 13
+        if kind == 0:
+            vals = np.frombuffer(data, dtype=np.uint16, count=card, offset=off)
+            off += 2 * card
+        elif kind == 1:
+            bitmap = np.frombuffer(data, dtype=np.uint8, count=8192, offset=off)
+            off += 8192
+            vals = np.flatnonzero(
+                np.unpackbits(bitmap, bitorder="little")
+            ).astype(np.uint16)
+        else:
+            raise ValueError(f"unknown DV container kind {kind}")
+        chunks.append((key << 16) | vals.astype(np.int64))
+    out = np.concatenate(chunks) if chunks else np.empty(0, dtype=np.int64)
+    if out.size != total:
+        raise ValueError(
+            f"DV sidecar cardinality mismatch: header says {total}, "
+            f"containers hold {out.size}"
+        )
+    return out.tolist()
+
+
+def _dv_store_entry(table: str, positions, sidecar: bool = True):
+    """Persist one file's deletion vector: inline position list when
+    small (or when ``sidecar=False`` — the caller is then responsible
+    for capping, see ``dv_max_rows``), else a roaring-bitmap sidecar
+    under ``<table>/_dv/`` referenced by (path, cardinality, crc32).
+    The sidecar is written to a private temp name then os.replace'd
+    BEFORE the manifest publish, so a manifest never references a
+    half-written sidecar; a losing commit's orphaned sidecar is
+    vacuum-cleanable like any orphaned data file."""
+    import zlib
+
+    positions = sorted({int(p) for p in positions})
+    if not sidecar or len(positions) <= DV_INLINE_MAX_ROWS:
+        return positions
+    payload = _dv_encode(positions)
+    rel = os.path.join(_DV_DIR, f"dv-{uuid.uuid4().hex[:16]}.bin")
+    path = os.path.join(table, rel)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp"
+    with open(tmp, "wb") as f:
+        f.write(payload)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+    return {
+        "sidecar": rel,
+        "cardinality": len(positions),
+        "crc32": zlib.crc32(payload) & 0xFFFFFFFF,
+    }
+
+
+def _dv_entry_count(entry) -> int:
+    """Tombstone count of a manifest DV entry (inline list or sidecar
+    ref) WITHOUT reading any sidecar — the accounting the economics
+    thresholds use."""
+    if entry is None:
+        return 0
+    if isinstance(entry, dict):
+        return int(entry["cardinality"])
+    return len(entry)
+
+
+def _dv_entry_positions(table: str, entry) -> list[int]:
+    """Resolve a manifest DV entry to its sorted position list,
+    verifying the sidecar checksum + cardinality on the way (a corrupt
+    or truncated sidecar raises instead of silently un-deleting
+    rows)."""
+    if entry is None:
+        return []
+    if not isinstance(entry, dict):
+        return list(entry)
+    import zlib
+
+    path = os.path.join(table, entry["sidecar"])
+    with open(path, "rb") as f:
+        data = f.read()
+    if zlib.crc32(data) & 0xFFFFFFFF != entry["crc32"]:
+        raise ValueError(
+            f"DV sidecar {entry['sidecar']} failed its checksum — "
+            "refusing to apply a corrupt deletion vector"
+        )
+    positions = _dv_decode(data)
+    if len(positions) != entry["cardinality"]:
+        raise ValueError(
+            f"DV sidecar {entry['sidecar']} cardinality mismatch"
+        )
+    return positions
 
 
 def _stats_jsonable(v):
     """Footer statistic → JSON-storable, ORDER-PRESERVING encoding:
     dates/timestamps to ISO strings (lexicographic == chronological),
     bytes decoded, numbers kept numeric. None = not encodable (the
-    file is then never pruned on that column — safe)."""
+    file is then never pruned on that column — safe).
+
+    Timestamps are normalized to NAIVE UTC before isoformat: footer
+    stats come back tz-aware (Spark writes TIMESTAMP_MICROS as
+    UTC-adjusted) while probe bounds are typically naive datetimes —
+    mixing the two encodings ('…T00:00:00+00:00' vs '…T00:00:00')
+    breaks lexicographic comparison exactly at equal instants, so a
+    file whose min equals the probe's inclusive upper bound would be
+    unsoundly pruned. Applied identically to stats and probe values,
+    one encoding for both sides."""
     import datetime
     import decimal
 
@@ -278,7 +544,11 @@ def _stats_jsonable(v):
         return v
     if isinstance(v, decimal.Decimal):
         return float(v)
-    if isinstance(v, (datetime.datetime, datetime.date)):
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
+    if isinstance(v, datetime.date):
         return v.isoformat()
     if isinstance(v, bytes):
         try:
@@ -361,10 +631,17 @@ def _commit_manifest(
     )
     if dv is None:
         prev_dv = prev.get("dv") or {}
-        dv = {f: prev_dv[f] for f in files if prev_dv.get(f)}
+        dv = {f: prev_dv[f] for f in files if _dv_entry_count(prev_dv.get(f))}
     else:
         present = set(files)
-        dv = {f: sorted(idxs) for f, idxs in dv.items() if idxs and f in present}
+        # Entries may be inline position lists (stored sorted) or
+        # sidecar references (stored verbatim — the sidecar file
+        # already exists, written before this publish).
+        dv = {
+            f: (e if isinstance(e, dict) else sorted(e))
+            for f, e in dv.items()
+            if f in present and _dv_entry_count(e)
+        }
     manifest = {
         "version": version,
         "op": op,
@@ -402,7 +679,25 @@ def _commit_manifest(
             os.unlink(tmp)
         except FileNotFoundError:
             pass
-    _maybe_write_checkpoint(table, version)
+    # The manifest is durably published above — the commit HAS
+    # succeeded. The checkpoint is derived, recoverable metadata (the
+    # next multiple-of-CHECKPOINT_EVERY commit rewrites it), so a
+    # failed checkpoint write (ENOSPC, permissions) must not surface
+    # as a commit failure: a retry-loop caller would re-apply the same
+    # logical change as a brand-new version (e.g. a double-appended
+    # batch).
+    try:
+        _maybe_write_checkpoint(table, version)
+    except OSError as e:
+        import warnings
+
+        warnings.warn(
+            f"manifest checkpoint write failed for {table} v{version} "
+            f"({e}); readers fall back to a longer log-tail replay "
+            "until the next checkpoint commit",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return manifest
 
 
@@ -455,6 +750,7 @@ def _history_entries(table: str) -> list[dict]:
                 "op": m["op"],
                 "n_files": m["n_files"],
                 "batch_id": m.get("batch_id"),
+                "ts": m.get("ts"),
             }
     return [entries[v] for v in sorted(entries)]
 
@@ -507,6 +803,8 @@ def create_versioned(
     prev_v = latest_version(table)
     if prev_v is not None and partition_by is None:
         partition_by = read_manifest(table, prev_v).get("partition_by")
+    if partition_by:
+        _check_partition_types(df, partition_by)
     extra = {"partition_by": partition_by} if partition_by else {}
     if prev_v is not None:
         prev = read_manifest(table, prev_v)
@@ -576,6 +874,86 @@ def append_versioned(df: DataFrame, table: str) -> dict:
     )
 
 
+def _commit_changed_files(prev_m: dict | None, cur_m: dict) -> set[str]:
+    """The files a commit touched relative to its predecessor: added,
+    removed, or re-tombstoned (a deletion-vector change on a
+    carried-over file is a row-level change to that file)."""
+    prev_files = set(prev_m["files"]) if prev_m else set()
+    cur_files = set(cur_m["files"])
+    changed = prev_files ^ cur_files
+    prev_dv = (prev_m or {}).get("dv") or {}
+    cur_dv = cur_m.get("dv") or {}
+    for f in prev_files & cur_files:
+        if (prev_dv.get(f) or []) != (cur_dv.get(f) or []):
+            changed.add(f)
+    return changed
+
+
+def _commit_or_rebase(
+    table: str,
+    base: dict,
+    op: str,
+    replaced_files: list[str],
+    new_files: list[str],
+    schema_json: str | None,
+    extra: dict | None,
+    touched_parts: set,
+    pby: list[str],
+) -> dict:
+    """Publish a partition-scoped DML commit (``new_files`` replacing
+    ``replaced_files`` on top of the ``base`` manifest), REBASING over
+    concurrent winners instead of re-executing when they are provably
+    disjoint — Delta's conflict checker distinguishing a safe rebase
+    from a serialization failure:
+
+    - every intervening commit's changed files (added / removed /
+      DV-changed, :func:`_commit_changed_files`) must live in
+      partitions DISJOINT from this DML's ``touched_parts``, and it
+      must not alter table metadata (schema / constraints / layout);
+    - if so, the loser's already-written files are re-pointed onto the
+      winner's manifest (untouched partitions now come from the
+      winner, which may include its appends) and the commit retries —
+      the expensive DML computation is NOT re-run, because on disjoint
+      partitions both orders produce the same table (serializable);
+    - any overlap or metadata change raises
+      :class:`ConcurrentCommitError`, and :func:`commit_with_retry`
+      callers re-execute against the new snapshot (current, always-
+      correct behavior).
+
+    Deletion vectors on files the winner carried are inherited from
+    the winner via :func:`_commit_manifest`'s auto-carry (the rebase
+    must not clobber a concurrent DV change on an untouched
+    partition), so this path is only used by commits whose own DV map
+    equals the auto-carry (rewrite-mode DML)."""
+    prev = base
+    replaced = set(replaced_files)
+    while True:
+        files = [f for f in prev["files"] if f not in replaced] + new_files
+        try:
+            return _commit_manifest(
+                table, prev["version"] + 1, op, files, schema_json, extra
+            )
+        except ConcurrentCommitError:
+            latest_v = latest_version(table)
+            step = prev
+            for v in range(prev["version"] + 1, latest_v + 1):
+                m = read_manifest(table, v)
+                if (
+                    m.get("schema") != base.get("schema")
+                    or (m.get("constraints") or {})
+                    != (base.get("constraints") or {})
+                    or m.get("partition_by") != pby
+                ):
+                    raise  # metadata changed concurrently: re-execute
+                changed = _commit_changed_files(step, m)
+                if {
+                    _file_partition_values(f, pby) for f in changed
+                } & touched_parts:
+                    raise  # same-partition conflict: re-execute
+                step = m
+            prev = step  # all winners disjoint — rebase and retry
+
+
 def merge_versioned(
     spark: SparkSession,
     updates: DataFrame,
@@ -642,6 +1020,7 @@ def merge_versioned(
         )
     # Partition-scoped path: split the previous manifest's files into
     # touched (their partition tuple appears in updates) vs untouched.
+    _check_partition_types(updates, pby)
     touched = {
         tuple(_partition_dir_value(r[c]) for c in pby)
         for r in updates.select(*pby).distinct().collect()
@@ -657,13 +1036,20 @@ def merge_versioned(
     )
     merged = merge_upsert_df(target, updates, keys)
     new_files = _write_snapshot_files(merged, table, pby)
-    return _commit_manifest(
+    # Publish with conflict REBASE: a concurrent commit on disjoint
+    # partitions re-points this merge's files onto the winner's
+    # manifest instead of re-running the merge (Delta's conflict
+    # checker); overlapping commits raise for re-execution.
+    return _commit_or_rebase(
         table,
-        prev_v + 1,
+        prev,
         "merge",
-        untouched_files + new_files,
+        touched_files,
+        new_files,
         merged.schema.json(),
         {**_carried_props(prev), "partition_by": pby},
+        touched,
+        pby,
     )
 
 
@@ -695,12 +1081,7 @@ def _touched_rel_files(
         .distinct()
         .collect()
     ]
-    root = os.path.abspath(table)
-    out = []
-    for u in uris:
-        p = u[7:] if u.startswith("file://") else u
-        out.append(os.path.relpath(os.path.abspath(p), root))
-    return sorted(out)
+    return sorted(_rel_from_uri(table, u) for u in uris)
 
 
 def delete_versioned(
@@ -710,6 +1091,7 @@ def delete_versioned(
     mode: str = "rewrite",
     dv_rewrite_threshold: float = 0.10,
     dv_max_rows: int = 1_000_000,
+    dv_sidecar: bool = True,
 ) -> dict | None:
     """Delta ``DELETE FROM table WHERE predicate`` over the manifest
     log, file-pruned exactly like Delta's: one scan finds the files
@@ -730,11 +1112,18 @@ def delete_versioned(
       ``dv_rewrite_threshold`` is rewritten instead (a mostly-dead
       file should be compacted, not tombstoned — reads pay the DV
       anti-join forever, a rewrite pays once);
-    - if the candidate DV rows exceed ``dv_max_rows`` (the manifest
-      is JSON — positions are stored inline, not as roaring bitmaps),
+    - vectors over :data:`DV_INLINE_MAX_ROWS` positions are written
+      as roaring-bitmap SIDECAR files under ``<table>/_dv/``
+      (referenced from the manifest by path + cardinality + crc32 —
+      Delta's dual inline/sidecar encoding), so the JSON log stays
+      O(1) per file however many rows die and a scattered delete of
+      millions of rows remains zero-rewrite;
+    - with ``dv_sidecar=False`` every vector must stay inline, so the
+      ``dv_max_rows`` cap applies: counting BOTH this commit's new
+      tombstones and the positions carried from previous versions,
       the largest contributors are demoted to rewrite until the cap
-      holds, so a huge delete degrades to the rewrite path instead of
-      bloating the log.
+      holds — a huge delete then degrades to the rewrite path instead
+      of bloating the log.
 
     OPTIMIZE rewrites drop DV entries naturally (rewritten files are
     fresh); appends/merges carry them for re-referenced files
@@ -772,8 +1161,7 @@ def delete_versioned(
         # Matched-row count per touched file (one aggregate, result
         # bounded by file count) sizes the per-file DV-vs-rewrite call.
         counts = {
-            os.path.relpath(r.f[5:] if r.f.startswith("file:") else r.f,
-                            os.path.abspath(table)): r.n
+            _rel_from_uri(table, r.f): r.n
             for r in _scan_files(
                 spark, table, touched, schema, pby, prev_dv,
                 with_metadata=True,
@@ -786,15 +1174,23 @@ def delete_versioned(
         dv_files, rewrite_files = [], []
         for f in touched:
             total = pq.ParquetFile(os.path.join(table, f)).metadata.num_rows
-            live = total - len(prev_dv.get(f) or [])
+            live = total - _dv_entry_count(prev_dv.get(f))
             n = counts.get(f, 0)
             (rewrite_files if live and n / live > dv_rewrite_threshold
              else dv_files).append(f)
-        # Cap the inline-JSON DV payload: demote biggest contributors.
-        while dv_files and sum(counts.get(f, 0) for f in dv_files) > dv_max_rows:
-            worst = max(dv_files, key=lambda f: counts.get(f, 0))
-            dv_files.remove(worst)
-            rewrite_files.append(worst)
+        if not dv_sidecar:
+            # Inline-only storage: cap the manifest's JSON DV payload.
+            # A file's inline entry holds its new tombstones PLUS the
+            # positions carried from previous versions (they merge
+            # into one list), so both count toward the cap — else
+            # repeated small deletes would accumulate payload past it.
+            def _payload(f):
+                return counts.get(f, 0) + _dv_entry_count(prev_dv.get(f))
+
+            while dv_files and sum(map(_payload, dv_files)) > dv_max_rows:
+                worst = max(dv_files, key=_payload)
+                dv_files.remove(worst)
+                rewrite_files.append(worst)
         if dv_files:
             hits = (
                 _scan_files(
@@ -808,12 +1204,8 @@ def delete_versioned(
                 )
                 .collect()
             )
-            root = os.path.abspath(table)
             for r in hits:
-                p = r.f[5:] if r.f.startswith("file:") else r.f
-                dv_out.setdefault(
-                    os.path.relpath(os.path.abspath(p), root), []
-                ).append(r.i)
+                dv_out.setdefault(_rel_from_uri(table, r.f), []).append(r.i)
     new_files: list[str] = []
     if rewrite_files:
         kept = _scan_files(
@@ -824,11 +1216,33 @@ def delete_versioned(
     # Re-referenced files keep their previous manifest order (pure-DV
     # deletes leave the file list byte-identical).
     final_files = [f for f in prev["files"] if f not in dropped] + new_files
-    # Explicit DV map: carried entries for every re-referenced file,
-    # plus the fresh tombstones unioned with any existing ones.
-    dv_final = {f: list(prev_dv[f]) for f in final_files if prev_dv.get(f)}
+    # Explicit DV map: carried entries (inline or sidecar refs,
+    # verbatim) for every re-referenced file; files gaining fresh
+    # tombstones get them unioned with any existing positions and
+    # re-stored (inline or a new sidecar, by size).
+    dv_final = {
+        f: prev_dv[f]
+        for f in final_files
+        if _dv_entry_count(prev_dv.get(f))
+    }
     for f, idxs in dv_out.items():
-        dv_final[f] = sorted(set(dv_final.get(f, [])) | set(idxs))
+        merged = set(_dv_entry_positions(table, dv_final.get(f))) | set(idxs)
+        dv_final[f] = _dv_store_entry(table, merged, sidecar=dv_sidecar)
+    if mode == "rewrite" and pby:
+        # Partitioned rewrite-mode DELETE: publish with conflict
+        # rebase (its DV map is exactly the auto-carry, the
+        # _commit_or_rebase precondition — no fresh tombstones).
+        return _commit_or_rebase(
+            table,
+            prev,
+            "delete",
+            rewrite_files,
+            new_files,
+            prev.get("schema"),
+            _carried_props(prev) or None,
+            {_file_partition_values(f, pby) for f in rewrite_files},
+            pby,
+        )
     return _commit_manifest(
         table,
         prev_v + 1,
@@ -848,6 +1262,7 @@ def update_versioned(
     mode: str = "rewrite",
     dv_rewrite_threshold: float = 0.10,
     dv_max_rows: int = 1_000_000,
+    dv_sidecar: bool = True,
 ) -> dict | None:
     """Delta ``UPDATE table SET col = expr, ... WHERE predicate`` over
     the manifest log — the same file-pruned rewrite as
@@ -868,10 +1283,14 @@ def update_versioned(
     updated rows are APPENDED as fresh files — write cost
     O(matched rows), not O(touched files); every previous file is
     re-referenced unchanged. All-or-nothing economics: if any touched
-    file's live-row matched fraction exceeds ``dv_rewrite_threshold``
-    or the total matched rows exceed ``dv_max_rows``, the whole UPDATE
-    falls back to the rewrite path (same result, different physical
-    plan — pinned equivalent in tests/test_versioned.py)."""
+    file's live-row matched fraction exceeds ``dv_rewrite_threshold``,
+    the whole UPDATE falls back to the rewrite path (same result,
+    different physical plan — pinned equivalent in
+    tests/test_versioned.py). Large vectors are stored as
+    roaring-bitmap sidecar files (see :func:`delete_versioned`);
+    with ``dv_sidecar=False`` everything must stay inline, so
+    exceeding ``dv_max_rows`` total matched + carried rows also
+    triggers the rewrite fallback."""
     from pyspark.sql import functions as F
 
     if mode not in ("rewrite", "dv"):
@@ -904,11 +1323,8 @@ def update_versioned(
     if mode == "dv":
         import pyarrow.parquet as pq
 
-        root = os.path.abspath(table)
-
         def _rel(uri):
-            p = uri[5:] if uri.startswith("file:") else uri
-            return os.path.relpath(os.path.abspath(p), root)
+            return _rel_from_uri(table, uri)
 
         tagged = _scan_files(
             spark, table, touched, schema, pby, prev_dv, with_metadata=True
@@ -920,10 +1336,16 @@ def update_versioned(
             .agg(F.count("*").alias("n"))
             .collect()
         }
-        ok = sum(counts.values()) <= dv_max_rows
+        ok = dv_sidecar or (
+            sum(
+                n + _dv_entry_count(prev_dv.get(f))
+                for f, n in counts.items()
+            )
+            <= dv_max_rows
+        )
         for f, n in counts.items() if ok else ():
             total = pq.ParquetFile(os.path.join(table, f)).metadata.num_rows
-            live = total - len(prev_dv.get(f) or [])
+            live = total - _dv_entry_count(prev_dv.get(f))
             if live and n / live > dv_rewrite_threshold:
                 ok = False
                 break
@@ -937,11 +1359,20 @@ def update_versioned(
             _validate_constraints(updated, prev.get("constraints") or {})
             new_files = _write_snapshot_files(updated, table, pby)
             dv_final = {
-                f: list(prev_dv[f]) for f in prev["files"] if prev_dv.get(f)
+                f: prev_dv[f]
+                for f in prev["files"]
+                if _dv_entry_count(prev_dv.get(f))
             }
+            new_tombs: dict[str, set[int]] = {}
             for r in hits:
-                f = _rel(r.f)
-                dv_final[f] = sorted(set(dv_final.get(f, [])) | {r.i})
+                new_tombs.setdefault(_rel(r.f), set()).add(r.i)
+            for f, idxs in new_tombs.items():
+                merged = set(
+                    _dv_entry_positions(table, dv_final.get(f))
+                ) | idxs
+                dv_final[f] = _dv_store_entry(
+                    table, merged, sidecar=dv_sidecar
+                )
             return _commit_manifest(
                 table,
                 prev_v + 1,
@@ -996,19 +1427,66 @@ def restore_versioned(table: str, version: int) -> dict:
     )
 
 
+def version_at_timestamp(table: str, ts) -> int:
+    """``TIMESTAMP AS OF`` resolution — the latest committed version
+    whose manifest ``ts`` is at or before ``ts`` (Delta's
+    timestamp-to-version rule: each version covers the half-open time
+    interval from its commit until the next). ``ts`` is an epoch float
+    or a (naive-UTC or tz-aware) datetime. A timestamp BEFORE the
+    first commit raises ``ValueError``, exactly Delta's posture (there
+    is no table state to name there — contrast with a timestamp after
+    the last commit, which simply resolves to latest).
+
+    Cost: the checkpointed history walk (:func:`_history_entries`) —
+    O(CHECKPOINT_EVERY) manifest opens, not O(commit count); commit
+    timestamps ride in checkpoint entries since they were added, with
+    a per-version manifest fallback for checkpoints predating the
+    field."""
+    import datetime
+
+    if isinstance(ts, datetime.datetime):
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=datetime.timezone.utc)
+        ts = ts.timestamp()
+    best = None
+    for e in _history_entries(table):
+        e_ts = e.get("ts")
+        if e_ts is None:  # pre-field checkpoint entry: one manifest read
+            e_ts = read_manifest(table, e["version"]).get("ts")
+        if e_ts is not None and e_ts <= ts:
+            if best is None or e["version"] > best:
+                best = e["version"]
+    if best is None:
+        raise ValueError(
+            f"timestamp {ts} predates the first commit of {table} — "
+            "no version existed then (Delta raises here too)"
+        )
+    return best
+
+
 def read_version(
-    spark: SparkSession, table: str, version: int | None = None
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    timestamp=None,
 ) -> DataFrame:
     """Time travel: scan exactly the files manifest ``version`` names
     (default: latest). Equivalent to Delta's
     ``.option("versionAsOf", n)``; snapshot-isolated by construction
-    because manifests are immutable once committed.
+    because manifests are immutable once committed. ``timestamp``
+    (epoch float or datetime, mutually exclusive with ``version``) is
+    Delta's ``TIMESTAMP AS OF``: the version resolved by
+    :func:`version_at_timestamp`.
 
     The manifest's schema (when recorded) is APPLIED to the scan, like
     Delta reading files through the table schema: after an additive
     schema-evolution append, pre-evolution files yield NULL for the
     new columns instead of the read schema depending on which file the
     reader sampled first."""
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp, not both")
+        version = version_at_timestamp(table, timestamp)
     v = latest_version(table) if version is None else version
     if v is None:
         raise FileNotFoundError(f"{table} has no committed versions")
@@ -1596,15 +2074,26 @@ def version_changes(
     return ins.unionByName(dels).unionByName(pre).unionByName(post)
 
 
-def version_history(spark: SparkSession, table: str) -> DataFrame:
+def version_history(
+    spark: SparkSession, table: str, with_ts: bool = False
+) -> DataFrame:
     """DESCRIBE HISTORY twin: one row per committed version (version,
-    op, n_files). Reads checkpoint + log tail
-    (:func:`_history_entries`): O(CHECKPOINT_EVERY) manifest opens,
-    not O(commit count) — the driver-side list stays metadata-bounded
-    even on a 500k-commit streaming table."""
-    rows = [
-        (e["version"], e["op"], e["n_files"]) for e in _history_entries(table)
-    ]
+    op, n_files — plus the commit timestamp as ``ts`` when
+    ``with_ts``, the column ``TIMESTAMP AS OF`` resolves against).
+    Reads checkpoint + log tail (:func:`_history_entries`):
+    O(CHECKPOINT_EVERY) manifest opens, not O(commit count) — the
+    driver-side list stays metadata-bounded even on a 500k-commit
+    streaming table."""
+    entries = _history_entries(table)
+    if with_ts:
+        rows = [
+            (e["version"], e["op"], e["n_files"], e.get("ts"))
+            for e in entries
+        ]
+        return spark.createDataFrame(
+            rows, "version int, op string, n_files int, ts double"
+        )
+    rows = [(e["version"], e["op"], e["n_files"]) for e in entries]
     return spark.createDataFrame(
         rows, "version int, op string, n_files int"
     )
@@ -1638,17 +2127,30 @@ def vacuum_versioned(
     writer can be in flight. Default 1h — comfortably above any
     single-commit duration.
     """
+    def _sidecar_rels(m: dict) -> set[str]:
+        return {
+            e["sidecar"]
+            for e in (m.get("dv") or {}).values()
+            if isinstance(e, dict)
+        }
+
     versions = list_versions(table)
     retired = set()
     if keep_versions is not None and keep_versions < len(versions):
         drop, keep = versions[:-keep_versions], versions[-keep_versions:]
         for v in drop:
-            retired.update(read_manifest(table, v)["files"])
+            m = read_manifest(table, v)
+            retired.update(m["files"])
+            retired.update(_sidecar_rels(m))
             os.remove(_manifest_path(table, v))
         versions = keep
     live = set()
     for v in versions:
-        live.update(read_manifest(table, v)["files"])
+        m = read_manifest(table, v)
+        live.update(m["files"])
+        # DV sidecar files referenced by a retained manifest are part
+        # of that version's readable state — as live as its data files.
+        live.update(_sidecar_rels(m))
     retired -= live
     deleted = 0
     now = time.time()
@@ -1688,4 +2190,24 @@ def vacuum_versioned(
             import shutil
 
             shutil.rmtree(cdir)
+    # DV sidecars: same liveness rules as data files — referenced by a
+    # retained manifest → keep; referenced only by dropped manifests →
+    # delete; never referenced (a racing writer's step-1 sidecar whose
+    # manifest hasn't landed) → delete only past the retention window.
+    dv_root = os.path.join(table, _DV_DIR)
+    if os.path.isdir(dv_root):
+        for nm in sorted(os.listdir(dv_root)):
+            path = os.path.join(dv_root, nm)
+            rel = os.path.relpath(path, table)
+            if rel in live:
+                continue
+            if rel not in retired:
+                try:
+                    age = now - os.path.getmtime(path)
+                except FileNotFoundError:
+                    continue
+                if age < retention_seconds:
+                    continue
+            os.remove(path)
+            deleted += 1
     return deleted

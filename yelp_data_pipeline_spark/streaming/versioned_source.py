@@ -47,7 +47,23 @@ Usage::
 
 Options: ``path`` (table root, required), ``startingVersion``
 (default 0 = the whole table history), ``skipChangeCommits``
-(default false).
+(default false), ``maxFilesPerTrigger`` / ``maxBytesPerTrigger``
+(admission control, Delta's options: cap how many added files /
+bytes one micro-batch may cover — offsets still advance at version
+granularity, and the first pending version is always admitted so the
+stream makes progress; unset = unbounded, the previous behavior).
+A stream starting against a deep commit backlog drains it in capped
+micro-batches instead of planning one batch containing every file in
+history.
+
+availableNow caveat: Spark's Python Data Source wrapper fixes the
+availableNow drain target at the FIRST ``latestOffset`` it sees, so
+under that trigger a capped stream processes one capped batch and
+stops (rather than iterating capped batches up to a pinned end the
+way Delta's source does — the wrapper offers the reader no hook to
+distinguish the two). Use a processingTime trigger to drain a
+backlog under admission control; leave the caps unset for the
+availableNow round-trip pattern.
 """
 
 from __future__ import annotations
@@ -88,15 +104,74 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         self._skip_changes = str(
             options.get("skipchangecommits", "false")
         ).lower() in ("true", "1")
+        mf = options.get("maxfilespertrigger")
+        mb = options.get("maxbytespertrigger")
+        self._max_files = int(mf) if mf is not None else None
+        self._max_bytes = int(mb) if mb is not None else None
+        # Admission-control cursor: the highest offset this reader has
+        # handed to Spark. Synced forward in partitions()/commit() so
+        # a restart against an existing checkpoint catches up after
+        # its first planned batch.
+        self._current = self._starting - 1
 
     def initialOffset(self) -> dict:
         return {"version": self._starting - 1}
 
     def latestOffset(self) -> dict:
         v = vt.latest_version(self._table)
-        # Before the first commit: stay at the initial offset (empty
-        # batch), don't go backwards.
-        return {"version": self._starting - 1 if v is None else v}
+        if v is None:
+            # Before the first commit: stay at the initial offset
+            # (empty batch), don't go backwards.
+            return {"version": self._starting - 1}
+        cur = max(self._current, self._starting - 1)
+        if v <= cur or (self._max_files is None and self._max_bytes is None):
+            end = v
+        else:
+            end = self._admit(cur, v)
+        self._current = max(self._current, end)
+        return {"version": end}
+
+    def _admit(self, cur: int, latest: int) -> int:
+        """Delta's ``maxFilesPerTrigger`` / ``maxBytesPerTrigger``
+        admission control: advance the offset version-by-version
+        (batch boundaries stay at version granularity — a manifest's
+        files are never split across micro-batches) while the
+        accumulated ADDED file count / bytes stay within the caps.
+        The first pending version is always admitted even when it
+        alone exceeds a cap (soft caps, Delta semantics — the stream
+        must make progress). Planning cost is metadata-only: manifest
+        JSON reads plus driver-side stat calls for byte caps, and the
+        walk stops at the cap, so a 10k-commit backlog never plans one
+        unbounded first batch."""
+        files = 0
+        nbytes = 0
+        end = cur
+        prev: set[str] | None = None
+        if cur >= self._starting:
+            prev = set(vt.read_manifest(self._table, cur)["files"])
+        for v in range(cur + 1, latest + 1):
+            m = vt.read_manifest(self._table, v)
+            cur_set = set(m["files"])
+            added = cur_set if prev is None else cur_set - prev
+            n = len(added)
+            b = (
+                sum(
+                    os.path.getsize(os.path.join(self._table, f))
+                    for f in added
+                )
+                if self._max_bytes is not None
+                else 0
+            )
+            if end > cur:  # first pending version is always admitted
+                if self._max_files is not None and files + n > self._max_files:
+                    break
+                if self._max_bytes is not None and nbytes + b > self._max_bytes:
+                    break
+            files += n
+            nbytes += b
+            end = v
+            prev = cur_set
+        return end
 
     def _added_files(self, v_from: int, v_to: int) -> list[tuple[str, list[int]]]:
         """(file, deletion-vector indices) pairs new in ``(v_from,
@@ -140,12 +215,19 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                         "row-level change feed"
                     )
             else:
-                added.extend((f, cur_dv.get(f) or []) for f in sorted(cur))
+                added.extend(
+                    (f, vt._dv_entry_positions(self._table, cur_dv.get(f)))
+                    for f in sorted(cur)
+                )
             prev, prev_dv = cur, cur_dv
         return added
 
     def partitions(self, start: dict, end: dict):
         v_from, v_to = start["version"], end["version"]
+        # Keep the admission cursor ahead of everything Spark has
+        # planned (covers restarts from a checkpointed offset this
+        # reader instance never returned).
+        self._current = max(self._current, v_to)
         if v_to <= v_from:
             return []
         sj = self._schema.json()
@@ -194,8 +276,9 @@ class VersionedTableStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         # Manifests are immutable and offsets live in Spark's
-        # checkpoint — nothing to reclaim on the source side.
-        pass
+        # checkpoint — nothing to reclaim on the source side. Just
+        # keep the admission cursor in sync with completed batches.
+        self._current = max(self._current, end["version"])
 
 
 class VersionedTableDataSource(DataSource):
