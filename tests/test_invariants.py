@@ -223,25 +223,25 @@ def test_export_window_contract():
     assert len(set(_EXPORT_PRIORITY)) == 50
     missing = [n for n in _EXPORT_PRIORITY if n not in qs]
     assert not missing, f"window names not in registry: {missing}"
-    # Round-16 rotation: the eight new rows (partition-scoped MERGE,
-    # row-level change feed, data skipping, catalog serving,
-    # file-pruned DELETE / UPDATE, versioned streaming source,
-    # deletion-vector DELETE) lead, then 42 of the 47 round-9-stale
-    # names (split_leakage_audit, prefix_dim_fidelity,
-    # quantile_sketch_error, supplier_bfs_hops,
-    # event_type_wasserstein_scan wait for r17; update this pin when
-    # the window rotates).
-    assert _EXPORT_PRIORITY[0] == "orders_partitioned_merge"
-    assert _EXPORT_PRIORITY[1] == "orders_version_changes"
-    assert _EXPORT_PRIORITY[2] == "orders_pruned_date_scan"
-    assert _EXPORT_PRIORITY[3] == "sql_catalog_orders_rollup"
-    assert _EXPORT_PRIORITY[4] == "orders_file_pruned_delete"
-    assert _EXPORT_PRIORITY[5] == "orders_file_pruned_update"
-    assert _EXPORT_PRIORITY[6] == "orders_versioned_stream_roundtrip"
-    assert _EXPORT_PRIORITY[7] == "orders_dv_delete"
-    assert "price_quantity_spearman" in _EXPORT_PRIORITY
-    assert "customer_golden_records" in _EXPORT_PRIORITY
-    assert "event_drift_report" in _EXPORT_PRIORITY
+    # Round-17 rotation: the three new rows (TIMESTAMP AS OF,
+    # deletion-vector sidecar files, column-mapping rename) lead,
+    # then the five round-9-stale names r16 owed, then 42 of the 49
+    # round-10-stale names (priority_status_association,
+    # customer_spend_gini, distinctive_terms_by_source,
+    # event_value_ranksum_drift, daily_event_acf,
+    # dedup_cluster_rand_index, quality_rate_confidence wait for r18;
+    # update this pin when the window rotates).
+    assert _EXPORT_PRIORITY[0] == "orders_timestamp_as_of"
+    assert _EXPORT_PRIORITY[1] == "orders_dv_sidecar_delete"
+    assert _EXPORT_PRIORITY[2] == "orders_column_rename_read"
+    assert _EXPORT_PRIORITY[3] == "split_leakage_audit"
+    assert _EXPORT_PRIORITY[4] == "prefix_dim_fidelity"
+    assert _EXPORT_PRIORITY[5] == "quantile_sketch_error"
+    assert _EXPORT_PRIORITY[6] == "supplier_bfs_hops"
+    assert _EXPORT_PRIORITY[7] == "event_type_wasserstein_scan"
+    assert "total_counts" in _EXPORT_PRIORITY
+    assert "benford_price_audit" in _EXPORT_PRIORITY
+    assert "retrieval_health_report" in _EXPORT_PRIORITY
     assert list(qs)[:50] == _EXPORT_PRIORITY
     # Everything the driver can sample is oracle-backed.
     osql = oracle_sql()

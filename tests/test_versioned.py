@@ -1504,3 +1504,128 @@ def test_concurrent_overlapping_dml_reexecutes(spark, tmp_path, monkeypatch):
     assert m is not None
     got = {r.k for r in vt.read_version(spark, t).collect()}
     assert got == set(range(20)) - {0, 2, 4, 6}  # both deletes applied
+
+
+def test_rename_column_is_metadata_only(spark, tmp_path):
+    """Column-mapping rename (Delta name-mode): a metadata-only commit
+    — zero files written — after which files written BEFORE the rename
+    read under the new logical name; appends after the rename write
+    PHYSICAL names so the whole table stays uniform; time travel to
+    pre-rename versions shows the old name."""
+    t = str(tmp_path / "tbl")
+    vt.create_versioned(_df(spark, [(1, "a"), (2, "b")]), t)   # v0
+    m1 = vt.rename_column(t, "val", "label")                    # v1
+    assert m1["files"] == vt.read_manifest(t, 0)["files"]  # metadata only
+    assert [e for e in m1["col_map"] if e["logical"] == "label"][0][
+        "physical"
+    ] == "val"
+    cur = vt.read_version(spark, t)
+    assert cur.columns == ["k", "label"]
+    assert {(r.k, r.label) for r in cur.collect()} == {(1, "a"), (2, "b")}
+    # Time travel: v0 still shows the OLD name.
+    assert vt.read_version(spark, t, 0).columns == ["k", "val"]
+    # Append AFTER the rename: logical batch, physical files.
+    vt.append_versioned(
+        spark.createDataFrame([(3, "c")], "k int, label string"), t
+    )                                                           # v2
+    got = {(r.k, r.label) for r in vt.read_version(spark, t).collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+    # The post-rename file physically stores 'val', not 'label'.
+    import pyarrow.parquet as pq
+
+    m2 = vt.read_manifest(t, 2)
+    new_file = [f for f in m2["files"] if f not in set(m1["files"])][0]
+    assert "val" in pq.read_schema(os.path.join(t, new_file)).names
+    # DML through the mapping: predicate and assignments use the
+    # LOGICAL name.
+    vt.update_versioned(spark, t, "label = 'a'", {"label": "'A'"})
+    got = {(r.k, r.label) for r in vt.read_version(spark, t).collect()}
+    assert got == {(1, "A"), (2, "b"), (3, "c")}
+    vt.delete_versioned(spark, t, "label = 'b'")
+    assert {(r.k, r.label) for r in vt.read_version(spark, t).collect()} == {
+        (1, "A"), (3, "c")
+    }
+    # Stats pruning maps logical probes to physical stats keys: every
+    # file WITH recorded stats prunes under an impossible probe (only
+    # stat-less zero-row part files survive, soundly kept).
+    m = vt.read_manifest(t, vt.latest_version(t))
+    kept = vt.prune_files_by_stats(m, {"label": ("zzz", None)})
+    assert all(not (m["stats"].get(f) or {}) for f in kept)
+    assert vt.read_version_pruned(spark, t, {"label": ("zzz", None)}).count() == 0
+
+
+def test_rename_column_refusals(spark, tmp_path):
+    """Renames of partition columns (name baked into directory paths)
+    and constraint-referenced columns are refused; name collisions
+    too."""
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, 0, "a")], "k int, p int, val string")
+    vt.create_versioned(df, t, partition_by=["p"])
+    with pytest.raises(ValueError, match="partition column"):
+        vt.rename_column(t, "p", "bucket")
+    with pytest.raises(ValueError, match="already exists"):
+        vt.rename_column(t, "val", "k")
+    vt.add_constraint(spark, t, "k_pos", "k > 0")
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        vt.rename_column(t, "k", "key")
+
+
+def test_drop_column_and_no_resurrection(spark, tmp_path):
+    """drop_column is metadata-only; re-adding a same-named column via
+    schema evolution gets a FRESH physical name, so the dropped
+    column's old bytes never resurface under the new column."""
+    t = str(tmp_path / "tbl")
+    vt.create_versioned(_df(spark, [(1, "secret"), (2, "old")]), t)  # v0
+    m1 = vt.drop_column(t, "val")                                    # v1
+    assert m1["files"] == vt.read_manifest(t, 0)["files"]
+    assert vt.read_version(spark, t).columns == ["k"]
+    # Time travel: the column still exists at v0.
+    assert vt.read_version(spark, t, 0).columns == ["k", "val"]
+    # Re-add 'val' via additive evolution: old rows must be NULL, not
+    # the dropped bytes.
+    vt.append_versioned(_df(spark, [(3, "new")]), t)                 # v2
+    rows = {(r.k, r.val) for r in vt.read_version(spark, t).collect()}
+    assert rows == {(1, None), (2, None), (3, "new")}
+    cm = {e["logical"]: e["physical"] for e in vt.read_manifest(t, 2)["col_map"]}
+    assert cm["val"].startswith("c") and cm["val"] != "val"
+
+
+def test_column_mapping_interactions(spark, tmp_path):
+    """Mapping composes with the rest of the table: restore brings
+    back the OLD logical names with its version; merge works through
+    the mapping; the streaming source refuses renamed tables; optimize
+    rewrites keep physical names consistent."""
+    t = str(tmp_path / "tbl")
+    vt.create_versioned(_df(spark, [(1, "a"), (2, "b")]), t)   # v0
+    vt.rename_column(t, "val", "label")                         # v1
+    vt.merge_versioned(
+        spark,
+        spark.createDataFrame([(2, "B"), (9, "z")], "k int, label string"),
+        t,
+        ["k"],
+    )                                                           # v2
+    assert {(r.k, r.label) for r in vt.read_version(spark, t).collect()} == {
+        (1, "a"), (2, "B"), (9, "z")
+    }
+    vt.optimize_versioned(spark, t)                             # v3
+    assert {(r.k, r.label) for r in vt.read_version(spark, t).collect()} == {
+        (1, "a"), (2, "B"), (9, "z")
+    }
+    # RESTORE to v0: old logical names come back with the snapshot.
+    vt.restore_versioned(t, 0)                                  # v4
+    assert vt.read_version(spark, t).columns == ["k", "val"]
+    assert {(r.k, r.val) for r in vt.read_version(spark, t).collect()} == {
+        (1, "a"), (2, "b")
+    }
+    # Streaming refusal on renamed tables.
+    t2 = str(tmp_path / "tbl2")
+    vt.create_versioned(_df(spark, [(1, "a")]), t2)
+    vt.rename_column(t2, "val", "label")
+    from yelp_data_pipeline_spark.streaming.versioned_source import (
+        _refuse_column_mapping,
+    )
+
+    with pytest.raises(ValueError, match="column mapping"):
+        _refuse_column_mapping(
+            vt.read_manifest(t2, vt.latest_version(t2)), "latest"
+        )

@@ -217,6 +217,7 @@ def _scan_files(
     partition_by: list[str] | None,
     dv: dict | None = None,
     with_metadata: bool = False,
+    col_map: dict | None = None,
 ) -> DataFrame:
     """Scan an explicit manifest file list. Unpartitioned: one reader
     over all paths. Partitioned: partition VALUES live in the path, so
@@ -234,7 +235,12 @@ def _scan_files(
     ``__file__`` / ``__idx__``) because ``_metadata`` only resolves
     directly on a file-source relation, never through the partitioned
     path's union. ``with_metadata=True`` keeps them in the output —
-    the DML file-finding/tombstoning scans need the provenance."""
+    the DML file-finding/tombstoning scans need the provenance.
+
+    ``col_map`` (logical → physical, column-mapped tables only): the
+    files are scanned through the PHYSICAL schema and the result
+    renamed back to logical names, so files written before a column
+    rename read correctly under the new name."""
     from pyspark.sql import functions as F
 
     if not files:
@@ -254,6 +260,18 @@ def _scan_files(
         if f in present and _dv_entry_count(e)
     }
     need_meta = with_metadata or bool(dv)
+    scan_schema = schema
+    if col_map and schema is not None:
+        from pyspark.sql.types import StructField, StructType
+
+        scan_schema = StructType(
+            [
+                StructField(
+                    col_map.get(f.name, f.name), f.dataType, f.nullable
+                )
+                for f in schema.fields
+            ]
+        )
 
     def _tag(scan):
         if not need_meta:
@@ -265,7 +283,11 @@ def _scan_files(
         )
 
     if not partition_by:
-        reader = spark.read.schema(schema) if schema is not None else spark.read
+        reader = (
+            spark.read.schema(scan_schema)
+            if scan_schema is not None
+            else spark.read
+        )
         df = _tag(reader.parquet(*[os.path.join(table, f) for f in files]))
     else:
         from functools import reduce
@@ -277,12 +299,21 @@ def _scan_files(
         scans = []
         for base_rel, group in sorted(by_commit.items()):
             reader = spark.read.option("basePath", os.path.join(table, base_rel))
-            if schema is not None:
-                reader = reader.schema(schema)
+            if scan_schema is not None:
+                reader = reader.schema(scan_schema)
             scans.append(
                 _tag(reader.parquet(*[os.path.join(table, f) for f in group]))
             )
         df = reduce(lambda a, b: a.unionByName(b), scans)
+    if col_map and schema is not None:
+        # Physical → logical rename (metadata columns ride along).
+        df = df.select(
+            *[
+                F.col(col_map.get(f.name, f.name)).alias(f.name)
+                for f in schema.fields
+            ],
+            *(["__file__", "__idx__"] if need_meta else []),
+        )
     if dv:
         import pandas as pd
 
@@ -452,7 +483,12 @@ def _dv_decode(data: bytes) -> list[int]:
     return out.tolist()
 
 
-def _dv_store_entry(table: str, positions, sidecar: bool = True):
+def _dv_store_entry(
+    table: str,
+    positions,
+    sidecar: bool = True,
+    inline_max: int | None = None,
+):
     """Persist one file's deletion vector: inline position list when
     small (or when ``sidecar=False`` — the caller is then responsible
     for capping, see ``dv_max_rows``), else a roaring-bitmap sidecar
@@ -463,8 +499,10 @@ def _dv_store_entry(table: str, positions, sidecar: bool = True):
     vacuum-cleanable like any orphaned data file."""
     import zlib
 
+    if inline_max is None:
+        inline_max = DV_INLINE_MAX_ROWS
     positions = sorted({int(p) for p in positions})
-    if not sidecar or len(positions) <= DV_INLINE_MAX_ROWS:
+    if not sidecar or len(positions) <= inline_max:
         return positions
     payload = _dv_encode(positions)
     rel = os.path.join(_DV_DIR, f"dv-{uuid.uuid4().hex[:16]}.bin")
@@ -775,14 +813,81 @@ def _maybe_write_checkpoint(table: str, version: int) -> None:
 
 def _carried_props(prev: dict) -> dict:
     """Table properties every commit carries forward in its manifest:
-    the partition layout and the CHECK constraints (Delta's metaData /
-    table-properties persistence)."""
+    the partition layout, the CHECK constraints, and the column
+    mapping (Delta's metaData / table-properties persistence)."""
     extra = {}
     if prev.get("partition_by"):
         extra["partition_by"] = prev["partition_by"]
     if prev.get("constraints"):
         extra["constraints"] = prev["constraints"]
+    if prev.get("col_map"):
+        extra["col_map"] = prev["col_map"]
     return extra
+
+
+# --------------------------------------------------------------------------
+# Column mapping (Delta's name-mode column mapping): the manifest's
+# ``col_map`` is a list of {id, logical, physical} entries giving every
+# column a stable field ID and a PHYSICAL name (what parquet files
+# store) decoupled from its LOGICAL name (what readers see). Rename =
+# one metadata-only commit flipping the logical name; drop = one
+# metadata-only commit removing the entry (the physical bytes stay,
+# unreadable); old files remain readable under the new names because
+# every read maps physical → logical through the manifest. Tables
+# without a ``col_map`` behave exactly as before (logical == physical).
+# --------------------------------------------------------------------------
+
+
+def _col_mapping(m: dict) -> dict | None:
+    """logical → physical name map from a manifest, or None when the
+    table has no column mapping (the common case — zero overhead)."""
+    cm = m.get("col_map")
+    if not cm:
+        return None
+    return {e["logical"]: e["physical"] for e in cm}
+
+
+def _to_physical(df: DataFrame, mapping: dict | None) -> DataFrame:
+    """Rename a logical-schema batch to physical column names before
+    writing data files — all files of a column-mapped table uniformly
+    store physical names, whatever renames happened between their
+    commits."""
+    if not mapping:
+        return df
+    from pyspark.sql import functions as F
+
+    return df.select(
+        *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
+    )
+
+
+def _extend_col_map(prev: dict, schema_json: str | None):
+    """The col_map for a commit whose (merged) schema may introduce
+    NEW columns: existing entries keep their IDs; new columns get the
+    next IDs with a physical name of ``c{id}_{name}`` — NEVER the bare
+    logical name, so a column dropped and later re-added under the
+    same name cannot resurrect the dropped column's bytes from old
+    files (Delta's field-ID guarantee). Returns None when the table
+    has no column mapping."""
+    cm = prev.get("col_map")
+    if not cm or not schema_json:
+        return cm
+    from pyspark.sql.types import StructType
+
+    known = {e["logical"] for e in cm}
+    next_id = max(e["id"] for e in cm) + 1
+    out = list(cm)
+    for f in StructType.fromJson(json.loads(schema_json)).fields:
+        if f.name not in known:
+            out.append(
+                {
+                    "id": next_id,
+                    "logical": f.name,
+                    "physical": f"c{next_id}_{f.name}",
+                }
+            )
+            next_id += 1
+    return out
 
 
 def create_versioned(
@@ -863,14 +968,23 @@ def append_versioned(df: DataFrame, table: str) -> dict:
         return create_versioned(df, table)
     prev = read_manifest(table, prev_v)
     _validate_constraints(df, prev.get("constraints") or {})
-    new_files = _write_snapshot_files(df, table, prev.get("partition_by"))
+    schema_json = _merged_schema_json(prev.get("schema"), df)
+    cm = _extend_col_map(prev, schema_json)
+    new_files = _write_snapshot_files(
+        _to_physical(df, _col_mapping({"col_map": cm})),
+        table,
+        prev.get("partition_by"),
+    )
+    extra = _carried_props(prev)
+    if cm:
+        extra["col_map"] = cm
     return _commit_manifest(
         table,
         prev_v + 1,
         "append",
         prev["files"] + new_files,
-        _merged_schema_json(prev.get("schema"), df),
-        _carried_props(prev) or None,
+        schema_json,
+        extra or None,
     )
 
 
@@ -1009,14 +1123,20 @@ def merge_versioned(
     if not pby:
         target = read_version(spark, table, prev_v)
         merged = merge_upsert_df(target, updates, keys)
-        files = _write_snapshot_files(merged, table)
+        cm = _extend_col_map(prev, merged.schema.json())
+        files = _write_snapshot_files(
+            _to_physical(merged, _col_mapping({"col_map": cm})), table
+        )
+        extra = _carried_props(prev)
+        if cm:
+            extra["col_map"] = cm
         return _commit_manifest(
             table,
             prev_v + 1,
             "merge",
             files,
             merged.schema.json(),
-            _carried_props(prev) or None,
+            extra or None,
         )
     # Partition-scoped path: split the previous manifest's files into
     # touched (their partition tuple appears in updates) vs untouched.
@@ -1030,12 +1150,19 @@ def merge_versioned(
         (touched_files if _file_partition_values(f, pby) in touched
          else untouched_files).append(f)
     target = (
-        _scan_files(spark, table, touched_files, schema, pby, prev.get("dv"))
+        _scan_files(spark, table, touched_files, schema, pby, prev.get("dv"),
+                    col_map=_col_mapping(prev))
         if touched_files
         else spark.createDataFrame([], schema or updates.schema)
     )
     merged = merge_upsert_df(target, updates, keys)
-    new_files = _write_snapshot_files(merged, table, pby)
+    cm = _extend_col_map(prev, merged.schema.json())
+    new_files = _write_snapshot_files(
+        _to_physical(merged, _col_mapping({"col_map": cm})), table, pby
+    )
+    extra = {**_carried_props(prev), "partition_by": pby}
+    if cm:
+        extra["col_map"] = cm
     # Publish with conflict REBASE: a concurrent commit on disjoint
     # partitions re-points this merge's files onto the winner's
     # manifest instead of re-running the merge (Delta's conflict
@@ -1047,7 +1174,7 @@ def merge_versioned(
         touched_files,
         new_files,
         merged.schema.json(),
-        {**_carried_props(prev), "partition_by": pby},
+        extra,
         touched,
         pby,
     )
@@ -1072,7 +1199,8 @@ def _touched_rel_files(
 
         schema = StructType.fromJson(json.loads(m["schema"]))
     df = _scan_files(
-        spark, table, m["files"], schema, m.get("partition_by"), m.get("dv")
+        spark, table, m["files"], schema, m.get("partition_by"), m.get("dv"),
+        col_map=_col_mapping(m),
     )
     uris = [
         r.f
@@ -1092,6 +1220,7 @@ def delete_versioned(
     dv_rewrite_threshold: float = 0.10,
     dv_max_rows: int = 1_000_000,
     dv_sidecar: bool = True,
+    dv_inline_max: int | None = None,
 ) -> dict | None:
     """Delta ``DELETE FROM table WHERE predicate`` over the manifest
     log, file-pruned exactly like Delta's: one scan finds the files
@@ -1112,7 +1241,8 @@ def delete_versioned(
       ``dv_rewrite_threshold`` is rewritten instead (a mostly-dead
       file should be compacted, not tombstoned — reads pay the DV
       anti-join forever, a rewrite pays once);
-    - vectors over :data:`DV_INLINE_MAX_ROWS` positions are written
+    - vectors over :data:`DV_INLINE_MAX_ROWS` positions
+      (``dv_inline_max`` overrides the threshold) are written
       as roaring-bitmap SIDECAR files under ``<table>/_dv/``
       (referenced from the manifest by path + cardinality + crc32 —
       Delta's dual inline/sidecar encoding), so the JSON log stays
@@ -1164,7 +1294,7 @@ def delete_versioned(
             _rel_from_uri(table, r.f): r.n
             for r in _scan_files(
                 spark, table, touched, schema, pby, prev_dv,
-                with_metadata=True,
+                with_metadata=True, col_map=_col_mapping(prev),
             )
             .filter(F.expr(predicate_sql))
             .groupBy(F.col("__file__").alias("f"))
@@ -1195,7 +1325,7 @@ def delete_versioned(
             hits = (
                 _scan_files(
                     spark, table, dv_files, schema, pby, prev_dv,
-                    with_metadata=True,
+                    with_metadata=True, col_map=_col_mapping(prev),
                 )
                 .filter(F.expr(predicate_sql))
                 .select(
@@ -1209,9 +1339,12 @@ def delete_versioned(
     new_files: list[str] = []
     if rewrite_files:
         kept = _scan_files(
-            spark, table, rewrite_files, schema, pby, prev_dv
+            spark, table, rewrite_files, schema, pby, prev_dv,
+            col_map=_col_mapping(prev),
         ).filter(~F.coalesce(F.expr(predicate_sql), F.lit(False)))
-        new_files = _write_snapshot_files(kept, table, pby)
+        new_files = _write_snapshot_files(
+            _to_physical(kept, _col_mapping(prev)), table, pby
+        )
     dropped = set(rewrite_files)
     # Re-referenced files keep their previous manifest order (pure-DV
     # deletes leave the file list byte-identical).
@@ -1227,7 +1360,9 @@ def delete_versioned(
     }
     for f, idxs in dv_out.items():
         merged = set(_dv_entry_positions(table, dv_final.get(f))) | set(idxs)
-        dv_final[f] = _dv_store_entry(table, merged, sidecar=dv_sidecar)
+        dv_final[f] = _dv_store_entry(
+            table, merged, sidecar=dv_sidecar, inline_max=dv_inline_max
+        )
     if mode == "rewrite" and pby:
         # Partitioned rewrite-mode DELETE: publish with conflict
         # rebase (its DV map is exactly the auto-carry, the
@@ -1263,6 +1398,7 @@ def update_versioned(
     dv_rewrite_threshold: float = 0.10,
     dv_max_rows: int = 1_000_000,
     dv_sidecar: bool = True,
+    dv_inline_max: int | None = None,
 ) -> dict | None:
     """Delta ``UPDATE table SET col = expr, ... WHERE predicate`` over
     the manifest log — the same file-pruned rewrite as
@@ -1311,7 +1447,8 @@ def update_versioned(
         schema = StructType.fromJson(json.loads(prev["schema"]))
     pby = prev.get("partition_by")
     prev_dv = prev.get("dv") or {}
-    base = _scan_files(spark, table, touched, schema, pby, prev_dv)
+    base = _scan_files(spark, table, touched, schema, pby, prev_dv,
+                       col_map=_col_mapping(prev))
     bad = set(assignments) - set(base.columns)
     if bad:
         raise ValueError(f"assignments target unknown columns: {sorted(bad)}")
@@ -1327,7 +1464,8 @@ def update_versioned(
             return _rel_from_uri(table, uri)
 
         tagged = _scan_files(
-            spark, table, touched, schema, pby, prev_dv, with_metadata=True
+            spark, table, touched, schema, pby, prev_dv, with_metadata=True,
+            col_map=_col_mapping(prev),
         )
         counts = {
             _rel(r.f): r.n
@@ -1357,7 +1495,9 @@ def update_versioned(
             ).collect()
             updated = matched.withColumns(set_cols).drop("__file__", "__idx__")
             _validate_constraints(updated, prev.get("constraints") or {})
-            new_files = _write_snapshot_files(updated, table, pby)
+            new_files = _write_snapshot_files(
+                _to_physical(updated, _col_mapping(prev)), table, pby
+            )
             dv_final = {
                 f: prev_dv[f]
                 for f in prev["files"]
@@ -1371,7 +1511,8 @@ def update_versioned(
                     _dv_entry_positions(table, dv_final.get(f))
                 ) | idxs
                 dv_final[f] = _dv_store_entry(
-                    table, merged, sidecar=dv_sidecar
+                    table, merged, sidecar=dv_sidecar,
+                    inline_max=dv_inline_max,
                 )
             return _commit_manifest(
                 table,
@@ -1387,7 +1528,9 @@ def update_versioned(
         {c: F.when(match, e).otherwise(F.col(c)) for c, e in set_cols.items()}
     )
     _validate_constraints(rewritten, prev.get("constraints") or {})
-    new_files = _write_snapshot_files(rewritten, table, pby)
+    new_files = _write_snapshot_files(
+        _to_physical(rewritten, _col_mapping(prev)), table, pby
+    )
     return _commit_manifest(
         table,
         prev_v + 1,
@@ -1413,6 +1556,10 @@ def restore_versioned(table: str, version: int) -> dict:
     extra = {}
     if old.get("partition_by"):
         extra["partition_by"] = old["partition_by"]
+    if old.get("col_map"):
+        # Column mapping restores WITH its version: the old snapshot's
+        # logical names are part of the state RESTORE restores.
+        extra["col_map"] = old["col_map"]
     if latest.get("constraints"):
         extra["constraints"] = latest["constraints"]
     next_v = latest["version"] + 1
@@ -1502,7 +1649,8 @@ def read_version(
         # the engine's empty-relation posture, not an error.
         return spark.createDataFrame([], schema)
     return _scan_files(
-        spark, table, m["files"], schema, m.get("partition_by"), m.get("dv")
+        spark, table, m["files"], schema, m.get("partition_by"), m.get("dv"),
+        col_map=_col_mapping(m),
     )
 
 
@@ -1571,6 +1719,138 @@ def add_constraint(
     )
 
 
+def _constraint_mentions(constraints: dict, col: str) -> str | None:
+    """Name of the first CHECK constraint whose predicate references
+    ``col`` as a word, or None — renames/drops of constrained columns
+    are refused (Delta requires dropping the constraint first)."""
+    import re
+
+    pat = re.compile(rf"\b{re.escape(col)}\b", re.IGNORECASE)
+    for name, pred in (constraints or {}).items():
+        if pat.search(pred):
+            return name
+    return None
+
+
+def _require_col_map(prev: dict) -> list[dict]:
+    """The table's col_map, materializing the identity mapping (id per
+    field, physical == logical) on first use — Delta's 'upgrade to
+    column mapping' step, here implicit in the first rename/drop."""
+    if prev.get("col_map"):
+        return list(prev["col_map"])
+    from pyspark.sql.types import StructType
+
+    if not prev.get("schema"):
+        raise ValueError(
+            "table manifest records no schema — cannot establish a "
+            "column mapping"
+        )
+    fields = StructType.fromJson(json.loads(prev["schema"])).fields
+    return [
+        {"id": i, "logical": f.name, "physical": f.name}
+        for i, f in enumerate(fields)
+    ]
+
+
+def rename_column(table: str, old: str, new: str) -> dict:
+    """Delta ``ALTER TABLE ... RENAME COLUMN`` via name-mode column
+    mapping: a METADATA-ONLY commit (same files, zero data rewrite)
+    that flips the column's LOGICAL name in the manifest's ``col_map``
+    while its stable field ID and PHYSICAL parquet name stay put —
+    every file ever written, before or after the rename, reads back
+    under the new name through the physical→logical mapping
+    (:func:`_scan_files`), and time travel to pre-rename versions
+    still shows the old name (the mapping is part of each manifest).
+    Partition columns (their physical name is baked into directory
+    paths) and columns referenced by CHECK constraints are refused,
+    matching Delta's restrictions."""
+    prev_v = latest_version(table)
+    if prev_v is None:
+        raise FileNotFoundError(f"{table} has no committed versions")
+    prev = read_manifest(table, prev_v)
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType.fromJson(json.loads(prev["schema"]))
+    names = [f.name for f in schema.fields]
+    if old not in names:
+        raise ValueError(f"no column {old!r} (have {names})")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists")
+    if old in (prev.get("partition_by") or []):
+        raise ValueError(
+            f"{old!r} is a partition column — its name is baked into "
+            "Hive directory paths; repartition the table to rename it"
+        )
+    hit = _constraint_mentions(prev.get("constraints"), old)
+    if hit:
+        raise ValueError(
+            f"column {old!r} is referenced by CHECK constraint "
+            f"{hit!r} — drop the constraint first (Delta's rule)"
+        )
+    cm = [
+        dict(e, logical=new) if e["logical"] == old else e
+        for e in _require_col_map(prev)
+    ]
+    new_schema = StructType(
+        [
+            StructField(new if f.name == old else f.name, f.dataType, f.nullable)
+            for f in schema.fields
+        ]
+    )
+    extra = {**_carried_props(prev), "col_map": cm}
+    return _commit_manifest(
+        table,
+        prev_v + 1,
+        f"rename_column({old}->{new})",
+        prev["files"],
+        new_schema.json(),
+        extra,
+    )
+
+
+def drop_column(table: str, col: str) -> dict:
+    """Delta ``ALTER TABLE ... DROP COLUMN`` via column mapping: a
+    METADATA-ONLY commit removing the field from the schema and the
+    ``col_map`` — the physical bytes stay in the files but no read
+    ever projects them, and time travel to pre-drop versions still
+    sees the column. A column later re-ADDED under the same name gets
+    a fresh field ID and a distinct physical name
+    (:func:`_extend_col_map`), so the dropped column's old bytes can
+    never resurface under it. Partition / constrained columns are
+    refused like :func:`rename_column`."""
+    prev_v = latest_version(table)
+    if prev_v is None:
+        raise FileNotFoundError(f"{table} has no committed versions")
+    prev = read_manifest(table, prev_v)
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(prev["schema"]))
+    names = [f.name for f in schema.fields]
+    if col not in names:
+        raise ValueError(f"no column {col!r} (have {names})")
+    if len(names) == 1:
+        raise ValueError("cannot drop the only column")
+    if col in (prev.get("partition_by") or []):
+        raise ValueError(f"{col!r} is a partition column")
+    hit = _constraint_mentions(prev.get("constraints"), col)
+    if hit:
+        raise ValueError(
+            f"column {col!r} is referenced by CHECK constraint "
+            f"{hit!r} — drop the constraint first"
+        )
+    cm = [e for e in _require_col_map(prev) if e["logical"] != col]
+    new_schema = StructType([f for f in schema.fields if f.name != col])
+    extra = {**_carried_props(prev), "col_map": cm}
+    return _commit_manifest(
+        table,
+        prev_v + 1,
+        f"drop_column({col})",
+        prev["files"],
+        new_schema.json(),
+        extra,
+    )
+
+
 def drop_constraint(table: str, name: str) -> dict:
     """Metadata-only commit removing a CHECK constraint."""
     prev_v = latest_version(table)
@@ -1598,11 +1878,15 @@ def prune_files_by_stats(manifest: dict, conds: dict) -> list[str]:
     probe interval; files with no stats for a probed column are kept —
     pruning is always a sound over-approximation."""
     stats = manifest.get("stats") or {}
+    cmap = _col_mapping(manifest) or {}
     out = []
     for f in manifest["files"]:
         s = stats.get(f) or {}
         keep = True
         for col, (lo, hi) in conds.items():
+            # Footer stats are keyed by the PHYSICAL column name on
+            # column-mapped tables; probes use logical names.
+            col = cmap.get(col, col)
             if col not in s:
                 continue
             mn, mx = s[col]
@@ -1651,7 +1935,8 @@ def read_version_pruned(
         df = spark.createDataFrame([], schema)
     else:
         df = _scan_files(
-            spark, table, candidates, schema, m.get("partition_by"), m.get("dv")
+            spark, table, candidates, schema, m.get("partition_by"),
+            m.get("dv"), col_map=_col_mapping(m),
         )
     pred = F.lit(True)
     for col, (lo, hi) in conds.items():
@@ -1730,7 +2015,15 @@ def append_versioned_stream(
     prev = read_manifest(table, prev_v)
     _validate_constraints(df, prev.get("constraints") or {})
     extra.update(_carried_props(prev))
-    files = _write_snapshot_files(df, table, prev.get("partition_by"))
+    schema_json = _merged_schema_json(prev.get("schema"), df)
+    cm = _extend_col_map(prev, schema_json)
+    if cm:
+        extra["col_map"] = cm
+    files = _write_snapshot_files(
+        _to_physical(df, _col_mapping({"col_map": cm})),
+        table,
+        prev.get("partition_by"),
+    )
     # Same additive schema evolution as batch appends: merge with the
     # previous manifest's schema so a narrower micro-batch never
     # silently drops columns a prior append/batch evolution added.
@@ -1739,7 +2032,7 @@ def append_versioned_stream(
         prev_v + 1,
         "append",
         prev["files"] + files,
-        _merged_schema_json(prev.get("schema"), df),
+        schema_json,
         extra,
     )
 
@@ -1879,7 +2172,8 @@ def optimize_versioned(
         schema = StructType.fromJson(json.loads(m["schema"]))
     df = (
         _scan_files(
-            spark, table, target_files, schema, m.get("partition_by"), m.get("dv")
+            spark, table, target_files, schema, m.get("partition_by"),
+            m.get("dv"), col_map=_col_mapping(m),
         )
         if partition_filter
         else read_version(spark, table, prev_v)
@@ -1897,7 +2191,9 @@ def optimize_versioned(
         ).sortWithinPartitions(*sort_within_by)
     else:
         out = df.repartition(n_target)
-    files = _write_snapshot_files(out, table, m.get("partition_by"))
+    files = _write_snapshot_files(
+        _to_physical(out, _col_mapping(m)), table, m.get("partition_by")
+    )
     op = "optimize" if not zorder_by else f"optimize_zorder({','.join(zorder_by)})"
     manifest = _commit_manifest(
         table,
@@ -1974,7 +2270,7 @@ def read_version_diff(
     # but pass the map anyway for belt-and-braces.
     return _scan_files(
         spark, table, new_files, schema, m_to.get("partition_by"),
-        m_to.get("dv"),
+        m_to.get("dv"), col_map=_col_mapping(m_to),
     )
 
 

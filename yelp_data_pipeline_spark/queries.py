@@ -42,67 +42,67 @@ del _m
 # repeatedly-verified queries can wait at the back.  `tools/check_oracle.py`
 # always sweeps all entries regardless of order.
 _EXPORT_PRIORITY: list[str] = [
-    # Round-16 window (50-slot cap), oldest-verdict-first rotation:
-    # (1) the queries NEW this round (partition-scoped MERGE, row-level
-    #     change feed, stats-based data skipping, catalog-table
-    #     serving, file-pruned DELETE / UPDATE, the Python Data Source
-    #     streaming source over the versioned table):
-    "orders_partitioned_merge",
-    "orders_version_changes",
-    "orders_pruned_date_scan",
-    "sql_catalog_orders_rollup",
-    "orders_file_pruned_delete",
-    "orders_file_pruned_update",
-    "orders_versioned_stream_roundtrip",
-    "orders_dv_delete",
-    # (2) 42 of the 47 round-9-stale names (the staleness floor after
-    #     the r15 window), in registry order; split_leakage_audit,
-    #     prefix_dim_fidelity, quantile_sketch_error, supplier_bfs_hops
-    #     and event_type_wasserstein_scan are the five r9 names that
-    #     wait for r17 — the floor effectively moves to r10 after this
-    #     round's check:
-    "price_quantity_spearman",
-    "quantity_discount_kendall",
-    "corpus_zipf_fit",
-    "readability_scores",
-    "corpus_health_report",
-    "event_type_burstiness",
-    "supplier_graph_assortativity",
-    "event_value_ks_drift",
-    "daily_event_ewma",
-    "customer_order_survival",
-    "priority_status_cramers_v",
-    "nation_customer_hhi",
-    "event_value_anova_f",
-    "source_unigram_jsd",
-    "quality_gate_kappa",
-    "customer_name_edit_pairs",
-    "event_value_cohens_d",
-    "event_type_ranksum_scan",
-    "vocab_chao1_richness",
-    "event_transition_entropy",
-    "price_quantity_partial_corr",
-    "event_value_levene",
-    "word_burstiness",
-    "doc_length_moments",
-    "supplier_graph_clustering",
-    "nation_customer_pareto",
-    "event_interarrival_burstiness",
-    "event_value_quantile_shift",
-    "centroid_margin_eval",
-    "daily_count_hurst",
-    "priority_status_mutual_info",
-    "benford_price_conformity",
-    "daily_count_runs_test",
-    "tfidf_doc_similarity",
-    "ann_rank_quality",
-    "quality_score_auc",
-    "quality_score_lift",
-    "event_value_wasserstein",
-    "event_drift_report",
-    "quality_score_calibration",
-    "quality_score_brier",
-    "customer_golden_records",
+    # Round-17 window (50-slot cap), oldest-verdict-first rotation:
+    # (1) the queries NEW this round (TIMESTAMP AS OF time travel,
+    #     roaring-bitmap deletion-vector sidecar files, column-mapping
+    #     rename):
+    "orders_timestamp_as_of",
+    "orders_dv_sidecar_delete",
+    "orders_column_rename_read",
+    # (2) the five round-9-stale names the r16 window owed:
+    "split_leakage_audit",
+    "prefix_dim_fidelity",
+    "quantile_sketch_error",
+    "supplier_bfs_hops",
+    "event_type_wasserstein_scan",
+    # (3) 42 of the 49 round-10-stale names, oldest-first; the seven
+    #     that wait for r18 are priority_status_association,
+    #     customer_spend_gini, distinctive_terms_by_source,
+    #     event_value_ranksum_drift, daily_event_acf,
+    #     dedup_cluster_rand_index and quality_rate_confidence — the
+    #     floor effectively moves to round 11 after this round's check:
+    "total_counts",
+    "dim_time",
+    "dim_customer",
+    "dict_encode_part_types",
+    "bridge_part_words",
+    "fact_orders",
+    "fact_daily_events",
+    "union_distinct_dates",
+    "dates_intersect",
+    "dates_except",
+    "quality_scores",
+    "token_stats",
+    "price_quantiles_by_priority",
+    "order_price_percent_rank",
+    "sampled_documents",
+    "shipping_priority_top10",
+    "top_orders_with_ties",
+    "part_supplier_hits",
+    "price_qty_discount_ols",
+    "conformal_event_intervals",
+    "quantile_normalized_doclens",
+    "cross_source_dup_matrix",
+    "dedup_composition_shift",
+    "token_budget_allocation",
+    "bloom_fpr_eval",
+    "minhash_band_tuning_curve",
+    "ivf_nprobe_recall_curve",
+    "quality_score_lift_scalable",
+    "layout_pruning_eval",
+    "time_weighted_event_means",
+    "int8_recall_eval",
+    "image_dhash_fingerprints",
+    "image_neardup_pairs",
+    "audio_fingerprints",
+    "fd_discovery_audit",
+    "heavy_hitter_error_report",
+    "hll_error_report",
+    "hybrid_rrf_ranking",
+    "ann_prefilter_vs_postfilter",
+    "mmr_diversified_topk",
+    "retrieval_health_report",
+    "benford_price_audit",
 ]
 
 

@@ -579,3 +579,173 @@ def q_orders_dv_delete(spark, sf_dir):
         "o_orderkey", "o_orderdate", "o_totalprice"
     )
     return _checkpoint_and_clean(out, tmp_root)
+
+
+@_q(
+    "orders_timestamp_as_of",
+    f"""
+WITH {_VERSIONED_ORACLE_CTES}
+SELECT 'at_v0' AS as_of, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE) AS total_price
+FROM v0
+UNION ALL
+SELECT 'at_v1', COUNT(*),
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE)
+FROM v1
+UNION ALL
+SELECT 'future', COUNT(*),
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE)
+FROM v1
+""",
+    doc="Delta TIMESTAMP AS OF twin (versioned.version_at_timestamp / "
+    "read_version(timestamp=...)): after v0 create + v1 MERGE the "
+    "query time-travels by TIMESTAMP, not version number — t exactly "
+    "at v0's commit ts resolves to v0 (at-or-before semantics: each "
+    "version covers the half-open time interval until the next "
+    "commit, so v0 is the answer even though v1 exists), t exactly "
+    "at v1's commit ts resolves to v1 (the inclusive boundary Delta "
+    "also includes), and a far-future t resolves to latest. "
+    "Resolution walks the CHECKPOINTED history (commit ts rides in "
+    "checkpoint entries), so it stays O(CHECKPOINT_EVERY) manifest "
+    "opens on a long log. Mis-resolution by one version "
+    "hash-mismatches the per-snapshot count + decimal price sum. "
+    "Probe timestamps come from the table's own manifests, so the "
+    "row is deterministic under any wall clock; before-first-commit "
+    "raising (Delta's posture) is pinned in tests/test_versioned.py::"
+    "test_timestamp_as_of.",
+)
+def q_orders_timestamp_as_of(spark, sf_dir):
+    from ..operators import versioned as vt
+
+    table, tmp_root = _versioned_orders_replay(spark, sf_dir)
+    ts0 = vt.read_manifest(table, 0)["ts"]
+    ts1 = vt.read_manifest(table, 1)["ts"]
+    probes = [
+        ("at_v0", ts0),            # exactly at v0's commit: v0
+        ("at_v1", ts1),            # exactly at v1's commit: v1
+        ("future", ts1 + 86400.0), # far past the last commit: latest
+    ]
+    parts = []
+    for label, t in probes:
+        snap = vt.read_version(spark, table, timestamp=t)
+        parts.append(
+            snap.agg(
+                F.count("*").alias("n_rows"),
+                F.sum(F.col("o_totalprice").cast("decimal(27,4)"))
+                .cast("double")
+                .alias("total_price"),
+            ).withColumn("as_of", F.lit(label))
+        )
+    out = parts[0].unionByName(parts[1]).unionByName(parts[2]).select(
+        "as_of", "n_rows", "total_price"
+    )
+    return _checkpoint_and_clean(out, tmp_root)
+
+
+@_q(
+    "orders_dv_sidecar_delete",
+    """
+SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+WHERE NOT (o_orderkey % 7 = 0)
+""",
+    doc="Roaring-bitmap deletion-vector SIDECAR files — the 100 TB "
+    "path past inline JSON positions: a scattered ~14% delete "
+    "(mode='dv', dv_inline_max=16 so the storage decision is "
+    "scale-independent) records every matched row's position in "
+    "compressed bitmap sidecars under <table>/_dv/, referenced from "
+    "the manifest by (path, cardinality, crc32) — the manifest stays "
+    "O(1) per file regardless of tombstone count, the FILE SET is "
+    "byte-identical (zero data rewrite, dv_rewrite_threshold=1.0 "
+    "isolates storage from the compaction economics), and every read "
+    "resolves the sidecars (checksum-verified) into the same "
+    "broadcast anti-join on (_metadata.file_path, row_index) as "
+    "inline DVs. The oracle filters raw orders with the "
+    "complementary predicate, so a position lost or invented by the "
+    "bitmap codec, a truncated sidecar silently accepted, or a "
+    "tombstone resurrected by the scan hash-mismatches. Codec "
+    "round-trip, corruption refusal and VACUUM of orphaned sidecars "
+    "are pinned in tests/test_versioned.py (test_dv_roaring_codec_"
+    "roundtrip, test_dv_sidecar_large_delete, "
+    "test_vacuum_cleans_orphaned_dv_sidecars).",
+)
+def q_orders_dv_sidecar_delete(spark, sf_dir):
+    import tempfile
+
+    from ..operators import versioned as vt
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    tmp_root = tempfile.mkdtemp(prefix="spark_graft_versioned_")
+    table = tmp_root + "/orders"
+    vt.create_versioned(o.repartition(4), table)
+    vt.delete_versioned(
+        spark,
+        table,
+        "o_orderkey % 7 = 0",
+        mode="dv",
+        dv_rewrite_threshold=1.0,
+        dv_inline_max=16,
+    )
+    out = vt.read_version(spark, table).select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    return _checkpoint_and_clean(out, tmp_root)
+
+
+@_q(
+    "orders_column_rename_read",
+    """
+SELECT month(o_orderdate) AS order_month,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY month(o_orderdate)
+""",
+    doc="Column-mapping schema evolution (Delta name-mode, "
+    "versioned.rename_column): v0 commits months<=6 under "
+    "o_totalprice, v1 RENAMES it to price (a METADATA-ONLY commit — "
+    "stable field IDs in the manifest's col_map, zero files "
+    "rewritten), v2 appends months 7-12 already shaped with the new "
+    "name (physical parquet names stay the original — "
+    "_to_physical/_scan_files map logical<->physical both ways). The "
+    "final read aggregates ALL rows under the renamed column: "
+    "pre-rename files read under the new name, post-rename files "
+    "store the old physical name — a mapping applied on only one "
+    "side NULLs half the table and hash-mismatches the per-month "
+    "decimal sums (re-aliased to o_totalprice for the oracle "
+    "compare). Time travel preserving the old name, drop_column "
+    "no-resurrection and the streaming-source refusal are pinned in "
+    "tests/test_versioned.py (test_rename_column_is_metadata_only, "
+    "test_drop_column_and_no_resurrection, "
+    "test_column_mapping_interactions).",
+)
+def q_orders_column_rename_read(spark, sf_dir):
+    import tempfile
+
+    from ..operators import versioned as vt
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    tmp_root = tempfile.mkdtemp(prefix="spark_graft_versioned_")
+    table = tmp_root + "/orders"
+    vt.create_versioned(o.filter(F.month("o_orderdate") <= 6), table)
+    vt.rename_column(table, "o_totalprice", "price")
+    vt.append_versioned(
+        o.filter(F.month("o_orderdate") > 6).withColumnRenamed(
+            "o_totalprice", "price"
+        ),
+        table,
+    )
+    out = (
+        vt.read_version(spark, table)
+        .groupBy(F.month("o_orderdate").alias("order_month"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("price").cast("decimal(27,4)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+    return _checkpoint_and_clean(out, tmp_root)

@@ -83,6 +83,24 @@ from ..operators import versioned as vt
 FORMAT_NAME = "versioned_table"
 
 
+def _refuse_column_mapping(manifest: dict, where: str) -> None:
+    """The streaming source reads parquet files by the stream's
+    LOGICAL column names; a table whose col_map diverges (a rename
+    happened) would silently NULL-pad the renamed column, so such
+    tables are refused — Delta's posture too (its source fails on
+    column-mapping schema changes without an explicit schema-tracking
+    log). Identity mappings (physical == logical) stream fine."""
+    cm = manifest.get("col_map") or []
+    if any(e["logical"] != e["physical"] for e in cm):
+        raise ValueError(
+            f"{where}: the table uses column mapping with renamed "
+            "columns — the streaming source cannot read physical "
+            "files under logical names; read it as a batch "
+            "(read_version) or restart downstream pipelines against "
+            "a rewritten table"
+        )
+
+
 class _FilePartition(InputPartition):
     """One appended data file: (absolute path, stream schema as JSON —
     the executor-side read casts every file through it, deleted row
@@ -192,6 +210,7 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             prev_dv = m_prev.get("dv") or {}
         for v in range(v_from + 1, v_to + 1):
             m = vt.read_manifest(self._table, v)
+            _refuse_column_mapping(m, f"version {v}")
             cur = set(m["files"])
             cur_dv = m.get("dv") or {}
             if prev is not None:
@@ -300,6 +319,7 @@ class VersionedTableDataSource(DataSource):
         if v is None:
             raise FileNotFoundError(f"{table} has no committed versions")
         m = vt.read_manifest(table, v)
+        _refuse_column_mapping(m, f"{table} v{v}")
         if not m.get("schema"):
             raise ValueError(
                 f"{table} manifest v{v} records no schema — cannot "
