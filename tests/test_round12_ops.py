@@ -54,7 +54,10 @@ class TestMihBallRadius2:
                 sigs, max_hamming=8
             ).collect()
         }
-        s = [(r["doc_id"], r["dhash"]) for r in sigs.collect()]
+        # Sort by id: the operator orients pairs doc_a < doc_b by ID,
+        # and collect() order is partition order (no longer id-sorted
+        # since the attach stage repartitions for parallelism).
+        s = sorted((r["doc_id"], r["dhash"]) for r in sigs.collect())
         exact = {
             (a, b, bin(ha ^ hb).count("1"))
             for ai, (a, ha) in enumerate(s)
@@ -272,10 +275,12 @@ class TestWideCode:
         sigs = image_dhash_wide(attach_bmp_payload(docs)).localCheckpoint(
             eager=True
         )
-        s = [
+        # id-sorted: collect() order is partition order since the
+        # attach stage repartitions (see TestMihBallRadius2).
+        s = sorted(
             (r["doc_id"], (r["dh_hi"] << 60) | r["dh_lo"])
             for r in sigs.collect()
-        ]
+        )
         for radius in (8, 12):
             got = {
                 (r["doc_a"], r["doc_b"], r["hamming"])

@@ -262,6 +262,7 @@ def connected_components_star(
         e.unpersist()
         e = contracted.persist(StorageLevel.MEMORY_AND_DISK)
     converged = False
+    rounds_since_cut = 0
     for _ in range(max_iter):
         cur = e
         for _sub in range(max(1, rounds_per_checkpoint)):
@@ -291,18 +292,32 @@ def connected_components_star(
                 .where(F.col("u") != F.col("v"))
                 .distinct()
             )
-        new_e = cur.localCheckpoint(eager=True).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-        # Fixpoint in ONE job: any full-outer row with a NULL side is
-        # an edge present in exactly one of the two sets. (A bare
-        # left-anti count is NOT sufficient — new_e ⊂ e gives 0.)
+        # ONE job per round (r17): persist the round's output and let
+        # the fixpoint count below materialize the cache — the
+        # previous eager-localCheckpoint-then-count shape paid a
+        # second full job per round just to truncate lineage. The
+        # fixpoint test is unchanged: any full-outer row with a NULL
+        # side is an edge present in exactly one of the two sets. (A
+        # bare left-anti count is NOT sufficient — new_e ⊂ e gives 0.)
+        new_e = cur.persist(StorageLevel.MEMORY_AND_DISK)
         changed = (
             new_e.withColumn("__a", F.lit(1))
             .join(e.withColumn("__b", F.lit(1)), ["u", "v"], "full_outer")
             .where(F.col("__a").isNull() | F.col("__b").isNull())
             .count()
         )
+        rounds_since_cut += 1
+        if changed != 0 and rounds_since_cut >= 3:
+            # Periodic lineage cut: without it every later round's
+            # analyzed plan nests all earlier rounds (the 9.5 MB plan
+            # lesson). The checkpoint copies from the already-populated
+            # cache — a cheap narrow job every 3rd round, not a
+            # recompute; recompute safety between cuts comes from the
+            # persist itself.
+            cut = new_e.localCheckpoint(eager=True)
+            new_e.unpersist()
+            new_e = cut
+            rounds_since_cut = 0
         e.unpersist()
         e = new_e
         if changed == 0:

@@ -204,7 +204,13 @@ def attach_wav_payload(
             ]
             yield pd.DataFrame({id_col: pdf[id_col], out: payloads})
 
-    return df.select(id_col, text_col).mapInPandas(
+    from ..session import ensure_min_parallelism
+
+    # The fixtures are one small parquet file → ONE input split, which
+    # would serialize the whole Python synth→decode→fingerprint chain
+    # on a single core (guide §2.5 input skew); repartition the slim
+    # (id, text) rows so every downstream Arrow stage runs wide.
+    return ensure_min_parallelism(df.select(id_col, text_col)).mapInPandas(
         _synth, f"{id_col} bigint, {out} binary"
     )
 
@@ -326,7 +332,11 @@ def attach_npy_payload(
             ]
             yield pd.DataFrame({id_col: pdf[id_col], out: payloads})
 
-    return df.select(id_col, vec_col).mapInPandas(
+    from ..session import ensure_min_parallelism
+
+    # One input split would serialize the Python chain — see
+    # attach_wav_payload.
+    return ensure_min_parallelism(df.select(id_col, vec_col)).mapInPandas(
         _synth, f"{id_col} bigint, {out} binary"
     )
 
@@ -459,7 +469,13 @@ def attach_bmp_payload(
                 rows.append((int(did), build_bmp(px, w, h)))
             yield pd.DataFrame(rows, columns=[id_col, "payload"])
 
-    return df.select(id_col).mapInPandas(_synth, schema)
+    from ..session import ensure_min_parallelism
+
+    # One input split would serialize the Python chain — see
+    # attach_wav_payload.
+    return ensure_min_parallelism(df.select(id_col)).mapInPandas(
+        _synth, schema
+    )
 
 
 def decode_bmp_meta(
@@ -649,11 +665,17 @@ def hamming_neardup_pairs_mih_wide(
             "two-long MIH is laid out for bits=120, chunks=8 "
             f"(got bits={bits}, chunks={chunks})"
         )
+    from ..session import track_persist
+
     w = bits // chunks
-    s = sigs.select(
-        F.col(id_col).alias("doc"),
-        F.col(hi_col).alias("hi"),
-        F.col(lo_col).alias("lo"),
+    # Two join-side consumers of the decode→fingerprint pipeline —
+    # persist the slim rows (see hamming_neardup_pairs_mih).
+    s = track_persist(
+        sigs.select(
+            F.col(id_col).alias("doc"),
+            F.col(hi_col).alias("hi"),
+            F.col(lo_col).alias("lo"),
+        )
     )
     cand = _mih_candidate_join(
         s,
@@ -740,8 +762,13 @@ def image_neardup_pairs(
             f"max_hamming={max_hamming} must be < bands={bands}: the "
             "pigeonhole banding guarantee loses pairs beyond bands-1 bits"
         )
-    s = sigs.select(
-        F.col(id_col).alias("doc"), F.col(hash_col).alias("h")
+    from ..session import track_persist
+
+    # The band self-join consumes this twice; persist the slim rows so
+    # the upstream fingerprint pipeline runs once per pass (see
+    # hamming_neardup_pairs_mih).
+    s = track_persist(
+        sigs.select(F.col(id_col).alias("doc"), F.col(hash_col).alias("h"))
     )
     bl = s.select(
         "doc",
@@ -838,7 +865,17 @@ def hamming_neardup_pairs_mih(
     if bits % chunks != 0:
         raise ValueError(f"bits={bits} must divide into chunks={chunks}")
     w = bits // chunks
-    s = sigs.select(F.col(id_col).alias("doc"), F.col(hash_col).alias("h"))
+    from ..session import track_persist
+
+    # The candidate join consumes this relation TWICE (probe side +
+    # index side), and upstream is typically the whole Arrow decode →
+    # fingerprint pipeline — persist the slim (doc, h) rows so the
+    # Python stages run once per pass, not once per join side
+    # (guide §2.4: two consumers of one expensive subtree share one
+    # materialization; measured ~2× on every video/image MIH row).
+    s = track_persist(
+        sigs.select(F.col(id_col).alias("doc"), F.col(hash_col).alias("h"))
+    )
     cand = _mih_candidate_join(
         s,
         chunks=chunks,
@@ -1172,7 +1209,13 @@ def attach_avi_payload(
                 )
             yield pd.DataFrame(rows, columns=[id_col, "payload"])
 
-    return df.select(id_col).mapInPandas(_synth, schema)
+    from ..session import ensure_min_parallelism
+
+    # One input split would serialize the Python chain — see
+    # attach_wav_payload.
+    return ensure_min_parallelism(df.select(id_col)).mapInPandas(
+        _synth, schema
+    )
 
 
 def decode_avi_meta(

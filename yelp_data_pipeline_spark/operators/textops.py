@@ -196,10 +196,16 @@ def hashed_text_embeddings(
     Docs with fewer than 3 tokens are excluded (a zero vector has no
     angle; both engines drop the same rows).
     """
+    from ..session import ensure_min_parallelism
+
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    df = df.select(F.col(id_col).alias(out_id), toks.alias("_t")).where(
-        F.size("_t") >= 3
-    )
+    # The md5-per-gram fold is CPU-heavy per row and the fixture is one
+    # small parquet file → ONE input split; repartition so the fold
+    # runs wide (guide §2.5 input skew; no-op branch on a real
+    # cluster). Measured 3.1s → 1.5s at sf0.1 for the bare operator.
+    df = ensure_min_parallelism(df).select(
+        F.col(id_col).alias(out_id), toks.alias("_t")
+    ).where(F.size("_t") >= 3)
     grams = F.transform(
         F.sequence(F.lit(1), F.size("_t") - 2),
         lambda i: F.array_join(F.slice("_t", i, 3), " "),
@@ -1644,18 +1650,23 @@ def perceptron_quality_gate(
 
     Plan: ONE feature-extraction scan (persisted); per epoch ONE
     combinable aggregate computes BOTH the current weights' accuracy
-    (the pocket candidate) and the averaged update, against a
-    broadcast 5-long weight row, with 1-row eager localCheckpoints
-    keeping the plan linear — the bpe_train/kmeans bounded
-    anytime-iteration frame (both engines run exactly ``epochs``
-    rounds). Pocket selection is a row_number over epochs+1 candidate
-    rows.
+    (the pocket candidate) and the averaged update, with the weights
+    inlined as INT64 LITERALS: the per-epoch stats row is a single
+    bounded row (8 longs), so the driver folds it into the next
+    epoch's weights in exact Python integer arithmetic — the same
+    metadata-bounded-collect contract as the versioned layer and the
+    BPE trainer. (The previous form kept the weights as a 1-row
+    DataFrame chained through per-epoch broadcast crossJoins plus a
+    second 1-row eager localCheckpoint per epoch — 2 Spark jobs per
+    epoch where the training pass itself needs 1; measured 12.0s →
+    5.1s at sf0.1 for identical output.) Both engines still run
+    exactly ``epochs`` data passes; the corpus is only ever touched
+    by the per-epoch aggregate. Pocket selection is an integer
+    compare over the epochs+1 candidate stat rows.
 
     Returns long-format (term, value): the five pocket weights plus
     train_correct / train_total at the pocket.
     """
-    from pyspark.sql import Window
-
     from ..session import ensure_min_parallelism, track_persist
 
     n = len(PERCEPTRON_TERMS)
@@ -1671,21 +1682,19 @@ def perceptron_quality_gate(
     feat = track_persist(feat)
 
     spark = df.sparkSession
-    w = spark.range(1).select(
-        *[F.lit(0).cast("long").alias(f"w{i}") for i in range(n)]
-    )
+    w = [0] * n  # exact Python ints (arbitrary precision)
 
     def margin():
-        m = F.col("w0") * F.col("x0")
-        for i in range(1, n):
-            m = m + F.col(f"w{i}") * F.col(f"x{i}")
+        m = F.lit(0).cast("long")
+        for i in range(n):
+            m = m + F.lit(int(w[i])).cast("long") * F.col(f"x{i}")
         return m
 
-    candidates = []
+    # (ep, correct, total, weights-at-this-epoch)
+    candidates: list[tuple[int, int, int, list[int]]] = []
     for t in range(1, epochs + 1):
-        j = feat.crossJoin(F.broadcast(w))
         mis = F.col("y") * margin() <= 0
-        st = j.agg(
+        st = feat.agg(
             F.sum(F.when(~mis, 1).otherwise(0)).cast("long").alias("correct"),
             F.count(F.lit(1)).alias("total"),
             F.coalesce(F.sum(F.when(mis, 1)), F.lit(0))
@@ -1697,65 +1706,34 @@ def perceptron_quality_gate(
                 .alias(f"s{i}")
                 for i in range(n)
             ],
-        ).localCheckpoint(eager=True)
-        candidates.append(
-            w.crossJoin(st).select(
-                F.lit(t).alias("ep"), "correct", "total",
-                *[F.col(f"w{i}") for i in range(n)],
-            )
-        )
-        # Pure-long floor division: (s - pmod(s, m)) is exactly
-        # divisible by m, so `div` returns floor(s/m) with NO double
-        # round-trip — exact at ANY magnitude (a double division is
-        # only exact while |s| < 2^53, which per-mille features break
-        # around ~9e9 misclassified rows, i.e. the 100 TB regime).
-        davg = lambda i: F.when(  # noqa: E731
-            F.col("m") > 0,
-            F.expr(f"(s{i} - pmod(s{i}, m)) div m"),
-        ).otherwise(F.lit(0))
-        # BOTH frames checkpoint eagerly: the stats cut the
-        # feature-scan dependency; the weights must too — a lazy
-        # weight chain gets replayed inside every later epoch's
-        # broadcast build (measured 12.8s → 24.2s when left lazy).
-        w = (
-            w.crossJoin(st)
-            .select(
-                *[(F.col(f"w{i}") + davg(i)).alias(f"w{i}") for i in range(n)]
-            )
-            .localCheckpoint(eager=True)
-        )
-    fin = feat.crossJoin(F.broadcast(w)).agg(
+        ).collect()[0]
+        candidates.append((t, int(st["correct"]), int(st["total"]), list(w)))
+        # Averaged-step update, exact integer floor division: Python's
+        # `//` IS floor division for ints (identical to the previous
+        # in-plan `(s - pmod(s, m)) div m` form at any magnitude — no
+        # double round-trip, so exactness holds past 2^53).
+        if int(st["m"]) > 0:
+            m_mis = int(st["m"])
+            w = [w[i] + int(st[f"s{i}"]) // m_mis for i in range(n)]
+    fin = feat.agg(
         F.sum(F.when(F.col("y") * margin() > 0, 1).otherwise(0))
         .cast("long")
         .alias("correct"),
         F.count(F.lit(1)).alias("total"),
-    )
+    ).collect()[0]
     candidates.append(
-        w.crossJoin(F.broadcast(fin)).select(
-            F.lit(epochs + 1).alias("ep"), "correct", "total",
-            *[F.col(f"w{i}") for i in range(n)],
-        )
+        (epochs + 1, int(fin["correct"]), int(fin["total"]), list(w))
     )
-    pool = candidates[0]
-    for c in candidates[1:]:
-        pool = pool.unionByName(c)
-    rw = Window.orderBy(F.desc("correct"), F.asc("ep"))
-    pocket = (
-        pool.withColumn("rn", F.row_number().over(rw))
-        .where(F.col("rn") == 1)
-        .drop("rn", "ep")
+    # Pocket: max accuracy, earliest-epoch tiebreak (integer compare —
+    # identical to the previous row_number over (correct DESC, ep ASC)).
+    ep, correct, total, wp = max(
+        candidates, key=lambda c: (c[1], -c[0])
     )
-    rows = [
-        F.struct(F.lit(PERCEPTRON_TERMS[i]).alias("term"),
-                 F.col(f"w{i}").alias("value"))
-        for i in range(n)
-    ] + [
-        F.struct(F.lit("train_correct").alias("term"),
-                 F.col("correct").alias("value")),
-        F.struct(F.lit("train_total").alias("term"),
-                 F.col("total").alias("value")),
+    rows = [(PERCEPTRON_TERMS[i], int(wp[i])) for i in range(n)] + [
+        ("train_correct", correct),
+        ("train_total", total),
     ]
-    return pocket.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+    return spark.createDataFrame(rows, "term string, value long")
 
 
 def dedup_corpus_lines(
