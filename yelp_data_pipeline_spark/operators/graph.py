@@ -262,7 +262,6 @@ def connected_components_star(
         e.unpersist()
         e = contracted.persist(StorageLevel.MEMORY_AND_DISK)
     converged = False
-    rounds_since_cut = 0
     for _ in range(max_iter):
         cur = e
         for _sub in range(max(1, rounds_per_checkpoint)):
@@ -292,33 +291,29 @@ def connected_components_star(
                 .where(F.col("u") != F.col("v"))
                 .distinct()
             )
-        # ONE job per round (r17): persist the round's output and let
-        # the fixpoint count below materialize the cache — the
-        # previous eager-localCheckpoint-then-count shape paid a
-        # second full job per round just to truncate lineage. The
-        # fixpoint test is unchanged: any full-outer row with a NULL
-        # side is an edge present in exactly one of the two sets. (A
-        # bare left-anti count is NOT sufficient — new_e ⊂ e gives 0.)
-        new_e = cur.persist(StorageLevel.MEMORY_AND_DISK)
+        # ONE job per round (r17): a LAZY localCheckpoint truncates the
+        # round's LOGICAL plan immediately (the returned frame scans a
+        # LogicalRDD — without the cut each round references `e` ~6
+        # times, so plan size grows multiplicatively and the driver
+        # OOMs generating plan strings within a few rounds), while the
+        # fixpoint-count job below both MATERIALIZES the checkpoint
+        # blocks (MEMORY_AND_DISK, lineage truncated on job
+        # completion) and answers convergence — the previous
+        # eager-checkpoint-then-count shape paid a second full job per
+        # round for the same result. Blocks are RDD-owned (freed by
+        # the context cleaner once the round's frame is dropped — the
+        # cut_lineage trade, fine for slim edge lists). The fixpoint
+        # test is unchanged: any full-outer row with a NULL side is an
+        # edge present in exactly one of the two sets. (A bare
+        # left-anti count is NOT sufficient — new_e ⊂ e gives 0.)
+        new_e = cur.localCheckpoint(eager=False)
         changed = (
             new_e.withColumn("__a", F.lit(1))
             .join(e.withColumn("__b", F.lit(1)), ["u", "v"], "full_outer")
             .where(F.col("__a").isNull() | F.col("__b").isNull())
             .count()
         )
-        rounds_since_cut += 1
-        if changed != 0 and rounds_since_cut >= 3:
-            # Periodic lineage cut: without it every later round's
-            # analyzed plan nests all earlier rounds (the 9.5 MB plan
-            # lesson). The checkpoint copies from the already-populated
-            # cache — a cheap narrow job every 3rd round, not a
-            # recompute; recompute safety between cuts comes from the
-            # persist itself.
-            cut = new_e.localCheckpoint(eager=True)
-            new_e.unpersist()
-            new_e = cut
-            rounds_since_cut = 0
-        e.unpersist()
+        e.unpersist()  # explicit persist on round 0's e; no-op after
         e = new_e
         if changed == 0:
             converged = True
@@ -692,7 +687,12 @@ def kcore_peel(
             .agg(F.count(F.lit(1)).alias("core_deg"))
         )
         survivors = deg.where(F.col("core_deg") >= k)
-        survivors = survivors.localCheckpoint(eager=True)
+        # LAZY checkpoint + count = ONE job per round (r17): the count
+        # materializes the checkpoint blocks and yields the
+        # convergence scalar; the previous eager-then-count shape paid
+        # a second full job per round. Plan stays flat either way (the
+        # returned frame scans the checkpointed RDD).
+        survivors = survivors.localCheckpoint(eager=False)
         n_next = survivors.count()
         alive = survivors.select(F.col("u").alias("node"))
         if n_alive is not None and n_next == n_alive:
@@ -1022,24 +1022,36 @@ def bfs_hops(
         .limit(1)
         .select(F.col("u").alias("node"), F.lit(0).cast("int").alias("hop"))
     )
-    dist = seed.localCheckpoint(eager=True)
-    frontier = dist
+    seed = seed.localCheckpoint(eager=True)
+    # ONE job per round (r17): the frontier is LAZY-checkpointed and
+    # its count job both materializes the checkpoint blocks and
+    # answers the emptiness probe — the previous shape paid three jobs
+    # per round (eager frontier checkpoint, eager checkpoint of the
+    # growing dist union, isEmpty). The settled set is kept as a LIST
+    # of per-round checkpointed frontiers; each anti-join unions those
+    # flat scans (linear plan, no per-round union checkpoint job).
+    levels = [seed]
+    frontier = seed
     for h in range(1, rounds + 1):
+        settled = levels[0].select("node")
+        for lv in levels[1:]:
+            settled = settled.union(lv.select("node"))
         nxt = (
             frontier.join(sym, frontier["node"] == sym["u"])
             .select(F.col("v").alias("node"))
             .distinct()
-            .join(dist.select("node"), "node", "left_anti")
+            .join(settled, "node", "left_anti")
             .withColumn("hop", F.lit(h).cast("int"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        dist = dist.union(nxt).localCheckpoint(eager=True)
+        n_new = nxt.count()
         frontier = nxt
-        # The frontier is already materialized (eager checkpoint), so
-        # this emptiness probe is O(1); remaining rounds would only
-        # join an empty frontier. Result-identical either way.
-        if frontier.isEmpty():
+        if n_new == 0:
             break
+        levels.append(nxt)
+    dist = levels[0]
+    for lv in levels[1:]:
+        dist = dist.union(lv)
     hist = dist.groupBy("hop").agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes")
     )

@@ -1328,12 +1328,6 @@ def _top_pc_state(
     )
 
     spark = df.sparkSession
-    vdf = spark.range(1).select(
-        F.explode(F.sequence(F.lit(1), F.lit(dim))).alias("j")
-    ).select(
-        F.col("j").cast("int").alias("j"),
-        (F.lit(1.0) / F.sqrt(F.lit(float(dim)))).alias("vj"),
-    )
 
     def matvec(vframe):
         return (
@@ -1355,43 +1349,55 @@ def _top_pc_state(
             )
         )
 
-    for _ in range(iters):
-        u = matvec(vdf)
-        nm = u.agg(
-            F.sqrt(
-                F.aggregate(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(
-                                F.col("i"),
-                                (F.col("u") * F.col("u")).alias("t"),
-                            )
-                        )
-                    ),
-                    F.lit(0.0),
-                    lambda a, x: a + x["t"],
-                )
-            ).alias("nm")
+    # ITERATION stage runs on the DRIVER (r17, guide §1.2/§5): the
+    # covariance relation is dim²-bounded (4096 cells at dim=64 —
+    # constant in data size, the windows.py bounded-collect legitimacy
+    # class), so ONE collect replaces ~2 Spark jobs per power round
+    # (the per-round matvec/normalize eager checkpoint plus its
+    # broadcast build — measured ~5s of pure job overhead at sf0.1 for
+    # a 64-row matvec). The arithmetic is the IDENTICAL IEEE sequence
+    # the in-plan fold performed: per i, c·v products accumulated in
+    # ascending-j order from 0.0; norm = sqrt of the i-ordered sum of
+    # squares; division per element — so the result is bit-identical
+    # (the DuckDB oracle replays the same fold). The data-scale pass
+    # (covariance aggregation) stays distributed and persisted for the
+    # downstream trace/Rayleigh consumers.
+    cells = cov.collect()
+    by_i: dict[int, dict[int, float]] = {}
+    for r in cells:
+        by_i.setdefault(int(r["i"]), {})[int(r["j"])] = (
+            None if r["c"] is None else float(r["c"])
         )
-        vdf = (
-            u.crossJoin(F.broadcast(nm))
-            .select(
-                F.col("i").alias("j"),
-                (F.col("u") / F.col("nm")).alias("vj"),
-            )
-            .localCheckpoint(eager=True)
+    if by_i:
+        v = {j: 1.0 / math.sqrt(float(dim)) for j in range(1, dim + 1)}
+        for _ in range(iters):
+            u = {}
+            for i, row in by_i.items():
+                acc = 0.0
+                for j in sorted(row):
+                    if j in v:
+                        acc = acc + row[j] * v[j]
+                u[i] = acc
+            nm = 0.0
+            for i in sorted(u):
+                nm = nm + u[i] * u[i]
+            nm = math.sqrt(nm)
+            v = {i: u[i] / nm for i in u}
+        vdf = spark.createDataFrame(
+            [(int(j), float(v[j])) for j in sorted(v)], "j int, vj double"
         )
-
-    rw = Window.orderBy(F.abs(F.col("vj")).desc(), F.col("j").asc())
-    sg = (
-        vdf.withColumn("rn", F.row_number().over(rw))
-        .where(F.col("rn") == 1)
-        .select(
-            F.when(F.col("vj") >= 0, F.lit(1.0))
-            .otherwise(F.lit(-1.0))
-            .alias("sg")
+        # Sign convention: component with the largest |loading|
+        # (smallest index on ties) decides — same total order the
+        # previous row_number window used.
+        top_j = max(sorted(v), key=lambda j: (abs(v[j]), -j))
+        sg = spark.createDataFrame(
+            [(1.0 if v[top_j] >= 0 else -1.0,)], "sg double"
         )
-    )
+    else:
+        # Empty corpus: empty unit vector and sign, matching the
+        # previous all-Spark behavior (empty frames, not a crash).
+        vdf = spark.createDataFrame([], "j int, vj double")
+        sg = spark.createDataFrame([], "sg double")
     return cov, mu, vdf, sg, matvec
 
 

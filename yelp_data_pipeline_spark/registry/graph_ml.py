@@ -832,22 +832,35 @@ ORDER BY s.bands
     "simhash_recall_eval sampling pattern)",
 )
 def q_minhash_band_tuning_curve(spark, sf_dir):
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..session import cut_lineage
 
     d = _t(spark, sf_dir, "documents")
-    cands = dd.minhash_band_candidates(
-        d, "doc_id", "text", k=12, bands_list=(2, 3, 4, 6)
-    ).withColumn("rows_per_band", (F.lit(12) / F.col("bands")).cast("int"))
-    # Eager lineage cut (the dedup_threshold_curve lesson): the exact
-    # truth relation — a full shingle self-join — feeds BOTH the
-    # per-banding join and the n_truth broadcast; lazily persisted it
-    # was re-embedded in each consumer's plan (audited 98 exchanges
-    # round 12).
-    truth = cut_lineage(
-        dd.ngram_jaccard_pairs(
-            d, "doc_id", "text", n=3, threshold=0.8, max_doc_freq=None
-        ).select("doc_a", "doc_b", F.lit(1).alias("e"))
-    )
+    # The candidate arm (eager signature lineage cut inside
+    # minhash_band_candidates) and the exact-truth arm (eager
+    # cut_lineage of the full shingle self-join — the
+    # dedup_threshold_curve lesson: lazily persisted it was re-embedded
+    # in each consumer's plan, audited 98 exchanges round 12) are
+    # independent driver-blocking builds; two driver threads overlap
+    # them (guide §2.6). Results unchanged — both arms deterministic.
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_cands = pool.submit(
+            lambda: dd.minhash_band_candidates(
+                d, "doc_id", "text", k=12, bands_list=(2, 3, 4, 6)
+            ).withColumn(
+                "rows_per_band", (F.lit(12) / F.col("bands")).cast("int")
+            )
+        )
+        f_truth = pool.submit(
+            lambda: cut_lineage(
+                dd.ngram_jaccard_pairs(
+                    d, "doc_id", "text", n=3, threshold=0.8,
+                    max_doc_freq=None,
+                ).select("doc_a", "doc_b", F.lit(1).alias("e"))
+            )
+        )
+        cands, truth = f_cands.result(), f_truth.result()
     per = (
         cands.join(truth, ["doc_a", "doc_b"], "left")
         .groupBy("bands", "rows_per_band")

@@ -1670,6 +1670,8 @@ FROM fin2
     "run on an md5 document sample (the simhash_recall_eval recipe)",
 )
 def q_dedup_cluster_rand_index(spark, sf_dir):
+    from concurrent.futures import ThreadPoolExecutor
+
     docs = _t(spark, sf_dir, "documents")
     pairs_lsh = dd.minhash_lsh_pairs(
         docs, "doc_id", "text", k=12, bands=4, threshold=0.8
@@ -1677,8 +1679,16 @@ def q_dedup_cluster_rand_index(spark, sf_dir):
     pairs_ex = dd.ngram_jaccard_pairs(
         docs, "doc_id", "text", n=3, threshold=0.8, max_doc_freq=None
     )
-    la = graph.dedup_clusters(docs, pairs_lsh)
-    lb = graph.dedup_clusters(docs, pairs_ex)
+    # The two cluster arms are independent DRIVER-PACED loops (each
+    # dedup_clusters runs an eager hash-min fixpoint); built
+    # sequentially the second arm's rounds wait on the first's tail —
+    # two driver threads overlap them so each arm's small jobs
+    # back-fill the other's idle capacity (guide §2.6). Results are
+    # unchanged: each arm is deterministic and they share no state.
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fa = pool.submit(graph.dedup_clusters, docs, pairs_lsh)
+        fb = pool.submit(graph.dedup_clusters, docs, pairs_ex)
+        la, lb = fa.result(), fb.result()
     return graph.clustering_rand_index(la, lb)
 
 

@@ -91,17 +91,65 @@ def cut_lineage(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+# Logical operators that introduce a shuffle boundary (or inherit an
+# RDD's partitioning): below any of these, output width comes from
+# spark.sql.shuffle.partitions (or the checkpointed RDD), not from the
+# input split count, so the single-split guard is moot — and probing
+# .rdd on such plans costs FULL physical planning + codegen of the
+# subtree only to throw it away (measured 3.2s of pure driver time per
+# call on the hashed-embedding plan at sf0.1).
+_WIDTH_NODES = (
+    "Join",
+    "Aggregate",
+    "Distinct",
+    "Deduplicate",
+    "Repartition",
+    "RepartitionByExpression",
+    "RebalancePartitions",
+    "Window",
+    "Sort",
+    "LogicalRDD",
+)
+
+
+def _narrow_plan(jplan) -> bool:
+    """True iff the analyzed logical plan contains no shuffle-
+    introducing operator — i.e. it is a scan + narrow ops, the one
+    shape where a single input split serializes everything AND where
+    the .rdd partition probe is cheap to plan. A ~dozen py4j calls,
+    versus seconds of physical planning for the probe it replaces."""
+    name = jplan.getClass().getSimpleName()
+    for w in _WIDTH_NODES:
+        if name.startswith(w):
+            return False
+    children = jplan.children()
+    for i in range(children.size()):
+        if not _narrow_plan(children.apply(i)):
+            return False
+    return True
+
+
 def ensure_min_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Guard for CPU-heavy per-row operators (hashing, shingling,
     vector math): a small single-file parquet scan yields ONE input
     split, serializing the whole pipeline on one core no matter how
-    many the session has. If the plan has fewer partitions than the
-    session's parallelism, add a round-robin repartition — cheap at
-    the sizes where it triggers, and a no-op branch on a real cluster
-    where scans already split into many partitions. Downstream results
-    are partitioning-insensitive (min/sum aggregates, equi-joins)."""
+    many the session has. If the plan is a narrow scan with fewer
+    partitions than the session's parallelism, add a round-robin
+    repartition — cheap at the sizes where it triggers, and a no-op
+    branch on a real cluster where scans already split into many
+    partitions. Downstream results are partitioning-insensitive
+    (min/sum aggregates, equi-joins).
+
+    Plans that already contain a shuffle boundary (join / aggregate /
+    repartition / window / checkpointed RDD) are returned unchanged
+    WITHOUT the .rdd partition probe: their width is governed by the
+    shuffle-partition count anyway, and the probe's throwaway physical
+    planning of a complex subtree is pure driver cost (guide §1.2 —
+    measured 3.2s per call on the sf0.1 hashed-embedding plan)."""
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
+    if not _narrow_plan(df._jdf.queryExecution().analyzed()):
+        return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
