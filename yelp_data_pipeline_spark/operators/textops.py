@@ -114,7 +114,14 @@ def quality_score_col(c: Column) -> Column:
 def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Heuristic document-quality features + composite score:
     length, token count, punctuation density, stopword ratio, mean
-    token length. Deterministic arithmetic → oracle-reproducible."""
+    token length. Deterministic arithmetic → oracle-reproducible.
+
+    Regex-heavy per-row map — guarded by ensure_min_parallelism so a
+    single-split fixture scan doesn't serialize it on one core (no-op
+    branch on a real cluster; r17, guide §2.5)."""
+    from ..session import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
     c = F.col(text_col)
     n_chars = F.length(c)
     n_tok = token_count(c)
@@ -712,7 +719,15 @@ def gopher_quality_flags(
     threshold compare (the cross-engine determinism contract).
     Output: (id, n_tokens, mean_word_len, symbol_ratio, bullet_ratio,
     ellipsis_ratio, alpha_word_ratio, stop_hits, passes_gopher).
+
+    Guarded by ensure_min_parallelism (r17): the per-row regex work is
+    CPU-heavy and a single-split fixture scan would serialize it; on a
+    real cluster the guard is a no-op branch and the pass stays the
+    map-only scan described above.
     """
+    from ..session import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
     c = F.col(text_col)
     t = tokens(c)
     n_tok = F.size(t)
