@@ -14,37 +14,12 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def dot(a: Column, b: Column, dim: int | None = None) -> Column:
-    """Dot product. With ``dim`` given, the fold is UNROLLED into a
-    static sum of ``element_at`` products — Catalyst higher-order
-    functions (zip_with/aggregate) are interpreted per element with
-    boxing, outside whole-stage codegen; the unrolled form is plain
-    codegen'd arithmetic, measured ~3× faster on the LSH verify path
-    (r17, guide §1.2 per-task work). The IEEE sequence is IDENTICAL:
-    the fold computes ((0.0 + t1) + t2)…, and the unrolled sum starts
-    from lit(0.0) and adds t_i in the same index order, so results are
-    bit-equal. Caveat: the unrolled form assumes every array has
-    exactly ``dim`` elements (true for all embedding relations here —
-    F.get returns NULL past the end, poisoning the sum to NULL rather
-    than folding a short prefix); pass dim=None for variable-length
-    arrays."""
-    if dim is not None:
-        s: Column = F.lit(0.0)
-        for i in range(dim):
-            s = s + F.get(a, i).cast("double") * F.get(b, i).cast("double")
-        return s
+def dot(a: Column, b: Column) -> Column:
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
-def norm(a: Column, dim: int | None = None) -> Column:
-    """Euclidean norm; ``dim`` unrolls the fold (see :func:`dot`)."""
-    if dim is not None:
-        s: Column = F.lit(0.0)
-        for i in range(dim):
-            x = F.get(a, i).cast("double")
-            s = s + x * x
-        return F.sqrt(s)
+def norm(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(
             a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
@@ -52,17 +27,15 @@ def norm(a: Column, dim: int | None = None) -> Column:
     )
 
 
-def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity. A ZERO vector (failed encoder, truncated
     row — exactly what embedding_norm_outliers screens for) has norm
     0, and under the driver's ANSI session even a double division by
     zero crashes — so the denominator is NULL-guarded: cosine against
     a zero vector is NULL (undefined angle), never an error, and
-    ranking/threshold consumers drop it. cosine_sql mirrors the CASE.
-    ``dim`` unrolls the folds (see :func:`dot` — bit-identical,
-    codegen'd)."""
-    d = norm(a, dim) * norm(b, dim)
-    return F.when(d > 0, dot(a, b, dim) / d)
+    ranking/threshold consumers drop it. cosine_sql mirrors the CASE."""
+    d = norm(a) * norm(b)
+    return F.when(d > 0, dot(a, b) / d)
 
 
 def cosine_sql(a: str, b: str, dim: int) -> str:

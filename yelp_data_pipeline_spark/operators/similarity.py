@@ -132,8 +132,7 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k by cosine similarity to a constant query vector."""
     q = _query_vector_lit(query_vec)
-    # len(query_vec) unrolls the fold — bit-identical, codegen'd.
-    score = F.round(cosine(F.col(vec_col), q, len(query_vec)), round_to)
+    score = F.round(cosine(F.col(vec_col), q), round_to)
     return (
         df.select(F.col(id_col), score.alias("score"))
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
@@ -202,9 +201,7 @@ def cosine_neardup_pairs(
         ensure_min_parallelism(df).select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("u"),
-            # dim unrolls the fold — bit-identical, codegen'd
-            # (functions/vectors.py, r17).
-            norm(F.col(vec_col), dim).alias("nrm"),
+            norm(F.col(vec_col)).alias("nrm"),
         )
     )
     if use_pandas_projection:
@@ -217,7 +214,7 @@ def cosine_neardup_pairs(
         )
     else:
         bit_cols = [
-            (dot(F.col("u"), F.array(*[F.lit(x) for x in planes[p]]), dim) > 0)
+            (dot(F.col("u"), F.array(*[F.lit(x) for x in planes[p]])) > 0)
             .cast("int")
             .alias(f"bit{p}")
             for p in range(n_planes)
@@ -266,7 +263,7 @@ def cosine_neardup_pairs(
     score = F.when(
         (F.col("na") * F.col("nb")) > 0,
         F.round(
-            dot(F.col("ua"), F.col("ub"), dim) / (F.col("na") * F.col("nb")),
+            dot(F.col("ua"), F.col("ub")) / (F.col("na") * F.col("nb")),
             round_to,
         ),
     )
@@ -354,17 +351,14 @@ def ivf_topk(
     partition pruning, not a filter scan.
     """
     q = _query_vector_lit(query_vec)
-    d = len(query_vec)  # unrolls the folds — bit-identical, codegen'd
     probe = (
-        centroids.select(
-            cell_col, cosine(F.col("centroid"), q, d).alias("cscore")
-        )
+        centroids.select(cell_col, cosine(F.col("centroid"), q).alias("cscore"))
         .orderBy(F.col("cscore").desc(), F.col(cell_col).asc())
         .limit(nprobe)
         .select(cell_col)
     )
     pruned = df.join(F.broadcast(probe), cell_col)
-    score = F.round(cosine(F.col(vec_col), q, d), 6)
+    score = F.round(cosine(F.col(vec_col), q), 6)
     return (
         pruned.select(F.col(id_col), score.alias("score"))
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
@@ -503,7 +497,6 @@ def neardup_pairs_ivf(
     vec_col: str = "embedding",
     round_to: int = 6,
     hierarchical_from: int = HIERARCHICAL_ROUTING_CELLS,
-    dim: int = 64,
 ) -> DataFrame:
     """Embedding near-dup pairs blocked by IVF cells — the bucketing
     whose cardinality GROWS with the corpus, unlike sign-LSH's fixed
@@ -537,9 +530,7 @@ def neardup_pairs_ivf(
         ensure_min_parallelism(df).select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("u"),
-            # dim unrolls the fold — bit-identical, codegen'd
-            # (functions/vectors.py, r17).
-            norm(F.col(vec_col), dim).alias("nrm"),
+            norm(F.col(vec_col)).alias("nrm"),
         )
     )
     if k_cells >= hierarchical_from:
@@ -590,7 +581,7 @@ def neardup_pairs_ivf(
     pscore = F.when(
         (F.col("na") * F.col("nb")) > 0,
         F.round(
-            dot(F.col("ua"), F.col("ub"), dim) / (F.col("na") * F.col("nb")),
+            dot(F.col("ua"), F.col("ub")) / (F.col("na") * F.col("nb")),
             round_to,
         ),
     )
