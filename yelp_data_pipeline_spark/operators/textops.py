@@ -1722,7 +1722,12 @@ def perceptron_quality_gate(
                 for i in range(n)
             ],
         ).collect()[0]
-        candidates.append((t, int(st["correct"]), int(st["total"]), list(w)))
+        # EMPTY corpus: sum(when(...)) over zero rows is NULL (total
+        # and the coalesced m / s_i are 0) — carry None through so the
+        # pocket picks the earliest epoch with NULL accuracy, exactly
+        # as the previous in-plan row_number (DESC NULLS LAST) did.
+        correct = None if st["correct"] is None else int(st["correct"])
+        candidates.append((t, correct, int(st["total"]), list(w)))
         # Averaged-step update, exact integer floor division: Python's
         # `//` IS floor division for ints (identical to the previous
         # in-plan `(s - pmod(s, m)) div m` form at any magnitude — no
@@ -1737,12 +1742,20 @@ def perceptron_quality_gate(
         F.count(F.lit(1)).alias("total"),
     ).collect()[0]
     candidates.append(
-        (epochs + 1, int(fin["correct"]), int(fin["total"]), list(w))
+        (
+            epochs + 1,
+            None if fin["correct"] is None else int(fin["correct"]),
+            int(fin["total"]),
+            list(w),
+        )
     )
     # Pocket: max accuracy, earliest-epoch tiebreak (integer compare —
-    # identical to the previous row_number over (correct DESC, ep ASC)).
+    # identical to the previous row_number over (correct DESC, ep ASC);
+    # NULL accuracies sort last, so an empty corpus yields epoch 1's
+    # zero weights with NULL train_correct).
     ep, correct, total, wp = max(
-        candidates, key=lambda c: (c[1], -c[0])
+        candidates,
+        key=lambda c: (c[1] is not None, c[1] if c[1] is not None else 0, -c[0]),
     )
     rows = [(PERCEPTRON_TERMS[i], int(wp[i])) for i in range(n)] + [
         ("train_correct", correct),
