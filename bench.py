@@ -275,22 +275,45 @@ def main() -> int:
     # cache, so the measured pass is I/O-warm — cross-protocol ratios
     # against single-shot (v1) numbers must be labeled as such (see
     # BASELINE.md).
+    # r18 ADDITIVE measurement split (driver round-17 PERF flagged the
+    # scaling block as insensitive: at sf0.1 the per-query total is
+    # dominated by fixed single-threaded DRIVER time — plan build +
+    # analysis — which is identical at 8 and 32 cores, so c8/c32
+    # ratios read ≈1 even though the executor work scales). Each
+    # measured pass now ALSO records the execute-only wall time (from
+    # the moment the DataFrame is built to the end of the noop write),
+    # reported as extra "<name>#exec" entries next to the unchanged
+    # totals. The timed region, protocol, and every existing entry are
+    # byte-identical to r17 — the split only inserts a clock between
+    # the two phases the old region already contained. Queries with
+    # eager build-time arms (perceptron epochs, tuning curves, CC
+    # fixpoints) legitimately keep that data work out of #exec; their
+    # totals still carry it.
     timings: dict[str, float] = {}
+    exec_timings: dict[str, float] = {}
     for name in HEADLINE + EXTRAS:
         _materialize(qs[name](spark, sf_dir))
         release_tracked()
         t0 = time.perf_counter()
-        _materialize(qs[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        df = qs[name](spark, sf_dir)
+        t_built = time.perf_counter()
+        _materialize(df)
+        t_done = time.perf_counter()
+        timings[name] = round(t_done - t0, 3)
+        exec_timings[name] = round(t_done - t_built, 3)
         # Operators persist multi-consumer relations; release between
         # queries so cached blocks don't accumulate across the run.
         release_tracked()
 
+    all_timings = dict(timings)
+    all_timings.update(
+        {f"{n}#exec": exec_timings[n] for n in exec_timings}
+    )
     out = {
         "metric": "headline_total",
         "value": round(sum(timings[n] for n in HEADLINE), 3),
         "unit": "sec",
-        "queries": timings,
+        "queries": all_timings,
         "sf": sf,
     }
     print(json.dumps(out))
@@ -319,7 +342,10 @@ def main() -> int:
         "unit": "sec",
         "sf": sf,
         "n_queries": len(timings),
-        "queries": {n: timings[n] for n in HEADLINE},
+        "queries": {
+            **{n: timings[n] for n in HEADLINE},
+            **{f"{n}#exec": exec_timings[n] for n in HEADLINE},
+        },
     }
     print(json.dumps(compact))
     return 0

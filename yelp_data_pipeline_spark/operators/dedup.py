@@ -233,11 +233,16 @@ def edit_distance_pairs(
 
     Output: (doc_a, doc_b, distance) with distance ≤ max_distance.
     """
+    # SLIM blocking relation: (doc, min-shingle) only. The full text
+    # previously rode along through BOTH self-join sides and the
+    # candidate dropDuplicates — three shuffles of every document's
+    # body (r18, guide §2.2 shuffle fewer bytes). Texts now join back
+    # onto the DEDUPLICATED id pairs just before the levenshtein
+    # verify, so the wide column crosses the wire once per side.
     sh = (
         with_shingles(df, text_col, n)
         .select(
             F.col(id_col).alias("doc"),
-            F.col(text_col).alias("txt"),
             F.explode(
                 F.slice(F.array_sort("shingles"), 1, band_shingles)
             ).alias("s"),
@@ -254,13 +259,23 @@ def edit_distance_pairs(
         .select(
             F.col("a.doc").alias("doc_a"),
             F.col("b.doc").alias("doc_b"),
-            F.col("a.txt").alias("ta"),
-            F.col("b.txt").alias("tb"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    # Both text fetches read one persisted slim projection of the
+    # input (scan + select runs once, not per join side).
+    txt = track_persist(
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("txt"))
+    )
+    pairs = cand.join(
+        txt.select(F.col("doc").alias("doc_a"), F.col("txt").alias("ta")),
+        "doc_a",
+    ).join(
+        txt.select(F.col("doc").alias("doc_b"), F.col("txt").alias("tb")),
+        "doc_b",
+    )
     return (
-        cand.withColumn("distance", F.levenshtein("ta", "tb"))
+        pairs.withColumn("distance", F.levenshtein("ta", "tb"))
         .filter(F.col("distance") <= max_distance)
         .select("doc_a", "doc_b", "distance")
     )

@@ -10,9 +10,9 @@ labels; ``dedup_survivors`` picks min-id survivors per cluster.
 Scale posture: the iteration is plain label propagation ("hash-min"),
 each round a distributed join + min-aggregate; rounds needed = graph
 diameter. Near-dup graphs are overwhelmingly tiny star/clique
-clusters (diameter ≤ ~3), so convergence is fast. Each round's labels
-are persisted and the previous round unpersisted; lineage is cut with
-localCheckpoint every few rounds so plans don't grow unboundedly. For
+clusters (diameter ≤ ~3), so convergence is fast. Each round is ONE
+job: a lazy localCheckpoint truncates the plan and the convergence
+count materializes its blocks (plans don't grow unboundedly). For
 adversarial long-chain graphs, the large-star/small-star algorithm
 (Kiveris et al., "Connected Components in MapReduce and Beyond",
 SoCC'14) halves the diameter per round; hash-min is the right default
@@ -24,16 +24,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
-
-# Lineage is truncated EVERY round: each round's plan references the
-# cached previous round, whose printed/analyzed plan nests the round
-# before it — without truncation the plan STRING grows geometrically
-# (measured 9.5 MB / 798 nested cache references after ~6 rounds) and
-# Catalyst re-analyzes all of it each round. An eager localCheckpoint
-# caps the depth at one round; the per-round convergence count
-# materializes the same rows regardless, so the checkpoint adds a
-# block write, not a recompute.
-CHECKPOINT_EVERY = 1
 
 # Introspection: rounds the last connected_components call took to
 # reach the label fixpoint (the changed==0 exit round included).
@@ -88,10 +78,7 @@ def connected_components(
         .withColumn("cluster", F.col("node"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # Unpersist must target the frame persist() was CALLED on — calling
-    # it on a projection built on top is a silent no-op, which leaked
-    # one cached round per iteration until tracked explicitly.
-    last_persisted = labels
+    init_labels = labels
     for it in range(max_iter):
         # min label among each node's neighborhood (neighbors only;
         # the node's own label joins back below).
@@ -112,38 +99,37 @@ def connected_components(
                 ),
             )
         )
-        if it % CHECKPOINT_EVERY == CHECKPOINT_EVERY - 1:
-            # EAGER: a lazy localCheckpoint never replaces the logical
-            # plan, so the printed/analyzed lineage keeps growing per
-            # round (measured 9.5 MB plan strings before this); the
-            # round's count below materializes the same rows anyway,
-            # so eager truncation costs one cache write, not a
-            # recompute.
-            new_labels = new_labels.localCheckpoint(eager=True)
-        persisted = new_labels.persist(StorageLevel.MEMORY_AND_DISK)
-        changed = persisted.filter(F.col("__changed")).count()
-        last_persisted.unpersist()
-        labels = persisted.select("node", "cluster")
-        last_persisted = persisted
+        # ONE job per round (r18, the same fusion connected_components_
+        # star got in r17): a LAZY localCheckpoint truncates the
+        # round's LOGICAL plan at creation (without the cut the plan
+        # string grows geometrically — measured 9.5 MB / 798 nested
+        # references after ~6 rounds), and the convergence-count job
+        # below both MATERIALIZES the checkpoint blocks
+        # (MEMORY_AND_DISK, lineage truncated on job completion) and
+        # answers the fixpoint test — the previous eager-checkpoint-
+        # then-count shape paid a second full job per round for the
+        # same rows. Blocks are RDD-owned (freed by the context
+        # cleaner once the round's frame is dropped — the cut_lineage
+        # trade, fine for slim label relations).
+        new_labels = new_labels.localCheckpoint(eager=False)
+        changed = new_labels.filter(F.col("__changed")).count()
+        labels = new_labels.select("node", "cluster")
         if changed == 0:
             break
     global LAST_CC_ROUNDS
     LAST_CC_ROUNDS = it + 1
     sym.unpersist()
+    init_labels.unpersist()
     if changed != 0:
-        last_persisted.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             f"({changed} labels still changing): graph diameter exceeds "
             "max_iter; raise it or use connected_components_star "
             "(O(log d) rounds)."
         )
-    # The returned relation reads from the still-persisted final round
-    # (callers typically fan it into several joins); register the
-    # PERSISTED frame — unpersisting the projection on top would no-op.
-    from ..session import _TRACKED_PERSISTS
-
-    _TRACKED_PERSISTS.append(last_persisted)
+    # The returned relation reads the final round's checkpoint blocks
+    # (materialized by its convergence count), so callers that fan it
+    # into several joins scan cached blocks, not a recompute.
     return labels
 
 

@@ -28,8 +28,53 @@ from ..functions.vectors import cosine, dot, norm
 from ..session import ensure_min_parallelism
 
 
+def _lit_vector_sql(vec) -> str:
+    """SQL text of a literal double array (exact repr round-trip —
+    see :func:`_lit_vector`)."""
+    return "array(" + ",".join(repr(float(x)) + "D" for x in vec) + ")"
+
+
+def _dot_lit_expr(vec_col_name: str, vec) -> F.Column:
+    """``dot(col, literal_vector)`` built as ONE ``F.expr`` parse.
+
+    The Python-built form — ``dot(F.col(c), _lit_vector(v))`` — pays
+    ~39ms of py4j per call just CREATING the zip_with/aggregate lambda
+    objects (measured r18: 48 planes = 2.5s of driver build time per
+    cosine_neardup_pairs call). The SQL string parses in the JVM to
+    the IDENTICAL expression tree functions.zip_with/aggregate build
+    (same casts, same 0.0 seed, same left-to-right fold), so values
+    and optimized plans are unchanged; only the construction path is
+    cheaper (~10ms/plane)."""
+    return F.expr(
+        f"aggregate(zip_with({vec_col_name}, {_lit_vector_sql(vec)}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _lit_vector(vec) -> F.Column:
+    """Literal double-array column in ONE py4j round trip.
+
+    The element-wise form — ``F.array(*[F.lit(x) for x in vec])`` —
+    costs 2·dim py4j calls per vector; at 48 planes × 64 dims that was
+    ~2.3s of pure DRIVER time per cosine_neardup_pairs build (guide
+    §1.2 — the bench's build phase, measured r18). One ``F.expr`` with
+    the values spelled out parses in the JVM in ~8ms per vector and
+    yields the IDENTICAL optimized plan: Catalyst constant-folds the
+    element-wise CreateArray to the same array Literal this produces
+    directly. ``repr(float)`` is the shortest exact round-trip form
+    and Spark's SQL lexer parses it back to the bit-identical double
+    (verified incl. exponent forms, -0.0, 5e300). Non-finite values
+    (inf/nan) have no SQL literal — fall back to element-wise lits.
+    """
+    xs = [float(x) for x in vec]
+    if all(math.isfinite(x) for x in xs):
+        return F.expr("array(" + ",".join(repr(x) + "D" for x in xs) + ")")
+    return F.array(*[F.lit(x).cast("double") for x in xs])
+
+
 def _query_vector_lit(vec: list[float]) -> F.Column:
-    return F.array(*[F.lit(float(x)).cast("double") for x in vec])
+    return _lit_vector(vec)
 
 
 # ------------------------------------------------------- sign-LSH planes
@@ -214,7 +259,7 @@ def cosine_neardup_pairs(
         )
     else:
         bit_cols = [
-            (dot(F.col("u"), F.array(*[F.lit(x) for x in planes[p]])) > 0)
+            (_dot_lit_expr("u", planes[p]) > 0)
             .cast("int")
             .alias(f"bit{p}")
             for p in range(n_planes)
@@ -1368,6 +1413,29 @@ def _top_pc_state(
         by_i.setdefault(int(r["i"]), {})[int(r["j"])] = (
             None if r["c"] is None else float(r["c"])
         )
+    # Degenerate-input semantics mirror the previous IN-PLAN loop
+    # exactly (r18, advisor items): Spark's double arithmetic
+    # propagates NULL through + and *, divides by 0.0 the IEEE way
+    # (±Inf, 0/0 = NaN — doubles never ANSI-error), and its sort/
+    # comparison order treats NaN as LARGER than any double. Python
+    # floats raise on /0.0 and order NaN incoherently, so both get
+    # explicit shims instead of bare operators.
+    def _spark_div(a, b):
+        if a is None or b is None:
+            return None
+        if b == 0.0:
+            if a == 0.0 or math.isnan(a):
+                return math.nan
+            return math.copysign(math.inf, a)
+        return a / b
+
+    def _spark_abs_key(x):
+        # Sort key for ORDER BY abs(vj) DESC: NULLS LAST, NaN first.
+        if x is None:
+            return (0, 0.0)
+        a = abs(x)
+        return (2, 0.0) if math.isnan(a) else (1, a)
+
     if by_i:
         v = {j: 1.0 / math.sqrt(float(dim)) for j in range(1, dim + 1)}
         for _ in range(iters):
@@ -1376,23 +1444,41 @@ def _top_pc_state(
                 acc = 0.0
                 for j in sorted(row):
                     if j in v:
-                        acc = acc + row[j] * v[j]
+                        t = (
+                            None
+                            if row[j] is None or v[j] is None
+                            else row[j] * v[j]
+                        )
+                        acc = None if acc is None or t is None else acc + t
                 u[i] = acc
             nm = 0.0
             for i in sorted(u):
-                nm = nm + u[i] * u[i]
-            nm = math.sqrt(nm)
-            v = {i: u[i] / nm for i in u}
+                nm = (
+                    None
+                    if nm is None or u[i] is None
+                    else nm + u[i] * u[i]
+                )
+            nm = None if nm is None else math.sqrt(nm)
+            v = {i: _spark_div(u[i], nm) for i in u}
         vdf = spark.createDataFrame(
-            [(int(j), float(v[j])) for j in sorted(v)], "j int, vj double"
+            [
+                (int(j), None if v[j] is None else float(v[j]))
+                for j in sorted(v)
+            ],
+            "j int, vj double",
         )
         # Sign convention: component with the largest |loading|
         # (smallest index on ties) decides — same total order the
-        # previous row_number window used.
-        top_j = max(sorted(v), key=lambda j: (abs(v[j]), -j))
-        sg = spark.createDataFrame(
-            [(1.0 if v[top_j] >= 0 else -1.0,)], "sg double"
+        # previous row_number window used (abs DESC w/ Spark's
+        # NaN-largest + NULLS LAST, then j ASC). when(vj >= 0) is
+        # TRUE for NaN under Spark's comparison order, not-true for
+        # NULL.
+        top_j = max(sorted(v), key=lambda j: (_spark_abs_key(v[j]), -j))
+        tv = v[top_j]
+        sg_val = (
+            1.0 if tv is not None and (math.isnan(tv) or tv >= 0) else -1.0
         )
+        sg = spark.createDataFrame([(sg_val,)], "sg double")
     else:
         # Empty corpus: empty unit vector and sign, matching the
         # previous all-Spark behavior (empty frames, not a crash).
@@ -1556,15 +1642,19 @@ def jl_project(
     """
     m = jl_matrix(out_dim, in_dim)
     scale = 1.0 / math.sqrt(out_dim)
-    comps = []
-    for j in range(out_dim):
-        signs = F.array(*[F.lit(s) for s in m[j]])
-        prods = F.zip_with(
-            F.col(vec_col), signs, lambda x, s: x.cast("double") * s
+    # One F.expr parse per component (same lambda-creation economy as
+    # _dot_lit_expr; the sign entries are exact ±1.0 doubles, so the
+    # CAST-free `x * s` of the previous zip_with is reproduced with s
+    # already double).
+    comps = [
+        F.expr(
+            f"aggregate(zip_with({vec_col}, {_lit_vector_sql(m[j])}, "
+            "(x, s) -> CAST(x AS DOUBLE) * s), "
+            "0.0D, (a, x) -> a + x)"
         )
-        comps.append(
-            F.aggregate(prods, F.lit(0.0), lambda a, x: a + x) * F.lit(scale)
-        )
+        * F.lit(scale)
+        for j in range(out_dim)
+    ]
     return df.withColumn(out_col, F.array(*comps))
 
 

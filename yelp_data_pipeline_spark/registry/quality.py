@@ -353,11 +353,18 @@ ORDER BY s.nprobe
     "relation.",
 )
 def q_ivf_nprobe_recall_curve(spark, sf_dir):
-    from ..session import track_persist
+    from ..session import cut_lineage, track_persist
 
     emb = _t(spark, sf_dir, "embeddings")
     corpus = emb.withColumnRenamed("label", "cell")
-    cents = sim.train_centroids_by_label(emb)
+    # The trained-centroid relation is label-count × dim tiny but its
+    # TRAINING subtree (posexplode + two shuffles over the corpus) was
+    # re-embedded by every nprobe arm's routing crossJoin — 3× the
+    # training cost and ~12 extra Exchanges in the composed plan. One
+    # eager lineage cut trains once and feeds all arms a LogicalRDD
+    # (r18, guide §2.4 shared-subtree dedup; same values, arms
+    # unchanged).
+    cents = cut_lineage(sim.train_centroids_by_label(emb))
     qs = emb.where(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )

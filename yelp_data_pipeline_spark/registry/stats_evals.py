@@ -4387,10 +4387,32 @@ FROM a, b, c, d
     "broadcast crosses (auditor-exempt).",
 )
 def q_retrieval_health_report(spark, sf_dir):
-    rq = q_ann_rank_quality(spark, sf_dir)
-    pq = q_pq_recall_eval(spark, sf_dir)
-    pf = q_prefix_dim_fidelity(spark, sf_dir)
-    pp = q_ann_prefilter_vs_postfilter(spark, sf_dir)
+    # The pane previously COMPOSED the four member plans verbatim —
+    # 62 Exchanges in one DAG, every member's brute-force/IVF/PQ
+    # subtree re-planned inside the pane. The members are independent
+    # and their outputs tiny (≤ 20 rows each), so each is materialized
+    # once behind an eager lineage cut, on four driver threads so the
+    # arms' jobs overlap (r18, guide §2.4 shared-subtree dedup + §2.6
+    # scheduler-level parallelism — the dedup_cluster_rand_index /
+    # minhash_band_tuning_curve pattern). Deterministic member arms,
+    # no shared state across them; values byte-identical (the pane
+    # aggregates the same member rows).
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..session import cut_lineage
+
+    members = (
+        q_ann_rank_quality,
+        q_pq_recall_eval,
+        q_prefix_dim_fidelity,
+        q_ann_prefilter_vs_postfilter,
+    )
+    with ThreadPoolExecutor(max_workers=len(members)) as pool:
+        futs = [
+            pool.submit(lambda f=f: cut_lineage(f(spark, sf_dir)))
+            for f in members
+        ]
+        rq, pq, pf, pp = [f.result() for f in futs]
     dec = lambda c: c.cast("decimal(18,6)")  # noqa: E731
     a = rq.agg(
         F.count(F.lit(1)).cast("long").alias("n_queries"),

@@ -1619,8 +1619,16 @@ def q_dedup_family_agreement_text(spark, sf_dir):
     lex = dd.minhash_lsh_pairs(
         docs, "doc_id", "text", k=12, bands=4, threshold=0.8
     ).select("doc_a", "doc_b", F.lit(1).alias("lx"))
+    # Arrow matrix projection (r18, guide §4.2): the hashed TEXT
+    # embeddings are INTEGER-valued (sums of ±1) and the planes are
+    # ±1, so every dot product is a sum of exact small integers in
+    # float64 — order-independent, hence the BLAS matmul produces
+    # bit-identical sign bits to the JVM fold (the float-noise caveat
+    # in signlsh_bits_pandas's docstring cannot arise here; pinned by
+    # tests/test_round18_opt.py and the oracle).
     sem = sim.cosine_neardup_pairs(
-        tx.hashed_text_embeddings(docs), threshold=0.5
+        tx.hashed_text_embeddings(docs), threshold=0.5,
+        use_pandas_projection=True,
     ).select(
         F.col("id_a").alias("doc_a"),
         F.col("id_b").alias("doc_b"),
@@ -1687,7 +1695,11 @@ FROM clusters GROUP BY cluster_id
 def q_semantic_dedup_survivors_text(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     emb = tx.hashed_text_embeddings(docs)
-    pairs = sim.cosine_neardup_pairs(emb, threshold=0.5)
+    # Arrow matrix projection — exact on these integer-valued vectors
+    # (see q_dedup_family_agreement_text's note; guide §4.2).
+    pairs = sim.cosine_neardup_pairs(
+        emb, threshold=0.5, use_pandas_projection=True
+    )
     comp = graph.connected_components(pairs, "id_a", "id_b")
     clusters = (
         emb.select(F.col("vec_id").alias("doc_id"))

@@ -91,13 +91,18 @@ def cut_lineage(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
-# Logical operators that introduce a shuffle boundary (or inherit an
-# RDD's partitioning): below any of these, output width comes from
-# spark.sql.shuffle.partitions (or the checkpointed RDD), not from the
-# input split count, so the single-split guard is moot — and probing
-# .rdd on such plans costs FULL physical planning + codegen of the
-# subtree only to throw it away (measured 3.2s of pure driver time per
-# call on the hashed-embedding plan at sf0.1).
+# Logical operators that introduce a shuffle boundary: below any of
+# these, output width comes from spark.sql.shuffle.partitions, not
+# from the input split count, so the single-split guard is moot — and
+# probing .rdd on such plans costs FULL physical planning + codegen of
+# the subtree only to throw it away (measured 3.2s of pure driver time
+# per call on the hashed-embedding plan at sf0.1).
+#
+# LogicalRDD is deliberately NOT here (r18, closing the r17 hole the
+# advisor flagged): a checkpointed slim relation can carry 1-2
+# partitions into a CPU-heavy map — exactly the shape the guard exists
+# for — and probing .rdd on a narrow LogicalRDD-rooted plan is cheap
+# (ExistingRDD scan, no file listing, trivial planning).
 _WIDTH_NODES = (
     "Join",
     "Aggregate",
@@ -108,7 +113,6 @@ _WIDTH_NODES = (
     "RebalancePartitions",
     "Window",
     "Sort",
-    "LogicalRDD",
 )
 
 
@@ -141,7 +145,7 @@ def ensure_min_parallelism(df: DataFrame, min_parts: int | None = None) -> DataF
     (min/sum aggregates, equi-joins).
 
     Plans that already contain a shuffle boundary (join / aggregate /
-    repartition / window / checkpointed RDD) are returned unchanged
+    repartition / window) are returned unchanged
     WITHOUT the .rdd partition probe: their width is governed by the
     shuffle-partition count anyway, and the probe's throwaway physical
     planning of a complex subtree is pure driver cost (guide §1.2 —
