@@ -262,6 +262,16 @@ def edit_distance_pairs(
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    # The slim id-pair relation is a few bytes per row, so AQE
+    # coalesces the dropDuplicates shuffle to ONE partition — which
+    # would serialize the O(len²) levenshtein verify on one core
+    # (measured: 23.6s single-task stage at sf0.1). An explicit
+    # numPartitions repartition is exempt from AQE coalescing and the
+    # broadcast text joins below preserve it, so the verify runs wide
+    # (guide §2.5; with sort-merge text joins at scale the verify
+    # width comes from the join shuffle instead and this repartition
+    # of slim ids is noise).
+    cand = cand.repartition(df.sparkSession.sparkContext.defaultParallelism)
     # Both text fetches read one persisted slim projection of the
     # input (scan + select runs once, not per join side).
     txt = track_persist(

@@ -750,15 +750,26 @@ def q_simhash_recall_eval(spark, sf_dir):
         F.pmod(md5_long(F.col("doc_id").cast("string"), seed="srs"), F.lit(4))
         == 0
     )
-    # Deliberately NOT persisted: recomputing the sampled signature on
-    # each side of the self-join is cheap (the sample is eval-sized)
-    # and keeps the md5-residue Filter visible in the physical plan,
-    # where the auditor's 'sampled-cross' category reads it.
+    # The signature pipeline (tokenize → md5 per token → 56 vote sums)
+    # previously ran THREE times: once per BNLJ side of the brute arm
+    # plus once inside simhash_pairs. r18 (guide §2.4): ONE eager
+    # lineage cut feeds the brute arm's STREAM side and the banded
+    # arm; the BNLJ BUILD side stays a FRESH un-cached subtree (pinned
+    # with F.broadcast) so the md5-residue Filter remains visible in
+    # the physical plan, where the auditor's 'sampled-cross' category
+    # (and tests/test_plan_audit.py) reads it. A persist could not do
+    # this: the cache manager substitutes EVERY matching subtree,
+    # including the build side; a checkpoint is a distinct LogicalRDD
+    # plan, so the fresh side stays fresh. Values are unchanged — the
+    # checkpoint preserves the exact signature rows.
+    from ..session import cut_lineage
+
     sig = dd.simhash(samp, "doc_id", "text")
-    a, b = sig.alias("a"), sig.alias("b")
+    sigc = cut_lineage(sig)
+    a, b = sigc.alias("a"), sig.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     ex = (
-        a.join(b, F.col("a.doc") < F.col("b.doc"))
+        a.join(F.broadcast(b), F.col("a.doc") < F.col("b.doc"))
         .filter(ham <= 6)
         .select(
             F.col("a.doc").alias("doc_a"),
@@ -766,9 +777,47 @@ def q_simhash_recall_eval(spark, sf_dir):
             F.lit(1).alias("e"),
         )
     )
-    banded = dd.simhash_pairs(
-        samp, "doc_id", "text", max_hamming=6, band_bits=dd.SIMHASH_BAND_BITS
-    ).select("doc_a", "doc_b", F.lit(1).alias("l"))
+    # 7×8-bit banding inlined over the checkpointed signatures — the
+    # single-word specialization of dd.simhash_pairs (its
+    # _simhash_wide(56, 0) is documented bit-identical to dd.simhash,
+    # and band_bits was already pinned to SIMHASH_BAND_BITS here), so
+    # the pair set is unchanged while the banded arm reuses the SAME
+    # computed signatures instead of re-deriving them from text.
+    band_bits = dd.SIMHASH_BAND_BITS
+    mask = F.lit((1 << band_bits) - 1)
+    bands = sigc.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band_id"),
+                    F.shiftright("simhash", i * band_bits)
+                    .bitwiseAND(mask)
+                    .alias("band"),
+                )
+                for i in range(dd.SIMHASH_BANDS)
+            ])
+        ).alias("bb"),
+    ).select("doc", "simhash", F.col("bb.band_id"), F.col("bb.band"))
+    x, y = bands.alias("x"), bands.alias("y")
+    bham = F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash")))
+    banded = (
+        x.join(
+            y,
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .withColumn("hamming", bham)
+        .filter(F.col("hamming") <= 6)
+        .select(
+            F.col("x.doc").alias("doc_a"),
+            F.col("y.doc").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .select("doc_a", "doc_b", F.lit(1).alias("l"))
+    )
     j = ex.join(banded, ["doc_a", "doc_b"], "full_outer").select(
         F.coalesce("e", F.lit(0)).alias("e"),
         F.coalesce("l", F.lit(0)).alias("l"),
