@@ -1197,12 +1197,47 @@ def q_pretraining_data_report(spark, sf_dir):
     # race past a lazy persist's unpopulated cache — round 11 measured
     # the pane re-running the fingerprint/LSH subtrees (+6.1s). Each
     # slim relation is materialized exactly once, up front.
-    pairs = cut_lineage(
-        dd.minhash_lsh_pairs(
-            docs, "doc_id", "text", k=12, bands=4, threshold=0.8
-        ).select("doc_a", "doc_b")
-    )
-    cl = cut_lineage(graph.dedup_clusters(docs, pairs))
+    #
+    # The three eager chains (text LSH → CC, image dHash→MIH, audio
+    # fingerprint→MIH) are independent, and the pane is JOB-COUNT
+    # bound (r18 stage profile: 63 jobs totaling 8.7s, none over 0.9s,
+    # cores mostly idle) — so the chains run on three driver threads
+    # (guide §2.6, the retrieval_health_report / rand_index pattern).
+    # Each chain's internal persists are private to its thread;
+    # deterministic arms, values unchanged.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _text_chain():
+        p = cut_lineage(
+            dd.minhash_lsh_pairs(
+                docs, "doc_id", "text", k=12, bands=4, threshold=0.8
+            ).select("doc_a", "doc_b")
+        )
+        return p, cut_lineage(graph.dedup_clusters(docs, p))
+
+    def _image_chain():
+        return cut_lineage(
+            mm.hamming_neardup_pairs_mih(
+                mm.image_dhash(mm.attach_bmp_payload(docs))
+            )
+        )
+
+    def _audio_chain():
+        return cut_lineage(
+            mm.hamming_neardup_pairs_mih(
+                mm.audio_fingerprint(mm.attach_wav_payload(docs)).select(
+                    "doc_id", F.col("afp").alias("dhash")
+                )
+            )
+        )
+
+    with ThreadPoolExecutor(max_workers=3) as _pool:
+        _ft = _pool.submit(_text_chain)
+        _fi = _pool.submit(_image_chain)
+        _fa = _pool.submit(_audio_chain)
+        pairs, cl = _ft.result()
+        ip = _fi.result()
+        ap = _fa.result()
     a = cl.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(
@@ -1257,12 +1292,8 @@ def q_pretraining_data_report(spark, sf_dir):
     # Multimodal dup tier: image near-dup pairs via the scale-safe MIH
     # join (lineage-cut — the pair relation feeds both the count and
     # the distinct-doc aggregate, whose broadcasts race a lazy cache)
-    # and audio pairs over the PCM fingerprints.
-    ip = cut_lineage(
-        mm.hamming_neardup_pairs_mih(
-            mm.image_dhash(mm.attach_bmp_payload(docs))
-        )
-    )
+    # and audio pairs over the PCM fingerprints; both chains were
+    # materialized above on their own driver threads.
     i1 = ip.agg(F.count(F.lit(1)).cast("long").alias("n_image_dup_pairs"))
     i2 = ip.select(
         F.explode(F.array("doc_a", "doc_b")).alias("d")
@@ -1270,13 +1301,6 @@ def q_pretraining_data_report(spark, sf_dir):
     # Audio arm lineage-cut too (r12 verdict #6): single consumer
     # TODAY, but the pane's history (+6.1s in r11 from exactly this
     # re-computation class) says cut every arm BEFORE it grows one.
-    ap = cut_lineage(
-        mm.hamming_neardup_pairs_mih(
-            mm.audio_fingerprint(mm.attach_wav_payload(docs)).select(
-                "doc_id", F.col("afp").alias("dhash")
-            )
-        )
-    )
     a2 = ap.agg(F.count(F.lit(1)).cast("long").alias("n_audio_dup_pairs"))
     return (
         a.crossJoin(F.broadcast(b_n))

@@ -216,6 +216,30 @@ def get_spark(
         # pruning on every timestamp column. Micros is also what
         # Delta/Iceberg write.
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        # InferFiltersFromGenerate synthesizes `size(arr) > 0` from
+        # every explode() and predicate pushdown then sinks it below
+        # exchanges onto the SCAN — re-running the generator-input
+        # expression (tokenize → shingle → array_distinct, the most
+        # expensive per-row work in the dedup family) once in the
+        # Filter and again in the Generate. r18 measured the filter
+        # copy serializing on the pre-repartition single input split:
+        # dedup_ngram_pairs 5.3 → 2.3 s, simhash_near_pairs 6.7 →
+        # 2.9 s with the rule excluded (plan otherwise identical;
+        # results identical — the rule is row-preserving up to the
+        # rows explode drops anyway). The duplicated CPU exists at ANY
+        # scale/split count; the rows it prunes pre-shuffle (docs too
+        # short to shingle) are a negligible fraction of real corpora.
+        # Semantics are untouched, so this is safe globally; override
+        # via SPARK_EXCLUDED_OPTIMIZER_RULES (empty string restores
+        # the default rule set).
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            os.environ.get(
+                "SPARK_EXCLUDED_OPTIMIZER_RULES",
+                "org.apache.spark.sql.catalyst.optimizer."
+                "InferFiltersFromGenerate",
+            ),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
