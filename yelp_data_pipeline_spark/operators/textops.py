@@ -507,7 +507,16 @@ def winnow_fingerprints(
     # array once per exploded row (the O(n²) trap again, via the count).
     # Derive it post-explode as max(__pos)+1 over the doc partition —
     # same shuffle the frame window already pays for.
-    ex = df.select(
+    #
+    # ensure_min_parallelism (r18): the tokenize → gram transform →
+    # posexplode → md5 chain is the map side of the window shuffle; on
+    # a single-split fixture scan it serialized on ONE core (measured
+    # 3.65 s of a 4.45 s row in one task at sf0.1). Downstream is a
+    # doc-keyed window + array_sort(array_distinct(collect_list)) —
+    # partitioning-insensitive.
+    from ..session import ensure_min_parallelism
+
+    ex = ensure_min_parallelism(df).select(
         F.col(id_col).alias("__doc"),
         F.posexplode_outer(grams).alias("__pos", "__gram"),
     )
@@ -614,6 +623,10 @@ def repetition_stats(
     top_word_frac, top_bigram_frac), fractions rounded to 6dp.
     """
     t = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    # No parallelism guard here (r18 measured both ways): the map side
+    # of the first (doc, w) shuffle is a plain tokenize — adding the
+    # round-robin repartition of token arrays cost more than the
+    # 0.6 s one-task stage it removed (1.57 s vs 1.68 s min-of-4).
     base = df.select(F.col(id_col).alias("doc"), t.alias("t"))
 
     words = base.select("doc", F.explode("t").alias("w"))
@@ -1335,9 +1348,16 @@ def cdc_chunk_documents(
     from ..functions.hashing import md5_long
 
     t = tokens(F.col(text_col))
-    base = df.where(F.trim(F.col(text_col)) != "").select(
-        F.col(id_col), t.alias("t")
-    )
+    # Map-side-only pipeline: output width = input split count, so a
+    # single-split fixture scan serializes the whole rolling-hash
+    # chunker on one core (r18 — measured a 0.73 s one-task save).
+    # The guard repartitions ONLY below the session's parallelism —
+    # the zero-shuffle 100 TB posture (many splits) is untouched.
+    from ..session import ensure_min_parallelism
+
+    base = ensure_min_parallelism(df).where(
+        F.trim(F.col(text_col)) != ""
+    ).select(F.col(id_col), t.alias("t"))
     L = F.size(F.col("t"))
     bpos = F.filter(
         F.when(L >= window, F.sequence(F.lit(window), L)).otherwise(
