@@ -86,6 +86,24 @@ def test_sampled_cross_and_limit_bounded_recognitions(spark):
     assert b["onerow_cross"], "literal limit build side not recognized"
 
 
+def test_reused_exchange_build_side_classified_by_original(spark):
+    """r18: AQE serves the second and third nprobe arms' routing
+    crossJoin from exchange REUSE of the checkpointed-centroid
+    broadcast — the build side prints as a bare `ReusedExchange
+    [plan_id=N]` pointer, which used to fail every exemption matcher
+    and flag the row as a dangerous nested loop. The auditor now
+    inlines the referenced original exchange's subtree (a reused
+    exchange IS its original) before classifying."""
+    ap = _auditor()
+    qs = queries()
+    a = ap.audit(
+        "ivf_nprobe_recall_curve",
+        qs["ivf_nprobe_recall_curve"](spark, SF_DIR),
+    )
+    assert not a["nested_loop"], "reused checkpoint broadcast flagged"
+    assert a["ckpt_cross"], "checkpointed centroid build not recognized"
+
+
 def test_tpch_analog_plans_are_clean(spark):
     """The TPC-H analog set (round-8 additions + the round-5/6
     originals they complement): no dangerous nested loops anywhere;

@@ -472,14 +472,45 @@ def _is_checkpoint_cross(sub: str) -> bool:
     return False
 
 
+def _inline_reused_exchanges(sub: str, plan: str) -> str:
+    """A ReusedExchange prints only a pointer (`[plan_id=N]`) to its
+    original exchange, so a nested-loop build side that AQE served
+    from exchange reuse hides the very subtree the classifiers read
+    (r18: ivf_nprobe_recall_curve's second and third nprobe arms
+    reuse the checkpointed-centroid broadcast and printed as bare
+    pointers). A reused exchange IS its original by definition —
+    append each referenced original's subtree so the build-side
+    matchers classify what actually executes. A genuinely dangerous
+    original still fails every matcher after inlining."""
+    out = [sub]
+    lines = plan.splitlines()
+    for pid in set(re.findall(r"ReusedExchange [^\n]*\[plan_id=(\d+)\]", sub)):
+        for i, line in enumerate(lines):
+            if f"[plan_id={pid}]" not in line or "ReusedExchange" in line:
+                continue
+            label = re.search(r"[A-Za-z*]", line)
+            d = label.start() if label else 0
+            orig = [line]
+            for nxt in lines[i + 1 :]:
+                lbl = re.search(r"[A-Za-z*]", nxt)
+                if lbl and lbl.start() <= d and nxt.strip():
+                    break
+                orig.append(nxt)
+            out.append("\n".join(orig))
+    return "\n".join(out)
+
+
 def _dangerous_nested_loop(plan: str) -> bool:
+    subs = [
+        _inline_reused_exchanges(s, plan) for s in _nested_loop_subtrees(plan)
+    ]
     return any(
         not _is_bounded_cross(s, plan)
         and not _is_literal_inlist_cross(s)
         and not _is_checkpoint_cross(s)
         and not _is_sampled_cross(s)
         and not _is_literal_bound_cross(s)
-        for s in _nested_loop_subtrees(plan)
+        for s in subs
     )
 
 
